@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Typed access to the driver testdata tables (TESTDATA.md / FIXTURES.md).
+  *
+  * All readers are plain `spark.read.parquet` so Catalyst's vectorized
+  * parquet source, predicate pushdown and column pruning apply untouched.
+  * At 100 TB these would be partitioned/bucketed tables behind a catalog;
+  * the per-query code below never assumes a row count, never collects
+  * unbounded data to the driver, and keys every shuffle explicitly.
+  */
+object Tables {
+  def region(s: SparkSession, dir: String): DataFrame = load(s, dir, "region")
+  def nation(s: SparkSession, dir: String): DataFrame = load(s, dir, "nation")
+  def customer(s: SparkSession, dir: String): DataFrame = load(s, dir, "customer")
+  def supplier(s: SparkSession, dir: String): DataFrame = load(s, dir, "supplier")
+  def part(s: SparkSession, dir: String): DataFrame = load(s, dir, "part")
+  def orders(s: SparkSession, dir: String): DataFrame = load(s, dir, "orders")
+  def lineitem(s: SparkSession, dir: String): DataFrame = load(s, dir, "lineitem")
+  def events(s: SparkSession, dir: String): DataFrame = load(s, dir, "events")
+  def documents(s: SparkSession, dir: String): DataFrame = load(s, dir, "documents")
+  def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")
+
+  def load(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+}

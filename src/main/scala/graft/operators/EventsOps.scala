@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.Portable._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the `events` table (ts, user_id,
+  * event_type, value, props JSON). The reference is batch-only
+  * (SURVEY.md §2.10), so these are the time-windowed extensions a
+  * training-data pipeline needs, written as batch plans whose streaming
+  * twins live in [[graft.streaming.EventStream]].
+  *
+  * Scale: tumbling windows are plain keyed aggregation (shuffle by
+  * (window, type) — bounded output). Sessionization shuffles once by
+  * user_id and runs two sequential window passes per partition; with
+  * Structured Streaming the same logic is `session_window` +
+  * watermark-bounded state.
+  */
+object EventsOps {
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "q_events_hourly",
+      "tumbling 1h window = date_trunc + keyed agg; partial agg bounds " +
+        "shuffle volume by (hours × types) regardless of event count",
+      Some(
+        s"""SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour,
+           |  event_type, count(*) AS n,
+           |  ${exactSumSql("value")} AS sum_value
+           |FROM events
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    ) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(
+          date_trunc("hour", col("ts")).as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
+        .orderBy("hour", "event_type")
+    },
+
+    Q(
+      "q_events_sessions",
+      "sessionization (30 min gap): one shuffle by user_id; session ids " +
+        "from a cumulative sum over new-session flags — two sequential " +
+        "window passes, no self-join; streaming twin = session_window",
+      Some(
+        """WITH flagged AS (
+          |  SELECT user_id, event_id, ts,
+          |    CASE WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+          |           OR lag(ts) OVER w IS NULL
+          |         THEN 1 ELSE 0 END AS new_session
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+          |), sessions AS (
+          |  SELECT user_id, event_id,
+          |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |      ROWS UNBOUNDED PRECEDING) AS session_seq
+          |  FROM flagged)
+          |SELECT user_id, session_seq, count(*) AS n_events,
+          |  min(event_id) AS first_event
+          |FROM sessions GROUP BY user_id, session_seq
+          |ORDER BY user_id, session_seq""".stripMargin),
+    ) { (s, dir) =>
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val gapMicros = 30L * 60 * 1000000
+      Tables.events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull
+            || unix_micros(col("ts")) - unix_micros(col("prev_ts")) >= gapMicros,
+            lit(1)).otherwise(lit(0)))
+        .withColumn("session_seq",
+          sum(col("new_session"))
+            .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_seq")
+        .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("first_event"))
+        .orderBy("user_id", "session_seq")
+    },
+
+    Q(
+      "q_events_json",
+      "semi-structured props: JSON path extraction is a codegen'd " +
+        "expression on the scan — no shuffle until the keyed agg",
+      Some(
+        """SELECT event_type,
+          |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+          |  count(*) AS n
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    ) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+          count(lit(1)).as("n"),
+        )
+        .orderBy("event_type")
+    },
+  )
+}

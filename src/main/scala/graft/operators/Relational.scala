@@ -1,0 +1,313 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.Portable._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational breadth: the queries a user of the reference would write
+  * as map/reduce executable pairs, expressed as declarative plans so
+  * Catalyst gets to optimize (pushdown, pruning, join selection, AQE).
+  *
+  * Scale stance per operator class:
+  *  - aggregations: partial (map-side) agg + final agg, shuffle keyed by
+  *    group columns; output cardinality bounded by group count.
+  *  - joins: dimensions (region/nation/customer at TPC-H shape) are
+  *    broadcast — no shuffle of the fact side; fact-fact joins
+  *    (orders⋈lineitem) are shuffle hash/sort-merge on the join key and
+  *    benefit from AQE skew handling.
+  *  - windows: shuffle by partition key only; running frames are
+  *    single-pass per partition.
+  *  - top-k: `orderBy.limit` plans as TakeOrderedAndProject — per
+  *    partition heap + driver merge of k rows, never a global sort.
+  *
+  * All money/quantity sums go through [[graft.functions.Portable]]
+  * fixed-point so Spark and the DuckDB oracle agree bit-for-bit.
+  */
+object Relational {
+
+  private val revCents =
+    "CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)"
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "q1_agg",
+      "TPC-H Q1 shape: scan + pushed date filter, partial+final hash agg " +
+        "on 2 low-cardinality keys; reduce side is O(groups) at any scale",
+      Some(
+        s"""SELECT l_returnflag, l_linestatus,
+           |  ${exactSumSql("l_quantity")} AS sum_qty,
+           |  ${exactSumSql("l_extendedprice")} AS sum_base_price,
+           |  ${exactSumSql("l_extendedprice * (1 - l_discount)", 4)} AS sum_disc_price,
+           |  ${exactSumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge,
+           |  ${exactAvgSql("l_quantity")} AS avg_qty,
+           |  ${exactAvgSql("l_extendedprice")} AS avg_price,
+           |  ${exactAvgSql("l_discount")} AS avg_disc,
+           |  count(*) AS count_order
+           |FROM lineitem
+           |WHERE l_shipdate <= TIMESTAMP '1999-12-01 00:00:00'
+           |GROUP BY l_returnflag, l_linestatus
+           |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+    ) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1999-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          exactSum(col("l_quantity")).as("sum_qty"),
+          exactSum(col("l_extendedprice")).as("sum_base_price"),
+          exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
+          exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6).as("sum_charge"),
+          exactAvg(col("l_quantity")).as("avg_qty"),
+          exactAvg(col("l_extendedprice")).as("avg_price"),
+          exactAvg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    Q(
+      "q_filter_project",
+      "pushdown probe: predicate + 3-column projection reach the parquet " +
+        "scan (PushedFilters/ReadSchema) — scan cost ∝ selected bytes, not table width",
+      Some(
+        """SELECT l_orderkey, l_linenumber, l_extendedprice
+          |FROM lineitem
+          |WHERE l_shipdate < TIMESTAMP '1998-01-01 00:00:00' AND l_discount > 0.08
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+    ) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp")
+          && col("l_discount") > 0.08)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    Q(
+      "q_join_broadcast",
+      "star join: region+nation broadcast to every executor — the " +
+        "customer fact side never shuffles for the join itself",
+      Some(
+        """SELECT r_name, n_name, count(*) AS n_cust,
+          |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS DOUBLE) AS sum_bal
+          |FROM customer
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY r_name, n_name
+          |ORDER BY r_name, n_name""".stripMargin),
+    ) { (s, dir) =>
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_cust"), exactSum(col("c_acctbal")).as("sum_bal"))
+        .orderBy("r_name", "n_name")
+    },
+
+    Q(
+      "q_join_shuffle",
+      "fact⋈fact: orders⋈lineitem shuffles both sides on the order key; " +
+        "AQE coalesces post-shuffle partitions and splits skewed ones",
+      Some(
+        s"""SELECT o_orderpriority, count(DISTINCT o_orderkey) AS n_orders,
+           |  CAST(sum($revCents) / 10000.0 AS DOUBLE) AS revenue
+           |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+           |WHERE o_orderstatus = 'F'
+           |GROUP BY o_orderpriority
+           |ORDER BY o_orderpriority""".stripMargin),
+    ) { (s, dir) =>
+      Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+        .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    },
+
+    Q(
+      "q_join_semi",
+      "left-semi (EXISTS): ships only the join key of the probe side; " +
+        "no payload duplication, no fan-out on multi-match",
+      Some(
+        """SELECT o_orderkey, o_totalprice FROM orders
+          |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49)
+          |ORDER BY o_orderkey""".stripMargin),
+    ) { (s, dir) =>
+      Tables.orders(s, dir)
+        .join(
+          Tables.lineitem(s, dir).filter(col("l_quantity") >= 49),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    Q(
+      "q_join_anti",
+      "left-anti (NOT EXISTS): customers with no orders; anti join " +
+        "instead of outer-join+null-filter keeps the plan single-pass",
+      Some(
+        """SELECT c_custkey, c_name FROM customer
+          |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+          |ORDER BY c_custkey""".stripMargin),
+    ) { (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    Q(
+      "q_window_rank",
+      "per-group top-1 via row_number window: single shuffle by customer, " +
+        "rank computed in one pass per partition (no self-join)",
+      Some(
+        """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+          |  SELECT o_custkey, o_orderkey, o_totalprice,
+          |    row_number() OVER (PARTITION BY o_custkey
+          |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          |  FROM orders) WHERE rn = 1
+          |ORDER BY o_custkey""".stripMargin),
+    ) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey")
+    },
+
+    Q(
+      "q_window_running",
+      "running total per customer: fixed-point cumulative sum is exact and " +
+        "order-stable; frame = unbounded preceding → current row",
+      Some(
+        """SELECT o_custkey, o_orderkey,
+          |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+          |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+          |    / 100.0 AS DOUBLE) AS running_spend
+          |FROM orders
+          |ORDER BY o_custkey, o_orderkey""".stripMargin),
+    ) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, dir)
+        .withColumn("running_spend",
+          (sum(round(col("o_totalprice") * 100, 0).cast("long")).over(w) / 100.0)
+            .cast("double"))
+        .select("o_custkey", "o_orderkey", "running_spend")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    Q(
+      "q_window_lag",
+      "lag analytic: days since the customer's previous order — one " +
+        "shuffle by customer, sequential scan within partition",
+      Some(
+        """SELECT o_custkey, o_orderkey,
+          |  date_diff('day',
+          |    lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+          |    o_orderdate) AS days_since_prev
+          |FROM orders
+          |ORDER BY o_custkey, o_orderkey""".stripMargin),
+    ) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("days_since_prev",
+          datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)).cast("long"))
+        .select("o_custkey", "o_orderkey", "days_since_prev")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    Q(
+      "q_topk",
+      "global top-k: plans as TakeOrderedAndProject (per-partition heap + " +
+        "k-row driver merge), never a full sort at any scale",
+      Some(
+        """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+          |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin),
+    ) { (s, dir) =>
+      Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    Q(
+      "q_rollup",
+      "ROLLUP over (returnflag, linestatus): grouping-set expansion stays " +
+        "a single shuffle; subtotal rows carry NULL keys",
+      Some(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+          |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS DOUBLE) AS sum_qty
+          |FROM lineitem
+          |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+    ) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), exactSum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    Q(
+      "q_cube",
+      "CUBE over (returnflag, linestatus): all grouping sets in one pass",
+      Some(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n
+          |FROM lineitem
+          |GROUP BY CUBE (l_returnflag, l_linestatus)
+          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+    ) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    Q(
+      "q_set_ops",
+      "UNION/INTERSECT/EXCEPT on nation keys: set ops are hash " +
+        "aggregations keyed by the full row",
+      Some(
+        """SELECT 'both' AS tag, nk FROM (
+          |    SELECT c_nationkey AS nk FROM customer
+          |    INTERSECT SELECT s_nationkey FROM supplier)
+          |UNION ALL
+          |SELECT 'cust_only' AS tag, nk FROM (
+          |    SELECT c_nationkey AS nk FROM customer
+          |    EXCEPT SELECT s_nationkey FROM supplier)
+          |ORDER BY tag, nk""".stripMargin),
+    ) { (s, dir) =>
+      val c = Tables.customer(s, dir).select(col("c_nationkey").as("nk"))
+      val sup = Tables.supplier(s, dir).select(col("s_nationkey").as("nk"))
+      c.intersect(sup).withColumn("tag", lit("both"))
+        .unionByName(c.except(sup).withColumn("tag", lit("cust_only")))
+        .select("tag", "nk")
+        .orderBy("tag", "nk")
+    },
+
+    Q(
+      "q_distinct_agg",
+      "multi-distinct aggregation: Catalyst expands to grouped distinct " +
+        "aggregates; at scale prefer approx_count_distinct (HLL sketch)",
+      Some(
+        """SELECT l_returnflag,
+          |  count(DISTINCT l_partkey) AS n_parts,
+          |  count(DISTINCT l_suppkey) AS n_supps,
+          |  count(*) AS n_rows
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    ) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    },
+  )
+}
