@@ -18,7 +18,20 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame = load(s, dir, "part")
   def orders(s: SparkSession, dir: String): DataFrame = load(s, dir, "orders")
   def lineitem(s: SparkSession, dir: String): DataFrame = load(s, dir, "lineitem")
-  def events(s: SparkSession, dir: String): DataFrame = load(s, dir, "events")
+
+  /** `events.ts` is parquet `TIMESTAMP(NANOS)`, which Spark's reader
+    * rejects outright (`PARQUET_TYPE_ILLEGAL`). We opt into reading the
+    * physical INT64 nanos via `nanosAsLong` and truncate to microsecond
+    * timestamps with integer division (`div`, not `/` — double division
+    * loses precision above 2^53 and epoch-nanos is ~2^60). DuckDB-side
+    * oracles must compare on `CAST(ts AS TIMESTAMP)`, which truncates
+    * ns→µs identically. Timestamps stay codegen'd columns; no UDF.
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, dir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
   def documents(s: SparkSession, dir: String): DataFrame = load(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")
 

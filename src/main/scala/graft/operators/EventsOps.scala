@@ -8,8 +8,14 @@ import org.apache.spark.sql.functions._
 /** Event-stream analytics over the `events` table (ts, user_id,
   * event_type, value, props JSON). The reference is batch-only
   * (SURVEY.md §2.10), so these are the time-windowed extensions a
-  * training-data pipeline needs, written as batch plans whose streaming
-  * twins live in [[graft.streaming.EventStream]].
+  * training-data pipeline needs, written as batch plans. Streaming
+  * twins (readStream + watermark + session_window) live in
+  * [[graft.streaming.EventStream]].
+  *
+  * `Tables.events` truncates the parquet nanosecond `ts` to
+  * microseconds (see [[graft.Tables.events]]); every oracle below
+  * compares on `CAST(ts AS TIMESTAMP)` — DuckDB's identical ns→µs
+  * truncation — so both engines window and order the same instants.
   *
   * Scale: tumbling windows are plain keyed aggregation (shuffle by
   * (window, type) — bounded output). Sessionization shuffles once by
@@ -45,17 +51,19 @@ object EventsOps {
         "from a cumulative sum over new-session flags — two sequential " +
         "window passes, no self-join; streaming twin = session_window",
       Some(
-        """WITH flagged AS (
+        """WITH ev AS (
+          |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+          |), flagged AS (
           |  SELECT user_id, event_id, ts,
           |    CASE WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
           |           OR lag(ts) OVER w IS NULL
           |         THEN 1 ELSE 0 END AS new_session
-          |  FROM events
+          |  FROM ev
           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
           |), sessions AS (
           |  SELECT user_id, event_id,
-          |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-          |      ROWS UNBOUNDED PRECEDING) AS session_seq
+          |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
           |  FROM flagged)
           |SELECT user_id, session_seq, count(*) AS n_events,
           |  min(event_id) AS first_event
@@ -84,7 +92,7 @@ object EventsOps {
         "expression on the scan — no shuffle until the keyed agg",
       Some(
         """SELECT event_type,
-          |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+          |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
           |  count(*) AS n
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
     ) { (s, dir) =>

@@ -104,11 +104,13 @@ object MapReduceParity {
     ) { (s, dir) =>
       import s.implicits._
       // wc_map.sh parity: tokenize via a streaming executable, one
-      // token\t1 line per token (empty tokens preserved, like the
-      // reference's golden output which counts the empty key).
+      // token per line (empty tokens preserved, like the reference's
+      // golden output which counts the empty key). The executable both
+      // splits AND lowercases — matching wc_map.sh's `tr A-Z a-z` — so
+      // the query agrees with its oracle on mixed-case corpora too.
       val mapped = Tables.documents(s, dir)
         .select(col("text")).as[String].rdd
-        .pipe(Seq("sed", "s/ /\\n/g"))
+        .pipe(Seq("sh", "-c", "tr ' ' '\\n' | tr '[:upper:]' '[:lower:]'"))
       s.createDataset(mapped)
         .toDF("word")
         .groupBy("word").agg(count(lit(1)).as("cnt"))

@@ -144,15 +144,21 @@ object Relational {
 
     Q(
       "q_join_anti",
-      "left-anti (NOT EXISTS): customers with no orders; anti join " +
-        "instead of outer-join+null-filter keeps the plan single-pass",
+      "left-anti (NOT EXISTS): customers with no high-value order; anti " +
+        "join instead of outer-join+null-filter keeps the plan single-pass. " +
+        "Predicate chosen so the result is nonempty on the testdata (an " +
+        "all-customers-match anti join would be a vacuous correctness row)",
       Some(
-        """SELECT c_custkey, c_name FROM customer
-          |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """SELECT c_custkey, c_name FROM customer c
+          |WHERE NOT EXISTS (SELECT 1 FROM orders o
+          |                  WHERE o.o_custkey = c.c_custkey
+          |                    AND o.o_totalprice > 150000)
           |ORDER BY c_custkey""".stripMargin),
     ) { (s, dir) =>
       Tables.customer(s, dir)
-        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(
+          Tables.orders(s, dir).filter(col("o_totalprice") > 150000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     },
