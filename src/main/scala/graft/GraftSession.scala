@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place to build the engine's SparkSession so every entry point
+  * (Verify, Bench, tests) agrees on the session-level knobs:
+  *
+  *  - `shuffle.partitions` sized to the local core count (the driver
+  *    runs local[32]); on a real cluster this would be AQE-advisory.
+  *  - UTC session timezone so timestamp text literals match the DuckDB
+  *    oracle.
+  *  - `parquet.nanosAsLong`: `events.ts` is parquet TIMESTAMP(NANOS),
+  *    which Spark's vectorized reader otherwise rejects
+  *    (PARQUET_TYPE_ILLEGAL). Set once here — NOT mutated per-read —
+  *    so it can never change planning behavior mid-session.
+  *    [[Tables.events]] documents the dependency.
+  */
+object GraftSession {
+  def build(cpus: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

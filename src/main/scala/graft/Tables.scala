@@ -20,18 +20,18 @@ object Tables {
   def lineitem(s: SparkSession, dir: String): DataFrame = load(s, dir, "lineitem")
 
   /** `events.ts` is parquet `TIMESTAMP(NANOS)`, which Spark's reader
-    * rejects outright (`PARQUET_TYPE_ILLEGAL`). We opt into reading the
-    * physical INT64 nanos via `nanosAsLong` and truncate to microsecond
-    * timestamps with integer division (`div`, not `/` — double division
-    * loses precision above 2^53 and epoch-nanos is ~2^60). DuckDB-side
-    * oracles must compare on `CAST(ts AS TIMESTAMP)`, which truncates
-    * ns→µs identically. Timestamps stay codegen'd columns; no UDF.
+    * rejects outright (`PARQUET_TYPE_ILLEGAL`). The session must set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` at build time (see
+    * [[GraftSession]]) so we read the physical INT64 nanos and truncate
+    * to microsecond timestamps with integer division (`div`, not `/` —
+    * double division loses precision above 2^53 and epoch-nanos is
+    * ~2^60). DuckDB-side oracles must compare on `CAST(ts AS
+    * TIMESTAMP)`, which truncates ns→µs identically. Timestamps stay
+    * codegen'd columns; no UDF, and no per-read session mutation.
     */
-  def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-  }
   def documents(s: SparkSession, dir: String): DataFrame = load(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")
 

@@ -8,9 +8,7 @@ import org.apache.spark.sql.functions._
 /** Event-stream analytics over the `events` table (ts, user_id,
   * event_type, value, props JSON). The reference is batch-only
   * (SURVEY.md §2.10), so these are the time-windowed extensions a
-  * training-data pipeline needs, written as batch plans. Streaming
-  * twins (readStream + watermark + session_window) live in
-  * [[graft.streaming.EventStream]].
+  * training-data pipeline needs, written as batch plans.
   *
   * `Tables.events` truncates the parquet nanosecond `ts` to
   * microseconds (see [[graft.Tables.events]]); every oracle below
