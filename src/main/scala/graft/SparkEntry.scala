@@ -10,7 +10,8 @@ object SparkEntry {
   private def registry: Seq[Q] =
     operators.MapReduceParity.all ++
       operators.Relational.all ++
-      operators.EventsOps.all
+      operators.EventsOps.all ++
+      operators.DedupOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,312 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.Portable
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` — the flagship
+  * LLM-training-data pipeline surface (SURVEY.md §7.3.3).
+  *
+  * The reference engine has no dedup operator (its closest capability
+  * is the distinct-key walk in the merge-group phase,
+  * `/root/reference/mapreduce/manager/__main__.py:454-461`); these are
+  * the extensions a 100 TB corpus pipeline needs, each designed so the
+  * expensive step is a *keyed shuffle*, never an all-pairs comparison:
+  *
+  *  - exact:   shuffle keyed by content hash — cluster size is crawl
+  *             duplication factor, bounded per key.
+  *  - MinHash: LSH bands as join keys; only docs sharing a band
+  *             signature ever meet. O(candidates), not O(n²).
+  *  - SimHash: 60-bit signature; 15-bit chunk bands as join keys
+  *             (pigeonhole: hamming ≤ 3 ⇒ some chunk equal; wider
+  *             radii trade recall, documented per query).
+  *  - n-gram Jaccard: inverted-index join on shingle — the classic
+  *             candidate generator; at 100 TB add min/max-df shingle
+  *             pruning to cap join fan-out on stop-shingles.
+  *
+  * Every hash is [[Portable.md5Hash60]]/sha256 so DuckDB reproduces it
+  * bit-for-bit; the MinHash permutation constants below are spliced
+  * into BOTH the Spark plan and the oracle SQL from the same Scala
+  * values, so the two sides cannot drift.
+  */
+object DedupOps {
+
+  /** Mersenne prime 2^31-1: keeps (a*h+b) inside 63 bits. */
+  private val P = 2147483647L
+
+  /** k=16 permutations in b=4 bands of r=4. Fixed affine family
+    * h_i(x) = (a_i*x + b_i) mod P over the 31-bit base hash.
+    *
+    * The (a_i, b_i) are independent fixed random draws (hardcoded so
+    * the oracle SQL embeds identical literals). They must NOT share a
+    * common structure like a_i = c*i: that collapses h_i to
+    * (i*z_x + c2) mod P, every hash picks the same argmin shingle, and
+    * the 16-hash estimator degenerates to one hash repeated 16 times
+    * (observed: est_jaccard pinned to 1.0 for every candidate).
+    */
+  private val NumHashes = 16
+  private val BandSize = 4
+  private val NumBands = NumHashes / BandSize
+  private val AB: Seq[(Long, Long)] = Seq(
+    (1373158607L, 239081663L),
+    (53710185L, 1592467581L),
+    (590620972L, 525901256L),
+    (479341424L, 299655412L),
+    (1581559893L, 220106707L),
+    (1453201079L, 1590571865L),
+    (1915941033L, 1171165722L),
+    (186699714L, 1268073012L),
+    (906070221L, 68252793L),
+    (63989048L, 201209005L),
+    (469521478L, 499635468L),
+    (1085242217L, 1292825378L),
+    (56985562L, 1205264595L),
+    (427000597L, 1537640408L),
+    (1395616197L, 1506083910L),
+    (1170252924L, 900911954L),
+  )
+
+  /** 3-token shingles of the (already lowercase, space-separated)
+    * document text — Spark side. */
+  private def shingleCol(toks: Column): Column =
+    array_distinct(transform(
+      sequence(lit(0), size(toks) - 3),
+      i => concat_ws(" ",
+        element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
+
+  private val shingleSql =
+    "list_distinct(list_transform(range(len(t)-2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))"
+
+  /** 31-bit portable base hash of a shingle, inside an array lambda. */
+  private def baseHash(s: Column): Column =
+    pmod(conv(substring(md5(s), 1, 15), 16, 10).cast("long"), lit(P))
+
+  private val baseHashSql =
+    s"(CAST('0x'||substr(md5(s),1,15) AS BIGINT) % $P)"
+
+  // ---- SimHash helpers: 60-bit signature from per-token hash bits ----
+
+  private val SimBits = 60
+  private val ChunkBits = 15
+  private val NumChunks = SimBits / ChunkBits
+
+  /** Spark: the 60 balance counters then bit assembly, as one agg list +
+    * one assembly expression (all codegen'd arithmetic).
+    */
+  private def simhashAgg: Seq[Column] =
+    (0 until SimBits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"s$b")
+    }
+
+  private def simhashAssemble: Column =
+    (0 until SimBits).map { b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def simhashSqlBits: String =
+    (0 until SimBits).map { b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b"
+    }.mkString(", ")
+
+  private def simhashSqlAssemble: String =
+    (0 until SimBits).map { b =>
+      s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END"
+    }.mkString(" + ")
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "q_dedup_exact",
+      "exact dedup: shuffle keyed by sha256(text); the testdata has no " +
+        "exact dups, so the corpus is unioned with itself to exercise " +
+        "real 2-copy clusters — same plan either way; cluster size is " +
+        "bounded by crawl duplication, never by corpus size",
+      Some(
+        """SELECT min(doc_id) AS doc_id, sha256(text) AS content_hash,
+          |  count(*) AS n_copies
+          |FROM (SELECT doc_id, text FROM documents
+          |      UNION ALL SELECT doc_id, text FROM documents)
+          |GROUP BY sha256(text)
+          |ORDER BY doc_id""".stripMargin),
+    ) { (s, dir) =>
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      d.unionAll(d)
+        .groupBy(sha2(col("text"), 256).as("content_hash"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select("doc_id", "content_hash", "n_copies")
+        .orderBy("doc_id")
+    },
+
+    Q(
+      "q_dedup_near",
+      "banded MinHash LSH: 16 portable minhashes in 4 bands of 4; the " +
+        "self-join key is (band_id, band_key) so only same-signature " +
+        "docs meet — candidate pairs, never all-pairs; est. Jaccard = " +
+        "matching-minhash fraction (k/16 is dyadic, so the division is " +
+        "float-exact in both engines)",
+      Some {
+        val mhEntries = AB.map { case (a, b) =>
+          s"list_min(list_transform(hs, x -> ($a * x + $b) % $P))"
+        }.mkString("[", ", ", "]")
+        val bandKey = (1 to BandSize).map(i => s"mh[4*j+$i]").mkString("concat_ws(',', ", ", ", ")")
+        s"""WITH docs AS (
+           |  SELECT doc_id, $shingleSql AS shingles
+           |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+           |  WHERE len(t) >= 3
+           |), bases AS (
+           |  SELECT doc_id, list_transform(shingles, s -> $baseHashSql) AS hs FROM docs
+           |), mhs AS (
+           |  SELECT doc_id, $mhEntries AS mh FROM bases
+           |), bands AS (
+           |  SELECT doc_id, mh, j AS band_id, $bandKey AS band_key
+           |  FROM mhs, range($NumBands) AS u(j)
+           |)
+           |SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+           |  len(list_filter(list_transform(range($NumHashes),
+           |        i -> l.mh[i+1] = r.mh[i+1]), x -> x)) / $NumHashes.0 AS est_jaccard
+           |FROM bands l JOIN bands r
+           |  ON l.band_id = r.band_id AND l.band_key = r.band_key
+           | AND l.doc_id < r.doc_id
+           |ORDER BY doc_a, doc_b""".stripMargin
+      },
+    ) { (s, dir) =>
+      val toks = split(lower(col("text")), " ", -1)
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), toks.as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), shingleCol(col("t")).as("shingles"))
+      // Base hash once per shingle; 16 permutations are pure arithmetic.
+      val mhEntries = AB.map { case (a, b) =>
+        array_min(transform(col("hs"), x => (lit(a) * x + lit(b)) % lit(P)))
+      }
+      val mhs = docs
+        .select(col("doc_id"), transform(col("shingles"), baseHash(_)).as("hs"))
+        .select(col("doc_id"), array(mhEntries: _*).as("mh"))
+      val bandKeys = (0 until NumBands).map { j =>
+        concat_ws(",",
+          (1 to BandSize).map(i => element_at(col("mh"), 4 * j + i).cast("string")): _*)
+      }
+      val bands = mhs
+        .select(col("doc_id"), col("mh"), posexplode(array(bandKeys: _*)).as(Seq("band_id", "band_key")))
+      val l = bands.as("l")
+      val r = bands.as("r")
+      val nEq = size(filter(
+        zip_with(col("l.mh"), col("r.mh"), (x, y) => x === y), b => b))
+      l.join(r,
+          col("l.band_id") === col("r.band_id")
+            && col("l.band_key") === col("r.band_key")
+            && col("l.doc_id") < col("r.doc_id"))
+        .select(
+          col("l.doc_id").as("doc_a"),
+          col("r.doc_id").as("doc_b"),
+          (nEq / lit(NumHashes.toDouble)).as("est_jaccard"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    },
+
+    Q(
+      "q_dedup_simhash",
+      "SimHash near-dup over the distinct-token set: 60-bit signature " +
+        "from hash bit balance; candidates via 15-bit chunk bands, " +
+        "radius 3 = the 4-chunk pigeonhole's guaranteed-recall radius; " +
+        "verify step is bit_count(xor) on the candidate set only " +
+        "(set semantics: hamming 0 ⇔ near-identical token sets)",
+      Some(
+        s"""WITH tok AS (
+           |  SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS w
+           |  FROM documents
+           |), h AS (
+           |  SELECT doc_id, CAST('0x'||substr(md5(w),1,15) AS BIGINT) AS h FROM tok
+           |), bits AS (
+           |  SELECT doc_id, $simhashSqlBits FROM h GROUP BY doc_id
+           |), sim AS (
+           |  SELECT doc_id, $simhashSqlAssemble AS simhash FROM bits
+           |), chunks AS (
+           |  SELECT doc_id, simhash, j AS chunk_id,
+           |    (simhash >> (15*j)) & 32767 AS chunk_val
+           |  FROM sim, range($NumChunks) AS u(j)
+           |)
+           |SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+           |  bit_count(xor(l.simhash, r.simhash)) AS hamming
+           |FROM chunks l JOIN chunks r
+           |  ON l.chunk_id = r.chunk_id AND l.chunk_val = r.chunk_val
+           | AND l.doc_id < r.doc_id
+           |WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+           |ORDER BY doc_a, doc_b""".stripMargin),
+    ) { (s, dir) =>
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(lower(col("text")), " ", -1)).as("w"))
+        .distinct()
+      val h = tok.select(col("doc_id"),
+        conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"))
+      val sim = h.groupBy("doc_id").agg(simhashAgg.head, simhashAgg.tail: _*)
+        .select(col("doc_id"), simhashAssemble.as("simhash"))
+      val chunkRows = (0 until NumChunks).map { j =>
+        shiftright(col("simhash"), ChunkBits * j).bitwiseAND(lit(32767L))
+      }
+      val chunks = sim.select(col("doc_id"), col("simhash"),
+        posexplode(array(chunkRows: _*)).as(Seq("chunk_id", "chunk_val")))
+      val l = chunks.as("l")
+      val r = chunks.as("r")
+      val hamming = bit_count(col("l.simhash").bitwiseXOR(col("r.simhash")))
+      l.join(r,
+          col("l.chunk_id") === col("r.chunk_id")
+            && col("l.chunk_val") === col("r.chunk_val")
+            && col("l.doc_id") < col("r.doc_id"))
+        .filter(hamming <= 3)
+        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+          hamming.cast("long").as("hamming"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    },
+
+    Q(
+      "q_ngram_jaccard",
+      "exact 3-gram Jaccard ≥ 0.5 via inverted-index join on shingle " +
+        "(the classic candidate generator): |A∩B| from a keyed " +
+        "self-join, sizes joined back — never an all-pairs scan; at " +
+        "100 TB add min/max-df shingle pruning against stop-shingle fan-out",
+      Some(
+        s"""WITH sh AS (
+           |  SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM (
+           |    SELECT doc_id, $shingleSql AS shingles
+           |    FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+           |    WHERE len(t) >= 3)
+           |), sizes AS (
+           |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+           |), inter AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+           |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           |  GROUP BY a.doc_id, b.doc_id
+           |)
+           |SELECT doc_a, doc_b,
+           |  CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+           |FROM inter
+           |JOIN sizes sa ON sa.doc_id = doc_a
+           |JOIN sizes sb ON sb.doc_id = doc_b
+           |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+           |ORDER BY doc_a, doc_b""".stripMargin),
+    ) { (s, dir) =>
+      val toks = split(lower(col("text")), " ", -1)
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"), toks.as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), explode(shingleCol(col("t"))).as("shingle"))
+        .distinct()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val inter = sh.as("a")
+        .join(sh.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_common"))
+      val jac = col("n_common").cast("double") /
+        (col("sa.n_sh") + col("sb.n_sh") - col("n_common"))
+      inter
+        .join(sizes.as("sa"), col("sa.doc_id") === col("doc_a"))
+        .join(sizes.as("sb"), col("sb.doc_id") === col("doc_b"))
+        .filter(jac >= 0.5)
+        .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+  )
+}
