@@ -11,7 +11,8 @@ object SparkEntry {
     operators.MapReduceParity.all ++
       operators.Relational.all ++
       operators.EventsOps.all ++
-      operators.DedupOps.all
+      operators.DedupOps.all ++
+      operators.AnnOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

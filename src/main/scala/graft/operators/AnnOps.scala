@@ -1,0 +1,241 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over `embeddings` (vec_id, embedding FLOAT[64],
+  * label) — the ANN surface of a training-data pipeline.
+  *
+  * Scale stance: the probe set is always tiny relative to the corpus,
+  * so the brute-force path broadcasts probes and streams the corpus
+  * once (per-partition top-k heap via window + rank filter, no global
+  * sort of the corpus). The LSH path buckets the corpus by
+  * random-hyperplane signature bands so candidate generation is a
+  * keyed equi-join — the 100 TB shape where even one full scan per
+  * probe batch is the budget, not per-probe scans.
+  *
+  * Float determinism vs the DuckDB oracle: every dot/norm is computed
+  * in DOUBLE with a deterministic elementwise fold, and the final
+  * similarity is rounded to 6 decimals on BOTH sides before ranking —
+  * ranking ties broken by vec_id. The 16×64 hyperplane components are
+  * fixed k/1000 rationals generated in Scala and embedded as identical
+  * decimal literals in the Spark plan and the oracle SQL (decimal
+  * literals parse to identical doubles in both engines).
+  */
+object AnnOps {
+
+  private val Dim = 64
+  private val NumPlanes = 16
+  private val BandBits = 8
+  private val NumBands = NumPlanes / BandBits
+  private val TopK = 10
+  private val NumProbes = 5
+
+  /** Fixed pseudo-random hyperplanes: component w(j,i) derived from
+    * md5("j:i") at plan-build time, quantized to k/1000 so the decimal
+    * literal round-trips exactly in both engines.
+    */
+  private val W: IndexedSeq[IndexedSeq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    IndexedSeq.tabulate(NumPlanes, Dim) { (j, i) =>
+      val hex = md.digest(s"$j:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      ((h % 2001L) - 1000L) / 1000.0
+    }
+  }
+
+  private def fmt(d: Double): String = {
+    val k = math.round(d * 1000)
+    if (k % 1000 == 0) s"${k / 1000}.0" else (k / 1000.0).toString
+  }
+
+  // ---- Spark-side vector math over array columns (no UDFs) ----
+
+  private def dotConst(e: Column, w: IndexedSeq[Double]): Column =
+    aggregate(
+      zip_with(e, array(w.map(lit): _*), (x, wi) => x.cast("double") * wi),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def dotCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def norm(e: Column): Column =
+    sqrt(aggregate(transform(e, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** Band values of the 16-bit hyperplane signature. */
+  private def bandCols(e: Column): Seq[Column] =
+    (0 until NumBands).map { b =>
+      (0 until BandBits).map { k =>
+        val j = b * BandBits + k
+        when(dotConst(e, W(j)) > 0, lit(1L << k)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+
+  // ---- DuckDB-side twins ----
+
+  private def wSql(j: Int): String = W(j).map(fmt).mkString("[", ", ", "]")
+
+  private def dotConstSql(e: String, j: Int): String =
+    s"list_sum(list_transform(range($Dim), i -> CAST($e[i+1] AS DOUBLE) * (${wSql(j)})[i+1]))"
+
+  private def dotColSql(a: String, b: String): String =
+    s"list_sum(list_transform(range($Dim), i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)))"
+
+  private def normSql(e: String): String =
+    s"sqrt(list_sum(list_transform($e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+  private def bandSql(e: String, b: Int): String =
+    (0 until BandBits).map { k =>
+      val j = b * BandBits + k
+      s"CASE WHEN ${dotConstSql(e, j)} > 0 THEN ${1L << k} ELSE 0 END"
+    }.mkString(" + ")
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "q_simsearch",
+      s"brute-force cosine top-$TopK for $NumProbes probes: probes " +
+        "broadcast (always tiny), corpus streamed once; per-probe " +
+        "row_number window = per-partition heap + one small shuffle of " +
+        "survivors; similarity rounded to 6dp in both engines before " +
+        "ranking, ties by vec_id",
+      Some(
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+           |probes AS (SELECT vec_id AS probe_id, embedding AS pe FROM e WHERE vec_id < $NumProbes),
+           |scored AS (
+           |  SELECT probe_id, e.vec_id AS neighbor_id,
+           |    round(${dotColSql("pe", "embedding")} /
+           |          (${normSql("pe")} * ${normSql("embedding")}), 6) AS cos_sim
+           |  FROM probes JOIN e ON e.vec_id <> probe_id
+           |), ranked AS (
+           |  SELECT probe_id, neighbor_id, cos_sim,
+           |    row_number() OVER (PARTITION BY probe_id
+           |      ORDER BY cos_sim DESC, neighbor_id) AS rank
+           |  FROM scored)
+           |SELECT probe_id, neighbor_id, cos_sim, rank
+           |FROM ranked WHERE rank <= $TopK
+           |ORDER BY probe_id, rank""".stripMargin),
+    ) { (s, dir) =>
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val probes = e.filter(col("vec_id") < NumProbes)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      val scored = broadcast(probes)
+        .join(e, col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          round(dotCol(col("pe"), col("embedding")) /
+            (norm(col("pe")) * norm(col("embedding"))), 6).as("cos_sim"))
+      val w = Window.partitionBy("probe_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= TopK)
+        .orderBy("probe_id", "rank")
+    },
+
+    Q(
+      "q_simsearch_lsh",
+      s"LSH-bucketed ANN: $NumPlanes random-hyperplane sign bits in " +
+        s"$NumBands bands of $BandBits; candidates = corpus rows sharing " +
+        "a band signature with the probe (keyed equi-join, no corpus " +
+        "scan per probe), exact cosine re-rank on candidates only — the " +
+        "recall/cost dial is (bands × band bits)",
+      Some {
+        val corpusBands = (0 until NumBands).map(b =>
+          s"SELECT vec_id, embedding, $b AS band_id, ${bandSql("embedding", b)} AS band_val FROM e")
+          .mkString("\n  UNION ALL\n  ")
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+           |bands AS (
+           |  $corpusBands
+           |), probes AS (
+           |  SELECT vec_id AS probe_id, embedding AS pe, band_id, band_val
+           |  FROM bands WHERE vec_id < $NumProbes
+           |), cands AS (
+           |  SELECT DISTINCT probe_id, pe, b.vec_id AS neighbor_id, b.embedding AS ne
+           |  FROM probes p JOIN bands b
+           |    ON p.band_id = b.band_id AND p.band_val = b.band_val
+           |   AND b.vec_id <> p.probe_id
+           |), scored AS (
+           |  SELECT probe_id, neighbor_id,
+           |    round(${dotColSql("pe", "ne")} /
+           |          (${normSql("pe")} * ${normSql("ne")}), 6) AS cos_sim
+           |  FROM cands
+           |), ranked AS (
+           |  SELECT probe_id, neighbor_id, cos_sim,
+           |    row_number() OVER (PARTITION BY probe_id
+           |      ORDER BY cos_sim DESC, neighbor_id) AS rank
+           |  FROM scored)
+           |SELECT probe_id, neighbor_id, cos_sim, rank
+           |FROM ranked WHERE rank <= $TopK
+           |ORDER BY probe_id, rank""".stripMargin
+      },
+    ) { (s, dir) =>
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val bands = e.select(col("vec_id"), col("embedding"),
+        posexplode(array(bandCols(col("embedding")): _*)).as(Seq("band_id", "band_val")))
+      val probes = bands.filter(col("vec_id") < NumProbes)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+          col("band_id"), col("band_val"))
+      val cands = probes.join(bands.as("b"),
+          probes("band_id") === col("b.band_id")
+            && probes("band_val") === col("b.band_val")
+            && col("b.vec_id") =!= probes("probe_id"))
+        .select(col("probe_id"), col("pe"),
+          col("b.vec_id").as("neighbor_id"), col("b.embedding").as("ne"))
+        .distinct()
+      val scored = cands.select(col("probe_id"), col("neighbor_id"),
+        round(dotCol(col("pe"), col("ne")) /
+          (norm(col("pe")) * norm(col("ne"))), 6).as("cos_sim"))
+      val w = Window.partitionBy("probe_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= TopK)
+        .orderBy("probe_id", "rank")
+    },
+
+    Q(
+      "q_embed_centroids",
+      "label-centroid cluster tightness: posexplode to (label, pos, " +
+        "val), centroid = avg per (label, pos) — one keyed shuffle " +
+        "bounded by labels×dims; per-vector cosine to centroid joined " +
+        "back by label; avg similarity per label, rounded 6dp",
+      Some(
+        s"""WITH ev AS (
+           |  SELECT vec_id, label, i AS pos, CAST(embedding[i+1] AS DOUBLE) AS val
+           |  FROM embeddings, range($Dim) AS u(i)
+           |), cent AS (
+           |  SELECT label, pos, avg(val) AS cval FROM ev GROUP BY label, pos
+           |), cnorm AS (
+           |  SELECT label, sqrt(sum(cval*cval)) AS cn FROM cent GROUP BY label
+           |), dots AS (
+           |  SELECT ev.vec_id, ev.label,
+           |    sum(ev.val * cent.cval) AS dot,
+           |    sqrt(sum(ev.val * ev.val)) AS vn
+           |  FROM ev JOIN cent ON ev.label = cent.label AND ev.pos = cent.pos
+           |  GROUP BY ev.vec_id, ev.label
+           |)
+           |SELECT d.label, count(*) AS n_vecs,
+           |  round(avg(d.dot / (d.vn * cnorm.cn)), 6) AS avg_cos_to_centroid
+           |FROM dots d JOIN cnorm ON d.label = cnorm.label
+           |GROUP BY d.label
+           |ORDER BY d.label""".stripMargin),
+    ) { (s, dir) =>
+      val ev = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("vec_id"), col("label"), col("pos"), col("v").cast("double").as("val"))
+      val cent = ev.groupBy("label", "pos").agg(avg("val").as("cval"))
+      val cnorm = cent.groupBy("label")
+        .agg(sqrt(sum(col("cval") * col("cval"))).as("cn"))
+      val dots = ev.join(cent, Seq("label", "pos"))
+        .groupBy("vec_id", "label")
+        .agg(sum(col("val") * col("cval")).as("dot"),
+          sqrt(sum(col("val") * col("val"))).as("vn"))
+      dots.join(cnorm, Seq("label"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(avg(col("dot") / (col("vn") * col("cn"))), 6).as("avg_cos_to_centroid"))
+        .orderBy("label")
+    },
+  )
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** AnnOps on planted 64-dim vectors with known geometry: vec 0 is the
+  * probe; vec 10 is colinear (cos 1), vec 11 nearly colinear, vec 12
+  * orthogonal. Runs through the registry against a temp dir shaped
+  * like the driver testdata.
+  */
+class AnnSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def vec(parts: (Int, Float)*): Array[Float] = {
+    val a = Array.fill(64)(0.0f)
+    parts.foreach { case (i, v) => a(i) = v }
+    a
+  }
+
+  private lazy val dir: String = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-ann").toString
+    Seq(
+      (0L, vec(0 -> 1.0f), 0),
+      (10L, vec(0 -> 2.0f), 0),              // colinear with probe
+      (11L, vec(0 -> 1.0f, 1 -> 0.1f), 0),   // nearly colinear
+      (12L, vec(1 -> 1.0f), 1),              // orthogonal
+    ).toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("q_simsearch ranks colinear > near-colinear > orthogonal") {
+    val rows = SparkEntry.queries("q_simsearch")(spark, dir).collect()
+      .filter(_.getLong(0) == 0L)
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq(10L, 11L, 12L))
+    assert(rows(0)._2 == 1.0)
+    assert(math.abs(rows(1)._2 - 1.0 / math.sqrt(1.01)) < 1e-5)
+    assert(rows(2)._2 == 0.0)
+    assert(rows.map(_._3).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("q_simsearch_lsh finds the colinear neighbor (identical signature)") {
+    val rows = SparkEntry.queries("q_simsearch_lsh")(spark, dir).collect()
+      .filter(_.getLong(0) == 0L).map(r => (r.getLong(1), r.getDouble(2)))
+    // Colinear vectors have identical sign signatures in every band.
+    assert(rows.contains((10L, 1.0)), s"got ${rows.toSeq}")
+  }
+
+  test("q_embed_centroids: tight label 0 scores higher than split label") {
+    val rows = SparkEntry.queries("q_embed_centroids")(spark, dir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows(0)._1 == 3 && rows(1)._1 == 1)
+    assert(rows(1)._2 == 1.0) // single-vector label: cos to own centroid = 1
+    assert(rows(0)._2 < 1.0 && rows(0)._2 > 0.8)
+  }
+}
