@@ -12,7 +12,8 @@ object SparkEntry {
       operators.Relational.all ++
       operators.EventsOps.all ++
       operators.DedupOps.all ++
-      operators.AnnOps.all
+      operators.AnnOps.all ++
+      operators.TextOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,220 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.Portable
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` — the corpus-statistics
+  * surface of a training-data pipeline (language ID, quality scoring,
+  * token accounting, n-grams, fingerprinting).
+  *
+  * Scale stance: everything here is scan → per-row expression work →
+  * one keyed aggregation; no operator shuffles more than (groups) or
+  * (vocabulary) rows. The marker table for language ID is a literal
+  * dimension broadcast to every executor.
+  *
+  * Corpus caveat, stated openly: the synthetic `documents.text` draws
+  * the SAME 31-token vocabulary for every `lang` label, so
+  * content-based language ID cannot genuinely discriminate here. The
+  * q_lang_id query is the real machinery (marker profiles → broadcast
+  * join → per-doc argmax) with profiles chosen from the actual vocab
+  * so scores are nonzero; on real multilingual data only the marker
+  * table changes.
+  */
+object TextOps {
+
+  /** Marker-token profiles per candidate language (see caveat above). */
+  private val Markers: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "a", "en" -> "value",
+    "de" -> "hash", "de" -> "join", "de" -> "group",
+    "es" -> "data", "es" -> "line", "es" -> "part",
+    "fr" -> "query", "fr" -> "window", "fr" -> "order",
+    "zh" -> "vector", "zh" -> "stream", "zh" -> "batch",
+  )
+  private val Langs = Markers.map(_._1).distinct.sorted
+
+  private val toks = split(lower(col("text")), " ", -1)
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "q_text_stats",
+      "per-lang corpus stats: one keyed agg bounded by #langs; distinct " +
+        "vocabulary via a (lang, token)-keyed pre-aggregation — at " +
+        "100 TB swap exact distinct for approx_count_distinct",
+      Some(
+        """WITH tok AS (
+          |  SELECT lang, unnest(string_split(lower(text), ' ')) AS w FROM documents
+          |), t AS (
+          |  SELECT lang, count(DISTINCT w) AS n_vocab, count(*) AS n_tokens
+          |  FROM tok GROUP BY lang
+          |), d AS (
+          |  SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+          |  FROM documents GROUP BY lang
+          |)
+          |SELECT d.lang, n_docs, sum_chars, n_vocab, n_tokens
+          |FROM d JOIN t ON d.lang = t.lang ORDER BY d.lang""".stripMargin),
+    ) { (s, dir) =>
+      // n_chars is per-doc, so it must be summed on the pre-explode
+      // frame; vocabulary/token counts need the exploded frame. Two
+      // lang-keyed aggs joined on the (tiny) lang key.
+      val docs = Tables.documents(s, dir)
+      val t = docs.select(col("lang"), explode(toks).as("w"))
+        .groupBy("lang")
+        .agg(countDistinct(col("w")).as("n_vocab"), count(lit(1)).as("n_tokens"))
+      val d = docs.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      d.join(t, Seq("lang"))
+        .select("lang", "n_docs", "sum_chars", "n_vocab", "n_tokens")
+        .orderBy("lang")
+    },
+
+    Q(
+      "q_lang_id",
+      "language-ID heuristic: literal marker table broadcast-joined to " +
+        "the exploded token stream; per-(doc, lang) hit counts, argmax " +
+        "by score with deterministic tiebreak — one shuffle keyed by " +
+        "doc_id, marker dim never shuffles the corpus",
+      Some {
+        val markerValues = Markers.map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
+        s"""WITH markers(mlang, word) AS (VALUES $markerValues),
+           |tok AS (
+           |  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w
+           |  FROM documents
+           |), ntok AS (
+           |  SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
+           |), hits AS (
+           |  SELECT t.doc_id, m.mlang, count(*) AS hit
+           |  FROM tok t JOIN markers m ON t.w = m.word
+           |  GROUP BY t.doc_id, m.mlang
+           |), grid AS (
+           |  SELECT d.doc_id, d.lang, l.mlang,
+           |    coalesce(h.hit, 0) AS hit, ntok.n
+           |  FROM documents d
+           |  CROSS JOIN (SELECT DISTINCT mlang FROM markers) l
+           |  LEFT JOIN hits h ON h.doc_id = d.doc_id AND h.mlang = l.mlang
+           |  JOIN ntok ON ntok.doc_id = d.doc_id
+           |), ranked AS (
+           |  SELECT doc_id, lang, mlang,
+           |    round(CAST(hit AS DOUBLE) / n, 6) AS score,
+           |    row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY hit DESC, mlang) AS rn
+           |  FROM grid)
+           |SELECT doc_id, lang, mlang AS pred_lang, score
+           |FROM ranked WHERE rn = 1
+           |ORDER BY doc_id""".stripMargin
+      },
+    ) { (s, dir) =>
+      import s.implicits._
+      val markers = Markers.toDF("mlang", "word")
+      val docs = Tables.documents(s, dir)
+      val tok = docs.select(col("doc_id"), explode(toks).as("w"))
+      val ntok = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val hits = tok.join(broadcast(markers), col("w") === col("word"))
+        .groupBy("doc_id", "mlang").agg(count(lit(1)).as("hit"))
+      val grid = docs.select("doc_id", "lang")
+        .crossJoin(broadcast(Langs.toDF("mlang")))
+        .join(hits, Seq("doc_id", "mlang"), "left")
+        .na.fill(0, Seq("hit"))
+        .join(ntok, Seq("doc_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("hit").desc, col("mlang"))
+      grid
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("mlang").as("pred_lang"),
+          round(col("hit").cast("double") / col("n"), 6).as("score"))
+        .orderBy("doc_id")
+    },
+
+    Q(
+      "q_text_quality",
+      "per-doc quality scoring: token count, whitespace vs BPE-ish " +
+        "regex subtoken count, mean token length, stopword ratio, " +
+        "type-token ratio — all per-row expression work on the scan, " +
+        "zero shuffle until the final output sort",
+      Some(
+        """SELECT doc_id,
+          |  len(string_split(lower(text), ' ')) AS n_tokens,
+          |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS n_subtokens,
+          |  round(CAST(len(replace(text, ' ', '')) AS DOUBLE)
+          |        / len(string_split(lower(text), ' ')), 6) AS mean_tok_len,
+          |  round(CAST(len(list_filter(string_split(lower(text), ' '),
+          |        w -> w IN ('the', 'a'))) AS DOUBLE)
+          |        / len(string_split(lower(text), ' ')), 6) AS stopword_ratio,
+          |  round(CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+          |        / len(string_split(lower(text), ' ')), 6) AS type_token_ratio
+          |FROM documents ORDER BY doc_id""".stripMargin),
+    ) { (s, dir) =>
+      val nTok = size(toks)
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        nTok.cast("long").as("n_tokens"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+"), lit(0)))
+          .cast("long").as("n_subtokens"),
+        round(length(regexp_replace(col("text"), " ", "")).cast("double") / nTok, 6)
+          .as("mean_tok_len"),
+        round(size(filter(toks, w => w === "the" || w === "a")).cast("double") / nTok, 6)
+          .as("stopword_ratio"),
+        round(size(array_distinct(toks)).cast("double") / nTok, 6)
+          .as("type_token_ratio"),
+      ).orderBy("doc_id")
+    },
+
+    Q(
+      "q_bigrams",
+      "top-20 bigrams: explode adjacent token pairs, keyed agg bounded " +
+        "by vocab², TakeOrderedAndProject for the top-k (per-partition " +
+        "heap, never a full sort)",
+      Some(
+        """SELECT bigram, count(*) AS cnt FROM (
+          |  SELECT t[i+1] || ' ' || t[i+2] AS bigram FROM (
+          |    SELECT t, unnest(range(len(t)-1)) AS i
+          |    FROM (SELECT string_split(lower(text), ' ') AS t FROM documents)
+          |    WHERE len(t) >= 2))
+          |GROUP BY bigram
+          |ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin),
+    ) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(toks.as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(explode(transform(
+          sequence(lit(0), size(col("t")) - 2),
+          i => concat_ws(" ", element_at(col("t"), i + 1), element_at(col("t"), i + 2))))
+          .as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram"))
+        .limit(20)
+    },
+
+    Q(
+      "q_fingerprint",
+      "rolling char-5-gram fingerprint: min portable hash over the " +
+        "gram stream per doc (a 1-hash minhash — winnowing's shape " +
+        "without the window), plus distinct-gram count; per-row " +
+        "expression work + one doc-keyed agg",
+      Some(
+        s"""SELECT doc_id,
+           |  min(${Portable.md5Hash60Sql("g")}) AS fingerprint,
+           |  count(DISTINCT g) AS n_grams
+           |FROM (
+           |  SELECT doc_id, substr(lower(text), i+1, 5) AS g FROM (
+           |    SELECT doc_id, text, unnest(range(length(text)-4)) AS i
+           |    FROM documents WHERE length(text) >= 5))
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    ) { (s, dir) =>
+      Tables.documents(s, dir)
+        .filter(length(col("text")) >= 5)
+        .select(col("doc_id"),
+          explode(transform(
+            sequence(lit(0), length(col("text")) - 5),
+            i => lower(col("text")).substr(i + 1, lit(5))))
+          .as("g"))
+        .groupBy("doc_id")
+        .agg(
+          min(Portable.md5Hash60(col("g"))).as("fingerprint"),
+          countDistinct(col("g")).as("n_grams"))
+        .orderBy("doc_id")
+    },
+  )
+}

@@ -17,6 +17,11 @@ def norm(v):
     if v is None or v != v:
         return ""
     if isinstance(v, float):
+        # pandas promotes post-join BIGINTs to float64; don't let that
+        # artifact fail an integer column (the driver compares on the
+        # arrow/parquet types, which stay integral).
+        if v == int(v) and abs(v) < 2**53:
+            return str(int(v))
         return f"{v:.6f}"
     return str(v)
 
