@@ -38,6 +38,24 @@ object MapReduceParity {
 
   private val tokensSql = "unnest(string_split(lower(text), ' '))"
 
+  /** The reference executables as inline shell, shared with the test
+    * suite (PipeSpec runs the full map-pipe → sort → reduce-pipe
+    * pipeline over the golden corpus).
+    */
+  object Pipes {
+    /** wc_map.sh:12 — tokenize, lowercase, emit `word\t1` (LC_ALL=C
+      * pins tr to ASCII so the subprocess agrees with the oracle's
+      * `lower()` on this corpus; the ASCII-only contract is the
+      * reference's own). */
+    val wcMap: Seq[String] =
+      Seq("sh", "-c", """LC_ALL=C tr '[ \t]' '\n' | LC_ALL=C tr '[:upper:]' '[:lower:]' | awk '{print $1"\t1"}'""")
+
+    /** wc_reduce.sh:14 — key-sorted input, `cut | uniq -c` per-key
+      * count, emit `word\ttotal`. */
+    val wcReduce: Seq[String] =
+      Seq("sh", "-c", """cut -f1 | uniq -c | awk '{print $2"\t"$1}'""")
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       "q_wordcount",
@@ -110,10 +128,78 @@ object MapReduceParity {
       // the query agrees with its oracle on mixed-case corpora too.
       val mapped = Tables.documents(s, dir)
         .select(col("text")).as[String].rdd
-        .pipe(Seq("sh", "-c", "tr ' ' '\\n' | tr '[:upper:]' '[:lower:]'"))
+        .pipe(Seq("sh", "-c", "LC_ALL=C tr ' ' '\\n' | LC_ALL=C tr '[:upper:]' '[:lower:]'"))
       s.createDataset(mapped)
         .toDF("word")
         .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy("word")
+    },
+
+    Q(
+      "q_pipe_reduce",
+      "reference R1 full parity: the reduce side is a real executable " +
+        "over key-partitioned, KEY-SORTED input " +
+        "(repartitionAndSortWithinPartitions = the reference's sort + " +
+        "merge-group contract, mapreduce/worker/__main__.py:137-155); " +
+        "uniq -c only works because each partition is key-sorted",
+      Some(
+        s"""SELECT word, count(*) AS cnt
+           |FROM (SELECT $tokensSql AS word FROM documents)
+           |GROUP BY word ORDER BY word""".stripMargin),
+    ) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.HashPartitioner
+      // Map phase: tokenize in Spark (M2's idiomatic twin); the parity
+      // point of THIS query is the reduce contract.
+      val keyed = Tables.documents(s, dir)
+        .select(explode(tokens).as("word")).as[String].rdd
+        .map(w => (w, 1))
+      // G1+G3+G4: key co-location AND within-partition key order —
+      // exactly what the reference guarantees a reducer executable.
+      val sorted = keyed
+        .repartitionAndSortWithinPartitions(new HashPartitioner(s.sparkContext.defaultParallelism))
+      val reduced = sorted
+        .map { case (w, one) => s"$w\t$one" }
+        .pipe(Pipes.wcReduce)
+        .map { line =>
+          val i = line.indexOf('\t')
+          (line.substring(0, i), line.substring(i + 1).toLong)
+        }
+      s.createDataset(reduced)
+        .toDF("word", "cnt")
+        .orderBy("word")
+    },
+
+    Q(
+      "q_text_sink",
+      "reference S1+S3 literally: documents.text written as a raw text " +
+        "directory, re-scanned with spark.read.text, word-counted, " +
+        "written as num_reducers tab-separated files (the outputfileNN " +
+        "contract, mapreduce/manager/__main__.py:489-504), read back " +
+        "and returned — the oracle cross-checks the whole roundtrip",
+      Some(
+        s"""SELECT word, count(*) AS cnt
+           |FROM (SELECT $tokensSql AS word FROM documents)
+           |GROUP BY word ORDER BY word""".stripMargin),
+    ) { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-textsink")
+      val textDir = s"$tmp/input"
+      val outDir = s"$tmp/output"
+      // S3 stage 0: corpus as a plain-text directory (one line per doc).
+      Tables.documents(s, dir).select("text").write.text(textDir)
+      // S1: raw text scan; M2+R2: wordcount over the line column.
+      val counted = s.read.text(textDir)
+        .select(explode(split(lower(col("value")), " ", -1)).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+      // S3: num_reducers=2 tab-separated output files.
+      counted.repartition(2).write
+        .option("sep", "\t").option("emptyValue", "")
+        .csv(outDir)
+      // Read the sink back so the driver's oracle verifies the files.
+      s.read.schema("word STRING, cnt LONG")
+        .option("sep", "\t").option("emptyValue", "")
+        .csv(outDir)
+        .na.fill("", Seq("word"))
         .orderBy("word")
     },
   )
