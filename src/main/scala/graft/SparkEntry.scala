@@ -13,7 +13,8 @@ object SparkEntry {
       operators.EventsOps.all ++
       operators.DedupOps.all ++
       operators.AnnOps.all ++
-      operators.TextOps.all
+      operators.TextOps.all ++
+      operators.MultimodalOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

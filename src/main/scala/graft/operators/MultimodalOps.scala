@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.Partitioner
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * BINARY columns with typed metadata, decoded per partition in
+  * batches — the Scala twin of `mapInPandas` over Arrow batches.
+  *
+  * The container has no media libraries and the testdata has no real
+  * media, so the payload is `cast(text AS BINARY)` and the DECODE STEP
+  * IS A DETERMINISTIC STUB (`StubDecoder`): it computes (n_bytes,
+  * 60-bit content digest) where a real decoder would produce pixels or
+  * PCM frames. Everything around the stub is the real production
+  * shape:
+  *
+  *  - payloads stay opaque bytes end to end; no driver-side collect
+  *  - deterministic partitioning (doc_id mod N via an explicit
+  *    [[Partitioner]]) + in-partition key order, so batch membership
+  *    is reproducible and oracle-checkable — the same guarantee a
+  *    replayable media pipeline needs
+  *  - fixed-size batches (32) inside `mapPartitions`: the decoder is
+  *    invoked once per batch with an iterator, exactly the Arrow
+  *    batch shape, so swapping in a JNI/TorchScript decoder is a
+  *    one-function change
+  *
+  * At 100 TB: media payloads dominate bytes, so the scan must prune
+  * columns (payload read only where decoded) and partition counts must
+  * size batches to decoder memory; both knobs are surfaced here.
+  */
+object MultimodalOps {
+
+  private val NumParts = 4
+  private val BatchSize = 32
+
+  /** Keys are (doc_id % NumParts, doc_id); placement is the first
+    * component literally — no hash — so the oracle can name each
+    * row's partition. */
+  private class ModPartitioner(n: Int) extends Partitioner {
+    def numPartitions: Int = n
+    def getPartition(key: Any): Int = key.asInstanceOf[(Long, Long)]._1.toInt
+  }
+
+  /** The stubbed media decoder: one call per batch, like a real
+    * vectorized decoder. Returns (doc_id, n_bytes, digest60). */
+  private object StubDecoder {
+    def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[(Long, Long, Long)] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      batch.map { case (id, payload) =>
+        // A real decoder would parse the container format here (???).
+        val hex = md.digest(payload).map("%02x".format(_)).mkString.take(15)
+        (id, payload.length.toLong, java.lang.Long.parseLong(hex, 16))
+      }
+    }
+  }
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "q_multimodal_batch",
+      "batched stub-decode over opaque binary payloads: explicit mod-N " +
+        "partitioner + in-partition key sort makes batch membership " +
+        "deterministic; decoder sees fixed-size batches via " +
+        "mapPartitions (the mapInPandas/Arrow shape); features are " +
+        "(n_bytes, md5-60bit digest) where pixels would be",
+      Some(
+        s"""SELECT doc_id,
+           |  CAST(doc_id % $NumParts AS BIGINT) AS part_id,
+           |  CAST(floor((row_number() OVER (PARTITION BY doc_id % $NumParts
+           |        ORDER BY doc_id) - 1) / $BatchSize) AS BIGINT) AS batch_seq,
+           |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+           |  CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS digest
+           |FROM documents
+           |ORDER BY doc_id""".stripMargin),
+    ) { (s, dir) =>
+      import s.implicits._
+      val payloads = Tables.documents(s, dir)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])].rdd
+        .map { case (id, p) => (id % NumParts, id) -> ((id, p)) }
+      // Deterministic placement + order → reproducible batches.
+      val placed = payloads
+        .repartitionAndSortWithinPartitions(new ModPartitioner(NumParts))
+      val decoded = placed.mapPartitionsWithIndex { (part, it) =>
+        it.map(_._2).grouped(BatchSize).zipWithIndex.flatMap { case (batch, bi) =>
+          StubDecoder.decodeBatch(batch).map { case (id, n, digest) =>
+            (id, part.toLong, bi.toLong, n, digest)
+          }
+        }
+      }
+      s.createDataset(decoded)
+        .toDF("doc_id", "part_id", "batch_seq", "n_bytes", "digest")
+        .orderBy("doc_id")
+    },
+
+    Q(
+      "q_frame_sample",
+      "frame sampling over the payload byte stream: every 16th byte is " +
+        "a 'frame' (a real pipeline samples every k-th video frame) — " +
+        "pure per-row expression work, payload column pruned at the " +
+        "scan when not selected",
+      Some(
+        """SELECT doc_id,
+          |  CAST(ceil(strlen(text) / 16.0) AS BIGINT) AS n_frames,
+          |  array_to_string(list_transform(
+          |    range(CAST(ceil(strlen(text) / 16.0) AS BIGINT)),
+          |    i -> substr(text, CAST(i*16+1 AS INTEGER), 1)), '') AS thumbnail
+          |FROM documents ORDER BY doc_id""".stripMargin),
+    ) { (s, dir) =>
+      val nFrames = ceil(length(col("text")) / 16.0).cast("long")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        nFrames.as("n_frames"),
+        array_join(transform(
+          sequence(lit(0L), nFrames - 1),
+          i => col("text").substr((i * 16 + 1).cast("int"), lit(1))), "").as("thumbnail"),
+      ).orderBy("doc_id")
+    },
+  )
+}
