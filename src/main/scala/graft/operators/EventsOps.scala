@@ -8,7 +8,9 @@ import org.apache.spark.sql.functions._
 /** Event-stream analytics over the `events` table (ts, user_id,
   * event_type, value, props JSON). The reference is batch-only
   * (SURVEY.md §2.10), so these are the time-windowed extensions a
-  * training-data pipeline needs, written as batch plans.
+  * training-data pipeline needs, written as batch plans. Streaming
+  * twins (watermark + window / session_window / streaming dedup) live
+  * in [[graft.streaming.EventStream]].
   *
   * `Tables.events` truncates the parquet nanosecond `ts` to
   * microseconds (see [[graft.Tables.events]]); every oracle below

@@ -1,0 +1,94 @@
+package graft
+
+import graft.streaming.EventStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** Top-level so the encoder's generated code can reference it (a
+  * class-nested case class forces interpreter-mode projections). */
+case class Ev(ts: Timestamp, user_id: Long, event_type: String,
+    value: Double, event_id: Long)
+
+/** Drives the streaming twins end-to-end with MemoryStream sources and
+  * memory sinks: feed batches, advance the watermark with late-enough
+  * event time, assert emitted results.
+  */
+class EventStreamSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def ts(minutes: Long): Timestamp =
+    new Timestamp(1700000000000L + minutes * 60000L)
+
+  test("hourly: tumbling windows emit closed buckets after watermark passes") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = EventStream.hourly(src.toDF())
+      .writeStream.format("memory").queryName("hourly_out")
+      .outputMode("append").start()
+    try {
+      src.addData(
+        Ev(ts(0), 1, "click", 1.0, 100),
+        Ev(ts(10), 1, "click", 2.0, 101),
+        Ev(ts(10), 2, "view", 5.0, 102))
+      q.processAllAvailable()
+      // Advance event time 4h → watermark (2h lag) passes hour 0.
+      src.addData(Ev(ts(240), 3, "click", 1.0, 103))
+      q.processAllAvailable()
+      val rows = spark.table("hourly_out")
+        .select("event_type", "n", "sum_value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("sessions: 30-minute gap splits a user's events into two sessions") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = EventStream.sessions(src.toDF())
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      // User 1: events at 0 and 10 (one session), then 60 (new session
+      // — gap 50 min > 30). User 2: single event.
+      src.addData(
+        Ev(ts(0), 1, "click", 1.0, 100),
+        Ev(ts(10), 1, "click", 1.0, 101),
+        Ev(ts(60), 1, "click", 1.0, 102),
+        Ev(ts(5), 2, "view", 1.0, 103))
+      q.processAllAvailable()
+      src.addData(Ev(ts(400), 9, "click", 1.0, 999)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("sessions_out")
+        .filter(col("user_id") =!= 9)
+        .select("user_id", "n_events", "first_event").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set((1L, 2L, 100L), (1L, 1L, 102L), (2L, 1L, 103L)))
+    } finally q.stop()
+  }
+
+  test("deduped: repeated event_id within the watermark is dropped") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = EventStream.deduped(src.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      src.addData(
+        Ev(ts(0), 1, "click", 1.0, 100),
+        Ev(ts(1), 1, "click", 1.0, 100), // duplicate id
+        Ev(ts(2), 2, "view", 1.0, 101))
+      q.processAllAvailable()
+      src.addData(Ev(ts(3), 1, "click", 1.0, 100)) // still duplicate
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id").collect()
+        .map(_.getLong(0)).toSeq
+      assert(ids.sorted == Seq(100L, 101L))
+    } finally q.stop()
+  }
+}
