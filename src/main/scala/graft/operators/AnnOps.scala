@@ -194,6 +194,54 @@ object AnnOps {
     },
 
     Q(
+      "q_embed_dup",
+      "embedding-cosine near-dup pairs: LSH band self-join generates " +
+        "candidates (keyed equi-join, never all-pairs), exact cosine " +
+        "filter keeps pairs ≥ 0.45 — threshold fits the synthetic " +
+        "corpus (max pairwise cosine ≈ 0.51; real corpora use ≥ 0.95, " +
+        "the machinery is identical)",
+      Some {
+        val corpusBands = (0 until NumBands).map(b =>
+          s"SELECT vec_id, embedding, $b AS band_id, ${bandSql("embedding", b)} AS band_val FROM e")
+          .mkString("\n  UNION ALL\n  ")
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+           |bands AS (
+           |  $corpusBands
+           |), cands AS (
+           |  SELECT DISTINCT l.vec_id AS vec_a, l.embedding AS ea,
+           |                  r.vec_id AS vec_b, r.embedding AS eb
+           |  FROM bands l JOIN bands r
+           |    ON l.band_id = r.band_id AND l.band_val = r.band_val
+           |   AND l.vec_id < r.vec_id
+           |)
+           |SELECT vec_a, vec_b,
+           |  round(${dotColSql("ea", "eb")} /
+           |        (${normSql("ea")} * ${normSql("eb")}), 6) AS cos_sim
+           |FROM cands
+           |WHERE round(${dotColSql("ea", "eb")} /
+           |      (${normSql("ea")} * ${normSql("eb")}), 6) >= 0.45
+           |ORDER BY vec_a, vec_b""".stripMargin
+      },
+    ) { (s, dir) =>
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val bands = e.select(col("vec_id"), col("embedding"),
+        posexplode(array(bandCols(col("embedding")): _*)).as(Seq("band_id", "band_val")))
+      val cands = bands.as("l").join(bands.as("r"),
+          col("l.band_id") === col("r.band_id")
+            && col("l.band_val") === col("r.band_val")
+            && col("l.vec_id") < col("r.vec_id"))
+        .select(col("l.vec_id").as("vec_a"), col("l.embedding").as("ea"),
+          col("r.vec_id").as("vec_b"), col("r.embedding").as("eb"))
+        .distinct()
+      val sim = round(dotCol(col("ea"), col("eb")) /
+        (norm(col("ea")) * norm(col("eb"))), 6)
+      cands
+        .select(col("vec_a"), col("vec_b"), sim.as("cos_sim"))
+        .filter(col("cos_sim") >= 0.45)
+        .orderBy("vec_a", "vec_b")
+    },
+
+    Q(
       "q_embed_centroids",
       "label-centroid cluster tightness: posexplode to (label, pos, " +
         "val), centroid = avg per (label, pos) — one keyed shuffle " +
