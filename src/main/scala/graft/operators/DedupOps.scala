@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import graft.functions.Portable
+import graft.functions.{MinHash60, Portable}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -35,37 +35,15 @@ object DedupOps {
   /** Mersenne prime 2^31-1: keeps (a*h+b) inside 63 bits. */
   private val P = 2147483647L
 
-  /** k=16 permutations in b=4 bands of r=4. Fixed affine family
-    * h_i(x) = (a_i*x + b_i) mod P over the 31-bit base hash.
-    *
-    * The (a_i, b_i) are independent fixed random draws (hardcoded so
-    * the oracle SQL embeds identical literals). They must NOT share a
-    * common structure like a_i = c*i: that collapses h_i to
-    * (i*z_x + c2) mod P, every hash picks the same argmin shingle, and
-    * the 16-hash estimator degenerates to one hash repeated 16 times
-    * (observed: est_jaccard pinned to 1.0 for every candidate).
+  /** k=16 permutations in b=4 bands of r=4. The affine family
+    * h_i(x) = (a_i*x + b_i) mod P lives in [[MinHash60.AB]] — the
+    * single source of truth for the Spark expression and the literals
+    * spliced into the oracle SQL below.
     */
-  private val NumHashes = 16
+  private val NumHashes = MinHash60.NumHashes
   private val BandSize = 4
   private val NumBands = NumHashes / BandSize
-  private val AB: Seq[(Long, Long)] = Seq(
-    (1373158607L, 239081663L),
-    (53710185L, 1592467581L),
-    (590620972L, 525901256L),
-    (479341424L, 299655412L),
-    (1581559893L, 220106707L),
-    (1453201079L, 1590571865L),
-    (1915941033L, 1171165722L),
-    (186699714L, 1268073012L),
-    (906070221L, 68252793L),
-    (63989048L, 201209005L),
-    (469521478L, 499635468L),
-    (1085242217L, 1292825378L),
-    (56985562L, 1205264595L),
-    (427000597L, 1537640408L),
-    (1395616197L, 1506083910L),
-    (1170252924L, 900911954L),
-  )
+  private val AB = MinHash60.AB
 
   /** 3-token shingles of the (already lowercase, space-separated)
     * document text — Spark side. */
@@ -78,10 +56,8 @@ object DedupOps {
   private val shingleSql =
     "list_distinct(list_transform(range(len(t)-2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))"
 
-  /** 31-bit portable base hash of a shingle, inside an array lambda. */
-  private def baseHash(s: Column): Column =
-    pmod(conv(substring(md5(s), 1, 15), 16, 10).cast("long"), lit(P))
-
+  /** DuckDB twin of the fused expression's base hash
+    * ([[MinHash60.compute]]): 60-bit md5 prefix mod P. */
   private val baseHashSql =
     s"(CAST('0x'||substr(md5(s),1,15) AS BIGINT) % $P)"
 
@@ -175,13 +151,12 @@ object DedupOps {
         .select(col("doc_id"), toks.as("t"))
         .filter(size(col("t")) >= 3)
         .select(col("doc_id"), shingleCol(col("t")).as("shingles"))
-      // Base hash once per shingle; 16 permutations are pure arithmetic.
-      val mhEntries = AB.map { case (a, b) =>
-        array_min(transform(col("hs"), x => (lit(a) * x + lit(b)) % lit(P)))
-      }
+      // Fused native expression: md5 base hash + all 16 permutation
+      // minima in ONE pass over the shingle array (vs 17 traversals
+      // for the composed transform/array_min form — same values, see
+      // MinHash60's scaladoc; the oracle below is unchanged).
       val mhs = docs
-        .select(col("doc_id"), transform(col("shingles"), baseHash(_)).as("hs"))
-        .select(col("doc_id"), array(mhEntries: _*).as("mh"))
+        .select(col("doc_id"), MinHash60.minhash60(s, "shingles").as("mh"))
       val bandKeys = (0 until NumBands).map { j =>
         concat_ws(",",
           (1 to BandSize).map(i => element_at(col("mh"), 4 * j + i).cast("string")): _*)
