@@ -164,6 +164,37 @@ object Relational {
     },
 
     Q(
+      "q_join_salted",
+      "skew-mitigation machinery: the fact side carries a deterministic " +
+        "salt (linenumber mod 8) and the dim side is replicated 8× with " +
+        "exploded salts, so one hot order key spreads over 8 reduce " +
+        "sub-partitions; results are provably identical to the unsalted " +
+        "join (each fact row matches exactly one replica) — the oracle " +
+        "IS the unsalted join. AQE skew-split is the automatic cousin; " +
+        "salting is the belt-and-suspenders for pathological keys",
+      Some(
+        s"""SELECT o_orderpriority, count(*) AS n_lines,
+           |  CAST(sum($revCents) / 10000.0 AS DOUBLE) AS revenue
+           |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+           |GROUP BY o_orderpriority
+           |ORDER BY o_orderpriority""".stripMargin),
+    ) { (s, dir) =>
+      val saltN = 8
+      val li = Tables.lineitem(s, dir)
+        .withColumn("salt", pmod(col("l_linenumber"), lit(saltN)))
+      val ord = Tables.orders(s, dir)
+        .withColumn("salt", explode(sequence(lit(0), lit(saltN - 1))))
+      li.join(ord,
+          li("l_orderkey") === ord("o_orderkey") && li("salt") === ord("salt"))
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_lines"),
+          exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    },
+
+    Q(
       "q_window_rank",
       "per-group top-1 via row_number window: single shuffle by customer, " +
         "rank computed in one pass per partition (no self-join)",
