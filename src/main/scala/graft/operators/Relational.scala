@@ -327,6 +327,102 @@ object Relational {
     },
 
     Q(
+      "q_join_outer",
+      "full outer join with null-extension on both sides: customers " +
+        "without orders and (synthetic) orders without customers both " +
+        "survive; keyed shuffle join, null keys never explode",
+      Some(
+        """SELECT c_custkey, n_orders FROM (
+          |  SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+          |  FROM customer c FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+          |  GROUP BY c.c_custkey)
+          |ORDER BY c_custkey NULLS FIRST""".stripMargin),
+    ) { (s, dir) =>
+      Tables.customer(s, dir).as("c")
+        .join(Tables.orders(s, dir).as("o"),
+          col("c.c_custkey") === col("o.o_custkey"), "full_outer")
+        .groupBy(col("c.c_custkey").as("c_custkey"))
+        .agg(count(col("o.o_orderkey")).as("n_orders"))
+        .orderBy(col("c_custkey").asc_nulls_first)
+    },
+
+    Q(
+      "q_scalar_funcs",
+      "scalar-function breadth on the scan (date/math/string, all " +
+        "codegen'd): the per-row expression surface a pipeline author " +
+        "actually types; zero shuffle before the output sort",
+      Some(
+        """SELECT o_orderkey,
+          |  CAST(date_part('year', o_orderdate) AS BIGINT) AS yr,
+          |  CAST(date_part('month', o_orderdate) AS BIGINT) AS mon,
+          |  CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS days_since_95,
+          |  round(sqrt(o_totalprice), 4) AS sqrt_price,
+          |  round(ln(o_totalprice), 6) AS ln_price,
+          |  upper(substr(o_orderpriority, 1, 8)) AS prio,
+          |  length(o_orderpriority) AS prio_len
+          |FROM orders
+          |WHERE o_orderdate >= DATE '1995-06-01'
+          |ORDER BY o_orderkey""".stripMargin),
+    ) { (s, dir) =>
+      Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1995-06-01").cast("date"))
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mon"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long").as("days_since_95"),
+          round(sqrt(col("o_totalprice")), 4).as("sqrt_price"),
+          round(log(col("o_totalprice")), 6).as("ln_price"),
+          upper(substring(col("o_orderpriority"), 1, 8)).as("prio"),
+          length(col("o_orderpriority")).cast("long").as("prio_len"),
+        )
+        .orderBy("o_orderkey")
+    },
+
+    Q(
+      "q_quantiles",
+      "exact quantiles per group (linear interpolation — identical " +
+        "definition in both engines): per-group sort of values; at " +
+        "100 TB use approx_percentile (t-digest/KLL-style sketch, " +
+        "mergeable map-side) — see q_approx_distinct for the " +
+        "sketch-path precedent",
+      Some(
+        """SELECT l_returnflag,
+          |  round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+          |  round(quantile_cont(l_quantity, 0.95), 6) AS p95_qty,
+          |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    ) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+          round(expr("percentile(l_quantity, 0.95)"), 6).as("p95_qty"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50_price"),
+        )
+        .orderBy("l_returnflag")
+    },
+
+    Q(
+      "q_approx_distinct",
+      "the 100 TB distinct path: approx_count_distinct (HLL++) is " +
+        "mergeable map-side so the shuffle carries sketches, not keys. " +
+        "No oracle: DuckDB's approx_count_distinct is a different HLL " +
+        "implementation — driver records the weaker rows-only check; " +
+        "the exact twins (q_distinct_keys/q_distinct_agg) carry the " +
+        "value correctness",
+      None,
+    ) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_suppkey")).as("approx_supps"),
+        )
+        .orderBy("l_returnflag")
+    },
+
+    Q(
       "q_distinct_agg",
       "multi-distinct aggregation: Catalyst expands to grouped distinct " +
         "aggregates; at scale prefer approx_count_distinct (HLL sketch)",
