@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Partition pruning: events written partitioned by date; a date
+  * filter must prune to one partition directory at planning time
+  * (PartitionFilters), not scan-and-discard. At 100 TB this is the
+  * difference between reading one day and reading three years.
+  */
+class PartitionPruneSpec extends AnyFunSuite {
+
+  test("date filter prunes partition directories at the scan") {
+    val spark = TestSpark.spark
+    val dir = Files.createTempDirectory("graft-part").toString
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("day", to_date(col("ts")))
+      .write.partitionBy("day").parquet(s"$dir/events_by_day")
+
+    val days = spark.read.parquet(s"$dir/events_by_day")
+      .select("day").distinct().collect().map(_.getDate(0)).sorted
+    assert(days.length > 1, "need multiple partitions to prove pruning")
+
+    val probe = spark.read.parquet(s"$dir/events_by_day")
+      .filter(col("day") === lit(days.head))
+    val scan = probe.queryExecution.executedPlan.toString
+    // The partition filter must appear at the scan, and the file index
+    // must have selected a subset of partitions.
+    assert(scan.contains("PartitionFilters") && scan.contains("isnotnull(day"),
+      s"expected partition filter at scan:\n$scan")
+    val selected = probe.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount }
+    assert(selected.nonEmpty && selected.head == 1,
+      s"expected exactly 1 selected partition, got $selected")
+    assert(probe.count() > 0)
+  }
+}
