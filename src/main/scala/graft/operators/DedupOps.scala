@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import graft.functions.{MinHash60, Portable}
+import graft.functions.{MinHash60, Portable, SimHash60}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -66,19 +66,6 @@ object DedupOps {
   private val SimBits = 60
   private val ChunkBits = 15
   private val NumChunks = SimBits / ChunkBits
-
-  /** Spark: the 60 balance counters then bit assembly, as one agg list +
-    * one assembly expression (all codegen'd arithmetic).
-    */
-  private def simhashAgg: Seq[Column] =
-    (0 until SimBits).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"s$b")
-    }
-
-  private def simhashAssemble: Column =
-    (0 until SimBits).map { b =>
-      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
 
   private def simhashSqlBits: String =
     (0 until SimBits).map { b =>
@@ -209,13 +196,15 @@ object DedupOps {
            |WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
            |ORDER BY doc_a, doc_b""".stripMargin),
     ) { (s, dir) =>
-      val tok = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(split(lower(col("text")), " ", -1)).as("w"))
-        .distinct()
-      val h = tok.select(col("doc_id"),
-        conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"))
-      val sim = h.groupBy("doc_id").agg(simhashAgg.head, simhashAgg.tail: _*)
-        .select(col("doc_id"), simhashAssemble.as("simhash"))
+      // Fused native expression: the whole 60-bit signature per ROW
+      // over the distinct-token array — the explode + 60-aggregate
+      // shuffle the composed form needed is gone from the plan
+      // entirely (SimHashSpec proves value equivalence against the
+      // aggregate formulation). Same values; oracle unchanged.
+      val sim = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          array_distinct(split(lower(col("text")), " ", -1)).as("dt"))
+        .select(col("doc_id"), SimHash60.simhash60(s, "dt").as("simhash"))
       val chunkRows = (0 until NumChunks).map { j =>
         shiftright(col("simhash"), ChunkBits * j).bitwiseAND(lit(32767L))
       }

@@ -203,17 +203,18 @@ object TextOps {
            |    FROM documents WHERE length(text) >= 5))
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     ) { (s, dir) =>
+      // Both outputs are per-row functions of the gram array, so the
+      // explode + doc-keyed agg (and its shuffle) the first version
+      // used is unnecessary: zero exchanges before the output sort.
+      val grams = transform(
+        sequence(lit(0), length(col("text")) - 5),
+        i => lower(col("text")).substr(i + 1, lit(5)))
       Tables.documents(s, dir)
         .filter(length(col("text")) >= 5)
+        .select(col("doc_id"), grams.as("grams"))
         .select(col("doc_id"),
-          explode(transform(
-            sequence(lit(0), length(col("text")) - 5),
-            i => lower(col("text")).substr(i + 1, lit(5))))
-          .as("g"))
-        .groupBy("doc_id")
-        .agg(
-          min(Portable.md5Hash60(col("g"))).as("fingerprint"),
-          countDistinct(col("g")).as("n_grams"))
+          array_min(transform(col("grams"), g => Portable.md5Hash60(g))).as("fingerprint"),
+          size(array_distinct(col("grams"))).cast("long").as("n_grams"))
         .orderBy("doc_id")
     },
   )
