@@ -1,7 +1,8 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.Column
+import graft.functions.HyperSig
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -33,19 +34,11 @@ object AnnOps {
   private val TopK = 10
   private val NumProbes = 5
 
-  /** Fixed pseudo-random hyperplanes: component w(j,i) derived from
-    * md5("j:i") at plan-build time, quantized to k/1000 so the decimal
-    * literal round-trips exactly in both engines.
+  /** Fixed pseudo-random hyperplanes — owned by [[HyperSig]] (the
+    * fused native expression that computes the 16-bit signature); this
+    * module splices the same values into the oracle SQL literals.
     */
-  private val W: IndexedSeq[IndexedSeq[Double]] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    IndexedSeq.tabulate(NumPlanes, Dim) { (j, i) =>
-      val hex = md.digest(s"$j:$i".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(15)
-      val h = java.lang.Long.parseLong(hex, 16)
-      ((h % 2001L) - 1000L) / 1000.0
-    }
-  }
+  private val W = HyperSig.W
 
   private def fmt(d: Double): String = {
     val k = math.round(d * 1000)
@@ -67,14 +60,17 @@ object AnnOps {
     sqrt(aggregate(transform(e, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, x) => acc + x))
 
-  /** Band values of the 16-bit hyperplane signature. */
-  private def bandCols(e: Column): Seq[Column] =
+  /** Band values sliced from the fused 16-bit hypersig expression
+    * (one pass over the embedding vs 16 aggregate(zip_with) folds);
+    * band b = bits [8b, 8b+8) of the signature — identical to the
+    * composed per-plane form (HyperSigSpec proves it).
+    */
+  private def bandColsFused(s: SparkSession): Seq[Column] = {
+    val sig = HyperSig.hypersig(s, "embedding")
     (0 until NumBands).map { b =>
-      (0 until BandBits).map { k =>
-        val j = b * BandBits + k
-        when(dotConst(e, W(j)) > 0, lit(1L << k)).otherwise(lit(0L))
-      }.reduce(_ + _)
+      shiftright(sig, b * BandBits).bitwiseAND(lit((1L << BandBits) - 1))
     }
+  }
 
   // ---- DuckDB-side twins ----
 
@@ -173,7 +169,7 @@ object AnnOps {
     ) { (s, dir) =>
       val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
       val bands = e.select(col("vec_id"), col("embedding"),
-        posexplode(array(bandCols(col("embedding")): _*)).as(Seq("band_id", "band_val")))
+        posexplode(array(bandColsFused(s): _*)).as(Seq("band_id", "band_val")))
       val probes = bands.filter(col("vec_id") < NumProbes)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
           col("band_id"), col("band_val"))
@@ -225,7 +221,7 @@ object AnnOps {
     ) { (s, dir) =>
       val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
       val bands = e.select(col("vec_id"), col("embedding"),
-        posexplode(array(bandCols(col("embedding")): _*)).as(Seq("band_id", "band_val")))
+        posexplode(array(bandColsFused(s): _*)).as(Seq("band_id", "band_val")))
       val cands = bands.as("l").join(bands.as("r"),
           col("l.band_id") === col("r.band_id")
             && col("l.band_val") === col("r.band_val")
