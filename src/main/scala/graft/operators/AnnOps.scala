@@ -220,15 +220,21 @@ object AnnOps {
       },
     ) { (s, dir) =>
       val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
-      val bands = e.select(col("vec_id"), col("embedding"),
+      val bands = e.select(col("vec_id"),
         posexplode(array(bandColsFused(s): _*)).as(Seq("band_id", "band_val")))
-      val cands = bands.as("l").join(bands.as("r"),
+      // Dedupe candidate PAIRS on ids only — a distinct over two longs,
+      // not over 256-byte embedding payloads — then fetch the vectors
+      // with two keyed joins. At 100 TB this is the difference between
+      // shuffling ids and shuffling the embedding table per band.
+      val candIds = bands.as("l").join(bands.as("r"),
           col("l.band_id") === col("r.band_id")
             && col("l.band_val") === col("r.band_val")
             && col("l.vec_id") < col("r.vec_id"))
-        .select(col("l.vec_id").as("vec_a"), col("l.embedding").as("ea"),
-          col("r.vec_id").as("vec_b"), col("r.embedding").as("eb"))
+        .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"))
         .distinct()
+      val cands = candIds
+        .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), Seq("vec_a"))
+        .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), Seq("vec_b"))
       val sim = round(dotCol(col("ea"), col("eb")) /
         (norm(col("ea")) * norm(col("eb"))), 6)
       cands
