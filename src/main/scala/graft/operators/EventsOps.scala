@@ -87,6 +87,39 @@ object EventsOps {
     },
 
     Q(
+      "q_asof_join",
+      "as-of join via the union+window algorithm: for every purchase, " +
+        "the user's most recent strictly-earlier click. Both sides " +
+        "union into one stream, one shuffle by user_id, a single " +
+        "ignore-nulls window carries the last click forward — no " +
+        "per-row range probe, no range-join explosion; THE scalable " +
+        "as-of shape (engines with native ASOF JOIN plan exactly this)",
+      Some(
+        """WITH merged AS (
+          |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+          |    last_value(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS)
+          |      OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+          |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+          |  FROM events)
+          |SELECT event_id, user_id, ts, last_click_ts,
+          |  date_diff('microsecond', last_click_ts, ts) AS micros_since_click
+          |FROM merged WHERE event_type = 'purchase'
+          |ORDER BY event_id""".stripMargin),
+    ) { (s, dir) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, dir)
+        .withColumn("last_click_ts",
+          last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("last_click_ts"),
+          (unix_micros(col("ts")) - unix_micros(col("last_click_ts")))
+            .as("micros_since_click"))
+        .orderBy("event_id")
+    },
+
+    Q(
       "q_events_json",
       "semi-structured props: JSON path extraction is a codegen'd " +
         "expression on the scan — no shuffle until the keyed agg",

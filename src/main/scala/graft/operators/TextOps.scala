@@ -188,6 +188,52 @@ object TextOps {
     },
 
     Q(
+      "q_hash_sample",
+      "reproducible 10% corpus sample: bucket = portable hash of the " +
+        "CONTENT mod 100 — deterministic across engines, runs, and " +
+        "cluster sizes (unlike rand()-based TABLESAMPLE), stable under " +
+        "re-partitioning, and unbiased for content-correlated skew",
+      Some(
+        s"""SELECT doc_id, lang, n_chars
+           |FROM documents
+           |WHERE ${Portable.md5Hash60Sql("text")} % 100 < 10
+           |ORDER BY doc_id""".stripMargin),
+    ) { (s, dir) =>
+      Tables.documents(s, dir)
+        .filter(pmod(Portable.md5Hash60(col("text")), lit(100)) < 10)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    },
+
+    Q(
+      "q_train_split",
+      "reproducible train/val/test split (80/10/10) by content hash: " +
+        "the assignment is a pure per-row function, so adding data " +
+        "never reshuffles existing rows between splits; summary is one " +
+        "tiny keyed agg",
+      Some(
+        s"""SELECT split, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+           |  sum(doc_id) AS id_checksum
+           |FROM (
+           |  SELECT doc_id, n_chars,
+           |    CASE WHEN ${Portable.md5Hash60Sql("text")} % 100 < 80 THEN 'train'
+           |         WHEN ${Portable.md5Hash60Sql("text")} % 100 < 90 THEN 'val'
+           |         ELSE 'test' END AS split
+           |  FROM documents)
+           |GROUP BY split ORDER BY split""".stripMargin),
+    ) { (s, dir) =>
+      val bucket = pmod(Portable.md5Hash60(col("text")), lit(100))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test").as("split"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          sum(col("doc_id")).as("id_checksum"))
+        .orderBy("split")
+    },
+
+    Q(
       "q_fingerprint",
       "rolling char-5-gram fingerprint: min portable hash over the " +
         "gram stream per doc (a 1-hash minhash — winnowing's shape " +
