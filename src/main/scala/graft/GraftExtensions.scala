@@ -1,0 +1,33 @@
+package graft
+
+import graft.functions.{HyperplaneSignature, MinHashSignature, SimHashSignature}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** The spark-submit-time registration path for the engine's native
+  * expressions: `--conf spark.sql.extensions=graft.GraftExtensions`
+  * makes `minhash60` / `simhash60` / `hypersig` available to every
+  * session (including pure-SQL users) without any code call. The
+  * in-code `register(...)` helpers on each function object are the
+  * same seam for an already-built session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("minhash60"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash60"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinHashSignature(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[SimHashSignature].getName, "simhash60"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHashSignature(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("hypersig"),
+      new ExpressionInfo(classOf[HyperplaneSignature].getName, "hypersig"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        HyperplaneSignature(exprs.head)))
+  }
+}

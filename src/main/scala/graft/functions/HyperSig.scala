@@ -63,6 +63,9 @@ object HyperSig {
 
   /** One pass per plane over the embedding, sequential i = 0..63. */
   def compute(arr: ArrayData): Long = {
+    if (arr.numElements() != Dim)
+      throw new IllegalArgumentException(
+        s"hypersig expects a $Dim-dim embedding, got ${arr.numElements()} elements")
     var sig = 0L
     var j = 0
     while (j < NumPlanes) {

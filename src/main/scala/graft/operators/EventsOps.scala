@@ -87,6 +87,29 @@ object EventsOps {
     },
 
     Q(
+      "q_pivot",
+      "pivot to wide format: per-user event-type counts with an " +
+        "EXPLICIT pivot value list (never the infer-values two-pass " +
+        "form at scale); one keyed shuffle, output bounded by " +
+        "users × types",
+      Some(
+        """SELECT user_id,
+          |  count(*) FILTER (WHERE event_type = 'click') AS click,
+          |  count(*) FILTER (WHERE event_type = 'error') AS error,
+          |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+          |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+          |  count(*) FILTER (WHERE event_type = 'view') AS view
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+    ) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0)
+        .orderBy("user_id")
+    },
+
+    Q(
       "q_asof_join",
       "as-of join via the union+window algorithm: for every purchase, " +
         "the user's most recent strictly-earlier click. Both sides " +

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Builds a session WITH spark.sql.extensions=graft.GraftExtensions
+  * and exercises each injected function from pure SQL — the
+  * spark-submit user's path. The shared test session must be cleared
+  * from the default slot first or getOrCreate would return it (and
+  * extensions only apply at session construction); it is restored
+  * afterwards for the remaining suites.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("extension-injected functions resolve from pure SQL") {
+    val shared = TestSpark.spark // materialize before displacing it
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // spark.sql.extensions is a STATIC conf — inert once a
+      // SparkContext exists in the JVM — so the in-process test uses
+      // the equivalent programmatic seam; spark-submit users set
+      // --conf spark.sql.extensions=graft.GraftExtensions.
+      val s = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val row = s.sql(
+        """SELECT minhash60(array('a b c', 'b c d')) AS mh,
+          |  simhash60(array('a', 'b')) AS sh,
+          |  hypersig(CAST(array_repeat(0.5D, 64) AS ARRAY<FLOAT>)) IS NOT NULL AS hs_ok
+          |""".stripMargin).collect().head
+      assert(row.getSeq[Long](0).length == 16)
+      assert(row.getLong(1) != 0L)
+      assert(row.getBoolean(2))
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
+}
