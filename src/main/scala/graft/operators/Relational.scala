@@ -273,6 +273,52 @@ object Relational {
     },
 
     Q(
+      "q_topk_group",
+      "per-group top-k via a typed Aggregator with a bounded k-element " +
+        "buffer (SURVEY §7.4): partial buffers merge map-side, so the " +
+        "shuffle carries at most k rows per group per partition — the " +
+        "window row_number form (the oracle) shuffles every row; " +
+        "deterministic total order (price desc, orderkey) in reduce, " +
+        "merge, and the oracle's ORDER BY",
+      Some(
+        """SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (
+          |  SELECT o_custkey, o_orderkey, o_totalprice,
+          |    row_number() OVER (PARTITION BY o_custkey
+          |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+          |  FROM orders) WHERE rnk <= 2
+          |ORDER BY o_custkey, rnk""".stripMargin),
+    ) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Aggregator
+      // rows are (custkey, orderkey, totalprice)
+      val ord: Ordering[(Long, Double)] =
+        Ordering.by[(Long, Double), (Double, Long)] { case (k, p) => (-p, k) }
+      val top2 = new Aggregator[(Long, Long, Double), Seq[(Long, Double)], Seq[(Long, Double)]] {
+        val k = 2
+        def zero: Seq[(Long, Double)] = Seq.empty
+        def reduce(b: Seq[(Long, Double)], a: (Long, Long, Double)): Seq[(Long, Double)] =
+          (b :+ ((a._2, a._3))).sorted(ord).take(k)
+        def merge(b1: Seq[(Long, Double)], b2: Seq[(Long, Double)]): Seq[(Long, Double)] =
+          (b1 ++ b2).sorted(ord).take(k)
+        def finish(b: Seq[(Long, Double)]): Seq[(Long, Double)] = b
+        def bufferEncoder = implicitly[org.apache.spark.sql.Encoder[Seq[(Long, Double)]]]
+        def outputEncoder = implicitly[org.apache.spark.sql.Encoder[Seq[(Long, Double)]]]
+      }
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        .agg(top2.toColumn.name("top"))
+        .flatMap { case (cust, top) =>
+          top.zipWithIndex.map { case ((ok, price), i) =>
+            (cust, (i + 1).toLong, ok, price)
+          }
+        }
+        .toDF("o_custkey", "rnk", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rnk")
+    },
+
+    Q(
       "q_rollup",
       "ROLLUP over (returnflag, linestatus): grouping-set expansion stays " +
         "a single shuffle; subtotal rows carry NULL keys",
