@@ -58,19 +58,15 @@ object Portable {
   }
 
   /** Portable 60-bit hash of a string column, identical in DuckDB via
-    * `CAST('0x' || substr(md5(s),1,15) AS BIGINT)`. Seeded variants
-    * prefix the input with "seed:".
+    * `CAST('0x' || substr(md5(s),1,15) AS BIGINT)`. Seeded hash
+    * FAMILIES (for MinHash) live in [[MinHash60]] as affine
+    * permutations of this base hash — cheaper than salting the input
+    * per seed, and fused into one pass there.
     */
   def md5Hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  def md5Hash60(c: Column, seed: Int): Column =
-    md5Hash60(concat(lit(s"$seed:"), c))
-
   /** DuckDB SQL twin of [[md5Hash60]]. */
   def md5Hash60Sql(expr: String): String =
     s"CAST('0x' || substr(md5($expr), 1, 15) AS BIGINT)"
-
-  def md5Hash60Sql(expr: String, seed: Int): String =
-    md5Hash60Sql(s"'$seed:' || ($expr)")
 }

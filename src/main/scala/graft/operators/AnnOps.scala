@@ -47,11 +47,6 @@ object AnnOps {
 
   // ---- Spark-side vector math over array columns (no UDFs) ----
 
-  private def dotConst(e: Column, w: IndexedSeq[Double]): Column =
-    aggregate(
-      zip_with(e, array(w.map(lit): _*), (x, wi) => x.cast("double") * wi),
-      lit(0.0), (acc, x) => acc + x)
-
   private def dotCol(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)

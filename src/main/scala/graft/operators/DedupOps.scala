@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import graft.functions.{MinHash60, Portable, SimHash60}
+import graft.functions.{MinHash60, SimHash60}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
