@@ -28,3 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Suites share one SparkSession (TestSpark) and ExtensionsSpec swaps the
+// default-session slot mid-test; run test classes serially so that can
+// never race another suite.
+Test / parallelExecution := false
