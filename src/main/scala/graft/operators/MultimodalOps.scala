@@ -94,6 +94,39 @@ object MultimodalOps {
     },
 
     Q(
+      "q_payload_resize",
+      "resize to a fixed-size representation: stride-sample the payload " +
+        "byte stream down to ≤32 'pixels' (a real pipeline bilinearly " +
+        "resizes decoded images to a fixed resolution; the fixed OUTPUT " +
+        "size is the property that matters for downstream batching) — " +
+        "pure per-row expression work",
+      Some(
+        """SELECT doc_id,
+          |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+          |  thumb,
+          |  CAST(strlen(thumb) AS BIGINT) AS n_out
+          |FROM (
+          |  SELECT doc_id, text,
+          |    array_to_string(list_transform(
+          |      list_filter(range(32), i -> i * CAST(ceil(strlen(text)/32.0) AS BIGINT) < strlen(text)),
+          |      i -> substr(text, CAST(i * CAST(ceil(strlen(text)/32.0) AS BIGINT) + 1 AS INTEGER), 1)), '') AS thumb
+          |  FROM documents)
+          |ORDER BY doc_id""".stripMargin),
+    ) { (s, dir) =>
+      val len = length(col("text"))
+      val stride = ceil(len / 32.0).cast("long")
+      val thumb = array_join(transform(
+        filter(sequence(lit(0L), lit(31L)), i => i * stride < len),
+        i => col("text").substr((i * stride + 1).cast("int"), lit(1))), "")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        len.cast("long").as("n_bytes"),
+        thumb.as("thumb"),
+        length(thumb).cast("long").as("n_out"),
+      ).orderBy("doc_id")
+    },
+
+    Q(
       "q_frame_sample",
       "frame sampling over the payload byte stream: every 16th byte is " +
         "a 'frame' (a real pipeline samples every k-th video frame) — " +
