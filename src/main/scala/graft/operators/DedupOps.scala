@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Q, Tables}
 import graft.functions.{MinHash60, SimHash60}
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over `documents` — the flagship
@@ -252,22 +253,27 @@ object DedupOps {
            |ORDER BY doc_a, doc_b""".stripMargin),
     ) { (s, dir) =>
       val toks = split(lower(col("text")), " ", -1)
+      // One shingle relation; per-doc set size rides along via a
+      // window instead of a separate aggregate joined back — the
+      // original 4-way recompute (both join sides + two size lookups,
+      // 8 parquet scans) collapses to the two join instances, which
+      // canonicalize identically and reuse one shuffle exchange.
       val sh = Tables.documents(s, dir)
         .select(col("doc_id"), toks.as("t"))
         .filter(size(col("t")) >= 3)
         .select(col("doc_id"), explode(shingleCol(col("t"))).as("shingle"))
         .distinct()
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        .withColumn("n_sh",
+          count(lit(1)).over(Window.partitionBy("doc_id")))
       val inter = sh.as("a")
         .join(sh.as("b"),
           col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("n_common"))
+        .agg(count(lit(1)).as("n_common"),
+          first(col("a.n_sh")).as("sa"), first(col("b.n_sh")).as("sb"))
       val jac = col("n_common").cast("double") /
-        (col("sa.n_sh") + col("sb.n_sh") - col("n_common"))
+        (col("sa") + col("sb") - col("n_common"))
       inter
-        .join(sizes.as("sa"), col("sa.doc_id") === col("doc_a"))
-        .join(sizes.as("sb"), col("sb.doc_id") === col("doc_b"))
         .filter(jac >= 0.5)
         .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
         .orderBy("doc_a", "doc_b")
