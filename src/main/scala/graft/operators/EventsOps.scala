@@ -87,6 +87,52 @@ object EventsOps {
     },
 
     Q(
+      "q_funnel",
+      "staged conversion funnel (signup → click within 24h → purchase " +
+        "within 24h of that click): each stage is a user-keyed " +
+        "min-timestamp aggregate joined to the previous stage — " +
+        "shuffles stay keyed by user_id and each stage's input " +
+        "shrinks; no per-user event sorting, no self-join on the full " +
+        "stream (window chosen to produce real attrition on the " +
+        "synthetic stream)",
+      Some(
+        """WITH s AS (
+          |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS st
+          |  FROM events WHERE event_type = 'signup' GROUP BY user_id
+          |), c AS (
+          |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS ct
+          |  FROM events e JOIN s ON e.user_id = s.user_id
+          |   AND CAST(e.ts AS TIMESTAMP) > s.st
+          |   AND CAST(e.ts AS TIMESTAMP) <= s.st + INTERVAL 24 HOUR
+          |  WHERE e.event_type = 'click' GROUP BY e.user_id
+          |), p AS (
+          |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS pt
+          |  FROM events e JOIN c ON e.user_id = c.user_id
+          |   AND CAST(e.ts AS TIMESTAMP) > c.ct
+          |   AND CAST(e.ts AS TIMESTAMP) <= c.ct + INTERVAL 24 HOUR
+          |  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+          |)
+          |SELECT (SELECT count(*) FROM s) AS n_signup,
+          |       (SELECT count(*) FROM c) AS n_signup_click,
+          |       (SELECT count(*) FROM p) AS n_full_funnel""".stripMargin),
+    ) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val stage1 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts")).as("st"))
+      val stage2 = ev.filter(col("event_type") === "click").as("e")
+        .join(stage1, col("e.user_id") === stage1("user_id") && col("e.ts") > col("st")
+          && col("e.ts") <= col("st") + expr("INTERVAL 24 HOUR"))
+        .groupBy(col("e.user_id")).agg(min(col("e.ts")).as("ct"))
+      val stage3 = ev.filter(col("event_type") === "purchase").as("e2")
+        .join(stage2, col("e2.user_id") === stage2("user_id") && col("e2.ts") > col("ct")
+          && col("e2.ts") <= col("ct") + expr("INTERVAL 24 HOUR"))
+        .groupBy(col("e2.user_id")).agg(min(col("e2.ts")).as("pt"))
+      stage1.agg(count(lit(1)).as("n_signup"))
+        .crossJoin(stage2.agg(count(lit(1)).as("n_signup_click")))
+        .crossJoin(stage3.agg(count(lit(1)).as("n_full_funnel")))
+    },
+
+    Q(
       "q_pivot",
       "pivot to wide format: per-user event-type counts with an " +
         "EXPLICIT pivot value list (never the infer-values two-pass " +
