@@ -84,6 +84,9 @@ object MinHash60 {
     * permutation minima updated in place. Called from both `eval` and
     * generated code. Empty input yields Long.MaxValue entries (min
     * over the empty set); callers filter degenerate docs anyway.
+    * Null elements are skipped (set semantics: null ∉ the shingle
+    * set) — the function is registered session-wide, so arbitrary SQL
+    * may pass arrays with containsNull=true.
     */
   def compute(arr: ArrayData): ArrayData = {
     val mins = Array.fill(NumHashes)(Long.MaxValue)
@@ -91,21 +94,23 @@ object MinHash60 {
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val digest = md.digest(arr.getUTF8String(i).getBytes)
-      // First 15 hex chars of md5 = top 60 bits of the first 8 bytes —
-      // identical to conv(substr(md5(s),1,15),16,10) and DuckDB's
-      // CAST('0x'||substr(md5(s),1,15) AS BIGINT).
-      var h = 0L
-      var j = 0
-      while (j < 8) { h = (h << 8) | (digest(j) & 0xffL); j += 1 }
-      val base = (h >>> 4) % P
-      var k = 0
-      while (k < NumHashes) {
-        val v = (A(k) * base + B(k)) % P
-        if (v < mins(k)) mins(k) = v
-        k += 1
+      if (!arr.isNullAt(i)) {
+        val digest = md.digest(arr.getUTF8String(i).getBytes)
+        // First 15 hex chars of md5 = top 60 bits of the first 8 bytes —
+        // identical to conv(substr(md5(s),1,15),16,10) and DuckDB's
+        // CAST('0x'||substr(md5(s),1,15) AS BIGINT).
+        var h = 0L
+        var j = 0
+        while (j < 8) { h = (h << 8) | (digest(j) & 0xffL); j += 1 }
+        val base = (h >>> 4) % P
+        var k = 0
+        while (k < NumHashes) {
+          val v = (A(k) * base + B(k)) % P
+          if (v < mins(k)) mins(k) = v
+          k += 1
+        }
+        md.reset()
       }
-      md.reset()
       i += 1
     }
     new GenericArrayData(mins)

@@ -47,6 +47,9 @@ object SimHash60 {
   /** Per token: 60-bit md5-prefix hash (same definition as
     * Portable.md5Hash60 / MinHash60); each bit position accumulates
     * +1/-1 by that bit; the signature sets bits with positive balance.
+    * Null elements are skipped (null contributes no vote) — the
+    * function is registered session-wide, so arbitrary SQL may pass
+    * arrays with containsNull=true.
     */
   def compute(arr: ArrayData): Long = {
     val bal = new Array[Int](Bits)
@@ -54,17 +57,19 @@ object SimHash60 {
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val digest = md.digest(arr.getUTF8String(i).getBytes)
-      var h = 0L
-      var j = 0
-      while (j < 8) { h = (h << 8) | (digest(j) & 0xffL); j += 1 }
-      h = h >>> 4
-      var b = 0
-      while (b < Bits) {
-        if (((h >>> b) & 1L) == 1L) bal(b) += 1 else bal(b) -= 1
-        b += 1
+      if (!arr.isNullAt(i)) {
+        val digest = md.digest(arr.getUTF8String(i).getBytes)
+        var h = 0L
+        var j = 0
+        while (j < 8) { h = (h << 8) | (digest(j) & 0xffL); j += 1 }
+        h = h >>> 4
+        var b = 0
+        while (b < Bits) {
+          if (((h >>> b) & 1L) == 1L) bal(b) += 1 else bal(b) -= 1
+          b += 1
+        }
+        md.reset()
       }
-      md.reset()
       i += 1
     }
     var sig = 0L

@@ -56,6 +56,25 @@ object MapReduceParity {
       Seq("sh", "-c", """cut -f1 | uniq -c | awk '{print $2"\t"$1}'""")
   }
 
+  /** Per-JVM scratch root for q_text_sink's roundtrip: one directory
+    * reused (mode overwrite) across registry builds / verify / bench
+    * invocations instead of a fresh leak each call; removed on JVM
+    * exit.
+    */
+  private lazy val scratch: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-textsink")
+    sys.addShutdownHook {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      if (Files.exists(p)) {
+        val walk = Files.walk(p)
+        try walk.sorted(Comparator.reverseOrder[Path]()).forEach(Files.deleteIfExists(_))
+        finally walk.close()
+      }
+    }
+    p
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       "q_wordcount",
@@ -182,17 +201,17 @@ object MapReduceParity {
            |FROM (SELECT $tokensSql AS word FROM documents)
            |GROUP BY word ORDER BY word""".stripMargin),
     ) { (s, dir) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft-textsink")
-      val textDir = s"$tmp/input"
-      val outDir = s"$tmp/output"
+      val textDir = s"$scratch/input"
+      val outDir = s"$scratch/output"
       // S3 stage 0: corpus as a plain-text directory (one line per doc).
-      Tables.documents(s, dir).select("text").write.text(textDir)
+      Tables.documents(s, dir).select("text")
+        .write.mode("overwrite").text(textDir)
       // S1: raw text scan; M2+R2: wordcount over the line column.
       val counted = s.read.text(textDir)
         .select(explode(split(lower(col("value")), " ", -1)).as("word"))
         .groupBy("word").agg(count(lit(1)).as("cnt"))
       // S3: num_reducers=2 tab-separated output files.
-      counted.repartition(2).write
+      counted.repartition(2).write.mode("overwrite")
         .option("sep", "\t").option("emptyValue", "")
         .csv(outDir)
       // Read the sink back so the driver's oracle verifies the files.

@@ -49,7 +49,8 @@ object TextOps {
           |  SELECT lang, count(DISTINCT w) AS n_vocab, count(*) AS n_tokens
           |  FROM tok GROUP BY lang
           |), d AS (
-          |  SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+          |  SELECT lang, count(*) AS n_docs,
+          |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
           |  FROM documents GROUP BY lang
           |)
           |SELECT d.lang, n_docs, sum_chars, n_vocab, n_tokens
@@ -212,8 +213,9 @@ object TextOps {
         "never reshuffles existing rows between splits; summary is one " +
         "tiny keyed agg",
       Some(
-        s"""SELECT split, count(*) AS n_docs, sum(n_chars) AS sum_chars,
-           |  sum(doc_id) AS id_checksum
+        s"""SELECT split, count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
            |FROM (
            |  SELECT doc_id, n_chars,
            |    CASE WHEN ${Portable.md5Hash60Sql("text")} % 100 < 80 THEN 'train'
