@@ -3,7 +3,6 @@ package graft.operators
 import graft.{Q, Tables}
 import graft.functions.{MinHash60, SimHash60}
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over `documents` — the flagship
@@ -253,18 +252,26 @@ object DedupOps {
            |ORDER BY doc_a, doc_b""".stripMargin),
     ) { (s, dir) =>
       val toks = split(lower(col("text")), " ", -1)
-      // One shingle relation; per-doc set size rides along via a
-      // window instead of a separate aggregate joined back — the
-      // original 4-way recompute (both join sides + two size lookups,
-      // 8 parquet scans) collapses to the two join instances, which
-      // canonicalize identically and reuse one shuffle exchange.
+      // Set sizes ride along as a doc_id window (the shingle array is
+      // already distinct, so n_sh = count over the doc partition). The
+      // window's exchange is load-bearing twice over, measured 3x
+      // end-to-end: (a) it redistributes the exploded shingle stream
+      // across all executor cores — without it the candidate join +
+      // pair agg inherit the parquet scan's file-split count (1-2
+      // partitions at bench SF) and run nearly serial; (b) its doc_id
+      // hash partitioning satisfies the pair aggregation's required
+      // distribution, so the O(candidates) join output is aggregated
+      // in place and NEVER shuffles — only the per-pair distinct
+      // survivors move. At bench SF the planner broadcasts the build
+      // side (fine: estimate follows the scan); at 100 TB the same
+      // plan degrades gracefully to a shingle-keyed sort-merge join,
+      // plus the min/max-df pruning noted above.
       val sh = Tables.documents(s, dir)
         .select(col("doc_id"), toks.as("t"))
         .filter(size(col("t")) >= 3)
         .select(col("doc_id"), explode(shingleCol(col("t"))).as("shingle"))
-        .distinct()
         .withColumn("n_sh",
-          count(lit(1)).over(Window.partitionBy("doc_id")))
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
       val inter = sh.as("a")
         .join(sh.as("b"),
           col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))

@@ -72,10 +72,13 @@ object TextOps {
 
     Q(
       "q_lang_id",
-      "language-ID heuristic: literal marker table broadcast-joined to " +
-        "the exploded token stream; per-(doc, lang) hit counts, argmax " +
-        "by score with deterministic tiebreak — one shuffle keyed by " +
-        "doc_id, marker dim never shuffles the corpus",
+      "language-ID heuristic: the marker profiles are a fixed literal " +
+        "dimension, so per-(doc, lang) hit counts are pure per-row " +
+        "expression work (size(filter(tokens, w ∈ markers_lang))) and " +
+        "the argmax is an array_max over (hit, lang-rank) structs — " +
+        "ZERO shuffles before the output sort; the exploded-join " +
+        "formulation this replaces paid four (tokenize-join, two " +
+        "doc-keyed aggs, a doc-keyed window)",
       Some {
         val markerValues = Markers.map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
         s"""WITH markers(mlang, word) AS (VALUES $markerValues),
@@ -106,25 +109,27 @@ object TextOps {
            |ORDER BY doc_id""".stripMargin
       },
     ) { (s, dir) =>
-      import s.implicits._
-      val markers = Markers.toDF("mlang", "word")
-      val docs = Tables.documents(s, dir)
-      val tok = docs.select(col("doc_id"), explode(toks).as("w"))
-      val ntok = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val hits = tok.join(broadcast(markers), col("w") === col("word"))
-        .groupBy("doc_id", "mlang").agg(count(lit(1)).as("hit"))
-      val grid = docs.select("doc_id", "lang")
-        .crossJoin(broadcast(Langs.toDF("mlang")))
-        .join(hits, Seq("doc_id", "mlang"), "left")
-        .na.fill(0, Seq("hit"))
-        .join(ntok, Seq("doc_id"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy(col("hit").desc, col("mlang"))
-      grid
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"), col("lang"), col("mlang").as("pred_lang"),
-          round(col("hit").cast("double") / col("n"), 6).as("score"))
+      val markerWords: Map[String, Seq[String]] =
+        Markers.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      // hit_lang = tokens matching any of that lang's markers, counted
+      // with multiplicity — exactly the oracle's tok⋈markers count.
+      def hit(lang: String): Column =
+        size(filter(toks, w => markerWords(lang).map(w === _).reduce(_ || _)))
+      // argmax with the oracle's tiebreak (hit DESC, mlang ASC): structs
+      // order field-by-field, so max of (hit, -langRank) picks the
+      // highest hit and, on ties, the lexicographically first lang.
+      val cands = Langs.zipWithIndex.map { case (l, i) =>
+        struct(hit(l).as("hit"), lit(-i).as("nrank"))
+      }
+      val predLang = Langs.zipWithIndex.tail
+        .foldLeft(when(col("best.nrank") === 0, Langs.head)) {
+          case (acc, (l, i)) => acc.when(col("best.nrank") === -i, l)
+        }
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          array_max(array(cands: _*)).as("best"), size(toks).as("n"))
+        .select(col("doc_id"), col("lang"), predLang.as("pred_lang"),
+          round(col("best.hit").cast("double") / col("n"), 6).as("score"))
         .orderBy("doc_id")
     },
 
