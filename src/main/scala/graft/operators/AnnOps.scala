@@ -33,6 +33,8 @@ object AnnOps {
   private val NumBands = NumPlanes / BandBits
   private val TopK = 10
   private val NumProbes = 5
+  private val NumCells = 16
+  private val NProbe = 4
 
   /** Fixed pseudo-random hyperplanes — owned by [[HyperSig]] (the
     * fused native expression that computes the 16-bit signature); this
@@ -180,6 +182,85 @@ object AnnOps {
           (norm(col("pe")) * norm(col("ne"))), 6).as("cos_sim"))
       val w = Window.partitionBy("probe_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
       scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= TopK)
+        .orderBy("probe_id", "rank")
+    },
+
+    Q(
+      "q_simsearch_ivf",
+      s"IVF-style ANN: $NumCells coarse centroids (deterministic seed " +
+        "vectors — one-pass assignment; k-means iterations would only " +
+        "move the cell boundaries, not the machinery); every vector is " +
+        "assigned to its nearest cell via a broadcast of the tiny " +
+        s"centroid set, probes search only their $NProbe nearest cells " +
+        "(inverted-file pruning: an equi-join on cell_id replaces the " +
+        "full scan), exact cosine re-rank on the pruned candidates — " +
+        "at 100 TB the corpus shuffles once by cell_id and each probe " +
+        "touches nprobe/cells of the data",
+      Some {
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+           |cents AS (
+           |  SELECT vec_id AS cent_id, embedding AS ce FROM e WHERE vec_id < $NumCells
+           |), assign AS (
+           |  SELECT vec_id, embedding, cent_id FROM (
+           |    SELECT e.vec_id, e.embedding, c.cent_id,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        round(${dotColSql("embedding", "ce")} /
+           |              (${normSql("embedding")} * ${normSql("ce")}), 6) DESC,
+           |        c.cent_id) AS rn
+           |    FROM e CROSS JOIN cents c) WHERE rn = 1
+           |), probe_cells AS (
+           |  SELECT vec_id AS probe_id, pe, cent_id FROM (
+           |    SELECT e.vec_id, e.embedding AS pe, c.cent_id,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        round(${dotColSql("embedding", "ce")} /
+           |              (${normSql("embedding")} * ${normSql("ce")}), 6) DESC,
+           |        c.cent_id) AS rn
+           |    FROM e CROSS JOIN cents c
+           |    WHERE e.vec_id < $NumProbes) WHERE rn <= $NProbe
+           |), scored AS (
+           |  SELECT probe_id, a.vec_id AS neighbor_id,
+           |    round(${dotColSql("pe", "embedding")} /
+           |          (${normSql("pe")} * ${normSql("embedding")}), 6) AS cos_sim
+           |  FROM probe_cells p JOIN assign a ON a.cent_id = p.cent_id
+           |   AND a.vec_id <> p.probe_id
+           |), ranked AS (
+           |  SELECT probe_id, neighbor_id, cos_sim,
+           |    row_number() OVER (PARTITION BY probe_id
+           |      ORDER BY cos_sim DESC, neighbor_id) AS rank
+           |  FROM scored)
+           |SELECT probe_id, neighbor_id, cos_sim, rank
+           |FROM ranked WHERE rank <= $TopK
+           |ORDER BY probe_id, rank""".stripMargin
+      },
+    ) { (s, dir) =>
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val cents = e.filter(col("vec_id") < NumCells)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+      val centSim = round(dotCol(col("embedding"), col("ce")) /
+        (norm(col("embedding")) * norm(col("ce"))), 6)
+      // Nearest-cell assignment: corpus × broadcast(centroids), argmax
+      // per vector. The centroid set is tiny at any corpus scale, so
+      // this is per-row work after a broadcast — never a corpus shuffle.
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(centSim.desc, col("cent_id"))
+      val assign = e.crossJoin(broadcast(cents))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cent_id"))
+      val probeCells = e.filter(col("vec_id") < NumProbes)
+        .crossJoin(broadcast(cents))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") <= NProbe)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("cent_id"))
+      val scored = broadcast(probeCells)
+        .join(assign, Seq("cent_id"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          round(dotCol(col("pe"), col("embedding")) /
+            (norm(col("pe")) * norm(col("embedding"))), 6).as("cos_sim"))
+      val wRank = Window.partitionBy("probe_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(wRank).cast("long"))
         .filter(col("rank") <= TopK)
         .orderBy("probe_id", "rank")
     },

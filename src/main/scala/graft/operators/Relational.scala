@@ -195,6 +195,46 @@ object Relational {
     },
 
     Q(
+      "q_interval_join",
+      "range/interval join: points (l_quantity) against a quantity-band " +
+        "dimension WITHOUT an equality key. The naive plan is a " +
+        "broadcast nested-loop join (every row tests every interval); " +
+        "here each band is replicated per overlapped fixed-width bucket " +
+        "and the point side computes its bucket, so the join is a " +
+        "broadcast HASH join on bucket + residual BETWEEN — each row " +
+        "probes only the bands its bucket overlaps. Band granularity " +
+        "deliberately misaligned with bucket width to prove the " +
+        "replication path; machinery is identical for overlapping bands",
+      Some(
+        s"""WITH tiers(tier, lo, hi) AS (VALUES
+           |  ('t1_small', 1, 9), ('t2_mid', 10, 24),
+           |  ('t3_large', 25, 39), ('t4_xl', 40, 50))
+           |SELECT tier, count(*) AS n_lines,
+           |  ${exactSumSql("l_quantity")} AS sum_qty
+           |FROM lineitem JOIN tiers ON l_quantity BETWEEN lo AND hi
+           |GROUP BY tier ORDER BY tier""".stripMargin),
+    ) { (s, dir) =>
+      import s.implicits._
+      val G = 8
+      val tiers = Seq(
+        ("t1_small", 1, 9), ("t2_mid", 10, 24),
+        ("t3_large", 25, 39), ("t4_xl", 40, 50))
+        .toDF("tier", "lo", "hi")
+      // Dim side: one row per (band, overlapped bucket) — bounded by
+      // bands × (band width / G), still a broadcastable dimension.
+      val tierBuckets = tiers.withColumn("bucket",
+        explode(sequence(floor(col("lo") / G).cast("int"), floor(col("hi") / G).cast("int"))))
+      val pts = Tables.lineitem(s, dir)
+        .select(col("l_quantity"), floor(col("l_quantity") / G).cast("int").as("bucket"))
+      pts.join(broadcast(tierBuckets),
+          pts("bucket") === tierBuckets("bucket")
+            && col("l_quantity").between(col("lo"), col("hi")))
+        .groupBy("tier")
+        .agg(count(lit(1)).as("n_lines"), exactSum(col("l_quantity")).as("sum_qty"))
+        .orderBy("tier")
+    },
+
+    Q(
       "q_window_rank",
       "per-group top-1 via row_number window: single shuffle by customer, " +
         "rank computed in one pass per partition (no self-join)",

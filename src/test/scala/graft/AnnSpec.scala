@@ -49,6 +49,18 @@ class AnnSpec extends AnyFunSuite {
     assert(rows.contains((10L, 1.0)), s"got ${rows.toSeq}")
   }
 
+  test("q_simsearch_ivf matches brute force when every cell is probed") {
+    // 4 vectors => all are centroids (NumCells=16) and the probe's
+    // nprobe=4 covers every cell, so IVF must reproduce q_simsearch.
+    val ivf = SparkEntry.queries("q_simsearch_ivf")(spark, dir).collect()
+      .filter(_.getLong(0) == 0L)
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val brute = SparkEntry.queries("q_simsearch")(spark, dir).collect()
+      .filter(_.getLong(0) == 0L)
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(ivf == brute, s"ivf=$ivf brute=$brute")
+  }
+
   test("q_embed_centroids: tight label 0 scores higher than split label") {
     val rows = SparkEntry.queries("q_embed_centroids")(spark, dir).collect()
       .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
