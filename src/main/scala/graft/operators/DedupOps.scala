@@ -77,6 +77,74 @@ object DedupOps {
       s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END"
     }.mkString(" + ")
 
+  /** MinHash-LSH candidate pairs (doc_a < doc_b, est_jaccard) — the
+    * shared core of q_dedup_near (which reports them) and
+    * q_dedup_cluster (which clusters them). One shuffle keyed by
+    * (band_id, band_key); only same-signature docs ever meet.
+    */
+  private def minhashPairs(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = split(lower(col("text")), " ", -1)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), shingleCol(col("t")).as("shingles"))
+    // Fused native expression: md5 base hash + all 16 permutation
+    // minima in ONE pass over the shingle array (vs 17 traversals
+    // for the composed transform/array_min form — same values, see
+    // MinHash60's scaladoc; the oracles are unchanged).
+    val mhs = docs
+      .select(col("doc_id"), MinHash60.minhash60(s, "shingles").as("mh"))
+    val bandKeys = (0 until NumBands).map { j =>
+      concat_ws(",",
+        (1 to BandSize).map(i => element_at(col("mh"), 4 * j + i).cast("string")): _*)
+    }
+    val bands = mhs
+      .select(col("doc_id"), col("mh"), posexplode(array(bandKeys: _*)).as(Seq("band_id", "band_key")))
+    val l = bands.as("l")
+    val r = bands.as("r")
+    val nEq = size(filter(
+      zip_with(col("l.mh"), col("r.mh"), (x, y) => x === y), b => b))
+    l.join(r,
+        col("l.band_id") === col("r.band_id")
+          && col("l.band_key") === col("r.band_key")
+          && col("l.doc_id") < col("r.doc_id"))
+      .select(
+        col("l.doc_id").as("doc_a"),
+        col("r.doc_id").as("doc_b"),
+        (nEq / lit(NumHashes.toDouble)).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** DuckDB twin of [[minhashPairs]], as a reusable CTE chain ending
+    * in a `pairs(doc_a, doc_b, est_jaccard)` relation.
+    */
+  private def minhashPairsSqlCte: String = {
+    val mhEntries = AB.map { case (a, b) =>
+      s"list_min(list_transform(hs, x -> ($a * x + $b) % $P))"
+    }.mkString("[", ", ", "]")
+    val bandKey = (1 to BandSize).map(i => s"mh[4*j+$i]").mkString("concat_ws(',', ", ", ", ")")
+    s"""docs AS (
+       |  SELECT doc_id, $shingleSql AS shingles
+       |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+       |  WHERE len(t) >= 3
+       |), bases AS (
+       |  SELECT doc_id, list_transform(shingles, s -> $baseHashSql) AS hs FROM docs
+       |), mhs AS (
+       |  SELECT doc_id, $mhEntries AS mh FROM bases
+       |), bands AS (
+       |  SELECT doc_id, mh, j AS band_id, $bandKey AS band_key
+       |  FROM mhs, range($NumBands) AS u(j)
+       |), pairs AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       |    len(list_filter(list_transform(range($NumHashes),
+       |          i -> l.mh[i+1] = r.mh[i+1]), x -> x)) / $NumHashes.0 AS est_jaccard
+       |  FROM bands l JOIN bands r
+       |    ON l.band_id = r.band_id AND l.band_key = r.band_key
+       |   AND l.doc_id < r.doc_id
+       |)""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       "q_dedup_exact",
@@ -107,63 +175,71 @@ object DedupOps {
         "docs meet — candidate pairs, never all-pairs; est. Jaccard = " +
         "matching-minhash fraction (k/16 is dyadic, so the division is " +
         "float-exact in both engines)",
-      Some {
-        val mhEntries = AB.map { case (a, b) =>
-          s"list_min(list_transform(hs, x -> ($a * x + $b) % $P))"
-        }.mkString("[", ", ", "]")
-        val bandKey = (1 to BandSize).map(i => s"mh[4*j+$i]").mkString("concat_ws(',', ", ", ", ")")
-        s"""WITH docs AS (
-           |  SELECT doc_id, $shingleSql AS shingles
-           |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
-           |  WHERE len(t) >= 3
-           |), bases AS (
-           |  SELECT doc_id, list_transform(shingles, s -> $baseHashSql) AS hs FROM docs
-           |), mhs AS (
-           |  SELECT doc_id, $mhEntries AS mh FROM bases
-           |), bands AS (
-           |  SELECT doc_id, mh, j AS band_id, $bandKey AS band_key
-           |  FROM mhs, range($NumBands) AS u(j)
-           |)
-           |SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
-           |  len(list_filter(list_transform(range($NumHashes),
-           |        i -> l.mh[i+1] = r.mh[i+1]), x -> x)) / $NumHashes.0 AS est_jaccard
-           |FROM bands l JOIN bands r
-           |  ON l.band_id = r.band_id AND l.band_key = r.band_key
-           | AND l.doc_id < r.doc_id
-           |ORDER BY doc_a, doc_b""".stripMargin
-      },
+      Some(
+        s"""WITH $minhashPairsSqlCte
+           |SELECT doc_a, doc_b, est_jaccard FROM pairs
+           |ORDER BY doc_a, doc_b""".stripMargin),
     ) { (s, dir) =>
-      val toks = split(lower(col("text")), " ", -1)
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), toks.as("t"))
-        .filter(size(col("t")) >= 3)
-        .select(col("doc_id"), shingleCol(col("t")).as("shingles"))
-      // Fused native expression: md5 base hash + all 16 permutation
-      // minima in ONE pass over the shingle array (vs 17 traversals
-      // for the composed transform/array_min form — same values, see
-      // MinHash60's scaladoc; the oracle below is unchanged).
-      val mhs = docs
-        .select(col("doc_id"), MinHash60.minhash60(s, "shingles").as("mh"))
-      val bandKeys = (0 until NumBands).map { j =>
-        concat_ws(",",
-          (1 to BandSize).map(i => element_at(col("mh"), 4 * j + i).cast("string")): _*)
-      }
-      val bands = mhs
-        .select(col("doc_id"), col("mh"), posexplode(array(bandKeys: _*)).as(Seq("band_id", "band_key")))
-      val l = bands.as("l")
-      val r = bands.as("r")
-      val nEq = size(filter(
-        zip_with(col("l.mh"), col("r.mh"), (x, y) => x === y), b => b))
-      l.join(r,
-          col("l.band_id") === col("r.band_id")
-            && col("l.band_key") === col("r.band_key")
-            && col("l.doc_id") < col("r.doc_id"))
-        .select(
-          col("l.doc_id").as("doc_a"),
-          col("r.doc_id").as("doc_b"),
-          (nEq / lit(NumHashes.toDouble)).as("est_jaccard"))
+      minhashPairs(s, dir).orderBy("doc_a", "doc_b")
+    },
+
+    Q(
+      "q_dedup_cluster",
+      "duplicate clustering: MinHash candidate pairs (est_jaccard ≥ " +
+        "0.5) become edges; connected components via min-label " +
+        "propagation to fixpoint — each round is ONE shuffle keyed by " +
+        "doc_id and rounds are bounded by component diameter, which " +
+        "for near-dup clusters is tiny; cluster_id = min doc_id is the " +
+        "canonical survivor. The driver-side loop checks convergence " +
+        "counts only — no data is collected; lineage is truncated per " +
+        "round (localCheckpoint; at 100 TB, checkpoint to storage). " +
+        "Oracle = DuckDB recursive CTE reaching the same fixpoint",
+      Some(
+        s"""WITH RECURSIVE $minhashPairsSqlCte,
+           |edges AS (
+           |  SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE est_jaccard >= 0.5
+           |  UNION ALL
+           |  SELECT doc_b, doc_a FROM pairs WHERE est_jaccard >= 0.5
+           |), cc AS (
+           |  SELECT DISTINCT src AS doc_id, src AS label FROM edges
+           |  UNION
+           |  SELECT e.dst AS doc_id, cc.label
+           |  FROM cc JOIN edges e ON e.src = cc.doc_id
+           |), final AS (
+           |  SELECT doc_id, min(label) AS label FROM cc GROUP BY doc_id
+           |)
+           |SELECT label AS cluster_id, count(*) AS n_docs,
+           |  CAST(max(doc_id) AS BIGINT) AS max_doc_id
+           |FROM final GROUP BY label
+           |ORDER BY cluster_id""".stripMargin),
+    ) { (s, dir) =>
+      val pairs = minhashPairs(s, dir).filter(col("est_jaccard") >= 0.5)
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .localCheckpoint() // computed once; reused every round
+      var labels = edges.select(col("src").as("doc_id"))
         .distinct()
-        .orderBy("doc_a", "doc_b")
+        .withColumn("label", col("doc_id"))
+        .localCheckpoint()
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 50) {
+        val prop = labels.join(edges, labels("doc_id") === edges("src"))
+          .select(col("dst").as("doc_id"), col("label"))
+        val next = labels.unionAll(prop)
+          .groupBy("doc_id").agg(min(col("label")).as("label"))
+          .localCheckpoint()
+        converged = next.as("n")
+          .join(labels.as("o"), "doc_id")
+          .filter(col("n.label") =!= col("o.label"))
+          .isEmpty
+        labels = next
+        rounds += 1
+      }
+      labels
+        .groupBy(col("label").as("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc_id"))
+        .orderBy("cluster_id")
     },
 
     Q(
