@@ -206,5 +206,75 @@ object EventsOps {
         )
         .orderBy("event_type")
     },
+
+    Q(
+      "q_upsert_latest",
+      "CDC-style changelog compaction: the events table as an upsert " +
+        "stream, latest record per user wins — one shuffle keyed by " +
+        "user_id, row_number in a single pass per partition (ties " +
+        "broken by event_id, so replays are deterministic); the " +
+        "Structured Streaming twin is dropDuplicates/ " +
+        "flatMapGroupsWithState keyed the same way",
+      Some(
+        """SELECT user_id, CAST(ts AS TIMESTAMP) AS last_ts,
+          |  event_type AS last_type, value AS last_value
+          |FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY user_id
+          |    ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+          |  FROM events)
+          |WHERE rn = 1 ORDER BY user_id""".stripMargin),
+    ) { (s, dir) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("ts").as("last_ts"),
+          col("event_type").as("last_type"), col("value").as("last_value"))
+        .orderBy("user_id")
+    },
+
+    Q(
+      "q_events_retention",
+      "cohort retention: signup day = each user's first event day (one " +
+        "user-keyed agg), activity days deduped per (user, day), d1/d7 " +
+        "flags from a user-keyed join — every shuffle is keyed by " +
+        "user_id or bounded by days; exact countDistinct per cohort is " +
+        "the bench choice, approx_count_distinct the 100 TB one",
+      Some(
+        """WITH f AS (
+          |  SELECT user_id,
+          |    date_trunc('day', min(CAST(ts AS TIMESTAMP))) AS cohort_day
+          |  FROM events GROUP BY user_id
+          |), a AS (
+          |  SELECT DISTINCT user_id,
+          |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS act_day
+          |  FROM events)
+          |SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day,
+          |  count(DISTINCT f.user_id) AS n_users,
+          |  CAST(count(CASE WHEN act_day = cohort_day + INTERVAL 1 DAY
+          |    THEN 1 END) AS BIGINT) AS d1_retained,
+          |  CAST(count(CASE WHEN act_day = cohort_day + INTERVAL 7 DAY
+          |    THEN 1 END) AS BIGINT) AS d7_retained
+          |FROM f JOIN a ON f.user_id = a.user_id
+          |GROUP BY cohort_day ORDER BY cohort_day""".stripMargin),
+    ) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val firsts = ev.groupBy("user_id")
+        .agg(date_trunc("day", min(col("ts"))).as("cohort_day"))
+      val act = ev
+        .select(col("user_id"), date_trunc("day", col("ts")).as("act_day"))
+        .distinct()
+      firsts.join(act, Seq("user_id"))
+        .groupBy("cohort_day")
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          count(when(col("act_day") === col("cohort_day") + expr("INTERVAL 1 DAY"), 1))
+            .as("d1_retained"),
+          count(when(col("act_day") === col("cohort_day") + expr("INTERVAL 7 DAY"), 1))
+            .as("d7_retained"),
+        )
+        .orderBy("cohort_day")
+    },
   )
 }
