@@ -241,6 +241,51 @@ object TextOps {
     },
 
     Q(
+      "q_corpus_pipeline",
+      "end-to-end curation funnel — quality filter → exact dedup " +
+        "(windowed keep-first, the deterministic dropDuplicates) → " +
+        "content-hash split → per-(split, lang) summary. One " +
+        "content-hash-keyed shuffle for the dedup, one tiny keyed agg; " +
+        "filter and split are per-row work on the scan. This is the " +
+        "composition story: every stage is an operator the engine " +
+        "exposes standalone",
+      Some(
+        s"""WITH kept AS (
+           |  SELECT lang, n_chars, text FROM (
+           |    SELECT doc_id, lang, n_chars, text,
+           |      row_number() OVER (PARTITION BY sha256(text)
+           |        ORDER BY doc_id) AS rn
+           |    FROM documents
+           |    WHERE length(text) >= 50
+           |      AND len(string_split(lower(text), ' ')) >= 5)
+           |  WHERE rn = 1)
+           |SELECT split, lang, count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+           |FROM (
+           |  SELECT lang, n_chars,
+           |    CASE WHEN ${Portable.md5Hash60Sql("text")} % 100 < 80 THEN 'train'
+           |         WHEN ${Portable.md5Hash60Sql("text")} % 100 < 90 THEN 'val'
+           |         ELSE 'test' END AS split
+           |  FROM kept)
+           |GROUP BY split, lang ORDER BY split, lang""".stripMargin),
+    ) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(sha2(col("text"), 256)).orderBy("doc_id")
+      val kept = Tables.documents(s, dir)
+        .filter(length(col("text")) >= 50 && size(toks) >= 5)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      val bucket = pmod(Portable.md5Hash60(col("text")), lit(100))
+      kept
+        .select(col("lang"), col("n_chars"),
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test").as("split"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("split", "lang")
+    },
+
+    Q(
       "q_fingerprint",
       "rolling char-5-gram fingerprint: min portable hash over the " +
         "gram stream per doc (a 1-hash minhash — winnowing's shape " +

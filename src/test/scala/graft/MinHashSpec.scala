@@ -36,6 +36,13 @@ object MinHashProps extends Properties("minhash60") {
       val fused = MinHash60.compute(arr).toLongArray.toSeq
       fused == reference(shingles)
     }
+
+  property("null elements are skipped (set semantics), not NPEs") =
+    Prop.forAll(genShingles) { shingles =>
+      val withNulls = new GenericArrayData(
+        (null +: shingles.flatMap(s => Seq(UTF8String.fromString(s), null))).toArray[Any])
+      MinHash60.compute(withNulls).toLongArray.toSeq == reference(shingles)
+    }
 }
 
 /** Codegen-path integration: the expression inside a real plan equals

@@ -35,6 +35,13 @@ object SimHashProps extends Properties("simhash60") {
         tokens.map(t => UTF8String.fromString(t)).toArray[Any])
       SimHash60.compute(arr) == reference(tokens)
     }
+
+  property("null elements contribute no vote, not NPEs") =
+    Prop.forAll(genTokens) { tokens =>
+      val withNulls = new GenericArrayData(
+        (null +: tokens.flatMap(t => Seq(UTF8String.fromString(t), null))).toArray[Any])
+      SimHash60.compute(withNulls) == reference(tokens)
+    }
 }
 
 /** Codegen-path integration: the per-row expression equals the
