@@ -57,6 +57,22 @@ object AnnOps {
     sqrt(aggregate(transform(e, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, x) => acc + x))
 
+  /** The ANN determinism contract, shared by every search query: cosine
+    * in double, rounded to 6dp BEFORE ranking (so both engines rank the
+    * same values), ties broken by id. */
+  private def cosSim(a: Column, b: Column): Column =
+    round(dotCol(a, b) / (norm(a) * norm(b)), 6)
+
+  /** Per-probe top-k over a (probe_id, neighbor_id, cos_sim) frame:
+    * row_number window = per-partition heap + one shuffle of survivors. */
+  private def rankTopK(scored: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("probe_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .orderBy("probe_id", "rank")
+  }
+
   /** Band values sliced from the fused 16-bit hypersig expression
     * (one pass over the embedding vs 16 aggregate(zip_with) folds);
     * band b = bits [8b, 8b+8) of the signature — identical to the
@@ -82,6 +98,23 @@ object AnnOps {
   private def normSql(e: String): String =
     s"sqrt(list_sum(list_transform($e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 
+  /** DuckDB twin of [[cosSim]]. */
+  private def cosSimSql(a: String, b: String): String =
+    s"""round(${dotColSql(a, b)} /
+       |          (${normSql(a)} * ${normSql(b)}), 6)""".stripMargin
+
+  /** DuckDB twin of [[rankTopK]]: the ranked-CTE tail appended after a
+    * CTE chain that ends with `scored(probe_id, neighbor_id, cos_sim)`. */
+  private def rankTopKSqlTail: String =
+    s""", ranked AS (
+       |  SELECT probe_id, neighbor_id, cos_sim,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT probe_id, neighbor_id, cos_sim, rank
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY probe_id, rank""".stripMargin
+
   private def bandSql(e: String, b: Int): String =
     (0 until BandBits).map { k =>
       val j = b * BandBits + k
@@ -101,30 +134,17 @@ object AnnOps {
            |probes AS (SELECT vec_id AS probe_id, embedding AS pe FROM e WHERE vec_id < $NumProbes),
            |scored AS (
            |  SELECT probe_id, e.vec_id AS neighbor_id,
-           |    round(${dotColSql("pe", "embedding")} /
-           |          (${normSql("pe")} * ${normSql("embedding")}), 6) AS cos_sim
+           |    ${cosSimSql("pe", "embedding")} AS cos_sim
            |  FROM probes JOIN e ON e.vec_id <> probe_id
-           |), ranked AS (
-           |  SELECT probe_id, neighbor_id, cos_sim,
-           |    row_number() OVER (PARTITION BY probe_id
-           |      ORDER BY cos_sim DESC, neighbor_id) AS rank
-           |  FROM scored)
-           |SELECT probe_id, neighbor_id, cos_sim, rank
-           |FROM ranked WHERE rank <= $TopK
-           |ORDER BY probe_id, rank""".stripMargin),
+           |)$rankTopKSqlTail""".stripMargin),
     ) { (s, dir) =>
       val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
       val probes = e.filter(col("vec_id") < NumProbes)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
-      val scored = broadcast(probes)
+      rankTopK(broadcast(probes)
         .join(e, col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-          round(dotCol(col("pe"), col("embedding")) /
-            (norm(col("pe")) * norm(col("embedding"))), 6).as("cos_sim"))
-      val w = Window.partitionBy("probe_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
-      scored.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= TopK)
-        .orderBy("probe_id", "rank")
+          cosSim(col("pe"), col("embedding")).as("cos_sim")))
     },
 
     Q(
@@ -151,17 +171,9 @@ object AnnOps {
            |   AND b.vec_id <> p.probe_id
            |), scored AS (
            |  SELECT probe_id, neighbor_id,
-           |    round(${dotColSql("pe", "ne")} /
-           |          (${normSql("pe")} * ${normSql("ne")}), 6) AS cos_sim
+           |    ${cosSimSql("pe", "ne")} AS cos_sim
            |  FROM cands
-           |), ranked AS (
-           |  SELECT probe_id, neighbor_id, cos_sim,
-           |    row_number() OVER (PARTITION BY probe_id
-           |      ORDER BY cos_sim DESC, neighbor_id) AS rank
-           |  FROM scored)
-           |SELECT probe_id, neighbor_id, cos_sim, rank
-           |FROM ranked WHERE rank <= $TopK
-           |ORDER BY probe_id, rank""".stripMargin
+           |)$rankTopKSqlTail""".stripMargin
       },
     ) { (s, dir) =>
       val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
@@ -177,13 +189,8 @@ object AnnOps {
         .select(col("probe_id"), col("pe"),
           col("b.vec_id").as("neighbor_id"), col("b.embedding").as("ne"))
         .distinct()
-      val scored = cands.select(col("probe_id"), col("neighbor_id"),
-        round(dotCol(col("pe"), col("ne")) /
-          (norm(col("pe")) * norm(col("ne"))), 6).as("cos_sim"))
-      val w = Window.partitionBy("probe_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
-      scored.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= TopK)
-        .orderBy("probe_id", "rank")
+      rankTopK(cands.select(col("probe_id"), col("neighbor_id"),
+        cosSim(col("pe"), col("ne")).as("cos_sim")))
     },
 
     Q(
@@ -205,40 +212,29 @@ object AnnOps {
            |  SELECT vec_id, embedding, cent_id FROM (
            |    SELECT e.vec_id, e.embedding, c.cent_id,
            |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-           |        round(${dotColSql("embedding", "ce")} /
-           |              (${normSql("embedding")} * ${normSql("ce")}), 6) DESC,
+           |        ${cosSimSql("embedding", "ce")} DESC,
            |        c.cent_id) AS rn
            |    FROM e CROSS JOIN cents c) WHERE rn = 1
            |), probe_cells AS (
            |  SELECT vec_id AS probe_id, pe, cent_id FROM (
            |    SELECT e.vec_id, e.embedding AS pe, c.cent_id,
            |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-           |        round(${dotColSql("embedding", "ce")} /
-           |              (${normSql("embedding")} * ${normSql("ce")}), 6) DESC,
+           |        ${cosSimSql("embedding", "ce")} DESC,
            |        c.cent_id) AS rn
            |    FROM e CROSS JOIN cents c
            |    WHERE e.vec_id < $NumProbes) WHERE rn <= $NProbe
            |), scored AS (
            |  SELECT probe_id, a.vec_id AS neighbor_id,
-           |    round(${dotColSql("pe", "embedding")} /
-           |          (${normSql("pe")} * ${normSql("embedding")}), 6) AS cos_sim
+           |    ${cosSimSql("pe", "embedding")} AS cos_sim
            |  FROM probe_cells p JOIN assign a ON a.cent_id = p.cent_id
            |   AND a.vec_id <> p.probe_id
-           |), ranked AS (
-           |  SELECT probe_id, neighbor_id, cos_sim,
-           |    row_number() OVER (PARTITION BY probe_id
-           |      ORDER BY cos_sim DESC, neighbor_id) AS rank
-           |  FROM scored)
-           |SELECT probe_id, neighbor_id, cos_sim, rank
-           |FROM ranked WHERE rank <= $TopK
-           |ORDER BY probe_id, rank""".stripMargin
+           |)$rankTopKSqlTail""".stripMargin
       },
     ) { (s, dir) =>
       val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
       val cents = e.filter(col("vec_id") < NumCells)
         .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
-      val centSim = round(dotCol(col("embedding"), col("ce")) /
-        (norm(col("embedding")) * norm(col("ce"))), 6)
+      val centSim = cosSim(col("embedding"), col("ce"))
       // Nearest-cell assignment: corpus × broadcast(centroids), argmax
       // per vector. The centroid set is tiny at any corpus scale, so
       // this is per-row work after a broadcast — never a corpus shuffle.
@@ -253,16 +249,11 @@ object AnnOps {
         .withColumn("rn", row_number().over(wAssign))
         .filter(col("rn") <= NProbe)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("cent_id"))
-      val scored = broadcast(probeCells)
+      rankTopK(broadcast(probeCells)
         .join(assign, Seq("cent_id"))
         .filter(col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-          round(dotCol(col("pe"), col("embedding")) /
-            (norm(col("pe")) * norm(col("embedding"))), 6).as("cos_sim"))
-      val wRank = Window.partitionBy("probe_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
-      scored.withColumn("rank", row_number().over(wRank).cast("long"))
-        .filter(col("rank") <= TopK)
-        .orderBy("probe_id", "rank")
+          cosSim(col("pe"), col("embedding")).as("cos_sim")))
     },
 
     Q(
@@ -287,11 +278,9 @@ object AnnOps {
            |   AND l.vec_id < r.vec_id
            |)
            |SELECT vec_a, vec_b,
-           |  round(${dotColSql("ea", "eb")} /
-           |        (${normSql("ea")} * ${normSql("eb")}), 6) AS cos_sim
+           |  ${cosSimSql("ea", "eb")} AS cos_sim
            |FROM cands
-           |WHERE round(${dotColSql("ea", "eb")} /
-           |      (${normSql("ea")} * ${normSql("eb")}), 6) >= 0.45
+           |WHERE ${cosSimSql("ea", "eb")} >= 0.45
            |ORDER BY vec_a, vec_b""".stripMargin
       },
     ) { (s, dir) =>
@@ -311,8 +300,7 @@ object AnnOps {
       val cands = candIds
         .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), Seq("vec_a"))
         .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), Seq("vec_b"))
-      val sim = round(dotCol(col("ea"), col("eb")) /
-        (norm(col("ea")) * norm(col("eb"))), 6)
+      val sim = cosSim(col("ea"), col("eb"))
       cands
         .select(col("vec_a"), col("vec_b"), sim.as("cos_sim"))
         .filter(col("cos_sim") >= 0.45)

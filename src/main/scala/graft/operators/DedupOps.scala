@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Q, Tables}
 import graft.functions.{MinHash60, SimHash60}
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over `documents` — the flagship
@@ -223,7 +224,8 @@ object DedupOps {
         .localCheckpoint()
       var converged = false
       var rounds = 0
-      while (!converged && rounds < 50) {
+      val maxRounds = 50
+      while (!converged && rounds < maxRounds) {
         val prop = labels.join(edges, labels("doc_id") === edges("src"))
           .select(col("dst").as("doc_id"), col("label"))
         val next = labels.unionAll(prop)
@@ -236,6 +238,12 @@ object DedupOps {
         labels = next
         rounds += 1
       }
+      // Unconverged labels are WRONG labels (fractured clusters), and
+      // silently diverging from the oracle's fixpoint is worse than
+      // failing: a >maxRounds propagation distance means the edge set
+      // isn't near-dup-shaped at all.
+      if (!converged) throw new IllegalStateException(
+        s"q_dedup_cluster: label propagation not converged after $maxRounds rounds")
       labels
         .groupBy(col("label").as("cluster_id"))
         .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc_id"))
@@ -347,7 +355,7 @@ object DedupOps {
         .filter(size(col("t")) >= 3)
         .select(col("doc_id"), explode(shingleCol(col("t"))).as("shingle"))
         .withColumn("n_sh",
-          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+          count(lit(1)).over(Window.partitionBy("doc_id")))
       val inter = sh.as("a")
         .join(sh.as("b"),
           col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))

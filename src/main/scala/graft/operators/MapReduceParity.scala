@@ -56,12 +56,14 @@ object MapReduceParity {
       Seq("sh", "-c", """cut -f1 | uniq -c | awk '{print $2"\t"$1}'""")
   }
 
-  /** Per-JVM scratch root for q_text_sink's roundtrip: one directory
-    * reused (mode overwrite) across registry builds / verify / bench
-    * invocations instead of a fresh leak each call; removed on JVM
-    * exit.
+  /** Per-JVM scratch root for q_text_sink's roundtrip, removed on JVM
+    * exit. Each invocation gets a numbered subdirectory: a previously
+    * returned DataFrame is lazily backed by its sink files, so
+    * invocations must never overwrite each other — but they can share
+    * one root so repeated runs stop leaking /tmp directories across
+    * JVMs.
     */
-  private lazy val scratch: java.nio.file.Path = {
+  private lazy val scratchRoot: java.nio.file.Path = {
     val p = java.nio.file.Files.createTempDirectory("graft-textsink")
     sys.addShutdownHook {
       import java.nio.file.{Files, Path}
@@ -74,6 +76,7 @@ object MapReduceParity {
     }
     p
   }
+  private val scratchSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   val all: Seq[Q] = Seq(
     Q(
@@ -201,17 +204,17 @@ object MapReduceParity {
            |FROM (SELECT $tokensSql AS word FROM documents)
            |GROUP BY word ORDER BY word""".stripMargin),
     ) { (s, dir) =>
+      val scratch = s"$scratchRoot/${scratchSeq.getAndIncrement()}"
       val textDir = s"$scratch/input"
       val outDir = s"$scratch/output"
       // S3 stage 0: corpus as a plain-text directory (one line per doc).
-      Tables.documents(s, dir).select("text")
-        .write.mode("overwrite").text(textDir)
+      Tables.documents(s, dir).select("text").write.text(textDir)
       // S1: raw text scan; M2+R2: wordcount over the line column.
       val counted = s.read.text(textDir)
         .select(explode(split(lower(col("value")), " ", -1)).as("word"))
         .groupBy("word").agg(count(lit(1)).as("cnt"))
       // S3: num_reducers=2 tab-separated output files.
-      counted.repartition(2).write.mode("overwrite")
+      counted.repartition(2).write
         .option("sep", "\t").option("emptyValue", "")
         .csv(outDir)
       // Read the sink back so the driver's oracle verifies the files.

@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Q, Tables}
 import graft.functions.Portable
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents` — the corpus-statistics
@@ -269,7 +270,7 @@ object TextOps {
            |  FROM kept)
            |GROUP BY split, lang ORDER BY split, lang""".stripMargin),
     ) { (s, dir) =>
-      val w = org.apache.spark.sql.expressions.Window
+      val w = Window
         .partitionBy(sha2(col("text"), 256)).orderBy("doc_id")
       val kept = Tables.documents(s, dir)
         .filter(length(col("text")) >= 50 && size(toks) >= 5)
