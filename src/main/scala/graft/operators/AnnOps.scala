@@ -35,6 +35,7 @@ object AnnOps {
   private val NumProbes = 5
   private val NumCells = 16
   private val NProbe = 4
+  private val KSeeds = 8
 
   /** Fixed pseudo-random hyperplanes — owned by [[HyperSig]] (the
     * fused native expression that computes the 16-bit signature); this
@@ -53,9 +54,11 @@ object AnnOps {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
-  private def norm(e: Column): Column =
-    sqrt(aggregate(transform(e, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
+  private def normSq(e: Column): Column =
+    aggregate(transform(e, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def norm(e: Column): Column = sqrt(normSq(e))
 
   /** The ANN determinism contract, shared by every search query: cosine
     * in double, rounded to 6dp BEFORE ranking (so both engines rank the
@@ -95,8 +98,10 @@ object AnnOps {
   private def dotColSql(a: String, b: String): String =
     s"list_sum(list_transform(range($Dim), i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)))"
 
-  private def normSql(e: String): String =
-    s"sqrt(list_sum(list_transform($e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+  private def normSqSql(e: String): String =
+    s"list_sum(list_transform($e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+
+  private def normSql(e: String): String = s"sqrt(${normSqSql(e)})"
 
   /** DuckDB twin of [[cosSim]]. */
   private def cosSimSql(a: String, b: String): String =
@@ -350,6 +355,108 @@ object AnnOps {
         .agg(count(lit(1)).as("n_vecs"),
           round(avg(col("dot") / (col("vn") * col("cn"))), 6).as("avg_cos_to_centroid"))
         .orderBy("label")
+    },
+
+    Q(
+      "q_kmeans_step",
+      s"one Lloyd iteration, k=$KSeeds seed centroids: assignment is " +
+        "corpus × broadcast(seeds) per-row argmin (squared-L2 rounded " +
+        "6dp, ties by cent_id) — the corpus never shuffles for it; " +
+        "recompute is a (cent_id, pos)-keyed mean bounded by k×dims. " +
+        "Iterating = repeating this step with the output as the new " +
+        "seed table; the per-iteration cost is one corpus scan",
+      Some(
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+           |cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM e WHERE vec_id < $KSeeds),
+           |assign AS (
+           |  SELECT vec_id, cent_id, embedding FROM (
+           |    SELECT e.vec_id, c.cent_id, e.embedding,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        round(${normSqSql("embedding")}
+           |          - 2 * ${dotColSql("embedding", "ce")}
+           |          + ${normSqSql("ce")}, 6),
+           |        c.cent_id) AS rn
+           |    FROM e CROSS JOIN cents c) WHERE rn = 1
+           |), ev AS (
+           |  SELECT cent_id, i AS pos, CAST(embedding[i+1] AS DOUBLE) AS val
+           |  FROM assign, range($Dim) AS u(i)
+           |), newc AS (
+           |  SELECT cent_id, pos, round(avg(val), 6) AS cval
+           |  FROM ev GROUP BY cent_id, pos
+           |), counts AS (SELECT cent_id, count(*) AS n_vecs FROM assign GROUP BY cent_id)
+           |SELECT newc.cent_id, pos, n_vecs, cval
+           |FROM newc JOIN counts ON newc.cent_id = counts.cent_id
+           |ORDER BY newc.cent_id, pos""".stripMargin),
+    ) { (s, dir) =>
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val cents = e.filter(col("vec_id") < KSeeds)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+      // Squared L2 via ||v||² − 2·v·c + ||c||² (same op order as the
+      // oracle; the 6dp round absorbs last-ulp libm drift).
+      val d2 = round(
+        normSq(col("embedding")) - lit(2.0) * dotCol(col("embedding"), col("ce"))
+          + normSq(col("ce")), 6)
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("d2"), col("cent_id"))
+      val assign = e.crossJoin(broadcast(cents))
+        .withColumn("d2", d2)
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cent_id"), col("embedding"))
+      val ev = assign
+        .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("cent_id"), col("pos").cast("long").as("pos"),
+          col("v").cast("double").as("val"))
+      val newc = ev.groupBy("cent_id", "pos").agg(round(avg("val"), 6).as("cval"))
+      val counts = assign.groupBy("cent_id").agg(count(lit(1)).as("n_vecs"))
+      newc.join(counts, Seq("cent_id"))
+        .select("cent_id", "pos", "n_vecs", "cval")
+        .orderBy("cent_id", "pos")
+    },
+
+    Q(
+      "q_embed_quantize",
+      "symmetric int8 quantization per vector: scale = max|x|/127, " +
+        "elements round-clamped to [-127,127]; emits scale, quantized " +
+        "checksum and max reconstruction error — pure per-row array " +
+        "expression work, zero shuffles before the output sort. At " +
+        "100 TB this is the compression pass before ANN indexing: 4× " +
+        "smaller vectors, error bound checked inline",
+      Some(
+        """WITH s AS (
+          |  SELECT vec_id, embedding,
+          |    greatest(list_max(list_transform(embedding,
+          |      x -> abs(CAST(x AS DOUBLE)))) / 127.0, 1e-12) AS scale
+          |  FROM embeddings
+          |)
+          |SELECT vec_id, round(scale, 6) AS scale,
+          |  CAST(list_sum(list_transform(embedding, x ->
+          |    greatest(-127.0, least(127.0,
+          |      round(CAST(x AS DOUBLE) / scale))))) AS BIGINT) AS qsum,
+          |  round(list_max(list_transform(embedding, x ->
+          |    abs(CAST(x AS DOUBLE) - greatest(-127.0, least(127.0,
+          |      round(CAST(x AS DOUBLE) / scale))) * scale))), 6) AS max_err
+          |FROM s ORDER BY vec_id""".stripMargin),
+    ) { (s, dir) =>
+      // greatest(·, 1e-12) guards the all-zero vector (scale 0 would
+      // divide by zero with engine-dependent results). The raw scale
+      // keeps a distinct name from the rounded output column: Spark
+      // 4's lateral-column-alias resolution would otherwise bind the
+      // quantizer to `round(scale, 6) AS scale` from the same select
+      // list, silently quantizing against the rounded scale.
+      val quant = (x: Column) =>
+        greatest(lit(-127.0), least(lit(127.0),
+          round(x.cast("double") / col("scale_raw"), 0)))
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          greatest(
+            array_max(transform(col("embedding"), x => abs(x.cast("double")))) / lit(127.0),
+            lit(1e-12)).as("scale_raw"))
+        .select(col("vec_id"), round(col("scale_raw"), 6).as("scale"),
+          aggregate(transform(col("embedding"), quant),
+            lit(0.0), (acc, x) => acc + x).cast("long").as("qsum"),
+          round(array_max(transform(col("embedding"),
+            x => abs(x.cast("double") - quant(x) * col("scale_raw")))), 6).as("max_err"))
+        .orderBy("vec_id")
     },
   )
 }

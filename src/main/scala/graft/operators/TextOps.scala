@@ -316,5 +316,53 @@ object TextOps {
           size(array_distinct(col("grams"))).cast("long").as("n_grams"))
         .orderBy("doc_id")
     },
+
+    Q(
+      "q_tfidf",
+      "top-5 distinctive terms per lang by TF-IDF: term frequency is a " +
+        "(lang, term)-keyed agg, document frequency a term-keyed " +
+        "distinct agg, both bounded by vocabulary; the corpus size is a " +
+        "1-row broadcast; score join is term-keyed (vocab-sized, never " +
+        "corpus-sized); tfidf rounded 6dp before ranking, ties by term",
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS term
+          |  FROM documents
+          |), tf AS (
+          |  SELECT lang, term, count(*) AS tf FROM tok GROUP BY lang, term
+          |), df AS (
+          |  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+          |), n AS (SELECT count(*) AS n_docs FROM documents),
+          |scored AS (
+          |  SELECT lang, tf.term AS term,
+          |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+          |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+          |), ranked AS (
+          |  SELECT lang, term, tfidf,
+          |    row_number() OVER (PARTITION BY lang
+          |      ORDER BY tfidf DESC, term) AS rank
+          |  FROM scored)
+          |SELECT lang, term, tfidf, rank FROM ranked
+          |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin),
+    ) { (s, dir) =>
+      // One corpus scan feeds both aggregations; everything after the
+      // explode is keyed by term or (lang, term) — shuffle volume is
+      // the vocabulary, not the corpus. ln() is libm on both engines
+      // (last-ulp differences vanish under the 6dp round).
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), explode(toks).as("term"))
+      val tf = tok.groupBy("lang", "term").agg(count(lit(1)).as("tf"))
+      val df = tok.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
+        .select(col("lang"), col("term"),
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
+            .as("tfidf"))
+      val w = Window.partitionBy("lang").orderBy(col("tfidf").desc, col("term"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .orderBy("lang", "rank")
+    },
   )
 }

@@ -61,6 +61,33 @@ class AnnSpec extends AnyFunSuite {
     assert(ivf == brute, s"ivf=$ivf brute=$brute")
   }
 
+  test("q_kmeans_step: every vector assigned; centroid is the exact mean") {
+    // Seeds are vec_id < 8, so vec 0 is the only centroid: all 4
+    // vectors land in its cell and the recomputed centroid is their
+    // elementwise mean — (1+2+1+0)/4 on dim 0, (0+0+0.1+1)/4 on dim 1.
+    val rows = SparkEntry.queries("q_kmeans_step")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == 64)
+    assert(rows.forall(r => r._1 == 0L && r._3 == 4L))
+    val c0 = rows.map(r => r._2 -> r._4).toMap
+    assert(c0(0L) == 1.0 && c0(1L) == 0.275)
+    assert((2L to 63L).forall(c0(_) == 0.0))
+  }
+
+  test("q_embed_quantize: scale, saturation and error bound") {
+    val rows = SparkEntry.queries("q_embed_quantize")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Seq(0L, 10L, 11L, 12L))
+    val byId = rows.map(r => r._1 -> r).toMap
+    // vec 0 = e0: scale 1/127, max element quantizes to exactly 127.
+    assert(math.abs(byId(0L)._2 - 1.0 / 127) < 1e-6)
+    assert(byId(0L)._3 == 127L)
+    // Round-clamp error can never exceed half a quantization step.
+    rows.foreach { case (id, scale, _, err) =>
+      assert(err <= scale / 2 + 1e-9, s"vec $id err $err > scale/2 $scale")
+    }
+  }
+
   test("q_embed_centroids: tight label 0 scores higher than split label") {
     val rows = SparkEntry.queries("q_embed_centroids")(spark, dir).collect()
       .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
