@@ -224,5 +224,31 @@ object MapReduceParity {
         .na.fill("", Seq("word"))
         .orderBy("word")
     },
+
+    Q(
+      "q_jsonl_source",
+      "JSON-lines source/sink roundtrip: documents written as JSONL, " +
+        "re-read with an explicit schema (schema-on-read — no " +
+        "inference scan at scale), aggregated per source; the oracle " +
+        "runs on the original parquet, so any roundtrip corruption " +
+        "(escaping, nulls, numeric width) breaks the hash. JSONL " +
+        "splits by newline, so reads parallelize like text at 100 TB",
+      Some(
+        """SELECT source, count(*) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+    ) { (s, dir) =>
+      val jsonDir = s"$scratchRoot/${scratchSeq.getAndIncrement()}/jsonl"
+      Tables.documents(s, dir).write.json(jsonDir)
+      s.read
+        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+        .json(jsonDir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).as("sum_text_len"))
+        .orderBy("source")
+    },
   )
 }

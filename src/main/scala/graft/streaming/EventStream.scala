@@ -2,6 +2,19 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Typed row for the stateful sessionizer (top-level so Catalyst's
+  * generated encoder code can reference it). */
+case class SessEvent(ts: Timestamp, user_id: Long, value: Double, event_id: Long)
+
+/** Per-user open-session state: all times epoch-millis. */
+case class SessState(start: Long, last: Long, n: Long, sumValue: Double, firstEvent: Long)
+
+/** A closed session as emitted downstream. */
+case class SessionOut(user_id: Long, session_start: Timestamp, session_end: Timestamp,
+    n_events: Long, sum_value: Double, first_event: Long)
 
 /** Structured Streaming twins of the batch event analytics in
   * [[graft.operators.EventsOps]] (the reference engine is batch-only —
@@ -43,4 +56,68 @@ object EventStream {
     events
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
+
+  private val GapMs: Long = 30L * 60 * 1000
+
+  /** Custom-state sessionizer via flatMapGroupsWithState — the same
+    * 30-minute-gap sessions as [[sessions]], but with hand-rolled
+    * per-user state instead of session_window: the shape to reach for
+    * when session semantics outgrow a gap (caps, value-dependent
+    * splits, per-session sketches). A session closes either when a
+    * later event of the same user arrives past the gap (emitted that
+    * batch) or when the event-time timeout fires after the watermark
+    * passes last+gap. State is one small record per ACTIVE user —
+    * bounded by concurrent users, not history — and is always freed
+    * by timeout, so a 100 TB/day stream holds state ∝ live sessions.
+    */
+  def sessionizedState(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .selectExpr("ts", "user_id", "value", "event_id").as[SessEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(sessionFn)
+      .toDF()
+  }
+
+  private def toOut(user: Long, s: SessState): SessionOut =
+    SessionOut(user, new Timestamp(s.start), new Timestamp(s.last),
+      s.n, s.sumValue, s.firstEvent)
+
+  private def sessionFn(user: Long, evs: Iterator[SessEvent],
+      state: GroupState[SessState]): Iterator[SessionOut] = {
+    if (state.hasTimedOut) {
+      val out = state.getOption.map(toOut(user, _)).iterator
+      state.remove()
+      out
+    } else {
+      // Within-batch order is arbitrary; sort by event time (id as a
+      // deterministic tiebreak) before folding into sessions.
+      val sorted = evs.toIndexedSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      var cur = state.getOption
+      for (e <- sorted) {
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.last <= GapMs =>
+            cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1,
+              sumValue = s.sumValue + e.value))
+          case Some(s) =>
+            closed += toOut(user, s)
+            cur = Some(SessState(t, t, 1, e.value, e.event_id))
+          case None =>
+            cur = Some(SessState(t, t, 1, e.value, e.event_id))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        // The timeout timestamp must sit strictly past the current
+        // watermark or Spark rejects it (a session whose gap already
+        // elapsed just times out on the next batch).
+        state.setTimeoutTimestamp(
+          math.max(s.last + GapMs, state.getCurrentWatermarkMs + 1))
+      }
+      closed.iterator
+    }
+  }
 }

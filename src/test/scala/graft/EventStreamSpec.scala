@@ -71,6 +71,40 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionizedState: gap split emits in-batch; timeout flushes the tail") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = EventStream.sessionizedState(src.toDF())
+      .writeStream.format("memory").queryName("sess_state_out")
+      .outputMode("append").start()
+    try {
+      // User 1: t0 + t10 (one session), then t60 — the 50-min gap
+      // closes the first session within the batch.
+      src.addData(
+        Ev(ts(0), 1, "click", 1.0, 100),
+        Ev(ts(10), 1, "click", 2.0, 101),
+        Ev(ts(60), 1, "click", 4.0, 102))
+      q.processAllAvailable()
+      val inBatch = spark.table("sess_state_out")
+        .select("user_id", "n_events", "sum_value", "first_event").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      assert(inBatch == Set((1L, 2L, 3.0, 100L)))
+      // Push the watermark (2h lag) past t60+30min: the open tail
+      // session times out. Two sentinel batches — the watermark a
+      // batch COMPUTES only gates timeouts in the NEXT batch.
+      src.addData(Ev(ts(400), 9, "click", 0.0, 900))
+      q.processAllAvailable()
+      src.addData(Ev(ts(401), 9, "click", 0.0, 901))
+      q.processAllAvailable()
+      val all = spark.table("sess_state_out")
+        .filter(col("user_id") =!= 9)
+        .select("user_id", "n_events", "sum_value", "first_event").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      assert(all == Set((1L, 2L, 3.0, 100L), (1L, 1L, 4.0, 102L)))
+    } finally q.stop()
+  }
+
   test("deduped: repeated event_id within the watermark is dropped") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
