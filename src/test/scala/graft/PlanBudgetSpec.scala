@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression tests for the SURVEY §8 scale claims: each query's
+  * physical plan must keep the shuffle/broadcast/pushdown shape its
+  * design note promises. A refactor that silently adds an exchange or
+  * flips a broadcast join to sort-merge changes nothing at test SF —
+  * and everything at 100 TB — so the plan shape is asserted here, not
+  * just documented.
+  *
+  * Plans are inspected as strings (the convention BucketSpec set);
+  * nothing here executes a query.
+  */
+class PlanBudgetSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  private def hashExchanges(p: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(p).length
+
+  test("per-row operators plan zero pre-sort shuffles") {
+    // Their §8 notes promise pure per-row expression work; the only
+    // allowed exchange is the output sort's range partitioning.
+    for (q <- Seq("q_embed_quantize", "q_fingerprint", "q_lang_id",
+        "q_text_quality", "q_frame_sample", "q_payload_resize", "q_hash_sample")) {
+      val p = plan(q)
+      assert(hashExchanges(p) == 0,
+        s"$q promises zero shuffles before the output sort, plan:\n$p")
+    }
+  }
+
+  test("q_wordcount shuffles exactly once (map-side combine proves partial agg)") {
+    val p = plan("q_wordcount")
+    assert(hashExchanges(p) == 1, s"plan:\n$p")
+    assert(p.contains("HashAggregate"), s"plan:\n$p")
+  }
+
+  test("q_join_broadcast keeps the dims broadcast — fact side never shuffles") {
+    val p = plan("q_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+    assert(hashExchanges(p) <= 1, // the aggregate after the joins
+      s"fact side must not shuffle for the join, plan:\n$p")
+  }
+
+  test("q_filter_project pushes predicate and projection into the scan") {
+    val p = plan("q_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull"), s"plan:\n$p")
+    // Projection pruning: the scan schema must not include unused wide
+    // columns like l_comment-equivalents (l_returnflag stands in).
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_returnflag"), s"scan not pruned: $readSchema")
+    assert(readSchema.contains("l_extendedprice"), s"scan schema: $readSchema")
+  }
+
+  test("q_topk plans a TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"plan:\n$p")
+  }
+
+  test("q_simsearch streams the corpus against broadcast probes") {
+    val p = plan("q_simsearch")
+    assert(p.contains("Broadcast"), s"probes must broadcast, plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle to join, plan:\n$p")
+  }
+
+  test("q1_agg aggregates inside whole-stage codegen") {
+    // The plain plan string hides codegen stage boundaries; the
+    // codegen explain mode lists every WholeStageCodegen subtree.
+    val df = SparkEntry.queries("q1_agg")(spark, dir)
+    val p = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.CodegenMode)
+    assert(p.contains("WholeStageCodegen"), s"codegen explain:\n${p.take(2000)}")
+  }
+}
