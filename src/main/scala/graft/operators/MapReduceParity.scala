@@ -226,6 +226,37 @@ object MapReduceParity {
     },
 
     Q(
+      "q_mr_job",
+      "the whole reference job pipeline behind one call: documents as " +
+        "a text dir → graft.MapReduceJob.run (map executable → " +
+        "key-sorted shuffle → reduce executable → outputfileNN " +
+        "renames) → sink files read back; the oracle re-derives the " +
+        "word count relationally, so the gate checks the full job " +
+        "contract end to end",
+      Some(
+        s"""SELECT word, count(*) AS cnt
+           |FROM (SELECT $tokensSql AS word FROM documents)
+           |GROUP BY word ORDER BY word""".stripMargin),
+    ) { (s, dir) =>
+      val scratch = s"$scratchRoot/${scratchSeq.getAndIncrement()}"
+      val textDir = s"$scratch/input"
+      val outDir = s"$scratch/output"
+      Tables.documents(s, dir).select("text").write.text(textDir)
+      graft.MapReduceJob.run(s, graft.JobSpec(
+        inputDirectory = textDir,
+        outputDirectory = outDir,
+        mapperExecutable = Pipes.wcMap,
+        reducerExecutable = Pipes.wcReduce,
+        numMappers = 4,
+        numReducers = 2))
+      s.read.schema("word STRING, cnt LONG")
+        .option("sep", "\t").option("emptyValue", "")
+        .csv(outDir)
+        .na.fill("", Seq("word"))
+        .orderBy("word")
+    },
+
+    Q(
       "q_jsonl_source",
       "JSON-lines source/sink roundtrip: documents written as JSONL, " +
         "re-read with an explicit schema (schema-on-read — no " +

@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.MapReduceParity.Pipes
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import scala.io.Source
+
+/** Drives [[MapReduceJob]] with the reference's own job shape (word
+  * count over its public test corpus, num_mappers=4, num_reducers=2)
+  * and checks the reference's observable contract: `outputfileNN`
+  * names, every distinct key in exactly one file, and the union of
+  * files equal (order-insensitively) to the reference golden output —
+  * the comparison `tests/test_integration_03.py:82-92` makes.
+  */
+class MapReduceJobSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("word-count job reproduces the reference golden outputs") {
+    val outDir = Files.createTempDirectory("graft-mrjob").toString
+    val files = MapReduceJob.run(spark, JobSpec(
+      inputDirectory = TestSpark.resource("corpus"),
+      outputDirectory = outDir,
+      mapperExecutable = Pipes.wcMap,
+      reducerExecutable = Pipes.wcReduce,
+      numMappers = 4,
+      numReducers = 2))
+
+    assert(files.map(_.split('/').last) == Seq("outputfile01", "outputfile02"))
+
+    val perFile = files.map { f =>
+      val src = Source.fromFile(f)
+      try src.getLines().toList finally src.close()
+    }
+    // Each distinct key lands in exactly one output file.
+    val keySets = perFile.map(_.map(_.split('\t').head).toSet)
+    assert(keySets.head.intersect(keySets(1)).isEmpty)
+
+    val golden = {
+      val src = Source.fromResource("golden/word_count_correct.txt")
+      try src.getLines().toList finally src.close()
+    }
+    assert(perFile.flatten.sorted == golden.sorted)
+    assert(perFile.flatten.contains("\t9")) // the empty key survives
+  }
+}
