@@ -54,6 +54,16 @@ object MapReduceParity {
       * count, emit `word\ttotal`. */
     val wcReduce: Seq[String] =
       Seq("sh", "-c", """cut -f1 | uniq -c | awk '{print $2"\t"$1}'""")
+
+    /** grep_map.py:12-28 — strip, drop empty lines, emit `1\tline`
+      * when the lowercased line contains the query ("product"). */
+    val grepMap: Seq[String] = Seq("sh", "-c",
+      """LC_ALL=C awk '{gsub(/^[ \t\r]+|[ \t\r]+$/, ""); if ($0 != "" && index(tolower($0), "product")) print "1\t"$0}'""")
+
+    /** grep_reduce.py:14-27 — print the value field of well-formed
+      * `key\tvalue` lines. */
+    val grepReduce: Seq[String] =
+      Seq("sh", "-c", """LC_ALL=C awk -F'\t' 'NF==2 {print $2}'""")
   }
 
   /** Per-JVM scratch root for q_text_sink's roundtrip, removed on JVM

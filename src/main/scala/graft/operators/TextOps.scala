@@ -364,5 +364,67 @@ object TextOps {
         .filter(col("rank") <= 5)
         .orderBy("lang", "rank")
     },
+
+    Q(
+      "q_stratified_sample",
+      "per-lang stratified sample, 100 docs/stratum, ordered by " +
+        "portable content hash (deterministic across engines, runs, " +
+        "and cluster sizes — rand()-based sampling is none of those); " +
+        "per-stratum rank = one lang-keyed window, and Spark's " +
+        "WindowGroupLimit pushes the k-limit map-side so the shuffle " +
+        "carries ≤k rows per stratum per partition",
+      Some(
+        s"""SELECT lang, doc_id, rank FROM (
+           |  SELECT lang, doc_id,
+           |    row_number() OVER (PARTITION BY lang
+           |      ORDER BY ${Portable.md5Hash60Sql("text")}, doc_id) AS rank
+           |  FROM documents)
+           |WHERE rank <= 100 ORDER BY lang, rank""".stripMargin),
+    ) { (s, dir) =>
+      val w = Window.partitionBy("lang")
+        .orderBy(Portable.md5Hash60(col("text")), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"),
+          row_number().over(w).cast("long").as("rank"))
+        .filter(col("rank") <= 100)
+        .orderBy("lang", "rank")
+    },
+
+    Q(
+      "q_seq_pack",
+      "sequence packing for LLM training: docs hash-bucketed into 32 " +
+        "independent pack groups, filled in content-hash order into " +
+        "2048-token bins via a per-group running sum — every group " +
+        "packs in parallel (a global-order pack would serialize the " +
+        "window), new data only appends bins, and bin occupancy is " +
+        "the training-efficiency metric this emits",
+      Some(
+        s"""WITH d AS (
+           |  SELECT ${Portable.md5Hash60Sql("text")} % 32 AS grp,
+           |    ${Portable.md5Hash60Sql("text")} AS h, doc_id,
+           |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+           |  FROM documents
+           |), binned AS (
+           |  SELECT grp, n_tokens,
+           |    (sum(n_tokens) OVER (PARTITION BY grp ORDER BY h, doc_id
+           |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |     - n_tokens) // 2048 AS bin
+           |  FROM d)
+           |SELECT grp, bin, count(*) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+           |FROM binned GROUP BY grp, bin ORDER BY grp, bin""".stripMargin),
+    ) { (s, dir) =>
+      val h = Portable.md5Hash60(col("text"))
+      val d = Tables.documents(s, dir)
+        .select((h % 32).as("grp"), h.as("h"), col("doc_id"),
+          size(toks).cast("long").as("n_tokens"))
+      val w = Window.partitionBy("grp").orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.withColumn("bin",
+          floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / 2048))
+        .groupBy("grp", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy("grp", "bin")
+    },
   )
 }

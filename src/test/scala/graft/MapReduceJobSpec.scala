@@ -43,4 +43,25 @@ class MapReduceJobSpec extends AnyFunSuite {
     assert(perFile.flatten.sorted == golden.sorted)
     assert(perFile.flatten.contains("\t9")) // the empty key survives
   }
+
+  test("grep job reproduces grep_correct.txt through the same API") {
+    val outDir = Files.createTempDirectory("graft-mrjob-grep").toString
+    val files = MapReduceJob.run(spark, JobSpec(
+      inputDirectory = TestSpark.resource("corpus"),
+      outputDirectory = outDir,
+      mapperExecutable = Pipes.grepMap,
+      reducerExecutable = Pipes.grepReduce,
+      numMappers = 4,
+      numReducers = 1))
+    assert(files.map(_.split('/').last) == Seq("outputfile01"))
+    val out = {
+      val src = Source.fromFile(files.head)
+      try src.getLines().toList finally src.close()
+    }
+    val golden = {
+      val src = Source.fromResource("golden/grep_correct.txt")
+      try src.getLines().toList finally src.close()
+    }
+    assert(out.sorted == golden.sorted)
+  }
 }
