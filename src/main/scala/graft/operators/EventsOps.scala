@@ -276,5 +276,46 @@ object EventsOps {
         )
         .orderBy("cohort_day")
     },
+
+    Q(
+      "q_events_zscore",
+      "per-type z-score outliers (|z| > 3): stats are one keyed agg " +
+        "bounded by #event_types, broadcast back for a per-row score — " +
+        "the corpus never shuffles. Mean/variance use exact fixed-point " +
+        "sums (of value and value², both rounded per row at 1e-6) so " +
+        "both engines derive bit-identical stats at any parallelism",
+      Some(
+        """WITH stats AS (
+          |  SELECT event_type, count(*) AS n,
+          |    CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) AS DOUBLE)
+          |      / 1000000.0 AS s1,
+          |    CAST(sum(CAST(round(value * value * 1000000.0) AS BIGINT)) AS DOUBLE)
+          |      / 1000000.0 AS s2
+          |  FROM events GROUP BY event_type
+          |), scored AS (
+          |  SELECT e.event_id, e.event_type, e.value,
+          |    round((e.value - s1 / n) /
+          |      sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) AS z
+          |  FROM events e JOIN stats s ON e.event_type = s.event_type)
+          |SELECT event_id, event_type, value, z FROM scored
+          |WHERE abs(z) > 3 ORDER BY event_type, event_id""".stripMargin),
+    ) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val stats = ev.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        (sum(round(col("value") * 1e6, 0).cast("long")).cast("double") / 1e6).as("s1"),
+        (sum(round(col("value") * col("value") * 1e6, 0).cast("long")).cast("double") / 1e6)
+          .as("s2"))
+      // Same arithmetic shape as the oracle: mean = s1/n, var = s2/n −
+      // mean², z rounded 6dp before the cut so the boundary can't
+      // flutter between engines.
+      val mean = col("s1") / col("n")
+      val z = round((col("value") - mean) /
+        sqrt(col("s2") / col("n") - mean * mean), 6)
+      ev.join(broadcast(stats), Seq("event_type"))
+        .select(col("event_id"), col("event_type"), col("value"), z.as("z"))
+        .filter(abs(col("z")) > 3)
+        .orderBy("event_type", "event_id")
+    },
   )
 }

@@ -57,6 +57,32 @@ object EventStream {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream attribution join — purchases matched to the same
+    * user's clicks in the preceding hour (the streaming face of
+    * q_asof_join's click→purchase pairing). Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * Spark can expire click state past (watermark − 1h): state size
+    * follows the join window, not the stream's history.
+    */
+  def attributed(events: DataFrame): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("ts").as("click_ts"), col("user_id").as("click_user"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("ts").as("purchase_ts"), col("user_id").as("purchase_user"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "2 hours")
+    purchases.join(clicks,
+      col("purchase_user") === col("click_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_user").as("user_id"), col("purchase_id"),
+        col("click_id"), col("purchase_ts"), col("click_ts"), col("value"))
+  }
+
   private val GapMs: Long = 30L * 60 * 1000
 
   /** Custom-state sessionizer via flatMapGroupsWithState — the same

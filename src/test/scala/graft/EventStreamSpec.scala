@@ -105,6 +105,27 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("attributed: purchases join clicks within the preceding hour only") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = EventStream.attributed(src.toDF())
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      src.addData(
+        Ev(ts(0), 1, "click", 0.0, 100),
+        Ev(ts(30), 1, "purchase", 9.0, 101),  // 30 min after click: joins
+        Ev(ts(200), 2, "click", 0.0, 200),
+        Ev(ts(290), 2, "purchase", 5.0, 201)) // 90 min after click: outside window
+      q.processAllAvailable()
+      val rows = spark.table("attr_out")
+        .select("user_id", "purchase_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set((1L, 101L, 100L)))
+    } finally q.stop()
+  }
+
   test("deduped: repeated event_id within the watermark is dropped") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
