@@ -380,13 +380,10 @@ object AnnOps {
            |), ev AS (
            |  SELECT cent_id, i AS pos, CAST(embedding[i+1] AS DOUBLE) AS val
            |  FROM assign, range($Dim) AS u(i)
-           |), newc AS (
-           |  SELECT cent_id, pos, round(avg(val), 6) AS cval
-           |  FROM ev GROUP BY cent_id, pos
-           |), counts AS (SELECT cent_id, count(*) AS n_vecs FROM assign GROUP BY cent_id)
-           |SELECT newc.cent_id, pos, n_vecs, cval
-           |FROM newc JOIN counts ON newc.cent_id = counts.cent_id
-           |ORDER BY newc.cent_id, pos""".stripMargin),
+           |)
+           |SELECT cent_id, pos, count(*) AS n_vecs, round(avg(val), 6) AS cval
+           |FROM ev GROUP BY cent_id, pos
+           |ORDER BY cent_id, pos""".stripMargin),
     ) { (s, dir) =>
       val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
       val cents = e.filter(col("vec_id") < KSeeds)
@@ -402,14 +399,16 @@ object AnnOps {
         .withColumn("rn", row_number().over(wAssign))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("cent_id"), col("embedding"))
+      // n_vecs rides the same (cent_id, pos) group — every assigned
+      // vector contributes exactly one row per pos — so the whole
+      // recompute is ONE scan pipeline: no count join, no second pass
+      // over the assignment.
       val ev = assign
         .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .select(col("cent_id"), col("pos").cast("long").as("pos"),
           col("v").cast("double").as("val"))
-      val newc = ev.groupBy("cent_id", "pos").agg(round(avg("val"), 6).as("cval"))
-      val counts = assign.groupBy("cent_id").agg(count(lit(1)).as("n_vecs"))
-      newc.join(counts, Seq("cent_id"))
-        .select("cent_id", "pos", "n_vecs", "cval")
+      ev.groupBy("cent_id", "pos")
+        .agg(count(lit(1)).as("n_vecs"), round(avg("val"), 6).as("cval"))
         .orderBy("cent_id", "pos")
     },
 

@@ -69,6 +69,33 @@ class PlanBudgetSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle to join, plan:\n$p")
   }
 
+  test("q_stratified_sample pushes the per-stratum limit map-side") {
+    val p = plan("q_stratified_sample")
+    assert(p.contains("WindowGroupLimit"), s"plan:\n$p")
+  }
+
+  test("q_seq_pack reuses the window's grp partitioning for the bin agg") {
+    // Window by grp + groupBy(grp, bin): hashpartitioning(grp) already
+    // clusters (grp, bin), so exactly ONE hash exchange total.
+    val p = plan("q_seq_pack")
+    assert(hashExchanges(p) == 1, s"plan:\n$p")
+  }
+
+  test("q_events_zscore broadcasts the per-type stats back to the scan") {
+    val p = plan("q_events_zscore")
+    assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+    assert(hashExchanges(p) == 1, // the stats aggregation only
+      s"the event scan must not shuffle for the join, plan:\n$p")
+  }
+
+  test("q_kmeans_step is one scan pipeline — no count join, no sort-merge") {
+    val p = plan("q_kmeans_step")
+    assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), // corpus × broadcast(seeds)
+      s"assignment must broadcast the seeds, plan:\n$p")
+  }
+
   test("q1_agg aggregates inside whole-stage codegen") {
     // The plain plan string hides codegen stage boundaries; the
     // codegen explain mode lists every WholeStageCodegen subtree.
