@@ -267,6 +267,28 @@ object MapReduceParity {
     },
 
     Q(
+      "q_partitioned_sink",
+      "hive-style partitioned parquet sink (partitionBy lang), re-read " +
+        "with a partition filter: only the lang=en directory is listed " +
+        "and scanned — partition pruning at the source, the 100 TB " +
+        "layout for lang-sliced corpora (PartitionPruneSpec asserts " +
+        "the selectedPartitions count for this layout)",
+      Some(
+        """SELECT source, count(*) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |FROM documents WHERE lang = 'en'
+          |GROUP BY source ORDER BY source""".stripMargin),
+    ) { (s, dir) =>
+      val out = s"$scratchRoot/${scratchSeq.getAndIncrement()}/bylang"
+      Tables.documents(s, dir).write.partitionBy("lang").parquet(out)
+      s.read.parquet(out)
+        .filter(col("lang") === "en")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("source")
+    },
+
+    Q(
       "q_jsonl_source",
       "JSON-lines source/sink roundtrip: documents written as JSONL, " +
         "re-read with an explicit schema (schema-on-read — no " +
