@@ -528,5 +528,80 @@ object Relational {
         )
         .orderBy("l_returnflag")
     },
+
+    Q(
+      "q_star_multiway",
+      "4-table star: orders⋈customer is the one true shuffle (both " +
+        "fact-sized at scale, keyed on custkey); nation and region stay " +
+        "broadcast so the join cascade adds zero extra fact shuffles — " +
+        "Catalyst is free to reorder the dimension joins",
+      Some(
+        """SELECT r_name, o_orderpriority, count(*) AS n_orders,
+          |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS DOUBLE) AS sum_price
+          |FROM orders
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY r_name, o_orderpriority
+          |ORDER BY r_name, o_orderpriority""".stripMargin),
+    ) { (s, dir) =>
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), exactSum(col("o_totalprice")).as("sum_price"))
+        .orderBy("r_name", "o_orderpriority")
+    },
+
+    Q(
+      "q_correlated",
+      "correlated scalar subquery (per-customer order count ≥ 3): " +
+        "Catalyst decorrelates it into an aggregate + join instead of " +
+        "a per-row probe — the per-row subquery a naive engine would " +
+        "run 100 B times becomes one keyed agg + one join",
+      Some(
+        """SELECT c_mktsegment, count(*) AS n_cust
+          |FROM customer c
+          |WHERE (SELECT count(*) FROM orders o
+          |       WHERE o.o_custkey = c.c_custkey) >= 3
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+    ) { (s, dir) =>
+      // Through spark.sql on purpose: the demonstration is Catalyst's
+      // subquery decorrelation, which only the SQL path exercises.
+      Tables.customer(s, dir).createOrReplaceTempView("customer")
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT c_mktsegment, count(*) AS n_cust
+          |FROM customer c
+          |WHERE (SELECT count(*) FROM orders o
+          |       WHERE o.o_custkey = c.c_custkey) >= 3
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    },
+
+    Q(
+      "q_window_range",
+      "RANGE-frame window: per-user trailing-1h event count ordered by " +
+        "epoch-millis — a value-bounded frame (RANGE), not a row-count " +
+        "frame; one user-keyed shuffle, single pass per partition with " +
+        "a sliding frame boundary",
+      Some(
+        """SELECT event_id, user_id, n_1h FROM (
+          |  SELECT event_id, user_id,
+          |    count(*) OVER (PARTITION BY user_id
+          |      ORDER BY epoch_ms(CAST(ts AS TIMESTAMP))
+          |      RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS n_1h
+          |  FROM events)
+          |ORDER BY event_id""".stripMargin),
+    ) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("tms")
+        .rangeBetween(-3600000L, 0L)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          expr("unix_millis(ts)").as("tms"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .select("event_id", "user_id", "n_1h")
+        .orderBy("event_id")
+    },
   )
 }
