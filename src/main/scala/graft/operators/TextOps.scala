@@ -319,11 +319,12 @@ object TextOps {
 
     Q(
       "q_tfidf",
-      "top-5 distinctive terms per lang by TF-IDF: term frequency is a " +
-        "(lang, term)-keyed agg, document frequency a term-keyed " +
-        "distinct agg, both bounded by vocabulary; the corpus size is a " +
-        "1-row broadcast; score join is term-keyed (vocab-sized, never " +
-        "corpus-sized); tfidf rounded 6dp before ranking, ties by term",
+      "top-5 distinctive terms per lang by TF-IDF in ONE corpus pass: " +
+        "a (lang, term)-keyed agg yields tf AND the per-lang distinct " +
+        "doc count; corpus-wide df is then a term-keyed window sum " +
+        "over the vocab-sized frame (a doc has one lang, so per-lang " +
+        "distinct counts partition df exactly); the corpus size is a " +
+        "1-row broadcast; tfidf rounded 6dp before ranking, ties by term",
       Some(
         """WITH tok AS (
           |  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS term
@@ -345,17 +346,20 @@ object TextOps {
           |SELECT lang, term, tfidf, rank FROM ranked
           |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin),
     ) { (s, dir) =>
-      // One corpus scan feeds both aggregations; everything after the
-      // explode is keyed by term or (lang, term) — shuffle volume is
-      // the vocabulary, not the corpus. ln() is libm on both engines
-      // (last-ulp differences vanish under the 6dp round).
-      val tok = Tables.documents(s, dir)
+      // ONE corpus scan: tf and the per-lang distinct-doc count come
+      // from the same (lang, term) aggregation; since every doc has
+      // exactly one lang, corpus-wide df(term) = Σ_lang df_l — a
+      // window sum over the already-vocab-sized frame. Everything
+      // after the explode moves vocabulary rows, never corpus rows.
+      // ln() is libm on both engines (last-ulp differences vanish
+      // under the 6dp round).
+      val agg = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), explode(toks).as("term"))
-      val tf = tok.groupBy("lang", "term").agg(count(lit(1)).as("tf"))
-      val df = tok.select("doc_id", "term").distinct()
-        .groupBy("term").agg(count(lit(1)).as("df"))
+        .groupBy("lang", "term")
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df_l"))
+        .withColumn("df", sum(col("df_l")).over(Window.partitionBy("term")))
       val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
-      val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
+      val scored = agg.crossJoin(broadcast(n))
         .select(col("lang"), col("term"),
           round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
             .as("tfidf"))
@@ -363,6 +367,44 @@ object TextOps {
       scored.withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 5)
         .orderBy("lang", "rank")
+    },
+
+    Q(
+      "q_repetition",
+      "intra-document repetition scoring (the Gopher/C4 quality rule): " +
+        "duplicate word-3-gram and duplicate-token ratios per doc — " +
+        "pure per-row array math, linear in doc length, zero shuffles " +
+        "before the output sort; the repetitive-doc filter downstream " +
+        "is then a per-row predicate",
+      Some(
+        """SELECT doc_id,
+          |  round(1 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+          |    AS dup_gram_ratio,
+          |  round(1 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6)
+          |    AS dup_token_ratio
+          |FROM (
+          |  SELECT doc_id, t,
+          |    list_transform(range(len(t) - 2),
+          |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) AS grams
+          |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+          |  WHERE len(t) >= 3)
+          |ORDER BY doc_id""".stripMargin),
+    ) { (s, dir) =>
+      val grams = transform(sequence(lit(0), size(col("t")) - 3),
+        i => concat_ws(" ",
+          element_at(col("t"), i + 1),
+          element_at(col("t"), i + 2),
+          element_at(col("t"), i + 3)))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), toks.as("t"))
+        .filter(size(col("t")) >= 3)
+        .withColumn("grams", grams)
+        .select(col("doc_id"),
+          round(lit(1) - size(array_distinct(col("grams"))).cast("double")
+            / size(col("grams")), 6).as("dup_gram_ratio"),
+          round(lit(1) - size(array_distinct(col("t"))).cast("double")
+            / size(col("t")), 6).as("dup_token_ratio"))
+        .orderBy("doc_id")
     },
 
     Q(
