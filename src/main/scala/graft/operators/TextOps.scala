@@ -408,6 +408,50 @@ object TextOps {
     },
 
     Q(
+      "q_decontaminate",
+      "train/test decontamination (the 13-gram overlap rule, sized to " +
+        "this corpus as word-5-grams): distinct grams per doc, split " +
+        "assigned by the same content hash as q_train_split, then a " +
+        "gram-keyed inverted-index join test←train — candidates are " +
+        "O(shared grams), never test×train pairs; at 100 TB add " +
+        "max-df gram pruning exactly like the Jaccard join",
+      Some(
+        s"""WITH labeled AS (
+           |  SELECT doc_id, string_split(lower(text), ' ') AS t,
+           |    CASE WHEN ${Portable.md5Hash60Sql("text")} % 100 < 80 THEN 'train'
+           |         WHEN ${Portable.md5Hash60Sql("text")} % 100 < 90 THEN 'val'
+           |         ELSE 'test' END AS split
+           |  FROM documents
+           |), grams AS (
+           |  SELECT DISTINCT doc_id, split, unnest(list_transform(range(len(t) - 4),
+           |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5])) AS g
+           |  FROM labeled WHERE len(t) >= 5)
+           |SELECT te.doc_id AS test_doc,
+           |  count(DISTINCT tr.doc_id) AS n_train_docs,
+           |  count(DISTINCT te.g) AS n_shared_grams
+           |FROM grams te JOIN grams tr ON te.g = tr.g
+           |WHERE te.split = 'test' AND tr.split = 'train'
+           |GROUP BY te.doc_id ORDER BY te.doc_id""".stripMargin),
+    ) { (s, dir) =>
+      val bucket = pmod(Portable.md5Hash60(col("text")), lit(100))
+      val grams5 = transform(sequence(lit(0), size(col("t")) - 5),
+        i => concat_ws(" ", (0 to 4).map(k => element_at(col("t"), i + k + 1)): _*))
+      val grams = Tables.documents(s, dir)
+        .select(col("doc_id"), toks.as("t"),
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test").as("split"))
+        .filter(size(col("t")) >= 5)
+        .select(col("doc_id"), col("split"), explode(array_distinct(grams5)).as("g"))
+      grams.filter(col("split") === "test").as("te")
+        .join(grams.filter(col("split") === "train").as("tr"),
+          col("te.g") === col("tr.g"))
+        .groupBy(col("te.doc_id").as("test_doc"))
+        .agg(countDistinct(col("tr.doc_id")).as("n_train_docs"),
+          countDistinct(col("te.g")).as("n_shared_grams"))
+        .orderBy("test_doc")
+    },
+
+    Q(
       "q_stratified_sample",
       "per-lang stratified sample, 100 docs/stratum, ordered by " +
         "portable content hash (deterministic across engines, runs, " +
