@@ -66,28 +66,6 @@ object MapReduceParity {
       Seq("sh", "-c", """LC_ALL=C awk -F'\t' 'NF==2 {print $2}'""")
   }
 
-  /** Per-JVM scratch root for q_text_sink's roundtrip, removed on JVM
-    * exit. Each invocation gets a numbered subdirectory: a previously
-    * returned DataFrame is lazily backed by its sink files, so
-    * invocations must never overwrite each other — but they can share
-    * one root so repeated runs stop leaking /tmp directories across
-    * JVMs.
-    */
-  private lazy val scratchRoot: java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory("graft-textsink")
-    sys.addShutdownHook {
-      import java.nio.file.{Files, Path}
-      import java.util.Comparator
-      if (Files.exists(p)) {
-        val walk = Files.walk(p)
-        try walk.sorted(Comparator.reverseOrder[Path]()).forEach(Files.deleteIfExists(_))
-        finally walk.close()
-      }
-    }
-    p
-  }
-  private val scratchSeq = new java.util.concurrent.atomic.AtomicLong(0L)
-
   val all: Seq[Q] = Seq(
     Q(
       "q_wordcount",
@@ -214,7 +192,7 @@ object MapReduceParity {
            |FROM (SELECT $tokensSql AS word FROM documents)
            |GROUP BY word ORDER BY word""".stripMargin),
     ) { (s, dir) =>
-      val scratch = s"$scratchRoot/${scratchSeq.getAndIncrement()}"
+      val scratch = Scratch.dir()
       val textDir = s"$scratch/input"
       val outDir = s"$scratch/output"
       // S3 stage 0: corpus as a plain-text directory (one line per doc).
@@ -248,7 +226,7 @@ object MapReduceParity {
            |FROM (SELECT $tokensSql AS word FROM documents)
            |GROUP BY word ORDER BY word""".stripMargin),
     ) { (s, dir) =>
-      val scratch = s"$scratchRoot/${scratchSeq.getAndIncrement()}"
+      val scratch = Scratch.dir()
       val textDir = s"$scratch/input"
       val outDir = s"$scratch/output"
       Tables.documents(s, dir).select("text").write.text(textDir)
@@ -279,7 +257,7 @@ object MapReduceParity {
           |FROM documents WHERE lang = 'en'
           |GROUP BY source ORDER BY source""".stripMargin),
     ) { (s, dir) =>
-      val out = s"$scratchRoot/${scratchSeq.getAndIncrement()}/bylang"
+      val out = s"${Scratch.dir()}/bylang"
       Tables.documents(s, dir).write.partitionBy("lang").parquet(out)
       s.read.parquet(out)
         .filter(col("lang") === "en")
@@ -302,7 +280,7 @@ object MapReduceParity {
           |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
           |FROM documents GROUP BY source ORDER BY source""".stripMargin),
     ) { (s, dir) =>
-      val jsonDir = s"$scratchRoot/${scratchSeq.getAndIncrement()}/jsonl"
+      val jsonDir = s"${Scratch.dir()}/jsonl"
       Tables.documents(s, dir).write.json(jsonDir)
       s.read
         .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")

@@ -149,5 +149,40 @@ object MultimodalOps {
           i => col("text").substr((i * 16 + 1).cast("int"), lit(1))), "").as("thumbnail"),
       ).orderBy("doc_id")
     },
+
+    Q(
+      "q_binary_ingest",
+      "file-per-asset ingestion via the binaryFile source (the on-disk " +
+        "media shape: one image/audio file per asset): payloads written " +
+        "as docNNNN.bin by executors, re-listed and read as (path, " +
+        "content) binary rows, id parsed from the filename, then " +
+        "length + digest verified against the originals. binaryFile " +
+        "parallelizes per file; bounded to 500 assets here because a " +
+        "file-per-row layout is exactly what you COMPACT away at scale " +
+        "— the q_multimodal_batch parquet layout is the destination",
+      Some(
+        s"""SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+           |  ${graft.functions.Portable.md5Hash60Sql("text")} AS digest
+           |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin),
+    ) { (s, dir) =>
+      import s.implicits._
+      val assetDir = s"${Scratch.dir()}/assets"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(assetDir))
+      Tables.documents(s, dir).filter(col("doc_id") < 500)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])].rdd
+        .foreachPartition { it =>
+          it.foreach { case (id, bytes) =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(assetDir, f"doc$id%06d.bin"), bytes)
+          }
+        }
+      s.read.format("binaryFile").load(assetDir)
+        .select(
+          regexp_extract(col("path"), "doc(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
+          col("length").as("n_bytes"),
+          graft.functions.Portable.md5Hash60(col("content")).as("digest"))
+        .orderBy("doc_id")
+    },
   )
 }
