@@ -44,6 +44,40 @@ class MapReduceJobSpec extends AnyFunSuite {
     assert(perFile.flatten.contains("\t9")) // the empty key survives
   }
 
+  test("wc job agrees with the declarative plan on a seeded random corpus") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(42)
+    val alphabet = Vector("Alpha", "beta", "GAMMA", "delta", "x1", "Y2", "")
+    val lines = Seq.fill(300) {
+      Seq.fill(rnd.nextInt(8))(alphabet(rnd.nextInt(alphabet.size)))
+        .mkString(" ")
+    }
+    val inDir = Files.createTempDirectory("graft-mrjob-rand-in")
+    Files.write(inDir.resolve("part0"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val outDir = Files.createTempDirectory("graft-mrjob-rand-out").toString
+
+    val files = MapReduceJob.run(spark, JobSpec(
+      inputDirectory = inDir.toString,
+      outputDirectory = outDir,
+      mapperExecutable = Pipes.wcMap,
+      reducerExecutable = Pipes.wcReduce,
+      numMappers = 3,
+      numReducers = 4))
+    val viaJob = files.flatMap { f =>
+      val src = Source.fromFile(f)
+      try src.getLines().toList finally src.close()
+    }.sorted
+
+    val viaPlan = spark.read.text(inDir.toString)
+      .select(explode(split(lower(col("value")), "[ \t]", -1)).as("word"))
+      .groupBy("word").count()
+      .collect()
+      .map(r => s"${r.getString(0)}\t${r.getLong(1)}")
+      .toSeq.sorted
+    assert(viaJob == viaPlan)
+  }
+
   test("grep job reproduces grep_correct.txt through the same API") {
     val outDir = Files.createTempDirectory("graft-mrjob-grep").toString
     val files = MapReduceJob.run(spark, JobSpec(
