@@ -267,6 +267,32 @@ object MapReduceParity {
     },
 
     Q(
+      "q_schema_merge",
+      "parquet schema evolution at the source: an old batch written " +
+        "without the lang column and a new batch with it are read " +
+        "together under mergeSchema=true — missing columns surface as " +
+        "nulls, handled explicitly with coalesce. The lakehouse " +
+        "reality at 100 TB: batches from different pipeline versions " +
+        "coexist and the reader, not a rewrite job, absorbs the drift",
+      Some(
+        """SELECT CASE WHEN doc_id < 250 THEN 'unknown' ELSE lang END AS lang,
+          |  count(*) AS n_docs
+          |FROM documents WHERE doc_id < 500
+          |GROUP BY 1 ORDER BY 1""".stripMargin),
+    ) { (s, dir) =>
+      val base = s"${Scratch.dir()}/evolving"
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
+      docs.filter(col("doc_id") < 250)
+        .select("doc_id", "text").write.parquet(s"$base/v1")
+      docs.filter(col("doc_id") >= 250)
+        .select("doc_id", "text", "lang").write.parquet(s"$base/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$base/v1", s"$base/v2")
+        .groupBy(coalesce(col("lang"), lit("unknown")).as("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    },
+
+    Q(
       "q_jsonl_source",
       "JSON-lines source/sink roundtrip: documents written as JSONL, " +
         "re-read with an explicit schema (schema-on-read — no " +

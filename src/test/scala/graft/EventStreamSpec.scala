@@ -126,6 +126,42 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionizedState: state survives a checkpointed restart") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val outPath = java.nio.file.Files.createTempDirectory("graft-ckpt-out").toString
+    val src = MemoryStream[Ev]
+    // The memory sink refuses checkpoint recovery; the parquet file
+    // sink is the one with real exactly-once restart semantics anyway.
+    def start() = EventStream.sessionizedState(src.toDF())
+      .writeStream.format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    // Open a session for user 1, then stop the query mid-session.
+    val q1 = start()
+    try {
+      src.addData(Ev(ts(0), 1, "click", 1.0, 100), Ev(ts(10), 1, "click", 2.0, 101))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // Restart from the checkpoint: the open session must still be in
+    // state, so an event 50 min later closes it as ONE 2-event session
+    // plus the new single-event session — not a fresh start.
+    val q2 = start()
+    try {
+      src.addData(Ev(ts(60), 1, "click", 4.0, 102))
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(outPath)
+        .select("user_id", "n_events", "sum_value", "first_event").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      assert(rows == Set((1L, 2L, 3.0, 100L)),
+        s"restart must resume the open session, got $rows")
+    } finally q2.stop()
+  }
+
   test("deduped: repeated event_id within the watermark is dropped") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
