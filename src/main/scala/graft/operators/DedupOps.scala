@@ -309,6 +309,41 @@ object DedupOps {
     },
 
     Q(
+      "q_dedup_incremental",
+      "incremental dedup — the daily-batch production shape: the new " +
+        "batch (docs ≥ 400) is cleaned against the base corpus by " +
+        "content-hash LEFT ANTI join, then exact-deduped within " +
+        "itself keeping the lowest doc_id. The base side ships only " +
+        "its hash column (pruned at the scan); nothing ever " +
+        "re-deduplicates the base against itself",
+      Some(
+        """WITH base AS (
+          |  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 400
+          |), batch AS (
+          |  SELECT doc_id, lang, md5(text) AS h FROM documents WHERE doc_id >= 400
+          |), survivors AS (
+          |  SELECT doc_id, lang FROM (
+          |    SELECT doc_id, lang,
+          |      row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+          |    FROM batch WHERE h NOT IN (SELECT h FROM base)) WHERE rn = 1
+          |)
+          |SELECT lang, count(*) AS n_new FROM survivors
+          |GROUP BY lang ORDER BY lang""".stripMargin),
+    ) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val base = docs.filter(col("doc_id") < 400)
+        .select(md5(col("text")).as("h")).distinct()
+      val batch = docs.filter(col("doc_id") >= 400)
+        .select(col("doc_id"), col("lang"), md5(col("text")).as("h"))
+      val w = Window.partitionBy("h").orderBy("doc_id")
+      batch.join(base, Seq("h"), "left_anti")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy("lang").agg(count(lit(1)).as("n_new"))
+        .orderBy("lang")
+    },
+
+    Q(
       "q_ngram_jaccard",
       "exact 3-gram Jaccard ≥ 0.5 via inverted-index join on shingle " +
         "(the classic candidate generator): |A∩B| from a keyed " +
