@@ -83,4 +83,23 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs((0L, 3L)) == 1.0)
     assert(!pairs.keys.exists(k => k._1 == 2L || k._2 == 2L))
   }
+
+  test("q_dedup_incremental drops base dups and within-batch dups") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-dedup-incr").toString
+    // Base: ids 0,1 (< 400). Batch (≥ 400): 400 duplicates base doc 0
+    // (dropped vs base), 401/402 are identical fresh docs (one
+    // survives), 403 is unique.
+    Seq(
+      (0L, "base doc alpha", "en"), (1L, "base doc beta", "en"),
+      (400L, "base doc alpha", "en"),
+      (401L, "fresh doc gamma", "en"), (402L, "fresh doc gamma", "en"),
+      (403L, "fresh doc delta", "fr"),
+    ).map { case (id, t, l) => (id, t, l, "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val rows = SparkEntry.queries("q_dedup_incremental")(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == Map("en" -> 1L, "fr" -> 1L)) // gamma (401) + delta (403)
+  }
 }
