@@ -62,9 +62,12 @@ object AnnOps {
 
   /** The ANN determinism contract, shared by every search query: cosine
     * in double, rounded to 6dp BEFORE ranking (so both engines rank the
-    * same values), ties broken by id. */
-  private def cosSim(a: Column, b: Column): Column =
-    round(dotCol(a, b) / (norm(a) * norm(b)), 6)
+    * same values), ties broken by id. Backed by the fused native
+    * [[graft.functions.CosSim]] expression (one codegen'd pass) —
+    * bit-identical to the three-fold higher-order form it replaced,
+    * which CosSimSpec asserts. */
+  private def cosSim(s: SparkSession, a: String, b: String): Column =
+    round(graft.functions.CosSim.cosineSim(s, a, b), 6)
 
   /** Per-probe top-k over a (probe_id, neighbor_id, cos_sim) frame:
     * row_number window = per-partition heap + one shuffle of survivors. */
@@ -149,7 +152,7 @@ object AnnOps {
       rankTopK(broadcast(probes)
         .join(e, col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-          cosSim(col("pe"), col("embedding")).as("cos_sim")))
+          cosSim(s, "pe", "embedding").as("cos_sim")))
     },
 
     Q(
@@ -195,7 +198,7 @@ object AnnOps {
           col("b.vec_id").as("neighbor_id"), col("b.embedding").as("ne"))
         .distinct()
       rankTopK(cands.select(col("probe_id"), col("neighbor_id"),
-        cosSim(col("pe"), col("ne")).as("cos_sim")))
+        cosSim(s, "pe", "ne").as("cos_sim")))
     },
 
     Q(
@@ -239,7 +242,7 @@ object AnnOps {
       val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
       val cents = e.filter(col("vec_id") < NumCells)
         .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
-      val centSim = cosSim(col("embedding"), col("ce"))
+      val centSim = cosSim(s, "embedding", "ce")
       // Nearest-cell assignment: corpus × broadcast(centroids), argmax
       // per vector. The centroid set is tiny at any corpus scale, so
       // this is per-row work after a broadcast — never a corpus shuffle.
@@ -258,7 +261,7 @@ object AnnOps {
         .join(assign, Seq("cent_id"))
         .filter(col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-          cosSim(col("pe"), col("embedding")).as("cos_sim")))
+          cosSim(s, "pe", "embedding").as("cos_sim")))
     },
 
     Q(
@@ -305,7 +308,7 @@ object AnnOps {
       val cands = candIds
         .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), Seq("vec_a"))
         .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), Seq("vec_b"))
-      val sim = cosSim(col("ea"), col("eb"))
+      val sim = cosSim(s, "ea", "eb")
       cands
         .select(col("vec_a"), col("vec_b"), sim.as("cos_sim"))
         .filter(col("cos_sim") >= 0.45)
