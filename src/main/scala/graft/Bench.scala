@@ -11,12 +11,15 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      // A failed query must read as a failure (-1.0), never as a fast time.
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Total sums successful queries only; failed slots are visible as -1.0.
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -57,6 +57,32 @@ object DedupOps {
   private val shingleSql =
     "list_distinct(list_transform(range(len(t)-2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))"
 
+  /** Max document frequency a shingle may have before it is treated as
+    * a stop-shingle and excluded from the Jaccard universe. On a web
+    * corpus a stop-shingle ("in the and") makes the candidate join
+    * quadratic in its df; capping df bounds any shingle's join fan-out
+    * at MaxShingleDf². The SAME constant is spliced into the oracle
+    * SQL, so Spark and DuckDB prune identically.
+    */
+  private[graft] val MaxShingleDf = 1000L
+
+  /** Exploded (doc_id, shingle, df) stream with stop-shingles (df >
+    * maxDf) removed. The df window's exchange IS the df aggregation —
+    * one shingle-keyed shuffle, no extra pass. Exposed for the planted
+    * stop-shingle test in DedupSpec.
+    */
+  private[graft] def prunedShingles(
+      docs: org.apache.spark.sql.DataFrame, maxDf: Long)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = split(lower(col("text")), " ", -1)
+    docs
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(shingleCol(col("t"))).as("shingle"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .filter(col("df") <= maxDf)
+  }
+
   /** DuckDB twin of the fused expression's base hash
     * ([[MinHash60.compute]]): 60-bit md5 prefix mod P. */
   private val baseHashSql =
@@ -347,14 +373,23 @@ object DedupOps {
       "q_ngram_jaccard",
       "exact 3-gram Jaccard ≥ 0.5 via inverted-index join on shingle " +
         "(the classic candidate generator): |A∩B| from a keyed " +
-        "self-join, sizes joined back — never an all-pairs scan; at " +
-        "100 TB add min/max-df shingle pruning against stop-shingle fan-out",
+        s"self-join, sizes joined back — never an all-pairs scan; df " +
+        s"pruning guards the fan-out: shingles with df > $MaxShingleDf " +
+        "(stop-shingles, identically dropped in the oracle) leave the " +
+        "Jaccard universe, and df=1 shingles — which cannot intersect " +
+        "anything — are pruned from the join input only, keeping the " +
+        "similarity exact",
       Some(
-        s"""WITH sh AS (
+        s"""WITH sh0 AS (
            |  SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM (
            |    SELECT doc_id, $shingleSql AS shingles
            |    FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
            |    WHERE len(t) >= 3)
+           |), sh AS (
+           |  SELECT doc_id, shingle FROM (
+           |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+           |    FROM sh0)
+           |  WHERE df <= $MaxShingleDf
            |), sizes AS (
            |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
            |), inter AS (
@@ -370,29 +405,31 @@ object DedupOps {
            |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
            |ORDER BY doc_a, doc_b""".stripMargin),
     ) { (s, dir) =>
-      val toks = split(lower(col("text")), " ", -1)
-      // Set sizes ride along as a doc_id window (the shingle array is
-      // already distinct, so n_sh = count over the doc partition). The
-      // window's exchange is load-bearing twice over, measured 3x
-      // end-to-end: (a) it redistributes the exploded shingle stream
-      // across all executor cores — without it the candidate join +
-      // pair agg inherit the parquet scan's file-split count (1-2
-      // partitions at bench SF) and run nearly serial; (b) its doc_id
-      // hash partitioning satisfies the pair aggregation's required
-      // distribution, so the O(candidates) join output is aggregated
-      // in place and NEVER shuffles — only the per-pair distinct
-      // survivors move. At bench SF the planner broadcasts the build
-      // side (fine: estimate follows the scan); at 100 TB the same
-      // plan degrades gracefully to a shingle-keyed sort-merge join,
-      // plus the min/max-df pruning noted above.
-      val sh = Tables.documents(s, dir)
-        .select(col("doc_id"), toks.as("t"))
-        .filter(size(col("t")) >= 3)
-        .select(col("doc_id"), explode(shingleCol(col("t"))).as("shingle"))
+      // Pipeline: shingle-df window (its exchange IS the df
+      // aggregation — one shingle-keyed shuffle, no extra pass) prunes
+      // stop-shingles; then set sizes ride along as a doc_id window
+      // over the pruned stream. The doc_id window's exchange is
+      // load-bearing twice over, measured 3x end-to-end: (a) it
+      // redistributes the exploded shingle stream across all executor
+      // cores — without it the candidate join + pair agg inherit the
+      // parquet scan's file-split count (1-2 partitions at bench SF)
+      // and run nearly serial; (b) its doc_id hash partitioning
+      // satisfies the pair aggregation's required distribution, so the
+      // O(candidates) join output is aggregated in place and NEVER
+      // shuffles — only the per-pair distinct survivors move. At bench
+      // SF the planner broadcasts the build side (fine: estimate
+      // follows the scan); at 100 TB the same plan degrades gracefully
+      // to a shingle-keyed sort-merge join whose worst-case fan-out the
+      // df cap bounds. df=1 shingles are dropped from the join input
+      // AFTER n_sh is computed: they cannot appear in any intersection,
+      // so the Jaccard values are untouched while the join sheds the
+      // long unique-shingle tail (most of a real corpus).
+      val sh = prunedShingles(Tables.documents(s, dir), MaxShingleDf)
         .withColumn("n_sh",
           count(lit(1)).over(Window.partitionBy("doc_id")))
-      val inter = sh.as("a")
-        .join(sh.as("b"),
+      val joinSide = sh.filter(col("df") >= 2)
+      val inter = joinSide.as("a")
+        .join(joinSide.as("b"),
           col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("n_common"),

@@ -37,6 +37,14 @@ object TextOps {
 
   private val toks = split(lower(col("text")), " ", -1)
 
+  /** Max document frequency a 5-gram may have before it is treated as
+    * a stop-gram and excluded from decontamination matching. Same
+    * rationale as [[DedupOps.MaxShingleDf]]: a stop-gram makes the
+    * test←train candidate join quadratic in its df. Spliced into the
+    * oracle SQL so both engines prune identically.
+    */
+  private[graft] val MaxGramDf = 1000L
+
   val all: Seq[Q] = Seq(
     Q(
       "q_text_stats",
@@ -413,8 +421,11 @@ object TextOps {
         "this corpus as word-5-grams): distinct grams per doc, split " +
         "assigned by the same content hash as q_train_split, then a " +
         "gram-keyed inverted-index join test←train — candidates are " +
-        "O(shared grams), never test×train pairs; at 100 TB add " +
-        "max-df gram pruning exactly like the Jaccard join",
+        s"O(shared grams), never test×train pairs; grams with df > " +
+        s"$MaxGramDf (stop-grams, identically dropped in the oracle) " +
+        "are excluded from matching, and df=1 grams — which cannot be " +
+        "shared across splits — are pruned from the join input as a " +
+        "pure optimization",
       Some(
         s"""WITH labeled AS (
            |  SELECT doc_id, string_split(lower(text), ' ') AS t,
@@ -422,10 +433,15 @@ object TextOps {
            |         WHEN ${Portable.md5Hash60Sql("text")} % 100 < 90 THEN 'val'
            |         ELSE 'test' END AS split
            |  FROM documents
-           |), grams AS (
+           |), grams0 AS (
            |  SELECT DISTINCT doc_id, split, unnest(list_transform(range(len(t) - 4),
            |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5])) AS g
-           |  FROM labeled WHERE len(t) >= 5)
+           |  FROM labeled WHERE len(t) >= 5
+           |), grams AS (
+           |  SELECT doc_id, split, g FROM (
+           |    SELECT doc_id, split, g, count(*) OVER (PARTITION BY g) AS df
+           |    FROM grams0)
+           |  WHERE df <= $MaxGramDf)
            |SELECT te.doc_id AS test_doc,
            |  count(DISTINCT tr.doc_id) AS n_train_docs,
            |  count(DISTINCT te.g) AS n_shared_grams
@@ -436,12 +452,19 @@ object TextOps {
       val bucket = pmod(Portable.md5Hash60(col("text")), lit(100))
       val grams5 = transform(sequence(lit(0), size(col("t")) - 5),
         i => concat_ws(" ", (0 to 4).map(k => element_at(col("t"), i + k + 1)): _*))
+      // The gram-df window's exchange IS the df aggregation (one
+      // g-keyed shuffle); df > MaxGramDf stop-grams leave the matching
+      // universe on both engines, and df = 1 grams — present in only
+      // one doc, so never shared test↔train — are shed before the join
+      // without changing any output row.
       val grams = Tables.documents(s, dir)
         .select(col("doc_id"), toks.as("t"),
           when(bucket < 80, "train").when(bucket < 90, "val")
             .otherwise("test").as("split"))
         .filter(size(col("t")) >= 5)
         .select(col("doc_id"), col("split"), explode(array_distinct(grams5)).as("g"))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
+        .filter(col("df") <= MaxGramDf && col("df") >= 2)
       grams.filter(col("split") === "test").as("te")
         .join(grams.filter(col("split") === "train").as("tr"),
           col("te.g") === col("tr.g"))
@@ -506,8 +529,12 @@ object TextOps {
           size(toks).cast("long").as("n_tokens"))
       val w = Window.partitionBy("grp").orderBy("h", "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      d.withColumn("bin",
-          floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / 2048))
+      // Pure BIGINT arithmetic on both engines: Spark `div` truncates and
+      // DuckDB `//` floors, identical on the non-negative running sum — no
+      // double-precision round-trip anywhere in the bin computation.
+      d.withColumn("cum", sum(col("n_tokens")).over(w) - col("n_tokens"))
+        .withColumn("bin", expr("cum div 2048"))
+        .drop("cum")
         .groupBy("grp", "bin")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
         .orderBy("grp", "bin")

@@ -84,6 +84,31 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.keys.exists(k => k._1 == 2L || k._2 == 2L))
   }
 
+  test("stop-shingle df pruning collapses the candidate join fan-out") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val d = Files.createTempDirectory("graft-stopsh").toString
+    // 20 docs share one stop-shingle ("common stop shingle", df=20);
+    // every other shingle is unique to its doc (df=1).
+    (0 until 20).map { i =>
+      val t = s"common stop shingle u$i v$i w$i x$i"
+      (i.toLong, t, "en", "s", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val docsDf = spark.read.parquet(s"$d/documents.parquet")
+    def candidatePairs(maxDf: Long): Long = {
+      val j = operators.DedupOps.prunedShingles(docsDf, maxDf)
+        .filter(col("df") >= 2)
+      j.as("a").join(j.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id")).count()
+    }
+    // Unpruned: the stop-shingle alone generates C(20,2) pairs. A df
+    // cap below 20 removes it and the candidate set collapses to zero.
+    assert(candidatePairs(maxDf = 1000L) == 190L)
+    assert(candidatePairs(maxDf = 10L) == 0L)
+  }
+
   test("q_dedup_incremental drops base dups and within-batch dups") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft-dedup-incr").toString

@@ -82,6 +82,28 @@ class PlanBudgetSpec extends AnyFunSuite {
     assert(hashExchanges(p) == 1, s"plan:\n$p")
   }
 
+  test("q_ngram_jaccard prunes shingle df before the candidate join") {
+    val p = plan("q_ngram_jaccard")
+    // The df aggregation must ride a shingle-keyed window (its
+    // exchange IS the df pass)…
+    assert(p.contains("windowspecdefinition(shingle#"), s"plan:\n$p")
+    // …the stop-shingle cap must sit between that window and the join…
+    assert(p.contains(s"<= ${operators.DedupOps.MaxShingleDf}"), s"plan:\n$p")
+    // …and df=1 shingles must be shed from the join input.
+    assert(p.contains(">= 2"), s"plan:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"),
+      s"plan:\n$p")
+  }
+
+  test("q_decontaminate prunes gram df before the test←train join") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("windowspecdefinition(g#"), s"plan:\n$p")
+    assert(p.contains(s"<= ${operators.TextOps.MaxGramDf}"), s"plan:\n$p")
+    assert(p.contains(">= 2"), s"plan:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"),
+      s"plan:\n$p")
+  }
+
   test("q_events_zscore broadcasts the per-type stats back to the scan") {
     val p = plan("q_events_zscore")
     assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
