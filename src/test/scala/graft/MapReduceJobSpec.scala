@@ -78,6 +78,39 @@ class MapReduceJobSpec extends AnyFunSuite {
     assert(viaJob == viaPlan)
   }
 
+  test("literal routing reproduces the reference's exact per-file layout") {
+    import org.apache.spark.sql.functions._
+    val outDir = Files.createTempDirectory("graft-mrjob-literal").toString
+    val files = MapReduceJob.run(spark, JobSpec(
+      inputDirectory = TestSpark.resource("corpus"),
+      outputDirectory = outDir,
+      mapperExecutable = Pipes.wcMap,
+      reducerExecutable = Pipes.wcReduce,
+      numMappers = 4,
+      numReducers = 3), literalKeyRouting = true)
+    val perFile = files.map { f =>
+      val src = Source.fromFile(f)
+      try src.getLines().toList finally src.close()
+    }
+
+    // Oracle: the reference's merge routing (manager/__main__.py:454-461)
+    // simulated directly — the i-th distinct key of the sorted stream
+    // goes to file i % R; the wc reducer then emits one `key\tcount`
+    // line per key in stream (= sorted) order.
+    val counts = spark.read.text(TestSpark.resource("corpus"))
+      .select(explode(split(lower(col("value")), "[ \t]", -1)).as("word"))
+      .groupBy("word").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sortedKeys = counts.keys.toSeq.sorted
+    val expected = (0 until 3).map { f =>
+      sortedKeys.zipWithIndex
+        .collect { case (k, i) if i % 3 == f => s"$k\t${counts(k)}" }
+        .toList
+    }
+    // Byte-identical per-file contents, not just the union.
+    assert(perFile == expected)
+  }
+
   test("grep job reproduces grep_correct.txt through the same API") {
     val outDir = Files.createTempDirectory("graft-mrjob-grep").toString
     val files = MapReduceJob.run(spark, JobSpec(
