@@ -123,6 +123,103 @@ object AnnOps {
        |FROM ranked WHERE rank <= $TopK
        |ORDER BY probe_id, rank""".stripMargin
 
+  // ---- k-means training (iterated Lloyd), both engines ----
+
+  /** Fixed iteration counts so the DuckDB oracle can unroll the loop:
+    * 3 for the training query itself, 2 for the IVF coarse quantizer
+    * (enough to move the cells off the seeds; each extra iteration is
+    * one more corpus scan on both engines). */
+  private val KmIters = 3
+  private val KmIvfIters = 2
+
+  /** Squared-L2 argmin ordering, the shared assignment metric of every
+    * Lloyd step: ‖v‖² − 2·v·c + ‖c‖², rounded 6dp before ranking (the
+    * cross-engine sync point), ties by cent_id. */
+  private def d2Col: Column = round(
+    normSq(col("embedding")) - lit(2.0) * dotCol(col("embedding"), col("ce"))
+      + normSq(col("ce")), 6)
+
+  private def d2Sql: String =
+    s"""round(${normSqSql("embedding")}
+       |          - 2 * ${dotColSql("embedding", "ce")}
+       |          + ${normSqSql("ce")}, 6)""".stripMargin
+
+  /** One Lloyd iteration → long-form centroids (cent_id, pos, n_vecs,
+    * cval). cval is rounded to 6dp so the NEXT iteration starts from
+    * bit-identical centroids in both engines — per-step float drift is
+    * absorbed instead of compounding across iterations. */
+  private def lloydIterLong(e: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cent_id"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("d2", d2Col)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("cent_id"), col("pos").cast("long").as("pos"),
+        col("v").cast("double").as("val"))
+      .groupBy("cent_id", "pos")
+      .agg(count(lit(1)).as("n_vecs"), round(avg("val"), 6).as("cval"))
+  }
+
+  /** Long-form → array-form centroids; collect_list order is fixed by
+    * sorting the (pos, cval) structs, so the array is deterministic. */
+  private def toCentArrays(centLong: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    centLong.groupBy("cent_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("cval")))),
+        p => p.getField("cval")).as("ce"))
+
+  /** Runs `iters` Lloyd iterations from the first-k-vectors seeds;
+    * returns (array-form centroids, final long-form stats). Lineage is
+    * linear — iteration i's broadcast build side replays only
+    * iterations 1..i−1 over the tiny centroid tables, and each
+    * iteration costs exactly one corpus scan. */
+  private def trainCents(e: org.apache.spark.sql.DataFrame, k: Int, iters: Int)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    var cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"),
+        transform(col("embedding"), x => x.cast("double")).as("ce"))
+    var centLong: org.apache.spark.sql.DataFrame = null
+    for (_ <- 1 to iters) {
+      centLong = lloydIterLong(e, cents)
+      cents = toCentArrays(centLong)
+    }
+    (cents, centLong)
+  }
+
+  /** DuckDB twin of one Lloyd iteration: CTEs a_n (assignment), l_n
+    * (long-form centroids), c_n (array-form), reading c_(n-1). */
+  private def lloydIterSql(n: Int): String =
+    s"""a$n AS (
+       |  SELECT vec_id, cent_id, embedding FROM (
+       |    SELECT e.vec_id, c.cent_id, e.embedding,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        $d2Sql,
+       |        c.cent_id) AS rn
+       |    FROM e CROSS JOIN c${n - 1} c) WHERE rn = 1
+       |), l$n AS (
+       |  SELECT cent_id, i AS pos, count(*) AS n_vecs,
+       |    round(avg(CAST(embedding[i+1] AS DOUBLE)), 6) AS cval
+       |  FROM a$n, range($Dim) AS u(i)
+       |  GROUP BY cent_id, i
+       |), c$n AS (
+       |  SELECT cent_id, list(cval ORDER BY pos) AS ce FROM l$n GROUP BY cent_id
+       |)""".stripMargin
+
+  /** WITH-clause prefix running `iters` unrolled Lloyd iterations from
+    * the first-k seeds; ends (unclosed) after CTE c_iters. */
+  private def kmeansTrainSql(k: Int, iters: Int): String = {
+    val iterCtes = (1 to iters).map(lloydIterSql).mkString(", ")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |c0 AS (
+       |  SELECT vec_id AS cent_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+       |  FROM e WHERE vec_id < $k
+       |), $iterCtes""".stripMargin
+  }
+
   private def bandSql(e: String, b: Int): String =
     (0 until BandBits).map { k =>
       val j = b * BandBits + k
@@ -413,6 +510,84 @@ object AnnOps {
       ev.groupBy("cent_id", "pos")
         .agg(count(lit(1)).as("n_vecs"), round(avg("val"), 6).as("cval"))
         .orderBy("cent_id", "pos")
+    },
+
+    Q(
+      "q_kmeans_train",
+      s"k-means to convergence: $KmIters unrolled Lloyd iterations, " +
+        s"k=$KSeeds — the q_kmeans_step loop with per-iteration 6dp " +
+        "centroid rounding as the cross-engine sync point (drift is " +
+        "absorbed each round instead of compounding). Per-iteration " +
+        "cost is exactly one corpus scan (assignment streams the " +
+        "corpus against broadcast centroids; recompute is bounded by " +
+        "k×dims); lineage stays linear, so no checkpoint is needed at " +
+        "a fixed iteration count — an open-ended convergence loop " +
+        "would add the q_dedup_cluster checkpoint pattern unchanged",
+      Some(
+        s"""${kmeansTrainSql(KSeeds, KmIters)}
+           |SELECT cent_id, pos, n_vecs, cval
+           |FROM l$KmIters ORDER BY cent_id, pos""".stripMargin),
+    ) { (s, dir) =>
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val (_, centLong) = trainCents(e, KSeeds, KmIters)
+      centLong.select("cent_id", "pos", "n_vecs", "cval")
+        .orderBy("cent_id", "pos")
+    },
+
+    Q(
+      "q_simsearch_ivf_learned",
+      s"IVF with a LEARNED coarse quantizer: $KmIvfIters Lloyd " +
+        s"iterations train $NumCells cells, then the q_simsearch_ivf " +
+        s"machinery runs against them (assignment and probe routing " +
+        "both by the training metric, squared-L2). Learned cells " +
+        "follow the data distribution, so cell sizes even out vs the " +
+        "raw-seed variant and the nprobe/cells fraction touched is a " +
+        "tighter recall/cost knob; recall vs the brute-force twin on " +
+        "the same probes is asserted in AnnSpec",
+      Some {
+        val c = s"c$KmIvfIters"
+        s"""${kmeansTrainSql(NumCells, KmIvfIters)}, assign AS (
+           |  SELECT vec_id, embedding, cent_id FROM (
+           |    SELECT e.vec_id, e.embedding, c.cent_id,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        $d2Sql,
+           |        c.cent_id) AS rn
+           |    FROM e CROSS JOIN $c c) WHERE rn = 1
+           |), probe_cells AS (
+           |  SELECT vec_id AS probe_id, pe, cent_id FROM (
+           |    SELECT e.vec_id, e.embedding AS pe, c.cent_id,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        $d2Sql,
+           |        c.cent_id) AS rn
+           |    FROM e CROSS JOIN $c c
+           |    WHERE e.vec_id < $NumProbes) WHERE rn <= $NProbe
+           |), scored AS (
+           |  SELECT probe_id, a.vec_id AS neighbor_id,
+           |    ${cosSimSql("pe", "embedding")} AS cos_sim
+           |  FROM probe_cells p JOIN assign a ON a.cent_id = p.cent_id
+           |   AND a.vec_id <> p.probe_id
+           |)$rankTopKSqlTail""".stripMargin
+      },
+    ) { (s, dir) =>
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val (cents, _) = trainCents(e, NumCells, KmIvfIters)
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("d2"), col("cent_id"))
+      val assign = e.crossJoin(broadcast(cents))
+        .withColumn("d2", d2Col)
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cent_id"))
+      val probeCells = e.filter(col("vec_id") < NumProbes)
+        .crossJoin(broadcast(cents))
+        .withColumn("d2", d2Col)
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") <= NProbe)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("cent_id"))
+      rankTopK(broadcast(probeCells)
+        .join(assign, Seq("cent_id"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          cosSim(s, "pe", "embedding").as("cos_sim")))
     },
 
     Q(

@@ -74,6 +74,53 @@ class AnnSpec extends AnyFunSuite {
     assert((2L to 63L).forall(c0(_) == 0.0))
   }
 
+  test("q_kmeans_train: fixed point of the planted single-cell geometry") {
+    // With one surviving centroid (seed vec 0), every iteration assigns
+    // all 4 vectors to it, so 3 unrolled iterations must land on the
+    // same elementwise mean q_kmeans_step computes — the loop's fixed
+    // point, which also checks iteration plumbing changes nothing when
+    // converged.
+    val rows = SparkEntry.queries("q_kmeans_train")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == 64)
+    assert(rows.forall(r => r._1 == 0L && r._3 == 4L))
+    val c0 = rows.map(r => r._2 -> r._4).toMap
+    assert(c0(0L) == 1.0 && c0(1L) == 0.275)
+    assert((2L to 63L).forall(c0(_) == 0.0))
+  }
+
+  test("q_simsearch_ivf_learned matches brute force when all cells probed") {
+    // 4 vectors: at most 4 learned cells survive training, and
+    // nprobe=4 covers them all, so the learned-IVF result must equal
+    // q_simsearch exactly (recall 1.0 in the all-probed regime).
+    val ivf = SparkEntry.queries("q_simsearch_ivf_learned")(spark, dir).collect()
+      .filter(_.getLong(0) == 0L)
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val brute = SparkEntry.queries("q_simsearch")(spark, dir).collect()
+      .filter(_.getLong(0) == 0L)
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(ivf == brute, s"ivf=$ivf brute=$brute")
+  }
+
+  test("q_simsearch_ivf_learned recall@10 vs brute force on sf0.001") {
+    // The real recall/cost trade: nprobe=4 of 16 learned cells touches
+    // ~1/4 of the corpus. Recall floor is deliberately conservative —
+    // the point is a regression tripwire (a broken quantizer sends
+    // recall to ~0), not a benchmark.
+    val sf = "/root/testdata/sf0.001"
+    def topk(q: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(q)(spark, sf).collect()
+        .groupBy(_.getLong(0))
+        .map { case (p, rs) => p -> rs.map(_.getLong(1)).toSet }
+    val brute = topk("q_simsearch")
+    val learned = topk("q_simsearch_ivf_learned")
+    val recalls = brute.map { case (p, b) =>
+      learned.getOrElse(p, Set.empty).intersect(b).size.toDouble / b.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.3, s"mean recall@10 $mean; per-probe $recalls")
+  }
+
   test("q_embed_quantize: scale, saturation and error bound") {
     val rows = SparkEntry.queries("q_embed_quantize")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3)))

@@ -119,6 +119,21 @@ class PlanBudgetSpec extends AnyFunSuite {
       s"assignment must broadcast the seeds, plan:\n$p")
   }
 
+  test("q_kmeans_train: every iteration broadcasts centroids, never sort-merges") {
+    val p = plan("q_kmeans_train")
+    assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+    // 3 unrolled iterations ⇒ 3 corpus × broadcast(centroids) joins.
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 3, s"plan:\n$p")
+  }
+
+  test("q_simsearch_ivf_learned keeps cells broadcast end to end") {
+    val p = plan("q_simsearch_ivf_learned")
+    assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+    // 2 training iterations + corpus assignment + probe assignment all
+    // stream against broadcast centroid tables.
+    assert(p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
+  }
+
   test("q1_agg aggregates inside whole-stage codegen") {
     // The plain plan string hides codegen stage boundaries; the
     // codegen explain mode lists every WholeStageCodegen subtree.
