@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{HyperplaneSignature, MinHashSignature, SimHashSignature}
+import graft.functions.{CentArgmin, HyperplaneSignature, MinHashSignature, SimHashSignature}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -29,5 +29,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HyperplaneSignature].getName, "hypersig"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         HyperplaneSignature(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("cent_argmin_l2"),
+      new ExpressionInfo(classOf[CentArgmin].getName, "cent_argmin_l2"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CentArgmin(exprs.head, exprs(1), cosine = false)))
+    ext.injectFunction((
+      FunctionIdentifier("cent_argmin_cos"),
+      new ExpressionInfo(classOf[CentArgmin].getName, "cent_argmin_cos"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CentArgmin(exprs.head, exprs(1), cosine = true)))
   }
 }

@@ -132,12 +132,48 @@ object AnnOps {
   private val KmIters = 3
   private val KmIvfIters = 2
 
-  /** Squared-L2 argmin ordering, the shared assignment metric of every
-    * Lloyd step: ‖v‖² − 2·v·c + ‖c‖², rounded 6dp before ranking (the
-    * cross-engine sync point), ties by cent_id. */
-  private def d2Col: Column = round(
-    normSq(col("embedding")) - lit(2.0) * dotCol(col("embedding"), col("ce"))
-      + normSq(col("ce")), 6)
+  /** Centroids collapsed to ONE broadcastable row holding
+    * array<struct(cent_id, ce, cn2, cn)> — the carrier for
+    * zero-shuffle assignment. Centroid norms are computed here, once
+    * per centroid at pack time, so the per-(row, centroid) lambda does
+    * a single dot-product fold instead of three. MUST be non-empty:
+    * callers seed with vec_id < k (k ≥ 1 rows on any real table) and
+    * Lloyd recompute preserves non-emptiness. */
+  private def packCents(cents: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    cents.agg(collect_list(struct(col("cent_id"), col("ce"),
+      normSq(col("ce")).as("cn2"),
+      sqrt(normSq(col("ce"))).as("cn"))).as("cs"))
+
+
+  /** Per-row (d2, cent_id) structs against every packed centroid —
+    * d2 = ‖v‖² − 2·v·c + ‖c‖² rounded 6dp (the cross-engine sync
+    * point), reading the precomputed `vn2` row column and `cn2` pack
+    * field so the lambda runs ONE dot fold per centroid. Struct
+    * ordering IS the (metric asc, cent_id asc) tiebreak order, so
+    * `array_min` of this array is the Lloyd argmin and
+    * `slice(array_sort(·), 1, n)` is nprobe routing — pure per-row
+    * expression work. The window/row_number form this replaces
+    * re-shuffled corpus×k rows by vec_id for every assignment; at
+    * 100 TB that exchange, once per Lloyd iteration, dwarfs the
+    * assignment arithmetic itself. */
+  private def centMetrics: Column = transform(col("cs"), c =>
+    struct(
+      round(col("vn2") - lit(2.0) * dotCol(col("embedding"), c.getField("ce"))
+        + c.getField("cn2"), 6).as("m"),
+      c.getField("cent_id").as("cent_id")))
+
+  /** (−cosine, cent_id) variant of [[centMetrics]] for the
+    * cosine-routed IVF: array_min of −cos = argmax cos, ties by
+    * cent_id. Composed fold form (lambda-bound, so the fused
+    * cosine_sim can't be used here) — bit-identical to it by
+    * CosSimSpec's equivalence contract, so the oracle is unchanged. */
+  private def negCosMetrics: Column = transform(col("cs"), c =>
+    struct(
+      (lit(0.0) - round(
+        dotCol(col("embedding"), c.getField("ce")) /
+          (col("vn") * c.getField("cn")), 6)).as("m"),
+      c.getField("cent_id").as("cent_id")))
 
   private def d2Sql: String =
     s"""round(${normSqSql("embedding")}
@@ -150,11 +186,9 @@ object AnnOps {
     * absorbed instead of compounding across iterations. */
   private def lloydIterLong(e: org.apache.spark.sql.DataFrame,
       cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cent_id"))
-    e.crossJoin(broadcast(cents))
-      .withColumn("d2", d2Col)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    e.crossJoin(broadcast(packCents(cents)))
+      .withColumn("cent_id",
+        graft.functions.CentAssign.argminL2(e.sparkSession, "embedding", "cs"))
       .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .select(col("cent_id"), col("pos").cast("long").as("pos"),
         col("v").cast("double").as("val"))
@@ -339,21 +373,22 @@ object AnnOps {
       val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
       val cents = e.filter(col("vec_id") < NumCells)
         .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
-      val centSim = cosSim(s, "embedding", "ce")
-      // Nearest-cell assignment: corpus × broadcast(centroids), argmax
-      // per vector. The centroid set is tiny at any corpus scale, so
-      // this is per-row work after a broadcast — never a corpus shuffle.
-      val wAssign = Window.partitionBy("vec_id")
-        .orderBy(centSim.desc, col("cent_id"))
-      val assign = e.crossJoin(broadcast(cents))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
+      val packed = broadcast(packCents(cents))
+      // Nearest-cell assignment and probe routing are pure per-row
+      // expression work against the packed broadcast centroids — the
+      // corpus never shuffles or sorts for them; assignment is the
+      // fused codegen'd argmax-cosine (see CentArgmin), probe routing
+      // the composed sorted-slice (probe sets are always tiny).
+      val assign = e.crossJoin(packed)
+        .withColumn("cent_id",
+          graft.functions.CentAssign.argminCos(s, "embedding", "cs"))
         .select(col("vec_id"), col("embedding"), col("cent_id"))
       val probeCells = e.filter(col("vec_id") < NumProbes)
-        .crossJoin(broadcast(cents))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") <= NProbe)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("cent_id"))
+        .withColumn("vn", sqrt(normSq(col("embedding"))))
+        .crossJoin(packed)
+        .withColumn("cell", explode(slice(array_sort(negCosMetrics), 1, NProbe)))
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+          col("cell.cent_id").as("cent_id"))
       rankTopK(broadcast(probeCells)
         .join(assign, Seq("cent_id"))
         .filter(col("vec_id") =!= col("probe_id"))
@@ -488,16 +523,14 @@ object AnnOps {
       val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
       val cents = e.filter(col("vec_id") < KSeeds)
         .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
-      // Squared L2 via ||v||² − 2·v·c + ||c||² (same op order as the
-      // oracle; the 6dp round absorbs last-ulp libm drift).
-      val d2 = round(
-        normSq(col("embedding")) - lit(2.0) * dotCol(col("embedding"), col("ce"))
-          + normSq(col("ce")), 6)
-      val wAssign = Window.partitionBy("vec_id").orderBy(col("d2"), col("cent_id"))
-      val assign = e.crossJoin(broadcast(cents))
-        .withColumn("d2", d2)
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
+      // Zero-shuffle fused argmin (see CentArgmin): squared L2 via
+      // ||v||² − 2·v·c + ||c||², same op order as the oracle, the 6dp
+      // round absorbing last-ulp libm drift; the corpus never
+      // shuffles or sorts for the assignment, and the k dot products
+      // run in one codegen'd loop.
+      val assign = e.crossJoin(broadcast(packCents(cents)))
+        .withColumn("cent_id",
+          graft.functions.CentAssign.argminL2(s, "embedding", "cs"))
         .select(col("vec_id"), col("cent_id"), col("embedding"))
       // n_vecs rides the same (cent_id, pos) group — every assigned
       // vector contributes exactly one row per pos — so the whole
@@ -571,18 +604,19 @@ object AnnOps {
     ) { (s, dir) =>
       val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
       val (cents, _) = trainCents(e, NumCells, KmIvfIters)
-      val wAssign = Window.partitionBy("vec_id").orderBy(col("d2"), col("cent_id"))
-      val assign = e.crossJoin(broadcast(cents))
-        .withColumn("d2", d2Col)
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
+      val packed = broadcast(packCents(cents))
+      // Zero-shuffle cell assignment and probe routing: array_min /
+      // sorted-slice over the packed centroids (see centMetrics).
+      val assign = e.crossJoin(packed)
+        .withColumn("cent_id",
+          graft.functions.CentAssign.argminL2(s, "embedding", "cs"))
         .select(col("vec_id"), col("embedding"), col("cent_id"))
       val probeCells = e.filter(col("vec_id") < NumProbes)
-        .crossJoin(broadcast(cents))
-        .withColumn("d2", d2Col)
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") <= NProbe)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("cent_id"))
+        .withColumn("vn2", normSq(col("embedding")))
+        .crossJoin(packed)
+        .withColumn("cell", explode(slice(array_sort(centMetrics), 1, NProbe)))
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+          col("cell.cent_id").as("cent_id"))
       rankTopK(broadcast(probeCells)
         .join(assign, Seq("cent_id"))
         .filter(col("vec_id") =!= col("probe_id"))

@@ -117,13 +117,24 @@ class PlanBudgetSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
     assert(p.contains("BroadcastNestedLoopJoin"), // corpus × broadcast(seeds)
       s"assignment must broadcast the seeds, plan:\n$p")
+    // Zero-shuffle argmin: the assignment is per-row array_min work —
+    // no window, and the ONLY corpus-sized hash exchange is the
+    // (cent_id, pos) recompute agg (packCents' SinglePartition
+    // exchange moves k centroid rows, not corpus rows).
+    assert(!p.contains("windowspecdefinition"), s"plan:\n$p")
+    assert(hashExchanges(p) == 1, s"plan:\n$p")
   }
 
   test("q_kmeans_train: every iteration broadcasts centroids, never sort-merges") {
     val p = plan("q_kmeans_train")
     assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
-    // 3 unrolled iterations ⇒ 3 corpus × broadcast(centroids) joins.
+    // 3 unrolled iterations ⇒ 3 corpus × broadcast(centroids) joins,
+    // each a windowless per-row argmin (zero corpus shuffles for
+    // assignment; the hash exchanges are the 3 recompute aggs + 2
+    // array re-packs, all bounded by k×dims rows).
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 3, s"plan:\n$p")
+    assert(!p.contains("windowspecdefinition"), s"plan:\n$p")
+    assert(hashExchanges(p) == 5, s"plan:\n$p")
   }
 
   test("q_simsearch_ivf_learned keeps cells broadcast end to end") {
