@@ -416,6 +416,54 @@ object TextOps {
     },
 
     Q(
+      "q_lm_score",
+      "bigram-LM quality score (the CCNet-style LM filter): per-doc " +
+        "mean log P(w2|w1) under corpus-wide MLE bigram statistics — " +
+        "two vocab-bounded aggs (bigram and prefix counts) joined back " +
+        "to the exploded doc stream on the bigram key; the stats " +
+        "tables broadcast at any realistic vocab, and every doc bigram " +
+        "exists in the stats by construction so the MLE needs no " +
+        "smoothing. Low scores = implausible token sequences, the " +
+        "standard pretraining quality filter signal",
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+          |), bi AS (
+          |  SELECT doc_id, string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2 FROM (
+          |    SELECT doc_id, unnest(list_transform(range(len(t)-1),
+          |      i -> t[i+1] || ' ' || t[i+2])) AS bg
+          |    FROM tok WHERE len(t) >= 2)
+          |), c2 AS (
+          |  SELECT w1, w2, count(*) AS n2 FROM bi GROUP BY w1, w2
+          |), c1 AS (
+          |  SELECT w1, count(*) AS n1 FROM bi GROUP BY w1
+          |)
+          |SELECT b.doc_id, count(*) AS n_bigrams,
+          |  round(avg(ln(CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE))), 6) AS avg_ll
+          |FROM bi b
+          |JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+          |JOIN c1 ON b.w1 = c1.w1
+          |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin),
+    ) { (s, dir) =>
+      val bi = Tables.documents(s, dir)
+        .select(col("doc_id"), toks.as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), size(col("t")) - 2),
+          i => struct(element_at(col("t"), i + 1).as("w1"),
+            element_at(col("t"), i + 2).as("w2")))).as("p"))
+        .select(col("doc_id"), col("p.w1"), col("p.w2"))
+      val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+      val c1 = bi.groupBy("w1").agg(count(lit(1)).as("n1"))
+      bi.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(log(col("n2").cast("double") / col("n1").cast("double"))), 6)
+            .as("avg_ll"))
+        .orderBy("doc_id")
+    },
+
+    Q(
       "q_decontaminate",
       "train/test decontamination (the 13-gram overlap rule, sized to " +
         "this corpus as word-5-grams): distinct grams per doc, split " +

@@ -125,6 +125,12 @@ class PlanBudgetSpec extends AnyFunSuite {
     assert(hashExchanges(p) == 1, s"plan:\n$p")
   }
 
+  test("q_lm_score broadcasts the vocab-bounded stats back to the doc stream") {
+    val p = plan("q_lm_score")
+    assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+  }
+
   test("q_kmeans_train: every iteration broadcasts centroids, never sort-merges") {
     val p = plan("q_kmeans_train")
     assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
