@@ -370,6 +370,43 @@ object DedupOps {
     },
 
     Q(
+      "q_substr_dup",
+      "exact-substring duplication fraction (the Lee-et-al ExactSubstr " +
+        "signal at char-20-gram granularity): every character 20-gram " +
+        "is counted corpus-wide via one gram-keyed window, and each " +
+        "doc reports the fraction of its grams that occur more than " +
+        "once anywhere (including within-doc repeats) — the standard " +
+        "cheap proxy for duplicated-span coverage. One gram-keyed " +
+        "shuffle + one doc-keyed agg; a true suffix-array pass is the " +
+        "exact-coverage upgrade at 100 TB, and the same max-df cap as " +
+        "the shingle joins applies if stop-grams dominate",
+      Some(
+        """WITH g AS (
+          |  SELECT doc_id, unnest(list_transform(range(length(text) - 19),
+          |    p -> substr(text, p + 1, 20))) AS g
+          |  FROM documents WHERE length(text) >= 20
+          |), c AS (
+          |  SELECT doc_id, count(*) OVER (PARTITION BY g) AS cnt FROM g
+          |)
+          |SELECT doc_id, count(*) AS n_grams,
+          |  round(CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+          |    / count(*), 6) AS dup_frac
+          |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    ) { (s, dir) =>
+      Tables.documents(s, dir)
+        .filter(length(col("text")) >= 20)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), length(col("text")) - 19),
+          p => col("text").substr(p, lit(20)))).as("g"))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("g")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          round(sum(when(col("cnt") > 1, 1L).otherwise(0L)).cast("double")
+            / count(lit(1)), 6).as("dup_frac"))
+        .orderBy("doc_id")
+    },
+
+    Q(
       "q_ngram_jaccard",
       "exact 3-gram Jaccard ≥ 0.5 via inverted-index join on shingle " +
         "(the classic candidate generator): |A∩B| from a keyed " +

@@ -84,6 +84,22 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.keys.exists(k => k._1 == 2L || k._2 == 2L))
   }
 
+  test("q_substr_dup: exact duplicate saturates, near-dup pair overlaps, unique doc is clean") {
+    val rows = run("q_substr_dup").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // docs 0 and 3 are byte-identical → every 20-gram duplicated.
+    assert(rows(0L)._2 == 1.0 && rows(3L)._2 == 1.0)
+    // docs 0/1 share a long prefix → doc 1 heavily but not fully dup'd
+    // (its " at dawn" tail is unique).
+    assert(rows(1L)._2 > 0.8 && rows(1L)._2 < 1.0)
+    // doc 2 shares no 20-char span with anything.
+    assert(rows(2L)._2 == 0.0)
+    // n_grams = len - 19 for every doc.
+    docs.zipWithIndex.foreach { case (t, i) =>
+      assert(rows(i.toLong)._1 == t.length - 19L)
+    }
+  }
+
   test("stop-shingle df pruning collapses the candidate join fan-out") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
