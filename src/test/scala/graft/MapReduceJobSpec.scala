@@ -111,6 +111,44 @@ class MapReduceJobSpec extends AnyFunSuite {
     assert(perFile == expected)
   }
 
+  test("literal routing survives keys spanning sort-partition boundaries") {
+    import org.apache.spark.sql.functions._
+    // Tiny alphabet + many mappers ⇒ every key's run crosses range
+    // partition boundaries in the global sort, exercising the
+    // shared-boundary-key offset adjustment.
+    val rnd = new scala.util.Random(11)
+    val alphabet = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    val lines = Seq.fill(400) {
+      Seq.fill(1 + rnd.nextInt(6))(alphabet(rnd.nextInt(alphabet.size)))
+        .mkString(" ")
+    }
+    val inDir = Files.createTempDirectory("graft-mrjob-span-in")
+    Files.write(inDir.resolve("part0"), lines.mkString("\n").getBytes("UTF-8"))
+    val outDir = Files.createTempDirectory("graft-mrjob-span-out").toString
+    val files = MapReduceJob.run(spark, JobSpec(
+      inputDirectory = inDir.toString,
+      outputDirectory = outDir,
+      mapperExecutable = Pipes.wcMap,
+      reducerExecutable = Pipes.wcReduce,
+      numMappers = 5,
+      numReducers = 3), literalKeyRouting = true)
+    val perFile = files.map { f =>
+      val src = Source.fromFile(f)
+      try src.getLines().toList finally src.close()
+    }
+    val counts = spark.read.text(inDir.toString)
+      .select(explode(split(lower(col("value")), "[ \t]", -1)).as("word"))
+      .groupBy("word").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sortedKeys = counts.keys.toSeq.sorted
+    val expected = (0 until 3).map { f =>
+      sortedKeys.zipWithIndex
+        .collect { case (k, i) if i % 3 == f => s"$k\t${counts(k)}" }
+        .toList
+    }
+    assert(perFile == expected)
+  }
+
   test("grep job reproduces grep_correct.txt through the same API") {
     val outDir = Files.createTempDirectory("graft-mrjob-grep").toString
     val files = MapReduceJob.run(spark, JobSpec(
