@@ -211,6 +211,45 @@ object DedupOps {
     },
 
     Q(
+      "q_dedup_rescored",
+      "the production two-stage near-dedup: MinHash LSH generates " +
+        "candidates (O(candidates), never all-pairs), then EXACT " +
+        "3-gram Jaccard is recomputed on just those pairs — pair ids " +
+        "shuffle first, the shingle payloads are fetched by two keyed " +
+        "joins afterward (ids-then-payloads, the 100 TB move), and " +
+        "the per-pair set intersection is array work on two already-" +
+        "distinct shingle arrays. Estimates admit candidates; exact " +
+        "scores decide — no LSH false positive survives",
+      Some(
+        s"""WITH $minhashPairsSqlCte,
+           |scored AS (
+           |  SELECT doc_a, doc_b,
+           |    round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           |      / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+           |  FROM pairs
+           |  JOIN docs a ON a.doc_id = doc_a
+           |  JOIN docs b ON b.doc_id = doc_b
+           |)
+           |SELECT doc_a, doc_b, jaccard FROM scored
+           |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin),
+    ) { (s, dir) =>
+      val toks = split(lower(col("text")), " ", -1)
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"), toks.as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), shingleCol(col("t")).as("shingles"))
+      val jac = round(
+        size(array_intersect(col("sa"), col("sb"))).cast("double")
+          / size(array_union(col("sa"), col("sb"))), 6)
+      minhashPairs(s, dir).select("doc_a", "doc_b")
+        .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    Q(
       "q_dedup_cluster",
       "duplicate clustering: MinHash candidate pairs (est_jaccard ≥ " +
         "0.5) become edges; connected components via min-label " +

@@ -84,6 +84,22 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.keys.exists(k => k._1 == 2L || k._2 == 2L))
   }
 
+  test("q_dedup_rescored: exact Jaccard on LSH candidates, estimates discarded") {
+    val rows = run("q_dedup_rescored").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    def shingles(text: String): Set[String] =
+      text.split(" ", -1).sliding(3).map(_.mkString(" ")).toSet
+    val (sa, sb) = (shingles(docs(0)), shingles(docs(1)))
+    val exact = sa.intersect(sb).size.toDouble / sa.union(sb).size
+    // The near-dup pair carries its EXACT Jaccard (not the k/16
+    // estimate) rounded to the query's 6dp contract, the identical
+    // pair scores 1.0, the unrelated doc never becomes a candidate.
+    assert(rows((0L, 1L)) ==
+      BigDecimal(exact).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(rows((0L, 3L)) == 1.0)
+    assert(!rows.keys.exists(k => k._1 == 2L || k._2 == 2L))
+  }
+
   test("q_substr_dup: exact duplicate saturates, near-dup pair overlaps, unique doc is clean") {
     val rows = run("q_substr_dup").collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
