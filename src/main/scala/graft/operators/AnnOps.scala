@@ -223,6 +223,46 @@ object AnnOps {
     (cents, centLong)
   }
 
+  /** Library-surface k-means to CONVERGENCE: the q_kmeans_train loop
+    * with an open-ended stop — iterate Lloyd steps until the largest
+    * squared centroid shift drops below `tol` or `maxIters` is hit.
+    * The q_dedup_cluster loop pattern applied to k-means:
+    * `localCheckpoint` truncates lineage every round (swap for a
+    * reliable checkpoint at 100 TB), the convergence probe collects
+    * ONE double per round (never data rows), and each round costs one
+    * corpus scan. No DuckDB oracle is possible for a data-dependent
+    * iteration count — q_kmeans_train (fixed 3 rounds) is the oracled
+    * twin; KMeansTrainSpec asserts convergence on planted blobs.
+    *
+    * A centroid whose cluster empties disappears from the next round
+    * (standard Lloyd degeneracy) and stops contributing to the shift.
+    *
+    * @return (centroids (cent_id, ce), iterations run, last max shift²)
+    */
+  def trainKMeans(e: org.apache.spark.sql.DataFrame, k: Int,
+      maxIters: Int, tol: Double)
+      : (org.apache.spark.sql.DataFrame, Int, Double) = {
+    require(k > 0 && maxIters > 0 && tol >= 0, "k, maxIters > 0; tol >= 0")
+    var cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"),
+        transform(col("embedding"), x => x.cast("double")).as("ce"))
+      .localCheckpoint()
+    var iters = 0
+    var shift = Double.MaxValue
+    while (iters < maxIters && shift >= tol) {
+      val next = toCentArrays(lloydIterLong(e, cents)).localCheckpoint()
+      shift = cents.as("o")
+        .join(next.as("n"), col("o.cent_id") === col("n.cent_id"))
+        .agg(max(aggregate(
+          zip_with(col("o.ce"), col("n.ce"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x)).as("s"))
+        .head().getDouble(0)
+      cents = next
+      iters += 1
+    }
+    (cents, iters, shift)
+  }
+
   /** DuckDB twin of one Lloyd iteration: CTEs a_n (assignment), l_n
     * (long-form centroids), c_n (array-form), reading c_(n-1). */
   private def lloydIterSql(n: Int): String =
@@ -554,8 +594,10 @@ object AnnOps {
         "cost is exactly one corpus scan (assignment streams the " +
         "corpus against broadcast centroids; recompute is bounded by " +
         "k×dims); lineage stays linear, so no checkpoint is needed at " +
-        "a fixed iteration count — an open-ended convergence loop " +
-        "would add the q_dedup_cluster checkpoint pattern unchanged",
+        "a fixed iteration count — the open-ended tolerance-stopped " +
+        "loop is [[AnnOps.trainKMeans]] (checkpoint-per-round, " +
+        "KMeansTrainSpec), fixed iterations here keep the oracle " +
+        "expressible",
       Some(
         s"""${kmeansTrainSql(KSeeds, KmIters)}
            |SELECT cent_id, pos, n_vecs, cval
