@@ -139,7 +139,7 @@ object AnnOps {
     * a single dot-product fold instead of three. MUST be non-empty:
     * callers seed with vec_id < k (k ≥ 1 rows on any real table) and
     * Lloyd recompute preserves non-emptiness. */
-  private def packCents(cents: org.apache.spark.sql.DataFrame)
+  private[graft] def packCents(cents: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     cents.agg(collect_list(struct(col("cent_id"), col("ce"),
       normSq(col("ce")).as("cn2"),
