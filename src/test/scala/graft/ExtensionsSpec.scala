@@ -28,11 +28,21 @@ class ExtensionsSpec extends AnyFunSuite {
       val row = s.sql(
         """SELECT minhash60(array('a b c', 'b c d')) AS mh,
           |  simhash60(array('a', 'b')) AS sh,
-          |  hypersig(CAST(array_repeat(0.5D, 64) AS ARRAY<FLOAT>)) IS NOT NULL AS hs_ok
+          |  hypersig(CAST(array_repeat(0.5D, 64) AS ARRAY<FLOAT>)) IS NOT NULL AS hs_ok,
+          |  cent_argmin_l2(
+          |    CAST(array(1.0, 0.0) AS ARRAY<FLOAT>),
+          |    array(struct(7L AS cent_id, CAST(array(1.0, 0.0) AS ARRAY<FLOAT>) AS ce, 1.0D AS cn2, 1.0D AS cn),
+          |          struct(9L AS cent_id, CAST(array(0.0, 1.0) AS ARRAY<FLOAT>) AS ce, 1.0D AS cn2, 1.0D AS cn))) AS cell,
+          |  cent_argmin_cos(
+          |    CAST(array(1.0, 0.0) AS ARRAY<FLOAT>),
+          |    array(struct(7L AS cent_id, CAST(array(1.0, 0.0) AS ARRAY<FLOAT>) AS ce, 1.0D AS cn2, 1.0D AS cn),
+          |          struct(9L AS cent_id, CAST(array(0.0, 1.0) AS ARRAY<FLOAT>) AS ce, 1.0D AS cn2, 1.0D AS cn))) AS cell_cos
           |""".stripMargin).collect().head
       assert(row.getSeq[Long](0).length == 16)
       assert(row.getLong(1) != 0L)
       assert(row.getBoolean(2))
+      assert(row.getLong(3) == 7L) // nearest by L2 and by cosine
+      assert(row.getLong(4) == 7L)
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
