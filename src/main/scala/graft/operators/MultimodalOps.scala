@@ -165,24 +165,61 @@ object MultimodalOps {
            |  ${graft.functions.Portable.md5Hash60Sql("text")} AS digest
            |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin),
     ) { (s, dir) =>
-      import s.implicits._
-      val assetDir = s"${Scratch.dir()}/assets"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(assetDir))
-      Tables.documents(s, dir).filter(col("doc_id") < 500)
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-        .as[(Long, Array[Byte])].rdd
-        .foreachPartition { it =>
-          it.foreach { case (id, bytes) =>
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(assetDir, f"doc$id%06d.bin"), bytes)
-          }
-        }
-      s.read.format("binaryFile").load(assetDir)
+      s.read.format("binaryFile").load(writeAssets(s, dir))
         .select(
           regexp_extract(col("path"), "doc(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
           col("length").as("n_bytes"),
           graft.functions.Portable.md5Hash60(col("content")).as("digest"))
         .orderBy("doc_id")
     },
+
+    Q(
+      "q_compact_assets",
+      "small-file compaction — the mandatory step between a media " +
+        "crawl's file-per-asset output and any analytical scan: the " +
+        "500 .bin files are read via binaryFile, compacted into a " +
+        "4-file parquet dataset (range-partitioned by doc_id, sorted " +
+        "within each file, so downstream scans prune by id range), " +
+        "then read back and digest-verified — 4 file opens where the " +
+        "raw layout cost 500; same roundtrip oracle as q_binary_ingest " +
+        "proves compaction is lossless",
+      Some(
+        s"""SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+           |  ${graft.functions.Portable.md5Hash60Sql("text")} AS digest
+           |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin),
+    ) { (s, dir) =>
+      val compactDir = s"${Scratch.dir()}/compact"
+      s.read.format("binaryFile").load(writeAssets(s, dir))
+        .select(
+          regexp_extract(col("path"), "doc(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
+          col("content"))
+        .repartitionByRange(4, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(compactDir)
+      s.read.parquet(compactDir)
+        .select(col("doc_id"),
+          octet_length(col("content")).cast("long").as("n_bytes"),
+          graft.functions.Portable.md5Hash60(col("content")).as("digest"))
+        .orderBy("doc_id")
+    },
   )
+
+  /** Writes the ≤500-asset file-per-doc .bin layout (executor-side)
+    * and returns its directory — the shared fixture of the binaryFile
+    * queries. */
+  private def writeAssets(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import s.implicits._
+    val assetDir = s"${Scratch.dir()}/assets"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(assetDir))
+    Tables.documents(s, dir).filter(col("doc_id") < 500)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])].rdd
+      .foreachPartition { it =>
+        it.foreach { case (id, bytes) =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(assetDir, f"doc$id%06d.bin"), bytes)
+        }
+      }
+    assetDir
+  }
 }
