@@ -234,16 +234,22 @@ object DedupOps {
            |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin),
     ) { (s, dir) =>
       val toks = split(lower(col("text")), " ", -1)
-      val sh = Tables.documents(s, dir)
+      val t = Tables.documents(s, dir)
         .select(col("doc_id"), toks.as("t"))
         .filter(size(col("t")) >= 3)
-        .select(col("doc_id"), shingleCol(col("t")).as("shingles"))
       val jac = round(
         size(array_intersect(col("sa"), col("sb"))).cast("double")
           / size(array_union(col("sa"), col("sb"))), 6)
-      minhashPairs(s, dir).select("doc_a", "doc_b")
-        .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), Seq("doc_a"))
-        .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), Seq("doc_b"))
+      // The candidate-pair set is tiny, so it broadcasts into two
+      // corpus probes, and the shingle arrays are built AFTER the
+      // joins — only docs that are actually in a candidate pair pay
+      // the shingle materialization, not the whole corpus twice.
+      val withA = broadcast(minhashPairs(s, dir).select("doc_a", "doc_b"))
+        .join(t.select(col("doc_id").as("doc_a"), col("t").as("ta")), Seq("doc_a"))
+      broadcast(withA)
+        .join(t.select(col("doc_id").as("doc_b"), col("t").as("tb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          shingleCol(col("ta")).as("sa"), shingleCol(col("tb")).as("sb"))
         .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
         .filter(col("jaccard") >= 0.5)
         .orderBy("doc_a", "doc_b")
