@@ -125,6 +125,26 @@ class PlanBudgetSpec extends AnyFunSuite {
     assert(hashExchanges(p) == 1, s"plan:\n$p")
   }
 
+  test("q_dedup_rescored broadcasts candidates into the payload probes") {
+    val p = plan("q_dedup_rescored")
+    // Both text-fetch joins must probe the corpus with the broadcast
+    // candidate set — never shuffle the corpus for the rescore.
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, s"plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    // Shingle arrays are built above the joins, not corpus-wide below.
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    val shingleIdx = p.indexOf("array_distinct")
+    assert(shingleIdx >= 0 && shingleIdx < joinIdx,
+      s"shingles must be computed after (above) the joins, plan:\n$p")
+  }
+
+  test("q_substr_dup is one gram window plus one doc agg") {
+    val p = plan("q_substr_dup")
+    assert(p.contains("windowspecdefinition(g#"), s"plan:\n$p")
+    assert(hashExchanges(p) == 2, // gram window + doc_id agg
+      s"plan:\n$p")
+  }
+
   test("q_lm_score broadcasts the vocab-bounded stats back to the doc stream") {
     val p = plan("q_lm_score")
     assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
