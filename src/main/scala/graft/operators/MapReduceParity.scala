@@ -317,5 +317,33 @@ object MapReduceParity {
           sum(length(col("text"))).as("sum_text_len"))
         .orderBy("source")
     },
+
+    Q(
+      "q_csv_source",
+      "CSV source/sink roundtrip: documents written as headered CSV, " +
+        "re-read with an explicit schema (schema-on-read — no " +
+        "inference pass over 100 TB) and aggregated per lang; the " +
+        "oracle runs on the original parquet, so any quoting/escaping " +
+        "or numeric-width corruption in the roundtrip breaks the " +
+        "hash. With multiLine off, CSV splits on newlines and reads " +
+        "parallelize exactly like raw text",
+      Some(
+        """SELECT lang, count(*) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+    ) { (s, dir) =>
+      val csvDir = s"${Scratch.dir()}/csv"
+      Tables.documents(s, dir).write.option("header", "true").csv(csvDir)
+      s.read
+        .option("header", "true")
+        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+        .csv(csvDir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).as("sum_text_len"))
+        .orderBy("lang")
+    },
   )
 }

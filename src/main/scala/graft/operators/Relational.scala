@@ -580,6 +580,35 @@ object Relational {
     },
 
     Q(
+      "q_unpivot",
+      "wide→long melt via Spark's native unpivot: the Expand operator " +
+        "replicates each row once per measure column MAP-SIDE — no " +
+        "shuffle, no join, one scan regardless of measure count; the " +
+        "per-measure stats agg after it is bounded by #measures. The " +
+        "inverse of q_pivot; fixed-point sums keep the double " +
+        "accumulation order-independent across engines",
+      Some(
+        s"""WITH m AS (
+           |  SELECT 'l_quantity' AS measure, l_quantity AS v FROM lineitem
+           |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+           |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+           |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+           |)
+           |SELECT measure, count(*) AS n, min(v) AS min_v, max(v) AS max_v,
+           |  ${exactSumSql("v", 4)} AS sum_v
+           |FROM m GROUP BY measure ORDER BY measure""".stripMargin),
+    ) { (s, dir) =>
+      val measures = Array("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      Tables.lineitem(s, dir)
+        .unpivot(Array.empty[org.apache.spark.sql.Column], measures.map(col), "measure", "v")
+        .groupBy("measure")
+        .agg(count(lit(1)).as("n"), min(col("v")).as("min_v"),
+          max(col("v")).as("max_v"),
+          exactSum(col("v"), 4).as("sum_v"))
+        .orderBy("measure")
+    },
+
+    Q(
       "q_window_range",
       "RANGE-frame window: per-user trailing-1h event count ordered by " +
         "epoch-millis — a value-bounded frame (RANGE), not a row-count " +
