@@ -609,6 +609,39 @@ object Relational {
     },
 
     Q(
+      "q_bucket_join",
+      "co-located fact⋈fact: both sides written bucketed+sorted by the " +
+        "join key, so the join plans with ZERO exchange below it — at " +
+        "100 TB this is THE recurring-join answer: the keyed layout is " +
+        "paid once at ingest, every subsequent join on that key reads " +
+        "buckets straight into a sort-merge join, and only the " +
+        "#priorities-bounded agg shuffles. The SHUFFLE_MERGE hint " +
+        "keeps the demonstration honest at test SF where the planner " +
+        "would rather broadcast the small side",
+      Some(
+        s"""SELECT o_orderpriority, count(*) AS n_items,
+           |  ${exactSumSql("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+           |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+    ) { (s, dir) =>
+      val suffix = Scratch.dir().split('/').last
+      val ot = s"b_orders_$suffix"
+      val lt = s"b_lineitem_$suffix"
+      Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
+      s.table(ot).hint("SHUFFLE_MERGE")
+        .join(s.table(lt), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+
+    Q(
       "q_window_range",
       "RANGE-frame window: per-user trailing-1h event count ordered by " +
         "epoch-millis — a value-bounded frame (RANGE), not a row-count " +

@@ -587,5 +587,50 @@ object TextOps {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
         .orderBy("grp", "bin")
     },
+
+    Q(
+      "q_vocab_ids",
+      "tokenizer prep: frequency-ranked vocabulary with contiguous ids " +
+        "(ties broken lexically) + every doc re-encoded as its " +
+        "token-id sequence. The vocab agg is a token-keyed shuffle " +
+        "bounded by vocabulary size; id assignment is a " +
+        "single-partition window over the VOCAB only (vocab ≪ corpus " +
+        "by construction — a BPE vocab caps around 1 M rows, one " +
+        "node's work); the encode join broadcasts the id table so the " +
+        "corpus never shuffles for it, and the re-pack is the proven " +
+        "(pos,id)-sorted doc-keyed agg",
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+          |), pos AS (
+          |  SELECT doc_id, ws, unnest(range(len(ws))) AS p FROM toks
+          |), tw AS (
+          |  SELECT doc_id, p, ws[p+1] AS w FROM pos
+          |), vocab AS (
+          |  SELECT w, count(*) AS n FROM tw GROUP BY w
+          |), ids AS (
+          |  SELECT w, CAST(row_number() OVER (ORDER BY n DESC, w) - 1 AS BIGINT) AS tid
+          |  FROM vocab
+          |)
+          |SELECT t.doc_id, count(*) AS n_tokens,
+          |  string_agg(CAST(i.tid AS VARCHAR), '-' ORDER BY t.p) AS ids_str
+          |FROM tw t JOIN ids i ON t.w = i.w
+          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin),
+    ) { (s, dir) =>
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(toks).as(Seq("p", "w")))
+      val ids = tok.groupBy("w").agg(count(lit(1)).as("n"))
+        .select(col("w"),
+          (row_number().over(Window.orderBy(col("n").desc, col("w"))) - 1)
+            .cast("long").as("tid"))
+      tok.join(broadcast(ids), Seq("w"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          array_join(
+            transform(array_sort(collect_list(struct(col("p"), col("tid")))),
+              x => x.getField("tid").cast("string")), "-").as("ids_str"))
+        .orderBy("doc_id")
+    },
   )
 }

@@ -145,6 +145,28 @@ class PlanBudgetSpec extends AnyFunSuite {
       s"plan:\n$p")
   }
 
+  test("q_unpivot melts map-side via Expand — only the measure agg shuffles") {
+    val p = plan("q_unpivot")
+    assert(p.contains("Expand"), s"plan:\n$p")
+    assert(hashExchanges(p) == 1, s"plan:\n$p")
+  }
+
+  test("q_vocab_ids broadcasts the id table — the corpus never shuffles for the encode join") {
+    val p = plan("q_vocab_ids")
+    assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+    // vocab agg + doc re-pack agg; the id-assignment window is an
+    // explicit SinglePartition exchange over vocab rows only.
+    assert(hashExchanges(p) == 2, s"plan:\n$p")
+  }
+
+  test("q_bucket_join joins bucketed scans with zero exchange below the join") {
+    val p = plan("q_bucket_join")
+    assert(p.contains("SortMergeJoin"), s"plan:\n$p")
+    assert(hashExchanges(p) == 1, // only the priority agg above the join
+      s"bucketed join must not re-shuffle either side, plan:\n$p")
+  }
+
   test("q_lm_score broadcasts the vocab-bounded stats back to the doc stream") {
     val p = plan("q_lm_score")
     assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
