@@ -609,6 +609,45 @@ object Relational {
     },
 
     Q(
+      "q_join_bloom",
+      "explicit bloom semi-join reduction (the machinery behind " +
+        "Catalyst's InjectRuntimeFilter, applied deliberately): a " +
+        "mergeable bloom_agg builds a ~1 MB sketch of the filtered " +
+        "orders keys distributed, the scalar subquery ships it to " +
+        "every lineitem task as a literal, and bloom_might_contain " +
+        "discards ~80% of the fact side BEFORE the join shuffle — at " +
+        "100 TB the bloom probe saves shuffling the non-matching " +
+        "fact bytes entirely; the exact join above it removes the " +
+        "bloom's false positives, so the result is oracle-identical " +
+        "to the plain join",
+      Some(
+        s"""SELECT o_orderpriority, count(*) AS n_items,
+           |  ${exactSumSql("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |WHERE o_totalprice > 400000
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+    ) { (s, dir) =>
+      graft.functions.Bloom.register(s)
+      Tables.orders(s, dir).filter(col("o_totalprice") > 400000)
+        .createOrReplaceTempView("bloom_orders")
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .createOrReplaceTempView("bloom_lineitem")
+      s.sql(
+        s"""WITH cand AS (
+           |  SELECT l_orderkey, l_extendedprice, l_discount
+           |  FROM bloom_lineitem
+           |  WHERE bloom_might_contain(
+           |    (SELECT bloom_agg(xxhash64(o_orderkey)) FROM bloom_orders),
+           |    xxhash64(l_orderkey))
+           |)
+           |SELECT o_orderpriority, count(*) AS n_items,
+           |  ${exactSumSql("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+           |FROM cand JOIN bloom_orders ON l_orderkey = o_orderkey
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    },
+
+    Q(
       "q_bucket_join",
       "co-located fact⋈fact: both sides written bucketed+sorted by the " +
         "join key, so the join plans with ZERO exchange below it — at " +

@@ -160,6 +160,17 @@ class PlanBudgetSpec extends AnyFunSuite {
     assert(hashExchanges(p) == 2, s"plan:\n$p")
   }
 
+  test("q_join_bloom probes the bloom at the fact scan, below the exact join") {
+    val p = plan("q_join_bloom")
+    // The scalar-subquery bloom must appear as a Filter condition on the
+    // fact side — pre-join reduction, not a post-join residual.
+    assert(p.contains("might_contain"), s"plan:\n$p")
+    val joinIdx = p.indexOf("HashJoin")
+    val probeIdx = p.lastIndexOf("might_contain")
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      s"bloom probe must sit below (after, in plan text) the join, plan:\n$p")
+  }
+
   test("q_bucket_join joins bucketed scans with zero exchange below the join") {
     val p = plan("q_bucket_join")
     assert(p.contains("SortMergeJoin"), s"plan:\n$p")
