@@ -317,5 +317,37 @@ object EventsOps {
         .filter(abs(col("z")) > 3)
         .orderBy("event_type", "event_id")
     },
+
+    Q(
+      "q_agg_incremental",
+      "incremental aggregation via mergeable partial state: each day's " +
+        "events fold into a (day,type)-keyed partial-state table " +
+        "(counts + fixed-point cent sums — both mergeable by plain " +
+        "addition), and the corpus-level metrics roll up from the " +
+        "STATE (days×types rows), never rescanning raw history — at " +
+        "100 TB yesterday's raw events stay in cold storage; only the " +
+        "new day is scanned and its state rows appended. The oracle " +
+        "aggregates the raw table directly, proving state-merge ≡ " +
+        "full rescan",
+      Some(
+        s"""SELECT event_type, count(*) AS n_events,
+           |  ${exactSumSql("value")} AS sum_value,
+           |  ${exactAvgSql("value")} AS avg_value
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    ) { (s, dir) =>
+      // Stage 1 — the per-day state a real pipeline would persist:
+      // additive components only (no avg in state; averages don't merge).
+      val state = Tables.events(s, dir)
+        .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+        .groupBy("day", "event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+      // Stage 2 — rollup reads state rows only.
+      state.groupBy("event_type")
+        .agg(sum(col("n")).as("n_events"),
+          (sum(col("cents")) / 100.0).cast("double").as("sum_value"),
+          (sum(col("cents")) / 100.0 / sum(col("n"))).cast("double").as("avg_value"))
+        .orderBy("event_type")
+    },
   )
 }

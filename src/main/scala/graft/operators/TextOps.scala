@@ -589,6 +589,59 @@ object TextOps {
     },
 
     Q(
+      "q_sample_mix",
+      "temperature-sampled language mix (α=0.5): per-lang keep rate " +
+        "√(n_min/n_lang) flattens the language distribution toward " +
+        "uniform — the standard multilingual training-mix rebalance. " +
+        "Rates come from a #langs-bounded agg broadcast back to the " +
+        "scan; the keep decision is a per-row content-hash threshold, " +
+        "so the corpus never shuffles, the sample is reproducible at " +
+        "any cluster size, and new data joins the mix without " +
+        "re-sampling old rows. Thresholds scale by 2^20 (exact in " +
+        "IEEE), keeping both engines bit-identical with no float " +
+        "rounding anywhere but the final display column",
+      Some(
+        s"""WITH c AS (
+           |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+           |), m AS (
+           |  SELECT min(n_docs) AS n_min FROM c
+           |), r AS (
+           |  SELECT lang, n_docs,
+           |    CAST(floor(sqrt(CAST(n_min AS DOUBLE) / n_docs) * 1048576) AS BIGINT) AS thresh
+           |  FROM c, m
+           |), k AS (
+           |  SELECT d.lang, count(*) AS n_kept
+           |  FROM documents d JOIN r ON d.lang = r.lang
+           |  WHERE (${Portable.md5Hash60Sql("d.text")} % 1048576) < r.thresh
+           |  GROUP BY d.lang
+           |)
+           |SELECT r.lang, r.n_docs, k.n_kept,
+           |  round(thresh / 1048576.0, 6) AS rate
+           |FROM r JOIN k ON r.lang = k.lang ORDER BY r.lang""".stripMargin),
+    ) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      // Global min over the #langs-sized count table via an unpartitioned
+      // window: the SinglePartition exchange moves #langs rows, and the
+      // lang-count agg runs once (a crossJoin with a separate min agg
+      // would recompute it).
+      val rates = counts
+        .withColumn("n_min", min(col("n_docs")).over(Window.partitionBy()))
+        .withColumn("thresh",
+          floor(sqrt(col("n_min").cast("double") / col("n_docs")) * 1048576)
+            .cast("long"))
+      val kept = docs
+        .select(col("lang"), (Portable.md5Hash60(col("text")) % 1048576).as("b"))
+        .join(broadcast(rates.select("lang", "thresh")), Seq("lang"))
+        .filter(col("b") < col("thresh"))
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+      rates.join(kept, Seq("lang"))
+        .select(col("lang"), col("n_docs"), col("n_kept"),
+          round(col("thresh") / lit(1048576.0), 6).as("rate"))
+        .orderBy("lang")
+    },
+
+    Q(
       "q_vocab_ids",
       "tokenizer prep: frequency-ranked vocabulary with contiguous ids " +
         "(ties broken lexically) + every doc re-encoded as its " +

@@ -178,6 +178,20 @@ class PlanBudgetSpec extends AnyFunSuite {
       s"bucketed join must not re-shuffle either side, plan:\n$p")
   }
 
+  test("q_sample_mix broadcasts per-lang thresholds — the corpus never shuffles to be sampled") {
+    val p = plan("q_sample_mix")
+    assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
+    // lang-count agg, kept-count agg, and the tiny final rates⋈kept
+    // join; the doc scan itself must not feed a sort-merge join.
+    assert(hashExchanges(p) <= 3, s"plan:\n$p")
+  }
+
+  test("q_agg_incremental is exactly two agg levels: day-state then rollup") {
+    val p = plan("q_agg_incremental")
+    assert(hashExchanges(p) == 2, s"plan:\n$p")
+    assert(!p.contains("Join"), s"state rollup needs no join, plan:\n$p")
+  }
+
   test("q_lm_score broadcasts the vocab-bounded stats back to the doc stream") {
     val p = plan("q_lm_score")
     assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
