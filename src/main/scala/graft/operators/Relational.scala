@@ -681,6 +681,65 @@ object Relational {
     },
 
     Q(
+      "q_zorder_layout",
+      "multi-dimensional clustering for data skipping: each order maps " +
+        "to a Morton (z-order) value interleaving the bits of its " +
+        "range-normalized (custkey, orderday) pair; rows grouped by " +
+        "z-bucket are simultaneously range-bounded in BOTH dimensions " +
+        "— the per-bucket min/max spans this emits are exactly the " +
+        "parquet footer stats that would prune file reads for " +
+        "EITHER-dimension predicates after a z-ordered rewrite. At " +
+        "100 TB the z-value is the sort key of a one-off layout " +
+        "rewrite; all arithmetic is integer (bit ops + integer div), " +
+        "so both engines agree exactly",
+      Some {
+        val zbits = (0 until 8).map(i =>
+          s"(((x8 >> $i) & 1) << ${2 * i}) + (((y8 >> $i) & 1) << ${2 * i + 1})")
+          .mkString(" + ")
+        s"""WITH o AS (
+           |  SELECT o_custkey,
+           |    CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS dday
+           |  FROM orders
+           |), rng AS (
+           |  SELECT min(o_custkey) AS min_ck, max(o_custkey) AS max_ck,
+           |         min(dday) AS min_d, max(dday) AS max_d FROM o
+           |), zt AS (
+           |  SELECT o_custkey, dday,
+           |    ((o_custkey - min_ck) * 256) // (max_ck - min_ck + 1) AS x8,
+           |    ((dday - min_d) * 256) // (max_d - min_d + 1) AS y8
+           |  FROM o, rng
+           |), zv AS (
+           |  SELECT o_custkey, dday, ($zbits) // 1024 AS zbucket FROM zt
+           |)
+           |SELECT zbucket, count(*) AS n_orders,
+           |  min(o_custkey) AS ck_lo, max(o_custkey) AS ck_hi,
+           |  min(dday) AS d_lo, max(dday) AS d_hi
+           |FROM zv GROUP BY zbucket ORDER BY zbucket""".stripMargin
+      },
+    ) { (s, dir) =>
+      // Same bit-interleave loop as the oracle string above — the two
+      // spellings differ only in shift syntax, generated from one range.
+      val zbits = (0 until 8).map(i =>
+        s"shiftleft(shiftright(x8, $i) & 1, ${2 * i}) + " +
+          s"shiftleft(shiftright(y8, $i) & 1, ${2 * i + 1})")
+        .mkString(" + ")
+      val o = Tables.orders(s, dir).select(col("o_custkey"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+          .cast("long").as("dday"))
+      val rng = o.agg(min(col("o_custkey")).as("min_ck"), max(col("o_custkey")).as("max_ck"),
+        min(col("dday")).as("min_d"), max(col("dday")).as("max_d"))
+      o.crossJoin(broadcast(rng))
+        .withColumn("x8", expr("(o_custkey - min_ck) * 256 div (max_ck - min_ck + 1)"))
+        .withColumn("y8", expr("(dday - min_d) * 256 div (max_d - min_d + 1)"))
+        .withColumn("zbucket", expr(s"($zbits) div 1024"))
+        .groupBy("zbucket")
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_custkey")).as("ck_lo"), max(col("o_custkey")).as("ck_hi"),
+          min(col("dday")).as("d_lo"), max(col("dday")).as("d_hi"))
+        .orderBy("zbucket")
+    },
+
+    Q(
       "q_window_range",
       "RANGE-frame window: per-user trailing-1h event count ordered by " +
         "epoch-millis — a value-bounded frame (RANGE), not a row-count " +

@@ -171,6 +171,13 @@ class PlanBudgetSpec extends AnyFunSuite {
       s"bloom probe must sit below (after, in plan text) the join, plan:\n$p")
   }
 
+  test("q_zorder_layout computes z-values per-row off a broadcast range — one bucket agg shuffle") {
+    val p = plan("q_zorder_layout")
+    assert(p.contains("BroadcastNestedLoopJoin"), // the 1-row range crossJoin
+      s"plan:\n$p")
+    assert(hashExchanges(p) == 1, s"plan:\n$p")
+  }
+
   test("q_bucket_join joins bucketed scans with zero exchange below the join") {
     val p = plan("q_bucket_join")
     assert(p.contains("SortMergeJoin"), s"plan:\n$p")
