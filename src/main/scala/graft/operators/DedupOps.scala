@@ -523,5 +523,61 @@ object DedupOps {
         .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
         .orderBy("doc_a", "doc_b")
     },
+
+    Q(
+      "q_dedup_overlap",
+      "overlap-coefficient dedup — |A∩B| / min(|A|,|B|) over the same " +
+        "pruned 3-gram inverted index as q_ngram_jaccard: the " +
+        "containment signal Jaccard misses (a short doc pasted inside " +
+        "a long one scores ~|A|/|B| on Jaccard but 1.0 here). " +
+        "Identical join/aggregation shape and df guards — O(shared " +
+        "shingles) candidates, never all-pairs; only the " +
+        "normalization differs, so the extra operator costs no new " +
+        "shuffle machinery",
+      Some(
+        s"""WITH sh0 AS (
+           |  SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM (
+           |    SELECT doc_id, $shingleSql AS shingles
+           |    FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+           |    WHERE len(t) >= 3)
+           |), sh AS (
+           |  SELECT doc_id, shingle FROM (
+           |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+           |    FROM sh0)
+           |  WHERE df <= $MaxShingleDf
+           |), sizes AS (
+           |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+           |), inter AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+           |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           |  GROUP BY a.doc_id, b.doc_id
+           |)
+           |SELECT doc_a, doc_b,
+           |  CAST(n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh) AS overlap
+           |FROM inter
+           |JOIN sizes sa ON sa.doc_id = doc_a
+           |JOIN sizes sb ON sb.doc_id = doc_b
+           |WHERE CAST(n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= 0.8
+           |ORDER BY doc_a, doc_b""".stripMargin),
+    ) { (s, dir) =>
+      // Same load-bearing exchanges as q_ngram_jaccard (see its note):
+      // shingle-df window prunes, doc_id window carries set sizes and
+      // pre-distributes the pair agg.
+      val sh = prunedShingles(Tables.documents(s, dir), MaxShingleDf)
+        .withColumn("n_sh",
+          count(lit(1)).over(Window.partitionBy("doc_id")))
+      val joinSide = sh.filter(col("df") >= 2)
+      val inter = joinSide.as("a")
+        .join(joinSide.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_common"),
+          first(col("a.n_sh")).as("sa"), first(col("b.n_sh")).as("sb"))
+      val oc = col("n_common").cast("double") / least(col("sa"), col("sb"))
+      inter
+        .filter(oc >= 0.8)
+        .select(col("doc_a"), col("doc_b"), oc.as("overlap"))
+        .orderBy("doc_a", "doc_b")
+    },
   )
 }

@@ -349,5 +349,42 @@ object EventsOps {
           (sum(col("cents")) / 100.0 / sum(col("n"))).cast("double").as("avg_value"))
         .orderBy("event_type")
     },
+
+    Q(
+      "q_cumulative_users",
+      "growth accounting — per-type daily new and cumulative distinct " +
+        "users: first-seen day per (type,user) (one keyed agg), " +
+        "new-user counts by that day (#days×#types-bounded agg), then " +
+        "a running sum per type over the tiny series — the naive " +
+        "per-day count-distinct-to-date would rescan the corpus once " +
+        "per day (O(days × corpus)); this is one corpus pass plus " +
+        "windowing over days×types rows. Day rendered as a string so " +
+        "both engines emit identical text",
+      Some(
+        """WITH f AS (
+          |  SELECT event_type, user_id,
+          |    min(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)) AS d0
+          |  FROM events GROUP BY event_type, user_id
+          |), n AS (
+          |  SELECT event_type, CAST(d0 AS VARCHAR) AS day, count(*) AS n_new
+          |  FROM f GROUP BY event_type, d0
+          |)
+          |SELECT event_type, day, n_new,
+          |  CAST(sum(n_new) OVER (PARTITION BY event_type ORDER BY day
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          |    AS cum_users
+          |FROM n ORDER BY event_type, day""".stripMargin),
+    ) { (s, dir) =>
+      val firstSeen = Tables.events(s, dir)
+        .groupBy("event_type", "user_id").agg(min(to_date(col("ts"))).as("d0"))
+      val daily = firstSeen
+        .groupBy(col("event_type"), date_format(col("d0"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_new"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("cum_users", sum(col("n_new")).over(w))
+        .orderBy("event_type", "day")
+    },
   )
 }

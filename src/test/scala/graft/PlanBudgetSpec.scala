@@ -199,6 +199,23 @@ class PlanBudgetSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"state rollup needs no join, plan:\n$p")
   }
 
+  test("q_dedup_overlap keeps the ngram_jaccard plan shape (window exchange feeds the pair agg)") {
+    val p = plan("q_dedup_overlap")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    // Pair agg must reuse the doc_id window's distribution, like
+    // q_ngram_jaccard: shingle-df window + doc_id window + final sort
+    // only; no extra exchange for the aggregation.
+    assert(hashExchanges(p) <= 3, s"plan:\n$p")
+  }
+
+  test("q_cumulative_users aggregates before windowing — only tiny keyed exchanges") {
+    val p = plan("q_cumulative_users")
+    // (type,user) first-seen agg; (type,day) agg; type-keyed window —
+    // the last two move days×types rows, not events.
+    assert(hashExchanges(p) <= 3, s"plan:\n$p")
+    assert(!p.contains("Join"), s"no join needed, plan:\n$p")
+  }
+
   test("q_lm_score broadcasts the vocab-bounded stats back to the doc stream") {
     val p = plan("q_lm_score")
     assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
