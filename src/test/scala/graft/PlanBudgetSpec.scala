@@ -199,13 +199,18 @@ class PlanBudgetSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"state rollup needs no join, plan:\n$p")
   }
 
-  test("q_dedup_overlap keeps the ngram_jaccard plan shape (window exchange feeds the pair agg)") {
+  test("q_dedup_overlap keeps the ngram_jaccard plan shape, with least() normalization") {
     val p = plan("q_dedup_overlap")
-    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
-    // Pair agg must reuse the doc_id window's distribution, like
-    // q_ngram_jaccard: shingle-df window + doc_id window + final sort
-    // only; no extra exchange for the aggregation.
-    assert(hashExchanges(p) <= 3, s"plan:\n$p")
+    // Same pinned shape as q_ngram_jaccard (the static plan duplicates
+    // the window pipeline per self-join side; AQE reuses the exchange
+    // at runtime): df window + stop-shingle cap + df>=2 shed + keyed
+    // join, never a cartesian.
+    assert(p.contains("windowspecdefinition(shingle#"), s"plan:\n$p")
+    assert(p.contains(s"<= ${operators.DedupOps.MaxShingleDf}"), s"plan:\n$p")
+    assert(p.contains(">= 2"), s"plan:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"),
+      s"plan:\n$p")
+    assert(p.contains("least("), s"plan:\n$p")
   }
 
   test("q_cumulative_users aggregates before windowing — only tiny keyed exchanges") {
