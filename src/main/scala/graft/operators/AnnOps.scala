@@ -711,5 +711,109 @@ object AnnOps {
             x => abs(x.cast("double") - quant(x) * col("scale_raw")))), 6).as("max_err"))
         .orderBy("vec_id")
     },
+
+    Q(
+      "q_embed_pq",
+      "product quantization (the IVF-PQ code book at 100 TB): the " +
+        "64-dim vector splits into 4 subspaces of 16 dims; each " +
+        "subspace trains its own k=4 codebook (one unrolled Lloyd " +
+        "iteration from first-k seeds) and every vector compresses to " +
+        "4 one-byte codes + a 6dp reconstruction error. The long-form " +
+        "(vec, subspace) layout trains ALL subspaces in one corpus " +
+        "pass per iteration — subspace is just another grouping key, " +
+        "not a loop — and both assignments stream the corpus against " +
+        "a broadcast 4-row codebook pack; per-iteration rounding " +
+        "(cval and the metric at 6dp) is the cross-engine sync point, " +
+        "and the error total is a fixed-point sum, order-independent " +
+        "at any parallelism",
+      Some {
+        val dot16 = (a: String, b: String) =>
+          s"list_sum(list_transform(range(16), i -> $a[i+1] * $b[i+1]))"
+        val nsq = (e: String) => s"list_sum(list_transform($e, x -> x * x))"
+        val d2 = (v: String, c: String) =>
+          s"round(${nsq(v)} - 2 * ${dot16(v, c)} + ${nsq(c)}, 6)"
+        s"""WITH sv AS (
+           |  SELECT vec_id, sp,
+           |    list_transform(embedding[sp*16+1 : sp*16+16],
+           |      x -> CAST(x AS DOUBLE)) AS sv
+           |  FROM (SELECT vec_id, unnest(range(4)) AS sp, embedding FROM embeddings)
+           |), c0 AS (
+           |  SELECT sp, vec_id AS cent_id, sv AS ce FROM sv WHERE vec_id < 4
+           |), a1 AS (
+           |  SELECT vec_id, sp, sv, cent_id FROM (
+           |    SELECT v.vec_id, v.sp, v.sv, c.cent_id,
+           |      row_number() OVER (PARTITION BY v.vec_id, v.sp
+           |        ORDER BY ${d2("v.sv", "c.ce")}, c.cent_id) AS rn
+           |    FROM sv v JOIN c0 c ON c.sp = v.sp) WHERE rn = 1
+           |), l1 AS (
+           |  SELECT sp, cent_id, pos, round(avg(v), 6) AS cval FROM (
+           |    SELECT sp, cent_id, pos, sv[pos+1] AS v FROM (
+           |      SELECT sp, cent_id, unnest(range(16)) AS pos, sv FROM a1))
+           |  GROUP BY sp, cent_id, pos
+           |), c1 AS (
+           |  SELECT sp, cent_id, list(cval ORDER BY pos) AS ce
+           |  FROM l1 GROUP BY sp, cent_id
+           |), a2pre AS (
+           |  SELECT v.vec_id, v.sp, c.cent_id, ${d2("v.sv", "c.ce")} AS m
+           |  FROM sv v JOIN c1 c ON c.sp = v.sp
+           |), a2 AS (
+           |  SELECT vec_id, sp, cent_id, m FROM (
+           |    SELECT vec_id, sp, cent_id, m,
+           |      row_number() OVER (PARTITION BY vec_id, sp
+           |        ORDER BY m, cent_id) AS rn
+           |    FROM a2pre) WHERE rn = 1
+           |)
+           |SELECT vec_id,
+           |  string_agg(CAST(cent_id AS VARCHAR), '-' ORDER BY sp) AS codes,
+           |  ${graft.functions.Portable.exactSumSql("m", 6)} AS err
+           |FROM a2 GROUP BY vec_id ORDER BY vec_id""".stripMargin
+      },
+    ) { (s, dir) =>
+      val M = 4; val SubDim = 16; val KSub = 4
+      // Long-form (vec, subspace, 16-dim slice): subspaces become a
+      // grouping key, so one Lloyd pass trains all 4 codebooks.
+      val sv = Tables.embeddings(s, dir).select(col("vec_id"),
+        posexplode(expr(
+          s"transform(sequence(0, ${M - 1}), j -> slice(embedding, j*$SubDim+1, $SubDim))"))
+          .as(Seq("sp", "sv")))
+      def packSub(c: org.apache.spark.sql.DataFrame) =
+        c.groupBy("sp").agg(collect_list(struct(col("cent_id"), col("ce"),
+          normSq(col("ce")).as("cn2"),
+          sqrt(normSq(col("ce"))).as("cn"))).as("cs"))
+      val c0 = sv.filter(col("vec_id") < KSub)
+        .select(col("sp"), col("vec_id").as("cent_id"),
+          transform(col("sv"), _.cast("double")).as("ce"))
+      // Lloyd iteration: fused argmin assignment (6dp metric, cent_id
+      // tiebreak — identical to the composed form below by
+      // CentAssignSpec's equivalence), per-(sp,cent,pos) mean.
+      val a1 = sv.join(broadcast(packSub(c0)), Seq("sp"))
+        .withColumn("cent_id",
+          graft.functions.CentAssign.argminL2(s, "sv", "cs"))
+      val c1 = a1
+        .select(col("sp"), col("cent_id"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy("sp", "cent_id", "pos")
+        .agg(round(avg(col("v").cast("double")), 6).as("cval"))
+        .groupBy("sp", "cent_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cval")))),
+          p => p.getField("cval")).as("ce"))
+      // Final encode: composed (m, cent_id) array_min so the metric
+      // rides along for the reconstruction error.
+      val mets = transform(col("cs"), c => struct(
+        round(col("vn2") - lit(2.0) * dotCol(col("sv"), c.getField("ce"))
+          + c.getField("cn2"), 6).as("m"),
+        c.getField("cent_id").as("cent_id")))
+      sv.withColumn("vn2", normSq(col("sv")))
+        .join(broadcast(packSub(c1)), Seq("sp"))
+        .withColumn("best", array_min(mets))
+        .select(col("vec_id"), col("sp"),
+          col("best.cent_id").as("cent_id"), col("best.m").as("m"))
+        .groupBy("vec_id")
+        .agg(
+          array_join(transform(
+            array_sort(collect_list(struct(col("sp"), col("cent_id")))),
+            x => x.getField("cent_id").cast("string")), "-").as("codes"),
+          graft.functions.Portable.exactSum(col("m"), 6).as("err"))
+        .orderBy("vec_id")
+    },
   )
 }

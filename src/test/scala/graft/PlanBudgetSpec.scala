@@ -227,6 +227,13 @@ class PlanBudgetSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"plan:\n$p")
   }
 
+  test("q_embed_pq streams the corpus against broadcast codebooks — never sort-merges") {
+    val p = plan("q_embed_pq")
+    assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"both PQ assignments must broadcast the 4-row codebook pack, plan:\n$p")
+  }
+
   test("q_kmeans_train: every iteration broadcasts centroids, never sort-merges") {
     val p = plan("q_kmeans_train")
     assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
