@@ -37,6 +37,15 @@ object AnnOps {
   private val NProbe = 4
   private val KSeeds = 8
 
+  // Product quantization (q_embed_pq / q_pq_search). Declared BEFORE
+  // `val all`: the oracle strings are built eagerly at object init, so
+  // these must already be initialized when pqChainSql runs.
+  private val PqM = 4
+  private val PqSubDim = 16
+  private val PqK = 4
+  private val PqProbes = 5
+  private val PqTopK = 10
+
   /** Fixed pseudo-random hyperplanes — owned by [[HyperSig]] (the
     * fused native expression that computes the 16-bit signature); this
     * module splices the same values into the oracle SQL literals.
@@ -726,87 +735,15 @@ object AnnOps {
         "(cval and the metric at 6dp) is the cross-engine sync point, " +
         "and the error total is a fixed-point sum, order-independent " +
         "at any parallelism",
-      Some {
-        val dot16 = (a: String, b: String) =>
-          s"list_sum(list_transform(range(16), i -> $a[i+1] * $b[i+1]))"
-        val nsq = (e: String) => s"list_sum(list_transform($e, x -> x * x))"
-        val d2 = (v: String, c: String) =>
-          s"round(${nsq(v)} - 2 * ${dot16(v, c)} + ${nsq(c)}, 6)"
-        s"""WITH sv AS (
-           |  SELECT vec_id, sp,
-           |    list_transform(embedding[sp*16+1 : sp*16+16],
-           |      x -> CAST(x AS DOUBLE)) AS sv
-           |  FROM (SELECT vec_id, unnest(range(4)) AS sp, embedding FROM embeddings)
-           |), c0 AS (
-           |  SELECT sp, vec_id AS cent_id, sv AS ce FROM sv WHERE vec_id < 4
-           |), a1 AS (
-           |  SELECT vec_id, sp, sv, cent_id FROM (
-           |    SELECT v.vec_id, v.sp, v.sv, c.cent_id,
-           |      row_number() OVER (PARTITION BY v.vec_id, v.sp
-           |        ORDER BY ${d2("v.sv", "c.ce")}, c.cent_id) AS rn
-           |    FROM sv v JOIN c0 c ON c.sp = v.sp) WHERE rn = 1
-           |), l1 AS (
-           |  SELECT sp, cent_id, pos, round(avg(v), 6) AS cval FROM (
-           |    SELECT sp, cent_id, pos, sv[pos+1] AS v FROM (
-           |      SELECT sp, cent_id, unnest(range(16)) AS pos, sv FROM a1))
-           |  GROUP BY sp, cent_id, pos
-           |), c1 AS (
-           |  SELECT sp, cent_id, list(cval ORDER BY pos) AS ce
-           |  FROM l1 GROUP BY sp, cent_id
-           |), a2pre AS (
-           |  SELECT v.vec_id, v.sp, c.cent_id, ${d2("v.sv", "c.ce")} AS m
-           |  FROM sv v JOIN c1 c ON c.sp = v.sp
-           |), a2 AS (
-           |  SELECT vec_id, sp, cent_id, m FROM (
-           |    SELECT vec_id, sp, cent_id, m,
-           |      row_number() OVER (PARTITION BY vec_id, sp
-           |        ORDER BY m, cent_id) AS rn
-           |    FROM a2pre) WHERE rn = 1
-           |)
+      Some(
+        s"""$pqChainSql
            |SELECT vec_id,
            |  string_agg(CAST(cent_id AS VARCHAR), '-' ORDER BY sp) AS codes,
            |  ${graft.functions.Portable.exactSumSql("m", 6)} AS err
-           |FROM a2 GROUP BY vec_id ORDER BY vec_id""".stripMargin
-      },
+           |FROM a2 GROUP BY vec_id ORDER BY vec_id""".stripMargin),
     ) { (s, dir) =>
-      val M = 4; val SubDim = 16; val KSub = 4
-      // Long-form (vec, subspace, 16-dim slice): subspaces become a
-      // grouping key, so one Lloyd pass trains all 4 codebooks.
-      val sv = Tables.embeddings(s, dir).select(col("vec_id"),
-        posexplode(expr(
-          s"transform(sequence(0, ${M - 1}), j -> slice(embedding, j*$SubDim+1, $SubDim))"))
-          .as(Seq("sp", "sv")))
-      def packSub(c: org.apache.spark.sql.DataFrame) =
-        c.groupBy("sp").agg(collect_list(struct(col("cent_id"), col("ce"),
-          normSq(col("ce")).as("cn2"),
-          sqrt(normSq(col("ce"))).as("cn"))).as("cs"))
-      val c0 = sv.filter(col("vec_id") < KSub)
-        .select(col("sp"), col("vec_id").as("cent_id"),
-          transform(col("sv"), _.cast("double")).as("ce"))
-      // Lloyd iteration: fused argmin assignment (6dp metric, cent_id
-      // tiebreak — identical to the composed form below by
-      // CentAssignSpec's equivalence), per-(sp,cent,pos) mean.
-      val a1 = sv.join(broadcast(packSub(c0)), Seq("sp"))
-        .withColumn("cent_id",
-          graft.functions.CentAssign.argminL2(s, "sv", "cs"))
-      val c1 = a1
-        .select(col("sp"), col("cent_id"), posexplode(col("sv")).as(Seq("pos", "v")))
-        .groupBy("sp", "cent_id", "pos")
-        .agg(round(avg(col("v").cast("double")), 6).as("cval"))
-        .groupBy("sp", "cent_id")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cval")))),
-          p => p.getField("cval")).as("ce"))
-      // Final encode: composed (m, cent_id) array_min so the metric
-      // rides along for the reconstruction error.
-      val mets = transform(col("cs"), c => struct(
-        round(col("vn2") - lit(2.0) * dotCol(col("sv"), c.getField("ce"))
-          + c.getField("cn2"), 6).as("m"),
-        c.getField("cent_id").as("cent_id")))
-      sv.withColumn("vn2", normSq(col("sv")))
-        .join(broadcast(packSub(c1)), Seq("sp"))
-        .withColumn("best", array_min(mets))
-        .select(col("vec_id"), col("sp"),
-          col("best.cent_id").as("cent_id"), col("best.m").as("m"))
+      val sv = pqSv(Tables.embeddings(s, dir).select("vec_id", "embedding"))
+      pqEncode(s, sv, pqCodebooks(s, sv))
         .groupBy("vec_id")
         .agg(
           array_join(transform(
@@ -815,5 +752,151 @@ object AnnOps {
           graft.functions.Portable.exactSum(col("m"), 6).as("err"))
         .orderBy("vec_id")
     },
+
+    Q(
+      "q_pq_search",
+      s"asymmetric-distance (ADC) top-$PqTopK over the PQ codes: each " +
+        s"probe precomputes a $PqM×$PqK distance table against the " +
+        "trained codebooks (probes×16 rows, broadcast), and the " +
+        "corpus side touches ONLY its 4-byte codes — never the raw " +
+        "vectors — so at 100 TB the scan reads a 16×-compressed " +
+        "table and approximate distance is 4 table lookups summed " +
+        "per candidate (a (probe,vec)-keyed partial agg of 4-row " +
+        "groups); the fixed-point sum keeps ranking engine-identical. " +
+        "This is the search half of IVF-PQ; q_embed_pq builds the " +
+        "codes it reads",
+      Some(
+        s"""$pqChainSql, dt AS (
+           |  SELECT q.vec_id AS probe_id, q.sp, c.cent_id,
+           |    ${pqD2Sql("q.sv", "c.ce")} AS dt
+           |  FROM sv q JOIN c1 c ON c.sp = q.sp WHERE q.vec_id < $PqProbes
+           |), scored AS (
+           |  SELECT probe_id, a.vec_id AS neighbor_id,
+           |    ${graft.functions.Portable.exactSumSql("dt", 6)} AS adist
+           |  FROM a2 a JOIN dt ON dt.sp = a.sp AND dt.cent_id = a.cent_id
+           |  GROUP BY probe_id, a.vec_id
+           |), ranked AS (
+           |  SELECT probe_id, neighbor_id, adist,
+           |    row_number() OVER (PARTITION BY probe_id
+           |      ORDER BY adist, neighbor_id) AS rank
+           |  FROM scored WHERE neighbor_id <> probe_id)
+           |SELECT probe_id, neighbor_id, adist, rank
+           |FROM ranked WHERE rank <= $PqTopK
+           |ORDER BY probe_id, rank""".stripMargin),
+    ) { (s, dir) =>
+      val sv = pqSv(Tables.embeddings(s, dir).select("vec_id", "embedding"))
+      val books = pqCodebooks(s, sv)
+      val codes = pqEncode(s, sv, books)
+      val dt = sv.filter(col("vec_id") < PqProbes)
+        .join(broadcast(books), Seq("sp"))
+        .select(col("vec_id").as("probe_id"), col("sp"), col("cent_id"),
+          round(normSq(col("sv")) - lit(2.0) * dotCol(col("sv"), col("ce"))
+            + normSq(col("ce")), 6).as("dt"))
+      val w = Window.partitionBy("probe_id").orderBy(col("adist"), col("vec_id"))
+      codes.join(broadcast(dt), Seq("sp", "cent_id"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .groupBy("probe_id", "vec_id")
+        .agg(graft.functions.Portable.exactSum(col("dt"), 6).as("adist"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= PqTopK)
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          col("adist"), col("rank"))
+        .orderBy("probe_id", "rank")
+    },
   )
+
+  private def pqDot16Sql(a: String, b: String): String =
+    s"list_sum(list_transform(range($PqSubDim), i -> $a[i+1] * $b[i+1]))"
+  private def pqNsqSql(e: String): String =
+    s"list_sum(list_transform($e, x -> x * x))"
+  private def pqD2Sql(v: String, c: String): String =
+    s"round(${pqNsqSql(v)} - 2 * ${pqDot16Sql(v, c)} + ${pqNsqSql(c)}, 6)"
+
+  /** Oracle CTE chain: sv (long-form double subvectors) → c0 (first-k
+    * seeds) → a1 (iteration-1 assignment) → l1/c1 (recomputed
+    * codebooks) → a2 (final codes, 6dp metric `m` riding along). */
+  private def pqChainSql: String =
+    s"""WITH sv AS (
+       |  SELECT vec_id, sp,
+       |    list_transform(embedding[sp*$PqSubDim+1 : sp*$PqSubDim+$PqSubDim],
+       |      x -> CAST(x AS DOUBLE)) AS sv
+       |  FROM (SELECT vec_id, unnest(range($PqM)) AS sp, embedding FROM embeddings)
+       |), c0 AS (
+       |  SELECT sp, vec_id AS cent_id, sv AS ce FROM sv WHERE vec_id < $PqK
+       |), a1 AS (
+       |  SELECT vec_id, sp, sv, cent_id FROM (
+       |    SELECT v.vec_id, v.sp, v.sv, c.cent_id,
+       |      row_number() OVER (PARTITION BY v.vec_id, v.sp
+       |        ORDER BY ${pqD2Sql("v.sv", "c.ce")}, c.cent_id) AS rn
+       |    FROM sv v JOIN c0 c ON c.sp = v.sp) WHERE rn = 1
+       |), l1 AS (
+       |  SELECT sp, cent_id, pos, round(avg(v), 6) AS cval FROM (
+       |    SELECT sp, cent_id, pos, sv[pos+1] AS v FROM (
+       |      SELECT sp, cent_id, unnest(range($PqSubDim)) AS pos, sv FROM a1))
+       |  GROUP BY sp, cent_id, pos
+       |), c1 AS (
+       |  SELECT sp, cent_id, list(cval ORDER BY pos) AS ce
+       |  FROM l1 GROUP BY sp, cent_id
+       |), a2pre AS (
+       |  SELECT v.vec_id, v.sp, c.cent_id, ${pqD2Sql("v.sv", "c.ce")} AS m
+       |  FROM sv v JOIN c1 c ON c.sp = v.sp
+       |), a2 AS (
+       |  SELECT vec_id, sp, cent_id, m FROM (
+       |    SELECT vec_id, sp, cent_id, m,
+       |      row_number() OVER (PARTITION BY vec_id, sp
+       |        ORDER BY m, cent_id) AS rn
+       |    FROM a2pre) WHERE rn = 1
+       |)""".stripMargin
+
+  /** Long-form (vec_id, sp, 16-dim float slice): subspace becomes a
+    * grouping key, so one Lloyd pass trains all $PqM codebooks. */
+  private def pqSv(e: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    e.select(col("vec_id"),
+      posexplode(expr(s"transform(sequence(0, ${PqM - 1}), " +
+        s"j -> slice(embedding, j*$PqSubDim+1, $PqSubDim))"))
+        .as(Seq("sp", "sv")))
+
+  /** Per-subspace centroid pack (cs rows keyed by sp, broadcastable). */
+  private def packSubCents(c: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    c.groupBy("sp").agg(collect_list(struct(col("cent_id"), col("ce"),
+      normSq(col("ce")).as("cn2"),
+      sqrt(normSq(col("ce"))).as("cn"))).as("cs"))
+
+  /** One unrolled Lloyd iteration from first-$PqK seeds → long-form
+    * codebooks (sp, cent_id, ce). Fused argmin assignment (6dp metric,
+    * cent_id tiebreak — identical to the composed form in [[pqEncode]]
+    * by CentAssignSpec's equivalence), per-(sp,cent,pos) 6dp mean. */
+  private def pqCodebooks(s: SparkSession, sv: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val c0 = sv.filter(col("vec_id") < PqK)
+      .select(col("sp"), col("vec_id").as("cent_id"),
+        transform(col("sv"), _.cast("double")).as("ce"))
+    sv.join(broadcast(packSubCents(c0)), Seq("sp"))
+      .withColumn("cent_id",
+        graft.functions.CentAssign.argminL2(s, "sv", "cs"))
+      .select(col("sp"), col("cent_id"), posexplode(col("sv")).as(Seq("pos", "v")))
+      .groupBy("sp", "cent_id", "pos")
+      .agg(round(avg(col("v").cast("double")), 6).as("cval"))
+      .groupBy("sp", "cent_id")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cval")))),
+        p => p.getField("cval")).as("ce"))
+  }
+
+  /** Final PQ encode: composed (m, cent_id) array_min against the
+    * broadcast codebook pack, so the 6dp metric rides along for the
+    * reconstruction error / ADC tables. Returns (vec_id, sp, cent_id, m). */
+  private def pqEncode(s: SparkSession, sv: org.apache.spark.sql.DataFrame,
+      books: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val mets = transform(col("cs"), c => struct(
+      round(col("vn2") - lit(2.0) * dotCol(col("sv"), c.getField("ce"))
+        + c.getField("cn2"), 6).as("m"),
+      c.getField("cent_id").as("cent_id")))
+    sv.withColumn("vn2", normSq(col("sv")))
+      .join(broadcast(packSubCents(books)), Seq("sp"))
+      .withColumn("best", array_min(mets))
+      .select(col("vec_id"), col("sp"),
+        col("best.cent_id").as("cent_id"), col("best.m").as("m"))
+  }
 }

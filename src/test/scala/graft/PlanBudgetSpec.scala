@@ -234,6 +234,13 @@ class PlanBudgetSpec extends AnyFunSuite {
       s"both PQ assignments must broadcast the 4-row codebook pack, plan:\n$p")
   }
 
+  test("q_pq_search reads only codes on the corpus side — distance tables broadcast") {
+    val p = plan("q_pq_search")
+    assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"ADC must broadcast the probe distance tables, plan:\n$p")
+  }
+
   test("q_kmeans_train: every iteration broadcasts centroids, never sort-merges") {
     val p = plan("q_kmeans_train")
     assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
