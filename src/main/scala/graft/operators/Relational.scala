@@ -681,6 +681,70 @@ object Relational {
     },
 
     Q(
+      "q_quantile_sketch",
+      "sketch-based quantiles: a 1024-bin equi-width histogram of " +
+        "o_totalprice (bin counts merge by addition — partial-agg " +
+        "friendly, one number per bin crosses the wire) interpolated " +
+        "at p50/p95/p99. Unlike t-digest/GK this sketch is exactly " +
+        "deterministic, so the oracle reproduces it bit-for-bit; " +
+        "error is bounded by bin width. The exact per-group sort " +
+        "(q_quantiles) is the small-data twin; at 100 TB the " +
+        "histogram is THE quantile plan — one scan, 1024-row state, " +
+        "mergeable across partitions and days",
+      Some(
+        """WITH r AS (
+          |  SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders
+          |), b AS (
+          |  SELECT least(1023, CAST(floor((o_totalprice - mn) * 1024 / (mx - mn))
+          |    AS BIGINT)) AS bin, mn, mx
+          |  FROM orders, r
+          |), h AS (
+          |  SELECT bin, min(mn) AS mn, min(mx) AS mx, count(*) AS n
+          |  FROM b GROUP BY bin
+          |), c AS (
+          |  SELECT bin, mn, mx, n,
+          |    sum(n) OVER (ORDER BY bin
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          |    sum(n) OVER () AS ntot
+          |  FROM h
+          |), q AS (
+          |  SELECT p, bin, mn, mx, n, cum, ntot,
+          |    row_number() OVER (PARTITION BY p ORDER BY bin) AS rn
+          |  FROM c, (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.95 AS DOUBLE)),
+          |    (CAST(0.99 AS DOUBLE))) v(p)
+          |  WHERE cum >= p * ntot
+          |)
+          |SELECT p, round(mn + (bin + (p * ntot - (cum - n)) / n)
+          |  * ((mx - mn) / 1024.0), 6) AS est
+          |FROM q WHERE rn = 1 ORDER BY p""".stripMargin),
+    ) { (s, dir) =>
+      val o = Tables.orders(s, dir).select(col("o_totalprice").as("x"))
+      val rng = o.agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      val hist = o.crossJoin(broadcast(rng))
+        .withColumn("bin", least(lit(1023),
+          floor((col("x") - col("mn")) * 1024 / (col("mx") - col("mn"))))
+          .cast("long"))
+        .groupBy("bin")
+        .agg(min(col("mn")).as("mn"), min(col("mx")).as("mx"),
+          count(lit(1)).as("n"))
+      val wCum = Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist
+        .withColumn("cum", sum(col("n")).over(wCum))
+        .withColumn("ntot", sum(col("n")).over(Window.partitionBy()))
+        .withColumn("p", explode(array(lit(0.5), lit(0.95), lit(0.99))))
+        .filter(col("cum") >= col("p") * col("ntot"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("p").orderBy("bin")))
+        .filter(col("rn") === 1)
+        .select(col("p"),
+          round(col("mn") + (col("bin") + (col("p") * col("ntot")
+            - (col("cum") - col("n"))) / col("n"))
+            * ((col("mx") - col("mn")) / 1024.0), 6).as("est"))
+        .orderBy("p")
+    },
+
+    Q(
       "q_zorder_layout",
       "multi-dimensional clustering for data skipping: each order maps " +
         "to a Morton (z-order) value interleaving the bits of its " +

@@ -171,6 +171,15 @@ class PlanBudgetSpec extends AnyFunSuite {
       s"bloom probe must sit below (after, in plan text) the join, plan:\n$p")
   }
 
+  test("q_quantile_sketch is one corpus scan into a 1024-bin mergeable agg") {
+    val p = plan("q_quantile_sketch")
+    assert(p.contains("BroadcastNestedLoopJoin"), // the 1-row range crossJoin
+      s"plan:\n$p")
+    assert(hashExchanges(p) == 1, // the bin agg; windows run over ≤1024 rows
+      s"plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+  }
+
   test("q_zorder_layout computes z-values per-row off a broadcast range — one bucket agg shuffle") {
     val p = plan("q_zorder_layout")
     assert(p.contains("BroadcastNestedLoopJoin"), // the 1-row range crossJoin
