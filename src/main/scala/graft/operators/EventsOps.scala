@@ -351,6 +351,50 @@ object EventsOps {
     },
 
     Q(
+      "q_mad_outliers",
+      "robust outliers via median absolute deviation (modified " +
+        "z-score 0.6745·(x−med)/MAD, cut at 3.5): immune to the very " +
+        "outliers that inflate q_events_zscore's σ. Two corpus passes " +
+        "are inherent to nested exact medians (med, then MAD of " +
+        "deviations); both medians are #types-bounded aggs broadcast " +
+        "back — at 100 TB swap exact percentile for a mergeable KLL/ " +
+        "t-digest sketch and it becomes one pass. 6dp rounding on " +
+        "med, MAD, and the score keeps the cut engine-identical",
+      Some(
+        """WITH med AS (
+          |  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+          |  FROM events GROUP BY event_type
+          |), dev AS (
+          |  SELECT e.event_id, e.event_type, e.value, m.med,
+          |    abs(e.value - m.med) AS adev
+          |  FROM events e JOIN med m USING (event_type)
+          |), mad AS (
+          |  SELECT event_type, round(quantile_cont(adev, 0.5), 6) AS mad
+          |  FROM dev GROUP BY event_type
+          |)
+          |SELECT d.event_id, d.event_type, d.value,
+          |  round(0.6745 * (d.value - d.med) / m.mad, 6) AS mz
+          |FROM dev d JOIN mad m USING (event_type)
+          |WHERE m.mad > 0
+          |  AND abs(round(0.6745 * (d.value - d.med) / m.mad, 6)) > 3.5
+          |ORDER BY d.event_type, d.event_id""".stripMargin),
+    ) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val med = ev.groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
+      val dev = ev.join(broadcast(med), Seq("event_type"))
+        .select(col("event_id"), col("event_type"), col("value"), col("med"),
+          abs(col("value") - col("med")).as("adev"))
+      val mad = dev.groupBy("event_type")
+        .agg(round(expr("percentile(adev, 0.5)"), 6).as("mad"))
+      val mz = round(lit(0.6745) * (col("value") - col("med")) / col("mad"), 6)
+      dev.join(broadcast(mad), Seq("event_type"))
+        .filter(col("mad") > 0 && abs(mz) > 3.5)
+        .select(col("event_id"), col("event_type"), col("value"), mz.as("mz"))
+        .orderBy("event_type", "event_id")
+    },
+
+    Q(
       "q_cumulative_users",
       "growth accounting — per-type daily new and cumulative distinct " +
         "users: first-seen day per (type,user) (one keyed agg), " +

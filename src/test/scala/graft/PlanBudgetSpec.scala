@@ -194,6 +194,12 @@ class PlanBudgetSpec extends AnyFunSuite {
       s"bucketed join must not re-shuffle either side, plan:\n$p")
   }
 
+  test("q_mad_outliers broadcasts both median stages back to the scan") {
+    val p = plan("q_mad_outliers")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, s"plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+  }
+
   test("q_sample_mix broadcasts per-lang thresholds — the corpus never shuffles to be sampled") {
     val p = plan("q_sample_mix")
     assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
