@@ -785,7 +785,11 @@ object AnnOps {
            |ORDER BY probe_id, rank""".stripMargin),
     ) { (s, dir) =>
       val sv = pqSv(Tables.embeddings(s, dir).select("vec_id", "embedding"))
-      val books = pqCodebooks(s, sv)
+      // The 16-row codebook table feeds TWO broadcast consumers (the
+      // encode pack and the distance tables); localCheckpoint
+      // materializes it once so each broadcast doesn't replay the
+      // Lloyd chain — same pattern as trainKMeans.
+      val books = pqCodebooks(s, sv).localCheckpoint()
       val codes = pqEncode(s, sv, books)
       val dt = sv.filter(col("vec_id") < PqProbes)
         .join(broadcast(books), Seq("sp"))
