@@ -40,9 +40,9 @@ object AnnOps {
   // Product quantization (q_embed_pq / q_pq_search). Declared BEFORE
   // `val all`: the oracle strings are built eagerly at object init, so
   // these must already be initialized when pqChainSql runs.
-  private val PqM = 4
-  private val PqSubDim = 16
-  private val PqK = 4
+  private val PqM = 8
+  private val PqSubDim = 8
+  private val PqK = 8
   private val PqProbes = 5
   private val PqTopK = 10
 
@@ -723,15 +723,16 @@ object AnnOps {
 
     Q(
       "q_embed_pq",
-      "product quantization (the IVF-PQ code book at 100 TB): the " +
-        "64-dim vector splits into 4 subspaces of 16 dims; each " +
-        "subspace trains its own k=4 codebook (one unrolled Lloyd " +
-        "iteration from first-k seeds) and every vector compresses to " +
-        "4 one-byte codes + a 6dp reconstruction error. The long-form " +
+      s"product quantization (the IVF-PQ code book at 100 TB): the " +
+        s"64-dim vector splits into $PqM subspaces of $PqSubDim dims; " +
+        s"each subspace trains its own k=$PqK codebook (one unrolled " +
+        s"Lloyd iteration from first-k seeds) and every vector " +
+        s"compresses to $PqM one-byte codes + a 6dp reconstruction " +
+        "error. The long-form " +
         "(vec, subspace) layout trains ALL subspaces in one corpus " +
         "pass per iteration — subspace is just another grouping key, " +
         "not a loop — and both assignments stream the corpus against " +
-        "a broadcast 4-row codebook pack; per-iteration rounding " +
+        s"a broadcast $PqM-row codebook pack; per-iteration rounding " +
         "(cval and the metric at 6dp) is the cross-engine sync point, " +
         "and the error total is a fixed-point sum, order-independent " +
         "at any parallelism",
@@ -757,12 +758,13 @@ object AnnOps {
       "q_pq_search",
       s"asymmetric-distance (ADC) top-$PqTopK over the PQ codes: each " +
         s"probe precomputes a $PqM×$PqK distance table against the " +
-        "trained codebooks (probes×16 rows, broadcast), and the " +
-        "corpus side touches ONLY its 4-byte codes — never the raw " +
-        "vectors — so at 100 TB the scan reads a 16×-compressed " +
-        "table and approximate distance is 4 table lookups summed " +
-        "per candidate (a (probe,vec)-keyed partial agg of 4-row " +
-        "groups); the fixed-point sum keeps ranking engine-identical. " +
+        s"trained codebooks (probes×${PqM * PqK} rows, broadcast), " +
+        s"and the corpus side touches ONLY its $PqM-byte codes — " +
+        "never the raw vectors — so at 100 TB the scan reads a " +
+        s"${4 * Dim / PqM}×-compressed table and approximate distance " +
+        s"is $PqM table lookups summed per candidate (a " +
+        s"(probe,vec)-keyed partial agg of $PqM-row groups); the " +
+        "fixed-point sum keeps ranking engine-identical. " +
         "This is the search half of IVF-PQ; q_embed_pq builds the " +
         "codes it reads",
       Some(

@@ -121,6 +121,31 @@ class AnnSpec extends AnyFunSuite {
     assert(mean >= 0.3, s"mean recall@10 $mean; per-probe $recalls")
   }
 
+  test("q_pq_search recall@10 vs exact L2 on sf0.001") {
+    // Metric-matched: ADC approximates squared-L2, so the ground truth
+    // is exact L2 top-10 computed from the raw vectors (NOT the cosine
+    // brute-force twin). k=4 codebooks are deliberately coarse; the
+    // floor is a regression tripwire — a broken codebook or distance
+    // table sends recall to ~chance (10/499 ≈ 0.02).
+    val sf = "/root/testdata/sf0.001"
+    val raw = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def d2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum
+    val exact = raw.keys.filter(_ < 5).map { p =>
+      p -> raw.keySet.filter(_ != p).toSeq
+        .sortBy(n => (d2(raw(p), raw(n)), n)).take(10).toSet
+    }.toMap
+    val pq = SparkEntry.queries("q_pq_search")(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .map { case (p, rs) => p -> rs.map(_.getLong(1)).toSet }
+    val recalls = exact.map { case (p, e) =>
+      pq.getOrElse(p, Set.empty).intersect(e).size.toDouble / e.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.3, s"mean recall@10 $mean; per-probe $recalls")
+  }
+
   test("q_embed_quantize: scale, saturation and error bound") {
     val rows = SparkEntry.queries("q_embed_quantize")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3)))

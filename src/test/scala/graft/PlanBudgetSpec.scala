@@ -246,7 +246,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     val p = plan("q_embed_pq")
     assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
-      s"both PQ assignments must broadcast the 4-row codebook pack, plan:\n$p")
+      s"both PQ assignments must broadcast the codebook pack, plan:\n$p")
   }
 
   test("q_pq_search reads only codes on the corpus side — distance tables broadcast") {
