@@ -146,4 +146,19 @@ object EventStream {
       closed.iterator
     }
   }
+
+  /** Mergeable fixed-range histogram of `value` — the streaming face
+    * of q_quantile_sketch: bin counts are additive state, so stream-
+    * and batch-computed histograms agree EXACTLY (EventStreamSpec
+    * asserts it). The [mn, mx) range is a deployment input (e.g.
+    * yesterday's batch min/max): a stream cannot see a global
+    * min/max, and pinning the range is precisely what makes the
+    * sketch mergeable across micro-batches and against batch history.
+    * State is `bins` counters regardless of stream volume. */
+  def histogram(events: DataFrame, mn: Double, mx: Double,
+      bins: Int = 1024): DataFrame =
+    events
+      .select(least(lit(bins.toLong - 1),
+        floor((col("value") - mn) * bins / (mx - mn)).cast("long")).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
 }

@@ -182,4 +182,36 @@ class EventStreamSpec extends AnyFunSuite {
       assert(ids.sorted == Seq(100L, 101L))
     } finally q.stop()
   }
+
+  test("histogram: stream-computed bins equal the batch histogram exactly") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // Same fixed range both paths — the deployment contract (a stream
+    // can't see a global min/max). Values straddle bins and both edges.
+    val vals = Seq(-5.0, 0.0, 0.3, 3.7, 5.1, 9.99, 10.0, 42.0)
+    val (mn, mx, bins) = (0.0, 10.0, 8)
+    val src = MemoryStream[Ev]
+    val q = EventStream.histogram(src.toDF(), mn, mx, bins)
+      .writeStream.format("memory").queryName("hist_out")
+      .outputMode("complete").start()
+    try {
+      val evs = vals.zipWithIndex.map { case (v, i) =>
+        Ev(ts(i), i.toLong, "click", v, 200L + i)
+      }
+      src.addData(evs.take(4): _*) // two micro-batches: state must merge
+      q.processAllAvailable()
+      src.addData(evs.drop(4): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hist_out").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = EventStream.histogram(
+        evs.toDF(), mn, mx, bins).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      // Below-range clamps to bin -1? No: floor((-5)*8/10) = -4 — the
+      // sketch keeps out-of-range mass in real (negative / top) bins
+      // so it is never silently dropped.
+      assert(batch.values.sum == vals.size.toLong)
+    } finally q.stop()
+  }
 }
