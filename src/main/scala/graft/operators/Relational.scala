@@ -681,6 +681,40 @@ object Relational {
     },
 
     Q(
+      "q_skew_diagnose",
+      "join-key skew profiler — the diagnostic you run BEFORE choosing " +
+        "a salting factor (q_join_salted) or AQE skew thresholds: " +
+        "per-key counts (one keyed agg), the hottest 5 keys via " +
+        "TakeOrderedAndProject (never a global sort), and each hot " +
+        "key's skew multiple vs the mean ships with a broadcast 1-row " +
+        "total — at 100 TB this costs one scan plus a key-bounded agg, " +
+        "and its output decides whether the big join needs salt at all",
+      Some(
+        """WITH c AS (
+          |  SELECT l_orderkey AS k, count(*) AS cnt FROM lineitem GROUP BY k
+          |), s AS (
+          |  SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows FROM c
+          |), t AS (
+          |  SELECT k, cnt, row_number() OVER (ORDER BY cnt DESC, k) AS rn FROM c
+          |)
+          |SELECT rn, k, cnt, n_keys, n_rows,
+          |  round(CAST(cnt AS DOUBLE) * n_keys / n_rows, 6) AS skew_x
+          |FROM t, s WHERE rn <= 5 ORDER BY rn""".stripMargin),
+    ) { (s, dir) =>
+      val c = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("cnt"))
+      val stats = c.agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"))
+      c.orderBy(col("cnt").desc, col("k")).limit(5)
+        .crossJoin(broadcast(stats))
+        .withColumn("rn",
+          row_number().over(Window.orderBy(col("cnt").desc, col("k"))).cast("long"))
+        .select(col("rn"), col("k"), col("cnt"), col("n_keys"), col("n_rows"),
+          round(col("cnt").cast("double") * col("n_keys") / col("n_rows"), 6)
+            .as("skew_x"))
+        .orderBy("rn")
+    },
+
+    Q(
       "q_quantile_sketch",
       "sketch-based quantiles: a 1024-bin equi-width histogram of " +
         "o_totalprice (bin counts merge by addition — partial-agg " +

@@ -171,6 +171,13 @@ class PlanBudgetSpec extends AnyFunSuite {
       s"bloom probe must sit below (after, in plan text) the join, plan:\n$p")
   }
 
+  test("q_skew_diagnose takes the hot keys with a heap, not a global sort") {
+    val p = plan("q_skew_diagnose")
+    assert(p.contains("TakeOrderedAndProject"), s"plan:\n$p")
+    assert(hashExchanges(p) <= 2, // key-count agg (the 1-row total reuses it)
+      s"plan:\n$p")
+  }
+
   test("q_quantile_sketch is one corpus scan into a 1024-bin mergeable agg") {
     val p = plan("q_quantile_sketch")
     assert(p.contains("BroadcastNestedLoopJoin"), // the 1-row range crossJoin
