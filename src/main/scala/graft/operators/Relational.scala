@@ -681,6 +681,53 @@ object Relational {
     },
 
     Q(
+      "q_data_audit",
+      "expectations-style data-quality audit — the validation stage a " +
+        "pipeline runs before trusting a new batch: referential " +
+        "integrity (lineitem→orders orphans via a key-only LEFT ANTI " +
+        "join — the probe ships join keys, never payloads), primary-" +
+        "key duplicates (keyed agg, HAVING>1), null and range " +
+        "violations (column-pruned scans). Each check is one " +
+        "scan-bounded agg; violation COUNTS (not rows) come back, so " +
+        "output is #checks rows at any scale",
+      Some(
+        """SELECT 'lineitem_orphans' AS chk, (
+          |  SELECT count(*) FROM lineitem l
+          |  WHERE NOT EXISTS (SELECT 1 FROM orders o
+          |                    WHERE o.o_orderkey = l.l_orderkey)) AS n_bad
+          |UNION ALL
+          |SELECT 'orders_dup_pk', (
+          |  SELECT count(*) FROM (
+          |    SELECT o_orderkey FROM orders
+          |    GROUP BY o_orderkey HAVING count(*) > 1))
+          |UNION ALL
+          |SELECT 'orders_null_custkey', (
+          |  SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+          |UNION ALL
+          |SELECT 'lineitem_bad_discount', (
+          |  SELECT count(*) FROM lineitem
+          |  WHERE l_discount < 0 OR l_discount > 1)
+          |ORDER BY chk""".stripMargin),
+    ) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      def check(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_bad")).select(lit(name).as("chk"), col("n_bad"))
+      check("lineitem_orphans",
+        li.select("l_orderkey")
+          .join(o.select("o_orderkey"),
+            col("l_orderkey") === col("o_orderkey"), "left_anti"))
+        .unionByName(check("orders_dup_pk",
+          o.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+            .filter(col("c") > 1)))
+        .unionByName(check("orders_null_custkey",
+          o.filter(col("o_custkey").isNull)))
+        .unionByName(check("lineitem_bad_discount",
+          li.filter(col("l_discount") < 0 || col("l_discount") > 1)))
+        .orderBy("chk")
+    },
+
+    Q(
       "q_skew_diagnose",
       "join-key skew profiler — the diagnostic you run BEFORE choosing " +
         "a salting factor (q_join_salted) or AQE skew thresholds: " +
