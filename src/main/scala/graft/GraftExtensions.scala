@@ -39,5 +39,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CentArgmin].getName, "cent_argmin_cos"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CentArgmin(exprs.head, exprs(1), cosine = true)))
+    // Spark's internal bloom pair, exposed for explicit semi-join
+    // reduction from pure SQL (see graft.functions.Bloom — the in-code
+    // seam q_join_bloom uses).
+    ext.injectFunction((
+      FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_agg"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_might_contain"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs.head, exprs(1))))
   }
 }

@@ -43,6 +43,18 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(row.getBoolean(2))
       assert(row.getLong(3) == 7L) // nearest by L2 and by cosine
       assert(row.getLong(4) == 7L)
+      // Bloom pair: build over 0..99, probe a member and a non-member
+      // (bloom guarantees no false negatives; 1000 is far outside).
+      s.range(100).createOrReplaceTempView("bloom_ext_t")
+      val b = s.sql(
+        """SELECT bloom_might_contain(
+          |    (SELECT bloom_agg(xxhash64(id)) FROM bloom_ext_t),
+          |    xxhash64(42L)) AS hit,
+          |  bloom_might_contain(
+          |    (SELECT bloom_agg(xxhash64(id)) FROM bloom_ext_t),
+          |    xxhash64(1000L)) AS miss""".stripMargin).collect().head
+      assert(b.getBoolean(0))
+      assert(!b.getBoolean(1))
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
