@@ -141,7 +141,7 @@ object EventStream {
         // watermark or Spark rejects it (a session whose gap already
         // elapsed just times out on the next batch).
         state.setTimeoutTimestamp(
-          math.max(s.last + GapMs, state.getCurrentWatermarkMs + 1))
+          math.max(s.last + GapMs, state.getCurrentWatermarkMs() + 1))
       }
       closed.iterator
     }
