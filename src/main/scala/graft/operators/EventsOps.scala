@@ -46,6 +46,30 @@ object EventsOps {
     },
 
     Q(
+      "q_events_sliding",
+      "SLIDING 1h window, 15min slide — each event lands in exactly 4 " +
+        "overlapping windows via a map-side Expand (Spark's window() " +
+        "with a slide), then one keyed agg bounded by windows×types; " +
+        "the 4× row replication happens before the shuffle but " +
+        "map-side partial agg collapses it to window-count rows. The " +
+        "oracle derives the same 4 starts per event with pure integer " +
+        "epoch-ms arithmetic",
+      Some(
+        s"""SELECT make_timestamp(((epoch_ms(CAST(ts AS TIMESTAMP)) // 900000 - i)
+           |    * 900000) * 1000) AS win_start,
+           |  event_type, count(*) AS n
+           |FROM events, (SELECT unnest(range(4)) AS i)
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    ) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("win"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("win.start").as("win_start"), col("event_type"), col("n"))
+        .orderBy("win_start", "event_type")
+    },
+
+    Q(
       "q_events_sessions",
       "sessionization (30 min gap): one shuffle by user_id; session ids " +
         "from a cumulative sum over new-session flags — two sequential " +

@@ -201,6 +201,12 @@ class PlanBudgetSpec extends AnyFunSuite {
       s"bucketed join must not re-shuffle either side, plan:\n$p")
   }
 
+  test("q_events_sliding expands windows map-side — one keyed agg shuffle") {
+    val p = plan("q_events_sliding")
+    assert(p.contains("Expand"), s"plan:\n$p")
+    assert(hashExchanges(p) == 1, s"plan:\n$p")
+  }
+
   test("q_mad_outliers broadcasts both median stages back to the scan") {
     val p = plan("q_mad_outliers")
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, s"plan:\n$p")
