@@ -319,6 +319,33 @@ object MapReduceParity {
     },
 
     Q(
+      "q_orc_source",
+      "ORC source/sink roundtrip — the third columnar container after " +
+        "parquet and the row formats: documents written as ORC, " +
+        "re-read with an explicit schema and aggregated per source; " +
+        "the oracle runs on the original parquet, so any " +
+        "encoding/width drift in the roundtrip breaks the hash. ORC " +
+        "stripes split like parquet row-groups, so reads parallelize " +
+        "identically at 100 TB",
+      Some(
+        """SELECT source, count(*) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+    ) { (s, dir) =>
+      val orcDir = s"${Scratch.dir()}/orc"
+      Tables.documents(s, dir).write.orc(orcDir)
+      s.read
+        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+        .orc(orcDir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).as("sum_text_len"))
+        .orderBy("source")
+    },
+
+    Q(
       "q_csv_source",
       "CSV source/sink roundtrip: documents written as headered CSV, " +
         "re-read with an explicit schema (schema-on-read — no " +
