@@ -855,7 +855,7 @@ object AnnOps {
        |)""".stripMargin
 
   /** Long-form (vec_id, sp, 16-dim float slice): subspace becomes a
-    * grouping key, so one Lloyd pass trains all $PqM codebooks. */
+    * grouping key, so one Lloyd pass trains all PqM codebooks. */
   private def pqSv(e: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     e.select(col("vec_id"),
@@ -870,7 +870,7 @@ object AnnOps {
       normSq(col("ce")).as("cn2"),
       sqrt(normSq(col("ce"))).as("cn"))).as("cs"))
 
-  /** One unrolled Lloyd iteration from first-$PqK seeds → long-form
+  /** One unrolled Lloyd iteration from first-PqK seeds → long-form
     * codebooks (sp, cent_id, ce). Fused argmin assignment (6dp metric,
     * cent_id tiebreak — identical to the composed form in [[pqEncode]]
     * by CentAssignSpec's equivalence), per-(sp,cent,pos) 6dp mean. */
