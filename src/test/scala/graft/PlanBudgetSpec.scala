@@ -171,6 +171,15 @@ class PlanBudgetSpec extends AnyFunSuite {
       s"bloom probe must sit below (after, in plan text) the join, plan:\n$p")
   }
 
+  test("q_data_audit runs the orphan check as a key-only anti join") {
+    val p = plan("q_data_audit")
+    assert(p.contains("LeftAnti"), s"plan:\n$p")
+    // Key-only probe: the anti join's scan must read just the join key.
+    val antiScan = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(antiScan.exists(l => l.contains("l_orderkey") && !l.contains("l_discount")),
+      s"orphan probe must prune to the key column, scans:\n${antiScan.mkString("\n")}")
+  }
+
   test("q_skew_diagnose takes the hot keys with a heap, not a global sort") {
     val p = plan("q_skew_diagnose")
     assert(p.contains("TakeOrderedAndProject"), s"plan:\n$p")
