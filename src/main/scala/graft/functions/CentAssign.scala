@@ -137,7 +137,12 @@ object CentAssign {
         } else {
           round6(vn2 - 2.0 * dot + row.getDouble(2))
         }
-      if (!found || m < bestM || (m == bestM && cid < bestId)) {
+      // java.lang.Double.compare, not </>: Spark's struct ordering is a
+      // TOTAL order (NaN greatest, -0.0 < 0.0), and the composed
+      // array_min form this expression must mirror follows it — a NaN
+      // metric (Inf/NaN embedding values) loses to any real metric.
+      val cmp = if (found) java.lang.Double.compare(m, bestM) else -1
+      if (cmp < 0 || (cmp == 0 && cid < bestId)) {
         found = true; bestM = m; bestId = cid
       }
       c += 1

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions.Portable._
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -491,20 +492,38 @@ object Relational {
 
     Q(
       "q_approx_distinct",
-      "the 100 TB distinct path: approx_count_distinct (HLL++) is " +
-        "mergeable map-side so the shuffle carries sketches, not keys. " +
-        "No oracle: DuckDB's approx_count_distinct is a different HLL " +
-        "implementation — driver records the weaker rows-only check; " +
-        "the exact twins (q_distinct_keys/q_distinct_agg) carry the " +
-        "value correctness",
-      None,
+      "the 100 TB distinct path: approx_count_distinct (HLL++, " +
+        "rsd=0.01) is mergeable map-side so the shuffle carries " +
+        "sketches, not keys. DuckDB's HLL differs, so the sketch " +
+        "value itself can't be oracle-matched; instead both engines " +
+        "emit the exact count plus a deterministic bound check " +
+        "|approx−exact|/exact ≤ 0.05 as BIGINT 0/1 — Spark computes " +
+        "the check against its own sketch (HLL is deterministic for " +
+        "fixed input), the oracle asserts it holds. The exact twin " +
+        "lives here only to make the sketch driver-checkable; at " +
+        "100 TB you run only the sketch column",
+      Some(
+        """SELECT l_returnflag,
+          |  count(DISTINCT l_partkey) AS n_parts,
+          |  count(DISTINCT l_suppkey) AS n_supps,
+          |  CAST(1 AS BIGINT) AS parts_within_5pct,
+          |  CAST(1 AS BIGINT) AS supps_within_5pct
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
     ) { (s, dir) =>
+      val within = (approx: Column, exact: Column) =>
+        when(abs(approx - exact).cast("double") / exact <= 0.05, 1L)
+          .otherwise(0L)
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
         .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_suppkey")).as("approx_supps"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
+          approx_count_distinct(col("l_suppkey"), 0.01).as("asu"),
         )
+        .select(col("l_returnflag"), col("n_parts"), col("n_supps"),
+          within(col("ap"), col("n_parts")).as("parts_within_5pct"),
+          within(col("asu"), col("n_supps")).as("supps_within_5pct"))
         .orderBy("l_returnflag")
     },
 
@@ -663,14 +682,18 @@ object Relational {
            |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
     ) { (s, dir) =>
-      val suffix = Scratch.dir().split('/').last
-      val ot = s"b_orders_$suffix"
-      val lt = s"b_lineitem_$suffix"
+      // Fixed table names + overwrite: repeated invocations in one
+      // session reuse the same two catalog entries and warehouse paths
+      // instead of accumulating a pair per run.
+      val ot = "b_orders_q"
+      val lt = "b_lineitem_q"
       Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")
-        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
       Tables.lineitem(s, dir)
         .select("l_orderkey", "l_extendedprice", "l_discount")
-        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
       s.table(ot).hint("SHUFFLE_MERGE")
         .join(s.table(lt), col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderpriority")

@@ -418,13 +418,22 @@ object TextOps {
     Q(
       "q_lm_score",
       "bigram-LM quality score (the CCNet-style LM filter): per-doc " +
-        "mean log P(w2|w1) under corpus-wide MLE bigram statistics — " +
-        "two vocab-bounded aggs (bigram and prefix counts) joined back " +
-        "to the exploded doc stream on the bigram key; the stats " +
-        "tables broadcast at any realistic vocab, and every doc bigram " +
-        "exists in the stats by construction so the MLE needs no " +
-        "smoothing. Low scores = implausible token sequences, the " +
-        "standard pretraining quality filter signal",
+        "mean log P(w2|w1) under corpus-wide MLE bigram statistics. " +
+        "The corpus is exploded ONCE into per-doc bigram counts `bg` " +
+        "(bounded by doc × distinct-bigrams, not token positions); " +
+        "corpus stats c2 roll up from bg and prefix stats c1 roll up " +
+        "from c2 (vocab-sized input — never a second corpus pass). " +
+        "Every doc bigram exists in the stats by construction so the " +
+        "MLE needs no smoothing. At 100 TB c2 is bigram-vocab-sized " +
+        "and will NOT broadcast: the bg⋈c2 join degrades to a " +
+        "(w1,w2)-keyed shuffle whose stream side is the pre-aggregated " +
+        "bg, with AQE skew splitting on the Zipfian head keys — never " +
+        "a shuffle of raw token positions. Per-bigram log-probs are " +
+        "rounded to 6dp (absorbing libm ulp skew) then averaged in " +
+        "exact fixed-point at scale 9, so accumulation is " +
+        "order-independent at any parallelism. Low scores = " +
+        "implausible token sequences, the standard pretraining " +
+        "quality filter signal",
       Some(
         """WITH tok AS (
           |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
@@ -433,17 +442,23 @@ object TextOps {
           |    SELECT doc_id, unnest(list_transform(range(len(t)-1),
           |      i -> t[i+1] || ' ' || t[i+2])) AS bg
           |    FROM tok WHERE len(t) >= 2)
+          |), bg AS (
+          |  SELECT doc_id, w1, w2, count(*) AS m FROM bi GROUP BY doc_id, w1, w2
           |), c2 AS (
-          |  SELECT w1, w2, count(*) AS n2 FROM bi GROUP BY w1, w2
+          |  SELECT w1, w2, CAST(sum(m) AS BIGINT) AS n2 FROM bg GROUP BY w1, w2
           |), c1 AS (
-          |  SELECT w1, count(*) AS n1 FROM bi GROUP BY w1
+          |  SELECT w1, CAST(sum(n2) AS BIGINT) AS n1 FROM c2 GROUP BY w1
+          |), scored AS (
+          |  SELECT b.doc_id, b.m,
+          |    round(ln(CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE)), 6) AS r
+          |  FROM bg b
+          |  JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+          |  JOIN c1 ON b.w1 = c1.w1
           |)
-          |SELECT b.doc_id, count(*) AS n_bigrams,
-          |  round(avg(ln(CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE))), 6) AS avg_ll
-          |FROM bi b
-          |JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
-          |JOIN c1 ON b.w1 = c1.w1
-          |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin),
+          |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+          |  round(CAST(sum(m * CAST(round(r * 1000000000) AS BIGINT))
+          |    / 1000000000.0 / sum(m) AS DOUBLE), 6) AS avg_ll
+          |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     ) { (s, dir) =>
       val bi = Tables.documents(s, dir)
         .select(col("doc_id"), toks.as("t"))
@@ -453,13 +468,24 @@ object TextOps {
           i => struct(element_at(col("t"), i + 1).as("w1"),
             element_at(col("t"), i + 2).as("w2")))).as("p"))
         .select(col("doc_id"), col("p.w1"), col("p.w2"))
-      val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
-      val c1 = bi.groupBy("w1").agg(count(lit(1)).as("n1"))
-      bi.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          round(avg(log(col("n2").cast("double") / col("n1").cast("double"))), 6)
-            .as("avg_ll"))
+      // bg is the only corpus-derived stream that reaches the joins; the
+      // eager localCheckpoint materializes it once, so the corpus is
+      // exploded exactly ONCE and the stats rollup, prefix rollup, and
+      // scoring side all reuse the checkpoint (PlanBudgetSpec pins zero
+      // residual parquet scans in the final plan). At 100 TB swap
+      // localCheckpoint for a reliable checkpoint, same as
+      // q_dedup_cluster documents.
+      val bg = bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("m"))
+        .localCheckpoint()
+      val c2 = bg.groupBy("w1", "w2").agg(sum(col("m")).as("n2"))
+      val c1 = c2.groupBy("w1").agg(sum(col("n2")).as("n1"))
+      val scored = bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .withColumn("r",
+          round(log(col("n2").cast("double") / col("n1").cast("double")), 6))
+      scored.groupBy("doc_id")
+        .agg(sum(col("m")).as("n_bigrams"),
+          round((sum(col("m") * round(col("r") * 1e9, 0).cast("long"))
+            / 1e9 / sum(col("m"))).cast("double"), 6).as("avg_ll"))
         .orderBy("doc_id")
     },
 
@@ -563,9 +589,9 @@ object TextOps {
            |  FROM documents
            |), binned AS (
            |  SELECT grp, n_tokens,
-           |    (sum(n_tokens) OVER (PARTITION BY grp ORDER BY h, doc_id
+           |    CAST((sum(n_tokens) OVER (PARTITION BY grp ORDER BY h, doc_id
            |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           |     - n_tokens) // 2048 AS bin
+           |     - n_tokens) // 2048 AS BIGINT) AS bin
            |  FROM d)
            |SELECT grp, bin, count(*) AS n_docs,
            |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens

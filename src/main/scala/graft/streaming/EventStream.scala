@@ -154,11 +154,16 @@ object EventStream {
     * yesterday's batch min/max): a stream cannot see a global
     * min/max, and pinning the range is precisely what makes the
     * sketch mergeable across micro-batches and against batch history.
-    * State is `bins` counters regardless of stream volume. */
+    * State is `bins` counters regardless of stream volume.
+    *
+    * Out-of-range contract: values outside [mn, mx) clamp SYMMETRICALLY
+    * into the edge bins — below-range into bin 0, above-range into bin
+    * bins-1 — so a drifting live range never emits bins a batch-history
+    * merge partner can't have, and the edge-bin counts flag the drift. */
   def histogram(events: DataFrame, mn: Double, mx: Double,
       bins: Int = 1024): DataFrame =
     events
-      .select(least(lit(bins.toLong - 1),
-        floor((col("value") - mn) * bins / (mx - mn)).cast("long")).as("bin"))
+      .select(greatest(lit(0L), least(lit(bins.toLong - 1),
+        floor((col("value") - mn) * bins / (mx - mn)).cast("long"))).as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("n"))
 }

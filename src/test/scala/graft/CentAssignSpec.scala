@@ -80,6 +80,25 @@ class CentAssignSpec extends AnyFunSuite {
     check(packedDf(vecs, cents))
   }
 
+  test("NaN metric loses to any real metric (Spark total-order parity)") {
+    import spark.implicits._
+    val c = randVec(16)
+    // Centroid 0 carries a NaN element → NaN dot → NaN metric for both
+    // l2 and cos. Spark's struct ordering puts NaN greatest, so the
+    // composed array_min picks centroid 1; the fused loop must agree
+    // (a naive `<` comparison would let the NaN centroid win whenever
+    // it is scanned first).
+    val bad = c.clone(); bad(3) = Float.NaN
+    val cents = Seq(CentF(0L, bad), CentF(1L, c.map(x => x + 0.5f))).toDF()
+    val df = packedDf(Seq(0L -> c), cents)
+    CentAssign.register(spark)
+    val r = df.withColumn("l2", expr("cent_argmin_l2(embedding, cs)"))
+      .withColumn("cos", expr("cent_argmin_cos(embedding, cs)"))
+      .select("l2", "cos").head()
+    assert(r.getLong(0) == 1L && r.getLong(1) == 1L)
+    check(df)
+  }
+
   test("exact metric tie resolves to the smallest cent_id") {
     import spark.implicits._
     val c = randVec(16)

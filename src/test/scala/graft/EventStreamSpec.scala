@@ -208,10 +208,13 @@ class EventStreamSpec extends AnyFunSuite {
         evs.toDF(), mn, mx, bins).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(streamed == batch, s"streamed=$streamed batch=$batch")
-      // Below-range clamps to bin -1? No: floor((-5)*8/10) = -4 — the
-      // sketch keeps out-of-range mass in real (negative / top) bins
-      // so it is never silently dropped.
+      // Symmetric out-of-range contract: -5.0 clamps into bin 0 and
+      // 10.0/42.0 into bin bins-1 — no negative-bin rows, no mass
+      // silently dropped, every bin id inside [0, bins).
       assert(batch.values.sum == vals.size.toLong)
+      assert(batch.keys.forall(b => b >= 0 && b < bins))
+      assert(batch(0L) == 3L)          // -5.0 (clamped), 0.0 and 0.3
+      assert(batch(bins - 1L) == 3L)   // 9.99, 10.0 and 42.0 (clamped)
     } finally q.stop()
   }
 }

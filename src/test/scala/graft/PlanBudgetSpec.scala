@@ -258,10 +258,15 @@ class PlanBudgetSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"no join needed, plan:\n$p")
   }
 
-  test("q_lm_score broadcasts the vocab-bounded stats back to the doc stream") {
+  test("q_lm_score broadcasts the stats and explodes the corpus exactly once") {
     val p = plan("q_lm_score")
     assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
     assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    // The eager localCheckpoint of the per-doc bigram counts is the
+    // single corpus read; the scoring plan must reuse it (ExistingRDD)
+    // rather than re-scan + re-explode parquet per stats consumer.
+    assert(!p.contains("Scan parquet"),
+      s"corpus must be read once via the bg checkpoint, plan:\n$p")
   }
 
   test("q_embed_pq streams the corpus against broadcast codebooks — never sort-merges") {
