@@ -14,7 +14,8 @@ object SparkEntry {
       operators.DedupOps.all ++
       operators.AnnOps.all ++
       operators.TextOps.all ++
-      operators.MultimodalOps.all
+      operators.MultimodalOps.all ++
+      streaming.StreamOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

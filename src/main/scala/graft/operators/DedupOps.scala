@@ -94,12 +94,14 @@ object DedupOps {
   private val ChunkBits = 15
   private val NumChunks = SimBits / ChunkBits
 
-  private def simhashSqlBits: String =
+  // private[graft]: StreamOps' q_stream_ingest oracle reuses the same
+  // SimHash SQL spelling so stream and batch signatures can't drift.
+  private[graft] def simhashSqlBits: String =
     (0 until SimBits).map { b =>
       s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b"
     }.mkString(", ")
 
-  private def simhashSqlAssemble: String =
+  private[graft] def simhashSqlAssemble: String =
     (0 until SimBits).map { b =>
       s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END"
     }.mkString(" + ")

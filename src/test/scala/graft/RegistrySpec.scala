@@ -17,6 +17,7 @@ class RegistrySpec extends AnyFunSuite {
     "AnnOps" -> operators.AnnOps.all,
     "TextOps" -> operators.TextOps.all,
     "MultimodalOps" -> operators.MultimodalOps.all,
+    "StreamOps" -> streaming.StreamOps.all,
   )
 
   test("query names are globally unique (toMap must not drop any)") {
