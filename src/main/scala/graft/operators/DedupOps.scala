@@ -454,6 +454,125 @@ object DedupOps {
     },
 
     Q(
+      "q_substr_sa",
+      "exact-substring duplicated-character COVERAGE via a depth-20 " +
+        "truncated suffix array — the exact Lee-et-al ExactSubstr " +
+        "measure whose gram-count fraction q_substr_dup approximates: " +
+        "every suffix, truncated to 20 chars, is range-partitioned " +
+        "and sorted so duplicated 20-grams land ADJACENT (equal " +
+        "truncated suffixes <=> LCP >= 20), a streaming per-partition " +
+        "run scan emits duplicated positions with O(max-df) memory " +
+        "and zero hash state (ExternalSorter spills linearly where " +
+        "the window-count proxy builds a gram-keyed hash table), and " +
+        "a doc-keyed interval union turns positions into exact " +
+        "covered characters — two overlapping duplicated spans are " +
+        "counted once, which the gram fraction cannot do. At 100 TB " +
+        "the sort key is a fixed 20 bytes (hash-gram to 8 bytes if " +
+        "the corpus is non-ASCII-heavy), range boundaries come from " +
+        "Spark's sampled RangePartitioner, and a max-df stop-gram cap " +
+        "(same policy as MaxShingleDf) bounds the run buffer on " +
+        "adversarial corpora; per-partition DC3 suffix sorting is the " +
+        "in-partition upgrade when the match length must grow past " +
+        "what fixed-depth truncation carries",
+      Some(
+        """WITH pg AS (
+          |  SELECT doc_id, unnest(list_transform(range(length(text) - 19),
+          |    p -> {'pos': p, 'g': substr(text, p + 1, 20)})) AS u
+          |  FROM documents WHERE length(text) >= 20
+          |), g AS (
+          |  SELECT doc_id, u.pos AS pos, u.g AS g FROM pg
+          |), c AS (
+          |  SELECT doc_id, pos FROM (
+          |    SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS cnt FROM g)
+          |  WHERE cnt > 1
+          |), i AS (
+          |  SELECT doc_id, pos,
+          |    CASE WHEN pos > coalesce(max(pos + 19) OVER (
+          |      PARTITION BY doc_id ORDER BY pos
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+          |    THEN 1 ELSE 0 END AS new_isl
+          |  FROM c
+          |), isl AS (
+          |  SELECT doc_id, pos, sum(new_isl) OVER (
+          |    PARTITION BY doc_id ORDER BY pos
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+          |  FROM i
+          |), per AS (
+          |  SELECT doc_id, isl, max(pos) + 20 - min(pos) AS len
+          |  FROM isl GROUP BY doc_id, isl
+          |), agg AS (
+          |  SELECT doc_id, CAST(sum(len) AS BIGINT) AS dup_chars
+          |  FROM per GROUP BY doc_id
+          |)
+          |SELECT d.doc_id, coalesce(a.dup_chars, CAST(0 AS BIGINT)) AS dup_chars,
+          |  round(CAST(coalesce(a.dup_chars, CAST(0 AS BIGINT)) AS DOUBLE)
+          |    / length(d.text), 6) AS dup_cov
+          |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+          |WHERE length(d.text) >= 20
+          |ORDER BY d.doc_id""".stripMargin),
+    ) { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      // (doc_id, 0-based pos, 20-char truncated suffix). posexplode's
+      // index over the transform array IS the character offset.
+      val grams = docs.filter(length(col("text")) >= 20)
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(1), length(col("text")) - 19),
+            p => col("text").substr(p, lit(20)))).as(Seq("pos", "g")))
+        .select(col("g"), col("doc_id"), col("pos").cast("long").as("pos"))
+      // The truncated suffix array: range partition on the suffix so
+      // equal keys co-locate, sort within partitions, then one linear
+      // scan per partition over adjacent runs. Runs of length >= 2 are
+      // duplicated 20-grams; every position in the run is a duplicated
+      // span start.
+      val sorted = grams.repartitionByRange(col("g"))
+        .sortWithinPartitions("g", "doc_id", "pos")
+      val dupPos = sorted.as[(String, Long, Long)].mapPartitions { rows =>
+        val it = rows.buffered
+        new Iterator[(Long, Long)] {
+          private var run: Iterator[(Long, Long)] = Iterator.empty
+          private def advance(): Unit =
+            while (!run.hasNext && it.hasNext) {
+              val g = it.head._1
+              val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+              while (it.hasNext && it.head._1 == g) {
+                val r = it.next(); buf += ((r._2, r._3))
+              }
+              if (buf.length >= 2) run = buf.iterator
+            }
+          def hasNext: Boolean = { advance(); run.hasNext }
+          def next(): (Long, Long) = { advance(); run.next() }
+        }
+      }.toDF("doc_id", "pos")
+      // Interval union per doc (gaps-and-islands): a new island starts
+      // when this span's start clears every previous span's end; island
+      // lengths then sum without double-counting overlaps.
+      val wPrev = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val perDoc = dupPos
+        .withColumn("prev_end", max(col("pos") + 19).over(wPrev))
+        .withColumn("new_isl",
+          when(col("prev_end").isNull || col("pos") > col("prev_end"), 1L)
+            .otherwise(0L))
+        .withColumn("isl", sum(col("new_isl")).over(wCum))
+        .groupBy("doc_id", "isl")
+        .agg((max(col("pos")) + 20 - min(col("pos"))).as("len"))
+        .groupBy("doc_id")
+        .agg(sum(col("len")).as("dup_chars"))
+      docs.filter(length(col("text")) >= 20)
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+          round(coalesce(col("dup_chars"), lit(0L)).cast("double")
+            / col("n_chars"), 6).as("dup_cov"))
+        .orderBy("doc_id")
+    },
+
+    Q(
       "q_ngram_jaccard",
       "exact 3-gram Jaccard ≥ 0.5 via inverted-index join on shingle " +
         "(the classic candidate generator): |A∩B| from a keyed " +

@@ -145,6 +145,17 @@ class PlanBudgetSpec extends AnyFunSuite {
       s"plan:\n$p")
   }
 
+  test("q_substr_sa sorts suffixes under a range exchange — no gram-keyed hash window") {
+    val p = plan("q_substr_sa")
+    // The truncated suffix array IS a range partition + in-partition
+    // sort on the suffix; duplicated-gram detection must not fall back
+    // to the proxy's gram-keyed window (no windowspecdefinition on g).
+    assert("Exchange rangepartitioning\\(g#".r.findAllIn(p).nonEmpty,
+      s"suffixes must range-partition, plan:\n$p")
+    assert(!p.contains("windowspecdefinition(g#"),
+      s"run detection must be the sorted scan, not a gram window, plan:\n$p")
+  }
+
   test("q_unpivot melts map-side via Expand — only the measure agg shuffles") {
     val p = plan("q_unpivot")
     assert(p.contains("Expand"), s"plan:\n$p")

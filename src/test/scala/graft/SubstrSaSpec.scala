@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Behavioral tests for q_substr_sa (truncated-suffix-array exact
+  * duplicated-character coverage) on a planted corpus, plus the
+  * finds-at-least-the-proxy relation vs q_substr_dup on real testdata
+  * that the SURVEY §8 row claims.
+  *
+  * Planted layout: docs 0 and 1 share one 40-char span (cross-doc
+  * duplication → 21 overlapping duplicated 20-grams that must union to
+  * exactly 40 covered chars, not 21×20); doc 2 is all-unique; doc 3
+  * repeats one 20-char block twice within itself (within-doc
+  * duplication → two disjoint 20-char islands).
+  */
+class SubstrSaSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  // 40 distinct characters: every 20-gram inside is unique within the
+  // span, so duplication comes only from the span appearing twice.
+  private val shared40 = "0123456789abcdefghijklmnopqrstuvwxyzABCD"
+  private val block20 = "EFGHIJKLMNOPQRSTUVWX"
+
+  private lazy val dir: String = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-substr-sa").toString
+    val docs = Seq(
+      (0L, shared40 + " with a unique tail zero!!"),
+      (1L, "unique head one?? " + shared40),
+      (2L, "no duplicated twenty-gram anywhere in this document"),
+      (3L, block20 + " some middle filler " + block20),
+    )
+    docs.map { case (i, t) => (i, t, "en", s"src$i", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  private def run(name: String, d: String) =
+    SparkEntry.queries(name)(spark, d)
+
+  test("cross-doc shared span: overlapping duplicated grams union to exact char coverage") {
+    val rows = run("q_substr_sa", dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows(0L)._1 == 40L, s"doc0 expected 40 covered chars, got ${rows(0L)}")
+    assert(rows(1L)._1 == 40L, s"doc1 expected 40 covered chars, got ${rows(1L)}")
+    assert(rows(2L)._1 == 0L, s"doc2 must have zero coverage, got ${rows(2L)}")
+    val len0 = (shared40 + " with a unique tail zero!!").length
+    assert(math.abs(rows(0L)._2 - 40.0 / len0) < 1e-6)
+  }
+
+  test("within-doc repeat: two exact-match islands, boundary grams excluded") {
+    val rows = run("q_substr_sa", dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Only the two exact 20-char occurrences duplicate; grams crossing
+    // into the filler occur once and must not extend the islands.
+    assert(rows(3L) == 40L, s"doc3 expected 2×20 covered chars, got ${rows(3L)}")
+  }
+
+  test("finds at least the proxy's duplication on real testdata (signal sets agree)") {
+    val sf = "/root/testdata/sf0.001"
+    val sa = run("q_substr_sa", sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val proxy = run("q_substr_dup", sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(sa.keySet == proxy.keySet,
+      "both operators must emit one row per length>=20 doc")
+    proxy.foreach { case (id, fr) =>
+      if (fr > 0)
+        assert(sa(id) >= 20L,
+          s"doc $id: proxy sees duplication ($fr) but SA coverage is ${sa(id)}")
+      else
+        assert(sa(id) == 0L,
+          s"doc $id: proxy sees none but SA coverage is ${sa(id)}")
+    }
+  }
+}
