@@ -497,6 +497,64 @@ object AnnOps {
     },
 
     Q(
+      "q_semdedup",
+      s"SemDeDup (Abbas et al.): cluster the embedding space (k=$KSeeds " +
+        "seeded cells, zero-shuffle broadcast-argmin assignment), then " +
+        "compare ONLY within-cluster pairs — a vector is dropped when " +
+        "a lower-id same-cell neighbor has cosine ≥ 0.45 (threshold " +
+        "fits the synthetic corpus, see q_embed_dup). The paper's " +
+        "point IS the plan shape: the pair join is cell-keyed, cost " +
+        "Σ|cell|² instead of n², and at 100 TB k grows ~√n so cells " +
+        "stay bounded and the join never degenerates; the cluster " +
+        "assignment itself never shuffles the corpus (centroids " +
+        "broadcast). Verdict per vector: (vec_id, cell_id, keep)",
+      Some(
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+           |cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM e WHERE vec_id < $KSeeds),
+           |assign AS (
+           |  SELECT vec_id, cent_id AS cell_id, embedding FROM (
+           |    SELECT e.vec_id, c.cent_id, e.embedding,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        $d2Sql,
+           |        c.cent_id) AS rn
+           |    FROM e CROSS JOIN cents c) WHERE rn = 1
+           |), dropped AS (
+           |  SELECT DISTINCT b.vec_id
+           |  FROM assign a JOIN assign b
+           |    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+           |  WHERE ${cosSimSql("a.embedding", "b.embedding")} >= 0.45
+           |)
+           |SELECT s.vec_id, s.cell_id,
+           |  CASE WHEN d.vec_id IS NULL THEN CAST(1 AS BIGINT)
+           |       ELSE CAST(0 AS BIGINT) END AS keep
+           |FROM assign s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+           |ORDER BY s.vec_id""".stripMargin),
+    ) { (s, dir) =>
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val cents = e.filter(col("vec_id") < KSeeds)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+      val assign = e.crossJoin(broadcast(packCents(cents)))
+        .withColumn("cell_id",
+          graft.functions.CentAssign.argminL2(s, "embedding", "cs"))
+        .select(col("vec_id"), col("cell_id"), col("embedding"))
+      val l = assign.select(col("cell_id"), col("vec_id").as("vec_a"),
+        col("embedding").as("ea"))
+      val r = assign.select(col("cell_id"), col("vec_id").as("vec_b"),
+        col("embedding").as("eb"))
+      // Dropped side is ids-only after the filter — the distinct
+      // dedupes two longs, never embedding payloads.
+      val dropped = l.join(r, Seq("cell_id"))
+        .filter(col("vec_a") < col("vec_b"))
+        .filter(cosSim(s, "ea", "eb") >= 0.45)
+        .select(col("vec_b").as("vec_id")).distinct()
+        .withColumn("dropped", lit(1L))
+      assign.join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell_id"),
+          when(col("dropped").isNull, 1L).otherwise(0L).as("keep"))
+        .orderBy("vec_id")
+    },
+
+    Q(
       "q_embed_centroids",
       "label-centroid cluster tightness: posexplode to (label, pos, " +
         "val), centroid = avg per (label, pos) — one keyed shuffle " +

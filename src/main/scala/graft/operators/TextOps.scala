@@ -45,6 +45,19 @@ object TextOps {
     */
   private[graft] val MaxGramDf = 1000L
 
+  /** Count-min sketch shape for q_heavy_hitters: d hash rows × w
+    * buckets, affine family (a·h + b) mod P mod w over the portable
+    * 60-bit md5 hash reduced mod P. The SAME constants are spliced
+    * into the oracle SQL, so Spark and DuckDB build bit-identical
+    * sketches and the estimate column itself is hash-checkable.
+    */
+  private[graft] val CmsD = 4
+  private[graft] val CmsW = 512L
+  private[graft] val CmsP = 2147483647L
+  private[graft] val CmsAB: Seq[(Long, Long)] = Seq(
+    (1103515245L, 12345L), (1299709L, 7919L),
+    (15485863L, 104729L), (32452843L, 130363L))
+
   val all: Seq[Q] = Seq(
     Q(
       "q_text_stats",
@@ -710,6 +723,202 @@ object TextOps {
             transform(array_sort(collect_list(struct(col("p"), col("tid")))),
               x => x.getField("tid").cast("string")), "-").as("ids_str"))
         .orderBy("doc_id")
+    },
+
+    Q(
+      "q_bpe_pairs",
+      "the BPE-training inner step (Sennrich et al.): adjacent " +
+        "character-pair counts weighted by word frequency — the " +
+        "statistic one merge iteration maximizes. The corpus " +
+        "collapses to the word VOCABULARY first (one corpus-keyed " +
+        "agg with map-side combine), so pair extraction and the pair " +
+        "agg run over vocab rows × word length, never over corpus " +
+        "token positions — at 100 TB the pair table is bounded by " +
+        "charset², and iterating merges re-reads only the vocab " +
+        "table. Top-20 by count, ties by pair; the single-partition " +
+        "ranking window sees 20 rows after a vocab-sized agg",
+      Some(
+        """WITH v AS (
+          |  SELECT w, count(*) AS n FROM (
+          |    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+          |  GROUP BY w
+          |), p AS (
+          |  SELECT pair, CAST(sum(n) AS BIGINT) AS n_pairs FROM (
+          |    SELECT n, unnest(list_transform(range(length(w) - 1),
+          |      i -> substr(w, i + 1, 2))) AS pair
+          |    FROM v WHERE length(w) >= 2)
+          |  GROUP BY pair
+          |), r AS (
+          |  SELECT CAST(row_number() OVER (ORDER BY n_pairs DESC, pair)
+          |    AS BIGINT) AS rank, pair, n_pairs FROM p
+          |)
+          |SELECT rank, pair, n_pairs FROM r WHERE rank <= 20
+          |ORDER BY rank""".stripMargin),
+    ) { (s, dir) =>
+      val vocab = Tables.documents(s, dir)
+        .select(explode(toks).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+      val pairs = vocab.filter(length(col("w")) >= 2)
+        .select(col("n"), explode(transform(
+          sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+        .groupBy("pair").agg(sum(col("n")).as("n_pairs"))
+      pairs
+        .withColumn("rank", row_number()
+          .over(Window.orderBy(col("n_pairs").desc, col("pair"))).cast("long"))
+        .filter(col("rank") <= 20)
+        .select("rank", "pair", "n_pairs")
+        .orderBy("rank")
+    },
+
+    Q(
+      "q_bm25",
+      "BM25 document ranking (k1=1.2, b=0.75) for a fixed query-term " +
+        "set — the retrieval scorer a decontamination or curation " +
+        "pass ranks evidence with. The corpus-sized work is two " +
+        "scans: per-doc length (pure per-row) and the term-filtered " +
+        "tf agg, whose explode is pre-filtered to the query terms so " +
+        "the aggregated stream is query-hits-sized, not corpus-sized; " +
+        "df and the corpus stats are vocab- and 1-row-sized " +
+        "broadcasts. Per-term contributions are rounded then summed " +
+        "in exact fixed point (scale 9), so the 2-3-term per-doc sum " +
+        "is order-independent; ranking runs on the ROUNDED score " +
+        "(ties by doc_id), so both engines rank identical doubles. " +
+        "Top-20 docs",
+      Some(
+        """WITH dl AS (
+          |  SELECT doc_id, len(string_split(lower(text), ' ')) AS dl FROM documents
+          |), stats AS (
+          |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl
+          |), tf AS (
+          |  SELECT doc_id, w, count(*) AS tf FROM (
+          |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+          |    FROM documents)
+          |  WHERE w IN ('data', 'query', 'vector') GROUP BY doc_id, w
+          |), df AS (
+          |  SELECT w, count(*) AS df FROM tf GROUP BY w
+          |), scored AS (
+          |  SELECT t.doc_id,
+          |    round(ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+          |      * (t.tf * 2.2)
+          |      / (t.tf + 1.2 * (0.25 + 0.75 * dl
+          |          / (CAST(sum_dl AS DOUBLE) / n_docs))), 6) AS contrib
+          |  FROM tf t JOIN df ON t.w = df.w JOIN dl ON t.doc_id = dl.doc_id
+          |  CROSS JOIN stats
+          |), agg AS (
+          |  SELECT doc_id,
+          |    round(CAST(sum(CAST(round(contrib * 1000000000) AS BIGINT))
+          |      / 1000000000.0 AS DOUBLE), 6) AS bm25
+          |  FROM scored GROUP BY doc_id
+          |), r AS (
+          |  SELECT CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+          |    AS BIGINT) AS rank, doc_id, bm25 FROM agg
+          |)
+          |SELECT rank, doc_id, bm25 FROM r WHERE rank <= 20
+          |ORDER BY rank""".stripMargin),
+    ) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val dl = docs.select(col("doc_id"), size(toks).cast("long").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      val tf = docs.select(col("doc_id"), explode(toks).as("w"))
+        .filter(col("w").isin("data", "query", "vector"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      // Arithmetic mirrors the oracle op for op: idf and the length
+      // normalization are single IEEE expressions on identical inputs,
+      // the 6dp round is the cross-engine sync point, and the per-doc
+      // sum uses the exact fixed-point convention (scale 9).
+      val contrib = round(
+        log((col("n_docs").cast("double") - col("df") + 0.5)
+          / (col("df") + 0.5) + 1.0)
+          * (col("tf") * 2.2)
+          / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl")
+            / (col("sum_dl").cast("double") / col("n_docs")))), 6)
+      val scored = tf.join(broadcast(df), Seq("w"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), contrib.as("contrib"))
+      scored.groupBy("doc_id")
+        .agg(round((sum(round(col("contrib") * 1000000000L, 0).cast("long"))
+          / 1000000000.0).cast("double"), 6).as("bm25"))
+        .withColumn("rank", row_number()
+          .over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+        .filter(col("rank") <= 20)
+        .select("rank", "doc_id", "bm25")
+        .orderBy("rank")
+    },
+
+    Q(
+      "q_heavy_hitters",
+      s"count-min-sketch heavy hitters, driver-verified EXACTLY: both " +
+        s"engines build the identical CMS (d=$CmsD rows × w=$CmsW " +
+        "buckets, portable md5-based affine hash family) so the " +
+        "estimate column itself hash-matches — no within-bound " +
+        "hedging needed. Bucket counts aggregate from the VOCAB " +
+        "table (sum of token counts per bucket — identical to " +
+        "streaming increments, but the corpus shuffles once for the " +
+        "vocab agg and never again); each of the d bucket tables is " +
+        s"$CmsW rows, broadcast back to the top-10 join. At 100 TB " +
+        "the sketch is the point: the mergeable d×w counter grid " +
+        "replaces the full vocab in memory-constrained settings, and " +
+        "est ≥ exact (one-sided CMS error) is asserted in spec",
+      Some {
+        val bucketSqls = (0 until CmsD).map { i =>
+          val (a, b) = CmsAB(i)
+          s"($a * hp + $b) % $CmsP % $CmsW"
+        }
+        val bucketCtes = (0 until CmsD).map { i =>
+          s"""b$i AS (
+             |  SELECT ${bucketSqls(i)} AS b, CAST(sum(n) AS BIGINT) AS c
+             |  FROM hv GROUP BY 1
+             |)""".stripMargin
+        }.mkString(", ")
+        val joins = (0 until CmsD).map { i =>
+          s"JOIN b$i ON ${bucketSqls(i).replace("hp", "t.hp")} = b$i.b"
+        }.mkString("\n  ")
+        val leastExpr = (0 until CmsD).map(i => s"b$i.c").mkString("least(", ", ", ")")
+        s"""WITH v AS (
+           |  SELECT w, count(*) AS n FROM (
+           |    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+           |  GROUP BY w
+           |), hv AS (
+           |  SELECT w, n,
+           |    CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % $CmsP AS hp
+           |  FROM v
+           |), top AS (
+           |  SELECT w, n, hp FROM (
+           |    SELECT w, n, hp,
+           |      CAST(row_number() OVER (ORDER BY n DESC, w) AS BIGINT) AS rank
+           |    FROM hv) WHERE rank <= 10
+           |), $bucketCtes
+           |SELECT t.w AS term, t.n AS n_exact, $leastExpr AS n_cms
+           |FROM top t
+           |  $joins
+           |ORDER BY n_exact DESC, term""".stripMargin
+      },
+    ) { (s, dir) =>
+      val vocab = Tables.documents(s, dir)
+        .select(explode(toks).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .withColumn("hp", Portable.md5Hash60(col("w")) % CmsP)
+      def bucket(i: Int): Column = {
+        val (a, b) = CmsAB(i)
+        (lit(a) * col("hp") + lit(b)) % CmsP % CmsW
+      }
+      val top = vocab
+        .withColumn("rank", row_number()
+          .over(Window.orderBy(col("n").desc, col("w"))).cast("long"))
+        .filter(col("rank") <= 10)
+        .drop("rank")
+      val withEst = (0 until CmsD).foldLeft(top) { (cur, i) =>
+        val bt = vocab.groupBy(bucket(i).as(s"b$i"))
+          .agg(sum(col("n")).as(s"c$i"))
+        cur.withColumn(s"b$i", bucket(i)).join(broadcast(bt), Seq(s"b$i"))
+      }
+      withEst
+        .select(col("w").as("term"), col("n").as("n_exact"),
+          least((0 until CmsD).map(i => col(s"c$i")): _*).as("n_cms"))
+        .orderBy(col("n_exact").desc, col("term"))
     },
   )
 }

@@ -156,6 +156,36 @@ class PlanBudgetSpec extends AnyFunSuite {
       s"run detection must be the sorted scan, not a gram window, plan:\n$p")
   }
 
+  test("q_bpe_pairs aggregates over the vocab — two hash exchanges, no corpus-sized join") {
+    val p = plan("q_bpe_pairs")
+    // vocab agg + pair agg; the ranking window is a SinglePartition
+    // exchange over pair rows, never a hash shuffle of the corpus.
+    assert(hashExchanges(p) == 2, s"plan:\n$p")
+  }
+
+  test("q_bm25 broadcasts df and corpus stats — no cartesian, partial agg present") {
+    val p = plan("q_bm25")
+    assert(p.contains("BroadcastHashJoin"), s"df join must broadcast, plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    // The stats cross join must be the broadcast 1-row form.
+    assert(p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
+  }
+
+  test("q_heavy_hitters broadcasts every CMS bucket table — never sort-merges") {
+    val p = plan("q_heavy_hitters")
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 4,
+      s"4 bucket joins must all broadcast, plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+  }
+
+  test("q_semdedup assigns cells via broadcast argmin — the corpus never cartesians") {
+    val p = plan("q_semdedup")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"centroid pack must broadcast, plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    assert(p.contains("cent_argmin"), s"fused argmin must drive assignment, plan:\n$p")
+  }
+
   test("q_unpivot melts map-side via Expand — only the measure agg shuffles") {
     val p = plan("q_unpivot")
     assert(p.contains("Expand"), s"plan:\n$p")
