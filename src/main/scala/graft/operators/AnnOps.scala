@@ -867,6 +867,103 @@ object AnnOps {
           col("adist"), col("rank"))
         .orderBy("probe_id", "rank")
     },
+
+    Q(
+      "q_ivfpq_search",
+      s"IVF-PQ — the standard billion-scale ANN index (coarse " +
+        s"quantizer + product codes): vectors route to $NumCells " +
+        "seeded cells via the broadcast L2 argmin, probes open their " +
+        s"$NProbe nearest cells, and ONLY candidates inside probed " +
+        s"cells are ADC-scored against the $PqM-byte PQ codes with " +
+        "broadcast distance tables. The two prunings compose: the " +
+        s"cell join cuts candidates to ~nprobe/cells of the corpus " +
+        "and the code scan reads 32×-compressed bytes, so at 100 TB " +
+        "the per-query touch is (nprobe/cells) × (1/32) of the raw " +
+        "table. Codes here join their cell assignment by vec_id; a " +
+        "deployed index writes codes cell-partitioned (the inverted " +
+        "lists), making that join a layout property. Raw-vector PQ " +
+        "(by_residual=false); residual encoding against the cell " +
+        "centroid is the refinement and changes no plan shape",
+      Some(
+        s"""$pqChainSql, cc AS (
+           |  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+           |  WHERE vec_id < $NumCells
+           |), cells AS (
+           |  SELECT vec_id, cent_id AS cell_id FROM (
+           |    SELECT e.vec_id, c.cent_id,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        $d2Sql,
+           |        c.cent_id) AS rn
+           |    FROM embeddings e CROSS JOIN cc c) WHERE rn = 1
+           |), pc AS (
+           |  SELECT vec_id AS probe_id, cent_id AS cell_id FROM (
+           |    SELECT e.vec_id, c.cent_id,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        $d2Sql,
+           |        c.cent_id) AS rn
+           |    FROM embeddings e CROSS JOIN cc c
+           |    WHERE e.vec_id < $PqProbes) WHERE rn <= $NProbe
+           |), dt AS (
+           |  SELECT q.vec_id AS probe_id, q.sp, c.cent_id,
+           |    ${pqD2Sql("q.sv", "c.ce")} AS dt
+           |  FROM sv q JOIN c1 c ON c.sp = q.sp WHERE q.vec_id < $PqProbes
+           |), scored AS (
+           |  SELECT dt.probe_id, a.vec_id AS neighbor_id,
+           |    ${graft.functions.Portable.exactSumSql("dt", 6)} AS adist
+           |  FROM a2 a
+           |  JOIN cells cl ON cl.vec_id = a.vec_id
+           |  JOIN pc ON pc.cell_id = cl.cell_id
+           |  JOIN dt ON dt.probe_id = pc.probe_id AND dt.sp = a.sp
+           |   AND dt.cent_id = a.cent_id
+           |  WHERE a.vec_id <> dt.probe_id
+           |  GROUP BY dt.probe_id, a.vec_id
+           |), ranked AS (
+           |  SELECT probe_id, neighbor_id, adist,
+           |    row_number() OVER (PARTITION BY probe_id
+           |      ORDER BY adist, neighbor_id) AS rank
+           |  FROM scored)
+           |SELECT probe_id, neighbor_id, adist, rank
+           |FROM ranked WHERE rank <= $PqTopK
+           |ORDER BY probe_id, rank""".stripMargin),
+    ) { (s, dir) =>
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      // Coarse quantizer: broadcast argmin cell assignment (the
+      // corpus never shuffles for it) + probe routing over the same
+      // packed centroids.
+      val cents = e.filter(col("vec_id") < NumCells)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+      val packed = broadcast(packCents(cents))
+      val cells = e.crossJoin(packed)
+        .withColumn("cell_id",
+          graft.functions.CentAssign.argminL2(s, "embedding", "cs"))
+        .select(col("vec_id"), col("cell_id"))
+      val probeCells = e.filter(col("vec_id") < PqProbes)
+        .withColumn("vn2", normSq(col("embedding")))
+        .crossJoin(packed)
+        .withColumn("cell", explode(slice(array_sort(centMetrics), 1, NProbe)))
+        .select(col("vec_id").as("probe_id"), col("cell.cent_id").as("cell_id"))
+      // PQ half: identical training/encode path to q_pq_search.
+      val sv = pqSv(e)
+      val books = pqCodebooks(s, sv).localCheckpoint()
+      val codes = pqEncode(s, sv, books)
+      val dt = sv.filter(col("vec_id") < PqProbes)
+        .join(broadcast(books), Seq("sp"))
+        .select(col("vec_id").as("probe_id"), col("sp"), col("cent_id"),
+          round(normSq(col("sv")) - lit(2.0) * dotCol(col("sv"), col("ce"))
+            + normSq(col("ce")), 6).as("dt"))
+      val w = Window.partitionBy("probe_id").orderBy(col("adist"), col("vec_id"))
+      codes.join(cells, Seq("vec_id"))
+        .join(broadcast(probeCells), Seq("cell_id"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .join(broadcast(dt), Seq("probe_id", "sp", "cent_id"))
+        .groupBy("probe_id", "vec_id")
+        .agg(graft.functions.Portable.exactSum(col("dt"), 6).as("adist"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= PqTopK)
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          col("adist"), col("rank"))
+        .orderBy("probe_id", "rank")
+    },
   )
 
   private def pqDot16Sql(a: String, b: String): String =

@@ -454,5 +454,54 @@ object EventsOps {
         .withColumn("cum_users", sum(col("n_new")).over(w))
         .orderBy("event_type", "day")
     },
+
+    Q(
+      "q_scd2",
+      "SCD2 dimension build from a change stream: per user, each " +
+        "event_type change opens a versioned row with " +
+        "[valid_from, valid_to) from the change ts and the NEXT " +
+        "change's ts (null = current). ONE user_id-keyed shuffle: the " +
+        "change filter (lag), version numbering (row_number) and " +
+        "interval close (lead) all ride the same partitioning and " +
+        "sort — Catalyst plans no second exchange for the post-filter " +
+        "windows. Ties inside a user's timeline break by event_id, so " +
+        "replayed changelogs rebuild identical versions. At 100 TB " +
+        "this is the standard warehouse dimension rebuild: state per " +
+        "user is its change count, never its event count",
+      Some(
+        """WITH e AS (
+          |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+          |  FROM events
+          |), ch AS (
+          |  SELECT user_id, event_type, ts, event_id FROM (
+          |    SELECT user_id, event_type, ts, event_id,
+          |      lag(event_type) OVER (PARTITION BY user_id
+          |        ORDER BY ts, event_id) AS prev_type
+          |    FROM e)
+          |  WHERE prev_type IS NULL OR prev_type <> event_type
+          |)
+          |SELECT user_id,
+          |  CAST(row_number() OVER (PARTITION BY user_id
+          |    ORDER BY ts, event_id) AS BIGINT) AS version,
+          |  event_type, ts AS valid_from,
+          |  lead(ts) OVER (PARTITION BY user_id
+          |    ORDER BY ts, event_id) AS valid_to,
+          |  CASE WHEN lead(ts) OVER (PARTITION BY user_id
+          |    ORDER BY ts, event_id) IS NULL
+          |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_current
+          |FROM ch ORDER BY user_id, version""".stripMargin),
+    ) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+        .withColumn("version", row_number().over(w).cast("long"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("version"), col("event_type"),
+          col("ts").as("valid_from"), col("valid_to"),
+          when(col("valid_to").isNull, 1L).otherwise(0L).as("is_current"))
+        .orderBy("user_id", "version")
+    },
   )
 }

@@ -186,6 +186,24 @@ class PlanBudgetSpec extends AnyFunSuite {
     assert(p.contains("cent_argmin"), s"fused argmin must drive assignment, plan:\n$p")
   }
 
+  test("q_scd2 rides ONE user-keyed exchange through filter, version and lead windows") {
+    val p = plan("q_scd2")
+    // The change filter preserves the lag window's partitioning and
+    // sort, so the row_number/lead pass must not re-shuffle.
+    assert(hashExchanges(p) == 1, s"plan:\n$p")
+  }
+
+  test("q_ivfpq_search broadcasts centroids, probe cells and distance tables") {
+    val p = plan("q_ivfpq_search")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"centroid pack must broadcast, plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    // probe-cell join + distance-table join both broadcast; only the
+    // corpus-sized codes⋈cells join may sort-merge (it becomes a
+    // layout property — cell-partitioned inverted lists — at scale).
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, s"plan:\n$p")
+  }
+
   test("q_unpivot melts map-side via Expand — only the measure agg shuffles") {
     val p = plan("q_unpivot")
     assert(p.contains("Expand"), s"plan:\n$p")
