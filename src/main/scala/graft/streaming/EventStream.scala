@@ -30,12 +30,17 @@ case class SessionOut(user_id: Long, session_start: Timestamp, session_end: Time
 object EventStream {
 
   /** Tumbling 1-hour counts per event type — the streaming twin of
-    * q_events_hourly. Watermark 2h bounds both late data and state. */
+    * q_events_hourly. Watermark 2h bounds both late data and state.
+    * The value sum uses the portable fixed-point convention
+    * ([[graft.functions.Portable.exactSum]]) so the result is
+    * bit-identical to the batch twin at any micro-batch split — the
+    * property that lets q_stream_hourly share the batch oracle. */
   def hourly(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Portable.exactSum(col("value")).as("sum_value"))
       .select(col("win.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
 
   /** 30-minute-gap sessions per user — the streaming twin of

@@ -81,5 +81,67 @@ object StreamOps {
       q.awaitTermination()
       s.read.parquet(s"$scratch/out").orderBy("content_hash")
     },
+
+    Q(
+      "q_stream_hourly",
+      "watermarked tumbling-window aggregation run END-TO-END as a " +
+        "real streaming job (file source → EventStream.hourly → " +
+        "parquet sink, AvailableNow) — the stateful-aggregation " +
+        "streaming path, where append mode only emits a window once " +
+        "the watermark passes it. The staged source holds the events " +
+        "file plus a far-future SENTINEL file; maxFilesPerTrigger=1 " +
+        "splits them into separate micro-batches, so whichever order " +
+        "they arrive, the sentinel drives the watermark past every " +
+        "real window and ALL of them flush to the sink (the " +
+        "sentinel's own window never finalizes and stays in state — " +
+        "by construction it cannot reach the output). The fixed-point " +
+        "value sum makes the result identical at any micro-batch " +
+        "split, so the oracle IS the batch twin's SQL. At 100 TB " +
+        "this is the production shape: bucket listing as the file " +
+        "source, watermark GC bounding state by hours×types",
+      Some(
+        s"""SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour,
+           |  event_type, count(*) AS n,
+           |  ${graft.functions.Portable.exactSumSql("value")} AS sum_value
+           |FROM events
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    ) { (s, dir) =>
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val scratch = Scratch.dir()
+      val srcDir = Paths.get(scratch, "src")
+      Files.createDirectories(srcDir)
+      Files.copy(Paths.get(s"$dir/events.parquet"),
+        srcDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      // Sentinel: one row at 2100-01-01 (epoch-nanos, matching the raw
+      // table's INT64 physical type under nanosAsLong). Written via a
+      // normal parquet write, then its part file moves into the staged
+      // source next to the real table file.
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val sentinelNs = 4102444800L * 1000000000L
+      val sentTmp = Paths.get(scratch, "sentinel")
+      s.range(1).select(
+        lit(-1L).as("event_id"), lit(sentinelNs).as("ts"),
+        lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+        .coalesce(1).write.parquet(sentTmp.toString)
+      val part = Files.list(sentTmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, srcDir.resolve("zz_sentinel.parquet"))
+      val src = s.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir.toString)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val out = EventStream.hourly(src)
+      val q = out.writeStream
+        .format("parquet")
+        .option("path", s"$scratch/out")
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$scratch/out")
+        .filter(col("event_type") =!= "sentinel")
+        .orderBy("hour", "event_type")
+    },
   )
 }
