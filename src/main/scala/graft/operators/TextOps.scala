@@ -51,6 +51,13 @@ object TextOps {
     * into the oracle SQL, so Spark and DuckDB build bit-identical
     * sketches and the estimate column itself is hash-checkable.
     */
+  /** Fixed alphabet for the per-row char-entropy histogram
+    * (q_entropy); everything outside it lands in one 'other' bucket.
+    * Spliced into the oracle SQL so both engines bucket identically.
+    */
+  private[graft] val Alphabet: Seq[Char] =
+    ("abcdefghijklmnopqrstuvwxyz" + "0123456789" + " .,!?-").toSeq
+
   private[graft] val CmsD = 4
   private[graft] val CmsW = 512L
   private[graft] val CmsP = 2147483647L
@@ -722,6 +729,65 @@ object TextOps {
           array_join(
             transform(array_sort(collect_list(struct(col("p"), col("tid")))),
               x => x.getField("tid").cast("string")), "-").as("ids_str"))
+        .orderBy("doc_id")
+    },
+
+    Q(
+      "q_entropy",
+      "character-entropy quality signal (the Gopher-style gibberish / " +
+        "boilerplate detector): Shannon entropy over a FIXED alphabet " +
+        s"(${Alphabet.length} chars + an 'other' bucket) computed as " +
+        "pure per-row expression work — each count is one " +
+        "length-minus-replace, so the corpus NEVER explodes into " +
+        "per-character rows (at 100 TB a char-keyed explode is " +
+        "byte-count-sized; this is zero-shuffle). Per-symbol terms " +
+        "n·log2(n) are 6dp-rounded into integer micro-units and " +
+        "summed in the array domain, so H = log2(N) - Σ/N is " +
+        "bit-identical across engines; low H flags repeated-char " +
+        "gibberish, high H flags random noise — both standard " +
+        "pretraining filters",
+      Some {
+        val counts = Alphabet.map(c =>
+          s"length(text) - length(replace(text, '${c.toString.replace("'", "''")}', ''))")
+          .mkString("[", ", ", "]")
+        s"""WITH c AS (
+           |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+           |    $counts AS ks
+           |  FROM documents WHERE length(text) > 0
+           |), k AS (
+           |  SELECT doc_id, n_chars,
+           |    list_append(ks, n_chars - list_sum(ks)) AS ks FROM c
+           |), t AS (
+           |  SELECT doc_id, n_chars,
+           |    list_sum(list_transform(list_filter(ks, x -> x > 0),
+           |      x -> CAST(round(x * log2(CAST(x AS DOUBLE)) * 1000000)
+           |        AS BIGINT))) AS s
+           |  FROM k
+           |)
+           |SELECT doc_id, n_chars,
+           |  round(log2(CAST(n_chars AS DOUBLE)) - s / 1000000.0 / n_chars,
+           |    6) AS char_entropy
+           |FROM t ORDER BY doc_id""".stripMargin
+      },
+    ) { (s, dir) =>
+      val ks = array(Alphabet.map(c =>
+        (length(col("text"))
+          - length(regexp_replace(col("text"), java.util.regex.Pattern.quote(c.toString), "")))
+          .cast("long")): _*)
+      Tables.documents(s, dir)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"), ks.as("ks"))
+        .withColumn("ks",
+          concat(col("ks"), array(col("n_chars") - aggregate(col("ks"),
+            lit(0L), (acc, x) => acc + x))))
+        .withColumn("s", aggregate(
+          filter(col("ks"), x => x > 0),
+          lit(0L),
+          (acc, x) => acc + round(x * log2(x.cast("double")) * 1000000, 0).cast("long")))
+        .select(col("doc_id"), col("n_chars"),
+          round(log2(col("n_chars").cast("double"))
+            - col("s") / 1000000.0 / col("n_chars"), 6).as("char_entropy"))
         .orderBy("doc_id")
     },
 

@@ -19,6 +19,59 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamOps {
 
+  /** Staged file source for the events table: copies the parquet file
+    * into a scratch dir next to a one-row far-future SENTINEL file,
+    * and opens it as a streaming source with maxFilesPerTrigger=1 —
+    * so whichever order the two files batch in, the sentinel drives
+    * the watermark past every real window/session and append mode
+    * flushes them all. The sentinel row (event_type='sentinel',
+    * negative ids) belongs to no finalized window by construction.
+    * Returns the stream with `ts` truncated ns→µs exactly like
+    * [[graft.Tables.events]].
+    */
+  private def stagedEventsSource(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val scratch = Scratch.dir()
+    val srcDir = Paths.get(scratch, "src")
+    Files.createDirectories(srcDir)
+    Files.copy(Paths.get(s"$dir/events.parquet"),
+      srcDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val sentinelNs = 4102444800L * 1000000000L // 2100-01-01, epoch-nanos
+    val sentTmp = Paths.get(scratch, "sentinel")
+    s.range(1).select(
+      lit(-1L).as("event_id"), lit(sentinelNs).as("ts"),
+      lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+      lit(0.0).as("value"), lit("{}").as("props"))
+      .coalesce(1).write.parquet(sentTmp.toString)
+    val part = Files.list(sentTmp).filter(_.toString.endsWith(".parquet"))
+      .findFirst().get()
+    Files.move(part, srcDir.resolve("zz_sentinel.parquet"))
+    s.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Runs a streaming frame to a parquet sink under AvailableNow and
+    * reads the sink back as a batch frame. */
+  private def runToParquet(
+      s: org.apache.spark.sql.SparkSession,
+      out: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val scratch = Scratch.dir()
+    val q = out.writeStream
+      .format("parquet")
+      .option("path", s"$scratch/out")
+      .option("checkpointLocation", s"$scratch/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$scratch/out")
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       "q_stream_ingest",
@@ -106,42 +159,52 @@ object StreamOps {
            |FROM events
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     ) { (s, dir) =>
-      import java.nio.file.{Files, Paths, StandardCopyOption}
-      val scratch = Scratch.dir()
-      val srcDir = Paths.get(scratch, "src")
-      Files.createDirectories(srcDir)
-      Files.copy(Paths.get(s"$dir/events.parquet"),
-        srcDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
-      // Sentinel: one row at 2100-01-01 (epoch-nanos, matching the raw
-      // table's INT64 physical type under nanosAsLong). Written via a
-      // normal parquet write, then its part file moves into the staged
-      // source next to the real table file.
-      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-      val sentinelNs = 4102444800L * 1000000000L
-      val sentTmp = Paths.get(scratch, "sentinel")
-      s.range(1).select(
-        lit(-1L).as("event_id"), lit(sentinelNs).as("ts"),
-        lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
-        lit(0.0).as("value"), lit("{}").as("props"))
-        .coalesce(1).write.parquet(sentTmp.toString)
-      val part = Files.list(sentTmp).filter(_.toString.endsWith(".parquet"))
-        .findFirst().get()
-      Files.move(part, srcDir.resolve("zz_sentinel.parquet"))
-      val src = s.readStream.schema(rawSchema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(srcDir.toString)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      val out = EventStream.hourly(src)
-      val q = out.writeStream
-        .format("parquet")
-        .option("path", s"$scratch/out")
-        .option("checkpointLocation", s"$scratch/ckpt")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.read.parquet(s"$scratch/out")
+      runToParquet(s, EventStream.hourly(stagedEventsSource(s, dir)))
         .filter(col("event_type") =!= "sentinel")
         .orderBy("hour", "event_type")
+    },
+
+    Q(
+      "q_stream_sessions",
+      "session_window sessionization run END-TO-END as a real " +
+        "streaming job over the staged events source (sentinel + " +
+        "maxFilesPerTrigger=1 flushes every real session past the " +
+        "watermark, exactly like q_stream_hourly). The batch twin's " +
+        "gap rule is deliberately >= 30min — session_window's exact " +
+        "boundary semantics — so stream sessions and batch sessions " +
+        "are the same partition of each user's timeline and the " +
+        "oracle IS q_events_sessions' SQL; the per-user session " +
+        "ordinal is a batch window over the (bounded) sink result. " +
+        "At 100 TB session state is watermark-GC'd per user and the " +
+        "sink receives each closed session exactly once",
+      Some(
+        """WITH ev AS (
+          |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+          |), flagged AS (
+          |  SELECT user_id, event_id, ts,
+          |    CASE WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+          |           OR lag(ts) OVER w IS NULL
+          |         THEN 1 ELSE 0 END AS new_session
+          |  FROM ev
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+          |), sessions AS (
+          |  SELECT user_id, event_id,
+          |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+          |  FROM flagged)
+          |SELECT user_id, session_seq, count(*) AS n_events,
+          |  min(event_id) AS first_event
+          |FROM sessions GROUP BY user_id, session_seq
+          |ORDER BY user_id, session_seq""".stripMargin),
+    ) { (s, dir) =>
+      val sessions = EventStream.sessions(stagedEventsSource(s, dir))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("session_start")
+      runToParquet(s, sessions)
+        .filter(col("user_id") >= 0) // the sentinel user never flushes; defensive
+        .withColumn("session_seq", row_number().over(w).cast("long"))
+        .select("user_id", "session_seq", "n_events", "first_event")
+        .orderBy("user_id", "session_seq")
     },
   )
 }

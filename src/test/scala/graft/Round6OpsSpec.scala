@@ -34,6 +34,30 @@ class Round6OpsSpec extends AnyFunSuite {
     d
   }
 
+  private lazy val entDir: String = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-r6-ent").toString
+    val docs = Seq(
+      (0L, "aaaaaaaa"),            // single symbol -> H = 0
+      (1L, "abababab"),            // two equal symbols -> H = 1
+      (2L, "aabb##%%"),            // a,b in alphabet; #,% pool in 'other'
+    )
+    docs.map { case (i, t) => (i, t, "en", s"src$i", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("q_entropy: planted distributions hit exact Shannon values; 'other' pools") {
+    val rows = run("q_entropy", entDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.abs(rows(0L) - 0.0) < 1e-6, s"uniform single char, got ${rows(0L)}")
+    assert(math.abs(rows(1L) - 1.0) < 1e-6, s"two equal symbols, got ${rows(1L)}")
+    // doc 2: a=2/8, b=2/8, other=4/8 -> H = 2*(1/4*2) + 1/2*1 = 1.5
+    assert(math.abs(rows(2L) - 1.5) < 1e-6,
+      s"out-of-alphabet chars must pool into one bucket, got ${rows(2L)}")
+  }
+
   test("q_bpe_pairs counts adjacent pairs weighted by word frequency") {
     val rows = run("q_bpe_pairs", docsDir).collect()
       .map(r => r.getString(1) -> r.getLong(2)).toMap
