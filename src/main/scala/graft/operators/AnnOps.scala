@@ -879,11 +879,13 @@ object AnnOps {
         s"cell join cuts candidates to ~nprobe/cells of the corpus " +
         "and the code scan reads 32×-compressed bytes, so at 100 TB " +
         "the per-query touch is (nprobe/cells) × (1/32) of the raw " +
-        "table. Codes here join their cell assignment by vec_id; a " +
-        "deployed index writes codes cell-partitioned (the inverted " +
-        "lists), making that join a layout property. Raw-vector PQ " +
-        "(by_residual=false); residual encoding against the cell " +
-        "centroid is the refinement and changes no plan shape",
+        "table. ONE corpus pass assigns the cell and explodes the " +
+        "subvectors with cell_id riding along, so the codes are born " +
+        "cell-keyed — the cell-partitioned inverted-list layout a " +
+        "deployed index stores — and no corpus-sized codes⋈cells " +
+        "join ever runs. Raw-vector PQ (by_residual=false); residual " +
+        "encoding against the cell centroid is the refinement and " +
+        "changes no plan shape",
       Some(
         s"""$pqChainSql, cc AS (
            |  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
@@ -933,27 +935,40 @@ object AnnOps {
       val cents = e.filter(col("vec_id") < NumCells)
         .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
       val packed = broadcast(packCents(cents))
-      val cells = e.crossJoin(packed)
-        .withColumn("cell_id",
-          graft.functions.CentAssign.argminL2(s, "embedding", "cs"))
-        .select(col("vec_id"), col("cell_id"))
       val probeCells = e.filter(col("vec_id") < PqProbes)
         .withColumn("vn2", normSq(col("embedding")))
         .crossJoin(packed)
         .withColumn("cell", explode(slice(array_sort(centMetrics), 1, NProbe)))
         .select(col("vec_id").as("probe_id"), col("cell.cent_id").as("cell_id"))
-      // PQ half: identical training/encode path to q_pq_search.
-      val sv = pqSv(e)
+      // ONE corpus pass assigns the cell and explodes the subvectors
+      // with cell_id riding along — the codes are born cell-keyed
+      // (exactly the cell-partitioned inverted-list layout a deployed
+      // index stores), so no corpus-sized codes⋈cells join ever runs.
+      val sv = e.crossJoin(packed)
+        .withColumn("cell_id",
+          graft.functions.CentAssign.argminL2(s, "embedding", "cs"))
+        .select(col("vec_id"), col("cell_id"),
+          posexplode(expr(s"transform(sequence(0, ${PqM - 1}), " +
+            s"j -> slice(embedding, j*$PqSubDim+1, $PqSubDim))"))
+            .as(Seq("sp", "sv")))
       val books = pqCodebooks(s, sv).localCheckpoint()
-      val codes = pqEncode(s, sv, books)
+      // pqEncode's metric, inlined to keep cell_id on the code rows.
+      val mets = transform(col("cs"), c => struct(
+        round(col("vn2") - lit(2.0) * dotCol(col("sv"), c.getField("ce"))
+          + c.getField("cn2"), 6).as("m"),
+        c.getField("cent_id").as("cent_id")))
+      val codes = sv.withColumn("vn2", normSq(col("sv")))
+        .join(broadcast(packSubCents(books)), Seq("sp"))
+        .withColumn("best", array_min(mets))
+        .select(col("vec_id"), col("cell_id"), col("sp"),
+          col("best.cent_id").as("cent_id"))
       val dt = sv.filter(col("vec_id") < PqProbes)
         .join(broadcast(books), Seq("sp"))
         .select(col("vec_id").as("probe_id"), col("sp"), col("cent_id"),
           round(normSq(col("sv")) - lit(2.0) * dotCol(col("sv"), col("ce"))
             + normSq(col("ce")), 6).as("dt"))
       val w = Window.partitionBy("probe_id").orderBy(col("adist"), col("vec_id"))
-      codes.join(cells, Seq("vec_id"))
-        .join(broadcast(probeCells), Seq("cell_id"))
+      codes.join(broadcast(probeCells), Seq("cell_id"))
         .filter(col("vec_id") =!= col("probe_id"))
         .join(broadcast(dt), Seq("probe_id", "sp", "cent_id"))
         .groupBy("probe_id", "vec_id")

@@ -58,6 +58,16 @@ object TextOps {
   private[graft] val Alphabet: Seq[Char] =
     ("abcdefghijklmnopqrstuvwxyz" + "0123456789" + " .,!?-").toSeq
 
+  /** Token chunking shape (q_chunk): 64-token windows every 48 tokens
+    * (16-token overlap). */
+  private[graft] val ChunkSize = 64
+  private[graft] val ChunkStride = 48
+
+  /** Minimum corpus pair count before a skip-gram pair enters the PMI
+    * ranking (q_cooccur) — raw PMI is maximized by hapax pairs, so an
+    * unsupported tail would dominate the top-k. */
+  private[graft] val CoocMinCount = 20L
+
   private[graft] val CmsD = 4
   private[graft] val CmsW = 512L
   private[graft] val CmsP = 2147483647L
@@ -911,6 +921,124 @@ object TextOps {
           .over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
         .filter(col("rank") <= 20)
         .select("rank", "doc_id", "bm25")
+        .orderBy("rank")
+    },
+
+    Q(
+      "q_chunk",
+      s"fixed-size token chunking with overlap (chunk $ChunkSize, " +
+        s"stride $ChunkStride — the pretraining/RAG context-window " +
+        "splitter): chunk starts are a per-row sequence, the chunk " +
+        "itself a slice, and the portable md5 chunk hash keys " +
+        "downstream chunk-level dedup — all per-row expression work, " +
+        "zero shuffles before the output sort; output rows = chunks, " +
+        "so the operator parallelizes by doc and never materializes " +
+        "a doc's full token array more than once. Short final chunks " +
+        "are kept (standard), and chunk_id is the stride ordinal so " +
+        "re-chunking appended corpora never renumbers old chunks",
+      Some(
+        s"""WITH t AS (
+           |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+           |), c AS (
+           |  SELECT doc_id, CAST(s / $ChunkStride AS BIGINT) AS chunk_id,
+           |    CAST(s AS BIGINT) AS chunk_start,
+           |    t[s+1 : least(s + $ChunkSize, len(t))] AS chunk
+           |  FROM (SELECT doc_id, t, unnest(range(0, len(t), $ChunkStride)) AS s
+           |        FROM t)
+           |)
+           |SELECT doc_id, chunk_id, chunk_start,
+           |  CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+           |  md5(array_to_string(chunk, ' ')) AS chunk_hash
+           |FROM c ORDER BY doc_id, chunk_id""".stripMargin),
+    ) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), toks.as("t"))
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(0), size(col("t")) - 1, lit(ChunkStride)))
+            .as("s"))
+        .select(col("doc_id"),
+          (col("s") / ChunkStride).cast("long").as("chunk_id"),
+          col("s").cast("long").as("chunk_start"),
+          slice(col("t"), col("s") + 1, lit(ChunkSize)).as("chunk"))
+        .select(col("doc_id"), col("chunk_id"), col("chunk_start"),
+          size(col("chunk")).cast("long").as("n_chunk_tokens"),
+          md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    Q(
+      "q_cooccur",
+      "PMI co-occurrence statistics (the word2vec/GloVe training " +
+        "signal): skip-gram pairs within distance 2, unordered-" +
+        "normalized, aggregated corpus-wide; PMI = log2(n_ab·T²/" +
+        "(P·n_a·n_b)) from exact integer counts, so the only float " +
+        "op is one log2 on identical operands, 6dp-rounded before " +
+        "ranking. The pair agg is the single corpus-sized shuffle " +
+        "(stream = 2 pairs/token, keys bounded by observed-pair " +
+        "vocab); unigram counts and the two scalar totals broadcast " +
+        s"back. Min support $CoocMinCount kills the noise tail that " +
+        "dominates raw PMI; top-20 by (pmi, pair), ties stable",
+      Some(
+        s"""WITH tok AS (
+           |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+           |), uni AS (
+           |  SELECT w, count(*) AS n FROM (
+           |    SELECT unnest(t) AS w FROM tok) GROUP BY w
+           |), tot AS (SELECT CAST(sum(n) AS BIGINT) AS t_toks FROM uni),
+           |pairs0 AS (
+           |  SELECT least(a, b) AS wa, greatest(a, b) AS wb FROM (
+           |    SELECT t[i+1] AS a, t[i+2] AS b FROM tok,
+           |      unnest(range(len(t) - 1)) AS u(i)
+           |    UNION ALL
+           |    SELECT t[i+1] AS a, t[i+3] AS b FROM tok,
+           |      unnest(range(len(t) - 2)) AS u(i))
+           |), pc AS (
+           |  SELECT wa, wb, count(*) AS n_ab FROM pairs0 GROUP BY wa, wb
+           |), ptot AS (SELECT CAST(sum(n_ab) AS BIGINT) AS t_pairs FROM pc),
+           |scored AS (
+           |  SELECT wa, wb, n_ab,
+           |    round(log2(CAST(n_ab AS DOUBLE) * t_toks * t_toks
+           |      / (CAST(t_pairs AS DOUBLE) * ua.n * ub.n)), 6) AS pmi
+           |  FROM pc JOIN uni ua ON pc.wa = ua.w JOIN uni ub ON pc.wb = ub.w
+           |  CROSS JOIN tot CROSS JOIN ptot
+           |  WHERE n_ab >= $CoocMinCount
+           |), r AS (
+           |  SELECT CAST(row_number() OVER (ORDER BY pmi DESC, wa, wb)
+           |    AS BIGINT) AS rank, wa, wb, n_ab, pmi FROM scored
+           |)
+           |SELECT rank, wa, wb, n_ab, pmi FROM r WHERE rank <= 20
+           |ORDER BY rank""".stripMargin),
+    ) { (s, dir) =>
+      val t = Tables.documents(s, dir).select(col("doc_id"), toks.as("t"))
+      def skip(d: Int) = t
+        .filter(size(col("t")) > d)
+        .select(explode(transform(
+          sequence(lit(0), size(col("t")) - 1 - d),
+          i => struct(
+            least(element_at(col("t"), i + 1),
+              element_at(col("t"), i + 1 + d)).as("wa"),
+            greatest(element_at(col("t"), i + 1),
+              element_at(col("t"), i + 1 + d)).as("wb")))).as("p"))
+        .select(col("p.wa"), col("p.wb"))
+      val pc = skip(1).unionAll(skip(2))
+        .groupBy("wa", "wb").agg(count(lit(1)).as("n_ab"))
+      val uni = t.select(explode(col("t")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+      val tot = uni.agg(sum(col("n")).as("t_toks"))
+      val ptot = pc.agg(sum(col("n_ab")).as("t_pairs"))
+      val scored = pc.filter(col("n_ab") >= CoocMinCount)
+        .join(broadcast(uni.select(col("w").as("wa"), col("n").as("na"))), Seq("wa"))
+        .join(broadcast(uni.select(col("w").as("wb"), col("n").as("nb"))), Seq("wb"))
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(ptot))
+        .select(col("wa"), col("wb"), col("n_ab"),
+          round(log2(col("n_ab").cast("double") * col("t_toks") * col("t_toks")
+            / (col("t_pairs").cast("double") * col("na") * col("nb"))), 6)
+            .as("pmi"))
+      scored
+        .withColumn("rank", row_number()
+          .over(Window.orderBy(col("pmi").desc, col("wa"), col("wb"))).cast("long"))
+        .filter(col("rank") <= 20)
+        .select("rank", "wa", "wb", "n_ab", "pmi")
         .orderBy("rank")
     },
 

@@ -156,6 +156,19 @@ class PlanBudgetSpec extends AnyFunSuite {
       s"run detection must be the sorted scan, not a gram window, plan:\n$p")
   }
 
+  test("q_chunk is pure per-row slicing — zero pre-sort shuffles") {
+    val p = plan("q_chunk")
+    assert(hashExchanges(p) == 0, s"plan:\n$p")
+  }
+
+  test("q_ivfpq_search codes are born cell-keyed — no corpus-sized codes⋈cells join") {
+    val p = plan("q_ivfpq_search")
+    // cell assignment + subvector explode share one pass; the only
+    // sort-merge-scale joins left are vocab/probe-sized.
+    assert(p.contains("cent_argmin"), s"plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+  }
+
   test("q_bpe_pairs aggregates over the vocab — two hash exchanges, no corpus-sized join") {
     val p = plan("q_bpe_pairs")
     // vocab agg + pair agg; the ranking window is a SinglePartition

@@ -103,6 +103,42 @@ class Round6OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_chunk: stride windows cover every token; overlap and hashes are exact") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q_chunk", sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val tokCounts = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(lower(col("text")), " ", -1)).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc.keySet == tokCounts.keySet, "every doc chunks")
+    byDoc.foreach { case (d, cs) =>
+      val sorted = cs.sortBy(_._2)
+      // chunk ids dense from 0, starts at stride multiples
+      assert(sorted.map(_._2).toSeq == (0L until cs.length).toSeq, s"doc $d")
+      sorted.foreach { c => assert(c._3 == c._2 * 48, s"doc $d start") }
+      // every chunk is exactly min(chunkSize, n - start) tokens — full
+      // until the doc tail (with stride < size, the last FEW chunks
+      // may be short, not just the last one)
+      sorted.foreach(c =>
+        assert(c._4 == math.min(64L, tokCounts(d) - c._3), s"doc $d chunk ${c._2}"))
+      assert(cs.map(_._5).forall(_.length == 32), "md5 hex hashes")
+    }
+  }
+
+  test("q_cooccur: PMI ranks supported pairs, every pair meets min support") {
+    val rows = run("q_cooccur", sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.length == 20)
+    assert(rows.map(_._1).toSeq == (1L to 20L).toSeq)
+    rows.foreach { case (_, wa, wb, n, _) =>
+      assert(n >= 20L, s"min support violated: ($wa,$wb)=$n")
+      assert(wa <= wb, "pairs must be unordered-normalized")
+    }
+    // ranks descend by pmi
+    assert(rows.sortBy(_._1).map(_._5).reverse.sorted.sameElements(rows.map(_._5).sorted))
+  }
+
   // ---- planted embeddings corpus ------------------------------------
 
   private lazy val embDir: String = {
