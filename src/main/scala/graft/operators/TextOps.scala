@@ -1010,20 +1010,31 @@ object TextOps {
            |ORDER BY rank""".stripMargin),
     ) { (s, dir) =>
       val t = Tables.documents(s, dir).select(col("doc_id"), toks.as("t"))
-      def skip(d: Int) = t
-        .filter(size(col("t")) > d)
-        .select(explode(transform(
+      // ONE corpus scan and ONE tokenize: both skip distances explode
+      // from the same token array via a concat of per-distance
+      // transforms (a doc too short for d=2 contributes the typed
+      // empty array, not a descending sequence).
+      def skipPairs(d: Int) = when(size(col("t")) > d,
+        transform(
           sequence(lit(0), size(col("t")) - 1 - d),
           i => struct(
             least(element_at(col("t"), i + 1),
               element_at(col("t"), i + 1 + d)).as("wa"),
             greatest(element_at(col("t"), i + 1),
-              element_at(col("t"), i + 1 + d)).as("wb")))).as("p"))
+              element_at(col("t"), i + 1 + d)).as("wb"))))
+        .otherwise(array().cast("array<struct<wa:string,wb:string>>"))
+      // pc (pair vocab) and uni (vocab) feed multiple consumers each
+      // (totals + joins); the eager localCheckpoints materialize them
+      // once so the corpus is exploded exactly once per stream — the
+      // q_lm_score pattern (swap for reliable checkpoints at 100 TB).
+      val pc = t
+        .select(explode(concat(skipPairs(1), skipPairs(2))).as("p"))
         .select(col("p.wa"), col("p.wb"))
-      val pc = skip(1).unionAll(skip(2))
         .groupBy("wa", "wb").agg(count(lit(1)).as("n_ab"))
+        .localCheckpoint()
       val uni = t.select(explode(col("t")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("n"))
+        .localCheckpoint()
       val tot = uni.agg(sum(col("n")).as("t_toks"))
       val ptot = pc.agg(sum(col("n_ab")).as("t_pairs"))
       val scored = pc.filter(col("n_ab") >= CoocMinCount)

@@ -156,6 +156,16 @@ class PlanBudgetSpec extends AnyFunSuite {
       s"run detection must be the sorted scan, not a gram window, plan:\n$p")
   }
 
+  test("q_cooccur explodes the corpus once per stream — checkpoints feed all consumers") {
+    val p = plan("q_cooccur")
+    // pair vocab + unigram vocab are checkpointed, so the final plan
+    // re-reads bounded materializations, never the parquet corpus.
+    assert(!p.contains("FileScan parquet"),
+      s"consumers must read the checkpoints, not rescan the corpus, plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"unigram joins must broadcast, plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+  }
+
   test("q_chunk is pure per-row slicing — zero pre-sort shuffles") {
     val p = plan("q_chunk")
     assert(hashExchanges(p) == 0, s"plan:\n$p")
