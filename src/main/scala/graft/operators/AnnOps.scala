@@ -446,6 +446,52 @@ object AnnOps {
     },
 
     Q(
+      "q_ivf_layout",
+      s"the deployed IVF index LAYOUT: embeddings written " +
+        s"hive-partitioned by their coarse cell (cell_id= directories " +
+        "— the inverted lists as a table layout), then read back with " +
+        "a cell predicate so only probed cells are ever LISTED or " +
+        "scanned (partition pruning, plan-pinned like " +
+        "q_partitioned_sink). This is the storage half q_ivfpq_search " +
+        "computes on the fly: pay the cell routing once at ingest and " +
+        "every query's IO is nprobe/cells of the corpus before a " +
+        "single row is read. Reports per-probed-cell inventory",
+      Some(
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+           |cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM e WHERE vec_id < $NumCells),
+           |assign AS (
+           |  SELECT vec_id, cent_id AS cell_id FROM (
+           |    SELECT e.vec_id, c.cent_id,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        $d2Sql,
+           |        c.cent_id) AS rn
+           |    FROM e CROSS JOIN cents c) WHERE rn = 1
+           |)
+           |SELECT cell_id, count(*) AS n_vecs,
+           |  min(vec_id) AS min_vec, max(vec_id) AS max_vec
+           |FROM assign WHERE cell_id < $NProbe
+           |GROUP BY cell_id ORDER BY cell_id""".stripMargin),
+    ) { (s, dir) =>
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val cents = e.filter(col("vec_id") < NumCells)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+      val assigned = e.crossJoin(broadcast(packCents(cents)))
+        .withColumn("cell_id",
+          graft.functions.CentAssign.argminL2(s, "embedding", "cs"))
+        .select(col("vec_id"), col("embedding"), col("cell_id"))
+      val out = Scratch.dir()
+      assigned.write.partitionBy("cell_id").parquet(out)
+      // Partition values re-infer as INT on read; cast back so the
+      // oracle's BIGINT cell ids compare type-exact.
+      s.read.parquet(out)
+        .filter(col("cell_id") < NProbe)
+        .groupBy(col("cell_id").cast("long").as("cell_id"))
+        .agg(count(lit(1)).as("n_vecs"),
+          min(col("vec_id")).as("min_vec"), max(col("vec_id")).as("max_vec"))
+        .orderBy("cell_id")
+    },
+
+    Q(
       "q_embed_dup",
       "embedding-cosine near-dup pairs: LSH band self-join generates " +
         "candidates (keyed equi-join, never all-pairs), exact cosine " +
@@ -944,6 +990,10 @@ object AnnOps {
       // with cell_id riding along — the codes are born cell-keyed
       // (exactly the cell-partitioned inverted-list layout a deployed
       // index stores), so no corpus-sized codes⋈cells join ever runs.
+      // The checkpoint materializes that pass once for its three
+      // consumers (training, encode, distance tables); a deployed
+      // index pays it at ingest and writes it — q_ivf_layout is that
+      // write as a query.
       val sv = e.crossJoin(packed)
         .withColumn("cell_id",
           graft.functions.CentAssign.argminL2(s, "embedding", "cs"))
@@ -951,6 +1001,7 @@ object AnnOps {
           posexplode(expr(s"transform(sequence(0, ${PqM - 1}), " +
             s"j -> slice(embedding, j*$PqSubDim+1, $PqSubDim))"))
             .as(Seq("sp", "sv")))
+        .localCheckpoint()
       val books = pqCodebooks(s, sv).localCheckpoint()
       // pqEncode's metric, inlined to keep cell_id on the code rows.
       val mets = transform(col("cs"), c => struct(

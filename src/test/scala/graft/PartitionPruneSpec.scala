@@ -36,4 +36,20 @@ class PartitionPruneSpec extends AnyFunSuite {
       s"expected exactly 1 selected partition, got $selected")
     assert(probe.count() > 0)
   }
+
+  test("q_ivf_layout reads only probed cell partitions") {
+    val spark = TestSpark.spark
+    // Run the query (it writes the cell-partitioned layout and reads
+    // it back filtered); re-derive the layout read to inspect pruning.
+    val rows = SparkEntry.queries("q_ivf_layout")(spark, "/root/testdata/sf0.001")
+    // AQE wraps the agg plan, hiding the scan exec — assert pruning on
+    // the scan's string form (PartitionFilters carry the cell bound).
+    val plan = rows.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(cell_id"),
+      s"cell predicate must prune at the scan:\n$plan")
+    assert(plan.contains("(cell_id") && plan.contains("< 4)"),
+      s"the nprobe bound must reach the partition filter:\n$plan")
+    // And the verdict rows only cover probed cells.
+    assert(rows.collect().map(_.getLong(0)).forall(_ < 4))
+  }
 }

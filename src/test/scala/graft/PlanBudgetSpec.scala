@@ -173,10 +173,13 @@ class PlanBudgetSpec extends AnyFunSuite {
 
   test("q_ivfpq_search codes are born cell-keyed — no corpus-sized codes⋈cells join") {
     val p = plan("q_ivfpq_search")
-    // cell assignment + subvector explode share one pass; the only
-    // sort-merge-scale joins left are vocab/probe-sized.
-    assert(p.contains("cent_argmin"), s"plan:\n$p")
+    // The cell-assigned subvector pass is checkpointed (its argmin
+    // lineage is severed from this plan); everything downstream joins
+    // against broadcasts only — a sort-merge join would mean the
+    // corpus-sized codes⋈cells join came back.
+    assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
     assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, s"plan:\n$p")
   }
 
   test("q_bpe_pairs aggregates over the vocab — two hash exchanges, no corpus-sized join") {
