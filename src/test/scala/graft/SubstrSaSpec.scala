@@ -59,6 +59,36 @@ class SubstrSaSpec extends AnyFunSuite {
     assert(rows(3L) == 40L, s"doc3 expected 2×20 covered chars, got ${rows(3L)}")
   }
 
+  test("random small-alphabet corpora match a brute-force coverage reference") {
+    import spark.implicits._
+    // 3-letter alphabet forces heavy 20-gram collisions within and
+    // across docs; the brute-force reference recomputes coverage from
+    // first principles (positions of any 20-gram occurring >= 2 times
+    // corpus-wide, unioned as intervals).
+    val rnd = new scala.util.Random(42)
+    val docs = (0L until 12L).map { i =>
+      i -> (1 to 60 + rnd.nextInt(60)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    }
+    val d = Files.createTempDirectory("graft-substr-prop").toString
+    docs.map { case (i, t) => (i, t, "en", s"s$i", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+    docs.foreach { case (_, t) =>
+      (0 to t.length - 20).foreach(p => counts.updateWith(t.substring(p, p + 20))(c => Some(c.getOrElse(0) + 1)))
+    }
+    val expected = docs.map { case (i, t) =>
+      val dupStarts = (0 to t.length - 20).filter(p => counts(t.substring(p, p + 20)) >= 2)
+      val covered = dupStarts.flatMap(p => p until p + 20).toSet.size
+      i -> covered.toLong
+    }.toMap
+
+    val got = SparkEntry.queries("q_substr_sa")(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"coverage mismatch:\n got=$got\n exp=$expected")
+  }
+
   test("finds at least the proxy's duplication on real testdata (signal sets agree)") {
     val sf = "/root/testdata/sf0.001"
     val sa = run("q_substr_sa", sf).collect()
