@@ -174,6 +174,95 @@ object DedupOps {
        |)""".stripMargin
   }
 
+  /** Truncated-suffix-array duplicated-span islands, shared by
+    * q_substr_sa (measures them) and q_substr_strip (removes them):
+    * every char-20-gram suffix is range-partitioned and sorted so
+    * duplicated grams land adjacent (equal truncated suffixes <=>
+    * LCP >= 20), a streaming per-partition run scan emits duplicated
+    * positions with O(max-df) memory and zero hash state, and a
+    * doc-keyed gaps-and-islands pass unions overlapping spans.
+    * Returns (doc_id, isl, start, end) with [start, end) half-open
+    * char intervals.
+    */
+  private def saIslands(
+      s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    // (doc_id, 0-based pos, 20-char truncated suffix). posexplode's
+    // index over the transform array IS the character offset.
+    val grams = docs.filter(length(col("text")) >= 20)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), length(col("text")) - 19),
+          p => col("text").substr(p, lit(20)))).as(Seq("pos", "g")))
+      .select(col("g"), col("doc_id"), col("pos").cast("long").as("pos"))
+    val sorted = grams.repartitionByRange(col("g"))
+      .sortWithinPartitions("g", "doc_id", "pos")
+    val dupPos = sorted.as[(String, Long, Long)].mapPartitions { rows =>
+      val it = rows.buffered
+      new Iterator[(Long, Long)] {
+        private var run: Iterator[(Long, Long)] = Iterator.empty
+        private def advance(): Unit =
+          while (!run.hasNext && it.hasNext) {
+            val g = it.head._1
+            val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+            while (it.hasNext && it.head._1 == g) {
+              val r = it.next(); buf += ((r._2, r._3))
+            }
+            if (buf.length >= 2) run = buf.iterator
+          }
+        def hasNext: Boolean = { advance(); run.hasNext }
+        def next(): (Long, Long) = { advance(); run.next() }
+      }
+    }.toDF("doc_id", "pos")
+    // A new island starts when this span's start clears every previous
+    // span's end; island extents then merge overlaps exactly once.
+    val wPrev = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dupPos
+      .withColumn("prev_end", max(col("pos") + 19).over(wPrev))
+      .withColumn("new_isl",
+        when(col("prev_end").isNull || col("pos") > col("prev_end"), 1L)
+          .otherwise(0L))
+      .withColumn("isl", sum(col("new_isl")).over(wCum))
+      .groupBy("doc_id", "isl")
+      .agg(min(col("pos")).as("start"), (max(col("pos")) + 20).as("end"))
+  }
+
+  /** DuckDB twin of [[saIslands]] as a CTE chain ending in
+    * `islands(doc_id, isl, start, e)` — spliced into both SA oracles
+    * so measure and strip cannot drift.
+    */
+  private val saIslandsSqlCte: String =
+    """pg AS (
+      |  SELECT doc_id, unnest(list_transform(range(length(text) - 19),
+      |    p -> {'pos': p, 'g': substr(text, p + 1, 20)})) AS u
+      |  FROM documents WHERE length(text) >= 20
+      |), g AS (
+      |  SELECT doc_id, u.pos AS pos, u.g AS g FROM pg
+      |), c AS (
+      |  SELECT doc_id, pos FROM (
+      |    SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS cnt FROM g)
+      |  WHERE cnt > 1
+      |), i AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos > coalesce(max(pos + 19) OVER (
+      |      PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      |    THEN 1 ELSE 0 END AS new_isl
+      |  FROM c
+      |), isl AS (
+      |  SELECT doc_id, pos, sum(new_isl) OVER (
+      |    PARTITION BY doc_id ORDER BY pos
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      |  FROM i
+      |), islands AS (
+      |  SELECT doc_id, isl, min(pos) AS start, max(pos) + 20 AS e
+      |  FROM isl GROUP BY doc_id, isl
+      |)""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q(
       "q_dedup_exact",
@@ -475,93 +564,21 @@ object DedupOps {
         "in-partition upgrade when the match length must grow past " +
         "what fixed-depth truncation carries",
       Some(
-        """WITH pg AS (
-          |  SELECT doc_id, unnest(list_transform(range(length(text) - 19),
-          |    p -> {'pos': p, 'g': substr(text, p + 1, 20)})) AS u
-          |  FROM documents WHERE length(text) >= 20
-          |), g AS (
-          |  SELECT doc_id, u.pos AS pos, u.g AS g FROM pg
-          |), c AS (
-          |  SELECT doc_id, pos FROM (
-          |    SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS cnt FROM g)
-          |  WHERE cnt > 1
-          |), i AS (
-          |  SELECT doc_id, pos,
-          |    CASE WHEN pos > coalesce(max(pos + 19) OVER (
-          |      PARTITION BY doc_id ORDER BY pos
-          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-          |    THEN 1 ELSE 0 END AS new_isl
-          |  FROM c
-          |), isl AS (
-          |  SELECT doc_id, pos, sum(new_isl) OVER (
-          |    PARTITION BY doc_id ORDER BY pos
-          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
-          |  FROM i
-          |), per AS (
-          |  SELECT doc_id, isl, max(pos) + 20 - min(pos) AS len
-          |  FROM isl GROUP BY doc_id, isl
-          |), agg AS (
-          |  SELECT doc_id, CAST(sum(len) AS BIGINT) AS dup_chars
-          |  FROM per GROUP BY doc_id
-          |)
-          |SELECT d.doc_id, coalesce(a.dup_chars, CAST(0 AS BIGINT)) AS dup_chars,
-          |  round(CAST(coalesce(a.dup_chars, CAST(0 AS BIGINT)) AS DOUBLE)
-          |    / length(d.text), 6) AS dup_cov
-          |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
-          |WHERE length(d.text) >= 20
-          |ORDER BY d.doc_id""".stripMargin),
+        s"""WITH $saIslandsSqlCte, agg AS (
+           |  SELECT doc_id, CAST(sum(e - start) AS BIGINT) AS dup_chars
+           |  FROM islands GROUP BY doc_id
+           |)
+           |SELECT d.doc_id, coalesce(a.dup_chars, CAST(0 AS BIGINT)) AS dup_chars,
+           |  round(CAST(coalesce(a.dup_chars, CAST(0 AS BIGINT)) AS DOUBLE)
+           |    / length(d.text), 6) AS dup_cov
+           |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+           |WHERE length(d.text) >= 20
+           |ORDER BY d.doc_id""".stripMargin),
     ) { (s, dir) =>
-      import s.implicits._
       val docs = Tables.documents(s, dir)
-      // (doc_id, 0-based pos, 20-char truncated suffix). posexplode's
-      // index over the transform array IS the character offset.
-      val grams = docs.filter(length(col("text")) >= 20)
-        .select(col("doc_id"),
-          posexplode(transform(
-            sequence(lit(1), length(col("text")) - 19),
-            p => col("text").substr(p, lit(20)))).as(Seq("pos", "g")))
-        .select(col("g"), col("doc_id"), col("pos").cast("long").as("pos"))
-      // The truncated suffix array: range partition on the suffix so
-      // equal keys co-locate, sort within partitions, then one linear
-      // scan per partition over adjacent runs. Runs of length >= 2 are
-      // duplicated 20-grams; every position in the run is a duplicated
-      // span start.
-      val sorted = grams.repartitionByRange(col("g"))
-        .sortWithinPartitions("g", "doc_id", "pos")
-      val dupPos = sorted.as[(String, Long, Long)].mapPartitions { rows =>
-        val it = rows.buffered
-        new Iterator[(Long, Long)] {
-          private var run: Iterator[(Long, Long)] = Iterator.empty
-          private def advance(): Unit =
-            while (!run.hasNext && it.hasNext) {
-              val g = it.head._1
-              val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-              while (it.hasNext && it.head._1 == g) {
-                val r = it.next(); buf += ((r._2, r._3))
-              }
-              if (buf.length >= 2) run = buf.iterator
-            }
-          def hasNext: Boolean = { advance(); run.hasNext }
-          def next(): (Long, Long) = { advance(); run.next() }
-        }
-      }.toDF("doc_id", "pos")
-      // Interval union per doc (gaps-and-islands): a new island starts
-      // when this span's start clears every previous span's end; island
-      // lengths then sum without double-counting overlaps.
-      val wPrev = Window.partitionBy("doc_id").orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val wCum = Window.partitionBy("doc_id").orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val perDoc = dupPos
-        .withColumn("prev_end", max(col("pos") + 19).over(wPrev))
-        .withColumn("new_isl",
-          when(col("prev_end").isNull || col("pos") > col("prev_end"), 1L)
-            .otherwise(0L))
-        .withColumn("isl", sum(col("new_isl")).over(wCum))
-        .groupBy("doc_id", "isl")
-        .agg((max(col("pos")) + 20 - min(col("pos"))).as("len"))
+      val perDoc = saIslands(s, docs)
         .groupBy("doc_id")
-        .agg(sum(col("len")).as("dup_chars"))
+        .agg(sum(col("end") - col("start")).as("dup_chars"))
       docs.filter(length(col("text")) >= 20)
         .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
         .join(perDoc, Seq("doc_id"), "left")
@@ -569,6 +586,92 @@ object DedupOps {
           coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
           round(coalesce(col("dup_chars"), lit(0L)).cast("double")
             / col("n_chars"), 6).as("dup_cov"))
+        .orderBy("doc_id")
+    },
+
+    Q(
+      "q_substr_strip",
+      "the ACTIONABLE half of ExactSubstr dedup: remove every " +
+        "duplicated span q_substr_sa measures and emit the cleaned " +
+        "corpus (kept/removed char counts + md5 of the cleaned text " +
+        "— the hash keys the cleaned table a pipeline writes). " +
+        "Aggressive boilerplate-strip semantics: a span duplicated " +
+        "anywhere is removed EVERYWHERE including its first " +
+        "occurrence (the C4-style template killer; keep-first is the " +
+        "variant that seeds islands from a canonical copy only, same " +
+        "machinery). The cut itself is gaps-between-islands: each " +
+        "island row yields the preceding kept segment plus one tail " +
+        "segment per doc, segments fetch text via a doc-keyed join " +
+        "(never carried through the suffix sort), and the cleaned " +
+        "text reassembles in one doc-keyed agg ordered by offset. " +
+        "Everything downstream of the shared suffix-sort is bounded " +
+        "by island counts, not corpus chars",
+      Some(
+        s"""WITH $saIslandsSqlCte, gaps AS (
+           |  SELECT doc_id,
+           |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY start), 0) AS f,
+           |    start AS t
+           |  FROM islands
+           |  UNION ALL
+           |  SELECT doc_id, max(e) AS f, NULL AS t FROM islands GROUP BY doc_id
+           |), base AS (
+           |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+           |  FROM documents WHERE length(text) >= 20
+           |), segs AS (
+           |  SELECT g.doc_id, f, substr(text, CAST(f + 1 AS BIGINT),
+           |    CAST(coalesce(t, n) - f AS BIGINT)) AS seg
+           |  FROM gaps g JOIN base b ON g.doc_id = b.doc_id
+           |  WHERE coalesce(t, n) > f
+           |), kept AS (
+           |  SELECT doc_id, string_agg(seg, '' ORDER BY f) AS kept
+           |  FROM segs GROUP BY doc_id
+           |), stripped AS (SELECT DISTINCT doc_id FROM islands)
+           |SELECT b.doc_id,
+           |  CAST(length(CASE WHEN s.doc_id IS NULL THEN b.text
+           |    ELSE coalesce(k.kept, '') END) AS BIGINT) AS kept_chars,
+           |  b.n - CAST(length(CASE WHEN s.doc_id IS NULL THEN b.text
+           |    ELSE coalesce(k.kept, '') END) AS BIGINT) AS removed_chars,
+           |  md5(CASE WHEN s.doc_id IS NULL THEN b.text
+           |    ELSE coalesce(k.kept, '') END) AS kept_hash
+           |FROM base b
+           |LEFT JOIN kept k ON b.doc_id = k.doc_id
+           |LEFT JOIN stripped s ON b.doc_id = s.doc_id
+           |ORDER BY b.doc_id""".stripMargin),
+    ) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val islands = saIslands(s, docs)
+      val wD = Window.partitionBy("doc_id").orderBy("start")
+      val gaps = islands
+        .select(col("doc_id"),
+          coalesce(lag(col("end"), 1).over(wD), lit(0L)).as("f"),
+          col("start").as("t"))
+        .unionByName(islands.groupBy("doc_id")
+          .agg(max(col("end")).as("f"))
+          .withColumn("t", lit(null).cast("long")))
+      val base = docs.filter(length(col("text")) >= 20)
+        .select(col("doc_id"), col("text"),
+          length(col("text")).cast("long").as("n"))
+      val segs = gaps.join(base, Seq("doc_id"))
+        .withColumn("t2", coalesce(col("t"), col("n")))
+        .filter(col("t2") > col("f"))
+        .select(col("doc_id"), col("f"),
+          col("text").substr((col("f") + 1).cast("int"),
+            (col("t2") - col("f")).cast("int")).as("seg"))
+      val kept = segs.groupBy("doc_id")
+        .agg(concat_ws("",
+          transform(array_sort(collect_list(struct(col("f"), col("seg")))),
+            x => x.getField("seg"))).as("kept"))
+      val strippedIds = islands.select("doc_id").distinct()
+        .withColumn("strippedFlag", lit(1))
+      val keptCol = when(col("strippedFlag").isNull, col("text"))
+        .otherwise(coalesce(col("kept"), lit("")))
+      base
+        .join(kept, Seq("doc_id"), "left")
+        .join(strippedIds, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          length(keptCol).cast("long").as("kept_chars"),
+          (col("n") - length(keptCol).cast("long")).as("removed_chars"),
+          md5(keptCol).as("kept_hash"))
         .orderBy("doc_id")
     },
 

@@ -31,6 +31,9 @@ class SubstrSaSpec extends AnyFunSuite {
       (1L, "unique head one?? " + shared40),
       (2L, "no duplicated twenty-gram anywhere in this document"),
       (3L, block20 + " some middle filler " + block20),
+      // byte-identical pair on a disjoint charset: fully covered
+      (4L, "@#$%^&*()_+=~`[]{}|;:<>/4567"),
+      (5L, "@#$%^&*()_+=~`[]{}|;:<>/4567"),
     )
     docs.map { case (i, t) => (i, t, "en", s"src$i", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
@@ -57,6 +60,34 @@ class SubstrSaSpec extends AnyFunSuite {
     // Only the two exact 20-char occurrences duplicate; grams crossing
     // into the filler occur once and must not extend the islands.
     assert(rows(3L) == 40L, s"doc3 expected 2×20 covered chars, got ${rows(3L)}")
+  }
+
+  test("q_substr_strip removes exactly the measured spans and hashes the cleaned text") {
+    def md5(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val rows = run("q_substr_strip", dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // kept text = planted text minus the shared span, hash-verified.
+    assert(rows(0L) == ((26L, 40L, md5(" with a unique tail zero!!"))), s"${rows(0L)}")
+    assert(rows(1L) == ((18L, 40L, md5("unique head one?? "))), s"${rows(1L)}")
+    // untouched doc round-trips byte-identically
+    val t2 = "no duplicated twenty-gram anywhere in this document"
+    assert(rows(2L) == ((t2.length.toLong, 0L, md5(t2))), s"${rows(2L)}")
+    // within-doc repeat: both occurrences cut, filler survives
+    assert(rows(3L) == ((20L, 40L, md5(" some middle filler "))), s"${rows(3L)}")
+    // fully duplicated docs empty out (md5 of the empty string)
+    assert(rows(4L) == ((0L, 28L, md5(""))), s"${rows(4L)}")
+    assert(rows(5L) == ((0L, 28L, md5(""))), s"${rows(5L)}")
+  }
+
+  test("strip's removed_chars equals the measure's dup_chars on real testdata") {
+    val sf = "/root/testdata/sf0.001"
+    val removed = run("q_substr_strip", sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val measured = run("q_substr_sa", sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(removed == measured, "strip and measure must agree span for span")
   }
 
   test("random small-alphabet corpora match a brute-force coverage reference") {
