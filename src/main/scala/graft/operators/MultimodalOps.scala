@@ -34,6 +34,12 @@ object MultimodalOps {
   private val NumParts = 4
   private val BatchSize = 32
 
+  /** q_phash_dup shape: 32 byte samples → 32-bit signature, 2×16-bit
+    * bands, hamming radius 4. Declared before `val all` — the oracle
+    * strings are built eagerly at object init. */
+  private val PhK = 32
+  private val PhMaxHamming = 4
+
   /** Keys are (doc_id % NumParts, doc_id); placement is the first
     * component literally — no hash — so the oracle can name each
     * row's partition. */
@@ -201,6 +207,83 @@ object MultimodalOps {
           octet_length(col("content")).cast("long").as("n_bytes"),
           graft.functions.Portable.md5Hash60(col("content")).as("digest"))
         .orderBy("doc_id")
+    },
+
+    Q(
+      "q_phash_dup",
+      s"perceptual-hash-style near-dup over media payloads: $PhK " +
+        "evenly-spaced byte samples per payload → mean-threshold sign " +
+        s"bits → a $PhK-bit signature; candidates via a 2×16-bit band " +
+        "self-join (only same-band payloads ever meet), verdict = " +
+        s"signature hamming ≤ $PhMaxHamming. The sampling step is the " +
+        "STUB standing where a real pipeline puts the DCT low-pass of " +
+        "the decoded pixels (same 'decode is a stub, plumbing is " +
+        "real' contract as q_multimodal_batch); everything around it " +
+        "is the production shape — per-row signature (zero shuffle), " +
+        "band-keyed candidate join O(collisions) never all-pairs, " +
+        "hamming check on 8-byte sigs not payloads. The mean " +
+        "threshold divides by the power-of-two sample count, so the " +
+        "float compare is dyadic-exact in both engines",
+      Some {
+        val bytesExpr = (0 until PhK).map(k =>
+          s"ascii(substr(text, CAST(floor($k * (length(text) - 1) / ${PhK - 1}) AS BIGINT) + 1, 1))")
+          .mkString("[", ", ", "]")
+        s"""WITH b AS (
+           |  SELECT doc_id, $bytesExpr AS bs
+           |  FROM documents WHERE length(text) >= $PhK
+           |), m AS (
+           |  SELECT doc_id, bs, CAST(list_sum(bs) AS BIGINT) / $PhK.0 AS mean FROM b
+           |), sig AS (
+           |  SELECT doc_id, CAST(list_sum(list_transform(range($PhK),
+           |    k -> CASE WHEN bs[k+1] > mean THEN 2**k ELSE 0 END)) AS BIGINT) AS sig
+           |  FROM m
+           |), bands AS (
+           |  SELECT doc_id, sig, 0 AS band_id, sig & 65535 AS bv FROM sig
+           |  UNION ALL
+           |  SELECT doc_id, sig, 1 AS band_id, (sig >> 16) & 65535 AS bv FROM sig
+           |), cand AS (
+           |  SELECT DISTINCT l.doc_id AS doc_a, l.sig AS sa,
+           |                  r.doc_id AS doc_b, r.sig AS sb
+           |  FROM bands l JOIN bands r ON l.band_id = r.band_id
+           |    AND l.bv = r.bv AND l.doc_id < r.doc_id
+           |)
+           |SELECT doc_a, doc_b,
+           |  CAST(bit_count(CAST(xor(sa, sb) AS BIGINT)) AS BIGINT) AS hamming
+           |FROM cand
+           |WHERE bit_count(CAST(xor(sa, sb) AS BIGINT)) <= $PhMaxHamming
+           |ORDER BY doc_a, doc_b""".stripMargin
+      },
+    ) { (s, dir) =>
+      val bs = array((0 until PhK).map { k =>
+        ascii(col("text").substr(
+          (floor(lit(k) * (length(col("text")) - 1) / (PhK - 1)) + 1).cast("int"),
+          lit(1)))
+      }: _*)
+      val sigDf = Tables.documents(s, dir)
+        .filter(length(col("text")) >= PhK)
+        .select(col("doc_id"), bs.as("bs"))
+        .withColumn("mean",
+          aggregate(col("bs"), lit(0L), (a, x) => a + x).cast("double") / PhK)
+        .withColumn("sig", (0 until PhK).map { k =>
+          when(element_at(col("bs"), k + 1) > col("mean"), lit(1L << k))
+            .otherwise(lit(0L))
+        }.reduce(_ + _))
+        .select("doc_id", "sig")
+      val bands = sigDf.select(col("doc_id"), col("sig"),
+        posexplode(array(
+          col("sig").bitwiseAND(lit(65535L)),
+          shiftright(col("sig"), 16).bitwiseAND(lit(65535L))))
+          .as(Seq("band_id", "bv")))
+      bands.as("l").join(bands.as("r"),
+          col("l.band_id") === col("r.band_id")
+            && col("l.bv") === col("r.bv")
+            && col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+          bit_count(col("l.sig").bitwiseXOR(col("r.sig"))).cast("long")
+            .as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= PhMaxHamming)
+        .orderBy("doc_a", "doc_b")
     },
   )
 

@@ -139,6 +139,30 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(rows.sortBy(_._1).map(_._5).reverse.sorted.sameElements(rows.map(_._5).sorted))
   }
 
+  private lazy val phashDir: String = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-r6-phash").toString
+    // len-32 payloads sample every byte. A: low half 'a'(97), high
+    // half 'A'(65) -> sign bits 0..15. B: one byte perturbed, same
+    // side of the mean -> identical signature (hamming 0). C: the
+    // inverted pattern -> both bands differ, never a candidate.
+    val a = "a" * 16 + "A" * 16
+    val b = "a" * 8 + "b" + "a" * 7 + "A" * 16
+    val c = "A" * 16 + "a" * 16
+    Seq((0L, a), (1L, b), (2L, c))
+      .map { case (i, t) => (i, t, "en", s"src$i", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("q_phash_dup: locally perturbed payload still matches; inverted payload never candidates") {
+    val rows = run("q_phash_dup", phashDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((0L, 1L, 0L)),
+      s"expected only (A,B) at hamming 0, got ${rows.toSeq}")
+  }
+
   // ---- planted embeddings corpus ------------------------------------
 
   private lazy val embDir: String = {
