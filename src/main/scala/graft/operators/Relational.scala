@@ -392,6 +392,41 @@ object Relational {
     },
 
     Q(
+      "q_grouping_sets",
+      "explicit GROUPING SETS — the general form cube/rollup " +
+        "specialize: exactly the requested (priority,status), " +
+        "(priority), and grand-total sets in ONE pass (an Expand of 3 " +
+        "replicas per row, partial-agg collapsed before the shuffle — " +
+        "never one scan per set), with grouping_id disambiguating " +
+        "a real NULL key from a rolled-up one. Completes the " +
+        "cube/rollup/grouping-sets trio; output bounded by the union " +
+        "of set cardinalities",
+      Some(
+        """SELECT o_orderpriority, o_orderstatus,
+          |  CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+          |  count(*) AS n,
+          |  CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) / 100.0
+          |    AS DOUBLE) AS sum_price
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+          |  (o_orderpriority), ())
+          |ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin),
+    ) { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupingSets(
+          Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+            Seq(col("o_orderpriority")), Seq.empty),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .agg(
+          grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          exactSum(col("o_totalprice")).as("sum_price"))
+        .select("o_orderpriority", "o_orderstatus", "gid", "n", "sum_price")
+        .orderBy(col("gid"), col("o_orderpriority").asc_nulls_first,
+          col("o_orderstatus").asc_nulls_first)
+    },
+
+    Q(
       "q_set_ops",
       "UNION/INTERSECT/EXCEPT on nation keys: set ops are hash " +
         "aggregations keyed by the full row",
