@@ -88,7 +88,13 @@ object Cluster {
         spark.sparkContext.applicationId, spark.sparkContext.master,
         System.currentTimeMillis()))
       sys.addShutdownHook {
-        Files.deleteIfExists(markerPath)
+        // Delete the marker only if it is still OURS: on `restart`,
+        // the old process's hook can run after the new start's
+        // writeMarker (slow signal delivery / long spark.stop), and an
+        // unconditional delete would orphan the NEW cluster — running
+        // but invisible to `status` and unreachable by `stop`.
+        val self = ProcessHandle.current().pid()
+        if (readMarker().exists(_.pid == self)) Files.deleteIfExists(markerPath)
         spark.stop()
       }
       // Foreground daemon: the session serves until SIGTERM (`stop`).

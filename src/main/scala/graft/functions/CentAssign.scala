@@ -91,8 +91,11 @@ case class CentArgmin(left: Expression, right: Expression, cosine: Boolean)
 object CentAssign {
 
   /** Spark `Round(x, 6)` for doubles, replicated exactly: NaN/Inf pass
-    * through, otherwise HALF_UP on the shortest-decimal BigDecimal. */
-  private def round6(x: Double): Double =
+    * through, otherwise HALF_UP on the shortest-decimal BigDecimal.
+    * Exposed package-private so tests recompute metrics with the
+    * OPERATOR's rounding (math.rint is half-even and can disagree on
+    * exact .5e-6 boundaries). */
+  private[graft] def round6(x: Double): Double =
     if (x.isNaN || x.isInfinity) x
     else java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()

@@ -179,7 +179,7 @@ object DedupOps {
     * every char-20-gram suffix is range-partitioned and sorted so
     * duplicated grams land adjacent (equal truncated suffixes <=>
     * LCP >= 20), a streaming per-partition run scan emits duplicated
-    * positions with O(max-df) memory and zero hash state, and a
+    * positions with O(1) memory and zero hash state, and a
     * doc-keyed gaps-and-islands pass unions overlapping spans.
     * Returns (doc_id, isl, start, end) with [start, end) half-open
     * char intervals.
@@ -199,20 +199,28 @@ object DedupOps {
     val sorted = grams.repartitionByRange(col("g"))
       .sortWithinPartitions("g", "doc_id", "pos")
     val dupPos = sorted.as[(String, Long, Long)].mapPartitions { rows =>
-      val it = rows.buffered
+      // O(1)-memory run scan: hold ONLY the first member of the
+      // current gram's run until a second member proves the gram
+      // duplicated (emit both), then stream every further member
+      // straight through. No per-run buffer exists, so an adversarial
+      // high-df gram costs nothing beyond its own rows — no max-df
+      // cap is needed for memory safety.
       new Iterator[(Long, Long)] {
-        private var run: Iterator[(Long, Long)] = Iterator.empty
+        private var queued: List[(Long, Long)] = Nil // ≤ 2 elements
+        private var curG: String = null
+        private var first: (Long, Long) = null
+        private var dup = false
         private def advance(): Unit =
-          while (!run.hasNext && it.hasNext) {
-            val g = it.head._1
-            val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-            while (it.hasNext && it.head._1 == g) {
-              val r = it.next(); buf += ((r._2, r._3))
-            }
-            if (buf.length >= 2) run = buf.iterator
+          while (queued.isEmpty && rows.hasNext) {
+            val (g, d, p) = rows.next()
+            if (g != curG) { curG = g; first = (d, p); dup = false }
+            else if (!dup) { dup = true; queued = first :: (d, p) :: Nil }
+            else queued = (d, p) :: Nil
           }
-        def hasNext: Boolean = { advance(); run.hasNext }
-        def next(): (Long, Long) = { advance(); run.next() }
+        def hasNext: Boolean = { advance(); queued.nonEmpty }
+        def next(): (Long, Long) = {
+          advance(); val h = queued.head; queued = queued.tail; h
+        }
       }
     }.toDF("doc_id", "pos")
     // A new island starts when this span's start clears every previous
@@ -550,19 +558,20 @@ object DedupOps {
         "every suffix, truncated to 20 chars, is range-partitioned " +
         "and sorted so duplicated 20-grams land ADJACENT (equal " +
         "truncated suffixes <=> LCP >= 20), a streaming per-partition " +
-        "run scan emits duplicated positions with O(max-df) memory " +
-        "and zero hash state (ExternalSorter spills linearly where " +
-        "the window-count proxy builds a gram-keyed hash table), and " +
+        "run scan emits duplicated positions with O(1) memory " +
+        "and zero hash state (it holds only the run's first member " +
+        "until a second proves duplication, so an adversarial " +
+        "high-df gram cannot grow executor memory; ExternalSorter " +
+        "spills linearly where the window-count proxy builds a " +
+        "gram-keyed hash table), and " +
         "a doc-keyed interval union turns positions into exact " +
         "covered characters — two overlapping duplicated spans are " +
         "counted once, which the gram fraction cannot do. At 100 TB " +
         "the sort key is a fixed 20 bytes (hash-gram to 8 bytes if " +
-        "the corpus is non-ASCII-heavy), range boundaries come from " +
-        "Spark's sampled RangePartitioner, and a max-df stop-gram cap " +
-        "(same policy as MaxShingleDf) bounds the run buffer on " +
-        "adversarial corpora; per-partition DC3 suffix sorting is the " +
-        "in-partition upgrade when the match length must grow past " +
-        "what fixed-depth truncation carries",
+        "the corpus is non-ASCII-heavy) and range boundaries come " +
+        "from Spark's sampled RangePartitioner; per-partition DC3 " +
+        "suffix sorting is the in-partition upgrade when the match " +
+        "length must grow past what fixed-depth truncation carries",
       Some(
         s"""WITH $saIslandsSqlCte, agg AS (
            |  SELECT doc_id, CAST(sum(e - start) AS BIGINT) AS dup_chars

@@ -975,9 +975,15 @@ object TextOps {
         "op is one log2 on identical operands, 6dp-rounded before " +
         "ranking. The pair agg is the single corpus-sized shuffle " +
         "(stream = 2 pairs/token, keys bounded by observed-pair " +
-        "vocab); unigram counts and the two scalar totals broadcast " +
-        s"back. Min support $CoocMinCount kills the noise tail that " +
-        "dominates raw PMI; top-20 by (pmi, pair), ties stable",
+        "vocab). The unigram side is PRUNED before it joins back: " +
+        "only words appearing in a min-support-surviving pair are " +
+        "kept, so the join side is pair-vocab-bounded, not raw-" +
+        "corpus-vocab-sized — and the join is UNHINTED, so at 100 TB " +
+        "it degrades to a (w)-keyed shuffle (the q_lm_score c2 " +
+        "degradation) instead of a forced full-vocabulary broadcast. " +
+        "Only the two 1-row scalar totals carry broadcast hints. Min " +
+        s"support $CoocMinCount kills the noise tail that dominates " +
+        "raw PMI; top-20 by (pmi, pair), ties stable",
       Some(
         s"""WITH tok AS (
            |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
@@ -1037,9 +1043,22 @@ object TextOps {
         .localCheckpoint()
       val tot = uni.agg(sum(col("n")).as("t_toks"))
       val ptot = pc.agg(sum(col("n_ab")).as("t_pairs"))
-      val scored = pc.filter(col("n_ab") >= CoocMinCount)
-        .join(broadcast(uni.select(col("w").as("wa"), col("n").as("na"))), Seq("wa"))
-        .join(broadcast(uni.select(col("w").as("wb"), col("n").as("nb"))), Seq("wb"))
+      val kept = pc.filter(col("n_ab") >= CoocMinCount).localCheckpoint()
+      // Prune the unigram vocabulary to words that appear in a
+      // surviving pair BEFORE it joins back: |uniKept| ≤ 2·|kept|,
+      // bounded by the pair vocab, not the raw token vocab (which at
+      // web scale is typo/junk-heavy and will not fit an executor).
+      // Inner-join semantics are unchanged — every kept pair's words
+      // are in uni by construction. Both vocab joins are UNHINTED:
+      // locally the planner broadcasts the checkpointed small side
+      // from its known size; at 100 TB they degrade to (w)-keyed
+      // shuffle joins — never a forced full-vocabulary broadcast.
+      val keptWords = kept.select(col("wa").as("w"))
+        .union(kept.select(col("wb").as("w"))).distinct()
+      val uniKept = uni.join(keptWords, Seq("w")).localCheckpoint()
+      val scored = kept
+        .join(uniKept.select(col("w").as("wa"), col("n").as("na")), Seq("wa"))
+        .join(uniKept.select(col("w").as("wb"), col("n").as("nb")), Seq("wb"))
         .crossJoin(broadcast(tot)).crossJoin(broadcast(ptot))
         .select(col("wa"), col("wb"), col("n_ab"),
           round(log2(col("n_ab").cast("double") * col("t_toks") * col("t_toks")

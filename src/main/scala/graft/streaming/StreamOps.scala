@@ -21,13 +21,19 @@ object StreamOps {
 
   /** Staged file source for the events table: copies the parquet file
     * into a scratch dir next to a one-row far-future SENTINEL file,
-    * and opens it as a streaming source with maxFilesPerTrigger=1 —
-    * so whichever order the two files batch in, the sentinel drives
-    * the watermark past every real window/session and append mode
-    * flushes them all. The sentinel row (event_type='sentinel',
-    * negative ids) belongs to no finalized window by construction.
-    * Returns the stream with `ts` truncated ns→µs exactly like
-    * [[graft.Tables.events]].
+    * and opens it as a streaming source with maxFilesPerTrigger=1.
+    * The real events file MUST batch first: only then does the
+    * sentinel's arrival drive the watermark past every real
+    * window/session so append mode flushes them all — if the sentinel
+    * batched first, the 2h watermark would already sit at 2100 and
+    * every real event would be dropped as late data. FileStreamSource
+    * processes new files oldest-modTime-first (latestFirst=false), so
+    * the ordering is ENFORCED here by pinning the files' mtimes: the
+    * copied events file is set strictly earlier than the sentinel,
+    * rather than relying on write-order timing. The sentinel row
+    * (event_type='sentinel', negative ids) belongs to no finalized
+    * window by construction. Returns the stream with `ts` truncated
+    * ns→µs exactly like [[graft.Tables.events]].
     */
   private def stagedEventsSource(
       s: org.apache.spark.sql.SparkSession, dir: String)
@@ -48,7 +54,15 @@ object StreamOps {
       .coalesce(1).write.parquet(sentTmp.toString)
     val part = Files.list(sentTmp).filter(_.toString.endsWith(".parquet"))
       .findFirst().get()
-    Files.move(part, srcDir.resolve("zz_sentinel.parquet"))
+    val sentinelFile = srcDir.resolve("zz_sentinel.parquet")
+    Files.move(part, sentinelFile)
+    // Pin mtimes so FileStreamSource's oldest-first ordering is a
+    // property we set, not one we inherit from copy-vs-write timing:
+    // events strictly before sentinel (see doc above).
+    import java.nio.file.attribute.FileTime
+    Files.setLastModifiedTime(
+      srcDir.resolve("events.parquet"), FileTime.fromMillis(1000000000000L))
+    Files.setLastModifiedTime(sentinelFile, FileTime.fromMillis(1000000060000L))
     s.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir.toString)

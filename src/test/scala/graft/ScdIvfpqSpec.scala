@@ -68,13 +68,16 @@ class ScdIvfpqSpec extends AnyFunSuite {
     // the probe's nprobe cells (recomputed independently from raw
     // vectors against the same seed centroids).
     val cents = raw.filter(_._1 < 16)
-    // Same algebraic form and 6dp round as the operator's centMetrics
-    // (vn2 - 2*dot + cn2), so tie boundaries cannot disagree.
+    // Same algebraic form AND the operator's own 6dp rounding
+    // (CentAssign.round6 = Spark Round's HALF_UP on the shortest-
+    // decimal BigDecimal), so tie boundaries cannot disagree —
+    // math.rint is half-even and could flip a metric landing exactly
+    // on a .5e-6 boundary.
     def metric(v: Array[Float], ce: Array[Float]): Double = {
       def nsq(a: Array[Float]) =
         a.map(x => x.toDouble * x.toDouble).sum
       val dot = v.zip(ce).map { case (x, y) => x.toDouble * y.toDouble }.sum
-      math.rint((nsq(v) - 2.0 * dot + nsq(ce)) * 1e6) / 1e6
+      graft.functions.CentAssign.round6(nsq(v) - 2.0 * dot + nsq(ce))
     }
     def cellOf(v: Array[Float]): Long =
       cents.toSeq.map { case (cid, ce) => (metric(v, ce), cid) }.min._2
