@@ -33,7 +33,7 @@ object AnnOps {
   private val NumBands = NumPlanes / BandBits
   private val TopK = 10
   private val NumProbes = 5
-  private val NumCells = 16
+  private[graft] val NumCells = 16
   private val NProbe = 4
   private val KSeeds = 8
 
@@ -184,7 +184,7 @@ object AnnOps {
           (col("vn") * c.getField("cn")), 6)).as("m"),
       c.getField("cent_id").as("cent_id")))
 
-  private def d2Sql: String =
+  private[graft] def d2Sql: String =
     s"""round(${normSqSql("embedding")}
        |          - 2 * ${dotColSql("embedding", "ce")}
        |          + ${normSqSql("ce")}, 6)""".stripMargin

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.{Q, Tables}
-import graft.operators.{DedupOps, Scratch}
+import graft.operators.{AnnOps, DedupOps, Scratch}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -157,9 +157,10 @@ object StreamOps {
         "streaming path, where append mode only emits a window once " +
         "the watermark passes it. The staged source holds the events " +
         "file plus a far-future SENTINEL file; maxFilesPerTrigger=1 " +
-        "splits them into separate micro-batches, so whichever order " +
-        "they arrive, the sentinel drives the watermark past every " +
-        "real window and ALL of them flush to the sink (the " +
+        "splits them into separate micro-batches and pinned mtimes " +
+        "make the events file batch FIRST, so the sentinel's arrival " +
+        "then drives the watermark past every real window and ALL of " +
+        "them flush to the sink (the " +
         "sentinel's own window never finalizes and stays in state — " +
         "by construction it cannot reach the output). The fixed-point " +
         "value sum makes the result identical at any micro-batch " +
@@ -219,6 +220,54 @@ object StreamOps {
         .withColumn("session_seq", row_number().over(w).cast("long"))
         .select("user_id", "session_seq", "n_events", "first_event")
         .orderBy("user_id", "session_seq")
+    },
+
+    Q(
+      "q_stream_embed",
+      "streaming embedding ingestion run END-TO-END as a real " +
+        "streaming job (file source → EmbedStream.assigned cell " +
+        "routing → parquet sink, AvailableNow): vectors arriving on " +
+        "the stream are routed to their IVF coarse cell with the SAME " +
+        "fused cent_argmin_l2 expression and packed-centroid " +
+        "broadcast the batch index uses (q_ivf_layout's assignment), " +
+        "so a vector gets the same cell_id whether it arrived in " +
+        "batch or on the stream and the downstream cell-keyed index " +
+        "ingests both. cell_id is a pure per-row function of the " +
+        "vector and the static centroid table — arrival order and " +
+        "micro-batch splits cannot affect a byte, so the oracle IS " +
+        "the batch assignment SQL. Scale: zero streaming state, zero " +
+        "shuffles — per-row expression work against a stream-static " +
+        "broadcast of one packed centroid row; at 100 TB this is the " +
+        "online half of the IVF index, appending into the " +
+        "cell-partitioned layout q_ivf_layout writes",
+      Some(
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+           |cents AS (
+           |  SELECT vec_id AS cent_id, embedding AS ce FROM e
+           |  WHERE vec_id < ${AnnOps.NumCells}
+           |), assign AS (
+           |  SELECT vec_id, cent_id AS cell_id FROM (
+           |    SELECT e.vec_id, c.cent_id,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        ${AnnOps.d2Sql},
+           |        c.cent_id) AS rn
+           |    FROM e CROSS JOIN cents c) WHERE rn = 1
+           |)
+           |SELECT vec_id, cell_id FROM assign ORDER BY vec_id""".stripMargin),
+    ) { (s, dir) =>
+      val batch = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val cents = batch.filter(col("vec_id") < AnnOps.NumCells)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+      // Same single-file glob + pinned-ts staging as q_stream_ingest
+      // (embeddings carry no event time; a live deployment reads real
+      // arrival timestamps here).
+      val src = s.readStream.schema(batch.schema)
+        .option("basePath", dir)
+        .parquet(s"$dir/embeddings.parquet*")
+        .withColumn("ts", lit("2026-01-01 00:00:00").cast("timestamp"))
+      runToParquet(s, EmbedStream.assigned(src, cents))
+        .select("vec_id", "cell_id")
+        .orderBy("vec_id")
     },
   )
 }
