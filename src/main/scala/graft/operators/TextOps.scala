@@ -75,6 +75,109 @@ object TextOps {
     (1103515245L, 12345L), (1299709L, 7919L),
     (15485863L, 104729L), (32452843L, 130363L))
 
+  /** Unrolled merge rounds in q_bpe_train's oracle; [[trainBpe]]
+    * itself takes any count. */
+  private[graft] val BpeMerges = 8
+
+  /** BPE merge training (Sennrich et al. 2016, the `learn_bpe` loop):
+    * start from the character-split word vocabulary, then `numMerges`
+    * times count adjacent symbol pairs weighted by word frequency,
+    * pick the argmax (ties by (pa, pb)), and merge it everywhere.
+    *
+    * The vocabulary is carried as a double-space-joined, double-space-
+    * padded string (`"  h  e  y  "`), so applying a merge is ONE
+    * literal non-overlapping `replace(" a  b ", " ab ")`: the pattern
+    * consumes one space from each boundary and leaves one for the
+    * neighboring occurrence, which makes the left-to-right scan merge
+    * runs exactly like the sequential algorithm ("a a a a" -> "aa aa",
+    * "a a a" -> "aa a"). The oracle applies the SAME replace, so the
+    * engines cannot drift. Symbols never contain spaces (words are
+    * space-split), so the separator is safe.
+    *
+    * Scale: one corpus scan builds the word vocab; each round is a
+    * vocab-bounded pair agg plus a vocab-sized per-row replace,
+    * `localCheckpoint`ed per round (the trainKMeans loop shape); the
+    * driver collects exactly one argmax row per round. Stops early if
+    * no pair remains.
+    *
+    * @return (ordered merges (pa, pb, weighted count),
+    *          final vocab (syms array<string>, n))
+    */
+  def trainBpe(
+      s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame,
+      numMerges: Int)
+      : (Seq[(String, String, Long)], org.apache.spark.sql.DataFrame) = {
+    require(numMerges >= 0, "numMerges must be >= 0")
+    val sy = split(trim(col("s")), "  ")
+    val chars = transform(sequence(lit(1), length(col("w"))),
+      i => col("w").substr(i, lit(1)))
+    var vocab = docs
+      .select(explode(toks).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(
+        concat(lit("  "), array_join(chars, "  "), lit("  ")).as("s"),
+        col("n"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var dry = false
+    for (_ <- 1 to numMerges if !dry) {
+      val best = vocab
+        .select(col("n"), explode(when(size(sy) > lit(1),
+          transform(sequence(lit(1), size(sy) - 1),
+            j => struct(element_at(sy, j).as("pa"),
+              element_at(sy, j + 1).as("pb"))))
+          .otherwise(array().cast("array<struct<pa:string,pb:string>>")))
+          .as("p"))
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(sum(col("n")).as("n_pairs"))
+        .orderBy(col("n_pairs").desc, col("pa"), col("pb"))
+        .limit(1).collect()
+      if (best.isEmpty) dry = true
+      else {
+        val (pa, pb, np) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((pa, pb, np))
+        vocab = vocab.withColumn("s",
+          replace(col("s"), lit(s" $pa  $pb "), lit(s" $pa$pb ")))
+          .localCheckpoint()
+      }
+    }
+    (merges.toSeq, vocab.select(sy.as("syms"), col("n")))
+  }
+
+  /** DuckDB twin of [[trainBpe]] with `k` unrolled rounds, ending in
+    * the ordered merge table (step, pa, pb, n_pairs). */
+  private def bpeTrainSql(k: Int): String = {
+    val rounds = (1 to k).map { i =>
+      s"""p$i AS (
+         |  SELECT sy[j+1] AS pa, sy[j+2] AS pb, CAST(sum(n) AS BIGINT) AS n_pairs
+         |  FROM (SELECT string_split(trim(s), '  ') AS sy, n FROM v${i - 1}) t,
+         |       unnest(range(len(sy) - 1)) AS u(j)
+         |  GROUP BY pa, pb
+         |), b$i AS (
+         |  SELECT pa, pb, n_pairs FROM p$i ORDER BY n_pairs DESC, pa, pb LIMIT 1
+         |), v$i AS (
+         |  SELECT replace(s, ' ' || pa || '  ' || pb || ' ',
+         |                    ' ' || pa || pb || ' ') AS s, n
+         |  FROM v${i - 1} CROSS JOIN b$i
+         |)""".stripMargin
+    }.mkString(", ")
+    val steps = (1 to k)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS step, pa, pb, n_pairs FROM b$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH w0 AS (
+       |  SELECT w, count(*) AS n FROM (
+       |    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY w
+       |), v0 AS (
+       |  SELECT '  ' || array_to_string(list_transform(range(length(w)),
+       |    i -> substr(w, i + 1, 1)), '  ') || '  ' AS s, n FROM w0
+       |), $rounds
+       |SELECT * FROM ($steps) ORDER BY step""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       "q_text_stats",
@@ -845,6 +948,37 @@ object TextOps {
         .filter(col("rank") <= 20)
         .select("rank", "pair", "n_pairs")
         .orderBy("rank")
+    },
+
+    Q(
+      "q_bpe_train",
+      s"the full BPE merge-TRAINING loop (Sennrich et al.), $BpeMerges " +
+        "rounds: each round counts adjacent symbol pairs weighted by " +
+        "word frequency, merges the argmax pair (ties by pair) " +
+        "everywhere in the vocabulary, and repeats — q_bpe_pairs is " +
+        "round 1's statistic; this is the loop a tokenizer pipeline " +
+        "actually runs (the trainKMeans analogue). Both engines " +
+        "represent a word's symbol sequence as a DOUBLE-space-joined, " +
+        "double-space-padded string, so applying a merge is one " +
+        "literal non-overlapping replace(' a  b ' -> ' ab ') that " +
+        "consumes one space from each boundary — left-to-right runs " +
+        "merge exactly like the sequential algorithm ('a a a a' -> " +
+        "'aa aa') and the merge semantics are byte-identical across " +
+        "engines with no fold-lambda to drift. Scale: the corpus is " +
+        "read ONCE to build the word vocabulary; every round after " +
+        "that is a vocab-bounded pair agg + a vocab-sized per-row " +
+        "replace, checkpointed per round (lineage truncation, swap " +
+        "for reliable checkpoints at 100 TB); the argmax probe " +
+        "collects ONE row per round, never data rows. Output = the " +
+        "ordered merge table (step, pa, pb, n_pairs)",
+      Some(bpeTrainSql(BpeMerges)),
+    ) { (s, dir) =>
+      val merges = trainBpe(s, Tables.documents(s, dir), BpeMerges)._1
+      import s.implicits._
+      merges.zipWithIndex
+        .map { case ((pa, pb, np), i) => (i + 1L, pa, pb, np) }
+        .toDF("step", "pa", "pb", "n_pairs")
+        .orderBy("step")
     },
 
     Q(
