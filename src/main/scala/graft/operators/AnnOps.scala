@@ -1030,6 +1030,149 @@ object AnnOps {
           col("adist"), col("rank"))
         .orderBy("probe_id", "rank")
     },
+
+    Q(
+      "q_ivfpq_residual",
+      "IVF-PQ with by_residual=true — the production refinement " +
+        "q_ivfpq_search's own doc names: codebooks are trained on and " +
+        "codes encode the RESIDUAL (vector minus its cell centroid), " +
+        "which is far lower-variance than raw vectors, so the same " +
+        s"$PqK-entry codebooks quantize finer and recall rises " +
+        "(IvfpqResidualSpec asserts recall@10 >= the raw variant on " +
+        "identical cells/probes/codebook budget). The query side pays " +
+        s"one distance table per PROBED CELL (the query residual is " +
+        "cell-dependent) — nprobe× the raw dt, still query-bounded " +
+        "and broadcast. Residuals are computed as exact double " +
+        "differences rounded to float in BOTH engines, so the float " +
+        "code path stays bit-identical. Plan shape is q_ivfpq_search's " +
+        "exactly: ONE checkpointed corpus pass assigns the cell, " +
+        "fetches its centroid from a 16-row broadcast, and explodes " +
+        "residual subvectors born cell-keyed; everything downstream " +
+        "joins broadcasts only (plan-pinned alongside the raw variant)",
+      Some {
+        val resSubSql =
+          s"""list_transform(range($PqSubDim), i ->
+             |      CAST(CAST(CAST(e.embedding[sp*$PqSubDim + i + 1] AS DOUBLE)
+             |        - CAST(cc.ce[sp*$PqSubDim + i + 1] AS DOUBLE) AS FLOAT)
+             |        AS DOUBLE))""".stripMargin
+        s"""WITH cc AS (
+           |  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+           |  WHERE vec_id < $NumCells
+           |), cells AS (
+           |  SELECT vec_id, cent_id AS cell_id FROM (
+           |    SELECT e.vec_id, c.cent_id,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        $d2Sql,
+           |        c.cent_id) AS rn
+           |    FROM embeddings e CROSS JOIN cc c) WHERE rn = 1
+           |), sv AS (
+           |  SELECT e.vec_id, sp,
+           |    $resSubSql AS sv
+           |  FROM embeddings e
+           |  JOIN cells cl ON cl.vec_id = e.vec_id
+           |  JOIN cc ON cc.cent_id = cl.cell_id,
+           |       unnest(range($PqM)) AS u(sp)
+           |), ${pqChainBodySql(NumCells)}, pc AS (
+           |  SELECT vec_id AS probe_id, cent_id AS cell_id FROM (
+           |    SELECT e.vec_id, c.cent_id,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        $d2Sql,
+           |        c.cent_id) AS rn
+           |    FROM embeddings e CROSS JOIN cc c
+           |    WHERE e.vec_id < $PqProbes) WHERE rn <= $NProbe
+           |), qsv AS (
+           |  SELECT pc.probe_id, pc.cell_id, sp,
+           |    $resSubSql AS sv
+           |  FROM embeddings e
+           |  JOIN pc ON pc.probe_id = e.vec_id
+           |  JOIN cc ON cc.cent_id = pc.cell_id,
+           |       unnest(range($PqM)) AS u(sp)
+           |), dt AS (
+           |  SELECT q.probe_id, q.cell_id, q.sp, c.cent_id,
+           |    ${pqD2Sql("q.sv", "c.ce")} AS dt
+           |  FROM qsv q JOIN c1 c ON c.sp = q.sp
+           |), scored AS (
+           |  SELECT dt.probe_id, a.vec_id AS neighbor_id,
+           |    ${graft.functions.Portable.exactSumSql("dt", 6)} AS adist
+           |  FROM a2 a
+           |  JOIN cells cl ON cl.vec_id = a.vec_id
+           |  JOIN dt ON dt.cell_id = cl.cell_id AND dt.sp = a.sp
+           |   AND dt.cent_id = a.cent_id
+           |  WHERE a.vec_id <> dt.probe_id
+           |  GROUP BY dt.probe_id, a.vec_id
+           |), ranked AS (
+           |  SELECT probe_id, neighbor_id, adist,
+           |    row_number() OVER (PARTITION BY probe_id
+           |      ORDER BY adist, neighbor_id) AS rank
+           |  FROM scored)
+           |SELECT probe_id, neighbor_id, adist, rank
+           |FROM ranked WHERE rank <= $PqTopK
+           |ORDER BY probe_id, rank""".stripMargin
+      },
+    ) { (s, dir) =>
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val cents = e.filter(col("vec_id") < NumCells)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+      val packed = broadcast(packCents(cents))
+      val centsByCell =
+        broadcast(cents.select(col("cent_id").as("cell_id"), col("ce")))
+      val probeCells = e.filter(col("vec_id") < PqProbes)
+        .withColumn("vn2", normSq(col("embedding")))
+        .crossJoin(packed)
+        .withColumn("cell", explode(slice(array_sort(centMetrics), 1, NProbe)))
+        .select(col("vec_id").as("probe_id"), col("cell.cent_id").as("cell_id"))
+      // Residual subvectors: exact double difference rounded to float
+      // (identical to IEEE float subtraction; spelled out so the
+      // oracle's arithmetic is literally the same expression).
+      val resSlices = expr(s"transform(sequence(0, ${PqM - 1}), j -> " +
+        s"zip_with(slice(embedding, j*$PqSubDim+1, $PqSubDim), " +
+        s"slice(ce, j*$PqSubDim+1, $PqSubDim), " +
+        "(x, y) -> CAST(CAST(x AS DOUBLE) - CAST(y AS DOUBLE) AS FLOAT)))")
+      // ONE corpus pass: broadcast-argmin cell, centroid fetch from
+      // the 16-row broadcast, residual subvectors born cell-keyed.
+      val sv = e.crossJoin(packed)
+        .withColumn("cell_id",
+          graft.functions.CentAssign.argminL2(s, "embedding", "cs"))
+        .join(centsByCell, Seq("cell_id"))
+        .select(col("vec_id"), col("cell_id"),
+          posexplode(resSlices).as(Seq("sp", "sv")))
+        .localCheckpoint()
+      // Codebook seeds start PAST the centroid vectors — their own
+      // residuals are all-zero and would collapse the codebooks.
+      val books = pqCodebooks(s, sv, NumCells).localCheckpoint()
+      val mets = transform(col("cs"), c => struct(
+        round(col("vn2") - lit(2.0) * dotCol(col("sv"), c.getField("ce"))
+          + c.getField("cn2"), 6).as("m"),
+        c.getField("cent_id").as("cent_id")))
+      val codes = sv.withColumn("vn2", normSq(col("sv")))
+        .join(broadcast(packSubCents(books)), Seq("sp"))
+        .withColumn("best", array_min(mets))
+        .select(col("vec_id"), col("cell_id"), col("sp"),
+          col("best.cent_id").as("cent_id"))
+      // Per-(probe, probed-cell) query residuals → nprobe distance
+      // tables per probe, all broadcast-sized.
+      val qsv = e.filter(col("vec_id") < PqProbes)
+        .select(col("vec_id").as("probe_id"), col("embedding"))
+        .join(broadcast(probeCells), Seq("probe_id"))
+        .join(centsByCell, Seq("cell_id"))
+        .select(col("probe_id"), col("cell_id"),
+          posexplode(resSlices).as(Seq("sp", "sv")))
+      val dt = qsv.join(broadcast(books), Seq("sp"))
+        .select(col("probe_id"), col("cell_id"), col("sp"), col("cent_id"),
+          round(normSq(col("sv")) - lit(2.0) * dotCol(col("sv"), col("ce"))
+            + normSq(col("ce")), 6).as("dt"))
+      val w = Window.partitionBy("probe_id").orderBy(col("adist"), col("vec_id"))
+      codes.join(broadcast(probeCells), Seq("cell_id"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .join(broadcast(dt), Seq("probe_id", "cell_id", "sp", "cent_id"))
+        .groupBy("probe_id", "vec_id")
+        .agg(graft.functions.Portable.exactSum(col("dt"), 6).as("adist"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= PqTopK)
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          col("adist"), col("rank"))
+        .orderBy("probe_id", "rank")
+    },
   )
 
   private def pqDot16Sql(a: String, b: String): String =
@@ -1048,8 +1191,20 @@ object AnnOps {
        |    list_transform(embedding[sp*$PqSubDim+1 : sp*$PqSubDim+$PqSubDim],
        |      x -> CAST(x AS DOUBLE)) AS sv
        |  FROM (SELECT vec_id, unnest(range($PqM)) AS sp, embedding FROM embeddings)
-       |), c0 AS (
-       |  SELECT sp, vec_id AS cent_id, sv AS ce FROM sv WHERE vec_id < $PqK
+       |), """.stripMargin + pqChainBodySql()
+
+  /** The codebook-training tail of [[pqChainSql]] (c0 → a2), agnostic
+    * to how the preceding `sv` CTE built its subvectors — the raw
+    * chain slices embeddings; the residual variant (q_ivfpq_residual)
+    * subtracts the cell centroid first and shifts the seed window
+    * past the centroid vectors (whose residuals are all-zero).
+    * Must follow a CTE named `sv` with (vec_id, sp, sv: DOUBLE[]).
+    * Seeds keep vec_id as cent_id, so codes are comparable across
+    * engines regardless of the window. */
+  private def pqChainBodySql(seedLo: Int = 0): String =
+    s"""c0 AS (
+       |  SELECT sp, vec_id AS cent_id, sv AS ce FROM sv
+       |  WHERE vec_id >= $seedLo AND vec_id < ${seedLo + PqK}
        |), a1 AS (
        |  SELECT vec_id, sp, sv, cent_id FROM (
        |    SELECT v.vec_id, v.sp, v.sv, c.cent_id,
@@ -1095,9 +1250,14 @@ object AnnOps {
     * codebooks (sp, cent_id, ce). Fused argmin assignment (6dp metric,
     * cent_id tiebreak — identical to the composed form in [[pqEncode]]
     * by CentAssignSpec's equivalence), per-(sp,cent,pos) 6dp mean. */
-  private def pqCodebooks(s: SparkSession, sv: org.apache.spark.sql.DataFrame)
+  private def pqCodebooks(s: SparkSession, sv: org.apache.spark.sql.DataFrame,
+      seedLo: Int = 0)
       : org.apache.spark.sql.DataFrame = {
-    val c0 = sv.filter(col("vec_id") < PqK)
+    // seedLo shifts the deterministic seed window: the residual
+    // variant must NOT seed from vec_id < NumCells — those vectors
+    // ARE the cell centroids, so their residuals are all-zero and
+    // the codebooks would collapse to one effective codeword.
+    val c0 = sv.filter(col("vec_id") >= seedLo && col("vec_id") < seedLo + PqK)
       .select(col("sp"), col("vec_id").as("cent_id"),
         transform(col("sv"), _.cast("double")).as("ce"))
     sv.join(broadcast(packSubCents(c0)), Seq("sp"))

@@ -183,14 +183,17 @@ class PlanBudgetSpec extends AnyFunSuite {
   }
 
   test("q_ivfpq_search codes are born cell-keyed — no corpus-sized codes⋈cells join") {
-    val p = plan("q_ivfpq_search")
-    // The cell-assigned subvector pass is checkpointed (its argmin
+    // Same contract for the raw and by_residual variants: the
+    // cell-assigned subvector pass is checkpointed (its argmin
     // lineage is severed from this plan); everything downstream joins
     // against broadcasts only — a sort-merge join would mean the
     // corpus-sized codes⋈cells join came back.
-    assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
-    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
-    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, s"plan:\n$p")
+    for (q <- Seq("q_ivfpq_search", "q_ivfpq_residual")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"), s"$q plan:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q plan:\n$p")
+      assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, s"$q plan:\n$p")
+    }
   }
 
   test("q_bpe_pairs aggregates over the vocab — two hash exchanges, no corpus-sized join") {
