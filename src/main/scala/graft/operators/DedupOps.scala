@@ -107,14 +107,22 @@ object DedupOps {
     }.mkString(" + ")
 
   /** MinHash-LSH candidate pairs (doc_a < doc_b, est_jaccard) — the
-    * shared core of q_dedup_near (which reports them) and
-    * q_dedup_cluster (which clusters them). One shuffle keyed by
-    * (band_id, band_key); only same-signature docs ever meet.
+    * shared core of q_dedup_near (which reports them), q_dedup_cluster
+    * (which clusters them), and q_corpus_pipeline's near-dedup stage
+    * (which runs over already-filtered survivors). One shuffle keyed
+    * by (band_id, band_key); only same-signature docs ever meet.
     */
   private def minhashPairs(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    minhashPairsOf(s, Tables.documents(s, dir))
+
+  /** [[minhashPairs]] over an arbitrary (doc_id, text) frame. */
+  private[graft] def minhashPairsOf(
+      s: org.apache.spark.sql.SparkSession,
+      source: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val toks = split(lower(col("text")), " ", -1)
-    val docs = Tables.documents(s, dir)
+    val docs = source
       .select(col("doc_id"), toks.as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), shingleCol(col("t")).as("shingles"))
@@ -148,14 +156,19 @@ object DedupOps {
   /** DuckDB twin of [[minhashPairs]], as a reusable CTE chain ending
     * in a `pairs(doc_a, doc_b, est_jaccard)` relation.
     */
-  private def minhashPairsSqlCte: String = {
+  private def minhashPairsSqlCte: String = minhashPairsSqlCteFrom("documents")
+
+  /** [[minhashPairsSqlCte]] reading (doc_id, text) from `from` — a
+    * table or an earlier CTE (q_corpus_pipeline feeds its exact-dedup
+    * survivors). */
+  private[graft] def minhashPairsSqlCteFrom(from: String): String = {
     val mhEntries = AB.map { case (a, b) =>
       s"list_min(list_transform(hs, x -> ($a * x + $b) % $P))"
     }.mkString("[", ", ", "]")
     val bandKey = (1 to BandSize).map(i => s"mh[4*j+$i]").mkString("concat_ws(',', ", ", ", ")")
     s"""docs AS (
        |  SELECT doc_id, $shingleSql AS shingles
-       |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+       |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM $from)
        |  WHERE len(t) >= 3
        |), bases AS (
        |  SELECT doc_id, list_transform(shingles, s -> $baseHashSql) AS hs FROM docs
@@ -173,6 +186,66 @@ object DedupOps {
        |   AND l.doc_id < r.doc_id
        |)""".stripMargin
   }
+
+  /** Connected components over near-dup candidate pairs via min-label
+    * propagation to fixpoint — the clustering core of q_dedup_cluster
+    * and q_corpus_pipeline's canonicalization stage. Each round is ONE
+    * shuffle keyed by doc_id; rounds are bounded by component
+    * diameter, tiny for near-dup clusters. The driver-side loop checks
+    * convergence counts only (no data rows); lineage is truncated per
+    * round (localCheckpoint; at 100 TB, checkpoint to storage).
+    * Returns (doc_id, label) for every doc that appears in a pair;
+    * label = min doc_id of its component (the canonical survivor).
+    * Throws if not converged in 50 rounds — unconverged labels are
+    * WRONG labels (fractured clusters), and silently diverging from
+    * the oracle's fixpoint is worse than failing.
+    */
+  private[graft] def ccMinLabels(pairs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint() // computed once; reused every round
+    var labels = edges.select(col("src").as("doc_id"))
+      .distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint()
+    var converged = false
+    var rounds = 0
+    val maxRounds = 50
+    while (!converged && rounds < maxRounds) {
+      val prop = labels.join(edges, labels("doc_id") === edges("src"))
+        .select(col("dst").as("doc_id"), col("label"))
+      val next = labels.unionAll(prop)
+        .groupBy("doc_id").agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(labels.as("o"), "doc_id")
+        .filter(col("n.label") =!= col("o.label"))
+        .isEmpty
+      labels = next
+      rounds += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"ccMinLabels: label propagation not converged after $maxRounds rounds")
+    labels
+  }
+
+  /** DuckDB twin of [[ccMinLabels]]: recursive CTE chain (edges → cc →
+    * final(doc_id, label)) expecting a prior `pairs` CTE; splice under
+    * a WITH RECURSIVE. */
+  private[graft] def ccSqlCte: String =
+    """edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE est_jaccard >= 0.5
+      |  UNION ALL
+      |  SELECT doc_b, doc_a FROM pairs WHERE est_jaccard >= 0.5
+      |), cc AS (
+      |  SELECT DISTINCT src AS doc_id, src AS label FROM edges
+      |  UNION
+      |  SELECT e.dst AS doc_id, cc.label
+      |  FROM cc JOIN edges e ON e.src = cc.doc_id
+      |), final AS (
+      |  SELECT doc_id, min(label) AS label FROM cc GROUP BY doc_id
+      |)""".stripMargin
 
   /** Truncated-suffix-array duplicated-span islands, shared by
     * q_substr_sa (measures them) and q_substr_strip (removes them):
@@ -367,54 +440,14 @@ object DedupOps {
         "Oracle = DuckDB recursive CTE reaching the same fixpoint",
       Some(
         s"""WITH RECURSIVE $minhashPairsSqlCte,
-           |edges AS (
-           |  SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE est_jaccard >= 0.5
-           |  UNION ALL
-           |  SELECT doc_b, doc_a FROM pairs WHERE est_jaccard >= 0.5
-           |), cc AS (
-           |  SELECT DISTINCT src AS doc_id, src AS label FROM edges
-           |  UNION
-           |  SELECT e.dst AS doc_id, cc.label
-           |  FROM cc JOIN edges e ON e.src = cc.doc_id
-           |), final AS (
-           |  SELECT doc_id, min(label) AS label FROM cc GROUP BY doc_id
-           |)
+           |$ccSqlCte
            |SELECT label AS cluster_id, count(*) AS n_docs,
            |  CAST(max(doc_id) AS BIGINT) AS max_doc_id
            |FROM final GROUP BY label
            |ORDER BY cluster_id""".stripMargin),
     ) { (s, dir) =>
       val pairs = minhashPairs(s, dir).filter(col("est_jaccard") >= 0.5)
-      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .localCheckpoint() // computed once; reused every round
-      var labels = edges.select(col("src").as("doc_id"))
-        .distinct()
-        .withColumn("label", col("doc_id"))
-        .localCheckpoint()
-      var converged = false
-      var rounds = 0
-      val maxRounds = 50
-      while (!converged && rounds < maxRounds) {
-        val prop = labels.join(edges, labels("doc_id") === edges("src"))
-          .select(col("dst").as("doc_id"), col("label"))
-        val next = labels.unionAll(prop)
-          .groupBy("doc_id").agg(min(col("label")).as("label"))
-          .localCheckpoint()
-        converged = next.as("n")
-          .join(labels.as("o"), "doc_id")
-          .filter(col("n.label") =!= col("o.label"))
-          .isEmpty
-        labels = next
-        rounds += 1
-      }
-      // Unconverged labels are WRONG labels (fractured clusters), and
-      // silently diverging from the oracle's fixpoint is worse than
-      // failing: a >maxRounds propagation distance means the edge set
-      // isn't near-dup-shaped at all.
-      if (!converged) throw new IllegalStateException(
-        s"q_dedup_cluster: label propagation not converged after $maxRounds rounds")
-      labels
+      ccMinLabels(pairs)
         .groupBy(col("label").as("cluster_id"))
         .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc_id"))
         .orderBy("cluster_id")

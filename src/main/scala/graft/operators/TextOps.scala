@@ -384,47 +384,97 @@ object TextOps {
 
     Q(
       "q_corpus_pipeline",
-      "end-to-end curation funnel — quality filter → exact dedup " +
-        "(windowed keep-first, the deterministic dropDuplicates) → " +
-        "content-hash split → per-(split, lang) summary. One " +
-        "content-hash-keyed shuffle for the dedup, one tiny keyed agg; " +
-        "filter and split are per-row work on the scan. This is the " +
-        "composition story: every stage is an operator the engine " +
-        "exposes standalone",
-      Some(
-        s"""WITH kept AS (
-           |  SELECT lang, n_chars, text FROM (
+      "THE end-to-end curation funnel a pretraining team runs — " +
+        "quality filter → exact dedup (windowed keep-first) → NEAR " +
+        "dedup (MinHash bands over the exact-dedup survivors → " +
+        "candidate pairs ≥ 0.5 est-Jaccard → connected-component " +
+        "min-label canonicalization, so each near-dup cluster keeps " +
+        "exactly its lowest-id member) → content-hash split. The " +
+        "output IS the funnel: one row per stage with surviving doc " +
+        "and char counts (stages 0-3), then the per-(split, lang) " +
+        "distribution of the final corpus (stage 4). Every stage is " +
+        "an operator the engine exposes standalone (q_text_quality, " +
+        "q_dedup_exact, q_dedup_near + q_dedup_cluster, q_splits). " +
+        "Scale: filter and split are per-row scan work; exact dedup " +
+        "is one content-hash-keyed shuffle; near-dedup candidates " +
+        "come from band equi-joins (never all-pairs) over the " +
+        "ALREADY-SHRUNK survivor set, and the component fixpoint is " +
+        "diameter-bounded doc-keyed shuffles (checkpoint-per-round)",
+      Some {
+        val funnelRow = (stage: String, src: String) =>
+          s"""SELECT '$stage' AS stage, '' AS split, '' AS lang,
+             |    count(*) AS n_docs,
+             |    CAST(coalesce(sum(n_chars), CAST(0 AS BIGINT)) AS BIGINT)
+             |      AS sum_chars
+             |  FROM $src""".stripMargin
+        s"""WITH RECURSIVE q AS (
+           |  SELECT doc_id, lang, n_chars, text FROM documents
+           |  WHERE length(text) >= 50
+           |    AND len(string_split(lower(text), ' ')) >= 5
+           |), ex AS (
+           |  SELECT doc_id, lang, n_chars, text FROM (
            |    SELECT doc_id, lang, n_chars, text,
            |      row_number() OVER (PARTITION BY sha256(text)
            |        ORDER BY doc_id) AS rn
-           |    FROM documents
-           |    WHERE length(text) >= 50
-           |      AND len(string_split(lower(text), ' ')) >= 5)
-           |  WHERE rn = 1)
-           |SELECT split, lang, count(*) AS n_docs,
-           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
-           |FROM (
+           |    FROM q) WHERE rn = 1
+           |), ${DedupOps.minhashPairsSqlCteFrom("ex")},
+           |${DedupOps.ccSqlCte},
+           |nd AS (
+           |  SELECT ex.doc_id, ex.lang, ex.n_chars, ex.text
+           |  FROM ex LEFT JOIN final f ON ex.doc_id = f.doc_id
+           |  WHERE f.doc_id IS NULL OR f.label = ex.doc_id
+           |), splits AS (
            |  SELECT lang, n_chars,
            |    CASE WHEN ${Portable.md5Hash60Sql("text")} % 100 < 80 THEN 'train'
            |         WHEN ${Portable.md5Hash60Sql("text")} % 100 < 90 THEN 'val'
            |         ELSE 'test' END AS split
-           |  FROM kept)
-           |GROUP BY split, lang ORDER BY split, lang""".stripMargin),
+           |  FROM nd)
+           |${funnelRow("0_raw", "documents")}
+           |UNION ALL ${funnelRow("1_quality", "q")}
+           |UNION ALL ${funnelRow("2_exact_dedup", "ex")}
+           |UNION ALL ${funnelRow("3_near_dedup", "nd")}
+           |UNION ALL
+           |SELECT '4_split' AS stage, split, lang, count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+           |FROM splits GROUP BY split, lang
+           |ORDER BY stage, split, lang""".stripMargin
+      },
     ) { (s, dir) =>
-      val w = Window
-        .partitionBy(sha2(col("text"), 256)).orderBy("doc_id")
-      val kept = Tables.documents(s, dir)
-        .filter(length(col("text")) >= 50 && size(toks) >= 5)
-        .withColumn("rn", row_number().over(w))
+      val docs = Tables.documents(s, dir)
+      val q = docs.filter(length(col("text")) >= 50 && size(toks) >= 5)
+      val wEx = Window.partitionBy(sha2(col("text"), 256)).orderBy("doc_id")
+      // Exact-dedup survivors feed three consumers (near-dup pairs,
+      // survivor filter, funnel count) — materialize once.
+      val ex = q.withColumn("rn", row_number().over(wEx))
         .filter(col("rn") === 1)
+        .select("doc_id", "lang", "n_chars", "text")
+        .localCheckpoint()
+      val pairs = DedupOps.minhashPairsOf(s, ex)
+        .filter(col("est_jaccard") >= 0.5)
+      val labels = DedupOps.ccMinLabels(pairs)
+      val nd = ex.join(labels, Seq("doc_id"), "left")
+        .filter(col("label").isNull || col("label") === col("doc_id"))
+        .select("doc_id", "lang", "n_chars", "text")
+        .localCheckpoint()
       val bucket = pmod(Portable.md5Hash60(col("text")), lit(100))
-      kept
-        .select(col("lang"), col("n_chars"),
-          when(bucket < 80, "train").when(bucket < 90, "val")
-            .otherwise("test").as("split"))
-        .groupBy("split", "lang")
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
-        .orderBy("split", "lang")
+      val splits = nd.select(col("lang"), col("n_chars"),
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test").as("split"))
+      def funnelRow(stage: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"))
+          .select(lit(stage).as("stage"), lit("").as("split"),
+            lit("").as("lang"), col("n_docs"), col("sum_chars"))
+      funnelRow("0_raw", docs)
+        .unionAll(funnelRow("1_quality", q))
+        .unionAll(funnelRow("2_exact_dedup", ex))
+        .unionAll(funnelRow("3_near_dedup", nd))
+        .unionAll(splits
+          .groupBy("split", "lang")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+          .select(lit("4_split").as("stage"), col("split"), col("lang"),
+            col("n_docs"), col("sum_chars")))
+        .orderBy("stage", "split", "lang")
     },
 
     Q(
