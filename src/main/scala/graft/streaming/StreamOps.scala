@@ -223,6 +223,38 @@ object StreamOps {
     },
 
     Q(
+      "q_stream_attrib",
+      "stream-stream attribution join run END-TO-END as a real " +
+        "streaming job: purchases matched to the same user's clicks " +
+        "in the preceding hour (EventStream.attributed — both sides " +
+        "watermarked, join condition bounds event-time distance). " +
+        "This row is driver-checkable WITHOUT the sentinel-flush " +
+        "trick because the join is INNER: append mode emits a joined " +
+        "pair the moment both rows have arrived — only OUTER joins " +
+        "wait for the watermark — so the emitted set is exactly the " +
+        "batch interval join at ANY micro-batch split and the oracle " +
+        "is that join's SQL verbatim. At 100 TB click state is " +
+        "expired past (watermark − 1h): state follows the join " +
+        "window, never the stream's history",
+      Some(
+        """SELECT p.user_id, p.event_id AS purchase_id,
+          |  c.event_id AS click_id,
+          |  CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+          |  CAST(c.ts AS TIMESTAMP) AS click_ts, p.value
+          |FROM events p JOIN events c
+          |  ON c.user_id = p.user_id
+          | AND p.event_type = 'purchase' AND c.event_type = 'click'
+          | AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+          | AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+          |ORDER BY purchase_id, click_id""".stripMargin),
+    ) { (s, dir) =>
+      runToParquet(s, EventStream.attributed(stagedEventsSource(s, dir)))
+        .select("user_id", "purchase_id", "click_id",
+          "purchase_ts", "click_ts", "value")
+        .orderBy("purchase_id", "click_id")
+    },
+
+    Q(
       "q_stream_embed",
       "streaming embedding ingestion run END-TO-END as a real " +
         "streaming job (file source → EmbedStream.assigned cell " +
