@@ -9,7 +9,10 @@ import java.sql.Timestamp
   * generated encoder code can reference it). */
 case class SessEvent(ts: Timestamp, user_id: Long, value: Double, event_id: Long)
 
-/** Per-user open-session state: all times epoch-millis. */
+/** Per-user open-session state: all times epoch-MICROS — event
+  * timestamps carry sub-millisecond components, and comparing gaps at
+  * millisecond precision could split/merge a session differently from
+  * a µs-exact batch twin on a boundary-straddling pair. */
 case class SessState(start: Long, last: Long, n: Long, sumValue: Double, firstEvent: Long)
 
 /** A closed session as emitted downstream. */
@@ -88,7 +91,19 @@ object EventStream {
         col("click_id"), col("purchase_ts"), col("click_ts"), col("value"))
   }
 
-  private val GapMs: Long = 30L * 60 * 1000
+  private val GapUs: Long = 30L * 60 * 1000 * 1000
+
+  /** java.sql.Timestamp ↔ epoch-micros, preserving the µs component
+    * (Timestamp.getTime alone truncates to millis; the fractional
+    * second lives in getNanos). */
+  private def tsToUs(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def usToTs(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
 
   /** Custom-state sessionizer via flatMapGroupsWithState — the same
     * 30-minute-gap sessions as [[sessions]], but with hand-rolled
@@ -112,7 +127,7 @@ object EventStream {
   }
 
   private def toOut(user: Long, s: SessState): SessionOut =
-    SessionOut(user, new Timestamp(s.start), new Timestamp(s.last),
+    SessionOut(user, usToTs(s.start), usToTs(s.last),
       s.n, s.sumValue, s.firstEvent)
 
   private def sessionFn(user: Long, evs: Iterator[SessEvent],
@@ -122,15 +137,15 @@ object EventStream {
       state.remove()
       out
     } else {
-      // Within-batch order is arbitrary; sort by event time (id as a
-      // deterministic tiebreak) before folding into sessions.
-      val sorted = evs.toIndexedSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      // Within-batch order is arbitrary; sort by µs event time (id as
+      // a deterministic tiebreak) before folding into sessions.
+      val sorted = evs.toIndexedSeq.sortBy(e => (tsToUs(e.ts), e.event_id))
       val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
       var cur = state.getOption
       for (e <- sorted) {
-        val t = e.ts.getTime
+        val t = tsToUs(e.ts)
         cur match {
-          case Some(s) if t - s.last <= GapMs =>
+          case Some(s) if t - s.last <= GapUs =>
             cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1,
               sumValue = s.sumValue + e.value))
           case Some(s) =>
@@ -144,9 +159,12 @@ object EventStream {
         state.update(s)
         // The timeout timestamp must sit strictly past the current
         // watermark or Spark rejects it (a session whose gap already
-        // elapsed just times out on the next batch).
+        // elapsed just times out on the next batch). The timeout API
+        // is millisecond-based: round the µs close time UP so the
+        // timeout never fires before the gap truly elapsed.
         state.setTimeoutTimestamp(
-          math.max(s.last + GapMs, state.getCurrentWatermarkMs() + 1))
+          math.max(Math.floorDiv(s.last + GapUs + 999L, 1000L),
+            state.getCurrentWatermarkMs() + 1))
       }
       closed.iterator
     }

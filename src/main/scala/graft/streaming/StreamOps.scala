@@ -223,6 +223,52 @@ object StreamOps {
     },
 
     Q(
+      "q_stream_sessions_state",
+      "CUSTOM-STATE sessionization run END-TO-END as a real streaming " +
+        "job: EventStream.sessionizedState (flatMapGroupsWithState + " +
+        "event-time timeout — the hand-rolled-state shape session " +
+        "semantics outgrow session_window into) over the staged " +
+        "source. A session is emitted either when a later event " +
+        "closes it by gap (that batch) or when the sentinel-advanced " +
+        "watermark fires its timeout in the trailing no-data batch, " +
+        "so every real session reaches the sink exactly once. State " +
+        "times are epoch-MICROS so gap comparisons are exact against " +
+        "the µs-precision batch twin (the gap rule here is strictly-" +
+        "greater-than, vs session_window's >=, hence its own oracle). " +
+        "Emitted columns are pure functions of the session's event " +
+        "set; the per-user ordinal is a batch window over the bounded " +
+        "sink result. At 100 TB state is one record per ACTIVE user, " +
+        "always freed by timeout",
+      Some(
+        """WITH ev AS (
+          |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+          |), flagged AS (
+          |  SELECT user_id, event_id, ts,
+          |    CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+          |           OR lag(ts) OVER w IS NULL
+          |         THEN 1 ELSE 0 END AS new_session
+          |  FROM ev
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+          |), sessions AS (
+          |  SELECT user_id, event_id, ts,
+          |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+          |  FROM flagged)
+          |SELECT user_id, session_seq, count(*) AS n_events,
+          |  first(event_id ORDER BY ts, event_id) AS first_event
+          |FROM sessions GROUP BY user_id, session_seq
+          |ORDER BY user_id, session_seq""".stripMargin),
+    ) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("session_start")
+      runToParquet(s, EventStream.sessionizedState(stagedEventsSource(s, dir)))
+        .filter(col("user_id") >= 0) // the sentinel user never times out
+        .withColumn("session_seq", row_number().over(w).cast("long"))
+        .select("user_id", "session_seq", "n_events", "first_event")
+        .orderBy("user_id", "session_seq")
+    },
+
+    Q(
       "q_stream_attrib",
       "stream-stream attribution join run END-TO-END as a real " +
         "streaming job: purchases matched to the same user's clicks " +
