@@ -79,6 +79,11 @@ object TextOps {
     * itself takes any count. */
   private[graft] val BpeMerges = 8
 
+  /** Winnowing shape (q_winnow): char-K-gram hashes, window of W
+    * gram positions. Guarantee threshold = W + K - 1 shared chars. */
+  private[graft] val WinnowK = 5
+  private[graft] val WinnowW = 8
+
   /** BPE merge training (Sennrich et al. 2016, the `learn_bpe` loop):
     * start from the character-split word vocabulary, then `numMerges`
     * times count adjacent symbol pairs weighted by word frequency,
@@ -101,7 +106,8 @@ object TextOps {
     * no pair remains.
     *
     * @return (ordered merges (pa, pb, weighted count),
-    *          final vocab (syms array<string>, n))
+    *          final vocab (w, syms array<string>, n) — the ENCODED
+    *          vocabulary, i.e. each word's subword segmentation)
     */
   def trainBpe(
       s: org.apache.spark.sql.SparkSession,
@@ -116,7 +122,7 @@ object TextOps {
       .select(explode(toks).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("n"))
-      .select(
+      .select(col("w"),
         concat(lit("  "), array_join(chars, "  "), lit("  ")).as("s"),
         col("n"))
       .localCheckpoint()
@@ -144,12 +150,15 @@ object TextOps {
           .localCheckpoint()
       }
     }
-    (merges.toSeq, vocab.select(sy.as("syms"), col("n")))
+    (merges.toSeq, vocab.select(col("w"), sy.as("syms"), col("n")))
   }
 
-  /** DuckDB twin of [[trainBpe]] with `k` unrolled rounds, ending in
-    * the ordered merge table (step, pa, pb, n_pairs). */
-  private def bpeTrainSql(k: Int): String = {
+  /** DuckDB CTE chain for `k` unrolled BPE rounds: w0 (word vocab) →
+    * v0 (char-split padded strings, word riding along) → per round
+    * p_i (pair counts) / b_i (argmax) / v_i (merged vocab). Shared by
+    * q_bpe_train (reads the b_i merge table) and q_bpe_encode (reads
+    * v_k, the encoded vocabulary). */
+  private def bpeRoundsSqlCte(k: Int): String = {
     val rounds = (1 to k).map { i =>
       s"""p$i AS (
          |  SELECT sy[j+1] AS pa, sy[j+2] AS pb, CAST(sum(n) AS BIGINT) AS n_pairs
@@ -159,22 +168,28 @@ object TextOps {
          |), b$i AS (
          |  SELECT pa, pb, n_pairs FROM p$i ORDER BY n_pairs DESC, pa, pb LIMIT 1
          |), v$i AS (
-         |  SELECT replace(s, ' ' || pa || '  ' || pb || ' ',
-         |                    ' ' || pa || pb || ' ') AS s, n
+         |  SELECT w, replace(s, ' ' || pa || '  ' || pb || ' ',
+         |                       ' ' || pa || pb || ' ') AS s, n
          |  FROM v${i - 1} CROSS JOIN b$i
          |)""".stripMargin
     }.mkString(", ")
-    val steps = (1 to k)
-      .map(i => s"SELECT CAST($i AS BIGINT) AS step, pa, pb, n_pairs FROM b$i")
-      .mkString("\n  UNION ALL ")
-    s"""WITH w0 AS (
+    s"""w0 AS (
        |  SELECT w, count(*) AS n FROM (
        |    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
        |  WHERE w <> '' GROUP BY w
        |), v0 AS (
-       |  SELECT '  ' || array_to_string(list_transform(range(length(w)),
+       |  SELECT w, '  ' || array_to_string(list_transform(range(length(w)),
        |    i -> substr(w, i + 1, 1)), '  ') || '  ' AS s, n FROM w0
-       |), $rounds
+       |), $rounds""".stripMargin
+  }
+
+  /** DuckDB twin of [[trainBpe]] with `k` unrolled rounds, ending in
+    * the ordered merge table (step, pa, pb, n_pairs). */
+  private def bpeTrainSql(k: Int): String = {
+    val steps = (1 to k)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS step, pa, pb, n_pairs FROM b$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${bpeRoundsSqlCte(k)}
        |SELECT * FROM ($steps) ORDER BY step""".stripMargin
   }
 
@@ -505,6 +520,71 @@ object TextOps {
         .select(col("doc_id"),
           array_min(transform(col("grams"), g => Portable.md5Hash60(g))).as("fingerprint"),
           size(array_distinct(col("grams"))).cast("long").as("n_grams"))
+        .orderBy("doc_id")
+    },
+
+    Q(
+      "q_winnow",
+      s"FULL winnowing (Schleimer et al., MOSS) — the windowed " +
+        "upgrade q_fingerprint's 1-hash min gestures at: hash every " +
+        s"char-$WinnowK-gram, slide a $WinnowW-gram window, keep each " +
+        "window's MINIMUM hash, and report each doc's distinct " +
+        "fingerprint set with its density. The winnowing guarantee: " +
+        s"any shared substring of length ≥ ${WinnowW + WinnowK - 1} " +
+        "chars yields at least one shared fingerprint, so the " +
+        "fingerprint sets support plagiarism/near-dup detection with " +
+        "bounded density (expected 2/(w+1) of gram positions). The " +
+        "distinct VALUE set needs no tie rule — window minima are " +
+        "values, not positions. Scale: pure per-row expression work " +
+        "(gram hash array + sliding-window minima + distinct), zero " +
+        "shuffles before the output sort; fingerprints become the " +
+        "inverted-index key for candidate joins exactly like the " +
+        "MinHash bands",
+      Some(
+        s"""WITH g AS (
+           |  SELECT doc_id,
+           |    list_transform(range(length(text) - ${WinnowK - 1}),
+           |      i -> ${Portable.md5Hash60Sql(s"substr(lower(text), i + 1, $WinnowK)")}) AS hs
+           |  FROM documents WHERE length(text) >= $WinnowK
+           |), mins AS (
+           |  SELECT doc_id,
+           |    CASE WHEN len(hs) >= $WinnowW THEN
+           |      list_distinct(list_transform(range(len(hs) - ${WinnowW - 1}),
+           |        i -> list_min(hs[i + 1 : i + $WinnowW])))
+           |    ELSE [list_min(hs)] END AS fps,
+           |    len(hs) AS n_grams
+           |  FROM g
+           |)
+           |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+           |  CAST(n_grams AS BIGINT) AS n_grams,
+           |  list_min(fps) AS min_fp, list_max(fps) AS max_fp,
+           |  CAST(list_sum(list_transform(fps, x -> x % 1000000007))
+           |    AS BIGINT) AS fp_checksum
+           |FROM mins
+           |ORDER BY doc_id""".stripMargin),
+    ) { (s, dir) =>
+      val hs = transform(
+        sequence(lit(0), length(col("text")) - WinnowK),
+        i => Portable.md5Hash60(lower(col("text")).substr(i + 1, lit(WinnowK))))
+      val fps = when(size(col("hs")) >= WinnowW,
+        array_distinct(transform(
+          sequence(lit(0), size(col("hs")) - WinnowW),
+          i => array_min(slice(col("hs"), i + 1, lit(WinnowW))))))
+        .otherwise(array(array_min(col("hs"))))
+      // Distinct-set summary per doc: count, extremes, and an exact
+      // modular checksum — order-independent, so the fingerprint SET
+      // itself is oracle-checked without emitting doc×fps rows.
+      Tables.documents(s, dir)
+        .filter(length(col("text")) >= WinnowK)
+        .select(col("doc_id"), hs.as("hs"))
+        .select(col("doc_id"), fps.as("fps"), size(col("hs")).cast("long").as("n_grams"))
+        .select(col("doc_id"),
+          size(col("fps")).cast("long").as("n_fps"),
+          col("n_grams"),
+          array_min(col("fps")).as("min_fp"),
+          array_max(col("fps")).as("max_fp"),
+          aggregate(col("fps"), lit(0L),
+            (acc, x) => acc + pmod(x, lit(1000000007L))).as("fp_checksum"))
         .orderBy("doc_id")
     },
 
@@ -1029,6 +1109,44 @@ object TextOps {
         .map { case ((pa, pb, np), i) => (i + 1L, pa, pb, np) }
         .toDF("step", "pa", "pb", "n_pairs")
         .orderBy("step")
+    },
+
+    Q(
+      "q_bpe_encode",
+      "the ENCODE half of the tokenizer pipeline: apply the trained " +
+        s"merge sequence ($BpeMerges rounds, the q_bpe_train loop) " +
+        "and report the top-20 words by corpus frequency with their " +
+        "subword segmentation and subword count. Training already " +
+        "leaves the vocabulary fully merged — encoding a word is " +
+        "reading its final symbol string — and encoding UNSEEN text " +
+        "at 100 TB is the same k chained literal replaces as pure " +
+        "per-row expression work against the (tiny, broadcast) merge " +
+        "list; the corpus-sized shuffle happened once, at vocab " +
+        "construction",
+      Some(
+        s"""WITH ${bpeRoundsSqlCte(BpeMerges)},
+           |enc AS (
+           |  SELECT w, string_split(trim(s), '  ') AS syms, n
+           |  FROM v$BpeMerges
+           |), ranked AS (
+           |  SELECT CAST(row_number() OVER (ORDER BY n DESC, w) AS BIGINT)
+           |      AS rank,
+           |    w, array_to_string(syms, ' ') AS subwords,
+           |    CAST(len(syms) AS BIGINT) AS n_subwords,
+           |    CAST(n AS BIGINT) AS n
+           |  FROM enc)
+           |SELECT rank, w, subwords, n_subwords, n FROM ranked
+           |WHERE rank <= 20 ORDER BY rank""".stripMargin),
+    ) { (s, dir) =>
+      val vocab = trainBpe(s, Tables.documents(s, dir), BpeMerges)._2
+      vocab
+        .select(col("w"), concat_ws(" ", col("syms")).as("subwords"),
+          size(col("syms")).cast("long").as("n_subwords"), col("n"))
+        .withColumn("rank", row_number()
+          .over(Window.orderBy(col("n").desc, col("w"))).cast("long"))
+        .filter(col("rank") <= 20)
+        .select("rank", "w", "subwords", "n_subwords", "n")
+        .orderBy("rank")
     },
 
     Q(

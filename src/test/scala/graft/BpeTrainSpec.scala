@@ -68,9 +68,9 @@ class BpeTrainSpec extends AnyFunSuite {
     val (merges, vocab) = TextOps.trainBpe(spark, docs, 1)
     assert(merges == Seq(("a", "a", 5L))) // 3 pairs in aaaa + 2 in aaa
     val syms = vocab.collect()
-      .map(r => r.getSeq[String](0).toList -> r.getLong(1)).toMap
-    assert(syms(List("aa", "aa")) == 1L)
-    assert(syms(List("aa", "a")) == 1L)
+      .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(syms("aaaa") == List("aa", "aa"))
+    assert(syms("aaa") == List("aa", "a"))
   }
 
   test("first merge equals q_bpe_pairs' rank-1 statistic on real data") {
