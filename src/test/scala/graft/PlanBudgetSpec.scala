@@ -26,7 +26,7 @@ class PlanBudgetSpec extends AnyFunSuite {
   test("per-row operators plan zero pre-sort shuffles") {
     // Their §8 notes promise pure per-row expression work; the only
     // allowed exchange is the output sort's range partitioning.
-    for (q <- Seq("q_embed_quantize", "q_fingerprint", "q_lang_id",
+    for (q <- Seq("q_embed_quantize", "q_fingerprint", "q_winnow", "q_lang_id",
         "q_text_quality", "q_frame_sample", "q_payload_resize", "q_hash_sample",
         "q_repetition", "q_entropy")) {
       val p = plan(q)
