@@ -223,6 +223,43 @@ object StreamOps {
     },
 
     Q(
+      "q_stream_hist",
+      "streaming mergeable histogram run END-TO-END as a real " +
+        "streaming job (file source → EventStream.histogram → " +
+        "COMPLETE-mode memory sink, AvailableNow): 1024 fixed-range " +
+        "bins of event value over [0, 1000) — the pinned range is a " +
+        "deployment input (yesterday's batch min/max), which is " +
+        "exactly what makes the sketch mergeable across micro-batches " +
+        "and against batch history. Bin counts are additive state, so " +
+        "the stream equals the batch histogram at ANY micro-batch " +
+        "split and the oracle is the batch bin-count SQL. Complete " +
+        "mode re-emits all 1024 rows per trigger — bounded by bins, " +
+        "never by stream volume (the memory sink is the monitoring " +
+        "shape; production foreachBatch-upserts the same 1024 rows). " +
+        "Out-of-range values clamp symmetrically into the edge bins",
+      Some(
+        """SELECT bin, count(*) AS n FROM (
+          |  SELECT greatest(CAST(0 AS BIGINT), least(CAST(1023 AS BIGINT),
+          |    CAST(floor((value - 0.0) * 1024 / (1000.0 - 0.0)) AS BIGINT)))
+          |    AS bin
+          |  FROM events)
+          |GROUP BY bin ORDER BY bin""".stripMargin),
+    ) { (s, dir) =>
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = s.readStream.schema(rawSchema)
+        .option("basePath", dir)
+        .parquet(s"$dir/events.parquet*")
+      val name = ("h" + Scratch.dir()).replaceAll("[^A-Za-z0-9]", "_")
+      val q = EventStream.histogram(src, 0.0, 1000.0).writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy("bin")
+    },
+
+    Q(
       "q_stream_sessions_state",
       "CUSTOM-STATE sessionization run END-TO-END as a real streaming " +
         "job: EventStream.sessionizedState (flatMapGroupsWithState + " +
