@@ -84,6 +84,20 @@ object TextOps {
   private[graft] val WinnowK = 5
   private[graft] val WinnowW = 8
 
+  /** PII patterns (q_pii_scrub). Deliberately conservative: character
+    * classes, alternation-free, no lookaround/backreferences — the
+    * subset where Java regex (Spark) and RE2-style engines (DuckDB)
+    * are guaranteed to agree, so the oracle can run the SAME pattern.
+    */
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PhoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+  /** Redact emails then phones (a phone pattern cannot occur inside
+    * the [EMAIL] token, so the order is safe). */
+  def scrubPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, lit(EmailRe), lit("[EMAIL]")),
+      lit(PhoneRe), lit("[PHONE]"))
+
   /** BPE merge training (Sennrich et al. 2016, the `learn_bpe` loop):
     * start from the character-split word vocabulary, then `numMerges`
     * times count adjacent symbol pairs weighted by word frequency,
@@ -1147,6 +1161,54 @@ object TextOps {
         .filter(col("rank") <= 20)
         .select("rank", "w", "subwords", "n_subwords", "n")
         .orderBy("rank")
+    },
+
+    Q(
+      "q_pii_scrub",
+      "PII redaction (the privacy pass every pretraining pipeline " +
+        "runs before training): regex-scrub emails and phone numbers, " +
+        "reporting per-doc redaction counts and a content hash of the " +
+        "scrubbed text. The synthetic corpus carries no PII, so each " +
+        "doc is SALTED deterministically in BOTH engines first " +
+        "(1 + doc_id%3 doc_id-derived emails and one phone appended) " +
+        "— the scrub is then verified end-to-end: counts must equal " +
+        "the planted amounts and the clean hash proves byte-exact " +
+        "redaction. Patterns are the conservative regex subset " +
+        "(character classes only, no lookaround/backrefs) where Java " +
+        "regex and DuckDB's engine agree, so the oracle runs the SAME " +
+        "pattern. Scale: pure per-row regexp work on the scan, zero " +
+        "shuffles before the output sort — at 100 TB this fuses into " +
+        "the same pass as quality filtering",
+      Some(
+        s"""WITH dirty AS (
+           |  SELECT doc_id,
+           |    text || repeat(' user' || CAST(doc_id AS VARCHAR)
+           |                   || '@example.com',
+           |                   CAST(1 + doc_id % 3 AS INT))
+           |         || ' +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR),
+           |                               4, '0') AS s
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(s, '$EmailRe')) AS BIGINT)
+           |    AS n_emails,
+           |  CAST(len(regexp_extract_all(s, '$PhoneRe')) AS BIGINT)
+           |    AS n_phones,
+           |  sha256(regexp_replace(regexp_replace(s, '$EmailRe', '[EMAIL]',
+           |    'g'), '$PhoneRe', '[PHONE]', 'g')) AS clean_hash
+           |FROM dirty ORDER BY doc_id""".stripMargin),
+    ) { (s, dir) =>
+      val dirty = concat(col("text"),
+        expr("repeat(concat(' user', CAST(doc_id AS STRING), " +
+          "'@example.com'), CAST(1 + doc_id % 3 AS INT))"),
+        concat(lit(" +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), dirty.as("s"))
+        .select(col("doc_id"),
+          regexp_count(col("s"), lit(EmailRe)).cast("long").as("n_emails"),
+          regexp_count(col("s"), lit(PhoneRe)).cast("long").as("n_phones"),
+          sha2(scrubPii(col("s")), 256).as("clean_hash"))
+        .orderBy("doc_id")
     },
 
     Q(
