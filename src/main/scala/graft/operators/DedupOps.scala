@@ -412,13 +412,20 @@ object DedupOps {
       val jac = round(
         size(array_intersect(col("sa"), col("sb"))).cast("double")
           / size(array_union(col("sa"), col("sb"))), 6)
-      // The candidate-pair set is tiny, so it broadcasts into two
-      // corpus probes, and the shingle arrays are built AFTER the
-      // joins — only docs that are actually in a candidate pair pay
-      // the shingle materialization, not the whole corpus twice.
-      val withA = broadcast(minhashPairs(s, dir).select("doc_a", "doc_b"))
+      // Ids-then-payloads: the candidate-pair ids land first, the
+      // shingle arrays are built AFTER the joins — only docs actually
+      // in a candidate pair pay the shingle materialization, not the
+      // whole corpus twice. Both payload joins are UNHINTED: the
+      // checkpoints give the planner real sizes so the candidate side
+      // broadcasts locally, but on a dup-heavy 100 TB corpus the
+      // candidate set outgrows an executor and the joins degrade to
+      // (doc_id)-keyed shuffles — the join ORDER is the scale
+      // guarantee here, never a forced broadcast (the q_cooccur /
+      // q_lm_score degradation class).
+      val pairs = minhashPairs(s, dir).select("doc_a", "doc_b")
+        .localCheckpoint()
+      pairs
         .join(t.select(col("doc_id").as("doc_a"), col("t").as("ta")), Seq("doc_a"))
-      broadcast(withA)
         .join(t.select(col("doc_id").as("doc_b"), col("t").as("tb")), Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"),
           shingleCol(col("ta")).as("sa"), shingleCol(col("tb")).as("sb"))

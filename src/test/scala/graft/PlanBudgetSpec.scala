@@ -125,12 +125,18 @@ class PlanBudgetSpec extends AnyFunSuite {
     assert(hashExchanges(p) == 1, s"plan:\n$p")
   }
 
-  test("q_dedup_rescored broadcasts candidates into the payload probes") {
-    val p = plan("q_dedup_rescored")
-    // Both text-fetch joins must probe the corpus with the broadcast
-    // candidate set — never shuffle the corpus for the rescore.
+  test("q_dedup_rescored probes payloads with UNFORCED candidate joins") {
+    val df = SparkEntry.queries("q_dedup_rescored")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // Locally the checkpointed candidate side broadcasts into both
+    // text-fetch joins from its known size — but the joins carry NO
+    // hint, so on a dup-heavy corpus they are free to degrade to
+    // doc_id-keyed shuffles instead of forcing an unbounded broadcast.
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, s"plan:\n$p")
     assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"),
+      s"candidate joins must be unhinted:\n$analyzed")
     // Shingle arrays are built above the joins, not corpus-wide below.
     val joinIdx = p.indexOf("BroadcastHashJoin")
     val shingleIdx = p.indexOf("array_distinct")
