@@ -1164,6 +1164,66 @@ object TextOps {
     },
 
     Q(
+      "q_quality_model",
+      "MODEL-based quality classification (the fastText-filter shape " +
+        "CCNet/GPT-3 pipelines run after heuristics): per-doc features " +
+        "(log word count, stopword ratio, short-word ratio) scored by " +
+        "a PINNED linear model through a sigmoid, keep = score ≥ 0.5. " +
+        "In production the weights come from a trained classifier; " +
+        "the engine machinery exercised here — feature extraction, " +
+        "linear scoring, sigmoid, thresholding — is identical, and " +
+        "pinning the weights is what makes the oracle exact. Ratios " +
+        "and the logit are 6dp-rounded before the sigmoid and the " +
+        "sigmoid output is 6dp-rounded before the threshold, so " +
+        "libm ln/exp ulp skew cannot flip a keep decision. Scale: " +
+        "pure per-row expression work on the scan, zero shuffles " +
+        "before the output sort; complements q_text_quality " +
+        "(heuristics) and q_lm_score (LM perplexity) as the third " +
+        "standard quality signal",
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+          |), f AS (
+          |  SELECT doc_id, len(ws) AS n_words,
+          |    round(len(list_filter(ws, w -> w IN ('the', 'a', 'and', 'of', 'is')))
+          |      / CAST(len(ws) AS DOUBLE), 6) AS stop_ratio,
+          |    round(len(list_filter(ws, w -> length(w) <= 2))
+          |      / CAST(len(ws) AS DOUBLE), 6) AS short_ratio
+          |  FROM t
+          |), z AS (
+          |  SELECT doc_id, n_words, stop_ratio, short_ratio,
+          |    round(-1.0 + 0.8 * ln(CAST(n_words AS DOUBLE))
+          |      + 2.0 * stop_ratio - 3.0 * short_ratio, 6) AS z
+          |  FROM f
+          |), scored AS (
+          |  SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+          |    stop_ratio, short_ratio,
+          |    round(1.0 / (1.0 + exp(-z)), 6) AS score
+          |  FROM z)
+          |SELECT doc_id, n_words, stop_ratio, short_ratio, score,
+          |  CAST(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS keep
+          |FROM scored ORDER BY doc_id""".stripMargin),
+    ) { (s, dir) =>
+      val stops = Seq("the", "a", "and", "of", "is")
+      val n = size(toks)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), n.cast("long").as("n_words"),
+          round(size(filter(toks, w => w.isin(stops: _*))).cast("double")
+            / n, 6).as("stop_ratio"),
+          round(size(filter(toks, w => length(w) <= 2)).cast("double")
+            / n, 6).as("short_ratio"))
+        .withColumn("z", round(lit(-1.0)
+          + lit(0.8) * log(col("n_words").cast("double"))
+          + lit(2.0) * col("stop_ratio")
+          - lit(3.0) * col("short_ratio"), 6))
+        .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6))
+        .select(col("doc_id"), col("n_words"), col("stop_ratio"),
+          col("short_ratio"), col("score"),
+          when(col("score") >= 0.5, 1L).otherwise(0L).as("keep"))
+        .orderBy("doc_id")
+    },
+
+    Q(
       "q_pii_scrub",
       "PII redaction (the privacy pass every pretraining pipeline " +
         "runs before training): regex-scrub emails and phone numbers, " +
