@@ -38,10 +38,33 @@ object Cluster {
     sys.props.getOrElse("graft.cluster.marker", sys.props("java.io.tmpdir")),
     "graft-cluster.json")
 
-  def writeMarker(m: Marker): Unit = {
+  /** Serializes marker MUTATIONS across processes (java FileLock on a
+    * sibling .lock file). Every check-then-act on the marker — the
+    * shutdown hook's "delete only if still ours", stop()'s stale-marker
+    * cleanup, and writeMarker itself — runs under this lock, so a
+    * restarting process can never interleave its writeMarker between
+    * another process's read and delete. Read-only paths (status) stay
+    * lock-free. */
+  private def withMarkerLock[A](body: => A): A = {
     Files.createDirectories(markerPath.getParent)
+    val lockPath = markerPath.resolveSibling(markerPath.getFileName.toString + ".lock")
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val l = ch.lock()
+      try body finally l.release()
+    } finally ch.close()
+  }
+
+  def writeMarker(m: Marker): Unit = withMarkerLock {
     Files.writeString(markerPath,
       s"""{"pid": ${m.pid}, "app_id": "${m.appId}", "master": "${m.master}", "started_at_ms": ${m.startedAtMs}}""")
+  }
+
+  /** Deletes the marker iff it still names `pid` — atomically with
+    * respect to every other marker mutation. */
+  def deleteMarkerIfOwnedBy(pid: Long): Unit = withMarkerLock {
+    if (readMarker().exists(_.pid == pid)) Files.deleteIfExists(markerPath)
   }
 
   def readMarker(): Option[Marker] = {
@@ -74,8 +97,13 @@ object Cluster {
     case Some(m) if m.pid == ProcessHandle.current().pid() => false
     case Some(m) if alive(m.pid) =>
       ProcessHandle.of(m.pid).map[Boolean](_.destroy()).orElse(false)
-    case Some(_) =>
-      Files.deleteIfExists(markerPath) // stale marker: the pgrep-miss path
+    case Some(m) =>
+      // Stale marker (the pgrep-miss path): delete only if it still
+      // names the dead pid we just probed — under the lock, so a new
+      // start's writeMarker can't be clobbered in between.
+      withMarkerLock {
+        if (readMarker().exists(_.pid == m.pid)) Files.deleteIfExists(markerPath)
+      }
       false
     case None => false
   }
@@ -92,9 +120,10 @@ object Cluster {
         // the old process's hook can run after the new start's
         // writeMarker (slow signal delivery / long spark.stop), and an
         // unconditional delete would orphan the NEW cluster — running
-        // but invisible to `status` and unreachable by `stop`.
-        val self = ProcessHandle.current().pid()
-        if (readMarker().exists(_.pid == self)) Files.deleteIfExists(markerPath)
+        // but invisible to `status` and unreachable by `stop`. The
+        // check-and-delete runs under the marker lock, so the new
+        // start's writeMarker can't interleave between read and delete.
+        deleteMarkerIfOwnedBy(ProcessHandle.current().pid())
         spark.stop()
       }
       // Foreground daemon: the session serves until SIGTERM (`stop`).

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CentArgmin, HyperplaneSignature, MinHashSignature, SimHashSignature}
+import graft.functions.{BloomMightContain, CentArgmin, HyperplaneSignature, MinHashSignature, SimHashSignature}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -49,12 +49,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "bloom_agg"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(exprs.head)))
+    // The probe is OUR BloomMightContain, not Spark's: the built-in's
+    // codegen emits an ambiguous `(Long)` cast that Janino rejects
+    // whenever the probe folds to a negative literal, silently dropping
+    // the projection to interpreted mode (see graft.functions.BloomProbe).
     ext.injectFunction((
       FunctionIdentifier("bloom_might_contain"),
-      new ExpressionInfo(
-        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
-        "bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs.head, exprs(1))))
+        BloomMightContain(exprs.head, exprs(1))))
   }
 }

@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
 /** SQL seam for Spark's internal bloom-filter pair — the machinery
@@ -28,8 +27,11 @@ object Bloom {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_agg",
       exprs => new BloomFilterAggregate(exprs.head), "built-in")
+    // OUR probe expression, not Spark's BloomFilterMightContain: the
+    // built-in's codegen breaks (and silently interprets) when the
+    // probe folds to a negative literal — see graft.functions.BloomProbe.
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_might_contain",
-      exprs => BloomFilterMightContain(exprs.head, exprs(1)), "built-in")
+      exprs => BloomMightContain(exprs.head, exprs(1)), "built-in")
   }
 }

@@ -70,15 +70,21 @@ case class CentArgmin(left: Expression, right: Expression, cosine: Boolean)
     CentAssign.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
       cosine, ceIsFloat)
 
+  // The boxed temp must come from ctx.freshName: deriving it from
+  // ev.value breaks in codegen contexts (GenerateUnsafeProjection)
+  // where ev.value is not a plain identifier — Janino then rejects
+  // the declaration ("java.lang.Long" is not an rvalue) and Spark
+  // silently falls back to interpreted projection.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("centArgmin")
       s"""
-         |java.lang.Long ${ev.value}_r =
+         |java.lang.Long $r =
          |  graft.functions.CentAssign.compute($a, $b, $cosine, $ceIsFloat);
-         |if (${ev.value}_r == null) {
+         |if ($r == null) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = ${ev.value}_r.longValue();
+         |  ${ev.value} = $r.longValue();
          |}
        """.stripMargin
     })

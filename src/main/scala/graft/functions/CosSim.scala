@@ -45,14 +45,19 @@ case class CosineSim(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any =
     CosSim.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
+  // Boxed temp via ctx.freshName, NOT derived from ev.value: in the
+  // GenerateUnsafeProjection path ev.value need not be a plain
+  // identifier, and a derived name fails Janino compilation, silently
+  // dropping the expression to interpreted projection (see CentAssign).
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("cosSim")
       s"""
-         |java.lang.Double ${ev.value}_r = graft.functions.CosSim.compute($a, $b);
-         |if (${ev.value}_r == null) {
+         |java.lang.Double $r = graft.functions.CosSim.compute($a, $b);
+         |if ($r == null) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = ${ev.value}_r.doubleValue();
+         |  ${ev.value} = $r.doubleValue();
          |}
        """.stripMargin
     })

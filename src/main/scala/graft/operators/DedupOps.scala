@@ -230,14 +230,24 @@ object DedupOps {
     labels
   }
 
+  /** Near-dup edge threshold shared by the clustering twins: the
+    * Spark side filters candidate pairs to `est_jaccard >=` this
+    * before [[ccMinLabels]], and [[ccSqlCte]] bakes the SAME constant
+    * into the oracle's edge CTE — one owner, so the two sides can
+    * never silently drift. */
+  private[graft] val CcEdgeThreshold = 0.5
+
   /** DuckDB twin of [[ccMinLabels]]: recursive CTE chain (edges → cc →
     * final(doc_id, label)) expecting a prior `pairs` CTE; splice under
-    * a WITH RECURSIVE. */
-  private[graft] def ccSqlCte: String =
-    """edges AS (
-      |  SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE est_jaccard >= 0.5
+    * a WITH RECURSIVE. The threshold parameter mirrors the pair
+    * filter the Spark caller applies before ccMinLabels — pass the
+    * same value you filtered with (default [[CcEdgeThreshold]], what
+    * both current callers use). */
+  private[graft] def ccSqlCte(threshold: Double = CcEdgeThreshold): String =
+    s"""edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE est_jaccard >= $threshold
       |  UNION ALL
-      |  SELECT doc_b, doc_a FROM pairs WHERE est_jaccard >= 0.5
+      |  SELECT doc_b, doc_a FROM pairs WHERE est_jaccard >= $threshold
       |), cc AS (
       |  SELECT DISTINCT src AS doc_id, src AS label FROM edges
       |  UNION
@@ -447,13 +457,13 @@ object DedupOps {
         "Oracle = DuckDB recursive CTE reaching the same fixpoint",
       Some(
         s"""WITH RECURSIVE $minhashPairsSqlCte,
-           |$ccSqlCte
+           |${ccSqlCte()}
            |SELECT label AS cluster_id, count(*) AS n_docs,
            |  CAST(max(doc_id) AS BIGINT) AS max_doc_id
            |FROM final GROUP BY label
            |ORDER BY cluster_id""".stripMargin),
     ) { (s, dir) =>
-      val pairs = minhashPairs(s, dir).filter(col("est_jaccard") >= 0.5)
+      val pairs = minhashPairs(s, dir).filter(col("est_jaccard") >= CcEdgeThreshold)
       ccMinLabels(pairs)
         .groupBy(col("label").as("cluster_id"))
         .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc_id"))

@@ -45,6 +45,18 @@ object TextOps {
     */
   private[graft] val MaxGramDf = 1000L
 
+  /** Top-K cap on q_vocab_ids' frequency-ranked vocabulary; tokens
+    * outside the top K encode to the reserved OOV id K. The cap is
+    * what keeps the ranking window, the broadcast id table, and the
+    * encode join build side K-BOUNDED when the raw word vocabulary is
+    * web-scale junk (unbounded). Production would set ~100k–1M; 24 is
+    * below the synthetic corpus's 31 distinct tokens so the
+    * correctness gate exercises the OOV branch, not just the happy
+    * path. Spliced into the oracle SQL so both engines cap and
+    * OOV-map identically.
+    */
+  private[graft] val VocabCap = 24
+
   /** Count-min sketch shape for q_heavy_hitters: d hash rows × w
     * buckets, affine family (a·h + b) mod P mod w over the portable
     * 60-bit md5 hash reduced mod P. The SAME constants are spliced
@@ -171,7 +183,15 @@ object TextOps {
     * v0 (char-split padded strings, word riding along) → per round
     * p_i (pair counts) / b_i (argmax) / v_i (merged vocab). Shared by
     * q_bpe_train (reads the b_i merge table) and q_bpe_encode (reads
-    * v_k, the encoded vocabulary). */
+    * v_k, the encoded vocabulary).
+    *
+    * v_i takes b_i by LEFT JOIN ON TRUE with coalesce('') on the
+    * replace arguments, NOT a CROSS JOIN: if a corpus fully merges
+    * before round k, b_i is empty, and a CROSS JOIN would empty v_i
+    * (and every later CTE) while [[trainBpe]]'s early stop keeps the
+    * final vocab. An empty-needle replace is a no-op in DuckDB, so
+    * the LEFT JOIN passes v_i through unchanged — the exact twin of
+    * the engine's dry-round behavior. */
   private def bpeRoundsSqlCte(k: Int): String = {
     val rounds = (1 to k).map { i =>
       s"""p$i AS (
@@ -182,9 +202,9 @@ object TextOps {
          |), b$i AS (
          |  SELECT pa, pb, n_pairs FROM p$i ORDER BY n_pairs DESC, pa, pb LIMIT 1
          |), v$i AS (
-         |  SELECT w, replace(s, ' ' || pa || '  ' || pb || ' ',
-         |                       ' ' || pa || pb || ' ') AS s, n
-         |  FROM v${i - 1} CROSS JOIN b$i
+         |  SELECT w, replace(s, coalesce(' ' || pa || '  ' || pb || ' ', ''),
+         |                       coalesce(' ' || pa || pb || ' ', '')) AS s, n
+         |  FROM v${i - 1} LEFT JOIN b$i ON TRUE
          |)""".stripMargin
     }.mkString(", ")
     s"""w0 AS (
@@ -447,7 +467,7 @@ object TextOps {
            |        ORDER BY doc_id) AS rn
            |    FROM q) WHERE rn = 1
            |), ${DedupOps.minhashPairsSqlCteFrom("ex")},
-           |${DedupOps.ccSqlCte},
+           |${DedupOps.ccSqlCte()},
            |nd AS (
            |  SELECT ex.doc_id, ex.lang, ex.n_chars, ex.text
            |  FROM ex LEFT JOIN final f ON ex.doc_id = f.doc_id
@@ -479,7 +499,7 @@ object TextOps {
         .select("doc_id", "lang", "n_chars", "text")
         .localCheckpoint()
       val pairs = DedupOps.minhashPairsOf(s, ex)
-        .filter(col("est_jaccard") >= 0.5)
+        .filter(col("est_jaccard") >= DedupOps.CcEdgeThreshold)
       val labels = DedupOps.ccMinLabels(pairs)
       val nd = ex.join(labels, Seq("doc_id"), "left")
         .filter(col("label").isNull || col("label") === col("doc_id"))
@@ -946,17 +966,19 @@ object TextOps {
 
     Q(
       "q_vocab_ids",
-      "tokenizer prep: frequency-ranked vocabulary with contiguous ids " +
-        "(ties broken lexically) + every doc re-encoded as its " +
-        "token-id sequence. The vocab agg is a token-keyed shuffle " +
-        "bounded by vocabulary size; id assignment is a " +
-        "single-partition window over the VOCAB only (vocab ≪ corpus " +
-        "by construction — a BPE vocab caps around 1 M rows, one " +
-        "node's work); the encode join broadcasts the id table so the " +
-        "corpus never shuffles for it, and the re-pack is the proven " +
-        "(pos,id)-sorted doc-keyed agg",
+      "tokenizer prep: TOP-K frequency-ranked vocabulary with " +
+        s"contiguous ids (K = $VocabCap, ties broken lexically), " +
+        "out-of-vocabulary tokens mapped to the reserved OOV id K — " +
+        "what a real tokenizer does, and what keeps every piece of " +
+        "this K-bounded at web scale where the RAW word vocabulary is " +
+        "unbounded junk. The vocab agg is a token-keyed shuffle; the " +
+        "top-K select is a distributed TakeOrdered (per-partition " +
+        "heads, no global sort of the full vocab); id assignment is a " +
+        "window over exactly K rows; the encode LEFT join broadcasts " +
+        "the K-row id table so the corpus never shuffles for it, and " +
+        "the re-pack is the proven (pos,id)-sorted doc-keyed agg",
       Some(
-        """WITH toks AS (
+        s"""WITH toks AS (
           |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
           |), pos AS (
           |  SELECT doc_id, ws, unnest(range(len(ws))) AS p FROM toks
@@ -964,22 +986,29 @@ object TextOps {
           |  SELECT doc_id, p, ws[p+1] AS w FROM pos
           |), vocab AS (
           |  SELECT w, count(*) AS n FROM tw GROUP BY w
+          |), topk AS (
+          |  SELECT w, n FROM vocab ORDER BY n DESC, w LIMIT $VocabCap
           |), ids AS (
           |  SELECT w, CAST(row_number() OVER (ORDER BY n DESC, w) - 1 AS BIGINT) AS tid
-          |  FROM vocab
+          |  FROM topk
           |)
           |SELECT t.doc_id, count(*) AS n_tokens,
-          |  string_agg(CAST(i.tid AS VARCHAR), '-' ORDER BY t.p) AS ids_str
-          |FROM tw t JOIN ids i ON t.w = i.w
+          |  string_agg(CAST(coalesce(i.tid, $VocabCap) AS VARCHAR), '-' ORDER BY t.p) AS ids_str
+          |FROM tw t LEFT JOIN ids i ON t.w = i.w
           |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin),
     ) { (s, dir) =>
       val tok = Tables.documents(s, dir)
         .select(col("doc_id"), posexplode(toks).as(Seq("p", "w")))
-      val ids = tok.groupBy("w").agg(count(lit(1)).as("n"))
-        .select(col("w"),
-          (row_number().over(Window.orderBy(col("n").desc, col("w"))) - 1)
-            .cast("long").as("tid"))
-      tok.join(broadcast(ids), Seq("w"))
+      // orderBy+limit plans as TakeOrderedAndProject: per-partition
+      // top-K heaps merged once — never a full-vocab global sort.
+      val topk = tok.groupBy("w").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w")).limit(VocabCap)
+      // The ranking window now runs over AT MOST VocabCap rows.
+      val ids = topk.select(col("w"),
+        (row_number().over(Window.orderBy(col("n").desc, col("w"))) - 1)
+          .cast("long").as("tid"))
+      tok.join(broadcast(ids), Seq("w"), "left")
+        .withColumn("tid", coalesce(col("tid"), lit(VocabCap.toLong)))
         .groupBy("doc_id")
         .agg(
           count(lit(1)).as("n_tokens"),

@@ -233,7 +233,8 @@ object StreamOps {
         "and against batch history. Bin counts are additive state, so " +
         "the stream equals the batch histogram at ANY micro-batch " +
         "split and the oracle is the batch bin-count SQL. Complete " +
-        "mode re-emits all 1024 rows per trigger — bounded by bins, " +
+        "mode re-emits up to 1024 rows (observed bins) per trigger — " +
+        "bounded by bins, " +
         "never by stream volume (the memory sink is the monitoring " +
         "shape; production foreachBatch-upserts the same 1024 rows). " +
         "Out-of-range values clamp symmetrically into the edge bins",

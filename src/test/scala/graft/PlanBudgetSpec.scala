@@ -256,12 +256,17 @@ class PlanBudgetSpec extends AnyFunSuite {
     assert(hashExchanges(p) == 1, s"plan:\n$p")
   }
 
-  test("q_vocab_ids broadcasts the id table — the corpus never shuffles for the encode join") {
+  test("q_vocab_ids caps the vocab with a TakeOrdered and broadcasts the K-row id table") {
     val p = plan("q_vocab_ids")
+    // The top-K cap plans as TakeOrderedAndProject — per-partition
+    // heaps, never a global sort of the (unbounded at web scale) raw
+    // vocabulary; it is what makes the id window and the broadcast
+    // build side K-bounded.
+    assert(p.contains("TakeOrderedAndProject"), s"plan:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
     assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
     // vocab agg + doc re-pack agg; the id-assignment window is an
-    // explicit SinglePartition exchange over vocab rows only.
+    // explicit SinglePartition exchange over ≤ VocabCap rows only.
     assert(hashExchanges(p) == 2, s"plan:\n$p")
   }
 
