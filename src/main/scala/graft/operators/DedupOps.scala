@@ -116,8 +116,11 @@ object DedupOps {
       : org.apache.spark.sql.DataFrame =
     minhashPairsOf(s, Tables.documents(s, dir))
 
-  /** [[minhashPairs]] over an arbitrary (doc_id, text) frame. */
-  private[graft] def minhashPairsOf(
+  /** Exploded LSH band stream (doc_id, mh, band_id, band_key) over an
+    * arbitrary (doc_id, text) frame — the shared candidate-generation
+    * core of the pairwise near-dedup queries AND the persisted base
+    * band index q_dedup_near_incremental probes. */
+  private[graft] def minhashBandsOf(
       s: org.apache.spark.sql.SparkSession,
       source: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
@@ -136,8 +139,16 @@ object DedupOps {
       concat_ws(",",
         (1 to BandSize).map(i => element_at(col("mh"), 4 * j + i).cast("string")): _*)
     }
-    val bands = mhs
-      .select(col("doc_id"), col("mh"), posexplode(array(bandKeys: _*)).as(Seq("band_id", "band_key")))
+    mhs.select(col("doc_id"), col("mh"),
+      posexplode(array(bandKeys: _*)).as(Seq("band_id", "band_key")))
+  }
+
+  /** [[minhashPairs]] over an arbitrary (doc_id, text) frame. */
+  private[graft] def minhashPairsOf(
+      s: org.apache.spark.sql.SparkSession,
+      source: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val bands = minhashBandsOf(s, source)
     val l = bands.as("l")
     val r = bands.as("r")
     val nEq = size(filter(
@@ -561,6 +572,77 @@ object DedupOps {
         .filter(col("rn") === 1)
         .groupBy("lang").agg(count(lit(1)).as("n_new"))
         .orderBy("lang")
+    },
+
+    Q(
+      "q_dedup_near_incremental",
+      "incremental NEAR-dedup — the daily-ingest twin of " +
+        "q_dedup_incremental for non-exact duplicates: the base " +
+        "corpus's MinHash bands are built ONCE and persisted " +
+        "hive-partitioned by band_id (the q_ivf_layout layout trick " +
+        "applied to the LSH index — amortized across every future " +
+        "batch, and a probe lists only its band directories); the new " +
+        "batch's bands join that index PLUS themselves on (band_id, " +
+        "band_key), so candidates are only pairs touching the batch — " +
+        "the base is never re-paired against itself; exact 3-gram " +
+        "Jaccard re-scores just the candidates (ids-then-payloads, " +
+        "the q_dedup_rescored shape, both payload joins unhinted). " +
+        "Oracle = full-corpus near-dedup restricted to pairs whose " +
+        "higher id is in the batch (batch ids follow base ids, so " +
+        "doc_b >= split <=> the pair touches the batch)",
+      Some(
+        s"""WITH $minhashPairsSqlCte,
+           |touch AS (
+           |  SELECT doc_a, doc_b FROM pairs WHERE doc_b >= 400
+           |), scored AS (
+           |  SELECT doc_a, doc_b,
+           |    round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           |      / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+           |  FROM touch
+           |  JOIN docs a ON a.doc_id = doc_a
+           |  JOIN docs b ON b.doc_id = doc_b
+           |)
+           |SELECT doc_a, doc_b, jaccard FROM scored
+           |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin),
+    ) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val base = docs.filter(col("doc_id") < 400)
+      val batch = docs.filter(col("doc_id") >= 400)
+      // The persisted base index: one band-keyed layout paid at
+      // ingest; every daily batch reads it back instead of
+      // re-sharding the (100 TB) base corpus.
+      val idxDir = Scratch.dir()
+      minhashBandsOf(s, base).select("doc_id", "band_id", "band_key")
+        .write.partitionBy("band_id").parquet(idxDir)
+      val baseIdx = s.read.parquet(idxDir)
+        .select("doc_id", "band_id", "band_key")
+      val batchBands = minhashBandsOf(s, batch)
+        .select("doc_id", "band_id", "band_key")
+        .localCheckpoint() // computed once, probed twice (index + self)
+      // Left side = index ∪ batch, right side = batch only: with
+      // batch ids above base ids, l.doc_id < r.doc_id yields exactly
+      // the base–batch and batch–batch pairs — never base–base.
+      val candIds = baseIdx.unionByName(batchBands).as("l")
+        .join(batchBands.as("r"),
+          col("l.band_id") === col("r.band_id")
+            && col("l.band_key") === col("r.band_key")
+            && col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+        .distinct()
+        .localCheckpoint() // ids only — payloads fetched after
+      val toksC = split(lower(col("text")), " ", -1)
+      val sh = docs.select(col("doc_id"), toksC.as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), shingleCol(col("t")).as("sh"))
+      val jac = round(
+        size(array_intersect(col("sa"), col("sb"))).cast("double")
+          / size(array_union(col("sa"), col("sb"))), 6)
+      candIds
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
     },
 
     Q(

@@ -270,6 +270,15 @@ class PlanBudgetSpec extends AnyFunSuite {
     assert(hashExchanges(p) == 2, s"plan:\n$p")
   }
 
+  test("q_dedup_near_incremental joins band keys — never a cross product") {
+    val p = plan("q_dedup_near_incremental")
+    // Candidates come from the (band_id, band_key) equi-join of the
+    // persisted index ∪ batch against the batch; any cartesian or
+    // nested-loop shape here would be the all-pairs failure mode.
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
+  }
+
   test("q_join_bloom probes the bloom at the fact scan, below the exact join") {
     val p = plan("q_join_bloom")
     // The scalar-subquery bloom must appear as a Filter condition on the
