@@ -91,6 +91,59 @@ object EventStream {
         col("click_id"), col("purchase_ts"), col("click_ts"), col("value"))
   }
 
+  /** LEFT-OUTER stream-stream attribution — [[attributed]] plus the
+    * rows production attribution actually needs: purchases with NO
+    * click in the preceding hour, emitted with null click columns.
+    *
+    * Outer semantics change the mechanics in two ways:
+    *
+    *  - An unmatched purchase can only be declared unmatched once the
+    *    watermark proves no qualifying click can still arrive
+    *    (watermark past purchase_ts, i.e. past the click window's
+    *    upper bound), so null rows emit on watermark advance — the
+    *    sentinel-flush contract, where the inner join needed none.
+    *  - In a bounded replay, something must DRIVE the watermark past
+    *    the newest purchases or they never finalize — and it cannot
+    *    be a row of a third event type that the side filters drop:
+    *    Catalyst pushes the event-type filters below the
+    *    EventTimeWatermark node (they don't reference the watermark
+    *    column), so each side's watermark tracks only the rows its
+    *    filter keeps. `sentinelType` therefore names an event type
+    *    that passes BOTH side filters; such a far-future row advances
+    *    both watermark nodes, can only ever pair with itself (its
+    *    event time is outside every real row's join interval — the
+    *    caller drops its self-match by user id), and every pending
+    *    purchase finalizes. A live deployment passes None: real
+    *    click/purchase traffic advances the watermark there.
+    *
+    * Click state is still expired past (watermark − 1h); purchase
+    * state holds only watermark-pending purchases. State follows the
+    * join window at 100 TB exactly like the inner variant.
+    */
+  def attributedOuter(events: DataFrame,
+      sentinelType: Option[String] = None): DataFrame = {
+    val wm = events.withWatermark("ts", "2 hours")
+    def keep(t: String) = sentinelType match {
+      case Some(st) => col("event_type").isin(t, st)
+      case None => col("event_type") === t
+    }
+    val clicks = wm
+      .filter(keep("click"))
+      .select(col("ts").as("click_ts"), col("user_id").as("click_user"),
+        col("event_id").as("click_id"))
+    val purchases = wm
+      .filter(keep("purchase"))
+      .select(col("ts").as("purchase_ts"), col("user_id").as("purchase_user"),
+        col("event_id").as("purchase_id"), col("value"))
+    purchases.join(clicks,
+      col("purchase_user") === col("click_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("purchase_user").as("user_id"), col("purchase_id"),
+        col("click_id"), col("purchase_ts"), col("click_ts"), col("value"))
+  }
+
   private val GapUs: Long = 30L * 60 * 1000 * 1000
 
   /** java.sql.Timestamp ↔ epoch-micros, preserving the µs component

@@ -339,6 +339,49 @@ object StreamOps {
     },
 
     Q(
+      "q_stream_attrib_outer",
+      "LEFT-OUTER stream-stream attribution run END-TO-END as a real " +
+        "streaming job — the production attribution shape, where " +
+        "purchases with no click in the preceding hour surface with " +
+        "null click columns instead of vanishing. Unlike the inner " +
+        "row, outer emission WAITS on the watermark (a purchase is " +
+        "only provably unmatched once no qualifying click can still " +
+        "arrive), so this row leans on the staged sentinel source: " +
+        "the watermark is applied BEFORE the event-type filters so " +
+        "the far-future sentinel — neither click nor purchase — " +
+        "passes through the watermark node, drives it past every real " +
+        "purchase, and the trailing batch flushes every null row " +
+        "exactly once. Matched pairs still emit the moment both rows " +
+        "arrive. Catalyst pushes the side filters below the watermark " +
+        "node, so the sentinel must PASS those filters to drive the " +
+        "watermark (sentinelType); it can only self-match (its event " +
+        "time is outside every real interval) and is dropped by user " +
+        "id. Oracle = the batch LEFT interval join verbatim. At " +
+        "100 TB click state expires past (watermark − 1h) and " +
+        "purchase state holds only watermark-pending purchases",
+      Some(
+        """SELECT p.user_id, p.event_id AS purchase_id,
+          |  c.event_id AS click_id,
+          |  CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+          |  CAST(c.ts AS TIMESTAMP) AS click_ts, p.value
+          |FROM events p LEFT JOIN events c
+          |  ON c.user_id = p.user_id
+          | AND c.event_type = 'click'
+          | AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+          | AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+          |WHERE p.event_type = 'purchase'
+          |ORDER BY purchase_id, click_id""".stripMargin),
+    ) { (s, dir) =>
+      runToParquet(s,
+        EventStream.attributedOuter(stagedEventsSource(s, dir),
+          sentinelType = Some("sentinel")))
+        .filter(col("user_id") >= 0) // drop the sentinel's self-match
+        .select("user_id", "purchase_id", "click_id",
+          "purchase_ts", "click_ts", "value")
+        .orderBy("purchase_id", "click_id")
+    },
+
+    Q(
       "q_stream_embed",
       "streaming embedding ingestion run END-TO-END as a real " +
         "streaming job (file source → EmbedStream.assigned cell " +

@@ -126,6 +126,38 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("attributedOuter: unmatched purchases surface with null click after watermark") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = EventStream.attributedOuter(src.toDF(), sentinelType = Some("sentinel"))
+      .writeStream.format("memory").queryName("attr_outer_out")
+      .outputMode("append").start()
+    try {
+      src.addData(
+        Ev(ts(0), 1, "click", 0.0, 100),
+        Ev(ts(30), 1, "purchase", 9.0, 101),  // 30 min after click: matches
+        Ev(ts(200), 2, "click", 0.0, 200),
+        Ev(ts(290), 2, "purchase", 5.0, 201)) // 90 min after click: UNMATCHED
+      q.processAllAvailable()
+      // The matched pair emits on arrival; the unmatched purchase must
+      // NOT have emitted yet — no watermark proves its window closed.
+      val early = spark.table("attr_outer_out")
+        .select("purchase_id").collect().map(_.getLong(0)).toSet
+      assert(early == Set(101L))
+      // A far-future sentinel (passes both side filters, joins nothing
+      // real) drives the watermark past purchase 201's click window.
+      src.addData(Ev(ts(100000), -1, "sentinel", 0.0, -1))
+      q.processAllAvailable()
+      val rows = spark.table("attr_outer_out")
+        .filter(col("user_id") >= 0)
+        .select("user_id", "purchase_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+      assert(rows == Set((1L, 101L, Some(100L)), (2L, 201L, None)))
+    } finally q.stop()
+  }
+
   test("sessionizedState: state survives a checkpointed restart") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
