@@ -141,6 +141,50 @@ object AnnOps {
   private val KmIters = 3
   private val KmIvfIters = 2
 
+  /** Test/train boundary for q_embed_decontaminate's corpus split:
+    * vec_id < this = the (small) held-out test corpus, the rest = the
+    * train corpus. Spliced into the oracle SQL. */
+  private[graft] val DecontamSplit = 100L
+
+  /** Cross-corpus embedding decontamination core (q_embed_decontaminate;
+    * the planted-paraphrase spec calls it with synthetic frames): both
+    * corpora are routed to shared coarse cells via the zero-shuffle
+    * broadcast-argmin assignment, then ONLY same-cell test×train pairs
+    * are cosine-scored. Returns one row per TEST vector:
+    * (vec_id, cell_id, n_train_matches, max_cos — null when clean,
+    * contaminated 0/1). Pair cost is Σ|cell_test|·|cell_train|, never
+    * |test|·|train|; the match agg keys on test vec_id only.
+    */
+  private[graft] def embedDecontaminate(
+      s: SparkSession,
+      test: org.apache.spark.sql.DataFrame,
+      train: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame,
+      threshold: Double): org.apache.spark.sql.DataFrame = {
+    val packed = broadcast(packCents(cents))
+    def assign(df: org.apache.spark.sql.DataFrame) = df.crossJoin(packed)
+      .withColumn("cell_id",
+        graft.functions.CentAssign.argminL2(s, "embedding", "cs"))
+      .select(col("vec_id"), col("cell_id"), col("embedding"))
+    val t = assign(test)
+      .select(col("cell_id"), col("vec_id"), col("embedding").as("te"))
+    val r = assign(train)
+      .select(col("cell_id"), col("vec_id").as("train_id"), col("embedding").as("re"))
+    // Scores shrink to (vec_id, cs) before the agg — embeddings never
+    // ride through the match aggregation.
+    val sims = t.join(r, Seq("cell_id"))
+      .select(col("vec_id"), cosSim(s, "te", "re").as("cs"))
+      .filter(col("cs") >= threshold)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_train_matches"), max(col("cs")).as("max_cos"))
+    t.select(col("vec_id"), col("cell_id"))
+      .join(sims, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell_id"),
+        coalesce(col("n_train_matches"), lit(0L)).as("n_train_matches"),
+        col("max_cos"),
+        when(col("max_cos").isNull, 0L).otherwise(1L).as("contaminated"))
+  }
+
   /** Centroids collapsed to ONE broadcastable row holding
     * array<struct(cent_id, ce, cn2, cn)> — the carrier for
     * zero-shuffle assignment. Centroid norms are computed here, once
@@ -597,6 +641,62 @@ object AnnOps {
       assign.join(dropped, Seq("vec_id"), "left")
         .select(col("vec_id"), col("cell_id"),
           when(col("dropped").isNull, 1L).otherwise(0L).as("keep"))
+        .orderBy("vec_id")
+    },
+
+    Q(
+      "q_embed_decontaminate",
+      s"cross-corpus EMBEDDING decontamination — the semantic " +
+        "complement of n-gram q_decontaminate, catching paraphrased " +
+        "test-set leakage that exact grams miss (SemDeDup's machinery " +
+        "pointed ACROSS corpora instead of within one): train and " +
+        "test embeddings are routed to shared coarse cells by the " +
+        "same zero-shuffle broadcast-argmin assignment, and only " +
+        "same-cell test×train pairs are cosine-scored — cell-keyed " +
+        "join cost Σ|cell_test|·|cell_train|, never |test|·|train|. " +
+        "Per test vector: match count, max cosine (null when clean), " +
+        "contaminated verdict at ≥ 0.45 (synthetic-corpus threshold, " +
+        "see q_embed_dup; real corpora ~0.95+). The same-cell " +
+        "restriction is the SemDeDup trade: a paraphrase routed to a " +
+        "neighboring cell is missed — nprobe>1 routing is the recall " +
+        "knob, same as the IVF search path",
+      Some(
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+           |cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM e WHERE vec_id < $KSeeds),
+           |assign AS (
+           |  SELECT vec_id, cent_id AS cell_id, embedding FROM (
+           |    SELECT e.vec_id, c.cent_id, e.embedding,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        $d2Sql,
+           |        c.cent_id) AS rn
+           |    FROM e CROSS JOIN cents c) WHERE rn = 1
+           |), test AS (
+           |  SELECT vec_id, cell_id, embedding FROM assign WHERE vec_id < $DecontamSplit
+           |), train AS (
+           |  SELECT vec_id, cell_id, embedding FROM assign WHERE vec_id >= $DecontamSplit
+           |), scored AS (
+           |  SELECT t.vec_id AS vec_id,
+           |    ${cosSimSql("t.embedding", "r.embedding")} AS cs
+           |  FROM test t JOIN train r ON t.cell_id = r.cell_id
+           |), sims AS (
+           |  SELECT vec_id, count(*) AS n_train_matches, max(cs) AS max_cos
+           |  FROM scored WHERE cs >= 0.45 GROUP BY vec_id
+           |)
+           |SELECT t.vec_id, t.cell_id,
+           |  CAST(coalesce(s.n_train_matches, 0) AS BIGINT) AS n_train_matches,
+           |  s.max_cos,
+           |  CASE WHEN s.vec_id IS NULL THEN CAST(0 AS BIGINT)
+           |       ELSE CAST(1 AS BIGINT) END AS contaminated
+           |FROM test t LEFT JOIN sims s ON t.vec_id = s.vec_id
+           |ORDER BY t.vec_id""".stripMargin),
+    ) { (s, dir) =>
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val cents = e.filter(col("vec_id") < KSeeds)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+      embedDecontaminate(s,
+        e.filter(col("vec_id") < DecontamSplit),
+        e.filter(col("vec_id") >= DecontamSplit),
+        cents, 0.45)
         .orderBy("vec_id")
     },
 
