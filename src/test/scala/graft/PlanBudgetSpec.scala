@@ -270,6 +270,16 @@ class PlanBudgetSpec extends AnyFunSuite {
     assert(hashExchanges(p) == 2, s"plan:\n$p")
   }
 
+  test("q_embed_decontaminate assigns cells by broadcast and joins cell-keyed") {
+    val p = plan("q_embed_decontaminate")
+    // Cell assignment must come from the packed-centroid broadcast
+    // (BroadcastNestedLoopJoin against the 1-row pack is that
+    // crossJoin) — the corpora themselves never shuffle to be
+    // assigned; the test×train pair join is a keyed join on cell_id.
+    assert(p.contains("Broadcast"), s"plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+  }
+
   test("q_dedup_near_incremental joins band keys — never a cross product") {
     val p = plan("q_dedup_near_incremental")
     // Candidates come from the (band_id, band_key) equi-join of the
