@@ -37,4 +37,27 @@ object DocStream {
     }
     banded.dropDuplicatesWithinWatermark("content_hash")
   }
+
+  /** Streaming incremental dedup against a STATIC base corpus — the
+    * streaming face of q_dedup_incremental: documents arriving on the
+    * stream are deduplicated within the stream (watermark-bounded
+    * state, exactly like [[ingest]]) and then anti-joined against the
+    * base corpus's content-hash table, so only genuinely-new content
+    * survives to the sink. The base side is a batch frame (in
+    * production: the persisted hash index of yesterday's corpus);
+    * stream–static joins re-plan the static side per micro-batch, so
+    * a broadcast-sized hash index probes for free and a larger one
+    * degrades to a keyed lookup join — never a stateful stream join.
+    * Emitted columns are pure functions of the surviving text
+    * (hash + length), so within-stream dedup arrival races cannot
+    * affect a byte.
+    */
+  def dedupAgainstBase(docs: DataFrame, baseHashes: DataFrame): DataFrame =
+    docs
+      .withWatermark("ts", "2 hours")
+      .select(col("ts"), sha2(col("text"), 256).as("content_hash"),
+        length(col("text")).cast("long").as("n_chars"))
+      .dropDuplicatesWithinWatermark("content_hash")
+      .join(baseHashes, Seq("content_hash"), "left_anti")
+      .select("content_hash", "n_chars")
 }

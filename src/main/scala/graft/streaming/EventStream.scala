@@ -144,6 +144,50 @@ object EventStream {
         col("click_id"), col("purchase_ts"), col("click_ts"), col("value"))
   }
 
+  /** LAST-click attribution — the production attribution MODEL on top
+    * of the interval join: each purchase is credited to the single
+    * latest click in its preceding hour (ties by highest click id).
+    * This chains TWO stateful operators — the stream-stream interval
+    * join feeding a windowed aggregation keyed by (purchase window,
+    * purchase) — the multiple-stateful-operator shape Structured
+    * Streaming supports when the downstream agg is event-time
+    * windowed (an arbitrary groupBy(purchase_id) would be rejected:
+    * without a window the agg's state could never be finalized or
+    * GC'd). The agg emits once the watermark passes the purchase's
+    * window, so the bounded replay needs the same pass-both-filters
+    * sentinel as [[attributedOuter]] — and the sentinel's self-match
+    * lands in a year-2100 window that never finalizes, keeping it out
+    * of the sink by construction. The max(struct(click_ts, click_id))
+    * agg is the deterministic last-click pick; state per operator is
+    * join-window-bounded clicks + one row per open purchase window.
+    */
+  def attributedLast(events: DataFrame,
+      sentinelType: Option[String] = None): DataFrame = {
+    val wm = events.withWatermark("ts", "2 hours")
+    def keep(t: String) = sentinelType match {
+      case Some(st) => col("event_type").isin(t, st)
+      case None => col("event_type") === t
+    }
+    val clicks = wm
+      .filter(keep("click"))
+      .select(col("ts").as("click_ts"), col("user_id").as("click_user"),
+        col("event_id").as("click_id"))
+    val purchases = wm
+      .filter(keep("purchase"))
+      .select(col("ts").as("purchase_ts"), col("user_id").as("purchase_user"),
+        col("event_id").as("purchase_id"), col("value"))
+    purchases.join(clicks,
+      col("purchase_user") === col("click_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .groupBy(window(col("purchase_ts"), "1 hour"),
+        col("purchase_user"), col("purchase_id"), col("value"))
+      .agg(max(struct(col("click_ts"), col("click_id"))).as("last"))
+      .select(col("purchase_user").as("user_id"), col("purchase_id"),
+        col("last.click_id").as("last_click_id"),
+        col("last.click_ts").as("last_click_ts"), col("value"))
+  }
+
   private val GapUs: Long = 30L * 60 * 1000 * 1000
 
   /** java.sql.Timestamp ↔ epoch-micros, preserving the µs component

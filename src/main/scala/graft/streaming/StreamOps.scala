@@ -382,6 +382,89 @@ object StreamOps {
     },
 
     Q(
+      "q_stream_attrib_last",
+      "LAST-click attribution run END-TO-END as a real streaming job — " +
+        "TWO CHAINED STATEFUL OPERATORS: the stream-stream interval " +
+        "join feeds a windowed aggregation that credits each purchase " +
+        "to its single latest click (ties by highest click id, via " +
+        "max(struct(click_ts, click_id)) — deterministic, so the " +
+        "oracle is the batch window-rank SQL). The agg is keyed by " +
+        "the purchase's event-time window — the shape Structured " +
+        "Streaming requires for chained stateful operators, because " +
+        "it is what lets the watermark finalize and GC agg state — " +
+        "and emission therefore waits on the watermark: the sentinel " +
+        "passes both side filters (the q_stream_attrib_outer " +
+        "pushdown lesson), drives every real purchase window closed, " +
+        "and its own self-match sits in a year-2100 window that never " +
+        "finalizes. At 100 TB: click state bounded by the join " +
+        "window, agg state one row per open purchase window",
+      Some(
+        """WITH pairs AS (
+          |  SELECT p.user_id, p.event_id AS purchase_id,
+          |    c.event_id AS click_id, CAST(c.ts AS TIMESTAMP) AS click_ts,
+          |    p.value
+          |  FROM events p JOIN events c
+          |    ON c.user_id = p.user_id
+          |   AND p.event_type = 'purchase' AND c.event_type = 'click'
+          |   AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+          |   AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+          |), ranked AS (
+          |  SELECT user_id, purchase_id, click_id AS last_click_id,
+          |    click_ts AS last_click_ts, value,
+          |    row_number() OVER (PARTITION BY purchase_id
+          |      ORDER BY click_ts DESC, click_id DESC) AS rn
+          |  FROM pairs
+          |)
+          |SELECT user_id, purchase_id, last_click_id, last_click_ts, value
+          |FROM ranked WHERE rn = 1
+          |ORDER BY purchase_id""".stripMargin),
+    ) { (s, dir) =>
+      runToParquet(s,
+        EventStream.attributedLast(stagedEventsSource(s, dir),
+          sentinelType = Some("sentinel")))
+        .filter(col("user_id") >= 0) // defensive; the sentinel window never closes
+        .select("user_id", "purchase_id", "last_click_id",
+          "last_click_ts", "value")
+        .orderBy("purchase_id")
+    },
+
+    Q(
+      "q_stream_dedup_base",
+      "streaming incremental dedup against a STATIC base corpus run " +
+        "END-TO-END as a real streaming job — the streaming face of " +
+        "q_dedup_incremental: new documents on the stream are " +
+        "watermark-deduped within the stream, then LEFT-ANTI joined " +
+        "against the base corpus's content-hash table (stream–static " +
+        "join: the static side re-plans per micro-batch — a " +
+        "broadcast-sized hash index probes for free, a larger one " +
+        "degrades to a keyed lookup, never a stateful stream join), " +
+        "so only genuinely-new content reaches the sink. Emitted " +
+        "columns are pure functions of the surviving text, so " +
+        "within-stream arrival races cannot affect a byte and the " +
+        "oracle is the batch anti-join SQL",
+      Some(
+        """SELECT DISTINCT sha256(text) AS content_hash,
+          |  CAST(length(text) AS BIGINT) AS n_chars
+          |FROM documents
+          |WHERE doc_id >= 400
+          |  AND sha256(text) NOT IN
+          |    (SELECT sha256(text) FROM documents WHERE doc_id < 400)
+          |ORDER BY content_hash""".stripMargin),
+    ) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val baseHashes = docs.filter(col("doc_id") < 400)
+        .select(sha2(col("text"), 256).as("content_hash")).distinct()
+      val schema = docs.schema
+      val src = s.readStream.schema(schema)
+        .option("basePath", dir)
+        .parquet(s"$dir/documents.parquet*")
+        .filter(col("doc_id") >= 400)
+        .withColumn("ts", lit("2026-01-01 00:00:00").cast("timestamp"))
+      runToParquet(s, DocStream.dedupAgainstBase(src, baseHashes))
+        .orderBy("content_hash")
+    },
+
+    Q(
       "q_stream_embed",
       "streaming embedding ingestion run END-TO-END as a real " +
         "streaming job (file source → EmbedStream.assigned cell " +

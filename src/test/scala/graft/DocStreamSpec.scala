@@ -56,4 +56,27 @@ class DocStreamSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("dedupAgainstBase drops base-known content and within-stream repeats") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[Doc]
+    val base = Seq(longA).toDF("text")
+      .select(sha2(col("text"), 256).as("content_hash")).distinct()
+    val q = DocStream.dedupAgainstBase(src.toDF(), base)
+      .writeStream.format("memory").queryName("dedup_base_out")
+      .outputMode("append").start()
+    try {
+      src.addData(
+        Doc(ts(0), 10, longA),  // known to the base: anti-joined away
+        Doc(ts(1), 11, longB),  // new content: survives
+        Doc(ts(2), 12, longB))  // within-stream repeat: deduped
+      q.processAllAvailable()
+      val out = spark.table("dedup_base_out").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      val expectHash = Seq(longB).toDF("text")
+        .select(sha2(col("text"), 256)).head().getString(0)
+      assert(out.toSeq == Seq((expectHash, longB.length.toLong)))
+    } finally q.stop()
+  }
 }

@@ -158,6 +158,33 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("attributedLast: multi-click purchase credits the latest click; ties break by id") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = EventStream.attributedLast(src.toDF(), sentinelType = Some("sentinel"))
+      .writeStream.format("memory").queryName("attr_last_out")
+      .outputMode("append").start()
+    try {
+      src.addData(
+        Ev(ts(0), 1, "click", 0.0, 100),
+        Ev(ts(30), 1, "click", 0.0, 101),   // later click: must win
+        Ev(ts(40), 1, "purchase", 9.0, 102),
+        Ev(ts(50), 2, "click", 0.0, 200),
+        Ev(ts(50), 2, "click", 0.0, 201),   // same ts: higher id must win
+        Ev(ts(60), 2, "purchase", 5.0, 202))
+      q.processAllAvailable()
+      // The windowed agg waits on the watermark — nothing may emit yet.
+      assert(spark.table("attr_last_out").isEmpty)
+      src.addData(Ev(ts(100000), -1, "sentinel", 0.0, -1))
+      q.processAllAvailable()
+      val rows = spark.table("attr_last_out")
+        .select("user_id", "purchase_id", "last_click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set((1L, 102L, 101L), (2L, 202L, 201L)))
+    } finally q.stop()
+  }
+
   test("sessionizedState: state survives a checkpointed restart") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
