@@ -646,6 +646,51 @@ object DedupOps {
     },
 
     Q(
+      "q_dedup_cluster_incremental",
+      "incremental duplicate-CLUSTER maintenance — the third " +
+        "incremental dedup face (exact: q_dedup_incremental, near: " +
+        "q_dedup_near_incremental, clusters: this): yesterday's " +
+        "labels are compressed to label-STAR edges (doc → its " +
+        "cluster's min-id canonical, one edge per labeled doc — " +
+        "connectivity-equivalent to yesterday's full pair set but " +
+        "|docs| edges instead of |pairs|, and star diameter 2 makes " +
+        "the fixpoint converge in ~2 rounds regardless of how " +
+        "stringy yesterday's clusters were), unioned with only the " +
+        "batch-touching new pairs, and min-label propagation merges " +
+        "them. The output is PROVABLY the full-corpus recompute — so " +
+        "the oracle IS q_dedup_cluster's recursive-CTE SQL, and the " +
+        "driver's hash compare is the incremental==batch equality " +
+        "proof. In production yesterday's labels come from storage; " +
+        "the base pair join here stands in for that read",
+      Some(
+        s"""WITH RECURSIVE $minhashPairsSqlCte,
+           |${ccSqlCte()}
+           |SELECT label AS cluster_id, count(*) AS n_docs,
+           |  CAST(max(doc_id) AS BIGINT) AS max_doc_id
+           |FROM final GROUP BY label
+           |ORDER BY cluster_id""".stripMargin),
+    ) { (s, dir) =>
+      val pairs = minhashPairs(s, dir)
+        .filter(col("est_jaccard") >= CcEdgeThreshold)
+        .localCheckpoint() // split into yesterday/today below
+      // Yesterday's state: labels over base-only pairs (production
+      // reads these from the label table instead of recomputing).
+      val baseLabels = ccMinLabels(
+        pairs.filter(col("doc_b") < 400).select("doc_a", "doc_b"))
+      // Star compression: every labeled doc hangs off its canonical.
+      // label = min id of the component, so (label, doc) is ordered
+      // (doc_a < doc_b) like every other pair edge.
+      val starEdges = baseLabels
+        .filter(col("doc_id") =!= col("label"))
+        .select(col("label").as("doc_a"), col("doc_id").as("doc_b"))
+      val newPairs = pairs.filter(col("doc_b") >= 400).select("doc_a", "doc_b")
+      ccMinLabels(starEdges.unionAll(newPairs))
+        .groupBy(col("label").as("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc_id"))
+        .orderBy("cluster_id")
+    },
+
+    Q(
       "q_substr_dup",
       "exact-substring duplication fraction (the Lee-et-al ExactSubstr " +
         "signal at char-20-gram granularity): every character 20-gram " +

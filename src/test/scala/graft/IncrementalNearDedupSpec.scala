@@ -33,4 +33,20 @@ class IncrementalNearDedupSpec extends AnyFunSuite {
     assert(incremental.exists(_._1 >= 400L),
       "no batch-batch pair — the batch self-join side found nothing")
   }
+
+  test("incremental cluster maintenance equals the full recompute, and merges across the boundary") {
+    def clusters(name: String): Seq[(Long, Long, Long)] =
+      SparkEntry.queries(name)(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val incremental = clusters("q_dedup_cluster_incremental")
+    val full = clusters("q_dedup_cluster")
+    assert(incremental.nonEmpty)
+    assert(incremental === full,
+      "label-star merge diverged from the full-corpus recompute")
+    // The merge must actually unite yesterday's clusters with batch
+    // docs — a cluster canonicalized in the base whose members now
+    // include a batch doc.
+    assert(incremental.exists { case (cid, _, maxDoc) => cid < 400L && maxDoc >= 400L },
+      "no cluster spans the base/batch boundary — the merge path is untested by this corpus")
+  }
 }
