@@ -146,38 +146,57 @@ object AnnOps {
     * train corpus. Spliced into the oracle SQL. */
   private[graft] val DecontamSplit = 100L
 
+  /** q_embed_decontaminate's test-side probe width (IVF nprobe). */
+  private[graft] val DecontamNProbe = 2
+
   /** Cross-corpus embedding decontamination core (q_embed_decontaminate;
     * the planted-paraphrase spec calls it with synthetic frames): both
     * corpora are routed to shared coarse cells via the zero-shuffle
     * broadcast-argmin assignment, then ONLY same-cell test×train pairs
     * are cosine-scored. Returns one row per TEST vector:
-    * (vec_id, cell_id, n_train_matches, max_cos — null when clean,
-    * contaminated 0/1). Pair cost is Σ|cell_test|·|cell_train|, never
-    * |test|·|train|; the match agg keys on test vec_id only.
+    * (vec_id, cell_id — the PRIMARY (nearest) cell, n_train_matches,
+    * max_cos — null when clean, contaminated 0/1).
+    *
+    * `nprobe` is the recall knob for the boundary case where a
+    * paraphrase pair straddles a cell boundary: each TEST vector
+    * probes its nprobe nearest cells (sorted-slice routing, the
+    * q_simsearch_ivf pattern — still pure per-row work against the
+    * packed broadcast) while train vectors stay in exactly one cell,
+    * so any pair still meets at most once and the match count never
+    * double-counts. Pair cost grows to nprobe·Σ|cell_test|·|cell_train|
+    * — the same recall/cost dial as IVF search.
     */
   private[graft] def embedDecontaminate(
       s: SparkSession,
       test: org.apache.spark.sql.DataFrame,
       train: org.apache.spark.sql.DataFrame,
       cents: org.apache.spark.sql.DataFrame,
-      threshold: Double): org.apache.spark.sql.DataFrame = {
+      threshold: Double,
+      nprobe: Int = 1): org.apache.spark.sql.DataFrame = {
     val packed = broadcast(packCents(cents))
     def assign(df: org.apache.spark.sql.DataFrame) = df.crossJoin(packed)
       .withColumn("cell_id",
         graft.functions.CentAssign.argminL2(s, "embedding", "cs"))
       .select(col("vec_id"), col("cell_id"), col("embedding"))
-    val t = assign(test)
-      .select(col("cell_id"), col("vec_id"), col("embedding").as("te"))
+    // Test side probes its nprobe nearest cells; the reported cell_id
+    // stays the primary one (rn=1 twin in the oracle).
+    val tProbes = test
+      .withColumn("vn2", normSq(col("embedding")))
+      .crossJoin(packed)
+      .withColumn("cell", explode(slice(array_sort(centMetrics), 1, nprobe)))
+      .select(col("cell.cent_id").as("cell_id"), col("vec_id"),
+        col("embedding").as("te"))
     val r = assign(train)
       .select(col("cell_id"), col("vec_id").as("train_id"), col("embedding").as("re"))
     // Scores shrink to (vec_id, cs) before the agg — embeddings never
-    // ride through the match aggregation.
-    val sims = t.join(r, Seq("cell_id"))
+    // ride through the match aggregation. Train lives in ONE cell, so
+    // a pair meets at most once even under multi-probe routing.
+    val sims = tProbes.join(r, Seq("cell_id"))
       .select(col("vec_id"), cosSim(s, "te", "re").as("cs"))
       .filter(col("cs") >= threshold)
       .groupBy("vec_id")
       .agg(count(lit(1)).as("n_train_matches"), max(col("cs")).as("max_cos"))
-    t.select(col("vec_id"), col("cell_id"))
+    assign(test).select(col("vec_id"), col("cell_id"))
       .join(sims, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell_id"),
         coalesce(col("n_train_matches"), lit(0L)).as("n_train_matches"),
@@ -656,28 +675,33 @@ object AnnOps {
         "join cost Σ|cell_test|·|cell_train|, never |test|·|train|. " +
         "Per test vector: match count, max cosine (null when clean), " +
         "contaminated verdict at ≥ 0.45 (synthetic-corpus threshold, " +
-        "see q_embed_dup; real corpora ~0.95+). The same-cell " +
-        "restriction is the SemDeDup trade: a paraphrase routed to a " +
-        "neighboring cell is missed — nprobe>1 routing is the recall " +
-        "knob, same as the IVF search path",
+        "see q_embed_dup; real corpora ~0.95+). Each test vector " +
+        s"probes its $DecontamNProbe nearest cells (the IVF nprobe " +
+        "recall knob, mitigating the boundary-straddling-paraphrase " +
+        "miss; train stays single-cell so no pair double-counts); " +
+        "reported cell_id is the primary cell",
       Some(
         s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
            |cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM e WHERE vec_id < $KSeeds),
-           |assign AS (
-           |  SELECT vec_id, cent_id AS cell_id, embedding FROM (
+           |routed AS (
+           |  SELECT vec_id, cent_id AS cell_id, embedding, rn FROM (
            |    SELECT e.vec_id, c.cent_id, e.embedding,
            |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
            |        $d2Sql,
            |        c.cent_id) AS rn
-           |    FROM e CROSS JOIN cents c) WHERE rn = 1
+           |    FROM e CROSS JOIN cents c) WHERE rn <= $DecontamNProbe
            |), test AS (
-           |  SELECT vec_id, cell_id, embedding FROM assign WHERE vec_id < $DecontamSplit
+           |  SELECT vec_id, cell_id, embedding FROM routed
+           |  WHERE vec_id < $DecontamSplit AND rn = 1
+           |), probes AS (
+           |  SELECT vec_id, cell_id, embedding FROM routed WHERE vec_id < $DecontamSplit
            |), train AS (
-           |  SELECT vec_id, cell_id, embedding FROM assign WHERE vec_id >= $DecontamSplit
+           |  SELECT vec_id, cell_id, embedding FROM routed
+           |  WHERE vec_id >= $DecontamSplit AND rn = 1
            |), scored AS (
            |  SELECT t.vec_id AS vec_id,
            |    ${cosSimSql("t.embedding", "r.embedding")} AS cs
-           |  FROM test t JOIN train r ON t.cell_id = r.cell_id
+           |  FROM probes t JOIN train r ON t.cell_id = r.cell_id
            |), sims AS (
            |  SELECT vec_id, count(*) AS n_train_matches, max(cs) AS max_cos
            |  FROM scored WHERE cs >= 0.45 GROUP BY vec_id
@@ -696,7 +720,7 @@ object AnnOps {
       embedDecontaminate(s,
         e.filter(col("vec_id") < DecontamSplit),
         e.filter(col("vec_id") >= DecontamSplit),
-        cents, 0.45)
+        cents, 0.45, nprobe = DecontamNProbe)
         .orderBy("vec_id")
     },
 

@@ -63,6 +63,33 @@ class EmbedDecontamSpec extends AnyFunSuite {
     assert(clean.isNullAt(3), "clean doc must report null max_cos")
   }
 
+  test("nprobe=2 catches a boundary-straddling paraphrase that nprobe=1 misses") {
+    import spark.implicits._
+    // Two centroids: c0 on axis 0, c1 between axes 0 and 20. The
+    // train original sits clearly in c0's cell; the paraphrase is
+    // nudged toward c1 just enough that its PRIMARY cell is c1 while
+    // the original's cell is only its second-nearest — the classic
+    // cell-boundary miss.
+    def v(pairs: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(dim)(0.0f); pairs.foreach { case (i, x) => a(i) = x }; a
+    }
+    val cents = Seq(
+      (0L, v(0 -> 1.0f)),
+      (1L, v(0 -> 0.7f, 20 -> 0.7f))).toDF("cent_id", "ce")
+    val train = Seq((100L, v(0 -> 1.0f, 20 -> 0.28f))).toDF("vec_id", "embedding")
+    val test = Seq((1L, v(0 -> 0.9f, 20 -> 0.45f))).toDF("vec_id", "embedding")
+    val single = AnnOps.embedDecontaminate(spark, test, train, cents, 0.45, nprobe = 1)
+      .collect().head
+    assert(single.getLong(1) == 1L, "planted paraphrase must route primarily to c1")
+    assert(single.getLong(4) == 0L,
+      "nprobe=1 unexpectedly caught the straddler — the plant no longer straddles")
+    val multi = AnnOps.embedDecontaminate(spark, test, train, cents, 0.45, nprobe = 2)
+      .collect().head
+    assert(multi.getLong(1) == 1L, "reported cell must stay the primary cell")
+    assert(multi.getLong(4) == 1L, "nprobe=2 must catch the boundary-straddling paraphrase")
+    assert(multi.getDouble(3) > 0.9)
+  }
+
   test("threshold is exact: a pair at cosine just under t stays clean") {
     import spark.implicits._
     val cents = Seq((0L, vec(0, 0.0f))).toDF("cent_id", "ce")
