@@ -37,6 +37,14 @@ object AnnOps {
   private val NProbe = 4
   private val KSeeds = 8
 
+  /** q_knn_graph: neighbors per vector and query-side probe width. */
+  private val KnnK = 5
+  private val KnnNProbe = 2
+
+  /** q_embed_prune: fraction of each cell pruned (the MOST
+    * prototypical examples drop first, per SSL-prototypes). */
+  private val PruneFrac = 0.3
+
   // Product quantization (q_embed_pq / q_pq_search). Declared BEFORE
   // `val all`: the oracle strings are built eagerly at object init, so
   // these must already be initialized when pqChainSql runs.
@@ -1296,6 +1304,201 @@ object AnnOps {
         .select(col("probe_id"), col("vec_id").as("neighbor_id"),
           col("adist"), col("rank"))
         .orderBy("probe_id", "rank")
+    },
+
+    Q(
+      "q_knn_graph",
+      s"k-NN GRAPH construction (k=$KnnK) — every vector is a query, " +
+        "not just a fixed probe set: the graph that graph-based dedup, " +
+        "label propagation and SSL curation consume. Both sides route " +
+        "to shared coarse cells by the zero-shuffle broadcast-argmin " +
+        s"assignment; each query probes its $KnnNProbe nearest cells " +
+        "(IVF recall knob) while corpus vectors stay in exactly one " +
+        "cell, so a pair meets at most once. Pair cost is " +
+        "nprobe·Σ|cell|², never n²; the per-query top-k window's " +
+        "exchange is the only corpus-sized shuffle and doubles as the " +
+        "output distribution. At 100 TB k grows ~√n so cells stay " +
+        "bounded — the same dial as q_simsearch_ivf, paid once to " +
+        "materialize the whole graph instead of per query",
+      Some(
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+           |cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM e WHERE vec_id < $KSeeds),
+           |routed AS (
+           |  SELECT vec_id, cent_id AS cell_id, embedding, rn FROM (
+           |    SELECT e.vec_id, c.cent_id, e.embedding,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        $d2Sql,
+           |        c.cent_id) AS rn
+           |    FROM e CROSS JOIN cents c) WHERE rn <= $KnnNProbe
+           |), corpus AS (
+           |  SELECT vec_id AS neighbor_id, cell_id, embedding FROM routed WHERE rn = 1
+           |), queries AS (
+           |  SELECT vec_id, cell_id, embedding FROM routed
+           |), scored AS (
+           |  SELECT q.vec_id, c.neighbor_id,
+           |    ${cosSimSql("q.embedding", "c.embedding")} AS cos_sim
+           |  FROM queries q JOIN corpus c
+           |    ON q.cell_id = c.cell_id AND c.neighbor_id <> q.vec_id
+           |), ranked AS (
+           |  SELECT vec_id, neighbor_id, cos_sim,
+           |    row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY cos_sim DESC, neighbor_id) AS rank
+           |  FROM scored)
+           |SELECT vec_id, neighbor_id, cos_sim, rank
+           |FROM ranked WHERE rank <= $KnnK
+           |ORDER BY vec_id, rank""".stripMargin),
+    ) { (s, dir) =>
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val cents = e.filter(col("vec_id") < KSeeds)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+      val packed = broadcast(packCents(cents))
+      // Corpus side lives in its single nearest cell (fused argmin);
+      // the query side fans out to its nprobe nearest cells via the
+      // sorted-slice routing — both pure per-row work against the
+      // packed broadcast, the corpus never shuffles for assignment.
+      val corpus = e.crossJoin(packed)
+        .withColumn("cell_id",
+          graft.functions.CentAssign.argminL2(s, "embedding", "cs"))
+        .select(col("cell_id"), col("vec_id").as("neighbor_id"),
+          col("embedding").as("ne"))
+      val queries = e.withColumn("vn2", normSq(col("embedding")))
+        .crossJoin(packed)
+        .withColumn("cell", explode(slice(array_sort(centMetrics), 1, KnnNProbe)))
+        .select(col("cell.cent_id").as("cell_id"), col("vec_id"),
+          col("embedding").as("qe"))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      // Scores shrink to (ids, cos) before the ranking window —
+      // embeddings never ride through the top-k exchange.
+      queries.join(corpus, Seq("cell_id"))
+        .filter(col("neighbor_id") =!= col("vec_id"))
+        .select(col("vec_id"), col("neighbor_id"),
+          cosSim(s, "qe", "ne").as("cos_sim"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= KnnK)
+        .orderBy("vec_id", "rank")
+    },
+
+    Q(
+      "q_embed_prune",
+      "density/prototypicality pruning (SSL-prototypes, DataComp): " +
+        s"assign every vector to its nearest of $KSeeds seeded cells " +
+        "by cosine (zero-shuffle broadcast-argmin), then drop the " +
+        s"${(PruneFrac * 100).toInt}% MOST prototypical (highest " +
+        "cos-to-centroid) per cell — easy, redundant examples prune " +
+        "first, per-point-vs-centroid cost instead of SemDeDup's " +
+        "pairwise Σ|cell|². The per-cell ranking window is the only " +
+        "corpus shuffle, keyed by cell; keep decisions depend only on " +
+        "the cell's own ranking so new cells prune independently at " +
+        "100 TB. Emits every vector with its keep verdict",
+      Some(
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+           |cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM e WHERE vec_id < $KSeeds),
+           |assigned AS (
+           |  SELECT vec_id, cent_id AS cell_id, cos_sim FROM (
+           |    SELECT e.vec_id, c.cent_id,
+           |      ${cosSimSql("embedding", "ce")} AS cos_sim,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        ${cosSimSql("embedding", "ce")} DESC,
+           |        c.cent_id) AS rn
+           |    FROM e CROSS JOIN cents c) WHERE rn = 1
+           |), ranked AS (
+           |  SELECT vec_id, cell_id, cos_sim,
+           |    row_number() OVER (PARTITION BY cell_id
+           |      ORDER BY cos_sim DESC, vec_id) AS rn,
+           |    count(*) OVER (PARTITION BY cell_id) AS n
+           |  FROM assigned)
+           |SELECT vec_id, cell_id, cos_sim AS cos_to_centroid,
+           |  CASE WHEN rn > ceil(n * $PruneFrac) THEN CAST(1 AS BIGINT)
+           |       ELSE CAST(0 AS BIGINT) END AS kept
+           |FROM ranked ORDER BY vec_id""".stripMargin),
+    ) { (s, dir) =>
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val cents = e.filter(col("vec_id") < KSeeds)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+      // array_min over (−cos, cent_id) structs = argmax cosine with
+      // cent_id tiebreak — and carries the achieved cosine out, which
+      // the fused id-only argmin can't; 0.0−(0.0−r) restores the 6dp
+      // cosine exactly.
+      val assigned = e
+        .withColumn("vn", sqrt(normSq(col("embedding"))))
+        .crossJoin(broadcast(packCents(cents)))
+        .withColumn("best", array_min(negCosMetrics))
+        .select(col("vec_id"), col("best.cent_id").as("cell_id"),
+          (lit(0.0) - col("best.m")).as("cos_to_centroid"))
+      val byCell = Window.partitionBy("cell_id")
+      val w = byCell.orderBy(col("cos_to_centroid").desc, col("vec_id"))
+      assigned
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(byCell))
+        .select(col("vec_id"), col("cell_id"), col("cos_to_centroid"),
+          when(col("rn") > ceil(col("n") * lit(PruneFrac)), 1L)
+            .otherwise(0L).as("kept"))
+        .orderBy("vec_id")
+    },
+
+    Q(
+      "q_simsearch_filtered",
+      "FILTERED vector search (metadata predicate + ANN, the " +
+        "production 'search within label' shape): IVF cell pruning " +
+        s"($NumCells cells, nprobe=$NProbe) composes with a label " +
+        "equality filter applied to candidates BEFORE the cosine " +
+        "re-rank — selectivities multiply, per-probe touch = " +
+        "(nprobe/cells)·(1/|labels|) of the corpus. At 100 TB the " +
+        "deployed twin hive-partitions the IVF layout by (cell_id, " +
+        "label) — q_ivf_layout's directory pruning then serves BOTH " +
+        "predicates before a single row is read. Post-filtering " +
+        "(rank first, filter after) would under-fill k; filtering " +
+        "before the window keeps k full whenever candidates exist",
+      Some {
+        s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+           |cents AS (
+           |  SELECT vec_id AS cent_id, embedding AS ce FROM e WHERE vec_id < $NumCells
+           |), assign AS (
+           |  SELECT vec_id, embedding, label, cent_id FROM (
+           |    SELECT e.vec_id, e.embedding, e.label, c.cent_id,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        ${cosSimSql("embedding", "ce")} DESC,
+           |        c.cent_id) AS rn
+           |    FROM e CROSS JOIN cents c) WHERE rn = 1
+           |), probe_cells AS (
+           |  SELECT vec_id AS probe_id, pe, plabel, cent_id FROM (
+           |    SELECT e.vec_id, e.embedding AS pe, e.label AS plabel, c.cent_id,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        ${cosSimSql("embedding", "ce")} DESC,
+           |        c.cent_id) AS rn
+           |    FROM e CROSS JOIN cents c
+           |    WHERE e.vec_id < $NumProbes) WHERE rn <= $NProbe
+           |), scored AS (
+           |  SELECT probe_id, a.vec_id AS neighbor_id,
+           |    ${cosSimSql("pe", "embedding")} AS cos_sim
+           |  FROM probe_cells p JOIN assign a ON a.cent_id = p.cent_id
+           |   AND a.vec_id <> p.probe_id AND a.label = p.plabel
+           |)$rankTopKSqlTail""".stripMargin
+      },
+    ) { (s, dir) =>
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding", "label")
+      val cents = e.filter(col("vec_id") < NumCells)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+      val packed = broadcast(packCents(cents))
+      val assign = e.crossJoin(packed)
+        .withColumn("cent_id",
+          graft.functions.CentAssign.argminCos(s, "embedding", "cs"))
+        .select(col("vec_id"), col("embedding"), col("label"), col("cent_id"))
+      val probeCells = e.filter(col("vec_id") < NumProbes)
+        .withColumn("vn", sqrt(normSq(col("embedding"))))
+        .crossJoin(packed)
+        .withColumn("cell", explode(slice(array_sort(negCosMetrics), 1, NProbe)))
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+          col("label").as("plabel"), col("cell.cent_id").as("cent_id"))
+      // Label predicate lands on the candidate stream right at the
+      // cell equi-join — before any cosine is computed or ranked.
+      rankTopK(broadcast(probeCells)
+        .join(assign, Seq("cent_id"))
+        .filter(col("vec_id") =!= col("probe_id")
+          && col("label") === col("plabel"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          cosSim(s, "pe", "embedding").as("cos_sim")))
     },
   )
 

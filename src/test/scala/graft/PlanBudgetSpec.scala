@@ -280,6 +280,43 @@ class PlanBudgetSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"plan:\n$p")
   }
 
+  test("q_knn_graph routes by broadcast argmin and pairs cell-keyed") {
+    val p = plan("q_knn_graph")
+    // Corpus-side cell assignment is the fused argmin against the
+    // packed broadcast; the query side fans out to nprobe cells via
+    // sorted-slice routing. The pair join must be an equi-join on
+    // cell_id — a cartesian here is the all-pairs n² failure mode.
+    assert(p.contains("cent_argmin"), s"fused argmin must drive assignment, plan:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"centroid pack must broadcast, plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+  }
+
+  test("q_embed_prune shuffles once — the per-cell ranking window") {
+    val p = plan("q_embed_prune")
+    // Assignment is pure per-row work against the packed broadcast;
+    // the ONLY hash exchange is the cell-keyed window that ranks
+    // prototypicality (the output sort adds a range exchange).
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"centroid pack must broadcast, plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    assert(hashExchanges(p) == 1, s"plan:\n$p")
+  }
+
+  test("q_simsearch_filtered keeps the label predicate below the ranking window") {
+    val p = plan("q_simsearch_filtered")
+    assert(p.contains("cent_argmin"), s"fused argmin must drive assignment, plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    // Candidate pruning joins stay broadcast (probe cells are tiny);
+    // the label filter must sit below (after, in plan text) the
+    // row_number window so k fills from filtered candidates.
+    assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
+    val winIdx = p.indexOf("Window")
+    val labelIdx = p.lastIndexOf("(label")
+    assert(winIdx >= 0 && labelIdx > winIdx,
+      s"label filter must be below the top-k window, plan:\n$p")
+  }
+
   test("q_dedup_near_incremental joins band keys — never a cross product") {
     val p = plan("q_dedup_near_incremental")
     // Candidates come from the (band_id, band_key) equi-join of the
