@@ -14,6 +14,7 @@ object SparkEntry {
       operators.DedupOps.all ++
       operators.AnnOps.all ++
       operators.TextOps.all ++
+      operators.GraphOps.all ++
       operators.MultimodalOps.all ++
       streaming.StreamOps.all
 

@@ -1,0 +1,281 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the item-transition graph derived from
+  * `events`: each user's event sequence (ordered by ts, event_id)
+  * yields directed edges `prev_item -> item` where item is the
+  * integer `props.$.k` payload. This is the classic clickstream /
+  * next-item Markov graph — nodes are catalog items (bounded by
+  * catalog size, NOT by event volume), edge weights are transition
+  * counts.
+  *
+  * The reference has no graph surface (SURVEY.md §2 is MapReduce
+  * word-count/grep parity); these are the graph extensions a
+  * training-data pipeline needs — PageRank for importance weighting
+  * and degree-oriented triangle counting for community density — both
+  * expressed as declarative keyed joins/aggs so Catalyst plans plain
+  * shuffles, never a driver-side adjacency structure.
+  *
+  * Scale: edge construction is one window pass keyed by user_id (the
+  * q_events_sessions shuffle shape) followed by an (a, b)-keyed agg
+  * whose output is bounded by distinct observed transitions, not by
+  * event count. Every fixpoint round is edge-keyed join + node-keyed
+  * agg; per-round state is `localCheckpoint`ed exactly like
+  * [[DedupOps.ccMinLabels]] and `AnnOps.trainKMeans`, and the only
+  * scalar ever materialized driver-side is nothing at all — node
+  * count and dangling mass travel as broadcast 1-row DataFrames.
+  */
+object GraphOps {
+
+  /** Fixed PageRank rounds — mirrored by the unrolled oracle CTEs in
+    * [[prRoundsSqlCte]]; both sides round each iterate to 9dp so the
+    * only cross-engine divergence (float SUM order) is absorbed by
+    * the rounding grid, the q_cooccur/q_lm_score precedent. */
+  private[graft] val PrRounds = 5
+  private[graft] val PrDamp = 0.85
+
+  /** q_triangles keeps the top-E undirected edges by (weight, pair) —
+    * a deterministic TakeOrderedAndProject (per-partition top-E,
+    * driver merge of E×partitions rows), NOT a global window, so the
+    * selection stays scale-safe when the edge set outgrows one
+    * partition. */
+  private[graft] val TriTopEdges = 400
+
+  /** (user-ordered) item transitions: a = lag(item), b = item. */
+  private[graft] def transitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .select(lag(col("item"), 1).over(w).as("a"), col("item").as("b"))
+      .filter(col("a").isNotNull)
+  }
+
+  /** Directed weighted edge list (a, b, n), one keyed agg over the
+    * transition stream; output bounded by distinct item pairs. */
+  private[graft] def edgesOf(s: SparkSession, dir: String): DataFrame =
+    transitions(s, dir).groupBy("a", "b").agg(count(lit(1)).as("n"))
+
+  /** Top-E undirected edge selection for q_triangles, pre-checkpoint
+    * so GraphSpec can pin its TakeOrderedAndProject plan shape. */
+  private[graft] def topEdges(s: SparkSession, dir: String): DataFrame =
+    transitions(s, dir)
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("wa"),
+        greatest(col("a"), col("b")).as("wb"))
+      .groupBy("wa", "wb").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("wa"), col("wb"))
+      .limit(TriTopEdges)
+      .select("wa", "wb")
+
+  /** Shared SQL prefix: ev → trans → edges CTEs (splice under WITH). */
+  private val edgesSqlCte: String =
+    """ev AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+      |  FROM events
+      |), trans AS (
+      |  SELECT lag(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS a,
+      |    item AS b
+      |  FROM ev
+      |), edges AS (
+      |  SELECT a, b, count(*) AS n FROM trans WHERE a IS NOT NULL GROUP BY a, b
+      |)""".stripMargin
+
+  /** Weighted PageRank, one declarative round: contrib(b) = Σ_a
+    * r(a)·p(a→b) (edge-keyed join, node-keyed agg), dangling mass as
+    * a broadcast 1-row sum, new iterate rounded to 9dp. Returns
+    * (node, r) for `rounds` rounds from the uniform start.
+    *
+    * All driver-free: node count and dangling mass stay in broadcast
+    * 1-row DataFrames, per-round lineage cut by localCheckpoint. */
+  private[graft] def pageRank(
+      s: SparkSession, edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.localCheckpoint()
+    val outw = e.groupBy("a").agg(sum("n").as("outw"))
+    // transition probability is an exact IEEE division of two longs —
+    // identical operands in both engines, so no rounding needed here
+    val eprob = e.join(outw, "a")
+      .select(col("a"), col("b"), (col("n") / col("outw")).as("p"))
+      .localCheckpoint()
+    val nodes = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val nCnt = nodes.agg(count(lit(1)).cast("double").as("nn"))
+    var ranks = nodes.crossJoin(broadcast(nCnt))
+      .select(col("node"), round(lit(1.0) / col("nn"), 9).as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val contrib = ranks.join(eprob, ranks("node") === eprob("a"))
+        .groupBy(col("b").as("cnode"))
+        .agg(sum(col("r") * col("p")).as("contrib"))
+      val dang = ranks.join(outw, ranks("node") === outw("a"), "left_anti")
+        .agg(coalesce(sum(col("r")), lit(0.0)).as("dang"))
+      ranks = ranks.select(col("node"))
+        .join(contrib, col("node") === col("cnode"), "left")
+        .crossJoin(broadcast(dang))
+        .crossJoin(broadcast(nCnt))
+        .select(col("node"),
+          round(
+            lit(1.0 - PrDamp) / col("nn") +
+              lit(PrDamp) * (coalesce(col("contrib"), lit(0.0)) +
+                col("dang") / col("nn")),
+            9).as("r"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
+  /** DuckDB twin of [[pageRank]]: unrolled r0..r`rounds` CTEs over the
+    * edges CTE, identical 9dp per-round rounding. Splice after
+    * [[edgesSqlCte]]. */
+  private[graft] def prRoundsSqlCte(rounds: Int): String = {
+    val head =
+      """outw AS (
+        |  SELECT a, CAST(sum(n) AS BIGINT) AS outw FROM edges GROUP BY a
+        |), eprob AS (
+        |  SELECT e.a, e.b, e.n / o.outw AS p FROM edges e JOIN outw o ON e.a = o.a
+        |), nodes AS (
+        |  SELECT DISTINCT a AS node FROM edges
+        |  UNION SELECT DISTINCT b FROM edges
+        |), nn AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM nodes),
+        |r0 AS (SELECT node, round(1.0 / nn, 9) AS r FROM nodes CROSS JOIN nn)""".stripMargin
+    val iters = (1 to rounds).map { i =>
+      val prev = s"r${i - 1}"
+      s"""r$i AS (
+         |  SELECT nd.node,
+         |    round((1.0 - $PrDamp) / nn.nn + $PrDamp * (
+         |      coalesce(c.contrib, 0) + dg.dang / nn.nn), 9) AS r
+         |  FROM nodes nd
+         |  CROSS JOIN nn
+         |  CROSS JOIN (SELECT coalesce(sum(r), 0) AS dang FROM $prev
+         |              WHERE node NOT IN (SELECT a FROM outw)) dg
+         |  LEFT JOIN (SELECT ep.b AS node, sum(rp.r * ep.p) AS contrib
+         |             FROM $prev rp JOIN eprob ep ON rp.node = ep.a
+         |             GROUP BY ep.b) c
+         |    ON nd.node = c.node
+         |)""".stripMargin
+    }
+    (head +: iters).mkString(",\n")
+  }
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "q_pagerank",
+      "weighted PageRank over the user→item transition graph (damping " +
+        s"$PrDamp, $PrRounds fixed rounds, dangling mass redistributed " +
+        "uniformly): edge build is one user-keyed window pass + an " +
+        "(a,b)-keyed agg bounded by distinct transitions; every round " +
+        "is an edge-keyed join + node-keyed agg with per-round " +
+        "localCheckpoint (the ccMinLabels/trainKMeans lineage " +
+        "discipline), and node count / dangling mass travel as " +
+        "broadcast 1-row aggregates — nothing ever collects to the " +
+        "driver. Per-round 9dp rounding pins both engines to the same " +
+        "grid so float SUM order cannot drift the oracle. At 100 TB " +
+        "ranks and edges shuffle on node keys; nothing here is " +
+        "event-volume-sized after the first agg",
+      Some(
+        s"""WITH $edgesSqlCte,
+           |${prRoundsSqlCte(PrRounds)}
+           |SELECT node AS item, round(r, 6) AS pr
+           |FROM r$PrRounds ORDER BY item""".stripMargin),
+    ) { (s, dir) =>
+      pageRank(s, edgesOf(s, dir), PrRounds)
+        .select(col("node").as("item"), round(col("r"), 6).as("pr"))
+        .orderBy("item")
+    },
+
+    Q(
+      "q_triangles",
+      "degree-oriented triangle counting + local clustering " +
+        s"coefficient on the top-$TriTopEdges undirected transition " +
+        "edges (selected by TakeOrderedAndProject on (weight, pair) — " +
+        "deterministic and scale-safe, no global window): edges are " +
+        "oriented from the (degree, id)-smaller endpoint so every " +
+        "wedge join fans out from the LOW-degree side — the classic " +
+        "Σd(v)² bound that keeps skewed hubs from exploding the " +
+        "self-join — and each triangle is found exactly once. " +
+        "Per-node counts come from exploding the (u,v,w) rows; " +
+        "coefficient = 2·tri/(deg·(deg−1)) on exact integer counts, " +
+        "one float ratio rounded at the boundary",
+      Some(
+        s"""WITH $edgesSqlCte,
+           |und AS (
+           |  SELECT least(a, b) AS wa, greatest(a, b) AS wb,
+           |    CAST(sum(n) AS BIGINT) AS n
+           |  FROM edges WHERE a <> b GROUP BY 1, 2
+           |), top AS (
+           |  SELECT wa, wb FROM und ORDER BY n DESC, wa, wb LIMIT $TriTopEdges
+           |), deg AS (
+           |  SELECT v, count(*) AS deg FROM (
+           |    SELECT wa AS v FROM top UNION ALL SELECT wb FROM top)
+           |  GROUP BY v
+           |), ori AS (
+           |  SELECT CASE WHEN da.deg < db.deg
+           |                OR (da.deg = db.deg AND t.wa < t.wb)
+           |           THEN t.wa ELSE t.wb END AS src,
+           |         CASE WHEN da.deg < db.deg
+           |                OR (da.deg = db.deg AND t.wa < t.wb)
+           |           THEN t.wb ELSE t.wa END AS dst
+           |  FROM top t
+           |  JOIN deg da ON t.wa = da.v
+           |  JOIN deg db ON t.wb = db.v
+           |), tri AS (
+           |  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+           |  FROM ori e1
+           |  JOIN ori e2 ON e1.dst = e2.src
+           |  JOIN ori e3 ON e3.src = e1.src AND e3.dst = e2.dst
+           |), pernode AS (
+           |  SELECT x AS v, count(*) AS n_tri FROM (
+           |    SELECT u AS x FROM tri
+           |    UNION ALL SELECT v FROM tri
+           |    UNION ALL SELECT w FROM tri)
+           |  GROUP BY x
+           |)
+           |SELECT d.v AS item, d.deg,
+           |  coalesce(p.n_tri, CAST(0 AS BIGINT)) AS n_tri,
+           |  round(CASE WHEN d.deg > 1
+           |    THEN 2.0 * coalesce(p.n_tri, 0) / (d.deg * (d.deg - 1))
+           |    ELSE 0.0 END, 6) AS clustering
+           |FROM deg d LEFT JOIN pernode p ON d.v = p.v
+           |ORDER BY item""".stripMargin),
+    ) { (s, dir) =>
+      val top = topEdges(s, dir)
+        .localCheckpoint() // reused 5×: degrees, both orient joins, wedges
+      val deg = top.select(col("wa").as("v"))
+        .unionAll(top.select(col("wb").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val lowFirst = col("da") < col("db") ||
+        (col("da") === col("db") && col("wa") < col("wb"))
+      val ori = top
+        .join(deg.select(col("v").as("va"), col("deg").as("da")), col("wa") === col("va"))
+        .join(deg.select(col("v").as("vb"), col("deg").as("db")), col("wb") === col("vb"))
+        .select(
+          when(lowFirst, col("wa")).otherwise(col("wb")).as("src"),
+          when(lowFirst, col("wb")).otherwise(col("wa")).as("dst"))
+        .localCheckpoint() // three-way self-joined below
+      val tri = ori.as("e1")
+        .join(ori.as("e2"), col("e1.dst") === col("e2.src"))
+        .join(ori.as("e3"),
+          col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+        .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
+      val pernode = tri
+        .select(explode(array(col("u"), col("v"), col("w"))).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("n_tri"))
+      deg.join(pernode.select(col("v").as("pv"), col("n_tri")),
+          col("v") === col("pv"), "left")
+        .select(col("v").as("item"), col("deg"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          round(when(col("deg") > 1,
+            lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
+              (col("deg") * (col("deg") - 1)))
+            .otherwise(lit(0.0)), 6).as("clustering"))
+        .orderBy("item")
+    },
+  )
+}

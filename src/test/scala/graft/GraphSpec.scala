@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+
+/** Cross-checks for GraphOps against independent plain-Scala
+  * references (the BpeTrainSpec/WinnowSpec discipline): PageRank vs a
+  * sequential loop with the identical 9dp-per-round grid, triangle
+  * counts vs an O(V·d²) adjacency-set counter, plus invariants
+  * (probability conservation) and the TakeOrderedAndProject plan pin
+  * for the top-edge selection.
+  */
+class GraphSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def r9(x: Double): Double =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).doubleValue
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
+
+  test("q_pagerank matches a sequential reference with the same rounding grid") {
+    val edges = operators.GraphOps.edgesOf(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val outw = edges.groupBy(_._1).map { case (a, es) => a -> es.map(_._3).sum }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.length.toDouble
+    var r = nodes.map(v => v -> r9(1.0 / n)).toMap
+    for (_ <- 1 to 5) {
+      val dang = r.filterNot { case (v, _) => outw.contains(v) }.values.sum
+      val contrib = edges.groupBy(_._2).map { case (b, es) =>
+        b -> es.map { case (a, _, w) => r(a) * (w.toDouble / outw(a)) }.sum
+      }
+      r = nodes.map { v =>
+        v -> r9(0.15 / n + 0.85 * (contrib.getOrElse(v, 0.0) + dang / n))
+      }.toMap
+    }
+    val got = SparkEntry.queries("q_pagerank")(spark, dir)
+      .collect().map(row => row.getLong(0) -> row.getDouble(1)).toMap
+    assert(got.keySet == r.keySet)
+    for ((v, x) <- r) assert(got(v) == r6(x), s"node $v")
+  }
+
+  test("q_pagerank conserves probability mass") {
+    val total = SparkEntry.queries("q_pagerank")(spark, dir)
+      .collect().map(_.getDouble(1)).sum
+    assert(math.abs(total - 1.0) < 1e-4, s"total rank $total")
+  }
+
+  test("q_triangles matches an adjacency-set reference") {
+    val top = operators.GraphOps.topEdges(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    for ((a, b) <- top) { adj(a) += b; adj(b) += a }
+    val nodes = adj.keys.toSeq.sorted
+    val triOf = nodes.map { v =>
+      // each of v's triangles = an edge between two of its neighbors
+      v -> top.count { case (a, b) => adj(v)(a) && adj(v)(b) }.toLong
+    }.toMap
+    val got = SparkEntry.queries("q_triangles")(spark, dir).collect()
+      .map { case Row(item: Long, deg: Long, nTri: Long, cc: Double) =>
+        item -> ((deg, nTri, cc))
+      }.toMap
+    assert(got.keySet == triOf.keySet)
+    for (v <- nodes) {
+      val (deg, nTri, cc) = got(v)
+      assert(deg == adj(v).size.toLong, s"deg of $v")
+      assert(nTri == triOf(v), s"n_tri of $v")
+      val expCc = if (deg > 1) r6(2.0 * triOf(v) / (deg * (deg - 1.0))) else 0.0
+      assert(cc == expCc, s"clustering of $v")
+    }
+  }
+
+  test("top-edge selection plans TakeOrderedAndProject, not a global sort") {
+    val p = operators.GraphOps.topEdges(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"plan:\n$p")
+  }
+}
