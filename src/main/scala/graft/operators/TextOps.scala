@@ -45,6 +45,15 @@ object TextOps {
     */
   private[graft] val MaxGramDf = 1000L
 
+  /** Champion-list depth for q_lexical_knn: each term's posting list
+    * is truncated to its top-K docs by (tf DESC, doc_id) before the
+    * pair join. Within one term df and the corpus size are constants,
+    * so ranking by tf is EXACTLY ranking by tf·idf — the pruning
+    * order is pure-integer and float noise can never flip which
+    * postings survive. Spliced into the oracle so both engines prune
+    * identically. */
+  private[graft] val ChampK = 64
+
   /** Top-K cap on q_vocab_ids' frequency-ranked vocabulary; tokens
     * outside the top K encode to the reserved OOV id K. The cap is
     * what keeps the ranking window, the broadcast id table, and the
@@ -672,6 +681,87 @@ object TextOps {
       scored.withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 5)
         .orderBy("lang", "rank")
+    },
+
+    Q(
+      "q_lexical_knn",
+      "lexical top-20 most-similar document pairs by TF-IDF cosine " +
+        "over an inverted index with CHAMPION-LIST pruning (the " +
+        "impact-ordered-postings trick): each term's posting list is " +
+        s"cut to its top-$ChampK docs by (tf DESC, doc_id) — within a " +
+        "term, df is constant, so tf-order IS tfidf-order and the " +
+        "pruning decision is pure-integer, float-tie-proof. The pair " +
+        s"join is term-keyed over champion lists only: ≤ vocab·$ChampK²/2 " +
+        "candidate pairs regardless of corpus size, vs the quadratic " +
+        "full inverted-index join. Doc norms use the FULL vectors (a " +
+        "doc-keyed agg) and join back unhinted — at 100 TB that " +
+        "degrades to two keyed shuffles, never a forced broadcast. " +
+        "The only float ordering is the final 6dp-rounded cosine " +
+        "top-20 via TakeOrderedAndProject, ties by pair ids — the " +
+        "lexical complement to the embedding-space q_simsearch family",
+      Some(
+        s"""WITH tok AS (
+           |  SELECT doc_id, term, count(*) AS tf FROM (
+           |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+           |    FROM documents)
+           |  GROUP BY doc_id, term
+           |), df AS (
+           |  SELECT term, count(*) AS df FROM tok GROUP BY term
+           |), n AS (SELECT count(*) AS n_docs FROM documents),
+           |wgt AS (
+           |  SELECT doc_id, tok.term AS term, tf,
+           |    tf * ln(CAST(n_docs AS DOUBLE) / df) AS w
+           |  FROM tok JOIN df ON tok.term = df.term CROSS JOIN n
+           |), nrm AS (
+           |  SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM wgt GROUP BY doc_id
+           |), champ AS (
+           |  SELECT doc_id, term, w FROM (
+           |    SELECT doc_id, term, w,
+           |      row_number() OVER (PARTITION BY term
+           |        ORDER BY tf DESC, doc_id) AS rk
+           |    FROM wgt) WHERE rk <= $ChampK
+           |), dots AS (
+           |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           |    sum(x.w * y.w) AS dot
+           |  FROM champ x JOIN champ y
+           |    ON x.term = y.term AND x.doc_id < y.doc_id
+           |  GROUP BY 1, 2
+           |)
+           |SELECT doc_a, doc_b,
+           |  round(dot / (a.nrm * b.nrm), 6) AS cosine
+           |FROM dots
+           |JOIN nrm a ON doc_a = a.doc_id
+           |JOIN nrm b ON doc_b = b.doc_id
+           |ORDER BY cosine DESC, doc_a, doc_b LIMIT 20""".stripMargin),
+    ) { (s, dir) =>
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(toks).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tok.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      val wgt = tok.join(df, "term").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"), col("tf"),
+          (col("tf") * log(col("n_docs").cast("double") / col("df"))).as("w"))
+      val nrm = wgt.groupBy("doc_id")
+        .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+      val champ = wgt
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("term").orderBy(col("tf").desc, col("doc_id"))))
+        .filter(col("rk") <= ChampK)
+        .select("doc_id", "term", "w")
+      val dots = champ.as("x")
+        .join(champ.as("y"),
+          col("x.term") === col("y.term") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(sum(col("x.w") * col("y.w")).as("dot"))
+      dots
+        .join(nrm.select(col("doc_id").as("doc_a"), col("nrm").as("na")), "doc_a")
+        .join(nrm.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          round(col("dot") / (col("na") * col("nb")), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("doc_a"), col("doc_b"))
+        .limit(20)
+        .orderBy(col("cosine").desc, col("doc_a"), col("doc_b"))
     },
 
     Q(
