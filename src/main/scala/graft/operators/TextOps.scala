@@ -54,6 +54,80 @@ object TextOps {
     * identically. */
   private[graft] val ChampK = 64
 
+  /** Per-lang sample size q_ppl_buckets fits its tercile cutoffs on.
+    * CCNet fits its perplexity-bucket thresholds on a sample too: the
+    * cutoff fit is the only ranked computation, and capping it keeps
+    * the per-lang rank window K-bounded no matter how large the
+    * corpus is (an uncapped per-lang NTILE would sort every document
+    * of a language inside ONE window partition). 64 < the ~100
+    * docs/lang at the sf0.01 gate, so the sampled-cutoff branch is
+    * genuinely exercised, not just the sample=corpus happy path.
+    * Spliced into the oracle so both engines fit on the same docs. */
+  private[graft] val PplSampleK = 64
+
+  /** Shared CTE chain computing `docll(doc_id, n_bigrams, avg_ll)` —
+    * the per-doc bigram-LM score of q_lm_score, reused verbatim by
+    * q_ppl_buckets so the score definition cannot drift between the
+    * two oracles. Mirrors [[lmDocLL]] exactly. */
+  private[graft] val LmDocCtes: String =
+    """tok AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+      |), bi AS (
+      |  SELECT doc_id, string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2 FROM (
+      |    SELECT doc_id, unnest(list_transform(range(len(t)-1),
+      |      i -> t[i+1] || ' ' || t[i+2])) AS bg
+      |    FROM tok WHERE len(t) >= 2)
+      |), bg AS (
+      |  SELECT doc_id, w1, w2, count(*) AS m FROM bi GROUP BY doc_id, w1, w2
+      |), c2 AS (
+      |  SELECT w1, w2, CAST(sum(m) AS BIGINT) AS n2 FROM bg GROUP BY w1, w2
+      |), c1 AS (
+      |  SELECT w1, CAST(sum(n2) AS BIGINT) AS n1 FROM c2 GROUP BY w1
+      |), scored AS (
+      |  SELECT b.doc_id, b.m,
+      |    round(ln(CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE)), 6) AS r
+      |  FROM bg b
+      |  JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+      |  JOIN c1 ON b.w1 = c1.w1
+      |), docll AS (
+      |  SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+      |    round(CAST(sum(m * CAST(round(r * 1000000000) AS BIGINT))
+      |      / 1000000000.0 / sum(m) AS DOUBLE), 6) AS avg_ll
+      |  FROM scored GROUP BY doc_id
+      |)""".stripMargin
+
+  /** Spark twin of [[LmDocCtes]]: per-doc mean bigram log-likelihood
+    * `(doc_id, n_bigrams, avg_ll)`, unordered. See q_lm_score's doc
+    * for the scale analysis of every stage in here. */
+  private def lmDocLL(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val bi = Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("t")) - 2),
+        i => struct(element_at(col("t"), i + 1).as("w1"),
+          element_at(col("t"), i + 2).as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.w2"))
+    // bg is the only corpus-derived stream that reaches the joins; the
+    // eager localCheckpoint materializes it once, so the corpus is
+    // exploded exactly ONCE and the stats rollup, prefix rollup, and
+    // scoring side all reuse the checkpoint (PlanBudgetSpec pins zero
+    // residual parquet scans in the final plan). At 100 TB swap
+    // localCheckpoint for a reliable checkpoint, same as
+    // q_dedup_cluster documents.
+    val bg = bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("m"))
+      .localCheckpoint()
+    val c2 = bg.groupBy("w1", "w2").agg(sum(col("m")).as("n2"))
+    val c1 = c2.groupBy("w1").agg(sum(col("n2")).as("n1"))
+    val scored = bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .withColumn("r",
+        round(log(col("n2").cast("double") / col("n1").cast("double")), 6))
+    scored.groupBy("doc_id")
+      .agg(sum(col("m")).as("n_bigrams"),
+        round((sum(col("m") * round(col("r") * 1e9, 0).cast("long"))
+          / 1e9 / sum(col("m"))).cast("double"), 6).as("avg_ll"))
+  }
+
   /** Top-K cap on q_vocab_ids' frequency-ranked vocabulary; tokens
     * outside the top K encode to the reserved OOV id K. The cap is
     * what keeps the ranking window, the broadcast id table, and the
@@ -822,58 +896,93 @@ object TextOps {
         "implausible token sequences, the standard pretraining " +
         "quality filter signal",
       Some(
-        """WITH tok AS (
-          |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
-          |), bi AS (
-          |  SELECT doc_id, string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2 FROM (
-          |    SELECT doc_id, unnest(list_transform(range(len(t)-1),
-          |      i -> t[i+1] || ' ' || t[i+2])) AS bg
-          |    FROM tok WHERE len(t) >= 2)
-          |), bg AS (
-          |  SELECT doc_id, w1, w2, count(*) AS m FROM bi GROUP BY doc_id, w1, w2
-          |), c2 AS (
-          |  SELECT w1, w2, CAST(sum(m) AS BIGINT) AS n2 FROM bg GROUP BY w1, w2
-          |), c1 AS (
-          |  SELECT w1, CAST(sum(n2) AS BIGINT) AS n1 FROM c2 GROUP BY w1
-          |), scored AS (
-          |  SELECT b.doc_id, b.m,
-          |    round(ln(CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE)), 6) AS r
-          |  FROM bg b
-          |  JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
-          |  JOIN c1 ON b.w1 = c1.w1
-          |)
-          |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
-          |  round(CAST(sum(m * CAST(round(r * 1000000000) AS BIGINT))
-          |    / 1000000000.0 / sum(m) AS DOUBLE), 6) AS avg_ll
-          |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+        s"""WITH $LmDocCtes
+           |SELECT doc_id, n_bigrams, avg_ll FROM docll ORDER BY doc_id""".stripMargin),
     ) { (s, dir) =>
-      val bi = Tables.documents(s, dir)
-        .select(col("doc_id"), toks.as("t"))
-        .filter(size(col("t")) >= 2)
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(0), size(col("t")) - 2),
-          i => struct(element_at(col("t"), i + 1).as("w1"),
-            element_at(col("t"), i + 2).as("w2")))).as("p"))
-        .select(col("doc_id"), col("p.w1"), col("p.w2"))
-      // bg is the only corpus-derived stream that reaches the joins; the
-      // eager localCheckpoint materializes it once, so the corpus is
-      // exploded exactly ONCE and the stats rollup, prefix rollup, and
-      // scoring side all reuse the checkpoint (PlanBudgetSpec pins zero
-      // residual parquet scans in the final plan). At 100 TB swap
-      // localCheckpoint for a reliable checkpoint, same as
-      // q_dedup_cluster documents.
-      val bg = bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("m"))
-        .localCheckpoint()
-      val c2 = bg.groupBy("w1", "w2").agg(sum(col("m")).as("n2"))
-      val c1 = c2.groupBy("w1").agg(sum(col("n2")).as("n1"))
-      val scored = bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
-        .withColumn("r",
-          round(log(col("n2").cast("double") / col("n1").cast("double")), 6))
-      scored.groupBy("doc_id")
-        .agg(sum(col("m")).as("n_bigrams"),
-          round((sum(col("m") * round(col("r") * 1e9, 0).cast("long"))
-            / 1e9 / sum(col("m"))).cast("double"), 6).as("avg_ll"))
-        .orderBy("doc_id")
+      lmDocLL(s, dir).orderBy("doc_id")
+    },
+
+    Q(
+      "q_ppl_buckets",
+      "CCNet perplexity buckets: every doc lands in its language's " +
+        "head/middle/tail LM-score tercile, the standard curriculum / " +
+        "filtering signal. The tercile CUTOFFS are fit on a per-lang " +
+        s"$PplSampleK-doc content-hash sample — exactly how CCNet " +
+        "fits them, and the scale move that makes this honest: an " +
+        "uncapped per-lang NTILE would drag every doc of a language " +
+        "into one window partition, while here the only rank windows " +
+        "run over the K-bounded sample (the hash-sample window is " +
+        "WindowGroupLimit-pruned map-side like q_stratified_sample). " +
+        "Cutoffs (#langs × 2 values) broadcast back to the full " +
+        "score stream, so bucketing the corpus is a per-row " +
+        "comparison with ZERO additional shuffles; the final rollup " +
+        "is a langs×3-bounded agg with a fixed-point mean so " +
+        "accumulation order can't smear the 6dp score",
+      Some(
+        s"""WITH $LmDocCtes,
+           |lab AS (
+           |  SELECT d.doc_id, d.lang, avg_ll, ${Portable.md5Hash60Sql("text")} AS h
+           |  FROM docll JOIN documents d ON docll.doc_id = d.doc_id
+           |), samp AS (
+           |  SELECT lang, doc_id, avg_ll FROM (
+           |    SELECT lang, doc_id, avg_ll,
+           |      row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS srk
+           |    FROM lab) WHERE srk <= $PplSampleK
+           |), cut AS (
+           |  SELECT lang,
+           |    max(CASE WHEN rk = (m+2)//3 THEN avg_ll END) AS c1,
+           |    max(CASE WHEN rk = (2*m+2)//3 THEN avg_ll END) AS c2
+           |  FROM (
+           |    SELECT lang, avg_ll,
+           |      row_number() OVER (PARTITION BY lang
+           |        ORDER BY avg_ll DESC, doc_id) AS rk,
+           |      count(*) OVER (PARTITION BY lang) AS m
+           |    FROM samp)
+           |  GROUP BY lang
+           |), bucketed AS (
+           |  SELECT lab.lang,
+           |    CASE WHEN avg_ll >= c1 THEN 'head'
+           |         WHEN avg_ll >= c2 THEN 'middle'
+           |         ELSE 'tail' END AS bucket,
+           |    avg_ll
+           |  FROM lab JOIN cut ON lab.lang = cut.lang)
+           |SELECT lang, bucket, count(*) AS n_docs,
+           |  round(CAST(sum(CAST(round(avg_ll * 1000000) AS BIGINT))
+           |    / 1000000.0 / count(*) AS DOUBLE), 6) AS mean_ll
+           |FROM bucketed GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin),
+    ) { (s, dir) =>
+      val lab = lmDocLL(s, dir).join(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+          Portable.md5Hash60(col("text")).as("h")), "doc_id")
+      val samp = lab
+        .withColumn("srk", row_number().over(
+          Window.partitionBy("lang").orderBy("h", "doc_id")))
+        .filter(col("srk") <= PplSampleK)
+        .select("lang", "doc_id", "avg_ll")
+      // Both rank windows below run over ≤ PplSampleK rows per lang;
+      // the boundary-rank picks are exact integer arithmetic (ceil via
+      // (m+2) div 3), so the fitted cutoffs are bit-identical across
+      // engines and cluster sizes.
+      val cut = samp
+        .select(col("lang"), col("avg_ll"),
+          row_number().over(Window.partitionBy("lang")
+            .orderBy(col("avg_ll").desc, col("doc_id"))).cast("long").as("rk"),
+          count(lit(1)).over(Window.partitionBy("lang")).as("m"))
+        .groupBy("lang")
+        .agg(
+          max(when(col("rk") === expr("(m+2) div 3"), col("avg_ll"))).as("c1"),
+          max(when(col("rk") === expr("(2*m+2) div 3"), col("avg_ll"))).as("c2"))
+      lab.join(broadcast(cut), "lang")
+        .select(col("lang"),
+          when(col("avg_ll") >= col("c1"), "head")
+            .when(col("avg_ll") >= col("c2"), "middle")
+            .otherwise("tail").as("bucket"),
+          col("avg_ll"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          round((sum(round(col("avg_ll") * 1e6, 0).cast("long"))
+            / 1e6 / count(lit(1))).cast("double"), 6).as("mean_ll"))
+        .orderBy("lang", "bucket")
     },
 
     Q(
@@ -1051,6 +1160,84 @@ object TextOps {
       rates.join(kept, Seq("lang"))
         .select(col("lang"), col("n_docs"), col("n_kept"),
           round(col("thresh") / lit(1048576.0), 6).as("rate"))
+        .orderBy("lang")
+    },
+
+    Q(
+      "q_domain_mix",
+      "token-budget waterfilling across domains (the data-mixing " +
+        "allocator behind DoReMi-style recipes): given per-lang token " +
+        "counts and a budget of 80% of the corpus, every domain keeps " +
+        "min(its tokens, λ) where the water level λ is chosen so " +
+        "allocations exactly exhaust the budget — small domains " +
+        "survive whole, big ones are capped at a common level. The " +
+        "corpus contributes ONE map-side-combined sum per lang; " +
+        "everything after runs on the #langs-row aggregate: the " +
+        "ascending-count window, the boundary search (pure BIGINT " +
+        "comparisons — c·(n-rn+1) ≥ remaining — so the capped set is " +
+        "exact, never a float guess), and the single-row λ broadcast " +
+        "back onto the domain table. λ itself is the only double, " +
+        "computed once from exact integers and rounded half-away on " +
+        "both engines",
+      Some(
+        s"""WITH c AS (
+           |  SELECT lang, CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS tokens
+           |  FROM documents GROUP BY lang
+           |), tot AS (
+           |  SELECT CAST(sum(tokens) AS BIGINT) AS total,
+           |    (CAST(sum(tokens) AS BIGINT) * 4) // 5 AS b
+           |  FROM c
+           |), ranked AS (
+           |  SELECT lang, tokens,
+           |    row_number() OVER (ORDER BY tokens, lang) AS rn,
+           |    count(*) OVER () AS n,
+           |    CAST(sum(tokens) OVER (ORDER BY tokens, lang
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s
+           |  FROM c
+           |), bnd AS (
+           |  SELECT rn AS k,
+           |    CAST(b - (s - tokens) AS DOUBLE) / (n - rn + 1) AS lam
+           |  FROM ranked CROSS JOIN tot
+           |  WHERE tokens * (n - rn + 1) >= b - (s - tokens)
+           |  ORDER BY rn LIMIT 1
+           |)
+           |SELECT lang, tokens, alloc,
+           |  round(CAST(alloc AS DOUBLE) / total, 6) AS frac
+           |FROM (
+           |  SELECT r.lang, r.tokens,
+           |    CASE WHEN bnd.k IS NULL OR r.rn < bnd.k THEN r.tokens
+           |         ELSE CAST(round(lam) AS BIGINT) END AS alloc
+           |  FROM ranked r LEFT JOIN bnd ON TRUE
+           |) CROSS JOIN tot ORDER BY lang""".stripMargin),
+    ) { (s, dir) =>
+      val c = Tables.documents(s, dir)
+        .select(col("lang"), size(toks).cast("long").as("nt"))
+        .groupBy("lang").agg(sum(col("nt")).as("tokens"))
+      val tot = c.agg(sum(col("tokens")).as("total"),
+        expr("sum(tokens) * 4 div 5").as("b"))
+      // All three windows below run over the #langs-row aggregate —
+      // the SinglePartition exchange moves #langs rows, same bounded
+      // shape as q_sample_mix's min window.
+      val ord = Window.orderBy("tokens", "lang")
+      val ranked = c.select(col("lang"), col("tokens"),
+          row_number().over(ord).cast("long").as("rn"),
+          count(lit(1)).over(Window.partitionBy()).as("n"),
+          sum(col("tokens")).over(
+            ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("s"))
+        .crossJoin(broadcast(tot))
+      val bnd = ranked
+        .filter(col("tokens") * (col("n") - col("rn") + 1)
+          >= col("b") - (col("s") - col("tokens")))
+        .select(col("rn").as("k"),
+          ((col("b") - (col("s") - col("tokens"))).cast("double")
+            / (col("n") - col("rn") + 1)).as("lam"))
+        .orderBy("k").limit(1)
+      ranked.join(broadcast(bnd), lit(true), "left")
+        .select(col("lang"), col("tokens"), col("total"),
+          when(col("k").isNull || col("rn") < col("k"), col("tokens"))
+            .otherwise(round(col("lam"), 0).cast("long")).as("alloc"))
+        .select(col("lang"), col("tokens"), col("alloc"),
+          round(col("alloc").cast("double") / col("total"), 6).as("frac"))
         .orderBy("lang")
     },
 

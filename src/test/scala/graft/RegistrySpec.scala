@@ -17,6 +17,7 @@ class RegistrySpec extends AnyFunSuite {
     "AnnOps" -> operators.AnnOps.all,
     "TextOps" -> operators.TextOps.all,
     "MultimodalOps" -> operators.MultimodalOps.all,
+    "GraphOps" -> operators.GraphOps.all,
     "StreamOps" -> streaming.StreamOps.all,
   )
 
