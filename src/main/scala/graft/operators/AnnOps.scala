@@ -140,6 +140,85 @@ object AnnOps {
        |FROM ranked WHERE rank <= $TopK
        |ORDER BY probe_id, rank""".stripMargin
 
+  // ---- PCA top component (q_embed_pca), both engines ----
+
+  /** q_embed_pca iteration schedule: `PcaSquarings` repeated
+    * squarings of the normalized Gram (G → G^(2^k), so 8 squarings =
+    * G^256) followed by `PcaMatvecs` matvec rounds — ~512 effective
+    * power iterations. Plain unrolled iteration would need hundreds
+    * of rounds here: the synthetic embeddings are near-isotropic
+    * (λ2/λ1 ≈ 0.93–0.98), and (λ2/λ1)^8 prunes nothing. Squaring
+    * costs d³ integer ops on a d²-row table — data-free on both
+    * engines — and squares the convergence ratio every round. */
+  private val PcaSquarings = 8
+  private val PcaMatvecs = 2
+
+  /** DuckDB twin of the q_embed_pca Gram pass + squared power
+    * iteration, unrolled as a CTE chain (the bpeRoundsSqlCte trick).
+    * Every quantity that crosses an aggregation is an exact BIGINT —
+    * per-term products round to fixed point BEFORE summing, so
+    * neither engine's accumulation order can perturb a single bit;
+    * the only double ops are one deterministic IEEE
+    * multiply-divide-round per term, identical on both engines. Each
+    * squaring renormalizes to max-abs 1e6 so entries never overflow
+    * (terms ≤ 1e12/1e6·64 per cell). Every CTE that is referenced
+    * twice (the squaring self-joins and the max-abs subqueries) is
+    * AS MATERIALIZED: DuckDB otherwise INLINES multi-referenced CTEs,
+    * and 8 self-joining squarings would expand the corpus scan
+    * 2^8-fold. Ends with
+    * `w$PcaMatvecs(i, wv)`, the dominant eigenvector at fixed-point
+    * scale 1e6. */
+  private def pcaIterSqlCtes: String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""gm AS MATERIALIZED (
+         |  SELECT i, j,
+         |    CAST(sum(CAST(round(CAST(embedding[i+1] AS DOUBLE)
+         |      * CAST(embedding[j+1] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS gv
+         |  FROM embeddings, range($Dim) AS a(i), range($Dim) AS b(j)
+         |  GROUP BY i, j
+         |), gn0 AS MATERIALIZED (
+         |  SELECT i, j, CAST(round(CAST(gv AS DOUBLE) / CAST(mv AS DOUBLE) * 1000000) AS BIGINT) AS gv
+         |  FROM gm CROSS JOIN (SELECT max(abs(gv)) AS mv FROM gm) m
+         |)""".stripMargin)
+    for (t <- 1 to PcaSquarings) {
+      sb.append(
+        s""",
+           |gs$t AS MATERIALIZED (
+           |  SELECT a.i AS i, b.j AS j,
+           |    CAST(sum(CAST(round(CAST(a.gv AS DOUBLE) * CAST(b.gv AS DOUBLE) / 1000000) AS BIGINT)) AS BIGINT) AS gv
+           |  FROM gn${t - 1} a JOIN gn${t - 1} b ON a.j = b.i GROUP BY a.i, b.j
+           |), gn$t AS MATERIALIZED (
+           |  SELECT i, j, CAST(round(CAST(gv AS DOUBLE) / CAST(mv AS DOUBLE) * 1000000) AS BIGINT) AS gv
+           |  FROM gs$t CROSS JOIN (SELECT max(abs(gv)) AS mv FROM gs$t) m
+           |)""".stripMargin)
+    }
+    sb.append(
+      s""",
+         |w0 AS (
+         |  SELECT i, CAST(1000000 AS BIGINT) AS wv FROM range($Dim) AS t(i)
+         |)""".stripMargin)
+    for (t <- 1 to PcaMatvecs) {
+      sb.append(
+        s""",
+           |s$t AS MATERIALIZED (
+           |  SELECT g.i AS i,
+           |    CAST(sum(CAST(round(CAST(gv AS DOUBLE) / 1000000 * wv) AS BIGINT)) AS BIGINT) AS sv
+           |  FROM gn$PcaSquarings g JOIN w${t - 1} w ON g.j = w.i GROUP BY g.i
+           |), w$t AS (
+           |  SELECT i, CAST(round(CAST(sv AS DOUBLE) / CAST(mv AS DOUBLE) * 1000000) AS BIGINT) AS wv
+           |  FROM s$t CROSS JOIN (SELECT max(abs(sv)) AS mv FROM s$t) m
+           |)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  /** Round-half-away-from-zero — the tie rule BOTH engines' SQL
+    * `round()` uses. `math.round` rounds half toward +∞ and would
+    * diverge on negative .5 ties, so the driver loop must not use it. */
+  private def rndAway(x: Double): Long =
+    if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+
   // ---- k-means training (iterated Lloyd), both engines ----
 
   /** Fixed iteration counts so the DuckDB oracle can unroll the loop:
@@ -775,6 +854,93 @@ object AnnOps {
         .agg(count(lit(1)).as("n_vecs"),
           round(avg(col("dot") / (col("vn") * col("cn"))), 6).as("avg_cos_to_centroid"))
         .orderBy("label")
+    },
+
+    Q(
+      "q_embed_pca",
+      "dominant principal component of the embedding corpus (the " +
+        "whitening/pruning direction), via ONE corpus pass into a " +
+        s"fixed-point $Dim×$Dim Gram matrix — map-side combine " +
+        "collapses the posexplode pair stream to d² cells before the " +
+        "single shuffle — then REPEATED SQUARING of the normalized " +
+        s"Gram on the driver (G^(2^$PcaSquarings), ~512 effective " +
+        "power iterations: the corpus is near-isotropic so plain " +
+        "iteration would need hundreds of rounds; squaring is d³ " +
+        "integer work on a d²-bounded matrix, data-free). The Gram " +
+        "collect is 4096 longs — the BPE-argmax class of bounded, " +
+        "documented collects; at 100 TB the Gram pass is the only " +
+        "data-sized cost and is embarrassingly partial-agg. Every " +
+        "cross-engine sum is exact BIGINT fixed point (terms rounded " +
+        "BEFORE summing), so accumulation order can never flip a " +
+        "bit; the eigenvector re-enters the plan as a " +
+        s"$Dim-row broadcast and scoring the corpus is a per-row " +
+        "integer dot product. Output: top-20 docs by signed " +
+        "projection — the extremes along the corpus's main axis of " +
+        "variation, the q_embed_prune complement on the global " +
+        "rather than per-cell structure",
+      Some(
+        s"""WITH $pcaIterSqlCtes,
+           |pe AS (
+           |  SELECT vec_id, i, CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT) AS pv
+           |  FROM embeddings, range($Dim) AS u(i)
+           |), pr AS (
+           |  SELECT vec_id, CAST(sum(pv * wv) AS BIGINT) AS p
+           |  FROM pe JOIN w$PcaMatvecs w ON pe.i = w.i GROUP BY vec_id
+           |)
+           |SELECT vec_id, round(CAST(p AS DOUBLE) / 1000000000000.0, 6) AS proj
+           |FROM pr ORDER BY proj DESC, vec_id LIMIT 20""".stripMargin),
+    ) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val gram = emb
+        .select(col("embedding"), posexplode(col("embedding")).as(Seq("i", "xi")))
+        .select(col("i"), col("xi"), posexplode(col("embedding")).as(Seq("j", "xj")))
+        .select(col("i"), col("j"),
+          round(col("xi").cast("double") * col("xj").cast("double") * 1e6, 0)
+            .cast("long").as("t"))
+        .groupBy("i", "j").agg(sum(col("t")).as("gv"))
+      // d²-bounded collect (Dim² = 4096 cells) — same bounded-collect
+      // class as the BPE per-round argmax; the iteration below is d²
+      // driver work per round, data-free.
+      val raw = Array.ofDim[Long](Dim, Dim)
+      gram.collect().foreach(r => raw(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+      def renorm(m: Array[Array[Long]]): Array[Array[Long]] = {
+        val mx = m.map(_.map(math.abs).max).max
+        m.map(_.map(v => rndAway(v.toDouble / mx * 1e6)))
+      }
+      var G = renorm(raw)
+      for (_ <- 1 to PcaSquarings) {
+        val sq = Array.tabulate(Dim, Dim) { (i, j) =>
+          var acc = 0L
+          var k = 0
+          while (k < Dim) {
+            acc += rndAway(G(i)(k).toDouble * G(k)(j).toDouble / 1e6); k += 1
+          }
+          acc
+        }
+        G = renorm(sq)
+      }
+      var w = Array.fill(Dim)(1000000L)
+      for (_ <- 1 to PcaMatvecs) {
+        val sv = Array.tabulate(Dim) { i =>
+          var acc = 0L
+          var j = 0
+          while (j < Dim) { acc += rndAway(G(i)(j).toDouble / 1e6 * w(j)); j += 1 }
+          acc
+        }
+        val m = sv.map(math.abs).max
+        w = sv.map(x => rndAway(x.toDouble / m * 1e6))
+      }
+      import s.implicits._
+      val wDf = (0 until Dim).map(i => (i, w(i))).toDF("i", "wv")
+      emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "xi")))
+        .select(col("vec_id"), col("i"),
+          round(col("xi").cast("double") * 1e6, 0).cast("long").as("pv"))
+        .join(broadcast(wDf), "i")
+        .groupBy("vec_id").agg(sum(col("pv") * col("wv")).as("p"))
+        .select(col("vec_id"),
+          round(col("p").cast("double") / 1e12, 6).as("proj"))
+        .orderBy(col("proj").desc, col("vec_id")).limit(20)
+        .orderBy(col("proj").desc, col("vec_id"))
     },
 
     Q(
