@@ -596,6 +596,101 @@ object AnnOps {
     },
 
     Q(
+      "q_ann_recall",
+      s"recall@$TopK of the IVF index against brute-force ground " +
+        "truth, as a driver-checked query — the index-quality eval a " +
+        "production ANN deployment runs after every build (the " +
+        "spec-level recall assertion in AnnSpec, promoted to the " +
+        "correctness gate). Both sides are the existing bounded " +
+        "pipelines (probes broadcast, cells equi-joined); the " +
+        s"recall join itself is probes×$TopK rows — nothing here " +
+        "scales with the corpus beyond the two searches, and at " +
+        "100 TB ground truth comes from the same brute pass on a " +
+        "fixed probe panel (standard ann-benchmarks methodology)",
+      Some {
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+           |probes AS (SELECT vec_id AS probe_id, embedding AS pe FROM e WHERE vec_id < $NumProbes),
+           |bscored AS (
+           |  SELECT probe_id, e.vec_id AS neighbor_id,
+           |    ${cosSimSql("pe", "embedding")} AS cos_sim
+           |  FROM probes JOIN e ON e.vec_id <> probe_id
+           |), btop AS (
+           |  SELECT probe_id, neighbor_id FROM (
+           |    SELECT probe_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY probe_id
+           |        ORDER BY cos_sim DESC, neighbor_id) AS rank
+           |    FROM bscored) WHERE rank <= $TopK
+           |), cents AS (
+           |  SELECT vec_id AS cent_id, embedding AS ce FROM e WHERE vec_id < $NumCells
+           |), assign AS (
+           |  SELECT vec_id, embedding, cent_id FROM (
+           |    SELECT e.vec_id, e.embedding, c.cent_id,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        ${cosSimSql("embedding", "ce")} DESC,
+           |        c.cent_id) AS rn
+           |    FROM e CROSS JOIN cents c) WHERE rn = 1
+           |), probe_cells AS (
+           |  SELECT vec_id AS probe_id, pe, cent_id FROM (
+           |    SELECT e.vec_id, e.embedding AS pe, c.cent_id,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        ${cosSimSql("embedding", "ce")} DESC,
+           |        c.cent_id) AS rn
+           |    FROM e CROSS JOIN cents c
+           |    WHERE e.vec_id < $NumProbes) WHERE rn <= $NProbe
+           |), iscored AS (
+           |  SELECT probe_id, a.vec_id AS neighbor_id,
+           |    ${cosSimSql("pe", "embedding")} AS cos_sim
+           |  FROM probe_cells p JOIN assign a ON a.cent_id = p.cent_id
+           |   AND a.vec_id <> p.probe_id
+           |), itop AS (
+           |  SELECT probe_id, neighbor_id FROM (
+           |    SELECT probe_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY probe_id
+           |        ORDER BY cos_sim DESC, neighbor_id) AS rank
+           |    FROM iscored) WHERE rank <= $TopK
+           |)
+           |SELECT b.probe_id AS probe_id, count(i.neighbor_id) AS n_hits,
+           |  round(CAST(count(i.neighbor_id) AS DOUBLE) / $TopK, 6) AS recall
+           |FROM btop b LEFT JOIN itop i
+           |  ON b.probe_id = i.probe_id AND b.neighbor_id = i.neighbor_id
+           |GROUP BY b.probe_id ORDER BY b.probe_id""".stripMargin
+      },
+    ) { (s, dir) =>
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val probes = e.filter(col("vec_id") < NumProbes)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      val btop = rankTopK(broadcast(probes)
+        .join(e, col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          cosSim(s, "pe", "embedding").as("cos_sim")))
+        .select("probe_id", "neighbor_id")
+      val cents = e.filter(col("vec_id") < NumCells)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+      val packed = broadcast(packCents(cents))
+      val assign = e.crossJoin(packed)
+        .withColumn("cent_id",
+          graft.functions.CentAssign.argminCos(s, "embedding", "cs"))
+        .select(col("vec_id"), col("embedding"), col("cent_id"))
+      val probeCells = e.filter(col("vec_id") < NumProbes)
+        .withColumn("vn", sqrt(normSq(col("embedding"))))
+        .crossJoin(packed)
+        .withColumn("cell", explode(slice(array_sort(negCosMetrics), 1, NProbe)))
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+          col("cell.cent_id").as("cent_id"))
+      val itop = rankTopK(broadcast(probeCells)
+        .join(assign, Seq("cent_id"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          cosSim(s, "pe", "embedding").as("cos_sim")))
+        .select(col("probe_id"), col("neighbor_id"), lit(1).as("hit"))
+      btop.join(itop, Seq("probe_id", "neighbor_id"), "left")
+        .groupBy("probe_id")
+        .agg(count(col("hit")).as("n_hits"),
+          round(count(col("hit")).cast("double") / TopK, 6).as("recall"))
+        .orderBy("probe_id")
+    },
+
+    Q(
       "q_ivf_layout",
       s"the deployed IVF index LAYOUT: embeddings written " +
         s"hive-partitioned by their coarse cell (cell_id= directories " +

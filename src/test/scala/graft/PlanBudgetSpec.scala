@@ -469,6 +469,38 @@ class PlanBudgetSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
   }
 
+  test("q_ppl_buckets: rank windows only on the bounded sample, cutoffs broadcast") {
+    val p = plan("q_ppl_buckets")
+    // The hash-sample rank is WindowGroupLimit-pruned map-side, and the
+    // langs×2 cutoff table joins back as a broadcast — bucketing the
+    // full score stream must not sort-merge against it.
+    assert(p.contains("WindowGroupLimit"), s"plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
+  }
+
+  test("q_domain_mix: corpus contributes one lang agg; λ joins as a broadcast") {
+    val p = plan("q_domain_mix")
+    // One corpus-sized hash exchange (the lang token agg with partial
+    // agg below it); everything else runs on the #langs-row aggregate.
+    assert(p.contains("HashAggregate"), s"plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"the 1-row λ/budget " +
+      s"tables must broadcast, plan:\n$p")
+  }
+
+  test("q_lexical_knn: top-20 is a TakeOrdered, norms join unhinted") {
+    val p = plan("q_lexical_knn")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"final top-k must not global-sort, plan:\n$p")
+  }
+
+  test("q_embed_pca: eigenvector re-enters as a broadcast; corpus never sort-merges") {
+    val p = plan("q_embed_pca")
+    assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"plan:\n$p")
+  }
+
   test("q1_agg aggregates inside whole-stage codegen") {
     // The plain plan string hides codegen stage boundaries; the
     // codegen explain mode lists every WholeStageCodegen subtree.
