@@ -1219,6 +1219,64 @@ object AnnOps {
     },
 
     Q(
+      "q_embed_whiten",
+      "per-dimension standardization (the whitening prep before " +
+        "PCA/quantization/ANN): corpus mean and std per dim from ONE " +
+        "pass of exact fixed-point moment sums (terms rounded to " +
+        "BIGINT before summing — accumulation order can never move a " +
+        "bit at any parallelism), stats broadcast back as a d-row " +
+        "table, then the z-score pass is per-row work whose " +
+        "per-dim fixed-point checksum and max|z| verify the " +
+        "transform end-to-end (the q_pii_scrub trick applied to " +
+        "numeric data). Two corpus passes total — inherent to " +
+        "standardization (stats, then transform); at 100 TB both " +
+        "are scan-bounded with d²-free shuffles: the moment agg " +
+        "moves d cells per task, the z rollup d cells per task",
+      Some(
+        s"""WITH pe AS (
+           |  SELECT vec_id, i, CAST(embedding[i+1] AS DOUBLE) AS x
+           |  FROM embeddings, range($Dim) AS u(i)
+           |), st AS (
+           |  SELECT i, count(*) AS n,
+           |    CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS BIGINT) AS s1,
+           |    CAST(sum(CAST(round(x * x * 1000000) AS BIGINT)) AS BIGINT) AS s2
+           |  FROM pe GROUP BY i
+           |), mo AS (
+           |  SELECT i, n,
+           |    CAST(s1 AS DOUBLE) / 1000000 / n AS mean,
+           |    sqrt(CAST(s2 AS DOUBLE) / 1000000 / n
+           |      - (CAST(s1 AS DOUBLE) / 1000000 / n) * (CAST(s1 AS DOUBLE) / 1000000 / n)) AS std
+           |  FROM st
+           |), z AS (
+           |  SELECT pe.i AS i, mean, std, round((x - mean) / std, 6) AS zv
+           |  FROM pe JOIN mo ON pe.i = mo.i
+           |)
+           |SELECT i AS pos, round(mean, 6) AS mean, round(std, 6) AS std,
+           |  CAST(sum(CAST(round(zv * 1000) AS BIGINT)) AS BIGINT) AS sum_z_milli,
+           |  max(abs(zv)) AS max_abs_z
+           |FROM z GROUP BY i, mean, std ORDER BY pos""".stripMargin),
+    ) { (s, dir) =>
+      val pe = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "xi")))
+        .select(col("vec_id"), col("i"), col("xi").cast("double").as("x"))
+      val st = pe.groupBy("i").agg(count(lit(1)).as("n"),
+        sum(round(col("x") * 1e6, 0).cast("long")).as("s1"),
+        sum(round(col("x") * col("x") * 1e6, 0).cast("long")).as("s2"))
+      val mean = col("s1").cast("double") / 1e6 / col("n")
+      val mo = st.select(col("i"), col("n"), mean.as("mean"),
+        sqrt(col("s2").cast("double") / 1e6 / col("n") - mean * mean).as("std"))
+      val z = pe.join(broadcast(mo), Seq("i"))
+        .select(col("i"), col("mean"), col("std"),
+          round((col("x") - col("mean")) / col("std"), 6).as("zv"))
+      z.groupBy(col("i").cast("long").as("pos"), col("mean"), col("std"))
+        .agg(sum(round(col("zv") * 1e3, 0).cast("long")).as("sum_z_milli"),
+          max(abs(col("zv"))).as("max_abs_z"))
+        .select(col("pos"), round(col("mean"), 6).as("mean"),
+          round(col("std"), 6).as("std"), col("sum_z_milli"), col("max_abs_z"))
+        .orderBy("pos")
+    },
+
+    Q(
       "q_embed_pq",
       s"product quantization (the IVF-PQ code book at 100 TB): the " +
         s"64-dim vector splits into $PqM subspaces of $PqSubDim dims; " +

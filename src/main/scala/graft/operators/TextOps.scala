@@ -128,6 +128,17 @@ object TextOps {
           / 1e9 / sum(col("m"))).cast("double"), 6).as("avg_ll"))
   }
 
+  /** q_wordpiece_encode: learned-piece budget (top-K char 2..4-grams
+    * by corpus-weighted frequency; single chars are the implicit
+    * byte-fallback tier, so coverage is total and every greedy step
+    * advances ≥ 1 char) and the unrolled greedy-match depth (bounds
+    * encodable word length — the standard wordpiece
+    * max_input_chars_per_word cap; corpus max here is 8). Both are
+    * spliced into the oracle so the two engines learn and apply the
+    * same pieces. */
+  private[graft] val WpPieceK = 24
+  private[graft] val WpMaxSteps = 16
+
   /** Top-K cap on q_vocab_ids' frequency-ranked vocabulary; tokens
     * outside the top K encode to the reserved OOV id K. The cap is
     * what keeps the ranking window, the broadcast id table, and the
@@ -1352,6 +1363,109 @@ object TextOps {
           round(log2(col("n_chars").cast("double"))
             - col("s") / 1000000.0 / col("n_chars"), 6).as("char_entropy"))
         .orderBy("doc_id")
+    },
+
+    Q(
+      "q_wordpiece_encode",
+      "WordPiece-style greedy longest-match subword encoding — the " +
+        "SECOND tokenizer family beside the BPE merge loop: piece " +
+        s"vocab = top-$WpPieceK char 2..4-grams by corpus-weighted " +
+        "frequency with single-char byte-fallback (total coverage, " +
+        "guaranteed ≥1-char progress per step), then each DISTINCT " +
+        "word greedy-encodes left-to-right taking the longest vocab " +
+        "piece at each position. The scale trick is the dictionary " +
+        "encode: only the WORD VOCABULARY is ever encoded, weighted " +
+        "by corpus frequency — the corpus itself contributes one " +
+        "word-count agg and is never touched by the match loop. " +
+        s"$WpMaxSteps unrolled rounds (the wordpiece " +
+        "max_input_chars_per_word cap), each a vocab-bounded state " +
+        "against THREE broadcast piece tables; a 4-char probe near " +
+        "the word end can never false-match (substr yields a shorter " +
+        "string, equality against fixed-length pieces fails). Output " +
+        "= piece usage counts over the whole corpus",
+      Some {
+        val sb = new StringBuilder
+        sb.append(
+          s"""WITH words AS MATERIALIZED (
+             |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+             |    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+             |  WHERE w <> '' GROUP BY w
+             |), grams AS (
+             |  SELECT g, CAST(sum(freq) AS BIGINT) AS n FROM (
+             |    SELECT freq, unnest(list_transform(range(len(w) - 1), i -> substr(w, CAST(i+1 AS INT), 2))) AS g FROM words
+             |    UNION ALL
+             |    SELECT freq, unnest(list_transform(range(len(w) - 2), i -> substr(w, CAST(i+1 AS INT), 3))) AS g FROM words
+             |    UNION ALL
+             |    SELECT freq, unnest(list_transform(range(len(w) - 3), i -> substr(w, CAST(i+1 AS INT), 4))) AS g FROM words
+             |  ) GROUP BY g
+             |), pieces AS MATERIALIZED (
+             |  SELECT g AS piece FROM grams ORDER BY n DESC, g LIMIT $WpPieceK
+             |), p4 AS MATERIALIZED (SELECT piece FROM pieces WHERE len(piece) = 4),
+             |p3 AS MATERIALIZED (SELECT piece FROM pieces WHERE len(piece) = 3),
+             |p2 AS MATERIALIZED (SELECT piece FROM pieces WHERE len(piece) = 2),
+             |st0 AS MATERIALIZED (SELECT w, freq, CAST(0 AS BIGINT) AS pos FROM words)""".stripMargin)
+        for (t <- 1 to WpMaxSteps) {
+          sb.append(
+            s""",
+               |m$t AS MATERIALIZED (
+               |  SELECT st.w, st.freq, st.pos,
+               |    COALESCE(v4.piece, v3.piece, v2.piece, substr(st.w, CAST(st.pos+1 AS INT), 1)) AS piece
+               |  FROM st${t - 1} st
+               |  LEFT JOIN p4 v4 ON v4.piece = substr(st.w, CAST(st.pos+1 AS INT), 4)
+               |  LEFT JOIN p3 v3 ON v3.piece = substr(st.w, CAST(st.pos+1 AS INT), 3)
+               |  LEFT JOIN p2 v2 ON v2.piece = substr(st.w, CAST(st.pos+1 AS INT), 2)
+               |), st$t AS MATERIALIZED (
+               |  SELECT w, freq, pos + len(piece) AS pos FROM m$t
+               |  WHERE pos + len(piece) < len(w)
+               |)""".stripMargin)
+        }
+        sb.append(
+          s"""
+             |SELECT piece, CAST(sum(freq) AS BIGINT) AS n_uses FROM (
+             |  ${(1 to WpMaxSteps).map(t => s"SELECT piece, freq FROM m$t").mkString("\n  UNION ALL\n  ")}
+             |) GROUP BY piece ORDER BY n_uses DESC, piece LIMIT 50""".stripMargin)
+        sb.toString
+      },
+    ) { (s, dir) =>
+      val words = Tables.documents(s, dir)
+        .select(explode(toks).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .localCheckpoint()
+      val grams = (2 to 4).map { l =>
+        words.filter(length(col("w")) >= l)
+          .select(col("freq"), explode(transform(
+            sequence(lit(0), length(col("w")) - l),
+            i => col("w").substr(i + lit(1), lit(l)))).as("g"))
+      }.reduce(_ union _).groupBy("g").agg(sum(col("freq")).as("n"))
+      val pieces = grams.orderBy(col("n").desc, col("g")).limit(WpPieceK)
+        .select(col("g").as("piece")).localCheckpoint()
+      val pTab = (2 to 4).map { l =>
+        l -> broadcast(pieces.filter(length(col("piece")) === l)
+          .select(col("piece").as(s"p$l")))
+      }.toMap
+      def probe(l: Int) = col("w").substr((col("pos") + 1).cast("int"), lit(l))
+      var st = words.withColumn("pos", lit(0L))
+      val emits = scala.collection.mutable.Buffer[org.apache.spark.sql.DataFrame]()
+      for (_ <- 1 to WpMaxSteps) {
+        val m = st
+          .join(pTab(4), col("p4") === probe(4), "left")
+          .join(pTab(3), col("p3") === probe(3), "left")
+          .join(pTab(2), col("p2") === probe(2), "left")
+          .withColumn("piece",
+            coalesce(col("p4"), col("p3"), col("p2"), probe(1)))
+        emits += m.select("piece", "freq")
+        // The state is word-vocab-bounded; the checkpoint per round
+        // cuts the 16-round lineage exactly like trainBpe's rounds.
+        st = m.filter(col("pos") + length(col("piece")) < length(col("w")))
+          .select(col("w"), col("freq"),
+            (col("pos") + length(col("piece"))).cast("long").as("pos"))
+          .localCheckpoint()
+      }
+      emits.reduce(_ union _)
+        .groupBy("piece").agg(sum(col("freq")).as("n_uses"))
+        .orderBy(col("n_uses").desc, col("piece")).limit(50)
+        .orderBy(col("n_uses").desc, col("piece"))
     },
 
     Q(
