@@ -1644,6 +1644,93 @@ object TextOps {
     },
 
     Q(
+      "q_quality_sample",
+      "temperature-weighted quality resampling (the DataComp/DCLM " +
+        "move past hard thresholds): every doc keeps with probability " +
+        "∝ exp(score/T) (T=2, q_quality_model's pinned score), " +
+        "normalized so the EXPECTED kept fraction is 50% — soft " +
+        "filtering that trades a hard cliff for a quality-tilted " +
+        "distribution. The normalizer comes from ONE bounded agg " +
+        "(count + exact fixed-point weight sum — weights rounded to " +
+        "BIGINT before summing, so the normalizer is bit-identical " +
+        "at any parallelism) broadcast back as a single row; the " +
+        "keep decision is the q_sample_mix per-row content-hash " +
+        "threshold — the corpus never shuffles to be sampled, the " +
+        "sample is reproducible across runs and cluster sizes, and " +
+        "new data joins the mix without re-sampling old rows. " +
+        "Output: per-lang funnel with kept-mean vs overall-mean " +
+        "score (fixed point), the lift the resampling buys",
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, lang, text, string_split(lower(text), ' ') AS ws FROM documents
+          |), f AS (
+          |  SELECT doc_id, lang, text, len(ws) AS n_words,
+          |    round(len(list_filter(ws, w -> w IN ('the', 'a', 'and', 'of', 'is')))
+          |      / CAST(len(ws) AS DOUBLE), 6) AS stop_ratio,
+          |    round(len(list_filter(ws, w -> length(w) <= 2))
+          |      / CAST(len(ws) AS DOUBLE), 6) AS short_ratio
+          |  FROM t
+          |), sc AS (
+          |  SELECT doc_id, lang, text,
+          |    round(1.0 / (1.0 + exp(-round(-1.0 + 0.8 * ln(CAST(n_words AS DOUBLE))
+          |      + 2.0 * stop_ratio - 3.0 * short_ratio, 6))), 6) AS score
+          |  FROM f
+          |), w AS (
+          |  SELECT doc_id, lang, text, score,
+          |    CAST(round(exp(score / 2.0) * 1000000) AS BIGINT) AS wf
+          |  FROM sc
+          |), tot AS (
+          |  SELECT count(*) AS n, CAST(sum(wf) AS BIGINT) AS sw FROM w
+          |), kd AS (
+          |  SELECT lang, score,
+          |    CASE WHEN %HASH% % 1048576 <
+          |      CAST(floor(least(1.0, 0.5 * n * CAST(wf AS DOUBLE) / CAST(sw AS DOUBLE)) * 1048576) AS BIGINT)
+          |    THEN 1 ELSE 0 END AS keep
+          |  FROM w CROSS JOIN tot
+          |)
+          |SELECT lang, count(*) AS n_docs, CAST(sum(keep) AS BIGINT) AS n_kept,
+          |  round(CAST(sum(CAST(round(score * 1000000) AS BIGINT))
+          |    / 1000000.0 / count(*) AS DOUBLE), 6) AS mean_score,
+          |  round(CAST(sum(CASE WHEN keep = 1 THEN CAST(round(score * 1000000) AS BIGINT) END)
+          |    / 1000000.0 / sum(keep) AS DOUBLE), 6) AS kept_mean_score
+          |FROM kd GROUP BY lang ORDER BY lang""".stripMargin
+          .replace("%HASH%", Portable.md5Hash60Sql("text"))),
+    ) { (s, dir) =>
+      val stops = Seq("the", "a", "and", "of", "is")
+      val n = size(toks)
+      val sc = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("text"),
+          n.cast("long").as("n_words"),
+          round(size(filter(toks, w => w.isin(stops: _*))).cast("double")
+            / n, 6).as("stop_ratio"),
+          round(size(filter(toks, w => length(w) <= 2)).cast("double")
+            / n, 6).as("short_ratio"))
+        .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-round(lit(-1.0)
+          + lit(0.8) * log(col("n_words").cast("double"))
+          + lit(2.0) * col("stop_ratio")
+          - lit(3.0) * col("short_ratio"), 6))), 6))
+        .select(col("lang"), col("text"), col("score"),
+          round(exp(col("score") / 2.0) * 1e6, 0).cast("long").as("wf"))
+      val tot = sc.agg(count(lit(1)).as("n"), sum(col("wf")).as("sw"))
+      val kd = sc.crossJoin(broadcast(tot))
+        .select(col("lang"), col("score"),
+          when(Portable.md5Hash60(col("text")) % 1048576
+            < floor(least(lit(1.0),
+                lit(0.5) * col("n") * col("wf").cast("double")
+                  / col("sw").cast("double")) * 1048576).cast("long"),
+            1L).otherwise(0L).as("keep"))
+      kd.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("keep")).as("n_kept"),
+          round((sum(round(col("score") * 1e6, 0).cast("long"))
+            / 1e6 / count(lit(1))).cast("double"), 6).as("mean_score"),
+          round((sum(when(col("keep") === 1,
+              round(col("score") * 1e6, 0).cast("long")))
+            / 1e6 / sum(col("keep"))).cast("double"), 6).as("kept_mean_score"))
+        .orderBy("lang")
+    },
+
+    Q(
       "q_pii_scrub",
       "PII redaction (the privacy pass every pretraining pipeline " +
         "runs before training): regex-scrub emails and phone numbers, " +
