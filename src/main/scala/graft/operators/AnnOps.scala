@@ -39,6 +39,9 @@ object AnnOps {
 
   /** q_knn_graph: neighbors per vector and query-side probe width. */
   private val KnnK = 5
+
+  /** q_contrastive_pairs: anchor panel size. */
+  private val PairAnchors = 10
   private val KnnNProbe = 2
 
   /** q_embed_prune: fraction of each cell pruned (the MOST
@@ -688,6 +691,101 @@ object AnnOps {
         .agg(count(col("hit")).as("n_hits"),
           round(count(col("hit")).cast("double") / TopK, 6).as("recall"))
         .orderBy("probe_id")
+    },
+
+    Q(
+      "q_contrastive_pairs",
+      "contrastive pair mining for embedding-model training: for " +
+        s"each of $PairAnchors anchor vectors, the nearest SAME-label " +
+        "neighbor (the positive) and the nearest OTHER-label neighbor " +
+        "(the hardest negative) from the anchor's probed IVF cells — " +
+        "the candidate generation is exactly q_simsearch_ivf's " +
+        "cell-keyed equi-join (nprobe/cells of the corpus per anchor, " +
+        "never a full scan), and the two top-1 picks are per-anchor " +
+        "windows over the pruned candidates. Anchors whose probed " +
+        "cells hold no candidate of one side drop out (inner join — " +
+        "identical on both engines). The emitted margin " +
+        "pos_cos − neg_cos is the curriculum signal a contrastive " +
+        "trainer batches by; at 100 TB this is the standard " +
+        "hard-negative mining pass, one cell-keyed join per epoch",
+      Some {
+        s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+           |cents AS (
+           |  SELECT vec_id AS cent_id, embedding AS ce FROM e WHERE vec_id < $NumCells
+           |), assign AS (
+           |  SELECT vec_id, label, embedding, cent_id FROM (
+           |    SELECT e.vec_id, e.label, e.embedding, c.cent_id,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        ${cosSimSql("embedding", "ce")} DESC,
+           |        c.cent_id) AS rn
+           |    FROM e CROSS JOIN cents c) WHERE rn = 1
+           |), probe_cells AS (
+           |  SELECT vec_id AS anchor_id, albl, pe, cent_id FROM (
+           |    SELECT e.vec_id, e.label AS albl, e.embedding AS pe, c.cent_id,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        ${cosSimSql("embedding", "ce")} DESC,
+           |        c.cent_id) AS rn
+           |    FROM e CROSS JOIN cents c
+           |    WHERE e.vec_id < $PairAnchors) WHERE rn <= $NProbe
+           |), cand AS (
+           |  SELECT anchor_id, albl, a.vec_id AS cand_id, a.label AS clbl,
+           |    ${cosSimSql("pe", "embedding")} AS cos_sim
+           |  FROM probe_cells p JOIN assign a ON a.cent_id = p.cent_id
+           |   AND a.vec_id <> p.anchor_id
+           |), pos AS (
+           |  SELECT anchor_id, cand_id AS pos_id, cos_sim AS pos_cos FROM (
+           |    SELECT anchor_id, cand_id, cos_sim,
+           |      row_number() OVER (PARTITION BY anchor_id
+           |        ORDER BY cos_sim DESC, cand_id) AS rn
+           |    FROM cand WHERE clbl = albl) WHERE rn = 1
+           |), neg AS (
+           |  SELECT anchor_id, cand_id AS neg_id, cos_sim AS neg_cos FROM (
+           |    SELECT anchor_id, cand_id, cos_sim,
+           |      row_number() OVER (PARTITION BY anchor_id
+           |        ORDER BY cos_sim DESC, cand_id) AS rn
+           |    FROM cand WHERE clbl <> albl) WHERE rn = 1
+           |)
+           |SELECT p.anchor_id AS anchor_id, pos_id, pos_cos, neg_id, neg_cos,
+           |  round(pos_cos - neg_cos, 6) AS margin
+           |FROM pos p JOIN neg n ON p.anchor_id = n.anchor_id
+           |ORDER BY anchor_id""".stripMargin
+      },
+    ) { (s, dir) =>
+      val e = Tables.embeddings(s, dir).select("vec_id", "label", "embedding")
+      val cents = e.filter(col("vec_id") < NumCells)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+      val packed = broadcast(packCents(cents))
+      val assign = e.crossJoin(packed)
+        .withColumn("cent_id",
+          graft.functions.CentAssign.argminCos(s, "embedding", "cs"))
+        .select(col("vec_id"), col("label"), col("embedding"), col("cent_id"))
+      val probeCells = e.filter(col("vec_id") < PairAnchors)
+        .withColumn("vn", sqrt(normSq(col("embedding"))))
+        .crossJoin(packed)
+        .withColumn("cell", explode(slice(array_sort(negCosMetrics), 1, NProbe)))
+        .select(col("vec_id").as("anchor_id"), col("label").as("albl"),
+          col("embedding").as("pe"), col("cell.cent_id").as("cent_id"))
+      val cand = broadcast(probeCells)
+        .join(assign, Seq("cent_id"))
+        .filter(col("vec_id") =!= col("anchor_id"))
+        .select(col("anchor_id"), col("albl"),
+          col("vec_id").as("cand_id"), col("label").as("clbl"),
+          cosSim(s, "pe", "embedding").as("cos_sim"))
+      val w = Window.partitionBy("anchor_id")
+        .orderBy(col("cos_sim").desc, col("cand_id"))
+      val pos = cand.filter(col("clbl") === col("albl"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("anchor_id"), col("cand_id").as("pos_id"),
+          col("cos_sim").as("pos_cos"))
+      val neg = cand.filter(col("clbl") =!= col("albl"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("anchor_id"), col("cand_id").as("neg_id"),
+          col("cos_sim").as("neg_cos"))
+      pos.join(neg, Seq("anchor_id"))
+        .select(col("anchor_id"), col("pos_id"), col("pos_cos"),
+          col("neg_id"), col("neg_cos"),
+          round(col("pos_cos") - col("neg_cos"), 6).as("margin"))
+        .orderBy("anchor_id")
     },
 
     Q(
