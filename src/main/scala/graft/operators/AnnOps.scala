@@ -48,6 +48,13 @@ object AnnOps {
     * prototypical examples drop first, per SSL-prototypes). */
   private val PruneFrac = 0.3
 
+  /** q_bq_search / q_matryoshka_search: candidates kept by the cheap
+    * first pass for exact full-vector re-ranking. */
+  private val RerankR = 50
+
+  /** q_matryoshka_search: prefix dims the coarse pass reads. */
+  private val MatPrefix = 16
+
   // Product quantization (q_embed_pq / q_pq_search). Declared BEFORE
   // `val all`: the oracle strings are built eagerly at object init, so
   // these must already be initialized when pqChainSql runs.
@@ -118,17 +125,18 @@ object AnnOps {
   private def dotConstSql(e: String, j: Int): String =
     s"list_sum(list_transform(range($Dim), i -> CAST($e[i+1] AS DOUBLE) * (${wSql(j)})[i+1]))"
 
-  private def dotColSql(a: String, b: String): String =
-    s"list_sum(list_transform(range($Dim), i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)))"
+  private def dotColSql(a: String, b: String, dim: Int = Dim): String =
+    s"list_sum(list_transform(range($dim), i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)))"
 
   private def normSqSql(e: String): String =
     s"list_sum(list_transform($e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
 
   private def normSql(e: String): String = s"sqrt(${normSqSql(e)})"
 
-  /** DuckDB twin of [[cosSim]]. */
-  private def cosSimSql(a: String, b: String): String =
-    s"""round(${dotColSql(a, b)} /
+  /** DuckDB twin of [[cosSim]]; `dim` bounds the dot walk for sliced
+    * prefix vectors (norms walk the list itself, so they adapt). */
+  private def cosSimSql(a: String, b: String, dim: Int = Dim): String =
+    s"""round(${dotColSql(a, b, dim)} /
        |          (${normSql(a)} * ${normSql(b)}), 6)""".stripMargin
 
   /** DuckDB twin of [[rankTopK]]: the ranked-CTE tail appended after a
@@ -532,6 +540,133 @@ object AnnOps {
         .distinct()
       rankTopK(cands.select(col("probe_id"), col("neighbor_id"),
         cosSim(s, "pe", "ne").as("cos_sim")))
+    },
+
+    Q(
+      "q_bq_search",
+      "binary-quantization ANN (the 1-bit compression path vector DBs " +
+        "ship beside PQ): each 64-dim vector collapses to its 64 sign " +
+        "bits packed into two 32-bit BIGINT halves (bit 63 in one " +
+        "signed long would overflow; two halves keep every value " +
+        "non-negative and engine-portable) — a 32× cheaper scan, like " +
+        "q_pq_search's codes but with XOR+popcount instead of distance " +
+        s"tables. Search = brute hamming over the 8-byte signatures " +
+        s"(probes broadcast, corpus streamed once), top-$RerankR " +
+        "candidates by (hamming, id), then ids-then-payloads: full " +
+        "embeddings are fetched by keyed joins ONLY for the candidate " +
+        s"rows and exact 6dp cosine re-ranks the top-$TopK. At 100 TB " +
+        "the signature scan touches 1/32 of the raw bytes and the " +
+        "re-rank joins move candidates×dim floats, never the corpus",
+      Some {
+        def sigSql(off: Int): String =
+          s"CAST(list_sum(list_transform(range(32), i -> CASE WHEN embedding[i + ${off + 1}] > 0 " +
+            "THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+           |sigs AS (
+           |  SELECT vec_id, ${sigSql(0)} AS sig_lo, ${sigSql(32)} AS sig_hi FROM e
+           |), probes AS (
+           |  SELECT vec_id AS probe_id, sig_lo AS p_lo, sig_hi AS p_hi
+           |  FROM sigs WHERE vec_id < $NumProbes
+           |), ham AS (
+           |  SELECT probe_id, s.vec_id AS neighbor_id,
+           |    bit_count(xor(p_lo, sig_lo)) + bit_count(xor(p_hi, sig_hi)) AS hamming
+           |  FROM probes JOIN sigs s ON s.vec_id <> probe_id
+           |), cands AS (
+           |  SELECT probe_id, neighbor_id FROM (
+           |    SELECT probe_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY probe_id
+           |        ORDER BY hamming, neighbor_id) AS crank
+           |    FROM ham) WHERE crank <= $RerankR
+           |), scored AS (
+           |  SELECT probe_id, neighbor_id, ${cosSimSql("pe", "ne")} AS cos_sim
+           |  FROM (SELECT c.probe_id, c.neighbor_id,
+           |          ep.embedding AS pe, en.embedding AS ne
+           |        FROM cands c
+           |        JOIN e ep ON ep.vec_id = c.probe_id
+           |        JOIN e en ON en.vec_id = c.neighbor_id)
+           |)$rankTopKSqlTail""".stripMargin
+      },
+    ) { (s, dir) =>
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      def sigHalf(off: Int): Column = expr(
+        s"aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, i) -> acc + " +
+          s"IF(element_at(embedding, i + ${off + 1}) > 0, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))")
+      val sigs = e.select(col("vec_id"),
+        sigHalf(0).as("sig_lo"), sigHalf(32).as("sig_hi"))
+      val probes = sigs.filter(col("vec_id") < NumProbes)
+        .select(col("vec_id").as("probe_id"),
+          col("sig_lo").as("p_lo"), col("sig_hi").as("p_hi"))
+      val ham = broadcast(probes)
+        .join(sigs, col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          (bit_count(col("p_lo").bitwiseXOR(col("sig_lo"))) +
+            bit_count(col("p_hi").bitwiseXOR(col("sig_hi")))).as("hamming"))
+      val cw = Window.partitionBy("probe_id").orderBy(col("hamming"), col("neighbor_id"))
+      val cands = ham.withColumn("crank", row_number().over(cw))
+        .filter(col("crank") <= RerankR)
+        .select("probe_id", "neighbor_id")
+      rankTopK(cands
+        .join(e.select(col("vec_id").as("probe_id"), col("embedding").as("pe")), "probe_id")
+        .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")), "neighbor_id")
+        .select(col("probe_id"), col("neighbor_id"),
+          cosSim(s, "pe", "ne").as("cos_sim")))
+    },
+
+    Q(
+      "q_matryoshka_search",
+      "Matryoshka / adaptive retrieval (Kusupati et al. 2022): the " +
+        s"coarse pass ranks by cosine over only the FIRST $MatPrefix of " +
+        s"$Dim dims (a ${Dim / MatPrefix}× cheaper scan — with " +
+        "MRL-trained embeddings the prefix is itself a valid coarse " +
+        s"embedding), keeps top-$RerankR per probe by (6dp prefix " +
+        "cosine DESC, id), then re-ranks the survivors with exact " +
+        s"full-dim cosine for the top-$TopK. Ids-then-payloads: the " +
+        "prefix scan carries ids only; full vectors join in for " +
+        "candidates alone. At 100 TB the deployed twin stores the " +
+        "prefix as its own column (column pruning makes the coarse " +
+        "scan read prefix bytes only) — the funnel shape shared with " +
+        "q_bq_search, trading popcount for truncated dot products",
+      Some(
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+           |pre AS (SELECT vec_id, embedding[1:$MatPrefix] AS p FROM e),
+           |probes AS (
+           |  SELECT vec_id AS probe_id, p AS pp FROM pre WHERE vec_id < $NumProbes
+           |), coarse AS (
+           |  SELECT probe_id, pre.vec_id AS neighbor_id,
+           |    ${cosSimSql("pp", "p", MatPrefix)} AS pre_sim
+           |  FROM probes JOIN pre ON pre.vec_id <> probe_id
+           |), cands AS (
+           |  SELECT probe_id, neighbor_id FROM (
+           |    SELECT probe_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY probe_id
+           |        ORDER BY pre_sim DESC, neighbor_id) AS crank
+           |    FROM coarse) WHERE crank <= $RerankR
+           |), scored AS (
+           |  SELECT probe_id, neighbor_id, ${cosSimSql("pe", "ne")} AS cos_sim
+           |  FROM (SELECT c.probe_id, c.neighbor_id,
+           |          ep.embedding AS pe, en.embedding AS ne
+           |        FROM cands c
+           |        JOIN e ep ON ep.vec_id = c.probe_id
+           |        JOIN e en ON en.vec_id = c.neighbor_id)
+           |)$rankTopKSqlTail""".stripMargin),
+    ) { (s, dir) =>
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val pre = e.select(col("vec_id"), slice(col("embedding"), 1, MatPrefix).as("p"))
+      val probes = pre.filter(col("vec_id") < NumProbes)
+        .select(col("vec_id").as("probe_id"), col("p").as("pp"))
+      val coarse = broadcast(probes)
+        .join(pre, col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          cosSim(s, "pp", "p").as("pre_sim"))
+      val cw = Window.partitionBy("probe_id").orderBy(col("pre_sim").desc, col("neighbor_id"))
+      val cands = coarse.withColumn("crank", row_number().over(cw))
+        .filter(col("crank") <= RerankR)
+        .select("probe_id", "neighbor_id")
+      rankTopK(cands
+        .join(e.select(col("vec_id").as("probe_id"), col("embedding").as("pe")), "probe_id")
+        .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")), "neighbor_id")
+        .select(col("probe_id"), col("neighbor_id"),
+          cosSim(s, "pe", "ne").as("cos_sim")))
     },
 
     Q(

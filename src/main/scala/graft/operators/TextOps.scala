@@ -453,6 +453,74 @@ object TextOps {
     },
 
     Q(
+      "q_gopher_rules",
+      "Gopher-style composite quality RULE filter (the rule-set shape " +
+        "of Rae et al. 2021 §A1.1, thresholds adapted to this corpus): " +
+        "five per-doc rules — token count in [20, 100000], mean token " +
+        "length in [3, 10], ≥ 2 stopword hits, type-token ratio ≥ 0.3, " +
+        "max token length ≤ 12 — each emitted as its own flag plus the " +
+        "AND-of-all keep verdict, so a curation run can report WHICH " +
+        "rule killed a doc (the per-rule rejection histogram every " +
+        "pipeline dashboard wants). All five rules are per-row array " +
+        "expression work on the scan — zero shuffles before the output " +
+        "sort; every ratio is a single IEEE division of identical " +
+        "integer operands in both engines, so threshold comparisons " +
+        "cannot drift. Complements q_text_quality (raw signals), " +
+        "q_quality_model (learned weights) and q_lm_score (perplexity) " +
+        "as the fourth, rule-based quality signal",
+      Some(
+        """SELECT doc_id, n_tokens, stopword_n, max_tok_len,
+          |  round(mean_tok_len, 6) AS mean_tok_len,
+          |  round(ttr, 6) AS type_token_ratio,
+          |  r_len, r_mean, r_stop, r_ttr, r_maxlen,
+          |  (r_len AND r_mean AND r_stop AND r_ttr AND r_maxlen) AS keep
+          |FROM (
+          |  SELECT doc_id, n_tokens, stopword_n, max_tok_len, mean_tok_len, ttr,
+          |    (n_tokens >= 20 AND n_tokens <= 100000) AS r_len,
+          |    (mean_tok_len >= 3.0 AND mean_tok_len <= 10.0) AS r_mean,
+          |    (stopword_n >= 2) AS r_stop,
+          |    (ttr >= 0.3) AS r_ttr,
+          |    (max_tok_len <= 12) AS r_maxlen
+          |  FROM (
+          |    SELECT doc_id,
+          |      len(t) AS n_tokens,
+          |      len(list_filter(t, w -> w IN ('the', 'a'))) AS stopword_n,
+          |      list_max(list_transform(t, w -> len(w))) AS max_tok_len,
+          |      CAST(len(replace(text, ' ', '')) AS DOUBLE) / len(t) AS mean_tok_len,
+          |      CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr
+          |    FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS t
+          |          FROM documents)))
+          |ORDER BY doc_id""".stripMargin),
+    ) { (s, dir) =>
+      val nTok = size(toks)
+      val base = Tables.documents(s, dir).select(
+        col("doc_id"),
+        nTok.cast("long").as("n_tokens"),
+        size(filter(toks, w => w === "the" || w === "a")).cast("long").as("stopword_n"),
+        array_max(transform(toks, w => length(w))).cast("long").as("max_tok_len"),
+        (length(regexp_replace(col("text"), " ", "")).cast("double") / nTok)
+          .as("mean_tok_len"),
+        (size(array_distinct(toks)).cast("double") / nTok).as("ttr"),
+      ).select(
+        col("doc_id"), col("n_tokens"), col("stopword_n"), col("max_tok_len"),
+        col("mean_tok_len"), col("ttr"),
+        (col("n_tokens") >= 20 && col("n_tokens") <= 100000).as("r_len"),
+        (col("mean_tok_len") >= 3.0 && col("mean_tok_len") <= 10.0).as("r_mean"),
+        (col("stopword_n") >= 2).as("r_stop"),
+        (col("ttr") >= 0.3).as("r_ttr"),
+        (col("max_tok_len") <= 12).as("r_maxlen"),
+      )
+      base.select(
+        col("doc_id"), col("n_tokens"), col("stopword_n"), col("max_tok_len"),
+        round(col("mean_tok_len"), 6).as("mean_tok_len"),
+        round(col("ttr"), 6).as("type_token_ratio"),
+        col("r_len"), col("r_mean"), col("r_stop"), col("r_ttr"), col("r_maxlen"),
+        (col("r_len") && col("r_mean") && col("r_stop") && col("r_ttr")
+          && col("r_maxlen")).as("keep"),
+      ).orderBy("doc_id")
+    },
+
+    Q(
       "q_bigrams",
       "top-20 bigrams: explode adjacent token pairs, keyed agg bounded " +
         "by vocab², TakeOrderedAndProject for the top-k (per-partition " +
