@@ -45,10 +45,18 @@ object StreamOps {
     Files.copy(Paths.get(s"$dir/events.parquet"),
       srcDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
     val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    // The sentinel row must carry ts in the SAME physical type as the
+    // copied events file (INT64 epoch-nanos or a timestamp type —
+    // Tables.normalizeTs handles both generations), else the mixed-file
+    // stream read corrupts.
     val sentinelNs = 4102444800L * 1000000000L // 2100-01-01, epoch-nanos
+    val sentinelTs = rawSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => lit(sentinelNs)
+      case t => expr(s"timestamp_micros(${sentinelNs / 1000L}L)").cast(t)
+    }
     val sentTmp = Paths.get(scratch, "sentinel")
     s.range(1).select(
-      lit(-1L).as("event_id"), lit(sentinelNs).as("ts"),
+      lit(-1L).as("event_id"), sentinelTs.as("ts"),
       lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
       lit(0.0).as("value"), lit("{}").as("props"))
       .coalesce(1).write.parquet(sentTmp.toString)
@@ -63,10 +71,10 @@ object StreamOps {
     Files.setLastModifiedTime(
       srcDir.resolve("events.parquet"), FileTime.fromMillis(1000000000000L))
     Files.setLastModifiedTime(sentinelFile, FileTime.fromMillis(1000000060000L))
-    s.readStream.schema(rawSchema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(srcDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    Tables.normalizeTs(
+      s.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir.toString))
   }
 
   /** Runs a streaming frame to a parquet sink under AvailableNow and
