@@ -28,7 +28,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     // allowed exchange is the output sort's range partitioning.
     for (q <- Seq("q_embed_quantize", "q_fingerprint", "q_winnow", "q_lang_id",
         "q_text_quality", "q_frame_sample", "q_payload_resize", "q_hash_sample",
-        "q_repetition", "q_entropy", "q_pii_scrub", "q_quality_model")) {
+        "q_repetition", "q_entropy", "q_pii_scrub", "q_quality_model",
+        "q_gopher_rules")) {
       val p = plan(q)
       assert(hashExchanges(p) == 0,
         s"$q promises zero shuffles before the output sort, plan:\n$p")
@@ -499,6 +500,23 @@ class PlanBudgetSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
     assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"plan:\n$p")
+  }
+
+  test("q_bq_search / q_matryoshka_search: probes broadcast, candidates pruned map-side, one keyed exchange") {
+    // Both funnels promise: coarse scan = corpus × broadcast(probes)
+    // (non-equi BNLJ, probes side built), top-R candidate selection
+    // pruned map-side by WindowGroupLimit before ONE probe-keyed
+    // exchange, and ids-then-payloads joins that never sort-merge.
+    for (q <- Seq("q_bq_search", "q_matryoshka_search")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastNestedLoopJoin BuildLeft"),
+        s"$q probes must broadcast into the coarse scan, plan:\n$p")
+      assert(p.contains("WindowGroupLimit"),
+        s"$q candidate top-R must prune map-side, plan:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q plan:\n$p")
+      assert(hashExchanges(p) == 1,
+        s"$q promises one probe-keyed exchange for candidate ranking, plan:\n$p")
+    }
   }
 
   test("q1_agg aggregates inside whole-stage codegen") {
