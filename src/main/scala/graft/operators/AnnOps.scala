@@ -1932,6 +1932,163 @@ object AnnOps {
     },
 
     Q(
+      "q_knn_classify",
+      s"k-NN label classification eval (k=$KnnK leave-one-out " +
+        "majority vote, ties to the smaller label) — the standard " +
+        "embedding-quality probe (kNN accuracy) run entirely inside " +
+        "the engine: neighbors come from q_knn_graph's cell-pruned " +
+        s"candidate machinery ($KnnNProbe-probe IVF routing, pair " +
+        "cost nprobe·Σ|cell|² never n²), votes and the per-label " +
+        "accuracy rollup are label-bounded aggs. The top-k window " +
+        "carries (ids, cos) only; labels join back AFTER ranking " +
+        "(ids-then-payloads). Output is #labels rows at any corpus " +
+        "size — the eval table a training run reads per checkpoint",
+      Some(
+        s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+           |cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM e WHERE vec_id < $KSeeds),
+           |routed AS (
+           |  SELECT vec_id, cent_id AS cell_id, embedding, rn FROM (
+           |    SELECT e.vec_id, c.cent_id, e.embedding,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        $d2Sql,
+           |        c.cent_id) AS rn
+           |    FROM e CROSS JOIN cents c) WHERE rn <= $KnnNProbe
+           |), corpus AS (
+           |  SELECT vec_id AS neighbor_id, cell_id, embedding FROM routed WHERE rn = 1
+           |), queries AS (
+           |  SELECT vec_id, cell_id, embedding FROM routed
+           |), scored AS (
+           |  SELECT q.vec_id, c.neighbor_id,
+           |    ${cosSimSql("q.embedding", "c.embedding")} AS cos_sim
+           |  FROM queries q JOIN corpus c
+           |    ON q.cell_id = c.cell_id AND c.neighbor_id <> q.vec_id
+           |), topk AS (
+           |  SELECT vec_id, neighbor_id FROM (
+           |    SELECT vec_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY vec_id
+           |        ORDER BY cos_sim DESC, neighbor_id) AS rank
+           |    FROM scored) WHERE rank <= $KnnK
+           |), votes AS (
+           |  SELECT t.vec_id, l.label AS vote, count(*) AS c
+           |  FROM topk t JOIN e l ON l.vec_id = t.neighbor_id
+           |  GROUP BY t.vec_id, l.label
+           |), pred AS (
+           |  SELECT vec_id, vote AS pred FROM (
+           |    SELECT vec_id, vote, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY c DESC, vote) AS rn
+           |    FROM votes) WHERE rn = 1
+           |)
+           |SELECT t.label, count(*) AS n,
+           |  CAST(sum(CASE WHEN p.pred = t.label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           |  round(CAST(sum(CASE WHEN p.pred = t.label THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / count(*), 6) AS accuracy
+           |FROM pred p JOIN e t ON t.vec_id = p.vec_id
+           |GROUP BY t.label ORDER BY t.label""".stripMargin),
+    ) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+        .select("vec_id", "embedding", "label")
+      val emb = e.select("vec_id", "embedding")
+      val cents = emb.filter(col("vec_id") < KSeeds)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+      val packed = broadcast(packCents(cents))
+      val corpus = emb.crossJoin(packed)
+        .withColumn("cell_id",
+          graft.functions.CentAssign.argminL2(s, "embedding", "cs"))
+        .select(col("cell_id"), col("vec_id").as("neighbor_id"),
+          col("embedding").as("ne"))
+      val queries = emb.withColumn("vn2", normSq(col("embedding")))
+        .crossJoin(packed)
+        .withColumn("cell", explode(slice(array_sort(centMetrics), 1, KnnNProbe)))
+        .select(col("cell.cent_id").as("cell_id"), col("vec_id"),
+          col("embedding").as("qe"))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      val topk = queries.join(corpus, Seq("cell_id"))
+        .filter(col("neighbor_id") =!= col("vec_id"))
+        .select(col("vec_id"), col("neighbor_id"),
+          cosSim(s, "qe", "ne").as("cos_sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= KnnK)
+        .select("vec_id", "neighbor_id")
+      val labels = e.select(col("vec_id"), col("label"))
+      val votes = topk
+        .join(labels.select(col("vec_id").as("neighbor_id"),
+          col("label").as("vote")), "neighbor_id")
+        .groupBy("vec_id", "vote").agg(count(lit(1)).as("c"))
+      val vw = Window.partitionBy("vec_id")
+        .orderBy(col("c").desc, col("vote"))
+      val pred = votes.withColumn("rn", row_number().over(vw))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("vote").as("pred"))
+      pred.join(labels, "vec_id")
+        .groupBy("label").agg(
+          count(lit(1)).as("n"),
+          sum(when(col("pred") === col("label"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .withColumn("accuracy",
+          round(col("n_correct").cast("double") / col("n"), 6))
+        .orderBy("label")
+    },
+
+    Q(
+      "q_cluster_purity",
+      s"cluster-label purity eval: assign every vector to its nearest " +
+        s"of $KSeeds cells (zero-shuffle broadcast-argmin, the " +
+        "q_semdedup assignment), then per cell report size, majority " +
+        "label and purity = majority share — the clustering-quality " +
+        "table (NMI's cheap cousin) a curation run checks before " +
+        "trusting cell-based ops like SemDeDup or IVF pruning. The " +
+        "only shuffle is the (cell,label)-keyed count agg, bounded by " +
+        "k×labels; the majority window runs on that k×labels rollup, " +
+        "never on corpus rows. Output is k rows at any corpus size",
+      Some(
+        s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+           |cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM e WHERE vec_id < $KSeeds),
+           |assign AS (
+           |  SELECT vec_id, label, cent_id AS cell_id FROM (
+           |    SELECT e.vec_id, e.label, c.cent_id,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        $d2Sql,
+           |        c.cent_id) AS rn
+           |    FROM e CROSS JOIN cents c) WHERE rn = 1
+           |), counts AS (
+           |  SELECT cell_id, label, count(*) AS c
+           |  FROM assign GROUP BY cell_id, label
+           |), ranked AS (
+           |  SELECT cell_id, label, c,
+           |    CAST(sum(c) OVER (PARTITION BY cell_id) AS BIGINT) AS n,
+           |    row_number() OVER (PARTITION BY cell_id
+           |      ORDER BY c DESC, label) AS rn
+           |  FROM counts
+           |)
+           |SELECT cell_id, n, label AS top_label, c AS n_top,
+           |  round(CAST(c AS DOUBLE) / n, 6) AS purity
+           |FROM ranked WHERE rn = 1
+           |ORDER BY cell_id""".stripMargin),
+    ) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+        .select("vec_id", "embedding", "label")
+      val cents = e.filter(col("vec_id") < KSeeds)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+      val assign = e.crossJoin(broadcast(packCents(cents)))
+        .withColumn("cell_id",
+          graft.functions.CentAssign.argminL2(s, "embedding", "cs"))
+        .select(col("cell_id"), col("label"))
+      val counts = assign.groupBy("cell_id", "label")
+        .agg(count(lit(1)).as("c"))
+      val cw = Window.partitionBy("cell_id")
+      val rw = cw.orderBy(col("c").desc, col("label"))
+      counts
+        .withColumn("n", sum("c").over(cw))
+        .withColumn("rn", row_number().over(rw))
+        .filter(col("rn") === 1)
+        .select(col("cell_id"), col("n"),
+          col("label").as("top_label"), col("c").as("n_top"),
+          round(col("c").cast("double") / col("n"), 6).as("purity"))
+        .orderBy("cell_id")
+    },
+
+    Q(
       "q_embed_prune",
       "density/prototypicality pruning (SSL-prototypes, DataComp): " +
         s"assign every vector to its nearest of $KSeeds seeded cells " +

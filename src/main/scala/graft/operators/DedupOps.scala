@@ -989,5 +989,66 @@ object DedupOps {
         .select(col("doc_a"), col("doc_b"), oc.as("overlap"))
         .orderBy("doc_a", "doc_b")
     },
+
+    Q(
+      "q_source_overlap",
+      "cross-SOURCE contamination matrix: 3-gram-set Jaccard between " +
+        "every source pair — the corpus-level diagnostic (which feeds " +
+        "overlap which) that decides dedup ordering and split " +
+        "assignment before any doc-level pass runs. Grams collapse to " +
+        "DISTINCT (source, shingle) first, so a gram's join fan-out " +
+        "is structurally ≤ #sources² — no df guard needed (vs the " +
+        "doc-level ops, where df is unbounded); the pair agg output " +
+        "is #sources² rows. Set sizes join back as a broadcast " +
+        "(#sources rows). At 100 TB the only corpus-sized work is " +
+        "the explode + distinct; everything after runs on the " +
+        "source-collapsed stream",
+      Some(
+        s"""WITH g AS (
+           |  SELECT DISTINCT source, unnest(shingles) AS shingle FROM (
+           |    SELECT source, $shingleSql AS shingles
+           |    FROM (SELECT source, string_split(lower(text), ' ') AS t FROM documents)
+           |    WHERE len(t) >= 3)
+           |), sizes AS (
+           |  SELECT source, count(*) AS n_g FROM g GROUP BY source
+           |), inter AS (
+           |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+           |  FROM g a JOIN g b ON a.shingle = b.shingle AND a.source < b.source
+           |  GROUP BY a.source, b.source
+           |)
+           |SELECT src_a, src_b, n_shared,
+           |  round(CAST(n_shared AS DOUBLE)
+           |    / (sa.n_g + sb.n_g - n_shared), 6) AS jaccard
+           |FROM inter
+           |JOIN sizes sa ON sa.source = src_a
+           |JOIN sizes sb ON sb.source = src_b
+           |ORDER BY src_a, src_b""".stripMargin),
+    ) { (s, dir) =>
+      val toks = split(lower(col("text")), " ")
+      // Checkpointed: the corpus-sized explode+distinct is read three
+      // times (both join sides + sizes) — one materialized pass
+      // instead of three re-scans.
+      val g = Tables.documents(s, dir)
+        .select(col("source"), toks.as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("source"), explode(shingleCol(col("t"))).as("shingle"))
+        .distinct()
+        .localCheckpoint()
+      val sizes = g.groupBy("source").agg(count(lit(1)).as("n_g"))
+      val inter = g.as("a")
+        .join(g.as("b"), col("a.shingle") === col("b.shingle") &&
+          col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      inter
+        .join(broadcast(sizes.select(col("source").as("src_a"),
+          col("n_g").as("na"))), "src_a")
+        .join(broadcast(sizes.select(col("source").as("src_b"),
+          col("n_g").as("nb"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("n_shared"),
+          round(col("n_shared").cast("double")
+            / (col("na") + col("nb") - col("n_shared")), 6).as("jaccard"))
+        .orderBy("src_a", "src_b")
+    },
   )
 }

@@ -503,5 +503,42 @@ object EventsOps {
           when(col("valid_to").isNull, 1L).otherwise(0L).as("is_current"))
         .orderBy("user_id", "version")
     },
+
+    Q(
+      "q_event_transitions",
+      "first-order Markov transition matrix between consecutive " +
+        "event types per user (the behavioral fingerprint funnels and " +
+        "anomaly detectors consume): one user-keyed window shuffle " +
+        "computes every lag pair, then the counts agg is bounded by " +
+        "#types² (25 rows here) regardless of event volume — the " +
+        "transition-probability window runs on that bounded rollup, " +
+        "never on events. p = n / Σn per source type, 6dp-rounded " +
+        "(one IEEE division of identical BIGINTs per row, no drift)",
+      Some(
+        """WITH seq AS (
+          |  SELECT user_id, event_type,
+          |    lag(event_type) OVER (PARTITION BY user_id
+          |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+          |  FROM events
+          |), pairs AS (
+          |  SELECT prev_type, event_type, count(*) AS n
+          |  FROM seq WHERE prev_type IS NOT NULL
+          |  GROUP BY prev_type, event_type
+          |)
+          |SELECT prev_type, event_type, n,
+          |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+          |FROM pairs ORDER BY prev_type, event_type""".stripMargin),
+    ) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy("prev_type", "event_type").agg(count(lit(1)).as("n"))
+      val pw = Window.partitionBy("prev_type")
+      pairs
+        .withColumn("p", round(col("n").cast("double") / sum("n").over(pw), 6))
+        .orderBy("prev_type", "event_type")
+    },
   )
 }

@@ -519,6 +519,41 @@ class PlanBudgetSpec extends AnyFunSuite {
     }
   }
 
+  test("q_knn_classify: top-k and vote windows prune map-side; labels join after ranking") {
+    val p = plan("q_knn_classify")
+    // Candidate top-5 and the majority-vote top-1 must both carry a
+    // WindowGroupLimit (partial heap before their exchanges), and the
+    // broadcast-argmin assignment must keep the corpus unshuffled.
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2, s"plan:\n$p")
+    assert(p.contains("cent_argmin_l2"), s"fused assignment missing, plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+  }
+
+  test("q_cluster_purity: one bounded (cell,label) agg, majority window on the rollup") {
+    val p = plan("q_cluster_purity")
+    assert(p.contains("cent_argmin_l2"), s"fused assignment missing, plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+    // (cell,label) agg + cell window + output sort — nothing else.
+    assert(hashExchanges(p) == 2, s"plan:\n$p")
+  }
+
+  test("q_event_transitions: lag shuffle + bounded pair agg only") {
+    val p = plan("q_event_transitions")
+    // user-keyed lag window, (prev,cur) agg, prev-keyed probability
+    // window — all three exchanges bounded by users/types², no joins.
+    assert(hashExchanges(p) == 3, s"plan:\n$p")
+    assert(!p.contains("Join"), s"no joins expected, plan:\n$p")
+  }
+
+  test("q_source_overlap: gram stream checkpointed once, size joins broadcast") {
+    val p = plan("q_source_overlap")
+    // The corpus-sized explode+distinct must come from the checkpoint
+    // (scanned, not recomputed per consumer) and the #sources-row
+    // size tables must broadcast.
+    assert(p.contains("Scan ExistingRDD"), s"checkpoint missing, plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+  }
+
   test("q1_agg aggregates inside whole-stage codegen") {
     // The plain plan string hides codegen stage boundaries; the
     // codegen explain mode lists every WholeStageCodegen subtree.
