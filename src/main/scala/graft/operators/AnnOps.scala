@@ -48,6 +48,31 @@ object AnnOps {
     * prototypical examples drop first, per SSL-prototypes). */
   private val PruneFrac = 0.3
 
+  /** q_label_spread: synchronous propagation rounds (mirrored by the
+    * unrolled oracle CTEs) and the seed rule — vec_id % SpreadSeedMod
+    * = 0 keeps its true label fixed (20% labeled). */
+  private val SpreadRounds = 2
+  private val SpreadSeedMod = 5
+
+  /** One unrolled label-propagation round for q_label_spread's oracle:
+    * votes from labeled neighbors over l(i-1), majority with smaller-
+    * label ties, seeds (l0) immovable, unvoted nodes retain l(i-1). */
+  private def spreadRoundSqlCte(i: Int): String =
+    s""", v$i AS (
+       |  SELECT t.vec_id, l.lab AS vote, count(*) AS c
+       |  FROM topk t JOIN l${i - 1} l ON l.vec_id = t.neighbor_id
+       |  WHERE l.lab IS NOT NULL GROUP BY t.vec_id, l.lab
+       |), m$i AS (
+       |  SELECT vec_id, vote FROM (
+       |    SELECT vec_id, vote, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY c DESC, vote) AS rn FROM v$i) WHERE rn = 1
+       |), l$i AS (
+       |  SELECT p.vec_id, coalesce(l0.lab, m$i.vote, p.lab) AS lab
+       |  FROM l${i - 1} p
+       |  LEFT JOIN m$i ON m$i.vec_id = p.vec_id
+       |  LEFT JOIN l0 ON l0.vec_id = p.vec_id
+       |)""".stripMargin
+
   /** q_bq_search / q_matryoshka_search: candidates kept by the cheap
     * first pass for exact full-vector re-ranking. */
   private val RerankR = 50
@@ -2086,6 +2111,114 @@ object AnnOps {
           col("label").as("top_label"), col("c").as("n_top"),
           round(col("c").cast("double") / col("n"), 6).as("purity"))
         .orderBy("cell_id")
+    },
+
+    Q(
+      "q_label_spread",
+      s"semi-supervised LABEL PROPAGATION over the k-NN graph (k=$KnnK, " +
+        s"$SpreadRounds synchronous rounds): vectors with vec_id % " +
+        s"$SpreadSeedMod = 0 keep their true label as fixed seeds " +
+        "(20% labeled); every other node takes the majority label of " +
+        "its labeled neighbors each round (ties to the smaller label), " +
+        "retaining its previous label when no neighbor is labeled — " +
+        "the SSL auto-labeling pass that stretches a small labeled " +
+        "set over an unlabeled corpus. The graph is built ONCE by " +
+        "q_knn_graph's cell-pruned machinery and checkpointed; each " +
+        "round is one (n·k)-row keyed join + label-bounded vote aggs " +
+        "with a checkpoint (linear lineage, the trainKMeans shape). " +
+        "State per node is one label — linear at any scale, rounds " +
+        "fixed",
+      Some(
+        s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+           |cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM e WHERE vec_id < $KSeeds),
+           |routed AS (
+           |  SELECT vec_id, cent_id AS cell_id, embedding, rn FROM (
+           |    SELECT e.vec_id, c.cent_id, e.embedding,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        $d2Sql,
+           |        c.cent_id) AS rn
+           |    FROM e CROSS JOIN cents c) WHERE rn <= $KnnNProbe
+           |), corpus AS (
+           |  SELECT vec_id AS neighbor_id, cell_id, embedding FROM routed WHERE rn = 1
+           |), queries AS (
+           |  SELECT vec_id, cell_id, embedding FROM routed
+           |), scored AS (
+           |  SELECT q.vec_id, c.neighbor_id,
+           |    ${cosSimSql("q.embedding", "c.embedding")} AS cos_sim
+           |  FROM queries q JOIN corpus c
+           |    ON q.cell_id = c.cell_id AND c.neighbor_id <> q.vec_id
+           |), topk AS (
+           |  SELECT vec_id, neighbor_id FROM (
+           |    SELECT vec_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY vec_id
+           |        ORDER BY cos_sim DESC, neighbor_id) AS rank
+           |    FROM scored) WHERE rank <= $KnnK
+           |), l0 AS (
+           |  SELECT vec_id,
+           |    CASE WHEN vec_id % $SpreadSeedMod = 0 THEN label END AS lab
+           |  FROM e
+           |)${(1 to SpreadRounds).map(spreadRoundSqlCte).mkString}
+           |SELECT l0.vec_id,
+           |  CASE WHEN l0.lab IS NOT NULL THEN CAST(1 AS BIGINT)
+           |       ELSE CAST(0 AS BIGINT) END AS is_seed,
+           |  l$SpreadRounds.lab AS label_out
+           |FROM l0 JOIN l$SpreadRounds ON l$SpreadRounds.vec_id = l0.vec_id
+           |ORDER BY l0.vec_id""".stripMargin),
+    ) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+        .select("vec_id", "embedding", "label")
+      val emb = e.select("vec_id", "embedding")
+      val cents = emb.filter(col("vec_id") < KSeeds)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+      val packed = broadcast(packCents(cents))
+      val corpus = emb.crossJoin(packed)
+        .withColumn("cell_id",
+          graft.functions.CentAssign.argminL2(s, "embedding", "cs"))
+        .select(col("cell_id"), col("vec_id").as("neighbor_id"),
+          col("embedding").as("ne"))
+      val queries = emb.withColumn("vn2", normSq(col("embedding")))
+        .crossJoin(packed)
+        .withColumn("cell", explode(slice(array_sort(centMetrics), 1, KnnNProbe)))
+        .select(col("cell.cent_id").as("cell_id"), col("vec_id"),
+          col("embedding").as("qe"))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      // The graph is ids-only after ranking and read once per round —
+      // checkpointed so rounds don't re-run the candidate join.
+      val topk = queries.join(corpus, Seq("cell_id"))
+        .filter(col("neighbor_id") =!= col("vec_id"))
+        .select(col("vec_id"), col("neighbor_id"),
+          cosSim(s, "qe", "ne").as("cos_sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= KnnK)
+        .select("vec_id", "neighbor_id")
+        .localCheckpoint()
+      val vw = Window.partitionBy("vec_id")
+        .orderBy(col("c").desc, col("vote"))
+      var labs = e
+        .select(col("vec_id"),
+          when(pmod(col("vec_id"), lit(SpreadSeedMod)) === 0, col("label"))
+            .as("seed_lab"))
+        .withColumn("lab", col("seed_lab"))
+        .localCheckpoint()
+      for (_ <- 1 to SpreadRounds) {
+        val maj = topk
+          .join(labs.select(col("vec_id").as("neighbor_id"),
+            col("lab").as("vote")), "neighbor_id")
+          .filter(col("vote").isNotNull)
+          .groupBy("vec_id", "vote").agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(vw))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("vote"))
+        labs = labs.join(maj, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("seed_lab"),
+            coalesce(col("seed_lab"), col("vote"), col("lab")).as("lab"))
+          .localCheckpoint()
+      }
+      labs.select(col("vec_id"),
+        when(col("seed_lab").isNotNull, 1L).otherwise(0L).as("is_seed"),
+        col("lab").as("label_out"))
+        .orderBy("vec_id")
     },
 
     Q(

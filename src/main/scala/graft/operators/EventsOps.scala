@@ -540,5 +540,66 @@ object EventsOps {
         .withColumn("p", round(col("n").cast("double") / sum("n").over(pw), 6))
         .orderBy("prev_type", "event_type")
     },
+
+    Q(
+      "q_session_paths",
+      "top-20 session PATHS (first 4 event types per 30-min-gap " +
+        "session, '>' joined) — the navigation-flow table product " +
+        "analytics reads: reuses q_events_sessions' two-window " +
+        "sessionization (ONE user-keyed shuffle), then each session " +
+        "collapses to a ≤4-type string in a per-session agg whose " +
+        "deterministic order comes from sorting the collected " +
+        "(ts, event_id, type) structs — bounded by events-per-session, " +
+        "never corpus-sorted. Path counts agg to #distinct-paths rows " +
+        "and the final top-20 is a TakeOrdered heap (n DESC, path — " +
+        "path is unique after the count agg, so the cut is " +
+        "deterministic), not a global sort",
+      Some(
+        """WITH ev AS (
+          |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+          |), flagged AS (
+          |  SELECT user_id, event_id, event_type, ts,
+          |    CASE WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+          |           OR lag(ts) OVER w IS NULL
+          |         THEN 1 ELSE 0 END AS new_session
+          |  FROM ev
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+          |), sessions AS (
+          |  SELECT user_id, event_id, event_type, ts,
+          |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+          |  FROM flagged
+          |), paths AS (
+          |  SELECT user_id, session_seq,
+          |    array_to_string(list_slice(
+          |      list(event_type ORDER BY ts, event_id), 1, 4), '>') AS path
+          |  FROM sessions GROUP BY user_id, session_seq
+          |), counted AS (
+          |  SELECT path, count(*) AS n FROM paths GROUP BY path
+          |)
+          |SELECT path, n FROM counted
+          |ORDER BY n DESC, path LIMIT 20""".stripMargin),
+    ) { (s, dir) =>
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val gapMicros = 30L * 60 * 1000000
+      val sessions = Tables.events(s, dir)
+        .select("user_id", "event_id", "event_type", "ts")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull
+            || unix_micros(col("ts")) - unix_micros(col("prev_ts")) >= gapMicros,
+            lit(1)).otherwise(lit(0)))
+        .withColumn("session_seq",
+          sum(col("new_session"))
+            .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val paths = sessions
+        .groupBy("user_id", "session_seq")
+        .agg(concat_ws(">", slice(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+          e => e.getField("event_type")), 1, 4)).as("path"))
+      paths.groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(20)
+    },
   )
 }

@@ -554,6 +554,26 @@ class PlanBudgetSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
   }
 
+  test("q_label_spread: rounds run off the checkpointed graph, never re-ranking candidates") {
+    val p = plan("q_label_spread")
+    // The final plan must read checkpoint RDDs (graph + per-round
+    // labels); a rebuilt candidate join would resurface cent_argmin
+    // and the cosine machinery here.
+    assert(p.contains("Scan ExistingRDD"), s"checkpoint missing, plan:\n$p")
+    assert(!p.contains("cent_argmin"),
+      s"final round must not rebuild the kNN graph, plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+  }
+
+  test("q_session_paths: one user shuffle, TakeOrdered top-20") {
+    val p = plan("q_session_paths")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be a heap, not a global sort, plan:\n$p")
+    // user-keyed sessionization + (user, session) path agg + path
+    // count agg — no joins, no corpus sort.
+    assert(!p.contains("Join"), s"plan:\n$p")
+  }
+
   test("q1_agg aggregates inside whole-stage codegen") {
     // The plain plan string hides codegen stage boundaries; the
     // codegen explain mode lists every WholeStageCodegen subtree.
