@@ -54,6 +54,43 @@ object AnnOps {
   private val SpreadRounds = 2
   private val SpreadSeedMod = 5
 
+  /** q_mmr_rerank: candidate pool per probe, greedy picks, and the
+    * relevance/diversity trade-off λ = MmrLambdaE1/10. The score is
+    * computed in EXACT fixed point: rel and pair sims are 6dp
+    * cosines, scaled to integers (×1e6), so score×1e7 =
+    * MmrLambdaE1·rel6 − MmrOneMinusE1·ms6 is a BIGINT in both
+    * engines — a decimal round() of 0.7·rel lands exactly on .5
+    * boundaries (6dp rel × one-decimal λ has exactly 7 decimal
+    * digits) where IEEE/decimal rounding modes diverge. */
+  private val MmrR = 20
+  private val MmrK = 5
+  private val MmrLambdaE1 = 7L
+  private val MmrOneMinusE1 = 3L
+
+  /** One unrolled greedy MMR round for q_mmr_rerank's oracle: score
+    * surviving candidates (exact BIGINT fixed point), pick the
+    * per-probe argmax (ties by id), then fold the pick's pairwise sim
+    * into every survivor's max-sim-to-selected. */
+  private def mmrRoundSqlCte(i: Int): String =
+    s""", s$i AS (
+       |  SELECT probe_id, neighbor_id, rel6, ms6,
+       |    $MmrLambdaE1 * rel6 - $MmrOneMinusE1 * ms6 AS score7
+       |  FROM c${i - 1}
+       |), sel$i AS (
+       |  SELECT probe_id, neighbor_id, score7 FROM (
+       |    SELECT probe_id, neighbor_id, score7,
+       |      row_number() OVER (PARTITION BY probe_id
+       |        ORDER BY score7 DESC, neighbor_id) AS rn
+       |    FROM s$i) WHERE rn = 1
+       |), c$i AS (
+       |  SELECT c.probe_id, c.neighbor_id, c.rel6, greatest(c.ms6, p.sim6) AS ms6
+       |  FROM c${i - 1} c
+       |  JOIN sel$i s ON s.probe_id = c.probe_id
+       |    AND c.neighbor_id <> s.neighbor_id
+       |  JOIN ps p ON p.probe_id = c.probe_id
+       |    AND p.a = c.neighbor_id AND p.b = s.neighbor_id
+       |)""".stripMargin
+
   /** One unrolled label-propagation round for q_label_spread's oracle:
     * votes from labeled neighbors over l(i-1), majority with smaller-
     * label ties, seeds (l0) immovable, unvoted nodes retain l(i-1). */
@@ -692,6 +729,113 @@ object AnnOps {
         .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")), "neighbor_id")
         .select(col("probe_id"), col("neighbor_id"),
           cosSim(s, "pe", "ne").as("cos_sim")))
+    },
+
+    Q(
+      "q_mmr_rerank",
+      "MMR diversity re-rank (Carbonell & Goldstein; λ=0.7): greedy " +
+        s"top-$MmrK from a top-$MmrR candidate pool per probe, each " +
+        "pick maximizing λ·relevance − (1−λ)·max-sim-to-selected — " +
+        "the result-diversification pass RAG retrieval runs after " +
+        "ANN, which a plain top-k can't express because every pick " +
+        "depends on the previous ones. The sequential part runs ONLY " +
+        "on the R-bounded pool: candidate pair sims are R²·probes " +
+        "rows computed once (ids-then-payloads joins), then each of " +
+        s"the $MmrK unrolled rounds is a per-probe argmax window + a " +
+        "pool-sized max fold — corpus cost stays the one brute scan " +
+        "that built the pool. Scoring is EXACT BIGINT fixed point " +
+        "(6dp cosines ×1e6; score×1e7 = 7·rel6 − 3·ms6) because a " +
+        "decimal round of 0.7·rel sits exactly on .5 boundaries " +
+        "where engines' rounding modes diverge; ties by id",
+      Some {
+        val rounds = (1 to MmrK).map(mmrRoundSqlCte).mkString
+        val finalSel = (1 to MmrK)
+          .map(i => s"SELECT probe_id, CAST($i AS BIGINT) AS rank, " +
+            s"neighbor_id, CAST(score7 AS DOUBLE) / 10000000.0 AS mmr_score FROM sel$i")
+          .mkString("\n  UNION ALL ")
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+           |probes AS (
+           |  SELECT vec_id AS probe_id, embedding AS pe FROM e WHERE vec_id < $NumProbes
+           |), scored0 AS (
+           |  SELECT probe_id, e.vec_id AS neighbor_id,
+           |    ${cosSimSql("pe", "e.embedding")} AS rel
+           |  FROM probes JOIN e ON e.vec_id <> probe_id
+           |), c0 AS (
+           |  SELECT probe_id, neighbor_id,
+           |    CAST(round(rel * 1000000) AS BIGINT) AS rel6,
+           |    CAST(0 AS BIGINT) AS ms6 FROM (
+           |    SELECT probe_id, neighbor_id, rel,
+           |      row_number() OVER (PARTITION BY probe_id
+           |        ORDER BY rel DESC, neighbor_id) AS crank
+           |    FROM scored0) WHERE crank <= $MmrR
+           |), ps AS (
+           |  SELECT ca.probe_id, ca.neighbor_id AS a, cb.neighbor_id AS b,
+           |    CAST(round(${cosSimSql("ea.embedding", "eb.embedding")} * 1000000) AS BIGINT) AS sim6
+           |  FROM c0 ca
+           |  JOIN c0 cb ON cb.probe_id = ca.probe_id
+           |    AND cb.neighbor_id <> ca.neighbor_id
+           |  JOIN e ea ON ea.vec_id = ca.neighbor_id
+           |  JOIN e eb ON eb.vec_id = cb.neighbor_id
+           |)$rounds
+           |SELECT * FROM ($finalSel)
+           |ORDER BY probe_id, rank""".stripMargin
+      },
+    ) { (s, dir) =>
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val probes = e.filter(col("vec_id") < NumProbes)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      val cw = Window.partitionBy("probe_id").orderBy(col("rel").desc, col("neighbor_id"))
+      // Candidate pool: ids + scaled relevance only, checkpointed —
+      // the one corpus-sized scan in the whole operator. ms6 starts
+      // at 0 (the max-sim floor), so round 1 scores are exactly
+      // λ·rel and the argmax is pure relevance in both engines.
+      val c0 = broadcast(probes)
+        .join(e, col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          cosSim(s, "pe", "embedding").as("rel"))
+        .withColumn("crank", row_number().over(cw))
+        .filter(col("crank") <= MmrR)
+        .select(col("probe_id"), col("neighbor_id"),
+          round(col("rel") * lit(1000000)).cast("long").as("rel6"))
+        .localCheckpoint()
+      // Pairwise sims inside each pool: R²·probes rows, payloads
+      // joined in by id for exactly these pairs.
+      val ps = c0.select(col("probe_id"), col("neighbor_id").as("a"))
+        .join(c0.select(col("probe_id"), col("neighbor_id").as("b")), "probe_id")
+        .filter(col("a") =!= col("b"))
+        .join(e.select(col("vec_id").as("a"), col("embedding").as("ea")), "a")
+        .join(e.select(col("vec_id").as("b"), col("embedding").as("eb")), "b")
+        .select(col("probe_id"), col("a"), col("b"),
+          round(cosSim(s, "ea", "eb") * lit(1000000)).cast("long").as("sim6"))
+        .localCheckpoint()
+      val sw = Window.partitionBy("probe_id").orderBy(col("score7").desc, col("neighbor_id"))
+      var cand = c0.withColumn("ms6", lit(0L))
+      var selected: org.apache.spark.sql.DataFrame = null
+      for (i <- 1 to MmrK) {
+        val sel = cand
+          .withColumn("score7", lit(MmrLambdaE1) * col("rel6")
+            - lit(MmrOneMinusE1) * col("ms6"))
+          .withColumn("rn", row_number().over(sw))
+          .filter(col("rn") === 1)
+          .select(col("probe_id"), col("neighbor_id"), col("score7"))
+          .localCheckpoint()
+        val out = sel.select(col("probe_id"), lit(i.toLong).as("rank"),
+          col("neighbor_id"),
+          (col("score7").cast("double") / lit(10000000.0)).as("mmr_score"))
+        selected = if (selected == null) out else selected.unionByName(out)
+        cand = cand
+          .join(sel.select(col("probe_id"), col("neighbor_id").as("sel_id")),
+            "probe_id")
+          .filter(col("neighbor_id") =!= col("sel_id"))
+          .join(ps.select(col("probe_id").as("pp"), col("a"), col("b"),
+            col("sim6")),
+            col("pp") === col("probe_id") && col("a") === col("neighbor_id")
+              && col("b") === col("sel_id"))
+          .select(col("probe_id"), col("neighbor_id"), col("rel6"),
+            greatest(col("ms6"), col("sim6")).as("ms6"))
+          .localCheckpoint()
+      }
+      selected.orderBy("probe_id", "rank")
     },
 
     Q(

@@ -190,6 +190,9 @@ object TextOps {
   private[graft] val WinnowK = 5
   private[graft] val WinnowW = 8
 
+  /** q_weighted_sample: sample size. */
+  private[graft] val WeightedSampleK = 100
+
   /** PII patterns (q_pii_scrub). Deliberately conservative: character
     * classes, alternation-free, no lookaround/backreferences — the
     * subset where Java regex (Spark) and RE2-style engines (DuckDB)
@@ -2142,6 +2145,102 @@ object TextOps {
         .select(col("w").as("term"), col("n").as("n_exact"),
           least((0 until CmsD).map(i => col(s"c$i")): _*).as("n_cms"))
         .orderBy(col("n_exact").desc, col("term"))
+    },
+
+    Q(
+      "q_phrase_search",
+      "positional-index PHRASE search: find every occurrence of the " +
+        "corpus's top trigram (self-contained, guaranteed non-empty) " +
+        "via the inverted positional index — token postings (doc, pos) " +
+        "probe the FIRST phrase term (the selective index lookup), " +
+        "then each following term joins by (doc_id, pos+i) equality, " +
+        "the search-engine phrase-query shape LIKE-scans can't do at " +
+        "scale. The exploded postings stream is checkpointed once and " +
+        "read three times (probe + two positional joins); the 1-row " +
+        "phrase broadcasts. At 100 TB postings are token-keyed (probe " +
+        "touches one posting list) and the positional joins are " +
+        "(doc,pos)-keyed equi-joins on the already-filtered candidate " +
+        "stream",
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+          |), tri AS (
+          |  SELECT t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS g
+          |  FROM toks, unnest(range(len(t) - 2)) AS u(i)
+          |), top AS (
+          |  SELECT g FROM (SELECT g, count(*) AS n FROM tri GROUP BY g)
+          |  ORDER BY n DESC, g LIMIT 1
+          |), occ AS (
+          |  SELECT doc_id, d.g FROM (
+          |    SELECT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS g
+          |    FROM toks, unnest(range(len(t) - 2)) AS u(i)) d
+          |  JOIN top ON d.g = top.g
+          |)
+          |SELECT doc_id, count(*) AS n_occ FROM occ
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    ) { (s, dir) =>
+      // Postings (doc_id, pos, w) — the positional inverted index,
+      // materialized once for the trigram count AND the phrase probe.
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), " ")).as(Seq("pos", "w")))
+        .localCheckpoint()
+      val tg = Window.orderBy(col("n").desc, col("w1"), col("w2"), col("w3"))
+      // Top trigram from the same per-row transform q_bigrams uses —
+      // the 1-row result broadcasts as the query phrase.
+      val phrase = Tables.documents(s, dir)
+        .select(split(lower(col("text")), " ").as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(explode(transform(sequence(lit(0), size(col("t")) - 3),
+          i => struct(element_at(col("t"), i + 1).as("w1"),
+            element_at(col("t"), i + 2).as("w2"),
+            element_at(col("t"), i + 3).as("w3")))).as("g"))
+        .groupBy("g.w1", "g.w2", "g.w3").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w1"), col("w2"), col("w3"))
+        .limit(1)
+        .select("w1", "w2", "w3")
+      val t1 = tok.join(broadcast(phrase), col("w") === col("w1"))
+        .select(col("doc_id"), col("pos"), col("w2"), col("w3"))
+      val t2 = tok.select(col("doc_id").as("d2"), col("pos").as("p2"),
+        col("w").as("x2"))
+      val t3 = tok.select(col("doc_id").as("d3"), col("pos").as("p3"),
+        col("w").as("x3"))
+      t1.join(t2, col("d2") === col("doc_id")
+          && col("p2") === col("pos") + 1 && col("x2") === col("w2"))
+        .join(t3, col("d3") === col("doc_id")
+          && col("p3") === col("pos") + 2 && col("x3") === col("w3"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_occ"))
+        .orderBy("doc_id")
+    },
+
+    Q(
+      "q_weighted_sample",
+      s"weighted sampling WITHOUT replacement (Efraimidis–Spirakis " +
+        s"A-ES, top-$WeightedSampleK by n_chars weight): per-doc " +
+        "uniform u from the portable content hash (reproducible " +
+        "across engines, runs and cluster sizes — the q_hash_sample " +
+        "contract), rank key = 1000·ln(u)/w, 6dp-rounded at the libm " +
+        "boundary so both engines rank identical values (ties by " +
+        "doc_id). Key computation is pure per-row work; the top-K cut " +
+        "is a TakeOrdered heap, not a global sort — longer docs " +
+        "surface proportionally to weight, and appending a batch " +
+        "cannot flip earlier keys",
+      Some(
+        s"""SELECT doc_id, lang, n_chars,
+           |  round(1000.0 * ln((CAST(${Portable.md5Hash60Sql("text")} % 1048576 AS DOUBLE)
+           |    + 1.0) / 1048576.0) / n_chars, 6) AS sample_key
+           |FROM documents
+           |WHERE n_chars > 0
+           |ORDER BY sample_key DESC, doc_id LIMIT $WeightedSampleK""".stripMargin),
+    ) { (s, dir) =>
+      val u = (pmod(Portable.md5Hash60(col("text")), lit(1048576L))
+        .cast("double") + lit(1.0)) / lit(1048576.0)
+      Tables.documents(s, dir)
+        .filter(col("n_chars") > 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round(lit(1000.0) * log(u) / col("n_chars"), 6).as("sample_key"))
+        .orderBy(col("sample_key").desc, col("doc_id"))
+        .limit(WeightedSampleK)
     },
   )
 }

@@ -574,6 +574,31 @@ class PlanBudgetSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"plan:\n$p")
   }
 
+  test("q_weighted_sample: per-row keys into a TakeOrdered heap, zero shuffles") {
+    val p = plan("q_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-K must be a heap, not a global sort, plan:\n$p")
+    assert(hashExchanges(p) == 0, s"plan:\n$p")
+  }
+
+  test("q_phrase_search: postings checkpointed once, phrase broadcast into the probe") {
+    val p = plan("q_phrase_search")
+    assert(p.contains("Scan ExistingRDD"),
+      s"postings checkpoint missing, plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 1-row phrase must broadcast, plan:\n$p")
+  }
+
+  test("q_mmr_rerank: final plan reads round checkpoints — no corpus machinery resurfaces") {
+    val p = plan("q_mmr_rerank")
+    // The union of per-round picks must come from checkpointed
+    // frames; the output sort's range exchange is the only exchange.
+    assert(p.contains("Scan ExistingRDD"), s"plan:\n$p")
+    assert(hashExchanges(p) == 0, s"plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"pool scan must stay behind the checkpoint, plan:\n$p")
+  }
+
   test("q1_agg aggregates inside whole-stage codegen") {
     // The plain plan string hides codegen stage boundaries; the
     // codegen explain mode lists every WholeStageCodegen subtree.
