@@ -456,6 +456,61 @@ object DedupOps {
     },
 
     Q(
+      "q_minhash_calibration",
+      "MinHash estimator CALIBRATION: |est − exact| error histogram " +
+        "over the LSH candidate pairs, with per-bucket admitted " +
+        "(est ≥ 0.5) and confirmed (exact ≥ 0.5) counts — the " +
+        "diagnostic that tells a pipeline whether 16 hashes are " +
+        "enough before trusting banding at the next corpus. Same " +
+        "candidate generation and ids-then-payloads rescore as " +
+        "q_dedup_rescored (O(candidates), never all-pairs); the " +
+        "histogram agg is 11-row-bounded. est is dyadic k/16 and " +
+        "exact is one division of identical ints, so the bucket " +
+        "floor sees identical doubles in both engines",
+      Some(
+        s"""WITH $minhashPairsSqlCte,
+           |scored AS (
+           |  SELECT est_jaccard,
+           |    round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           |      / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS exact_jaccard
+           |  FROM pairs
+           |  JOIN docs a ON a.doc_id = doc_a
+           |  JOIN docs b ON b.doc_id = doc_b
+           |)
+           |SELECT CAST(floor(abs(est_jaccard - exact_jaccard) * 10) AS BIGINT) AS err_bucket,
+           |  count(*) AS n_pairs,
+           |  CAST(sum(CASE WHEN est_jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+           |  CAST(sum(CASE WHEN exact_jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_confirmed
+           |FROM scored GROUP BY err_bucket ORDER BY err_bucket""".stripMargin),
+    ) { (s, dir) =>
+      val toks = split(lower(col("text")), " ", -1)
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"), toks.as("t"))
+        .filter(size(col("t")) >= 3)
+      val pairs = minhashPairs(s, dir)
+        .select("doc_a", "doc_b", "est_jaccard")
+        .localCheckpoint()
+      pairs
+        .join(t.select(col("doc_id").as("doc_a"), col("t").as("ta")), Seq("doc_a"))
+        .join(t.select(col("doc_id").as("doc_b"), col("t").as("tb")), Seq("doc_b"))
+        .select(col("est_jaccard"),
+          shingleCol(col("ta")).as("sa"), shingleCol(col("tb")).as("sb"))
+        .select(col("est_jaccard"),
+          round(
+            size(array_intersect(col("sa"), col("sb"))).cast("double")
+              / size(array_union(col("sa"), col("sb"))), 6).as("exact_jaccard"))
+        .select(
+          floor(abs(col("est_jaccard") - col("exact_jaccard")) * 10)
+            .cast("long").as("err_bucket"),
+          col("est_jaccard"), col("exact_jaccard"))
+        .groupBy("err_bucket")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("est_jaccard") >= 0.5, 1L).otherwise(0L)).as("n_admitted"),
+          sum(when(col("exact_jaccard") >= 0.5, 1L).otherwise(0L)).as("n_confirmed"))
+        .orderBy("err_bucket")
+    },
+
+    Q(
       "q_dedup_cluster",
       "duplicate clustering: MinHash candidate pairs (est_jaccard ≥ " +
         "0.5) become edges; connected components via min-label " +

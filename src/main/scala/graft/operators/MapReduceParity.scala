@@ -372,5 +372,35 @@ object MapReduceParity {
           sum(length(col("text"))).as("sum_text_len"))
         .orderBy("lang")
     },
+
+    Q(
+      "q_gzip_source",
+      "gzip-compressed text source/sink roundtrip: the wordcount " +
+        "corpus written as .txt.gz part files (Hadoop codec inferred " +
+        "from the extension on BOTH write and read — no format flag), " +
+        "re-read and token-counted; the oracle runs on the original " +
+        "parquet so any codec corruption breaks the hash. The 100 TB " +
+        "note is the SPLITTABILITY trap: gzip streams cannot be " +
+        "split, so one .gz file = one task regardless of " +
+        "maxPartitionBytes — a single 100 GB .gz serializes the whole " +
+        "scan. The sink side is the mitigation this query " +
+        "demonstrates: many bounded part files (per-partition gzip " +
+        "members), which restore scan parallelism at the file " +
+        "granularity; bzip2/zstd-seekable or parquet remain the " +
+        "splittable alternatives",
+      Some(
+        """SELECT w, count(*) AS n FROM (
+          |  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+          |WHERE w <> '' GROUP BY w ORDER BY w""".stripMargin),
+    ) { (s, dir) =>
+      val gzDir = s"${Scratch.dir()}/gz"
+      Tables.documents(s, dir).select(col("text"))
+        .write.option("compression", "gzip").text(gzDir)
+      s.read.text(s"$gzDir/*.txt.gz")
+        .select(explode(split(lower(col("value")), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .orderBy("w")
+    },
   )
 }

@@ -966,5 +966,55 @@ object Relational {
         .select("event_id", "user_id", "n_1h")
         .orderBy("event_id")
     },
+
+    Q(
+      "q_snapshot_diff",
+      "CDC between two table snapshots (the change feed a downstream " +
+        "consumer applies): deterministic old/new views carved from " +
+        "orders (old = keys %10≠0; new = keys %7≠0 with %3=0 prices " +
+        "bumped 10%), FULL OUTER joined on the primary key and " +
+        "classified added / removed / changed / unchanged per key — " +
+        "output is the 4-row change summary. At 100 TB both snapshots " +
+        "shuffle once co-partitioned on the PK (or zero times if both " +
+        "are bucketed on it, the q_bucket_join layout); the classify " +
+        "is per-row null/equality tests and the rollup is 4-row-" +
+        "bounded. The 1.1 price factor is the same double literal in " +
+        "both engines, so 'changed' equality tests cannot drift",
+      Some(
+        """WITH old AS (
+          |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 <> 0
+          |), new AS (
+          |  SELECT o_orderkey,
+          |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+          |         ELSE o_totalprice END AS o_totalprice
+          |  FROM orders WHERE o_orderkey % 7 <> 0
+          |), diff AS (
+          |  SELECT CASE
+          |    WHEN o.o_orderkey IS NULL THEN 'added'
+          |    WHEN n.o_orderkey IS NULL THEN 'removed'
+          |    WHEN o.o_totalprice <> n.o_totalprice THEN 'changed'
+          |    ELSE 'unchanged' END AS change_type
+          |  FROM old o FULL OUTER JOIN new n ON n.o_orderkey = o.o_orderkey
+          |)
+          |SELECT change_type, count(*) AS n FROM diff
+          |GROUP BY change_type ORDER BY change_type""".stripMargin),
+    ) { (s, dir) =>
+      val orders = Tables.orders(s, dir)
+      val old = orders.filter(pmod(col("o_orderkey"), lit(10)) =!= 0)
+        .select(col("o_orderkey").as("k_old"), col("o_totalprice").as("p_old"))
+      val nw = orders.filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+        .select(col("o_orderkey").as("k_new"),
+          when(pmod(col("o_orderkey"), lit(3)) === 0,
+            col("o_totalprice") * lit(1.1))
+            .otherwise(col("o_totalprice")).as("p_new"))
+      old.join(nw, col("k_new") === col("k_old"), "full_outer")
+        .select(
+          when(col("k_old").isNull, "added")
+            .when(col("k_new").isNull, "removed")
+            .when(col("p_old") =!= col("p_new"), "changed")
+            .otherwise("unchanged").as("change_type"))
+        .groupBy("change_type").agg(count(lit(1)).as("n"))
+        .orderBy("change_type")
+    },
   )
 }

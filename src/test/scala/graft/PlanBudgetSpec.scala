@@ -599,6 +599,26 @@ class PlanBudgetSpec extends AnyFunSuite {
       s"pool scan must stay behind the checkpoint, plan:\n$p")
   }
 
+  test("q_minhash_calibration: pairs come from the checkpoint, histogram agg is partial") {
+    val p = plan("q_minhash_calibration")
+    assert(p.contains("Scan ExistingRDD"),
+      s"candidate checkpoint missing, plan:\n$p")
+    assert(p.contains("partial_count"), s"map-side combine missing, plan:\n$p")
+  }
+
+  test("q_snapshot_diff: one co-partitioned full-outer join, bounded rollup") {
+    val p = plan("q_snapshot_diff")
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"), s"plan:\n$p")
+    // both snapshot sides + the 4-row change_type agg
+    assert(hashExchanges(p) == 3, s"plan:\n$p")
+  }
+
+  test("q_gzip_source: roundtrip wordcount shuffles once with map-side combine") {
+    val p = plan("q_gzip_source")
+    assert(hashExchanges(p) == 1, s"plan:\n$p")
+    assert(p.contains("partial_count"), s"plan:\n$p")
+  }
+
   test("q1_agg aggregates inside whole-stage codegen") {
     // The plain plan string hides codegen stage boundaries; the
     // codegen explain mode lists every WholeStageCodegen subtree.
