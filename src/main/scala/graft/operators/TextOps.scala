@@ -2185,9 +2185,9 @@ object TextOps {
         .select(col("doc_id"),
           posexplode(split(lower(col("text")), " ")).as(Seq("pos", "w")))
         .localCheckpoint()
-      val tg = Window.orderBy(col("n").desc, col("w1"), col("w2"), col("w3"))
       // Top trigram from the same per-row transform q_bigrams uses —
-      // the 1-row result broadcasts as the query phrase.
+      // the 1-row result broadcasts as the query phrase (orderBy+limit
+      // plans as a TakeOrdered heap, not a global sort).
       val phrase = Tables.documents(s, dir)
         .select(split(lower(col("text")), " ").as("t"))
         .filter(size(col("t")) >= 3)
