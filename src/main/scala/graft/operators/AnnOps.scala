@@ -839,6 +839,103 @@ object AnnOps {
     },
 
     Q(
+      "q_rrf_fusion",
+      s"Reciprocal Rank Fusion (Cormack et al., k=60) of two coarse " +
+        s"rankers — binary-quantization hamming and $MatPrefix-dim " +
+        s"Matryoshka-prefix cosine, top-$RerankR each per probe: " +
+        "rrf = Σ 1/(60+rank), full-outer merged so a candidate one " +
+        "ranker misses still scores, the hybrid-retrieval fusion " +
+        "every RAG stack runs (typically lexical+dense; here the two " +
+        "cheap scans). Each ranker is the established funnel (probes " +
+        "broadcast, WindowGroupLimit map-side prune, one keyed " +
+        "exchange); the fusion join and final top-$TopK run on two " +
+        s"$RerankR-bounded lists per probe. 1/(60+rank) is one " +
+        "division of identical ints and the two-term sum has fixed " +
+        "order, so 6dp-rounded scores cannot drift; ties by id",
+      Some {
+        def sigSql(off: Int): String =
+          s"CAST(list_sum(list_transform(range(32), i -> CASE WHEN embedding[i + ${off + 1}] > 0 " +
+            "THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+           |sigs AS (
+           |  SELECT vec_id, ${sigSql(0)} AS sig_lo, ${sigSql(32)} AS sig_hi FROM e
+           |), probes_h AS (
+           |  SELECT vec_id AS probe_id, sig_lo AS p_lo, sig_hi AS p_hi
+           |  FROM sigs WHERE vec_id < $NumProbes
+           |), ranks_h AS (
+           |  SELECT probe_id, neighbor_id, r FROM (
+           |    SELECT probe_id, s.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY probe_id ORDER BY
+           |        bit_count(xor(p_lo, sig_lo)) + bit_count(xor(p_hi, sig_hi)),
+           |        s.vec_id) AS r
+           |    FROM probes_h JOIN sigs s ON s.vec_id <> probe_id)
+           |  WHERE r <= $RerankR
+           |), pre AS (SELECT vec_id, embedding[1:$MatPrefix] AS p FROM e),
+           |probes_p AS (
+           |  SELECT vec_id AS probe_id, p AS pp FROM pre WHERE vec_id < $NumProbes
+           |), ranks_p AS (
+           |  SELECT probe_id, neighbor_id, r FROM (
+           |    SELECT probe_id, pre.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY probe_id ORDER BY
+           |        ${cosSimSql("pp", "p", MatPrefix)} DESC, pre.vec_id) AS r
+           |    FROM probes_p JOIN pre ON pre.vec_id <> probe_id)
+           |  WHERE r <= $RerankR
+           |), fused AS (
+           |  SELECT coalesce(a.probe_id, b.probe_id) AS probe_id,
+           |    coalesce(a.neighbor_id, b.neighbor_id) AS neighbor_id,
+           |    round(coalesce(1.0 / (60 + a.r), 0) + coalesce(1.0 / (60 + b.r), 0), 6) AS rrf
+           |  FROM ranks_h a FULL OUTER JOIN ranks_p b
+           |    ON b.probe_id = a.probe_id AND b.neighbor_id = a.neighbor_id
+           |)
+           |SELECT probe_id, neighbor_id, rrf, rank FROM (
+           |  SELECT probe_id, neighbor_id, rrf,
+           |    CAST(row_number() OVER (PARTITION BY probe_id
+           |      ORDER BY rrf DESC, neighbor_id) AS BIGINT) AS rank
+           |  FROM fused) WHERE rank <= $TopK
+           |ORDER BY probe_id, rank""".stripMargin
+      },
+    ) { (s, dir) =>
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      def sigHalf(off: Int): Column = expr(
+        s"aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, i) -> acc + " +
+          s"IF(element_at(embedding, i + ${off + 1}) > 0, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))")
+      val sigs = e.select(col("vec_id"),
+        sigHalf(0).as("sig_lo"), sigHalf(32).as("sig_hi"))
+      val probesH = sigs.filter(col("vec_id") < NumProbes)
+        .select(col("vec_id").as("probe_id"),
+          col("sig_lo").as("p_lo"), col("sig_hi").as("p_hi"))
+      val hw = Window.partitionBy("probe_id").orderBy(col("hamming"), col("neighbor_id"))
+      val ranksH = broadcast(probesH)
+        .join(sigs, col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          (bit_count(col("p_lo").bitwiseXOR(col("sig_lo"))) +
+            bit_count(col("p_hi").bitwiseXOR(col("sig_hi")))).as("hamming"))
+        .withColumn("r", row_number().over(hw))
+        .filter(col("r") <= RerankR)
+        .select(col("probe_id"), col("neighbor_id"), col("r").as("ra"))
+      val pre = e.select(col("vec_id"), slice(col("embedding"), 1, MatPrefix).as("p"))
+      val probesP = pre.filter(col("vec_id") < NumProbes)
+        .select(col("vec_id").as("probe_id"), col("p").as("pp"))
+      val pw = Window.partitionBy("probe_id").orderBy(col("pre_sim").desc, col("neighbor_id"))
+      val ranksP = broadcast(probesP)
+        .join(pre, col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          cosSim(s, "pp", "p").as("pre_sim"))
+        .withColumn("r", row_number().over(pw))
+        .filter(col("r") <= RerankR)
+        .select(col("probe_id"), col("neighbor_id"), col("r").as("rb"))
+      val fused = ranksH.join(ranksP, Seq("probe_id", "neighbor_id"), "full_outer")
+        .select(col("probe_id"), col("neighbor_id"),
+          round(
+            coalesce(lit(1.0) / (lit(60) + col("ra")), lit(0.0))
+              + coalesce(lit(1.0) / (lit(60) + col("rb")), lit(0.0)), 6).as("rrf"))
+      val fw = Window.partitionBy("probe_id").orderBy(col("rrf").desc, col("neighbor_id"))
+      fused.withColumn("rank", row_number().over(fw).cast("long"))
+        .filter(col("rank") <= TopK)
+        .orderBy("probe_id", "rank")
+    },
+
+    Q(
       "q_simsearch_ivf",
       s"IVF-style ANN: $NumCells coarse centroids (deterministic seed " +
         "vectors — one-pass assignment; k-means iterations would only " +

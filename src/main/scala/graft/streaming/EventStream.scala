@@ -19,6 +19,16 @@ case class SessState(start: Long, last: Long, n: Long, sumValue: Double, firstEv
 case class SessionOut(user_id: Long, session_start: Timestamp, session_end: Timestamp,
     n_events: Long, sum_value: Double, first_event: Long)
 
+/** Typed row for the stateful transition extractor. */
+case class TransEvent(ts: Timestamp, user_id: Long, event_type: String, event_id: Long)
+
+/** Per-user "last event seen" — epoch-µs + id for deterministic
+  * ordering, plus the type the next pair leads with. */
+case class TransState(lastUs: Long, lastId: Long, lastType: String)
+
+/** One consecutive-event transition as emitted downstream. */
+case class TransOut(user_id: Long, prev_type: String, event_type: String)
+
 /** Structured Streaming twins of the batch event analytics in
   * [[graft.operators.EventsOps]] (the reference engine is batch-only —
   * SURVEY.md §2.10 — so this is pure extension surface).
@@ -265,6 +275,42 @@ object EventStream {
       }
       closed.iterator
     }
+  }
+
+  /** Stateful consecutive-event TRANSITION extraction — the streaming
+    * face of q_event_transitions' lag: per-user state is the LAST
+    * event seen (µs time + id + type); each batch sorts its events by
+    * (µs, id), emits one (prev_type, event_type) pair per event that
+    * has a predecessor (the state bridges batch boundaries), and
+    * stores the new last event. NoTimeout is deliberate: the batch
+    * twin's lag() pairs consecutive events across ANY gap, so evicting
+    * state would silently drop the pair a user's next event owes —
+    * state is one small record per user EVER seen (the dropDuplicates
+    * cardinality class, ∝ users not events), the cost of exact global
+    * lag semantics. A deployment that accepts gap-bounded pairs swaps
+    * in an event-time timeout and gets session-bounded state.
+    */
+  def transitionsState(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .selectExpr("ts", "user_id", "event_type", "event_id").as[TransEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(transFn)
+      .toDF()
+  }
+
+  private def transFn(user: Long, evs: Iterator[TransEvent],
+      state: GroupState[TransState]): Iterator[TransOut] = {
+    val sorted = evs.toIndexedSeq.sortBy(e => (tsToUs(e.ts), e.event_id))
+    val out = scala.collection.mutable.ArrayBuffer.empty[TransOut]
+    var last = state.getOption
+    for (e <- sorted) {
+      last.foreach(s => out += TransOut(user, s.lastType, e.event_type))
+      last = Some(TransState(tsToUs(e.ts), e.event_id, e.event_type))
+    }
+    last.foreach(state.update)
+    out.iterator
   }
 
   /** Mergeable fixed-range histogram of `value` — the streaming face

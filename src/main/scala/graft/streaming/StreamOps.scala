@@ -519,5 +519,46 @@ object StreamOps {
         .select("vec_id", "cell_id")
         .orderBy("vec_id")
     },
+
+    Q(
+      "q_stream_transitions",
+      "stateful TRANSITION extraction run END-TO-END as a real " +
+        "streaming job: EventStream.transitionsState " +
+        "(flatMapGroupsWithState, per-user last-event state bridging " +
+        "micro-batch boundaries) over the staged source emits one " +
+        "(prev_type, event_type) pair per event with a predecessor — " +
+        "the streaming face of q_event_transitions' lag — and the " +
+        "Markov rollup over the parquet sink shares the batch " +
+        "oracle VERBATIM: pairs are emitted in-batch (no watermark " +
+        "wait), each batch sorts by (µs, id) before folding, so the " +
+        "pair STREAM is batch-identical at any micro-batch split. " +
+        "The sentinel is a single event of its own user: it advances " +
+        "the watermark and owes no pair, so the sink cannot see it. " +
+        "State is one record per user ever seen (∝ users, the " +
+        "dropDuplicates cardinality class) — the documented cost of " +
+        "exact cross-gap lag; the counts agg is #types²-bounded",
+      Some(
+        """WITH seq AS (
+          |  SELECT user_id, event_type,
+          |    lag(event_type) OVER (PARTITION BY user_id
+          |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+          |  FROM events
+          |), pairs AS (
+          |  SELECT prev_type, event_type, count(*) AS n
+          |  FROM seq WHERE prev_type IS NOT NULL
+          |  GROUP BY prev_type, event_type
+          |)
+          |SELECT prev_type, event_type, n,
+          |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+          |FROM pairs ORDER BY prev_type, event_type""".stripMargin),
+    ) { (s, dir) =>
+      val pairs = runToParquet(s,
+        EventStream.transitionsState(stagedEventsSource(s, dir)))
+      val pw = org.apache.spark.sql.expressions.Window.partitionBy("prev_type")
+      pairs.groupBy("prev_type", "event_type").agg(count(lit(1)).as("n"))
+        .withColumn("p", round(col("n").cast("double")
+          / sum("n").over(pw), 6))
+        .orderBy("prev_type", "event_type")
+    },
   )
 }

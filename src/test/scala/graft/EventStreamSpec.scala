@@ -276,4 +276,39 @@ class EventStreamSpec extends AnyFunSuite {
       assert(batch(bins - 1L) == 3L)   // 9.99, 10.0 and 42.0 (clamped)
     } finally q.stop()
   }
+
+  test("transitionsState: per-user state bridges micro-batch boundaries exactly") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = EventStream.transitionsState(src.toDF())
+      .writeStream.format("memory").queryName("trans_out")
+      .outputMode("append").start()
+    try {
+      // User 1's timeline split mid-stream: the (view -> click) pair
+      // straddling the two addData batches must still be emitted —
+      // that bridging pair IS the state's reason to exist. User 2
+      // interleaves to prove per-user isolation; out-of-order arrival
+      // within a batch (event 103 before 102 by time) must be folded
+      // in (ts, id) order.
+      src.addData(
+        Ev(ts(0), 1, "signup", 0, 100),
+        Ev(ts(5), 1, "view", 0, 101),
+        Ev(ts(12), 2, "click", 0, 110))
+      q.processAllAvailable()
+      src.addData(
+        Ev(ts(20), 1, "purchase", 0, 103), // arrives before 102...
+        Ev(ts(10), 1, "click", 0, 102),    // ...but folds by (ts, id)
+        Ev(ts(25), 2, "error", 0, 111))
+      q.processAllAvailable()
+      val streamed = spark.table("trans_out")
+        .select("user_id", "prev_type", "event_type").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      val expected = Map(
+        (1L, "signup", "view") -> 1, (1L, "view", "click") -> 1,
+        (1L, "click", "purchase") -> 1, (2L, "click", "error") -> 1)
+      assert(streamed == expected, s"streamed=$streamed")
+    } finally q.stop()
+  }
 }

@@ -619,6 +619,15 @@ class PlanBudgetSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), s"plan:\n$p")
   }
 
+  test("q_rrf_fusion: both rankers keep the funnel shape; fusion runs on bounded lists") {
+    val p = plan("q_rrf_fusion")
+    // Hamming and prefix rankers each: probes broadcast (BNLJ) +
+    // map-side WindowGroupLimit before their keyed exchange.
+    assert("BroadcastNestedLoopJoin BuildLeft".r.findAllIn(p).length == 2,
+      s"plan:\n$p")
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 4, s"plan:\n$p")
+  }
+
   test("q1_agg aggregates inside whole-stage codegen") {
     // The plain plan string hides codegen stage boundaries; the
     // codegen explain mode lists every WholeStageCodegen subtree.
