@@ -45,6 +45,11 @@ object GraphOps {
     * partition. */
   private[graft] val TriTopEdges = 400
 
+  /** q_bfs_reach: relaxation rounds (oracle-unrolled) and the seed
+    * rule — items with item % BfsSeedMod = 0 start at distance 0. */
+  private[graft] val BfsRounds = 3
+  private[graft] val BfsSeedMod = 13
+
   /** (user-ordered) item transitions: a = lag(item), b = item. */
   private[graft] def transitions(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -276,6 +281,59 @@ object GraphOps {
               (col("deg") * (col("deg") - 1)))
             .otherwise(lit(0.0)), 6).as("clustering"))
         .orderBy("item")
+    },
+
+    Q(
+      "q_bfs_reach",
+      s"bounded-round BFS over the item-transition graph ($BfsRounds " +
+        s"relaxation rounds from seeds item % $BfsSeedMod = 0): " +
+        "shortest hop distance ≤ rounds per reached item — the " +
+        "traversal primitive (taint/reachability/influence radius) " +
+        "beside PageRank's diffusion and the CC fixpoint. Each round " +
+        "is one edge-keyed join of the CURRENT distance table + a " +
+        "node-keyed min agg (Bellman-Ford relaxation), checkpoint per " +
+        "round — linear lineage, distance state one row per REACHED " +
+        "node, never frontier history; rounds fixed so the oracle " +
+        "unrolls them as CTEs. At 100 TB the distance table is " +
+        "node-bounded and the per-round join cost is edges touching " +
+        "reached nodes — the same keyed-shuffle budget as one " +
+        "PageRank round",
+      Some {
+        val rounds = (1 to BfsRounds).map { i =>
+          s""", r$i AS (
+             |  SELECT item, min(d) AS d FROM (
+             |    SELECT item, d FROM r${i - 1}
+             |    UNION ALL
+             |    SELECT e.b AS item, r.d + 1 AS d
+             |    FROM edges e JOIN r${i - 1} r ON e.a = r.item
+             |  ) GROUP BY item
+             |)""".stripMargin
+        }.mkString
+        s"""WITH $edgesSqlCte,
+           |items AS (
+           |  SELECT DISTINCT item FROM (
+           |    SELECT a AS item FROM edges UNION ALL SELECT b FROM edges)
+           |), r0 AS (
+           |  SELECT item, CAST(0 AS BIGINT) AS d FROM items WHERE item % $BfsSeedMod = 0
+           |)$rounds
+           |SELECT item, d FROM r$BfsRounds ORDER BY item""".stripMargin
+      },
+    ) { (s, dir) =>
+      val edges = edgesOf(s, dir).select("a", "b").localCheckpoint()
+      val items = edges.select(col("a").as("item"))
+        .unionByName(edges.select(col("b").as("item"))).distinct()
+      var dist = items.filter(pmod(col("item"), lit(BfsSeedMod)) === 0)
+        .select(col("item"), lit(0L).as("d"))
+        .localCheckpoint()
+      for (_ <- 1 to BfsRounds) {
+        dist = dist
+          .unionByName(edges
+            .join(dist.select(col("item").as("a"), col("d")), "a")
+            .select(col("b").as("item"), (col("d") + 1).as("d")))
+          .groupBy("item").agg(min(col("d")).as("d"))
+          .localCheckpoint()
+      }
+      dist.orderBy("item")
     },
   )
 }

@@ -628,6 +628,13 @@ class PlanBudgetSpec extends AnyFunSuite {
     assert("WindowGroupLimit".r.findAllIn(p).length >= 4, s"plan:\n$p")
   }
 
+  test("q_bfs_reach: final plan reads the last round's checkpoint only") {
+    val p = plan("q_bfs_reach")
+    assert(p.contains("Scan ExistingRDD"), s"checkpoint missing, plan:\n$p")
+    assert(hashExchanges(p) == 0,
+      s"rounds must stay behind checkpoints, plan:\n$p")
+  }
+
   test("q1_agg aggregates inside whole-stage codegen") {
     // The plain plan string hides codegen stage boundaries; the
     // codegen explain mode lists every WholeStageCodegen subtree.
