@@ -412,6 +412,72 @@ object AnnOps {
        |          - 2 * ${dotColSql("embedding", "ce")}
        |          + ${normSqSql("ce")}, 6)""".stripMargin
 
+  /** Shared kNN-graph candidate machinery (q_knn_graph /
+    * q_knn_classify / q_label_spread — one owner, the
+    * minhashPairsOf precedent): corpus vectors live in their single
+    * nearest of $KSeeds cells via the fused broadcast-argmin, queries
+    * fan out to their $KnnNProbe nearest cells by sorted-slice
+    * routing (both pure per-row work against the packed broadcast),
+    * exact cosine on cell-mates, per-query top-$KnnK by (cos DESC,
+    * id). Scores shrink to (ids, cos) before the ranking window — the
+    * only corpus-sized shuffle — and embeddings never ride through
+    * it. Returns (vec_id, neighbor_id, cos_sim, rank). */
+  private def knnTopK(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val cents = e.filter(col("vec_id") < KSeeds)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+    val packed = broadcast(packCents(cents))
+    val corpus = e.crossJoin(packed)
+      .withColumn("cell_id",
+        graft.functions.CentAssign.argminL2(s, "embedding", "cs"))
+      .select(col("cell_id"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("ne"))
+    val queries = e.withColumn("vn2", normSq(col("embedding")))
+      .crossJoin(packed)
+      .withColumn("cell", explode(slice(array_sort(centMetrics), 1, KnnNProbe)))
+      .select(col("cell.cent_id").as("cell_id"), col("vec_id"),
+        col("embedding").as("qe"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    queries.join(corpus, Seq("cell_id"))
+      .filter(col("neighbor_id") =!= col("vec_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        cosSim(s, "qe", "ne").as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= KnnK)
+  }
+
+  /** DuckDB twin of [[knnTopK]]: CTE chain cents → routed → corpus →
+    * queries → scored → topk(vec_id, neighbor_id, cos_sim, rank),
+    * expecting a prior `e(vec_id, embedding, …)` CTE — splice right
+    * after it so all three consumers rank the identical graph. */
+  private def knnTopkSqlCte: String =
+    s"""cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM e WHERE vec_id < $KSeeds),
+       |routed AS (
+       |  SELECT vec_id, cent_id AS cell_id, embedding, rn FROM (
+       |    SELECT e.vec_id, c.cent_id, e.embedding,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        $d2Sql,
+       |        c.cent_id) AS rn
+       |    FROM e CROSS JOIN cents c) WHERE rn <= $KnnNProbe
+       |), corpus AS (
+       |  SELECT vec_id AS neighbor_id, cell_id, embedding FROM routed WHERE rn = 1
+       |), queries AS (
+       |  SELECT vec_id, cell_id, embedding FROM routed
+       |), scored AS (
+       |  SELECT q.vec_id, c.neighbor_id,
+       |    ${cosSimSql("q.embedding", "c.embedding")} AS cos_sim
+       |  FROM queries q JOIN corpus c
+       |    ON q.cell_id = c.cell_id AND c.neighbor_id <> q.vec_id
+       |), topk AS (
+       |  SELECT vec_id, neighbor_id, cos_sim, rank FROM (
+       |    SELECT vec_id, neighbor_id, cos_sim,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |    FROM scored) WHERE rank <= $KnnK
+       |)""".stripMargin
+
   /** One Lloyd iteration → long-form centroids (cent_id, pos, n_vecs,
     * cval). cval is rounded to 6dp so the NEXT iteration starts from
     * bit-identical centroids in both engines — per-step float drift is
@@ -848,7 +914,7 @@ object AnnOps {
         "every RAG stack runs (typically lexical+dense; here the two " +
         "cheap scans). Each ranker is the established funnel (probes " +
         "broadcast, WindowGroupLimit map-side prune, one keyed " +
-        "exchange); the fusion join and final top-$TopK run on two " +
+        s"exchange); the fusion join and final top-$TopK run on two " +
         s"$RerankR-bounded lists per probe. 1/(60+rank) is one " +
         "division of identical ints and the two-term sum has fixed " +
         "order, so 6dp-rounded scores cannot drift; ties by id",
@@ -2140,61 +2206,11 @@ object AnnOps {
         "materialize the whole graph instead of per query",
       Some(
         s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-           |cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM e WHERE vec_id < $KSeeds),
-           |routed AS (
-           |  SELECT vec_id, cent_id AS cell_id, embedding, rn FROM (
-           |    SELECT e.vec_id, c.cent_id, e.embedding,
-           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-           |        $d2Sql,
-           |        c.cent_id) AS rn
-           |    FROM e CROSS JOIN cents c) WHERE rn <= $KnnNProbe
-           |), corpus AS (
-           |  SELECT vec_id AS neighbor_id, cell_id, embedding FROM routed WHERE rn = 1
-           |), queries AS (
-           |  SELECT vec_id, cell_id, embedding FROM routed
-           |), scored AS (
-           |  SELECT q.vec_id, c.neighbor_id,
-           |    ${cosSimSql("q.embedding", "c.embedding")} AS cos_sim
-           |  FROM queries q JOIN corpus c
-           |    ON q.cell_id = c.cell_id AND c.neighbor_id <> q.vec_id
-           |), ranked AS (
-           |  SELECT vec_id, neighbor_id, cos_sim,
-           |    row_number() OVER (PARTITION BY vec_id
-           |      ORDER BY cos_sim DESC, neighbor_id) AS rank
-           |  FROM scored)
+           |$knnTopkSqlCte
            |SELECT vec_id, neighbor_id, cos_sim, rank
-           |FROM ranked WHERE rank <= $KnnK
-           |ORDER BY vec_id, rank""".stripMargin),
+           |FROM topk ORDER BY vec_id, rank""".stripMargin),
     ) { (s, dir) =>
-      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
-      val cents = e.filter(col("vec_id") < KSeeds)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
-      val packed = broadcast(packCents(cents))
-      // Corpus side lives in its single nearest cell (fused argmin);
-      // the query side fans out to its nprobe nearest cells via the
-      // sorted-slice routing — both pure per-row work against the
-      // packed broadcast, the corpus never shuffles for assignment.
-      val corpus = e.crossJoin(packed)
-        .withColumn("cell_id",
-          graft.functions.CentAssign.argminL2(s, "embedding", "cs"))
-        .select(col("cell_id"), col("vec_id").as("neighbor_id"),
-          col("embedding").as("ne"))
-      val queries = e.withColumn("vn2", normSq(col("embedding")))
-        .crossJoin(packed)
-        .withColumn("cell", explode(slice(array_sort(centMetrics), 1, KnnNProbe)))
-        .select(col("cell.cent_id").as("cell_id"), col("vec_id"),
-          col("embedding").as("qe"))
-      val w = Window.partitionBy("vec_id")
-        .orderBy(col("cos_sim").desc, col("neighbor_id"))
-      // Scores shrink to (ids, cos) before the ranking window —
-      // embeddings never ride through the top-k exchange.
-      queries.join(corpus, Seq("cell_id"))
-        .filter(col("neighbor_id") =!= col("vec_id"))
-        .select(col("vec_id"), col("neighbor_id"),
-          cosSim(s, "qe", "ne").as("cos_sim"))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= KnnK)
-        .orderBy("vec_id", "rank")
+      knnTopK(s, dir).orderBy("vec_id", "rank")
     },
 
     Q(
@@ -2211,30 +2227,7 @@ object AnnOps {
         "size — the eval table a training run reads per checkpoint",
       Some(
         s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
-           |cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM e WHERE vec_id < $KSeeds),
-           |routed AS (
-           |  SELECT vec_id, cent_id AS cell_id, embedding, rn FROM (
-           |    SELECT e.vec_id, c.cent_id, e.embedding,
-           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-           |        $d2Sql,
-           |        c.cent_id) AS rn
-           |    FROM e CROSS JOIN cents c) WHERE rn <= $KnnNProbe
-           |), corpus AS (
-           |  SELECT vec_id AS neighbor_id, cell_id, embedding FROM routed WHERE rn = 1
-           |), queries AS (
-           |  SELECT vec_id, cell_id, embedding FROM routed
-           |), scored AS (
-           |  SELECT q.vec_id, c.neighbor_id,
-           |    ${cosSimSql("q.embedding", "c.embedding")} AS cos_sim
-           |  FROM queries q JOIN corpus c
-           |    ON q.cell_id = c.cell_id AND c.neighbor_id <> q.vec_id
-           |), topk AS (
-           |  SELECT vec_id, neighbor_id FROM (
-           |    SELECT vec_id, neighbor_id,
-           |      row_number() OVER (PARTITION BY vec_id
-           |        ORDER BY cos_sim DESC, neighbor_id) AS rank
-           |    FROM scored) WHERE rank <= $KnnK
-           |), votes AS (
+           |$knnTopkSqlCte, votes AS (
            |  SELECT t.vec_id, l.label AS vote, count(*) AS c
            |  FROM topk t JOIN e l ON l.vec_id = t.neighbor_id
            |  GROUP BY t.vec_id, l.label
@@ -2251,32 +2244,8 @@ object AnnOps {
            |FROM pred p JOIN e t ON t.vec_id = p.vec_id
            |GROUP BY t.label ORDER BY t.label""".stripMargin),
     ) { (s, dir) =>
-      val e = Tables.embeddings(s, dir)
-        .select("vec_id", "embedding", "label")
-      val emb = e.select("vec_id", "embedding")
-      val cents = emb.filter(col("vec_id") < KSeeds)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
-      val packed = broadcast(packCents(cents))
-      val corpus = emb.crossJoin(packed)
-        .withColumn("cell_id",
-          graft.functions.CentAssign.argminL2(s, "embedding", "cs"))
-        .select(col("cell_id"), col("vec_id").as("neighbor_id"),
-          col("embedding").as("ne"))
-      val queries = emb.withColumn("vn2", normSq(col("embedding")))
-        .crossJoin(packed)
-        .withColumn("cell", explode(slice(array_sort(centMetrics), 1, KnnNProbe)))
-        .select(col("cell.cent_id").as("cell_id"), col("vec_id"),
-          col("embedding").as("qe"))
-      val w = Window.partitionBy("vec_id")
-        .orderBy(col("cos_sim").desc, col("neighbor_id"))
-      val topk = queries.join(corpus, Seq("cell_id"))
-        .filter(col("neighbor_id") =!= col("vec_id"))
-        .select(col("vec_id"), col("neighbor_id"),
-          cosSim(s, "qe", "ne").as("cos_sim"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= KnnK)
-        .select("vec_id", "neighbor_id")
-      val labels = e.select(col("vec_id"), col("label"))
+      val topk = knnTopK(s, dir).select("vec_id", "neighbor_id")
+      val labels = Tables.embeddings(s, dir).select("vec_id", "label")
       val votes = topk
         .join(labels.select(col("vec_id").as("neighbor_id"),
           col("label").as("vote")), "neighbor_id")
@@ -2371,30 +2340,7 @@ object AnnOps {
         "fixed",
       Some(
         s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
-           |cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM e WHERE vec_id < $KSeeds),
-           |routed AS (
-           |  SELECT vec_id, cent_id AS cell_id, embedding, rn FROM (
-           |    SELECT e.vec_id, c.cent_id, e.embedding,
-           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-           |        $d2Sql,
-           |        c.cent_id) AS rn
-           |    FROM e CROSS JOIN cents c) WHERE rn <= $KnnNProbe
-           |), corpus AS (
-           |  SELECT vec_id AS neighbor_id, cell_id, embedding FROM routed WHERE rn = 1
-           |), queries AS (
-           |  SELECT vec_id, cell_id, embedding FROM routed
-           |), scored AS (
-           |  SELECT q.vec_id, c.neighbor_id,
-           |    ${cosSimSql("q.embedding", "c.embedding")} AS cos_sim
-           |  FROM queries q JOIN corpus c
-           |    ON q.cell_id = c.cell_id AND c.neighbor_id <> q.vec_id
-           |), topk AS (
-           |  SELECT vec_id, neighbor_id FROM (
-           |    SELECT vec_id, neighbor_id,
-           |      row_number() OVER (PARTITION BY vec_id
-           |        ORDER BY cos_sim DESC, neighbor_id) AS rank
-           |    FROM scored) WHERE rank <= $KnnK
-           |), l0 AS (
+           |$knnTopkSqlCte, l0 AS (
            |  SELECT vec_id,
            |    CASE WHEN vec_id % $SpreadSeedMod = 0 THEN label END AS lab
            |  FROM e
@@ -2406,37 +2352,13 @@ object AnnOps {
            |FROM l0 JOIN l$SpreadRounds ON l$SpreadRounds.vec_id = l0.vec_id
            |ORDER BY l0.vec_id""".stripMargin),
     ) { (s, dir) =>
-      val e = Tables.embeddings(s, dir)
-        .select("vec_id", "embedding", "label")
-      val emb = e.select("vec_id", "embedding")
-      val cents = emb.filter(col("vec_id") < KSeeds)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
-      val packed = broadcast(packCents(cents))
-      val corpus = emb.crossJoin(packed)
-        .withColumn("cell_id",
-          graft.functions.CentAssign.argminL2(s, "embedding", "cs"))
-        .select(col("cell_id"), col("vec_id").as("neighbor_id"),
-          col("embedding").as("ne"))
-      val queries = emb.withColumn("vn2", normSq(col("embedding")))
-        .crossJoin(packed)
-        .withColumn("cell", explode(slice(array_sort(centMetrics), 1, KnnNProbe)))
-        .select(col("cell.cent_id").as("cell_id"), col("vec_id"),
-          col("embedding").as("qe"))
-      val w = Window.partitionBy("vec_id")
-        .orderBy(col("cos_sim").desc, col("neighbor_id"))
       // The graph is ids-only after ranking and read once per round —
       // checkpointed so rounds don't re-run the candidate join.
-      val topk = queries.join(corpus, Seq("cell_id"))
-        .filter(col("neighbor_id") =!= col("vec_id"))
-        .select(col("vec_id"), col("neighbor_id"),
-          cosSim(s, "qe", "ne").as("cos_sim"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= KnnK)
-        .select("vec_id", "neighbor_id")
+      val topk = knnTopK(s, dir).select("vec_id", "neighbor_id")
         .localCheckpoint()
       val vw = Window.partitionBy("vec_id")
         .orderBy(col("c").desc, col("vote"))
-      var labs = e
+      var labs = Tables.embeddings(s, dir)
         .select(col("vec_id"),
           when(pmod(col("vec_id"), lit(SpreadSeedMod)) === 0, col("label"))
             .as("seed_lab"))

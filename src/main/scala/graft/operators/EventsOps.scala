@@ -25,6 +25,49 @@ import org.apache.spark.sql.functions._
   */
 object EventsOps {
 
+  /** 30-minute session gap — ONE owner for the boundary rule (>=)
+    * shared by q_events_sessions and q_session_paths, Spark and
+    * oracle alike. */
+  private val SessionGapMicros = 30L * 60 * 1000000
+
+  /** Shared sessionization (q_events_sessions / q_session_paths):
+    * one user-keyed shuffle, then lag-flag + cumulative-sum windows
+    * ride the same ordering — returns the event stream (user_id,
+    * event_id, event_type, ts) with `session_seq` attached. */
+  private def sessionized(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select("user_id", "event_id", "event_type", "ts")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull
+          || unix_micros(col("ts")) - unix_micros(col("prev_ts")) >= SessionGapMicros,
+          lit(1)).otherwise(lit(0)))
+      .withColumn("session_seq",
+        sum(col("new_session"))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** DuckDB twin of [[sessionized]]: ev → flagged → sessions CTEs
+    * ending in sessions(user_id, event_id, event_type, ts,
+    * session_seq); splice under WITH. */
+  private val sessionsSqlCte: String =
+    """ev AS (
+      |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+      |), flagged AS (
+      |  SELECT user_id, event_id, event_type, ts,
+      |    CASE WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |           OR lag(ts) OVER w IS NULL
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sessions AS (
+      |  SELECT user_id, event_id, event_type, ts,
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      |  FROM flagged)""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q(
       "q_events_hourly",
@@ -75,36 +118,13 @@ object EventsOps {
         "from a cumulative sum over new-session flags — two sequential " +
         "window passes, no self-join; streaming twin = session_window",
       Some(
-        """WITH ev AS (
-          |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
-          |), flagged AS (
-          |  SELECT user_id, event_id, ts,
-          |    CASE WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
-          |           OR lag(ts) OVER w IS NULL
-          |         THEN 1 ELSE 0 END AS new_session
-          |  FROM ev
-          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-          |), sessions AS (
-          |  SELECT user_id, event_id,
-          |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
-          |  FROM flagged)
-          |SELECT user_id, session_seq, count(*) AS n_events,
-          |  min(event_id) AS first_event
-          |FROM sessions GROUP BY user_id, session_seq
-          |ORDER BY user_id, session_seq""".stripMargin),
+        s"""WITH $sessionsSqlCte
+           |SELECT user_id, session_seq, count(*) AS n_events,
+           |  min(event_id) AS first_event
+           |FROM sessions GROUP BY user_id, session_seq
+           |ORDER BY user_id, session_seq""".stripMargin),
     ) { (s, dir) =>
-      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val gapMicros = 30L * 60 * 1000000
-      Tables.events(s, dir)
-        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
-        .withColumn("new_session",
-          when(col("prev_ts").isNull
-            || unix_micros(col("ts")) - unix_micros(col("prev_ts")) >= gapMicros,
-            lit(1)).otherwise(lit(0)))
-        .withColumn("session_seq",
-          sum(col("new_session"))
-            .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sessionized(s, dir)
         .groupBy("user_id", "session_seq")
         .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("first_event"))
         .orderBy("user_id", "session_seq")
@@ -555,21 +575,7 @@ object EventsOps {
         "path is unique after the count agg, so the cut is " +
         "deterministic), not a global sort",
       Some(
-        """WITH ev AS (
-          |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
-          |), flagged AS (
-          |  SELECT user_id, event_id, event_type, ts,
-          |    CASE WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
-          |           OR lag(ts) OVER w IS NULL
-          |         THEN 1 ELSE 0 END AS new_session
-          |  FROM ev
-          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-          |), sessions AS (
-          |  SELECT user_id, event_id, event_type, ts,
-          |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
-          |  FROM flagged
-          |), paths AS (
+        s"""WITH $sessionsSqlCte, paths AS (
           |  SELECT user_id, session_seq,
           |    array_to_string(list_slice(
           |      list(event_type ORDER BY ts, event_id), 1, 4), '>') AS path
@@ -580,19 +586,7 @@ object EventsOps {
           |SELECT path, n FROM counted
           |ORDER BY n DESC, path LIMIT 20""".stripMargin),
     ) { (s, dir) =>
-      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val gapMicros = 30L * 60 * 1000000
-      val sessions = Tables.events(s, dir)
-        .select("user_id", "event_id", "event_type", "ts")
-        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
-        .withColumn("new_session",
-          when(col("prev_ts").isNull
-            || unix_micros(col("ts")) - unix_micros(col("prev_ts")) >= gapMicros,
-            lit(1)).otherwise(lit(0)))
-        .withColumn("session_seq",
-          sum(col("new_session"))
-            .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      val paths = sessions
+      val paths = sessionized(s, dir)
         .groupBy("user_id", "session_seq")
         .agg(concat_ws(">", slice(transform(
           array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),

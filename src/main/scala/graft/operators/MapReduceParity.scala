@@ -390,11 +390,18 @@ object MapReduceParity {
         "splittable alternatives",
       Some(
         """SELECT w, count(*) AS n FROM (
-          |  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+          |  SELECT unnest(string_split(lower(replace(text, chr(10), ' ')), ' ')) AS w
+          |  FROM documents)
           |WHERE w <> '' GROUP BY w ORDER BY w""".stripMargin),
     ) { (s, dir) =>
       val gzDir = s"${Scratch.dir()}/gz"
-      Tables.documents(s, dir).select(col("text"))
+      // One record per LINE is the text sink's contract: embedded
+      // newlines would split a doc into several records on re-read
+      // and silently fork from the parquet-based oracle, so both
+      // engines flatten them to spaces (a no-op on this corpus,
+      // a guard under corpus regeneration).
+      Tables.documents(s, dir)
+        .select(regexp_replace(col("text"), "\n", " ").as("text"))
         .write.option("compression", "gzip").text(gzDir)
       s.read.text(s"$gzDir/*.txt.gz")
         .select(explode(split(lower(col("value")), " ")).as("w"))

@@ -2165,16 +2165,21 @@ object TextOps {
         """WITH toks AS (
           |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
           |), tri AS (
-          |  SELECT t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS g
+          |  SELECT t[i+1] AS w1, t[i+2] AS w2, t[i+3] AS w3
           |  FROM toks, unnest(range(len(t) - 2)) AS u(i)
           |), top AS (
-          |  SELECT g FROM (SELECT g, count(*) AS n FROM tri GROUP BY g)
-          |  ORDER BY n DESC, g LIMIT 1
+          |  -- Tie-break on the TOKEN TUPLE (w1, w2, w3), matching the
+          |  -- Spark side structurally: ordering the space-joined
+          |  -- string instead would diverge on tokens containing
+          |  -- characters below 0x20.
+          |  SELECT w1, w2, w3 FROM (
+          |    SELECT w1, w2, w3, count(*) AS n FROM tri GROUP BY w1, w2, w3)
+          |  ORDER BY n DESC, w1, w2, w3 LIMIT 1
           |), occ AS (
-          |  SELECT doc_id, d.g FROM (
-          |    SELECT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS g
+          |  SELECT doc_id FROM (
+          |    SELECT doc_id, t[i+1] AS w1, t[i+2] AS w2, t[i+3] AS w3
           |    FROM toks, unnest(range(len(t) - 2)) AS u(i)) d
-          |  JOIN top ON d.g = top.g
+          |  JOIN top ON d.w1 = top.w1 AND d.w2 = top.w2 AND d.w3 = top.w3
           |)
           |SELECT doc_id, count(*) AS n_occ FROM occ
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin),

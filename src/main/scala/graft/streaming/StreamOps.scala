@@ -530,8 +530,14 @@ object StreamOps {
         "the streaming face of q_event_transitions' lag — and the " +
         "Markov rollup over the parquet sink shares the batch " +
         "oracle VERBATIM: pairs are emitted in-batch (no watermark " +
-        "wait), each batch sorts by (µs, id) before folding, so the " +
-        "pair STREAM is batch-identical at any micro-batch split. " +
+        "wait) and each batch sorts by (µs, id) before folding, so " +
+        "the pair stream is batch-identical at any split that " +
+        "PRESERVES per-user time order across batches — which the " +
+        "staged single-file replay guarantees, and file sources " +
+        "deliver per-file; a live stream where a user's later event " +
+        "arrives a batch EARLIER pairs by fold order instead (exact " +
+        "cross-batch late-pairing would need watermark-delayed " +
+        "emission with a buffered state, the sessionizer's shape). " +
         "The sentinel is a single event of its own user: it advances " +
         "the watermark and owes no pair, so the sink cannot see it. " +
         "State is one record per user ever seen (∝ users, the " +
