@@ -521,6 +521,46 @@ object StreamOps {
     },
 
     Q(
+      "q_stream_topk",
+      "streaming TRENDING top-k as a real COMPLETE-mode job: the " +
+        "document stream explodes to tokens, an unwindowed count agg " +
+        "holds one counter per distinct token (complete mode re-" +
+        "emits the counts each trigger), and the top-10 cut by " +
+        "(n DESC, w) runs as a batch heap over the final sink table " +
+        "— the live 'trending terms' dashboard shape. Counts are " +
+        "additive state, so stream ≡ batch at any micro-batch split " +
+        "and the oracle is the batch wordcount's top-10 verbatim. At " +
+        "100 TB unbounded-vocabulary state is the q_cooccur flag " +
+        "class: production bounds it with the CMS heavy-hitters " +
+        "sketch (q_heavy_hitters) or windowed counts — documented " +
+        "here, exact counts kept because the oracle demands " +
+        "exactness",
+      Some(
+        """SELECT w, n FROM (
+          |  SELECT w, count(*) AS n FROM (
+          |    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+          |  WHERE w <> '' GROUP BY w)
+          |ORDER BY n DESC, w LIMIT 10""".stripMargin),
+    ) { (s, dir) =>
+      val schema = Tables.documents(s, dir).schema
+      val src = s.readStream.schema(schema)
+        .option("basePath", dir)
+        .parquet(s"$dir/documents.parquet*")
+      val counts = src
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("n"))
+      val name = ("t" + Scratch.dir()).replaceAll("[^A-Za-z0-9]", "_")
+      val q = counts.writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy(col("n").desc, col("w")).limit(10)
+    },
+
+    Q(
       "q_stream_transitions",
       "stateful TRANSITION extraction run END-TO-END as a real " +
         "streaming job: EventStream.transitionsState " +
