@@ -50,6 +50,13 @@ object GraphOps {
   private[graft] val BfsRounds = 3
   private[graft] val BfsSeedMod = 13
 
+  /** q_hits: fixed mutual-reinforcement rounds (oracle-unrolled),
+    * L1-normalized and 9dp-rounded per half-round like PageRank. */
+  private[graft] val HitsRounds = 3
+
+  /** q_link_predict: predictions emitted (TakeOrdered heap cut). */
+  private[graft] val LinkPredK = 20
+
   /** (user-ordered) item transitions: a = lag(item), b = item. */
   private[graft] def transitions(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -164,6 +171,39 @@ object GraphOps {
          |             FROM $prev rp JOIN eprob ep ON rp.node = ep.a
          |             GROUP BY ep.b) c
          |    ON nd.node = c.node
+         |)""".stripMargin
+    }
+    (head +: iters).mkString(",\n")
+  }
+
+  /** DuckDB twin of the q_hits loop: unrolled a{i}/h{i} CTEs, L1
+    * normalization + 9dp rounding per half-round. Splice after
+    * [[edgesSqlCte]]; exposes a$rounds / h$rounds. */
+  private[graft] def hitsRoundsSqlCte(rounds: Int): String = {
+    val head =
+      """nodes AS (
+        |  SELECT DISTINCT a AS node FROM edges
+        |  UNION SELECT DISTINCT b FROM edges
+        |), h0 AS (SELECT node, 1.0 AS h FROM nodes)""".stripMargin
+    val iters = (1 to rounds).map { i =>
+      s"""ar$i AS (
+         |  SELECT nd.node, coalesce(s.v, 0) AS ar
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.b AS node, sum(h.h * e.n) AS v
+         |    FROM h${i - 1} h JOIN edges e ON h.node = e.a GROUP BY e.b) s
+         |  ON nd.node = s.node
+         |), a$i AS (
+         |  SELECT node, round(ar / (SELECT sum(ar) FROM ar$i), 9) AS au
+         |  FROM ar$i
+         |), hr$i AS (
+         |  SELECT nd.node, coalesce(s.v, 0) AS hr
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.a AS node, sum(a.au * e.n) AS v
+         |    FROM a$i a JOIN edges e ON a.node = e.b GROUP BY e.a) s
+         |  ON nd.node = s.node
+         |), h$i AS (
+         |  SELECT node, round(hr / (SELECT sum(hr) FROM hr$i), 9) AS h
+         |  FROM hr$i
          |)""".stripMargin
     }
     (head +: iters).mkString(",\n")
@@ -334,6 +374,143 @@ object GraphOps {
           .localCheckpoint()
       }
       dist.orderBy("item")
+    },
+
+    Q(
+      "q_hits",
+      s"HITS hubs & authorities over the weighted transition graph " +
+        s"($HitsRounds mutual-reinforcement rounds, L1-normalized): " +
+        "authority(v) = Σ_{u→v} w·hub(u), hub(v) = Σ_{v→u} w·auth(u) — " +
+        "the query-independent link-analysis pair beside PageRank's " +
+        "single score (good SOURCES vs good DESTINATIONS, which an " +
+        "asymmetric clickstream graph distinguishes). Each half-round " +
+        "is one edge-keyed join + node-keyed agg with per-round " +
+        "localCheckpoint; the L1 norm travels as a broadcast 1-row " +
+        "sum, nothing collects to the driver. Per-half-round 9dp " +
+        "rounding pins both engines to one grid (the PageRank " +
+        "precedent) so float SUM order cannot drift the oracle. At " +
+        "100 TB state is two doubles per node; every shuffle is " +
+        "node-keyed and bounded by the catalog, not event volume",
+      Some(
+        s"""WITH $edgesSqlCte,
+           |${hitsRoundsSqlCte(HitsRounds)}
+           |SELECT a.node AS item, round(a.au, 6) AS authority,
+           |  round(h.h, 6) AS hub
+           |FROM a$HitsRounds a JOIN h$HitsRounds h ON a.node = h.node
+           |ORDER BY item""".stripMargin),
+    ) { (s, dir) =>
+      val e = edgesOf(s, dir).localCheckpoint()
+      val nodes = e.select(col("a").as("node"))
+        .unionAll(e.select(col("b").as("node")))
+        .distinct()
+        .localCheckpoint()
+      var hub = nodes.select(col("node"), lit(1.0).as("h")).localCheckpoint()
+      var auth: DataFrame = null
+      for (_ <- 1 to HitsRounds) {
+        val ar = hub.join(e, hub("node") === e("a"))
+          .groupBy(col("b").as("anode"))
+          .agg(sum(col("h") * col("n")).as("v"))
+        val arAll = nodes.join(ar, col("node") === col("anode"), "left")
+          .select(col("node"), coalesce(col("v"), lit(0.0)).as("ar"))
+        auth = arAll
+          .crossJoin(broadcast(arAll.agg(sum(col("ar")).as("norm"))))
+          .select(col("node"), round(col("ar") / col("norm"), 9).as("au"))
+          .localCheckpoint()
+        val hr = auth.join(e, auth("node") === e("b"))
+          .groupBy(col("a").as("hnode"))
+          .agg(sum(col("au") * col("n")).as("v"))
+        val hrAll = nodes.join(hr, col("node") === col("hnode"), "left")
+          .select(col("node"), coalesce(col("v"), lit(0.0)).as("hr"))
+        hub = hrAll
+          .crossJoin(broadcast(hrAll.agg(sum(col("hr")).as("norm"))))
+          .select(col("node"), round(col("hr") / col("norm"), 9).as("h"))
+          .localCheckpoint()
+      }
+      auth.join(hub, "node")
+        .select(col("node").as("item"),
+          round(col("au"), 6).as("authority"),
+          round(col("h"), 6).as("hub"))
+        .orderBy("item")
+    },
+
+    Q(
+      "q_link_predict",
+      s"Adamic–Adar link prediction on the top-$TriTopEdges undirected " +
+        s"transition edges (top-$LinkPredK predicted pairs): for every " +
+        "non-adjacent pair sharing neighbors, score = Σ_z 1/ln(deg z) " +
+        "over common neighbors z — the inverse-log weighting that " +
+        "discounts promiscuous hubs. Wedges come from one center-keyed " +
+        "self-join of the adjacency list (same Σd(z)² budget as " +
+        "q_triangles — bounded here by the top-E cut; at 100 TB the " +
+        "standard cap is champion-list truncation of each node's " +
+        "adjacency, the q_lexical_knn pattern), existing edges drop by " +
+        "a pair-keyed anti join. Each 1/ln(deg) term is 6dp-rounded at " +
+        "the libm boundary then summed in EXACT BIGINT fixed point " +
+        "(×1e6) so per-pair accumulation order cannot drift the " +
+        "oracle; final cut is a TakeOrdered heap on (score, pair), " +
+        "deterministic because pairs are unique post-agg",
+      Some(
+        s"""WITH $edgesSqlCte,
+           |und AS (
+           |  SELECT least(a, b) AS wa, greatest(a, b) AS wb,
+           |    CAST(sum(n) AS BIGINT) AS n
+           |  FROM edges WHERE a <> b GROUP BY 1, 2
+           |), top AS (
+           |  SELECT wa, wb FROM und ORDER BY n DESC, wa, wb LIMIT $TriTopEdges
+           |), deg AS (
+           |  SELECT v, count(*) AS deg FROM (
+           |    SELECT wa AS v FROM top UNION ALL SELECT wb FROM top)
+           |  GROUP BY v
+           |), adj AS (
+           |  SELECT wa AS z, wb AS x FROM top
+           |  UNION ALL SELECT wb AS z, wa AS x FROM top
+           |), wed AS (
+           |  SELECT l.x AS u, r.x AS v, l.z AS z
+           |  FROM adj l JOIN adj r ON l.z = r.z WHERE l.x < r.x
+           |), cand AS (
+           |  SELECT u, v, z FROM wed
+           |  WHERE NOT EXISTS (
+           |    SELECT 1 FROM top t WHERE t.wa = wed.u AND t.wb = wed.v)
+           |), sc AS (
+           |  SELECT c.u, c.v,
+           |    round(1.0 / ln(CAST(d.deg AS DOUBLE)), 6) AS term
+           |  FROM cand c JOIN deg d ON c.z = d.v
+           |), agg AS (
+           |  SELECT u, v, count(*) AS common_neighbors,
+           |    CAST(sum(CAST(round(term * 1000000) AS BIGINT)) / 1000000.0
+           |      AS DOUBLE) AS aa
+           |  FROM sc GROUP BY u, v
+           |)
+           |SELECT u AS item_a, v AS item_b, common_neighbors,
+           |  round(aa, 6) AS adamic_adar
+           |FROM agg
+           |ORDER BY adamic_adar DESC, item_a, item_b
+           |LIMIT $LinkPredK""".stripMargin),
+    ) { (s, dir) =>
+      val top = topEdges(s, dir).localCheckpoint() // reused: deg, adj, anti
+      val deg = top.select(col("wa").as("v"))
+        .unionAll(top.select(col("wb").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val adj = top.select(col("wa").as("z"), col("wb").as("x"))
+        .unionAll(top.select(col("wb").as("z"), col("wa").as("x")))
+      val wed = adj.select(col("z"), col("x").as("u")).as("l")
+        .join(adj.select(col("z"), col("x").as("v")).as("r"), "z")
+        .filter(col("u") < col("v"))
+      val cand = wed.join(
+        top.select(col("wa").as("u"), col("wb").as("v")),
+        Seq("u", "v"), "left_anti")
+      val sc = cand
+        .join(deg.select(col("v").as("zz"), col("deg")), col("z") === col("zz"))
+        .select(col("u"), col("v"),
+          round(lit(1.0) / log(col("deg").cast("double")), 6).as("term"))
+      sc.groupBy("u", "v")
+        .agg(count(lit(1)).as("common_neighbors"),
+          (sum(round(col("term") * 1000000, 0).cast("long")) / lit(1000000.0))
+            .cast("double").as("aa"))
+        .select(col("u").as("item_a"), col("v").as("item_b"),
+          col("common_neighbors"), round(col("aa"), 6).as("adamic_adar"))
+        .orderBy(col("adamic_adar").desc, col("item_a"), col("item_b"))
+        .limit(LinkPredK)
     },
   )
 }

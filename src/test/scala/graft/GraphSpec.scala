@@ -79,4 +79,76 @@ class GraphSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"), s"plan:\n$p")
   }
+
+  test("q_hits matches a sequential reference with the same rounding grid") {
+    val edges = operators.GraphOps.edgesOf(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    var h = nodes.map(_ -> 1.0).toMap
+    var a = Map.empty[Long, Double]
+    for (_ <- 1 to 3) {
+      val arRaw = nodes.map { v =>
+        v -> edges.filter(_._2 == v).map { case (u, _, w) => h(u) * w }.sum
+      }.toMap
+      val an = arRaw.values.sum
+      a = nodes.map(v => v -> r9(arRaw(v) / an)).toMap
+      val hrRaw = nodes.map { v =>
+        v -> edges.filter(_._1 == v).map { case (_, d, w) => a(d) * w }.sum
+      }.toMap
+      val hn = hrRaw.values.sum
+      h = nodes.map(v => v -> r9(hrRaw(v) / hn)).toMap
+    }
+    val got = SparkEntry.queries("q_hits")(spark, dir).collect()
+      .map { case Row(item: Long, au: Double, hub: Double) =>
+        item -> ((au, hub))
+      }.toMap
+    assert(got.keySet == nodes.toSet)
+    for (v <- nodes) {
+      assert(got(v)._1 == r6(a(v)), s"authority of $v")
+      assert(got(v)._2 == r6(h(v)), s"hub of $v")
+    }
+  }
+
+  test("q_hits L1 mass: authorities and hubs each sum to ~1") {
+    val rows = SparkEntry.queries("q_hits")(spark, dir).collect()
+    val (aSum, hSum) =
+      (rows.map(_.getDouble(1)).sum, rows.map(_.getDouble(2)).sum)
+    assert(math.abs(aSum - 1.0) < 1e-4, s"authority mass $aSum")
+    assert(math.abs(hSum - 1.0) < 1e-4, s"hub mass $hSum")
+  }
+
+  test("q_link_predict matches an adjacency-set Adamic-Adar reference") {
+    val top = operators.GraphOps.topEdges(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    for ((x, y) <- top) { adj(x) += y; adj(y) += x }
+    val edgeSet = top.toSet
+    val wedges = for {
+      z <- adj.keys.toSeq
+      ns = adj(z).toSeq.sorted
+      i <- ns.indices
+      j <- (i + 1) until ns.length
+      if !edgeSet((ns(i), ns(j)))
+    } yield ((ns(i), ns(j)), z)
+    val expected = wedges.groupBy(_._1).map { case (p, zs) =>
+      val fp = zs.map { case (_, z) =>
+        math.round(r6(1.0 / math.log(adj(z).size.toDouble)) * 1e6)
+      }.sum
+      (p._1, p._2, zs.size.toLong, r6(fp / 1e6))
+    }.toSeq
+      .sortBy { case (u, v, _, aa) => (-aa, u, v) }
+      .take(20)
+    val got = SparkEntry.queries("q_link_predict")(spark, dir).collect()
+      .map { case Row(u: Long, v: Long, cn: Long, aa: Double) =>
+        (u, v, cn, aa)
+      }.toSeq
+    assert(got == expected)
+  }
+
+  test("q_link_predict plans its final cut as TakeOrderedAndProject") {
+    val p = SparkEntry.queries("q_link_predict")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"plan:\n$p")
+  }
 }
