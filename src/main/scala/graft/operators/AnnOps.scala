@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import graft.functions.HyperSig
+import graft.functions.{HyperSig, Portable}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -300,6 +300,43 @@ object AnnOps {
     * one more corpus scan on both engines). */
   private val KmIters = 3
   private val KmIvfIters = 2
+
+  /** q_kmeanspp_init: seeds picked (one sequential round each). */
+  private[graft] val KppSeeds = 4
+
+  /** DuckDB twin of the q_kmeanspp_init loop: unrolled per-seed CTEs —
+    * d$i = min squared-L2 to the chosen set (6dp per pair, the Lloyd
+    * grid), s$i = the A-ES weighted pick (key = 1000·ln(u)/D²,
+    * 6dp-rounded at the libm boundary, ties by vec_id), c$i = chosen
+    * set so far. Exposes c${k-1} with (seed_ord, vec_id, d2,
+    * embedding). */
+  private def kppSqlCte(k: Int): String = {
+    val head =
+      s"""e AS (
+         |  SELECT vec_id, embedding, ${normSqSql("embedding")} AS vn2,
+         |    (CAST(CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+         |      AS BIGINT) % 1048576 AS DOUBLE) + 1.0) / 1048576.0 AS u
+         |  FROM embeddings
+         |), s0 AS (
+         |  SELECT CAST(0 AS BIGINT) AS seed_ord, vec_id,
+         |    CAST(0.0 AS DOUBLE) AS d2, embedding
+         |  FROM e ORDER BY round(1000.0 * ln(u), 6) DESC, vec_id LIMIT 1
+         |), c0 AS (SELECT * FROM s0)""".stripMargin
+    val rounds = (1 until k).map { i =>
+      s"""d$i AS (
+         |  SELECT e.vec_id, e.u,
+         |    min(round(e.vn2 - 2 * ${dotColSql("e.embedding", "c.embedding")}
+         |      + ${normSqSql("c.embedding")}, 6)) AS d2
+         |  FROM e CROSS JOIN c${i - 1} c GROUP BY e.vec_id, e.u
+         |), s$i AS (
+         |  SELECT CAST($i AS BIGINT) AS seed_ord, d.vec_id, d.d2, e.embedding
+         |  FROM d$i d JOIN e ON d.vec_id = e.vec_id
+         |  WHERE d.d2 > 0
+         |  ORDER BY round(1000.0 * ln(d.u) / d.d2, 6) DESC, d.vec_id LIMIT 1
+         |), c$i AS (SELECT * FROM c${i - 1} UNION ALL SELECT * FROM s$i)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
 
   /** Test/train boundary for q_embed_decontaminate's corpus split:
     * vec_id < this = the (small) held-out test corpus, the rest = the
@@ -2504,6 +2541,58 @@ object AnnOps {
           && col("label") === col("plabel"))
         .select(col("probe_id"), col("vec_id").as("neighbor_id"),
           cosSim(s, "pe", "embedding").as("cos_sim")))
+    },
+
+    Q(
+      "q_kmeanspp_init",
+      s"deterministic k-means++ seeding ($KppSeeds seeds): seed 0 is " +
+        "the max-key uniform draw, every later seed an Efraimidis–" +
+        "Spirakis A-ES weighted pick with weight = D² (min squared-L2 " +
+        "to the chosen set) — the classic D²-proportional sampling " +
+        "made reproducible by driving u from the portable content " +
+        "hash (the q_weighted_sample contract: same picks at any " +
+        "cluster size, any run). Each round is ONE corpus scan: D² " +
+        "comes from the zero-shuffle broadcast-argmin against the " +
+        "packed chosen set, the pick is a TakeOrdered(1) heap, and " +
+        "the new seed rejoins the pack in-plan — no driver collect; " +
+        "already-chosen seeds and their exact duplicates carry D²=0 " +
+        "and are excluded (weight 0). Keys are 6dp-rounded at the " +
+        "libm ln boundary, ties by vec_id. Sequential rounds are " +
+        "inherent to k-means++; at 100 TB you run k-means|| " +
+        "oversampling (Bahmani et al.) to cut rounds to O(log k) — " +
+        "the per-round machinery here is exactly its building block",
+      Some(
+        s"""WITH ${kppSqlCte(KppSeeds)}
+           |SELECT seed_ord, vec_id, d2
+           |FROM c${KppSeeds - 1} ORDER BY seed_ord""".stripMargin),
+    ) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("vn2", normSq(col("embedding")))
+      val u = (pmod(Portable.md5Hash60(col("vec_id").cast("string")),
+        lit(1048576L)).cast("double") + lit(1.0)) / lit(1048576.0)
+      var seeds = e
+        .select(col("vec_id"), col("embedding"),
+          round(lit(1000.0) * log(u), 6).as("key"))
+        .orderBy(col("key").desc, col("vec_id")).limit(1)
+        .select(lit(0L).as("seed_ord"), col("vec_id"),
+          lit(0.0).as("d2"), col("embedding"))
+        .localCheckpoint()
+      for (i <- 1 until KppSeeds) {
+        val packed = broadcast(packCents(seeds
+          .select(col("seed_ord").as("cent_id"), col("embedding").as("ce"))))
+        val next = e.crossJoin(packed)
+          .withColumn("d2", array_min(centMetrics).getField("m"))
+          .filter(col("d2") > 0)
+          .select(col("vec_id"), col("embedding"), col("d2"),
+            round(lit(1000.0) * log(u) / col("d2"), 6).as("key"))
+          .orderBy(col("key").desc, col("vec_id")).limit(1)
+          .select(lit(i.toLong).as("seed_ord"), col("vec_id"),
+            col("d2"), col("embedding"))
+        seeds = seeds.unionByName(next).localCheckpoint()
+      }
+      seeds.select(col("seed_ord"), col("vec_id"), col("d2"))
+        .orderBy("seed_ord")
     },
   )
 

@@ -151,6 +151,73 @@ object TextOps {
     */
   private[graft] val VocabCap = 24
 
+  /** q_line_dedup: tokens per synthetic "line". The corpus is flat
+    * token streams (no newlines), so the segmenter stands in for the
+    * real splitter — at 100 TB this constant is `split(text, '\n')`
+    * and everything downstream is unchanged. */
+  private[graft] val LineTokens = 8
+
+  /** q_keywords: keywords emitted per document. */
+  private[graft] val KeywordsK = 3
+
+  /** q_line_dedup core over any (doc_id, text) frame (the spec plants
+    * boilerplate-sharing docs through it): segment → global
+    * keep-first window keyed by the line → doc-keyed reassembly.
+    * Unordered; the Q adds the output sort. */
+  private[graft] def lineDedup(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val lined = docs.select(col("doc_id"), split(col("text"), " ", -1).as("t"))
+    val lines = lined
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0),
+            floor((size(col("t")) - 1) / lit(LineTokens)).cast("int")),
+          i => concat_ws(" ",
+            slice(col("t"), i * LineTokens + 1, lit(LineTokens))))))
+      .toDF("doc_id", "line_no", "line")
+    val w = Window.partitionBy("line").orderBy("doc_id", "line_no")
+    val clean = lines
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("kept_lines"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("line_no"), col("line")))),
+          x => x.getField("line"))).as("clean"))
+    lined
+      .select(col("doc_id"),
+        ceil(size(col("t")) / lit(LineTokens.toDouble)).cast("long")
+          .as("n_lines"))
+      .join(clean, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("kept_lines"), lit(0L)).as("kept_lines"),
+        md5(coalesce(col("clean"), lit(""))).as("clean_md5"))
+  }
+
+  /** q_keywords core over any (doc_id, text) frame: one corpus pass
+    * to (doc, term) tf, df rolled up from tf, per-doc top-k TF-IDF
+    * window. Unordered; the Q adds the output sort. */
+  private[graft] def keywordsOf(docs: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nd = docs.agg(count(lit(1)).cast("double").as("nd"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(nd))
+      .select(col("doc_id"), col("term"), col("tf"),
+        round(col("tf") * round(log(col("nd") / col("df")), 6), 6)
+          .as("tfidf"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("term"), col("tf"), col("tfidf"))
+  }
+
   /** Count-min sketch shape for q_heavy_hitters: d hash rows × w
     * buckets, affine family (a·h + b) mod P mod w over the portable
     * 60-bit md5 hash reduced mod P. The SAME constants are spliced
@@ -2246,6 +2313,91 @@ object TextOps {
           round(lit(1000.0) * log(u) / col("n_chars"), 6).as("sample_key"))
         .orderBy(col("sample_key").desc, col("doc_id"))
         .limit(WeightedSampleK)
+    },
+
+    Q(
+      "q_line_dedup",
+      s"C4-style LINE-level exact dedup across the whole corpus " +
+        s"($LineTokens-token segments standing in for newline lines — " +
+        "the splitter is the only stub; see LineTokens): every " +
+        "distinct line keeps its FIRST global occurrence (min " +
+        "(doc_id, line_no)), later occurrences are cut from their " +
+        "docs, and surviving lines reassemble in order with per-doc " +
+        "kept counts + a byte-exact md5 of the cleaned text — the " +
+        "boilerplate-removal pass C4/RefinedWeb run before near-dedup " +
+        "(nav bars, cookie banners, repeated footers). One corpus-" +
+        "sized shuffle keyed by the line (at 100 TB key the window by " +
+        "the line's md5 so shuffle keys stay 16 bytes); keep-first is " +
+        "a keyed window row_number, reassembly one doc-keyed agg " +
+        "sorting each doc's bounded surviving (line_no, line) structs. " +
+        "Docs whose every line appeared earlier collapse to the empty " +
+        "string, preserved by the left join",
+      Some(
+        s"""WITH t AS (
+           |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+           |), ln AS (
+           |  SELECT doc_id, i AS line_no,
+           |    array_to_string(t[i*$LineTokens+1 : (i+1)*$LineTokens], ' ') AS line
+           |  FROM (SELECT doc_id, t,
+           |          unnest(range(CAST(ceil(len(t) / $LineTokens.0) AS BIGINT))) AS i
+           |        FROM t)
+           |), kept AS (
+           |  SELECT doc_id, line_no, line,
+           |    row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+           |  FROM ln
+           |), clean AS (
+           |  SELECT doc_id, count(*) AS kept_lines,
+           |    string_agg(line, ' ' ORDER BY line_no) AS clean
+           |  FROM kept WHERE rn = 1 GROUP BY doc_id
+           |)
+           |SELECT t.doc_id,
+           |  CAST(ceil(len(t.t) / $LineTokens.0) AS BIGINT) AS n_lines,
+           |  coalesce(c.kept_lines, 0) AS kept_lines,
+           |  md5(coalesce(c.clean, '')) AS clean_md5
+           |FROM t LEFT JOIN clean c ON t.doc_id = c.doc_id
+           |ORDER BY t.doc_id""".stripMargin),
+    ) { (s, dir) =>
+      lineDedup(Tables.documents(s, dir)).orderBy("doc_id")
+    },
+
+    Q(
+      "q_keywords",
+      s"per-document keyword extraction: top-$KeywordsK terms by " +
+        "TF-IDF (ties by term) — the doc-annotation twin of q_tfidf's " +
+        "per-LANG profile, feeding tagging/faceting/BM25 query " +
+        "expansion. One corpus pass builds (doc, term) tf; df rolls " +
+        "up from tf (vocab-sized input, never corpus positions); the " +
+        "doc-count scalar broadcasts as a 1-row cross join and the " +
+        "tf⋈df join is term-keyed and UNHINTED (vocab is unbounded at " +
+        "web scale — degrades to a keyed shuffle, never a forced " +
+        "broadcast). The per-doc top-K window prunes map-side via " +
+        "WindowGroupLimit (plan-pinned); idf is one libm ln on " +
+        "identical operands, 6dp-rounded, and tfidf one IEEE multiply " +
+        "of identical operands — bit-stable across engines",
+      Some(
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           |  FROM documents
+           |), tf AS (
+           |  SELECT doc_id, term, count(*) AS tf FROM tok
+           |  WHERE term <> '' GROUP BY doc_id, term
+           |), df AS (
+           |  SELECT term, count(*) AS df FROM tf GROUP BY term
+           |), nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+           |sc AS (
+           |  SELECT f.doc_id, f.term, f.tf,
+           |    round(f.tf * round(ln(nd.nd / d.df), 6), 6) AS tfidf
+           |  FROM tf f JOIN df d ON f.term = d.term CROSS JOIN nd
+           |), rk AS (
+           |  SELECT doc_id, term, tf, tfidf, row_number() OVER (
+           |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+           |  FROM sc
+           |)
+           |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, tfidf
+           |FROM rk WHERE rank <= $KeywordsK
+           |ORDER BY doc_id, rank""".stripMargin),
+    ) { (s, dir) =>
+      keywordsOf(Tables.documents(s, dir), KeywordsK).orderBy("doc_id", "rank")
     },
   )
 }

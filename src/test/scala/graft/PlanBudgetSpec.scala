@@ -635,6 +635,30 @@ class PlanBudgetSpec extends AnyFunSuite {
       s"rounds must stay behind checkpoints, plan:\n$p")
   }
 
+  test("q_keywords: per-doc top-K window prunes map-side, tf-df join unhinted") {
+    val p = plan("q_keywords")
+    assert(p.contains("WindowGroupLimit"), s"plan:\n$p")
+  }
+
+  test("q_line_dedup: one line-keyed window + one doc-keyed reassembly agg") {
+    val p = plan("q_line_dedup")
+    // line window + doc agg + the doc join back; no extra corpus
+    // exchanges may creep in (e.g. a re-shuffle between window and agg).
+    assert(hashExchanges(p) <= 3, s"plan:\n$p")
+  }
+
+  test("q_kmeanspp_init: picks read checkpoints; no corpus machinery resurfaces") {
+    val p = plan("q_kmeanspp_init")
+    assert(p.contains("Scan ExistingRDD"), s"checkpoint missing, plan:\n$p")
+    assert(hashExchanges(p) == 0,
+      s"rounds must stay behind checkpoints, plan:\n$p")
+  }
+
+  test("q_hits: final join of the last two checkpointed half-rounds only") {
+    val p = plan("q_hits")
+    assert(p.contains("Scan ExistingRDD"), s"checkpoint missing, plan:\n$p")
+  }
+
   test("q1_agg aggregates inside whole-stage codegen") {
     // The plain plan string hides codegen stage boundaries; the
     // codegen explain mode lists every WholeStageCodegen subtree.

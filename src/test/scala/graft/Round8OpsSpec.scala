@@ -1,0 +1,133 @@
+package graft
+
+import graft.operators.{AnnOps, TextOps}
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral contracts for the round-8 additions: planted
+  * boilerplate through the line-dedup core, keyword-extraction
+  * invariants, and a sequential A-ES reference for the k-means++
+  * seeding (the GraphSpec/BpeTrainSpec discipline).
+  */
+class Round8OpsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
+
+  // ---- q_line_dedup ----
+
+  test("lineDedup cuts a repeated line once, keeps first occurrence") {
+    import spark.implicits._
+    // 8-token "lines" (LineTokens = 8); docs 1 and 2 share their first
+    // line verbatim; doc 3 is entirely doc 1's content.
+    val banner = "cookie notice applies to this site please accept"
+    val bodyA = "alpha beta gamma delta epsilon zeta eta theta"
+    val bodyB = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, s"$banner $bodyA"),
+      (2L, s"$banner $bodyB"),
+      (3L, s"$banner $bodyA"),
+    ).toDF("doc_id", "text")
+    val got = TextOps.lineDedup(docs).orderBy("doc_id").collect()
+    // doc 1 first: keeps both lines; doc 2 loses the banner; doc 3
+    // (all lines seen before) collapses to the empty string.
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 2L, 2L), (2L, 2L, 1L), (3L, 2L, 0L)))
+    val md5Of = (s: String) => java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(0).getString(3) == md5Of(s"$banner $bodyA"))
+    assert(got(1).getString(3) == md5Of(bodyB))
+    assert(got(2).getString(3) == md5Of(""))
+  }
+
+  test("q_line_dedup conserves lines: sum(kept) = distinct lines") {
+    val rows = SparkEntry.queries("q_line_dedup")(spark, dir).collect()
+    assert(rows.length > 0)
+    val kept = rows.map(_.getLong(2)).sum
+    val total = rows.map(_.getLong(1)).sum
+    assert(kept <= total)
+    // every kept count is within [0, n_lines]
+    rows.foreach(r => assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1)))
+  }
+
+  // ---- q_keywords ----
+
+  test("keywordsOf surfaces a planted rare term above common filler") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common words here zyzzyva zyzzyva zyzzyva common words"),
+      (2L, "common words here again and again common words filler"),
+      (3L, "common words more filler text common words filler extra"),
+    ).toDF("doc_id", "text")
+    val got = TextOps.keywordsOf(docs, 3).collect()
+      .map { case Row(d: Long, rk: Long, t: String, _, _) => (d, rk, t) }
+    assert(got.count(_._1 == 1L) == 3)
+    assert(got.contains((1L, 1L, "zyzzyva")))
+  }
+
+  test("q_keywords emits contiguous ranks with non-increasing scores") {
+    val rows = SparkEntry.queries("q_keywords")(spark, dir).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (d, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq,
+        s"doc $d ranks")
+      val scores = sorted.map(_.getDouble(4)).toSeq
+      assert(scores == scores.sorted.reverse, s"doc $d scores")
+      assert(sorted.length <= TextOps.KeywordsK)
+    }
+  }
+
+  // ---- q_kmeanspp_init ----
+
+  test("q_kmeanspp_init matches a sequential A-ES reference") {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    def u(id: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16) % 1048576L + 1.0) / 1048576.0
+    }
+    // sequential left-to-right folds, mirroring aggregate()/list_sum
+    def normSq(a: Array[Float]): Double =
+      a.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def d2(a: Array[Float], b: Array[Float]): Double =
+      r6(normSq(a) - 2.0 * dot(a, b) + normSq(b))
+    var chosen = Vector(
+      vecs.map { case (id, _) => (id, r6(1000.0 * math.log(u(id)))) }
+        .maxBy { case (id, k) => (k, -id) }._1)
+    var expected = Vector((0L, chosen.head, 0.0))
+    for (i <- 1 until AnnOps.KppSeeds) {
+      val picks = vecs.flatMap { case (id, v) =>
+        val dd = chosen.map(c => d2(v, vecs.find(_._1 == c).get._2)).min
+        if (dd > 0) Some((id, dd, r6(1000.0 * math.log(u(id)) / dd)))
+        else None
+      }
+      val (pid, pd2, _) = picks.maxBy { case (id, _, k) => (k, -id) }
+      chosen :+= pid
+      expected :+= ((i.toLong, pid, pd2))
+    }
+    val got = SparkEntry.queries("q_kmeanspp_init")(spark, dir).collect()
+      .map { case Row(ord: Long, id: Long, dd: Double) => (ord, id, dd) }
+      .toVector
+    assert(got == expected)
+  }
+
+  test("q_kmeanspp_init seeds are distinct") {
+    val ids = SparkEntry.queries("q_kmeanspp_init")(spark, dir)
+      .collect().map(_.getLong(1))
+    assert(ids.length == AnnOps.KppSeeds && ids.distinct.length == ids.length)
+  }
+}
