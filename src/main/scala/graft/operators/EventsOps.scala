@@ -595,5 +595,51 @@ object EventsOps {
         .orderBy(col("n").desc, col("path"))
         .limit(20)
     },
+
+    Q(
+      "q_hll_partials",
+      "incremental DISTINCT via mergeable HLL sketch partials (the " +
+        "q_agg_incremental pattern applied to count-distinct, the one " +
+        "agg plain addition can't merge): each day folds to one " +
+        "(day, type) DataSketches-HLL sketch row (hll_sketch_agg, " +
+        "lgK=12); the corpus-level distinct-user estimate rolls up " +
+        "from the STATE via hll_union_agg — days×types sketch rows, " +
+        "never a raw-history rescan, so at 100 TB only the new day is " +
+        "scanned and its sketch rows appended. DuckDB's HLL differs, " +
+        "so (the q_approx_distinct contract) both engines emit the " +
+        "exact count while the sketch is driver-checked through two " +
+        "deterministic flags the oracle asserts: the union estimate " +
+        "lands within 5% of exact, AND union-of-partials equals the " +
+        "single-pass sketch estimate exactly — the merge≡direct " +
+        "identity that makes the state table trustworthy",
+      Some(
+        """SELECT event_type,
+          |  count(DISTINCT user_id) AS n_users,
+          |  CAST(1 AS BIGINT) AS within_5pct,
+          |  CAST(1 AS BIGINT) AS union_eq_direct
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    ) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+      // Stage 1 — the per-day sketch state a real pipeline persists.
+      val state = ev.groupBy("day", "event_type")
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      // Stage 2 — rollup merges SKETCHES (days×types rows only).
+      val merged = state.groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+          .as("approx"))
+      // Exact twin + direct single-pass sketch, for the two flags.
+      val direct = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
+            .as("direct_approx"))
+      direct.join(merged, "event_type")
+        .select(col("event_type"), col("n_users"),
+          when(abs(col("approx") - col("n_users")).cast("double")
+            / col("n_users") <= 0.05, 1L).otherwise(0L).as("within_5pct"),
+          when(col("approx") === col("direct_approx"), 1L).otherwise(0L)
+            .as("union_eq_direct"))
+        .orderBy("event_type")
+    },
   )
 }

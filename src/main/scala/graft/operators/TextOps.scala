@@ -160,6 +160,18 @@ object TextOps {
   /** q_keywords: keywords emitted per document. */
   private[graft] val KeywordsK = 3
 
+  /** q_span_mask: token positions p with p % SpanCycle in
+    * [SpanStart, SpanStart+SpanLen) are masked — SpanLen/SpanCycle =
+    * 15%, the T5 corruption rate. The positional rule is the
+    * deterministic stand-in for random span sampling (the
+    * q_line_dedup segmenter precedent): real pipelines drive the
+    * span starts from a seeded per-doc hash, and everything
+    * downstream — sentinel numbering, input/target assembly — is
+    * unchanged. */
+  private[graft] val SpanCycle = 20
+  private[graft] val SpanStart = 5
+  private[graft] val SpanLen = 3
+
   /** q_line_dedup core over any (doc_id, text) frame (the spec plants
     * boilerplate-sharing docs through it): segment → global
     * keep-first window keyed by the line → doc-keyed reassembly.
@@ -2399,5 +2411,146 @@ object TextOps {
     ) { (s, dir) =>
       keywordsOf(Tables.documents(s, dir), KeywordsK).orderBy("doc_id", "rank")
     },
+
+    Q(
+      "q_span_mask",
+      s"T5-style span corruption (mask ${SpanLen}/${SpanCycle} = 15% " +
+        "of tokens in 3-token spans): masked spans collapse to " +
+        "numbered <extra_id_N> sentinels in the INPUT stream while " +
+        "the TARGET stream carries each sentinel followed by the " +
+        "tokens it hid — the denoising objective's training-pair " +
+        "generator. Span starts follow the deterministic positional " +
+        "rule (see SpanCycle: a seeded per-doc hash drives them in " +
+        "production; assembly is identical). Everything is per-row " +
+        "array expression work — index sequence, CASE per position, " +
+        "flatten, join — ZERO shuffles before the output sort " +
+        "(plan-pinned); input/target verified byte-exactly via md5 " +
+        "in both engines, counts make the rate auditable",
+      Some(
+        s"""WITH t AS (
+           |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+           |), m AS (
+           |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+           |    list_filter(list_transform(range(len(t)), i -> CASE
+           |      WHEN i % $SpanCycle = $SpanStart
+           |        THEN '<extra_id_' || CAST(i // $SpanCycle AS VARCHAR) || '>'
+           |      WHEN i % $SpanCycle BETWEEN ${SpanStart + 1}
+           |        AND ${SpanStart + SpanLen - 1} THEN NULL
+           |      ELSE t[i+1] END), x -> x IS NOT NULL) AS inp,
+           |    flatten(list_transform(range(len(t)), i -> CASE
+           |      WHEN i % $SpanCycle = $SpanStart
+           |        THEN ['<extra_id_' || CAST(i // $SpanCycle AS VARCHAR) || '>',
+           |              t[i+1]]
+           |      WHEN i % $SpanCycle BETWEEN ${SpanStart + 1}
+           |        AND ${SpanStart + SpanLen - 1} THEN [t[i+1]]
+           |      ELSE CAST([] AS VARCHAR[]) END)) AS tgt,
+           |    len(list_filter(range(len(t)),
+           |      i -> i % $SpanCycle BETWEEN $SpanStart
+           |        AND ${SpanStart + SpanLen - 1})) AS n_masked,
+           |    len(list_filter(range(len(t)),
+           |      i -> i % $SpanCycle = $SpanStart)) AS n_spans
+           |  FROM t
+           |)
+           |SELECT doc_id, n_tokens,
+           |  CAST(n_masked AS BIGINT) AS n_masked,
+           |  CAST(n_spans AS BIGINT) AS n_spans,
+           |  md5(array_to_string(inp, ' ')) AS input_md5,
+           |  md5(array_to_string(tgt, ' ')) AS target_md5
+           |FROM m ORDER BY doc_id""".stripMargin),
+    ) { (s, dir) =>
+      val t = col("t")
+      val idx = sequence(lit(0), size(t) - 1)
+      val sentinel = (i: Column) =>
+        concat(lit("<extra_id_"), floor(i / SpanCycle).cast("long")
+          .cast("string"), lit(">"))
+      val isStart = (i: Column) => pmod(i, lit(SpanCycle)) === SpanStart
+      val isCont = (i: Column) => pmod(i, lit(SpanCycle))
+        .between(SpanStart + 1, SpanStart + SpanLen - 1)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), split(lower(col("text")), " ", -1).as("t"))
+        .select(col("doc_id"),
+          size(t).cast("long").as("n_tokens"),
+          aggregate(idx, lit(0L), (acc, i) =>
+            acc + when(isStart(i) || isCont(i), 1L).otherwise(0L))
+            .as("n_masked"),
+          aggregate(idx, lit(0L), (acc, i) =>
+            acc + when(isStart(i), 1L).otherwise(0L)).as("n_spans"),
+          md5(concat_ws(" ", filter(transform(idx, i =>
+            when(isStart(i), sentinel(i))
+              .when(isCont(i), lit(null))
+              .otherwise(element_at(t, i + 1))), x => x.isNotNull)))
+            .as("input_md5"),
+          md5(concat_ws(" ", flatten(transform(idx, i =>
+            when(isStart(i), array(sentinel(i), element_at(t, i + 1)))
+              .when(isCont(i), array(element_at(t, i + 1)))
+              .otherwise(array().cast("array<string>"))))))
+            .as("target_md5"))
+        .orderBy("doc_id")
+    },
+
+    Q(
+      "q_tok_fertility",
+      s"tokenizer FERTILITY eval (pieces/word and chars/piece per " +
+        "lang) for the $BpeMerges-merge BPE tokenizer — the " +
+        "compression metric every tokenizer team reads before " +
+        "shipping a vocab (fertility ≈1 = words survive whole, high " +
+        "fertility = the vocab fragments that language, the classic " +
+        "multilingual-fairness signal). The corpus collapses to " +
+        "per-(lang, word) counts ONCE; segmentation comes from the " +
+        "trained vocab (word-keyed join, vocab-bounded build side, " +
+        "UNHINTED); the rollup is #langs rows of exact BIGINT sums " +
+        "with single IEEE divisions of identical operands — nothing " +
+        "here rescans corpus positions. At 100 TB the train loop is " +
+        "amortized (tokenizers ship monthly); fertility reruns are " +
+        "one word-count agg + a vocab join",
+      Some(
+        s"""WITH ${bpeRoundsSqlCte(BpeMerges)},
+           |pieces AS (
+           |  SELECT w, CAST(len(string_split(trim(s), '  ')) AS BIGINT)
+           |    AS pieces
+           |  FROM v$BpeMerges
+           |), lw AS (
+           |  SELECT lang, w, count(*) AS n_lw FROM (
+           |    SELECT lang, unnest(string_split(lower(text), ' ')) AS w
+           |    FROM documents)
+           |  WHERE w <> '' GROUP BY lang, w
+           |)
+           |SELECT lang,
+           |  CAST(sum(n_lw) AS BIGINT) AS n_words,
+           |  CAST(sum(n_lw * pieces) AS BIGINT) AS n_pieces,
+           |  round(CAST(sum(n_lw * pieces) AS DOUBLE) / sum(n_lw), 6)
+           |    AS fertility,
+           |  round(CAST(sum(n_lw * length(w)) AS DOUBLE)
+           |    / sum(n_lw * pieces), 6) AS chars_per_piece
+           |FROM lw JOIN pieces USING (w)
+           |GROUP BY lang ORDER BY lang""".stripMargin),
+    ) { (s, dir) =>
+      tokFertility(s, Tables.documents(s, dir), BpeMerges).orderBy("lang")
+    },
   )
+
+  /** q_tok_fertility core over any (lang, text) frame (the spec
+    * plants a fully-merging lang beside a fragmenting one): train
+    * BPE, join per-(lang, word) counts to the vocab segmentation,
+    * roll up per lang. Unordered; the Q adds the output sort. */
+  private[graft] def tokFertility(
+      s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame,
+      merges: Int): org.apache.spark.sql.DataFrame = {
+    val (_, vocab) = trainBpe(s, docs, merges)
+    val pieces = vocab.select(col("w"), size(col("syms")).cast("long")
+      .as("pieces"))
+    val lw = docs
+      .select(col("lang"), explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("lang", "w").agg(count(lit(1)).as("n_lw"))
+    lw.join(pieces, "w")
+      .groupBy("lang")
+      .agg(sum(col("n_lw")).as("n_words"),
+        sum(col("n_lw") * col("pieces")).as("n_pieces"),
+        round(sum(col("n_lw") * col("pieces")).cast("double")
+          / sum(col("n_lw")), 6).as("fertility"),
+        round(sum(col("n_lw") * length(col("w"))).cast("double")
+          / sum(col("n_lw") * col("pieces")), 6).as("chars_per_piece"))
+  }
 }

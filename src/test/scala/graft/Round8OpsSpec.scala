@@ -130,4 +130,79 @@ class Round8OpsSpec extends AnyFunSuite {
       .collect().map(_.getLong(1))
     assert(ids.length == AnnOps.KppSeeds && ids.distinct.length == ids.length)
   }
+
+  // ---- q_span_mask ----
+
+  test("q_span_mask matches a sequential masking reference on every doc") {
+    val md5Of = (s: String) => java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "lower(text) AS text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = SparkEntry.queries("q_span_mask")(spark, dir).collect()
+    assert(got.length == docs.size)
+    got.foreach { r =>
+      val toks = docs(r.getLong(0)).split(" ", -1)
+      val c = TextOps.SpanCycle
+      val lo = TextOps.SpanStart
+      val hi = TextOps.SpanStart + TextOps.SpanLen - 1
+      def sent(i: Int) = s"<extra_id_${i / c}>"
+      val inp = toks.indices.flatMap { i =>
+        if (i % c == lo) Some(sent(i))
+        else if (i % c > lo && i % c <= hi) None
+        else Some(toks(i))
+      }.mkString(" ")
+      val tgt = toks.indices.flatMap { i =>
+        if (i % c == lo) Seq(sent(i), toks(i))
+        else if (i % c > lo && i % c <= hi) Seq(toks(i))
+        else Nil
+      }.mkString(" ")
+      val masked = toks.indices.count(i => i % c >= lo && i % c <= hi)
+      assert(r.getLong(1) == toks.length.toLong, s"doc ${r.getLong(0)}")
+      assert(r.getLong(2) == masked.toLong, s"doc ${r.getLong(0)} n_masked")
+      assert(r.getString(4) == md5Of(inp), s"doc ${r.getLong(0)} input")
+      assert(r.getString(5) == md5Of(tgt), s"doc ${r.getLong(0)} target")
+    }
+  }
+
+  // ---- q_tok_fertility ----
+
+  test("tokFertility: a merging lang reaches fertility 1, a fragmenting one stays higher") {
+    import spark.implicits._
+    // 'hello' dominates pair counts, so 4 of the 8 merges fuse it
+    // into one piece; lang B's hapax words never win a merge round
+    // against it and stay (mostly) character-split.
+    val docs = (1 to 6).map(i => (s"en", "hello hello hello hello")) ++
+      Seq(("xx", "qrst uvwx"), ("xx", "yzab cdef"))
+    val got = operators.TextOps
+      .tokFertility(spark, docs.toDF("lang", "text"), 8)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val (enWords, enPieces, enFert) = got("en")
+    assert(enWords == 24L && enPieces == 24L && enFert == 1.0)
+    val (_, _, xxFert) = got("xx")
+    assert(xxFert > 1.0, s"fragmenting lang fertility $xxFert")
+  }
+
+  test("q_tok_fertility invariants: fertility >= 1, chars/piece >= 1") {
+    val rows = SparkEntry.queries("q_tok_fertility")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), s"${r.getString(0)} pieces < words")
+      assert(r.getDouble(3) >= 1.0, s"${r.getString(0)} fertility")
+      assert(r.getDouble(4) >= 1.0, s"${r.getString(0)} chars/piece")
+    }
+  }
+
+  // ---- q_hll_partials ----
+
+  test("q_hll_partials: sketch-union rollup passes both determinism flags") {
+    val rows = SparkEntry.queries("q_hll_partials")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0, s"${r.getString(0)} users")
+      assert(r.getLong(2) == 1L, s"${r.getString(0)} within_5pct")
+      assert(r.getLong(3) == 1L, s"${r.getString(0)} union_eq_direct")
+    }
+  }
 }
