@@ -304,6 +304,11 @@ object AnnOps {
   /** q_kmeanspp_init: seeds picked (one sequential round each). */
   private[graft] val KppSeeds = 4
 
+  /** q_ann_recall_curve: the nprobe sweep values (≤ NProbe, so the
+    * candidate stream is generated once at the widest setting and
+    * each sweep point filters by cell rank). */
+  private[graft] val RecallSweep = Seq(1, 2, 4)
+
   /** DuckDB twin of the q_kmeanspp_init loop: unrolled per-seed CTEs —
     * d$i = min squared-L2 to the chosen set (6dp per pair, the Lloyd
     * grid), s$i = the A-ES weighted pick (key = 1000·ln(u)/D²,
@@ -2541,6 +2546,182 @@ object AnnOps {
           && col("label") === col("plabel"))
         .select(col("probe_id"), col("vec_id").as("neighbor_id"),
           cosSim(s, "pe", "embedding").as("cos_sim")))
+    },
+
+    Q(
+      "q_ivf_imbalance",
+      s"IVF index HEALTH diagnostic: per-cell population of the " +
+        s"$NumCells-cell cosine-routed index — size, share of the " +
+        "corpus, rank by size — with EMPTY cells preserved (a cell " +
+        "list that never fills is wasted routing budget; a hot cell " +
+        "is a probe-cost hotspot; both are what you read before " +
+        "retraining centroids or splitting lists). Assignment is the " +
+        "zero-shuffle broadcast-argmin; the count agg is k-bounded; " +
+        "empty cells come from a LEFT join off the centroid table, " +
+        "never a corpus scan. share = one IEEE division of identical " +
+        "BIGINTs; at 100 TB this runs off the persisted q_ivf_layout " +
+        "directory listing instead of re-assigning",
+      Some(
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+           |cents AS (
+           |  SELECT vec_id AS cent_id, embedding AS ce FROM e
+           |  WHERE vec_id < $NumCells
+           |), assign AS (
+           |  SELECT vec_id, cent_id FROM (
+           |    SELECT e.vec_id, c.cent_id,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        ${cosSimSql("embedding", "ce")} DESC,
+           |        c.cent_id) AS rn
+           |    FROM e CROSS JOIN cents c) WHERE rn = 1
+           |), sizes AS (
+           |  SELECT c.cent_id AS cell_id,
+           |    CAST(coalesce(n.n, 0) AS BIGINT) AS n_vecs
+           |  FROM cents c LEFT JOIN (
+           |    SELECT cent_id, count(*) AS n FROM assign GROUP BY cent_id) n
+           |  ON c.cent_id = n.cent_id
+           |), tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM e)
+           |SELECT cell_id, n_vecs,
+           |  round(n_vecs / tot.t, 6) AS share,
+           |  CAST(row_number() OVER (ORDER BY n_vecs DESC, cell_id)
+           |    AS BIGINT) AS size_rank
+           |FROM sizes CROSS JOIN tot
+           |ORDER BY cell_id""".stripMargin),
+    ) { (s, dir) =>
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val cents = e.filter(col("vec_id") < NumCells)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+      val counts = e.crossJoin(broadcast(packCents(cents)))
+        .withColumn("cell_id",
+          graft.functions.CentAssign.argminCos(s, "embedding", "cs"))
+        .groupBy("cell_id").agg(count(lit(1)).as("n"))
+      val tot = e.agg(count(lit(1)).cast("double").as("t"))
+      // The rank window runs over k cell rows, not the corpus.
+      val w = Window.orderBy(col("n_vecs").desc, col("cell_id"))
+      cents.select(col("cent_id").as("cell_id"))
+        .join(counts, Seq("cell_id"), "left")
+        .select(col("cell_id"), coalesce(col("n"), lit(0L)).as("n_vecs"))
+        .crossJoin(broadcast(tot))
+        .select(col("cell_id"), col("n_vecs"),
+          round(col("n_vecs") / col("t"), 6).as("share"))
+        .withColumn("size_rank", row_number().over(w).cast("long"))
+        .orderBy("cell_id")
+    },
+
+    Q(
+      "q_ann_recall_curve",
+      s"recall@$TopK vs nprobe CURVE (sweep ${RecallSweep.mkString("/")}) " +
+        "against brute-force ground truth — the ann-benchmarks tuning " +
+        "table that sets the production nprobe knob (q_ann_recall is " +
+        "one point of this curve). The candidate stream is generated " +
+        "ONCE at the widest nprobe with each candidate's cell rank " +
+        "attached, then checkpointed; every sweep point is a bounded " +
+        "re-rank over candidates with cell_rank ≤ nprobe — one corpus " +
+        "pass total, not one per sweep point. Ground truth is the " +
+        "existing brute pipeline on the same fixed probe panel; " +
+        "output = sweep-sized summary (total hits, mean recall as one " +
+        "division of exact BIGINTs). Recall must be non-decreasing in " +
+        "nprobe (spec-pinned)",
+      Some {
+        val base =
+          s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+             |probes AS (SELECT vec_id AS probe_id, embedding AS pe FROM e WHERE vec_id < $NumProbes),
+             |bscored AS (
+             |  SELECT probe_id, e.vec_id AS neighbor_id,
+             |    ${cosSimSql("pe", "embedding")} AS cos_sim
+             |  FROM probes JOIN e ON e.vec_id <> probe_id
+             |), btop AS (
+             |  SELECT probe_id, neighbor_id FROM (
+             |    SELECT probe_id, neighbor_id,
+             |      row_number() OVER (PARTITION BY probe_id
+             |        ORDER BY cos_sim DESC, neighbor_id) AS rank
+             |    FROM bscored) WHERE rank <= $TopK
+             |), cents AS (
+             |  SELECT vec_id AS cent_id, embedding AS ce FROM e WHERE vec_id < $NumCells
+             |), assign AS (
+             |  SELECT vec_id, embedding, cent_id FROM (
+             |    SELECT e.vec_id, e.embedding, c.cent_id,
+             |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             |        ${cosSimSql("embedding", "ce")} DESC,
+             |        c.cent_id) AS rn
+             |    FROM e CROSS JOIN cents c) WHERE rn = 1
+             |), probe_cells AS (
+             |  SELECT vec_id AS probe_id, pe, cent_id, rn AS cell_rank FROM (
+             |    SELECT e.vec_id, e.embedding AS pe, c.cent_id,
+             |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             |        ${cosSimSql("embedding", "ce")} DESC,
+             |        c.cent_id) AS rn
+             |    FROM e CROSS JOIN cents c
+             |    WHERE e.vec_id < $NumProbes) WHERE rn <= $NProbe
+             |), cand AS (
+             |  SELECT probe_id, cell_rank, a.vec_id AS neighbor_id,
+             |    ${cosSimSql("pe", "embedding")} AS cos_sim
+             |  FROM probe_cells p JOIN assign a ON a.cent_id = p.cent_id
+             |   AND a.vec_id <> p.probe_id
+             |)""".stripMargin
+        val points = RecallSweep.map { np =>
+          s""", it$np AS (
+             |  SELECT probe_id, neighbor_id FROM (
+             |    SELECT probe_id, neighbor_id,
+             |      row_number() OVER (PARTITION BY probe_id
+             |        ORDER BY cos_sim DESC, neighbor_id) AS rank
+             |    FROM cand WHERE cell_rank <= $np) WHERE rank <= $TopK
+             |), r$np AS (
+             |  SELECT CAST($np AS BIGINT) AS nprobe,
+             |    CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
+             |    round(CAST(count(i.neighbor_id) AS DOUBLE)
+             |      / (${NumProbes * TopK}), 6) AS recall
+             |  FROM btop b LEFT JOIN it$np i
+             |    ON b.probe_id = i.probe_id AND b.neighbor_id = i.neighbor_id
+             |)""".stripMargin
+        }.mkString
+        val unioned = RecallSweep.map(np => s"SELECT * FROM r$np")
+          .mkString("\n  UNION ALL ")
+        s"""$base$points
+           |SELECT * FROM ($unioned) ORDER BY nprobe""".stripMargin
+      },
+    ) { (s, dir) =>
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val probes = e.filter(col("vec_id") < NumProbes)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      val btop = rankTopK(broadcast(probes)
+        .join(e, col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          cosSim(s, "pe", "embedding").as("cos_sim")))
+        .select("probe_id", "neighbor_id")
+        .localCheckpoint()
+      val cents = e.filter(col("vec_id") < NumCells)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+      val packed = broadcast(packCents(cents))
+      val assign = e.crossJoin(packed)
+        .withColumn("cent_id",
+          graft.functions.CentAssign.argminCos(s, "embedding", "cs"))
+        .select(col("vec_id"), col("embedding"), col("cent_id"))
+      val probeCells = e.filter(col("vec_id") < NumProbes)
+        .withColumn("vn", sqrt(normSq(col("embedding"))))
+        .crossJoin(packed)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+          posexplode(slice(array_sort(negCosMetrics), 1, NProbe)))
+        .select(col("probe_id"), col("pe"),
+          col("col.cent_id").as("cent_id"),
+          (col("pos") + 1).as("cell_rank"))
+      // ONE corpus-sized candidate pass, shared by every sweep point.
+      val cand = broadcast(probeCells)
+        .join(assign, Seq("cent_id"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("cell_rank"),
+          col("vec_id").as("neighbor_id"),
+          cosSim(s, "pe", "embedding").as("cos_sim"))
+        .localCheckpoint()
+      RecallSweep.map { np =>
+        val itop = rankTopK(cand.filter(col("cell_rank") <= np)
+          .select("probe_id", "neighbor_id", "cos_sim"))
+          .select(col("probe_id"), col("neighbor_id"), lit(1).as("hit"))
+        btop.join(itop, Seq("probe_id", "neighbor_id"), "left")
+          .agg(count(col("hit")).as("n_hits"))
+          .select(lit(np.toLong).as("nprobe"), col("n_hits"),
+            round(col("n_hits").cast("double") / (NumProbes * TopK), 6)
+              .as("recall"))
+      }.reduce(_ unionByName _).orderBy("nprobe")
     },
 
     Q(

@@ -160,6 +160,10 @@ object TextOps {
   /** q_keywords: keywords emitted per document. */
   private[graft] val KeywordsK = 3
 
+  /** q_hash_embed: feature-hashing dimensionality (the vector length
+    * of the hashed doc vectors). */
+  private[graft] val HashDim = 64
+
   /** q_span_mask: token positions p with p % SpanCycle in
     * [SpanStart, SpanStart+SpanLen) are masked — SpanLen/SpanCycle =
     * 15%, the T5 corruption rate. The positional rule is the
@@ -2526,6 +2530,84 @@ object TextOps {
            |GROUP BY lang ORDER BY lang""".stripMargin),
     ) { (s, dir) =>
       tokFertility(s, Tables.documents(s, dir), BpeMerges).orderBy("lang")
+    },
+
+    Q(
+      "q_hash_embed",
+      s"feature-hashing doc vectors (the hashing trick, $HashDim " +
+        "dims): every term lands in dim = hash % D with sign from the " +
+        "next hash bit, v[d] = Σ sign·tf — model-free lexical " +
+        "embeddings that feed the ANN pillar (cosine over them " +
+        "approximates term-overlap similarity) and the streaming " +
+        "side (new docs embed independently, no vocabulary to sync). " +
+        "The vector stays EXACT BIGINT end to end — no float ever " +
+        "enters the accumulation, so engines cannot drift — and is " +
+        "byte-verified via md5 of its joined form; the only float is " +
+        "the final L2 norm, one libm sqrt of an identical integer, " +
+        "6dp-rounded. One (doc, dim)-keyed agg bounded by docs×D; " +
+        "dense assembly is a per-doc map lookup over the D-sequence, " +
+        "never a D-way join",
+      Some(
+        s"""WITH tok AS (
+           |  SELECT doc_id, term, count(*) AS tf FROM (
+           |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+           |    FROM documents)
+           |  WHERE term <> '' GROUP BY doc_id, term
+           |), hashed AS (
+           |  SELECT doc_id,
+           |    ${Portable.md5Hash60Sql("term")} % $HashDim AS dim,
+           |    CASE WHEN (${Portable.md5Hash60Sql("term")} >> 6) % 2 = 0
+           |      THEN tf ELSE -tf END AS v
+           |  FROM tok
+           |), dims AS (
+           |  SELECT doc_id, dim, CAST(sum(v) AS BIGINT) AS v
+           |  FROM hashed GROUP BY doc_id, dim
+           |), dense AS (
+           |  SELECT g.doc_id,
+           |    list(coalesce(d.v, CAST(0 AS BIGINT)) ORDER BY g.i) AS vec
+           |  FROM (SELECT doc_id, i
+           |        FROM (SELECT DISTINCT doc_id FROM documents),
+           |             unnest(range($HashDim)) AS t(i)) g
+           |  LEFT JOIN dims d ON d.doc_id = g.doc_id AND d.dim = g.i
+           |  GROUP BY g.doc_id
+           |)
+           |SELECT doc_id,
+           |  CAST(len(list_filter(vec, x -> x <> 0)) AS BIGINT) AS nnz,
+           |  CAST(list_sum(list_transform(vec, x -> abs(x))) AS BIGINT) AS l1,
+           |  round(sqrt(CAST(list_sum(list_transform(vec, x -> x * x))
+           |    AS DOUBLE)), 6) AS l2,
+           |  md5(array_to_string(vec, ',')) AS vec_md5
+           |FROM dense ORDER BY doc_id""".stripMargin),
+    ) { (s, dir) =>
+      val h = Portable.md5Hash60(col("term"))
+      val dims = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .select(col("doc_id"), pmod(h, lit(HashDim.toLong)).as("dim"),
+          when(pmod(shiftright(h, 6), lit(2L)) === 0, col("tf"))
+            .otherwise(-col("tf")).as("v"))
+        .groupBy("doc_id", "dim").agg(sum(col("v")).as("v"))
+      val dense = dims.groupBy("doc_id")
+        .agg(map_from_arrays(collect_list(col("dim")),
+          collect_list(col("v"))).as("m"))
+        .select(col("doc_id"),
+          transform(sequence(lit(0L), lit(HashDim - 1L)),
+            i => coalesce(element_at(col("m"), i), lit(0L))).as("vec"))
+      Tables.documents(s, dir).select(col("doc_id")).distinct()
+        .join(dense, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("vec"),
+            array_repeat(lit(0L), HashDim)).as("vec"))
+        .select(col("doc_id"),
+          size(filter(col("vec"), x => x =!= 0)).cast("long").as("nnz"),
+          aggregate(col("vec"), lit(0L), (acc, x) => acc + abs(x)).as("l1"),
+          round(sqrt(aggregate(col("vec"), lit(0L), (acc, x) => acc + x * x)
+            .cast("double")), 6).as("l2"),
+          md5(concat_ws(",", transform(col("vec"), _.cast("string"))))
+            .as("vec_md5"))
+        .orderBy("doc_id")
     },
   )
 

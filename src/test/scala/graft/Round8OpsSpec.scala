@@ -194,6 +194,71 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- q_ann_recall_curve / q_ivf_imbalance ----
+
+  test("q_ann_recall_curve: recall is non-decreasing in nprobe") {
+    val rows = SparkEntry.queries("q_ann_recall_curve")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == operators.AnnOps.RecallSweep.map(_.toLong))
+    val recalls = rows.map(_._2)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall must not drop as nprobe widens: ${recalls.toSeq}")
+    assert(recalls.last > 0.0)
+  }
+
+  test("q_ann_recall_curve widest point equals q_ann_recall's mean") {
+    val curve = SparkEntry.queries("q_ann_recall_curve")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val perProbe = SparkEntry.queries("q_ann_recall")(spark, dir).collect()
+      .map(_.getLong(1)).sum
+    assert(curve(4L) == perProbe,
+      s"curve@4 hits ${curve(4L)} != q_ann_recall total $perProbe")
+  }
+
+  test("q_ivf_imbalance: sizes sum to the corpus, ranks are a permutation") {
+    val rows = SparkEntry.queries("q_ivf_imbalance")(spark, dir).collect()
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == n)
+    assert(rows.map(_.getLong(3)).sorted.toSeq ==
+      (1L to rows.length.toLong).toSeq)
+    val shareSum = rows.map(_.getDouble(2)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-3, s"share sum $shareSum")
+  }
+
+  // ---- q_hash_embed ----
+
+  test("q_hash_embed matches a sequential hashing reference on every doc") {
+    val D = TextOps.HashDim
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "lower(text) AS text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = SparkEntry.queries("q_hash_embed")(spark, dir).collect()
+    assert(got.length == docs.size)
+    got.foreach { r =>
+      val vec = Array.fill(D)(0L)
+      docs(r.getLong(0)).split(" ").filter(_.nonEmpty)
+        .groupBy(identity).foreach { case (t, occ) =>
+          val h = h60(t)
+          val sign = if ((h >> 6) % 2 == 0) 1L else -1L
+          vec((h % D).toInt) += sign * occ.length
+        }
+      val md5Of = (s: String) => java.security.MessageDigest
+        .getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(r.getLong(1) == vec.count(_ != 0).toLong, s"doc ${r.getLong(0)} nnz")
+      assert(r.getLong(2) == vec.map(math.abs).sum, s"doc ${r.getLong(0)} l1")
+      assert(r.getDouble(3) ==
+        r6(math.sqrt(vec.map(x => x * x).sum.toDouble)),
+        s"doc ${r.getLong(0)} l2")
+      assert(r.getString(4) == md5Of(vec.mkString(",")), s"doc ${r.getLong(0)}")
+    }
+  }
+
   // ---- q_hll_partials ----
 
   test("q_hll_partials: sketch-union rollup passes both determinism flags") {
