@@ -1105,5 +1105,67 @@ object DedupOps {
             / (col("na") + col("nb") - col("n_shared")), 6).as("jaccard"))
         .orderBy("src_a", "src_b")
     },
+
+    Q(
+      "q_dedup_bloom",
+      "TWO-TIER incremental dedup: a mergeable bloom sketch of the " +
+        "base corpus's content hashes (the q_join_bloom machinery, " +
+        "shipped to every batch task as a scalar-subquery literal) " +
+        "splits the new batch per row — bloom-negative docs are " +
+        "PROVABLY new (no false negatives) and skip the join " +
+        "entirely; only bloom-positive suspects anti-join the exact " +
+        "base index, which removes the false positives. Same result " +
+        "as q_dedup_incremental's full anti join — the oracle IS that " +
+        "exact SQL — but at 100 TB the base's hash index never " +
+        "shuffles against the ~unique bulk of the batch: the bloom " +
+        "probe is per-row work against a ~MB broadcast and the " +
+        "surviving join input shrinks to suspects (dup rate + FP " +
+        "rate), the difference between re-shuffling the corpus daily " +
+        "and touching it proportionally to actual duplication",
+      Some(
+        """WITH base AS (
+          |  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 400
+          |), batch AS (
+          |  SELECT doc_id, lang, md5(text) AS h FROM documents WHERE doc_id >= 400
+          |), survivors AS (
+          |  SELECT doc_id, lang FROM (
+          |    SELECT doc_id, lang,
+          |      row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+          |    FROM batch WHERE h NOT IN (SELECT h FROM base)) WHERE rn = 1
+          |)
+          |SELECT lang, count(*) AS n_new FROM survivors
+          |GROUP BY lang ORDER BY lang""".stripMargin),
+    ) { (s, dir) =>
+      graft.functions.Bloom.register(s)
+      val docs = Tables.documents(s, dir)
+      docs.filter(col("doc_id") < 400)
+        .select(md5(col("text")).as("h")).distinct()
+        .createOrReplaceTempView("bloom_dedup_base")
+      docs.filter(col("doc_id") >= 400)
+        .select(col("doc_id"), col("lang"), md5(col("text")).as("h"))
+        .createOrReplaceTempView("bloom_dedup_batch")
+      s.sql(
+        """WITH probed AS (
+          |  SELECT doc_id, lang, h,
+          |    bloom_might_contain(
+          |      (SELECT bloom_agg(xxhash64(h)) FROM bloom_dedup_base),
+          |      xxhash64(h)) AS maybe_dup
+          |  FROM bloom_dedup_batch
+          |), definite_new AS (
+          |  SELECT doc_id, lang, h FROM probed WHERE NOT maybe_dup
+          |), rescued AS (
+          |  SELECT p.doc_id, p.lang, p.h
+          |  FROM probed p LEFT ANTI JOIN bloom_dedup_base b ON p.h = b.h
+          |  WHERE p.maybe_dup
+          |), survivors AS (
+          |  SELECT doc_id, lang FROM (
+          |    SELECT doc_id, lang,
+          |      row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+          |    FROM (SELECT * FROM definite_new UNION ALL SELECT * FROM rescued))
+          |  WHERE rn = 1
+          |)
+          |SELECT lang, count(*) AS n_new FROM survivors
+          |GROUP BY lang ORDER BY lang""".stripMargin)
+    },
   )
 }

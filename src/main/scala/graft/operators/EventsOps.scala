@@ -641,5 +641,54 @@ object EventsOps {
             .as("union_eq_direct"))
         .orderBy("event_type")
     },
+
+    Q(
+      "q_time_decay_agg",
+      "exponential time-decay aggregates (half-life 24h): each event " +
+        "contributes w = 2^(−age/half_life) relative to the corpus " +
+        "max timestamp — the feature-store freshness pattern " +
+        "(trending scores, decayed engagement counts) that plain " +
+        "windows can't express because every event always " +
+        "contributes, just less. One #types-bounded agg; the " +
+        "reference time travels as a broadcast 1-row max (at 100 TB " +
+        "it's a pipeline parameter, not a scan). Age math is exact " +
+        "BIGINT µs on identical operands; the only libm call (exp) " +
+        "is 6dp-rounded per event and the decayed sums accumulate in " +
+        "exact ×1e6 fixed point, so parallelism can't drift them. " +
+        "Production twin: decayed state folds incrementally as " +
+        "new_state = old·2^(−Δ/h) + today (the q_agg_incremental " +
+        "merge shape) — no rescan",
+      Some(
+        """WITH ref AS (
+          |  SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS ref_us FROM events
+          |), aged AS (
+          |  SELECT event_type, value,
+          |    round(exp(-ln(2) * ((ref_us - epoch_us(CAST(ts AS TIMESTAMP)))
+          |      / 3600000000.0) / 24.0), 6) AS w
+          |  FROM events CROSS JOIN ref
+          |)
+          |SELECT event_type, count(*) AS n_events,
+          |  CAST(sum(CAST(round(w * 1000000) AS BIGINT)) / 1000000.0
+          |    AS DOUBLE) AS decayed_n,
+          |  CAST(sum(CAST(round(w * value * 1000000) AS BIGINT)) / 1000000.0
+          |    AS DOUBLE) AS decayed_value
+          |FROM aged GROUP BY event_type ORDER BY event_type""".stripMargin),
+    ) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("ts"), col("value"))
+      val ref = ev.agg(max(unix_micros(col("ts"))).as("ref_us"))
+      ev.crossJoin(broadcast(ref))
+        .select(col("event_type"), col("value"),
+          round(exp(lit(-math.log(2.0))
+            * ((col("ref_us") - unix_micros(col("ts"))).cast("double")
+              / lit(3600000000.0)) / lit(24.0)), 6).as("w"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          (sum(round(col("w") * 1000000, 0).cast("long")) / lit(1000000.0))
+            .cast("double").as("decayed_n"),
+          (sum(round(col("w") * col("value") * 1000000, 0).cast("long"))
+            / lit(1000000.0)).cast("double").as("decayed_value"))
+        .orderBy("event_type")
+    },
   )
 }

@@ -164,6 +164,69 @@ object TextOps {
     * of the hashed doc vectors). */
   private[graft] val HashDim = 64
 
+  /** Shared oracle for q_hash_embed AND q_stream_hash_embed (the
+    * batch/stream twins must agree byte-for-byte, so they share one
+    * SQL): exploded (doc, dim) agg → dense grid assembly → stats. */
+  private[graft] val hashEmbedSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+       |    FROM documents)
+       |  WHERE term <> '' GROUP BY doc_id, term
+       |), hashed AS (
+       |  SELECT doc_id,
+       |    ${Portable.md5Hash60Sql("term")} % $HashDim AS dim,
+       |    CASE WHEN (${Portable.md5Hash60Sql("term")} >> 6) % 2 = 0
+       |      THEN tf ELSE -tf END AS v
+       |  FROM tok
+       |), dims AS (
+       |  SELECT doc_id, dim, CAST(sum(v) AS BIGINT) AS v
+       |  FROM hashed GROUP BY doc_id, dim
+       |), dense AS (
+       |  SELECT g.doc_id,
+       |    list(coalesce(d.v, CAST(0 AS BIGINT)) ORDER BY g.i) AS vec
+       |  FROM (SELECT doc_id, i
+       |        FROM (SELECT DISTINCT doc_id FROM documents),
+       |             unnest(range($HashDim)) AS t(i)) g
+       |  LEFT JOIN dims d ON d.doc_id = g.doc_id AND d.dim = g.i
+       |  GROUP BY g.doc_id
+       |)
+       |SELECT doc_id,
+       |  CAST(len(list_filter(vec, x -> x <> 0)) AS BIGINT) AS nnz,
+       |  CAST(list_sum(list_transform(vec, x -> abs(x))) AS BIGINT) AS l1,
+       |  round(sqrt(CAST(list_sum(list_transform(vec, x -> x * x))
+       |    AS DOUBLE)), 6) AS l2,
+       |  md5(array_to_string(vec, ',')) AS vec_md5
+       |FROM dense ORDER BY doc_id""".stripMargin
+
+  /** Per-row (zero-shuffle, zero-state) twin of q_hash_embed's
+    * exploded agg — the STREAMING face: the whole D-dim vector folds
+    * from the token array inside one row (per-occurrence sign adds ≡
+    * sign·tf since integer addition is order-free), so arrival order
+    * and micro-batch splits cannot move a byte. Cost is D passes over
+    * the hashed-token array per row — the price of shuffle-freedom;
+    * the batch op keeps the cheaper exploded agg. */
+  private[graft] def hashEmbedRow(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val hs = transform(
+      filter(split(lower(col("text")), " ", -1), t => t =!= ""),
+      t => Portable.md5Hash60(t))
+    val sign = (h: Column) =>
+      when(pmod(shiftright(h, 6), lit(2L)) === 0, lit(1L)).otherwise(lit(-1L))
+    val vec = transform(sequence(lit(0L), lit(HashDim - 1L)), d =>
+      aggregate(hs, lit(0L), (acc, h) =>
+        acc + when(pmod(h, lit(HashDim.toLong)) === d, sign(h))
+          .otherwise(lit(0L))))
+    df.select(col("doc_id"), vec.as("vec"))
+      .select(col("doc_id"),
+        size(filter(col("vec"), x => x =!= 0)).cast("long").as("nnz"),
+        aggregate(col("vec"), lit(0L), (acc, x) => acc + abs(x)).as("l1"),
+        round(sqrt(aggregate(col("vec"), lit(0L), (acc, x) => acc + x * x)
+          .cast("double")), 6).as("l2"),
+        md5(concat_ws(",", transform(col("vec"), _.cast("string"))))
+          .as("vec_md5"))
+  }
+
   /** q_span_mask: token positions p with p % SpanCycle in
     * [SpanStart, SpanStart+SpanLen) are masked — SpanLen/SpanCycle =
     * 15%, the T5 corruption rate. The positional rule is the
@@ -2547,37 +2610,7 @@ object TextOps {
         "6dp-rounded. One (doc, dim)-keyed agg bounded by docs×D; " +
         "dense assembly is a per-doc map lookup over the D-sequence, " +
         "never a D-way join",
-      Some(
-        s"""WITH tok AS (
-           |  SELECT doc_id, term, count(*) AS tf FROM (
-           |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
-           |    FROM documents)
-           |  WHERE term <> '' GROUP BY doc_id, term
-           |), hashed AS (
-           |  SELECT doc_id,
-           |    ${Portable.md5Hash60Sql("term")} % $HashDim AS dim,
-           |    CASE WHEN (${Portable.md5Hash60Sql("term")} >> 6) % 2 = 0
-           |      THEN tf ELSE -tf END AS v
-           |  FROM tok
-           |), dims AS (
-           |  SELECT doc_id, dim, CAST(sum(v) AS BIGINT) AS v
-           |  FROM hashed GROUP BY doc_id, dim
-           |), dense AS (
-           |  SELECT g.doc_id,
-           |    list(coalesce(d.v, CAST(0 AS BIGINT)) ORDER BY g.i) AS vec
-           |  FROM (SELECT doc_id, i
-           |        FROM (SELECT DISTINCT doc_id FROM documents),
-           |             unnest(range($HashDim)) AS t(i)) g
-           |  LEFT JOIN dims d ON d.doc_id = g.doc_id AND d.dim = g.i
-           |  GROUP BY g.doc_id
-           |)
-           |SELECT doc_id,
-           |  CAST(len(list_filter(vec, x -> x <> 0)) AS BIGINT) AS nnz,
-           |  CAST(list_sum(list_transform(vec, x -> abs(x))) AS BIGINT) AS l1,
-           |  round(sqrt(CAST(list_sum(list_transform(vec, x -> x * x))
-           |    AS DOUBLE)), 6) AS l2,
-           |  md5(array_to_string(vec, ',')) AS vec_md5
-           |FROM dense ORDER BY doc_id""".stripMargin),
+      Some(hashEmbedSql),
     ) { (s, dir) =>
       val h = Portable.md5Hash60(col("term"))
       val dims = Tables.documents(s, dir)

@@ -606,5 +606,30 @@ object StreamOps {
           / sum("n").over(pw), 6))
         .orderBy("prev_type", "event_type")
     },
+
+    Q(
+      "q_stream_hash_embed",
+      "streaming feature-hashing embedder run END-TO-END as a real " +
+        "streaming job (file source → TextOps.hashEmbedRow → parquet " +
+        "sink, AvailableNow): documents arriving on the stream get " +
+        "the SAME 64-dim hashed vector the batch op computes, but " +
+        "through the per-row fold twin — the whole vector assembles " +
+        "inside one row (integer adds are order-free, so " +
+        "per-occurrence folding ≡ the batch sign·tf agg), which " +
+        "means zero streaming state, zero shuffles, and no " +
+        "vocabulary to sync between batch and stream. Micro-batch " +
+        "splits cannot move a byte, so the oracle IS q_hash_embed's " +
+        "SQL verbatim — the strongest batch≡stream claim available. " +
+        "At 100 TB/day this is the embed-on-ingest path feeding the " +
+        "same ANN index as the batch backfill",
+      Some(graft.operators.TextOps.hashEmbedSql),
+    ) { (s, dir) =>
+      val schema = Tables.documents(s, dir).schema
+      val src = s.readStream.schema(schema)
+        .option("basePath", dir)
+        .parquet(s"$dir/documents.parquet*")
+      runToParquet(s, graft.operators.TextOps.hashEmbedRow(src))
+        .orderBy("doc_id")
+    },
   )
 }

@@ -259,6 +259,36 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- q_time_decay_agg / q_dedup_bloom / q_stream_hash_embed ----
+
+  test("q_time_decay_agg: weights are (0,1], so decayed_n in (0, n_events]") {
+    val rows = SparkEntry.queries("q_time_decay_agg")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, dn, dv) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      assert(dn > 0.0 && dn <= n.toDouble, s"${r.getString(0)}: $dn vs $n")
+      assert(!dv.isNaN)
+    }
+  }
+
+  test("q_dedup_bloom two-tier result equals the exact anti-join") {
+    val bloom = SparkEntry.queries("q_dedup_bloom")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = SparkEntry.queries("q_dedup_incremental")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bloom == exact)
+  }
+
+  test("q_stream_hash_embed equals the batch embedder row for row") {
+    val stream = SparkEntry.queries("q_stream_hash_embed")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4)))).toMap
+    val batch = SparkEntry.queries("q_hash_embed")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4)))).toMap
+    assert(stream == batch)
+  }
+
   // ---- q_hll_partials ----
 
   test("q_hll_partials: sketch-union rollup passes both determinism flags") {
