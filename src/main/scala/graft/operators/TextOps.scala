@@ -199,25 +199,37 @@ object TextOps {
        |  md5(array_to_string(vec, ',')) AS vec_md5
        |FROM dense ORDER BY doc_id""".stripMargin
 
-  /** Per-row (zero-shuffle, zero-state) twin of q_hash_embed's
-    * exploded agg — the STREAMING face: the whole D-dim vector folds
-    * from the token array inside one row (per-occurrence sign adds ≡
-    * sign·tf since integer addition is order-free), so arrival order
-    * and micro-batch splits cannot move a byte. Cost is D passes over
-    * the hashed-token array per row — the price of shuffle-freedom;
-    * the batch op keeps the cheaper exploded agg. */
-  private[graft] def hashEmbedRow(df: org.apache.spark.sql.DataFrame)
+  /** q_hash_embed core over any (doc_id, text) frame — shared with
+    * the streaming twin, which applies it per micro-batch under
+    * foreachBatch (a document never spans micro-batches, so the
+    * per-doc result is split-independent by construction). A pure
+    * per-row fold variant was tried and rejected: the D per-dim folds
+    * re-hash every token D times once Catalyst collapses projections
+    * (nested HOFs don't codegen and can't share the md5), benching
+    * 60-120× slower than this exploded agg. */
+  private[graft] def hashEmbed(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val hs = transform(
-      filter(split(lower(col("text")), " ", -1), t => t =!= ""),
-      t => Portable.md5Hash60(t))
-    val sign = (h: Column) =>
-      when(pmod(shiftright(h, 6), lit(2L)) === 0, lit(1L)).otherwise(lit(-1L))
-    val vec = transform(sequence(lit(0L), lit(HashDim - 1L)), d =>
-      aggregate(hs, lit(0L), (acc, h) =>
-        acc + when(pmod(h, lit(HashDim.toLong)) === d, sign(h))
-          .otherwise(lit(0L))))
-    df.select(col("doc_id"), vec.as("vec"))
+    val h = Portable.md5Hash60(col("term"))
+    val dims = docs
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), pmod(h, lit(HashDim.toLong)).as("dim"),
+        when(pmod(shiftright(h, 6), lit(2L)) === 0, col("tf"))
+          .otherwise(-col("tf")).as("v"))
+      .groupBy("doc_id", "dim").agg(sum(col("v")).as("v"))
+    val dense = dims.groupBy("doc_id")
+      .agg(map_from_arrays(collect_list(col("dim")),
+        collect_list(col("v"))).as("m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0L), lit(HashDim - 1L)),
+          i => coalesce(element_at(col("m"), i), lit(0L))).as("vec"))
+    docs.select(col("doc_id")).distinct()
+      .join(dense, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("vec"),
+          array_repeat(lit(0L), HashDim)).as("vec"))
       .select(col("doc_id"),
         size(filter(col("vec"), x => x =!= 0)).cast("long").as("nnz"),
         aggregate(col("vec"), lit(0L), (acc, x) => acc + abs(x)).as("l1"),
@@ -2612,35 +2624,7 @@ object TextOps {
         "never a D-way join",
       Some(hashEmbedSql),
     ) { (s, dir) =>
-      val h = Portable.md5Hash60(col("term"))
-      val dims = Tables.documents(s, dir)
-        .select(col("doc_id"),
-          explode(split(lower(col("text")), " ")).as("term"))
-        .filter(col("term") =!= "")
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        .select(col("doc_id"), pmod(h, lit(HashDim.toLong)).as("dim"),
-          when(pmod(shiftright(h, 6), lit(2L)) === 0, col("tf"))
-            .otherwise(-col("tf")).as("v"))
-        .groupBy("doc_id", "dim").agg(sum(col("v")).as("v"))
-      val dense = dims.groupBy("doc_id")
-        .agg(map_from_arrays(collect_list(col("dim")),
-          collect_list(col("v"))).as("m"))
-        .select(col("doc_id"),
-          transform(sequence(lit(0L), lit(HashDim - 1L)),
-            i => coalesce(element_at(col("m"), i), lit(0L))).as("vec"))
-      Tables.documents(s, dir).select(col("doc_id")).distinct()
-        .join(dense, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("vec"),
-            array_repeat(lit(0L), HashDim)).as("vec"))
-        .select(col("doc_id"),
-          size(filter(col("vec"), x => x =!= 0)).cast("long").as("nnz"),
-          aggregate(col("vec"), lit(0L), (acc, x) => acc + abs(x)).as("l1"),
-          round(sqrt(aggregate(col("vec"), lit(0L), (acc, x) => acc + x * x)
-            .cast("double")), 6).as("l2"),
-          md5(concat_ws(",", transform(col("vec"), _.cast("string"))))
-            .as("vec_md5"))
-        .orderBy("doc_id")
+      hashEmbed(Tables.documents(s, dir)).orderBy("doc_id")
     },
   )
 

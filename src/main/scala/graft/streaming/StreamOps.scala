@@ -610,26 +610,36 @@ object StreamOps {
     Q(
       "q_stream_hash_embed",
       "streaming feature-hashing embedder run END-TO-END as a real " +
-        "streaming job (file source → TextOps.hashEmbedRow → parquet " +
-        "sink, AvailableNow): documents arriving on the stream get " +
-        "the SAME 64-dim hashed vector the batch op computes, but " +
-        "through the per-row fold twin — the whole vector assembles " +
-        "inside one row (integer adds are order-free, so " +
-        "per-occurrence folding ≡ the batch sign·tf agg), which " +
-        "means zero streaming state, zero shuffles, and no " +
-        "vocabulary to sync between batch and stream. Micro-batch " +
-        "splits cannot move a byte, so the oracle IS q_hash_embed's " +
-        "SQL verbatim — the strongest batch≡stream claim available. " +
-        "At 100 TB/day this is the embed-on-ingest path feeding the " +
-        "same ANN index as the batch backfill",
+        "streaming job (file source → foreachBatch(TextOps.hashEmbed) " +
+        "→ parquet sink, AvailableNow): documents arriving on the " +
+        "stream get the SAME 64-dim hashed vector the batch op " +
+        "computes, via the SAME exploded-agg kernel applied inside " +
+        "each micro-batch — a document never spans micro-batches, so " +
+        "the per-doc result is split-independent by construction and " +
+        "the oracle IS q_hash_embed's SQL verbatim. foreachBatch is " +
+        "the right streaming shape here: the kernel's groupBy is " +
+        "per-doc LOCAL work a micro-batch can run as plain batch " +
+        "Spark (no cross-batch state, no watermark), and no " +
+        "vocabulary syncs between batch and stream because hashing " +
+        "has none. At 100 TB/day this is the embed-on-ingest path " +
+        "feeding the same ANN index as the batch backfill",
       Some(graft.operators.TextOps.hashEmbedSql),
     ) { (s, dir) =>
       val schema = Tables.documents(s, dir).schema
       val src = s.readStream.schema(schema)
         .option("basePath", dir)
         .parquet(s"$dir/documents.parquet*")
-      runToParquet(s, graft.operators.TextOps.hashEmbedRow(src))
-        .orderBy("doc_id")
+      val scratch = Scratch.dir()
+      val q = src.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.operators.TextOps.hashEmbed(batch)
+            .write.mode("append").parquet(s"$scratch/out")
+        }
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$scratch/out").orderBy("doc_id")
     },
   )
 }
