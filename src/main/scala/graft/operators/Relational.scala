@@ -1016,5 +1016,76 @@ object Relational {
         .groupBy("change_type").agg(count(lit(1)).as("n"))
         .orderBy("change_type")
     },
+
+    Q(
+      "q_table_stats",
+      "ANALYZE-style column statistics (rows, nulls, NDV, min/max per " +
+        "column) — the optimizer-stats / data-catalog operator every " +
+        "engine exposes: ONE scan computes all five columns' stats in " +
+        "a single agg (the multi-distinct Expand, the q_distinct_agg " +
+        "shape — at 100 TB swap exact NDV for approx_count_distinct " +
+        "and min/max ride the same pass), then the 1-row result is " +
+        "checkpointed and unpivoted into a row per column — the " +
+        "unpivot reads ONE materialized row five times, never the " +
+        "table. min/max surface as strings for a uniform schema; " +
+        "column types are chosen so both engines print identically " +
+        "(ints, strings, dates — doubles format engine-specifically " +
+        "and belong in a typed stats table)",
+      Some {
+        val cols = Seq(
+          ("l_orderkey", "CAST(min(l_orderkey) AS VARCHAR)",
+            "CAST(max(l_orderkey) AS VARCHAR)", "l_orderkey"),
+          ("l_partkey", "CAST(min(l_partkey) AS VARCHAR)",
+            "CAST(max(l_partkey) AS VARCHAR)", "l_partkey"),
+          ("l_linenumber", "CAST(min(l_linenumber) AS VARCHAR)",
+            "CAST(max(l_linenumber) AS VARCHAR)", "l_linenumber"),
+          ("l_returnflag", "min(l_returnflag)", "max(l_returnflag)",
+            "l_returnflag"),
+          ("l_shipdate", "CAST(min(CAST(l_shipdate AS DATE)) AS VARCHAR)",
+            "CAST(max(CAST(l_shipdate AS DATE)) AS VARCHAR)", "l_shipdate"))
+        val aggs = cols.zipWithIndex.map { case ((_, mn, mx, c), i) =>
+          s"""CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS nulls$i,
+             |    CAST(count(DISTINCT $c) AS BIGINT) AS ndv$i,
+             |    $mn AS min$i, $mx AS max$i""".stripMargin
+        }.mkString(",\n    ")
+        val branches = cols.zipWithIndex.map { case ((name, _, _, _), i) =>
+          s"""SELECT '$name' AS column_name, n AS n_rows,
+             |  nulls$i AS n_nulls, ndv$i AS n_distinct,
+             |  min$i AS min_value, max$i AS max_value FROM a""".stripMargin
+        }.mkString("\n  UNION ALL ")
+        s"""WITH a AS (
+           |  SELECT count(*) AS n,
+           |    $aggs
+           |  FROM lineitem
+           |)
+           |$branches
+           |ORDER BY column_name""".stripMargin
+      },
+    ) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      def statsOf(c: Column, asDate: Boolean): Seq[Column] = {
+        val v = if (asDate) to_date(c) else c
+        Seq(sum(when(c.isNull, 1L).otherwise(0L)),
+          countDistinct(c),
+          min(v).cast("string"), max(v).cast("string"))
+      }
+      val names = Seq("l_orderkey", "l_partkey", "l_linenumber",
+        "l_returnflag", "l_shipdate")
+      val aggCols = count(lit(1)).as("n") +: names.zipWithIndex.flatMap {
+        case (c, i) =>
+          statsOf(col(c), asDate = c == "l_shipdate").zip(
+            Seq(s"nulls$i", s"ndv$i", s"min$i", s"max$i"))
+            .map { case (e, alias) => e.as(alias) }
+      }
+      // ONE scan; the 1-row result materializes once and the unpivot
+      // below reads it, not the table.
+      val a = li.agg(aggCols.head, aggCols.tail: _*).localCheckpoint()
+      names.zipWithIndex.map { case (name, i) =>
+        a.select(lit(name).as("column_name"), col("n").as("n_rows"),
+          col(s"nulls$i").as("n_nulls"), col(s"ndv$i").as("n_distinct"),
+          col(s"min$i").as("min_value"), col(s"max$i").as("max_value"))
+      }.reduce(_ unionByName _).orderBy("column_name")
+    },
   )
 }

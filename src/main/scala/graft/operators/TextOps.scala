@@ -160,15 +160,18 @@ object TextOps {
   /** q_keywords: keywords emitted per document. */
   private[graft] val KeywordsK = 3
 
+  /** q_kanon_audit: minimum quasi-identifier group size. */
+  private[graft] val KAnonK = 20
+
   /** q_hash_embed: feature-hashing dimensionality (the vector length
     * of the hashed doc vectors). */
   private[graft] val HashDim = 64
 
-  /** Shared oracle for q_hash_embed AND q_stream_hash_embed (the
-    * batch/stream twins must agree byte-for-byte, so they share one
-    * SQL): exploded (doc, dim) agg → dense grid assembly → stats. */
-  private[graft] val hashEmbedSql: String =
-    s"""WITH tok AS (
+  /** The sparse (doc_id, dim, v) stage shared by q_hash_embed (dense
+    * assembly), q_stream_hash_embed, and q_sparse_search (inverted
+    * dim-keyed join) — splice under WITH. */
+  private[graft] val hashDimsSqlCte: String =
+    s"""tok AS (
        |  SELECT doc_id, term, count(*) AS tf FROM (
        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
        |    FROM documents)
@@ -182,7 +185,13 @@ object TextOps {
        |), dims AS (
        |  SELECT doc_id, dim, CAST(sum(v) AS BIGINT) AS v
        |  FROM hashed GROUP BY doc_id, dim
-       |), dense AS (
+       |)""".stripMargin
+
+  /** Shared oracle for q_hash_embed AND q_stream_hash_embed (the
+    * batch/stream twins must agree byte-for-byte, so they share one
+    * SQL): exploded (doc, dim) agg → dense grid assembly → stats. */
+  private[graft] val hashEmbedSql: String =
+    s"""WITH $hashDimsSqlCte, dense AS (
        |  SELECT g.doc_id,
        |    list(coalesce(d.v, CAST(0 AS BIGINT)) ORDER BY g.i) AS vec
        |  FROM (SELECT doc_id, i
@@ -207,10 +216,12 @@ object TextOps {
     * re-hash every token D times once Catalyst collapses projections
     * (nested HOFs don't codegen and can't share the md5), benching
     * 60-120× slower than this exploded agg. */
-  private[graft] def hashEmbed(docs: org.apache.spark.sql.DataFrame)
+  /** Spark twin of [[hashDimsSqlCte]]: the sparse (doc_id, dim, v)
+    * stage of the hashed doc vectors. */
+  private[graft] def hashDims(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val h = Portable.md5Hash60(col("term"))
-    val dims = docs
+    docs
       .select(col("doc_id"),
         explode(split(lower(col("text")), " ")).as("term"))
       .filter(col("term") =!= "")
@@ -219,6 +230,11 @@ object TextOps {
         when(pmod(shiftright(h, 6), lit(2L)) === 0, col("tf"))
           .otherwise(-col("tf")).as("v"))
       .groupBy("doc_id", "dim").agg(sum(col("v")).as("v"))
+  }
+
+  private[graft] def hashEmbed(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val dims = hashDims(docs)
     val dense = dims.groupBy("doc_id")
       .agg(map_from_arrays(collect_list(col("dim")),
         collect_list(col("v"))).as("m"))
@@ -2625,6 +2641,110 @@ object TextOps {
       Some(hashEmbedSql),
     ) { (s, dir) =>
       hashEmbed(Tables.documents(s, dir)).orderBy("doc_id")
+    },
+
+    Q(
+      "q_sparse_search",
+      "SPARSE vector similarity search over the hashed doc vectors " +
+        "(top-10 cosine neighbors for 5 probe docs) via an INVERTED " +
+        "dim-keyed join — the SPLADE/learned-sparse retrieval shape: " +
+        "the dot product never materializes dense vectors, it sums " +
+        "va·vb over the dims the two docs SHARE, so candidates are " +
+        "bounded by posting-list co-occurrence (at a production " +
+        "D=2^18 the dim join touches only genuinely overlapping " +
+        "docs; dense cosine would touch everything). Dims are " +
+        "checkpointed once and reused for probes, corpus and norms; " +
+        "dots accumulate in EXACT BIGINT (no float until the final " +
+        "cosine division); norms join back doc-keyed (ids-then-" +
+        "payloads); per-probe top-k prunes map-side via " +
+        "WindowGroupLimit. Complements q_simsearch's dense path and " +
+        "q_lexical_knn's tf-idf path with the hashed-feature one",
+      Some(
+        s"""WITH $hashDimsSqlCte,
+           |norms AS (
+           |  SELECT doc_id, CAST(sum(v * v) AS BIGINT) AS n2
+           |  FROM dims GROUP BY doc_id
+           |), p AS (
+           |  SELECT doc_id AS probe_id, dim, v AS pv FROM dims
+           |  WHERE doc_id < 5
+           |), dots AS (
+           |  SELECT probe_id, d.doc_id AS neighbor_id,
+           |    CAST(sum(pv * v) AS BIGINT) AS dot
+           |  FROM p JOIN dims d USING (dim)
+           |  WHERE d.doc_id <> probe_id
+           |  GROUP BY probe_id, d.doc_id
+           |), scored AS (
+           |  SELECT probe_id, neighbor_id,
+           |    round(dot / (sqrt(CAST(np.n2 AS DOUBLE))
+           |      * sqrt(CAST(nn.n2 AS DOUBLE))), 6) AS cos_sim
+           |  FROM dots
+           |  JOIN norms np ON np.doc_id = probe_id
+           |  JOIN norms nn ON nn.doc_id = neighbor_id
+           |), ranked AS (
+           |  SELECT probe_id, neighbor_id, cos_sim, row_number() OVER (
+           |    PARTITION BY probe_id
+           |    ORDER BY cos_sim DESC, neighbor_id) AS rank
+           |  FROM scored
+           |)
+           |SELECT probe_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+           |  cos_sim
+           |FROM ranked WHERE rank <= 10
+           |ORDER BY probe_id, rank""".stripMargin),
+    ) { (s, dir) =>
+      val dims = hashDims(Tables.documents(s, dir))
+        .localCheckpoint() // reused 3×: probes, corpus side, norms
+      val norms = dims.groupBy("doc_id").agg(sum(col("v") * col("v")).as("n2"))
+      val p = dims.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("probe_id"), col("dim"), col("v").as("pv"))
+      val dots = p
+        .join(dims.select(col("doc_id").as("neighbor_id"), col("dim"),
+          col("v")), Seq("dim"))
+        .filter(col("neighbor_id") =!= col("probe_id"))
+        .groupBy("probe_id", "neighbor_id")
+        .agg(sum(col("pv") * col("v")).as("dot"))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      dots
+        .join(norms.select(col("doc_id").as("probe_id"),
+          col("n2").as("pn2")), "probe_id")
+        .join(norms.select(col("doc_id").as("neighbor_id"),
+          col("n2").as("nn2")), "neighbor_id")
+        .select(col("probe_id"), col("neighbor_id"),
+          round(col("dot") / (sqrt(col("pn2").cast("double"))
+            * sqrt(col("nn2").cast("double"))), 6).as("cos_sim"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+        .select("probe_id", "rank", "neighbor_id", "cos_sim")
+        .orderBy("probe_id", "rank")
+    },
+
+    Q(
+      "q_kanon_audit",
+      s"k-anonymity audit over the quasi-identifier pair (lang, " +
+        s"source), k=$KAnonK — the data-governance gate beside " +
+        "q_pii_scrub (scrubbing hides direct identifiers; small " +
+        "quasi-identifier groups re-identify anyway, so a release " +
+        "pipeline suppresses or generalizes groups below k): one " +
+        "quasi-id-keyed agg bounded by the combo cardinality, never " +
+        "corpus-sized output; per-group flag + suppression count " +
+        "make the downstream action (filter on the flag) a " +
+        "broadcast-join decision. At 100 TB the agg is the only " +
+        "corpus pass and its output stays #langs×#sources rows",
+      Some(
+        s"""SELECT lang, source, count(*) AS n,
+           |  CASE WHEN count(*) >= $KAnonK THEN CAST(1 AS BIGINT)
+           |    ELSE CAST(0 AS BIGINT) END AS k_anonymous,
+           |  CASE WHEN count(*) >= $KAnonK THEN CAST(0 AS BIGINT)
+           |    ELSE count(*) END AS n_suppressed
+           |FROM documents GROUP BY lang, source
+           |ORDER BY lang, source""".stripMargin),
+    ) { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+        .select(col("lang"), col("source"), col("n"),
+          when(col("n") >= KAnonK, 1L).otherwise(0L).as("k_anonymous"),
+          when(col("n") >= KAnonK, 0L).otherwise(col("n")).as("n_suppressed"))
+        .orderBy("lang", "source")
     },
   )
 

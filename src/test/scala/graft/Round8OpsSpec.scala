@@ -289,6 +289,75 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  // ---- q_sparse_search / q_table_stats / q_kanon_audit ----
+
+  test("q_sparse_search matches dense cosine over the hashed vectors") {
+    val D = TextOps.HashDim
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val vecs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "lower(text) AS text").collect()
+      .map { r =>
+        val v = Array.fill(D)(0L)
+        r.getString(1).split(" ").filter(_.nonEmpty).foreach { t =>
+          val h = h60(t)
+          v((h % D).toInt) += (if ((h >> 6) % 2 == 0) 1L else -1L)
+        }
+        r.getLong(0) -> v
+      }.toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      r6(dot / (math.sqrt(a.map(x => x * x).sum.toDouble)
+        * math.sqrt(b.map(x => x * x).sum.toDouble)))
+    }
+    val expected = (0L until 5L).flatMap { p =>
+      val pv = vecs(p)
+      if (pv.forall(_ == 0)) Nil
+      else vecs.toSeq
+        .filter { case (id, v) => id != p && v.exists(_ != 0) }
+        .map { case (id, v) => (p, id, cos(pv, v)) }
+        .sortBy { case (_, id, c) => (-c, id) }
+        .take(10).zipWithIndex
+        .map { case ((pid, id, c), i) => (pid, (i + 1).toLong, id, c) }
+    }
+    val got = SparkEntry.queries("q_sparse_search")(spark, dir).collect()
+      .map { case Row(p: Long, rk: Long, id: Long, c: Double) =>
+        (p, rk, id, c)
+      }.toSeq
+    assert(got == expected)
+  }
+
+  test("q_table_stats agrees with direct recomputation") {
+    val rows = SparkEntry.queries("q_table_stats")(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4),
+          r.getString(5)))).toMap
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val n = li.count()
+    rows.foreach { case (c, (nRows, nNulls, ndv, mn, mx)) =>
+      assert(nRows == n, s"$c n_rows")
+      assert(nNulls == 0L, s"$c nulls")
+      val direct = li.selectExpr(s"count(DISTINCT $c)").head.getLong(0)
+      assert(ndv == direct, s"$c ndv")
+      assert(mn <= mx || c != "l_returnflag", s"$c min/max")
+    }
+    assert(rows("l_returnflag")._3 == 3L)
+  }
+
+  test("q_kanon_audit: flags follow n, totals conserve the corpus") {
+    val rows = SparkEntry.queries("q_kanon_audit")(spark, dir).collect()
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.map(_.getLong(2)).sum == total)
+    rows.foreach { r =>
+      val (n, flag, sup) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(flag == (if (n >= TextOps.KAnonK) 1L else 0L))
+      assert(sup == (if (n >= TextOps.KAnonK) 0L else n))
+    }
+  }
+
   // ---- q_hll_partials ----
 
   test("q_hll_partials: sketch-union rollup passes both determinism flags") {
