@@ -2725,6 +2725,89 @@ object AnnOps {
     },
 
     Q(
+      "q_embed_dedup_incremental",
+      "incremental SemDeDup — the daily-ingest twin of q_semdedup " +
+        "(and the embedding-space face of q_dedup_near_incremental): " +
+        "batch vectors (vec_id ≥ 400) route to the BASE corpus's " +
+        "cells by broadcast-argmin, then compare only against (a) " +
+        "same-cell base vectors — a cos ≥ 0.45 hit means the batch " +
+        "vector duplicates existing data — and (b) lower-id same-cell " +
+        "batch vectors (within-batch dedup, q_semdedup's keep-lowest " +
+        "rule). The base NEVER re-pairs against itself: pair cost is " +
+        "Σ|cell_batch|·(|cell_base| + |cell_batch|), proportional to " +
+        "the ingest, not the corpus. Verdict per batch vector with " +
+        "dup_base taking priority over dup_batch; dropped sides " +
+        "dedupe ids, never embedding payloads. At 100 TB the base " +
+        "side reads from the cell-partitioned q_ivf_layout directory " +
+        "— only probed cells are even scanned",
+      Some(
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+           |cents AS (
+           |  SELECT vec_id AS cent_id, embedding AS ce FROM e
+           |  WHERE vec_id < $KSeeds
+           |), assign AS (
+           |  SELECT vec_id, cent_id AS cell_id, embedding FROM (
+           |    SELECT e.vec_id, c.cent_id, e.embedding,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        $d2Sql,
+           |        c.cent_id) AS rn
+           |    FROM e CROSS JOIN cents c) WHERE rn = 1
+           |), base AS (SELECT * FROM assign WHERE vec_id < 400),
+           |batch AS (SELECT * FROM assign WHERE vec_id >= 400),
+           |dup_base AS (
+           |  SELECT DISTINCT b.vec_id
+           |  FROM batch b JOIN base a ON a.cell_id = b.cell_id
+           |  WHERE ${cosSimSql("a.embedding", "b.embedding")} >= 0.45
+           |), dup_batch AS (
+           |  SELECT DISTINCT b.vec_id
+           |  FROM batch b JOIN batch a
+           |    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+           |  WHERE ${cosSimSql("a.embedding", "b.embedding")} >= 0.45
+           |)
+           |SELECT s.vec_id, s.cell_id,
+           |  CASE WHEN db.vec_id IS NOT NULL THEN 'dup_base'
+           |       WHEN dt.vec_id IS NOT NULL THEN 'dup_batch'
+           |       ELSE 'kept' END AS status
+           |FROM batch s
+           |LEFT JOIN dup_base db ON s.vec_id = db.vec_id
+           |LEFT JOIN dup_batch dt ON s.vec_id = dt.vec_id
+           |ORDER BY s.vec_id""".stripMargin),
+    ) { (s, dir) =>
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val cents = e.filter(col("vec_id") < KSeeds)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+      val assign = e.crossJoin(broadcast(packCents(cents)))
+        .withColumn("cell_id",
+          graft.functions.CentAssign.argminL2(s, "embedding", "cs"))
+        .select(col("vec_id"), col("cell_id"), col("embedding"))
+        .localCheckpoint() // split and pair-joined 3× below
+      val base = assign.filter(col("vec_id") < 400)
+      val batch = assign.filter(col("vec_id") >= 400)
+      def pairsOf(l: org.apache.spark.sql.DataFrame, strictLower: Boolean) = {
+        val a = l.select(col("cell_id"), col("vec_id").as("vec_a"),
+          col("embedding").as("ea"))
+        val b = batch.select(col("cell_id"), col("vec_id").as("vec_b"),
+          col("embedding").as("eb"))
+        a.join(b, Seq("cell_id"))
+          .filter(if (strictLower) col("vec_a") < col("vec_b") else lit(true))
+          .filter(cosSim(s, "ea", "eb") >= 0.45)
+          .select(col("vec_b").as("vec_id")).distinct()
+      }
+      val dupBase = pairsOf(base, strictLower = false)
+        .withColumn("db", lit(1L))
+      val dupBatch = pairsOf(batch, strictLower = true)
+        .withColumn("dt", lit(1L))
+      batch.select("vec_id", "cell_id")
+        .join(dupBase, Seq("vec_id"), "left")
+        .join(dupBatch, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell_id"),
+          when(col("db").isNotNull, "dup_base")
+            .when(col("dt").isNotNull, "dup_batch")
+            .otherwise("kept").as("status"))
+        .orderBy("vec_id")
+    },
+
+    Q(
       "q_kmeanspp_init",
       s"deterministic k-means++ seeding ($KppSeeds seeds): seed 0 is " +
         "the max-key uniform draw, every later seed an Efraimidis–" +

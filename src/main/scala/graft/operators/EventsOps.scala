@@ -643,6 +643,59 @@ object EventsOps {
     },
 
     Q(
+      "q_events_anomaly",
+      "hourly burst detection: each (type, hour) bucket compared to " +
+        "its trailing 24-observed-hour baseline — n ≥ 2× baseline " +
+        "flags a burst; only full windows flag (partial baselines at " +
+        "series start inflate ratios, so they stay null) — the " +
+        "monitoring rollup every event pipeline pages on. The corpus " +
+        "collapses to the hours×types hourly rollup FIRST (one keyed " +
+        "agg, the q_events_hourly shape); the trailing window then " +
+        "runs per type over that BOUNDED series — window state is 24 " +
+        "counts, window input is hours not events. baseline = one " +
+        "division of exact BIGINTs (sum over the full frame / 24); " +
+        "ratio likewise — nothing here can drift with parallelism. " +
+        "At 100 TB only the rollup touches events; production keeps " +
+        "the rollup as incremental state (q_agg_incremental) and the " +
+        "window cost stays days×types",
+      Some(
+        """WITH hourly AS (
+          |  SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+          |    AS hour, event_type, count(*) AS n
+          |  FROM events GROUP BY 1, 2
+          |), w AS (
+          |  SELECT hour, event_type, n,
+          |    sum(n) OVER (PARTITION BY event_type ORDER BY hour
+          |      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS base_sum,
+          |    count(*) OVER (PARTITION BY event_type ORDER BY hour
+          |      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS base_cnt
+          |  FROM hourly
+          |)
+          |SELECT hour, event_type, n,
+          |  CASE WHEN base_cnt = 24
+          |    THEN round(CAST(base_sum AS DOUBLE) / 24, 6) END AS baseline,
+          |  CASE WHEN base_cnt = 24 AND n * 24 >= 2 * base_sum
+          |    THEN CAST(1 AS BIGINT)
+          |    WHEN base_cnt = 24 THEN CAST(0 AS BIGINT) END AS burst
+          |FROM w ORDER BY event_type, hour""".stripMargin),
+    ) { (s, dir) =>
+      val hourly = Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val frame = Window.partitionBy("event_type").orderBy("hour")
+        .rowsBetween(-24, -1)
+      hourly
+        .withColumn("base_sum", sum(col("n")).over(frame))
+        .withColumn("base_cnt", count(lit(1)).over(frame))
+        .select(col("hour"), col("event_type"), col("n"),
+          when(col("base_cnt") === 24,
+            round(col("base_sum").cast("double") / 24, 6)).as("baseline"),
+          when(col("base_cnt") === 24 && col("n") * 24 >= col("base_sum") * 2,
+            1L).when(col("base_cnt") === 24, 0L).as("burst"))
+        .orderBy("event_type", "hour")
+    },
+
+    Q(
       "q_time_decay_agg",
       "exponential time-decay aggregates (half-life 24h): each event " +
         "contributes w = 2^(−age/half_life) relative to the corpus " +

@@ -163,6 +163,9 @@ object TextOps {
   /** q_kanon_audit: minimum quasi-identifier group size. */
   private[graft] val KAnonK = 20
 
+  /** q_zipf_fit: tokens fitted per lang (top-K by frequency). */
+  private[graft] val ZipfK = 24
+
   /** q_hash_embed: feature-hashing dimensionality (the vector length
     * of the hashed doc vectors). */
   private[graft] val HashDim = 64
@@ -2746,7 +2749,91 @@ object TextOps {
           when(col("n") >= KAnonK, 0L).otherwise(col("n")).as("n_suppressed"))
         .orderBy("lang", "source")
     },
+
+    Q(
+      "q_zipf_fit",
+      s"Zipf-law fit per lang: least-squares slope of log₂(freq) vs " +
+        s"log₂(rank) over each lang's top-$ZipfK tokens — the corpus-" +
+        "naturalness diagnostic (natural language slopes ≈ −1; " +
+        "template/boilerplate-heavy or synthetic corpora deviate " +
+        "hard, so curation dashboards track it per source/lang). The " +
+        "corpus collapses to (lang, token) counts once; the rank cut " +
+        "is a per-lang window pruned map-side (WindowGroupLimit) so " +
+        "the regression runs over #langs×K rows. Determinism: both " +
+        "logs 6dp-rounded at the libm boundary, means are single " +
+        "divisions of exact fixed-point sums, per-term products are " +
+        "IEEE ops on identical operands, and the two covariance sums " +
+        "accumulate in ×1e6 BIGINT fixed point — the slope is then " +
+        "ONE division of two exact integers (the 1e6 factors cancel)",
+      Some(
+        s"""WITH tok AS (
+           |  SELECT lang, w, count(*) AS n FROM (
+           |    SELECT lang, unnest(string_split(lower(text), ' ')) AS w
+           |    FROM documents)
+           |  WHERE w <> '' GROUP BY lang, w
+           |), ranked AS (
+           |  SELECT lang, n, row_number() OVER (
+           |    PARTITION BY lang ORDER BY n DESC, w) AS rank
+           |  FROM tok
+           |), pts AS (
+           |  SELECT lang,
+           |    round(log2(CAST(rank AS DOUBLE)), 6) AS x,
+           |    round(log2(CAST(n AS DOUBLE)), 6) AS y
+           |  FROM ranked WHERE rank <= $ZipfK
+           |), m AS (
+           |  SELECT lang, count(*) AS k,
+           |    CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS BIGINT) AS sx,
+           |    CAST(sum(CAST(round(y * 1000000) AS BIGINT)) AS BIGINT) AS sy
+           |  FROM pts GROUP BY lang
+           |), c AS (
+           |  SELECT p.lang, m.k,
+           |    CAST(sum(CAST(round((p.x - m.sx / (1000000.0 * m.k))
+           |      * (p.y - m.sy / (1000000.0 * m.k)) * 1000000) AS BIGINT))
+           |      AS BIGINT) AS sxy,
+           |    CAST(sum(CAST(round((p.x - m.sx / (1000000.0 * m.k))
+           |      * (p.x - m.sx / (1000000.0 * m.k)) * 1000000) AS BIGINT))
+           |      AS BIGINT) AS sxx
+           |  FROM pts p JOIN m ON p.lang = m.lang
+           |  GROUP BY p.lang, m.k
+           |)
+           |SELECT lang, CAST(k AS BIGINT) AS k_tokens,
+           |  round(CAST(sxy AS DOUBLE) / sxx, 6) AS zipf_slope
+           |FROM c WHERE k >= 8
+           |ORDER BY lang""".stripMargin),
+    ) { (s, dir) =>
+      zipfFit(Tables.documents(s, dir)).orderBy("lang")
+    },
   )
+
+  /** q_zipf_fit core over any (lang, text) frame (the spec plants an
+    * exact 1/rank corpus whose slope must land on −1). Unordered;
+    * the Q adds the output sort. */
+  private[graft] def zipfFit(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val tok = docs
+      .select(col("lang"), explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("lang", "w").agg(count(lit(1)).as("n"))
+    val rw = Window.partitionBy("lang").orderBy(col("n").desc, col("w"))
+    val pts = tok
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= ZipfK)
+      .select(col("lang"),
+        round(log2(col("rank").cast("double")), 6).as("x"),
+        round(log2(col("n").cast("double")), 6).as("y"))
+    val m = pts.groupBy("lang").agg(count(lit(1)).as("k"),
+      sum(round(col("x") * 1000000, 0).cast("long")).as("sx"),
+      sum(round(col("y") * 1000000, 0).cast("long")).as("sy"))
+    val xc = col("x") - col("sx") / (lit(1000000.0) * col("k"))
+    val yc = col("y") - col("sy") / (lit(1000000.0) * col("k"))
+    pts.join(m, "lang")
+      .groupBy("lang", "k")
+      .agg(sum(round(xc * yc * 1000000, 0).cast("long")).as("sxy"),
+        sum(round(xc * xc * 1000000, 0).cast("long")).as("sxx"))
+      .filter(col("k") >= 8)
+      .select(col("lang"), col("k").as("k_tokens"),
+        round(col("sxy").cast("double") / col("sxx"), 6).as("zipf_slope"))
+  }
 
   /** q_tok_fertility core over any (lang, text) frame (the spec
     * plants a fully-merging lang beside a fragmenting one): train

@@ -358,6 +358,90 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- q_embed_dedup_incremental / q_events_anomaly / q_zipf_fit ----
+
+  test("q_embed_dedup_incremental matches a sequential SemDeDup reference") {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    def normSq(a: Array[Float]): Double =
+      a.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def d2(a: Array[Float], b: Array[Float]): Double =
+      r6(normSq(a) - 2.0 * dot(a, b) + normSq(b))
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      r6(dot(a, b) / (math.sqrt(normSq(a)) * math.sqrt(normSq(b))))
+    val cents = vecs.filter(_._1 < 8)
+    def cellOf(v: Array[Float]): Long =
+      cents.map { case (cid, c) => (d2(v, c), cid) }.minBy(identity)._2
+    val cells = vecs.map { case (id, v) => id -> cellOf(v) }.toMap
+    val base = vecs.filter(_._1 < 400)
+    val batch = vecs.filter(_._1 >= 400)
+    val expected = batch.map { case (id, v) =>
+      val dupBase = base.exists { case (a, av) =>
+        cells(a) == cells(id) && cos(av, v) >= 0.45
+      }
+      val dupBatch = batch.exists { case (a, av) =>
+        a < id && cells(a) == cells(id) && cos(av, v) >= 0.45
+      }
+      (id, cells(id),
+        if (dupBase) "dup_base" else if (dupBatch) "dup_batch" else "kept")
+    }.toSeq
+    val got = SparkEntry.queries("q_embed_dedup_incremental")(spark, dir)
+      .collect().map { case Row(id: Long, c: Long, st: String) =>
+        (id, c, st)
+      }.toSeq
+    assert(got == expected)
+  }
+
+  test("q_events_anomaly: burst logic matches a sequential window replay") {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(org.apache.spark.sql.functions.date_trunc("hour",
+        org.apache.spark.sql.functions.col("ts")).as("hour"),
+        org.apache.spark.sql.functions.col("event_type"))
+      .count().collect()
+      .map(r => (r.getString(1), r.getTimestamp(0), r.getLong(2)))
+    val got = SparkEntry.queries("q_events_anomaly")(spark, dir).collect()
+      .map(r => (r.getString(1), r.getTimestamp(0)) ->
+        ((r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    assert(got.size == hourly.length)
+    hourly.groupBy(_._1).foreach { case (tpe, rows) =>
+      val series = rows.sortBy(_._2.getTime).map(r => (r._2, r._3))
+      series.zipWithIndex.foreach { case ((hour, n), i) =>
+        val frame = series.slice(math.max(0, i - 24), i).map(_._2)
+        val (gn, gBase, gBurst) = got((tpe, hour))
+        assert(gn == n, s"$tpe $hour n")
+        if (frame.length == 24) {
+          val baseSum = frame.sum
+          assert(gBase.contains(r6(baseSum.toDouble / 24)), s"$tpe $hour base")
+          assert(gBurst.contains(if (n * 24 >= 2 * baseSum) 1L else 0L),
+            s"$tpe $hour burst")
+        } else {
+          assert(gBase.isEmpty && gBurst.isEmpty, s"$tpe $hour partial")
+        }
+      }
+    }
+  }
+
+  test("zipfFit lands on slope -1 for an exact 1/rank corpus") {
+    import spark.implicits._
+    // counts 840/r for ranks 1..8: freq ∝ 1/rank exactly, so
+    // log2(freq) = c − log2(rank) and the regression slope is −1.
+    val counts = (1 to 8).map(r => (s"tok$r", 840 / r))
+    val text = counts.flatMap { case (t, n) => Seq.fill(n)(t) }.mkString(" ")
+    val slope = operators.TextOps
+      .zipfFit(Seq(("zz", text)).toDF("lang", "text"))
+      .collect().head.getDouble(2)
+    assert(math.abs(slope + 1.0) < 1e-3, s"slope $slope")
+  }
+
   // ---- q_hll_partials ----
 
   test("q_hll_partials: sketch-union rollup passes both determinism flags") {
