@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions.Portable._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -511,17 +512,66 @@ object EventsOps {
           |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_current
           |FROM ch ORDER BY user_id, version""".stripMargin),
     ) { (s, dir) =>
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      Tables.events(s, dir)
-        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
-        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
-        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
-        .withColumn("version", row_number().over(w).cast("long"))
-        .withColumn("valid_to", lead(col("ts"), 1).over(w))
-        .select(col("user_id"), col("version"), col("event_type"),
-          col("ts").as("valid_from"), col("valid_to"),
-          when(col("valid_to").isNull, 1L).otherwise(0L).as("is_current"))
-        .orderBy("user_id", "version")
+      scd2Of(s, dir).orderBy("user_id", "version")
+    },
+
+    Q(
+      "q_scd2_pit_join",
+      "POINT-IN-TIME snapshot reconstruction from the SCD2 dimension " +
+        "(the temporal query versioned dims exist to answer): at each " +
+        "of 12 hourly instants from the corpus start, how many users " +
+        "sat in each state — every user's matching version is the one " +
+        "with valid_from ≤ t < valid_to (null-open current rows " +
+        "included), and [from, to) intervals partition each user's " +
+        "timeline so exactly one version matches per (user, instant); " +
+        "zero-length versions (two changes at one ts) match nothing " +
+        "by construction. The 12-row instant spine broadcasts into " +
+        "the dimension (version-count-sized, never event-count-" +
+        "sized); the rollup is instants×#types rows. At 100 TB this " +
+        "is the as-of-T audit/backfill readout — the dimension is " +
+        "the only big side and it shuffles zero times (broadcast " +
+        "range join), vs replaying raw history to T",
+      Some(
+        """WITH e AS (
+          |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+          |  FROM events
+          |), ch AS (
+          |  SELECT user_id, event_type, ts, event_id FROM (
+          |    SELECT user_id, event_type, ts, event_id,
+          |      lag(event_type) OVER (PARTITION BY user_id
+          |        ORDER BY ts, event_id) AS prev_type
+          |    FROM e)
+          |  WHERE prev_type IS NULL OR prev_type <> event_type
+          |), dim AS (
+          |  SELECT user_id, event_type AS state_type, ts AS valid_from,
+          |    lead(ts) OVER (PARTITION BY user_id
+          |      ORDER BY ts, event_id) AS valid_to
+          |  FROM ch
+          |), spine AS (
+          |  SELECT CAST(i AS BIGINT) AS snap_id,
+          |    (SELECT min(ts) FROM e) + i * INTERVAL 1 HOUR AS t
+          |  FROM unnest(range(12)) AS u(i)
+          |)
+          |SELECT s.snap_id, d.state_type, count(*) AS n_users
+          |FROM spine s JOIN dim d
+          |  ON d.valid_from <= s.t
+          | AND (d.valid_to IS NULL OR s.t < d.valid_to)
+          |GROUP BY s.snap_id, d.state_type
+          |ORDER BY s.snap_id, d.state_type""".stripMargin),
+    ) { (s, dir) =>
+      val dim = scd2Of(s, dir)
+        .select(col("user_id"), col("event_type").as("state_type"),
+          col("valid_from"), col("valid_to"))
+      val spine = Tables.events(s, dir).agg(min(col("ts")).as("t0"))
+        .select(explode(sequence(lit(0L), lit(11L))).as("snap_id"),
+          col("t0"))
+        .select(col("snap_id"),
+          expr("timestampadd(HOUR, snap_id, t0)").as("t"))
+      dim.join(broadcast(spine),
+          col("valid_from") <= col("t")
+            && (col("valid_to").isNull || col("t") < col("valid_to")))
+        .groupBy("snap_id", "state_type").agg(count(lit(1)).as("n_users"))
+        .orderBy("snap_id", "state_type")
     },
 
     Q(
@@ -744,4 +794,20 @@ object EventsOps {
         .orderBy("event_type")
     },
   )
+
+  /** The SCD2 dimension build shared by q_scd2 and q_scd2_pit_join
+    * (one owner for the change rule, version numbering and interval
+    * close — the sessionsSqlCte precedent). Unordered. */
+  private[graft] def scd2Of(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("ts").as("valid_from"), col("valid_to"),
+        when(col("valid_to").isNull, 1L).otherwise(0L).as("is_current"))
+  }
 }

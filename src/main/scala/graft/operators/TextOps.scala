@@ -166,6 +166,10 @@ object TextOps {
   /** q_zipf_fit: tokens fitted per lang (top-K by frequency). */
   private[graft] val ZipfK = 24
 
+  /** q_maxsim_rerank: tokens per chunk (non-overlapping chunk
+    * "token vectors" for the late-interaction score). */
+  private[graft] val MsChunk = 16
+
   /** q_hash_embed: feature-hashing dimensionality (the vector length
     * of the hashed doc vectors). */
   private[graft] val HashDim = 64
@@ -189,6 +193,65 @@ object TextOps {
        |  SELECT doc_id, dim, CAST(sum(v) AS BIGINT) AS v
        |  FROM hashed GROUP BY doc_id, dim
        |)""".stripMargin
+
+  /** Doc-level sparse ranking shared by q_sparse_search (direct
+    * output) and q_maxsim_rerank (candidate generation) — splice
+    * after [[hashDimsSqlCte]]; exposes `ranked(probe_id, neighbor_id,
+    * cos_sim, rank)`. */
+  private[graft] val sparseRankedSqlCte: String =
+    """norms AS (
+      |  SELECT doc_id, CAST(sum(v * v) AS BIGINT) AS n2
+      |  FROM dims GROUP BY doc_id
+      |), p AS (
+      |  SELECT doc_id AS probe_id, dim, v AS pv FROM dims
+      |  WHERE doc_id < 5
+      |), dots AS (
+      |  SELECT probe_id, d.doc_id AS neighbor_id,
+      |    CAST(sum(pv * v) AS BIGINT) AS dot
+      |  FROM p JOIN dims d USING (dim)
+      |  WHERE d.doc_id <> probe_id
+      |  GROUP BY probe_id, d.doc_id
+      |), scored AS (
+      |  SELECT probe_id, neighbor_id,
+      |    round(dot / (sqrt(CAST(np.n2 AS DOUBLE))
+      |      * sqrt(CAST(nn.n2 AS DOUBLE))), 6) AS cos_sim
+      |  FROM dots
+      |  JOIN norms np ON np.doc_id = probe_id
+      |  JOIN norms nn ON nn.doc_id = neighbor_id
+      |), ranked AS (
+      |  SELECT probe_id, neighbor_id, cos_sim, row_number() OVER (
+      |    PARTITION BY probe_id
+      |    ORDER BY cos_sim DESC, neighbor_id) AS rank
+      |  FROM scored
+      |)""".stripMargin
+
+  /** Spark twin of [[sparseRankedSqlCte]] over a (doc_id, dim, v)
+    * frame: inverted dim-keyed dot join + norm joins + per-probe
+    * rank. Returns every ranked candidate; callers cut at k. */
+  private[graft] def sparseRanked(dimsIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val dims = dimsIn.localCheckpoint() // reused 3×: probes, corpus, norms
+    val norms = dims.groupBy("doc_id").agg(sum(col("v") * col("v")).as("n2"))
+    val p = dims.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("probe_id"), col("dim"), col("v").as("pv"))
+    val dots = p
+      .join(dims.select(col("doc_id").as("neighbor_id"), col("dim"),
+        col("v")), Seq("dim"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .groupBy("probe_id", "neighbor_id")
+      .agg(sum(col("pv") * col("v")).as("dot"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    dots
+      .join(norms.select(col("doc_id").as("probe_id"),
+        col("n2").as("pn2")), "probe_id")
+      .join(norms.select(col("doc_id").as("neighbor_id"),
+        col("n2").as("nn2")), "neighbor_id")
+      .select(col("probe_id"), col("neighbor_id"),
+        round(col("dot") / (sqrt(col("pn2").cast("double"))
+          * sqrt(col("nn2").cast("double"))), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
 
   /** Shared oracle for q_hash_embed AND q_stream_hash_embed (the
     * batch/stream twins must agree byte-for-byte, so they share one
@@ -2664,60 +2727,142 @@ object TextOps {
         "q_lexical_knn's tf-idf path with the hashed-feature one",
       Some(
         s"""WITH $hashDimsSqlCte,
-           |norms AS (
-           |  SELECT doc_id, CAST(sum(v * v) AS BIGINT) AS n2
-           |  FROM dims GROUP BY doc_id
-           |), p AS (
-           |  SELECT doc_id AS probe_id, dim, v AS pv FROM dims
-           |  WHERE doc_id < 5
-           |), dots AS (
-           |  SELECT probe_id, d.doc_id AS neighbor_id,
-           |    CAST(sum(pv * v) AS BIGINT) AS dot
-           |  FROM p JOIN dims d USING (dim)
-           |  WHERE d.doc_id <> probe_id
-           |  GROUP BY probe_id, d.doc_id
-           |), scored AS (
-           |  SELECT probe_id, neighbor_id,
-           |    round(dot / (sqrt(CAST(np.n2 AS DOUBLE))
-           |      * sqrt(CAST(nn.n2 AS DOUBLE))), 6) AS cos_sim
-           |  FROM dots
-           |  JOIN norms np ON np.doc_id = probe_id
-           |  JOIN norms nn ON nn.doc_id = neighbor_id
-           |), ranked AS (
-           |  SELECT probe_id, neighbor_id, cos_sim, row_number() OVER (
-           |    PARTITION BY probe_id
-           |    ORDER BY cos_sim DESC, neighbor_id) AS rank
-           |  FROM scored
-           |)
+           |$sparseRankedSqlCte
            |SELECT probe_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
            |  cos_sim
            |FROM ranked WHERE rank <= 10
            |ORDER BY probe_id, rank""".stripMargin),
     ) { (s, dir) =>
-      val dims = hashDims(Tables.documents(s, dir))
-        .localCheckpoint() // reused 3×: probes, corpus side, norms
-      val norms = dims.groupBy("doc_id").agg(sum(col("v") * col("v")).as("n2"))
-      val p = dims.filter(col("doc_id") < 5)
-        .select(col("doc_id").as("probe_id"), col("dim"), col("v").as("pv"))
-      val dots = p
-        .join(dims.select(col("doc_id").as("neighbor_id"), col("dim"),
-          col("v")), Seq("dim"))
-        .filter(col("neighbor_id") =!= col("probe_id"))
-        .groupBy("probe_id", "neighbor_id")
-        .agg(sum(col("pv") * col("v")).as("dot"))
-      val w = Window.partitionBy("probe_id")
-        .orderBy(col("cos_sim").desc, col("neighbor_id"))
-      dots
-        .join(norms.select(col("doc_id").as("probe_id"),
-          col("n2").as("pn2")), "probe_id")
-        .join(norms.select(col("doc_id").as("neighbor_id"),
-          col("n2").as("nn2")), "neighbor_id")
-        .select(col("probe_id"), col("neighbor_id"),
-          round(col("dot") / (sqrt(col("pn2").cast("double"))
-            * sqrt(col("nn2").cast("double"))), 6).as("cos_sim"))
-        .withColumn("rank", row_number().over(w).cast("long"))
+      sparseRanked(hashDims(Tables.documents(s, dir)))
         .filter(col("rank") <= 10)
         .select("probe_id", "rank", "neighbor_id", "cos_sim")
+        .orderBy("probe_id", "rank")
+    },
+
+    Q(
+      "q_maxsim_rerank",
+      s"ColBERT-style LATE-INTERACTION rerank: the q_sparse_search " +
+        s"top-10 doc-level candidates re-score by MaxSim over " +
+        s"$MsChunk-token chunk vectors — score = Σ over probe chunks " +
+        "of max(0, best chunk-pair cosine) — recovering the local " +
+        "alignment a single doc vector averages away (the reason " +
+        "every late-interaction retriever runs this exact " +
+        "coarse-candidates→chunk-rerank funnel; clamping negatives " +
+        "to 0 also makes absent chunk pairs — no shared dims ⇒ dot " +
+        "exactly 0 — contribute identically in both engines without " +
+        "materializing them). Chunk pair cost is candidates×chunks², " +
+        "never corpus²; chunk dims checkpoint once; dots stay EXACT " +
+        "BIGINT until the final cosine; the per-probe-chunk max and " +
+        "the fixed-point MaxSim sum run on candidate-bounded rows. " +
+        "At 100 TB the candidate stage is the ANN index and this " +
+        "rerank touches k docs per query — the standard two-stage " +
+        "retrieval budget",
+      Some(
+        s"""WITH $hashDimsSqlCte,
+           |$sparseRankedSqlCte,
+           |cand AS (SELECT probe_id, neighbor_id FROM ranked WHERE rank <= 10),
+           |csrc AS (
+           |  SELECT doc_id * 100 + c AS cid,
+           |    array_to_string(t[c*$MsChunk+1 : (c+1)*$MsChunk], ' ') AS text
+           |  FROM (SELECT doc_id, t,
+           |          unnest(range(CAST(ceil(len(t) / $MsChunk.0) AS BIGINT))) AS c
+           |        FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+           |              FROM documents))
+           |), ctok AS (
+           |  SELECT cid, term, count(*) AS tf FROM (
+           |    SELECT cid, unnest(string_split(text, ' ')) AS term FROM csrc)
+           |  WHERE term <> '' GROUP BY cid, term
+           |), cdims AS (
+           |  SELECT cid, cid // 100 AS cdoc, dim, CAST(sum(v) AS BIGINT) AS v
+           |  FROM (
+           |    SELECT cid, ${Portable.md5Hash60Sql("term")} % $HashDim AS dim,
+           |      CASE WHEN (${Portable.md5Hash60Sql("term")} >> 6) % 2 = 0
+           |        THEN tf ELSE -tf END AS v
+           |    FROM ctok)
+           |  GROUP BY cid, dim
+           |), cnorms AS (
+           |  SELECT cid, CAST(sum(v * v) AS BIGINT) AS n2 FROM cdims
+           |  GROUP BY cid HAVING sum(v * v) > 0
+           |), pairdots AS (
+           |  SELECT c.probe_id, c.neighbor_id, p.cid AS pcid, n.cid AS ncid,
+           |    CAST(sum(p.v * n.v) AS BIGINT) AS dot
+           |  FROM cand c
+           |  JOIN cdims p ON p.cdoc = c.probe_id
+           |  JOIN cdims n ON n.cdoc = c.neighbor_id AND n.dim = p.dim
+           |  GROUP BY 1, 2, 3, 4
+           |), ccos AS (
+           |  SELECT probe_id, neighbor_id, pcid,
+           |    round(dot / (sqrt(CAST(pn.n2 AS DOUBLE))
+           |      * sqrt(CAST(nn.n2 AS DOUBLE))), 6) AS cs
+           |  FROM pairdots
+           |  JOIN cnorms pn ON pn.cid = pcid
+           |  JOIN cnorms nn ON nn.cid = ncid
+           |), pmax AS (
+           |  SELECT probe_id, neighbor_id, pcid,
+           |    greatest(CAST(0 AS DOUBLE), max(cs)) AS mx
+           |  FROM ccos GROUP BY 1, 2, 3
+           |), msum AS (
+           |  SELECT probe_id, neighbor_id,
+           |    CAST(sum(CAST(round(mx * 1000000) AS BIGINT)) / 1000000.0
+           |      AS DOUBLE) AS maxsim
+           |  FROM pmax GROUP BY 1, 2
+           |), mrank AS (
+           |  SELECT probe_id, neighbor_id, maxsim, row_number() OVER (
+           |    PARTITION BY probe_id ORDER BY maxsim DESC, neighbor_id) AS rank
+           |  FROM msum
+           |)
+           |SELECT probe_id, CAST(rank AS BIGINT) AS rank, neighbor_id, maxsim
+           |FROM mrank WHERE rank <= 5
+           |ORDER BY probe_id, rank""".stripMargin),
+    ) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val cand = sparseRanked(hashDims(docs))
+        .filter(col("rank") <= 10)
+        .select("probe_id", "neighbor_id")
+        .localCheckpoint()
+      val t = split(lower(col("text")), " ", -1)
+      val chunks = docs
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0), floor((size(t) - 1) / lit(MsChunk)).cast("int")),
+            c => concat_ws(" ", slice(t, c * MsChunk + 1, lit(MsChunk))))))
+        .toDF("doc_id", "c", "text")
+        .select((col("doc_id") * 100 + col("c")).as("doc_id"), col("text"))
+      val cdims = hashDims(chunks)
+        .select(col("doc_id").as("cid"),
+          floor(col("doc_id") / 100).cast("long").as("cdoc"),
+          col("dim"), col("v"))
+        .localCheckpoint() // reused: probe side, neighbor side, norms
+      val cnorms = cdims.groupBy("cid")
+        .agg(sum(col("v") * col("v")).as("n2")).filter(col("n2") > 0)
+      val pcd = cdims.filter(col("cdoc") < 5)
+        .select(col("cdoc").as("probe_id"), col("cid").as("pcid"),
+          col("dim"), col("v").as("pv"))
+      val ncd = cdims.select(col("cdoc").as("neighbor_id"),
+        col("cid").as("ncid"), col("dim"), col("v").as("nv"))
+      val pairDots = cand
+        .join(pcd, Seq("probe_id"))
+        .join(ncd, Seq("neighbor_id", "dim"))
+        .groupBy("probe_id", "neighbor_id", "pcid", "ncid")
+        .agg(sum(col("pv") * col("nv")).as("dot"))
+      val ccos = pairDots
+        .join(cnorms.select(col("cid").as("pcid"), col("n2").as("pn2")),
+          "pcid")
+        .join(cnorms.select(col("cid").as("ncid"), col("n2").as("nn2")),
+          "ncid")
+        .select(col("probe_id"), col("neighbor_id"), col("pcid"),
+          round(col("dot") / (sqrt(col("pn2").cast("double"))
+            * sqrt(col("nn2").cast("double"))), 6).as("cs"))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("maxsim").desc, col("neighbor_id"))
+      ccos.groupBy("probe_id", "neighbor_id", "pcid")
+        .agg(greatest(lit(0.0), max(col("cs"))).as("mx"))
+        .groupBy("probe_id", "neighbor_id")
+        .agg((sum(round(col("mx") * 1000000, 0).cast("long"))
+          / lit(1000000.0)).cast("double").as("maxsim"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("probe_id", "rank", "neighbor_id", "maxsim")
         .orderBy("probe_id", "rank")
     },
 
@@ -2748,6 +2893,62 @@ object TextOps {
           when(col("n") >= KAnonK, 1L).otherwise(0L).as("k_anonymous"),
           when(col("n") >= KAnonK, 0L).otherwise(col("n")).as("n_suppressed"))
         .orderBy("lang", "source")
+    },
+
+    Q(
+      "q_tok_coverage",
+      s"vocabulary COVERAGE / OOV-rate eval per lang for the " +
+        s"top-$VocabCap capped vocabulary (q_vocab_ids' vocab): share " +
+        "of token OCCURRENCES and of distinct TYPES that fall outside " +
+        "the vocab — the coverage curve read beside q_tok_fertility " +
+        "before freezing a tokenizer (a lang with high OOV mass gets " +
+        "mangled to <unk> at training time; the multilingual-equity " +
+        "number reviewers ask for). The corpus collapses to " +
+        "(lang, token) counts ONCE; the vocab is the same " +
+        "TakeOrdered top-K as the encoder; membership is a LEFT join " +
+        "against the broadcast K-row vocab; the rollup is #langs " +
+        "rows of exact BIGINT sums with single IEEE divisions",
+      Some(
+        s"""WITH lt AS (
+           |  SELECT lang, w, count(*) AS n FROM (
+           |    SELECT lang, unnest(string_split(lower(text), ' ')) AS w
+           |    FROM documents)
+           |  WHERE w <> '' GROUP BY lang, w
+           |), vocab AS (
+           |  SELECT w, CAST(sum(n) AS BIGINT) AS n FROM lt GROUP BY w
+           |), topk AS (
+           |  SELECT w FROM vocab ORDER BY n DESC, w LIMIT $VocabCap
+           |), flagged AS (
+           |  SELECT lt.lang, lt.w, lt.n,
+           |    CASE WHEN t.w IS NULL THEN 1 ELSE 0 END AS oov
+           |  FROM lt LEFT JOIN topk t ON lt.w = t.w
+           |)
+           |SELECT lang,
+           |  CAST(sum(n) AS BIGINT) AS n_tokens,
+           |  CAST(sum(n * oov) AS BIGINT) AS n_oov,
+           |  round(CAST(sum(n * oov) AS DOUBLE) / sum(n), 6) AS oov_rate,
+           |  count(*) AS n_types,
+           |  CAST(sum(oov) AS BIGINT) AS oov_types
+           |FROM flagged GROUP BY lang ORDER BY lang""".stripMargin),
+    ) { (s, dir) =>
+      val lt = Tables.documents(s, dir)
+        .select(col("lang"), explode(split(lower(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("lang", "w").agg(count(lit(1)).as("n"))
+      val topk = lt.groupBy("w").agg(sum(col("n")).as("n"))
+        .orderBy(col("n").desc, col("w")).limit(VocabCap)
+        .select(col("w"), lit(1).as("in_vocab"))
+      lt.join(broadcast(topk), Seq("w"), "left")
+        .select(col("lang"), col("n"),
+          when(col("in_vocab").isNull, 1L).otherwise(0L).as("oov"))
+        .groupBy("lang")
+        .agg(sum(col("n")).as("n_tokens"),
+          sum(col("n") * col("oov")).as("n_oov"),
+          round(sum(col("n") * col("oov")).cast("double") / sum(col("n")), 6)
+            .as("oov_rate"),
+          count(lit(1)).as("n_types"),
+          sum(col("oov")).as("oov_types"))
+        .orderBy("lang")
     },
 
     Q(

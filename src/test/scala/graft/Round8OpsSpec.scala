@@ -442,6 +442,79 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(math.abs(slope + 1.0) < 1e-3, s"slope $slope")
   }
 
+  // ---- q_scd2_pit_join / q_tok_coverage / q_maxsim_rerank ----
+
+  test("q_scd2_pit_join matches a sequential snapshot replay") {
+    val dim = operators.EventsOps.scd2Of(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getTimestamp(3),
+        Option(r.getTimestamp(4))))
+    val t0 = Tables.events(spark, dir)
+      .agg(org.apache.spark.sql.functions.min("ts")).head.getTimestamp(0)
+    val expected = (0L until 12L).flatMap { i =>
+      val t = java.sql.Timestamp.from(t0.toInstant.plusSeconds(3600 * i))
+      dim.filter { case (_, _, from, to) =>
+        !from.after(t) && to.forall(t.before)
+      }.groupBy(_._2).map { case (st, rows) => (i, st, rows.size.toLong) }
+    }.toSeq.sorted
+    val got = SparkEntry.queries("q_scd2_pit_join")(spark, dir).collect()
+      .map { case Row(i: Long, st: String, n: Long) => (i, st, n) }.toSeq
+    assert(got == expected)
+    // users only ever enter the dimension: per-snapshot totals are
+    // non-decreasing
+    val totals = got.groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.map(_._3).sum)
+    assert(totals.zip(totals.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("q_tok_coverage matches a sequential coverage replay") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("lang", "lower(text) AS text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      .withDefaultValue(0L)
+    docs.foreach { case (lang, text) =>
+      text.split(" ").filter(_.nonEmpty).foreach(w => counts((lang, w)) += 1)
+    }
+    val vocabTop = counts.toSeq.groupBy(_._1._2)
+      .map { case (w, xs) => (w, xs.map(_._2).sum) }.toSeq
+      .sortBy { case (w, n) => (-n, w) }.take(TextOps.VocabCap)
+      .map(_._1).toSet
+    val expected = counts.toSeq.groupBy(_._1._1).map { case (lang, xs) =>
+      val nTok = xs.map(_._2).sum
+      val nOov = xs.filterNot(x => vocabTop(x._1._2)).map(_._2).sum
+      lang -> ((nTok, nOov, r6(nOov.toDouble / nTok), xs.size.toLong,
+        xs.count(x => !vocabTop(x._1._2)).toLong))
+    }
+    val got = SparkEntry.queries("q_tok_coverage")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expected)
+  }
+
+  test("q_maxsim_rerank: bounded scores, contiguous ranks, candidates from the sparse stage") {
+    val rows = SparkEntry.queries("q_maxsim_rerank")(spark, dir).collect()
+      .map { case Row(p: Long, rk: Long, n: Long, ms: Double) =>
+        (p, rk, n, ms)
+      }
+    assert(rows.nonEmpty)
+    val sparse = SparkEntry.queries("q_sparse_search")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val chunksOf = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id",
+        s"CAST(ceil(size(split(lower(text), ' ')) / ${TextOps.MsChunk}.0)" +
+          " AS DOUBLE) AS nc")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.groupBy(_._1).foreach { case (p, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq)
+      val scores = sorted.map(_._4).toSeq
+      assert(scores == scores.sorted.reverse, s"probe $p ordering")
+      scores.foreach(ms => assert(ms >= 0.0 && ms <= chunksOf(p) + 1e-9,
+        s"probe $p score $ms vs ${chunksOf(p)} chunks"))
+      rs.foreach(r => assert(sparse((r._1, r._3)), s"candidate leak $r"))
+    }
+  }
+
   // ---- q_hll_partials ----
 
   test("q_hll_partials: sketch-union rollup passes both determinism flags") {
