@@ -1021,16 +1021,20 @@ object Relational {
       "q_table_stats",
       "ANALYZE-style column statistics (rows, nulls, NDV, min/max per " +
         "column) — the optimizer-stats / data-catalog operator every " +
-        "engine exposes: ONE scan computes all five columns' stats in " +
-        "a single agg (the multi-distinct Expand, the q_distinct_agg " +
-        "shape — at 100 TB swap exact NDV for approx_count_distinct " +
-        "and min/max ride the same pass), then the 1-row result is " +
-        "checkpointed and unpivoted into a row per column — the " +
-        "unpivot reads ONE materialized row five times, never the " +
-        "table. min/max surface as strings for a uniform schema; " +
-        "column types are chosen so both engines print identically " +
-        "(ints, strings, dates — doubles format engine-specifically " +
-        "and belong in a typed stats table)",
+        "engine exposes: one narrow distinct-free scan computes " +
+        "rows/nulls/min/max for all five columns, and NDV comes from " +
+        "one (column, value) stack-explode + two-stage distinct agg — " +
+        "a value-keyed shuffle of 5n NARROW rows with map-side " +
+        "partial distinct (packing five countDistincts into the first " +
+        "agg planned a 5-replica Expand of every full row: benched " +
+        "~10× slower; at 100 TB swap the explode for " +
+        "approx_count_distinct riding the narrow pass). The 1-row " +
+        "stats result is checkpointed and unpivoted — the unpivot " +
+        "reads ONE materialized row, never the table. min/max " +
+        "surface as strings for a uniform schema; column types are " +
+        "chosen so both engines print identically (ints, strings, " +
+        "dates — doubles format engine-specifically and belong in a " +
+        "typed stats table)",
       Some {
         val cols = Seq(
           ("l_orderkey", "CAST(min(l_orderkey) AS VARCHAR)",
@@ -1067,25 +1071,44 @@ object Relational {
       def statsOf(c: Column, asDate: Boolean): Seq[Column] = {
         val v = if (asDate) to_date(c) else c
         Seq(sum(when(c.isNull, 1L).otherwise(0L)),
-          countDistinct(c),
           min(v).cast("string"), max(v).cast("string"))
       }
       val names = Seq("l_orderkey", "l_partkey", "l_linenumber",
         "l_returnflag", "l_shipdate")
+      // Pass 1 — narrow, distinct-free stats in ONE scan; the 1-row
+      // result materializes once and the unpivot reads it, not the
+      // table. (Packing the five countDistincts into this agg planned
+      // a 5-replica Expand of every row — benched 9.5 s vs ~1 s for
+      // this split at sf0.1.)
       val aggCols = count(lit(1)).as("n") +: names.zipWithIndex.flatMap {
         case (c, i) =>
           statsOf(col(c), asDate = c == "l_shipdate").zip(
-            Seq(s"nulls$i", s"ndv$i", s"min$i", s"max$i"))
+            Seq(s"nulls$i", s"min$i", s"max$i"))
             .map { case (e, alias) => e.as(alias) }
       }
-      // ONE scan; the 1-row result materializes once and the unpivot
-      // below reads it, not the table.
       val a = li.agg(aggCols.head, aggCols.tail: _*).localCheckpoint()
+      // Pass 2 — NDV for all columns via one (column, value) explode +
+      // two-stage distinct agg: a value-keyed shuffle of 5n narrow
+      // rows with map-side partial distinct, no full-row replication.
+      val stackArgs = names.map { c =>
+        val v = if (c == "l_shipdate") s"CAST(CAST($c AS DATE) AS STRING)"
+        else s"CAST($c AS STRING)"
+        s"'$c', $v"
+      }.mkString(", ")
+      val ndv = li
+        .selectExpr(s"stack(${names.length}, $stackArgs) AS (column_name, v)")
+        .filter(col("v").isNotNull)
+        .distinct()
+        .groupBy("column_name").agg(count(lit(1)).as("n_distinct"))
       names.zipWithIndex.map { case (name, i) =>
         a.select(lit(name).as("column_name"), col("n").as("n_rows"),
-          col(s"nulls$i").as("n_nulls"), col(s"ndv$i").as("n_distinct"),
+          col(s"nulls$i").as("n_nulls"),
           col(s"min$i").as("min_value"), col(s"max$i").as("max_value"))
-      }.reduce(_ unionByName _).orderBy("column_name")
+      }.reduce(_ unionByName _)
+        .join(ndv, "column_name")
+        .select("column_name", "n_rows", "n_nulls", "n_distinct",
+          "min_value", "max_value")
+        .orderBy("column_name")
     },
   )
 }
