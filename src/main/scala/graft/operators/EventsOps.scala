@@ -746,6 +746,57 @@ object EventsOps {
     },
 
     Q(
+      "q_funnel_time",
+      "conversion LATENCY distribution (the how-long beside " +
+        "q_funnel's how-many): per user, delay from first view to " +
+        "the first purchase after it, summarized as p50/p90/max " +
+        "minutes + converter count. Two user-keyed min-aggregates " +
+        "(each stage's input shrinks), one user-keyed join, then the " +
+        "exact percentiles run over one delay per CONVERTED user — " +
+        "bounded by users, never events; at 100 TB swap exact " +
+        "percentile_approx-style sketches in (the q_mad_outliers " +
+        "note). Delays are exact BIGINT minute floors of µs " +
+        "differences; percentiles interpolate two of them — 6dp " +
+        "rounding pins the one float op",
+      Some(
+        """WITH v AS (
+          |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS vt
+          |  FROM events WHERE event_type = 'view' GROUP BY user_id
+          |), p AS (
+          |  SELECT e.user_id,
+          |    min(epoch_us(CAST(e.ts AS TIMESTAMP))) AS pt
+          |  FROM events e JOIN v ON e.user_id = v.user_id
+          |  WHERE e.event_type = 'purchase'
+          |    AND CAST(e.ts AS TIMESTAMP) >= v.vt
+          |  GROUP BY e.user_id
+          |), d AS (
+          |  SELECT (p.pt - epoch_us(v.vt)) // 60000000 AS delay_min
+          |  FROM p JOIN v ON p.user_id = v.user_id
+          |)
+          |SELECT count(*) AS n_converted,
+          |  round(quantile_cont(CAST(delay_min AS DOUBLE), 0.5), 6) AS p50_min,
+          |  round(quantile_cont(CAST(delay_min AS DOUBLE), 0.9), 6) AS p90_min,
+          |  CAST(max(delay_min) AS BIGINT) AS max_min
+          |FROM d""".stripMargin),
+    ) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("vt"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(v, "user_id")
+        .filter(col("ts") >= col("vt"))
+        .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("pt"))
+      val d = p.join(v, "user_id")
+        .select(expr("(pt - unix_micros(vt)) div 60000000").as("delay_min"))
+      d.agg(count(lit(1)).as("n_converted"),
+        round(expr("percentile(CAST(delay_min AS DOUBLE), 0.5)"), 6)
+          .as("p50_min"),
+        round(expr("percentile(CAST(delay_min AS DOUBLE), 0.9)"), 6)
+          .as("p90_min"),
+        max(col("delay_min")).as("max_min"))
+    },
+
+    Q(
       "q_time_decay_agg",
       "exponential time-decay aggregates (half-life 24h): each event " +
         "contributes w = 2^(−age/half_life) relative to the corpus " +

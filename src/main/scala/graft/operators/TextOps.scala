@@ -2867,6 +2867,78 @@ object TextOps {
     },
 
     Q(
+      "q_dataset_card",
+      "the DATASET CARD / datasheet rollup: one query emitting the " +
+        "corpus-level numbers a data release documents — doc and " +
+        "token counts, lang/source breadth, exact-duplicate rate, " +
+        "mean doc length, short-doc share — as (metric, value) rows. " +
+        "ONE narrow scan computes every additive component in a " +
+        "single agg (checkpointed 1-row result; the unpivot reads " +
+        "it, not the corpus); the only non-additive metric (distinct " +
+        "content hashes) rides a two-stage hash distinct, the " +
+        "q_table_stats NDV shape. All values are exact counts or " +
+        "single IEEE divisions of them, 6dp-rounded — at 100 TB this " +
+        "is the cheap always-on release gate, and each metric's " +
+        "deep-dive twin is its own operator (q_text_stats, " +
+        "q_dedup_exact, q_kanon_audit, q_tok_coverage)",
+      Some(
+        """WITH a AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          |    CAST(sum(len(list_filter(string_split(lower(text), ' '),
+          |      w -> w <> ''))) AS BIGINT) AS n_tokens,
+          |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+          |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+          |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+          |    CAST(sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS n_short
+          |  FROM documents
+          |), h AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n_unique
+          |  FROM (SELECT DISTINCT md5(text) FROM documents)
+          |)
+          |SELECT metric, round(value, 6) AS value FROM (
+          |  SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM a
+          |  UNION ALL SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM a
+          |  UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM a
+          |  UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM a
+          |  UNION ALL SELECT 'mean_doc_tokens',
+          |    CAST(n_tokens AS DOUBLE) / n_docs FROM a
+          |  UNION ALL SELECT 'short_doc_share',
+          |    CAST(n_short AS DOUBLE) / n_docs FROM a
+          |  UNION ALL SELECT 'dup_rate',
+          |    1.0 - CAST(h.n_unique AS DOUBLE) / a.n_docs FROM a, h
+          |) ORDER BY metric""".stripMargin),
+    ) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val a = docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(filter(split(lower(col("text")), " ", -1),
+          w => w =!= ""))).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(when(col("n_chars") < 100, 1L).otherwise(0L)).as("n_short"))
+        .localCheckpoint()
+      val h = docs.select(md5(col("text")).as("h")).distinct()
+        .agg(count(lit(1)).as("n_unique")).localCheckpoint()
+      val rows = Seq(
+        ("n_docs", col("n_docs").cast("double")),
+        ("n_tokens", col("n_tokens").cast("double")),
+        ("n_langs", col("n_langs").cast("double")),
+        ("n_sources", col("n_sources").cast("double")),
+        ("mean_doc_tokens", col("n_tokens").cast("double") / col("n_docs")),
+        ("short_doc_share", col("n_short").cast("double") / col("n_docs")))
+        .map { case (m, v) => a.select(lit(m).as("metric"), v.as("value")) }
+      val dup = a.crossJoin(h)
+        .select(lit("dup_rate").as("metric"),
+          (lit(1.0) - col("n_unique").cast("double") / col("n_docs"))
+            .as("value"))
+      (rows :+ dup).reduce(_ unionByName _)
+        .select(col("metric"), round(col("value"), 6).as("value"))
+        .orderBy("metric")
+    },
+
+    Q(
       "q_kanon_audit",
       s"k-anonymity audit over the quasi-identifier pair (lang, " +
         s"source), k=$KAnonK — the data-governance gate beside " +

@@ -515,6 +515,51 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- q_funnel_time / q_dataset_card ----
+
+  test("q_funnel_time matches a sequential latency replay") {
+    val ev = Tables.events(spark, dir)
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS us")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val views = ev.filter(_._2 == "view").groupBy(_._1)
+      .map { case (u, xs) => u -> xs.map(_._3).min }
+    val delays = views.toSeq.flatMap { case (u, vt) =>
+      val ps = ev.filter(e => e._1 == u && e._2 == "purchase" && e._3 >= vt)
+      if (ps.isEmpty) None else Some((ps.map(_._3).min - vt) / 60000000L)
+    }.sorted
+    def pct(q: Double): Double = {
+      val pos = q * (delays.length - 1)
+      val (lo, hi) = (math.floor(pos).toInt, math.ceil(pos).toInt)
+      r6(delays(lo) + (pos - lo) * (delays(hi) - delays(lo)).toDouble)
+    }
+    val r = SparkEntry.queries("q_funnel_time")(spark, dir).collect().head
+    assert(r.getLong(0) == delays.length.toLong)
+    assert(r.getDouble(1) == pct(0.5), s"p50 ${r.getDouble(1)} vs ${pct(0.5)}")
+    assert(r.getDouble(2) == pct(0.9), s"p90 ${r.getDouble(2)} vs ${pct(0.9)}")
+    assert(r.getLong(3) == delays.max)
+  }
+
+  test("q_dataset_card matches a sequential rollup") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("lang", "source", "n_chars", "text")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val nDocs = docs.length.toDouble
+    val nTokens =
+      docs.map(_._4.toLowerCase.split(" ").count(_.nonEmpty).toLong).sum
+    val exp = Map(
+      "n_docs" -> nDocs,
+      "n_tokens" -> nTokens.toDouble,
+      "n_langs" -> docs.map(_._1).distinct.length.toDouble,
+      "n_sources" -> docs.map(_._2).distinct.length.toDouble,
+      "mean_doc_tokens" -> r6(nTokens / nDocs),
+      "short_doc_share" -> r6(docs.count(_._3 < 100) / nDocs),
+      "dup_rate" -> r6(1.0 - docs.map(_._4).distinct.length / nDocs))
+    val got = SparkEntry.queries("q_dataset_card")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == exp)
+  }
+
   // ---- q_hll_partials ----
 
   test("q_hll_partials: sketch-union rollup passes both determinism flags") {
