@@ -746,6 +746,128 @@ object EventsOps {
     },
 
     Q(
+      "q_concurrency",
+      "peak concurrent sessions per day via a SWEEP-LINE over session " +
+        "boundaries — the capacity-planning curve (licenses, " +
+        "connection pools, autoscaling floors) that pairwise interval " +
+        "joins can't produce without O(n²): sessions collapse to " +
+        "(start, +1)/(end, −1) boundary events, a running sum ordered " +
+        "by (ts, +1-before-−1) counts active sessions, and the max " +
+        "per day is the answer. The sweep is DAY-PARTITIONED (never " +
+        "one global window): each day's running sum starts from a " +
+        "carry-in of sessions spanning its midnight, computed by a " +
+        "bounded join against the day spine — so at 100 TB every " +
+        "window is day-sized and the carry join is spanning-sessions-" +
+        "sized (≈ the concurrency level itself). Boundary ties at one " +
+        "instant resolve +1 first (touching sessions overlap); " +
+        "within equal (ts, delta) the running-sum MULTISET is " +
+        "permutation-invariant, so the per-day max is deterministic",
+      Some(
+        s"""WITH $sessionsSqlCte, sess AS (
+           |  SELECT user_id, session_seq, min(ts) AS st, max(ts) AS en
+           |  FROM sessions GROUP BY user_id, session_seq
+           |), bounds AS (
+           |  SELECT CAST(st AS DATE) AS day, st AS t, 1 AS delta FROM sess
+           |  UNION ALL
+           |  SELECT CAST(en AS DATE) AS day, en AS t, -1 AS delta FROM sess
+           |), carry AS (
+           |  SELECT d.day, CAST(count(*) AS BIGINT) AS c
+           |  FROM (SELECT DISTINCT day FROM bounds) d
+           |  JOIN sess ON sess.st < CAST(d.day AS TIMESTAMP)
+           |           AND sess.en >= CAST(d.day AS TIMESTAMP)
+           |  GROUP BY d.day
+           |), swept AS (
+           |  SELECT day,
+           |    CAST(sum(delta) OVER (PARTITION BY day ORDER BY t, delta DESC
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+           |  FROM bounds
+           |)
+           |SELECT s.day, max(s.run + coalesce(c.c, 0)) AS peak_concurrency
+           |FROM swept s LEFT JOIN carry c ON s.day = c.day
+           |GROUP BY s.day ORDER BY s.day""".stripMargin),
+    ) { (s, dir) =>
+      val sess = sessionized(s, dir)
+        .groupBy("user_id", "session_seq")
+        .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+        .localCheckpoint() // boundaries + the carry join both read it
+      val bounds = sess
+        .select(to_date(col("st")).as("day"), col("st").as("t"),
+          lit(1).as("delta"))
+        .unionByName(sess.select(to_date(col("en")).as("day"),
+          col("en").as("t"), lit(-1).as("delta")))
+      val carry = bounds.select("day").distinct()
+        .join(sess,
+          col("st") < col("day").cast("timestamp")
+            && col("en") >= col("day").cast("timestamp"))
+        .groupBy("day").agg(count(lit(1)).as("c"))
+      val sweep = Window.partitionBy("day")
+        .orderBy(col("t"), col("delta").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bounds
+        .withColumn("run", sum(col("delta")).over(sweep).cast("long"))
+        .join(carry, Seq("day"), "left")
+        .groupBy("day")
+        .agg(max(col("run") + coalesce(col("c"), lit(0L)))
+          .as("peak_concurrency"))
+        .orderBy("day")
+    },
+
+    Q(
+      "q_retention_matrix",
+      "cohort retention MATRIX (the d1/d7 pair in q_events_retention " +
+        "generalized to the full grid): users cohorted by first-" +
+        "active day, counted on each later active day at offsets " +
+        "0–7, with the rate against cohort size — the triangle chart " +
+        "every growth dashboard renders. One corpus pass collapses " +
+        "events to DISTINCT (user, day); first-day is a user-keyed " +
+        "min over that (already user-bounded) stream; the matrix agg " +
+        "is bounded by days×8 offsets and cohort sizes join back " +
+        "from the offset-0 diagonal. rate = one IEEE division of " +
+        "exact BIGINTs, 6dp-rounded",
+      Some(
+        """WITH ud AS (
+          |  SELECT DISTINCT user_id,
+          |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+          |  FROM events
+          |), fd AS (
+          |  SELECT user_id, min(day) AS first_day FROM ud GROUP BY user_id
+          |), m AS (
+          |  SELECT fd.first_day AS cohort_day,
+          |    date_diff('day', fd.first_day, ud.day) AS offset_days,
+          |    count(*) AS n_users
+          |  FROM ud JOIN fd ON ud.user_id = fd.user_id
+          |  WHERE date_diff('day', fd.first_day, ud.day) <= 7
+          |  GROUP BY 1, 2
+          |)
+          |SELECT m.cohort_day, CAST(m.offset_days AS BIGINT) AS offset_days,
+          |  m.n_users,
+          |  round(CAST(m.n_users AS DOUBLE) / c.n_users, 6) AS retention
+          |FROM m JOIN m c
+          |  ON m.cohort_day = c.cohort_day AND c.offset_days = 0
+          |ORDER BY m.cohort_day, m.offset_days""".stripMargin),
+    ) { (s, dir) =>
+      val ud = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val fd = ud.groupBy("user_id").agg(min(col("day")).as("first_day"))
+      val m = ud.join(fd, "user_id")
+        .select(col("first_day").as("cohort_day"),
+          datediff(col("day"), col("first_day")).as("offset_days"))
+        .filter(col("offset_days") <= 7)
+        .groupBy("cohort_day", "offset_days")
+        .agg(count(lit(1)).as("n_users"))
+        .localCheckpoint() // joined against its own offset-0 diagonal
+      m.join(m.filter(col("offset_days") === 0)
+          .select(col("cohort_day"), col("n_users").as("cohort_size")),
+          "cohort_day")
+        .select(col("cohort_day"), col("offset_days").cast("long")
+          .as("offset_days"), col("n_users"),
+          round(col("n_users").cast("double") / col("cohort_size"), 6)
+            .as("retention"))
+        .orderBy("cohort_day", "offset_days")
+    },
+
+    Q(
       "q_funnel_time",
       "conversion LATENCY distribution (the how-long beside " +
         "q_funnel's how-many): per user, delay from first view to " +

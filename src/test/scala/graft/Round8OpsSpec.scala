@@ -515,6 +515,65 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- q_concurrency / q_retention_matrix ----
+
+  test("q_concurrency matches a brute-force interval count per day") {
+    val ev = Tables.events(spark, dir)
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gap = 30L * 60 * 1000000
+    val sessions = ev.groupBy(_._1).values.flatMap { xs =>
+      val sorted = xs.sortBy(e => (e._3, e._2)).map(_._3)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var st = sorted.head; var en = sorted.head
+      sorted.tail.foreach { t =>
+        if (t - en >= gap) { out += ((st, en)); st = t; en = t }
+        else en = t
+      }
+      out += ((st, en)); out
+    }.toSeq
+    // brute force: at every boundary instant, count covering sessions
+    val expected = sessions.flatMap { case (st, en) => Seq(st, en) }
+      .map { t =>
+        val day = java.time.Instant.ofEpochSecond(t / 1000000)
+          .atZone(java.time.ZoneOffset.UTC).toLocalDate
+        day -> sessions.count { case (st, en) => st <= t && t <= en }
+      }
+      .groupBy(_._1).map { case (d, xs) => d.toString -> xs.map(_._2).max }
+    val got = SparkEntry.queries("q_concurrency")(spark, dir).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (d, n) =>
+      assert(got(d) == n.toLong, s"day $d: ${got(d)} vs $n")
+    }
+  }
+
+  test("q_retention_matrix matches a sequential cohort replay") {
+    val ud = Tables.events(spark, dir)
+      .selectExpr("user_id", "CAST(date_trunc('day', ts) AS DATE) AS day")
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val fd = ud.groupBy(_._1).map { case (u, xs) =>
+      u -> xs.map(_._2).min(Ordering.by((d: java.time.LocalDate) =>
+        d.toEpochDay))
+    }
+    val m = ud.map { case (u, d) =>
+      (fd(u), d.toEpochDay - fd(u).toEpochDay)
+    }.filter(_._2 <= 7)
+      .groupBy(identity).map { case ((c, o), xs) => (c, o) -> xs.size.toLong }
+    val got = SparkEntry.queries("q_retention_matrix")(spark, dir).collect()
+      .map { r =>
+        (r.getDate(0).toLocalDate, r.getLong(1)) ->
+          ((r.getLong(2), r.getDouble(3)))
+      }.toMap
+    assert(got.keySet == m.keySet)
+    m.foreach { case (k @ (c, _), n) =>
+      val (gn, rate) = got(k)
+      assert(gn == n, s"$k")
+      assert(rate == r6(n.toDouble / m((c, 0L))), s"$k rate")
+    }
+  }
+
   // ---- q_funnel_time / q_dataset_card ----
 
   test("q_funnel_time matches a sequential latency replay") {
