@@ -746,6 +746,70 @@ object EventsOps {
     },
 
     Q(
+      "q_gap_fill",
+      "time-series GAP FILL: the hourly per-type series densified " +
+        "onto a complete hour spine (min→max corpus hour), missing " +
+        "buckets forward-filled from the last observed hour and " +
+        "flagged — the resample/ffill primitive every monitoring and " +
+        "feature pipeline needs before windows or models can assume " +
+        "a regular grid (q_events_anomaly's trailing frame, for one, " +
+        "is only calendar-correct on a dense series). The corpus " +
+        "collapses to the hours×types rollup FIRST; the spine is a " +
+        "1-row min/max agg exploded to hours × types (bounded, " +
+        "broadcast-friendly); the fill is one ignore-nulls last_value " +
+        "window per type over the BOUNDED spine — the q_asof_join " +
+        "machinery on a grid. Leading gaps before a type's first " +
+        "observation fill 0 in both engines",
+      Some(
+        """WITH hourly AS (
+          |  SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+          |    AS hour, event_type, count(*) AS n
+          |  FROM events GROUP BY 1, 2
+          |), bounds AS (
+          |  SELECT min(hour) AS h0, max(hour) AS h1 FROM hourly
+          |), spine AS (
+          |  SELECT h0 + i * INTERVAL 1 HOUR AS hour, t.event_type
+          |  FROM bounds,
+          |    unnest(range(date_diff('hour', h0, h1) + 1)) AS u(i),
+          |    (SELECT DISTINCT event_type FROM hourly) t
+          |), joined AS (
+          |  SELECT s.hour, s.event_type, h.n
+          |  FROM spine s LEFT JOIN hourly h
+          |    ON s.hour = h.hour AND s.event_type = h.event_type
+          |)
+          |SELECT hour, event_type,
+          |  coalesce(n,
+          |    coalesce(last_value(n IGNORE NULLS) OVER (
+          |      PARTITION BY event_type ORDER BY hour
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0))
+          |    AS n_filled,
+          |  CASE WHEN n IS NULL THEN CAST(1 AS BIGINT)
+          |    ELSE CAST(0 AS BIGINT) END AS was_gap
+          |FROM joined ORDER BY event_type, hour""".stripMargin),
+    ) { (s, dir) =>
+      val hourly = Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint() // spine bounds + types + the fill join read it
+      val bounds = hourly.agg(min(col("hour")).as("h0"),
+        max(col("hour")).as("h1"))
+      val spine = bounds
+        .select(explode(sequence(lit(0L),
+          expr("timestampdiff(HOUR, h0, h1)"))).as("i"), col("h0"))
+        .select(expr("timestampadd(HOUR, i, h0)").as("hour"))
+        .crossJoin(hourly.select("event_type").distinct())
+      val w = Window.partitionBy("event_type").orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(hourly, Seq("hour", "event_type"), "left")
+        .select(col("hour"), col("event_type"),
+          coalesce(col("n"),
+            coalesce(last(col("n"), ignoreNulls = true).over(w), lit(0L)))
+            .as("n_filled"),
+          when(col("n").isNull, 1L).otherwise(0L).as("was_gap"))
+        .orderBy("event_type", "hour")
+    },
+
+    Q(
       "q_concurrency",
       "peak concurrent sessions per day via a SWEEP-LINE over session " +
         "boundaries — the capacity-planning curve (licenses, " +

@@ -515,6 +515,40 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- q_gap_fill ----
+
+  test("q_gap_fill: dense spine, zero-leading fills, observed rows intact") {
+    val rows = SparkEntry.queries("q_gap_fill")(spark, dir).collect()
+      .map(r => (r.getString(1), r.getTimestamp(0).getTime,
+        r.getLong(2), r.getLong(3)))
+    val types = rows.map(_._1).distinct
+    val hours = rows.map(_._2).distinct.sorted
+    // complete grid: every type × every hour exactly once
+    assert(rows.length == types.length * hours.length)
+    assert(hours.zip(hours.tail).forall { case (a, b) => b - a == 3600000L },
+      "spine must be a contiguous hourly grid")
+    val observed = Tables.events(spark, dir)
+      .groupBy(org.apache.spark.sql.functions.date_trunc("hour",
+        org.apache.spark.sql.functions.col("ts")),
+        org.apache.spark.sql.functions.col("event_type"))
+      .count().collect()
+      .map(r => (r.getString(1), r.getTimestamp(0).getTime) -> r.getLong(2))
+      .toMap
+    types.foreach { t =>
+      var lastSeen = 0L
+      hours.foreach { h =>
+        val (_, _, n, gap) = rows.find(r => r._1 == t && r._2 == h).get
+        observed.get((t, h)) match {
+          case Some(o) =>
+            assert(n == o && gap == 0L, s"$t $h observed")
+            lastSeen = o
+          case None =>
+            assert(n == lastSeen && gap == 1L, s"$t $h fill")
+        }
+      }
+    }
+  }
+
   // ---- q_concurrency / q_retention_matrix ----
 
   test("q_concurrency matches a brute-force interval count per day") {
