@@ -433,6 +433,26 @@ object TextOps {
   /** q_weighted_sample: sample size. */
   private[graft] val WeightedSampleK = 100
 
+  /** q_posting_layout: hash buckets the inverted index is hive-
+    * partitioned into, per-term result depth, and the fixed probe
+    * terms (bucket literals are computed driver-side with [[hash60]]
+    * so the read plans a STATIC partition filter). */
+  private[graft] val PostingBuckets = 16L
+  private[graft] val PostingTopK = 10
+  private[graft] val PostingQueryTerms = Seq("spark", "join", "window")
+
+  /** JVM twin of [[Portable.md5Hash60]] (first 60 bits of md5) for
+    * driver-side literals like the posting-bucket probe list —
+    * byte-identical to the column expression and the DuckDB cast. */
+  private[graft] def hash60(sv: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(sv.getBytes("UTF-8"))
+    var h = 0L
+    var j = 0
+    while (j < 8) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+    h >>> 4
+  }
+
   /** PII patterns (q_pii_scrub). Deliberately conservative: character
     * classes, alternation-free, no lookaround/backreferences — the
     * subset where Java regex (Spark) and RE2-style engines (DuckDB)
@@ -3075,6 +3095,60 @@ object TextOps {
            |ORDER BY lang""".stripMargin),
     ) { (s, dir) =>
       zipfFit(Tables.documents(s, dir)).orderBy("lang")
+    },
+
+    Q(
+      "q_posting_layout",
+      "the deployed INVERTED-INDEX layout: per-term postings " +
+        "(term, doc_id, tf) written hive-partitioned by a " +
+        s"$PostingBuckets-way md5 bucket of the term — the text twin " +
+        "of q_ivf_layout's cell directories — then probed for " +
+        s"${PostingQueryTerms.size} query terms whose bucket literals " +
+        "are computed DRIVER-side, so the read plans a static " +
+        "partition filter and only |query-buckets|/buckets of the " +
+        "index is ever listed or scanned; the term equality then " +
+        "pushes into the pruned parquet scan. Top-10 docs per term " +
+        "by (tf desc, doc_id) off the pruned postings. q_bm25 and " +
+        "q_phrase_search compute their index per query — this row is " +
+        "the storage half a serving system pays once at ingest: at " +
+        "100 TB the index build is one (term, doc)-keyed agg and the " +
+        "bucket layout bounds every query's IO by its term count, " +
+        "not the corpus size",
+      Some(
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+           |  FROM documents
+           |), tf AS (
+           |  SELECT term, doc_id, count(*) AS tf FROM tok
+           |  WHERE term IN (${PostingQueryTerms.map(t => s"'$t'").mkString(", ")})
+           |  GROUP BY term, doc_id
+           |), ranked AS (
+           |  SELECT term, doc_id, tf,
+           |    row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rk
+           |  FROM tf)
+           |SELECT term, doc_id, tf, CAST(rk AS BIGINT) AS rk
+           |FROM ranked WHERE rk <= $PostingTopK ORDER BY term, rk""".stripMargin),
+    ) { (s, dir) =>
+      val postings = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(toks).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+        .withColumn("bucket",
+          pmod(Portable.md5Hash60(col("term")), lit(PostingBuckets)))
+      val out = Scratch.dir()
+      postings.write.partitionBy("bucket").parquet(out)
+      val probeBuckets = PostingQueryTerms
+        .map(t => hash60(t) % PostingBuckets).distinct
+      val w = Window.partitionBy("term")
+        .orderBy(col("tf").desc, col("doc_id"))
+      s.read.parquet(out)
+        .filter(col("bucket").isin(probeBuckets: _*)
+          && col("term").isin(PostingQueryTerms: _*))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= PostingTopK)
+        .select(col("term"), col("doc_id"), col("tf"),
+          col("rk").cast("long").as("rk"))
+        .orderBy("term", "rk")
     },
   )
 

@@ -659,6 +659,25 @@ class PlanBudgetSpec extends AnyFunSuite {
     assert(p.contains("Scan ExistingRDD"), s"checkpoint missing, plan:\n$p")
   }
 
+  test("q_posting_layout: probe scan prunes partitions statically and pushes the term filter") {
+    val p = plan("q_posting_layout")
+    assert(p.contains("PartitionFilters: [bucket"),
+      s"bucket pruning missing, plan:\n$p")
+    assert(p.contains("PushedFilters: [In(term"),
+      s"term filter not pushed, plan:\n$p")
+    // Top-10 per term must prune map-side before the term shuffle.
+    assert(p.contains("WindowGroupLimit"), s"plan:\n$p")
+  }
+
+  test("q_fuzzy_join: candidates come from a keyed equi-join, never a cross join") {
+    val p = plan("q_fuzzy_join")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
+    // The deletion-key fan-out and the fused levenshtein verify.
+    assert(p.contains("Generate explode(array_distinct"), s"plan:\n$p")
+    assert(p.contains("levenshtein"), s"plan:\n$p")
+  }
+
   test("q1_agg aggregates inside whole-stage codegen") {
     // The plain plan string hides codegen stage boundaries; the
     // codegen explain mode lists every WholeStageCodegen subtree.
