@@ -1110,5 +1110,65 @@ object Relational {
           "min_value", "max_value")
         .orderBy("column_name")
     },
+
+    Q(
+      "q_skyline",
+      "2-D skyline (Pareto front) over parts on (retailprice, size), " +
+        "both minimized: a part survives iff no other part is <= on " +
+        "both dimensions and < on at least one. The naive formulation " +
+        "is a NOT EXISTS self-join — a quadratic nested loop no " +
+        "engine can hash-partition (that IS the oracle) — but a 2-D " +
+        "skyline factors through sorting: collapse the corpus to " +
+        "min-size-per-distinct-price (one keyed agg, bounded by the " +
+        "price domain), take the running strict-prefix minimum over " +
+        "the price-sorted series, and a part is dominated iff the " +
+        "strictly-cheaper prefix reaches its size (<=) or its own " +
+        "price group holds a smaller size (<). The bounded per-price " +
+        "table broadcasts back, so the corpus is scanned twice and " +
+        "shuffled once (the price agg); no comparison is ever " +
+        "pairwise. Pure comparisons end to end — no arithmetic, so " +
+        "nothing can drift between engines. At 100 TB the only " +
+        "global-order state is the distinct-price series, the " +
+        "dimension-domain-bounded rollup every sort-based skyline " +
+        "rests on",
+      Some(
+        """SELECT p.p_partkey, p.p_retailprice AS price,
+          |  CAST(p.p_size AS BIGINT) AS size
+          |FROM part p
+          |WHERE NOT EXISTS (
+          |  SELECT 1 FROM part q
+          |  WHERE q.p_retailprice <= p.p_retailprice
+          |    AND q.p_size <= p.p_size
+          |    AND (q.p_retailprice < p.p_retailprice
+          |         OR q.p_size < p.p_size))
+          |ORDER BY p.p_partkey""".stripMargin),
+    ) { (s, dir) =>
+      skylineOf(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_retailprice").as("price"),
+          col("p_size").cast("long").as("size")))
+        .orderBy("p_partkey")
+    },
   )
+
+  /** q_skyline core over any (p_partkey, price, size) frame (the spec
+    * plants fronts with duplicates and same-price groups beside a
+    * brute-force reference). Unordered; the Q adds the output sort.
+    *
+    * Distinct-price rollup first — the only input the global order
+    * ever sees; `strict_min` = min size over all strictly cheaper
+    * prices (null for the cheapest). A row survives iff the strictly
+    * cheaper prefix never reaches its size AND it holds its price
+    * group's minimum. */
+  private[graft] def skylineOf(p: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val perPrice = p.groupBy("price").agg(min(col("size")).as("group_min"))
+    val strictW = Window.orderBy("price")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bounds = perPrice
+      .withColumn("strict_min", min(col("group_min")).over(strictW))
+    p.join(broadcast(bounds), "price")
+      .filter(coalesce(col("strict_min") > col("size"), lit(true))
+        && col("group_min") === col("size"))
+      .select(col("p_partkey"), col("price"), col("size"))
+  }
 }

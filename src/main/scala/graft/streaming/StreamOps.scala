@@ -641,5 +641,86 @@ object StreamOps {
       q.awaitTermination()
       s.read.parquet(s"$scratch/out").orderBy("doc_id")
     },
+
+    Q(
+      "q_stream_upsert",
+      "streaming CDC-apply run END-TO-END as a real streaming job: the " +
+        "events changelog arrives in THREE deterministic micro-batches " +
+        "(event_id mod 3 slices, mtime-pinned, maxFilesPerTrigger=1) " +
+        "and foreachBatch maintains a latest-per-user STATE TABLE — " +
+        "each batch compacts itself (user-keyed row_number), merges " +
+        "against the previous state version, and writes a new " +
+        "immutable version directory (the pointer-swap pattern; a " +
+        "deployed pipeline writes the same merge through a " +
+        "transactional table format so retries are idempotent). " +
+        "Latest-wins by (ts, event_id) is associative and " +
+        "commutative, so the final state PROVABLY equals the batch " +
+        "compaction regardless of how the changelog was sliced — the " +
+        "oracle IS q_upsert_latest's SQL. Scale: per batch, one " +
+        "user-keyed shuffle of (delta + touched state); at 100 TB the " +
+        "state side is the operand a format with merge-on-read or " +
+        "key-bucketed layout keeps from rewriting wholesale, and the " +
+        "batch cadence bounds delta size — state never rescans the " +
+        "changelog history",
+      Some(
+        """SELECT user_id, CAST(ts AS TIMESTAMP) AS last_ts,
+          |  event_type AS last_type, value AS last_value
+          |FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY user_id
+          |    ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+          |  FROM events)
+          |WHERE rn = 1 ORDER BY user_id""".stripMargin),
+    ) { (s, dir) =>
+      import java.nio.file.{Files, Paths}
+      import java.nio.file.attribute.FileTime
+      val ev = Tables.events(s, dir)
+      val scratch = Scratch.dir()
+      val srcDir = Paths.get(scratch, "src")
+      Files.createDirectories(srcDir)
+      (0 until 3).foreach { i =>
+        val tmp = Paths.get(scratch, s"slice$i")
+        ev.filter(pmod(col("event_id"), lit(3)) === i)
+          .coalesce(1).write.parquet(tmp.toString)
+        val part = Files.list(tmp)
+          .filter(_.toString.endsWith(".parquet")).findFirst().get()
+        val dst = srcDir.resolve(f"part$i%02d.parquet")
+        Files.move(part, dst)
+        Files.setLastModifiedTime(dst,
+          FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
+      val latest = (df: org.apache.spark.sql.DataFrame) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        df.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("user_id", "ts", "event_id", "event_type", "value")
+      }
+      val version = new java.util.concurrent.atomic.AtomicInteger(-1)
+      val q = s.readStream
+        .schema(s.read.parquet(srcDir.toString).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir.toString)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val delta = latest(batch)
+          val v = version.get()
+          val merged =
+            if (v < 0) delta
+            else latest(delta.unionByName(
+              batch.sparkSession.read.parquet(s"$scratch/state/v$v")))
+          merged.write.parquet(s"$scratch/state/v${v + 1}")
+          version.incrementAndGet()
+          ()
+        }
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$scratch/state/v${version.get()}")
+        .select(col("user_id"), col("ts").as("last_ts"),
+          col("event_type").as("last_type"), col("value").as("last_value"))
+        .orderBy("user_id")
+    },
   )
 }

@@ -678,6 +678,17 @@ class PlanBudgetSpec extends AnyFunSuite {
     assert(p.contains("levenshtein"), s"plan:\n$p")
   }
 
+  test("q_skyline: corpus probes broadcast bounds — the only hash shuffle is the price rollup") {
+    val p = plan("q_skyline")
+    assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"quadratic dominance check leaked in, plan:\n$p")
+    // The global-order window must consume the aggregated per-price
+    // rollup, never corpus rows; the price agg is the one hash shuffle.
+    assert(hashExchanges(p) == 1, s"plan:\n$p")
+    assert(p.contains("Exchange SinglePartition"), s"plan:\n$p")
+  }
+
   test("q1_agg aggregates inside whole-stage codegen") {
     // The plain plan string hides codegen stage boundaries; the
     // codegen explain mode lists every WholeStageCodegen subtree.
