@@ -58,5 +58,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         BloomMightContain(exprs.head, exprs(1))))
+    // Optimizer rule: JOIN ... ON levenshtein(a,b) <= 1 plans as a
+    // deletion-neighborhood equi-join instead of a nested loop (the
+    // in-code seam is graft.plans.FuzzyJoinBlocking.register).
+    ext.injectOptimizerRule(_ => graft.plans.FuzzyJoinBlocking)
   }
 }

@@ -1240,6 +1240,40 @@ object DedupOps {
           when(col("c_name") === col("orig"), 1L).otherwise(0L).as("hit"))
         .orderBy("src_key")
     },
+    Q(
+      "q_fuzzy_pairs",
+      "the DECLARATIVE face of q_fuzzy_join: near-identical catalog " +
+        "name pairs written as the naive theta join " +
+        "`JOIN ON levenshtein(a, b) <= 1 AND a < b` — a condition " +
+        "with no equi keys that Spark can only nested-loop — and " +
+        "planned scalably by the engine's FuzzyJoinBlocking " +
+        "optimizer rule (SparkSessionExtensions-injected), which " +
+        "rewrites it to the deletion-neighborhood equi-join with the " +
+        "original predicate re-applied as the verify and a canonical " +
+        "shared-key filter preserving pair multiplicity. The user " +
+        "writes WHAT (an edit-distance join); the optimizer owns HOW " +
+        "— exactly the declarative contract every other operator " +
+        "gets from Catalyst's built-in rules, extended to a " +
+        "predicate class Catalyst has no strategy for. " +
+        "No-nested-loop is plan-pinned (here and in FuzzyRuleSpec, " +
+        "which also pins rule-off == rule-on row equality); at 100 " +
+        "TB the blocked form is a plain keyed shuffle with " +
+        "alphabet-capped fan-out per key",
+      Some(
+        """WITH n AS (SELECT DISTINCT p_name FROM part)
+          |SELECT a.p_name AS name_a, b.p_name AS name_b
+          |FROM n a JOIN n b
+          |  ON levenshtein(a.p_name, b.p_name) <= 1 AND a.p_name < b.p_name
+          |ORDER BY name_a, name_b""".stripMargin),
+    ) { (s, dir) =>
+      graft.plans.FuzzyJoinBlocking.register(s)
+      val names = Tables.part(s, dir).select(col("p_name")).distinct()
+      names.select(col("p_name").as("name_a"))
+        .join(names.select(col("p_name").as("name_b")),
+          levenshtein(col("name_a"), col("name_b")) <= 1
+            && col("name_a") < col("name_b"))
+        .orderBy("name_a", "name_b")
+    },
   )
 
   /** SymSpell d=1 blocking keys of a string: the string itself plus

@@ -1,0 +1,98 @@
+package graft
+
+import graft.plans.FuzzyJoinBlocking
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The FuzzyJoinBlocking optimizer rule: a declarative
+  * `JOIN ON levenshtein(a, b) <= 1` must plan as the blocked
+  * equi-join (no nested loop), return exactly the brute-force rows
+  * WITH multiplicity, and out-of-scope shapes must pass through
+  * untouched.
+  */
+class FuzzyRuleSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = TestSpark.spark
+    FuzzyJoinBlocking.register(s)
+    s
+  }
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(
+        math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  private val ls = Seq("gizmo", "gadget", "widget", "flange", "ab", "x")
+  // "gadget" twice on the right: multiplicity must be preserved.
+  private val rs = Seq("gzmo", "gidget", "gadget", "gadget", "widgets", "ba", "")
+
+  test("declarative ED<=1 join: no nested loop, equals brute force with multiplicity") {
+    import spark.implicits._
+    val l = ls.toDF("a")
+    val r = rs.toDF("b")
+    val joined = l.join(r, levenshtein(col("a"), col("b")) <= 1)
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"rule did not fire, plan:\n$p")
+    assert(p.contains("levenshtein"), s"verify filter missing, plan:\n$p")
+    val got = joined.collect().map(r => (r.getString(0), r.getString(1)))
+      .sorted.toSeq
+    val brute = (for (a <- ls; b <- rs if lev(a, b) <= 1) yield (a, b))
+      .sorted
+    assert(got == brute)
+    // The duplicate "gadget" right row must yield two (gadget, gadget)
+    // pairs — the canonical-key filter dedups KEY matches, not rows.
+    assert(got.count(_ == ("gadget", "gadget")) == 2)
+  }
+
+  test("extra conjuncts ride along as residual predicates") {
+    import spark.implicits._
+    val l = ls.toDF("a")
+    val r = rs.toDF("b")
+    val joined = l.join(r,
+      levenshtein(col("a"), col("b")) <= 1 && col("a") =!= col("b"))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"plan:\n$p")
+    val got = joined.collect().map(r => (r.getString(0), r.getString(1)))
+      .sorted.toSeq
+    val brute =
+      (for (a <- ls; b <- rs if lev(a, b) <= 1 && a != b) yield (a, b)).sorted
+    assert(got == brute)
+  }
+
+  test("threshold 2 and outer joins stay un-rewritten") {
+    import spark.implicits._
+    val l = ls.toDF("a")
+    val r = rs.toDF("b")
+    val t2 = l.join(r, levenshtein(col("a"), col("b")) <= 2)
+    val p2 = t2.queryExecution.executedPlan.toString
+    assert(p2.contains("NestedLoop") || p2.contains("CartesianProduct"),
+      s"d=2 must not be blocked at d=1, plan:\n$p2")
+    val got2 = t2.collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(got2.toSeq ==
+      (for (a <- ls; b <- rs if lev(a, b) <= 2) yield (a, b)).sorted)
+    val outer = l.join(r, levenshtein(col("a"), col("b")) <= 1, "left")
+    val po = outer.queryExecution.executedPlan.toString
+    assert(po.contains("NestedLoop") || po.contains("CartesianProduct"),
+      s"outer join must pass through, plan:\n$po")
+  }
+
+  test("empty and null strings behave like the un-rewritten join") {
+    import spark.implicits._
+    val l = Seq(Some(""), Some("a"), None).toDF("a")
+    val r = Seq(Some(""), Some("b"), None).toDF("b")
+    val joined = l.join(r, levenshtein(col("a"), col("b")) <= 1)
+    val got = joined.collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    // ("",""): 0, ("","b")/("a",""): 1, ("a","b"): 1; null rows drop.
+    assert(got == Seq(("", ""), ("", "b"), ("a", ""), ("a", "b")))
+  }
+}

@@ -689,6 +689,13 @@ class PlanBudgetSpec extends AnyFunSuite {
     assert(p.contains("Exchange SinglePartition"), s"plan:\n$p")
   }
 
+  test("q_fuzzy_pairs: the optimizer rule plans the theta join as a blocked equi-join") {
+    val p = plan("q_fuzzy_pairs")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"FuzzyJoinBlocking did not fire, plan:\n$p")
+    assert(p.contains("levenshtein"), s"verify filter missing, plan:\n$p")
+  }
+
   test("q1_agg aggregates inside whole-stage codegen") {
     // The plain plan string hides codegen stage boundaries; the
     // codegen explain mode lists every WholeStageCodegen subtree.
