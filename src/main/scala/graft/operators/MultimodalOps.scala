@@ -285,6 +285,111 @@ object MultimodalOps {
         .filter(col("hamming") <= PhMaxHamming)
         .orderBy("doc_a", "doc_b")
     },
+
+    Q(
+      "q_image_tiles",
+      "ViT-style patch extraction over the payload byte stream: each " +
+        "asset splits into fixed 16-byte tiles (full tiles only — the " +
+        "ragged tail is dropped, the crop-to-patch-grid convention) " +
+        "and every tile emits (tile_id, 60-bit content digest) where " +
+        "a real pipeline would emit the patch tensor. Pure per-row " +
+        "explode — row count multiplies by len/16 MAP-side with zero " +
+        "shuffles before the output sort, which is exactly how patch " +
+        "extraction must behave at 100 TB: the heavy payload column " +
+        "is read once, patches stream straight into the downstream " +
+        "writer/encoder, and nothing re-partitions by patch. The " +
+        "digest stands where pixels would (the container has no " +
+        "media libs); swapping in a real slicer changes one " +
+        "expression, not the plan",
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    unnest(list_transform(range(CAST(strlen(text) // 16 AS BIGINT)),
+          |      i -> {'tid': i,
+          |            'tile': substr(text, CAST(i*16 + 1 AS INT), 16)})) AS u
+          |  FROM documents WHERE strlen(text) >= 16
+          |)
+          |SELECT doc_id, CAST(u.tid AS BIGINT) AS tile_id,
+          |  CAST('0x' || substr(md5(u.tile), 1, 15) AS BIGINT) AS digest
+          |FROM t ORDER BY doc_id, tile_id""".stripMargin),
+    ) { (s, dir) =>
+      Tables.documents(s, dir)
+        .filter(length(col("text")) >= 16)
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0L), floor(length(col("text")) / 16.0).cast("long") - 1),
+            i => col("text").substr((i * 16 + 1).cast("int"), lit(16))))
+            .as(Seq("tile_id", "tile")))
+        .select(col("doc_id"), col("tile_id").cast("long").as("tile_id"),
+          graft.functions.Portable.md5Hash60(col("tile")).as("digest"))
+        .orderBy("doc_id", "tile_id")
+    },
+
+    Q(
+      "q_audio_vad",
+      "energy-threshold voice-activity segmentation over the payload " +
+        "frame stream — the audio-pipeline op that cuts silence " +
+        "before transcription/training: 8-byte frames, frame energy = " +
+        "vowel count (the stub where a real pipeline puts RMS of PCM " +
+        "samples), voiced iff energy >= 2, and maximal voiced runs " +
+        "become segments via the gap-and-island pattern (lag marks " +
+        "run starts, a running sum numbers them, one agg emits " +
+        "[start, end] per segment). Frames explode map-side; the " +
+        "island windows and the segment agg share ONE asset-keyed " +
+        "shuffle — per-asset cost is frame count, cross-asset cost is " +
+        "zero, so 100 TB of audio segments asset-parallel. Both " +
+        "engines count vowels with the same alternation-free regex " +
+        "class, so the threshold cannot drift",
+      Some(
+        """WITH f AS (
+          |  SELECT doc_id,
+          |    unnest(list_transform(range(CAST(strlen(text) // 8 AS BIGINT)),
+          |      i -> {'fid': i,
+          |            'fr': substr(text, CAST(i*8 + 1 AS INT), 8)})) AS u
+          |  FROM documents WHERE strlen(text) >= 8
+          |), voiced AS (
+          |  SELECT doc_id, CAST(u.fid AS BIGINT) AS fid
+          |  FROM f
+          |  WHERE strlen(regexp_replace(u.fr, '[^aeiou]', '', 'g')) >= 2
+          |), runs AS (
+          |  SELECT doc_id, fid,
+          |    CASE WHEN fid = lag(fid) OVER (PARTITION BY doc_id ORDER BY fid) + 1
+          |      THEN 0 ELSE 1 END AS new_seg
+          |  FROM voiced
+          |), segs AS (
+          |  SELECT doc_id, fid,
+          |    sum(new_seg) OVER (PARTITION BY doc_id ORDER BY fid
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+          |  FROM runs
+          |)
+          |SELECT doc_id, CAST(seg_id AS BIGINT) AS seg_id,
+          |  min(fid) AS start_frame, max(fid) AS end_frame,
+          |  count(*) AS n_frames
+          |FROM segs GROUP BY doc_id, seg_id
+          |ORDER BY doc_id, seg_id""".stripMargin),
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val voiced = Tables.documents(s, dir)
+        .filter(length(col("text")) >= 8)
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0L), floor(length(col("text")) / 8.0).cast("long") - 1),
+            i => col("text").substr((i * 8 + 1).cast("int"), lit(8))))
+            .as(Seq("fid", "fr")))
+        .filter(length(regexp_replace(col("fr"), "[^aeiou]", "")) >= 2)
+        .select(col("doc_id"), col("fid").cast("long").as("fid"))
+      val byDoc = Window.partitionBy("doc_id").orderBy("fid")
+      voiced
+        .withColumn("new_seg",
+          when(col("fid") === lag(col("fid"), 1).over(byDoc) + 1, 0L)
+            .otherwise(1L))
+        .withColumn("seg_id", sum(col("new_seg"))
+          .over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("doc_id", "seg_id")
+        .agg(min(col("fid")).as("start_frame"), max(col("fid")).as("end_frame"),
+          count(lit(1)).as("n_frames"))
+        .orderBy("doc_id", "seg_id")
+    },
   )
 
   /** Writes the ≤500-asset file-per-doc .bin layout (executor-side)

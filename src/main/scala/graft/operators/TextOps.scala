@@ -857,6 +857,43 @@ object TextOps {
     },
 
     Q(
+      "q_group_split",
+      "GROUP-aware train/val/test split (80/10/10 by source hash): " +
+        "every document of a source lands in the SAME split — the " +
+        "leakage guard q_train_split's per-document hash cannot give, " +
+        "because near-duplicates cluster within a source (same crawl, " +
+        "same template, same site) and a row-level split scatters " +
+        "them across train and test. Assignment stays a pure per-row " +
+        "function of the group key, so new documents of a known " +
+        "source join its split and never reshuffle history; the " +
+        "realized ratios are quantized by group count (20 sources " +
+        "here — reported per split as n_sources, stated, not hidden: " +
+        "group-split granularity IS the group count). One tiny keyed " +
+        "agg; at 100 TB identical — the split column is born at scan " +
+        "time",
+      Some(
+        s"""SELECT split, count(DISTINCT source) AS n_sources,
+           |  count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_checksum
+           |FROM (
+           |  SELECT doc_id, source,
+           |    CASE WHEN ${Portable.md5Hash60Sql("source")} % 100 < 80 THEN 'train'
+           |         WHEN ${Portable.md5Hash60Sql("source")} % 100 < 90 THEN 'val'
+           |         ELSE 'test' END AS split
+           |  FROM documents)
+           |GROUP BY split ORDER BY split""".stripMargin),
+    ) { (s, dir) =>
+      val bucket = pmod(Portable.md5Hash60(col("source")), lit(100))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test").as("split"))
+        .groupBy("split")
+        .agg(countDistinct(col("source")).as("n_sources"),
+          count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_checksum"))
+        .orderBy("split")
+    },
+
+    Q(
       "q_corpus_pipeline",
       "THE end-to-end curation funnel a pretraining team runs — " +
         "quality filter → exact dedup (windowed keep-first) → NEAR " +

@@ -689,6 +689,17 @@ class PlanBudgetSpec extends AnyFunSuite {
     assert(p.contains("Exchange SinglePartition"), s"plan:\n$p")
   }
 
+  test("q_image_tiles explodes patches map-side — zero pre-sort shuffles") {
+    val p = plan("q_image_tiles")
+    assert(hashExchanges(p) == 0, s"plan:\n$p")
+    assert(p.contains("Generate posexplode"), s"plan:\n$p")
+  }
+
+  test("q_audio_vad: island windows and segment agg share one asset-keyed shuffle") {
+    val p = plan("q_audio_vad")
+    assert(hashExchanges(p) == 1, s"plan:\n$p")
+  }
+
   test("q_fuzzy_pairs: the optimizer rule plans the theta join as a blocked equi-join") {
     val p = plan("q_fuzzy_pairs")
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
