@@ -321,6 +321,107 @@ object TextOps {
           .as("vec_md5"))
   }
 
+  /** Word vocabulary (w, freq) — the one corpus-keyed agg every
+    * tokenizer operator starts from, checkpointed for reuse. */
+  private[graft] def wpWords(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(toks).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
+
+  /** Top-[[WpPieceK]] char 2..4-gram piece vocabulary by
+    * corpus-weighted frequency over the word vocabulary (single chars
+    * are the implicit byte-fallback tier). Checkpointed. */
+  private[graft] def wpPieces(words: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val grams = (2 to 4).map { l =>
+      words.filter(length(col("w")) >= l)
+        .select(col("freq"), explode(transform(
+          sequence(lit(0), length(col("w")) - l),
+          i => col("w").substr(i + lit(1), lit(l)))).as("g"))
+    }.reduce(_ union _).groupBy("g").agg(sum(col("freq")).as("n"))
+    grams.orderBy(col("n").desc, col("g")).limit(WpPieceK)
+      .select(col("g").as("piece")).localCheckpoint()
+  }
+
+  /** One greedy longest-match pass over every distinct word: the
+    * emitted (w, freq, piece) stream across [[WpMaxSteps]] unrolled
+    * rounds (each round advances every in-flight word by exactly one
+    * piece; the piece tables broadcast). q_wordpiece_encode aggregates
+    * it per piece; q_tok_optimal per word. The state is
+    * word-vocab-bounded; the checkpoint per round cuts the 16-round
+    * lineage exactly like trainBpe's rounds. */
+  private[graft] def wpGreedyEmits(
+      words: org.apache.spark.sql.DataFrame,
+      pieces: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val pTab = (2 to 4).map { l =>
+      l -> broadcast(pieces.filter(length(col("piece")) === l)
+        .select(col("piece").as(s"p$l")))
+    }.toMap
+    def probe(l: Int) = col("w").substr((col("pos") + 1).cast("int"), lit(l))
+    var st = words.withColumn("pos", lit(0L))
+    val emits = scala.collection.mutable.Buffer[org.apache.spark.sql.DataFrame]()
+    for (_ <- 1 to WpMaxSteps) {
+      val m = st
+        .join(pTab(4), col("p4") === probe(4), "left")
+        .join(pTab(3), col("p3") === probe(3), "left")
+        .join(pTab(2), col("p2") === probe(2), "left")
+        .withColumn("piece",
+          coalesce(col("p4"), col("p3"), col("p2"), probe(1)))
+      emits += m.select("w", "freq", "piece")
+      st = m.filter(col("pos") + length(col("piece")) < length(col("w")))
+        .select(col("w"), col("freq"),
+          (col("pos") + length(col("piece"))).cast("long").as("pos"))
+        .localCheckpoint()
+    }
+    emits.reduce(_ union _)
+  }
+
+  /** q_tok_optimal: exact MINIMUM-piece segmentation of every word
+    * over the same piece vocabulary, by unrolled dynamic programming —
+    * dp[j] = 1 + min over piece lengths L in 1..4 (substring ending at
+    * j in the vocab; single chars always are) of dp[j-L]. The dp
+    * prefix array rides the row as an array column; each of the
+    * [[WpMaxSteps]] rounds extends it by one position via the same
+    * broadcast piece tables the greedy pass probes. Returns
+    * (w, freq, opt_pieces). */
+  private[graft] def wpOptimalPieces(
+      words: org.apache.spark.sql.DataFrame,
+      pieces: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val pTab = (2 to 4).map { l =>
+      l -> broadcast(pieces.filter(length(col("piece")) === l)
+        .select(col("piece").as(s"p$l")))
+    }.toMap
+    val Inf = 9999L
+    var st = words.withColumn("dps", array(lit(0L)))
+    for (j <- 1 to WpMaxSteps) {
+      // Piece of length L ends at char j ⇔ it is substr(w, j-L+1, L).
+      var m = st
+      if (j >= 2) m = m.join(pTab(2), col("p2") === col("w").substr(j - 1, 2), "left")
+      if (j >= 3) m = m.join(pTab(3), col("p3") === col("w").substr(j - 2, 3), "left")
+      if (j >= 4) m = m.join(pTab(4), col("p4") === col("w").substr(j - 3, 4), "left")
+      val cands = Seq(element_at(col("dps"), j) + 1) ++
+        (2 to 4).filter(_ <= j).map { l =>
+          when(col(s"p$l").isNotNull, element_at(col("dps"), j - l + 1) + 1)
+            .otherwise(lit(Inf))
+        }
+      val dpj = cands.reduce(least(_, _))
+      st = m
+        .withColumn("dps",
+          when(length(col("w")) >= j, concat(col("dps"), array(dpj)))
+            .otherwise(col("dps")))
+        .select("w", "freq", "dps")
+        .localCheckpoint()
+    }
+    st.select(col("w"), col("freq"),
+      element_at(col("dps"), length(col("w")) + 1).as("opt_pieces"))
+  }
+
   /** q_span_mask: token positions p with p % SpanCycle in
     * [SpanStart, SpanStart+SpanLen) are masked — SpanLen/SpanCycle =
     * 15%, the T5 corruption rate. The positional rule is the
@@ -1795,45 +1896,114 @@ object TextOps {
         sb.toString
       },
     ) { (s, dir) =>
-      val words = Tables.documents(s, dir)
-        .select(explode(toks).as("w"))
-        .filter(col("w") =!= "")
-        .groupBy("w").agg(count(lit(1)).as("freq"))
-        .localCheckpoint()
-      val grams = (2 to 4).map { l =>
-        words.filter(length(col("w")) >= l)
-          .select(col("freq"), explode(transform(
-            sequence(lit(0), length(col("w")) - l),
-            i => col("w").substr(i + lit(1), lit(l)))).as("g"))
-      }.reduce(_ union _).groupBy("g").agg(sum(col("freq")).as("n"))
-      val pieces = grams.orderBy(col("n").desc, col("g")).limit(WpPieceK)
-        .select(col("g").as("piece")).localCheckpoint()
-      val pTab = (2 to 4).map { l =>
-        l -> broadcast(pieces.filter(length(col("piece")) === l)
-          .select(col("piece").as(s"p$l")))
-      }.toMap
-      def probe(l: Int) = col("w").substr((col("pos") + 1).cast("int"), lit(l))
-      var st = words.withColumn("pos", lit(0L))
-      val emits = scala.collection.mutable.Buffer[org.apache.spark.sql.DataFrame]()
-      for (_ <- 1 to WpMaxSteps) {
-        val m = st
-          .join(pTab(4), col("p4") === probe(4), "left")
-          .join(pTab(3), col("p3") === probe(3), "left")
-          .join(pTab(2), col("p2") === probe(2), "left")
-          .withColumn("piece",
-            coalesce(col("p4"), col("p3"), col("p2"), probe(1)))
-        emits += m.select("piece", "freq")
-        // The state is word-vocab-bounded; the checkpoint per round
-        // cuts the 16-round lineage exactly like trainBpe's rounds.
-        st = m.filter(col("pos") + length(col("piece")) < length(col("w")))
-          .select(col("w"), col("freq"),
-            (col("pos") + length(col("piece"))).cast("long").as("pos"))
-          .localCheckpoint()
-      }
-      emits.reduce(_ union _)
+      val words = wpWords(s, dir)
+      wpGreedyEmits(words, wpPieces(words))
         .groupBy("piece").agg(sum(col("freq")).as("n_uses"))
         .orderBy(col("n_uses").desc, col("piece")).limit(50)
         .orderBy(col("n_uses").desc, col("piece"))
+    },
+
+    Q(
+      "q_tok_optimal",
+      "exact MINIMUM-piece segmentation per word (unrolled dynamic " +
+        "programming over the q_wordpiece_encode piece vocabulary: " +
+        "dp[j] = 1 + min over piece lengths 1..4 ending at j of " +
+        "dp[j-L]) joined against the greedy longest-match count — " +
+        "the optimal-vs-greedy FERTILITY GAP, the tokenizer eval " +
+        "that quantifies what greedy decoding costs (gap >= 0 " +
+        "everywhere is a theorem, spec-asserted; gap > 0 words are " +
+        "where a smarter matcher would shrink the training token " +
+        "bill). The dp prefix array rides each word's row as an " +
+        s"array column through $WpMaxSteps rounds probing the same " +
+        "broadcast piece tables as the greedy pass — state is " +
+        "word-VOCAB-bounded (the corpus is read once for the word " +
+        "agg), rounds are checkpointed, and both engines run the " +
+        "identical recurrence (the oracle unrolls it as list_append " +
+        "CTEs), so at 100 TB the cost is rounds × a vocab-sized " +
+        "broadcast probe — corpus token positions are never touched",
+      Some {
+        val sb = new StringBuilder
+        sb.append(
+          s"""WITH words AS MATERIALIZED (
+             |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+             |    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+             |  WHERE w <> '' GROUP BY w
+             |), grams AS (
+             |  SELECT g, CAST(sum(freq) AS BIGINT) AS n FROM (
+             |    SELECT freq, unnest(list_transform(range(len(w) - 1), i -> substr(w, CAST(i+1 AS INT), 2))) AS g FROM words
+             |    UNION ALL
+             |    SELECT freq, unnest(list_transform(range(len(w) - 2), i -> substr(w, CAST(i+1 AS INT), 3))) AS g FROM words
+             |    UNION ALL
+             |    SELECT freq, unnest(list_transform(range(len(w) - 3), i -> substr(w, CAST(i+1 AS INT), 4))) AS g FROM words
+             |  ) GROUP BY g
+             |), pieces AS MATERIALIZED (
+             |  SELECT g AS piece FROM grams ORDER BY n DESC, g LIMIT $WpPieceK
+             |), p4 AS MATERIALIZED (SELECT piece FROM pieces WHERE len(piece) = 4),
+             |p3 AS MATERIALIZED (SELECT piece FROM pieces WHERE len(piece) = 3),
+             |p2 AS MATERIALIZED (SELECT piece FROM pieces WHERE len(piece) = 2),
+             |st0 AS MATERIALIZED (SELECT w, freq, CAST(0 AS BIGINT) AS pos FROM words)""".stripMargin)
+        for (t <- 1 to WpMaxSteps) {
+          sb.append(
+            s""",
+               |m$t AS MATERIALIZED (
+               |  SELECT st.w, st.freq, st.pos,
+               |    COALESCE(v4.piece, v3.piece, v2.piece, substr(st.w, CAST(st.pos+1 AS INT), 1)) AS piece
+               |  FROM st${t - 1} st
+               |  LEFT JOIN p4 v4 ON v4.piece = substr(st.w, CAST(st.pos+1 AS INT), 4)
+               |  LEFT JOIN p3 v3 ON v3.piece = substr(st.w, CAST(st.pos+1 AS INT), 3)
+               |  LEFT JOIN p2 v2 ON v2.piece = substr(st.w, CAST(st.pos+1 AS INT), 2)
+               |), st$t AS MATERIALIZED (
+               |  SELECT w, freq, pos + len(piece) AS pos FROM m$t
+               |  WHERE pos + len(piece) < len(w)
+               |)""".stripMargin)
+        }
+        sb.append(
+          s""",
+             |greedy AS (
+             |  SELECT w, CAST(count(*) AS BIGINT) AS greedy_pieces FROM (
+             |  ${(1 to WpMaxSteps).map(t => s"SELECT w FROM m$t").mkString("\n  UNION ALL\n  ")}
+             |  ) GROUP BY w
+             |), d0 AS MATERIALIZED (
+             |  SELECT w, freq, [CAST(0 AS BIGINT)] AS dps FROM words)""".stripMargin)
+        for (j <- 1 to WpMaxSteps) {
+          val joins = (2 to 4).filter(_ <= j).map(l =>
+            s"LEFT JOIN p$l v$l ON v$l.piece = substr(st.w, ${j - l + 1}, $l)")
+            .mkString("\n  ")
+          val cands = Seq(s"list_extract(st.dps, $j) + 1") ++
+            (2 to 4).filter(_ <= j).map(l =>
+              s"CASE WHEN v$l.piece IS NOT NULL THEN list_extract(st.dps, ${j - l + 1}) + 1 ELSE CAST(9999 AS BIGINT) END")
+          sb.append(
+            s""",
+               |d$j AS MATERIALIZED (
+               |  SELECT st.w, st.freq,
+               |    CASE WHEN len(st.w) >= $j
+               |      THEN list_append(st.dps, least(${cands.mkString(", ")}))
+               |      ELSE st.dps END AS dps
+               |  FROM d${j - 1} st
+               |  $joins
+               |)""".stripMargin)
+        }
+        sb.append(
+          s"""
+             |SELECT d.w, d.freq,
+             |  CAST(list_extract(d.dps, len(d.w) + 1) AS BIGINT) AS opt_pieces,
+             |  g.greedy_pieces,
+             |  CAST(g.greedy_pieces - list_extract(d.dps, len(d.w) + 1) AS BIGINT) AS gap
+             |FROM d$WpMaxSteps d JOIN greedy g USING (w)
+             |ORDER BY w""".stripMargin)
+        sb.toString
+      },
+    ) { (s, dir) =>
+      val words = wpWords(s, dir)
+      val pieces = wpPieces(words)
+      val greedy = wpGreedyEmits(words, pieces)
+        .groupBy("w").agg(count(lit(1)).as("greedy_pieces"))
+      wpOptimalPieces(words, pieces)
+        .join(greedy, "w")
+        .select(col("w"), col("freq"), col("opt_pieces"),
+          col("greedy_pieces"),
+          (col("greedy_pieces") - col("opt_pieces")).as("gap"))
+        .orderBy("w")
     },
 
     Q(
