@@ -643,6 +643,75 @@ object StreamOps {
     },
 
     Q(
+      "q_stream_resume",
+      "checkpoint RECOVERY, exactly-once across a restart, run " +
+        "END-TO-END: the events changelog is staged as three files; " +
+        "a first AvailableNow run processes the two present, " +
+        "terminates, the third file lands, and a SECOND query " +
+        "started from the SAME checkpoint + sink resumes and " +
+        "processes ONLY the new file — the sink then aggregates to " +
+        "exactly the batch result, proving no loss and no " +
+        "replay-duplication across the restart (the contract every " +
+        "operational pipeline leans on after a crash or deploy). " +
+        "The mechanism is the file-source offset log + the parquet " +
+        "sink's transactional _spark_metadata commit protocol, both " +
+        "keyed by the checkpoint — per-row work here is a stateless " +
+        "projection so ANY slicing gives the same sink, and the " +
+        "oracle is the plain batch rollup. At 100 TB the same two " +
+        "logs bound recovery work to uncommitted batches, never a " +
+        "re-scan of history",
+      Some(
+        s"""SELECT event_type, count(*) AS n_events,
+           |  ${graft.functions.Portable.exactSumSql("value")} AS sum_value
+           |FROM events
+           |GROUP BY event_type ORDER BY event_type""".stripMargin),
+    ) { (s, dir) =>
+      import java.nio.file.{Files, Paths}
+      import java.nio.file.attribute.FileTime
+      val scratch = Scratch.dir()
+      val srcDir = Paths.get(scratch, "src")
+      Files.createDirectories(srcDir)
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      def stage(i: Int): Unit = {
+        val tmp = Paths.get(scratch, s"slice$i")
+        // Re-read raw (not ts-normalized) so every staged file keeps
+        // the source's physical ts type and the stream schema is
+        // uniform across both runs.
+        s.read.parquet(s"$dir/events.parquet")
+          .filter(pmod(col("event_id"), lit(3)) === i)
+          .coalesce(1).write.parquet(tmp.toString)
+        val part = Files.list(tmp)
+          .filter(_.toString.endsWith(".parquet")).findFirst().get()
+        val dst = srcDir.resolve(f"part$i%02d.parquet")
+        Files.move(part, dst)
+        Files.setLastModifiedTime(dst,
+          FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
+      def runOnce(): Unit = {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(srcDir.toString)
+          .select(col("event_type"), col("value"))
+          .writeStream
+          .format("parquet")
+          .option("path", s"$scratch/out")
+          .option("checkpointLocation", s"$scratch/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      stage(0); stage(1)
+      runOnce() // run 1: slices 0 and 1
+      stage(2) // the file that arrives while the pipeline is down
+      runOnce() // run 2: resumes from the checkpoint, sees only slice 2
+      s.read.parquet(s"$scratch/out")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          graft.functions.Portable.exactSum(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    },
+
+    Q(
       "q_stream_enrich",
       "static-stream dimension enrichment run END-TO-END as a real " +
         "streaming job — the canonical production join shape: the " +
