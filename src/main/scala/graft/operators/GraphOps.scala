@@ -512,5 +512,98 @@ object GraphOps {
         .orderBy(col("adamic_adar").desc, col("item_a"), col("item_b"))
         .limit(LinkPredK)
     },
+
+    Q(
+      "q_cc_star",
+      "DIAMETER-INDEPENDENT connected components over the undirected " +
+        "transition graph: min-label propagation with POINTER JUMPING " +
+        "— each round folds in neighbor labels AND label(label(v)) " +
+        "(one extra label-keyed self-join), so label chains halve " +
+        "every round and convergence is O(log diameter) instead of " +
+        "O(diameter). DedupOps.ccMinLabels is the plain-propagation " +
+        "twin, the right tool for near-dup clusters (diameter ~2-3); " +
+        "THIS is the web-graph/link-graph tool, where million-hop " +
+        "paths exist and a diameter-bound loop would run a shuffle " +
+        "per hop (a 64-node planted chain labels in ~6 rounds, " +
+        "spec-pinned). Per round: one edge join + one label " +
+        "self-join, both node-keyed shuffles, checkpointed; the " +
+        "fixpoint is PROVABLY the same min-label-per-component as " +
+        "plain propagation, so the oracle is the recursive-CTE " +
+        "fixpoint and the driver's hash compare is the equivalence " +
+        "proof. Output: component label (min item) and size",
+      Some(
+        s"""WITH RECURSIVE $edgesSqlCte, und AS (
+           |  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+           |  FROM edges WHERE a <> b
+           |), sym AS (
+           |  SELECT u AS src, v AS dst FROM und
+           |  UNION ALL SELECT v, u FROM und
+           |), cc AS (
+           |  SELECT DISTINCT src AS node, src AS label FROM sym
+           |  UNION
+           |  SELECT e.dst AS node, cc.label
+           |  FROM cc JOIN sym e ON e.src = cc.node
+           |), final AS (
+           |  SELECT node, min(label) AS label FROM cc GROUP BY node
+           |)
+           |SELECT label, count(*) AS n_nodes FROM final
+           |GROUP BY label ORDER BY label""".stripMargin),
+    ) { (s, dir) =>
+      val und = transitions(s, dir)
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"))
+        .distinct()
+      val (labels, _) = ccPointerJump(und)
+      labels.groupBy("label").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("label")
+    },
   )
+
+  /** Min-label propagation WITH pointer jumping over an undirected
+    * edge set (u, v): each round takes min over {own label} ∪
+    * {neighbor labels} and then shortcuts through label(label(v)).
+    * Converges in O(log diameter) rounds to label(v) = min(component)
+    * — the same fixpoint as [[DedupOps.ccMinLabels]]'s plain
+    * propagation. Returns (labels(node, label), rounds). Throws after
+    * 50 rounds: unconverged labels are fractured components. */
+  private[graft] def ccPointerJump(und: DataFrame)
+      : (DataFrame, Int) = {
+    val edges = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("node"))
+      .distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var converged = false
+    var rounds = 0
+    val maxRounds = 50
+    while (!converged && rounds < maxRounds) {
+      val prop = labels.join(edges, labels("node") === edges("src"))
+        .select(col("dst").as("node"), col("label"))
+      // Checkpoint before the self-join: the jump joins this frame to
+      // itself, and a shared union lineage trips the analyzer's
+      // constraint rewrite (and would recompute the agg twice anyway).
+      val viaNeighbors = labels.unionAll(prop)
+        .groupBy("node").agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      // Pointer jump: label(v) <- label(label(v)). label(v) <= v, so
+      // every label is itself a node and the inner join is total.
+      val next = viaNeighbors.as("x")
+        .join(viaNeighbors.select(col("node").as("label"),
+          col("label").as("jump")).as("y"), "label")
+        .select(col("node"), col("jump").as("label"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(labels.as("o"), "node")
+        .filter(col("n.label") =!= col("o.label"))
+        .isEmpty
+      labels = next
+      rounds += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"ccPointerJump: not converged after $maxRounds rounds")
+    (labels, rounds)
+  }
 }
