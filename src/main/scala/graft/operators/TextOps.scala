@@ -365,18 +365,25 @@ object TextOps {
     def probe(l: Int) = col("w").substr((col("pos") + 1).cast("int"), lit(l))
     var st = words.withColumn("pos", lit(0L))
     val emits = scala.collection.mutable.Buffer[org.apache.spark.sql.DataFrame]()
-    for (_ <- 1 to WpMaxSteps) {
+    var step = 0
+    // Early exit once every word has finished: each remaining round
+    // would run three joins and a checkpoint over an empty state (the
+    // unrolled oracle's extra rounds are no-ops on empty CTEs, so
+    // stopping is result-identical). The probe is a count on the
+    // already-checkpointed vocab-bounded state.
+    while (step < WpMaxSteps && !st.isEmpty) {
       val m = st
         .join(pTab(4), col("p4") === probe(4), "left")
         .join(pTab(3), col("p3") === probe(3), "left")
         .join(pTab(2), col("p2") === probe(2), "left")
         .withColumn("piece",
           coalesce(col("p4"), col("p3"), col("p2"), probe(1)))
-      emits += m.select("w", "freq", "piece")
+      emits += m.select("w", "freq", "piece").localCheckpoint()
       st = m.filter(col("pos") + length(col("piece")) < length(col("w")))
         .select(col("w"), col("freq"),
           (col("pos") + length(col("piece"))).cast("long").as("pos"))
         .localCheckpoint()
+      step += 1
     }
     emits.reduce(_ union _)
   }
@@ -399,7 +406,9 @@ object TextOps {
     }.toMap
     val Inf = 9999L
     var st = words.withColumn("dps", array(lit(0L)))
-    for (j <- 1 to WpMaxSteps) {
+    var j = 1
+    var maxLenDone = false
+    while (j <= WpMaxSteps && !maxLenDone) {
       // Piece of length L ends at char j ⇔ it is substr(w, j-L+1, L).
       var m = st
       if (j >= 2) m = m.join(pTab(2), col("p2") === col("w").substr(j - 1, 2), "left")
@@ -417,6 +426,12 @@ object TextOps {
             .otherwise(col("dps")))
         .select("w", "freq", "dps")
         .localCheckpoint()
+      // Early exit once j passes the longest word: the remaining
+      // rounds would CASE every row through unchanged (the unrolled
+      // oracle's extra d_j CTEs are those no-ops). One tiny agg on
+      // the checkpointed vocab-bounded state.
+      maxLenDone = st.filter(length(col("w")) > j).isEmpty
+      j += 1
     }
     st.select(col("w"), col("freq"),
       element_at(col("dps"), length(col("w")) + 1).as("opt_pieces"))
