@@ -1274,6 +1274,60 @@ object DedupOps {
             && col("name_a") < col("name_b"))
         .orderBy("name_a", "name_b")
     },
+    Q(
+      "q_entity_dedup",
+      "END-TO-END entity resolution: fuzzy pair generation (SymSpell " +
+        "deletion-neighborhood equi-join at edit distance <= 1 over " +
+        "distinct catalog names — q_fuzzy_pairs' machinery) feeds " +
+        "connected components (ccMinLabels min-label propagation), " +
+        "and every name cluster canonicalizes to its " +
+        "lexicographically-first member — the full dedupe-the-" +
+        "registry pass master-data pipelines run, composed from two " +
+        "operators this engine already proves separately. Chains " +
+        "resolve transitively: names at ED 2 through a shared ED-1 " +
+        "neighbor land in ONE cluster, which is exactly what pairwise " +
+        "matching alone cannot do. Output: canonical name, cluster " +
+        "size, members (sorted, joined). Scale: blocking is the " +
+        "keyed fan-out join (never all-pairs), CC rounds are bounded " +
+        "by cluster diameter (tiny for typo clusters — the " +
+        "web-graph twin is q_cc_star's pointer jumping); oracle = " +
+        "brute-force pairs + the recursive-CTE fixpoint",
+      Some(
+        """WITH RECURSIVE n AS (SELECT DISTINCT p_name FROM part),
+          |prs AS (
+          |  SELECT a.p_name AS na, b.p_name AS nb
+          |  FROM n a JOIN n b
+          |    ON levenshtein(a.p_name, b.p_name) <= 1 AND a.p_name < b.p_name
+          |), edges AS (
+          |  SELECT na AS src, nb AS dst FROM prs
+          |  UNION ALL SELECT nb, na FROM prs
+          |), cc AS (
+          |  SELECT DISTINCT src AS nm, src AS label FROM edges
+          |  UNION
+          |  SELECT e.dst, cc.label FROM cc JOIN edges e ON e.src = cc.nm
+          |), final AS (
+          |  SELECT nm, min(label) AS label FROM cc GROUP BY nm
+          |)
+          |SELECT label AS canonical, count(*) AS n_members,
+          |  string_agg(nm, '|' ORDER BY nm) AS members
+          |FROM final GROUP BY label ORDER BY canonical""".stripMargin),
+    ) { (s, dir) =>
+      val names = Tables.part(s, dir).select(col("p_name")).distinct()
+      val keyed = names.select(col("p_name"),
+        explode(delNeighborhood(col("p_name"))).as("k"))
+      val pairs = keyed.select(col("p_name").as("na"), col("k"))
+        .join(keyed.select(col("p_name").as("nb"), col("k")), "k")
+        .filter(col("na") < col("nb"))
+        .select("na", "nb").distinct()
+        .filter(levenshtein(col("na"), col("nb")) <= 1)
+        .select(col("na").as("doc_a"), col("nb").as("doc_b"))
+      ccMinLabels(pairs)
+        .groupBy(col("label").as("canonical"))
+        .agg(count(lit(1)).as("n_members"),
+          concat_ws("|", array_sort(collect_list(col("doc_id"))))
+            .as("members"))
+        .orderBy("canonical")
+    },
   )
 
   /** SymSpell d=1 blocking keys of a string: the string itself plus
