@@ -27,6 +27,12 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Engine optimizer rules are part of the session contract, active
+    // from the first query — NOT registered lazily inside a query
+    // builder, which would make plans (and bench timings) depend on
+    // which query happened to run first. The spark-submit twin is
+    // `--conf spark.sql.extensions=graft.GraftExtensions`.
+    graft.plans.FuzzyJoinBlocking.register(spark)
     spark
   }
 }

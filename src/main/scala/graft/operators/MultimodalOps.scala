@@ -304,10 +304,10 @@ object MultimodalOps {
       Some(
         """WITH t AS (
           |  SELECT doc_id,
-          |    unnest(list_transform(range(CAST(strlen(text) // 16 AS BIGINT)),
+          |    unnest(list_transform(range(CAST(length(text) // 16 AS BIGINT)),
           |      i -> {'tid': i,
           |            'tile': substr(text, CAST(i*16 + 1 AS INT), 16)})) AS u
-          |  FROM documents WHERE strlen(text) >= 16
+          |  FROM documents WHERE length(text) >= 16
           |)
           |SELECT doc_id, CAST(u.tid AS BIGINT) AS tile_id,
           |  CAST('0x' || substr(md5(u.tile), 1, 15) AS BIGINT) AS digest
@@ -343,14 +343,14 @@ object MultimodalOps {
       Some(
         """WITH f AS (
           |  SELECT doc_id,
-          |    unnest(list_transform(range(CAST(strlen(text) // 8 AS BIGINT)),
+          |    unnest(list_transform(range(CAST(length(text) // 8 AS BIGINT)),
           |      i -> {'fid': i,
           |            'fr': substr(text, CAST(i*8 + 1 AS INT), 8)})) AS u
-          |  FROM documents WHERE strlen(text) >= 8
+          |  FROM documents WHERE length(text) >= 8
           |), voiced AS (
           |  SELECT doc_id, CAST(u.fid AS BIGINT) AS fid
           |  FROM f
-          |  WHERE strlen(regexp_replace(u.fr, '[^aeiou]', '', 'g')) >= 2
+          |  WHERE length(regexp_replace(u.fr, '[^aeiou]', '', 'g')) >= 2
           |), runs AS (
           |  SELECT doc_id, fid,
           |    CASE WHEN fid = lag(fid) OVER (PARTITION BY doc_id ORDER BY fid) + 1

@@ -385,7 +385,9 @@ object TextOps {
         .localCheckpoint()
       step += 1
     }
-    emits.reduce(_ union _)
+    if (emits.isEmpty) words.withColumn("piece", lit(null).cast("string"))
+      .select("w", "freq", "piece").filter(lit(false))
+    else emits.reduce(_ union _)
   }
 
   /** q_tok_optimal: exact MINIMUM-piece segmentation of every word

@@ -100,10 +100,28 @@ object FuzzyJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
     (gen, lk, ks.toAttribute)
   }
 
+  /** True when any conjunct is a plain cross-side equality — the join
+    * already has a hash-partitionable key, so blocking would only
+    * square the fan-out (the re-blocking trap: predicate pushdown can
+    * fold a hand-blocked join's levenshtein verify back into its
+    * key-equality condition, and without this guard the rule would
+    * wrap the already-exploded sides in a second neighborhood). */
+  private def hasEquiKey(cond: Expression, left: LogicalPlan,
+      right: LogicalPlan): Boolean =
+    splitConjunctivePredicates(cond).exists {
+      case EqualTo(x, y) =>
+        (x.references.subsetOf(left.outputSet)
+          && y.references.subsetOf(right.outputSet)) ||
+          (y.references.subsetOf(left.outputSet)
+            && x.references.subsetOf(right.outputSet))
+      case _ => false
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, Inner, Some(cond), _)
         if !left.output.exists(_.name == LkName)
-          && !right.output.exists(_.name == LkName) =>
+          && !right.output.exists(_.name == LkName)
+          && !hasEquiKey(cond, left, right) =>
       val hit: Option[(Expression, Expression)] =
         splitConjunctivePredicates(cond).iterator.flatMap { p =>
           edOnePredicate(p).flatMap { case (x, y) =>

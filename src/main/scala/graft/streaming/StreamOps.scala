@@ -60,8 +60,10 @@ object StreamOps {
       lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
       lit(0.0).as("value"), lit("{}").as("props"))
       .coalesce(1).write.parquet(sentTmp.toString)
-    val part = Files.list(sentTmp).filter(_.toString.endsWith(".parquet"))
-      .findFirst().get()
+    val listing = Files.list(sentTmp)
+    val part =
+      try listing.filter(_.toString.endsWith(".parquet")).findFirst().get()
+      finally listing.close()
     val sentinelFile = srcDir.resolve("zz_sentinel.parquet")
     Files.move(part, sentinelFile)
     // Pin mtimes so FileStreamSource's oldest-first ordering is a
@@ -75,6 +77,29 @@ object StreamOps {
       s.readStream.schema(rawSchema)
         .option("maxFilesPerTrigger", 1)
         .parquet(srcDir.toString))
+  }
+
+  /** Writes `df` as ONE parquet file named `name` inside `srcDir`
+    * with a pinned mtime — the staging primitive behind every
+    * multi-file streaming replay here (FileStreamSource orders by
+    * mtime, so ordering is a property we set, not timing we inherit).
+    * The single part file is found and moved with the directory
+    * stream closed (Files.list leaks a descriptor otherwise). */
+  private def stageSlice(
+      df: org.apache.spark.sql.DataFrame,
+      scratch: String, srcDir: java.nio.file.Path,
+      name: String, mtimeMillis: Long): Unit = {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val tmp = Paths.get(scratch, s"stage-$name")
+    df.coalesce(1).write.parquet(tmp.toString)
+    val listing = Files.list(tmp)
+    val part =
+      try listing.filter(_.toString.endsWith(".parquet")).findFirst().get()
+      finally listing.close()
+    val dst = srcDir.resolve(name)
+    Files.move(part, dst)
+    Files.setLastModifiedTime(dst, FileTime.fromMillis(mtimeMillis))
   }
 
   /** Runs a streaming frame to a parquet sink under AvailableNow and
@@ -672,21 +697,14 @@ object StreamOps {
       val srcDir = Paths.get(scratch, "src")
       Files.createDirectories(srcDir)
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      def stage(i: Int): Unit = {
-        val tmp = Paths.get(scratch, s"slice$i")
-        // Re-read raw (not ts-normalized) so every staged file keeps
-        // the source's physical ts type and the stream schema is
-        // uniform across both runs.
+      // Re-read raw (not ts-normalized) so every staged file keeps the
+      // source's physical ts type and the stream schema is uniform
+      // across both runs.
+      def stage(i: Int): Unit = stageSlice(
         s.read.parquet(s"$dir/events.parquet")
-          .filter(pmod(col("event_id"), lit(3)) === i)
-          .coalesce(1).write.parquet(tmp.toString)
-        val part = Files.list(tmp)
-          .filter(_.toString.endsWith(".parquet")).findFirst().get()
-        val dst = srcDir.resolve(f"part$i%02d.parquet")
-        Files.move(part, dst)
-        Files.setLastModifiedTime(dst,
-          FileTime.fromMillis(1000000000000L + i * 60000L))
-      }
+          .filter(pmod(col("event_id"), lit(3)) === i),
+        scratch, srcDir, f"part$i%02d.parquet",
+        1000000000000L + i * 60000L)
       def runOnce(): Unit = {
         val q = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1)
@@ -782,21 +800,14 @@ object StreamOps {
           |WHERE rn = 1 ORDER BY user_id""".stripMargin),
     ) { (s, dir) =>
       import java.nio.file.{Files, Paths}
-      import java.nio.file.attribute.FileTime
       val ev = Tables.events(s, dir)
       val scratch = Scratch.dir()
       val srcDir = Paths.get(scratch, "src")
       Files.createDirectories(srcDir)
       (0 until 3).foreach { i =>
-        val tmp = Paths.get(scratch, s"slice$i")
-        ev.filter(pmod(col("event_id"), lit(3)) === i)
-          .coalesce(1).write.parquet(tmp.toString)
-        val part = Files.list(tmp)
-          .filter(_.toString.endsWith(".parquet")).findFirst().get()
-        val dst = srcDir.resolve(f"part$i%02d.parquet")
-        Files.move(part, dst)
-        Files.setLastModifiedTime(dst,
-          FileTime.fromMillis(1000000000000L + i * 60000L))
+        stageSlice(ev.filter(pmod(col("event_id"), lit(3)) === i),
+          scratch, srcDir, f"part$i%02d.parquet",
+          1000000000000L + i * 60000L)
       }
       val latest = (df: org.apache.spark.sql.DataFrame) => {
         val w = org.apache.spark.sql.expressions.Window

@@ -85,6 +85,23 @@ class FuzzyRuleSpec extends AnyFunSuite {
       s"outer join must pass through, plan:\n$po")
   }
 
+  test("joins that already have an equi key are left alone (re-blocking guard)") {
+    import spark.implicits._
+    // A hand-blocked join shape: equi key + levenshtein verify in one
+    // condition (what predicate pushdown produces from the blocked
+    // form). The rule must NOT wrap it in a second neighborhood.
+    val l = Seq(("gizmo", "g"), ("gadget", "g")).toDF("a", "ka")
+    val r = Seq(("gzmo", "g"), ("gidget", "g")).toDF("b", "kb")
+    val joined = l.join(r,
+      col("ka") === col("kb") && levenshtein(col("a"), col("b")) <= 1)
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("Generate explode"),
+      s"rule re-blocked an equi-key join, plan:\n$p")
+    val got = joined.collect().map(r => (r.getString(0), r.getString(2)))
+      .sorted.toSeq
+    assert(got == Seq(("gadget", "gidget"), ("gizmo", "gzmo")))
+  }
+
   test("empty and null strings behave like the un-rewritten join") {
     import spark.implicits._
     val l = Seq(Some(""), Some("a"), None).toDF("a")
