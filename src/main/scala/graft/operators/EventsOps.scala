@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions.Portable._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1030,7 +1030,120 @@ object EventsOps {
             / lit(1000000.0)).cast("double").as("decayed_value"))
         .orderBy("event_type")
     },
+
+    Q(
+      "q_rfm",
+      "RFM customer segmentation: per-user Recency/Frequency/Monetary " +
+        "over purchases, scored 1-4 against exact quartile boundaries " +
+        "and rolled into named segments. The textbook formulation is " +
+        "ntile(4) — a SINGLE-PARTITION global sort over every user; " +
+        "this plan instead computes the three quartile boundaries as " +
+        "a 1-row agg over the (already user-bounded) RFM frame and " +
+        "broadcasts them, so scoring is a per-row comparison and the " +
+        "only shuffles are the user-keyed purchase agg and the " +
+        "64-bounded segment rollup. Monetary accumulates in exact " +
+        "×1e6 fixed point (the q_time_decay_agg trick) so float order " +
+        "can't drift a user across a quartile boundary; recency is an " +
+        "exact BIGINT day floor against the corpus max-ts anchor " +
+        "(broadcast 1-row; a pipeline parameter at 100 TB). At scale " +
+        "swap the exact interpolated percentiles for approx sketches " +
+        "— boundaries only need to be consistent, not exact",
+      Some(
+        """WITH anchor AS (
+          |  SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS anchor_us FROM events
+          |), per AS (
+          |  SELECT user_id,
+          |    (anchor_us - max(epoch_us(CAST(ts AS TIMESTAMP)))) // 86400000000
+          |      AS r_days,
+          |    count(*) AS f,
+          |    CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS m_us
+          |  FROM events CROSS JOIN anchor
+          |  WHERE event_type = 'purchase'
+          |  GROUP BY user_id, anchor_us
+          |), q AS (
+          |  SELECT
+          |    quantile_cont(CAST(r_days AS DOUBLE), 0.25) AS rq1,
+          |    quantile_cont(CAST(r_days AS DOUBLE), 0.50) AS rq2,
+          |    quantile_cont(CAST(r_days AS DOUBLE), 0.75) AS rq3,
+          |    quantile_cont(CAST(f AS DOUBLE), 0.25) AS fq1,
+          |    quantile_cont(CAST(f AS DOUBLE), 0.50) AS fq2,
+          |    quantile_cont(CAST(f AS DOUBLE), 0.75) AS fq3,
+          |    quantile_cont(CAST(m_us AS DOUBLE), 0.25) AS mq1,
+          |    quantile_cont(CAST(m_us AS DOUBLE), 0.50) AS mq2,
+          |    quantile_cont(CAST(m_us AS DOUBLE), 0.75) AS mq3
+          |  FROM per
+          |), scored AS (
+          |  SELECT m_us,
+          |    1 + CAST(r_days < rq3 AS BIGINT) + CAST(r_days < rq2 AS BIGINT)
+          |      + CAST(r_days < rq1 AS BIGINT) AS r_score,
+          |    1 + CAST(f > fq1 AS BIGINT) + CAST(f > fq2 AS BIGINT)
+          |      + CAST(f > fq3 AS BIGINT) AS f_score,
+          |    1 + CAST(m_us > mq1 AS BIGINT) + CAST(m_us > mq2 AS BIGINT)
+          |      + CAST(m_us > mq3 AS BIGINT) AS m_score
+          |  FROM per CROSS JOIN q
+          |)
+          |SELECT r_score, f_score, m_score,
+          |  CASE WHEN r_score >= 3 AND f_score >= 3 AND m_score >= 3
+          |         THEN 'champion'
+          |       WHEN r_score >= 3 AND f_score < 3 THEN 'recent'
+          |       WHEN r_score < 3 AND f_score >= 3 THEN 'at_risk'
+          |       ELSE 'hibernating' END AS segment,
+          |  count(*) AS n_users,
+          |  round(CAST(sum(m_us) AS DOUBLE) / 1000000.0 / count(*), 6)
+          |    AS avg_monetary
+          |FROM scored GROUP BY r_score, f_score, m_score
+          |ORDER BY r_score, f_score, m_score""".stripMargin),
+    ) { (s, dir) =>
+      rfmScored(Tables.events(s, dir))
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(count(lit(1)).as("n_users"),
+          round(sum(col("m_us")).cast("double") / lit(1000000.0)
+            / count(lit(1)), 6).as("avg_monetary"))
+        .select(col("r_score"), col("f_score"), col("m_score"),
+          when(col("r_score") >= 3 && col("f_score") >= 3
+            && col("m_score") >= 3, "champion")
+            .when(col("r_score") >= 3 && col("f_score") < 3, "recent")
+            .when(col("r_score") < 3 && col("f_score") >= 3, "at_risk")
+            .otherwise("hibernating").as("segment"),
+          col("n_users"), col("avg_monetary"))
+        .orderBy("r_score", "f_score", "m_score")
+    },
   )
+
+  /** RFM scoring core (q_rfm + Round9OpsSpec planted contract): one
+    * user-keyed purchase agg → 1-row exact quartile boundaries
+    * (broadcast) → per-row 1-4 scores. Returns (user_id, r_days, f,
+    * m_us, r_score, f_score, m_score), unordered. */
+  private[graft] def rfmScored(ev: DataFrame): DataFrame = {
+    val anchor = ev.agg(max(unix_micros(col("ts"))).as("anchor_us"))
+    val per = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(max(unix_micros(col("ts"))).as("last_us"),
+        count(lit(1)).as("f"),
+        sum(round(col("value") * 1000000, 0).cast("long")).as("m_us"))
+      .crossJoin(broadcast(anchor))
+      .select(col("user_id"), col("f"), col("m_us"),
+        expr("(anchor_us - last_us) div 86400000000").as("r_days"))
+      // read twice (boundaries + scoring) — cut the recompute
+      .localCheckpoint()
+    val q = per.agg(
+      expr("percentile(CAST(r_days AS DOUBLE), array(0.25, 0.5, 0.75))").as("rq"),
+      expr("percentile(CAST(f AS DOUBLE), array(0.25, 0.5, 0.75))").as("fq"),
+      expr("percentile(CAST(m_us AS DOUBLE), array(0.25, 0.5, 0.75))").as("mq"))
+    def gt(v: Column, qs: Column, i: Int): Column =
+      (v > element_at(qs, i)).cast("long")
+    def lt(v: Column, qs: Column, i: Int): Column =
+      (v < element_at(qs, i)).cast("long")
+    per.crossJoin(broadcast(q))
+      .select(col("user_id"), col("r_days"), col("f"), col("m_us"),
+        (lit(1L) + lt(col("r_days"), col("rq"), 3)
+          + lt(col("r_days"), col("rq"), 2)
+          + lt(col("r_days"), col("rq"), 1)).as("r_score"),
+        (lit(1L) + gt(col("f"), col("fq"), 1) + gt(col("f"), col("fq"), 2)
+          + gt(col("f"), col("fq"), 3)).as("f_score"),
+        (lit(1L) + gt(col("m_us"), col("mq"), 1) + gt(col("m_us"), col("mq"), 2)
+          + gt(col("m_us"), col("mq"), 3)).as("m_score"))
+  }
 
   /** The SCD2 dimension build shared by q_scd2 and q_scd2_pit_join
     * (one owner for the change rule, version numbering and interval

@@ -707,6 +707,15 @@ class PlanBudgetSpec extends AnyFunSuite {
     assert(p.contains("levenshtein"), s"verify filter missing, plan:\n$p")
   }
 
+  test("q_rfm scores against broadcast boundaries — no global ntile window") {
+    val p = plan("q_rfm")
+    // The textbook ntile(4) would plan a SinglePartition Window over
+    // every user; the broadcast-boundary formulation must not.
+    assert(!p.contains("Window"), s"plan:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"quartile boundaries must broadcast, plan:\n$p")
+  }
+
   test("q1_agg aggregates inside whole-stage codegen") {
     // The plain plan string hides codegen stage boundaries; the
     // codegen explain mode lists every WholeStageCodegen subtree.
