@@ -57,6 +57,18 @@ object GraphOps {
   /** q_link_predict: predictions emitted (TakeOrdered heap cut). */
   private[graft] val LinkPredK = 20
 
+  /** q_kcore: fixed peel rounds (oracle-unrolled; converged rounds
+    * are no-ops so the trace is well-defined whether or not the
+    * fixpoint lands early) and the threshold fraction 9/10: T =
+    * ceil(0.9 · avg weighted degree), computed in exact BIGINT
+    * arithmetic so both engines peel on the identical integer. */
+  private[graft] val KcoreRounds = 6
+
+  /** q_lpa_modularity: synchronous weighted label-propagation
+    * rounds (oracle-unrolled; ties break to the min label so the
+    * synchronous sweep is deterministic). */
+  private[graft] val LpaRounds = 3
+
   /** (user-ordered) item transitions: a = lag(item), b = item. */
   private[graft] def transitions(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -558,7 +570,240 @@ object GraphOps {
       labels.groupBy("label").agg(count(lit(1)).as("n_nodes"))
         .orderBy("label")
     },
+
+    Q(
+      "q_kcore",
+      s"weighted-core (s-core) decomposition TRACE over the undirected " +
+        s"transition graph: $KcoreRounds peel rounds removing nodes " +
+        "whose weighted degree falls below T = ceil(0.9 · avg weighted " +
+        "degree of the INITIAL graph), reporting surviving node/edge " +
+        "counts per round — the graph-cleaning primitive that strips " +
+        "low-engagement periphery before expensive downstream " +
+        "analytics (PageRank, embeddings) run on the core. Each round " +
+        "is one degree agg + two node-keyed semi-joins, per-round " +
+        "localCheckpoint, all shuffles bounded by the item catalog; T " +
+        "travels as a broadcast 1-row frame built from EXACT BIGINT " +
+        "ceiling arithmetic ((18W + 10n − 1) div 10n), so no float " +
+        "ever decides a peel. The trace is a union of 1-row aggs — " +
+        "nothing collects to the driver. Fixed rounds (converged " +
+        "rounds no-op) keep the unrolled oracle byte-equivalent; at " +
+        "100 TB the same loop runs until no row changes",
+      Some {
+        // MATERIALIZED: DuckDB inlines plain CTEs, and each round
+        // references the previous one several times — unmaterialized,
+        // the expansion is exponential in KcoreRounds.
+        val undHead =
+          """und AS MATERIALIZED (
+            |  SELECT least(a, b) AS u, greatest(a, b) AS v,
+            |    CAST(sum(n) AS BIGINT) AS w
+            |  FROM edges WHERE a <> b GROUP BY 1, 2
+            |), thr AS MATERIALIZED (
+            |  SELECT (18 * (SELECT sum(w) FROM und)
+            |    + 10 * (SELECT count(DISTINCT node) FROM
+            |        (SELECT u AS node FROM und UNION ALL SELECT v FROM und) t1)
+            |    - 1)
+            |    // (10 * (SELECT count(DISTINCT node) FROM
+            |        (SELECT u AS node FROM und UNION ALL SELECT v FROM und) t2))
+            |    AS t
+            |), s0 AS MATERIALIZED (SELECT u, v, w FROM und)""".stripMargin
+        val rounds = (1 to KcoreRounds).map { i =>
+          s"""k$i AS MATERIALIZED (
+             |  SELECT node FROM
+             |    (SELECT u AS node, w FROM s${i - 1}
+             |     UNION ALL SELECT v, w FROM s${i - 1}) d
+             |  CROSS JOIN thr GROUP BY node, t HAVING sum(w) >= t
+             |), s$i AS MATERIALIZED (
+             |  SELECT s${i - 1}.* FROM s${i - 1}
+             |  WHERE u IN (SELECT node FROM k$i) AND v IN (SELECT node FROM k$i)
+             |)""".stripMargin
+        }.mkString(", ")
+        val trace = (0 to KcoreRounds).map { i =>
+          s"""SELECT CAST($i AS BIGINT) AS round,
+             |  (SELECT count(DISTINCT node) FROM
+             |    (SELECT u AS node FROM s$i UNION ALL SELECT v FROM s$i) x$i)
+             |    AS n_nodes,
+             |  (SELECT count(*) FROM s$i) AS n_edges""".stripMargin
+        }.mkString("\nUNION ALL ")
+        s"""WITH $edgesSqlCte, $undHead, $rounds
+           |SELECT * FROM ($trace) ORDER BY round""".stripMargin
+      },
+    ) { (s, dir) =>
+      corePeelTrace(undirectedWeighted(s, dir))
+    },
+
+    Q(
+      "q_lpa_modularity",
+      s"community detection ($LpaRounds synchronous weighted " +
+        "label-propagation rounds, ties to min label) + the modularity " +
+        "of the resulting partition: per-community size, internal " +
+        "weight, total weighted degree, and Q — the partition-quality " +
+        "metric that scores any community assignment. Each LPA round " +
+        "is one edge-keyed vote join + a NODE-KEYED ranking window " +
+        "(never global); modularity's numerator Σ_c(2·in_c·2m − " +
+        "tot_c²) accumulates in EXACT BIGINT products (DECIMAL(38) at " +
+        "100 TB weights) so community sum order cannot drift it, and " +
+        "the single final division is 6dp-rounded. Degenerate " +
+        "outcomes (one giant community on a uniform graph, Q = 0) are " +
+        "faithful — the planted two-clique spec pins the informative " +
+        "case. All shuffles node/community-keyed, catalog-bounded",
+      Some {
+        val head =
+          """und AS (
+            |  SELECT least(a, b) AS u, greatest(a, b) AS v,
+            |    CAST(sum(n) AS BIGINT) AS w
+            |  FROM edges WHERE a <> b GROUP BY 1, 2
+            |), sym AS (
+            |  SELECT u AS src, v AS dst, w FROM und
+            |  UNION ALL SELECT v, u, w FROM und
+            |), l0 AS (
+            |  SELECT DISTINCT src AS node, src AS label FROM sym
+            |)""".stripMargin
+        val rounds = (1 to LpaRounds).map { i =>
+          s"""v$i AS (
+             |  SELECT s.dst AS node, l.label, CAST(sum(s.w) AS BIGINT) AS vw
+             |  FROM l${i - 1} l JOIN sym s ON s.src = l.node
+             |  GROUP BY s.dst, l.label
+             |), l$i AS (
+             |  SELECT node, label FROM (
+             |    SELECT node, label, row_number() OVER (
+             |      PARTITION BY node ORDER BY vw DESC, label) AS rk
+             |    FROM v$i) WHERE rk = 1
+             |)""".stripMargin
+        }.mkString(", ")
+        s"""WITH $edgesSqlCte, $head, $rounds, deg AS (
+           |  SELECT node, CAST(sum(w) AS BIGINT) AS dw FROM
+           |    (SELECT u AS node, w FROM und UNION ALL SELECT v, w FROM und) d
+           |  GROUP BY node
+           |), mm AS (SELECT 2 * CAST(sum(w) AS BIGINT) AS m2 FROM und),
+           |comm AS (
+           |  SELECT l.label AS community, count(*) AS n_nodes,
+           |    CAST(sum(d.dw) AS BIGINT) AS tot_w
+           |  FROM l$LpaRounds l JOIN deg d ON l.node = d.node GROUP BY l.label
+           |), inw AS (
+           |  SELECT la.label AS community, CAST(sum(e2.w) AS BIGINT) AS in_w
+           |  FROM und e2
+           |  JOIN l$LpaRounds la ON e2.u = la.node
+           |  JOIN l$LpaRounds lb ON e2.v = lb.node
+           |  WHERE la.label = lb.label GROUP BY la.label
+           |), qn AS (
+           |  SELECT CAST(sum(2 * coalesce(i.in_w, 0) * mm.m2
+           |      - c.tot_w * c.tot_w) AS BIGINT) AS num,
+           |    max(mm.m2) AS m2v
+           |  FROM comm c LEFT JOIN inw i ON c.community = i.community
+           |  CROSS JOIN mm
+           |)
+           |SELECT c.community, c.n_nodes, coalesce(i.in_w, 0) AS in_w,
+           |  c.tot_w,
+           |  round(q.num / (CAST(q.m2v AS DOUBLE) * q.m2v), 6) AS modularity
+           |FROM comm c LEFT JOIN inw i ON c.community = i.community
+           |CROSS JOIN qn q
+           |ORDER BY c.community""".stripMargin
+      },
+    ) { (s, dir) =>
+      lpaModularity(undirectedWeighted(s, dir))
+    },
   )
+
+  /** Undirected distinct-pair weighted edges (u < v, w = summed
+    * directed transition counts) — shared by q_kcore and
+    * q_lpa_modularity. */
+  private[graft] def undirectedWeighted(s: SparkSession, dir: String): DataFrame =
+    edgesOf(s, dir)
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("uu"),
+        greatest(col("a"), col("b")).as("vv"), col("n"))
+      .groupBy(col("uu").as("u"), col("vv").as("v"))
+      .agg(sum("n").as("w"))
+
+  /** q_kcore core (planted-graph spec entry point): fixed-round
+    * weighted peel, returning the (round, n_nodes, n_edges) trace. */
+  private[graft] def corePeelTrace(undRaw: DataFrame): DataFrame = {
+    val und = undRaw.localCheckpoint()
+    val nodesOf = (e: DataFrame) =>
+      e.select(explode(array(col("u"), col("v"))).as("node")).distinct()
+    val thr = und.agg(sum("w").as("tw"))
+      .crossJoin(nodesOf(und).agg(count(lit(1)).as("nc")))
+      .select(expr("(18 * tw + 10 * nc - 1) div (10 * nc)").as("t"))
+    def traceRow(round: Int, e: DataFrame): DataFrame =
+      nodesOf(e).agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+        .select(lit(round.toLong).as("round"), col("n_nodes"), col("n_edges"))
+    var edges = und
+    var trace = traceRow(0, edges)
+    for (i <- 1 to KcoreRounds) {
+      val keep = edges
+        .select(explode(array(col("u"), col("v"))).as("node"), col("w"))
+        .groupBy("node").agg(sum("w").as("dw"))
+        .crossJoin(broadcast(thr))
+        .filter(col("dw") >= col("t"))
+        .select("node")
+      edges = edges
+        .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .select("u", "v", "w")
+        .localCheckpoint()
+      trace = trace.unionAll(traceRow(i, edges))
+    }
+    trace.orderBy("round")
+  }
+
+  /** Synchronous weighted LPA labels after `rounds` rounds (ties to
+    * min label); returns (node, label). Every node has at least one
+    * edge so the vote join is total. */
+  private[graft] def lpaLabels(und: DataFrame, rounds: Int): DataFrame = {
+    val sym = und.select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .unionAll(und.select(col("v"), col("u"), col("w")))
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val votes = labels.join(sym, labels("node") === sym("src"))
+        .groupBy(col("dst").as("vnode"), col("label"))
+        .agg(sum("w").as("vw"))
+      val byNode = Window.partitionBy("vnode")
+        .orderBy(col("vw").desc, col("label"))
+      labels = votes.withColumn("rk", row_number().over(byNode))
+        .filter(col("rk") === 1)
+        .select(col("vnode").as("node"), col("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  /** q_lpa_modularity core (planted-graph spec entry point): LPA
+    * partition rollup + exact-numerator modularity. */
+  private[graft] def lpaModularity(undRaw: DataFrame): DataFrame = {
+    val und = undRaw.localCheckpoint()
+    val labels = lpaLabels(und, LpaRounds).localCheckpoint()
+    val deg = und
+      .select(explode(array(col("u"), col("v"))).as("node"), col("w"))
+      .groupBy("node").agg(sum("w").as("dw"))
+    val m2 = und.agg((lit(2L) * sum("w")).as("m2"))
+    val comm = labels.join(deg, "node")
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum("dw").as("tot_w"))
+      .localCheckpoint() // read twice: qnum + final select
+    val la = labels.select(col("node").as("u"), col("label").as("cu"))
+    val lb = labels.select(col("node").as("v"), col("label").as("cv"))
+    val inw = und.join(la, "u").join(lb, "v")
+      .filter(col("cu") === col("cv"))
+      .groupBy(col("cu").as("community"))
+      .agg(sum("w").as("in_w"))
+    val withIn = comm.join(inw, Seq("community"), "left")
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("in_w"), lit(0L)).as("in_w"), col("tot_w"))
+      .localCheckpoint() // read twice: numerator + output rows
+    val qn = withIn.crossJoin(broadcast(m2))
+      .agg(sum(lit(2L) * col("in_w") * col("m2")
+        - col("tot_w") * col("tot_w")).as("num"),
+        max(col("m2")).as("m2v"))
+    withIn.crossJoin(broadcast(qn))
+      .select(col("community"), col("n_nodes"), col("in_w"), col("tot_w"),
+        round(col("num") / (col("m2v").cast("double") * col("m2v")), 6)
+          .as("modularity"))
+      .orderBy("community")
+  }
 
   /** Min-label propagation WITH pointer jumping over an undirected
     * edge set (u, v): each round takes min over {own label} ∪

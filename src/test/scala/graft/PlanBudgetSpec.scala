@@ -716,6 +716,46 @@ class PlanBudgetSpec extends AnyFunSuite {
       s"quartile boundaries must broadcast, plan:\n$p")
   }
 
+  test("q_kcore: the peel threshold broadcasts — no sort-merge join in the loop") {
+    val p = plan("q_kcore")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"threshold must broadcast, plan:\n$p")
+    // Window-free: degree filtering is agg + semi-join, never a rank.
+    assert(!p.contains("Window"), s"plan:\n$p")
+  }
+
+  test("q_lpa_modularity broadcasts the scalar stats with partial aggregation") {
+    val p = plan("q_lpa_modularity")
+    // m2 and the modularity numerator are 1-row aggs: they must
+    // partial-aggregate map-side and broadcast back, never sort-merge.
+    assert(p.contains("partial_sum"), s"plan:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+  }
+
+  test("lpaLabels ranks votes per node — no single-partition window") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val und = Seq((1L, 2L, 5L), (2L, 3L, 4L)).toDF("u", "v", "w")
+    // Plan the un-checkpointed single round directly: the ranking
+    // window must partition by node (vnode), never globally.
+    val sym = und.select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .unionAll(und.select(col("v"), col("u"), col("w")))
+    val labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    val votes = labels.join(sym, labels("node") === sym("src"))
+      .groupBy(col("dst").as("vnode"), col("label"))
+      .agg(org.apache.spark.sql.functions.sum("w").as("vw"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vnode")
+      .orderBy(col("vw").desc, col("label"))
+    val p = votes
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(w))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Window"), s"plan:\n$p")
+    assert(p.contains("hashpartitioning(vnode"), s"plan:\n$p")
+  }
+
   test("q1_agg aggregates inside whole-stage codegen") {
     // The plain plan string hides codegen stage boundaries; the
     // codegen explain mode lists every WholeStageCodegen subtree.

@@ -39,6 +39,43 @@ class Round9OpsSpec extends AnyFunSuite {
       (1L, 4L, 4L, 4L), (2L, 3L, 3L, 3L), (3L, 2L, 2L, 2L), (4L, 1L, 1L, 1L)))
   }
 
+  // ---- q_kcore ----
+
+  test("corePeelTrace peels a weak pendant off a heavy triangle") {
+    import spark.implicits._
+    // Triangle 1-2-3 (w=10 each; weighted degrees 20/20/21) plus a
+    // pendant 4 hanging off node 3 (w=1; degree 1). W=31, n=4, avg
+    // weighted degree 15.5 → T = ceil(0.9·15.5) = 14. Round 1 peels
+    // the pendant; the triangle survives every later round.
+    val und = Seq((1L, 2L, 10L), (1L, 3L, 10L), (2L, 3L, 10L), (3L, 4L, 1L))
+      .toDF("u", "v", "w")
+    val got = graft.operators.GraphOps.corePeelTrace(und)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.head == (0L, 4L, 4L))
+    assert(got.tail.map(t => (t._2, t._3)).forall(_ == (3L, 3L)))
+    assert(got.map(_._1) == (0L to 6L))
+  }
+
+  // ---- q_lpa_modularity ----
+
+  test("lpaModularity separates two planted cliques across a weak bridge") {
+    import spark.implicits._
+    // Two triangles (internal w=5) bridged by one w=1 edge. Hand-run
+    // LPA converges to communities {1,2,3} and {11,12,13}; modularity
+    // num = 2·(2·15·62 − 31²) = 1798, m2² = 3844 → Q ≈ 0.467742.
+    val und = Seq(
+      (1L, 2L, 5L), (1L, 3L, 5L), (2L, 3L, 5L),
+      (11L, 12L, 5L), (11L, 13L, 5L), (12L, 13L, 5L),
+      (3L, 11L, 1L)).toDF("u", "v", "w")
+    val got = graft.operators.GraphOps.lpaModularity(und).collect()
+    assert(got.length == 2)
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 11L))
+    assert(got.forall(_.getLong(1) == 3L))     // n_nodes
+    assert(got.forall(_.getLong(2) == 15L))    // in_w
+    assert(got.forall(_.getLong(3) == 31L))    // tot_w
+    assert(got.forall(_.getDouble(4) == 0.467742))
+  }
+
   test("q_rfm: segment counts cover all purchase users exactly once") {
     val rows = SparkEntry.queries("q_rfm")(spark, dir).collect()
     assert(rows.nonEmpty)
