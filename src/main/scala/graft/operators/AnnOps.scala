@@ -840,6 +840,89 @@ object AnnOps {
     },
 
     Q(
+      "q_sq8_search",
+      "int8 scalar-quantization ANN (the SQ8 path every vector DB " +
+        "ships beside PQ and binary): per-dim [min, max] over the " +
+        s"corpus → each of the $Dim dims collapses to one byte (code " +
+        "= round(255·(x−mn)/range)), a 4× cheaper scan than float32; " +
+        "search dequantizes on the fly (mn + code·range/255) and " +
+        "ranks by exact 6dp cosine against full-precision broadcast " +
+        "probes — asymmetric distance, the SQ analog of q_pq_search's " +
+        "ADC. The dim stats are a 64-row agg folded into ONE " +
+        "broadcast row (map-side partials collapse the narrow " +
+        "(dim, x) explode to 64 rows per partition), so quantize and " +
+        "dequantize are pure per-row transforms; codes are born in " +
+        "one corpus pass, paid at ingest in a deployed system. " +
+        "Dequantized values cast to float in BOTH engines (IEEE " +
+        "round-to-nearest-even) so the fused CosSim fold sees " +
+        "identical bits. Degenerate zero-range dims code to 0",
+      Some(
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+           |dimstats AS (
+           |  SELECT u.i AS dim,
+           |    min(CAST(embedding[u.i + 1] AS DOUBLE)) AS mn,
+           |    max(CAST(embedding[u.i + 1] AS DOUBLE)) AS mx
+           |  FROM e CROSS JOIN (SELECT unnest(range($Dim)) AS i) u
+           |  GROUP BY u.i
+           |), stats AS (
+           |  SELECT list(mn ORDER BY dim) AS mins, list(mx ORDER BY dim) AS maxs
+           |  FROM dimstats
+           |), codes AS (
+           |  SELECT vec_id,
+           |    list_transform(range($Dim), i -> CAST(coalesce(
+           |      round(255.0 * (CAST(embedding[i + 1] AS DOUBLE) - mins[i + 1])
+           |        / nullif(maxs[i + 1] - mins[i + 1], 0)), 0) AS BIGINT)) AS code
+           |  FROM e CROSS JOIN stats
+           |), dq AS (
+           |  SELECT vec_id,
+           |    CAST(list_transform(range($Dim), i -> mins[i + 1]
+           |      + code[i + 1] * (maxs[i + 1] - mins[i + 1]) / 255.0)
+           |      AS FLOAT[]) AS ne
+           |  FROM codes CROSS JOIN stats
+           |), probes AS (
+           |  SELECT vec_id AS probe_id, embedding AS pe FROM e
+           |  WHERE vec_id < $NumProbes
+           |), scored AS (
+           |  SELECT probe_id, d.vec_id AS neighbor_id,
+           |    ${cosSimSql("pe", "ne")} AS cos_sim
+           |  FROM probes JOIN dq d ON d.vec_id <> probe_id
+           |)$rankTopKSqlTail""".stripMargin),
+    ) { (s, dir) =>
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val dimstats = e
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("dim")
+        .agg(min(col("x").cast("double")).as("mn"),
+          max(col("x").cast("double")).as("mx"))
+      val stats = dimstats.agg(
+        expr("transform(array_sort(collect_list(struct(dim, mn))), t -> t.mn)")
+          .as("mins"),
+        expr("transform(array_sort(collect_list(struct(dim, mx))), t -> t.mx)")
+          .as("maxs"))
+      val codes = e.crossJoin(broadcast(stats))
+        .select(col("vec_id"), expr(
+          s"""transform(sequence(0, ${Dim - 1}), i -> CAST(coalesce(
+             |  round(255.0D * (CAST(element_at(embedding, i + 1) AS DOUBLE)
+             |      - element_at(mins, i + 1))
+             |    / nullif(element_at(maxs, i + 1) - element_at(mins, i + 1), 0D)),
+             |  0D) AS BIGINT))""".stripMargin).as("code"))
+        // one corpus pass births the codes — ingest-time work
+        .localCheckpoint()
+      val dq = codes.crossJoin(broadcast(stats))
+        .select(col("vec_id"), expr(
+          s"""CAST(transform(sequence(0, ${Dim - 1}), i ->
+             |  element_at(mins, i + 1) + element_at(code, i + 1)
+             |    * (element_at(maxs, i + 1) - element_at(mins, i + 1)) / 255.0D)
+             |  AS ARRAY<FLOAT>)""".stripMargin).as("ne"))
+      val probes = e.filter(col("vec_id") < NumProbes)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      rankTopK(broadcast(probes)
+        .join(dq, col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          cosSim(s, "pe", "ne").as("cos_sim")))
+    },
+
+    Q(
       "q_mmr_rerank",
       "MMR diversity re-rank (Carbonell & Goldstein; λ=0.7): greedy " +
         s"top-$MmrK from a top-$MmrR candidate pool per probe, each " +

@@ -160,6 +160,24 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("q_sq8_search recall@10 vs brute force on sf0.001") {
+    // 8-bit scalar quantization keeps ~0.4% per-dim error; top-10
+    // neighbor sets should be nearly identical to full precision. The
+    // floor is a tripwire for a broken quantizer (recall → ~chance).
+    val sf = "/root/testdata/sf0.001"
+    def topk(q: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(q)(spark, sf).collect()
+        .groupBy(_.getLong(0))
+        .map { case (p, rs) => p -> rs.map(_.getLong(1)).toSet }
+    val brute = topk("q_simsearch")
+    val sq8 = topk("q_sq8_search")
+    val recalls = brute.map { case (p, b) =>
+      sq8.getOrElse(p, Set.empty).intersect(b).size.toDouble / b.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"mean recall@10 $mean; per-probe $recalls")
+  }
+
   test("q_embed_centroids: tight label 0 scores higher than split label") {
     val rows = SparkEntry.queries("q_embed_centroids")(spark, dir).collect()
       .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap

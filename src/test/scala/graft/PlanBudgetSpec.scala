@@ -756,6 +756,12 @@ class PlanBudgetSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(vnode"), s"plan:\n$p")
   }
 
+  test("q_sq8_search broadcasts dim stats and probes — corpus never sort-merges") {
+    val p = plan("q_sq8_search")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+  }
+
   test("q1_agg aggregates inside whole-stage codegen") {
     // The plain plan string hides codegen stage boundaries; the
     // codegen explain mode lists every WholeStageCodegen subtree.
