@@ -1148,6 +1148,54 @@ object Relational {
           col("p_size").cast("long").as("size")))
         .orderBy("p_partkey")
     },
+
+    Q(
+      "q_mv_join_incremental",
+      "incremental maintenance of a JOIN-aggregate materialized view " +
+        "(revenue per o_orderpriority over orders ⋈ lineitem): the " +
+        "engine builds the view from a BASE batch (l_orderkey % 10 " +
+        "≠ 0, checkpointed — the persisted MV), joins ONLY the delta " +
+        "batch against orders for ΔV, and merges state by key — " +
+        "q_agg_incremental's fold generalized across a join, the " +
+        "algebra behind every streaming MV / Delta-style incremental " +
+        "pipeline (insert-only delta: no retraction rows needed). At " +
+        "100 TB the delta join costs Δ + matching order partitions " +
+        "(zero-exchange with the q_bucket_join bucketed layout), " +
+        "never a history rescan; state is (priorities)-bounded with " +
+        "additive components only (counts + exact cent sums — " +
+        "averages don't merge, so none are stored). The oracle is " +
+        "the FULL recompute over all of lineitem, proving " +
+        "delta-merge ≡ rescan",
+      Some(
+        s"""SELECT o.o_orderpriority,
+           |  count(*) AS n_items,
+           |  ${exactSumSql("l.l_extendedprice * (1 - l.l_discount)")}
+           |    AS revenue
+           |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin),
+    ) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+            .cast("long").as("cents"))
+      val orders = Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")
+      def viewOf(items: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        items.join(orders, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      // The persisted MV: built once from the base batch. In a
+      // deployed pipeline this is a table on disk; the checkpoint
+      // models that the merge MUST NOT re-derive it from raw history.
+      val baseView = viewOf(li.filter(col("l_orderkey") % 10 =!= 0))
+        .localCheckpoint()
+      // ΔV from the delta batch alone — the only join at refresh time.
+      val deltaView = viewOf(li.filter(col("l_orderkey") % 10 === 0))
+      baseView.unionByName(deltaView)
+        .groupBy("o_orderpriority")
+        .agg(sum(col("n")).as("n_items"),
+          (sum(col("cents")) / 100.0).cast("double").as("revenue"))
+        .orderBy("o_orderpriority")
+    },
   )
 
   /** q_skyline core over any (p_partkey, price, size) frame (the spec

@@ -76,6 +76,37 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(got.forall(_.getDouble(4) == 0.467742))
   }
 
+  // ---- q_mv_join_incremental ----
+
+  test("q_mv_join_incremental: delta-merge equals a direct full recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q_mv_join_incremental")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val li = graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+          .cast("long").as("cents"))
+    val full = li
+      .join(graft.Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        (sum(col("cents")) / 100.0).cast("double").as("revenue"))
+      .orderBy("o_orderpriority").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == full)
+  }
+
+  test("q_mv_join_incremental: the merge never rescans base history") {
+    // The persisted base view enters as a checkpointed RDD scan; raw
+    // lineitem appears exactly once in the refresh plan (the delta).
+    val p = SparkEntry.queries("q_mv_join_incremental")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val lineitemScans = "lineitem".r.findAllIn(p).length
+    assert(p.contains("Scan ExistingRDD"), s"plan:\n$p")
+    assert(lineitemScans <= 2, // path + pushed-filter mention of ONE scan
+      s"base history rescanned, plan:\n$p")
+  }
+
   test("q_rfm: segment counts cover all purchase users exactly once") {
     val rows = SparkEntry.queries("q_rfm")(spark, dir).collect()
     assert(rows.nonEmpty)
