@@ -336,16 +336,21 @@ object TextOps {
     * corpus-weighted frequency over the word vocabulary (single chars
     * are the implicit byte-fallback tier). Checkpointed. */
   private[graft] def wpPieces(words: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val grams = (2 to 4).map { l =>
+      : org.apache.spark.sql.DataFrame =
+    wpGramCounts(words).orderBy(col("n").desc, col("g")).limit(WpPieceK)
+      .select(col("g").as("piece")).localCheckpoint()
+
+  /** Corpus-weighted char 2..4-gram counts (g, n) over the word
+    * vocabulary — shared by [[wpPieces]] and the unigram-LM piece
+    * inventory. */
+  private[graft] def wpGramCounts(words: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    (2 to 4).map { l =>
       words.filter(length(col("w")) >= l)
         .select(col("freq"), explode(transform(
           sequence(lit(0), length(col("w")) - l),
           i => col("w").substr(i + lit(1), lit(l)))).as("g"))
     }.reduce(_ union _).groupBy("g").agg(sum(col("freq")).as("n"))
-    grams.orderBy(col("n").desc, col("g")).limit(WpPieceK)
-      .select(col("g").as("piece")).localCheckpoint()
-  }
 
   /** One greedy longest-match pass over every distinct word: the
     * emitted (w, freq, piece) stream across [[WpMaxSteps]] unrolled
@@ -437,6 +442,103 @@ object TextOps {
     }
     st.select(col("w"), col("freq"),
       element_at(col("dps"), length(col("w")) + 1).as("opt_pieces"))
+  }
+
+  /** q_unigram_viterbi: score sentinel for "piece absent" DP
+    * candidates — far below any reachable path sum (|lp6| < 2·10⁷ per
+    * piece × ≤16 chars), so it never wins and never enters state. */
+  private[graft] val UgNegInf = -1000000000000000L
+
+  /** Unigram-LM piece inventory: top-[[WpPieceK]] 2..4-grams PLUS all
+    * observed single chars (total coverage), each with corpus-weighted
+    * count `n` and fixed-point log-prob `lp6 = round(ln(n/total)·1e6)`
+    * — the ONE libm boundary, rounded to an integer grid so the whole
+    * Viterbi DP runs in exact BIGINT arithmetic. Checkpointed. */
+  private[graft] def ugInventory(words: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val grams = wpGramCounts(words)
+      .orderBy(col("n").desc, col("g")).limit(WpPieceK)
+      .select(col("g").as("piece"), col("n"))
+    val chars = words
+      .select(col("freq"), explode(transform(
+        sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1)))).as("piece"))
+      .groupBy("piece").agg(sum(col("freq")).as("n"))
+    val inv = grams.unionByName(chars) // 1-char ∩ 2..4-gram = ∅
+    val tot = inv.agg(sum(col("n")).cast("double").as("tot"))
+    inv.crossJoin(broadcast(tot))
+      .select(col("piece"), col("n"),
+        round(log(col("n") / col("tot")) * 1000000, 0).cast("long").as("lp6"))
+      .localCheckpoint()
+  }
+
+  /** Viterbi-best unigram segmentation of every distinct word:
+    * forward DP dp[j] = max over piece lengths L ∈ 1..4 ending at j
+    * of dp[j−L] + lp6(piece) (ties prefer the LONGER piece), carrying
+    * score and backpointer arrays as row columns through
+    * [[WpMaxSteps]] unrolled rounds against four broadcast piece
+    * tables; then an unrolled BACKWARD walk follows the backpointers
+    * from len(w), emitting one (w, freq, piece) row per chosen piece.
+    * State stays word-vocab-bounded throughout; each round
+    * checkpoints (the wpGreedyEmits discipline). */
+  private[graft] def ugViterbiEmits(
+      words: org.apache.spark.sql.DataFrame,
+      inv: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val pTab = (1 to 4).map { l =>
+      l -> broadcast(inv.filter(length(col("piece")) === l)
+        .select(col("piece").as(s"p$l"), col("lp6").as(s"lp$l")))
+    }.toMap
+    var st = words
+      .withColumn("dps", array(lit(0L)))
+      .withColumn("bps", array(lit(0L))) // bps[1] unused
+    var j = 1
+    var maxLenDone = false
+    while (j <= WpMaxSteps && !maxLenDone) {
+      var m = st.join(pTab(1), col("p1") === col("w").substr(j, 1), "left")
+      for (l <- 2 to 4 if l <= j)
+        m = m.join(pTab(l), col(s"p$l") === col("w").substr(j - l + 1, l), "left")
+      def cand(l: Int): Column =
+        if (l > j) lit(UgNegInf)
+        else when(col(s"p$l").isNotNull,
+          element_at(col("dps"), j - l + 1) + col(s"lp$l"))
+          .otherwise(lit(UgNegInf))
+      val cands = (1 to 4).map(cand)
+      val bs = cands.reduce(greatest(_, _))
+      // Ties prefer the longer piece: probe L = 4 first.
+      val bl = when(cand(4) === bs, 4L).when(cand(3) === bs, 3L)
+        .when(cand(2) === bs, 2L).otherwise(1L)
+      st = m
+        .withColumn("ndps",
+          when(length(col("w")) >= j, concat(col("dps"), array(bs)))
+            .otherwise(col("dps")))
+        .withColumn("nbps",
+          when(length(col("w")) >= j, concat(col("bps"), array(bl)))
+            .otherwise(col("bps")))
+        .select(col("w"), col("freq"),
+          col("ndps").as("dps"), col("nbps").as("bps"))
+        .localCheckpoint()
+      maxLenDone = st.filter(length(col("w")) > j).isEmpty
+      j += 1
+    }
+    // Backward walk: pos = prefix length; chosen piece ends at pos.
+    var bt = st.select(col("w"), col("freq"), col("bps"),
+      length(col("w")).cast("long").as("pos"))
+    val emits = scala.collection.mutable.Buffer[org.apache.spark.sql.DataFrame]()
+    var step = 0
+    while (step < WpMaxSteps && !bt.isEmpty) {
+      val l = element_at(col("bps"), (col("pos") + 1).cast("int"))
+      val e = bt.select(col("w"), col("freq"), col("bps"),
+        col("w").substr((col("pos") - l + 1).cast("int"), l.cast("int"))
+          .as("piece"),
+        (col("pos") - l).as("npos"))
+        .localCheckpoint()
+      emits += e.select("w", "freq", "piece")
+      bt = e.filter(col("npos") > 0)
+        .select(col("w"), col("freq"), col("bps"), col("npos").as("pos"))
+      step += 1
+    }
+    emits.reduce(_ union _)
   }
 
   /** q_span_mask: token positions p with p % SpanCycle in
@@ -2021,6 +2123,132 @@ object TextOps {
           col("greedy_pieces"),
           (col("greedy_pieces") - col("opt_pieces")).as("gap"))
         .orderBy("w")
+    },
+
+    Q(
+      "q_unigram_viterbi",
+      "unigram-LM tokenization (the SentencePiece family — the THIRD " +
+        "tokenizer beside the BPE merge loop and WordPiece greedy " +
+        "match): pieces = top 2..4-grams + all chars with corpus " +
+        "counts → log-probs; every DISTINCT word gets its " +
+        "Viterbi-BEST segmentation (max Σ ln p, ties to the longer " +
+        "piece) via unrolled forward DP carrying score AND " +
+        "backpointer arrays on the row, then an unrolled BACKWARD " +
+        "walk emits the chosen pieces; the M-step re-counts pieces " +
+        "under the Viterbi assignment (Viterbi-EM, the hard-EM " +
+        "variant SentencePiece uses between pruning rounds) and " +
+        "renormalizes. The ONE libm call (ln) is rounded to a ×1e6 " +
+        "integer grid per piece, so the entire DP — sums, argmax, " +
+        "ties — runs in EXACT BIGINT arithmetic that parallelism " +
+        "cannot drift. State is word-vocab-bounded throughout " +
+        "(corpus read once for the word agg); every round probes " +
+        "four broadcast piece tables and checkpoints. Output: per " +
+        "piece, prior count, Viterbi count, renormalized probability",
+      Some {
+        val sb = new StringBuilder
+        sb.append(
+          s"""WITH words AS MATERIALIZED (
+             |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+             |    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+             |  WHERE w <> '' GROUP BY w
+             |), grams AS (
+             |  SELECT g, CAST(sum(freq) AS BIGINT) AS n FROM (
+             |    SELECT freq, unnest(list_transform(range(len(w) - 1), i -> substr(w, CAST(i+1 AS INT), 2))) AS g FROM words
+             |    UNION ALL
+             |    SELECT freq, unnest(list_transform(range(len(w) - 2), i -> substr(w, CAST(i+1 AS INT), 3))) AS g FROM words
+             |    UNION ALL
+             |    SELECT freq, unnest(list_transform(range(len(w) - 3), i -> substr(w, CAST(i+1 AS INT), 4))) AS g FROM words
+             |  ) GROUP BY g
+             |), gr AS (
+             |  SELECT g AS piece, n FROM grams ORDER BY n DESC, g LIMIT $WpPieceK
+             |), c1n AS (
+             |  SELECT piece, CAST(sum(freq) AS BIGINT) AS n FROM (
+             |    SELECT freq, unnest(list_transform(range(len(w)), i -> substr(w, CAST(i+1 AS INT), 1))) AS piece FROM words)
+             |  GROUP BY piece
+             |), inv AS MATERIALIZED (
+             |  SELECT piece, n FROM gr UNION ALL SELECT piece, n FROM c1n
+             |), itot AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM inv),
+             |lp AS MATERIALIZED (
+             |  SELECT piece, n, CAST(round(ln(n / tot) * 1000000) AS BIGINT) AS lp6
+             |  FROM inv CROSS JOIN itot
+             |), l1 AS MATERIALIZED (SELECT piece, lp6 FROM lp WHERE len(piece) = 1),
+             |l2 AS MATERIALIZED (SELECT piece, lp6 FROM lp WHERE len(piece) = 2),
+             |l3 AS MATERIALIZED (SELECT piece, lp6 FROM lp WHERE len(piece) = 3),
+             |l4 AS MATERIALIZED (SELECT piece, lp6 FROM lp WHERE len(piece) = 4),
+             |d0 AS MATERIALIZED (
+             |  SELECT w, freq, [CAST(0 AS BIGINT)] AS dps, [CAST(0 AS BIGINT)] AS bps
+             |  FROM words)""".stripMargin)
+        for (j <- 1 to WpMaxSteps) {
+          val ls = (1 to 4).filter(_ <= j)
+          val joins = ls.map(l =>
+            s"LEFT JOIN l$l v$l ON v$l.piece = substr(st.w, ${j - l + 1}, $l)")
+            .mkString("\n  ")
+          def cand(l: Int): String =
+            s"CASE WHEN v$l.piece IS NOT NULL THEN list_extract(st.dps, ${j - l + 1}) + v$l.lp6 ELSE CAST($UgNegInf AS BIGINT) END"
+          val bs = s"greatest(${ls.map(cand).mkString(", ")})"
+          val bl =
+            if (ls.size == 1) "CAST(1 AS BIGINT)"
+            else ls.reverse.init.map(l =>
+              s"WHEN ${cand(l)} = $bs THEN CAST($l AS BIGINT)")
+              .mkString("CASE ", " ", " ELSE CAST(1 AS BIGINT) END")
+          sb.append(
+            s""",
+               |d$j AS MATERIALIZED (
+               |  SELECT st.w, st.freq,
+               |    CASE WHEN len(st.w) >= $j THEN list_append(st.dps, $bs)
+               |      ELSE st.dps END AS dps,
+               |    CASE WHEN len(st.w) >= $j THEN list_append(st.bps, $bl)
+               |      ELSE st.bps END AS bps
+               |  FROM d${j - 1} st
+               |  $joins
+               |)""".stripMargin)
+        }
+        sb.append(
+          s""",
+             |vb0 AS MATERIALIZED (
+             |  SELECT w, freq, bps, CAST(len(w) AS BIGINT) AS pos
+             |  FROM d$WpMaxSteps)""".stripMargin)
+        for (t <- 1 to WpMaxSteps) {
+          sb.append(
+            s""",
+               |ve$t AS MATERIALIZED (
+               |  SELECT w, freq, bps,
+               |    substr(w,
+               |      CAST(pos - list_extract(bps, CAST(pos + 1 AS INT)) + 1 AS INT),
+               |      CAST(list_extract(bps, CAST(pos + 1 AS INT)) AS INT)) AS piece,
+               |    pos - list_extract(bps, CAST(pos + 1 AS INT)) AS npos
+               |  FROM vb${t - 1}
+               |), vb$t AS MATERIALIZED (
+               |  SELECT w, freq, bps, npos AS pos FROM ve$t WHERE npos > 0
+               |)""".stripMargin)
+        }
+        sb.append(
+          s""",
+             |vit AS (
+             |  SELECT piece, CAST(sum(freq) AS BIGINT) AS viterbi_n FROM (
+             |  ${(1 to WpMaxSteps).map(t => s"SELECT piece, freq FROM ve$t").mkString("\n  UNION ALL\n  ")}
+             |  ) GROUP BY piece
+             |), vtt AS (SELECT CAST(sum(viterbi_n) AS DOUBLE) AS vt FROM vit)
+             |SELECT lp.piece, lp.n AS prior_n,
+             |  coalesce(v.viterbi_n, 0) AS viterbi_n,
+             |  round(coalesce(v.viterbi_n, 0) / vtt.vt, 6) AS new_p
+             |FROM lp LEFT JOIN vit v ON lp.piece = v.piece CROSS JOIN vtt
+             |ORDER BY lp.piece""".stripMargin)
+        sb.toString
+      },
+    ) { (s, dir) =>
+      val words = wpWords(s, dir)
+      val inv = ugInventory(words)
+      val vit = ugViterbiEmits(words, inv)
+        .groupBy("piece").agg(sum(col("freq")).as("viterbi_n"))
+      val vtot = vit.agg(sum(col("viterbi_n")).cast("double").as("vt"))
+      inv.join(vit, Seq("piece"), "left")
+        .crossJoin(broadcast(vtot))
+        .select(col("piece"), col("n").as("prior_n"),
+          coalesce(col("viterbi_n"), lit(0L)).as("viterbi_n"),
+          round(coalesce(col("viterbi_n"), lit(0L)) / col("vt"), 6)
+            .as("new_p"))
+        .orderBy("piece")
     },
 
     Q(
