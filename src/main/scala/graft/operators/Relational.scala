@@ -1196,6 +1196,55 @@ object Relational {
           (sum(col("cents")) / 100.0).cast("double").as("revenue"))
         .orderBy("o_orderpriority")
     },
+
+    Q(
+      "q_file_skipping",
+      "manifest-based file skipping (the Iceberg/Delta data-skipping " +
+        "mechanism, built explicitly): lineitem is rewritten " +
+        "range-partitioned on l_shipdate into 8 files, a MANIFEST of " +
+        "per-file [min, max] shipdate spans is derived (exactly what " +
+        "table-format metadata stores), and a half-year range query " +
+        "consults the manifest FIRST — only overlapping files are " +
+        "opened; the residual filter still applies inside survivors. " +
+        "The driver-side file list is O(#files) — manifest-sized, the " +
+        "same class as every table format's planning step — and the " +
+        "oracle aggregates the ORIGINAL table under the same " +
+        "predicate, proving pruning lost nothing. At 100 TB this is " +
+        "the difference between opening ~8% and 100% of a petabyte " +
+        "of files; the layout rewrite is the one-off ingest cost " +
+        "(the q_zorder_layout single-dimension special case)",
+      Some(
+        s"""SELECT l_returnflag, count(*) AS n_items,
+           |  ${exactSumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+           |FROM lineitem
+           |WHERE CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01'
+           |  AND CAST(l_shipdate AS TIMESTAMP) < TIMESTAMP '1996-07-01'
+           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    ) { (s, dir) =>
+      val out = Scratch.dir()
+      Tables.lineitem(s, dir)
+        .select(col("l_shipdate").cast("timestamp").as("l_shipdate"),
+          col("l_extendedprice"), col("l_discount"), col("l_returnflag"))
+        .repartitionByRange(8, col("l_shipdate"))
+        .write.parquet(out)
+      val manifest = s.read.parquet(out)
+        .groupBy(input_file_name().as("file"))
+        .agg(min(col("l_shipdate")).as("lo"), max(col("l_shipdate")).as("hi"))
+      val d1 = lit("1996-01-01").cast("timestamp")
+      val d2 = lit("1996-07-01").cast("timestamp")
+      // Manifest planning: O(#files) rows to the driver — the same
+      // bounded metadata read every table format's planner performs.
+      val files = manifest
+        .filter(col("hi") >= d1 && col("lo") < d2)
+        .select("file").collect().map(_.getString(0))
+      s.read.parquet(files.toIndexedSeq: _*)
+        .filter(col("l_shipdate") >= d1 && col("l_shipdate") < d2)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"))
+        .orderBy("l_returnflag")
+    },
   )
 
   /** q_skyline core over any (p_partkey, price, size) frame (the spec

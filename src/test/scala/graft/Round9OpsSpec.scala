@@ -107,6 +107,43 @@ class Round9OpsSpec extends AnyFunSuite {
       s"base history rescanned, plan:\n$p")
   }
 
+  // ---- q_file_skipping ----
+
+  test("q_file_skipping: range layout prunes files and loses no rows") {
+    import org.apache.spark.sql.functions._
+    // Replicate the layout + manifest to check the pruning ratio: a
+    // half-year slice of a 1995-2001 shipdate span must skip most of
+    // the 8 range-partitioned files.
+    val out = graft.operators.Scratch.dir()
+    graft.Tables.lineitem(spark, dir)
+      .select(col("l_shipdate").cast("timestamp").as("l_shipdate"))
+      .repartitionByRange(8, col("l_shipdate"))
+      .write.parquet(out)
+    val manifest = spark.read.parquet(out)
+      .groupBy(input_file_name().as("file"))
+      .agg(min("l_shipdate").as("lo"), max("l_shipdate").as("hi"))
+      .collect()
+    val d1 = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val d2 = java.sql.Timestamp.valueOf("1996-07-01 00:00:00")
+    val surviving = manifest.count(r =>
+      !r.getTimestamp(2).before(d1) && r.getTimestamp(1).before(d2))
+    assert(manifest.length == 8, s"expected 8 files, got ${manifest.length}")
+    assert(surviving <= 2, s"pruning too weak: $surviving of 8 files survive")
+    // and the query's answer equals a plain full scan under the filter
+    val got = SparkEntry.queries("q_file_skipping")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val full = graft.Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate").cast("timestamp") >= lit(d1)
+        && col("l_shipdate").cast("timestamp") < lit(d2))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Portable.exactSum(
+          col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == full)
+  }
+
   test("q_rfm: segment counts cover all purchase users exactly once") {
     val rows = SparkEntry.queries("q_rfm")(spark, dir).collect()
     assert(rows.nonEmpty)
