@@ -1245,6 +1245,98 @@ object Relational {
             .as("revenue"))
         .orderBy("l_returnflag")
     },
+
+    Q(
+      "q_equidepth_hist",
+      "equi-depth histogram over l_extendedprice (8 buckets): exact " +
+        "interpolated septile boundaries as ONE 1-row agg broadcast " +
+        "back, each row assigned bucket = Σ(v > qᵢ) — a pure per-row " +
+        "comparison sum, no global sort, no ntile window — then " +
+        "per-bucket count/min/max. The optimizer-statistics histogram " +
+        "q_table_stats doesn't carry (equi-depth bounds selectivity " +
+        "error by 1/B where equi-width can be arbitrarily wrong under " +
+        "skew). At 100 TB swap the exact percentile for a mergeable " +
+        "KLL/t-digest sketch (the q_quantiles note) and the plan is " +
+        "one scan + one bounded agg; boundary comparisons are exact " +
+        "doubles from identical interpolation in both engines",
+      Some {
+        val qs = (1 to 7).map(i =>
+          s"quantile_cont(l_extendedprice, ${i / 8.0}) AS q$i").mkString(", ")
+        val cmp = (1 to 7).map(i =>
+          s"CAST(l_extendedprice > q$i AS BIGINT)").mkString(" + ")
+        s"""WITH b AS (SELECT $qs FROM lineitem),
+           |scored AS (
+           |  SELECT ($cmp) AS bucket, l_extendedprice
+           |  FROM lineitem CROSS JOIN b
+           |)
+           |SELECT bucket, count(*) AS n_rows,
+           |  round(min(l_extendedprice), 6) AS lo,
+           |  round(max(l_extendedprice), 6) AS hi
+           |FROM scored GROUP BY bucket ORDER BY bucket""".stripMargin
+      },
+    ) { (s, dir) =>
+      val li = Tables.lineitem(s, dir).select("l_extendedprice")
+      val b = li.agg(
+        expr(s"percentile(l_extendedprice, array(${(1 to 7).map(_ / 8.0).mkString(", ")}))")
+          .as("qs"))
+      val bucket = (1 to 7)
+        .map(i => (col("l_extendedprice") > element_at(col("qs"), i)).cast("long"))
+        .reduce(_ + _)
+      li.crossJoin(broadcast(b))
+        .select(bucket.as("bucket"), col("l_extendedprice"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          round(min(col("l_extendedprice")), 6).as("lo"),
+          round(max(col("l_extendedprice")), 6).as("hi"))
+        .orderBy("bucket")
+    },
+
+    Q(
+      "q_join_dpp",
+      "dynamic partition pruning: the fact table is laid out " +
+        "hive-partitioned on l_returnflag, the join dim carries a " +
+        "flag-group attribute the fact doesn't have, and a query " +
+        "filtering on that DIM attribute must prune FACT partitions " +
+        "at runtime — the star-schema mechanism (Spark's DPP) where " +
+        "the dim filter's surviving keys become a runtime IN-subquery " +
+        "partition filter on the fact scan, so partitions for " +
+        "non-qualifying flags are never opened even though the " +
+        "pruning keys are unknowable at plan time. Plan-pinned: the " +
+        "fact scan carries dynamicpruningexpression. At 100 TB this " +
+        "is the date-dim/month-filter pattern — DPP turns a full " +
+        "fact scan into reading only qualifying partitions; both " +
+        "layout writes are the one-off ingest cost",
+      Some(
+        s"""WITH dim AS (
+           |  SELECT * FROM (VALUES ('A', 'closed'), ('R', 'closed'),
+           |    ('N', 'open')) AS t(flag, grp)
+           |)
+           |SELECT l.l_returnflag, count(*) AS n_items,
+           |  ${exactSumSql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+           |FROM lineitem l JOIN dim ON dim.flag = l.l_returnflag
+           |WHERE dim.grp = 'closed'
+           |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin),
+    ) { (s, dir) =>
+      import s.implicits._
+      val factDir = Scratch.dir()
+      Tables.lineitem(s, dir)
+        .select(col("l_extendedprice"), col("l_discount"), col("l_returnflag"))
+        .write.partitionBy("l_returnflag").parquet(factDir)
+      // The dim must be a file source: DPP plans the runtime subquery
+      // against scans, not in-memory LocalRelations.
+      val dimDir = Scratch.dir()
+      Seq(("A", "closed"), ("R", "closed"), ("N", "open"))
+        .toDF("flag", "grp").write.parquet(dimDir)
+      val fact = s.read.parquet(factDir)
+      val dim = s.read.parquet(dimDir)
+      fact.join(dim, fact("l_returnflag") === dim("flag"))
+        .filter(col("grp") === "closed")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"))
+        .orderBy("l_returnflag")
+    },
   )
 
   /** q_skyline core over any (p_partkey, price, size) frame (the spec

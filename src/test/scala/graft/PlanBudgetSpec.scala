@@ -762,6 +762,18 @@ class PlanBudgetSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
   }
 
+  test("q_join_dpp: the fact scan carries a dynamic partition pruning filter") {
+    val p = plan("q_join_dpp")
+    assert(p.contains("dynamicpruning"), s"DPP did not fire, plan:\n$p")
+    assert(p.contains("PartitionFilters"), s"plan:\n$p")
+  }
+
+  test("q_equidepth_hist assigns buckets off a broadcast 1-row boundary agg") {
+    val p = plan("q_equidepth_hist")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
+    assert(!p.contains("Window"), s"an ntile-style window leaked in, plan:\n$p")
+  }
+
   test("q1_agg aggregates inside whole-stage codegen") {
     // The plain plan string hides codegen stage boundaries; the
     // codegen explain mode lists every WholeStageCodegen subtree.

@@ -144,6 +144,21 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(got == full)
   }
 
+  // ---- q_equidepth_hist ----
+
+  test("q_equidepth_hist: buckets are equi-depth within interpolation slack") {
+    val rows = SparkEntry.queries("q_equidepth_hist")(spark, dir).collect()
+    assert(rows.length == 8)
+    val counts = rows.map(_.getLong(1))
+    val total = counts.sum
+    val ideal = total / 8.0
+    counts.foreach(c => assert(math.abs(c - ideal) <= ideal * 0.05 + 2,
+      s"bucket sizes not equi-depth: ${counts.toSeq}"))
+    // buckets tile the domain: hi(b) <= lo(b+1)
+    val los = rows.map(_.getDouble(2)); val his = rows.map(_.getDouble(3))
+    for (i <- 0 until 7) assert(his(i) <= los(i + 1))
+  }
+
   test("q_rfm: segment counts cover all purchase users exactly once") {
     val rows = SparkEntry.queries("q_rfm")(spark, dir).collect()
     assert(rows.nonEmpty)
