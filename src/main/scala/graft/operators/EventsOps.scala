@@ -31,6 +31,10 @@ object EventsOps {
     * oracle alike. */
   private val SessionGapMicros = 30L * 60 * 1000000
 
+  /** q_markov_absorb: k-step hitting-probability rounds
+    * (oracle-unrolled, 9dp-rounded per round). */
+  private[graft] val MarkovSteps = 5
+
   /** Shared sessionization (q_events_sessions / q_session_paths):
     * one user-keyed shuffle, then lag-flag + cumulative-sum windows
     * ride the same ordering — returns the event stream (user_id,
@@ -612,6 +616,75 @@ object EventsOps {
     },
 
     Q(
+      "q_markov_absorb",
+      s"Markov absorption attribution: from each event type, the " +
+        s"probability of reaching 'purchase' within $MarkovSteps " +
+        "steps of the user transition chain — the model-based " +
+        "multi-touch attribution score (the Markov-chain alternative " +
+        "to q_stream_attrib_last's last-click heuristic), computed " +
+        "as the k-step hitting probability p_k(s) = Σ_t P(s→t)·" +
+        "[t = purchase ? 1 : p_{k-1}(t)] with purchase absorbing. " +
+        "The corpus-scale work is ONE user-keyed window pass for " +
+        "transition pairs; everything after runs on the #types²-" +
+        "bounded probability table (oracle-unrolled rounds, 9dp " +
+        "rounding per round — the PageRank grid discipline; " +
+        "transition probs are single IEEE divisions of identical " +
+        "BIGINTs). At 100 TB the rounds cost #types² joins — " +
+        "constant — regardless of event volume",
+      Some {
+        val head =
+          """WITH seq AS (
+            |  SELECT user_id, event_type,
+            |    lag(event_type) OVER (PARTITION BY user_id
+            |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+            |  FROM events
+            |), pairs AS (
+            |  SELECT prev_type, event_type, count(*) AS n
+            |  FROM seq WHERE prev_type IS NOT NULL
+            |  GROUP BY prev_type, event_type
+            |), outn AS (
+            |  SELECT prev_type, CAST(sum(n) AS BIGINT) AS outn
+            |  FROM pairs GROUP BY prev_type
+            |), probs AS MATERIALIZED (
+            |  SELECT prev_type AS src, event_type AS dst,
+            |    CAST(n AS DOUBLE) / outn AS p
+            |  FROM pairs JOIN outn USING (prev_type)
+            |), a0 AS (
+            |  SELECT DISTINCT src AS state, CAST(0 AS DOUBLE) AS pa FROM probs
+            |)""".stripMargin
+        val rounds = (1 to MarkovSteps).map { k =>
+          s"""a$k AS (
+             |  SELECT probs.src AS state,
+             |    round(sum(p * CASE WHEN dst = 'purchase' THEN 1.0
+             |      ELSE coalesce(prev.pa, 0) END), 9) AS pa
+             |  FROM probs LEFT JOIN a${k - 1} prev ON prev.state = probs.dst
+             |  GROUP BY probs.src
+             |)""".stripMargin
+        }.mkString(", ")
+        s"""$head, $rounds
+           |SELECT state AS event_type, round(pa, 6) AS p_absorb
+           |FROM a$MarkovSteps ORDER BY event_type""".stripMargin
+      },
+    ) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy("prev_type", "event_type").agg(count(lit(1)).as("n"))
+        .localCheckpoint() // read twice: row sums + probabilities
+      val outn = pairs.groupBy("prev_type").agg(sum("n").as("outn"))
+      val probs = pairs.join(outn, "prev_type")
+        .select(col("prev_type").as("src"), col("event_type").as("dst"),
+          (col("n").cast("double") / col("outn")).as("p"))
+        .localCheckpoint()
+      markovAbsorb(probs, "purchase", MarkovSteps)
+        .select(col("state").as("event_type"),
+          round(col("pa"), 6).as("p_absorb"))
+        .orderBy("event_type")
+    },
+
+    Q(
       "q_session_paths",
       "top-20 session PATHS (first 4 event types per 30-min-gap " +
         "session, '>' joined) — the navigation-flow table product " +
@@ -1143,6 +1216,27 @@ object EventsOps {
           + gt(col("f"), col("fq"), 3)).as("f_score"),
         (lit(1L) + gt(col("m_us"), col("mq"), 1) + gt(col("m_us"), col("mq"), 2)
           + gt(col("m_us"), col("mq"), 3)).as("m_score"))
+  }
+
+  /** q_markov_absorb rounds (planted-chain spec entry point) over a
+    * (src, dst, p) probability table: k-step hitting probability of
+    * `target`, 9dp-rounded per round. Returns (state, pa). */
+  private[graft] def markovAbsorb(
+      probs: DataFrame, target: String, steps: Int): DataFrame = {
+    var pk = probs.select(col("src").as("state")).distinct()
+      .withColumn("pa", lit(0.0))
+    for (_ <- 1 to steps) {
+      pk = probs
+        .join(pk.select(col("state").as("dst"), col("pa").as("pprev")),
+          Seq("dst"), "left")
+        .select(col("src"),
+          (col("p") * when(col("dst") === target, lit(1.0))
+            .otherwise(coalesce(col("pprev"), lit(0.0)))).as("c"))
+        .groupBy("src").agg(round(sum(col("c")), 9).as("pa"))
+        .withColumnRenamed("src", "state")
+        .localCheckpoint()
+    }
+    pk
   }
 
   /** The SCD2 dimension build shared by q_scd2 and q_scd2_pit_join

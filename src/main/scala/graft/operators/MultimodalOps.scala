@@ -157,6 +157,46 @@ object MultimodalOps {
     },
 
     Q(
+      "q_shot_boundary",
+      "shot-boundary detection over the sampled frame stream: each " +
+        "16-byte payload window is a 'frame', its intensity the exact " +
+        "integer byte sum (a real pipeline's per-frame luma mean — " +
+        "the decode is the stub, the dataflow is real); a boundary " +
+        "fires where the frame-to-frame intensity delta exceeds 2× " +
+        "the asset's mean delta, the classic adaptive-threshold cut " +
+        "detector. Everything — framing, intensities, deltas, the " +
+        "threshold test — is per-row ARRAY expression work in exact " +
+        "BIGINT arithmetic (threshold as d·cnt > 2·Σd, no division): " +
+        "zero shuffles before the output sort, the q_winnow class, " +
+        "so at 100 TB it scans payload bytes once and moves only " +
+        "(doc_id, counts)",
+      Some(
+        """WITH f AS (
+          |  SELECT doc_id,
+          |    list_transform(range(CAST(ceil(strlen(text) / 16.0) AS BIGINT)),
+          |      i -> substr(text, CAST(i * 16 + 1 AS INT), 16)) AS frames
+          |  FROM documents
+          |), it AS (
+          |  SELECT doc_id,
+          |    list_transform(frames, f -> CAST(list_sum(
+          |      list_transform(range(len(f)),
+          |        j -> ord(substr(f, CAST(j + 1 AS INT), 1)))) AS BIGINT)) AS ints
+          |  FROM f
+          |), d AS (
+          |  SELECT doc_id, len(ints) AS nf,
+          |    list_transform(range(len(ints) - 1),
+          |      i -> abs(ints[i + 2] - ints[i + 1])) AS diffs
+          |  FROM it
+          |)
+          |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+          |  CAST(1 + len(list_filter(diffs,
+          |    x -> x * len(diffs) > 2 * list_sum(diffs))) AS BIGINT) AS n_shots
+          |FROM d ORDER BY doc_id""".stripMargin),
+    ) { (s, dir) =>
+      shotBoundaries(Tables.documents(s, dir)).orderBy("doc_id")
+    },
+
+    Q(
       "q_binary_ingest",
       "file-per-asset ingestion via the binaryFile source (the on-disk " +
         "media shape: one image/audio file per asset): payloads written " +
@@ -395,6 +435,31 @@ object MultimodalOps {
   /** Writes the ≤500-asset file-per-doc .bin layout (executor-side)
     * and returns its directory — the shared fixture of the binaryFile
     * queries. */
+  /** q_shot_boundary core (planted-scene spec entry point) over any
+    * (doc_id, text) frame: 16-byte frames → integer intensities →
+    * adaptive-threshold cuts, all per-row array expressions.
+    * Unordered; the Q adds the output sort. */
+  private[graft] def shotBoundaries(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("frames", expr(
+        "transform(sequence(0, cast(ceil(length(text) / 16.0) as int) - 1), " +
+          "i -> substring(text, i * 16 + 1, 16))"))
+      .withColumn("ints", expr(
+        "transform(frames, f -> aggregate(transform(sequence(1, length(f)), " +
+          "j -> cast(ascii(substring(f, j, 1)) as bigint)), " +
+          "cast(0 as bigint), (a, x) -> a + x))"))
+      // sequence(1, 0) would yield a DESCENDING ramp in Spark — an
+      // explicit empty array guards the single-frame case.
+      .withColumn("diffs", expr(
+        "if(size(ints) < 2, array(), transform(sequence(1, size(ints) - 1), " +
+          "i -> abs(element_at(ints, i + 1) - element_at(ints, i))))"))
+      .select(col("doc_id"), size(col("ints")).cast("long").as("n_frames"),
+        (lit(1) + size(expr(
+          "filter(diffs, x -> x * size(diffs) > 2 * aggregate(diffs, " +
+            "cast(0 as bigint), (a, y) -> a + y))"))).cast("long")
+          .as("n_shots"))
+
   private def writeAssets(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     import s.implicits._
     val assetDir = s"${Scratch.dir()}/assets"

@@ -144,6 +144,43 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(got == full)
   }
 
+  // ---- q_markov_absorb ----
+
+  test("markovAbsorb on a planted self-loop chain equals 1 - 0.5^k") {
+    import spark.implicits._
+    // a → purchase with p=0.5, a → a with p=0.5: hitting probability
+    // within 5 steps is 1 − 0.5⁵ = 0.96875 (exact in binary, so the
+    // 9dp per-round grid never rounds anything).
+    val probs = Seq(("a", "purchase", 0.5), ("a", "a", 0.5),
+      ("purchase", "a", 1.0)).toDF("src", "dst", "p")
+    val got = graft.operators.EventsOps.markovAbsorb(probs, "purchase", 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("a") == 0.96875)
+    assert(got("purchase") == 1.0 - 0.0625) // p→a then a absorbs in ≤4
+  }
+
+  test("q_markov_absorb probabilities live in [0, 1]") {
+    val rows = SparkEntry.queries("q_markov_absorb")(spark, dir).collect()
+    assert(rows.length > 0)
+    rows.foreach(r => assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+  }
+
+  // ---- q_shot_boundary ----
+
+  test("shotBoundaries finds the planted scene cut and nothing else") {
+    import spark.implicits._
+    // Four 16-char frames: two 'a' scenes then two 'z' scenes. Diffs
+    // are [0, 400, 0]; threshold 2·mean = 266.7 → exactly one cut.
+    val text = "a" * 32 + "z" * 32
+    val flat = "a" * 64
+    val docs = Seq((1L, text), (2L, flat), (3L, "a" * 8))
+      .toDF("doc_id", "text")
+    val got = graft.operators.MultimodalOps.shotBoundaries(docs)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 4L, 2L), (2L, 4L, 1L), (3L, 1L, 1L)))
+  }
+
   // ---- q_equidepth_hist ----
 
   test("q_equidepth_hist: buckets are equi-depth within interpolation slack") {
