@@ -117,6 +117,9 @@ object AnnOps {
   /** q_matryoshka_search: prefix dims the coarse pass reads. */
   private val MatPrefix = 16
 
+  /** q_fps_coreset: selected points (oracle-unrolled rounds). */
+  private val FpsK = 8
+
   // Product quantization (q_embed_pq / q_pq_search). Declared BEFORE
   // `val all`: the oracle strings are built eagerly at object init, so
   // these must already be initialized when pqChainSql runs.
@@ -920,6 +923,75 @@ object AnnOps {
         .join(dq, col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id").as("neighbor_id"),
           cosSim(s, "pe", "ne").as("cos_sim")))
+    },
+
+    Q(
+      "q_fps_coreset",
+      s"farthest-point-sampling coreset ($FpsK points): seed at " +
+        "vec_id 0, then each round picks the point MAXIMIZING its " +
+        "min cosine distance to everything already selected — the " +
+        "k-center greedy that data-curation pipelines use for " +
+        "diverse subset selection (2-approx of the optimal covering " +
+        "radius), the diversity-first complement to q_quality_sample. " +
+        "The scalable formulation is INCREMENTAL: per-point state " +
+        "(vec_id, embedding, min-dist) updates against ONLY the new " +
+        "center each round (one broadcast 1-row cross join + least), " +
+        "never recomputing against the whole selected set; the pick " +
+        "is a TakeOrdered heap head that stays a distributed 1-row " +
+        "frame — nothing collects to the driver. Distances live on " +
+        "the 6dp cosine grid with id ties, so selection is exactly " +
+        "deterministic; the emitted radius is the covering radius " +
+        "after each pick (monotone non-increasing, spec-pinned). At " +
+        "100 TB: K corpus passes, state one double wider than the " +
+        "corpus — the textbook FPS cost",
+      Some {
+        val head =
+          s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+             |cen1 AS (SELECT vec_id, embedding FROM e WHERE vec_id = 0),
+             |st1 AS MATERIALIZED (
+             |  SELECT e.vec_id, e.embedding,
+             |    1 - ${cosSimSql("e.embedding", "c.embedding")} AS d
+             |  FROM e CROSS JOIN cen1 c
+             |)""".stripMargin
+        val rounds = (2 to FpsK).map { r =>
+          s"""pick$r AS MATERIALIZED (
+             |  SELECT vec_id, embedding, d FROM st${r - 1}
+             |  ORDER BY d DESC, vec_id LIMIT 1
+             |), st$r AS MATERIALIZED (
+             |  SELECT s.vec_id, s.embedding,
+             |    least(s.d, 1 - ${cosSimSql("s.embedding", "c.embedding")}) AS d
+             |  FROM st${r - 1} s CROSS JOIN pick$r c
+             |)""".stripMargin
+        }.mkString(", ")
+        val out = Seq(
+          s"SELECT CAST(1 AS BIGINT) AS rank, vec_id, CAST(NULL AS DOUBLE) AS radius FROM cen1") ++
+          (2 to FpsK).map(r =>
+            s"SELECT CAST($r AS BIGINT) AS rank, vec_id, round(d, 6) AS radius FROM pick$r")
+        s"""$head, $rounds
+           |SELECT * FROM (${out.mkString("\nUNION ALL ")}) ORDER BY rank""".stripMargin
+      },
+    ) { (s, dir) =>
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val seed = e.filter(col("vec_id") === 0)
+      var st = e
+        .crossJoin(broadcast(seed.select(col("embedding").as("ce"))))
+        .select(col("vec_id"), col("embedding"),
+          (lit(1.0) - cosSim(s, "embedding", "ce")).as("d"))
+        .localCheckpoint()
+      var out = seed.select(lit(1L).as("rank"), col("vec_id"),
+        lit(null).cast("double").as("radius"))
+      for (r <- 2 to FpsK) {
+        val pick = st.orderBy(col("d").desc, col("vec_id")).limit(1)
+          .localCheckpoint() // read thrice: output row, center, state fold
+        out = out.unionByName(pick.select(lit(r.toLong).as("rank"),
+          col("vec_id"), round(col("d"), 6).as("radius")))
+        st = st
+          .crossJoin(broadcast(pick.select(col("embedding").as("ce"))))
+          .select(col("vec_id"), col("embedding"),
+            least(col("d"), lit(1.0) - cosSim(s, "embedding", "ce")).as("d"))
+          .localCheckpoint()
+      }
+      out.orderBy("rank")
     },
 
     Q(

@@ -178,6 +178,20 @@ class AnnSpec extends AnyFunSuite {
     assert(mean >= 0.8, s"mean recall@10 $mean; per-probe $recalls")
   }
 
+  test("q_fps_coreset: covering radius is monotone non-increasing and picks are distinct") {
+    val rows = SparkEntry.queries("q_fps_coreset")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length == 8)
+    assert(rows.map(_.getLong(1)).distinct.length == 8, "duplicate picks")
+    val radii = rows.drop(1).map(_.getDouble(2))
+    // each pick is the farthest remaining point, so the covering
+    // radius can only shrink (or hold) as the set grows
+    for (i <- 1 until radii.length)
+      assert(radii(i) <= radii(i - 1) + 1e-12,
+        s"radius grew: ${radii.toSeq}")
+    assert(radii.forall(r => r >= 0.0 && r <= 2.0))
+  }
+
   test("q_embed_centroids: tight label 0 scores higher than split label") {
     val rows = SparkEntry.queries("q_embed_centroids")(spark, dir).collect()
       .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap

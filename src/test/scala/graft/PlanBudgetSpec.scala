@@ -29,7 +29,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     for (q <- Seq("q_embed_quantize", "q_fingerprint", "q_winnow", "q_lang_id",
         "q_text_quality", "q_frame_sample", "q_payload_resize", "q_hash_sample",
         "q_repetition", "q_entropy", "q_pii_scrub", "q_quality_model",
-        "q_gopher_rules", "q_span_mask")) {
+        "q_gopher_rules", "q_span_mask", "q_shot_boundary")) {
       val p = plan(q)
       assert(hashExchanges(p) == 0,
         s"$q promises zero shuffles before the output sort, plan:\n$p")
