@@ -400,6 +400,50 @@ object EventsOps {
     },
 
     Q(
+      "q_dp_counts",
+      "differentially-private release of per-type event counts " +
+        "(ε = 1 Laplace mechanism): count queries have sensitivity 1, " +
+        "so noise ~ Laplace(1/ε) via inverse-CDF −sign(u)·ln(1−2|u|) " +
+        "— the third privacy operator beside q_kanon_audit's " +
+        "re-identification gate and q_pii_scrub's redaction. The " +
+        "uniform draw is a DETERMINISTIC md5-seeded hash of the " +
+        "released key — the q_span_mask positional-rule precedent: a " +
+        "real release swaps in a cryptographic RNG (hash-seeded noise " +
+        "is NOT private — it's the testable stand-in; mechanism, " +
+        "sensitivity scaling and inverse-CDF are the real content). " +
+        "One #types-bounded agg + per-row noise arithmetic; the one " +
+        "libm ln is 6dp-rounded. At 100 TB the agg is the only scan",
+      Some {
+        val h = graft.functions.Portable.md5Hash60Sql("event_type || '|dp1'")
+        s"""WITH c AS (
+           |  SELECT event_type, count(*) AS n_true FROM events GROUP BY event_type
+           |), u AS (
+           |  SELECT event_type, n_true,
+           |    ((($h) % 999999 + 0.5) / 1000000.0) - 0.5 AS uu
+           |  FROM c
+           |)
+           |SELECT event_type, n_true,
+           |  round(n_true + round(-1.0 * sign(uu) * ln(1 - 2 * abs(uu)), 6), 6)
+           |    AS n_dp,
+           |  CAST(1.0 AS DOUBLE) AS epsilon
+           |FROM u ORDER BY event_type""".stripMargin
+      },
+    ) { (s, dir) =>
+      val c = Tables.events(s, dir)
+        .groupBy("event_type").agg(count(lit(1)).as("n_true"))
+      val uu = ((graft.functions.Portable.md5Hash60(
+        concat(col("event_type"), lit("|dp1"))) % 999999
+        + lit(0.5)) / lit(1000000.0)) - lit(0.5)
+      c.withColumn("uu", uu)
+        .select(col("event_type"), col("n_true"),
+          round(col("n_true")
+            + round(lit(-1.0) * signum(col("uu"))
+              * log(lit(1) - lit(2) * abs(col("uu"))), 6), 6).as("n_dp"),
+          lit(1.0).as("epsilon"))
+        .orderBy("event_type")
+    },
+
+    Q(
       "q_mad_outliers",
       "robust outliers via median absolute deviation (modified " +
         "z-score 0.6745·(x−med)/MAD, cut at 3.5): immune to the very " +

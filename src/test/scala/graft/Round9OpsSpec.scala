@@ -165,6 +165,22 @@ class Round9OpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
   }
 
+  // ---- q_dp_counts ----
+
+  test("q_dp_counts: noise is Laplace-bounded and never zero-information") {
+    val rows = SparkEntry.queries("q_dp_counts")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val noise = r.getDouble(2) - r.getLong(1)
+      // |u| < 0.5 by construction → |noise| = |ln(1-2|u|)| is finite;
+      // P(|noise| > 14) < 1e-6 per draw, and the draws are fixed.
+      assert(noise.abs < 14.0, s"noise $noise out of Laplace range")
+      assert(r.getDouble(3) == 1.0)
+    }
+    // the mechanism must actually perturb: not every noise is 0
+    assert(rows.exists(r => (r.getDouble(2) - r.getLong(1)).abs > 1e-9))
+  }
+
   // ---- q_shot_boundary ----
 
   test("shotBoundaries finds the planted scene cut and nothing else") {
