@@ -926,6 +926,71 @@ object AnnOps {
     },
 
     Q(
+      "q_ivf_delete",
+      "deletion-aware IVF search: the q_simsearch_ivf index is NOT " +
+        "rebuilt — deleted vectors (vec_id ≡ 3 mod 7, ~14%) live in a " +
+        "TOMBSTONE TABLE anti-joined from the candidate stream between " +
+        "the cell probe and the re-rank, exactly how vector DBs serve " +
+        "deletes between index rebuilds (rebuild cost amortizes; " +
+        "tombstones grow until the next compaction). The anti join is " +
+        "key-only on the already-pruned candidates — nprobe/cells of " +
+        "the corpus, never the full index; deleted ids can still ask " +
+        "queries but can never be RETURNED. At 100 TB the tombstone " +
+        "side is a table, not a predicate — the engine deliberately " +
+        "treats it as data (keyed anti join) while the oracle, knowing " +
+        "the modulo rule, expresses the same set as a filter",
+      Some {
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+           |cents AS (
+           |  SELECT vec_id AS cent_id, embedding AS ce FROM e WHERE vec_id < $NumCells
+           |), assign AS (
+           |  SELECT vec_id, embedding, cent_id FROM (
+           |    SELECT e.vec_id, e.embedding, c.cent_id,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        ${cosSimSql("embedding", "ce")} DESC,
+           |        c.cent_id) AS rn
+           |    FROM e CROSS JOIN cents c) WHERE rn = 1
+           |), probe_cells AS (
+           |  SELECT vec_id AS probe_id, pe, cent_id FROM (
+           |    SELECT e.vec_id, e.embedding AS pe, c.cent_id,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        ${cosSimSql("embedding", "ce")} DESC,
+           |        c.cent_id) AS rn
+           |    FROM e CROSS JOIN cents c
+           |    WHERE e.vec_id < $NumProbes) WHERE rn <= $NProbe
+           |), scored AS (
+           |  SELECT probe_id, a.vec_id AS neighbor_id,
+           |    ${cosSimSql("pe", "embedding")} AS cos_sim
+           |  FROM probe_cells p JOIN assign a ON a.cent_id = p.cent_id
+           |   AND a.vec_id <> p.probe_id
+           |  WHERE a.vec_id % 7 <> 3
+           |)$rankTopKSqlTail""".stripMargin
+      },
+    ) { (s, dir) =>
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val tombstones = e.filter(col("vec_id") % 7 === 3).select("vec_id")
+      val cents = e.filter(col("vec_id") < NumCells)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+      val packed = broadcast(packCents(cents))
+      val assign = e.crossJoin(packed)
+        .withColumn("cent_id",
+          graft.functions.CentAssign.argminCos(s, "embedding", "cs"))
+        .select(col("vec_id"), col("embedding"), col("cent_id"))
+      val probeCells = e.filter(col("vec_id") < NumProbes)
+        .withColumn("vn", sqrt(normSq(col("embedding"))))
+        .crossJoin(packed)
+        .withColumn("cell", explode(slice(array_sort(negCosMetrics), 1, NProbe)))
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+          col("cell.cent_id").as("cent_id"))
+      rankTopK(broadcast(probeCells)
+        .join(assign, Seq("cent_id"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .join(tombstones, Seq("vec_id"), "left_anti")
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          cosSim(s, "pe", "embedding").as("cos_sim")))
+    },
+
+    Q(
       "q_fps_coreset",
       s"farthest-point-sampling coreset ($FpsK points): seed at " +
         "vec_id 0, then each round picks the point MAXIMIZING its " +

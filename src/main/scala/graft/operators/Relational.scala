@@ -1292,6 +1292,52 @@ object Relational {
     },
 
     Q(
+      "q_csv_corrupt",
+      "PERMISSIVE CSV ingestion with corrupt-record capture: ~1% of " +
+        "the written lines (doc_id ≡ 0 mod 97) are deliberately " +
+        "malformed; the reader parses with an explicit schema plus " +
+        "the _corrupt_record column, so bad lines surface as data " +
+        "(null fields + the raw line) instead of failing the job or " +
+        "silently vanishing — the ingestion-robustness contract every " +
+        "crawl pipeline needs, and the difference between PERMISSIVE " +
+        "and FAILFAST at 100 TB is one bad line killing a day's run. " +
+        "Row counts per lang + a '_corrupt' bucket; the oracle " +
+        "recomputes both from the source-of-truth table, proving " +
+        "capture is lossless (valid + corrupt = all). Schema-on-read " +
+        "with no inference pass (the q_csv_source discipline)",
+      Some(
+        """SELECT lang, count(*) AS n FROM (
+          |  SELECT CASE WHEN doc_id % 97 = 0 THEN '_corrupt' ELSE lang END
+          |    AS lang
+          |  FROM documents)
+          |GROUP BY lang ORDER BY lang""".stripMargin),
+    ) { (s, dir) =>
+      val out = Scratch.dir()
+      Tables.documents(s, dir)
+        .select(when(col("doc_id") % 97 === 0, lit("corrupt###line"))
+          .otherwise(concat_ws(",",
+            col("doc_id"), col("n_chars"), col("lang"))).as("value"))
+        .write.text(out)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id LONG, n_chars LONG, lang STRING, _corrupt_record STRING")
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+        // Project ALL parsed fields first: column pruning would
+        // otherwise drop doc_id from the parse, and without the
+        // failing cast the malformed line never trips the corrupt
+        // record (lang alone parses as null, silently "valid").
+        .select(col("doc_id"), col("n_chars"), col("lang"),
+          col("_corrupt_record"))
+        .select(when(col("_corrupt_record").isNotNull
+          || col("doc_id").isNull, lit("_corrupt"))
+          .otherwise(col("lang")).as("lang"))
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+        .orderBy("lang")
+    },
+
+    Q(
       "q_join_dpp",
       "dynamic partition pruning: the fact table is laid out " +
         "hive-partitioned on l_returnflag, the join dim carries a " +

@@ -192,6 +192,24 @@ class AnnSpec extends AnyFunSuite {
     assert(radii.forall(r => r >= 0.0 && r <= 2.0))
   }
 
+  test("q_ivf_delete never returns a tombstoned id and backfills to k") {
+    val sf = "/root/testdata/sf0.001"
+    val del = SparkEntry.queries("q_ivf_delete")(spark, sf).collect()
+    assert(del.forall(_.getLong(1) % 7 != 3), "tombstoned id returned")
+    val perProbe = del.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(perProbe.values.forall(_ == 10), s"no backfill: ${perProbe.toMap}")
+    // removing candidates can only promote others: every surviving
+    // member of the plain-IVF top-10 must still be present
+    val ivf = SparkEntry.queries("q_simsearch_ivf")(spark, sf).collect()
+      .filter(_.getLong(1) % 7 != 3)
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val delSets = del.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    ivf.foreach { case (p, surv) =>
+      assert(surv.subsetOf(delSets(p)), s"probe $p lost survivors")
+    }
+  }
+
   test("q_embed_centroids: tight label 0 scores higher than split label") {
     val rows = SparkEntry.queries("q_embed_centroids")(spark, dir).collect()
       .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap

@@ -165,6 +165,19 @@ class Round9OpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
   }
 
+  // ---- q_csv_corrupt ----
+
+  test("q_csv_corrupt: capture is lossless — valid + corrupt = all rows") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_csv_corrupt")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = graft.Tables.documents(spark, dir)
+    val expectedCorrupt = docs.filter(col("doc_id") % 97 === 0).count()
+    val total = docs.count()
+    assert(rows("_corrupt") == expectedCorrupt)
+    assert(rows.values.sum == total)
+  }
+
   // ---- q_dp_counts ----
 
   test("q_dp_counts: noise is Laplace-bounded and never zero-information") {
