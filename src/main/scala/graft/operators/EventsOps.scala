@@ -444,6 +444,150 @@ object EventsOps {
     },
 
     Q(
+      "q_psi_drift",
+      "population stability index between the reference and current " +
+        "halves of the event stream (split at the median timestamp): " +
+        "PSI = Σ_bins (p−q)·ln(p/q) over a 10-bin equi-width value " +
+        "histogram — THE production ML-monitoring drift metric; " +
+        "PSI > 0.2 pages someone. One scan builds both per-bin count " +
+        "vectors (bin bounded, partial-agg friendly); proportions are " +
+        "exact BIGINT ratios, Laplace-smoothed (+1) so empty bins " +
+        "can't produce ±∞; each bin's ln term is 6dp-rounded at the " +
+        "libm boundary and the total folds in exact ×1e6 fixed point " +
+        "— bin fold order cannot drift the oracle. Output per-bin " +
+        "contributions plus the index; at 100 TB the reference " +
+        "histogram is persisted state, only the current day scans " +
+        "(the q_agg_incremental shape)",
+      Some(
+        """WITH med AS (
+          |  SELECT quantile_cont(epoch_us(CAST(ts AS TIMESTAMP)), 0.5) AS m
+          |  FROM events
+          |), rng AS (
+          |  SELECT min(value) AS mn, max(value) AS mx FROM events
+          |), b AS (
+          |  SELECT least(9, CAST(floor((value - mn) * 10 / (mx - mn))
+          |      AS BIGINT)) AS bin,
+          |    CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) <= m
+          |      THEN 'ref' ELSE 'cur' END AS side
+          |  FROM events CROSS JOIN med CROSS JOIN rng
+          |), h AS (
+          |  SELECT bin,
+          |    CAST(1 + sum(CASE WHEN side = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+          |    CAST(1 + sum(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS nc
+          |  FROM b GROUP BY bin
+          |), t AS (
+          |  SELECT CAST(sum(nr) AS DOUBLE) AS tr, CAST(sum(nc) AS DOUBLE) AS tc
+          |  FROM h
+          |), c AS (
+          |  SELECT bin, nr, nc,
+          |    round((nr / tr - nc / tc) * ln((nr / tr) / (nc / tc)), 6)
+          |      AS psi_term
+          |  FROM h CROSS JOIN t
+          |), tot AS (
+          |  SELECT CAST(sum(CAST(round(psi_term * 1000000) AS BIGINT))
+          |    / 1000000.0 AS DOUBLE) AS psi FROM c
+          |)
+          |SELECT bin, nr, nc, psi_term, psi
+          |FROM c CROSS JOIN tot ORDER BY bin""".stripMargin),
+    ) { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("ts"), col("value"))
+      val med = ev.agg(
+        expr("percentile(unix_micros(ts), 0.5)").as("m"))
+      val rng = ev.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+      val h = ev.crossJoin(broadcast(med)).crossJoin(broadcast(rng))
+        .select(
+          least(lit(9), floor((col("value") - col("mn")) * 10
+            / (col("mx") - col("mn")))).cast("long").as("bin"),
+          when(unix_micros(col("ts")) <= col("m"), "ref")
+            .otherwise("cur").as("side"))
+        .groupBy("bin")
+        .agg((lit(1L) + sum(when(col("side") === "ref", 1L).otherwise(0L)))
+          .as("nr"),
+          (lit(1L) + sum(when(col("side") === "cur", 1L).otherwise(0L)))
+            .as("nc"))
+        .localCheckpoint() // read twice: totals + terms
+      val t = h.agg(sum("nr").cast("double").as("tr"),
+        sum("nc").cast("double").as("tc"))
+      val c = h.crossJoin(broadcast(t))
+        .select(col("bin"), col("nr"), col("nc"),
+          round((col("nr") / col("tr") - col("nc") / col("tc"))
+            * log((col("nr") / col("tr")) / (col("nc") / col("tc"))), 6)
+            .as("psi_term"))
+        .localCheckpoint() // read twice: total + output rows
+      val tot = c.agg((sum(round(col("psi_term") * 1000000, 0).cast("long"))
+        / 1000000.0).cast("double").as("psi"))
+      c.crossJoin(broadcast(tot)).orderBy("bin")
+    },
+
+    Q(
+      "q_ab_test",
+      "A/B experiment readout: users split 50/50 by a deterministic " +
+        "md5 hash of user_id (the real assignment mechanism — sticky, " +
+        "stateless, uniform), comparing purchase-per-event rates via " +
+        "the two-proportion z-statistic with a |z| > 1.96 significance " +
+        "flag — the experimentation primitive every growth pipeline " +
+        "runs. Two user-bounded aggs (assignment is per-row hash " +
+        "arithmetic, no shuffle to assign); the z arithmetic runs on " +
+        "exact BIGINTs from both engines with the one sqrt 6dp-rounded " +
+        "at the libm boundary. The null result on uniform synthetic " +
+        "data is itself the correctness check: a biased hash or a " +
+        "leaky split would light the flag",
+      Some {
+        val h = graft.functions.Portable.md5Hash60Sql("CAST(user_id AS VARCHAR)")
+        s"""WITH a AS (
+           |  SELECT CASE WHEN ($h) % 2 = 0 THEN 'A' ELSE 'B' END AS grp,
+           |    CAST(count(*) AS BIGINT) AS n_events,
+           |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_purch
+           |  FROM events GROUP BY grp
+           |), w AS (
+           |  SELECT
+           |    max(CASE WHEN grp = 'A' THEN n_events END) AS na,
+           |    max(CASE WHEN grp = 'A' THEN n_purch END) AS xa,
+           |    max(CASE WHEN grp = 'B' THEN n_events END) AS nb,
+           |    max(CASE WHEN grp = 'B' THEN n_purch END) AS xb
+           |  FROM a
+           |), z AS (
+           |  SELECT na, xa, nb, xb,
+           |    round((CAST(xa AS DOUBLE) / na - CAST(xb AS DOUBLE) / nb) /
+           |      round(sqrt((CAST(xa + xb AS DOUBLE) / (na + nb))
+           |        * (1 - CAST(xa + xb AS DOUBLE) / (na + nb))
+           |        * (1.0 / na + 1.0 / nb)), 6), 6) AS z_stat
+           |  FROM w
+           |)
+           |SELECT na, xa, round(CAST(xa AS DOUBLE) / na, 6) AS rate_a,
+           |  nb, xb, round(CAST(xb AS DOUBLE) / nb, 6) AS rate_b,
+           |  z_stat,
+           |  CAST(abs(z_stat) > 1.96 AS BIGINT) AS significant
+           |FROM z""".stripMargin
+      },
+    ) { (s, dir) =>
+      val grp = when(graft.functions.Portable.md5Hash60(
+        col("user_id").cast("string")) % 2 === 0, "A").otherwise("B")
+      val a = Tables.events(s, dir)
+        .groupBy(grp.as("grp"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purch"))
+      val w = a.agg(
+        max(when(col("grp") === "A", col("n_events"))).as("na"),
+        max(when(col("grp") === "A", col("n_purch"))).as("xa"),
+        max(when(col("grp") === "B", col("n_events"))).as("nb"),
+        max(when(col("grp") === "B", col("n_purch"))).as("xb"))
+      val pPool = (col("xa") + col("xb")).cast("double") / (col("na") + col("nb"))
+      val se = round(sqrt(pPool * (lit(1) - pPool)
+        * (lit(1.0) / col("na") + lit(1.0) / col("nb"))), 6)
+      w.select(col("na"), col("xa"),
+        round(col("xa").cast("double") / col("na"), 6).as("rate_a"),
+        col("nb"), col("xb"),
+        round(col("xb").cast("double") / col("nb"), 6).as("rate_b"),
+        round((col("xa").cast("double") / col("na")
+          - col("xb").cast("double") / col("nb")) / se, 6).as("z_stat"))
+        .withColumn("significant",
+          (abs(col("z_stat")) > 1.96).cast("long"))
+    },
+
+    Q(
       "q_mad_outliers",
       "robust outliers via median absolute deviation (modified " +
         "z-score 0.6745·(x−med)/MAD, cut at 3.5): immune to the very " +

@@ -165,6 +165,35 @@ class Round9OpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
   }
 
+  // ---- q_psi_drift ----
+
+  test("q_psi_drift: every PSI term is non-negative and they sum to the index") {
+    val rows = SparkEntry.queries("q_psi_drift")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // (p−q)·ln(p/q) ≥ 0 for all p,q > 0 — a theorem, so any negative
+    // term is an arithmetic bug, not drift
+    rows.foreach(r => assert(r.getDouble(3) >= 0.0, s"negative term: $r"))
+    val psi = rows.head.getDouble(4)
+    val sum = rows.map(r => math.round(r.getDouble(3) * 1e6)).sum / 1e6
+    assert(math.abs(psi - sum) < 1e-9)
+    // the two halves of one uniform stream must NOT read as drifted
+    assert(psi < 0.2, s"false drift alarm: $psi")
+  }
+
+  // ---- q_ab_test ----
+
+  test("q_ab_test: the hash split partitions events exactly") {
+    val r = SparkEntry.queries("q_ab_test")(spark, dir).collect()(0)
+    val (na, xa, nb, xb) = (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4))
+    val total = graft.Tables.events(spark, dir).count()
+    assert(na + nb == total)
+    assert(xa <= na && xb <= nb && xa >= 0 && xb >= 0)
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+    // both arms populated — a broken hash would dump everyone in one
+    assert(na > 0 && nb > 0)
+  }
+
   // ---- q_csv_corrupt ----
 
   test("q_csv_corrupt: capture is lossless — valid + corrupt = all rows") {
