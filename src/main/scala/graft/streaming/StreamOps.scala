@@ -771,6 +771,75 @@ object StreamOps {
     },
 
     Q(
+      "q_stream_scd_enrich",
+      "TEMPORAL stream enrichment run END-TO-END as a real streaming " +
+        "job: each event joins the SCD2 user-state dimension at the " +
+        "version valid AT THE EVENT'S OWN TIMESTAMP (user equality + " +
+        "valid_from ≤ ts < valid_to residual) — the as-of dimension " +
+        "attach that q_stream_enrich's static join gets WRONG for " +
+        "slowly-changing dims (it would attach today's segment to " +
+        "last month's event). [from, to) versions partition each " +
+        "user's timeline, so at most one version matches per event " +
+        "and enrichment stays STATELESS per-row work: stream ≡ batch " +
+        "at any micro-batch split, and the oracle is the plain batch " +
+        "temporal join. The attached version is the state JUST BEFORE " +
+        "the event (valid_from < ts ≤ valid_to — at-time inclusion " +
+        "would tautologically return the event's own type, since the " +
+        "event itself opens or extends its at-time version); a " +
+        "user's first event has no prior state → '_none'. The dim is " +
+        "version-count-bounded (broadcast here; at 100 TB bucket " +
+        "both sides by user_id — the q_bucket_join layout — and the " +
+        "residual stays per-row); rollup = states × types from the " +
+        "parquet sink",
+      Some(
+        """WITH e AS (
+          |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+          |  FROM events
+          |), ch AS (
+          |  SELECT user_id, event_type, ts, event_id FROM (
+          |    SELECT user_id, event_type, ts, event_id,
+          |      lag(event_type) OVER (PARTITION BY user_id
+          |        ORDER BY ts, event_id) AS prev_type
+          |    FROM e)
+          |  WHERE prev_type IS NULL OR prev_type <> event_type
+          |), dim AS (
+          |  SELECT user_id, event_type AS state_type, ts AS valid_from,
+          |    lead(ts) OVER (PARTITION BY user_id
+          |      ORDER BY ts, event_id) AS valid_to
+          |  FROM ch
+          |)
+          |SELECT coalesce(d.state_type, '_none') AS state_type,
+          |  e.event_type, count(*) AS n_events
+          |FROM e LEFT JOIN dim d ON d.user_id = e.user_id
+          |  AND d.valid_from < e.ts
+          |  AND (d.valid_to IS NULL OR e.ts <= d.valid_to)
+          |GROUP BY 1, e.event_type
+          |ORDER BY state_type, e.event_type""".stripMargin),
+    ) { (s, dir) =>
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = graft.Tables.normalizeTs(
+        s.readStream.schema(schema)
+          .option("basePath", dir)
+          .parquet(s"$dir/events.parquet*"))
+        .select(col("user_id").as("e_user"), col("event_type"), col("ts"))
+      val dim = graft.operators.EventsOps.scd2Of(s, dir)
+        .select(col("user_id"), col("event_type").as("state_type"),
+          col("valid_from"), col("valid_to"))
+      val enriched = src
+        .join(broadcast(dim),
+          col("user_id") === col("e_user")
+            && col("valid_from") < col("ts")
+            && (col("valid_to").isNull || col("ts") <= col("valid_to")),
+          "left")
+        .select(coalesce(col("state_type"), lit("_none")).as("state_type"),
+          col("event_type"))
+      runToParquet(s, enriched)
+        .groupBy("state_type", "event_type")
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy("state_type", "event_type")
+    },
+
+    Q(
       "q_stream_upsert",
       "streaming CDC-apply run END-TO-END as a real streaming job: the " +
         "events changelog arrives in THREE deterministic micro-batches " +
