@@ -444,6 +444,79 @@ object EventsOps {
     },
 
     Q(
+      "q_acf",
+      "autocorrelation function of the hourly event-count series at " +
+        "lags 1–24 — the seasonality diagnostic that tells a pipeline " +
+        "whether a daily cycle exists before it fits one (a lag-24 " +
+        "peak = daily rhythm; ACF near zero = the trailing-window " +
+        "anomaly detectors are safe on raw counts). The series is " +
+        "DENSIFIED onto the full hour spine first (missing hours " +
+        "count 0 — the q_gap_fill lesson: ACF on a gappy series is " +
+        "silently wrong); the centered products run in EXACT BIGINT " +
+        "((x_t·n − S)·(x_{t+k}·n − S) — μ never materializes as a " +
+        "float) so fold order can't drift, and each lag's single " +
+        "division is 6dp-rounded. One corpus scan to the hour rollup; " +
+        "everything after is bounded by #hours×24 (a band self-join " +
+        "of the spine). At 100 TB the products want DECIMAL(38) — " +
+        "documented, not needed at any test SF",
+      Some(
+        """WITH hr AS (
+          |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+          |    count(*) AS x
+          |  FROM events GROUP BY h
+          |), bounds AS (
+          |  SELECT min(h) AS h0, max(h) AS h1 FROM hr
+          |), spine AS (
+          |  SELECT h0 + i AS h FROM bounds, unnest(range(h1 - h0 + 1)) AS u(i)
+          |), series AS (
+          |  SELECT s.h - (SELECT h0 FROM bounds) AS t,
+          |    CAST(coalesce(hr.x, 0) AS BIGINT) AS x
+          |  FROM spine s LEFT JOIN hr ON hr.h = s.h
+          |), st AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx
+          |  FROM series
+          |), num AS (
+          |  SELECT b.t - a.t AS lag,
+          |    CAST(sum((a.x * n - sx) * (b.x * n - sx)) AS BIGINT) AS num
+          |  FROM series a JOIN series b
+          |    ON b.t > a.t AND b.t <= a.t + 24
+          |  CROSS JOIN st GROUP BY b.t - a.t
+          |), den AS (
+          |  SELECT CAST(sum((x * n - sx) * (x * n - sx)) AS BIGINT) AS den
+          |  FROM series CROSS JOIN st
+          |)
+          |SELECT lag, round(CAST(num AS DOUBLE) / den, 6) AS acf
+          |FROM num CROSS JOIN den ORDER BY lag""".stripMargin),
+    ) { (s, dir) =>
+      val hr = Tables.events(s, dir)
+        .select(expr("unix_micros(ts) div 3600000000").as("h"))
+        .groupBy("h").agg(count(lit(1)).as("x"))
+      val bounds = hr.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      val spine = bounds
+        .select(explode(sequence(lit(0L), col("h1") - col("h0"))).as("i"),
+          col("h0"))
+        .select((col("h0") + col("i")).as("h"), col("i").as("t"))
+      val series = spine.join(hr, Seq("h"), "left")
+        .select(col("t"), coalesce(col("x"), lit(0L)).as("x"))
+        .localCheckpoint() // read thrice: stats, pairs (twice), denom
+      val st = series.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      val a = series.select(col("t").as("at"), col("x").as("ax"))
+      val b = series.select(col("t").as("bt"), col("x").as("bx"))
+      val num = a.join(b, col("bt") > col("at") && col("bt") <= col("at") + 24)
+        .crossJoin(broadcast(st))
+        .groupBy((col("bt") - col("at")).as("lag"))
+        .agg(sum((col("ax") * col("n") - col("sx"))
+          * (col("bx") * col("n") - col("sx"))).as("num"))
+      val den = series.crossJoin(broadcast(st))
+        .agg(sum((col("x") * col("n") - col("sx"))
+          * (col("x") * col("n") - col("sx"))).as("den"))
+      num.crossJoin(broadcast(den))
+        .select(col("lag"), round(col("num").cast("double") / col("den"), 6)
+          .as("acf"))
+        .orderBy("lag")
+    },
+
+    Q(
       "q_psi_drift",
       "population stability index between the reference and current " +
         "halves of the event stream (split at the median timestamp): " +

@@ -444,6 +444,67 @@ object TextOps {
       element_at(col("dps"), length(col("w")) + 1).as("opt_pieces"))
   }
 
+  /** DuckDB twin of [[bm25Agg]]: CTE chain ending in
+    * `agg(doc_id, bm25)` — splice under WITH. */
+  private[graft] val bm25AggSqlCtes: String =
+    """dl AS (
+      |  SELECT doc_id, len(string_split(lower(text), ' ')) AS dl FROM documents
+      |), stats AS (
+      |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl
+      |), tf AS (
+      |  SELECT doc_id, w, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      |    FROM documents)
+      |  WHERE w IN ('data', 'query', 'vector') GROUP BY doc_id, w
+      |), df AS (
+      |  SELECT w, count(*) AS df FROM tf GROUP BY w
+      |), scored AS (
+      |  SELECT t.doc_id,
+      |    round(ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+      |      * (t.tf * 2.2)
+      |      / (t.tf + 1.2 * (0.25 + 0.75 * dl
+      |          / (CAST(sum_dl AS DOUBLE) / n_docs))), 6) AS contrib
+      |  FROM tf t JOIN df ON t.w = df.w JOIN dl ON t.doc_id = dl.doc_id
+      |  CROSS JOIN stats
+      |), agg AS (
+      |  SELECT doc_id,
+      |    round(CAST(sum(CAST(round(contrib * 1000000000) AS BIGINT))
+      |      / 1000000000.0 AS DOUBLE), 6) AS bm25
+      |  FROM scored GROUP BY doc_id
+      |)""".stripMargin
+
+  /** BM25 per-doc scores for the fixed query-term set — shared by
+    * q_bm25 (ranking) and q_rocchio_expand (pseudo-relevance
+    * feedback). Arithmetic mirrors the oracle op for op: idf and the
+    * length normalization are single IEEE expressions on identical
+    * inputs, the 6dp round is the cross-engine sync point, and the
+    * per-doc sum uses the exact fixed-point convention (scale 9).
+    * Returns (doc_id, bm25), unordered. */
+  private[graft] def bm25Agg(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val dl = docs.select(col("doc_id"), size(toks).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = docs.select(col("doc_id"), explode(toks).as("w"))
+      .filter(col("w").isin("data", "query", "vector"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val contrib = round(
+      log((col("n_docs").cast("double") - col("df") + 0.5)
+        / (col("df") + 0.5) + 1.0)
+        * (col("tf") * 2.2)
+        / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl")
+          / (col("sum_dl").cast("double") / col("n_docs")))), 6)
+    tf.join(broadcast(df), Seq("w"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), contrib.as("contrib"))
+      .groupBy("doc_id")
+      .agg(round((sum(round(col("contrib") * 1000000000L, 0).cast("long"))
+        / 1000000000.0).cast("double"), 6).as("bm25"))
+  }
+
   /** q_unigram_viterbi: score sentinel for "piece absent" DP
     * candidates — far below any reachable path sum (|lp6| < 2·10⁷ per
     * piece × ≤16 chars), so it never wins and never enters state. */
@@ -2576,65 +2637,90 @@ object TextOps {
         "(ties by doc_id), so both engines rank identical doubles. " +
         "Top-20 docs",
       Some(
-        """WITH dl AS (
-          |  SELECT doc_id, len(string_split(lower(text), ' ')) AS dl FROM documents
-          |), stats AS (
-          |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl
-          |), tf AS (
-          |  SELECT doc_id, w, count(*) AS tf FROM (
-          |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
-          |    FROM documents)
-          |  WHERE w IN ('data', 'query', 'vector') GROUP BY doc_id, w
-          |), df AS (
-          |  SELECT w, count(*) AS df FROM tf GROUP BY w
-          |), scored AS (
-          |  SELECT t.doc_id,
-          |    round(ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
-          |      * (t.tf * 2.2)
-          |      / (t.tf + 1.2 * (0.25 + 0.75 * dl
-          |          / (CAST(sum_dl AS DOUBLE) / n_docs))), 6) AS contrib
-          |  FROM tf t JOIN df ON t.w = df.w JOIN dl ON t.doc_id = dl.doc_id
-          |  CROSS JOIN stats
-          |), agg AS (
-          |  SELECT doc_id,
-          |    round(CAST(sum(CAST(round(contrib * 1000000000) AS BIGINT))
-          |      / 1000000000.0 AS DOUBLE), 6) AS bm25
-          |  FROM scored GROUP BY doc_id
-          |), r AS (
-          |  SELECT CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
-          |    AS BIGINT) AS rank, doc_id, bm25 FROM agg
-          |)
-          |SELECT rank, doc_id, bm25 FROM r WHERE rank <= 20
-          |ORDER BY rank""".stripMargin),
+        s"""WITH $bm25AggSqlCtes, r AS (
+           |  SELECT CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+           |    AS BIGINT) AS rank, doc_id, bm25 FROM agg
+           |)
+           |SELECT rank, doc_id, bm25 FROM r WHERE rank <= 20
+           |ORDER BY rank""".stripMargin),
     ) { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      val dl = docs.select(col("doc_id"), size(toks).cast("long").as("dl"))
-      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      val tf = docs.select(col("doc_id"), explode(toks).as("w"))
-        .filter(col("w").isin("data", "query", "vector"))
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
-      // Arithmetic mirrors the oracle op for op: idf and the length
-      // normalization are single IEEE expressions on identical inputs,
-      // the 6dp round is the cross-engine sync point, and the per-doc
-      // sum uses the exact fixed-point convention (scale 9).
-      val contrib = round(
-        log((col("n_docs").cast("double") - col("df") + 0.5)
-          / (col("df") + 0.5) + 1.0)
-          * (col("tf") * 2.2)
-          / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl")
-            / (col("sum_dl").cast("double") / col("n_docs")))), 6)
-      val scored = tf.join(broadcast(df), Seq("w"))
-        .join(dl, Seq("doc_id"))
-        .crossJoin(broadcast(stats))
-        .select(col("doc_id"), contrib.as("contrib"))
-      scored.groupBy("doc_id")
-        .agg(round((sum(round(col("contrib") * 1000000000L, 0).cast("long"))
-          / 1000000000.0).cast("double"), 6).as("bm25"))
+      bm25Agg(s, dir)
         .withColumn("rank", row_number()
           .over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
         .filter(col("rank") <= 20)
         .select("rank", "doc_id", "bm25")
+        .orderBy("rank")
+    },
+
+    Q(
+      "q_rocchio_expand",
+      "pseudo-relevance feedback (Rocchio): the top-10 BM25 docs for " +
+        "the fixed query become the relevant set, their term mass is " +
+        "folded into a tf·idf centroid, and the 8 heaviest non-query " +
+        "terms come back as the expansion — the query-expansion loop " +
+        "classic IR runs when recall matters more than latency. The " +
+        "expensive pieces are shared or bounded: BM25 scoring reuses " +
+        "bm25Agg verbatim, the relevant-set term agg explodes only " +
+        "TEN docs, and the corpus-sized piece is the df table the " +
+        "tf-idf operators already pay for (vocab-bounded agg, joined " +
+        "rel-term-keyed). Weights fold as tf · round(idf·1e6) — " +
+        "EXACT BIGINT fixed point, so term fold order cannot drift " +
+        "the ranking; the final window ranks the rel-doc-term-" +
+        "bounded weight table, never the vocab",
+      Some(
+        s"""WITH $bm25AggSqlCtes, rel AS (
+           |  SELECT doc_id FROM (
+           |    SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id)
+           |      AS rk FROM agg) WHERE rk <= 10
+           |), rtok AS (
+           |  SELECT d.doc_id, unnest(string_split(lower(d.text), ' ')) AS w
+           |  FROM documents d JOIN rel ON rel.doc_id = d.doc_id
+           |), rtf AS (
+           |  SELECT w, CAST(count(*) AS BIGINT) AS tfsum FROM rtok
+           |  WHERE w <> '' GROUP BY w
+           |), fdf AS (
+           |  SELECT w, count(DISTINCT doc_id) AS fdf FROM (
+           |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+           |    FROM documents)
+           |  WHERE w <> '' GROUP BY w
+           |), wts AS (
+           |  SELECT r.w,
+           |    CAST(r.tfsum * CAST(round(ln(
+           |      CAST((SELECT n_docs FROM stats) AS DOUBLE) / fdf) * 1000000)
+           |      AS BIGINT) AS BIGINT) AS w6
+           |  FROM rtf r JOIN fdf f ON r.w = f.w
+           |  WHERE r.w NOT IN ('data', 'query', 'vector')
+           |), ex AS (
+           |  SELECT CAST(row_number() OVER (ORDER BY w6 DESC, w) AS BIGINT)
+           |    AS rank, w AS term, CAST(w6 AS DOUBLE) / 1000000.0 AS weight
+           |  FROM wts
+           |)
+           |SELECT rank, term, weight FROM ex WHERE rank <= 8
+           |ORDER BY rank""".stripMargin),
+    ) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val rel = bm25Agg(s, dir)
+        .withColumn("rk", row_number()
+          .over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+        .filter(col("rk") <= 10).select("doc_id")
+      val rtf = docs.join(broadcast(rel), "doc_id")
+        .select(explode(toks).as("w")).filter(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("tfsum"))
+      val fdf = docs.select(col("doc_id"), explode(toks).as("w"))
+        .filter(col("w") =!= "").distinct()
+        .groupBy("w").agg(count(lit(1)).as("fdf"))
+      val nd = docs.agg(count(lit(1)).as("n_docs"))
+      rtf.join(fdf, "w")
+        .crossJoin(broadcast(nd))
+        .filter(!col("w").isin("data", "query", "vector"))
+        .select(col("w").as("term"),
+          (col("tfsum") * round(log(col("n_docs").cast("double") / col("fdf"))
+            * 1000000, 0).cast("long")).as("w6"))
+        .withColumn("rank", row_number()
+          .over(Window.orderBy(col("w6").desc, col("term"))).cast("long"))
+        .filter(col("rank") <= 8)
+        .select(col("rank"), col("term"),
+          (col("w6").cast("double") / 1000000.0).as("weight"))
         .orderBy("rank")
     },
 

@@ -194,6 +194,27 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(na > 0 && nb > 0)
   }
 
+  // ---- q_acf ----
+
+  test("q_acf: 24 lags, every coefficient within [-1, 1] by Cauchy-Schwarz") {
+    val rows = SparkEntry.queries("q_acf")(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 24L))
+    rows.foreach(r => assert(r.getDouble(1).abs <= 1.0 + 1e-9,
+      s"|acf| > 1 at lag ${r.getLong(0)}: ${r.getDouble(1)}"))
+  }
+
+  // ---- q_rocchio_expand ----
+
+  test("q_rocchio_expand: expansion excludes query terms, ranked by weight") {
+    val rows = SparkEntry.queries("q_rocchio_expand")(spark, dir).collect()
+    assert(rows.length == 8)
+    val terms = rows.map(_.getString(1))
+    assert(terms.intersect(Seq("data", "query", "vector")).isEmpty)
+    val weights = rows.map(_.getDouble(2))
+    for (i <- 1 until weights.length) assert(weights(i) <= weights(i - 1))
+    assert(weights.forall(_ >= 0.0)) // idf ≥ 0: df ≤ n_docs
+  }
+
   // ---- q_csv_corrupt ----
 
   test("q_csv_corrupt: capture is lossless — valid + corrupt = all rows") {
