@@ -35,6 +35,23 @@ object EventsOps {
     * (oracle-unrolled, 9dp-rounded per round). */
   private[graft] val MarkovSteps = 5
 
+  /** DuckDB twin of [[hourlySeries]]: hr → bounds → spine →
+    * series(t, x) CTEs; splice under WITH. */
+  private[graft] val hourlySeriesSqlCte: String =
+    """hr AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+      |    count(*) AS x
+      |  FROM events GROUP BY h
+      |), bounds AS (
+      |  SELECT min(h) AS h0, max(h) AS h1 FROM hr
+      |), spine AS (
+      |  SELECT h0 + i AS h FROM bounds, unnest(range(h1 - h0 + 1)) AS u(i)
+      |), series AS (
+      |  SELECT s.h - (SELECT h0 FROM bounds) AS t,
+      |    CAST(coalesce(hr.x, 0) AS BIGINT) AS x
+      |  FROM spine s LEFT JOIN hr ON hr.h = s.h
+      |)""".stripMargin
+
   /** Shared sessionization (q_events_sessions / q_session_paths):
     * one user-keyed shuffle, then lag-flag + cumulative-sum windows
     * ride the same ordering — returns the event stream (user_id,
@@ -460,19 +477,7 @@ object EventsOps {
         "of the spine). At 100 TB the products want DECIMAL(38) — " +
         "documented, not needed at any test SF",
       Some(
-        """WITH hr AS (
-          |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
-          |    count(*) AS x
-          |  FROM events GROUP BY h
-          |), bounds AS (
-          |  SELECT min(h) AS h0, max(h) AS h1 FROM hr
-          |), spine AS (
-          |  SELECT h0 + i AS h FROM bounds, unnest(range(h1 - h0 + 1)) AS u(i)
-          |), series AS (
-          |  SELECT s.h - (SELECT h0 FROM bounds) AS t,
-          |    CAST(coalesce(hr.x, 0) AS BIGINT) AS x
-          |  FROM spine s LEFT JOIN hr ON hr.h = s.h
-          |), st AS (
+        s"""WITH $hourlySeriesSqlCte, st AS (
           |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx
           |  FROM series
           |), num AS (
@@ -488,16 +493,7 @@ object EventsOps {
           |SELECT lag, round(CAST(num AS DOUBLE) / den, 6) AS acf
           |FROM num CROSS JOIN den ORDER BY lag""".stripMargin),
     ) { (s, dir) =>
-      val hr = Tables.events(s, dir)
-        .select(expr("unix_micros(ts) div 3600000000").as("h"))
-        .groupBy("h").agg(count(lit(1)).as("x"))
-      val bounds = hr.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
-      val spine = bounds
-        .select(explode(sequence(lit(0L), col("h1") - col("h0"))).as("i"),
-          col("h0"))
-        .select((col("h0") + col("i")).as("h"), col("i").as("t"))
-      val series = spine.join(hr, Seq("h"), "left")
-        .select(col("t"), coalesce(col("x"), lit(0L)).as("x"))
+      val series = hourlySeries(s, dir)
         .localCheckpoint() // read thrice: stats, pairs (twice), denom
       val st = series.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
       val a = series.select(col("t").as("at"), col("x").as("ax"))
@@ -514,6 +510,69 @@ object EventsOps {
         .select(col("lag"), round(col("num").cast("double") / col("den"), 6)
           .as("acf"))
         .orderBy("lag")
+    },
+
+    Q(
+      "q_holt_winters",
+      "Holt linear-trend exponential smoothing over the hourly count " +
+        "series (α=0.5, β=0.3) with a 6-hour forecast — the capacity-" +
+        "planning / anomaly-baseline forecaster beside q_acf's " +
+        "diagnostic. Smoothing is inherently SEQUENTIAL, so the " +
+        "corpus collapses to the hour rollup (one scan), the " +
+        "#hours-bounded series rides ONE row as a sorted array, and " +
+        "the recursion is a single fold over that array — the " +
+        "sequential part costs #hours scalar ops on one executor, " +
+        "exactly as cheap as it can be (at 100 TB the series is " +
+        "still just hours×8 bytes; the scan dominates). Every " +
+        "level/trend update is 6dp-rounded and every field " +
+        "double-cast, pinning both engines' folds step for step; " +
+        "init l₁=x₁, b₁=x₂−x₁ (the standard two-point start)",
+      Some(
+        // The linear recursion is a RECURSIVE CTE, not a list_reduce
+        // lambda: DuckDB evaluates a lambda's struct_pack fields
+        // sequentially INTO the accumulator, so a field referencing
+        // acc.l after l was assigned silently reads the new value.
+        // Literals are e-notation DOUBLEs (a bare 0.5 is DECIMAL).
+        s"""WITH RECURSIVE $hourlySeriesSqlCte, x0 AS (
+           |  SELECT t, CAST(x AS DOUBLE) AS x FROM series
+           |), hw AS (
+           |  SELECT CAST(1 AS BIGINT) AS pos,
+           |    (SELECT x FROM x0 WHERE t = 0) AS l,
+           |    (SELECT x FROM x0 WHERE t = 1)
+           |      - (SELECT x FROM x0 WHERE t = 0) AS b
+           |  UNION ALL
+           |  SELECT hw.pos + 1,
+           |    round(5e-1 * x0.x + 5e-1 * (hw.l + hw.b), 6),
+           |    round(3e-1 * (round(5e-1 * x0.x + 5e-1 * (hw.l + hw.b), 6)
+           |        - hw.l) + 7e-1 * hw.b, 6)
+           |  FROM hw JOIN x0 ON x0.t = hw.pos + 1
+           |), fin AS (
+           |  SELECT l, b FROM hw ORDER BY pos DESC LIMIT 1
+           |)
+           |SELECT CAST(h AS BIGINT) AS horizon,
+           |  round(l + h * b, 6) AS forecast
+           |FROM fin, unnest(range(1, 7)) AS u(h)
+           |ORDER BY horizon""".stripMargin),
+    ) { (s, dir) =>
+      val xs = hourlySeries(s, dir)
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(t, x))), p -> CAST(p.x AS DOUBLE))")
+          .as("xs"))
+      val fin = xs.select(expr(
+        """aggregate(
+          |  slice(xs, 3, size(xs) - 2),
+          |  named_struct('l', element_at(xs, 1),
+          |               'b', element_at(xs, 2) - element_at(xs, 1)),
+          |  (acc, v) -> named_struct(
+          |    'l', CAST(round(0.5D * v + 0.5D * (acc.l + acc.b), 6) AS DOUBLE),
+          |    'b', CAST(round(0.3D * (round(0.5D * v
+          |           + 0.5D * (acc.l + acc.b), 6) - acc.l)
+          |         + 0.7D * acc.b, 6) AS DOUBLE)))""".stripMargin).as("fin"))
+      fin.select(explode(sequence(lit(1L), lit(6L))).as("horizon"),
+          col("fin.l").as("l"), col("fin.b").as("b"))
+        .select(col("horizon"),
+          round(col("l") + col("horizon") * col("b"), 6).as("forecast"))
+        .orderBy("horizon")
     },
 
     Q(
@@ -1477,6 +1536,23 @@ object EventsOps {
           + gt(col("f"), col("fq"), 3)).as("f_score"),
         (lit(1L) + gt(col("m_us"), col("mq"), 1) + gt(col("m_us"), col("mq"), 2)
           + gt(col("m_us"), col("mq"), 3)).as("m_score"))
+  }
+
+  /** Densified hourly event-count series (t = hour index from the
+    * corpus start, x = count; missing hours 0) — shared by q_acf and
+    * q_holt_winters. One corpus scan to the hour rollup; the spine
+    * explode is bounds-bounded. Unordered. */
+  private[graft] def hourlySeries(s: SparkSession, dir: String): DataFrame = {
+    val hr = Tables.events(s, dir)
+      .select(expr("unix_micros(ts) div 3600000000").as("h"))
+      .groupBy("h").agg(count(lit(1)).as("x"))
+    val bounds = hr.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val spine = bounds
+      .select(explode(sequence(lit(0L), col("h1") - col("h0"))).as("i"),
+        col("h0"))
+      .select((col("h0") + col("i")).as("h"), col("i").as("t"))
+    spine.join(hr, Seq("h"), "left")
+      .select(col("t"), coalesce(col("x"), lit(0L)).as("x"))
   }
 
   /** q_markov_absorb rounds (planted-chain spec entry point) over a

@@ -12,6 +12,10 @@ class Round9OpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
+  /** 6dp HALF_UP — the engines' shared rounding grid. */
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
+
   // ---- q_rfm ----
 
   test("rfmScored assigns hand-derived quartile scores on a planted cohort") {
@@ -201,6 +205,25 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(0)).toSeq == (1L to 24L))
     rows.foreach(r => assert(r.getDouble(1).abs <= 1.0 + 1e-9,
       s"|acf| > 1 at lag ${r.getLong(0)}: ${r.getDouble(1)}"))
+  }
+
+  // ---- q_holt_winters ----
+
+  test("q_holt_winters equals a sequential Scala fold of the same recurrence") {
+    val xs = graft.operators.EventsOps.hourlySeries(spark, dir)
+      .orderBy("t").collect().map(_.getLong(1).toDouble)
+    var l = xs(0); var b = xs(1) - xs(0)
+    for (v <- xs.drop(2)) {
+      val nl = r6(0.5 * v + 0.5 * (l + b))
+      val nb = r6(0.3 * (nl - l) + 0.7 * b)
+      l = nl; b = nb
+    }
+    val rows = SparkEntry.queries("q_holt_winters")(spark, dir).collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      assert(r.getDouble(1) == r6(l + r.getLong(0) * b),
+        s"horizon ${r.getLong(0)}")
+    }
   }
 
   // ---- q_rocchio_expand ----
