@@ -62,5 +62,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // deletion-neighborhood equi-join instead of a nested loop (the
     // in-code seam is graft.plans.FuzzyJoinBlocking.register).
     ext.injectOptimizerRule(_ => graft.plans.FuzzyJoinBlocking)
+    // Optimizer rule: JOIN ... ON bit_count(a # b) <= r plans as a
+    // pigeonhole banded equi-join instead of a nested loop (the
+    // in-code seam is graft.plans.HammingBandJoin.register).
+    ext.injectOptimizerRule(_ => graft.plans.HammingBandJoin)
   }
 }

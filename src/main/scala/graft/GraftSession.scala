@@ -33,6 +33,7 @@ object GraftSession {
     // which query happened to run first. The spark-submit twin is
     // `--conf spark.sql.extensions=graft.GraftExtensions`.
     graft.plans.FuzzyJoinBlocking.register(spark)
+    graft.plans.HammingBandJoin.register(spark)
     spark
   }
 }

@@ -595,6 +595,53 @@ object DedupOps {
     },
 
     Q(
+      "q_hamming_join",
+      "the NAIVE Hamming radius join — `ON bit_count(sig_a # sig_b) " +
+        "<= 3 AND doc_a < doc_b`, no hand-banding — planned by the " +
+        "graft.plans.HammingBandJoin optimizer rule as a pigeonhole " +
+        "banded equi-join: the rule explodes r+1 disjoint 16-bit " +
+        "bands per side, joins on (band, value), keeps one canonical " +
+        "band match per pair, and re-applies the popcount verify. " +
+        "Same pairs as q_dedup_simhash's HAND-banded plan, but the " +
+        "user writes the declarative theta join and the PLANNER " +
+        "supplies the blocking — the q_fuzzy_pairs story for Hamming " +
+        "space. Without the rule this is a corpus² nested loop that " +
+        "cannot hash-partition; with it, two map-side ×4 explodes " +
+        "and one keyed shuffle (plan-pinned NestedLoop-free). The " +
+        "oracle IS the naive quadratic semantics",
+      Some(
+        s"""WITH tok AS (
+           |  SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS w
+           |  FROM documents
+           |), h AS (
+           |  SELECT doc_id, CAST('0x'||substr(md5(w),1,15) AS BIGINT) AS h FROM tok
+           |), bits AS (
+           |  SELECT doc_id, $simhashSqlBits FROM h GROUP BY doc_id
+           |), sim AS (
+           |  SELECT doc_id, $simhashSqlAssemble AS simhash FROM bits
+           |)
+           |SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+           |  CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+           |FROM sim l JOIN sim r ON l.doc_id < r.doc_id
+           |WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+           |ORDER BY doc_a, doc_b""".stripMargin),
+    ) { (s, dir) =>
+      val sim = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          array_distinct(split(lower(col("text")), " ", -1)).as("dt"))
+        .select(col("doc_id"), SimHash60.simhash60(s, "dt").as("simhash"))
+        .localCheckpoint() // both join sides read it
+      val l = sim.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+      val r = sim.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+      l.join(r, expr("bit_count(sig_a ^ sig_b) <= 3")
+          && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long")
+            .as("hamming"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    Q(
       "q_dedup_incremental",
       "incremental dedup — the daily-batch production shape: the new " +
         "batch (docs ≥ 400) is cleaned against the base corpus by " +
