@@ -505,6 +505,109 @@ object TextOps {
         / 1000000000.0).cast("double"), 6).as("bm25"))
   }
 
+  /** Shared oracle head for the unigram-LM operators: words, gram
+    * counts, the top-K gram cut `gr(piece, n)` and the char tier
+    * `c1n(piece, n)` — splice under WITH. */
+  private def ugHeadSql: String =
+    s"""words AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY w
+       |), grams AS (
+       |  SELECT g, CAST(sum(freq) AS BIGINT) AS n FROM (
+       |    SELECT freq, unnest(list_transform(range(len(w) - 1), i -> substr(w, CAST(i+1 AS INT), 2))) AS g FROM words
+       |    UNION ALL
+       |    SELECT freq, unnest(list_transform(range(len(w) - 2), i -> substr(w, CAST(i+1 AS INT), 3))) AS g FROM words
+       |    UNION ALL
+       |    SELECT freq, unnest(list_transform(range(len(w) - 3), i -> substr(w, CAST(i+1 AS INT), 4))) AS g FROM words
+       |  ) GROUP BY g
+       |), gr AS (
+       |  SELECT g AS piece, n FROM grams ORDER BY n DESC, g LIMIT $WpPieceK
+       |), c1n AS (
+       |  SELECT piece, CAST(sum(freq) AS BIGINT) AS n FROM (
+       |    SELECT freq, unnest(list_transform(range(len(w)), i -> substr(w, CAST(i+1 AS INT), 1))) AS piece FROM words)
+       |  GROUP BY piece
+       |)""".stripMargin
+
+  /** One full oracle Viterbi pass over the inventory CTE
+    * `inv<sfx>(piece, n)`: log-probs, per-length piece tables, the
+    * unrolled forward DP (score + backpointer arrays), the unrolled
+    * backward walk, and the M-step rollup — every CTE name suffixed
+    * so q_vocab_prune can run the chain twice (full and pruned
+    * inventories) in one statement. Ends with `vit<sfx>(piece,
+    * viterbi_n)` and `vtt<sfx>(vt)`. */
+  private def ugChainSql(sfx: String): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""itot$sfx AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM inv$sfx),
+         |lp$sfx AS MATERIALIZED (
+         |  SELECT piece, n, CAST(round(ln(n / tot) * 1000000) AS BIGINT) AS lp6
+         |  FROM inv$sfx CROSS JOIN itot$sfx
+         |), l1$sfx AS MATERIALIZED (SELECT piece, lp6 FROM lp$sfx WHERE len(piece) = 1),
+         |l2$sfx AS MATERIALIZED (SELECT piece, lp6 FROM lp$sfx WHERE len(piece) = 2),
+         |l3$sfx AS MATERIALIZED (SELECT piece, lp6 FROM lp$sfx WHERE len(piece) = 3),
+         |l4$sfx AS MATERIALIZED (SELECT piece, lp6 FROM lp$sfx WHERE len(piece) = 4),
+         |d0$sfx AS MATERIALIZED (
+         |  SELECT w, freq, [CAST(0 AS BIGINT)] AS dps, [CAST(0 AS BIGINT)] AS bps
+         |  FROM words)""".stripMargin)
+    for (j <- 1 to WpMaxSteps) {
+      val ls = (1 to 4).filter(_ <= j)
+      val joins = ls.map(l =>
+        s"LEFT JOIN l$l$sfx v$l ON v$l.piece = substr(st.w, ${j - l + 1}, $l)")
+        .mkString("\n  ")
+      def cand(l: Int): String =
+        s"CASE WHEN v$l.piece IS NOT NULL THEN list_extract(st.dps, ${j - l + 1}) + v$l.lp6 ELSE CAST($UgNegInf AS BIGINT) END"
+      val bs = s"greatest(${ls.map(cand).mkString(", ")})"
+      val bl =
+        if (ls.size == 1) "CAST(1 AS BIGINT)"
+        else ls.reverse.init.map(l =>
+          s"WHEN ${cand(l)} = $bs THEN CAST($l AS BIGINT)")
+          .mkString("CASE ", " ", " ELSE CAST(1 AS BIGINT) END")
+      sb.append(
+        s""",
+           |d$j$sfx AS MATERIALIZED (
+           |  SELECT st.w, st.freq,
+           |    CASE WHEN len(st.w) >= $j THEN list_append(st.dps, $bs)
+           |      ELSE st.dps END AS dps,
+           |    CASE WHEN len(st.w) >= $j THEN list_append(st.bps, $bl)
+           |      ELSE st.bps END AS bps
+           |  FROM d${j - 1}$sfx st
+           |  $joins
+           |)""".stripMargin)
+    }
+    sb.append(
+      s""",
+         |vb0$sfx AS MATERIALIZED (
+         |  SELECT w, freq, bps, CAST(len(w) AS BIGINT) AS pos
+         |  FROM d$WpMaxSteps$sfx)""".stripMargin)
+    for (t <- 1 to WpMaxSteps) {
+      sb.append(
+        s""",
+           |ve$t$sfx AS MATERIALIZED (
+           |  SELECT w, freq, bps,
+           |    substr(w,
+           |      CAST(pos - list_extract(bps, CAST(pos + 1 AS INT)) + 1 AS INT),
+           |      CAST(list_extract(bps, CAST(pos + 1 AS INT)) AS INT)) AS piece,
+           |    pos - list_extract(bps, CAST(pos + 1 AS INT)) AS npos
+           |  FROM vb${t - 1}$sfx
+           |), vb$t$sfx AS MATERIALIZED (
+           |  SELECT w, freq, bps, npos AS pos FROM ve$t$sfx WHERE npos > 0
+           |)""".stripMargin)
+    }
+    sb.append(
+      s""",
+         |vit$sfx AS (
+         |  SELECT piece, CAST(sum(freq) AS BIGINT) AS viterbi_n FROM (
+         |  ${(1 to WpMaxSteps).map(t => s"SELECT piece, freq FROM ve$t$sfx").mkString("\n  UNION ALL\n  ")}
+         |  ) GROUP BY piece
+         |), vtt$sfx AS (SELECT CAST(sum(viterbi_n) AS DOUBLE) AS vt FROM vit$sfx)""".stripMargin)
+    sb.toString
+  }
+
+  /** q_vocab_prune: grams dropped per prune round (chars never
+    * prune — they are the coverage floor). */
+  private[graft] val UgPruneK = 8
+
   /** q_unigram_viterbi: score sentinel for "piece absent" DP
     * candidates — far below any reachable path sum (|lp6| < 2·10⁷ per
     * piece × ≤16 chars), so it never wins and never enters state. */
@@ -2206,96 +2309,14 @@ object TextOps {
         "four broadcast piece tables and checkpoints. Output: per " +
         "piece, prior count, Viterbi count, renormalized probability",
       Some {
-        val sb = new StringBuilder
-        sb.append(
-          s"""WITH words AS MATERIALIZED (
-             |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
-             |    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
-             |  WHERE w <> '' GROUP BY w
-             |), grams AS (
-             |  SELECT g, CAST(sum(freq) AS BIGINT) AS n FROM (
-             |    SELECT freq, unnest(list_transform(range(len(w) - 1), i -> substr(w, CAST(i+1 AS INT), 2))) AS g FROM words
-             |    UNION ALL
-             |    SELECT freq, unnest(list_transform(range(len(w) - 2), i -> substr(w, CAST(i+1 AS INT), 3))) AS g FROM words
-             |    UNION ALL
-             |    SELECT freq, unnest(list_transform(range(len(w) - 3), i -> substr(w, CAST(i+1 AS INT), 4))) AS g FROM words
-             |  ) GROUP BY g
-             |), gr AS (
-             |  SELECT g AS piece, n FROM grams ORDER BY n DESC, g LIMIT $WpPieceK
-             |), c1n AS (
-             |  SELECT piece, CAST(sum(freq) AS BIGINT) AS n FROM (
-             |    SELECT freq, unnest(list_transform(range(len(w)), i -> substr(w, CAST(i+1 AS INT), 1))) AS piece FROM words)
-             |  GROUP BY piece
-             |), inv AS MATERIALIZED (
-             |  SELECT piece, n FROM gr UNION ALL SELECT piece, n FROM c1n
-             |), itot AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM inv),
-             |lp AS MATERIALIZED (
-             |  SELECT piece, n, CAST(round(ln(n / tot) * 1000000) AS BIGINT) AS lp6
-             |  FROM inv CROSS JOIN itot
-             |), l1 AS MATERIALIZED (SELECT piece, lp6 FROM lp WHERE len(piece) = 1),
-             |l2 AS MATERIALIZED (SELECT piece, lp6 FROM lp WHERE len(piece) = 2),
-             |l3 AS MATERIALIZED (SELECT piece, lp6 FROM lp WHERE len(piece) = 3),
-             |l4 AS MATERIALIZED (SELECT piece, lp6 FROM lp WHERE len(piece) = 4),
-             |d0 AS MATERIALIZED (
-             |  SELECT w, freq, [CAST(0 AS BIGINT)] AS dps, [CAST(0 AS BIGINT)] AS bps
-             |  FROM words)""".stripMargin)
-        for (j <- 1 to WpMaxSteps) {
-          val ls = (1 to 4).filter(_ <= j)
-          val joins = ls.map(l =>
-            s"LEFT JOIN l$l v$l ON v$l.piece = substr(st.w, ${j - l + 1}, $l)")
-            .mkString("\n  ")
-          def cand(l: Int): String =
-            s"CASE WHEN v$l.piece IS NOT NULL THEN list_extract(st.dps, ${j - l + 1}) + v$l.lp6 ELSE CAST($UgNegInf AS BIGINT) END"
-          val bs = s"greatest(${ls.map(cand).mkString(", ")})"
-          val bl =
-            if (ls.size == 1) "CAST(1 AS BIGINT)"
-            else ls.reverse.init.map(l =>
-              s"WHEN ${cand(l)} = $bs THEN CAST($l AS BIGINT)")
-              .mkString("CASE ", " ", " ELSE CAST(1 AS BIGINT) END")
-          sb.append(
-            s""",
-               |d$j AS MATERIALIZED (
-               |  SELECT st.w, st.freq,
-               |    CASE WHEN len(st.w) >= $j THEN list_append(st.dps, $bs)
-               |      ELSE st.dps END AS dps,
-               |    CASE WHEN len(st.w) >= $j THEN list_append(st.bps, $bl)
-               |      ELSE st.bps END AS bps
-               |  FROM d${j - 1} st
-               |  $joins
-               |)""".stripMargin)
-        }
-        sb.append(
-          s""",
-             |vb0 AS MATERIALIZED (
-             |  SELECT w, freq, bps, CAST(len(w) AS BIGINT) AS pos
-             |  FROM d$WpMaxSteps)""".stripMargin)
-        for (t <- 1 to WpMaxSteps) {
-          sb.append(
-            s""",
-               |ve$t AS MATERIALIZED (
-               |  SELECT w, freq, bps,
-               |    substr(w,
-               |      CAST(pos - list_extract(bps, CAST(pos + 1 AS INT)) + 1 AS INT),
-               |      CAST(list_extract(bps, CAST(pos + 1 AS INT)) AS INT)) AS piece,
-               |    pos - list_extract(bps, CAST(pos + 1 AS INT)) AS npos
-               |  FROM vb${t - 1}
-               |), vb$t AS MATERIALIZED (
-               |  SELECT w, freq, bps, npos AS pos FROM ve$t WHERE npos > 0
-               |)""".stripMargin)
-        }
-        sb.append(
-          s""",
-             |vit AS (
-             |  SELECT piece, CAST(sum(freq) AS BIGINT) AS viterbi_n FROM (
-             |  ${(1 to WpMaxSteps).map(t => s"SELECT piece, freq FROM ve$t").mkString("\n  UNION ALL\n  ")}
-             |  ) GROUP BY piece
-             |), vtt AS (SELECT CAST(sum(viterbi_n) AS DOUBLE) AS vt FROM vit)
-             |SELECT lp.piece, lp.n AS prior_n,
-             |  coalesce(v.viterbi_n, 0) AS viterbi_n,
-             |  round(coalesce(v.viterbi_n, 0) / vtt.vt, 6) AS new_p
-             |FROM lp LEFT JOIN vit v ON lp.piece = v.piece CROSS JOIN vtt
-             |ORDER BY lp.piece""".stripMargin)
-        sb.toString
+        s"""WITH $ugHeadSql, inv AS MATERIALIZED (
+           |  SELECT piece, n FROM gr UNION ALL SELECT piece, n FROM c1n
+           |), ${ugChainSql("")}
+           |SELECT lp.piece, lp.n AS prior_n,
+           |  coalesce(v.viterbi_n, 0) AS viterbi_n,
+           |  round(coalesce(v.viterbi_n, 0) / vtt.vt, 6) AS new_p
+           |FROM lp LEFT JOIN vit v ON lp.piece = v.piece CROSS JOIN vtt
+           |ORDER BY lp.piece""".stripMargin
       },
     ) { (s, dir) =>
       val words = wpWords(s, dir)
@@ -2310,6 +2331,88 @@ object TextOps {
           round(coalesce(col("viterbi_n"), lit(0L)) / col("vt"), 6)
             .as("new_p"))
         .orderBy("piece")
+    },
+
+    Q(
+      "q_vocab_prune",
+      s"one SentencePiece PRUNE round: run Viterbi under the full " +
+        s"inventory, drop the $UgPruneK grams with the least Viterbi " +
+        "mass (chars never prune — they are the coverage floor), " +
+        "renormalize the survivors' probabilities, re-segment, and " +
+        "report the corpus log-likelihood before and after — the " +
+        "vocabulary-shrinking loop that turns a seed inventory into " +
+        "a final tokenizer, with the LL delta as the quality bill. " +
+        "LL = Σ viterbi_n(piece)·lp6(piece) folds in EXACT BIGINT " +
+        "(the path-sum identity), so even the objective is " +
+        "drift-free; both Viterbi passes are the q_unigram_viterbi " +
+        "machinery (word-vocab-bounded state, broadcast piece " +
+        "tables, checkpointed rounds ×2). The oracle runs the " +
+        "entire two-pass chain as one suffixed CTE program",
+      Some {
+        s"""WITH $ugHeadSql, inva AS MATERIALIZED (
+           |  SELECT piece, n FROM gr UNION ALL SELECT piece, n FROM c1n
+           |), ${ugChainSql("a")},
+           |prunedset AS (
+           |  SELECT piece FROM (
+           |    SELECT g.piece, coalesce(v.viterbi_n, 0) AS vn
+           |    FROM gr g LEFT JOIN vita v ON g.piece = v.piece)
+           |  ORDER BY vn, piece LIMIT $UgPruneK
+           |), invb AS MATERIALIZED (
+           |  SELECT piece, n FROM inva
+           |  WHERE piece NOT IN (SELECT piece FROM prunedset)
+           |), ${ugChainSql("b")},
+           |lla AS (
+           |  SELECT CAST(sum(v.viterbi_n * l.lp6) AS BIGINT) AS ll6
+           |  FROM vita v JOIN lpa l ON v.piece = l.piece
+           |), llb AS (
+           |  SELECT CAST(sum(v.viterbi_n * l.lp6) AS BIGINT) AS ll6
+           |  FROM vitb v JOIN lpb l ON v.piece = l.piece
+           |)
+           |SELECT * FROM (
+           |  SELECT 'full' AS stage,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM inva) AS n_pieces,
+           |    round(CAST(ll6 AS DOUBLE) / 1000000.0, 6) AS ll FROM lla
+           |  UNION ALL
+           |  SELECT 'pruned',
+           |    (SELECT CAST(count(*) AS BIGINT) FROM invb),
+           |    round(CAST(ll6 AS DOUBLE) / 1000000.0, 6) FROM llb
+           |) ORDER BY stage""".stripMargin
+      },
+    ) { (s, dir) =>
+      val words = wpWords(s, dir)
+      def pass(inv: org.apache.spark.sql.DataFrame)
+          : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+        val vit = ugViterbiEmits(words, inv)
+          .groupBy("piece").agg(sum(col("freq")).as("viterbi_n"))
+          .localCheckpoint() // read twice: LL + (first pass) prune cut
+        val ll = vit.join(inv, "piece")
+          .agg(sum(col("viterbi_n") * col("lp6")).as("ll6"))
+        (vit, ll)
+      }
+      def stageRow(stage: String, inv: org.apache.spark.sql.DataFrame,
+          ll: org.apache.spark.sql.DataFrame) =
+        inv.agg(count(lit(1)).as("n_pieces"))
+          .crossJoin(broadcast(ll))
+          .select(lit(stage).as("stage"), col("n_pieces"),
+            round(col("ll6").cast("double") / 1000000.0, 6).as("ll"))
+      val invA = ugInventory(words)
+      val (vitA, llA) = pass(invA)
+      val pruned = invA.filter(length(col("piece")) > 1)
+        .join(vitA, Seq("piece"), "left")
+        .select(col("piece"), coalesce(col("viterbi_n"), lit(0L)).as("vn"))
+        .orderBy(col("vn"), col("piece")).limit(UgPruneK)
+        .select("piece")
+      val invBbase = invA.join(pruned, Seq("piece"), "left_anti")
+      val totB = invBbase.agg(sum(col("n")).cast("double").as("tot"))
+      val invB = invBbase.crossJoin(broadcast(totB))
+        .select(col("piece"), col("n"),
+          round(log(col("n") / col("tot")) * 1000000, 0).cast("long")
+            .as("lp6"))
+        .localCheckpoint()
+      val (_, llB) = pass(invB)
+      stageRow("full", invA, llA)
+        .unionByName(stageRow("pruned", invB, llB))
+        .orderBy("stage")
     },
 
     Q(

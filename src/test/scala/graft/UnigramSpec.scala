@@ -64,6 +64,16 @@ class UnigramSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("q_vocab_prune drops exactly K grams and keeps LL finite") {
+    val full = SparkEntry.queries("q_vocab_prune")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(full.keySet == Set("full", "pruned"))
+    assert(full("full")._1 - full("pruned")._1 == TextOps.UgPruneK)
+    // log-likelihoods of a probabilistic segmentation are negative
+    assert(full("full")._2 < 0 && full("pruned")._2 < 0)
+    assert(!full("full")._2.isNaN && !full("pruned")._2.isNaN)
+  }
+
   test("q_unigram_viterbi conserves characters: Σ n·len(piece) = Σ freq·len(w)") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q_unigram_viterbi")(spark, dir).collect()
