@@ -991,6 +991,121 @@ object AnnOps {
     },
 
     Q(
+      "q_ivf_rebalance",
+      "IVF hot-cell SPLIT — the index-maintenance twin of " +
+        "q_ivf_delete's tombstones: the fullest cell (q_ivf_imbalance " +
+        "finds them) splits by deterministic 2-means seeding (min-id " +
+        "member + the member farthest from it, the classic " +
+        "farthest-pair init) and one assignment pass; untouched cells " +
+        "keep their ids, the halves get fresh ones, and the report " +
+        "shows max-cell size and imbalance (max/avg) before vs after " +
+        "— how a vector DB keeps probe cost flat as inserts skew a " +
+        "cell. Only the HOT CELL's members are touched (the split " +
+        "costs |cell|, never the corpus); seeds travel as broadcast " +
+        "1-row frames, picks are TakeOrdered heads, and every " +
+        "comparison is on the 6dp cosine grid with id ties — " +
+        "deterministic end to end. At 100 TB this runs as a " +
+        "background compaction against the q_ivf_layout partitions, " +
+        "rewriting exactly one cell directory",
+      Some {
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+           |cents AS (
+           |  SELECT vec_id AS cent_id, embedding AS ce FROM e WHERE vec_id < $NumCells
+           |), assign AS MATERIALIZED (
+           |  SELECT vec_id, embedding, cent_id FROM (
+           |    SELECT e.vec_id, e.embedding, c.cent_id,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        ${cosSimSql("embedding", "ce")} DESC,
+           |        c.cent_id) AS rn
+           |    FROM e CROSS JOIN cents c) WHERE rn = 1
+           |), sizes AS (
+           |  SELECT cent_id, CAST(count(*) AS BIGINT) AS n
+           |  FROM assign GROUP BY cent_id
+           |), hot AS (
+           |  SELECT cent_id FROM sizes ORDER BY n DESC, cent_id LIMIT 1
+           |), members AS MATERIALIZED (
+           |  SELECT a.vec_id, a.embedding FROM assign a
+           |  JOIN hot ON a.cent_id = hot.cent_id
+           |), seeda AS (
+           |  SELECT embedding AS ca FROM members ORDER BY vec_id LIMIT 1
+           |), seedb AS (
+           |  SELECT embedding AS cb FROM (
+           |    SELECT m.vec_id, m.embedding,
+           |      ${cosSimSql("m.embedding", "ca")} AS c
+           |    FROM members m CROSS JOIN seeda)
+           |  ORDER BY c, vec_id LIMIT 1
+           |), re AS (
+           |  SELECT m.vec_id,
+           |    CASE WHEN ${cosSimSql("m.embedding", "ca")}
+           |           >= ${cosSimSql("m.embedding", "cb")}
+           |      THEN CAST($NumCells AS BIGINT)
+           |      ELSE CAST(${NumCells + 1} AS BIGINT) END AS cent_id
+           |  FROM members m CROSS JOIN seeda CROSS JOIN seedb
+           |), afters AS (
+           |  SELECT cent_id, CAST(count(*) AS BIGINT) AS n FROM (
+           |    SELECT a.vec_id, a.cent_id FROM assign a
+           |    WHERE a.cent_id NOT IN (SELECT cent_id FROM hot)
+           |    UNION ALL SELECT vec_id, cent_id FROM re
+           |  ) GROUP BY cent_id
+           |)
+           |SELECT * FROM (
+           |  SELECT 'before' AS stage, CAST(count(*) AS BIGINT) AS n_cells,
+           |    CAST(max(n) AS BIGINT) AS max_cell,
+           |    round(max(n) * count(*) / CAST(sum(n) AS DOUBLE), 6)
+           |      AS imbalance
+           |  FROM sizes
+           |  UNION ALL
+           |  SELECT 'after', CAST(count(*) AS BIGINT), CAST(max(n) AS BIGINT),
+           |    round(max(n) * count(*) / CAST(sum(n) AS DOUBLE), 6)
+           |  FROM afters
+           |) ORDER BY stage""".stripMargin
+      },
+    ) { (s, dir) =>
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val cents = e.filter(col("vec_id") < NumCells)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+      val assign = e.crossJoin(broadcast(packCents(cents)))
+        .withColumn("cent_id",
+          graft.functions.CentAssign.argminCos(s, "embedding", "cs"))
+        .select("vec_id", "embedding", "cent_id")
+        .localCheckpoint() // read by sizes, members, and the untouched side
+      val sizes = assign.groupBy("cent_id").agg(count(lit(1)).as("n"))
+        .localCheckpoint() // read twice: hot pick + before stats
+      val hot = sizes.orderBy(col("n").desc, col("cent_id")).limit(1)
+        .select(col("cent_id").as("hot"))
+        .localCheckpoint() // read twice: members + untouched anti side
+      val members = assign.join(broadcast(hot), col("cent_id") === col("hot"))
+        .select("vec_id", "embedding")
+        .localCheckpoint() // read by both seeds and the reassign pass
+      val seedA = members.orderBy("vec_id").limit(1)
+        .select(col("embedding").as("ca"))
+      val seedB = members.crossJoin(broadcast(seedA))
+        .select(col("vec_id"), col("embedding"),
+          cosSim(s, "embedding", "ca").as("c"))
+        .orderBy(col("c"), col("vec_id")).limit(1)
+        .select(col("embedding").as("cb"))
+      val reassigned = members
+        .crossJoin(broadcast(seedA)).crossJoin(broadcast(seedB))
+        .select(col("vec_id"),
+          when(cosSim(s, "embedding", "ca") >= cosSim(s, "embedding", "cb"),
+            lit(NumCells.toLong))
+            .otherwise(lit(NumCells.toLong + 1)).as("cent_id"))
+      val after = assign
+        .join(broadcast(hot), col("cent_id") === col("hot"), "left_anti")
+        .select("vec_id", "cent_id")
+        .unionByName(reassigned)
+        .groupBy("cent_id").agg(count(lit(1)).as("n"))
+      def statsOf(stage: String, szs: org.apache.spark.sql.DataFrame) =
+        szs.agg(count(lit(1)).as("n_cells"), max(col("n")).as("max_cell"),
+          sum(col("n")).as("tot"))
+          .select(lit(stage).as("stage"), col("n_cells"), col("max_cell"),
+            round(col("max_cell") * col("n_cells") / col("tot").cast("double"),
+              6).as("imbalance"))
+      statsOf("before", sizes).unionByName(statsOf("after", after))
+        .orderBy("stage")
+    },
+
+    Q(
       "q_fps_coreset",
       s"farthest-point-sampling coreset ($FpsK points): seed at " +
         "vec_id 0, then each round picks the point MAXIMIZING its " +

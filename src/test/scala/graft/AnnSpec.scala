@@ -210,6 +210,15 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("q_ivf_rebalance: the split adds one cell and cannot raise the max") {
+    val rows = SparkEntry.queries("q_ivf_rebalance")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet == Set("before", "after"))
+    assert(rows("after")._1 == rows("before")._1 + 1)
+    // the hot cell WAS the max; its halves are each <= it, others unchanged
+    assert(rows("after")._2 <= rows("before")._2)
+  }
+
   test("q_embed_centroids: tight label 0 scores higher than split label") {
     val rows = SparkEntry.queries("q_embed_centroids")(spark, dir).collect()
       .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
