@@ -576,6 +576,59 @@ object EventsOps {
     },
 
     Q(
+      "q_stl_seasonal",
+      "seasonal decomposition of the hourly series (STL-lite): the " +
+        "hour-of-day profile (24-bounded means, the daily cycle " +
+        "q_acf diagnoses) is the SEASONAL component; residual = " +
+        "count − seasonal; the 5 most extreme hours come back with " +
+        "a |residual| > 3σ anomaly flag — catching what " +
+        "q_events_anomaly's trailing window structurally can't: a " +
+        "quiet-hour spike that stays below the round-the-clock " +
+        "average. One corpus scan to the hour rollup; the seasonal " +
+        "profile and σ are bounded aggs broadcast back; seasonal " +
+        "means and σ are 6dp-rounded at their division/sqrt " +
+        "boundaries and σ's variance folds in exact ×1e6 fixed " +
+        "point, so parallel sums can't drift the flag; top-5 is a " +
+        "TakeOrdered heap on (|residual|, t)",
+      Some(
+        s"""WITH $hourlySeriesSqlCte, prof AS (
+           |  SELECT t % 24 AS hod,
+           |    round(CAST(sum(x) AS DOUBLE) / count(*), 6) AS seasonal
+           |  FROM series GROUP BY t % 24
+           |), resid AS (
+           |  SELECT s.t, s.x, p.seasonal, s.x - p.seasonal AS r
+           |  FROM series s JOIN prof p ON s.t % 24 = p.hod
+           |), sigma AS (
+           |  SELECT round(sqrt(
+           |    CAST(sum(CAST(round(r * r * 1000000) AS BIGINT)) AS DOUBLE)
+           |      / 1000000.0 / count(*)), 6) AS sig
+           |  FROM resid
+           |)
+           |SELECT t, x, seasonal, round(r, 6) AS residual,
+           |  CAST(abs(r) > 3 * sig AS BIGINT) AS is_anomaly
+           |FROM resid CROSS JOIN sigma
+           |ORDER BY abs(round(r, 6)) DESC, t LIMIT 5""".stripMargin),
+    ) { (s, dir) =>
+      val series = hourlySeries(s, dir)
+      val prof = series.groupBy((col("t") % 24).as("hod"))
+        .agg(round(sum(col("x")).cast("double") / count(lit(1)), 6)
+          .as("seasonal"))
+      val resid = series.join(broadcast(prof), col("t") % 24 === col("hod"))
+        .select(col("t"), col("x"), col("seasonal"),
+          (col("x") - col("seasonal")).as("r"))
+        .localCheckpoint() // read twice: sigma + ranking
+      val sigma = resid.agg(round(sqrt(
+        sum(round(col("r") * col("r") * 1000000, 0).cast("long")).cast("double")
+          / 1000000.0 / count(lit(1))), 6).as("sig"))
+      resid.crossJoin(broadcast(sigma))
+        .select(col("t"), col("x"), col("seasonal"),
+          round(col("r"), 6).as("residual"),
+          (abs(col("r")) > lit(3) * col("sig")).cast("long").as("is_anomaly"))
+        .orderBy(abs(col("residual")).desc, col("t")).limit(5)
+        .orderBy(abs(col("residual")).desc, col("t"))
+    },
+
+    Q(
       "q_psi_drift",
       "population stability index between the reference and current " +
         "halves of the event stream (split at the median timestamp): " +

@@ -27,6 +27,25 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** q_sql_shared: ONE SQL text executed verbatim by BOTH engines —
+    * every construct here (DATE literals, one-arg round, BIGINT
+    * casts, fixed-point cents) parses and means the same thing in
+    * Spark SQL and DuckDB. */
+  private val SharedQ3Sql: String =
+    """SELECT l.l_orderkey,
+      |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+      |    AS BIGINT)) / 100.0 AS DOUBLE) AS revenue,
+      |  CAST(o.o_orderdate AS DATE) AS order_date
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |  AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
+      |  AND CAST(l.l_shipdate AS DATE) > DATE '1997-01-01'
+      |GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE)
+      |ORDER BY revenue DESC, l.l_orderkey
+      |LIMIT 10""".stripMargin
+
   private val revCents =
     "CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)"
 
@@ -1289,6 +1308,26 @@ object Relational {
           round(min(col("l_extendedprice")), 6).as("lo"),
           round(max(col("l_extendedprice")), 6).as("hi"))
         .orderBy("bucket")
+    },
+
+    Q(
+      "q_sql_shared",
+      "the textual SQL entry point: TPC-H Q3 (shipping priority) as " +
+        "ONE ANSI string that is byte-identical between the engine " +
+        "(spark.sql over temp views) and the DuckDB oracle — the " +
+        "strongest possible portability statement: not twin " +
+        "spellings kept in sync, the SAME text. Catalyst plans it " +
+        "exactly like the DataFrame twins (customer dim broadcast, " +
+        "orders⋈lineitem keyed join, TakeOrdered top-10); revenue " +
+        "accumulates in exact fixed-point cents so the ranking is " +
+        "drift-free, ties by orderkey. A user of the reference who " +
+        "speaks only SQL onboards with CREATE TEMP VIEW + this",
+      Some(SharedQ3Sql),
+    ) { (s, dir) =>
+      Tables.customer(s, dir).createOrReplaceTempView("customer")
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      s.sql(SharedQ3Sql)
     },
 
     Q(

@@ -207,6 +207,32 @@ class Round9OpsSpec extends AnyFunSuite {
       s"|acf| > 1 at lag ${r.getLong(0)}: ${r.getDouble(1)}"))
   }
 
+  // ---- q_sql_shared ----
+
+  test("q_sql_shared: the oracle string IS the executed SQL, and it plans a star join") {
+    // Portability by identity, not by twin spellings: the registry's
+    // oracle entry must be the very text the engine executes.
+    assert(SparkEntry.oracleSql("q_sql_shared").contains("TEMP") == false)
+    val df = SparkEntry.queries("q_sql_shared")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+    val rows = df.collect()
+    assert(rows.length <= 10 && rows.nonEmpty)
+    val revs = rows.map(_.getDouble(1))
+    for (i <- 1 until revs.length) assert(revs(i) <= revs(i - 1))
+  }
+
+  // ---- q_stl_seasonal ----
+
+  test("q_stl_seasonal returns the 5 largest-magnitude residual hours") {
+    val rows = SparkEntry.queries("q_stl_seasonal")(spark, dir).collect()
+    assert(rows.length == 5)
+    val mags = rows.map(r => r.getDouble(3).abs)
+    for (i <- 1 until mags.length) assert(mags(i) <= mags(i - 1))
+    rows.foreach(r => assert(r.getLong(4) == 0L || r.getLong(4) == 1L))
+  }
+
   // ---- q_holt_winters ----
 
   test("q_holt_winters equals a sequential Scala fold of the same recurrence") {
