@@ -991,6 +991,61 @@ object AnnOps {
     },
 
     Q(
+      "q_vector_audit",
+      "embedding-column data-quality audit — q_data_audit's " +
+        "contract applied to vectors, the gate that runs BEFORE any " +
+        "index build (one NaN poisons a centroid; one zero-norm " +
+        "vector NaNs every cosine): counts of wrong-dimension, " +
+        "null-element, NaN/Inf, and zero-norm vectors, plus 6dp norm " +
+        "percentiles (p1/p50/p99 — embedding-drift monitoring wants " +
+        "the norm distribution, not just pathologies). One corpus " +
+        "scan, all checks per-row array folds, output = one row of " +
+        "violation COUNTS at any scale; norms for the percentile agg " +
+        "are the only per-row values kept",
+      Some(
+        s"""WITH v AS (
+           |  SELECT vec_id,
+           |    CASE WHEN len(embedding) <> $Dim THEN 1 ELSE 0 END AS bad_dim,
+           |    CASE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0
+           |      THEN 1 ELSE 0 END AS has_null,
+           |    CASE WHEN len(list_filter(embedding,
+           |        x -> isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE)))) > 0
+           |      THEN 1 ELSE 0 END AS has_nan,
+           |    ${normSqSql("embedding")} AS n2
+           |  FROM embeddings
+           |)
+           |SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           |  CAST(sum(bad_dim) AS BIGINT) AS n_bad_dim,
+           |  CAST(sum(has_null) AS BIGINT) AS n_null_elem,
+           |  CAST(sum(has_nan) AS BIGINT) AS n_nan_inf,
+           |  CAST(sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_zero_norm,
+           |  round(quantile_cont(sqrt(n2), 0.01), 6) AS norm_p1,
+           |  round(quantile_cont(sqrt(n2), 0.50), 6) AS norm_p50,
+           |  round(quantile_cont(sqrt(n2), 0.99), 6) AS norm_p99
+           |FROM v""".stripMargin),
+    ) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val v = e.select(col("vec_id"),
+        (size(col("embedding")) =!= Dim).cast("int").as("bad_dim"),
+        (size(filter(col("embedding"), x => x.isNull)) > 0).cast("int")
+          .as("has_null"),
+        expr(s"CAST(size(filter(embedding, x -> isnan(CAST(x AS DOUBLE)) " +
+          "OR CAST(x AS DOUBLE) = double('inf') " +
+          "OR CAST(x AS DOUBLE) = double('-inf'))) > 0 AS INT)")
+          .as("has_nan"),
+        normSq(col("embedding")).as("n2"))
+      v.agg(count(lit(1)).as("n_vectors"),
+        sum(col("bad_dim")).cast("long").as("n_bad_dim"),
+        sum(col("has_null")).cast("long").as("n_null_elem"),
+        sum(col("has_nan")).cast("long").as("n_nan_inf"),
+        sum(when(col("n2") === 0, 1L).otherwise(0L)).as("n_zero_norm"),
+        round(expr("percentile(sqrt(n2), 0.01)"), 6).as("norm_p1"),
+        round(expr("percentile(sqrt(n2), 0.50)"), 6).as("norm_p50"),
+        round(expr("percentile(sqrt(n2), 0.99)"), 6).as("norm_p99"))
+    },
+
+    Q(
       "q_ivf_rebalance",
       "IVF hot-cell SPLIT — the index-maintenance twin of " +
         "q_ivf_delete's tombstones: the fullest cell (q_ivf_imbalance " +

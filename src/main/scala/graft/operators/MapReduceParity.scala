@@ -319,6 +319,48 @@ object MapReduceParity {
     },
 
     Q(
+      "q_json_multiline",
+      "multiLine JSON source: the corpus serialized as ONE JSON ARRAY " +
+        "document (the shape REST APIs and exports actually produce, " +
+        "vs JSONL's line-per-record), read back with multiLine=true " +
+        "and an explicit schema — same lossless-roundtrip oracle as " +
+        "q_jsonl_source. The 100 TB note is the SPLITTABILITY TRAP " +
+        "(the q_gzip_source lesson in JSON form): a multiLine " +
+        "document is one task — the parser must see the whole array " +
+        "— so ingestion splits it into many bounded array files (one " +
+        "per partition here) to restore file-granularity parallelism, " +
+        "and the FIRST thing a pipeline does with API exports is " +
+        "rewrite them to a splittable layout",
+      Some(
+        """SELECT source, count(*) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+    ) { (s, dir) =>
+      val jsonDir = s"${Scratch.dir()}/mljson"
+      // One bounded JSON ARRAY per partition: concat the rows' JSON
+      // objects inside each partition (mapPartitions-free — a
+      // partition-local agg on the partition id).
+      Tables.documents(s, dir)
+        .withColumn("pid", spark_partition_id())
+        .select(col("pid"), to_json(struct(col("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars"))).as("j"))
+        .groupBy("pid")
+        .agg(concat_ws(",\n", collect_list(col("j"))).as("body"))
+        .select(concat(lit("[\n"), col("body"), lit("\n]")).as("value"))
+        .write.text(jsonDir)
+      s.read
+        .option("multiLine", "true")
+        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+        .json(jsonDir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).as("sum_text_len"))
+        .orderBy("source")
+    },
+
+    Q(
       "q_orc_source",
       "ORC source/sink roundtrip — the third columnar container after " +
         "parquet and the row formats: documents written as ORC, " +

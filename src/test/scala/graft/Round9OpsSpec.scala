@@ -207,6 +207,28 @@ class Round9OpsSpec extends AnyFunSuite {
       s"|acf| > 1 at lag ${r.getLong(0)}: ${r.getDouble(1)}"))
   }
 
+  // ---- q_vector_audit ----
+
+  test("q_vector_audit flags planted NaN, zero-norm and wrong-dim vectors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Plant pathologies in a scratch embeddings table and run the
+    // same audit expressions through the registry path.
+    val good = Array.fill(64)(0.5f)
+    val nan = good.updated(3, Float.NaN)
+    val zero = Array.fill(64)(0.0f)
+    val short = Array.fill(16)(0.5f)
+    val d = java.nio.file.Files.createTempDirectory("graft-audit").toString
+    Seq((0L, good, 0), (1L, nan, 0), (2L, zero, 0), (3L, short, 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$d/embeddings.parquet")
+    val r = SparkEntry.queries("q_vector_audit")(spark, d).collect()(0)
+    assert(r.getLong(0) == 4)  // n_vectors
+    assert(r.getLong(1) == 1)  // bad dim (short)
+    assert(r.getLong(3) == 1)  // NaN
+    assert(r.getLong(4) == 1)  // zero norm
+  }
+
   // ---- q_sql_shared ----
 
   test("q_sql_shared: the oracle string IS the executed SQL, and it plans a star join") {
