@@ -576,6 +576,91 @@ object EventsOps {
     },
 
     Q(
+      "q_model_auc",
+      "exact ROC-AUC of a churn score, computed distributively as " +
+        "the Mann-Whitney rank-sum — the model-eval primitive beside " +
+        "q_next_item_eval's hit rate: label = the staler-than-median " +
+        "half of users (a deterministic stand-in label, the " +
+        "q_span_mask precedent — a fixed no-activity-in-7-days rule " +
+        "degenerates to one class on uniformly-active synthetic " +
+        "users; the AUC machinery is the content), score = pinned " +
+        "linear model on (recency, frequency); AUC = P(score_pos > score_neg) + ½P(=). The " +
+        "scalable formulation NEVER ranks users globally: users " +
+        "collapse to the DISTINCT-SCORE rollup (scores live on a " +
+        "6dp grid, so the rollup is grid-bounded — the q_skyline " +
+        "bounded-rollup-window pattern), the cumulative-negative " +
+        "window runs over that rollup only, and U folds in exact ×2 " +
+        "BIGINT fixed point (U2 = Σ np_s·(2·cumneg_below + nn_s)), " +
+        "so tie handling is exact and fold order can't drift the " +
+        "one final 6dp division. Positive-class recency is IN the " +
+        "score by construction — AUC far above 0.5 is the expected " +
+        "sanity reading, spec-pinned",
+      Some(
+        """WITH anchor AS (
+          |  SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS a_us FROM events
+          |), per AS (
+          |  SELECT user_id,
+          |    (a_us - max(epoch_us(CAST(ts AS TIMESTAMP)))) // 86400000000
+          |      AS r_days,
+          |    count(*) AS f
+          |  FROM events CROSS JOIN anchor GROUP BY user_id, a_us
+          |), med AS (
+          |  SELECT quantile_cont(CAST(r_days AS DOUBLE), 0.5) AS m FROM per
+          |), lab AS (
+          |  SELECT user_id,
+          |    CASE WHEN r_days > m THEN 1 ELSE 0 END AS churned,
+          |    round(0.1 * r_days - 0.05 * f, 6) AS score
+          |  FROM per CROSS JOIN med
+          |), byscore AS (
+          |  SELECT score,
+          |    CAST(sum(churned) AS BIGINT) AS np_s,
+          |    CAST(sum(1 - churned) AS BIGINT) AS nn_s
+          |  FROM lab GROUP BY score
+          |), cum AS (
+          |  SELECT score, np_s, nn_s,
+          |    CAST(coalesce(sum(nn_s) OVER (ORDER BY score
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS BIGINT) AS cumneg
+          |  FROM byscore
+          |), u AS (
+          |  SELECT CAST(sum(np_s * (2 * cumneg + nn_s)) AS BIGINT) AS u2,
+          |    CAST(sum(np_s) AS BIGINT) AS np, CAST(sum(nn_s) AS BIGINT) AS nn
+          |  FROM cum
+          |)
+          |SELECT np + nn AS n_users, np AS n_pos, nn AS n_neg,
+          |  round(CAST(u2 AS DOUBLE) / (2.0 * np * nn), 6) AS auc
+          |FROM u""".stripMargin),
+    ) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val anchor = ev.agg(max(unix_micros(col("ts"))).as("a_us"))
+      val per = ev.groupBy("user_id")
+        .agg(max(unix_micros(col("ts"))).as("last_us"),
+          count(lit(1)).as("f"))
+        .crossJoin(broadcast(anchor))
+        .select(col("user_id"), col("f"),
+          expr("(a_us - last_us) div 86400000000").as("r_days"))
+      val med = per.agg(
+        expr("percentile(CAST(r_days AS DOUBLE), 0.5)").as("m"))
+      val lab = per.crossJoin(broadcast(med)).select(
+        when(col("r_days") > col("m"), 1L).otherwise(0L).as("churned"),
+        round(lit(0.1) * col("r_days") - lit(0.05) * col("f"), 6).as("score"))
+      val byscore = lab.groupBy("score")
+        .agg(sum(col("churned")).as("np_s"),
+          sum(lit(1L) - col("churned")).as("nn_s"))
+      val wc = Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = byscore
+        .withColumn("cumneg", coalesce(sum(col("nn_s")).over(wc), lit(0L)))
+      cum.agg(sum(col("np_s") * (lit(2L) * col("cumneg") + col("nn_s")))
+        .as("u2"),
+        sum(col("np_s")).as("np"), sum(col("nn_s")).as("nn"))
+        .select((col("np") + col("nn")).as("n_users"),
+          col("np").as("n_pos"), col("nn").as("n_neg"),
+          round(col("u2").cast("double") / (lit(2.0) * col("np") * col("nn")),
+            6).as("auc"))
+    },
+
+    Q(
       "q_stl_seasonal",
       "seasonal decomposition of the hourly series (STL-lite): the " +
         "hour-of-day profile (24-bounded means, the daily cycle " +

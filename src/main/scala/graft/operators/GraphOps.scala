@@ -572,6 +572,82 @@ object GraphOps {
     },
 
     Q(
+      "q_next_item_eval",
+      "next-item recommendation with a TEMPORAL train/test split: " +
+        "each user's transition sequence splits at its midpoint " +
+        "(first half trains, second half tests — never random, so " +
+        "no future leaks into the model), the model is the Markov " +
+        "argmax next item per item (ties to min item), and the " +
+        "readout is hit@1 with cold-start transitions (unseen " +
+        "source item) tracked separately — the offline eval loop " +
+        "every recsys pipeline runs before shipping a model. One " +
+        "user-keyed window pass builds positioned transitions; the " +
+        "model is a pair agg + per-item ranking window, both " +
+        "bounded by the item catalog; the eval is one item-keyed " +
+        "join. hit_rate = one 6dp division of exact BIGINTs",
+      Some(
+        s"""WITH ev AS (
+           |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+           |  FROM events
+           |), seq AS (
+           |  SELECT user_id, item,
+           |    lag(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+           |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos,
+           |    count(*) OVER (PARTITION BY user_id) AS cnt
+           |  FROM ev
+           |), pairs AS (
+           |  SELECT prev AS a, item AS b, pos, cnt FROM seq WHERE prev IS NOT NULL
+           |), train AS (
+           |  SELECT a, b, count(*) AS n FROM pairs WHERE pos * 2 <= cnt
+           |  GROUP BY a, b
+           |), model AS (
+           |  SELECT a, b AS b_pred FROM (
+           |    SELECT a, b, row_number() OVER (PARTITION BY a
+           |      ORDER BY n DESC, b) AS rk FROM train) WHERE rk = 1
+           |), test AS (
+           |  SELECT a, b FROM pairs WHERE pos * 2 > cnt
+           |), scored AS (
+           |  SELECT t.a, t.b, m.b_pred FROM test t
+           |  LEFT JOIN model m ON m.a = t.a
+           |)
+           |SELECT CAST(count(*) AS BIGINT) AS n_test,
+           |  CAST(sum(CASE WHEN b_pred IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_cold,
+           |  CAST(sum(CASE WHEN b_pred = b THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_hit,
+           |  round(CAST(sum(CASE WHEN b_pred = b THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / count(*), 6) AS hit_rate
+           |FROM scored""".stripMargin),
+    ) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val seq = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+        .withColumn("prev", lag(col("item"), 1).over(w))
+        .withColumn("pos", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("user_id")))
+      val pairs = seq.filter(col("prev").isNotNull)
+        .select(col("prev").as("a"), col("item").as("b"),
+          col("pos"), col("cnt"))
+        .localCheckpoint() // read twice: train + test slices
+      val train = pairs.filter(col("pos") * 2 <= col("cnt"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n"))
+      val rk = Window.partitionBy("a").orderBy(col("n").desc, col("b"))
+      val model = train.withColumn("rk", row_number().over(rk))
+        .filter(col("rk") === 1)
+        .select(col("a"), col("b").as("b_pred"))
+      pairs.filter(col("pos") * 2 > col("cnt"))
+        .select("a", "b")
+        .join(broadcast(model), Seq("a"), "left")
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("b_pred").isNull, 1L).otherwise(0L)).as("n_cold"),
+          sum(when(col("b_pred") === col("b"), 1L).otherwise(0L)).as("n_hit"),
+          round(sum(when(col("b_pred") === col("b"), 1L).otherwise(0L))
+            .cast("double") / count(lit(1)), 6).as("hit_rate"))
+    },
+
+    Q(
       "q_kcore",
       s"weighted-core (s-core) decomposition TRACE over the undirected " +
         s"transition graph: $KcoreRounds peel rounds removing nodes " +

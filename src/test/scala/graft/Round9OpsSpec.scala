@@ -207,6 +207,27 @@ class Round9OpsSpec extends AnyFunSuite {
       s"|acf| > 1 at lag ${r.getLong(0)}: ${r.getDouble(1)}"))
   }
 
+  // ---- q_model_auc ----
+
+  test("q_model_auc: both classes populated, AUC in (0.5, 1]") {
+    val r = SparkEntry.queries("q_model_auc")(spark, dir).collect()(0)
+    assert(r.getLong(1) > 0 && r.getLong(2) > 0)
+    assert(r.getLong(1) + r.getLong(2) == r.getLong(0))
+    val auc = r.getDouble(3)
+    // recency is IN the score, so the model must beat chance
+    assert(auc > 0.5 && auc <= 1.0, s"auc $auc")
+  }
+
+  // ---- q_next_item_eval ----
+
+  test("q_next_item_eval: hits and cold-starts partition sanely") {
+    val r = SparkEntry.queries("q_next_item_eval")(spark, dir).collect()(0)
+    val (nTest, nCold, nHit) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nTest > 0)
+    assert(nHit + nCold <= nTest) // cold transitions can never hit
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+  }
+
   // ---- q_vector_audit ----
 
   test("q_vector_audit flags planted NaN, zero-norm and wrong-dim vectors") {
