@@ -661,6 +661,171 @@ object EventsOps {
     },
 
     Q(
+      "q_calibration",
+      "reliability diagram + expected calibration error for the " +
+        "churn model: the q_model_auc score, z-scored against " +
+        "broadcast 1-row corpus moments (so the probabilities SPREAD " +
+        "at any SF) and squashed through a 6dp sigmoid, becomes a " +
+        "probability, users bucket into 10 fixed-width " +
+        "probability bins, and each bin reports predicted confidence " +
+        "vs observed rate — AUC says the model RANKS well; " +
+        "calibration says whether 0.8 MEANS 80%, and production " +
+        "thresholds are set off this table. One user-bounded agg to " +
+        "features, per-row sigmoid+bin, then a 10-bounded rollup; " +
+        "conf/acc are 6dp-rounded exact ratios and ECE folds " +
+        "Σ n_b·|acc−conf| in exact ×1e6 BIGINT before its one " +
+        "division — bin fold order can't drift it",
+      Some(
+        """WITH anchor AS (
+          |  SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS a_us FROM events
+          |), per AS (
+          |  SELECT user_id,
+          |    (a_us - max(epoch_us(CAST(ts AS TIMESTAMP)))) // 86400000000
+          |      AS r_days,
+          |    count(*) AS f
+          |  FROM events CROSS JOIN anchor GROUP BY user_id, a_us
+          |), med AS (
+          |  SELECT quantile_cont(CAST(r_days AS DOUBLE), 0.5) AS m FROM per
+          |), raw AS (
+          |  SELECT r_days, round(0.1 * r_days - 0.05 * f, 6) AS x
+          |  FROM per
+          |), stz AS (
+          |  SELECT round(CAST(sum(CAST(round(x * 1000000) AS BIGINT))
+          |      AS DOUBLE) / 1000000.0 / count(*), 6) AS mu,
+          |    round(sqrt(
+          |      CAST(sum(CAST(round(x * x * 1000000) AS BIGINT)) AS DOUBLE)
+          |        / 1000000.0 / count(*)
+          |      - pow(CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS DOUBLE)
+          |          / 1000000.0 / count(*), 2)), 6) AS sd
+          |  FROM raw
+          |), lab AS (
+          |  SELECT CASE WHEN r_days > m THEN 1 ELSE 0 END AS churned,
+          |    round(1.0 / (1.0 + exp(-round((x - mu) / sd, 6))), 6) AS p
+          |  FROM raw CROSS JOIN med CROSS JOIN stz
+          |), bins AS (
+          |  SELECT least(9, CAST(floor(p * 10) AS BIGINT)) AS bin,
+          |    CAST(count(*) AS BIGINT) AS n,
+          |    round(CAST(sum(CAST(round(p * 1000000) AS BIGINT)) AS DOUBLE)
+          |      / 1000000.0 / count(*), 6) AS conf,
+          |    round(CAST(sum(churned) AS DOUBLE) / count(*), 6) AS acc
+          |  FROM lab GROUP BY 1
+          |), tot AS (
+          |  SELECT round(CAST(sum(CAST(round(abs(acc - conf) * 1000000)
+          |      AS BIGINT) * n) AS DOUBLE)
+          |    / 1000000.0 / sum(n), 6) AS ece
+          |  FROM bins
+          |)
+          |SELECT bin, n, conf, acc, ece
+          |FROM bins CROSS JOIN tot ORDER BY bin""".stripMargin),
+    ) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val anchor = ev.agg(max(unix_micros(col("ts"))).as("a_us"))
+      val per = ev.groupBy("user_id")
+        .agg(max(unix_micros(col("ts"))).as("last_us"), count(lit(1)).as("f"))
+        .crossJoin(broadcast(anchor))
+        .select(col("user_id"), col("f"),
+          expr("(a_us - last_us) div 86400000000").as("r_days"))
+      val med = per.agg(expr("percentile(CAST(r_days AS DOUBLE), 0.5)").as("m"))
+      val raw = per.select(col("r_days"),
+        round(lit(0.1) * col("r_days") - lit(0.05) * col("f"), 6).as("x"))
+      val x6sum = sum(round(col("x") * 1000000, 0).cast("long")).cast("double")
+      val stz = raw.agg(
+        round(x6sum / 1000000.0 / count(lit(1)), 6).as("mu"),
+        round(sqrt(
+          sum(round(col("x") * col("x") * 1000000, 0).cast("long"))
+            .cast("double") / 1000000.0 / count(lit(1))
+            - pow(x6sum / 1000000.0 / count(lit(1)), 2)), 6).as("sd"))
+      val lab = raw.crossJoin(broadcast(med)).crossJoin(broadcast(stz))
+        .select(
+          when(col("r_days") > col("m"), 1L).otherwise(0L).as("churned"),
+          round(lit(1.0) / (lit(1.0)
+            + exp(-round((col("x") - col("mu")) / col("sd"), 6))), 6).as("p"))
+      val bins = lab
+        .groupBy(least(lit(9), floor(col("p") * 10)).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          round((sum(round(col("p") * 1000000, 0).cast("long")).cast("double")
+            / 1000000.0) / count(lit(1)), 6).as("conf"),
+          round(sum(col("churned")).cast("double") / count(lit(1)), 6)
+            .as("acc"))
+        .localCheckpoint() // read twice: ECE fold + output rows
+      val tot = bins.agg(
+        round((sum(round(abs(col("acc") - col("conf")) * 1000000, 0)
+          .cast("long") * col("n")).cast("double") / 1000000.0) / sum(col("n")),
+          6).as("ece"))
+      bins.crossJoin(broadcast(tot)).orderBy("bin")
+    },
+
+    Q(
+      "q_gini_activity",
+      "activity-concentration readout: Gini coefficient and " +
+        "top-decile share of per-user event counts — the statistical " +
+        "twin of q_skew_diagnose's hot-key table (a Gini near 0.5+ " +
+        "says per-user partitions WILL skew and the salting " +
+        "machinery earns its keep). Scalably rank-free: users " +
+        "collapse to the DISTINCT-COUNT rollup (n, users-with-n); a " +
+        "group spanning ranks [c+1, c+u] contributes n·(u·c + " +
+        "u(u+1)/2) to the rank-weighted sum — ALL integer " +
+        "arithmetic, the window runs over the bounded rollup only " +
+        "(the q_model_auc pattern), and Gini's one division is " +
+        "6dp-rounded. Top-decile share slices the same cumulative " +
+        "frame at rank ceil(0.9·N) with integer partial-group " +
+        "arithmetic",
+      Some(
+        """WITH per AS (
+          |  SELECT user_id, CAST(count(*) AS BIGINT) AS n
+          |  FROM events GROUP BY user_id
+          |), rollup1 AS (
+          |  SELECT n, CAST(count(*) AS BIGINT) AS u FROM per GROUP BY n
+          |), cum AS (
+          |  SELECT n, u,
+          |    CAST(coalesce(sum(u) OVER (ORDER BY n
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS BIGINT) AS c
+          |  FROM rollup1
+          |), st AS (
+          |  SELECT CAST(sum(u) AS BIGINT) AS nu,
+          |    CAST(sum(n * u) AS BIGINT) AS t,
+          |    CAST(sum(n * (u * c + u * (u + 1) // 2)) AS BIGINT) AS s
+          |  FROM cum
+          |), topd AS (
+          |  SELECT CAST(sum(n * greatest(0,
+          |    least(c + u, st.nu) - greatest(c, st.nu - (st.nu // 10))))
+          |    AS BIGINT) AS top_events
+          |  FROM cum CROSS JOIN st
+          |)
+          |SELECT st.nu AS n_users, st.t AS total_events,
+          |  round(2.0 * st.s / (CAST(st.nu AS DOUBLE) * st.t)
+          |    - (st.nu + 1.0) / st.nu, 6) AS gini,
+          |  round(CAST(topd.top_events AS DOUBLE) / st.t, 6)
+          |    AS top_decile_share
+          |FROM st CROSS JOIN topd""".stripMargin),
+    ) { (s, dir) =>
+      val per = Tables.events(s, dir)
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+      val roll = per.groupBy("n").agg(count(lit(1)).as("u"))
+      val wc = Window.orderBy("n")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = roll
+        .withColumn("c", coalesce(sum(col("u")).over(wc), lit(0L)))
+        .localCheckpoint() // read twice: stats + top-decile slice
+      val st = cum.agg(sum(col("u")).as("nu"),
+        sum(col("n") * col("u")).as("t"),
+        sum(col("n") * (col("u") * col("c")
+          + expr("u * (u + 1) div 2"))).as("s"))
+      val topd = cum.crossJoin(broadcast(st))
+        .agg(sum(col("n") * greatest(lit(0L),
+          least(col("c") + col("u"), col("nu"))
+            - greatest(col("c"), col("nu") - expr("nu div 10"))))
+          .as("top_events"))
+      st.crossJoin(broadcast(topd))
+        .select(col("nu").as("n_users"), col("t").as("total_events"),
+          round(lit(2.0) * col("s") / (col("nu").cast("double") * col("t"))
+            - (col("nu") + lit(1.0)) / col("nu"), 6).as("gini"),
+          round(col("top_events").cast("double") / col("t"), 6)
+            .as("top_decile_share"))
+    },
+
+    Q(
       "q_stl_seasonal",
       "seasonal decomposition of the hourly series (STL-lite): the " +
         "hour-of-day profile (24-bounded means, the daily cycle " +

@@ -207,6 +207,36 @@ class Round9OpsSpec extends AnyFunSuite {
       s"|acf| > 1 at lag ${r.getLong(0)}: ${r.getDouble(1)}"))
   }
 
+  // ---- q_calibration ----
+
+  test("q_calibration: bins tile [0,1], ECE consistent with the bin table") {
+    val rows = SparkEntry.queries("q_calibration")(spark, dir).collect()
+    assert(rows.length >= 3, "probabilities did not spread across bins")
+    val n = rows.map(_.getLong(1)).sum.toDouble
+    val ece = rows.head.getDouble(4)
+    val recomputed = rows.map(r =>
+      math.round((r.getDouble(3) - r.getDouble(2)).abs * 1e6) * r.getLong(1))
+      .sum / 1e6 / n
+    assert(math.abs(ece - r6(recomputed)) < 1e-9)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0 && r.getDouble(2) <= 1)
+      assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1)
+    }
+  }
+
+  // ---- q_gini_activity ----
+
+  test("q_gini_activity: Gini in [0,1) and the top decile holds at least its share") {
+    val r = SparkEntry.queries("q_gini_activity")(spark, dir).collect()(0)
+    val gini = r.getDouble(2); val top = r.getDouble(3)
+    assert(gini >= 0.0 && gini < 1.0)
+    // the top floor(N/10) most-active users hold at least their
+    // head-count share of events, by definition of sorting
+    val nu = r.getLong(0)
+    assert(top >= (nu / 10).toDouble / nu - 1e-6, s"top decile share $top")
+    assert(top <= 1.0)
+  }
+
   // ---- q_model_auc ----
 
   test("q_model_auc: both classes populated, AUC in (0.5, 1]") {
