@@ -661,6 +661,144 @@ object EventsOps {
     },
 
     Q(
+      "q_bootstrap_ci",
+      "Poisson-bootstrap 95% confidence interval for the mean event " +
+        "value (B=32 replicas): each (event, replica) draws a " +
+        "Poisson(1) weight — THE distributed bootstrap: classical " +
+        "resampling needs the whole dataset per replica, the Poisson " +
+        "approximation needs one pass with B counters, which is why " +
+        "it's what production systems ship. Draws are deterministic " +
+        "md5-seeded uniforms through the Poisson inverse CDF (k " +
+        "capped at 4, ~1.9% tail mass — documented approximation; " +
+        "the q_dp_counts stand-in precedent), replica sums fold in " +
+        "exact cent fixed point, and the CI is an exact interpolated " +
+        "percentile over the 32-BOUNDED replica means. The ×32 " +
+        "explode is map-side and partial aggregation collapses it to " +
+        "B rows per partition before any shuffle",
+      Some {
+        val h = graft.functions.Portable
+          .md5Hash60Sql("CAST(event_id AS VARCHAR) || '|' || CAST(b AS VARCHAR)")
+        s"""WITH draws AS (
+           |  SELECT e.value, u.b,
+           |    ($h) / 1152921504606846976.0 AS uu
+           |  FROM events e CROSS JOIN (SELECT unnest(range(32)) AS b) u
+           |), wts AS (
+           |  SELECT value, b,
+           |    CASE WHEN uu < 0.367879 THEN 0
+           |         WHEN uu < 0.735759 THEN 1
+           |         WHEN uu < 0.919699 THEN 2
+           |         WHEN uu < 0.981012 THEN 3
+           |         ELSE 4 END AS w
+           |  FROM draws
+           |), reps AS (
+           |  SELECT b,
+           |    round(CAST(sum(w * CAST(round(value * 100) AS BIGINT))
+           |      AS DOUBLE) / 100.0 / sum(w), 6) AS mean_b
+           |  FROM wts GROUP BY b
+           |), pt AS (
+           |  SELECT round(CAST(sum(CAST(round(value * 100) AS BIGINT))
+           |    AS DOUBLE) / 100.0 / count(*), 6) AS mean_value
+           |  FROM events
+           |)
+           |SELECT pt.mean_value,
+           |  round(quantile_cont(mean_b, 0.025), 6) AS ci_lo,
+           |  round(quantile_cont(mean_b, 0.975), 6) AS ci_hi,
+           |  CAST(32 AS BIGINT) AS n_replicas
+           |FROM reps CROSS JOIN pt
+           |GROUP BY pt.mean_value""".stripMargin
+      },
+    ) { (s, dir) =>
+      val ev = Tables.events(s, dir).select("event_id", "value")
+      val draws = ev.select(col("event_id"), col("value"),
+        explode(sequence(lit(0), lit(31))).as("b"))
+        .select(col("value"), col("b"),
+          (graft.functions.Portable.md5Hash60(
+            concat(col("event_id").cast("string"), lit("|"),
+              col("b").cast("string"))) / lit(1152921504606846976.0)).as("uu"))
+      val wts = draws.select(col("value"), col("b"),
+        when(col("uu") < 0.367879, 0L).when(col("uu") < 0.735759, 1L)
+          .when(col("uu") < 0.919699, 2L).when(col("uu") < 0.981012, 3L)
+          .otherwise(4L).as("w"))
+      val reps = wts.groupBy("b")
+        .agg(round((sum(col("w") * round(col("value") * 100, 0).cast("long"))
+          .cast("double") / 100.0) / sum(col("w")), 6).as("mean_b"))
+      val pt = ev.agg(round((sum(round(col("value") * 100, 0).cast("long"))
+        .cast("double") / 100.0) / count(lit(1)), 6).as("mean_value"))
+      reps.crossJoin(broadcast(pt))
+        .groupBy("mean_value")
+        .agg(round(expr("percentile(mean_b, 0.025)"), 6).as("ci_lo"),
+          round(expr("percentile(mean_b, 0.975)"), 6).as("ci_hi"),
+          lit(32L).as("n_replicas"))
+        .select("mean_value", "ci_lo", "ci_hi", "n_replicas")
+    },
+
+    Q(
+      "q_survival_km",
+      "Kaplan-Meier survival over user lifetimes (days from first to " +
+        "last activity; users active within 2 days of the corpus " +
+        "edge are CENSORED — the estimator's whole point is using " +
+        "them without pretending they died): S(t) = Π_{t'≤t} " +
+        "(1 − d/n) over death times — retention analysis done right, " +
+        "where q_events_retention's fixed-day grid undercounts " +
+        "users still alive. Users collapse to the (lifetime, " +
+        "censored) rollup; risk sets come from one descending " +
+        "cumulative window over that BOUNDED rollup; the product " +
+        "folds as exp of an exact ×1e6 fixed-point ln-sum of " +
+        "6dp-rounded factors (zero factors short-circuit to S=0 via " +
+        "a cumulative flag — ln(0) never evaluates). Output: death " +
+        "times with risk set, deaths, and survival",
+      Some(
+        """WITH anchor AS (
+          |  SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS a_us FROM events
+          |), per AS (
+          |  SELECT user_id,
+          |    (max(epoch_us(CAST(ts AS TIMESTAMP)))
+          |      - min(epoch_us(CAST(ts AS TIMESTAMP)))) // 86400000000 AS lt,
+          |    CASE WHEN a_us - max(epoch_us(CAST(ts AS TIMESTAMP)))
+          |      < 2 * 86400000000 THEN 1 ELSE 0 END AS censored
+          |  FROM events CROSS JOIN anchor GROUP BY user_id, a_us
+          |), ru AS (
+          |  SELECT lt, CAST(sum(1 - censored) AS BIGINT) AS d,
+          |    CAST(sum(censored) AS BIGINT) AS c
+          |  FROM per GROUP BY lt
+          |), risk AS (
+          |  SELECT lt, d,
+          |    CAST(sum(d + c) OVER (ORDER BY lt DESC
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS BIGINT) AS n
+          |  FROM ru
+          |), fct AS (
+          |  SELECT lt, d, n,
+          |    round(1.0 - CAST(d AS DOUBLE) / n, 6) AS f6
+          |  FROM risk WHERE d > 0
+          |), cumf AS (
+          |  SELECT lt, d, n,
+          |    max(CASE WHEN f6 <= 0 THEN 1 ELSE 0 END) OVER (ORDER BY lt
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zflag,
+          |    sum(CASE WHEN f6 > 0
+          |      THEN CAST(round(ln(f6) * 1000000) AS BIGINT) END)
+          |      OVER (ORDER BY lt
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnsum
+          |  FROM fct
+          |)
+          |SELECT lt AS t_days, n AS n_risk, d AS n_deaths,
+          |  CASE WHEN zflag = 1 THEN 0.0
+          |    ELSE round(exp(lnsum / 1000000.0), 6) END AS survival
+          |FROM cumf ORDER BY t_days""".stripMargin),
+    ) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val anchor = ev.agg(max(unix_micros(col("ts"))).as("a_us"))
+      val per = ev.groupBy("user_id")
+        .agg(min(unix_micros(col("ts"))).as("first_us"),
+          max(unix_micros(col("ts"))).as("last_us"))
+        .crossJoin(broadcast(anchor))
+        .select(expr("(last_us - first_us) div 86400000000").as("lt"),
+          when(col("a_us") - col("last_us") < 2L * 86400000000L, 1L)
+            .otherwise(0L).as("censored"))
+      kmCurve(per).orderBy("t_days")
+    },
+
+    Q(
       "q_calibration",
       "reliability diagram + expected calibration error for the " +
         "churn model: the q_model_auc score, z-scored against " +
@@ -1856,6 +1994,34 @@ object EventsOps {
       .select((col("h0") + col("i")).as("h"), col("i").as("t"))
     spine.join(hr, Seq("h"), "left")
       .select(col("t"), coalesce(col("x"), lit(0L)).as("x"))
+  }
+
+  /** Kaplan-Meier curve over a (lt, censored) frame (q_survival_km
+    * + the planted-cohort spec): bounded (lifetime, censored) rollup,
+    * descending cumulative risk sets, exp of an exact ×1e6 ln-sum of
+    * 6dp factors with a zero-factor short-circuit. Unordered. */
+  private[graft] def kmCurve(per: DataFrame): DataFrame = {
+    val ru = per.groupBy("lt")
+      .agg(sum(lit(1L) - col("censored")).as("d"),
+        sum(col("censored")).as("c"))
+    val wDesc = Window.orderBy(col("lt").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = ru
+      .withColumn("n", sum(col("d") + col("c")).over(wDesc))
+      .filter(col("d") > 0)
+      .withColumn("f6", round(lit(1.0) - col("d").cast("double") / col("n"), 6))
+    val wAsc = Window.orderBy("lt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    risk
+      .withColumn("zflag",
+        max(when(col("f6") <= 0, 1).otherwise(0)).over(wAsc))
+      .withColumn("lnsum", sum(when(col("f6") > 0,
+        round(log(col("f6")) * 1000000, 0).cast("long"))).over(wAsc))
+      .select(col("lt").as("t_days"), col("n").as("n_risk"),
+        col("d").as("n_deaths"),
+        when(col("zflag") === 1, 0.0)
+          .otherwise(round(exp(col("lnsum") / 1000000.0), 6))
+          .as("survival"))
   }
 
   /** q_markov_absorb rounds (planted-chain spec entry point) over a

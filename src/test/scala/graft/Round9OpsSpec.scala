@@ -207,6 +207,43 @@ class Round9OpsSpec extends AnyFunSuite {
       s"|acf| > 1 at lag ${r.getLong(0)}: ${r.getDouble(1)}"))
   }
 
+  // ---- q_bootstrap_ci ----
+
+  test("q_bootstrap_ci: the interval brackets the point estimate tightly") {
+    val r = SparkEntry.queries("q_bootstrap_ci")(spark, dir).collect()(0)
+    val (mean, lo, hi) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    assert(lo <= mean && mean <= hi, s"CI [$lo, $hi] excludes mean $mean")
+    assert(hi > lo, "degenerate interval")
+    // width sanity: a 1k+ sample mean's 95% CI is a few percent wide
+    assert((hi - lo) / mean < 0.5, s"CI implausibly wide: [$lo, $hi]")
+    assert(r.getLong(3) == 32)
+  }
+
+  // ---- q_survival_km ----
+
+  test("kmCurve matches hand-computed Kaplan-Meier on a planted cohort") {
+    import spark.implicits._
+    // Lifetimes: 1 (death), 2 (censored), 3, 3 (deaths), 5 (censored).
+    // S(1) = 1 - 1/5 = 0.8; at t=3 risk set {3,3,5}: S(3) = 0.8·(1/3).
+    val per = Seq((1L, 0L), (2L, 1L), (3L, 0L), (3L, 0L), (5L, 1L))
+      .toDF("lt", "censored")
+    val got = graft.operators.EventsOps.kmCurve(per)
+      .orderBy("t_days").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == 2)
+    assert(got(0) == ((1L, 5L, 1L, 0.8)))
+    assert(got(1)._1 == 3L && got(1)._2 == 3L && got(1)._3 == 2L)
+    assert(math.abs(got(1)._4 - 0.8 / 3.0) < 1e-4)
+  }
+
+  test("kmCurve short-circuits to zero when the last risk set dies out") {
+    import spark.implicits._
+    val per = Seq((1L, 0L), (2L, 0L)).toDF("lt", "censored")
+    val got = graft.operators.EventsOps.kmCurve(per)
+      .orderBy("t_days").collect().map(_.getDouble(3))
+    assert(got.last == 0.0)
+  }
+
   // ---- q_calibration ----
 
   test("q_calibration: bins tile [0,1], ECE consistent with the bin table") {
