@@ -572,6 +572,77 @@ object GraphOps {
     },
 
     Q(
+      "q_assortativity",
+      "degree assortativity of the undirected transition graph: the " +
+        "Pearson correlation of endpoint degrees over edges (counted " +
+        "both directions, the standard form) — do hubs link to hubs " +
+        "(assortative, r>0) or to the periphery (disassortative, " +
+        "r<0)? Clickstream item graphs run disassortative (hub items " +
+        "bridge long-tail items), and the sign drives partitioning " +
+        "strategy: disassortative graphs skew edge-cut shuffles. " +
+        "Degrees are one node-keyed agg; every moment (Σx, Σx², Σxy) " +
+        "is an EXACT BIGINT sum over edge-keyed joins, so r is pure " +
+        "arithmetic on exact integers with the two libm sqrts " +
+        "6dp-rounded — nothing to drift. Output: edges, nodes, r",
+      Some(
+        s"""WITH $edgesSqlCte, und AS (
+           |  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+           |  FROM edges WHERE a <> b
+           |), sym AS (
+           |  SELECT u AS src, v AS dst FROM und
+           |  UNION ALL SELECT v, u FROM und
+           |), deg AS (
+           |  SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+           |  FROM sym GROUP BY src
+           |), ed AS (
+           |  SELECT ds.d AS x, dd.d AS y
+           |  FROM sym e
+           |  JOIN deg ds ON ds.node = e.src
+           |  JOIN deg dd ON dd.node = e.dst
+           |), mm AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS m,
+           |    CAST(sum(x) AS BIGINT) AS sx,
+           |    CAST(sum(x * x) AS BIGINT) AS sxx,
+           |    CAST(sum(x * y) AS BIGINT) AS sxy
+           |  FROM ed
+           |)
+           |SELECT m // 2 AS n_edges,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+           |  round((CAST(sxy AS DOUBLE) / m - (CAST(sx AS DOUBLE) / m)
+           |      * (CAST(sx AS DOUBLE) / m))
+           |    / (round(sqrt(CAST(sxx AS DOUBLE) / m
+           |        - (CAST(sx AS DOUBLE) / m) * (CAST(sx AS DOUBLE) / m)), 6)
+           |      * round(sqrt(CAST(sxx AS DOUBLE) / m
+           |        - (CAST(sx AS DOUBLE) / m) * (CAST(sx AS DOUBLE) / m)), 6)),
+           |    6) AS assortativity
+           |FROM mm""".stripMargin),
+    ) { (s, dir) =>
+      val und = transitions(s, dir)
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"))
+        .distinct()
+      val sym = und.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(und.select(col("v"), col("u")))
+        .localCheckpoint() // read twice: degrees + edge moments
+      val deg = sym.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("d"))
+      val ed = sym
+        .join(deg.select(col("node").as("src"), col("d").as("x")), "src")
+        .join(deg.select(col("node").as("dst"), col("d").as("y")), "dst")
+      val mm = ed.agg(count(lit(1)).as("m"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      val nn = deg.agg(count(lit(1)).as("n_nodes"))
+      val mu = col("sx").cast("double") / col("m")
+      val sd = round(sqrt(col("sxx").cast("double") / col("m") - mu * mu), 6)
+      mm.crossJoin(broadcast(nn))
+        .select(expr("m div 2").as("n_edges"), col("n_nodes"),
+          round((col("sxy").cast("double") / col("m") - mu * mu) / (sd * sd), 6)
+            .as("assortativity"))
+    },
+
+    Q(
       "q_next_item_eval",
       "next-item recommendation with a TEMPORAL train/test split: " +
         "each user's transition sequence splits at its midpoint " +

@@ -3739,6 +3739,105 @@ object TextOps {
     },
 
     Q(
+      "q_heaps_law",
+      "Heaps-law vocabulary growth beside q_zipf_fit's frequency " +
+        "slope: V(N) ≈ K·N^β measured at ten cumulative corpus " +
+        "deciles (doc_id order stands in for arrival order), with β " +
+        "the log-log OLS slope — the diagnostic that says whether a " +
+        "corpus keeps yielding NEW vocabulary (β≈0.5 natural text) " +
+        "or has saturated (β→0: more data, no new words — the " +
+        "point of diminishing curation returns). ONE corpus pass: " +
+        "every token carries its decile, vocabulary increments " +
+        "attribute to each word's FIRST decile (a word-keyed min " +
+        "agg), and both cumulatives are windows over the 10-row " +
+        "rollup. The OLS runs the q_zipf_fit fixed-point discipline " +
+        "— logs 6dp-rounded, covariance sums in ×1e6 BIGINT, slope " +
+        "one division of exact integers",
+      Some(
+        """WITH mx AS (SELECT max(doc_id) AS md FROM documents),
+          |tok AS (
+          |  SELECT least(9, doc_id * 10 // (md + 1)) AS dk, w FROM (
+          |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+          |    FROM documents) CROSS JOIN mx
+          |  WHERE w <> ''
+          |), tc AS (
+          |  SELECT dk, CAST(count(*) AS BIGINT) AS t FROM tok GROUP BY dk
+          |), fw AS (
+          |  SELECT w, min(dk) AS fdk FROM tok GROUP BY w
+          |), vc AS (
+          |  SELECT fdk AS dk, CAST(count(*) AS BIGINT) AS v FROM fw GROUP BY fdk
+          |), cum AS (
+          |  SELECT tc.dk,
+          |    CAST(sum(tc.t) OVER (ORDER BY tc.dk
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS BIGINT) AS n_cum,
+          |    CAST(sum(coalesce(vc.v, 0)) OVER (ORDER BY tc.dk
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS BIGINT) AS v_cum
+          |  FROM tc LEFT JOIN vc ON tc.dk = vc.dk
+          |), pts AS (
+          |  SELECT dk, n_cum, v_cum,
+          |    round(log2(CAST(n_cum AS DOUBLE)), 6) AS x,
+          |    round(log2(CAST(v_cum AS DOUBLE)), 6) AS y
+          |  FROM cum
+          |), m AS (
+          |  SELECT count(*) AS k,
+          |    CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS BIGINT) AS sx,
+          |    CAST(sum(CAST(round(y * 1000000) AS BIGINT)) AS BIGINT) AS sy
+          |  FROM pts
+          |), c AS (
+          |  SELECT m.k,
+          |    CAST(sum(CAST(round((p.x - m.sx / (1000000.0 * m.k))
+          |      * (p.y - m.sy / (1000000.0 * m.k)) * 1000000) AS BIGINT))
+          |      AS BIGINT) AS sxy,
+          |    CAST(sum(CAST(round((p.x - m.sx / (1000000.0 * m.k))
+          |      * (p.x - m.sx / (1000000.0 * m.k)) * 1000000) AS BIGINT))
+          |      AS BIGINT) AS sxx
+          |  FROM pts p CROSS JOIN m GROUP BY m.k
+          |), sl AS (
+          |  SELECT round(CAST(sxy AS DOUBLE) / sxx, 6) AS beta FROM c
+          |)
+          |SELECT dk AS decile, n_cum AS n_tokens, v_cum AS n_vocab, beta
+          |FROM pts CROSS JOIN sl ORDER BY decile""".stripMargin),
+    ) { (s, dir) =>
+      val mx = Tables.documents(s, dir).agg(max(col("doc_id")).as("md"))
+      val tok = Tables.documents(s, dir)
+        .crossJoin(broadcast(mx))
+        .select(least(lit(9), expr("doc_id * 10 div (md + 1)")).as("dk"),
+          explode(toks).as("w"))
+        .filter(col("w") =!= "")
+        .localCheckpoint() // read twice: token counts + first-decile agg
+      val tc = tok.groupBy("dk").agg(count(lit(1)).as("t"))
+      val vc = tok.groupBy("w").agg(min(col("dk")).as("fdk"))
+        .groupBy(col("fdk").as("dk")).agg(count(lit(1)).as("v"))
+      val wc = Window.orderBy("dk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pts = tc.join(vc, Seq("dk"), "left")
+        .withColumn("n_cum", sum(col("t")).over(wc))
+        .withColumn("v_cum", sum(coalesce(col("v"), lit(0L))).over(wc))
+        .select(col("dk"), col("n_cum"), col("v_cum"),
+          round(log2(col("n_cum").cast("double")), 6).as("x"),
+          round(log2(col("v_cum").cast("double")), 6).as("y"))
+        .localCheckpoint() // read thrice: means, covariances, output
+      val m = pts.agg(count(lit(1)).as("k"),
+        sum(round(col("x") * 1000000, 0).cast("long")).as("sx"),
+        sum(round(col("y") * 1000000, 0).cast("long")).as("sy"))
+      val c = pts.crossJoin(broadcast(m))
+        .agg(sum(round((col("x") - col("sx") / (lit(1000000.0) * col("k")))
+          * (col("y") - col("sy") / (lit(1000000.0) * col("k")))
+          * 1000000, 0).cast("long")).as("sxy"),
+          sum(round((col("x") - col("sx") / (lit(1000000.0) * col("k")))
+            * (col("x") - col("sx") / (lit(1000000.0) * col("k")))
+            * 1000000, 0).cast("long")).as("sxx"))
+      val sl = c.select(round(col("sxy").cast("double") / col("sxx"), 6)
+        .as("beta"))
+      pts.crossJoin(broadcast(sl))
+        .select(col("dk").as("decile"), col("n_cum").as("n_tokens"),
+          col("v_cum").as("n_vocab"), col("beta"))
+        .orderBy("decile")
+    },
+
+    Q(
       "q_posting_layout",
       "the deployed INVERTED-INDEX layout: per-term postings " +
         "(term, doc_id, tf) written hive-partitioned by a " +

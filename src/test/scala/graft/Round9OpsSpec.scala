@@ -207,6 +207,28 @@ class Round9OpsSpec extends AnyFunSuite {
       s"|acf| > 1 at lag ${r.getLong(0)}: ${r.getDouble(1)}"))
   }
 
+  // ---- q_heaps_law ----
+
+  test("q_heaps_law: cumulative counts are monotone and beta in [0, 1]") {
+    val rows = SparkEntry.queries("q_heaps_law")(spark, dir).collect()
+    assert(rows.length == 10)
+    val toks = rows.map(_.getLong(1)); val vocab = rows.map(_.getLong(2))
+    for (i <- 1 until 10) {
+      assert(toks(i) > toks(i - 1), "token cumulative not increasing")
+      assert(vocab(i) >= vocab(i - 1), "vocabulary shrank")
+    }
+    val beta = rows.head.getDouble(3)
+    assert(beta >= 0.0 && beta <= 1.0, s"beta $beta")
+  }
+
+  // ---- q_assortativity ----
+
+  test("q_assortativity: r is a correlation, in [-1, 1]") {
+    val r = SparkEntry.queries("q_assortativity")(spark, dir).collect()(0)
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0)
+    assert(r.getDouble(2).abs <= 1.0 + 1e-9)
+  }
+
   // ---- q_bootstrap_ci ----
 
   test("q_bootstrap_ci: the interval brackets the point estimate tightly") {
