@@ -991,6 +991,61 @@ object AnnOps {
     },
 
     Q(
+      "q_al_uncertainty",
+      "active-learning acquisition: the 20 most AMBIGUOUS points by " +
+        "k-NN vote margin (top-vote count minus runner-up count, " +
+        "ascending) — uncertainty sampling, the labeling-budget " +
+        "allocator: points whose neighborhoods disagree are where " +
+        "the next human label buys the most model. Reuses " +
+        "q_knn_classify's cell-pruned neighbor machinery wholesale " +
+        "(pair cost nprobe·Σ|cell|², never n²); votes are " +
+        "label-bounded aggs per point, the margin rank is a " +
+        "TakeOrdered heap on (margin, id). Single-class " +
+        "neighborhoods report margin = full count (maximally " +
+        "confident), runner-up label −1",
+      Some(
+        s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+           |$knnTopkSqlCte, votes AS (
+           |  SELECT t.vec_id, l.label AS vote, CAST(count(*) AS BIGINT) AS c
+           |  FROM topk t JOIN e l ON l.vec_id = t.neighbor_id
+           |  GROUP BY t.vec_id, l.label
+           |), rankedv AS (
+           |  SELECT vec_id, vote, c, row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY c DESC, vote) AS rn
+           |  FROM votes
+           |), m AS (
+           |  SELECT a.vec_id, a.vote AS top_vote, a.c AS c1,
+           |    coalesce(b.vote, -1) AS second_vote, coalesce(b.c, 0) AS c2,
+           |    a.c - coalesce(b.c, 0) AS margin
+           |  FROM (SELECT * FROM rankedv WHERE rn = 1) a
+           |  LEFT JOIN (SELECT * FROM rankedv WHERE rn = 2) b
+           |    ON a.vec_id = b.vec_id
+           |)
+           |SELECT vec_id, top_vote, c1, second_vote, c2, margin
+           |FROM m ORDER BY margin, vec_id LIMIT 20""".stripMargin),
+    ) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val votes = knnTopK(s, dir).select("vec_id", "neighbor_id")
+        .join(e.select(col("vec_id").as("neighbor_id"),
+          col("label").as("vote")), "neighbor_id")
+        .groupBy("vec_id", "vote").agg(count(lit(1)).as("c"))
+      val rv = Window.partitionBy("vec_id").orderBy(col("c").desc, col("vote"))
+      val ranked = votes.withColumn("rn", row_number().over(rv))
+        .localCheckpoint() // read twice: top vote + runner-up
+      val a = ranked.filter(col("rn") === 1)
+        .select(col("vec_id"), col("vote").as("top_vote"), col("c").as("c1"))
+      val b = ranked.filter(col("rn") === 2)
+        .select(col("vec_id"), col("vote").as("sv"), col("c").as("sc"))
+      a.join(b, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("top_vote"), col("c1"),
+          coalesce(col("sv"), lit(-1)).as("second_vote"),
+          coalesce(col("sc"), lit(0L)).as("c2"),
+          (col("c1") - coalesce(col("sc"), lit(0L))).as("margin"))
+        .orderBy(col("margin"), col("vec_id")).limit(20)
+        .orderBy(col("margin"), col("vec_id"))
+    },
+
+    Q(
       "q_vector_audit",
       "embedding-column data-quality audit — q_data_audit's " +
         "contract applied to vectors, the gate that runs BEFORE any " +

@@ -1377,6 +1377,57 @@ object Relational {
     },
 
     Q(
+      "q_bloom_skipping",
+      "BLOOM-manifest file skipping — the point-lookup complement to " +
+        "q_file_skipping's min/max spans: the layout is " +
+        "range-partitioned on l_shipdate, so a single-orderkey probe " +
+        "defeats min/max pruning (every file's orderkey span covers " +
+        "the key) but not per-file BLOOMS — exactly why table formats " +
+        "and parquet attach bloom filters to high-cardinality point-" +
+        "lookup columns. The manifest is one bloom_agg per file " +
+        "(distributed, mergeable — the q_join_bloom machinery as " +
+        "METADATA); planning probes #files sketches driver-side — " +
+        "manifest-sized work, the table-format planner's job — and " +
+        "no-false-negatives guarantees the matching file always " +
+        "survives. The residual filter still applies inside " +
+        "survivors; the oracle recomputes from the original table, " +
+        "proving pruning lost nothing",
+      Some(
+        s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           |  ${exactSumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+           |FROM lineitem
+           |WHERE l_orderkey = (SELECT max(l_orderkey) FROM lineitem)""".stripMargin),
+    ) { (s, dir) =>
+      graft.functions.Bloom.register(s)
+      val out = Scratch.dir()
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+          col("l_shipdate").cast("timestamp").as("l_shipdate"))
+      li.repartitionByRange(8, col("l_shipdate")).write.parquet(out)
+      // The probe key (a query parameter at 100 TB) and its xxhash —
+      // hashed by the ENGINE so manifest build and probe can't drift.
+      val key = li.agg(max(col("l_orderkey"))).collect()(0).getLong(0)
+      val keyHash = s.sql(s"SELECT xxhash64(CAST($key AS BIGINT))")
+        .collect()(0).getLong(0)
+      // Manifest: one mergeable bloom per file — O(#files) rows of
+      // sketch metadata, the planning-side read every table format does.
+      val manifest = s.read.parquet(out)
+        .groupBy(input_file_name().as("file"))
+        .agg(expr("bloom_agg(xxhash64(l_orderkey))").as("bf"))
+        .collect()
+      val surviving = manifest.filter { r =>
+        org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bf")))
+          .mightContainLong(keyHash)
+      }.map(_.getString(0))
+      s.read.parquet(surviving.toIndexedSeq: _*)
+        .filter(col("l_orderkey") === key)
+        .agg(count(lit(1)).as("n_rows"),
+          exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"))
+    },
+
+    Q(
       "q_join_dpp",
       "dynamic partition pruning: the fact table is laid out " +
         "hive-partitioned on l_returnflag, the join dim carries a " +

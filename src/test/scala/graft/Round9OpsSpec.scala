@@ -207,6 +207,52 @@ class Round9OpsSpec extends AnyFunSuite {
       s"|acf| > 1 at lag ${r.getLong(0)}: ${r.getDouble(1)}"))
   }
 
+  // ---- q_bloom_skipping ----
+
+  test("q_bloom_skipping: the bloom manifest prunes most files for a point probe") {
+    import org.apache.spark.sql.functions._
+    graft.functions.Bloom.register(spark)
+    val out = graft.operators.Scratch.dir()
+    val li = graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate").cast("timestamp").as("sd"))
+    li.repartitionByRange(8, col("sd")).write.parquet(out)
+    val key = li.agg(max(col("l_orderkey"))).collect()(0).getLong(0)
+    val keyHash = spark.sql(s"SELECT xxhash64(CAST($key AS BIGINT))")
+      .collect()(0).getLong(0)
+    val manifest = spark.read.parquet(out)
+      .groupBy(input_file_name().as("file"))
+      .agg(expr("bloom_agg(xxhash64(l_orderkey))").as("bf"))
+      .collect()
+    assert(manifest.length == 8)
+    val surviving = manifest.count { r =>
+      org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bf")))
+        .mightContainLong(keyHash)
+    }
+    // ground truth: one order's lines scatter across shipdate files,
+    // so several files LEGITIMATELY hold the key
+    val trueFiles = spark.read.parquet(out)
+      .filter(col("l_orderkey") === key)
+      .select(input_file_name()).distinct().count()
+    assert(surviving >= trueFiles, "bloom false negative — impossible")
+    assert(surviving <= trueFiles + 1,
+      s"FP rate implausible: $surviving survive, $trueFiles real")
+    assert(trueFiles < 8, "probe key degenerate: present in every file")
+  }
+
+  // ---- q_al_uncertainty ----
+
+  test("q_al_uncertainty: margins ascend and never exceed the vote count") {
+    val rows = SparkEntry.queries("q_al_uncertainty")(spark, dir).collect()
+    assert(rows.length == 20)
+    val margins = rows.map(_.getLong(5))
+    for (i <- 1 until margins.length) assert(margins(i) >= margins(i - 1))
+    rows.foreach { r =>
+      assert(r.getLong(5) == r.getLong(2) - r.getLong(4))
+      assert(r.getLong(5) >= 0)
+    }
+  }
+
   // ---- q_heaps_law ----
 
   test("q_heaps_law: cumulative counts are monotone and beta in [0, 1]") {
