@@ -1389,9 +1389,14 @@ object Relational {
         "METADATA); planning probes #files sketches driver-side — " +
         "manifest-sized work, the table-format planner's job — and " +
         "no-false-negatives guarantees the matching file always " +
-        "survives. The residual filter still applies inside " +
-        "survivors; the oracle recomputes from the original table, " +
-        "proving pruning lost nothing",
+        "survives. At 100 TB two refinements keep planning bounded: " +
+        "blooms are sized to each FILE's rows (~180 KB at 100k rows, " +
+        "not this demo's fixed 1M-item default), and the probe runs " +
+        "distributed over the manifest table with only surviving " +
+        "FILE NAMES collected (O(matches), not O(files) sketches). " +
+        "The residual filter still applies inside survivors; the " +
+        "oracle recomputes from the original table, proving pruning " +
+        "lost nothing",
       Some(
         s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
            |  ${exactSumSql("l_extendedprice * (1 - l_discount)")} AS revenue
