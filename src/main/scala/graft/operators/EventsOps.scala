@@ -1281,6 +1281,75 @@ object EventsOps {
     },
 
     Q(
+      "q_scd2_merge",
+      "incremental SCD2 MERGE — the type-2 twin of " +
+        "q_mv_join_incremental: the dimension persists from history " +
+        "before the cutoff (checkpointed base), and the delta batch " +
+        "merges WITHOUT replaying history — closed versions are " +
+        "carried verbatim, untouched users keep their current rows, " +
+        "and each delta user's suffix is rebuilt from ONE seed row " +
+        "(their current version, re-entering the change chain with a " +
+        "version offset so numbering continues) plus their delta " +
+        "events. Merge cost ∝ delta + touched users' current rows — " +
+        "never the changelog history; the time-ordered batch boundary " +
+        "is what makes the seed sufficient (type-2 merges assume " +
+        "in-order arrival; late data goes through a rebuild, which " +
+        "is the industry contract too). The oracle is the FULL " +
+        "rebuild over all events — merge ≡ rebuild, bit for bit, " +
+        "version numbers included",
+      Some(
+        """WITH e AS (
+          |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+          |  FROM events
+          |), ch AS (
+          |  SELECT user_id, event_type, ts, event_id FROM (
+          |    SELECT user_id, event_type, ts, event_id,
+          |      lag(event_type) OVER (PARTITION BY user_id
+          |        ORDER BY ts, event_id) AS prev_type
+          |    FROM e)
+          |  WHERE prev_type IS NULL OR prev_type <> event_type
+          |)
+          |SELECT user_id,
+          |  CAST(row_number() OVER (PARTITION BY user_id
+          |    ORDER BY ts, event_id) AS BIGINT) AS version,
+          |  event_type, ts AS valid_from,
+          |  lead(ts) OVER (PARTITION BY user_id
+          |    ORDER BY ts, event_id) AS valid_to,
+          |  CASE WHEN lead(ts) OVER (PARTITION BY user_id
+          |    ORDER BY ts, event_id) IS NULL
+          |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_current
+          |FROM ch ORDER BY user_id, version""".stripMargin),
+    ) { (s, dir) =>
+      val cutoff = lit("2024-01-24 00:00:00").cast("timestamp")
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      // The persisted dimension: built once from pre-cutoff history.
+      val base = scd2FromEvents(ev.filter(col("ts") < cutoff))
+        .localCheckpoint()
+      val delta = ev.filter(col("ts") >= cutoff).localCheckpoint()
+      val deltaUsers = delta.select("user_id").distinct()
+      val baseCur = base.filter(col("is_current") === 1)
+        .localCheckpoint() // read twice: seeds + untouched users
+      // Seed = each touched user's current version re-entering the
+      // chain; voffset makes the rebuilt numbering continue.
+      val seeds = baseCur.join(deltaUsers, "user_id")
+        .select(col("user_id"), col("event_type"),
+          col("valid_from").as("ts"), lit(-1L).as("event_id"),
+          (col("version") - 1).as("voffset"))
+      val voff = seeds.select("user_id", "voffset").distinct()
+      val stream = seeds.select("user_id", "event_type", "ts", "event_id")
+        .unionByName(delta.select("user_id", "event_type", "ts", "event_id"))
+        .join(voff, Seq("user_id"), "left")
+      val rebuilt = scd2FromEvents(stream)
+      val untouchedCurrent = baseCur
+        .join(deltaUsers, Seq("user_id"), "left_anti")
+      base.filter(col("is_current") === 0)
+        .unionByName(untouchedCurrent)
+        .unionByName(rebuilt)
+        .orderBy("user_id", "version")
+    },
+
+    Q(
       "q_scd2_pit_join",
       "POINT-IN-TIME snapshot reconstruction from the SCD2 dimension " +
         "(the temporal query versioned dims exist to answer): at each " +
@@ -2048,16 +2117,28 @@ object EventsOps {
   /** The SCD2 dimension build shared by q_scd2 and q_scd2_pit_join
     * (one owner for the change rule, version numbering and interval
     * close — the sessionsSqlCte precedent). Unordered. */
-  private[graft] def scd2Of(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def scd2Of(s: SparkSession, dir: String): DataFrame =
+    scd2FromEvents(Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts")))
+
+  /** The SCD2 change-detection chain over any (event_id, user_id,
+    * event_type, ts) frame — shared by the full build and
+    * q_scd2_merge's incremental rebuild segment. The `voffset`
+    * column (if present) shifts version numbers so a rebuilt suffix
+    * continues the persisted dimension's numbering. */
+  private[graft] def scd2FromEvents(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    Tables.events(s, dir)
-      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val base = ev
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
-      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .withColumn("valid_to", lead(col("ts"), 1).over(w))
-      .select(col("user_id"), col("version"), col("event_type"),
-        col("ts").as("valid_from"), col("valid_to"),
-        when(col("valid_to").isNull, 1L).otherwise(0L).as("is_current"))
+    val version =
+      if (ev.columns.contains("voffset"))
+        coalesce(col("voffset"), lit(0L)) + col("rn")
+      else col("rn")
+    base.select(col("user_id"), version.as("version"), col("event_type"),
+      col("ts").as("valid_from"), col("valid_to"),
+      when(col("valid_to").isNull, 1L).otherwise(0L).as("is_current"))
   }
 }

@@ -207,6 +207,17 @@ class Round9OpsSpec extends AnyFunSuite {
       s"|acf| > 1 at lag ${r.getLong(0)}: ${r.getDouble(1)}"))
   }
 
+  // ---- q_scd2_merge ----
+
+  test("q_scd2_merge: the seeded merge equals the full rebuild exactly") {
+    val merged = SparkEntry.queries("q_scd2_merge")(spark, dir).collect()
+      .map(_.toSeq).toSet
+    val rebuilt = graft.operators.EventsOps.scd2Of(spark, dir).collect()
+      .map(_.toSeq).toSet
+    assert(merged == rebuilt)
+    assert(merged.nonEmpty)
+  }
+
   // ---- q_bloom_skipping ----
 
   test("q_bloom_skipping: the bloom manifest prunes most files for a point probe") {
