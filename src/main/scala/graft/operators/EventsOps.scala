@@ -964,6 +964,46 @@ object EventsOps {
     },
 
     Q(
+      "q_changepoint",
+      "single change-point detection on the hourly count series " +
+        "(binary segmentation / CUSUM form): the split k maximizing " +
+        "the between-segment statistic F_k = (L_k·n − k·S)² / " +
+        "(k·(n−k)) — the level-shift detector monitoring runs when " +
+        "q_stl_seasonal's per-hour residuals page but the real story " +
+        "is a regime change (deploy, outage, traffic migration), " +
+        "not an outlier. One corpus scan to the hour rollup, one " +
+        "cumulative window over the #hours-bounded series, and every " +
+        "F numerator/denominator is EXACT BIGINT (DECIMAL(38) at " +
+        "extreme scale — documented) with the one division " +
+        "6dp-rounded before the argmax heap (ties to the earlier " +
+        "hour). Output: the split hour, both segment means, and the " +
+        "statistic",
+      Some(
+        s"""WITH $hourlySeriesSqlCte, cum AS (
+           |  SELECT t, x,
+           |    CAST(sum(x) OVER (ORDER BY t
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS lsum
+           |  FROM series
+           |), st AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+           |  FROM series
+           |), scoredk AS (
+           |  SELECT t + 1 AS k, lsum, n, s,
+           |    round(CAST((lsum * n - (t + 1) * s) * (lsum * n - (t + 1) * s)
+           |        AS DOUBLE) / ((t + 1) * (n - t - 1)), 6) AS f
+           |  FROM cum CROSS JOIN st WHERE t + 1 < n
+           |)
+           |SELECT k AS split_hour,
+           |  round(CAST(lsum AS DOUBLE) / k, 6) AS mean_left,
+           |  round(CAST(s - lsum AS DOUBLE) / (n - k), 6) AS mean_right,
+           |  f AS f_stat
+           |FROM scoredk ORDER BY f DESC, k LIMIT 1""".stripMargin),
+    ) { (s, dir) =>
+      changepointOf(hourlySeries(s, dir))
+    },
+
+    Q(
       "q_stl_seasonal",
       "seasonal decomposition of the hourly series (STL-lite): the " +
         "hour-of-day profile (24-bounded means, the daily cycle " +
@@ -2063,6 +2103,30 @@ object EventsOps {
       .select((col("h0") + col("i")).as("h"), col("i").as("t"))
     spine.join(hr, Seq("h"), "left")
       .select(col("t"), coalesce(col("x"), lit(0L)).as("x"))
+  }
+
+  /** q_changepoint core (planted-step spec entry point) over a
+    * (t, x) series: exact-integer between-segment statistic, argmax
+    * split via a TakeOrdered head. */
+  private[graft] def changepointOf(seriesRaw: DataFrame): DataFrame = {
+    val series = seriesRaw.localCheckpoint() // read twice: cum + totals
+    val wc = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = series.withColumn("lsum", sum(col("x")).over(wc))
+    val st = series.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    cum.crossJoin(broadcast(st))
+      .filter(col("t") + 1 < col("n"))
+      .select((col("t") + 1).as("k"), col("lsum"), col("n"), col("s"))
+      .withColumn("f", round(
+        ((col("lsum") * col("n") - col("k") * col("s"))
+          * (col("lsum") * col("n") - col("k") * col("s"))).cast("double")
+          / (col("k") * (col("n") - col("k"))), 6))
+      .orderBy(col("f").desc, col("k")).limit(1)
+      .select(col("k").as("split_hour"),
+        round(col("lsum").cast("double") / col("k"), 6).as("mean_left"),
+        round((col("s") - col("lsum")).cast("double") / (col("n") - col("k")),
+          6).as("mean_right"),
+        col("f").as("f_stat"))
   }
 
   /** Kaplan-Meier curve over a (lt, censored) frame (q_survival_km

@@ -207,6 +207,18 @@ class Round9OpsSpec extends AnyFunSuite {
       s"|acf| > 1 at lag ${r.getLong(0)}: ${r.getDouble(1)}"))
   }
 
+  // ---- q_changepoint ----
+
+  test("changepointOf nails a planted level shift exactly") {
+    import spark.implicits._
+    // 40 hours at 10 then 40 at 20: the only true split is k=40.
+    val series = ((0 until 40).map(t => (t.toLong, 10L))
+      ++ (40 until 80).map(t => (t.toLong, 20L))).toDF("t", "x")
+    val r = graft.operators.EventsOps.changepointOf(series).collect()(0)
+    assert(r.getLong(0) == 40L, s"split at ${r.getLong(0)}")
+    assert(r.getDouble(1) == 10.0 && r.getDouble(2) == 20.0)
+  }
+
   // ---- q_scd2_merge ----
 
   test("q_scd2_merge: the seeded merge equals the full rebuild exactly") {
