@@ -248,6 +248,96 @@ object GraphOps {
     },
 
     Q(
+      "q_ppr",
+      s"PERSONALIZED PageRank: importance with respect to a seed set " +
+        s"(items ≡ 0 mod $BfsSeedMod, the q_bfs_reach seed rule) — " +
+        "teleport mass restarts at the seeds instead of uniformly, " +
+        "so scores answer 'important NEAR these items', the " +
+        "trust-rank / related-items primitive q_pagerank's global " +
+        "score can't express. Same round machinery as q_pagerank " +
+        s"($PrRounds rounds, damping $PrDamp, dangling mass to the " +
+        "TELEPORT vector, per-round 9dp grid, per-round " +
+        "localCheckpoint, zero driver collects — seed count travels " +
+        "as a broadcast 1-row frame); non-seed scores are pure " +
+        "proximity mass. Output: item, ppr, is_seed",
+      Some {
+        val rounds = (1 to PrRounds).map { i =>
+          val prev = s"r${i - 1}"
+          s"""r$i AS (
+             |  SELECT nd.node,
+             |    round((1.0 - $PrDamp) * nd.ev + $PrDamp * (
+             |      coalesce(c.contrib, 0) + dg.dang * nd.ev), 9) AS r
+             |  FROM seeded nd
+             |  CROSS JOIN (SELECT coalesce(sum(r), 0) AS dang FROM $prev
+             |              WHERE node NOT IN (SELECT a FROM outw)) dg
+             |  LEFT JOIN (SELECT ep.b AS node, sum(rp.r * ep.p) AS contrib
+             |             FROM $prev rp JOIN eprob ep ON rp.node = ep.a
+             |             GROUP BY ep.b) c
+             |    ON nd.node = c.node
+             |)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $edgesSqlCte, outw AS (
+           |  SELECT a, CAST(sum(n) AS BIGINT) AS outw FROM edges GROUP BY a
+           |), eprob AS (
+           |  SELECT e.a, e.b, e.n / o.outw AS p FROM edges e JOIN outw o ON e.a = o.a
+           |), nodes AS (
+           |  SELECT DISTINCT a AS node FROM edges
+           |  UNION SELECT DISTINCT b FROM edges
+           |), ns AS (
+           |  SELECT CAST(count(*) AS DOUBLE) AS ns FROM nodes
+           |  WHERE node % $BfsSeedMod = 0
+           |), seeded AS (
+           |  SELECT node, CASE WHEN node % $BfsSeedMod = 0
+           |    THEN 1.0 / ns ELSE 0.0 END AS ev
+           |  FROM nodes CROSS JOIN ns
+           |), r0 AS (SELECT node, round(ev, 9) AS r FROM seeded),
+           |$rounds
+           |SELECT s.node AS item, round(r.r, 6) AS ppr,
+           |  CAST(s.node % $BfsSeedMod = 0 AS BIGINT) AS is_seed
+           |FROM r$PrRounds r JOIN seeded s ON s.node = r.node
+           |ORDER BY item""".stripMargin
+      },
+    ) { (s, dir) =>
+      val e = edgesOf(s, dir).localCheckpoint()
+      val outw = e.groupBy("a").agg(sum("n").as("outw"))
+      val eprob = e.join(outw, "a")
+        .select(col("a"), col("b"), (col("n") / col("outw")).as("p"))
+        .localCheckpoint()
+      val nodes = e.select(col("a").as("node"))
+        .unionAll(e.select(col("b").as("node")))
+        .distinct()
+        .localCheckpoint()
+      val ns = nodes.filter(col("node") % BfsSeedMod === 0)
+        .agg(count(lit(1)).cast("double").as("ns"))
+      val seeded = nodes.crossJoin(broadcast(ns))
+        .select(col("node"),
+          when(col("node") % BfsSeedMod === 0, lit(1.0) / col("ns"))
+            .otherwise(lit(0.0)).as("ev"))
+        .localCheckpoint() // re-read every round (teleport vector)
+      var ranks = seeded.select(col("node"), round(col("ev"), 9).as("r"))
+        .localCheckpoint()
+      for (_ <- 1 to PrRounds) {
+        val contrib = ranks.join(eprob, ranks("node") === eprob("a"))
+          .groupBy(col("b").as("cnode"))
+          .agg(sum(col("r") * col("p")).as("contrib"))
+        val dang = ranks.join(outw, ranks("node") === outw("a"), "left_anti")
+          .agg(coalesce(sum(col("r")), lit(0.0)).as("dang"))
+        ranks = seeded
+          .join(contrib, col("node") === col("cnode"), "left")
+          .crossJoin(broadcast(dang))
+          .select(col("node"),
+            round(lit(1.0 - PrDamp) * col("ev")
+              + lit(PrDamp) * (coalesce(col("contrib"), lit(0.0))
+                + col("dang") * col("ev")), 9).as("r"))
+          .localCheckpoint()
+      }
+      ranks.join(seeded, "node")
+        .select(col("node").as("item"), round(col("r"), 6).as("ppr"),
+          (col("node") % BfsSeedMod === 0).cast("long").as("is_seed"))
+        .orderBy("item")
+    },
+
+    Q(
       "q_triangles",
       "degree-oriented triangle counting + local clustering " +
         s"coefficient on the top-$TriTopEdges undirected transition " +

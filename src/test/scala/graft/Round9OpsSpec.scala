@@ -207,6 +207,20 @@ class Round9OpsSpec extends AnyFunSuite {
       s"|acf| > 1 at lag ${r.getLong(0)}: ${r.getDouble(1)}"))
   }
 
+  // ---- q_ppr ----
+
+  test("q_ppr: mass conserves to ~1 and concentrates above uniform on seeds") {
+    val rows = SparkEntry.queries("q_ppr")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val mass = rows.map(_.getDouble(1)).sum
+    assert(math.abs(mass - 1.0) < 1e-3, s"PPR mass $mass")
+    val n = rows.length
+    val seedAvg = rows.filter(_.getLong(2) == 1).map(_.getDouble(1)).sum /
+      rows.count(_.getLong(2) == 1)
+    // restart mass keeps seeds above the uniform score
+    assert(seedAvg > 1.0 / n, s"seed avg $seedAvg vs uniform ${1.0 / n}")
+  }
+
   // ---- q_changepoint ----
 
   test("changepointOf nails a planted level shift exactly") {
