@@ -416,6 +416,33 @@ object AnnOps {
     * a single dot-product fold instead of three. MUST be non-empty:
     * callers seed with vec_id < k (k ≥ 1 rows on any real table) and
     * Lloyd recompute preserves non-emptiness. */
+  /** Seed-centroid assignment + nprobe probe routing shared by
+    * q_simsearch_ivf and q_ivf_delete. Nearest-cell assignment and
+    * probe routing are pure per-row expression work against the
+    * packed broadcast centroids — the corpus never shuffles or sorts
+    * for them; assignment is the fused codegen'd argmax-cosine (see
+    * CentArgmin), probe routing the composed sorted-slice (probe
+    * sets are always tiny). Returns (assign(vec_id, embedding,
+    * cent_id), probeCells(probe_id, pe, cent_id)). */
+  private def ivfAssignAndProbes(
+      s: SparkSession, e: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val cents = e.filter(col("vec_id") < NumCells)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+    val packed = broadcast(packCents(cents))
+    val assign = e.crossJoin(packed)
+      .withColumn("cent_id",
+        graft.functions.CentAssign.argminCos(s, "embedding", "cs"))
+      .select(col("vec_id"), col("embedding"), col("cent_id"))
+    val probeCells = e.filter(col("vec_id") < NumProbes)
+      .withColumn("vn", sqrt(normSq(col("embedding"))))
+      .crossJoin(packed)
+      .withColumn("cell", explode(slice(array_sort(negCosMetrics), 1, NProbe)))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        col("cell.cent_id").as("cent_id"))
+    (assign, probeCells)
+  }
+
   private[graft] def packCents(cents: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     cents.agg(collect_list(struct(col("cent_id"), col("ce"),
@@ -969,19 +996,7 @@ object AnnOps {
     ) { (s, dir) =>
       val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
       val tombstones = e.filter(col("vec_id") % 7 === 3).select("vec_id")
-      val cents = e.filter(col("vec_id") < NumCells)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
-      val packed = broadcast(packCents(cents))
-      val assign = e.crossJoin(packed)
-        .withColumn("cent_id",
-          graft.functions.CentAssign.argminCos(s, "embedding", "cs"))
-        .select(col("vec_id"), col("embedding"), col("cent_id"))
-      val probeCells = e.filter(col("vec_id") < NumProbes)
-        .withColumn("vn", sqrt(normSq(col("embedding"))))
-        .crossJoin(packed)
-        .withColumn("cell", explode(slice(array_sort(negCosMetrics), 1, NProbe)))
-        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
-          col("cell.cent_id").as("cent_id"))
+      val (assign, probeCells) = ivfAssignAndProbes(s, e)
       rankTopK(broadcast(probeCells)
         .join(assign, Seq("cent_id"))
         .filter(col("vec_id") =!= col("probe_id"))
@@ -1527,24 +1542,7 @@ object AnnOps {
       },
     ) { (s, dir) =>
       val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
-      val cents = e.filter(col("vec_id") < NumCells)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
-      val packed = broadcast(packCents(cents))
-      // Nearest-cell assignment and probe routing are pure per-row
-      // expression work against the packed broadcast centroids — the
-      // corpus never shuffles or sorts for them; assignment is the
-      // fused codegen'd argmax-cosine (see CentArgmin), probe routing
-      // the composed sorted-slice (probe sets are always tiny).
-      val assign = e.crossJoin(packed)
-        .withColumn("cent_id",
-          graft.functions.CentAssign.argminCos(s, "embedding", "cs"))
-        .select(col("vec_id"), col("embedding"), col("cent_id"))
-      val probeCells = e.filter(col("vec_id") < NumProbes)
-        .withColumn("vn", sqrt(normSq(col("embedding"))))
-        .crossJoin(packed)
-        .withColumn("cell", explode(slice(array_sort(negCosMetrics), 1, NProbe)))
-        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
-          col("cell.cent_id").as("cent_id"))
+      val (assign, probeCells) = ivfAssignAndProbes(s, e)
       rankTopK(broadcast(probeCells)
         .join(assign, Seq("cent_id"))
         .filter(col("vec_id") =!= col("probe_id"))

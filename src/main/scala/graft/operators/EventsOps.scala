@@ -631,14 +631,7 @@ object EventsOps {
           |  round(CAST(u2 AS DOUBLE) / (2.0 * np * nn), 6) AS auc
           |FROM u""".stripMargin),
     ) { (s, dir) =>
-      val ev = Tables.events(s, dir)
-      val anchor = ev.agg(max(unix_micros(col("ts"))).as("a_us"))
-      val per = ev.groupBy("user_id")
-        .agg(max(unix_micros(col("ts"))).as("last_us"),
-          count(lit(1)).as("f"))
-        .crossJoin(broadcast(anchor))
-        .select(col("user_id"), col("f"),
-          expr("(a_us - last_us) div 86400000000").as("r_days"))
+      val per = userRecencyFreq(s, dir)
       val med = per.agg(
         expr("percentile(CAST(r_days AS DOUBLE), 0.5)").as("m"))
       val lab = per.crossJoin(broadcast(med)).select(
@@ -856,13 +849,7 @@ object EventsOps {
           |SELECT bin, n, conf, acc, ece
           |FROM bins CROSS JOIN tot ORDER BY bin""".stripMargin),
     ) { (s, dir) =>
-      val ev = Tables.events(s, dir)
-      val anchor = ev.agg(max(unix_micros(col("ts"))).as("a_us"))
-      val per = ev.groupBy("user_id")
-        .agg(max(unix_micros(col("ts"))).as("last_us"), count(lit(1)).as("f"))
-        .crossJoin(broadcast(anchor))
-        .select(col("user_id"), col("f"),
-          expr("(a_us - last_us) div 86400000000").as("r_days"))
+      val per = userRecencyFreq(s, dir)
       val med = per.agg(expr("percentile(CAST(r_days AS DOUBLE), 0.5)").as("m"))
       val raw = per.select(col("r_days"),
         round(lit(0.1) * col("r_days") - lit(0.05) * col("f"), 6).as("x"))
@@ -2127,6 +2114,19 @@ object EventsOps {
         round((col("s") - col("lsum")).cast("double") / (col("n") - col("k")),
           6).as("mean_right"),
         col("f").as("f_stat"))
+  }
+
+  /** Per-user (r_days, f) churn features against the corpus max-ts
+    * anchor — shared by q_model_auc and q_calibration (one owner for
+    * the recency rule, the sessionsSqlCte precedent). */
+  private[graft] def userRecencyFreq(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val anchor = ev.agg(max(unix_micros(col("ts"))).as("a_us"))
+    ev.groupBy("user_id")
+      .agg(max(unix_micros(col("ts"))).as("last_us"), count(lit(1)).as("f"))
+      .crossJoin(broadcast(anchor))
+      .select(col("user_id"), col("f"),
+        expr("(a_us - last_us) div 86400000000").as("r_days"))
   }
 
   /** Kaplan-Meier curve over a (lt, censored) frame (q_survival_km
