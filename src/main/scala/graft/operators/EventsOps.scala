@@ -586,9 +586,12 @@ object EventsOps {
         "users; the AUC machinery is the content), score = pinned " +
         "linear model on (recency, frequency); AUC = P(score_pos > score_neg) + ½P(=). The " +
         "scalable formulation NEVER ranks users globally: users " +
-        "collapse to the DISTINCT-SCORE rollup (scores live on a " +
-        "6dp grid, so the rollup is grid-bounded — the q_skyline " +
-        "bounded-rollup-window pattern), the cumulative-negative " +
+        "collapse to the DISTINCT-SCORE rollup (the q_skyline " +
+        "bounded-rollup-window pattern; distinct scores ≤ distinct " +
+        "(r_days, f) pairs, and at 100 TB you quantize scores to a " +
+        "coarser grid or B equi-width bins FIRST — the explicit " +
+        "rank-resolution knob every distributed AUC ships), " +
+        "the cumulative-negative " +
         "window runs over that rollup only, and U folds in exact ×2 " +
         "BIGINT fixed point (U2 = Σ np_s·(2·cumneg_below + nn_s)), " +
         "so tie handling is exact and fold order can't drift the " +
@@ -887,7 +890,10 @@ object EventsOps {
         "twin of q_skew_diagnose's hot-key table (a Gini near 0.5+ " +
         "says per-user partitions WILL skew and the salting " +
         "machinery earns its keep). Scalably rank-free: users " +
-        "collapse to the DISTINCT-COUNT rollup (n, users-with-n); a " +
+        "collapse to the DISTINCT-COUNT rollup (n, users-with-n; " +
+        "worst case every count distinct — at 100 TB bucket counts " +
+        "to a log grid first, the standard Gini-from-histogram " +
+        "approximation bounded by bucket width); a " +
         "group spanning ranks [c+1, c+u] contributes n·(u·c + " +
         "u(u+1)/2) to the rank-weighted sum — ALL integer " +
         "arithmetic, the window runs over the bounded rollup only " +
