@@ -839,9 +839,10 @@ object EventsOps {
           |), bins AS (
           |  SELECT least(9, CAST(floor(p * 10) AS BIGINT)) AS bin,
           |    CAST(count(*) AS BIGINT) AS n,
-          |    round(CAST(sum(CAST(round(p * 1000000) AS BIGINT)) AS DOUBLE)
-          |      / 1000000.0 / count(*), 6) AS conf,
-          |    round(CAST(sum(churned) AS DOUBLE) / count(*), 6) AS acc
+          |    CAST((2 * sum(CAST(round(p * 1000000) AS BIGINT)) + count(*))
+          |      // (2 * count(*)) AS DOUBLE) / 1000000.0 AS conf,
+          |    CAST((2 * 1000000 * sum(churned) + count(*))
+          |      // (2 * count(*)) AS DOUBLE) / 1000000.0 AS acc
           |  FROM lab GROUP BY 1
           |), tot AS (
           |  SELECT round(CAST(sum(CAST(round(abs(acc - conf) * 1000000)
@@ -871,10 +872,13 @@ object EventsOps {
       val bins = lab
         .groupBy(least(lit(9), floor(col("p") * 10)).cast("long").as("bin"))
         .agg(count(lit(1)).as("n"),
-          round((sum(round(col("p") * 1000000, 0).cast("long")).cast("double")
-            / 1000000.0) / count(lit(1)), 6).as("conf"),
-          round(sum(col("churned")).cast("double") / count(lit(1)), 6)
-            .as("acc"))
+          // half-up nearest-integer of sum6/n in EXACT arithmetic:
+          // (2·sum6 + n) div (2n) — a double quotient landing a hair
+          // under an x.5 boundary rounds differently per engine
+          (expr("(2 * sum(CAST(round(p * 1000000) AS BIGINT)) + count(1)) div (2 * count(1))")
+            .cast("double") / 1000000.0).as("conf"),
+          (expr("(2 * 1000000 * sum(churned) + count(1)) div (2 * count(1))")
+            .cast("double") / 1000000.0).as("acc"))
         .localCheckpoint() // read twice: ECE fold + output rows
       val tot = bins.agg(
         round((sum(round(abs(col("acc") - col("conf")) * 1000000, 0)
@@ -1595,14 +1599,18 @@ object EventsOps {
         "so (the q_approx_distinct contract) both engines emit the " +
         "exact count while the sketch is driver-checked through two " +
         "deterministic flags the oracle asserts: the union estimate " +
-        "lands within 5% of exact, AND union-of-partials equals the " +
-        "single-pass sketch estimate exactly — the merge≡direct " +
-        "identity that makes the state table trustworthy",
+        "lands within 5% of exact, AND union-of-partials agrees with " +
+        "the single-pass sketch estimate within 1% — NOT exact " +
+        "equality, because a DataSketches union can finish in a " +
+        "different internal mode than a direct build (measured 1488 " +
+        "vs 1494 on 1500 true distinct at sf0.1); the 1% flag pins " +
+        "the practical merge≡direct equivalence that makes the " +
+        "state table trustworthy",
       Some(
         """SELECT event_type,
           |  count(DISTINCT user_id) AS n_users,
           |  CAST(1 AS BIGINT) AS within_5pct,
-          |  CAST(1 AS BIGINT) AS union_eq_direct
+          |  CAST(1 AS BIGINT) AS union_within_1pct
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
     ) { (s, dir) =>
       val ev = Tables.events(s, dir)
@@ -1623,8 +1631,9 @@ object EventsOps {
         .select(col("event_type"), col("n_users"),
           when(abs(col("approx") - col("n_users")).cast("double")
             / col("n_users") <= 0.05, 1L).otherwise(0L).as("within_5pct"),
-          when(col("approx") === col("direct_approx"), 1L).otherwise(0L)
-            .as("union_eq_direct"))
+          when(abs(col("approx") - col("direct_approx")).cast("double")
+            / col("direct_approx") <= 0.01, 1L).otherwise(0L)
+            .as("union_within_1pct"))
         .orderBy("event_type")
     },
 

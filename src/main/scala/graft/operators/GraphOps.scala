@@ -673,7 +673,10 @@ object GraphOps {
         "Degrees are one node-keyed agg; every moment (Σx, Σx², Σxy) " +
         "is an EXACT BIGINT sum over edge-keyed joins, so r is pure " +
         "arithmetic on exact integers with the two libm sqrts " +
-        "6dp-rounded — nothing to drift. Output: edges, nodes, r",
+        "6dp-rounded — nothing to drift; a degenerate regular graph " +
+        "(zero degree variance — the saturated sf0.1 clickstream IS " +
+        "one) reports NULL via an exact integer variance test. " +
+        "Output: edges, nodes, r",
       Some(
         s"""WITH $edgesSqlCte, und AS (
            |  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
@@ -698,13 +701,14 @@ object GraphOps {
            |)
            |SELECT m // 2 AS n_edges,
            |  (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
-           |  round((CAST(sxy AS DOUBLE) / m - (CAST(sx AS DOUBLE) / m)
-           |      * (CAST(sx AS DOUBLE) / m))
-           |    / (round(sqrt(CAST(sxx AS DOUBLE) / m
-           |        - (CAST(sx AS DOUBLE) / m) * (CAST(sx AS DOUBLE) / m)), 6)
-           |      * round(sqrt(CAST(sxx AS DOUBLE) / m
-           |        - (CAST(sx AS DOUBLE) / m) * (CAST(sx AS DOUBLE) / m)), 6)),
-           |    6) AS assortativity
+           |  CASE WHEN m * sxx = sx * sx THEN NULL
+           |    ELSE round((CAST(sxy AS DOUBLE) / m - (CAST(sx AS DOUBLE) / m)
+           |        * (CAST(sx AS DOUBLE) / m))
+           |      / (round(sqrt(CAST(sxx AS DOUBLE) / m
+           |          - (CAST(sx AS DOUBLE) / m) * (CAST(sx AS DOUBLE) / m)), 6)
+           |        * round(sqrt(CAST(sxx AS DOUBLE) / m
+           |          - (CAST(sx AS DOUBLE) / m) * (CAST(sx AS DOUBLE) / m)), 6)),
+           |      6) END AS assortativity
            |FROM mm""".stripMargin),
     ) { (s, dir) =>
       val und = transitions(s, dir)
@@ -728,8 +732,13 @@ object GraphOps {
       val sd = round(sqrt(col("sxx").cast("double") / col("m") - mu * mu), 6)
       mm.crossJoin(broadcast(nn))
         .select(expr("m div 2").as("n_edges"), col("n_nodes"),
-          round((col("sxy").cast("double") / col("m") - mu * mu) / (sd * sd), 6)
-            .as("assortativity"))
+          // degenerate regular graph (all degrees equal — the sf0.1
+          // complete graph): variance 0, r undefined -> NULL, tested
+          // as an EXACT integer identity so no float decides it
+          when(col("m") * col("sxx") === col("sx") * col("sx"),
+            lit(null).cast("double"))
+            .otherwise(round((col("sxy").cast("double") / col("m") - mu * mu)
+              / (sd * sd), 6)).as("assortativity"))
     },
 
     Q(
