@@ -657,6 +657,51 @@ object EventsOps {
     },
 
     Q(
+      "q_debounce",
+      "time-windowed event debounce: a (user, type) event is NOISE if " +
+        "the same key fired within the preceding 5 minutes — the " +
+        "telemetry dedup for double-clicks, retry storms and SDK " +
+        "re-sends, which exact dedup can't express (the repeats have " +
+        "distinct ids and timestamps) and which " +
+        "dropDuplicatesWithinWatermark handles on streams; this is " +
+        "its BATCH face over history. One (user,type)-keyed window " +
+        "pass (lag), the gap test an exact BIGINT µs comparison; " +
+        "the rollup is #types-bounded with kept-ratio as one 6dp " +
+        "division. Note the lag rule keeps a burst's FIRST event and " +
+        "re-admits the key once any 5-minute silence passes — the " +
+        "standard debounce, not a tumbling-window distinct",
+      Some(
+        """WITH g AS (
+          |  SELECT event_type,
+          |    epoch_us(CAST(ts AS TIMESTAMP))
+          |      - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+          |        PARTITION BY user_id, event_type
+          |        ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap_us
+          |  FROM events
+          |)
+          |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+          |  CAST(sum(CASE WHEN gap_us IS NULL OR gap_us >= 300000000
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          |  round(CAST(sum(CASE WHEN gap_us IS NULL OR gap_us >= 300000000
+          |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS kept_ratio
+          |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin),
+    ) { (s, dir) =>
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      val kept = when(col("gap_us").isNull
+        || col("gap_us") >= 300000000L, 1L).otherwise(0L)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(kept).as("n_kept"),
+          round(sum(kept).cast("double") / count(lit(1)), 6).as("kept_ratio"))
+        .orderBy("event_type")
+    },
+
+    Q(
       "q_bootstrap_ci",
       "Poisson-bootstrap 95% confidence interval for the mean event " +
         "value (B=32 replicas): each (event, replica) draws a " +

@@ -312,6 +312,17 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(r.getDouble(2).abs <= 1.0 + 1e-9)
   }
 
+  // ---- q_debounce ----
+
+  test("q_debounce keeps at least one event per key and never more than all") {
+    val rows = SparkEntry.queries("q_debounce")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
   // ---- q_bootstrap_ci ----
 
   test("q_bootstrap_ci: the interval brackets the point estimate tightly") {
