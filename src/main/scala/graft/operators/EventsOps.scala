@@ -35,6 +35,63 @@ object EventsOps {
     * (oracle-unrolled, 9dp-rounded per round). */
   private[graft] val MarkovSteps = 5
 
+  /** q_model_auc_binned: equi-width score bins B — the rank-resolution
+    * knob that keeps the cumulative window's input B-BOUNDED when the
+    * score domain is near-continuous (a 6dp linear score is
+    * near-injective over users, so the exact twin's distinct-score
+    * rollup approaches #users at web scale). 8 is deliberately far
+    * below sf0.001's distinct-score count so the correctness gate
+    * exercises real quantization, not a pass-through; production picks
+    * 1e3–1e5 (AUC error ≤ ½·same-bin pair mass — AucBinnedSpec pins
+    * the bound). Spliced into the oracle so both engines bin
+    * identically, in EXACT integer arithmetic on the ×1e6 score. */
+  private[graft] val AucBins = 8
+
+  /** q_gini_activity_binned: equi-width count bins — the same knob for
+    * the Gini rollup (distinct per-user event counts concentrate in
+    * practice but are unbounded in principle). Within-bin users are
+    * treated as equal (the grouped-Gini construction), which can only
+    * LOWER the coefficient — AucBinnedSpec pins that direction. */
+  private[graft] val GiniBins = 8
+
+  /** Shared churn-label chain for q_model_auc and its binned twin
+    * (anchor → per → med → lab) — splice under WITH; exposes
+    * lab(user_id, churned 0/1, score 6dp). */
+  private[graft] val churnLabSqlCte: String =
+    """anchor AS (
+      |  SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS a_us FROM events
+      |), per AS (
+      |  SELECT user_id,
+      |    (a_us - max(epoch_us(CAST(ts AS TIMESTAMP)))) // 86400000000
+      |      AS r_days,
+      |    count(*) AS f
+      |  FROM events CROSS JOIN anchor GROUP BY user_id, a_us
+      |), med AS (
+      |  SELECT quantile_cont(CAST(r_days AS DOUBLE), 0.5) AS m FROM per
+      |), lab AS (
+      |  SELECT user_id,
+      |    CASE WHEN r_days > m THEN 1 ELSE 0 END AS churned,
+      |    round(0.1 * r_days - 0.05 * f, 6) AS score
+      |  FROM per CROSS JOIN med
+      |)""".stripMargin
+
+  /** The Mann-Whitney U tail shared by the AUC twins — splice after a
+    * CTE `byk(k, np_s, nn_s)` (any ordered key domain: exact scores
+    * or bins). Exposes u(u2, np, nn, nk). */
+  private[graft] val aucTailSqlCte: String =
+    """cum AS (
+      |  SELECT k, np_s, nn_s,
+      |    CAST(coalesce(sum(nn_s) OVER (ORDER BY k
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS cumneg
+      |  FROM byk
+      |), u AS (
+      |  SELECT CAST(sum(np_s * (2 * cumneg + nn_s)) AS BIGINT) AS u2,
+      |    CAST(sum(np_s) AS BIGINT) AS np, CAST(sum(nn_s) AS BIGINT) AS nn,
+      |    CAST(count(*) AS BIGINT) AS nk
+      |  FROM cum
+      |)""".stripMargin
+
   /** DuckDB twin of [[hourlySeries]]: hr → bounds → spine →
     * series(t, x) CTEs; splice under WITH. */
   private[graft] val hourlySeriesSqlCte: String =
@@ -588,9 +645,9 @@ object EventsOps {
         "scalable formulation NEVER ranks users globally: users " +
         "collapse to the DISTINCT-SCORE rollup (the q_skyline " +
         "bounded-rollup-window pattern; distinct scores ≤ distinct " +
-        "(r_days, f) pairs, and at 100 TB you quantize scores to a " +
-        "coarser grid or B equi-width bins FIRST — the explicit " +
-        "rank-resolution knob every distributed AUC ships), " +
+        "(r_days, f) pairs — bounded HERE, near-#users at 100 TB, " +
+        "which is why q_model_auc_binned exists: the SAME tail over " +
+        "a B-bin quantization, the twin a web-scale run points at), " +
         "the cumulative-negative " +
         "window runs over that rollup only, and U folds in exact ×2 " +
         "BIGINT fixed point (U2 = Σ np_s·(2·cumneg_below + nn_s)), " +
@@ -599,61 +656,77 @@ object EventsOps {
         "score by construction — AUC far above 0.5 is the expected " +
         "sanity reading, spec-pinned",
       Some(
-        """WITH anchor AS (
-          |  SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS a_us FROM events
-          |), per AS (
-          |  SELECT user_id,
-          |    (a_us - max(epoch_us(CAST(ts AS TIMESTAMP)))) // 86400000000
-          |      AS r_days,
-          |    count(*) AS f
-          |  FROM events CROSS JOIN anchor GROUP BY user_id, a_us
-          |), med AS (
-          |  SELECT quantile_cont(CAST(r_days AS DOUBLE), 0.5) AS m FROM per
-          |), lab AS (
-          |  SELECT user_id,
-          |    CASE WHEN r_days > m THEN 1 ELSE 0 END AS churned,
-          |    round(0.1 * r_days - 0.05 * f, 6) AS score
-          |  FROM per CROSS JOIN med
-          |), byscore AS (
-          |  SELECT score,
-          |    CAST(sum(churned) AS BIGINT) AS np_s,
-          |    CAST(sum(1 - churned) AS BIGINT) AS nn_s
-          |  FROM lab GROUP BY score
-          |), cum AS (
-          |  SELECT score, np_s, nn_s,
-          |    CAST(coalesce(sum(nn_s) OVER (ORDER BY score
-          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-          |      AS BIGINT) AS cumneg
-          |  FROM byscore
-          |), u AS (
-          |  SELECT CAST(sum(np_s * (2 * cumneg + nn_s)) AS BIGINT) AS u2,
-          |    CAST(sum(np_s) AS BIGINT) AS np, CAST(sum(nn_s) AS BIGINT) AS nn
-          |  FROM cum
-          |)
-          |SELECT np + nn AS n_users, np AS n_pos, nn AS n_neg,
-          |  round(CAST(u2 AS DOUBLE) / (2.0 * np * nn), 6) AS auc
-          |FROM u""".stripMargin),
+        s"""WITH $churnLabSqlCte, byk AS (
+           |  SELECT score AS k,
+           |    CAST(sum(churned) AS BIGINT) AS np_s,
+           |    CAST(sum(1 - churned) AS BIGINT) AS nn_s
+           |  FROM lab GROUP BY score
+           |), $aucTailSqlCte
+           |SELECT np + nn AS n_users, np AS n_pos, nn AS n_neg,
+           |  round(CAST(u2 AS DOUBLE) / (2.0 * np * nn), 6) AS auc
+           |FROM u""".stripMargin),
     ) { (s, dir) =>
-      val per = userRecencyFreq(s, dir)
-      val med = per.agg(
-        expr("percentile(CAST(r_days AS DOUBLE), 0.5)").as("m"))
-      val lab = per.crossJoin(broadcast(med)).select(
-        when(col("r_days") > col("m"), 1L).otherwise(0L).as("churned"),
-        round(lit(0.1) * col("r_days") - lit(0.05) * col("f"), 6).as("score"))
-      val byscore = lab.groupBy("score")
+      val byk = churnScored(s, dir)
+        .groupBy(col("score").as("k"))
         .agg(sum(col("churned")).as("np_s"),
           sum(lit(1L) - col("churned")).as("nn_s"))
-      val wc = Window.orderBy("score")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val cum = byscore
-        .withColumn("cumneg", coalesce(sum(col("nn_s")).over(wc), lit(0L)))
-      cum.agg(sum(col("np_s") * (lit(2L) * col("cumneg") + col("nn_s")))
-        .as("u2"),
-        sum(col("np_s")).as("np"), sum(col("nn_s")).as("nn"))
+      aucTail(byk)
         .select((col("np") + col("nn")).as("n_users"),
           col("np").as("n_pos"), col("nn").as("n_neg"),
           round(col("u2").cast("double") / (lit(2.0) * col("np") * col("nn")),
             6).as("auc"))
+    },
+
+    Q(
+      "q_model_auc_binned",
+      s"B-BINNED ROC-AUC ($AucBins equi-width score bins) — " +
+        "q_model_auc's rank-resolution knob made real code: the same " +
+        "churn labels and Mann-Whitney U tail, but users first " +
+        "quantize onto a B-bin grid over [min score, max score], so " +
+        "the SinglePartition cumulative window's input is PROVABLY " +
+        "≤ B rows no matter how continuous the score domain is — the " +
+        "standard distributed-AUC construction (the exact twin's " +
+        "distinct-score rollup is near-#users when scores are " +
+        "continuous). Binning is EXACT BIGINT arithmetic on the ×1e6 " +
+        "integer score (both engines splice the same clause — no " +
+        "float bin edge can drift), the bounds agg is one broadcast " +
+        "1-row frame, and |AUC_B − AUC_exact| ≤ ½·(same-bin pos·neg " +
+        "pair mass)/(np·nn) — the bin-width bound AucBinnedSpec " +
+        "verifies against the exact twin, alongside the ≤ B plan pin. " +
+        "n_bins ≤ B rides out as the occupancy diagnostic",
+      Some(
+        s"""WITH $churnLabSqlCte, si AS (
+           |  SELECT churned, CAST(round(score * 1000000, 0) AS BIGINT) AS si
+           |  FROM lab
+           |), bounds AS (
+           |  SELECT min(si) AS smin, max(si) AS smax FROM si
+           |), byk AS (
+           |  SELECT CASE WHEN smax = smin THEN 0
+           |      ELSE least(${AucBins - 1}, ((si - smin) * $AucBins) // (smax - smin))
+           |    END AS k,
+           |    CAST(sum(churned) AS BIGINT) AS np_s,
+           |    CAST(sum(1 - churned) AS BIGINT) AS nn_s
+           |  FROM si CROSS JOIN bounds GROUP BY 1
+           |), $aucTailSqlCte
+           |SELECT np + nn AS n_users, np AS n_pos, nn AS n_neg,
+           |  nk AS n_bins,
+           |  round(CAST(u2 AS DOUBLE) / (2.0 * np * nn), 6) AS auc_binned
+           |FROM u""".stripMargin),
+    ) { (s, dir) =>
+      val si = churnScored(s, dir).select(col("churned"),
+        round(col("score") * lit(1000000), 0).cast("long").as("si"))
+      val bounds = si.agg(min(col("si")).as("smin"), max(col("si")).as("smax"))
+      val byk = si.crossJoin(broadcast(bounds))
+        .select(col("churned"), binOf(AucBins).as("k"))
+        .groupBy("k")
+        .agg(sum(col("churned")).as("np_s"),
+          sum(lit(1L) - col("churned")).as("nn_s"))
+      aucTail(byk)
+        .select((col("np") + col("nn")).as("n_users"),
+          col("np").as("n_pos"), col("nn").as("n_neg"),
+          col("nk").as("n_bins"),
+          round(col("u2").cast("double") / (lit(2.0) * col("np") * col("nn")),
+            6).as("auc_binned"))
     },
 
     Q(
@@ -940,9 +1013,9 @@ object EventsOps {
         "says per-user partitions WILL skew and the salting " +
         "machinery earns its keep). Scalably rank-free: users " +
         "collapse to the DISTINCT-COUNT rollup (n, users-with-n; " +
-        "worst case every count distinct — at 100 TB bucket counts " +
-        "to a log grid first, the standard Gini-from-histogram " +
-        "approximation bounded by bucket width); a " +
+        "worst case every count distinct — q_gini_activity_binned is " +
+        "the B-bin twin whose rollup is bounded by construction, the " +
+        "one a 100 TB run points at); a " +
         "group spanning ranks [c+1, c+u] contributes n·(u·c + " +
         "u(u+1)/2) to the rank-weighted sum — ALL integer " +
         "arithmetic, the window runs over the bounded rollup only " +
@@ -1003,6 +1076,74 @@ object EventsOps {
             - (col("nu") + lit(1.0)) / col("nu"), 6).as("gini"),
           round(col("top_events").cast("double") / col("t"), 6)
             .as("top_decile_share"))
+    },
+
+    Q(
+      "q_gini_activity_binned",
+      s"B-BINNED Gini ($GiniBins equi-width count bins) — " +
+        "q_gini_activity's resolution knob made real code: per-user " +
+        "counts first quantize onto a B-bin grid over [1, max count] " +
+        "in EXACT integer arithmetic (bin = (n−1)·B div nmax, " +
+        "clamped), so the cumulative-rank window's input is PROVABLY " +
+        "≤ B rows however many distinct counts exist. Each bin's " +
+        "users are treated as equal at the bin's mean (the standard " +
+        "grouped-Gini construction: a bin with u users, t events and " +
+        "c users below contributes t·c + t·(u+1)/2 to the rank sum — " +
+        "carried ×2 as BIGINT so half-integers stay exact), which is " +
+        "a mean-preserving contraction: G_binned ≤ G_exact ALWAYS, " +
+        "the direction AucBinnedSpec pins alongside the ≤ B bound. " +
+        "One corpus scan to per-user counts, one broadcast 1-row max, " +
+        "one B-bounded rollup — nothing in the plan grows with the " +
+        "count domain",
+      Some(
+        s"""WITH per AS (
+           |  SELECT user_id, CAST(count(*) AS BIGINT) AS n
+           |  FROM events GROUP BY user_id
+           |), mx AS (
+           |  SELECT max(n) AS nmax FROM per
+           |), binned AS (
+           |  SELECT least(${GiniBins - 1}, ((n - 1) * $GiniBins) // nmax) AS bin, n
+           |  FROM per CROSS JOIN mx
+           |), g AS (
+           |  SELECT bin, CAST(count(*) AS BIGINT) AS u,
+           |    CAST(sum(n) AS BIGINT) AS t
+           |  FROM binned GROUP BY bin
+           |), cum AS (
+           |  SELECT bin, u, t,
+           |    CAST(coalesce(sum(u) OVER (ORDER BY bin
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS BIGINT) AS c
+           |  FROM g
+           |), st AS (
+           |  SELECT CAST(sum(u) AS BIGINT) AS nu, CAST(sum(t) AS BIGINT) AS tt,
+           |    CAST(sum(2 * t * c + t * (u + 1)) AS BIGINT) AS s2,
+           |    CAST(count(*) AS BIGINT) AS nb
+           |  FROM cum
+           |)
+           |SELECT nu AS n_users, tt AS total_events, nb AS n_bins,
+           |  round(CAST(s2 AS DOUBLE) / (CAST(nu AS DOUBLE) * tt)
+           |    - (nu + 1.0) / nu, 6) AS gini_binned
+           |FROM st""".stripMargin),
+    ) { (s, dir) =>
+      val per = Tables.events(s, dir)
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+      val mx = per.agg(max(col("n")).as("nmax"))
+      val g = per.crossJoin(broadcast(mx))
+        .select(least(lit(GiniBins - 1L),
+          expr(s"((n - 1) * $GiniBins) div nmax")).as("bin"), col("n"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("u"), sum(col("n")).as("t"))
+      val wc = Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      g.withColumn("c", coalesce(sum(col("u")).over(wc), lit(0L)))
+        .agg(sum(col("u")).as("nu"), sum(col("t")).as("tt"),
+          sum(lit(2L) * col("t") * col("c") + col("t") * (col("u") + lit(1L)))
+            .as("s2"),
+          count(lit(1)).as("nb"))
+        .select(col("nu").as("n_users"), col("tt").as("total_events"),
+          col("nb").as("n_bins"),
+          round(col("s2").cast("double") / (col("nu").cast("double") * col("tt"))
+            - (col("nu") + lit(1.0)) / col("nu"), 6).as("gini_binned"))
     },
 
     Q(
@@ -2188,6 +2329,44 @@ object EventsOps {
       .select(col("user_id"), col("f"),
         expr("(a_us - last_us) div 86400000000").as("r_days"))
   }
+
+  /** The labeled churn-score frame shared by the AUC twins: one row
+    * per user, (churned 0/1, score 6dp) — the Spark twin of
+    * [[churnLabSqlCte]]'s `lab`. */
+  private[graft] def churnScored(s: SparkSession, dir: String): DataFrame = {
+    val per = userRecencyFreq(s, dir)
+    val med = per.agg(
+      expr("percentile(CAST(r_days AS DOUBLE), 0.5)").as("m"))
+    per.crossJoin(broadcast(med)).select(
+      when(col("r_days") > col("m"), 1L).otherwise(0L).as("churned"),
+      round(lit(0.1) * col("r_days") - lit(0.05) * col("f"), 6).as("score"))
+  }
+
+  /** Mann-Whitney U fold over a rollup (k, np_s, nn_s): the
+    * cumulative-negative window (SinglePartition, but its input is
+    * bounded by the CALLER's key domain — exact scores for the exact
+    * twin, ≤ B bins for the binned one), then the exact ×2 BIGINT U
+    * aggregate. Returns one row (u2, np, nn, nk). */
+  private def aucTail(byk: DataFrame): DataFrame = {
+    val wc = Window.orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byk
+      .withColumn("cumneg", coalesce(sum(col("nn_s")).over(wc), lit(0L)))
+      .agg(sum(col("np_s") * (lit(2L) * col("cumneg") + col("nn_s")))
+        .as("u2"),
+        sum(col("np_s")).as("np"), sum(col("nn_s")).as("nn"),
+        count(lit(1)).as("nk"))
+  }
+
+  /** B-bin equi-width quantization of the ×1e6-integer score domain,
+    * shared by q_model_auc_binned's engine and (via the spliced SQL
+    * twin) its oracle: EXACT BIGINT arithmetic end to end — no
+    * float boundary can drift a bin edge between engines. A
+    * degenerate one-point domain collapses to bin 0. */
+  private[graft] def binOf(bins: Int): Column =
+    when(col("smax") === col("smin"), lit(0L))
+      .otherwise(least(lit(bins - 1L),
+        expr(s"((si - smin) * $bins) div (smax - smin)")))
 
   /** Kaplan-Meier curve over a (lt, censored) frame (q_survival_km
     * + the planted-cohort spec): bounded (lifetime, censored) rollup,

@@ -774,6 +774,24 @@ class PlanBudgetSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"an ntile-style window leaked in, plan:\n$p")
   }
 
+  test("binned AUC/Gini twins rank-window over a bin-keyed rollup, bounds broadcast") {
+    // The knob's contract: the SinglePartition cumulative window's
+    // input is the BIN rollup (≤ B rows by construction), never the
+    // user-grain frame — and the min/max bounds frame reaches the
+    // scan as a broadcast, not a shuffle.
+    val pa = plan("q_model_auc_binned")
+    assert(pa.contains("Window"), s"plan:\n$pa")
+    assert(pa.contains("HashAggregate(keys=[k#"),
+      s"window input must be the bin rollup, plan:\n$pa")
+    assert(pa.contains("BroadcastNestedLoopJoin"),
+      s"score bounds must broadcast, plan:\n$pa")
+    val pg = plan("q_gini_activity_binned")
+    assert(pg.contains("HashAggregate(keys=[bin#"),
+      s"window input must be the bin rollup, plan:\n$pg")
+    assert(pg.contains("BroadcastNestedLoopJoin"),
+      s"nmax must broadcast, plan:\n$pg")
+  }
+
   test("q1_agg aggregates inside whole-stage codegen") {
     // The plain plan string hides codegen stage boundaries; the
     // codegen explain mode lists every WholeStageCodegen subtree.
