@@ -73,6 +73,34 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(syms("aaa") == List("aa", "a"))
   }
 
+  test("fully-merging corpus: dry rounds keep the vocab (the oracle's LEFT JOIN twin)") {
+    import spark.implicits._
+    // 'aa' (×2) and 'bb' fully merge after 2 rounds; rounds 3..8 are
+    // dry. The engine early-stops and must keep the final vocabulary;
+    // the oracle's v_i CTE takes b_i by LEFT JOIN ON TRUE with
+    // coalesce('') replace args precisely so an empty merge round
+    // passes v_i through unchanged — the old CROSS JOIN form would
+    // have emptied v_i (and q_bpe_encode's whole vocabulary) here.
+    // Verified live against DuckDB on this exact corpus: train yields
+    // [(1,a,a,2),(2,b,b,1)] and encode keeps aa→[aa], bb→[bb].
+    val docs = Seq((0L, "aa bb aa")).toDF("doc_id", "text")
+    val (merges, vocab) = TextOps.trainBpe(spark, docs, 8)
+    assert(merges == refBpe(Map("aa" -> 2L, "bb" -> 1L), 8))
+    assert(merges == Seq(("a", "a", 2L), ("b", "b", 1L)))
+    assert(merges.length < 8, "corpus must fully merge before round k")
+    val syms = vocab.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(syms == Map("aa" -> List("aa"), "bb" -> List("bb")),
+      s"dry rounds must not empty the vocab: $syms")
+    // Static pin on the oracle's shape: the dry-round pass-through
+    // depends on the LEFT JOIN form staying put.
+    for (q <- Seq("q_bpe_train", "q_bpe_encode")) {
+      val sql = SparkEntry.oracleSql(q)
+      assert(sql.contains("LEFT JOIN b"), s"$q oracle lost the LEFT JOIN")
+      assert(!sql.contains("CROSS JOIN b"), s"$q oracle regressed to CROSS JOIN")
+    }
+  }
+
   test("first merge equals q_bpe_pairs' rank-1 statistic on real data") {
     val sf = "/root/testdata/sf0.001"
     val top = SparkEntry.queries("q_bpe_pairs")(spark, sf)
