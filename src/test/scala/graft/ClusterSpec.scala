@@ -46,6 +46,33 @@ class ClusterSpec extends AnyFunSuite {
     }
   }
 
+  test("restart interleaving: the old hook's delete cannot orphan the new marker") {
+    withMarkerDir {
+      val oldPid = 4194304L * 1024 // the process being restarted
+      val newPid = ProcessHandle.current().pid()
+      // Old daemon wrote its marker and got SIGTERM'd...
+      Cluster.writeMarker(Cluster.Marker(oldPid, "app-old", "local[4]", 1L))
+      // ...and the NEW start's writeMarker lands BEFORE the old hook
+      // runs (slow signal delivery / long spark.stop — the restart
+      // race the ownership check exists for; cross-process the marker
+      // lock serializes exactly this interleaving).
+      Cluster.writeMarker(Cluster.Marker(newPid, "app-new", "local[4]", 2L))
+      // The old hook fires last: it must see the marker is no longer
+      // its own and leave the new cluster visible to status/stop.
+      Cluster.deleteMarkerIfOwnedBy(oldPid)
+      assert(Cluster.readMarker().exists(_.appId == "app-new"),
+        "old hook must not orphan the new cluster's marker")
+      assert(Cluster.statusLines() == Seq("manager running", "workers running"))
+      // stop()'s stale-cleanup path must equally refuse: the marker
+      // names a LIVE pid (ours), so nothing may be deleted.
+      assert(!Cluster.stop())
+      assert(Cluster.readMarker().exists(_.appId == "app-new"))
+      // When the marker IS its own again, the hook removes it.
+      Cluster.deleteMarkerIfOwnedBy(newPid)
+      assert(Cluster.readMarker().isEmpty)
+    }
+  }
+
   test("stop never destroys the calling process itself") {
     withMarkerDir {
       Cluster.writeMarker(Cluster.Marker(
