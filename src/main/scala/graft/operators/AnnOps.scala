@@ -307,6 +307,15 @@ object AnnOps {
   /** q_kmeanspp_init: seeds picked (one sequential round each). */
   private[graft] val KppSeeds = 4
 
+  /** q_kmeans_parallel_init (k-means‖, Bahmani et al. 2012):
+    * oversampling rounds R (theory says O(log n); fixed so the oracle
+    * can unroll), per-point admission factor ℓ (expected ~ℓ picks per
+    * round), and the final center count k the weighted candidate set
+    * reduces to. */
+  private[graft] val KbarRounds = 3
+  private[graft] val KbarL = 3
+  private[graft] val KbarK = 4
+
   /** q_ann_recall_curve: the nprobe sweep values (≤ NProbe, so the
     * candidate stream is generated once at the widest setting and
     * each sweep point filters by cell rank). */
@@ -344,6 +353,83 @@ object AnnOps {
          |), c$i AS (SELECT * FROM c${i - 1} UNION ALL SELECT * FROM s$i)""".stripMargin
     }
     (head +: rounds).mkString(",\n")
+  }
+
+  /** DuckDB twin of the q_kmeans_parallel_init loop, fully unrolled:
+    * seed c0 (the kpp max-key uniform pick), per oversampling round
+    * d$i (exact ×1e6 BIGINT min-D² to the candidate set) / p$i (φ =
+    * its corpus sum) / s$i (the Bernoulli admissions: keep x iff
+    * m·φ ≤ 2²⁰·ℓ·d², compared in HUGEINT so the test is EXACT at any
+    * magnitude — the Spark side mirrors it in DECIMAL(38,0)) / c$i;
+    * then dw/w (nearest-candidate weights), cand, and the greedy
+    * weighted reduction gd$i/g$i/gc$i picking argmax w·D² (6dp,
+    * ties by vec_id) k−1 times. */
+  private def kbarSql: String = {
+    def m(r: Int, v: String): String =
+      s"(${graft.functions.Portable.md5Hash60Sql(s"CAST($v AS VARCHAR) || '#b$r'")} % 1048576) + 1"
+    val head =
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, ${normSqSql("embedding")} AS vn2
+         |  FROM embeddings
+         |), c0 AS (
+         |  SELECT CAST(0 AS BIGINT) AS r, vec_id, embedding FROM e
+         |  ORDER BY round(1000.0 * ln(
+         |    (CAST(${graft.functions.Portable.md5Hash60Sql("CAST(vec_id AS VARCHAR)")} % 1048576 AS DOUBLE) + 1.0)
+         |      / 1048576.0), 6) DESC, vec_id LIMIT 1
+         |)""".stripMargin
+    val rounds = (1 to KbarRounds).map { i =>
+      s"""d$i AS (
+         |  SELECT e.vec_id,
+         |    CAST(round(min(round(e.vn2 - 2 * ${dotColSql("e.embedding", "c.embedding")}
+         |      + ${normSqSql("c.embedding")}, 6)) * 1000000, 0) AS BIGINT) AS di
+         |  FROM e CROSS JOIN c${i - 1} c GROUP BY e.vec_id
+         |), p$i AS (
+         |  SELECT CAST(sum(di) AS BIGINT) AS phi FROM d$i
+         |), s$i AS (
+         |  SELECT CAST($i AS BIGINT) AS r, d.vec_id, e.embedding
+         |  FROM d$i d CROSS JOIN p$i JOIN e ON e.vec_id = d.vec_id
+         |  WHERE CAST(${m(i, "d.vec_id")} AS HUGEINT) * phi
+         |    <= ${1048576L * KbarL} * CAST(d.di AS HUGEINT)
+         |), c$i AS (SELECT * FROM c${i - 1} UNION ALL SELECT * FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    val tail =
+      s"""dw AS (
+         |  SELECT e.vec_id, c.vec_id AS cand_id,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      round(e.vn2 - 2 * ${dotColSql("e.embedding", "c.embedding")}
+         |        + ${normSqSql("c.embedding")}, 6), c.vec_id) AS rn
+         |  FROM e CROSS JOIN c$KbarRounds c
+         |), w AS (
+         |  SELECT cand_id, CAST(count(*) AS BIGINT) AS w
+         |  FROM dw WHERE rn = 1 GROUP BY cand_id
+         |), cand AS (
+         |  SELECT c.r, c.vec_id, coalesce(w.w, 0) AS w, c.embedding
+         |  FROM c$KbarRounds c LEFT JOIN w ON w.cand_id = c.vec_id
+         |), gc0 AS (
+         |  SELECT CAST(0 AS BIGINT) AS center_ord, vec_id, embedding FROM cand
+         |  ORDER BY w DESC, vec_id LIMIT 1
+         |)""".stripMargin
+    val greedy = (1 until KbarK).map { i =>
+      s"""gd$i AS (
+         |  SELECT a.vec_id, a.w,
+         |    min(round(${normSqSql("a.embedding")}
+         |      - 2 * ${dotColSql("a.embedding", "g.embedding")}
+         |      + ${normSqSql("g.embedding")}, 6)) AS d2
+         |  FROM cand a CROSS JOIN gc${i - 1} g GROUP BY a.vec_id, a.w
+         |), g$i AS (
+         |  SELECT CAST($i AS BIGINT) AS center_ord, d.vec_id, c.embedding
+         |  FROM gd$i d JOIN cand c ON c.vec_id = d.vec_id
+         |  WHERE d.d2 > 0
+         |  ORDER BY round(d.w * d.d2, 6) DESC, d.vec_id LIMIT 1
+         |), gc$i AS (SELECT * FROM gc${i - 1} UNION ALL SELECT * FROM g$i)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$rounds,
+       |$tail,
+       |$greedy
+       |SELECT c.vec_id, c.r AS round_added, c.w AS weight, g.center_ord
+       |FROM cand c LEFT JOIN gc${KbarK - 1} g ON g.vec_id = c.vec_id
+       |ORDER BY c.vec_id""".stripMargin
   }
 
   /** Test/train boundary for q_embed_decontaminate's corpus split:
@@ -3266,8 +3352,8 @@ object AnnOps {
         "and are excluded (weight 0). Keys are 6dp-rounded at the " +
         "libm ln boundary, ties by vec_id. Sequential rounds are " +
         "inherent to k-means++; at 100 TB you run k-means|| " +
-        "oversampling (Bahmani et al.) to cut rounds to O(log k) — " +
-        "the per-round machinery here is exactly its building block",
+        "oversampling — q_kmeans_parallel_init IS that loop, built " +
+        "on exactly this per-round machinery",
       Some(
         s"""WITH ${kppSqlCte(KppSeeds)}
            |SELECT seed_ord, vec_id, d2
@@ -3300,6 +3386,99 @@ object AnnOps {
       }
       seeds.select(col("seed_ord"), col("vec_id"), col("d2"))
         .orderBy("seed_ord")
+    },
+
+    Q(
+      "q_kmeans_parallel_init",
+      s"k-means‖ oversampled initialization (Bahmani et al. 2012) — " +
+        s"the ACTUALLY-SCALABLE init whose building block " +
+        s"q_kmeanspp_init proves: instead of k sequential D²-picks, " +
+        s"$KbarRounds oversampling rounds each admit EVERY point " +
+        s"independently with probability min(1, ℓ·D²/φ) (ℓ=$KbarL, " +
+        s"φ = the current total cost), so ~ℓ candidates join per " +
+        s"round and O(log n) rounds replace k sequential barriers. " +
+        "Each round is ONE corpus scan: D² via the zero-shuffle " +
+        "broadcast-argmin against the packed candidate set, φ a " +
+        "broadcast 1-row agg, and the Bernoulli test EXACT integer " +
+        "arithmetic end to end — u and D² scale to BIGINTs and " +
+        "m·φ ≤ 2²⁰·ℓ·d² compares in DECIMAL(38,0)/HUGEINT, so no " +
+        "float boundary can drift an admission between engines (and " +
+        "the admitted SET is reproducible at any cluster size — the " +
+        "q_weighted_sample contract). Candidates then get weights = " +
+        "|nearest-assigned points| in one more broadcast-argmin scan, " +
+        s"and the O(ℓR)-bounded weighted set reduces to k=$KbarK " +
+        "centers by greedy weighted D² (argmax w·D², ties by vec_id; " +
+        "the deterministic variant of the weighted re-cluster — " +
+        "candidate-bounded, k−1 TakeOrdered(1) heaps). Zero driver " +
+        "collects anywhere. Output: every candidate with its " +
+        "admission round, weight, and center ordinal (null if not " +
+        "chosen)",
+      Some(kbarSql),
+    ) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("vn2", normSq(col("embedding")))
+      def mCol(r: Int) =
+        pmod(Portable.md5Hash60(
+          concat(col("vec_id").cast("string"), lit(s"#b$r"))),
+          lit(1048576L)) + lit(1L)
+      val u0 = (pmod(Portable.md5Hash60(col("vec_id").cast("string")),
+        lit(1048576L)).cast("double") + lit(1.0)) / lit(1048576.0)
+      var cand = e
+        .select(col("vec_id"), col("embedding"),
+          round(lit(1000.0) * log(u0), 6).as("key"))
+        .orderBy(col("key").desc, col("vec_id")).limit(1)
+        .select(lit(0L).as("r"), col("vec_id"), col("embedding"))
+        .localCheckpoint()
+      for (i <- 1 to KbarRounds) {
+        val packed = broadcast(packCents(cand
+          .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))))
+        val d = e.crossJoin(packed)
+          .withColumn("di",
+            round(array_min(centMetrics).getField("m") * lit(1000000), 0)
+              .cast("long"))
+          .select(col("vec_id"), col("embedding"), col("di"))
+          .localCheckpoint() // read twice: phi + the admission filter
+        val phi = d.agg(sum(col("di")).as("phi"))
+        val picked = d.crossJoin(broadcast(phi))
+          .filter(mCol(i).cast("decimal(38,0)") * col("phi").cast("decimal(38,0)")
+            <= lit(1048576L * KbarL).cast("decimal(38,0)")
+              * col("di").cast("decimal(38,0)"))
+          .select(lit(i.toLong).as("r"), col("vec_id"), col("embedding"))
+        cand = cand.unionByName(picked).localCheckpoint()
+      }
+      val packedAll = broadcast(packCents(cand
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))))
+      val w = e.crossJoin(packedAll)
+        .select(array_min(centMetrics).getField("cent_id").as("cand_id"))
+        .groupBy("cand_id").agg(count(lit(1)).as("w"))
+      val cands = cand.join(
+        w.withColumnRenamed("cand_id", "vec_id"), Seq("vec_id"), "left")
+        .select(col("r"), col("vec_id"),
+          coalesce(col("w"), lit(0L)).as("w"), col("embedding"))
+        .withColumn("vn2", normSq(col("embedding")))
+        .localCheckpoint()
+      var centers = cands.orderBy(col("w").desc, col("vec_id")).limit(1)
+        .select(lit(0L).as("center_ord"), col("vec_id"), col("embedding"))
+        .localCheckpoint()
+      for (i <- 1 until KbarK) {
+        val packed = broadcast(packCents(centers
+          .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))))
+        val next = cands.crossJoin(packed)
+          .withColumn("d2", array_min(centMetrics).getField("m"))
+          .filter(col("d2") > 0)
+          .orderBy(round(col("w") * col("d2"), 6).desc, col("vec_id"))
+          .limit(1)
+          .select(lit(i.toLong).as("center_ord"), col("vec_id"),
+            col("embedding"))
+        centers = centers.unionByName(next).localCheckpoint()
+      }
+      cands
+        .join(centers.select(col("vec_id"), col("center_ord")),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"), col("r").as("round_added"),
+          col("w").as("weight"), col("center_ord"))
+        .orderBy("vec_id")
     },
   )
 
