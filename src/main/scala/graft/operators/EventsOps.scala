@@ -54,6 +54,25 @@ object EventsOps {
     * LOWER the coefficient — AucBinnedSpec pins that direction. */
   private[graft] val GiniBins = 8
 
+  /** Shared oracle for q_debounce AND q_stream_debounce — the
+    * batch/stream twins must agree byte-for-byte, so they share one
+    * SQL (the hashEmbedSql precedent). */
+  private[graft] val debounceSql: String =
+    """WITH g AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP))
+      |      - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+      |        PARTITION BY user_id, event_type
+      |        ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap_us
+      |  FROM events
+      |)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CASE WHEN gap_us IS NULL OR gap_us >= 300000000
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  round(CAST(sum(CASE WHEN gap_us IS NULL OR gap_us >= 300000000
+      |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS kept_ratio
+      |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Shared churn-label chain for q_model_auc and its binned twin
     * (anchor → per → med → lab) — splice under WITH; exposes
     * lab(user_id, churned 0/1, score 6dp). */
@@ -742,22 +761,10 @@ object EventsOps {
         "the rollup is #types-bounded with kept-ratio as one 6dp " +
         "division. Note the lag rule keeps a burst's FIRST event and " +
         "re-admits the key once any 5-minute silence passes — the " +
-        "standard debounce, not a tumbling-window distinct",
-      Some(
-        """WITH g AS (
-          |  SELECT event_type,
-          |    epoch_us(CAST(ts AS TIMESTAMP))
-          |      - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
-          |        PARTITION BY user_id, event_type
-          |        ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap_us
-          |  FROM events
-          |)
-          |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
-          |  CAST(sum(CASE WHEN gap_us IS NULL OR gap_us >= 300000000
-          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-          |  round(CAST(sum(CASE WHEN gap_us IS NULL OR gap_us >= 300000000
-          |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS kept_ratio
-          |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin),
+        "standard debounce, not a tumbling-window distinct; " +
+        "q_stream_debounce is the stateful streaming face, sharing " +
+        "this oracle verbatim",
+      Some(debounceSql),
     ) { (s, dir) =>
       val w = Window.partitionBy("user_id", "event_type")
         .orderBy(col("ts"), col("event_id"))

@@ -19,6 +19,16 @@ case class SessState(start: Long, last: Long, n: Long, sumValue: Double, firstEv
 case class SessionOut(user_id: Long, session_start: Timestamp, session_end: Timestamp,
     n_events: Long, sum_value: Double, first_event: Long)
 
+/** Typed row for the stateful debouncer. */
+case class DebEvent(ts: Timestamp, user_id: Long, event_type: String, event_id: Long)
+
+/** Per-(user,type) debounce state: the last event's epoch-µs — kept OR
+  * dropped, because the lag rule gaps against the previous EVENT. */
+case class DebState(lastUs: Long)
+
+/** A kept (non-noise) event as emitted downstream. */
+case class DebOut(user_id: Long, event_type: String, event_id: Long)
+
 /** Typed row for the stateful transition extractor. */
 case class TransEvent(ts: Timestamp, user_id: Long, event_type: String, event_id: Long)
 
@@ -274,6 +284,68 @@ object EventStream {
             state.getCurrentWatermarkMs() + 1))
       }
       closed.iterator
+    }
+  }
+
+  private val DebounceGapUs: Long = 5L * 60 * 1000 * 1000
+
+  /** Stateful 5-minute DEBOUNCE — the streaming face of q_debounce
+    * with EXACTLY its lag-rule semantics: an event is noise iff the
+    * same (user, type) key fired within the preceding 5 minutes,
+    * gapping against the previous EVENT (kept or dropped), so a storm
+    * stays suppressed until a true 5-minute silence re-admits the key.
+    *
+    * Deliberately NOT dropDuplicatesWithinWatermark — the semantic
+    * seam: the built-in suppresses per key while its state lives, and
+    * state eviction is driven by the WATERMARK, which advances only
+    * between micro-batches — a bounded replay (one big batch)
+    * degenerates to one-event-per-key, and even live its re-admission
+    * boundary is watermark-lag-dependent, not the 5-minute lag rule.
+    * Hand-rolled state pins the batch twin's semantics: each batch
+    * sorts its group's events by (µs, id) and folds the gap test;
+    * state (one µs per key) bridges micro-batch boundaries
+    * (EventStreamSpec pins a storm spanning three batches).
+    *
+    * State is freed by an event-time timeout at last+gap, which is
+    * provably a semantic NO-OP: eviction requires watermark >
+    * last+gap, and any non-late later event of the key then has
+    * gap ≥ 5 min and is kept as a first occurrence anyway — so state
+    * is bounded by keys ACTIVE within the gap window, never history
+    * (the dropDuplicates cardinality class avoided). */
+  def debounceState(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .selectExpr("ts", "user_id", "event_type", "event_id").as[DebEvent]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(debounceFn)
+      .toDF()
+  }
+
+  private def debounceFn(key: (Long, String), evs: Iterator[DebEvent],
+      state: GroupState[DebState]): Iterator[DebOut] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val sorted = evs.toIndexedSeq.sortBy(e => (tsToUs(e.ts), e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[DebOut]
+      var last = state.getOption.map(_.lastUs)
+      for (e <- sorted) {
+        val t = tsToUs(e.ts)
+        if (last.forall(l => t - l >= DebounceGapUs))
+          out += DebOut(key._1, key._2, e.event_id)
+        last = Some(t)
+      }
+      last.foreach { l =>
+        state.update(DebState(l))
+        // Millisecond timeout API: round the µs close time UP, and sit
+        // strictly past the current watermark (Spark rejects earlier).
+        state.setTimeoutTimestamp(
+          math.max(Math.floorDiv(l + DebounceGapUs + 999L, 1000L),
+            state.getCurrentWatermarkMs() + 1))
+      }
+      out.iterator
     }
   }
 

@@ -633,6 +633,63 @@ object StreamOps {
     },
 
     Q(
+      "q_stream_debounce",
+      "stateful 5-minute DEBOUNCE run END-TO-END as a real streaming " +
+        "job — the streaming face of q_debounce, sharing its batch " +
+        "oracle VERBATIM: EventStream.debounceState " +
+        "(flatMapGroupsWithState, one last-event-µs per (user,type) " +
+        "key) emits only non-noise events to the sink; the per-type " +
+        "rollup joins the sink's kept counts to the batch totals. " +
+        "Deliberately NOT dropDuplicatesWithinWatermark — the " +
+        "semantic seam, documented at EventStream.debounceState and " +
+        "spec-pinned: the built-in's re-admission is watermark-driven " +
+        "(between micro-batches only; a bounded replay degenerates to " +
+        "one-event-per-key), where the lag rule re-admits on any true " +
+        "5-minute silence. The replay stages THREE time-sliced files " +
+        "(exact-percentile µs boundaries — a bounded 2-double " +
+        "collect; mtime-pinned, maxFilesPerTrigger=1), so the driver " +
+        "row itself proves per-key state bridges micro-batch " +
+        "boundaries: a per-batch lag would re-admit storms at every " +
+        "batch edge and diverge from the oracle. At 100 TB/day state " +
+        "is one µs per key active within the gap window — freed by an " +
+        "event-time timeout that is provably a semantic no-op — and " +
+        "the fold is embarrassingly parallel per key",
+      Some(graft.operators.EventsOps.debounceSql),
+    ) { (s, dir) =>
+      import java.nio.file.{Files, Paths}
+      val ev = Tables.events(s, dir)
+      val scratch = Scratch.dir()
+      val srcDir = Paths.get(scratch, "src")
+      Files.createDirectories(srcDir)
+      // Time-sliced staging: slices partition the timeline, so every
+      // key's event-time order is preserved across micro-batches.
+      val bs = ev
+        .agg(expr("percentile(unix_micros(ts), array(0.3333, 0.6667))"))
+        .head().getSeq[Double](0)
+      val us = unix_micros(col("ts"))
+      stageSlice(ev.filter(us < bs(0)), scratch, srcDir,
+        "part00.parquet", 1000000000000L)
+      stageSlice(ev.filter(us >= bs(0) && us < bs(1)), scratch, srcDir,
+        "part01.parquet", 1000000060000L)
+      stageSlice(ev.filter(us >= bs(1)), scratch, srcDir,
+        "part02.parquet", 1000000120000L)
+      val src = s.readStream
+        .schema(s.read.parquet(srcDir.toString).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir.toString)
+      val kept = runToParquet(s, EventStream.debounceState(src))
+      val nKept = kept.groupBy("event_type").agg(count(lit(1)).as("n_kept"))
+      Tables.events(s, dir)
+        .groupBy("event_type").agg(count(lit(1)).as("n_events"))
+        .join(nKept, Seq("event_type"), "left")
+        .select(col("event_type"), col("n_events"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          round(coalesce(col("n_kept"), lit(0L)).cast("double")
+            / col("n_events"), 6).as("kept_ratio"))
+        .orderBy("event_type")
+    },
+
+    Q(
       "q_stream_hash_embed",
       "streaming feature-hashing embedder run END-TO-END as a real " +
         "streaming job (file source → foreachBatch(TextOps.hashEmbed) " +

@@ -105,6 +105,37 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("debounceState: storms stay suppressed across batches; silence re-admits") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = EventStream.debounceState(src.toDF())
+      .writeStream.format("memory").queryName("deb_out")
+      .outputMode("append").start()
+    try {
+      // Batch 1: burst at +0, +2m, +4m — only the first is kept.
+      src.addData(
+        Ev(ts(0), 1, "click", 1.0, 100),
+        Ev(ts(2), 1, "click", 1.0, 101),
+        Ev(ts(4), 1, "click", 1.0, 102),
+        Ev(ts(0), 2, "view", 1.0, 200))
+      q.processAllAvailable()
+      // Batch 2: +8m — 4-minute gap from the LAST batch-1 event (+4m):
+      // must stay suppressed. This is the boundary that separates the
+      // lag rule from dropDuplicatesWithinWatermark (whose state for
+      // the +0 event could have expired, re-admitting +8m) AND from
+      // any per-batch lag (no predecessor in this batch → kept).
+      src.addData(Ev(ts(8), 1, "click", 1.0, 103))
+      q.processAllAvailable()
+      // Batch 3: +15m — a true 7-minute silence re-admits the key.
+      src.addData(Ev(ts(15), 1, "click", 1.0, 104))
+      q.processAllAvailable()
+      val kept = spark.table("deb_out")
+        .select("event_id").as[Long].collect().toSet
+      assert(kept == Set(100L, 200L, 104L))
+    } finally q.stop()
+  }
+
   test("attributed: purchases join clicks within the preceding hour only") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
