@@ -54,6 +54,84 @@ object EventsOps {
     * LOWER the coefficient — AucBinnedSpec pins that direction. */
   private[graft] val GiniBins = 8
 
+  /** The mergeable moment-sketch core shared by q_moments and
+    * q_stream_moments: per-type power sums of the ×100 fixed-point
+    * value — n, Σc, Σc², Σc³, Σc⁴ — every one EXACT (BIGINT through
+    * c³; c⁴ in DECIMAL(38,0) since a 5-digit cent value overflows
+    * BIGINT at the 4th power) and purely ADDITIVE, which is the whole
+    * point: partials merge associatively and order-free across
+    * partitions, micro-batches, or days of history — no float sum
+    * can drift the sketch. */
+  private[graft] def momentSums(df: DataFrame): DataFrame =
+    df.select(col("event_type"),
+      round(col("value") * 100, 0).cast("long").as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("c")).as("s1"),
+        sum(col("c") * col("c")).as("s2"),
+        sum(col("c") * col("c") * col("c")).as("s3"),
+        sum((col("c") * col("c")).cast("decimal(38,0)")
+          * (col("c") * col("c"))).as("s4"))
+
+  /** Scalar finishing over a [[momentSums]] frame: mean/stddev/
+    * skewness/excess-kurtosis from the raw moments. Per-GROUP bounded
+    * arithmetic, expressed as selectExpr strings that mirror the
+    * oracle SQL text token for token — identical IEEE expression
+    * trees over identical exact integers, so the 6dp rounds land both
+    * engines on the same grid (pow() is deliberately avoided: m2^1.5
+    * is m2·sqrt(m2), both correctly-rounded IEEE ops, where libm pow
+    * is not). */
+  private[graft] def momentFinish(p: DataFrame): DataFrame =
+    p.selectExpr("event_type", "n",
+      "CAST(s1 AS DOUBLE) / n AS mc",
+      "CAST(s2 AS DOUBLE) / n AS r2",
+      "CAST(s3 AS DOUBLE) / n AS r3",
+      "CAST(s4 AS DOUBLE) / n AS r4")
+      .selectExpr("event_type", "n", "mc",
+        "r2 - mc * mc AS m2",
+        "r3 - 3 * mc * r2 + 2 * mc * mc * mc AS m3",
+        "r4 - 4 * mc * r3 + 6 * mc * mc * r2 - 3 * mc * mc * mc * mc AS m4")
+      .selectExpr("event_type", "n",
+        "round(mc / 100, 6) AS mean_value",
+        "round(sqrt(greatest(m2, 0.0)) / 100, 6) AS stddev_value",
+        "CASE WHEN m2 > 0 THEN round(m3 / (m2 * sqrt(m2)), 6) END AS skewness",
+        "CASE WHEN m2 > 0 THEN round(m4 / (m2 * m2) - 3, 6) END AS ex_kurtosis")
+      .orderBy("event_type")
+
+  /** Shared oracle for q_moments AND q_stream_moments (batch/stream
+    * twins agree byte-for-byte — additive sums make the stream equal
+    * the batch at ANY micro-batch split). */
+  private[graft] val momentsSql: String =
+    """WITH c AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events
+      |), p AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(c) AS BIGINT) AS s1,
+      |    CAST(sum(c * c) AS BIGINT) AS s2,
+      |    CAST(sum(c * c * c) AS BIGINT) AS s3,
+      |    sum(CAST(c * c AS HUGEINT) * (c * c)) AS s4
+      |  FROM c GROUP BY event_type
+      |), f AS (
+      |  SELECT event_type, n,
+      |    CAST(s1 AS DOUBLE) / n AS mc,
+      |    CAST(s2 AS DOUBLE) / n AS r2,
+      |    CAST(s3 AS DOUBLE) / n AS r3,
+      |    CAST(s4 AS DOUBLE) / n AS r4
+      |  FROM p
+      |), m AS (
+      |  SELECT event_type, n, mc,
+      |    r2 - mc * mc AS m2,
+      |    r3 - 3 * mc * r2 + 2 * mc * mc * mc AS m3,
+      |    r4 - 4 * mc * r3 + 6 * mc * mc * r2 - 3 * mc * mc * mc * mc AS m4
+      |  FROM f
+      |)
+      |SELECT event_type, n,
+      |  round(mc / 100, 6) AS mean_value,
+      |  round(sqrt(greatest(m2, 0.0)) / 100, 6) AS stddev_value,
+      |  CASE WHEN m2 > 0 THEN round(m3 / (m2 * sqrt(m2)), 6) END AS skewness,
+      |  CASE WHEN m2 > 0 THEN round(m4 / (m2 * m2) - 3, 6) END AS ex_kurtosis
+      |FROM m ORDER BY event_type""".stripMargin
+
   /** Shared oracle for q_debounce AND q_stream_debounce — the
     * batch/stream twins must agree byte-for-byte, so they share one
     * SQL (the hashEmbedSql precedent). */
@@ -779,6 +857,35 @@ object EventsOps {
           sum(kept).as("n_kept"),
           round(sum(kept).cast("double") / count(lit(1)), 6).as("kept_ratio"))
         .orderBy("event_type")
+    },
+
+    Q(
+      "q_moments",
+      "mergeable MOMENT SKETCH per event type: n, mean, stddev, " +
+        "skewness, excess kurtosis — distribution-shape monitoring " +
+        "(a value pipeline whose skew flips sign or whose kurtosis " +
+        "explodes changed its tail behavior long before the mean " +
+        "moves; q_events_zscore and q_mad_outliers flag POINTS, this " +
+        "flags the DISTRIBUTION). The distributed part is power sums " +
+        "of the ×100 fixed-point value — n, Σc..Σc⁴ — EXACT and " +
+        "purely ADDITIVE (BIGINT through c³, DECIMAL(38,0)/HUGEINT " +
+        "for c⁴: a 5-digit cent value overflows BIGINT at the 4th " +
+        "power), so partials merge associatively and order-free " +
+        "across partitions, micro-batches, or days of persisted " +
+        "history — the q_agg_incremental/q_hll_partials mergeable-" +
+        "state story for higher moments, and map-side partial agg " +
+        "collapses each partition to #types rows before the one " +
+        "shuffle (plan-pinned). Scalar finishing is per-GROUP bounded " +
+        "arithmetic from the exact sums, its expression text mirrored " +
+        "token-for-token in the oracle (identical IEEE trees; " +
+        "m2^1.5 as m2·sqrt(m2) — sqrt is correctly-rounded IEEE " +
+        "where libm pow is not), 6dp-rounded. Degenerate zero-" +
+        "variance groups surface null shape stats, never NaN. " +
+        "q_stream_moments is the streaming face, sharing this oracle " +
+        "verbatim",
+      Some(momentsSql),
+    ) { (s, dir) =>
+      momentFinish(momentSums(Tables.events(s, dir)))
     },
 
     Q(

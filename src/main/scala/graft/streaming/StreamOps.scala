@@ -725,6 +725,36 @@ object StreamOps {
     },
 
     Q(
+      "q_stream_moments",
+      "streaming MOMENT SKETCH run END-TO-END as a real COMPLETE-mode " +
+        "job — the streaming face of q_moments, sharing its oracle " +
+        "VERBATIM: the stream folds the SAME exact ×100 fixed-point " +
+        "power sums (n, Σc..Σc⁴ — BIGINT/DECIMAL(38,0)) per event " +
+        "type as additive state, so the sketch equals the batch one " +
+        "at ANY micro-batch split and merges against batch history " +
+        "for free — the live distribution-shape monitor (complete " +
+        "mode re-emits #types rows per trigger, bounded by the type " +
+        "catalog, never stream volume; the memory sink is the " +
+        "monitoring shape). Scalar finishing (mean/stddev/skew/" +
+        "kurtosis) runs batch-side on the bounded sink table with " +
+        "the exact mirrored expression text of the batch twin",
+      Some(graft.operators.EventsOps.momentsSql),
+    ) { (s, dir) =>
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = s.readStream.schema(rawSchema)
+        .option("basePath", dir)
+        .parquet(s"$dir/events.parquet*")
+      val name = ("m" + Scratch.dir()).replaceAll("[^A-Za-z0-9]", "_")
+      val q = graft.operators.EventsOps.momentSums(src).writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.EventsOps.momentFinish(s.table(name))
+    },
+
+    Q(
       "q_stream_resume",
       "checkpoint RECOVERY, exactly-once across a restart, run " +
         "END-TO-END: the events changelog is staged as three files; " +

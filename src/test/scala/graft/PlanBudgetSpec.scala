@@ -792,6 +792,15 @@ class PlanBudgetSpec extends AnyFunSuite {
       s"nmax must broadcast, plan:\n$pg")
   }
 
+  test("q_moments shuffles once with map-side partial power sums") {
+    // The mergeable-sketch claim in plan form: each partition folds
+    // its exact power sums locally (partial HashAggregate) and only
+    // #types partial rows cross the one exchange.
+    val p = plan("q_moments")
+    assert(hashExchanges(p) == 1, s"plan:\n$p")
+    assert(p.contains("HashAggregate"), s"plan:\n$p")
+  }
+
   test("q1_agg aggregates inside whole-stage codegen") {
     // The plain plan string hides codegen stage boundaries; the
     // codegen explain mode lists every WholeStageCodegen subtree.

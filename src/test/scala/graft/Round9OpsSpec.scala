@@ -550,6 +550,64 @@ class Round9OpsSpec extends AnyFunSuite {
     for (i <- 0 until 7) assert(his(i) <= los(i + 1))
   }
 
+  // ---- q_moments / q_stream_moments ----
+
+  test("q_moments matches Spark's built-in skewness/kurtosis within float slack") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q_moments")(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    // Independent reference: Spark's own float-path aggregates on the
+    // cent-rounded values (the sketch is exact; the built-ins are
+    // float folds — agreement within 1e-4 is the cross-check).
+    val ref = graft.Tables.events(spark, dir)
+      .select(col("event_type"),
+        (round(col("value") * 100, 0) / 100.0).as("v"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), avg("v").as("mean"),
+        stddev_pop(col("v")).as("sd"), skewness(col("v")).as("sk"),
+        kurtosis(col("v")).as("ku"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    assert(got.keySet == ref.keySet)
+    for ((t, (n, mean, sd, sk, ku)) <- got) {
+      val (rn, rmean, rsd, rsk, rku) = ref(t)
+      assert(n == rn)
+      assert(math.abs(mean - rmean) < 1e-4, s"$t mean $mean vs $rmean")
+      assert(math.abs(sd - rsd) < 1e-4, s"$t sd $sd vs $rsd")
+      assert(math.abs(sk - rsk) < 1e-3, s"$t skew $sk vs $rsk")
+      assert(math.abs(ku - rku) < 1e-2, s"$t kurt $ku vs $rku")
+    }
+  }
+
+  test("momentSums partials merge exactly (the mergeable-sketch contract)") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, dir)
+    val full = graft.operators.EventsOps.momentSums(ev)
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    // Split on an arbitrary predicate, sketch each half, merge by
+    // plain addition — must equal the one-shot sketch EXACTLY.
+    val a = graft.operators.EventsOps.momentSums(
+      ev.filter(pmod(col("event_id"), lit(2)) === 0))
+    val b = graft.operators.EventsOps.momentSums(
+      ev.filter(pmod(col("event_id"), lit(2)) === 1))
+    val merged = a.unionByName(b)
+      .groupBy("event_type")
+      .agg(sum("n").as("n"), sum("s1").as("s1"), sum("s2").as("s2"),
+        sum("s3").as("s3"), sum("s4").as("s4"))
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(merged == full)
+  }
+
+  test("q_stream_moments equals the batch twin byte for byte") {
+    val batch = SparkEntry.queries("q_moments")(spark, dir).collect().map(_.toSeq)
+    val stream = SparkEntry.queries("q_stream_moments")(spark, dir).collect().map(_.toSeq)
+    assert(stream.toSeq == batch.toSeq)
+  }
+
   test("q_rfm: segment counts cover all purchase users exactly once") {
     val rows = SparkEntry.queries("q_rfm")(spark, dir).collect()
     assert(rows.nonEmpty)
