@@ -1377,6 +1377,47 @@ object Relational {
     },
 
     Q(
+      "q_schema_evolution",
+      "SCHEMA-EVOLUTION read over mixed-generation files " +
+        "(mergeSchema): generation 1 wrote (doc_id, text); a later " +
+        "deploy added (lang, n_chars); ONE mergeSchema read unifies " +
+        "both generations, surfacing the old files' missing columns " +
+        "as nulls — the additive-column evolution every long-lived " +
+        "table lives through (the read-side half of what table " +
+        "formats call schema evolution; renames/drops need a " +
+        "format's column-id mapping — documented out of scope). The " +
+        "schema union is FOOTER metadata only — per file, no data " +
+        "scan — and the rollup is one pass over the unified frame " +
+        "with null-coverage counters per evolved column: the audit a " +
+        "migration runs to learn how much history predates the new " +
+        "columns (here 400 of 500 docs at test SF). Oracle mirrors " +
+        "the generation split on doc_id",
+      Some(
+        """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          |  CAST(sum(CASE WHEN doc_id < 400 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_lang_null,
+          |  CAST(sum(CASE WHEN doc_id >= 400 THEN n_chars ELSE 0 END) AS BIGINT)
+          |    AS sum_chars_gen2,
+          |  CAST(count(DISTINCT CASE WHEN doc_id >= 400 THEN lang END) AS BIGINT)
+          |    AS n_langs_gen2
+          |FROM documents""".stripMargin),
+    ) { (s, dir) =>
+      val out = Scratch.dir()
+      val docs = Tables.documents(s, dir)
+      docs.filter(col("doc_id") < 400).select("doc_id", "text")
+        .write.parquet(s"$out/gen1")
+      docs.filter(col("doc_id") >= 400)
+        .select("doc_id", "text", "lang", "n_chars")
+        .write.parquet(s"$out/gen2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$out/gen1", s"$out/gen2")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("lang").isNull, 1L).otherwise(0L)).as("n_lang_null"),
+          sum(coalesce(col("n_chars"), lit(0L))).as("sum_chars_gen2"),
+          countDistinct(col("lang")).as("n_langs_gen2"))
+    },
+
+    Q(
       "q_bloom_skipping",
       "BLOOM-manifest file skipping — the point-lookup complement to " +
         "q_file_skipping's min/max spans: the layout is " +

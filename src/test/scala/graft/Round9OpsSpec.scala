@@ -550,6 +550,20 @@ class Round9OpsSpec extends AnyFunSuite {
     for (i <- 0 until 7) assert(his(i) <= los(i + 1))
   }
 
+  // ---- q_schema_evolution ----
+
+  test("q_schema_evolution: merged read nulls exactly the pre-evolution files") {
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("q_schema_evolution")(spark, dir).collect()(0)
+    val docs = graft.Tables.documents(spark, dir)
+    assert(r.getLong(0) == docs.count())
+    assert(r.getLong(1) == docs.filter(col("doc_id") < 400).count(),
+      "every gen-1 row (and only those) must surface null lang")
+    assert(r.getLong(2) == docs.filter(col("doc_id") >= 400)
+      .agg(sum("n_chars")).head().getLong(0))
+    assert(r.getLong(3) >= 1)
+  }
+
   // ---- q_moments / q_stream_moments ----
 
   test("q_moments matches Spark's built-in skewness/kurtosis within float slack") {
