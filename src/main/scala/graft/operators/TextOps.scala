@@ -2870,6 +2870,84 @@ object TextOps {
     },
 
     Q(
+      "q_fim_transform",
+      "fill-in-the-middle transformation (the FIM/PSM pretraining " +
+        "reorder for infilling models): each document splits at two " +
+        "deterministic points into (prefix, middle, suffix) and " +
+        "re-serializes as <PRE>prefix<SUF>suffix<MID>middle — so the " +
+        "model learns to complete a masked span given BOTH sides. " +
+        "Split points derive from the portable content hash in pure " +
+        "integer arithmetic (p1 = 1 + h mod (n−2); p2 = p1 + 1 + " +
+        "(h div 2²¹) mod (n−1−p1) — all three parts provably " +
+        "non-empty, reproducible at any cluster size, the " +
+        "q_span_mask determinism contract; production swaps the hash " +
+        "for an RNG and a FIM-rate gate, the reorder machinery is " +
+        "identical). Entirely per-row expression work — zero " +
+        "shuffles before the per-lang audit rollup, which carries " +
+        "exact char conservation sums (prefix+middle+suffix = total, " +
+        "spec-pinned) and a mod-1000003 checksum of the transformed " +
+        "text so the oracle verifies the REORDERED BYTES, not just " +
+        "lengths",
+      Some(
+        s"""WITH d AS (
+           |  SELECT doc_id, lang, text, CAST(length(text) AS BIGINT) AS n,
+           |    ${graft.functions.Portable.md5Hash60Sql("CAST(doc_id AS VARCHAR) || '#fim'")} AS h
+           |  FROM documents WHERE length(text) >= 3
+           |), sp AS (
+           |  SELECT doc_id, lang, text, n, h,
+           |    1 + (h % (n - 2)) AS p1
+           |  FROM d
+           |), sp2 AS (
+           |  SELECT lang, text, n, p1,
+           |    p1 + 1 + ((h // 2097152) % (n - 1 - p1)) AS p2
+           |  FROM sp
+           |), fim AS (
+           |  SELECT lang, p1 AS np, p2 - p1 AS nm, n - p2 AS ns,
+           |    '<PRE>' || substr(text, 1, CAST(p1 AS INTEGER))
+           |      || '<SUF>' || substr(text, CAST(p2 + 1 AS INTEGER), CAST(n - p2 AS INTEGER))
+           |      || '<MID>' || substr(text, CAST(p1 + 1 AS INTEGER), CAST(p2 - p1 AS INTEGER)) AS ft
+           |  FROM sp2
+           |)
+           |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(np) AS BIGINT) AS prefix_chars,
+           |  CAST(sum(nm) AS BIGINT) AS middle_chars,
+           |  CAST(sum(ns) AS BIGINT) AS suffix_chars,
+           |  CAST(sum(${graft.functions.Portable.md5Hash60Sql("ft")} % 1000003) AS BIGINT)
+           |    AS fim_checksum
+           |FROM fim GROUP BY lang ORDER BY lang""".stripMargin),
+    ) { (s, dir) =>
+      val base = Tables.documents(s, dir)
+        .filter(length(col("text")) >= 3)
+        .select(col("lang"), col("text"),
+          length(col("text")).cast("long").as("n"),
+          graft.functions.Portable.md5Hash60(
+            concat(col("doc_id").cast("string"), lit("#fim"))).as("h"))
+      val sp = base
+        .withColumn("p1", lit(1L) + pmod(col("h"), col("n") - 2))
+        .withColumn("p2", col("p1") + 1L
+          + pmod(expr("h div 2097152"), col("n") - 1 - col("p1")))
+      val fim = sp.select(col("lang"),
+        col("p1").as("np"), (col("p2") - col("p1")).as("nm"),
+        (col("n") - col("p2")).as("ns"),
+        concat(lit("<PRE>"),
+          col("text").substr(lit(1), col("p1").cast("int")),
+          lit("<SUF>"),
+          col("text").substr((col("p2") + 1).cast("int"),
+            (col("n") - col("p2")).cast("int")),
+          lit("<MID>"),
+          col("text").substr((col("p1") + 1).cast("int"),
+            (col("p2") - col("p1")).cast("int"))).as("ft"))
+      fim.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("np")).as("prefix_chars"),
+          sum(col("nm")).as("middle_chars"),
+          sum(col("ns")).as("suffix_chars"),
+          sum(pmod(graft.functions.Portable.md5Hash60(col("ft")),
+            lit(1000003L))).as("fim_checksum"))
+        .orderBy("lang")
+    },
+
+    Q(
       "q_cooccur",
       "PMI co-occurrence statistics (the word2vec/GloVe training " +
         "signal): skip-gram pairs within distance 2, unordered-" +

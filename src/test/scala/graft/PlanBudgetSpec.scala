@@ -792,6 +792,11 @@ class PlanBudgetSpec extends AnyFunSuite {
       s"nmax must broadcast, plan:\n$pg")
   }
 
+  test("q_fim_transform reorders per-row — one exchange for the audit rollup") {
+    val p = plan("q_fim_transform")
+    assert(hashExchanges(p) == 1, s"plan:\n$p")
+  }
+
   test("q_moments shuffles once with map-side partial power sums") {
     // The mergeable-sketch claim in plan form: each partition folds
     // its exact power sums locally (partial HashAggregate) and only

@@ -550,6 +550,28 @@ class Round9OpsSpec extends AnyFunSuite {
     for (i <- 0 until 7) assert(his(i) <= los(i + 1))
   }
 
+  // ---- q_fim_transform ----
+
+  test("q_fim_transform conserves characters with all parts non-empty") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_fim_transform")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byLang = graft.Tables.documents(spark, dir)
+      .filter(length(col("text")) >= 3)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("text")).cast("long")).as("chars"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { r =>
+      val (n, chars) = byLang(r.getString(0))
+      assert(r.getLong(1) == n)
+      assert(r.getLong(2) + r.getLong(3) + r.getLong(4) == chars,
+        "prefix+middle+suffix must conserve total chars")
+      // every doc's three parts are provably >= 1 char
+      assert(r.getLong(2) >= n && r.getLong(3) >= n && r.getLong(4) >= n)
+    }
+  }
+
   // ---- q_schema_evolution ----
 
   test("q_schema_evolution: merged read nulls exactly the pre-evolution files") {
