@@ -817,6 +817,46 @@ object TextOps {
   /** q_weighted_sample: sample size. */
   private[graft] val WeightedSampleK = 100
 
+  /** Content-defined chunking shape (q_cdc_chunks): char-K-gram hash
+    * boundary test with divisor D → expected chunk ≈ D chars. */
+  private[graft] val CdcK = 5
+  private[graft] val CdcD = 64L
+
+  /** Content-defined chunk extraction (the Rabin/FastCDC family with
+    * the portable md5 gram hash standing in for the gear/rolling
+    * hash — the q_winnow stand-in contract; production swaps in an
+    * O(1)-per-char rolling hash, the boundary rule is identical): a
+    * chunk boundary falls AFTER any char-K-gram whose hash ≡ 0
+    * (mod D), so boundaries depend only on LOCAL content — an edit
+    * re-chunks bytes only up to the next surviving boundary and every
+    * later chunk is byte-identical, the shift-resilience that makes
+    * CDC the storage/transfer dedup standard and that fixed-stride
+    * chunking (q_chunk) structurally lacks (CdcSpec plants exactly
+    * that edit). Pure per-row array work; returns one row per
+    * (doc_id, chunk_ord, chunk). */
+  private[graft] def cdcChunks(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val hs = transform(sequence(lit(0), length(col("text")) - CdcK),
+      i => Portable.md5Hash60(col("text").substr(i + 1, lit(CdcK))))
+    docs.filter(length(col("text")) >= CdcK)
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("n"), hs.as("hs"))
+      // Cut offsets = gram END positions (i + K) of zero-mod hashes;
+      // a cut landing exactly at n is redundant with the final bound
+      // and excluded, so bounds are strictly increasing → no empty
+      // chunks, ordinals stable.
+      .withColumn("bounds", expr(
+        s"""concat(array(CAST(0 AS BIGINT)),
+           |  transform(filter(sequence(0, size(hs) - 1),
+           |    i -> hs[i] % $CdcD = 0 AND i + $CdcK < n),
+           |    i -> CAST(i + $CdcK AS BIGINT)), array(n))""".stripMargin))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, size(bounds) - 2),
+           |  j -> substr(text, CAST(bounds[j] + 1 AS INT),
+           |              CAST(bounds[j + 1] - bounds[j] AS INT)))""".stripMargin))
+        .as(Seq("chunk_ord", "chunk")))
+  }
+
   /** q_posting_layout: hash buckets the inverted index is hive-
     * partitioned into, per-term result depth, and the fixed probe
     * terms (bucket literals are computed driver-side with [[hash60]]
@@ -2867,6 +2907,63 @@ object TextOps {
           size(col("chunk")).cast("long").as("n_chunk_tokens"),
           md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
         .orderBy("doc_id", "chunk_id")
+    },
+
+    Q(
+      "q_cdc_chunks",
+      s"CONTENT-DEFINED chunking (Rabin/FastCDC family): a chunk " +
+        s"boundary falls after any char-$CdcK-gram whose portable " +
+        s"hash ≡ 0 mod $CdcD (expected chunk ≈ $CdcD chars), so " +
+        "boundaries depend only on LOCAL content — an insertion " +
+        "re-chunks bytes only up to the next surviving boundary and " +
+        "every later chunk stays byte-identical (CdcSpec plants " +
+        "exactly that edit), which is why CDC is the storage/" +
+        "transfer dedup standard where q_chunk's fixed stride " +
+        "re-keys everything after any edit. The md5 gram hash is the " +
+        "portable stand-in for a gear/rolling hash (the q_winnow " +
+        "contract — O(1)-per-char in production, boundary rule " +
+        "identical). Chunking is pure per-row array work; the " +
+        "corpus-level dedup readout (total/unique chunks, dup " +
+        "ratio, avg length) is ONE chunk-keyed two-stage agg — at " +
+        "100 TB the chunk table IS the product (content-addressed " +
+        "store keys) and this rollup is its audit",
+      Some(
+        s"""WITH g AS (
+           |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+           |    list_transform(range(length(text) - ${CdcK - 1}),
+           |      i -> ${graft.functions.Portable.md5Hash60Sql(s"substr(text, i + 1, $CdcK)")}) AS hs
+           |  FROM documents WHERE length(text) >= $CdcK
+           |), b AS (
+           |  SELECT doc_id, text, n,
+           |    list_concat(list_concat([CAST(0 AS BIGINT)],
+           |      list_transform(list_filter(range(len(hs)),
+           |        i -> hs[i+1] % $CdcD = 0 AND i + $CdcK < n),
+           |        i -> CAST(i + $CdcK AS BIGINT))),
+           |      [n]) AS bounds
+           |  FROM g
+           |), ch AS (
+           |  SELECT doc_id, unnest(list_transform(range(len(bounds) - 1),
+           |    j -> substr(text, CAST(bounds[j+1] + 1 AS INTEGER),
+           |                CAST(bounds[j+2] - bounds[j+1] AS INTEGER)))) AS chunk
+           |  FROM b
+           |), cc AS (
+           |  SELECT chunk, CAST(count(*) AS BIGINT) AS m FROM ch GROUP BY chunk
+           |)
+           |SELECT CAST(sum(m) AS BIGINT) AS n_chunks,
+           |  CAST(count(*) AS BIGINT) AS n_unique_chunks,
+           |  round(1.0 - CAST(count(*) AS DOUBLE) / sum(m), 6) AS dup_chunk_ratio,
+           |  round(CAST(sum(length(chunk) * m) AS DOUBLE) / sum(m), 6)
+           |    AS avg_chunk_chars
+           |FROM cc""".stripMargin),
+    ) { (s, dir) =>
+      val cc = cdcChunks(Tables.documents(s, dir).select("doc_id", "text"))
+        .groupBy("chunk").agg(count(lit(1)).as("m"))
+      cc.agg(sum(col("m")).as("n_chunks"),
+        count(lit(1)).as("n_unique_chunks"),
+        round(lit(1.0) - count(lit(1)).cast("double") / sum(col("m")), 6)
+          .as("dup_chunk_ratio"),
+        round(sum(length(col("chunk")) * col("m")).cast("double")
+          / sum(col("m")), 6).as("avg_chunk_chars"))
     },
 
     Q(
