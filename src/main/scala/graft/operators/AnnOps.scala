@@ -432,6 +432,105 @@ object AnnOps {
        |ORDER BY c.vec_id""".stripMargin
   }
 
+  /** The (vec_id, embedding, vn2) corpus frame the k-means‖ machinery
+    * runs over. */
+  private def kbarCorpus(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("vn2", normSq(col("embedding")))
+
+  /** Round-r admission uniform: (h60(vec_id#br) mod 2²⁰) + 1. */
+  private def kbarM(r: Int): Column =
+    pmod(Portable.md5Hash60(
+      concat(col("vec_id").cast("string"), lit(s"#b$r"))),
+      lit(1048576L)) + lit(1L)
+
+  /** One oversampling round's distance frame (vec_id, embedding, di =
+    * ×1e6-integer min-D² to the candidate set) — shared by the
+    * fixed-R oracled loop and the cost-adaptive library variant. */
+  private def kbarDistances(
+      e: org.apache.spark.sql.DataFrame,
+      cand: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val packed = broadcast(packCents(cand
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))))
+    e.crossJoin(packed)
+      .withColumn("di",
+        round(array_min(centMetrics).getField("m") * lit(1000000), 0)
+          .cast("long"))
+      .select(col("vec_id"), col("embedding"), col("di"))
+      .localCheckpoint() // read twice: phi + the admission filter
+  }
+
+  /** The exact-integer Bernoulli admission m·φ ≤ 2²⁰·ℓ·d², DECIMAL(38)
+    * both sides; `phi` is a Column so the fixed path can keep φ
+    * in-plan (broadcast 1-row agg, zero collects) while the adaptive
+    * path passes the collected literal — identical arithmetic. */
+  private def kbarAdmit(
+      d: org.apache.spark.sql.DataFrame,
+      phi: Column, r: Int, lOversample: Int)
+      : org.apache.spark.sql.DataFrame =
+    d.filter(kbarM(r).cast("decimal(38,0)") * phi.cast("decimal(38,0)")
+      <= lit(1048576L * lOversample).cast("decimal(38,0)")
+        * col("di").cast("decimal(38,0)"))
+      .select(lit(r.toLong).as("r"), col("vec_id"), col("embedding"))
+
+  /** k-means‖ candidate sampling over a (vec_id, embedding, vn2)
+    * corpus. `stopRatio = None` is the ORACLED fixed-R schedule
+    * (exactly `maxRounds` rounds, φ stays in-plan as a broadcast
+    * 1-row agg — zero driver collects; what q_kmeans_parallel_init
+    * registers). `stopRatio = Some(ρ)` is the production
+    * COST-ADAPTIVE schedule (Bahmani's analysis): collect φ (one
+    * bounded double per round — the trainKMeans convergence-collect
+    * precedent) and stop once the cost stops dropping (φ_r > ρ·φ_{r−1})
+    * or hits zero. Both schedules admit IDENTICAL candidates for the
+    * rounds they share (KmeansParallelSpec pins it).
+    *
+    * @return (candidates (r, vec_id, embedding), rounds actually run)
+    */
+  private[graft] def kmeansParallelCandidates(
+      e: org.apache.spark.sql.DataFrame,
+      lOversample: Int,
+      maxRounds: Int,
+      stopRatio: Option[Double])
+      : (org.apache.spark.sql.DataFrame, Int) = {
+    val u0 = (pmod(Portable.md5Hash60(col("vec_id").cast("string")),
+      lit(1048576L)).cast("double") + lit(1.0)) / lit(1048576.0)
+    var cand = e
+      .select(col("vec_id"), col("embedding"),
+        round(lit(1000.0) * log(u0), 6).as("key"))
+      .orderBy(col("key").desc, col("vec_id")).limit(1)
+      .select(lit(0L).as("r"), col("vec_id"), col("embedding"))
+      .localCheckpoint()
+    var rounds = 0
+    var prevPhi = Option.empty[Long]
+    var stop = false
+    for (i <- 1 to maxRounds if !stop) {
+      val d = kbarDistances(e, cand)
+      stopRatio match {
+        case None =>
+          val phi = d.agg(sum(col("di")).as("phi"))
+          cand = cand
+            .unionByName(kbarAdmit(d.crossJoin(broadcast(phi)),
+              col("phi"), i, lOversample))
+            .localCheckpoint()
+          rounds = i
+        case Some(ratio) =>
+          val phi = d.agg(sum(col("di"))).head().getLong(0)
+          if (phi == 0L || prevPhi.exists(p => phi > ratio * p)) stop = true
+          else {
+            cand = cand
+              .unionByName(kbarAdmit(d, lit(phi), i, lOversample))
+              .localCheckpoint()
+            prevPhi = Some(phi)
+            rounds = i
+          }
+      }
+    }
+    (cand, rounds)
+  }
+
   /** Test/train boundary for q_embed_decontaminate's corpus split:
     * vec_id < this = the (small) held-out test corpus, the rest = the
     * train corpus. Spliced into the oracle SQL. */
@@ -3396,7 +3495,12 @@ object AnnOps {
         s"$KbarRounds oversampling rounds each admit EVERY point " +
         s"independently with probability min(1, ℓ·D²/φ) (ℓ=$KbarL, " +
         s"φ = the current total cost), so ~ℓ candidates join per " +
-        s"round and O(log n) rounds replace k sequential barriers. " +
+        s"round and O(log n) rounds replace k sequential barriers " +
+        "(this row registers the fixed-R schedule the oracle can " +
+        "unroll; kmeansParallelCandidates(stopRatio=Some(ρ)) is the " +
+        "production COST-ADAPTIVE schedule on the same machinery — " +
+        "stops when φ plateaus, identical admissions per shared " +
+        "round, spec-pinned). " +
         "Each round is ONE corpus scan: D² via the zero-shuffle " +
         "broadcast-argmin against the packed candidate set, φ a " +
         "broadcast 1-row agg, and the Bernoulli test EXACT integer " +
@@ -3415,38 +3519,8 @@ object AnnOps {
         "chosen)",
       Some(kbarSql),
     ) { (s, dir) =>
-      val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding"))
-        .withColumn("vn2", normSq(col("embedding")))
-      def mCol(r: Int) =
-        pmod(Portable.md5Hash60(
-          concat(col("vec_id").cast("string"), lit(s"#b$r"))),
-          lit(1048576L)) + lit(1L)
-      val u0 = (pmod(Portable.md5Hash60(col("vec_id").cast("string")),
-        lit(1048576L)).cast("double") + lit(1.0)) / lit(1048576.0)
-      var cand = e
-        .select(col("vec_id"), col("embedding"),
-          round(lit(1000.0) * log(u0), 6).as("key"))
-        .orderBy(col("key").desc, col("vec_id")).limit(1)
-        .select(lit(0L).as("r"), col("vec_id"), col("embedding"))
-        .localCheckpoint()
-      for (i <- 1 to KbarRounds) {
-        val packed = broadcast(packCents(cand
-          .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))))
-        val d = e.crossJoin(packed)
-          .withColumn("di",
-            round(array_min(centMetrics).getField("m") * lit(1000000), 0)
-              .cast("long"))
-          .select(col("vec_id"), col("embedding"), col("di"))
-          .localCheckpoint() // read twice: phi + the admission filter
-        val phi = d.agg(sum(col("di")).as("phi"))
-        val picked = d.crossJoin(broadcast(phi))
-          .filter(mCol(i).cast("decimal(38,0)") * col("phi").cast("decimal(38,0)")
-            <= lit(1048576L * KbarL).cast("decimal(38,0)")
-              * col("di").cast("decimal(38,0)"))
-          .select(lit(i.toLong).as("r"), col("vec_id"), col("embedding"))
-        cand = cand.unionByName(picked).localCheckpoint()
-      }
+      val e = kbarCorpus(s, dir)
+      val (cand, _) = kmeansParallelCandidates(e, KbarL, KbarRounds, None)
       val packedAll = broadcast(packCents(cand
         .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))))
       val w = e.crossJoin(packedAll)

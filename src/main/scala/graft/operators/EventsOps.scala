@@ -776,7 +776,10 @@ object EventsOps {
 
     Q(
       "q_model_auc_binned",
-      s"B-BINNED ROC-AUC ($AucBins equi-width score bins) — " +
+      s"B-BINNED ROC-AUC ($AucBins equi-width score bins; " +
+        "modelAucBinned(bins) is the call-site-parameterized builder " +
+        "— any B, oracle clause derived from the same argument — and " +
+        "this row registers the B=8 instance) — " +
         "q_model_auc's rank-resolution knob made real code: the same " +
         "churn labels and Mann-Whitney U tail, but users first " +
         "quantize onto a B-bin grid over [min score, max score], so " +
@@ -791,40 +794,8 @@ object EventsOps {
         "pair mass)/(np·nn) — the bin-width bound AucBinnedSpec " +
         "verifies against the exact twin, alongside the ≤ B plan pin. " +
         "n_bins ≤ B rides out as the occupancy diagnostic",
-      Some(
-        s"""WITH $churnLabSqlCte, si AS (
-           |  SELECT churned, CAST(round(score * 1000000, 0) AS BIGINT) AS si
-           |  FROM lab
-           |), bounds AS (
-           |  SELECT min(si) AS smin, max(si) AS smax FROM si
-           |), byk AS (
-           |  SELECT CASE WHEN smax = smin THEN 0
-           |      ELSE least(${AucBins - 1}, ((si - smin) * $AucBins) // (smax - smin))
-           |    END AS k,
-           |    CAST(sum(churned) AS BIGINT) AS np_s,
-           |    CAST(sum(1 - churned) AS BIGINT) AS nn_s
-           |  FROM si CROSS JOIN bounds GROUP BY 1
-           |), $aucTailSqlCte
-           |SELECT np + nn AS n_users, np AS n_pos, nn AS n_neg,
-           |  nk AS n_bins,
-           |  round(CAST(u2 AS DOUBLE) / (2.0 * np * nn), 6) AS auc_binned
-           |FROM u""".stripMargin),
-    ) { (s, dir) =>
-      val si = churnScored(s, dir).select(col("churned"),
-        round(col("score") * lit(1000000), 0).cast("long").as("si"))
-      val bounds = si.agg(min(col("si")).as("smin"), max(col("si")).as("smax"))
-      val byk = si.crossJoin(broadcast(bounds))
-        .select(col("churned"), binOf(AucBins).as("k"))
-        .groupBy("k")
-        .agg(sum(col("churned")).as("np_s"),
-          sum(lit(1L) - col("churned")).as("nn_s"))
-      aucTail(byk)
-        .select((col("np") + col("nn")).as("n_users"),
-          col("np").as("n_pos"), col("nn").as("n_neg"),
-          col("nk").as("n_bins"),
-          round(col("u2").cast("double") / (lit(2.0) * col("np") * col("nn")),
-            6).as("auc_binned"))
-    },
+      Some(modelAucBinnedSql(AucBins)),
+    ) { (s, dir) => modelAucBinned(s, dir, AucBins) },
 
     Q(
       "q_debounce",
@@ -1194,7 +1165,10 @@ object EventsOps {
 
     Q(
       "q_gini_activity_binned",
-      s"B-BINNED Gini ($GiniBins equi-width count bins) — " +
+      s"B-BINNED Gini ($GiniBins equi-width count bins; " +
+        "giniBinned(bins) is the call-site-parameterized builder — " +
+        "any B, oracle clause from the same argument — and this row " +
+        "registers the B=8 instance) — " +
         "q_gini_activity's resolution knob made real code: per-user " +
         "counts first quantize onto a B-bin grid over [1, max count] " +
         "in EXACT integer arithmetic (bin = (n−1)·B div nmax, " +
@@ -1209,56 +1183,8 @@ object EventsOps {
         "One corpus scan to per-user counts, one broadcast 1-row max, " +
         "one B-bounded rollup — nothing in the plan grows with the " +
         "count domain",
-      Some(
-        s"""WITH per AS (
-           |  SELECT user_id, CAST(count(*) AS BIGINT) AS n
-           |  FROM events GROUP BY user_id
-           |), mx AS (
-           |  SELECT max(n) AS nmax FROM per
-           |), binned AS (
-           |  SELECT least(${GiniBins - 1}, ((n - 1) * $GiniBins) // nmax) AS bin, n
-           |  FROM per CROSS JOIN mx
-           |), g AS (
-           |  SELECT bin, CAST(count(*) AS BIGINT) AS u,
-           |    CAST(sum(n) AS BIGINT) AS t
-           |  FROM binned GROUP BY bin
-           |), cum AS (
-           |  SELECT bin, u, t,
-           |    CAST(coalesce(sum(u) OVER (ORDER BY bin
-           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           |      AS BIGINT) AS c
-           |  FROM g
-           |), st AS (
-           |  SELECT CAST(sum(u) AS BIGINT) AS nu, CAST(sum(t) AS BIGINT) AS tt,
-           |    CAST(sum(2 * t * c + t * (u + 1)) AS BIGINT) AS s2,
-           |    CAST(count(*) AS BIGINT) AS nb
-           |  FROM cum
-           |)
-           |SELECT nu AS n_users, tt AS total_events, nb AS n_bins,
-           |  round(CAST(s2 AS DOUBLE) / (CAST(nu AS DOUBLE) * tt)
-           |    - (nu + 1.0) / nu, 6) AS gini_binned
-           |FROM st""".stripMargin),
-    ) { (s, dir) =>
-      val per = Tables.events(s, dir)
-        .groupBy("user_id").agg(count(lit(1)).as("n"))
-      val mx = per.agg(max(col("n")).as("nmax"))
-      val g = per.crossJoin(broadcast(mx))
-        .select(least(lit(GiniBins - 1L),
-          expr(s"((n - 1) * $GiniBins) div nmax")).as("bin"), col("n"))
-        .groupBy("bin")
-        .agg(count(lit(1)).as("u"), sum(col("n")).as("t"))
-      val wc = Window.orderBy("bin")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      g.withColumn("c", coalesce(sum(col("u")).over(wc), lit(0L)))
-        .agg(sum(col("u")).as("nu"), sum(col("t")).as("tt"),
-          sum(lit(2L) * col("t") * col("c") + col("t") * (col("u") + lit(1L)))
-            .as("s2"),
-          count(lit(1)).as("nb"))
-        .select(col("nu").as("n_users"), col("tt").as("total_events"),
-          col("nb").as("n_bins"),
-          round(col("s2").cast("double") / (col("nu").cast("double") * col("tt"))
-            - (col("nu") + lit(1.0)) / col("nu"), 6).as("gini_binned"))
-    },
+      Some(giniBinnedSql(GiniBins)),
+    ) { (s, dir) => giniBinned(s, dir, GiniBins) },
 
     Q(
       "q_changepoint",
@@ -2481,6 +2407,108 @@ object EventsOps {
     when(col("smax") === col("smin"), lit(0L))
       .otherwise(least(lit(bins - 1L),
         expr(s"((si - smin) * $bins) div (smax - smin)")))
+
+  /** The B-binned AUC as a call-site-parameterized builder — any bins
+    * value, the oracle clause derived from the same argument by
+    * [[modelAucBinnedSql]] (q_model_auc_binned registers the
+    * [[AucBins]] instance; AucBinnedSpec runs the error bound at
+    * several B values through this entry point). */
+  private[graft] def modelAucBinned(s: SparkSession, dir: String,
+      bins: Int): DataFrame = {
+    require(bins >= 1, "bins must be >= 1")
+    val si = churnScored(s, dir).select(col("churned"),
+      round(col("score") * lit(1000000), 0).cast("long").as("si"))
+    val bounds = si.agg(min(col("si")).as("smin"), max(col("si")).as("smax"))
+    val byk = si.crossJoin(broadcast(bounds))
+      .select(col("churned"), binOf(bins).as("k"))
+      .groupBy("k")
+      .agg(sum(col("churned")).as("np_s"),
+        sum(lit(1L) - col("churned")).as("nn_s"))
+    aucTail(byk)
+      .select((col("np") + col("nn")).as("n_users"),
+        col("np").as("n_pos"), col("nn").as("n_neg"),
+        col("nk").as("n_bins"),
+        round(col("u2").cast("double") / (lit(2.0) * col("np") * col("nn")),
+          6).as("auc_binned"))
+  }
+
+  /** The B-binned Gini as a call-site-parameterized builder (the
+    * [[modelAucBinned]] contract for the count domain);
+    * q_gini_activity_binned registers the [[GiniBins]] instance. */
+  private[graft] def giniBinned(s: SparkSession, dir: String,
+      bins: Int): DataFrame = {
+    require(bins >= 1, "bins must be >= 1")
+    val per = Tables.events(s, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val mx = per.agg(max(col("n")).as("nmax"))
+    val g = per.crossJoin(broadcast(mx))
+      .select(least(lit(bins - 1L),
+        expr(s"((n - 1) * $bins) div nmax")).as("bin"), col("n"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("u"), sum(col("n")).as("t"))
+    val wc = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("c", coalesce(sum(col("u")).over(wc), lit(0L)))
+      .agg(sum(col("u")).as("nu"), sum(col("t")).as("tt"),
+        sum(lit(2L) * col("t") * col("c") + col("t") * (col("u") + lit(1L)))
+          .as("s2"),
+        count(lit(1)).as("nb"))
+      .select(col("nu").as("n_users"), col("tt").as("total_events"),
+        col("nb").as("n_bins"),
+        round(col("s2").cast("double") / (col("nu").cast("double") * col("tt"))
+          - (col("nu") + lit(1.0)) / col("nu"), 6).as("gini_binned"))
+  }
+
+  /** DuckDB twin of [[giniBinned]] for the same `bins`. */
+  private[graft] def giniBinnedSql(bins: Int): String =
+    s"""WITH per AS (
+       |  SELECT user_id, CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY user_id
+       |), mx AS (
+       |  SELECT max(n) AS nmax FROM per
+       |), binned AS (
+       |  SELECT least(${bins - 1}, ((n - 1) * $bins) // nmax) AS bin, n
+       |  FROM per CROSS JOIN mx
+       |), g AS (
+       |  SELECT bin, CAST(count(*) AS BIGINT) AS u,
+       |    CAST(sum(n) AS BIGINT) AS t
+       |  FROM binned GROUP BY bin
+       |), cum AS (
+       |  SELECT bin, u, t,
+       |    CAST(coalesce(sum(u) OVER (ORDER BY bin
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS c
+       |  FROM g
+       |), st AS (
+       |  SELECT CAST(sum(u) AS BIGINT) AS nu, CAST(sum(t) AS BIGINT) AS tt,
+       |    CAST(sum(2 * t * c + t * (u + 1)) AS BIGINT) AS s2,
+       |    CAST(count(*) AS BIGINT) AS nb
+       |  FROM cum
+       |)
+       |SELECT nu AS n_users, tt AS total_events, nb AS n_bins,
+       |  round(CAST(s2 AS DOUBLE) / (CAST(nu AS DOUBLE) * tt)
+       |    - (nu + 1.0) / nu, 6) AS gini_binned
+       |FROM st""".stripMargin
+
+  /** DuckDB twin of [[modelAucBinned]] for the same `bins`. */
+  private[graft] def modelAucBinnedSql(bins: Int): String =
+    s"""WITH $churnLabSqlCte, si AS (
+       |  SELECT churned, CAST(round(score * 1000000, 0) AS BIGINT) AS si
+       |  FROM lab
+       |), bounds AS (
+       |  SELECT min(si) AS smin, max(si) AS smax FROM si
+       |), byk AS (
+       |  SELECT CASE WHEN smax = smin THEN 0
+       |      ELSE least(${bins - 1}, ((si - smin) * $bins) // (smax - smin))
+       |    END AS k,
+       |    CAST(sum(churned) AS BIGINT) AS np_s,
+       |    CAST(sum(1 - churned) AS BIGINT) AS nn_s
+       |  FROM si CROSS JOIN bounds GROUP BY 1
+       |), $aucTailSqlCte
+       |SELECT np + nn AS n_users, np AS n_pos, nn AS n_neg,
+       |  nk AS n_bins,
+       |  round(CAST(u2 AS DOUBLE) / (2.0 * np * nn), 6) AS auc_binned
+       |FROM u""".stripMargin
 
   /** Kaplan-Meier curve over a (lt, censored) frame (q_survival_km
     * + the planted-cohort spec): bounded (lifetime, censored) rollup,

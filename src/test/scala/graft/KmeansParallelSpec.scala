@@ -94,4 +94,28 @@ class KmeansParallelSpec extends AnyFunSuite {
       .toVector
     assert(got == want, s"got:\n${got.mkString("\n")}\nwant:\n${want.mkString("\n")}")
   }
+
+  test("the cost-adaptive schedule admits identically and stops on plateau") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("vn2", expr(
+        "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (a, x) -> a + x)"))
+    def candSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ρ=0.5 continues only while a round HALVES the total cost; the
+    // marginal candidate stops doing that after a few rounds on real
+    // data, so the schedule must stop before a generous cap.
+    val (adaptive, rounds) =
+      AnnOps.kmeansParallelCandidates(e, 3, maxRounds = 10,
+        stopRatio = Some(0.5))
+    assert(rounds < 10, s"adaptive schedule never stopped (ran $rounds)")
+    assert(rounds >= 1)
+    // For the rounds both schedules share, admissions are IDENTICAL —
+    // the adaptive path's collected-literal φ is the same exact
+    // integer the fixed path keeps in-plan.
+    val (fixed, _) =
+      AnnOps.kmeansParallelCandidates(e, 3, rounds, stopRatio = None)
+    assert(candSet(adaptive) == candSet(fixed))
+  }
 }
