@@ -66,5 +66,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // pigeonhole banded equi-join instead of a nested loop (the
     // in-code seam is graft.plans.HammingBandJoin.register).
     ext.injectOptimizerRule(_ => graft.plans.HammingBandJoin)
+    // Optimizer rule: JOIN ... ON size(array_intersect(a, b)) >= T
+    // plans as a prefix-filtered token equi-join (AllPairs/PPJoin)
+    // instead of a nested loop (the in-code seam is
+    // graft.plans.OverlapJoinBlocking.register).
+    ext.injectOptimizerRule(_ => graft.plans.OverlapJoinBlocking)
   }
 }

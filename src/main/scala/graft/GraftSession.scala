@@ -34,6 +34,7 @@ object GraftSession {
     // `--conf spark.sql.extensions=graft.GraftExtensions`.
     graft.plans.FuzzyJoinBlocking.register(spark)
     graft.plans.HammingBandJoin.register(spark)
+    graft.plans.OverlapJoinBlocking.register(spark)
     spark
   }
 }

@@ -248,6 +248,11 @@ object DedupOps {
     * never silently drift. */
   private[graft] val CcEdgeThreshold = 0.5
 
+  /** q_overlap_join: minimum shared distinct tokens — high because
+    * the synthetic 31-token vocabulary makes low thresholds vacuous
+    * (most pairs share most tokens). Spliced into both engines. */
+  private[graft] val OverlapJoinT = 28
+
   /** DuckDB twin of [[ccMinLabels]]: recursive CTE chain (edges → cc →
     * final(doc_id, label)) expecting a prior `pairs` CTE; splice under
     * a WITH RECURSIVE. The threshold parameter mirrors the pair
@@ -1321,6 +1326,64 @@ object DedupOps {
             && col("name_a") < col("name_b"))
         .orderBy("name_a", "name_b")
     },
+    Q(
+      "q_overlap_join",
+      "the DECLARATIVE face of token-overlap similarity: document " +
+        "pairs sharing ≥ 28 distinct tokens, written as the naive " +
+        "theta join `JOIN ON size(array_intersect(a, b)) >= 28 AND " +
+        "doc_a < doc_b` — no equi keys, so Spark alone can only " +
+        "nested-loop it — and planned scalably by the engine's " +
+        "OverlapJoinBlocking optimizer rule (the third declarative-" +
+        "scale rule beside FuzzyJoinBlocking and HammingBandJoin): " +
+        "the AllPairs/PPJoin prefix filter turns it into a token-" +
+        "keyed equi-join (if |A∩B| ≥ T the sorted (|s|−T+1)-prefixes " +
+        "must share a token), original predicate re-applied as the " +
+        "verify, canonical shared-token filter preserving pair " +
+        "multiplicity with no distinct shuffle. The rollup by shared-" +
+        "token count keeps output bounded while the id checksum " +
+        "verifies the pair SET. NestedLoop-free is plan-pinned (here " +
+        "and in OverlapRuleSpec, which also pins brute-force " +
+        "equality and the scope guards). At 100 TB the blocked form " +
+        "is ONE token-keyed shuffle, AQE-skew-splittable — pruning " +
+        "strength scales with vocabulary skew (this synthetic " +
+        "31-token vocab is its worst case; production orders tokens " +
+        "by ascending df, the documented stats-informed refinement)",
+      Some(
+        s"""WITH t AS (
+           |  SELECT doc_id, list_distinct(list_filter(
+           |    string_split(lower(text), ' '), x -> x <> '')) AS toks
+           |  FROM documents
+           |), p AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    len(list_intersect(a.toks, b.toks)) AS n_shared
+           |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+           |    AND len(list_intersect(a.toks, b.toks)) >= $OverlapJoinT
+           |)
+           |SELECT CAST(n_shared AS BIGINT) AS n_shared,
+           |  CAST(count(*) AS BIGINT) AS n_pairs,
+           |  CAST(sum(doc_a + doc_b) AS BIGINT) AS id_checksum
+           |FROM p GROUP BY n_shared ORDER BY n_shared""".stripMargin),
+    ) { (s, dir) =>
+      graft.plans.OverlapJoinBlocking.register(s)
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        array_distinct(expr("filter(split(lower(text), ' '), x -> x <> '')"))
+          .as("toks"))
+      val a = d.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
+      val b = d.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
+      a.join(b,
+        size(array_intersect(col("toks_a"), col("toks_b")))
+          >= lit(OverlapJoinT)
+          && col("doc_a") < col("doc_b"))
+        .select(
+          size(array_intersect(col("toks_a"), col("toks_b"))).cast("long")
+            .as("n_shared"),
+          col("doc_a"), col("doc_b"))
+        .groupBy("n_shared")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("doc_a") + col("doc_b")).as("id_checksum"))
+        .orderBy("n_shared")
+    },
+
     Q(
       "q_entity_dedup",
       "END-TO-END entity resolution: fuzzy pair generation (SymSpell " +

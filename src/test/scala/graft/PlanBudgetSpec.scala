@@ -792,6 +792,14 @@ class PlanBudgetSpec extends AnyFunSuite {
       s"nmax must broadcast, plan:\n$pg")
   }
 
+  test("q_overlap_join plans the prefix-blocked equi-join, never a nested loop") {
+    val p = plan("q_overlap_join")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"OverlapJoinBlocking did not fire, plan:\n$p")
+    assert(p.contains("array_intersect"),
+      s"the re-applied verify is missing, plan:\n$p")
+  }
+
   test("q_fim_transform reorders per-row — one exchange for the audit rollup") {
     val p = plan("q_fim_transform")
     assert(hashExchanges(p) == 1, s"plan:\n$p")
