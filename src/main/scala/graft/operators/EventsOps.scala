@@ -831,6 +831,74 @@ object EventsOps {
     },
 
     Q(
+      "q_kanon_generalize",
+      "k-anonymity GENERALIZATION search over the numeric " +
+        "quasi-identifier pair (r_days, f): for every power-of-two " +
+        "bucket width w ∈ {1..1024} the users re-group on the " +
+        "coarsened pair (r_days div w, f div w) and the MINIMAL w " +
+        "achieving min-group ≥ k is flagged `chosen` — the " +
+        "mechanism a release pipeline runs when q_kanon_audit says " +
+        "suppression would cost too many rows (generalize, don't " +
+        "drop). Powers of two make the grids NESTED (div 2w = " +
+        "div w then div 2), so min group size is provably " +
+        "non-decreasing and group count non-increasing in w — the " +
+        "monotonicity the spec pins — and ALL 11 candidate widths " +
+        "evaluate in ONE pass: a map-side ×11 explode, one " +
+        "(w, gr, gf)-keyed agg (bounded by 11× the QI domain), an " +
+        "11-row width rollup, and the chosen-flag window over those " +
+        "11 rows. No driver-side search loop — the whole ladder is " +
+        "one declarative plan; k shares its owner with q_kanon_audit",
+      Some {
+        val k = graft.operators.TextOps.KAnonK
+        s"""WITH $churnLabSqlCte, wid AS (
+           |  SELECT unnest([1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024]) AS w
+           |), g AS (
+           |  SELECT w, r_days // w AS gr, f // w AS gf, count(*) AS n
+           |  FROM per CROSS JOIN wid GROUP BY w, gr, gf
+           |), bw AS (
+           |  SELECT w, CAST(count(*) AS BIGINT) AS n_groups,
+           |    CAST(min(n) AS BIGINT) AS min_group,
+           |    CASE WHEN min(n) >= $k THEN CAST(1 AS BIGINT)
+           |      ELSE CAST(0 AS BIGINT) END AS k_anonymous
+           |  FROM g GROUP BY w
+           |), c AS (
+           |  SELECT w, n_groups, min_group, k_anonymous,
+           |    CAST(coalesce(sum(k_anonymous) OVER (ORDER BY w
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS BIGINT) AS prior
+           |  FROM bw
+           |)
+           |SELECT CAST(w AS BIGINT) AS w, n_groups, min_group, k_anonymous,
+           |  CASE WHEN k_anonymous = 1 AND prior = 0 THEN CAST(1 AS BIGINT)
+           |    ELSE CAST(0 AS BIGINT) END AS chosen
+           |FROM c ORDER BY w""".stripMargin
+      },
+    ) { (s, dir) =>
+      val k = graft.operators.TextOps.KAnonK
+      val widths = Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L, 256L, 512L, 1024L)
+      val per = userRecencyFreq(s, dir)
+      val bw = per
+        .select(explode(array(widths.map(lit): _*)).as("w"),
+          col("r_days"), col("f"))
+        .select(col("w"), expr("r_days div w").as("gr"),
+          expr("f div w").as("gf"))
+        .groupBy("w", "gr", "gf").agg(count(lit(1)).as("n"))
+        .groupBy("w")
+        .agg(count(lit(1)).as("n_groups"), min(col("n")).as("min_group"))
+        .withColumn("k_anonymous",
+          when(col("min_group") >= k, 1L).otherwise(0L))
+      val wc = Window.orderBy("w")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      bw.withColumn("prior",
+        coalesce(sum(col("k_anonymous")).over(wc), lit(0L)))
+        .select(col("w"), col("n_groups"), col("min_group"),
+          col("k_anonymous"),
+          when(col("k_anonymous") === 1L && col("prior") === 0L, 1L)
+            .otherwise(0L).as("chosen"))
+        .orderBy("w")
+    },
+
+    Q(
       "q_moments",
       "mergeable MOMENT SKETCH per event type: n, mean, stddev, " +
         "skewness, excess kurtosis — distribution-shape monitoring " +

@@ -550,6 +550,31 @@ class Round9OpsSpec extends AnyFunSuite {
     for (i <- 0 until 7) assert(his(i) <= los(i + 1))
   }
 
+  // ---- q_kanon_generalize ----
+
+  test("q_kanon_generalize: nested grids audit monotonically, one minimal choice") {
+    val rows = SparkEntry.queries("q_kanon_generalize")(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L, 256L, 512L, 1024L))
+    val ng = rows.map(_.getLong(1))
+    val mg = rows.map(_.getLong(2))
+    for (i <- 1 until rows.length) {
+      // powers of two nest: div 2w == (div w) div 2, so coarsening can
+      // only merge groups
+      assert(ng(i) <= ng(i - 1), s"group count rose at w=${rows(i).getLong(0)}")
+      assert(mg(i) >= mg(i - 1), s"min group shrank at w=${rows(i).getLong(0)}")
+    }
+    val k = graft.operators.TextOps.KAnonK
+    rows.foreach(r =>
+      assert((r.getLong(2) >= k) == (r.getLong(3) == 1L), s"flag wrong: $r"))
+    val sat = rows.filter(_.getLong(3) == 1L)
+    val chosen = rows.filter(_.getLong(4) == 1L)
+    if (sat.nonEmpty) {
+      assert(chosen.length == 1, "exactly one minimal satisfying width")
+      assert(chosen.head.getLong(0) == sat.map(_.getLong(0)).min)
+    } else assert(chosen.isEmpty)
+  }
+
   // ---- q_fim_transform ----
 
   test("q_fim_transform conserves characters with all parts non-empty") {
