@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BloomMightContain, CentArgmin, HyperplaneSignature, MinHashSignature, SimHashSignature}
+import graft.functions.{BloomMightContain, CentArgmin, HyperplaneSignature, MinHashSignature, RollingGramHashes, SimHashSignature}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -53,6 +53,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // codegen emits an ambiguous `(Long)` cast that Janino rejects
     // whenever the probe folds to a negative literal, silently dropping
     // the projection to interpreted mode (see graft.functions.BloomProbe).
+    ext.injectFunction((
+      FunctionIdentifier("rollhash60"),
+      new ExpressionInfo(classOf[RollingGramHashes].getName, "rollhash60"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        RollingGramHashes(exprs.head, exprs(1))))
     ext.injectFunction((
       FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),

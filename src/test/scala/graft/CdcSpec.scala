@@ -33,6 +33,27 @@ class CdcSpec extends AnyFunSuite {
     sb.toString
   }
 
+  test("rolling update equals the direct per-gram polynomial, incl. non-BMP text") {
+    import graft.functions.RollHash
+    import org.apache.spark.sql.functions.{col, expr}
+    import spark.implicits._
+    // Mixed ASCII / Latin-1 / CJK / astral (surrogate-pair) text: the
+    // rolling pass iterates CODE POINTS, matching DuckDB's ascii() and
+    // the oracle's substr-by-character indexing.
+    val texts = Seq(lcgText(500), "héllo wörld", "日本語のテキスト処理", "a😀b😀c d")
+    RollHash.register(spark)
+    val got = texts.toDF("text")
+      .select(col("text"), expr(s"rollhash60(text, ${TextOps.CdcK})").as("hs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    for (t <- texts) {
+      val cps = t.codePoints.toArray
+      val want = (0 to cps.length - TextOps.CdcK).map { i =>
+        new String(cps.slice(i, i + TextOps.CdcK), 0, TextOps.CdcK)
+      }.map(RollHash.gramHash)
+      assert(got(t) == want, s"rolling != direct for '$t'")
+    }
+  }
+
   test("chunks reassemble to the document exactly, in order") {
     val base = lcgText(2000)
     val ch = chunksOf(1L -> base)(1L)

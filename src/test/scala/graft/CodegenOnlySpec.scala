@@ -10,9 +10,9 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Loud-failure regression gate for the codegen of ALL seven custom
+/** Loud-failure regression gate for the codegen of ALL eight custom
   * Catalyst expressions (cent_argmin_l2, cent_argmin_cos, cosine_sim,
-  * minhash60, simhash60, hypersig, bloom_might_contain).
+  * minhash60, simhash60, hypersig, bloom_might_contain, rollhash60).
   *
   * Why this exists: broken `doGenCode` output does NOT fail the
   * build — Spark catches the Janino CompileException, logs one WARN,
@@ -99,6 +99,10 @@ class CodegenOnlySpec extends AnyFunSuite {
       ("simhash60", SimHashSignature(toksRef), tokRow),
       ("hypersig", HyperplaneSignature(vecRef),
         new GenericInternalRow(Array[Any](fvec(emb: _*)))),
+      ("rollhash60",
+        RollingGramHashes(BoundReference(0, StringType, nullable = true),
+          Literal(3)),
+        new GenericInternalRow(Array[Any](UTF8String.fromString("abcdef")))),
       ("bloom_might_contain(col)",
         BloomMightContain(bloomLit, BoundReference(0, LongType, nullable = false)),
         new GenericInternalRow(Array[Any](42L))),
@@ -137,7 +141,7 @@ class CodegenOnlySpec extends AnyFunSuite {
     }
   }
 
-  test("GenerateUnsafeProjection compiles and agrees with eval for all seven expressions") {
+  test("GenerateUnsafeProjection compiles and agrees with eval for all eight expressions") {
     for ((name, e, row) <- cases) {
       val interp = norm(e.eval(row))
       assert(interp != null, s"$name: test input unexpectedly evaluated to null")
@@ -149,7 +153,7 @@ class CodegenOnlySpec extends AnyFunSuite {
     }
   }
 
-  test("GenerateMutableProjection compiles and agrees with eval for all seven expressions") {
+  test("GenerateMutableProjection compiles and agrees with eval for all eight expressions") {
     for ((name, e, row) <- cases) {
       val interp = norm(e.eval(row))
       val proj = GenerateMutableProjection.generate(Seq(e))
@@ -164,10 +168,12 @@ class CodegenOnlySpec extends AnyFunSuite {
     // projection paths over whatever survives folding — the class of
     // shape where both historical breaks hid.
     CentAssign.register(spark); CosSim.register(spark)
-    MinHash60.register(spark); SimHash60.register(spark); HyperSig.register(spark)
+    MinHash60.register(spark); SimHash60.register(spark)
+    HyperSig.register(spark); RollHash.register(spark)
     val sql =
       """SELECT minhash60(array('a b c', 'b c d')) AS mh,
         |  simhash60(array('a', 'b')) AS sh,
+        |  rollhash60('abcdef', 3) AS rh,
         |  hypersig(CAST(array_repeat(0.5D, 64) AS ARRAY<FLOAT>)) AS hs,
         |  cosine_sim(CAST(array(1.0, 0.0) AS ARRAY<FLOAT>),
         |             CAST(array(0.5, 0.5) AS ARRAY<FLOAT>)) AS cs,
@@ -182,7 +188,9 @@ class CodegenOnlySpec extends AnyFunSuite {
         |""".stripMargin
     withStrictCodegen {
       val row = spark.sql(sql).collect().head
-      assert(row.getLong(4) == 7L && row.getLong(5) == 7L)
+      assert(row.getLong(5) == 7L && row.getLong(6) == 7L)
+      assert(row.getSeq[Long](2) ===
+        Seq("abc", "bcd", "cde", "def").map(RollHash.gramHash))
     }
   }
 
@@ -204,15 +212,15 @@ class CodegenOnlySpec extends AnyFunSuite {
     }
   }
 
-  test("all seven functions run end-to-end under CODEGEN_ONLY with whole-stage fallback off") {
+  test("all eight functions run end-to-end under CODEGEN_ONLY with whole-stage fallback off") {
     import spark.implicits._
     CentAssign.register(spark); CosSim.register(spark)
     MinHash60.register(spark); SimHash60.register(spark)
-    HyperSig.register(spark); Bloom.register(spark)
+    HyperSig.register(spark); Bloom.register(spark); RollHash.register(spark)
     val bloomHex = bloomBytes.map("%02X".format(_)).mkString
-    val df = Seq((emb.toArray, emb2.toArray, Seq("a", "b", "a c"), 42L))
-      .toDF("e1", "e2", "toks", "k")
-      .select(col("e1"), col("e2"), col("toks"), col("k"),
+    val df = Seq((emb.toArray, emb2.toArray, Seq("a", "b", "a c"), 42L, "rolling"))
+      .toDF("e1", "e2", "toks", "k", "txt")
+      .select(col("e1"), col("e2"), col("toks"), col("k"), col("txt"),
         array(struct(lit(4L).as("cent_id"), col("e2").as("ce"),
           aggregate(transform(col("e2"), x => x.cast("double") * x.cast("double")),
             lit(0.0), (a, x) => a + x).as("cn2"),
@@ -225,7 +233,8 @@ class CodegenOnlySpec extends AnyFunSuite {
       expr("minhash60(toks)").as("d"),
       expr("simhash60(toks)").as("e"),
       expr("hypersig(e1)").as("f"),
-      expr(s"bloom_might_contain(unhex('$bloomHex'), k)").as("g"))
+      expr(s"bloom_might_contain(unhex('$bloomHex'), k)").as("g"),
+      expr("rollhash60(txt, 4)").as("h"))
     val baseline = sel.collect()
     withStrictCodegen {
       val strict = sel.collect()

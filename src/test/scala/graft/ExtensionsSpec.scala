@@ -43,6 +43,9 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(row.getBoolean(2))
       assert(row.getLong(3) == 7L) // nearest by L2 and by cosine
       assert(row.getLong(4) == 7L)
+      val rh = s.sql("SELECT rollhash60('abcdef', 3) AS rh").collect().head
+      assert(rh.getSeq[Long](0) ==
+        Seq("abc", "bcd", "cde", "def").map(graft.functions.RollHash.gramHash))
       // Bloom pair: build over 0..99, probe a member and a non-member
       // (bloom guarantees no false negatives; 1000 is far outside).
       s.range(100).createOrReplaceTempView("bloom_ext_t")
