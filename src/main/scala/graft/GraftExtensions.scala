@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BloomMightContain, CentArgmin, HyperplaneSignature, MinHashSignature, RollingGramHashes, SimHashSignature}
+import graft.functions.{BloomMightContain, CentArgmin, HyperplaneSignature, MinHashSignature, RollingGramHashes, SimHashSignature, ThetaEstimate, ThetaIntersectEstimate, ThetaSketchAgg, ThetaUnionAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -53,6 +53,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // codegen emits an ambiguous `(Long)` cast that Janino rejects
     // whenever the probe folds to a negative literal, silently dropping
     // the projection to interpreted mode (see graft.functions.BloomProbe).
+    // Theta sketch family: mergeable distinct sketches that support
+    // set INTERSECTION from state (HLL cannot) — see graft.functions
+    // .Theta and q_theta_intersect.
+    ext.injectFunction((
+      FunctionIdentifier("theta_sketch_agg"),
+      new ExpressionInfo(classOf[ThetaSketchAgg].getName, "theta_sketch_agg"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ThetaSketchAgg(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("theta_union_agg"),
+      new ExpressionInfo(classOf[ThetaUnionAgg].getName, "theta_union_agg"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ThetaUnionAgg(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("theta_estimate"),
+      new ExpressionInfo(classOf[ThetaEstimate].getName, "theta_estimate"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ThetaEstimate(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("theta_intersect_estimate"),
+      new ExpressionInfo(classOf[ThetaIntersectEstimate].getName,
+        "theta_intersect_estimate"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ThetaIntersectEstimate(exprs.head, exprs(1))))
     ext.injectFunction((
       FunctionIdentifier("rollhash60"),
       new ExpressionInfo(classOf[RollingGramHashes].getName, "rollhash60"),

@@ -2347,6 +2347,84 @@ object EventsOps {
           col("n_users"), col("avg_monetary"))
         .orderBy("r_score", "f_score", "m_score")
     },
+
+    Q(
+      "q_theta_intersect",
+      "distinct-user OVERLAP between every event-type pair via THETA " +
+        "sketches — the set operation HLL state structurally cannot " +
+        "do (HLL unions; only theta intersects), which is why this " +
+        "row exists beside q_hll_partials: a theta state table of " +
+        "per-(day, type) sketch rows answers 'how many users do " +
+        "types A and B share?' FROM STATE ALONE — at 100 TB a " +
+        "KB-sized sketch join instead of a raw-history rescan. " +
+        "Per-day partials union to per-type sketches " +
+        "(theta_union_agg), every pair intersects via a broadcast " +
+        "self-join of the types-sized sketch frame " +
+        "(theta_intersect_estimate — types² rows, never touching " +
+        "events again). Retention is hash-threshold-only under the " +
+        "fixed seed, so sketches, unions, intersections, and " +
+        "estimates are insertion-order-independent — reproducible " +
+        "at any parallelism (ThetaSpec pins order/split invariance). " +
+        "The q_hll_partials oracle contract: both engines emit the " +
+        "EXACT pair overlap (user-keyed equi-join of the distinct " +
+        "(type, user) frame, types²-bounded fan-out) while two " +
+        "deterministic flags assert sketch quality — the direct " +
+        "estimate within 5% of exact, and union-of-partials within " +
+        "1% of the single-pass sketch (below the 4096 nominal " +
+        "entries both are in EXACT mode, so the flags pin equality " +
+        "at test SFs and the tolerance documents estimation-mode " +
+        "behavior beyond)",
+      Some(
+        """WITH tu AS (
+          |  SELECT DISTINCT event_type, user_id FROM events
+          |), p AS (
+          |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+          |    CAST(count(*) AS BIGINT) AS n_overlap
+          |  FROM tu a JOIN tu b
+          |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+          |  GROUP BY 1, 2
+          |)
+          |SELECT type_a, type_b, n_overlap,
+          |  CAST(1 AS BIGINT) AS within_5pct,
+          |  CAST(1 AS BIGINT) AS partials_within_1pct
+          |FROM p ORDER BY type_a, type_b""".stripMargin),
+    ) { (s, dir) =>
+      graft.functions.Theta.register(s)
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          col("user_id"))
+      val tu = ev.select("event_type", "user_id").distinct()
+      // Exact twin: user-keyed equi-join, types² bounded output.
+      val exact = tu.select(col("event_type").as("type_a"), col("user_id"))
+        .join(tu.select(col("event_type").as("type_b"), col("user_id")),
+          Seq("user_id"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_overlap"))
+      // Stage 1 — the per-(day, type) sketch state a pipeline persists.
+      val state = ev.groupBy("day", "event_type")
+        .agg(expr("theta_sketch_agg(user_id)").as("sk"))
+      // Stage 2 — rollups run on STATE/distinct frames, not raw events.
+      val fromPartials = state.groupBy("event_type")
+        .agg(expr("theta_union_agg(sk)").as("sk"))
+      val direct = tu.groupBy("event_type")
+        .agg(expr("theta_sketch_agg(user_id)").as("sk"))
+      def pairs(perType: DataFrame, estName: String): DataFrame =
+        perType.select(col("event_type").as("type_a"), col("sk").as("sk_a"))
+          .join(broadcast(perType.select(col("event_type").as("type_b"),
+            col("sk").as("sk_b"))), col("type_a") < col("type_b"))
+          .select(col("type_a"), col("type_b"),
+            expr("theta_intersect_estimate(sk_a, sk_b)").as(estName))
+      exact
+        .join(pairs(direct, "est_direct"), Seq("type_a", "type_b"))
+        .join(pairs(fromPartials, "est_partials"), Seq("type_a", "type_b"))
+        .select(col("type_a"), col("type_b"), col("n_overlap"),
+          when(abs(col("est_direct") - col("n_overlap")).cast("double")
+            / col("n_overlap") <= 0.05, 1L).otherwise(0L).as("within_5pct"),
+          when(abs(col("est_partials") - col("est_direct")).cast("double")
+            / greatest(col("est_direct"), lit(1L)) <= 0.01, 1L).otherwise(0L)
+            .as("partials_within_1pct"))
+        .orderBy("type_a", "type_b")
+    },
   )
 
   /** RFM scoring core (q_rfm + Round9OpsSpec planted contract): one

@@ -46,6 +46,15 @@ class ExtensionsSpec extends AnyFunSuite {
       val rh = s.sql("SELECT rollhash60('abcdef', 3) AS rh").collect().head
       assert(rh.getSeq[Long](0) ==
         Seq("abc", "bcd", "cde", "def").map(graft.functions.RollHash.gramHash))
+      s.range(200).createOrReplaceTempView("theta_ext_t")
+      val th = s.sql(
+        """SELECT theta_estimate(theta_union_agg(sk)) AS u,
+          |  theta_intersect_estimate(min(sk), min(sk)) AS i
+          |FROM (SELECT id % 2 AS g, theta_sketch_agg(id % 50) AS sk
+          |      FROM theta_ext_t GROUP BY id % 2)""".stripMargin).collect().head
+      // group 0 sketches the 25 even residues, group 1 the 25 odd;
+      // union = 50, self-intersection of either = 25.
+      assert(th.getLong(0) == 50L && th.getLong(1) == 25L)
       // Bloom pair: build over 0..99, probe a member and a non-member
       // (bloom guarantees no false negatives; 1000 is far outside).
       s.range(100).createOrReplaceTempView("bloom_ext_t")
