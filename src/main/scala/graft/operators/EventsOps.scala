@@ -2374,58 +2374,81 @@ object EventsOps {
         "entries both are in EXACT mode, so the flags pin equality " +
         "at test SFs and the tolerance documents estimation-mode " +
         "behavior beyond)",
-      Some(
-        """WITH tu AS (
-          |  SELECT DISTINCT event_type, user_id FROM events
-          |), p AS (
-          |  SELECT a.event_type AS type_a, b.event_type AS type_b,
-          |    CAST(count(*) AS BIGINT) AS n_overlap
-          |  FROM tu a JOIN tu b
-          |    ON a.user_id = b.user_id AND a.event_type < b.event_type
-          |  GROUP BY 1, 2
-          |)
-          |SELECT type_a, type_b, n_overlap,
-          |  CAST(1 AS BIGINT) AS within_5pct,
-          |  CAST(1 AS BIGINT) AS partials_within_1pct
-          |FROM p ORDER BY type_a, type_b""".stripMargin),
+      Some(thetaIntersectSql),
     ) { (s, dir) =>
       graft.functions.Theta.register(s)
-      val ev = Tables.events(s, dir)
-        .select(col("event_type"), to_date(col("ts")).as("day"),
-          col("user_id"))
+      val ev = thetaEvents(s, dir)
       val tu = ev.select("event_type", "user_id").distinct()
-      // Exact twin: user-keyed equi-join, types² bounded output.
-      val exact = tu.select(col("event_type").as("type_a"), col("user_id"))
-        .join(tu.select(col("event_type").as("type_b"), col("user_id")),
-          Seq("user_id"))
-        .filter(col("type_a") < col("type_b"))
-        .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_overlap"))
       // Stage 1 — the per-(day, type) sketch state a pipeline persists.
       val state = ev.groupBy("day", "event_type")
         .agg(expr("theta_sketch_agg(user_id)").as("sk"))
       // Stage 2 — rollups run on STATE/distinct frames, not raw events.
       val fromPartials = state.groupBy("event_type")
         .agg(expr("theta_union_agg(sk)").as("sk"))
-      val direct = tu.groupBy("event_type")
-        .agg(expr("theta_sketch_agg(user_id)").as("sk"))
-      def pairs(perType: DataFrame, estName: String): DataFrame =
-        perType.select(col("event_type").as("type_a"), col("sk").as("sk_a"))
-          .join(broadcast(perType.select(col("event_type").as("type_b"),
-            col("sk").as("sk_b"))), col("type_a") < col("type_b"))
-          .select(col("type_a"), col("type_b"),
-            expr("theta_intersect_estimate(sk_a, sk_b)").as(estName))
-      exact
-        .join(pairs(direct, "est_direct"), Seq("type_a", "type_b"))
-        .join(pairs(fromPartials, "est_partials"), Seq("type_a", "type_b"))
-        .select(col("type_a"), col("type_b"), col("n_overlap"),
-          when(abs(col("est_direct") - col("n_overlap")).cast("double")
-            / col("n_overlap") <= 0.05, 1L).otherwise(0L).as("within_5pct"),
-          when(abs(col("est_partials") - col("est_direct")).cast("double")
-            / greatest(col("est_direct"), lit(1L)) <= 0.01, 1L).otherwise(0L)
-            .as("partials_within_1pct"))
-        .orderBy("type_a", "type_b")
+      thetaReadout(tu, fromPartials)
     },
   )
+
+  /** Shared oracle for q_theta_intersect AND q_stream_theta — the
+    * batch/stream twins agree byte-for-byte because theta state is a
+    * pure function of the SET (the momentsSql precedent). Lazy: it is
+    * referenced from `all` above its definition point, and a strict
+    * val would still be null during object init. */
+  private[graft] lazy val thetaIntersectSql: String =
+    """WITH tu AS (
+      |  SELECT DISTINCT event_type, user_id FROM events
+      |), p AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    CAST(count(*) AS BIGINT) AS n_overlap
+      |  FROM tu a JOIN tu b
+      |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2
+      |)
+      |SELECT type_a, type_b, n_overlap,
+      |  CAST(1 AS BIGINT) AS within_5pct,
+      |  CAST(1 AS BIGINT) AS partials_within_1pct
+      |FROM p ORDER BY type_a, type_b""".stripMargin
+
+  /** (event_type, day, user_id) frame both theta faces sketch. */
+  private[graft] def thetaEvents(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("user_id"))
+
+  /** Theta readout shared by q_theta_intersect and q_stream_theta:
+    * exact pair overlap (user-keyed equi-join of the distinct
+    * (type, user) frame, types²-bounded) plus the two deterministic
+    * sketch-quality flags — the given per-type sketch frame (built
+    * from day partials or streamed batch partials; callers differ
+    * ONLY in how that state was accumulated) against exact, and
+    * against a direct single-pass sketch of the same distinct frame.
+    */
+  private[graft] def thetaReadout(
+      tu: DataFrame, fromPartials: DataFrame): DataFrame = {
+    val exact = tu.select(col("event_type").as("type_a"), col("user_id"))
+      .join(tu.select(col("event_type").as("type_b"), col("user_id")),
+        Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_overlap"))
+    val direct = tu.groupBy("event_type")
+      .agg(expr("theta_sketch_agg(user_id)").as("sk"))
+    def pairs(perType: DataFrame, estName: String): DataFrame =
+      perType.select(col("event_type").as("type_a"), col("sk").as("sk_a"))
+        .join(broadcast(perType.select(col("event_type").as("type_b"),
+          col("sk").as("sk_b"))), col("type_a") < col("type_b"))
+        .select(col("type_a"), col("type_b"),
+          expr("theta_intersect_estimate(sk_a, sk_b)").as(estName))
+    exact
+      .join(pairs(direct, "est_direct"), Seq("type_a", "type_b"))
+      .join(pairs(fromPartials, "est_partials"), Seq("type_a", "type_b"))
+      .select(col("type_a"), col("type_b"), col("n_overlap"),
+        when(abs(col("est_direct") - col("n_overlap")).cast("double")
+          / col("n_overlap") <= 0.05, 1L).otherwise(0L).as("within_5pct"),
+        when(abs(col("est_partials") - col("est_direct")).cast("double")
+          / greatest(col("est_direct"), lit(1L)) <= 0.01, 1L).otherwise(0L)
+          .as("partials_within_1pct"))
+      .orderBy("type_a", "type_b")
+  }
 
   /** RFM scoring core (q_rfm + Round9OpsSpec planted contract): one
     * user-keyed purchase agg → 1-row exact quartile boundaries

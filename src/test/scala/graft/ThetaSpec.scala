@@ -65,6 +65,50 @@ class ThetaSpec extends AnyFunSuite {
     assert(math.abs(est - 30000L) <= 1500L, s"estimate $est off by >5%")
   }
 
+  test("streamed per-batch state rows answer overlap exactly (3 real micro-batches)") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    // Users 0..599 across two types with a known overlap: type A holds
+    // even users, type B holds multiples of 3 -> |A∩B| = multiples of
+    // 6 in [0, 600) = 100. Staged as THREE files so the file source
+    // genuinely runs three micro-batches (maxFilesPerTrigger=1).
+    val rows = (0L until 600L).flatMap { u =>
+      (if (u % 2 == 0) Seq(("A", u)) else Nil) ++
+        (if (u % 3 == 0) Seq(("B", u)) else Nil)
+    }
+    val root = java.nio.file.Files.createTempDirectory("theta-stream").toString
+    rows.zipWithIndex.groupBy(_._2 % 3).foreach { case (slice, rs) =>
+      rs.map(_._1).toDF("event_type", "user_id").coalesce(1)
+        .write.parquet(s"$root/src/slice$slice")
+    }
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = spark.readStream
+      .schema(spark.read.parquet(s"$root/src/slice0").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$root/src/*")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        Theta.register(batch.sparkSession)
+        batch.groupBy("event_type")
+          .agg(expr("theta_sketch_agg(user_id)").as("sk"))
+          .withColumn("batch_id", lit(bid))
+          .write.mode("append").parquet(s"$root/state")
+        batches.incrementAndGet()
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(batches.get() >= 3, s"expected >=3 micro-batches, got ${batches.get()}")
+    val perType = spark.read.parquet(s"$root/state")
+      .groupBy("event_type").agg(expr("theta_union_agg(sk)").as("sk"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(Theta.estimate(perType("A")) == 300L)
+    assert(Theta.estimate(perType("B")) == 200L)
+    assert(Theta.intersectEstimate(perType("A"), perType("B")) == 100L)
+  }
+
   test("string inputs hash like any other type") {
     import spark.implicits._
     val est = Seq("a", "b", "a", "c", "b").toDF("v")
