@@ -40,6 +40,10 @@ object AnnOps {
   /** q_knn_graph: neighbors per vector and query-side probe width. */
   private val KnnK = 5
 
+  /** q_bitext_mine: cross-side neighborhood size for the margin
+    * denominator (Artetxe & Schwenk use k=4). */
+  private val BtK = 4
+
   /** q_contrastive_pairs: anchor panel size. */
   private val PairAnchors = 10
   private val KnnNProbe = 2
@@ -3553,6 +3557,146 @@ object AnnOps {
         .select(col("vec_id"), col("r").as("round_added"),
           col("w").as("weight"), col("center_ord"))
         .orderBy("vec_id")
+    },
+
+    Q(
+      "q_bitext_mine",
+      "margin-based BITEXT MINING (Artetxe & Schwenk 2019, the " +
+        "standard parallel-corpus miner behind CCMatrix/LASER " +
+        "pipelines): embeddings split into two sides (label parity " +
+        "standing in for the two languages), and a cross-side pair " +
+        s"(x, y) is mined when each is the other's best match by " +
+        s"MARGIN — cosine normalized by the mean cosine to each " +
+        s"side's own $BtK nearest cross-side neighbors — with " +
+        "margin ≥ 1 (better than your neighborhood average, the " +
+        "ratio-margin criterion that beats absolute-cosine " +
+        "thresholds because hubness inflates raw cosines " +
+        "unevenly). Candidates are CELL-ROUTED, never all-pairs: " +
+        "the knnTopK machinery (corpus side in its argmin cell, " +
+        s"queries probing $KnnNProbe cells against a broadcast " +
+        "centroid pack), so the mirrored oracle routes identically " +
+        "and both engines rank the same candidate sets. The margin " +
+        "is exact-integer fixed point: 6dp cosines ×1e6 summed as " +
+        "BIGINT per neighborhood (order-free), one mirrored-text " +
+        "IEEE division at the end, mutual-best joins on ids only. " +
+        "At 100 TB the cell join is the one corpus-sized shuffle, " +
+        "per-query state is the k-row neighborhood, and the " +
+        "mutual-best join is pairs-sized — the documented IVF scale " +
+        "path shared with the whole search family",
+      Some(
+        s"""WITH e AS (
+           |  SELECT vec_id, embedding, label % 2 AS side FROM embeddings
+           |), cents AS (
+           |  SELECT vec_id AS cent_id, embedding AS ce FROM e WHERE vec_id < $KSeeds
+           |), routed AS (
+           |  SELECT vec_id, side, cent_id AS cell_id, embedding, rn FROM (
+           |    SELECT e.vec_id, e.side, c.cent_id, e.embedding,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        $d2Sql,
+           |        c.cent_id) AS rn
+           |    FROM e CROSS JOIN cents c) WHERE rn <= $KnnNProbe
+           |), corpus AS (
+           |  SELECT vec_id AS neighbor_id, side, cell_id, embedding
+           |  FROM routed WHERE rn = 1
+           |), queries AS (
+           |  SELECT vec_id, side, cell_id, embedding FROM routed
+           |), scored AS (
+           |  SELECT q.vec_id, q.side, c.neighbor_id,
+           |    ${cosSimSql("q.embedding", "c.embedding")} AS cos_sim
+           |  FROM queries q JOIN corpus c
+           |    ON q.cell_id = c.cell_id AND c.side <> q.side
+           |      AND c.neighbor_id <> q.vec_id
+           |), topk AS (
+           |  SELECT vec_id, side, neighbor_id, cos_sim,
+           |    CAST(round(cos_sim * 1000000) AS BIGINT) AS c6, rank FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY cos_sim DESC, neighbor_id) AS rank
+           |    FROM scored) WHERE rank <= $BtK
+           |), stats AS (
+           |  SELECT vec_id, CAST(count(*) AS BIGINT) AS n_nb,
+           |    CAST(sum(c6) AS BIGINT) AS s6
+           |  FROM topk GROUP BY vec_id
+           |), cand AS (
+           |  SELECT t.vec_id, t.side, t.neighbor_id, t.cos_sim,
+           |    round(CAST(t.c6 * (sa.n_nb + sb.n_nb) AS DOUBLE)
+           |      / (sa.s6 + sb.s6), 6) AS margin
+           |  FROM topk t
+           |  JOIN stats sa ON sa.vec_id = t.vec_id
+           |  JOIN stats sb ON sb.vec_id = t.neighbor_id
+           |  WHERE sa.s6 + sb.s6 > 0
+           |), fwd AS (
+           |  SELECT vec_id, neighbor_id, cos_sim, margin FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY margin DESC, neighbor_id) AS mrank
+           |    FROM cand WHERE side = 0) WHERE mrank = 1
+           |), bwd AS (
+           |  SELECT vec_id, neighbor_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY margin DESC, neighbor_id) AS mrank
+           |    FROM cand WHERE side = 1) WHERE mrank = 1
+           |)
+           |SELECT f.vec_id AS vec_a, f.neighbor_id AS vec_b, f.cos_sim,
+           |  f.margin
+           |FROM fwd f JOIN bwd b
+           |  ON b.vec_id = f.neighbor_id AND b.neighbor_id = f.vec_id
+           |WHERE f.margin >= 1.0
+           |ORDER BY vec_a""".stripMargin),
+    ) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          (col("label") % 2).cast("int").as("side"))
+      val cents = e.filter(col("vec_id") < KSeeds)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+      val packed = broadcast(packCents(cents))
+      val corpus = e.crossJoin(packed)
+        .withColumn("cell_id",
+          graft.functions.CentAssign.argminL2(s, "embedding", "cs"))
+        .select(col("cell_id"), col("side").as("nb_side"),
+          col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+      val queries = e.withColumn("vn2", normSq(col("embedding")))
+        .crossJoin(packed)
+        .withColumn("cell",
+          explode(slice(array_sort(centMetrics), 1, KnnNProbe)))
+        .select(col("cell.cent_id").as("cell_id"), col("vec_id"),
+          col("side"), col("embedding").as("qe"))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      val topk = queries.join(corpus, Seq("cell_id"))
+        .filter(col("nb_side") =!= col("side")
+          && col("neighbor_id") =!= col("vec_id"))
+        .select(col("vec_id"), col("side"), col("neighbor_id"),
+          cosSim(s, "qe", "ne").as("cos_sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= BtK)
+        .withColumn("c6", round(col("cos_sim") * 1e6, 0).cast("long"))
+        .localCheckpoint()
+      val stats = topk.groupBy("vec_id")
+        .agg(count(lit(1)).as("n_nb"), sum(col("c6")).as("s6"))
+      val cand = topk
+        .join(stats.select(col("vec_id"), col("n_nb").as("na"),
+          col("s6").as("sa")), Seq("vec_id"))
+        .join(stats.select(col("vec_id").as("neighbor_id"),
+          col("n_nb").as("nb"), col("s6").as("sb")), Seq("neighbor_id"))
+        .filter(col("sa") + col("sb") > 0)
+        .withColumn("margin",
+          round((col("c6") * (col("na") + col("nb"))).cast("double")
+            / (col("sa") + col("sb")), 6))
+      val mw = Window.partitionBy("vec_id")
+        .orderBy(col("margin").desc, col("neighbor_id"))
+      val fwd = cand.filter(col("side") === 0)
+        .withColumn("mrank", row_number().over(mw))
+        .filter(col("mrank") === 1)
+      val bwd = cand.filter(col("side") === 1)
+        .withColumn("mrank", row_number().over(mw))
+        .filter(col("mrank") === 1)
+        .select(col("vec_id").as("b_vec"), col("neighbor_id").as("b_nb"))
+      fwd
+        .join(bwd, col("b_vec") === col("neighbor_id")
+          && col("b_nb") === col("vec_id"))
+        .filter(col("margin") >= 1.0)
+        .select(col("vec_id").as("vec_a"), col("neighbor_id").as("vec_b"),
+          col("cos_sim"), col("margin"))
+        .orderBy("vec_a")
     },
   )
 
