@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BloomMightContain, CentArgmin, HyperplaneSignature, MinHashSignature, RollingGramHashes, SimHashSignature, ThetaEstimate, ThetaIntersectEstimate, ThetaSketchAgg, ThetaUnionAgg}
+import graft.functions.{BloomMightContain, CentArgmin, HyperplaneSignature, MinHashSignature, RollingGramHashes, SimHashSignature, ThetaAnotBEstimate, ThetaEstimate, ThetaIntersectEstimate, ThetaSketchAgg, ThetaUnionAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -77,6 +77,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "theta_intersect_estimate"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ThetaIntersectEstimate(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("theta_anotb_estimate"),
+      new ExpressionInfo(classOf[ThetaAnotBEstimate].getName,
+        "theta_anotb_estimate"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ThetaAnotBEstimate(exprs.head, exprs(1))))
     ext.injectFunction((
       FunctionIdentifier("rollhash60"),
       new ExpressionInfo(classOf[RollingGramHashes].getName, "rollhash60"),

@@ -182,6 +182,29 @@ case class ThetaIntersectEstimate(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `theta_anotb_estimate(a, b)` → rounded estimate of |A \ B| from
+  * the two compact sketches — with intersection, the full set algebra
+  * a sketch state table supports. */
+case class ThetaAnotBEstimate(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"theta_anotb_estimate requires (binary, binary), got $other")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "theta_anotb_estimate"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Theta.aNotBEstimate(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.Theta.aNotBEstimate($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ThetaAnotBEstimate =
+    copy(left = newLeft, right = newRight)
+}
+
 object Theta {
 
   /** 4096 nominal entries (lgK 12, the q_hll_partials precedent):
@@ -198,6 +221,13 @@ object Theta {
     Math.round(i.getResult(true, null).getEstimate)
   }
 
+  def aNotBEstimate(a: Array[Byte], b: Array[Byte]): Long = {
+    val d = SetOperation.builder().buildANotB()
+    d.setA(Sketches.wrapCompactSketch(Memory.wrap(a)))
+    d.notB(Sketches.wrapCompactSketch(Memory.wrap(b)))
+    Math.round(d.getResult(true, null, true).getEstimate)
+  }
+
   def register(s: SparkSession): Unit = {
     val r = s.sessionState.functionRegistry
     r.createOrReplaceTempFunction("theta_sketch_agg",
@@ -208,5 +238,7 @@ object Theta {
       exprs => ThetaEstimate(exprs.head), "built-in")
     r.createOrReplaceTempFunction("theta_intersect_estimate",
       exprs => ThetaIntersectEstimate(exprs.head, exprs(1)), "built-in")
+    r.createOrReplaceTempFunction("theta_anotb_estimate",
+      exprs => ThetaAnotBEstimate(exprs.head, exprs(1)), "built-in")
   }
 }

@@ -2387,6 +2387,68 @@ object EventsOps {
         .agg(expr("theta_union_agg(sk)").as("sk"))
       thetaReadout(tu, fromPartials)
     },
+
+    Q(
+      "q_theta_diff",
+      "EXCLUSIVE audience per event type via theta A-NOT-B — with " +
+        "q_theta_intersect's intersection, the full set algebra a " +
+        "sketch state table supports: users who did THIS type and no " +
+        "other, answered from per-type sketches alone " +
+        "(theta_anotb_estimate of each type's sketch against the " +
+        "union of all the others — a broadcast self-join of the " +
+        "types-sized sketch frame, types² sketch unions, events " +
+        "never rescanned). The q_hll_partials oracle contract " +
+        "again: both engines emit the EXACT per-type distinct and " +
+        "exclusive counts (one user-keyed type-count agg — a user " +
+        "is exclusive iff they touched exactly one type), plus a " +
+        "deterministic flag asserting the sketch path within 5% " +
+        "(exact-mode equality at test SFs). At 100 TB this is the " +
+        "churn-overlap audit every mixture owner runs daily, priced " +
+        "at a KB state join",
+      Some(
+        """WITH tu AS (
+          |  SELECT DISTINCT event_type, user_id FROM events
+          |), u AS (
+          |  SELECT user_id, count(*) AS nt FROM tu GROUP BY user_id
+          |), x AS (
+          |  SELECT t.event_type, CAST(count(*) AS BIGINT) AS n_exclusive
+          |  FROM tu t JOIN u ON u.user_id = t.user_id AND u.nt = 1
+          |  GROUP BY 1
+          |), n AS (
+          |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+          |  FROM tu GROUP BY 1
+          |)
+          |SELECT n.event_type, n.n_users,
+          |  coalesce(x.n_exclusive, 0) AS n_exclusive,
+          |  CAST(1 AS BIGINT) AS excl_within_5pct
+          |FROM n LEFT JOIN x USING (event_type)
+          |ORDER BY event_type""".stripMargin),
+    ) { (s, dir) =>
+      graft.functions.Theta.register(s)
+      val tu = thetaEvents(s, dir).select("event_type", "user_id").distinct()
+      val exact = tu
+        .withColumn("nt", count(lit(1))
+          .over(Window.partitionBy("user_id")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("nt") === 1, 1L).otherwise(0L)).as("n_exclusive"))
+      val perType = tu.groupBy("event_type")
+        .agg(expr("theta_sketch_agg(user_id)").as("sk"))
+      val others = perType.select(col("event_type").as("t"), col("sk"))
+        .join(broadcast(perType.select(col("event_type"), col("sk")
+          .as("sk_o"))), col("event_type") =!= col("t"))
+        .groupBy(col("t").as("event_type"))
+        .agg(expr("theta_union_agg(sk_o)").as("others_sk"))
+      val est = perType.join(others, Seq("event_type"))
+        .select(col("event_type"),
+          expr("theta_anotb_estimate(sk, others_sk)").as("est_excl"))
+      exact.join(est, Seq("event_type"))
+        .select(col("event_type"), col("n_users"), col("n_exclusive"),
+          when(abs(col("est_excl") - col("n_exclusive")).cast("double")
+            / greatest(col("n_exclusive"), lit(1L)) <= 0.05, 1L)
+            .otherwise(0L).as("excl_within_5pct"))
+        .orderBy("event_type")
+    },
   )
 
   /** Shared oracle for q_theta_intersect AND q_stream_theta — the

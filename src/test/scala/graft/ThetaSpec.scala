@@ -45,6 +45,19 @@ class ThetaSpec extends AnyFunSuite {
     assert(Theta.estimate(skA) == 1000L && Theta.estimate(skB) == 667L)
   }
 
+  test("a-not-b from sketches equals the exact difference in exact mode") {
+    import spark.implicits._
+    // A = multiples of 2 in [0, 2000) (1000), B = multiples of 3 (667):
+    // |A\B| = 1000 - 334 = 666, |B\A| = 667 - 334 = 333.
+    val df = (0L until 2000L).toDF("v")
+    val skA = df.filter(col("v") % 2 === 0)
+      .select(expr("theta_sketch_agg(v)").as("sk")).collect()(0).getAs[Array[Byte]](0)
+    val skB = df.filter(col("v") % 3 === 0)
+      .select(expr("theta_sketch_agg(v)").as("sk")).collect()(0).getAs[Array[Byte]](0)
+    assert(Theta.aNotBEstimate(skA, skB) == 666L)
+    assert(Theta.aNotBEstimate(skB, skA) == 333L)
+  }
+
   test("union of per-slice partials equals the direct single-pass sketch") {
     import spark.implicits._
     val df = (1L to 5000L).map(i => (i % 10, (i * 31L) % 1200)).toDF("slice", "v")
