@@ -1418,6 +1418,92 @@ object Relational {
     },
 
     Q(
+      "q_schema_rename",
+      "RENAME/DROP schema evolution via a COLUMN-ID manifest — the " +
+        "half q_schema_evolution documents as out of scope for " +
+        "name-based reads, implemented the way table formats " +
+        "actually do it (Iceberg's field-id mapping distilled): " +
+        "each generation dir carries a tiny `_manifest.csv` of " +
+        "(field_id, physical_name) rows; generation 2 RENAMES lang " +
+        "to language (same id 3), DROPS n_chars (id 4), and ADDS " +
+        "source (id 5). The read maps each generation's physical " +
+        "columns through its manifest to the LATEST names by id — " +
+        "so gen1's `lang` lands in `language` (n_language_null = 0, " +
+        "the id-mapping proof), dropped ids vanish, and added ids " +
+        "surface as nulls for old files (n_source_null = gen1 " +
+        "rows). The contrast column comes from the NAME-BASED " +
+        "mergeSchema read of the same files, where the rename is " +
+        "indistinguishable from drop+add and every gen1 row has a " +
+        "null `language` (name_read_language_nulls) — parquet " +
+        "footer names alone cannot express a rename, which is the " +
+        "whole reason formats carry ids. Manifests are O(columns) " +
+        "metadata read driver-side (the table-format planner's job, " +
+        "the q_bloom_skipping manifest precedent); the mapping " +
+        "itself is pure plan work (renames + unionByName), zero " +
+        "extra passes. Oracle recomputes every counter from the " +
+        "source-of-truth table over the doc_id parity split",
+      Some(
+        """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          |  CAST(0 AS BIGINT) AS n_language_null,
+          |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_source_null,
+          |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS name_read_language_nulls,
+          |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+          |FROM documents""".stripMargin),
+    ) { (s, dir) =>
+      import java.nio.file.{Files, Paths}
+      val out = Scratch.dir()
+      val docs = Tables.documents(s, dir)
+      docs.filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "text", "lang", "n_chars")
+        .write.parquet(s"$out/gen1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"), col("lang").as("language"),
+          col("source"))
+        .write.parquet(s"$out/gen2")
+      def writeManifest(gen: String, m: Seq[(Int, String)]): Unit =
+        Files.writeString(Paths.get(s"$out/$gen/_manifest.csv"),
+          m.map { case (i, n) => s"$i,$n" }.mkString("\n"))
+      writeManifest("gen1",
+        Seq(1 -> "doc_id", 2 -> "text", 3 -> "lang", 4 -> "n_chars"))
+      writeManifest("gen2",
+        Seq(1 -> "doc_id", 2 -> "text", 3 -> "language", 5 -> "source"))
+      def readManifest(gen: String): Seq[(Int, String)] = {
+        import scala.jdk.CollectionConverters._
+        Files.readAllLines(Paths.get(s"$out/$gen/_manifest.csv")).asScala
+          .toSeq.map { l =>
+            val Array(i, n) = l.split(","); (i.toInt, n)
+          }
+      }
+      // Latest logical schema = the newest generation's manifest.
+      val latest = readManifest("gen2").toMap
+      def idMapped(gen: String): org.apache.spark.sql.DataFrame = {
+        val byName = readManifest(gen).map(_.swap).toMap
+        val df = s.read.parquet(s"$out/$gen")
+        df.select(df.columns.toIndexedSeq
+          .filter(c => latest.contains(byName(c)))
+          .map(c => col(c).as(latest(byName(c)))): _*)
+      }
+      val unified = idMapped("gen1")
+        .unionByName(idMapped("gen2"), allowMissingColumns = true)
+      val mapped = unified.agg(count(lit(1)).as("n_rows"),
+        sum(when(col("language").isNull, 1L).otherwise(0L))
+          .as("n_language_null"),
+        sum(when(col("source").isNull, 1L).otherwise(0L)).as("n_source_null"),
+        countDistinct(col("language")).as("n_langs"))
+      // The name-based read of the SAME files: rename reads as
+      // drop+add, so gen1 rows have a null `language`.
+      val naive = s.read.option("mergeSchema", "true")
+        .parquet(s"$out/gen1", s"$out/gen2")
+        .agg(sum(when(col("language").isNull, 1L).otherwise(0L))
+          .as("name_read_language_nulls"))
+      mapped.crossJoin(naive)
+        .select(col("n_rows"), col("n_language_null"), col("n_source_null"),
+          col("name_read_language_nulls"), col("n_langs"))
+    },
+
+    Q(
       "q_bloom_skipping",
       "BLOOM-manifest file skipping — the point-lookup complement to " +
         "q_file_skipping's min/max spans: the layout is " +

@@ -611,6 +611,24 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(r.getLong(3) >= 1)
   }
 
+  // ---- q_schema_rename ----
+
+  test("q_schema_rename: id mapping reunifies the rename the name read cannot") {
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("q_schema_rename")(spark, dir).collect()(0)
+    val docs = graft.Tables.documents(spark, dir)
+    val gen1 = docs.filter(col("doc_id") % 2 === 0).count()
+    assert(r.getLong(0) == docs.count())
+    assert(r.getLong(1) == 0L,
+      "id-mapped read must carry every gen1 lang into language")
+    assert(r.getLong(2) == gen1, "source is null exactly for gen1 rows")
+    assert(r.getLong(3) == gen1,
+      "the name-based read must miss language for every gen1 row — " +
+        "the defect the id mapping exists to fix")
+    assert(r.getLong(4) == docs.agg(countDistinct(col("lang")))
+      .head().getLong(0))
+  }
+
   // ---- q_moments / q_stream_moments ----
 
   test("q_moments matches Spark's built-in skewness/kurtosis within float slack") {
