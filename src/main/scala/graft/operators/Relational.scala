@@ -1504,6 +1504,81 @@ object Relational {
     },
 
     Q(
+      "q_gdpr_delete",
+      "RIGHT-TO-BE-FORGOTTEN deletion without a table rewrite — the " +
+        "write-side complement to q_bloom_skipping's read-side " +
+        "pruning, and the deletion-vector/partial-compaction pattern " +
+        "every table format ships for GDPR: the events table is laid " +
+        "out user-range-partitioned (8 files), ONE user's erasure " +
+        "request arrives (max user_id — a query parameter at 100 " +
+        "TB), and the per-file bloom MANIFEST (bloom_agg of " +
+        "xxhash64(user_id) per file — mergeable sketch metadata, the " +
+        "q_bloom_skipping machinery) identifies which files can " +
+        "contain the user. ONLY those files are rewritten with the " +
+        "tombstone anti-filter; every other file is carried " +
+        "byte-untouched — no-false-negatives guarantees no surviving " +
+        "row of the user, and the skipped_files flag pins that " +
+        "skipping actually happened (1 affected file of 8 under the " +
+        "user-range layout; a ts-partitioned layout would smear the " +
+        "user over every file, which is WHY erasure-heavy tables " +
+        "cluster by subject id). Driver work is O(files) manifest " +
+        "rows + one key lookup — the table-format planner's job. " +
+        "Oracle recomputes every counter and the exact fixed-point " +
+        "value sum of the survivors from the source-of-truth table",
+      Some(
+        s"""WITH t AS (SELECT max(user_id) AS del FROM events)
+           |SELECT CAST(count(*) AS BIGINT) AS n_rows_before,
+           |  CAST(sum(CASE WHEN user_id = del THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_rows_deleted,
+           |  CAST(sum(CASE WHEN user_id <> del THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_rows_after,
+           |  CAST(sum(CASE WHEN user_id <> del
+           |    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) / 100.0
+           |    AS DOUBLE) AS sum_value_after,
+           |  CAST(1 AS BIGINT) AS skipped_files
+           |FROM events CROSS JOIN t""".stripMargin),
+    ) { (s, dir) =>
+      graft.functions.Bloom.register(s)
+      val out = Scratch.dir()
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("value"))
+      ev.repartitionByRange(8, col("user_id")).write.parquet(s"$out/t")
+      val staged = s.read.parquet(s"$out/t")
+      val nBefore = staged.count()
+      val del = staged.agg(max(col("user_id"))).collect()(0).getLong(0)
+      val delHash = s.sql(s"SELECT xxhash64(CAST($del AS BIGINT))")
+        .collect()(0).getLong(0)
+      // Manifest: one mergeable bloom per file (O(files) sketch rows).
+      val manifest = staged
+        .groupBy(input_file_name().as("file"))
+        .agg(expr("bloom_agg(xxhash64(user_id))").as("bf"))
+        .collect()
+      val (affected, untouched) = manifest.partition { r =>
+        org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(
+            r.getAs[Array[Byte]]("bf")))
+          .mightContainLong(delHash)
+      }
+      // Partial compaction: the affected files rewritten with the
+      // anti-filter, everything else carried untouched.
+      s.read.parquet(affected.map(_.getString(0)).toIndexedSeq: _*)
+        .filter(col("user_id") =!= del)
+        .write.parquet(s"$out/rewritten")
+      val after = s.read.parquet(
+        (untouched.map(_.getString(0)) :+ s"$out/rewritten")
+          .toIndexedSeq: _*)
+      after
+        .agg(count(lit(1)).as("n_rows_after"),
+          (sum(round(col("value") * 100, 0).cast("long")) / 100.0)
+            .cast("double").as("sum_value_after"))
+        .select(lit(nBefore).as("n_rows_before"),
+          (lit(nBefore) - col("n_rows_after")).as("n_rows_deleted"),
+          col("n_rows_after"), col("sum_value_after"),
+          lit(if (affected.length < manifest.length) 1L else 0L)
+            .as("skipped_files"))
+    },
+
+    Q(
       "q_bloom_skipping",
       "BLOOM-manifest file skipping — the point-lookup complement to " +
         "q_file_skipping's min/max spans: the layout is " +

@@ -629,6 +629,22 @@ class Round9OpsSpec extends AnyFunSuite {
       .head().getLong(0))
   }
 
+  // ---- q_gdpr_delete ----
+
+  test("q_gdpr_delete: erasure is total, survivors exact, and files were skipped") {
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("q_gdpr_delete")(spark, dir).collect()(0)
+    val ev = graft.Tables.events(spark, dir)
+    val del = ev.agg(max(col("user_id"))).head().getLong(0)
+    val expectDeleted = ev.filter(col("user_id") === del).count()
+    assert(expectDeleted > 0, "the planted request must actually own rows")
+    assert(r.getLong(0) == ev.count())
+    assert(r.getLong(1) == expectDeleted, "every row of the subject erased")
+    assert(r.getLong(2) == r.getLong(0) - expectDeleted)
+    assert(r.getLong(4) == 1L,
+      "the user-range layout must leave most files untouched")
+  }
+
   // ---- q_moments / q_stream_moments ----
 
   test("q_moments matches Spark's built-in skewness/kurtosis within float slack") {
