@@ -817,6 +817,13 @@ object TextOps {
   /** q_weighted_sample: sample size. */
   private[graft] val WeightedSampleK = 100
 
+  /** q_dsir_select: hashed-feature bucket count (also the add-1
+    * smoothing denominator's vocabulary size), the target-domain
+    * stand-in, and the selection size. */
+  private[graft] val DsirBuckets = 1024L
+  private[graft] val DsirTargetLang = "zh"
+  private[graft] val DsirK = 100
+
   /** Content-defined chunking shape (q_cdc_chunks): char-K-gram hash
     * boundary test with divisor D → expected chunk ≈ D chars. D must
     * be PRIME and coprime to the rolling base: the classic power-of-
@@ -1973,6 +1980,106 @@ object TextOps {
       rates.join(kept, Seq("lang"))
         .select(col("lang"), col("n_docs"), col("n_kept"),
           round(col("thresh") / lit(1048576.0), 6).as("rate"))
+        .orderBy("lang")
+    },
+
+    Q(
+      "q_dsir_select",
+      "DSIR data selection (Xie et al. 2023, Data Selection via " +
+        s"Importance Resampling — the pretraining-curation method " +
+        s"behind domain-targeted corpus building): hashed word " +
+        s"features ($DsirBuckets md5 buckets), two add-1-smoothed " +
+        s"bucket unigram LMs — the TARGET domain (lang = " +
+        s"'$DsirTargetLang' standing in for the held-out domain " +
+        s"sample) and the RAW corpus — and each document scored by " +
+        "its exact-integer sum of per-bucket log importance ratios " +
+        "(ln ratios rounded once onto the ×1e6 grid, the unigram-LM " +
+        s"precedent, so the per-doc sum is order-free BIGINT); the " +
+        s"top $DsirK by (score, doc_id) are selected and the " +
+        "readout is the per-lang corpus-vs-selected mix — the shift " +
+        "toward target-LIKE CONTENT (not target labels: DsirSpec " +
+        "plants off-target-language docs with target-like tokens " +
+        "and pins that they are selected over target-language-" +
+        "agnostic ones). Scale: both LMs are B-bounded state built " +
+        "by one token pass; scoring is a broadcast join of the " +
+        s"$DsirBuckets-row ratio table against exploded tokens + " +
+        "one doc-keyed exact sum; selection is orderBy-limit " +
+        "(TakeOrdered — per-partition heap + driver merge of " +
+        s"$DsirK rows, never a global sort); raw sum is " +
+        "length-biased exactly as the original method (documented " +
+        "there too — normalization is a caller-side variant)",
+      Some(
+        s"""WITH tok AS (
+           |  SELECT doc_id, lang, w FROM (
+           |    SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w
+           |    FROM documents) WHERE w <> ''
+           |), bt AS (
+           |  SELECT doc_id, lang,
+           |    CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % $DsirBuckets AS b
+           |  FROM tok
+           |), ct AS (
+           |  SELECT b, count(*) AS c FROM bt WHERE lang = '$DsirTargetLang'
+           |  GROUP BY b
+           |), cr AS (
+           |  SELECT b, count(*) AS c FROM bt GROUP BY b
+           |), tot AS (
+           |  SELECT (SELECT count(*) FROM bt WHERE lang = '$DsirTargetLang') AS nt,
+           |         (SELECT count(*) FROM bt) AS nr
+           |), lr AS (
+           |  SELECT cr.b,
+           |    CAST(round((ln(coalesce(ct.c, 0) + 1) - ln(nt + $DsirBuckets)
+           |      - ln(cr.c + 1) + ln(nr + $DsirBuckets)) * 1000000) AS BIGINT)
+           |      AS lr6
+           |  FROM cr LEFT JOIN ct ON ct.b = cr.b CROSS JOIN tot
+           |), scored AS (
+           |  SELECT bt.doc_id, bt.lang, CAST(sum(lr.lr6) AS BIGINT) AS score6
+           |  FROM bt JOIN lr ON lr.b = bt.b
+           |  GROUP BY bt.doc_id, bt.lang
+           |), sel AS (
+           |  SELECT doc_id, lang FROM (
+           |    SELECT doc_id, lang,
+           |      row_number() OVER (ORDER BY score6 DESC, doc_id) AS rk
+           |    FROM scored) WHERE rk <= $DsirK
+           |), corpus AS (
+           |  SELECT lang, CAST(count(*) AS BIGINT) AS n_corpus
+           |  FROM documents GROUP BY lang
+           |), chosen AS (
+           |  SELECT lang, CAST(count(*) AS BIGINT) AS n_selected
+           |  FROM sel GROUP BY lang
+           |)
+           |SELECT c.lang, c.n_corpus, coalesce(ch.n_selected, 0) AS n_selected
+           |FROM corpus c LEFT JOIN chosen ch ON ch.lang = c.lang
+           |ORDER BY c.lang""".stripMargin),
+    ) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val bt = docs
+        .select(col("doc_id"), col("lang"),
+          explode(expr("filter(split(lower(text), ' '), x -> x <> '')"))
+            .as("w"))
+        .select(col("doc_id"), col("lang"),
+          (Portable.md5Hash60(col("w")) % DsirBuckets).as("b"))
+      val ct = bt.filter(col("lang") === DsirTargetLang)
+        .groupBy("b").agg(count(lit(1)).as("c_t"))
+      val cr = bt.groupBy("b").agg(count(lit(1)).as("c_r"))
+      val tot = bt.agg(
+        sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("nt"),
+        count(lit(1)).as("nr"))
+      val lr = cr.join(ct, Seq("b"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("b"),
+          round((log(coalesce(col("c_t"), lit(0L)) + 1)
+            - log(col("nt") + DsirBuckets)
+            - log(col("c_r") + 1)
+            + log(col("nr") + DsirBuckets)) * 1e6, 0).cast("long").as("lr6"))
+      val scored = bt.join(broadcast(lr), Seq("b"))
+        .groupBy("doc_id", "lang").agg(sum(col("lr6")).as("score6"))
+      val sel = scored.orderBy(col("score6").desc, col("doc_id"))
+        .limit(DsirK)
+      val corpus = docs.groupBy("lang").agg(count(lit(1)).as("n_corpus"))
+      val chosen = sel.groupBy("lang").agg(count(lit(1)).as("n_selected"))
+      corpus.join(chosen, Seq("lang"), "left")
+        .select(col("lang"), col("n_corpus"),
+          coalesce(col("n_selected"), lit(0L)).as("n_selected"))
         .orderBy("lang")
     },
 
