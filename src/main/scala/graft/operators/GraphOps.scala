@@ -54,6 +54,9 @@ object GraphOps {
     * L1-normalized and 9dp-rounded per half-round like PageRank. */
   private[graft] val HitsRounds = 3
 
+  /** q_anf_reach: sketch-BFS rounds (oracle-unrolled pair closure). */
+  private[graft] val AnfRounds = 3
+
   /** q_link_predict: predictions emitted (TakeOrdered heap cut). */
   private[graft] val LinkPredK = 20
 
@@ -476,6 +479,97 @@ object GraphOps {
           .localCheckpoint()
       }
       dist.orderBy("item")
+    },
+
+    Q(
+      "q_anf_reach",
+      s"approximate neighborhood function via SKETCH-STATE BFS " +
+        s"(ANF, Palmer et al. 2002 / HyperBall with theta in the HLL " +
+        s"slot): every node carries a mergeable sketch of its " +
+        s"reachability ball, and round i unions each node's sketch " +
+        s"with its out-neighbors' — so N(i) = Σ_v |ball_i(v)|, the " +
+        "neighborhood function that yields effective diameter, is " +
+        s"read off per-node state in O($AnfRounds) edge-keyed " +
+        "rounds. THIS is how web-scale graph distances are actually " +
+        "measured: the exact pairwise closure is O(n²) state that " +
+        "breaks first at scale (here it is the oracle's job — the " +
+        "q_hll_partials contract: both engines emit the EXACT " +
+        "per-round reachable-pair counts and reach ratios, and a " +
+        "deterministic flag asserts the sketch-summed N(i) within " +
+        "5%, which is exact-mode equality at test SFs since balls " +
+        "are node-bounded). Per round ONE edge-keyed join + " +
+        "node-keyed theta_union_agg, localCheckpoint — linear " +
+        "lineage, per-node state ~KB regardless of ball size, the " +
+        "whole point vs the pairs table",
+      Some {
+        val rounds = (1 to AnfRounds).map { i =>
+          s""", p$i AS (
+             |  SELECT DISTINCT v, r FROM (
+             |    SELECT v, r FROM p${i - 1}
+             |    UNION ALL
+             |    SELECT e.a AS v, p.r FROM edges e JOIN p${i - 1} p ON p.v = e.b)
+             |)""".stripMargin
+        }.mkString
+        val cnts = (0 to AnfRounds)
+          .map(i => s"SELECT $i AS step, count(*) AS n FROM p$i")
+          .mkString("\n  UNION ALL ")
+        s"""WITH $edgesSqlCte,
+           |items AS (
+           |  SELECT DISTINCT item FROM (
+           |    SELECT a AS item FROM edges UNION ALL SELECT b FROM edges)
+           |), p0 AS (
+           |  SELECT item AS v, item AS r FROM items
+           |)$rounds, cnt AS (
+           |  $cnts
+           |), fin AS (SELECT n AS nf FROM cnt WHERE step = $AnfRounds)
+           |SELECT CAST(step AS BIGINT) AS step, CAST(n AS BIGINT) AS n_pairs,
+           |  round(CAST(n AS DOUBLE) / nf, 6) AS reach_ratio,
+           |  CAST(1 AS BIGINT) AS anf_within_5pct
+           |FROM cnt CROSS JOIN fin ORDER BY step""".stripMargin
+      },
+    ) { (s, dir) =>
+      graft.functions.Theta.register(s)
+      val edges = edgesOf(s, dir).select("a", "b").localCheckpoint()
+      val items = edges.select(col("a").as("item"))
+        .unionByName(edges.select(col("b").as("item"))).distinct()
+        .localCheckpoint()
+      // Sketch state: ball_0(v) = {v}; exact twin rides beside it.
+      var state = items.groupBy("item")
+        .agg(expr("theta_sketch_agg(item)").as("sk")).localCheckpoint()
+      var pairs = items.select(col("item").as("v"), col("item").as("r"))
+        .localCheckpoint()
+      def readout(i: Int): DataFrame = {
+        val est = state.agg(sum(expr("theta_estimate(sk)")).as("est"))
+        pairs.agg(count(lit(1)).as("n_pairs"))
+          .crossJoin(broadcast(est))
+          .select(lit(i.toLong).as("step"), col("n_pairs"),
+            when(abs(col("est") - col("n_pairs")).cast("double")
+              / col("n_pairs") <= 0.05, 1L).otherwise(0L)
+              .as("anf_within_5pct"))
+      }
+      var rows = readout(0)
+      for (i <- 1 to AnfRounds) {
+        state = state
+          .unionByName(edges
+            .join(state.select(col("item").as("b"), col("sk")), "b")
+            .select(col("a").as("item"), col("sk")))
+          .groupBy("item").agg(expr("theta_union_agg(sk)").as("sk"))
+          .localCheckpoint()
+        pairs = pairs
+          .unionByName(edges
+            .join(pairs.select(col("v").as("b"), col("r")), "b")
+            .select(col("a").as("v"), col("r")))
+          .distinct().localCheckpoint()
+        rows = rows.unionByName(readout(i))
+      }
+      val fin = rows.filter(col("step") === AnfRounds)
+        .select(col("n_pairs").as("nf"))
+      rows.crossJoin(broadcast(fin))
+        .select(col("step"), col("n_pairs"),
+          round(col("n_pairs").cast("double") / col("nf"), 6)
+            .as("reach_ratio"),
+          col("anf_within_5pct"))
+        .orderBy("step")
     },
 
     Q(

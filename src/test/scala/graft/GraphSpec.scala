@@ -151,4 +151,36 @@ class GraphSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"), s"plan:\n$p")
   }
+
+  test("q_anf_reach matches an adjacency-set k-hop closure, sketch flag exact") {
+    val edges = operators.GraphOps.edgesOf(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val out = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    for ((a, b) <- edges) out(a) += b
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    var balls = nodes.map(v => v -> Set(v)).toMap
+    val expected = scala.collection.mutable.ArrayBuffer(
+      (0L, nodes.length.toLong))
+    for (i <- 1 to operators.GraphOps.AnfRounds) {
+      balls = balls.map { case (v, ball) =>
+        v -> (ball ++ out(v).flatMap(balls))
+      }
+      expected += ((i.toLong, balls.values.map(_.size.toLong).sum))
+    }
+    val nf = expected.last._2
+    val got = SparkEntry.queries("q_anf_reach")(spark, dir).collect()
+      .map { case Row(s: Long, n: Long, ratio: Double, flag: Long) =>
+        (s, n, ratio, flag)
+      }
+    assert(got.map(g => (g._1, g._2)).toSeq == expected.toSeq,
+      s"pair counts: got ${got.toSeq} want $expected")
+    for ((s, n, ratio, flag) <- got) {
+      assert(ratio == r6(n.toDouble / nf), s"ratio at round $s")
+      assert(flag == 1L,
+        s"node-bounded balls must keep the sketch in exact mode (round $s)")
+    }
+    // the neighborhood function must actually grow on this graph
+    assert(expected.head._2 < nf, "rounds must expand reach")
+  }
 }
