@@ -2449,7 +2449,77 @@ object EventsOps {
             .otherwise(0L).as("excl_within_5pct"))
         .orderBy("event_type")
     },
+
+    thetaRollingQ,
   )
+
+  /** Registered in `all` beside the other theta faces (lazy: defined
+    * below the registry that references it, the thetaIntersectSql
+    * init-order rule). */
+  private[graft] lazy val thetaRollingQ: Q = Q(
+    "q_theta_rolling",
+    "rolling 7-day distinct users (the WAU curve) answered from " +
+      "per-DAY theta sketch state: one sketch row per day (the " +
+      "persisted table), and each day's trailing-week distinct count " +
+      "is a union of ≤7 sketch rows — the classic sliding-window " +
+      "distinct problem, where the exact answer needs every window " +
+      "to re-deduplicate its raw rows (a ×7 fan-out re-scan at 100 " +
+      "TB, which is precisely what the oracle twin pays here under " +
+      "the q_hll_partials contract) while the sketch path touches " +
+      "days×KB state. The day-spine self-join is a broadcast range " +
+      "join over #days rows; both engines emit the EXACT per-day " +
+      "window day-coverage and WAU (distinct users over the raw " +
+      "window — partial windows at series start included, identical " +
+      "in both), plus the deterministic 5% sketch flag (exact-mode " +
+      "equality at test SFs)",
+    Some(
+      """WITH ev AS (
+        |  SELECT DISTINCT
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+        |      AS day, user_id
+        |  FROM events
+        |), days AS (
+        |  SELECT DISTINCT day FROM ev
+        |), w AS (
+        |  SELECT d.day, e.day AS eday, e.user_id
+        |  FROM days d JOIN ev e
+        |    ON e.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+        |)
+        |SELECT day,
+        |  CAST(count(DISTINCT eday) AS BIGINT) AS n_days_window,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS wau,
+        |  CAST(1 AS BIGINT) AS wau_within_5pct
+        |FROM w GROUP BY day ORDER BY day""".stripMargin),
+  ) { (s, dir) =>
+    graft.functions.Theta.register(s)
+    val ev = Tables.events(s, dir)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .distinct()
+    // The persisted state: one sketch row per day.
+    val state = ev.groupBy("day")
+      .agg(expr("theta_sketch_agg(user_id)").as("sk"))
+    val days = state.select("day")
+    // Sketch path: trailing-week union over ≤7 STATE rows per day.
+    val est = days
+      .join(broadcast(state.select(col("day").as("sday"), col("sk"))),
+        col("sday") >= col("day") - expr("INTERVAL 6 DAYS")
+          && col("sday") <= col("day"))
+      .groupBy("day")
+      .agg(expr("theta_estimate(theta_union_agg(sk))").as("est_wau"))
+    // Exact twin: the ×7 raw-window fan-out the sketch path avoids.
+    val exact = days
+      .join(ev.select(col("day").as("eday"), col("user_id")),
+        col("eday") >= col("day") - expr("INTERVAL 6 DAYS")
+          && col("eday") <= col("day"))
+      .groupBy("day")
+      .agg(countDistinct(col("eday")).as("n_days_window"),
+        countDistinct(col("user_id")).as("wau"))
+    exact.join(est, Seq("day"))
+      .select(col("day"), col("n_days_window"), col("wau"),
+        when(abs(col("est_wau") - col("wau")).cast("double")
+          / col("wau") <= 0.05, 1L).otherwise(0L).as("wau_within_5pct"))
+      .orderBy("day")
+  }
 
   /** Shared oracle for q_theta_intersect AND q_stream_theta — the
     * batch/stream twins agree byte-for-byte because theta state is a

@@ -645,6 +645,31 @@ class Round9OpsSpec extends AnyFunSuite {
       "the user-range layout must leave most files untouched")
   }
 
+  // ---- q_theta_rolling ----
+
+  test("q_theta_rolling: trailing-week WAU matches an independent set fold") {
+    import org.apache.spark.sql.functions._
+    val dayUsers = graft.Tables.events(spark, dir)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .distinct().collect()
+      .map(r => r.getTimestamp(0).getTime -> r.getLong(1))
+    val days = dayUsers.map(_._1).distinct.sorted
+    val msWeek = 6L * 86400000L
+    val got = SparkEntry.queries("q_theta_rolling")(spark, dir).collect()
+    assert(got.map(_.getTimestamp(0).getTime).toSeq == days.toSeq)
+    for (r <- got) {
+      val d = r.getTimestamp(0).getTime
+      val win = dayUsers.filter { case (e, _) => e >= d - msWeek && e <= d }
+      assert(r.getLong(1) == win.map(_._1).distinct.length.toLong,
+        s"window day coverage at $d")
+      assert(r.getLong(2) == win.map(_._2).distinct.length.toLong,
+        s"WAU at $d")
+      assert(r.getLong(3) == 1L, "node-bounded windows stay exact-mode")
+    }
+    // early partial windows and a full steady state must both occur
+    assert(got.head.getLong(1) == 1L && got.last.getLong(1) == 7L)
+  }
+
   // ---- q_moments / q_stream_moments ----
 
   test("q_moments matches Spark's built-in skewness/kurtosis within float slack") {
