@@ -106,5 +106,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // instead of a nested loop (the in-code seam is
     // graft.plans.OverlapJoinBlocking.register).
     ext.injectOptimizerRule(_ => graft.plans.OverlapJoinBlocking)
+    // Optimizer rule: JOIN ... ON p >= lo AND p <= hi (range/interval
+    // theta join) plans as a binned equi-join instead of a nested
+    // loop (the in-code seam is graft.plans.RangeBinJoin.register).
+    ext.injectOptimizerRule(_ => graft.plans.RangeBinJoin)
   }
 }

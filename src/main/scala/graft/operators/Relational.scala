@@ -255,6 +255,55 @@ object Relational {
     },
 
     Q(
+      "q_range_join",
+      "the DECLARATIVE face of the range/interval join: the user " +
+        "writes the naive theta join `JOIN ON l_quantity >= lo AND " +
+        "l_quantity < hi` — no equi keys, so Spark alone can only " +
+        "nested-loop it — and the engine's RangeBinJoin optimizer " +
+        "rule (the FOURTH declarative-scale rule beside fuzzy/" +
+        "hamming/overlap blocking) plans it as a binned equi-join: " +
+        "the point side computes floor(p/G), each interval explodes " +
+        "over its overlapped buckets, and the original predicate " +
+        "re-applies as the verify. The binning identity is exact " +
+        "(floor and division by a positive constant are monotone) " +
+        "and NO canonical filter is needed — a qualifying pair " +
+        "meets on exactly one key because the point's bucket is " +
+        "single-valued. Exercises the half-open >=/< spelling where " +
+        "q_interval_join hand-binned a closed BETWEEN; NestedLoop-" +
+        "free is plan-pinned here and in RangeRuleSpec (which also " +
+        "pins brute-force equality, strict-bound semantics, the " +
+        "equi-key re-blocking guard, and null/inverted-interval " +
+        "passthrough). At 100 TB the blocked form is one bucket-" +
+        "keyed shuffle (or a broadcast of the exploded dim), " +
+        "AQE-skew-splittable — the interval side's fan-out is " +
+        "interval-length/G dim rows, the planner-supplied version " +
+        "of what q_interval_join builds by hand",
+      Some(
+        s"""WITH bands(band, lo, hi) AS (VALUES
+           |  ('p0', 1.0, 8.0), ('p1', 8.0, 21.0),
+           |  ('p2', 21.0, 37.0), ('p3', 37.0, 51.0))
+           |SELECT band, count(*) AS n_lines,
+           |  ${exactSumSql("l_quantity")} AS sum_qty
+           |FROM lineitem JOIN bands
+           |  ON l_quantity >= lo AND l_quantity < hi
+           |GROUP BY band ORDER BY band""".stripMargin),
+    ) { (s, dir) =>
+      graft.plans.RangeBinJoin.register(s)
+      import s.implicits._
+      val bands = Seq(
+        ("p0", 1.0, 8.0), ("p1", 8.0, 21.0),
+        ("p2", 21.0, 37.0), ("p3", 37.0, 51.0))
+        .toDF("band", "lo", "hi")
+      Tables.lineitem(s, dir).select(col("l_quantity"))
+        .join(bands,
+          col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_lines"),
+          exactSum(col("l_quantity")).as("sum_qty"))
+        .orderBy("band")
+    },
+
+    Q(
       "q_window_rank",
       "per-group top-1 via row_number window: single shuffle by customer, " +
         "rank computed in one pass per partition (no self-join)",

@@ -1,0 +1,114 @@
+package graft
+
+import graft.plans.RangeBinJoin
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The RangeBinJoin optimizer rule: a declarative
+  * `JOIN ON p >= lo AND p <= hi` must plan as the binned equi-join
+  * (no nested loop), return exactly the brute-force rows with
+  * multiplicity, honor strict bounds, and out-of-scope shapes must
+  * pass through untouched.
+  */
+class RangeRuleSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = TestSpark.spark
+    RangeBinJoin.register(s)
+    s
+  }
+
+  private val pts: Seq[Double] = Seq(0.5, 1.0, 7.9, 8.0, 15.0, 20.9, 21.0,
+    36.5, 37.0, 50.0, 51.0, -3.0, -9.0)
+  // ("b1", 8, 21) twice: multiplicity must be preserved; one interval
+  // spans negative buckets; one is inverted (matches nothing).
+  private val bands: Seq[(String, Double, Double)] = Seq(
+    ("b0", 1.0, 8.0), ("b1", 8.0, 21.0), ("b1", 8.0, 21.0),
+    ("b2", 21.0, 37.0), ("bn", -10.0, 0.0), ("inv", 30.0, 10.0))
+
+  test("declarative closed-range join: no nested loop, equals brute force") {
+    import spark.implicits._
+    val l = pts.toDF("p")
+    val r = bands.toDF("band", "lo", "hi")
+    val joined = l.join(r, col("p") >= col("lo") && col("p") <= col("hi"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"rule did not fire, plan:\n$plan")
+    val got = joined.collect().map(x => (x.getDouble(0), x.getString(1)))
+      .sorted.toSeq
+    val brute = (for {
+      p <- pts; (b, lo, hi) <- bands if p >= lo && p <= hi
+    } yield (p, b)).sorted
+    assert(got == brute)
+    // the duplicated b1 interval must double its matches
+    assert(got.count(_ == (15.0, "b1")) == 2)
+  }
+
+  test("strict bounds and residual conjuncts survive the rewrite exactly") {
+    import spark.implicits._
+    val l = pts.toDF("p")
+    val r = bands.toDF("band", "lo", "hi")
+    val joined = l.join(r,
+      col("p") >= col("lo") && col("p") < col("hi")
+        && col("band") =!= "bn")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"plan:\n$plan")
+    val got = joined.collect().map(x => (x.getDouble(0), x.getString(1)))
+      .sorted.toSeq
+    val brute = (for {
+      p <- pts; (b, lo, hi) <- bands if p >= lo && p < hi && b != "bn"
+    } yield (p, b)).sorted
+    assert(got == brute, "half-open boundary points must drop")
+  }
+
+  test("nulls drop exactly like the un-rewritten join") {
+    import spark.implicits._
+    val l = Seq(Some(5.0), None).toDF("p")
+    val r = Seq(("a", Some(1.0), Some(8.0)), ("n", None, Some(8.0)))
+      .toDF("band", "lo", "hi")
+    val joined = l.join(r, col("p") >= col("lo") && col("p") <= col("hi"))
+    val got = joined.collect().map(x => (x.getDouble(0), x.getString(1)))
+    assert(got.toSeq == Seq((5.0, "a")))
+  }
+
+  test("equi-key joins and outer joins stay un-rewritten") {
+    import spark.implicits._
+    // hand-binned shape: bucket equality + range verify in one
+    // condition — must not be re-blocked.
+    val l = Seq((15.0, 1L)).toDF("p", "kb")
+    val r = Seq(("b1", 8.0, 21.0, 1L)).toDF("band", "lo", "hi", "kb2")
+    val keyed = l.join(r, col("kb") === col("kb2")
+      && col("p") >= col("lo") && col("p") <= col("hi"))
+    val kp = keyed.queryExecution.executedPlan.toString
+    assert(!kp.contains("Generate explode"),
+      s"rule re-blocked an equi-key join, plan:\n$kp")
+    assert(keyed.count() == 1)
+    val lo = pts.toDF("p")
+    val ro = bands.toDF("band", "lo", "hi")
+    val outer = lo.join(ro,
+      col("p") >= col("lo") && col("p") <= col("hi"), "left")
+    val op = outer.queryExecution.executedPlan.toString
+    assert(op.contains("NestedLoop") || op.contains("CartesianProduct"),
+      s"outer join must pass through, plan:\n$op")
+  }
+
+  test("one-sided range predicates pass through (no sandwich, no rewrite)") {
+    import spark.implicits._
+    val l = pts.toDF("p")
+    val r = bands.toDF("band", "lo", "hi")
+    val joined = l.join(r, col("p") >= col("lo"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("NestedLoop") || plan.contains("CartesianProduct"),
+      s"a lone lower bound must not be binned, plan:\n$plan")
+    assert(joined.count() ==
+      (for { p <- pts; (_, lo, _) <- bands if p >= lo } yield 1).size.toLong)
+  }
+
+  test("q_range_join plans NestedLoop-free through the rule") {
+    val p = SparkEntry.queries("q_range_join")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"plan:\n$p")
+  }
+}
