@@ -110,5 +110,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // theta join) plans as a binned equi-join instead of a nested
     // loop (the in-code seam is graft.plans.RangeBinJoin.register).
     ext.injectOptimizerRule(_ => graft.plans.RangeBinJoin)
+    // Optimizer rule: JOIN ... ON a.lo <= b.hi AND b.lo <= a.hi
+    // (interval-overlap theta join) plans as a binned equi-join with
+    // a canonical shared-bucket filter (the in-code seam is
+    // graft.plans.IntervalOverlapJoin.register).
+    ext.injectOptimizerRule(_ => graft.plans.IntervalOverlapJoin)
   }
 }

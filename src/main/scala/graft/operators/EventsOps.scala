@@ -2451,6 +2451,67 @@ object EventsOps {
     },
 
     thetaRollingQ,
+
+    Q(
+      "q_session_overlap",
+      "cross-user SESSION OVERLAP pairs via the DECLARATIVE interval-" +
+        "overlap join: sessions collapse to [start, end] second " +
+        "intervals and the naive theta join `a.st <= b.en AND b.st " +
+        "<= a.en AND a.user < b.user` — no equi keys, nested-loop " +
+        "territory for Spark alone — is planned by the engine's " +
+        "IntervalOverlapJoin optimizer rule (the FIFTH declarative-" +
+        "scale rule): both sides explode over 1800s buckets, " +
+        "equi-join on the bucket, original predicate re-verified, " +
+        "and the canonical shared-bucket filter (greatest of the two " +
+        "lo-buckets) keeps exactly one match per qualifying pair — " +
+        "the FuzzyJoinBlocking multiplicity trick on intervals. " +
+        "Where q_concurrency's sweep-line answers 'how many at " +
+        "once', this answers WHICH pairs co-occurred (co-presence/" +
+        "collusion/contention analysis) — the join q_concurrency's " +
+        "doc names as the O(n²) trap, made tractable by the " +
+        "planner. Overlap arithmetic is exact BIGINT epoch-seconds " +
+        "(both engines floor µs identically); readout is the " +
+        "1-row pair-count/duration rollup. NestedLoop-free is " +
+        "plan-pinned in IntervalRuleSpec; at 100 TB the one " +
+        "shuffle is bucket-keyed and AQE-skew-splittable, with " +
+        "candidates minimized when the bin width tracks the " +
+        "typical session length (documented knob)",
+      Some(
+        s"""WITH $sessionsSqlCte, sess AS (
+           |  SELECT user_id, session_seq,
+           |    epoch_us(min(ts)) // 1000000 AS st_s,
+           |    epoch_us(max(ts)) // 1000000 AS en_s
+           |  FROM sessions GROUP BY user_id, session_seq
+           |), p AS (
+           |  SELECT least(a.en_s, b.en_s) - greatest(a.st_s, b.st_s) AS ov
+           |  FROM sess a JOIN sess b
+           |    ON a.st_s <= b.en_s AND b.st_s <= a.en_s
+           |      AND a.user_id < b.user_id
+           |)
+           |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           |  CAST(sum(ov) AS BIGINT) AS sum_overlap_s,
+           |  CAST(max(ov) AS BIGINT) AS max_overlap_s
+           |FROM p""".stripMargin),
+    ) { (s, dir) =>
+      graft.plans.IntervalOverlapJoin.register(s)
+      val sess = sessionized(s, dir)
+        .groupBy("user_id", "session_seq")
+        .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+        .select(col("user_id"),
+          expr("unix_micros(st) div 1000000").as("st_s"),
+          expr("unix_micros(en) div 1000000").as("en_s"))
+        .localCheckpoint()
+      val a = sess.select(col("user_id").as("ua"),
+        col("st_s").as("sa"), col("en_s").as("ea"))
+      val b = sess.select(col("user_id").as("ub"),
+        col("st_s").as("sb"), col("en_s").as("eb"))
+      val ov = least(col("ea"), col("eb")) - greatest(col("sa"), col("sb"))
+      a.join(b, col("sa") <= col("eb") && col("sb") <= col("ea")
+          && col("ua") < col("ub"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(ov).as("sum_overlap_s"),
+          max(ov).as("max_overlap_s"))
+    },
   )
 
   /** Registered in `all` beside the other theta faces (lazy: defined
