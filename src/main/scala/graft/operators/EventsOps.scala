@@ -2632,8 +2632,9 @@ object EventsOps {
         .select(col("type_a"), col("type_b"),
           expr("theta_intersect_estimate(sk_a, sk_b)").as(estName))
     exact
-      .join(pairs(direct, "est_direct"), Seq("type_a", "type_b"))
-      .join(pairs(fromPartials, "est_partials"), Seq("type_a", "type_b"))
+      .join(broadcast(pairs(direct, "est_direct")), Seq("type_a", "type_b"))
+      .join(broadcast(pairs(fromPartials, "est_partials")),
+        Seq("type_a", "type_b"))
       .select(col("type_a"), col("type_b"), col("n_overlap"),
         when(abs(col("est_direct") - col("n_overlap")).cast("double")
           / col("n_overlap") <= 0.05, 1L).otherwise(0L).as("within_5pct"),

@@ -814,6 +814,42 @@ class PlanBudgetSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), s"plan:\n$p")
   }
 
+  test("q_range_join and q_session_overlap plan NestedLoop-free through their rules") {
+    for (q <- Seq("q_range_join", "q_session_overlap")) {
+      val p = plan(q)
+      assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+        s"$q's binning rule did not fire, plan:\n$p")
+    }
+  }
+
+  test("q_theta_intersect never rescans events for the pair matrix") {
+    // The sketch frames are types-sized; every pair join must be
+    // broadcast — a SortMergeJoin would mean the state table is being
+    // treated as data-scale.
+    val p = plan("q_theta_intersect")
+    assert(!p.contains("SortMergeJoin"),
+      s"pair joins over the sketch state must broadcast, plan:\n$p")
+  }
+
+  test("q_dsir_select ranks with TakeOrdered, never a global sort or window") {
+    val p = plan("q_dsir_select")
+    assert(p.contains("TakeOrderedAndProject"), s"plan:\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("Window "),
+      s"selection must not use a global rank window, plan:\n$p")
+  }
+
+  test("q_cdc_chunks hashes with rollhash60 off a text-only pruned scan") {
+    // Expression-level codegen of rollhash60 is CodegenOnlySpec's job;
+    // here the plan must actually USE the rolling hash (no md5-per-gram
+    // regression) over a scan that reads only the text column.
+    val p = plan("q_cdc_chunks")
+    assert(p.contains("rollhash60"), s"rolling hash missing, plan:\n$p")
+    assert(!p.contains("md5"), s"md5 stand-in crept back, plan:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("text") && !readSchema.contains("lang"),
+      s"scan not pruned to text: $readSchema")
+  }
+
   test("q1_agg aggregates inside whole-stage codegen") {
     // The plain plan string hides codegen stage boundaries; the
     // codegen explain mode lists every WholeStageCodegen subtree.
