@@ -573,6 +573,106 @@ object GraphOps {
     },
 
     Q(
+      "q_harmonic_centrality",
+      s"HARMONIC CENTRALITY from the ANF sketch state (HyperBall's " +
+        s"raison d'être, Boldi & Vigna): h(v) = Σ_u 1/d(v,u) over " +
+        s"nodes reached within $AnfRounds hops, read off per-node " +
+        "ball sketches as Σ_i (|ball_i| − |ball_{i−1}|)/i — the " +
+        "centrality web-scale graphs actually compute, because the " +
+        "per-node state is ~KB of sketch instead of the full " +
+        "distance table. The q_hll_partials contract per NODE: both " +
+        "engines emit the EXACT per-distance reach counts n1..n" +
+        s"$AnfRounds (from the pair closure with min-round " +
+        "distances — the oracle's O(n²) job) and the exact harmonic " +
+        "sum (one mirrored-text IEEE expression over exact BIGINT " +
+        "counts), plus a flag asserting the sketch-derived harmonic " +
+        "within 5% (exact-mode equality at test SFs). Engine rounds " +
+        "are the q_anf_reach loop verbatim: edge-keyed join + " +
+        "node-keyed theta_union_agg, localCheckpoint per round",
+      Some {
+        val rounds = (1 to AnfRounds).map { i =>
+          s""", p$i AS (
+             |  SELECT v, r, min(d) AS d FROM (
+             |    SELECT v, r, d FROM p${i - 1}
+             |    UNION ALL
+             |    SELECT e.a AS v, p.r, $i AS d
+             |    FROM edges e JOIN p${i - 1} p ON p.v = e.b)
+             |  GROUP BY v, r
+             |)""".stripMargin
+        }.mkString
+        val ns = (1 to AnfRounds).map(i =>
+          s"CAST(sum(CASE WHEN d = $i THEN 1 ELSE 0 END) AS BIGINT) AS n$i")
+          .mkString(",\n  ")
+        val h = (1 to AnfRounds).map(i => s"n$i / $i.0").mkString(" + ")
+        s"""WITH $edgesSqlCte,
+           |items AS (
+           |  SELECT DISTINCT item FROM (
+           |    SELECT a AS item FROM edges UNION ALL SELECT b FROM edges)
+           |), p0 AS (
+           |  SELECT item AS v, item AS r, 0 AS d FROM items
+           |)$rounds, cnt AS (
+           |  SELECT v AS item,
+           |  $ns
+           |  FROM p$AnfRounds GROUP BY v
+           |)
+           |SELECT item, ${(1 to AnfRounds).map("n" + _).mkString(", ")},
+           |  round($h, 6) AS harmonic,
+           |  CAST(1 AS BIGINT) AS hc_within_5pct
+           |FROM cnt ORDER BY item""".stripMargin
+      },
+    ) { (s, dir) =>
+      graft.functions.Theta.register(s)
+      val edges = edgesOf(s, dir).select("a", "b").localCheckpoint()
+      val items = edges.select(col("a").as("item"))
+        .unionByName(edges.select(col("b").as("item"))).distinct()
+        .localCheckpoint()
+      var state = items.groupBy("item")
+        .agg(expr("theta_sketch_agg(item)").as("sk")).localCheckpoint()
+      var pairs = items
+        .select(col("item").as("v"), col("item").as("r"), lit(0).as("d"))
+        .localCheckpoint()
+      // Per-node per-round sketch estimates (round 0 = 1, the node).
+      var ests = state.select(col("item"), lit(0).as("rd"),
+        expr("theta_estimate(sk)").as("est"))
+      for (i <- 1 to AnfRounds) {
+        state = state
+          .unionByName(edges
+            .join(state.select(col("item").as("b"), col("sk")), "b")
+            .select(col("a").as("item"), col("sk")))
+          .groupBy("item").agg(expr("theta_union_agg(sk)").as("sk"))
+          .localCheckpoint()
+        pairs = pairs
+          .unionByName(edges
+            .join(pairs.select(col("v").as("b"), col("r"), col("d")), "b")
+            .select(col("a").as("v"), col("r"), lit(i).as("d")))
+          .groupBy("v", "r").agg(min(col("d")).as("d"))
+          .localCheckpoint()
+        ests = ests.unionByName(state.select(col("item"), lit(i).as("rd"),
+          expr("theta_estimate(sk)").as("est")))
+      }
+      val nCols = (1 to AnfRounds).map(i =>
+        sum(when(col("d") === i, 1L).otherwise(0L)).as(s"n$i"))
+      val exact = pairs.groupBy(col("v").as("item"))
+        .agg(nCols.head, nCols.tail: _*)
+      // Sketch-side harmonic: Σ_i (est_i − est_{i−1}) / i per node.
+      val w = Window.partitionBy("item").orderBy("rd")
+      val hEst = ests
+        .withColumn("delta", col("est") - lag(col("est"), 1).over(w))
+        .filter(col("rd") >= 1)
+        .groupBy("item")
+        .agg(sum(col("delta") / col("rd")).as("h_est"))
+      val hExpr = (1 to AnfRounds).map(i => col(s"n$i") / lit(i.toDouble))
+        .reduce(_ + _)
+      exact.join(broadcast(hEst), Seq("item"))
+        .select((col("item") +: (1 to AnfRounds).map(i => col(s"n$i"))) ++ Seq(
+          round(hExpr, 6).as("harmonic"),
+          when(abs(col("h_est") - hExpr).cast("double")
+            / greatest(hExpr, lit(0.001)) <= 0.05, 1L).otherwise(0L)
+            .as("hc_within_5pct")): _*)
+        .orderBy("item")
+    },
+
+    Q(
       "q_hits",
       s"HITS hubs & authorities over the weighted transition graph " +
         s"($HitsRounds mutual-reinforcement rounds, L1-normalized): " +

@@ -183,4 +183,36 @@ class GraphSpec extends AnyFunSuite {
     // the neighborhood function must actually grow on this graph
     assert(expected.head._2 < nf, "rounds must expand reach")
   }
+
+  test("q_harmonic_centrality matches a BFS-distance reference, flags exact") {
+    val edges = operators.GraphOps.edgesOf(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val out = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    for ((a, b) <- edges) out(a) += b
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val K = operators.GraphOps.AnfRounds
+    def bfsCounts(v: Long): Seq[Long] = {
+      var frontier = Set(v); var seen = Set(v)
+      (1 to K).map { _ =>
+        frontier = frontier.flatMap(out) -- seen
+        seen ++= frontier
+        frontier.size.toLong
+      }
+    }
+    val got = SparkEntry.queries("q_harmonic_centrality")(spark, dir)
+      .collect().map { r =>
+        r.getLong(0) -> ((1 to K).map(i => r.getLong(i)),
+          r.getDouble(K + 1), r.getLong(K + 2))
+      }.toMap
+    assert(got.keySet == nodes.toSet)
+    for (v <- nodes) {
+      val ns = bfsCounts(v)
+      val (gns, h, flag) = got(v)
+      assert(gns == ns, s"per-distance counts of $v")
+      val expH = r6(ns.zipWithIndex.map { case (n, i) => n.toDouble / (i + 1) }.sum)
+      assert(h == expH, s"harmonic of $v")
+      assert(flag == 1L, s"exact-mode flag of $v")
+    }
+  }
 }
