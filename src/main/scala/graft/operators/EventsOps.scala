@@ -2453,6 +2453,103 @@ object EventsOps {
     thetaRollingQ,
 
     Q(
+      "q_conformal",
+      "SPLIT-CONFORMAL prediction intervals (Vovk; the " +
+        "distribution-free calibration standard): rows hash into " +
+        "fit/calibration/test folds (event_id mod 5 — ROWS, not " +
+        "users, because the conformal guarantee needs exchangeable " +
+        "calibration/test UNITS; a user-level split clusters " +
+        "correlated residuals and weakens coverage to the group " +
+        "level, measured directly at tiny SF), a per-type exact " +
+        "cents mean fits on the fit fold, qhat is the " +
+        "ceil((n_cal+1)·0.9)-th smallest calibration residual, and " +
+        "the test fold's coverage of mean ± qhat is the exact " +
+        "finite-sample readout that must land near 90% by " +
+        "exchangeability alone — no distributional assumption, " +
+        "which is the whole point. EVERYTHING here is exact (no " +
+        "sketch, no flags): residuals are integer cents, qhat is a " +
+        "true order statistic computed as min{r : cum_count(r) ≥ k} " +
+        "over the per-(type, residual-value) rollup — the cumulative " +
+        "window's input is bounded by the CENTS VALUE DOMAIN (two-" +
+        "decimal bounded prices), not row count, the q_model_auc_" +
+        "binned discipline — and coverage is one mirrored IEEE " +
+        "division of exact counts. At 100 TB: three keyed aggs and " +
+        "two broadcast joins of #types-row frames; the only windows " +
+        "run over value-domain-bounded rollups",
+      Some(
+        """WITH e AS (
+          |  SELECT event_type, event_id % 5 AS fold,
+          |    CAST(round(value * 100) AS BIGINT) AS v_c
+          |  FROM events
+          |), m AS (
+          |  SELECT event_type,
+          |    CAST(round(CAST(sum(v_c) AS DOUBLE) / count(*)) AS BIGINT)
+          |      AS mean_c
+          |  FROM e WHERE fold >= 2 GROUP BY event_type
+          |), cal AS (
+          |  SELECT e.event_type, abs(e.v_c - m.mean_c) AS r
+          |  FROM e JOIN m ON e.event_type = m.event_type WHERE e.fold = 1
+          |), k AS (
+          |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_cal,
+          |    CAST(ceil((count(*) + 1) * 0.9) AS BIGINT) AS kk
+          |  FROM cal GROUP BY event_type
+          |), rc AS (
+          |  SELECT event_type, r, count(*) AS c FROM cal
+          |  GROUP BY event_type, r
+          |), cum AS (
+          |  SELECT event_type, r,
+          |    sum(c) OVER (PARTITION BY event_type ORDER BY r) AS cle
+          |  FROM rc
+          |), qh AS (
+          |  SELECT c.event_type, min(c.r) AS qhat_c
+          |  FROM cum c JOIN k ON k.event_type = c.event_type
+          |    AND c.cle >= k.kk
+          |  GROUP BY c.event_type
+          |)
+          |SELECT e.event_type, k.n_cal, qh.qhat_c,
+          |  CAST(count(*) AS BIGINT) AS n_test,
+          |  round(CAST(sum(CASE WHEN abs(e.v_c - m.mean_c) <= qh.qhat_c
+          |      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS coverage
+          |FROM e JOIN m ON e.event_type = m.event_type
+          |JOIN qh ON qh.event_type = e.event_type
+          |JOIN k ON k.event_type = e.event_type
+          |WHERE e.fold = 0
+          |GROUP BY e.event_type, k.n_cal, qh.qhat_c
+          |ORDER BY e.event_type""".stripMargin),
+    ) { (s, dir) =>
+      val e = Tables.events(s, dir).select(col("event_type"),
+        pmod(col("event_id"), lit(5)).as("fold"),
+        round(col("value") * 100, 0).cast("long").as("v_c"))
+      val m = e.filter(col("fold") >= 2).groupBy("event_type")
+        .agg(round(sum(col("v_c")).cast("double") / count(lit(1)), 0)
+          .cast("long").as("mean_c"))
+      val cal = e.filter(col("fold") === 1)
+        .join(broadcast(m), "event_type")
+        .select(col("event_type"), abs(col("v_c") - col("mean_c")).as("r"))
+      val k = cal.groupBy("event_type").agg(count(lit(1)).as("n_cal"),
+        ceil((count(lit(1)) + 1) * 0.9).cast("long").as("kk"))
+      val w = Window.partitionBy("event_type").orderBy("r")
+      val qh = cal.groupBy("event_type", "r").agg(count(lit(1)).as("c"))
+        .withColumn("cle", sum(col("c")).over(w))
+        .join(broadcast(k), "event_type")
+        .filter(col("cle") >= col("kk"))
+        .groupBy("event_type").agg(min(col("r")).as("qhat_c"))
+      e.filter(col("fold") === 0)
+        .join(broadcast(m), "event_type")
+        .join(broadcast(qh), "event_type")
+        .join(broadcast(k.select(col("event_type"), col("n_cal"))),
+          "event_type")
+        .groupBy("event_type", "n_cal", "qhat_c")
+        .agg(count(lit(1)).as("n_test"),
+          round(sum(when(abs(col("v_c") - col("mean_c")) <= col("qhat_c"),
+            1L).otherwise(0L)).cast("double") / count(lit(1)), 6)
+            .as("coverage"))
+        .select(col("event_type"), col("n_cal"), col("qhat_c"),
+          col("n_test"), col("coverage"))
+        .orderBy("event_type")
+    },
+
+    Q(
       "q_session_overlap",
       "cross-user SESSION OVERLAP pairs via the DECLARATIVE interval-" +
         "overlap join: sessions collapse to [start, end] second " +

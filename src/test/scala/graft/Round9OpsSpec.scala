@@ -670,6 +670,39 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(got.head.getLong(1) == 1L && got.last.getLong(1) == 7L)
   }
 
+  // ---- q_conformal ----
+
+  test("q_conformal: qhat is the true order statistic; coverage recomputes exactly") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1) % 5,
+        math.round(r.getDouble(2) * 100)))
+    val got = SparkEntry.queries("q_conformal")(spark, dir).collect()
+    assert(got.nonEmpty)
+    for (g <- got) {
+      val t = g.getString(0)
+      val fit = rows.filter(x => x._1 == t && x._2 >= 2).map(_._3)
+      val meanC = math.round(fit.sum.toDouble / fit.length)
+      val calR = rows.filter(x => x._1 == t && x._2 == 1)
+        .map(x => math.abs(x._3 - meanC)).sorted
+      val k = math.ceil((calR.length + 1) * 0.9).toLong
+      val qhat = calR((k - 1).toInt) // k-th smallest, 1-indexed
+      assert(g.getLong(1) == calR.length.toLong, s"n_cal of $t")
+      assert(g.getLong(2) == qhat, s"qhat of $t is the k-th order statistic")
+      val test = rows.filter(x => x._1 == t && x._2 == 0)
+        .map(x => math.abs(x._3 - meanC))
+      assert(g.getLong(3) == test.length.toLong, s"n_test of $t")
+      val cov = BigDecimal(test.count(_ <= qhat).toDouble / test.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
+      assert(g.getDouble(4) == cov, s"coverage of $t")
+      // the conformal guarantee, finite-sample band around 1 - alpha
+      assert(g.getDouble(4) > 0.8 && g.getDouble(4) < 0.98,
+        s"coverage of $t strays far from the 0.9 target: ${g.getDouble(4)}")
+    }
+  }
+
   // ---- q_moments / q_stream_moments ----
 
   test("q_moments matches Spark's built-in skewness/kurtosis within float slack") {
