@@ -2453,6 +2453,113 @@ object EventsOps {
     thetaRollingQ,
 
     Q(
+      "q_cuped",
+      "CUPED variance reduction (Deng et al. 2013 — the " +
+        "experimentation-platform standard at Microsoft/Netflix " +
+        "scale): per-user pre-period value (X, days 1-15) adjusts " +
+        "the post-period metric (Y) as Y' = Y − θ(X − E[X]) with " +
+        "θ = cov(X,Y)/var(X), shrinking metric variance by ρ² " +
+        "without biasing the treatment effect (assignment = " +
+        "user_id parity, the synthetic A/B harness). The whole " +
+        "readout — θ, raw and CUPED effects, variance reduction — " +
+        "REDUCES TO EXACT POWER SUMS: per-user cents totals, then " +
+        "one user-keyed agg of n/Σx/Σy/Σx²/Σxy/Σy² plus treatment " +
+        "slices (all BIGINT, order-free), with var(Y') = var(Y) − " +
+        "2θcov + θ²var(X) expanded in closed form so NO per-user " +
+        "double (θ-dependent) value is ever summed — the one design " +
+        "choice that keeps a covariate adjustment oracle-exact. " +
+        "Finishing is mirrored-text IEEE over the exact sums (the " +
+        "momentFinish convention). At 100 TB: one user-keyed " +
+        "rollup, one 1-row agg, zero windows",
+      Some(
+        """WITH e AS (
+          |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v_c,
+          |    CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
+          |      THEN 0 ELSE 1 END AS period
+          |  FROM events
+          |), u AS (
+          |  SELECT user_id, user_id % 2 AS grp,
+          |    CAST(sum(CASE WHEN period = 0 THEN v_c ELSE 0 END) AS BIGINT)
+          |      AS x_c,
+          |    CAST(sum(CASE WHEN period = 1 THEN v_c ELSE 0 END) AS BIGINT)
+          |      AS y_c
+          |  FROM e GROUP BY user_id
+          |), s AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(x_c) AS BIGINT) AS sx, CAST(sum(y_c) AS BIGINT) AS sy,
+          |    CAST(sum(x_c * x_c) AS BIGINT) AS sxx,
+          |    CAST(sum(x_c * y_c) AS BIGINT) AS sxy,
+          |    CAST(sum(y_c * y_c) AS BIGINT) AS syy,
+          |    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+          |    CAST(sum(CASE WHEN grp = 1 THEN x_c ELSE 0 END) AS BIGINT)
+          |      AS sxt,
+          |    CAST(sum(CASE WHEN grp = 1 THEN y_c ELSE 0 END) AS BIGINT)
+          |      AS syt
+          |  FROM u
+          |), f AS (
+          |  SELECT n, nt, n - nt AS nc, sx, sy, sxt, syt,
+          |    (CAST(sxy AS DOUBLE) / n
+          |      - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+          |      AS cov_xy,
+          |    (CAST(sxx AS DOUBLE) / n
+          |      - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+          |      AS var_x,
+          |    (CAST(syy AS DOUBLE) / n
+          |      - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+          |      AS var_y
+          |  FROM s
+          |)
+          |SELECT n, nt,
+          |  round(cov_xy / var_x, 6) AS theta,
+          |  round((CAST(syt AS DOUBLE) / nt - CAST(sy - syt AS DOUBLE) / nc)
+          |    / 100, 6) AS effect_raw,
+          |  round(((CAST(syt AS DOUBLE) / nt - CAST(sy - syt AS DOUBLE) / nc)
+          |    - cov_xy / var_x
+          |      * (CAST(sxt AS DOUBLE) / nt - CAST(sx - sxt AS DOUBLE) / nc))
+          |    / 100, 6) AS effect_cuped,
+          |  round(1 - (var_y - cov_xy / var_x * cov_xy) / var_y, 6)
+          |    AS var_reduction
+          |FROM f""".stripMargin),
+    ) { (s, dir) =>
+      val e = Tables.events(s, dir).select(col("user_id"),
+        round(col("value") * 100, 0).cast("long").as("v_c"),
+        when(col("ts") < lit("2024-01-16").cast("timestamp"), 0)
+          .otherwise(1).as("period"))
+      val u = e.groupBy("user_id").agg(
+        sum(when(col("period") === 0, col("v_c")).otherwise(0L)).as("x_c"),
+        sum(when(col("period") === 1, col("v_c")).otherwise(0L)).as("y_c"))
+        .withColumn("grp", pmod(col("user_id"), lit(2)))
+      u.agg(count(lit(1)).as("n"),
+        sum(col("x_c")).as("sx"), sum(col("y_c")).as("sy"),
+        sum(col("x_c") * col("x_c")).as("sxx"),
+        sum(col("x_c") * col("y_c")).as("sxy"),
+        sum(col("y_c") * col("y_c")).as("syy"),
+        sum(when(col("grp") === 1, 1L).otherwise(0L)).as("nt"),
+        sum(when(col("grp") === 1, col("x_c")).otherwise(0L)).as("sxt"),
+        sum(when(col("grp") === 1, col("y_c")).otherwise(0L)).as("syt"))
+        .selectExpr("n", "nt", "n - nt AS nc", "sx", "sy", "sxt", "syt",
+          """(CAST(sxy AS DOUBLE) / n
+            |  - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+            |  AS cov_xy""".stripMargin,
+          """(CAST(sxx AS DOUBLE) / n
+            |  - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+            |  AS var_x""".stripMargin,
+          """(CAST(syy AS DOUBLE) / n
+            |  - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+            |  AS var_y""".stripMargin)
+        .selectExpr("n", "nt",
+          "round(cov_xy / var_x, 6) AS theta",
+          """round((CAST(syt AS DOUBLE) / nt - CAST(sy - syt AS DOUBLE) / nc)
+            |  / 100, 6) AS effect_raw""".stripMargin,
+          """round(((CAST(syt AS DOUBLE) / nt - CAST(sy - syt AS DOUBLE) / nc)
+            |  - cov_xy / var_x
+            |    * (CAST(sxt AS DOUBLE) / nt - CAST(sx - sxt AS DOUBLE) / nc))
+            |  / 100, 6) AS effect_cuped""".stripMargin,
+          """round(1 - (var_y - cov_xy / var_x * cov_xy) / var_y, 6)
+            |  AS var_reduction""".stripMargin)
+    },
+
+    Q(
       "q_conformal",
       "SPLIT-CONFORMAL prediction intervals (Vovk; the " +
         "distribution-free calibration standard): rows hash into " +

@@ -670,6 +670,42 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(got.head.getLong(1) == 1L && got.last.getLong(1) == 7L)
   }
 
+  // ---- q_cuped ----
+
+  test("q_cuped: planted correlated pre-period shrinks variance and de-biases") {
+    import spark.implicits._
+    // 100 users: X_u = 1000 + u cents (pre), Y_u = 2X_u + small
+    // deterministic noise + a 50-cent true treatment lift on odd
+    // users. X correlates with parity (odd users have higher X), so
+    // the RAW effect is biased upward by ~2 cents; CUPED removes the
+    // pre-period imbalance and recovers ~the true 50-cent lift, and
+    // with near-perfect X-Y correlation the variance reduction must
+    // be large.
+    val pre = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    val post = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+    val rows = (0 until 100).flatMap { u =>
+      val x = 1000 + u
+      val noise = (u * 7) % 5 - 2
+      val y = 2 * x + noise + (if (u % 2 == 1) 50 else 0)
+      Seq((u.toLong, pre, "view", x / 100.0), (u.toLong, post, "view", y / 100.0))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("cuped").toString
+    rows.toDF("user_id", "ts", "event_type", "value")
+      .write.parquet(s"$tmp/events.parquet")
+    val r = SparkEntry.queries("q_cuped")(spark, tmp).collect()(0)
+    val (theta, raw, cuped, vr) =
+      (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    assert(math.abs(theta - 2.0) < 0.1, s"theta $theta should recover ~2")
+    // rho^2 here is NOT ~1: the lift itself is Y-variance uncorrelated
+    // with X. var(Y) ~= theta^2 var(X) + Delta^2/4 + var(noise)
+    // = 4*833 + 625 + 2, so vr ~= 3333/3960 ~= 0.84 — assert the band.
+    assert(vr > 0.8 && vr < 0.9, s"variance reduction $vr outside ~0.84 band")
+    val truth = 0.50
+    assert(math.abs(cuped - truth) < math.abs(raw - truth),
+      s"CUPED ($cuped) must sit closer to the true lift than raw ($raw)")
+    assert(math.abs(cuped - truth) < 0.05, s"CUPED estimate $cuped far off")
+  }
+
   // ---- q_conformal ----
 
   test("q_conformal: qhat is the true order statistic; coverage recomputes exactly") {
