@@ -542,6 +542,80 @@ object DedupOps {
     },
 
     Q(
+      "q_dedup_curve",
+      "dedup-rate THRESHOLD CURVE: how much of the corpus each " +
+        "est_jaccard cutoff {0.5, 0.75, 1.0} would remove — the " +
+        "sensitivity sweep every dedup owner runs before committing " +
+        "a threshold (too low merges distinct docs, too high leaves " +
+        "near-dups; this is the curve that decides). ONE MinHash " +
+        "candidate pass (checkpointed) feeds all three points — " +
+        "candidates are generated once, the q_ann_recall_curve " +
+        "one-pass-many-readouts discipline — and each point runs " +
+        "min-label CC over its filtered edge set (rounds bounded by " +
+        "component diameter; components REFINE as the threshold " +
+        "rises, so the removed-count must be monotone non-increasing " +
+        "— spec-pinned). n_removed = docs-in-clusters − clusters " +
+        "(keep one canonical per component); dedup_rate divides by " +
+        "the corpus count via one mirrored IEEE division. Oracle = " +
+        "three suffixed recursive-CTE fixpoints over the shared " +
+        "pairs CTE",
+      Some {
+        val cc3 = Seq(0.5, 0.75, 1.0).zipWithIndex.map { case (t, i) =>
+          s"""e$i AS (
+             |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+             |  WHERE est_jaccard >= $t
+             |  UNION ALL
+             |  SELECT doc_b, doc_a FROM pairs WHERE est_jaccard >= $t
+             |), cc$i AS (
+             |  SELECT DISTINCT src AS doc_id, src AS label FROM e$i
+             |  UNION
+             |  SELECT e.dst AS doc_id, cc$i.label
+             |  FROM cc$i JOIN e$i e ON e.src = cc$i.doc_id
+             |), f$i AS (
+             |  SELECT doc_id, min(label) AS label FROM cc$i GROUP BY doc_id
+             |), r$i AS (
+             |  SELECT CAST($t AS DOUBLE) AS threshold,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM pairs
+             |     WHERE est_jaccard >= $t) AS n_edges,
+             |    CAST(count(*) AS BIGINT) AS n_dup_docs,
+             |    CAST(count(DISTINCT label) AS BIGINT) AS n_clusters,
+             |    CAST(count(*) - count(DISTINCT label) AS BIGINT) AS n_removed
+             |  FROM f$i
+             |)""".stripMargin
+        }.mkString(", ")
+        s"""WITH RECURSIVE $minhashPairsSqlCte,
+           |$cc3, n AS (SELECT count(*) AS nd FROM documents)
+           |SELECT threshold, n_edges, n_dup_docs, n_clusters, n_removed,
+           |  round(CAST(n_removed AS DOUBLE) / nd, 6) AS dedup_rate
+           |FROM (SELECT * FROM r0 UNION ALL SELECT * FROM r1
+           |      UNION ALL SELECT * FROM r2) CROSS JOIN n
+           |ORDER BY threshold""".stripMargin
+      },
+    ) { (s, dir) =>
+      val pairs = minhashPairs(s, dir).localCheckpoint()
+      val nDocs = Tables.documents(s, dir)
+        .agg(count(lit(1)).as("nd"))
+      val points = Seq(0.5, 0.75, 1.0).map { t =>
+        val p = pairs.filter(col("est_jaccard") >= t)
+        val edges = p.agg(count(lit(1)).as("n_edges"))
+        ccMinLabels(p)
+          .agg(count(lit(1)).as("n_dup_docs"),
+            countDistinct(col("label")).as("n_clusters"),
+            (count(lit(1)) - countDistinct(col("label"))).as("n_removed"))
+          .crossJoin(broadcast(edges))
+          .select(lit(t).as("threshold"), col("n_edges"), col("n_dup_docs"),
+            col("n_clusters"), col("n_removed"))
+      }
+      points.reduce(_ unionByName _)
+        .crossJoin(broadcast(nDocs))
+        .select(col("threshold"), col("n_edges"), col("n_dup_docs"),
+          col("n_clusters"), col("n_removed"),
+          round(col("n_removed").cast("double") / col("nd"), 6)
+            .as("dedup_rate"))
+        .orderBy("threshold")
+    },
+
+    Q(
       "q_dedup_simhash",
       "SimHash near-dup over the distinct-token set: 60-bit signature " +
         "from hash bit balance; candidates via 15-bit chunk bands, " +

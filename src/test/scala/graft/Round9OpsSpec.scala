@@ -670,6 +670,23 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(got.head.getLong(1) == 1L && got.last.getLong(1) == 7L)
   }
 
+  // ---- q_dedup_curve ----
+
+  test("q_dedup_curve: thresholds refine — edges and removals monotone non-increasing") {
+    val rows = SparkEntry.queries("q_dedup_curve")(spark, dir).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.map(_._1).toSeq == Seq(0.5, 0.75, 1.0))
+    val (edges, removed) = (rows.map(_._2), rows.map(_._5))
+    assert(edges.zip(edges.tail).forall { case (a, b) => a >= b },
+      "raising the threshold can only drop edges")
+    assert(removed.zip(removed.tail).forall { case (a, b) => a >= b },
+      "component refinement can only reduce removals")
+    // identity: removals = dup docs - clusters at every point
+    rows.foreach { case (_, _, nd, nc, nr) => assert(nr == nd - nc) }
+    assert(rows.head._5 > 0, "the 0.5 point must find real near-dups")
+  }
+
   // ---- q_cuped ----
 
   test("q_cuped: planted correlated pre-period shrinks variance and de-biases") {
