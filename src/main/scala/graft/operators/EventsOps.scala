@@ -2453,6 +2453,82 @@ object EventsOps {
     thetaRollingQ,
 
     Q(
+      "q_did",
+      "DIFFERENCE-IN-DIFFERENCES (the causal-inference workhorse for " +
+        "rollouts without randomization): outcome change in the " +
+        "treated group minus the change in the control group, under " +
+        "the parallel-trends assumption — reported HERE with its own " +
+        "diagnostic: the pre-period is split in half and the placebo " +
+        "DiD between the two pre halves estimates the trend gap " +
+        "(≈ 0 is the assumption holding; the readout shows both so " +
+        "a reviewer sees effect AND diagnostic together, which is " +
+        "how DiD should always ship). Groups = user parity, periods " +
+        "= Jan halves; every cell mean comes from an exact BIGINT " +
+        "cents sum + count, and the two DiD estimates are mirrored " +
+        "IEEE expressions over those exact sums — the q_cuped " +
+        "discipline. One user-free keyed agg " +
+        "(cells bounded at 2 groups × 3 windows), zero windows, " +
+        "zero joins",
+      Some(
+        """WITH e AS (
+          |  SELECT user_id % 2 AS grp,
+          |    CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-08'
+          |           THEN 0
+          |         WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
+          |           THEN 1
+          |         ELSE 2 END AS win,
+          |    CAST(round(value * 100) AS BIGINT) AS v_c
+          |  FROM events
+          |), c AS (
+          |  SELECT grp, win, CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(v_c) AS BIGINT) AS s
+          |  FROM e GROUP BY grp, win
+          |), w AS (
+          |  SELECT
+          |    max(CASE WHEN grp = 1 AND win = 2 THEN CAST(s AS DOUBLE) / n END) AS t_post,
+          |    max(CASE WHEN grp = 1 AND win = 1 THEN CAST(s AS DOUBLE) / n END) AS t_pre,
+          |    max(CASE WHEN grp = 1 AND win = 0 THEN CAST(s AS DOUBLE) / n END) AS t_pre0,
+          |    max(CASE WHEN grp = 0 AND win = 2 THEN CAST(s AS DOUBLE) / n END) AS c_post,
+          |    max(CASE WHEN grp = 0 AND win = 1 THEN CAST(s AS DOUBLE) / n END) AS c_pre,
+          |    max(CASE WHEN grp = 0 AND win = 0 THEN CAST(s AS DOUBLE) / n END) AS c_pre0,
+          |    CAST(sum(n) AS BIGINT) AS n_events
+          |  FROM c
+          |)
+          |SELECT n_events,
+          |  round(((t_post - t_pre) - (c_post - c_pre)) / 100, 6) AS did,
+          |  round(((t_pre - t_pre0) - (c_pre - c_pre0)) / 100, 6)
+          |    AS placebo_did
+          |FROM w""".stripMargin),
+    ) { (s, dir) =>
+      val e = Tables.events(s, dir).select(
+        pmod(col("user_id"), lit(2)).as("grp"),
+        when(col("ts") < lit("2024-01-08").cast("timestamp"), 0)
+          .when(col("ts") < lit("2024-01-16").cast("timestamp"), 1)
+          .otherwise(2).as("win"),
+        round(col("value") * 100, 0).cast("long").as("v_c"))
+      e.groupBy("grp", "win")
+        .agg(count(lit(1)).as("n"), sum(col("v_c")).as("s"))
+        .agg(
+          max(when(col("grp") === 1 && col("win") === 2,
+            col("s").cast("double") / col("n"))).as("t_post"),
+          max(when(col("grp") === 1 && col("win") === 1,
+            col("s").cast("double") / col("n"))).as("t_pre"),
+          max(when(col("grp") === 1 && col("win") === 0,
+            col("s").cast("double") / col("n"))).as("t_pre0"),
+          max(when(col("grp") === 0 && col("win") === 2,
+            col("s").cast("double") / col("n"))).as("c_post"),
+          max(when(col("grp") === 0 && col("win") === 1,
+            col("s").cast("double") / col("n"))).as("c_pre"),
+          max(when(col("grp") === 0 && col("win") === 0,
+            col("s").cast("double") / col("n"))).as("c_pre0"),
+          sum(col("n")).as("n_events"))
+        .selectExpr("n_events",
+          "round(((t_post - t_pre) - (c_post - c_pre)) / 100, 6) AS did",
+          """round(((t_pre - t_pre0) - (c_pre - c_pre0)) / 100, 6)
+            |  AS placebo_did""".stripMargin)
+    },
+
+    Q(
       "q_cuped",
       "CUPED variance reduction (Deng et al. 2013 — the " +
         "experimentation-platform standard at Microsoft/Netflix " +

@@ -723,6 +723,33 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(math.abs(cuped - truth) < 0.05, s"CUPED estimate $cuped far off")
   }
 
+  // ---- q_did ----
+
+  test("q_did: planted parallel trends recover the lift; placebo lands at zero") {
+    import spark.implicits._
+    // Control means 10, 12, 14 across the three windows (trend +2);
+    // treated 20, 22, 29 — same +2 trend plus a 5.00 lift in the post
+    // window only. DiD must recover exactly 5.0; the placebo DiD over
+    // the two pre halves must be exactly 0 (the assumption holding).
+    def ts(day: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    val rows = for {
+      u <- 0L until 20L
+      (day, base) <- Seq((3, 10.0), (10, 12.0), (20, 14.0))
+    } yield {
+      val lift = if (u % 2 == 1 && day == 20) 5.0 else 0.0
+      val grpShift = if (u % 2 == 1) 10.0 else 0.0
+      (u, ts(day), "view", base + grpShift + lift)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("did").toString
+    rows.toDF("user_id", "ts", "event_type", "value")
+      .write.parquet(s"$tmp/events.parquet")
+    val r = SparkEntry.queries("q_did")(spark, tmp).collect()(0)
+    assert(r.getLong(0) == 60L)
+    assert(r.getDouble(1) == 5.0, s"DiD ${r.getDouble(1)} != planted lift")
+    assert(r.getDouble(2) == 0.0, s"placebo ${r.getDouble(2)} != 0")
+  }
+
   // ---- q_conformal ----
 
   test("q_conformal: qhat is the true order statistic; coverage recomputes exactly") {
