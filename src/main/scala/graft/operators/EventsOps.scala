@@ -2453,6 +2453,78 @@ object EventsOps {
     thetaRollingQ,
 
     Q(
+      "q_ks_test",
+      "two-sample KOLMOGOROV-SMIRNOV: the exact sup-norm ECDF " +
+        "distance between the two arms' value distributions — the " +
+        "distribution-shape drift test beside q_psi_drift's binned " +
+        "divergence (PSI needs bins and misses where mass moves " +
+        "WITHIN a bin; KS is bin-free). The D statistic is computed " +
+        "with ZERO float comparisons in the argmax: D·na·nb = " +
+        "max|cum_a·nb − cum_b·na| over exact BIGINT cumulative " +
+        "counts, so the maximizer is integer-exact and one final " +
+        "mirrored IEEE division lands both engines on the same 6dp " +
+        "D (plus the asymptotic λ = D·sqrt(na·nb/(na+nb)) effect " +
+        "size). The cumulative window runs over the DISTINCT CENTS " +
+        "VALUE rollup — bounded by the two-decimal price domain, " +
+        "not row count (the q_model_auc_binned discipline, here " +
+        "with a domain that is genuinely finite) — after one " +
+        "grp×value keyed agg. At 100 TB: one keyed agg, one " +
+        "value-domain window, 1-row output",
+      Some(
+        """WITH e AS (
+          |  SELECT user_id % 2 AS grp, CAST(round(value * 100) AS BIGINT)
+          |    AS v_c
+          |  FROM events
+          |), n AS (
+          |  SELECT CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS na,
+          |    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+          |  FROM e
+          |), vc AS (
+          |  SELECT v_c,
+          |    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+          |    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+          |  FROM e GROUP BY v_c
+          |), cum AS (
+          |  SELECT v_c,
+          |    sum(ca) OVER (ORDER BY v_c) AS cuma,
+          |    sum(cb) OVER (ORDER BY v_c) AS cumb
+          |  FROM vc
+          |), d AS (
+          |  SELECT max(abs(cuma * nb - cumb * na)) AS dnum
+          |  FROM cum CROSS JOIN n
+          |)
+          |SELECT na, nb,
+          |  round(CAST(dnum AS DOUBLE) / (na * nb), 6) AS ks_d,
+          |  round(CAST(dnum AS DOUBLE) / (na * nb)
+          |    * sqrt(CAST(na AS DOUBLE) * nb / (na + nb)), 6) AS ks_lambda
+          |FROM d CROSS JOIN n""".stripMargin),
+    ) { (s, dir) =>
+      val e = Tables.events(s, dir).select(
+        pmod(col("user_id"), lit(2)).as("grp"),
+        round(col("value") * 100, 0).cast("long").as("v_c"))
+      val n = e.agg(
+        sum(when(col("grp") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("grp") === 1, 1L).otherwise(0L)).as("nb"))
+      val w = Window.orderBy("v_c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = e.groupBy("v_c")
+        .agg(sum(when(col("grp") === 0, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("grp") === 1, 1L).otherwise(0L)).as("cb"))
+        .withColumn("cuma", sum(col("ca")).over(w))
+        .withColumn("cumb", sum(col("cb")).over(w))
+      cum.crossJoin(broadcast(n))
+        .agg(max(abs(col("cuma") * col("nb") - col("cumb") * col("na")))
+          .as("dnum"))
+        .crossJoin(broadcast(n))
+        .selectExpr("na", "nb",
+          "round(CAST(dnum AS DOUBLE) / (na * nb), 6) AS ks_d",
+          """round(CAST(dnum AS DOUBLE) / (na * nb)
+            |  * sqrt(CAST(na AS DOUBLE) * nb / (na + nb)), 6) AS ks_lambda"""
+            .stripMargin)
+    },
+
+    Q(
       "q_did",
       "DIFFERENCE-IN-DIFFERENCES (the causal-inference workhorse for " +
         "rollouts without randomization): outcome change in the " +

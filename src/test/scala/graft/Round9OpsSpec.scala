@@ -723,6 +723,29 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(math.abs(cuped - truth) < 0.05, s"CUPED estimate $cuped far off")
   }
 
+  // ---- q_ks_test ----
+
+  test("q_ks_test: a planted half-shift yields D = 0.5 exactly") {
+    import spark.implicits._
+    // Arm 0 (even users): values 0.01..1.00; arm 1 (odd): 0.51..1.50.
+    // ECDFs coincide-shifted by half the mass: sup gap at 1.00 is
+    // F_A = 1 vs F_B = 0.5 -> D = 0.5 exactly in integer arithmetic.
+    val ts = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    val rows = (1 to 100).flatMap { i =>
+      Seq((2L * i, ts, "view", i / 100.0),
+        ((2L * i) + 1, ts, "view", (i + 50) / 100.0))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("ks").toString
+    rows.toDF("user_id", "ts", "event_type", "value")
+      .write.parquet(s"$tmp/events.parquet")
+    val r = SparkEntry.queries("q_ks_test")(spark, tmp).collect()(0)
+    assert(r.getLong(0) == 100L && r.getLong(1) == 100L)
+    assert(r.getDouble(2) == 0.5, s"D ${r.getDouble(2)} != 0.5")
+    val lam = BigDecimal(0.5 * math.sqrt(100.0 * 100 / 200))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
+    assert(r.getDouble(3) == lam)
+  }
+
   // ---- q_did ----
 
   test("q_did: planted parallel trends recover the lift; placebo lands at zero") {
