@@ -3560,6 +3560,118 @@ object AnnOps {
     },
 
     Q(
+      "q_embed_drift",
+      "EMBEDDING-DISTRIBUTION drift monitor (reference = even " +
+        "vec_ids, current = odd — the A/A harness; production feeds " +
+        "yesterday/today): per-dimension mean shifts with the top-5 " +
+        "most-drifted dims, each dim's z (shift over the pooled " +
+        "per-dim sd), and the global L2 norm of the mean-shift " +
+        "vector — the model-monitoring readout that catches encoder " +
+        "regressions and upstream distribution changes before " +
+        "downstream metrics move. Exactness discipline: embeddings " +
+        "land on the ×1e6 grid, per-dim sums and square-sums are " +
+        "exact BIGINT (dim-keyed agg, 64-row state), the top-5 " +
+        "ranking uses the KS-style cross-multiplied integer " +
+        "|sa·nb − sb·na| (ZERO float comparisons in the argmax), " +
+        "the L2 numerator sums exact DECIMAL(38,0)/HUGEINT squares " +
+        "(the moments-s4 precedent), and z / L2 / shift are " +
+        "mirrored-text IEEE finishes. At 100 TB the whole readout " +
+        "is one corpus pass into 64-row state",
+      Some(
+        """WITH d AS (
+          |  SELECT i AS pos,
+          |    CAST(sum(CASE WHEN vec_id % 2 = 0
+          |      THEN CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT)
+          |      ELSE 0 END) AS BIGINT) AS sa,
+          |    CAST(sum(CASE WHEN vec_id % 2 = 1
+          |      THEN CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT)
+          |      ELSE 0 END) AS BIGINT) AS sb,
+          |    CAST(sum(CASE WHEN vec_id % 2 = 0
+          |      THEN CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT)
+          |        * CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT)
+          |      ELSE 0 END) AS BIGINT) AS qa,
+          |    CAST(sum(CASE WHEN vec_id % 2 = 1
+          |      THEN CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT)
+          |        * CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT)
+          |      ELSE 0 END) AS BIGINT) AS qb
+          |  FROM embeddings, unnest(range(64)) AS t(i)
+          |  GROUP BY i
+          |), n AS (
+          |  SELECT CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS na,
+          |    CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS nb
+          |  FROM embeddings
+          |), l AS (
+          |  SELECT round(sqrt(CAST(sum(
+          |      CAST(sa * nb - sb * na AS HUGEINT)
+          |        * (sa * nb - sb * na)) AS DOUBLE))
+          |    / (na * nb * 1000000.0), 6) AS l2_shift
+          |  FROM d CROSS JOIN n GROUP BY na, nb
+          |), topd AS (
+          |  SELECT pos, sa * nb - sb * na AS dnum,
+          |    CAST(qa + qb AS HUGEINT) * (na + nb)
+          |      - CAST(sa + sb AS HUGEINT) * (sa + sb) AS vnum,
+          |    row_number() OVER (ORDER BY abs(sa * nb - sb * na) DESC, pos)
+          |      AS rnk
+          |  FROM d CROSS JOIN n
+          |)
+          |SELECT t.rnk, CAST(t.pos AS BIGINT) AS dim,
+          |  round(CAST(t.dnum AS DOUBLE) / (na * nb) / 1000000, 6)
+          |    AS mean_shift,
+          |  round(CAST(t.dnum AS DOUBLE) * (na + nb)
+          |    / (na * nb * sqrt(CAST(t.vnum AS DOUBLE))), 6) AS shift_z,
+          |  l.l2_shift, n.na, n.nb
+          |FROM topd t CROSS JOIN l CROSS JOIN n
+          |WHERE t.rnk <= 5 ORDER BY t.rnk""".stripMargin),
+    ) { (s, dir) =>
+      val x6 = round(col("v").cast("double") * 1000000, 0).cast("long")
+      val d = Tables.embeddings(s, dir)
+        .select(pmod(col("vec_id"), lit(2)).as("side"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("pos")
+        .agg(sum(when(col("side") === 0, x6).otherwise(0L)).as("sa"),
+          sum(when(col("side") === 1, x6).otherwise(0L)).as("sb"),
+          sum(when(col("side") === 0, x6 * x6).otherwise(0L)).as("qa"),
+          sum(when(col("side") === 1, x6 * x6).otherwise(0L)).as("qb"))
+        .localCheckpoint()
+      val n = Tables.embeddings(s, dir).agg(
+        sum(when(pmod(col("vec_id"), lit(2)) === 0, 1L).otherwise(0L))
+          .as("na"),
+        sum(when(pmod(col("vec_id"), lit(2)) === 1, 1L).otherwise(0L))
+          .as("nb"))
+      val l = d.crossJoin(broadcast(n))
+        .groupBy("na", "nb")
+        .agg(sum(((col("sa") * col("nb") - col("sb") * col("na"))
+          .cast("decimal(38,0)")
+          * (col("sa") * col("nb") - col("sb") * col("na"))).as("sq"))
+          .as("sd2"))
+        .selectExpr(
+          """round(sqrt(CAST(sd2 AS DOUBLE)) / (na * nb * 1000000.0), 6)
+            |  AS l2_shift""".stripMargin)
+      val w = Window.orderBy(
+        abs(col("sa") * col("nb") - col("sb") * col("na")).desc, col("pos"))
+      d.crossJoin(broadcast(n))
+        .withColumn("dnum", col("sa") * col("nb") - col("sb") * col("na"))
+        .withColumn("vnum",
+          (col("qa") + col("qb")).cast("decimal(38,0)")
+            * (col("na") + col("nb"))
+            - (col("sa") + col("sb")).cast("decimal(38,0)")
+              * (col("sa") + col("sb")))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .crossJoin(broadcast(l))
+        .selectExpr("rnk", "CAST(pos AS BIGINT) AS dim",
+          """round(CAST(dnum AS DOUBLE) / (na * nb) / 1000000, 6)
+            |  AS mean_shift""".stripMargin,
+          """round(CAST(dnum AS DOUBLE) * (na + nb)
+            |  / (na * nb * sqrt(CAST(vnum AS DOUBLE))), 6) AS shift_z"""
+            .stripMargin,
+          "l2_shift", "na", "nb")
+        .orderBy("rnk")
+    },
+
+    Q(
       "q_bitext_mine",
       "margin-based BITEXT MINING (Artetxe & Schwenk 2019, the " +
         "standard parallel-corpus miner behind CCMatrix/LASER " +

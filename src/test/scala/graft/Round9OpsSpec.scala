@@ -723,6 +723,38 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(math.abs(cuped - truth) < 0.05, s"CUPED estimate $cuped far off")
   }
 
+  // ---- q_embed_drift ----
+
+  test("q_embed_drift: a planted single-dimension shift tops the ranking") {
+    import spark.implicits._
+    // 200 vectors, deterministic small noise everywhere; odd vec_ids
+    // (the 'current' side) shift dim 7 by +0.5 — the monitor must
+    // rank dim 7 first with the planted mean shift and an L2 close
+    // to it (all other dims carry only noise).
+    val D = 64
+    val rows = (0L until 200L).map { id =>
+      val v = new Array[Float](D)
+      for (j <- 0 until D) v(j) = (((id * 31 + j * 17) % 13).toInt - 6) / 100.0f
+      if (id % 2 == 1) v(7) += 0.5f
+      (id, v, (id % 10).toInt)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("edrift").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$tmp/embeddings.parquet")
+    val out = SparkEntry.queries("q_embed_drift")(spark, tmp).collect()
+    assert(out.length == 5)
+    val top = out.head
+    assert(top.getLong(1) == 7L, s"top drifted dim ${top.getLong(1)} != 7")
+    assert(math.abs(top.getDouble(2) - (-0.5)) < 0.02,
+      s"planted shift not recovered: ${top.getDouble(2)}")
+    assert(math.abs(top.getDouble(3)) > 1.0,
+      s"planted shift should dominate the pooled sd: z=${top.getDouble(3)}")
+    assert(math.abs(top.getDouble(4) - 0.5) < 0.05,
+      s"L2 ${top.getDouble(4)} should be dominated by the planted dim")
+    // every other reported dim is noise-scale
+    out.tail.foreach(r => assert(math.abs(r.getDouble(2)) < 0.05))
+  }
+
   // ---- q_ks_test ----
 
   test("q_ks_test: a planted half-shift yields D = 0.5 exactly") {
