@@ -35,6 +35,8 @@ object GraftSession {
     graft.plans.FuzzyJoinBlocking.register(spark)
     graft.plans.HammingBandJoin.register(spark)
     graft.plans.OverlapJoinBlocking.register(spark)
+    graft.plans.RangeBinJoin.register(spark)
+    graft.plans.IntervalOverlapJoin.register(spark)
     spark
   }
 }
