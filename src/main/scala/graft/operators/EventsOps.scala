@@ -2453,6 +2453,124 @@ object EventsOps {
     thetaRollingQ,
 
     Q(
+      "q_winsorized_ab",
+      "WINSORIZED A/B comparison (the heavy-tail hygiene every " +
+        "experimentation platform applies before trusting a mean " +
+        "shift): values cap at the pooled p99 — an EXACT order " +
+        "statistic via the cents-domain cumulative (min value whose " +
+        "cumulative count reaches ceil(0.99·n), the q_conformal " +
+        "machinery) — then a Welch t-statistic on the capped metric, " +
+        "with per-arm variances from exact capped power sums (the " +
+        "(n·Σx² − (Σx)²) numerators in DECIMAL(38)/HUGEINT — the " +
+        "moments-s4 precedent) and the one sqrt 6dp-rounded at the " +
+        "libm boundary (the q_ab_test convention). Capping is " +
+        "per-row integer arithmetic, so the whole readout stays " +
+        "oracle-exact while doing the one thing the plain t-test " +
+        "can't: keeping a single whale purchase from deciding the " +
+        "experiment. One cents-domain window + two keyed aggs; " +
+        "null result on uniform synthetic arms is the check",
+      Some(
+        """WITH e AS (
+          |  SELECT user_id % 2 AS grp, CAST(round(value * 100) AS BIGINT)
+          |    AS v_c
+          |  FROM events
+          |), n AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS ntot,
+          |    CAST(ceil(count(*) * 0.99) AS BIGINT) AS kk
+          |  FROM e
+          |), vc AS (
+          |  SELECT v_c, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY v_c
+          |), cum AS (
+          |  SELECT v_c, sum(c) OVER (ORDER BY v_c) AS cle FROM vc
+          |), cap AS (
+          |  SELECT min(c.v_c) AS cap_c FROM cum c CROSS JOIN n
+          |  WHERE c.cle >= n.kk
+          |), wz AS (
+          |  SELECT grp, least(v_c, cap_c) AS w_c FROM e CROSS JOIN cap
+          |), s AS (
+          |  SELECT
+          |    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+          |    CAST(sum(CASE WHEN grp = 0 THEN w_c ELSE 0 END) AS BIGINT)
+          |      AS sa,
+          |    CAST(sum(CASE WHEN grp = 0 THEN w_c * w_c ELSE 0 END) AS BIGINT)
+          |      AS qa,
+          |    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+          |    CAST(sum(CASE WHEN grp = 1 THEN w_c ELSE 0 END) AS BIGINT)
+          |      AS sb,
+          |    CAST(sum(CASE WHEN grp = 1 THEN w_c * w_c ELSE 0 END) AS BIGINT)
+          |      AS qb
+          |  FROM wz
+          |), f AS (
+          |  SELECT na, nb, sa, sb,
+          |    CAST(CAST(qa AS HUGEINT) * na - CAST(sa AS HUGEINT) * sa
+          |      AS DOUBLE) AS va,
+          |    CAST(CAST(qb AS HUGEINT) * nb - CAST(sb AS HUGEINT) * sb
+          |      AS DOUBLE) AS vb
+          |  FROM s
+          |)
+          |SELECT f.na, f.nb, round(CAST(cap.cap_c AS DOUBLE) / 100, 6)
+          |    AS cap_value,
+          |  round((CAST(f.sa AS DOUBLE) / f.na - CAST(f.sb AS DOUBLE) / f.nb)
+          |    / 100, 6) AS mean_diff_w,
+          |  round((CAST(f.sa AS DOUBLE) / f.na - CAST(f.sb AS DOUBLE) / f.nb)
+          |    / round(sqrt(
+          |        f.va / (CAST(f.na AS DOUBLE) * f.na * (f.na - 1))
+          |      + f.vb / (CAST(f.nb AS DOUBLE) * f.nb * (f.nb - 1))), 6), 6)
+          |    AS t_w,
+          |  CAST(abs((CAST(f.sa AS DOUBLE) / f.na - CAST(f.sb AS DOUBLE)
+          |      / f.nb)
+          |    / round(sqrt(
+          |        f.va / (CAST(f.na AS DOUBLE) * f.na * (f.na - 1))
+          |      + f.vb / (CAST(f.nb AS DOUBLE) * f.nb * (f.nb - 1))), 6))
+          |    > 1.96 AS BIGINT) AS significant
+          |FROM f CROSS JOIN cap""".stripMargin),
+    ) { (s, dir) =>
+      val e = Tables.events(s, dir).select(
+        pmod(col("user_id"), lit(2)).as("grp"),
+        round(col("value") * 100, 0).cast("long").as("v_c"))
+      val n = e.agg(count(lit(1)).as("ntot"),
+        ceil(count(lit(1)) * 0.99).cast("long").as("kk"))
+      val w = Window.orderBy("v_c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cap = e.groupBy("v_c").agg(count(lit(1)).as("c"))
+        .withColumn("cle", sum(col("c")).over(w))
+        .crossJoin(broadcast(n))
+        .filter(col("cle") >= col("kk"))
+        .agg(min(col("v_c")).as("cap_c"))
+      val wz = e.crossJoin(broadcast(cap))
+        .select(col("grp"), least(col("v_c"), col("cap_c")).as("w_c"))
+      wz.agg(
+        sum(when(col("grp") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("grp") === 0, col("w_c")).otherwise(0L)).as("sa"),
+        sum(when(col("grp") === 0, col("w_c") * col("w_c")).otherwise(0L))
+          .as("qa"),
+        sum(when(col("grp") === 1, 1L).otherwise(0L)).as("nb"),
+        sum(when(col("grp") === 1, col("w_c")).otherwise(0L)).as("sb"),
+        sum(when(col("grp") === 1, col("w_c") * col("w_c")).otherwise(0L))
+          .as("qb"))
+        .selectExpr("na", "nb", "sa", "sb",
+          """CAST(CAST(qa AS DECIMAL(38,0)) * na - CAST(sa AS DECIMAL(38,0))
+            |  * sa AS DOUBLE) AS va""".stripMargin,
+          """CAST(CAST(qb AS DECIMAL(38,0)) * nb - CAST(sb AS DECIMAL(38,0))
+            |  * sb AS DOUBLE) AS vb""".stripMargin)
+        .crossJoin(broadcast(cap))
+        .selectExpr("na", "nb",
+          "round(CAST(cap_c AS DOUBLE) / 100, 6) AS cap_value",
+          """round((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+            |  / 100, 6) AS mean_diff_w""".stripMargin,
+          """round((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+            |  / round(sqrt(
+            |      va / (CAST(na AS DOUBLE) * na * (na - 1))
+            |    + vb / (CAST(nb AS DOUBLE) * nb * (nb - 1))), 6), 6)
+            |  AS t_w""".stripMargin,
+          """CAST(abs((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+            |  / round(sqrt(
+            |      va / (CAST(na AS DOUBLE) * na * (na - 1))
+            |    + vb / (CAST(nb AS DOUBLE) * nb * (nb - 1))), 6))
+            |  > 1.96 AS BIGINT) AS significant""".stripMargin)
+    },
+
+    Q(
       "q_ks_test",
       "two-sample KOLMOGOROV-SMIRNOV: the exact sup-norm ECDF " +
         "distance between the two arms' value distributions — the " +

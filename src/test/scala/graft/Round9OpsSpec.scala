@@ -723,6 +723,34 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(math.abs(cuped - truth) < 0.05, s"CUPED estimate $cuped far off")
   }
 
+  // ---- q_winsorized_ab ----
+
+  test("q_winsorized_ab: a single whale cannot decide the experiment") {
+    import spark.implicits._
+    // Both arms draw the same deterministic 1.00-5.00 pattern; arm 1
+    // gets ONE 100,000.00 whale. The naive mean gap would be ~100 per
+    // event-arm-size; the winsorized readout must cap the whale at the
+    // pooled p99 and stay insignificant.
+    val ts = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    val rows = (0 until 1000).flatMap { i =>
+      val v = 1.0 + (i % 5)
+      Seq((2L * i, ts, "view", v), (2L * i + 1, ts, "view", v))
+    } :+ (9999L, ts, "view", 100000.0)
+    val tmp = java.nio.file.Files.createTempDirectory("wab").toString
+    rows.toDF("user_id", "ts", "event_type", "value")
+      .write.parquet(s"$tmp/events.parquet")
+    val r = SparkEntry.queries("q_winsorized_ab")(spark, tmp).collect()(0)
+    val (cap, diff, t, sig) =
+      (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getLong(5))
+    assert(cap == 5.0, s"pooled p99 cap $cap should land on the 5.00 mode")
+    assert(math.abs(diff) < 0.01, s"winsorized diff $diff should be ~0")
+    assert(math.abs(t) < 1.96 && sig == 0L,
+      s"the whale must not decide it: t=$t sig=$sig")
+    // and the naive (un-winsorized) gap really was whale-sized
+    val naive = 100000.0 / 1001
+    assert(naive > 50, "planted whale sanity")
+  }
+
   // ---- q_embed_drift ----
 
   test("q_embed_drift: a planted single-dimension shift tops the ranking") {
