@@ -2453,6 +2453,66 @@ object EventsOps {
     thetaRollingQ,
 
     Q(
+      "q_srm_check",
+      "SAMPLE RATIO MISMATCH guardrail (the check every experiment " +
+        "readout must pass FIRST — an assignment imbalance invalidates " +
+        "q_ab_test/q_cuped/q_winsorized_ab downstream, and SRM is the " +
+        "single most common way experiments silently rot): USERS " +
+        "(the assignment unit, not events — event-level counts " +
+        "conflate activity with assignment) split by the same sticky " +
+        "md5 hash q_ab_test uses, compared to the expected 50/50 via " +
+        "the one-degree chi-square χ² = (ua − ub)²/(ua + ub), exact " +
+        "integers with one mirrored division, flagged at the " +
+        "conventional p<0.001 guardrail (χ² > 10.828) — loose on " +
+        "purpose, because SRM checks fire on every metric refresh " +
+        "and a p<0.05 trigger would false-alarm weekly. Also emits " +
+        "the per-arm EVENT counts whose imbalance is legitimate " +
+        "(activity differs; only the USER split is guaranteed). " +
+        "Two keyed aggs, 1-row output, zero windows",
+      Some {
+        val h = graft.functions.Portable.md5Hash60Sql("CAST(user_id AS VARCHAR)")
+        s"""WITH u AS (
+           |  SELECT DISTINCT user_id,
+           |    CASE WHEN ($h) % 2 = 0 THEN 0 ELSE 1 END AS grp
+           |  FROM events
+           |), uc AS (
+           |  SELECT
+           |    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ua,
+           |    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ub
+           |  FROM u
+           |), ec AS (
+           |  SELECT
+           |    CAST(sum(CASE WHEN ($h) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS ea,
+           |    CAST(sum(CASE WHEN ($h) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS eb
+           |  FROM events
+           |)
+           |SELECT ua, ub, ea, eb,
+           |  round(CAST((ua - ub) * (ua - ub) AS DOUBLE) / (ua + ub), 6)
+           |    AS chi2,
+           |  CAST(CAST((ua - ub) * (ua - ub) AS DOUBLE) / (ua + ub) > 10.828
+           |    AS BIGINT) AS srm_flag
+           |FROM uc CROSS JOIN ec""".stripMargin
+      },
+    ) { (s, dir) =>
+      val grp = graft.functions.Portable
+        .md5Hash60(col("user_id").cast("string")) % 2
+      val uc = Tables.events(s, dir).select(col("user_id")).distinct()
+        .agg(sum(when(grp === 0, 1L).otherwise(0L)).as("ua"),
+          sum(when(grp === 1, 1L).otherwise(0L)).as("ub"))
+      val ec = Tables.events(s, dir)
+        .agg(sum(when(grp === 0, 1L).otherwise(0L)).as("ea"),
+          sum(when(grp === 1, 1L).otherwise(0L)).as("eb"))
+      uc.crossJoin(broadcast(ec))
+        .selectExpr("ua", "ub", "ea", "eb",
+          """round(CAST((ua - ub) * (ua - ub) AS DOUBLE) / (ua + ub), 6)
+            |  AS chi2""".stripMargin,
+          """CAST(CAST((ua - ub) * (ua - ub) AS DOUBLE) / (ua + ub) > 10.828
+            |  AS BIGINT) AS srm_flag""".stripMargin)
+    },
+
+    Q(
       "q_winsorized_ab",
       "WINSORIZED A/B comparison (the heavy-tail hygiene every " +
         "experimentation platform applies before trusting a mean " +

@@ -723,6 +723,34 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(math.abs(cuped - truth) < 0.05, s"CUPED estimate $cuped far off")
   }
 
+  // ---- q_srm_check ----
+
+  test("q_srm_check: balanced hash stays quiet; a planted 60/40 skew fires") {
+    import spark.implicits._
+    // Real data: the sticky hash must not trip the guardrail.
+    val real = SparkEntry.queries("q_srm_check")(spark, dir).collect()(0)
+    assert(real.getLong(5) == 0L,
+      s"uniform hash assignment flagged SRM: chi2=${real.getDouble(4)}")
+    assert(real.getLong(0) + real.getLong(1) ==
+      graft.Tables.events(spark, dir).select("user_id").distinct().count())
+    // Planted: users chosen so the md5 parity lands ~60/40 at n=2000 —
+    // build by rejection so the imbalance is exact and deterministic.
+    val ts = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    def side(u: Long): Long =
+      graft.operators.TextOps.hash60(u.toString) % 2
+    val a = (0L until 100000L).filter(side(_) == 0).take(1200)
+    val b = (0L until 100000L).filter(side(_) == 1).take(800)
+    val rows = (a ++ b).map(u => (u, ts, "view", 1.0))
+    val tmp = java.nio.file.Files.createTempDirectory("srm").toString
+    rows.toDF("user_id", "ts", "event_type", "value")
+      .write.parquet(s"$tmp/events.parquet")
+    val r = SparkEntry.queries("q_srm_check")(spark, tmp).collect()(0)
+    assert(r.getLong(0) == 1200L && r.getLong(1) == 800L)
+    // chi2 = 400^2/2000 = 80 >> 10.828
+    assert(r.getDouble(4) == 80.0 && r.getLong(5) == 1L,
+      s"planted 60/40 must fire: chi2=${r.getDouble(4)}")
+  }
+
   // ---- q_winsorized_ab ----
 
   test("q_winsorized_ab: a single whale cannot decide the experiment") {
