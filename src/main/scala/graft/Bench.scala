@@ -9,7 +9,15 @@ object Bench {
     // codegen so they aren't attributed to whichever query happens to run
     // first (per-plan codegen ~100ms stays in each slot, which is fair).
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional comma-separated allowlist for iterating on single rows
+    // locally (the driver leaves it unset and benches everything).
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }

@@ -29,13 +29,30 @@ import org.apache.spark.sql.types._
   * into
   *
   *   Project(L.out ++ R.out,
-  *     Filter(originalCondition AND ok = array_min(array_intersect(lpfx, rpfx)),
-  *       Join(explode(prefix(a)) over L, explode(prefix(b)) over R,
-  *            Inner, ok_l = ok_r)))
+  *     Filter(verify(__shared) AND ok = array_min(__shared),
+  *       Project(out :+ __shared = array_intersect(a, b),
+  *         Join(explode(prefix(a)) over L, explode(prefix(b)) over R,
+  *              Inner, ok_l = ok_r AND rest))))
   *
-  * The original condition re-applies in full (prefix collisions are
-  * candidates, not answers; extra conjuncts ride along), and the
-  * canonical-token filter keeps exactly ONE of the up-to-|prefix|
+  * The expensive set build happens EXACTLY ONCE per candidate, in the
+  * `__shared` projection below the verify Filter: the original overlap
+  * conjunct re-applies with its `array_intersect` subtree swapped for
+  * the alias, and the canonical-token filter reads `array_min` of the
+  * SAME alias. That last substitution is sound: when |A∩B| ≥ T, the
+  * minimum m of A∩B is followed in each side's sorted distinct set by
+  * ≥ T−1 further intersection tokens, so m sits within the first
+  * |s|−T+1 positions of both — m ∈ pfx(A)∩pfx(B) ⊆ A∩B, hence
+  * min(pfx(A)∩pfx(B)) = min(A∩B) for every qualifying pair (and
+  * non-qualifying candidates are dropped by the verify regardless of
+  * what the canonical comparison says). Cheap residual conjuncts that
+  * do not mention the intersect (`doc_a < doc_b` and friends) move
+  * into the blocked join's own condition, pruning candidates BEFORE
+  * the set build is paid. When the join's direct parent is a Project
+  * or Aggregate that recomputes the same `array_intersect` (the
+  * `n_shared` output column shape), the rule substitutes the alias
+  * there too — zero re-evaluations anywhere in the operator.
+  *
+  * The canonical filter keeps exactly ONE of the up-to-|prefix|
   * matches per qualifying pair — multiplicity preserved with no
   * distinct shuffle, the [[FuzzyJoinBlocking]] trick. Rows with fewer
   * than T distinct tokens get an empty prefix and are dropped by
@@ -50,13 +67,16 @@ import org.apache.spark.sql.types._
   * df-pruning shape), not a planner concern: any total order is
   * CORRECT, the order only tunes pruning.
   *
-  * Scope guards: inner joins only; both sides `array<string>` with
-  * containsNull = false (array_intersect treats null elements as
+  * Scope guards: inner joins only; deterministic condition (the
+  * verify re-evaluates per candidate row); both sides `array<string>`
+  * with containsNull = false (array_intersect treats null elements as
   * equal, the blocking equi-join would not — split()-produced arrays
   * are null-free, which is the shape this rule targets); no existing
   * cross-side equi key (blocking would only multiply an already
   * partitionable join); never re-fires on its own output (the
-  * `__graft_ok` marker).
+  * `__graft_ok` marker). The threshold literal matches both INT and
+  * BIGINT spellings, with or without the implicit cast analysis wraps
+  * around `size(...)` when the literal is long.
   *
   * Cost: fan-out is the prefix length per input row, map-side; the
   * one shuffle is token-keyed and AQE-skew-splittable. Worth it
@@ -68,23 +88,39 @@ import org.apache.spark.sql.types._
 object OverlapJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
 
   private val OkName = "__graft_ok"
-  private val OpfxName = "__graft_opfx"
+  private val SharedName = "__graft_shared"
 
-  /** overlap ≥ T in its literal spellings; returns (a, b, T ≥ 1). */
+  /** `size(array_intersect(..))`, bare or under the LONG cast the
+    * analyzer inserts when the threshold literal is BIGINT. */
+  private object SizeOfIntersect {
+    def unapply(e: Expression): Option[ArrayIntersect] = e match {
+      case Size(ai: ArrayIntersect, _) => Some(ai)
+      case Cast(Size(ai: ArrayIntersect, _), LongType, _, _) => Some(ai)
+      case _ => None
+    }
+  }
+
+  /** An INT-range integral literal, either type. */
+  private object IntLit {
+    def unapply(e: Expression): Option[Int] = e match {
+      case Literal(t: Int, IntegerType) => Some(t)
+      case Literal(t: Long, LongType)
+          if t >= Int.MinValue && t <= Int.MaxValue => Some(t.toInt)
+      case _ => None
+    }
+  }
+
+  /** overlap ≥ T in its literal spellings; returns (intersect, T ≥ 1). */
   private def overlapPredicate(e: Expression)
-      : Option[(Expression, Expression, Int)] = e match {
-    case GreaterThanOrEqual(Size(ArrayIntersect(a, b), _),
-        Literal(t: Int, IntegerType)) if t >= 1 =>
-      Some((a, b, t))
-    case GreaterThan(Size(ArrayIntersect(a, b), _),
-        Literal(t: Int, IntegerType)) if t >= 0 =>
-      Some((a, b, t + 1))
-    case LessThanOrEqual(Literal(t: Int, IntegerType),
-        Size(ArrayIntersect(a, b), _)) if t >= 1 =>
-      Some((a, b, t))
-    case LessThan(Literal(t: Int, IntegerType),
-        Size(ArrayIntersect(a, b), _)) if t >= 0 =>
-      Some((a, b, t + 1))
+      : Option[(ArrayIntersect, Int)] = e match {
+    case GreaterThanOrEqual(SizeOfIntersect(ai), IntLit(t)) if t >= 1 =>
+      Some((ai, t))
+    case GreaterThan(SizeOfIntersect(ai), IntLit(t)) if t >= 0 =>
+      Some((ai, t + 1))
+    case LessThanOrEqual(IntLit(t), SizeOfIntersect(ai)) if t >= 1 =>
+      Some((ai, t))
+    case LessThan(IntLit(t), SizeOfIntersect(ai)) if t >= 0 =>
+      Some((ai, t + 1))
     case _ => None
   }
 
@@ -97,14 +133,19 @@ object OverlapJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
       Greatest(Seq(Subtract(Size(sorted), Literal(t - 1)), Literal(0))))
   }
 
+  /** Explode the prefix over `child`; the prefix column itself is
+    * dropped from the Generate output (canonicalization reads the
+    * post-join shared intersect instead), so only the token key rides
+    * the blocked shuffle. */
   private def explodePrefix(child: LogicalPlan, s: Expression, t: Int)
-      : (LogicalPlan, Attribute, Attribute) = {
-    val pfx = Alias(prefixExpr(s, t), OpfxName)()
+      : (LogicalPlan, Attribute) = {
+    val pfx = Alias(prefixExpr(s, t), "__graft_pfx")()
     val proj = Project(child.output :+ pfx, child)
     val ok = AttributeReference(OkName, StringType, nullable = true)()
-    val gen = Generate(Explode(pfx.toAttribute), unrequiredChildIndex = Nil,
+    val gen = Generate(Explode(pfx.toAttribute),
+      unrequiredChildIndex = Seq(child.output.size),
       outer = false, qualifier = None, generatorOutput = Seq(ok), child = proj)
-    (gen, ok, pfx.toAttribute)
+    (gen, ok)
   }
 
   /** The [[FuzzyJoinBlocking]] re-blocking guard: a join that already
@@ -126,31 +167,86 @@ object OverlapJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
     case _ => false
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case j @ Join(left, right, Inner, Some(cond), _)
-        if !left.output.exists(_.name == OkName)
+  private def subst(e: Expression, ai: ArrayIntersect,
+      shared: Attribute): Expression = e.transform {
+    case x: ArrayIntersect if x.semanticEquals(ai) => shared
+  }
+
+  /** Rewrite `j` if it is in scope; returns the verify Filter (its
+    * output = L.out ++ ok ++ R.out ++ ok ++ __shared — callers strip
+    * or substitute), the shared-intersect attribute, and the matched
+    * intersect expression for parent-level substitution. */
+  private def tryRewrite(j: Join): Option[(LogicalPlan, Attribute,
+      ArrayIntersect)] = j match {
+    case Join(left, right, Inner, Some(cond), _)
+        if cond.deterministic
+          && !left.output.exists(_.name == OkName)
           && !right.output.exists(_.name == OkName)
           && !hasEquiKey(cond, left, right) =>
-      val hit: Option[(Expression, Expression, Int)] =
-        splitConjunctivePredicates(cond).iterator.flatMap { p =>
-          overlapPredicate(p).flatMap { case (x, y, t) =>
-            if (!nullFreeStringArray(x) || !nullFreeStringArray(y)) None
-            else if (x.references.subsetOf(left.outputSet)
-                && y.references.subsetOf(right.outputSet)) Some((x, y, t))
-            else if (y.references.subsetOf(left.outputSet)
-                && x.references.subsetOf(right.outputSet)) Some((y, x, t))
+      val conjuncts = splitConjunctivePredicates(cond)
+      val hit: Option[(ArrayIntersect, Expression, Expression, Int)] =
+        conjuncts.iterator.flatMap { p =>
+          overlapPredicate(p).flatMap { case (ai, t) =>
+            if (!nullFreeStringArray(ai.left)
+                || !nullFreeStringArray(ai.right)) None
+            else if (ai.left.references.subsetOf(left.outputSet)
+                && ai.right.references.subsetOf(right.outputSet))
+              Some((ai, ai.left, ai.right, t))
+            else if (ai.right.references.subsetOf(left.outputSet)
+                && ai.left.references.subsetOf(right.outputSet))
+              Some((ai, ai.right, ai.left, t))
             else None
           }
         }.take(1).toList.headOption
-      hit match {
+      hit.map { case (ai, la, ra, t) =>
+        val (lgen, lk) = explodePrefix(left, la, t)
+        val (rgen, rk) = explodePrefix(right, ra, t)
+        // Conjuncts never touching the matched intersect prune inside
+        // the join, BEFORE the per-candidate set build is paid; the
+        // rest re-applies above, reading the shared alias.
+        val (needShared, rest) = conjuncts.partition(_.exists {
+          case x: ArrayIntersect => x.semanticEquals(ai)
+          case _ => false
+        })
+        val blockedCond = (EqualTo(lk, rk) +: rest).reduce(And)
+        val blocked = Join(lgen, rgen, Inner, Some(blockedCond),
+          JoinHint.NONE)
+        val shared = Alias(ai, SharedName)()
+        val proj = Project(blocked.output :+ shared, blocked)
+        val verify = needShared.map(subst(_, ai, shared.toAttribute))
+          .reduce(And)
+        val canonical = EqualTo(lk, ArrayMin(shared.toAttribute))
+        (Filter(And(verify, canonical), proj), shared.toAttribute, ai)
+      }
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    // A Project/Aggregate sitting directly on the join gets its own
+    // copies of the intersect (the `n_shared` output shape) pointed at
+    // the shared alias — the whole operator then builds the set once.
+    case p @ Project(projList, j: Join) =>
+      tryRewrite(j) match {
+        case None => p
+        case Some((filtered, shared, ai)) =>
+          Project(projList.map(e =>
+            subst(e, ai, shared).asInstanceOf[NamedExpression]), filtered)
+      }
+    case a: Aggregate if a.child.isInstanceOf[Join] =>
+      tryRewrite(a.child.asInstanceOf[Join]) match {
+        case None => a
+        case Some((filtered, shared, ai)) =>
+          a.copy(
+            groupingExpressions =
+              a.groupingExpressions.map(subst(_, ai, shared)),
+            aggregateExpressions = a.aggregateExpressions.map(e =>
+              subst(e, ai, shared).asInstanceOf[NamedExpression]),
+            child = filtered)
+      }
+    case j: Join =>
+      tryRewrite(j) match {
         case None => j
-        case Some((a, b, t)) =>
-          val (lgen, lk, lpfx) = explodePrefix(left, a, t)
-          val (rgen, rk, rpfx) = explodePrefix(right, b, t)
-          val blocked = Join(lgen, rgen, Inner, Some(EqualTo(lk, rk)),
-            JoinHint.NONE)
-          val canonical = EqualTo(lk, ArrayMin(ArrayIntersect(lpfx, rpfx)))
-          Project(j.output, Filter(And(cond, canonical), blocked))
+        case Some((filtered, _, _)) => Project(j.output, filtered)
       }
   }
 

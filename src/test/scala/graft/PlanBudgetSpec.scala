@@ -796,8 +796,15 @@ class PlanBudgetSpec extends AnyFunSuite {
     val p = plan("q_overlap_join")
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
       s"OverlapJoinBlocking did not fire, plan:\n$p")
-    assert(p.contains("array_intersect"),
-      s"the re-applied verify is missing, plan:\n$p")
+    // The set build must happen EXACTLY once per candidate — one
+    // shared projection below the verify Filter, with the verify, the
+    // canonical array_min filter, and the n_shared output all reading
+    // the alias (the r9 triple-evaluation fix).
+    val n = "array_intersect".r.findAllIn(p).length
+    assert(n == 1,
+      s"expected exactly one array_intersect (the shared projection), got $n, plan:\n$p")
+    assert(p.contains("__graft_shared"),
+      s"shared-intersect alias missing, plan:\n$p")
   }
 
   test("q_fim_transform reorders per-row — one exchange for the audit rollup") {
