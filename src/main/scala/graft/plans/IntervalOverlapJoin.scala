@@ -30,30 +30,57 @@ import org.apache.spark.sql.types._
   * the same bucket set. Multiplicity is therefore preserved with no
   * distinct shuffle.
   *
-  * Null bounds null the sequence and Generate drops the row — the
-  * original predicate would have been UNKNOWN. Scope guards: inner
-  * joins only; the two cross-side `≤`/`<` conjuncts must run in
-  * OPPOSITE directions (L→R and R→L) over numeric expressions; no
-  * existing cross-side equi key (which also keeps this rule off
-  * [[RangeBinJoin]]'s output — its blocked join has a bucket equi
-  * key); never re-fires on its own output (the `__graft_ik` marker).
+  * The monotone-bucket argument needs FINITE values, and the explode
+  * needs a bounded span, so each side routes its rows through
+  * [[Binning.safeSpan]] exactly like [[RangeBinJoin]]: safe×safe
+  * pairs take the binned equi-join; the residual pairs — unsafe-left
+  * against everything, plus safe-left against unsafe-right, a clean
+  * partition of what the binned branch cannot see — take exact
+  * fallback joins that evaluate the ORIGINAL predicate row-by-row,
+  * hint-BROADCAST on their filtered unsafe side. Each residual exists
+  * ONLY when that side's plan-time stats pass ([[Binning.sideStats]])
+  * proves unsafe rows can exist — AQE does not propagate empty
+  * relations through broadcast stages, so an always-on residual would
+  * re-scan the other side per query even when empty; a side whose
+  * one-pass stats show every length finite and under the span cap
+  * (or a provably-safe LocalRelation) skips its filter and residual,
+  * keeping clean-data plans as lean as before the guard existed.
+  * NULL bounds drop from every branch, which is exact: they cannot
+  * satisfy the original inequalities of an inner join.
   *
-  * Bin width [[IntervalOverlapJoin.BinWidth]] (1800 — tuned for
-  * epoch-second session spans) is a performance knob only, never
-  * correctness: candidates scale with sessions-per-bucket², minimized
-  * when the width is near the typical interval length; production
-  * derives it from interval-length stats. q_session_overlap runs the
-  * naive spelling through this rule; IntervalRuleSpec pins
-  * brute-force equality with multiplicity and the NestedLoop-free
-  * shape.
+  * Scope guards: inner joins only; deterministic condition; the two
+  * cross-side `≤`/`<` conjuncts must run in OPPOSITE directions
+  * (L→R and R→L) over numeric expressions; no existing cross-side
+  * equi key (which also keeps this rule off [[RangeBinJoin]]'s
+  * output — its blocked join has a bucket equi key); never re-fires
+  * on its own or a sibling rule's output (the [[Binning.MarkerPrefix]]
+  * blanket guard — a residual join's condition is still an overlap
+  * sandwich, so the marker is what stops a second rewrite).
+  *
+  * Bin width is a performance knob only, never correctness:
+  * candidates scale with intervals-per-bucket², minimized when the
+  * width is near the typical interval length. It is STATS-DERIVED at
+  * rule-fire time from the same per-side one-pass stats: each side's
+  * median |hi − lo| (driver-side for LocalRelations, one
+  * column-pruned aggregate job otherwise, cached per canonicalized
+  * plan) quantized to a power of two; the rule takes the LARGER of
+  * the two sides' widths (bounding fan-out on both) and falls back to
+  * [[IntervalOverlapJoin.BinWidth]] (1800 — epoch-second session
+  * spans) when no pass can run. q_session_overlap runs the naive
+  * spelling through this rule; IntervalRuleSpec pins brute-force
+  * equality with multiplicity, the binned plan shape, residual
+  * exactness for NaN/Inf/sentinel rows, and the adaptive width.
   */
 object IntervalOverlapJoin extends Rule[LogicalPlan] with PredicateHelper {
 
   private val IkName = "__graft_ik"
   private val IksName = "__graft_iks"
 
-  /** Fixed bin width (performance knob only — see scaladoc). */
+  /** Fallback bin width when the stats probe cannot run. */
   val BinWidth = 1800.0
+
+  /** Width chosen by the most recent rewrite (test observability). */
+  @volatile var lastWidth: Double = BinWidth
 
   /** `x <= y` (or strict) in both spellings → (smaller, larger). */
   private def le(e: Expression): Option[(Expression, Expression)] = e match {
@@ -67,8 +94,8 @@ object IntervalOverlapJoin extends Rule[LogicalPlan] with PredicateHelper {
   private def numeric(e: Expression): Boolean =
     e.dataType.isInstanceOf[NumericType]
 
-  private def bucketOf(e: Expression): Expression =
-    Floor(Divide(Cast(e, DoubleType), Literal(BinWidth)))
+  private def bucketOf(e: Expression, width: Double): Expression =
+    Floor(Divide(Cast(e, DoubleType), Literal(width)))
 
   private def hasEquiKey(cond: Expression, left: LogicalPlan,
       right: LogicalPlan): Boolean =
@@ -104,31 +131,71 @@ object IntervalOverlapJoin extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   private def explodeBuckets(child: LogicalPlan, lo: Expression,
-      hi: Expression): (LogicalPlan, Attribute) = {
-    val seq = Alias(new Sequence(bucketOf(lo), bucketOf(hi), None,
-      Some(SQLConf.get.sessionLocalTimeZone)), IksName)()
+      hi: Expression, width: Double): (LogicalPlan, Attribute) = {
+    val seq = Alias(new Sequence(bucketOf(lo, width), bucketOf(hi, width),
+      None, Some(SQLConf.get.sessionLocalTimeZone)), IksName)()
     val proj = Project(child.output :+ seq, child)
     val k = AttributeReference(IkName, LongType, nullable = true)()
-    val gen = Generate(Explode(seq.toAttribute), unrequiredChildIndex = Nil,
+    val gen = Generate(Explode(seq.toAttribute),
+      unrequiredChildIndex = Seq(child.output.size),
       outer = false, qualifier = None, generatorOutput = Seq(k), child = proj)
     (gen, k)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, Inner, Some(cond), _)
-        if !left.output.exists(_.name == IkName)
-          && !right.output.exists(_.name == IkName)
+        if cond.deterministic
+          && !Binning.hasMarker(left) && !Binning.hasMarker(right)
           && !hasEquiKey(cond, left, right) =>
       overlapSandwich(cond, left, right) match {
         case None => j
         case Some((loL, hiL, loR, hiR)) =>
-          val (lgen, lk) = explodeBuckets(left, loL, hiL)
-          val (rgen, rk) = explodeBuckets(right, loR, hiR)
+          val statsL = Binning.sideStats(left, loL, hiL)
+          val statsR = Binning.sideStats(right, loR, hiR)
+          val width = math.max(Binning.widthOf(statsL, BinWidth),
+            Binning.widthOf(statsR, BinWidth))
+          lastWidth = width
+          val needL = Binning.unsafePossible(statsL, width)
+          val needR = Binning.unsafePossible(statsR, width)
+          val safeL = Binning.safeSpan(loL, hiL, width)
+          val safeR = Binning.safeSpan(loR, hiR, width)
+          val binnedL = if (needL) Filter(safeL, left) else left
+          val binnedR = if (needR) Filter(safeR, right) else right
+          val (lgen, lk) = explodeBuckets(binnedL, loL, hiL, width)
+          val (rgen, rk) = explodeBuckets(binnedR, loR, hiR, width)
           val blocked = Join(lgen, rgen, Inner, Some(EqualTo(lk, rk)),
             JoinHint.NONE)
           val canonical = EqualTo(lk,
-            Greatest(Seq(bucketOf(loL), bucketOf(loR))))
-          Project(j.output, Filter(And(cond, canonical), blocked))
+            Greatest(Seq(bucketOf(loL, width), bucketOf(loR, width))))
+          val binned =
+            Project(j.output, Filter(And(cond, canonical), blocked))
+          val bcast = Some(HintInfo(strategy = Some(BROADCAST)))
+          // Residual pairs partition cleanly: (unsafe L × all R) and
+          // (safe L × unsafe R) — together with safe×safe they cover
+          // every pair exactly once.
+          val res1 =
+            if (!needL) None
+            else {
+              val marked = Project(
+                left.output :+ Alias(Literal(true), IkName)(),
+                Filter(Not(safeL), left))
+              Some(Project(j.output,
+                Join(marked, right, Inner, Some(cond),
+                  JoinHint(bcast, None))))
+            }
+          val res2 =
+            if (!needR) None
+            else {
+              val marked = Project(
+                right.output :+ Alias(Literal(true), IkName)(),
+                Filter(Not(safeR), right))
+              Some(Project(j.output,
+                Join(binnedL, marked, Inner, Some(cond),
+                  JoinHint(None, bcast))))
+            }
+          val branches = binned +: (res1.toSeq ++ res2.toSeq)
+          if (branches.size == 1) binned
+          else Union(branches, byName = false, allowMissingCol = false)
       }
   }
 

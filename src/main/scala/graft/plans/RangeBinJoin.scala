@@ -19,59 +19,89 @@ import org.apache.spark.sql.types._
   * A pure range predicate has no equi keys, so Spark's join selection
   * falls back to BroadcastNestedLoopJoin / CartesianProduct — every
   * point row tested against every interval. The fixed-width binning
-  * identity is exact: with bucket(x) = floor(x / G), lo ≤ p ≤ hi
-  * implies bucket(lo) ≤ bucket(p) ≤ bucket(hi) (division by a positive
-  * constant and floor are monotone, and cast-to-double is monotone, so
-  * the implication survives IEEE evaluation). So the rule rewrites
+  * identity is exact for FINITE values: with bucket(x) = floor(x / G),
+  * lo ≤ p ≤ hi implies bucket(lo) ≤ bucket(p) ≤ bucket(hi) (division
+  * by a positive constant and floor are monotone, and cast-to-double
+  * is monotone). NaN/±Inf bounds break it (Spark orders NaN above
+  * everything, so `p <= NaN` is TRUE yet NaN has no bucket; an
+  * infinite bound has no bucket range at all), and a finite-but-huge
+  * span (an SCD2 end-of-time sentinel against a narrow width) would
+  * explode into a catastrophic — or impossible — sequence. So the
+  * rule routes interval rows by the per-row [[Binning.safeSpan]]
+  * predicate and rewrites
   *
   *   Join(L, R, Inner, p >= lo AND p <= hi [AND rest])
   *
   * into
   *
-  *   Project(L.out ++ R.out,
-  *     Filter(originalCondition,
-  *       Join(bucket(p) over POINT side,
-  *            explode(sequence(bucket(lo), bucket(hi))) over DIM side,
-  *            Inner, pk = dk)))
+  *   Union(
+  *     Project(L.out ++ R.out,
+  *       Filter(originalCondition,
+  *         Join(bucket(p) over POINT side,
+  *              explode(sequence(bucket(lo), bucket(hi)))
+  *                over Filter(safe, DIM side),
+  *              Inner, pk = dk))),
+  *     Project(L.out ++ R.out,
+  *       Join(POINT side, Filter(NOT safe, DIM side) [hint: BROADCAST],
+  *            Inner, originalCondition)))
   *
-  * The original condition re-applies in full (bucket collisions are
-  * candidates, not answers; strict `<`/`>` bounds and extra conjuncts
-  * ride along untouched). Unlike the other three rules NO canonical
-  * filter is needed: the point side's bucket is single-valued, so a
-  * qualifying (point, interval) pair meets on exactly one key —
-  * multiplicity is preserved by construction.
+  * The residual branch evaluates the ORIGINAL predicate row-by-row
+  * over only the unsafe interval rows — exact for every input — with
+  * a BROADCAST hint on its filtered unsafe side. Crucially it is
+  * emitted ONLY when the plan-time stats pass ([[Binning.sideStats]])
+  * proves unsafe rows can exist: AQE does not propagate empty
+  * relations through broadcast stages, so an always-on residual would
+  * re-scan the point side per query even when empty. Clean data — a
+  * literal band table, or any side whose one-pass stats show all
+  * lengths finite and under the span cap — keeps exactly the lean
+  * pre-guard plan. A NULL bound drops from both branches, which is
+  * exact: it can never satisfy the original inequalities.
   *
-  * Null semantics are preserved for free: a null point buckets to
-  * null and the equi-join drops it; a null bound nulls the sequence
-  * and Generate (outer = false) drops the interval row — in both
-  * cases the original predicate would have evaluated to UNKNOWN.
-  * An inverted interval (lo > hi) matches nothing through the
-  * original predicate; Spark's sequence() walks it backwards, which
-  * only creates candidates the verify then rejects — harmless.
+  * The original condition re-applies in full on the binned branch
+  * (bucket collisions are candidates, not answers; strict `<`/`>`
+  * bounds and extra conjuncts ride along untouched). Unlike the other
+  * blocking rules NO canonical filter is needed: the point side's
+  * bucket is single-valued, so a qualifying (point, interval) pair
+  * meets on exactly one key — multiplicity is preserved by
+  * construction. An inverted interval (lo > hi) matches nothing
+  * through the original predicate; Spark's sequence() walks it
+  * backwards, which only creates candidates the verify then rejects —
+  * harmless.
   *
-  * Scope guards: inner joins only; both bound conjuncts must
-  * constrain the SAME point expression (semantic equality) with both
-  * bounds from the single opposite side; all three expressions
-  * numeric; no existing cross-side equi key (the re-blocking trap:
-  * q_interval_join's hand-binned shape already has a bucket key, and
-  * wrapping it again would square the fan-out); never re-fires on its
-  * own output (the `__graft_bk` marker).
+  * Scope guards: inner joins only; deterministic condition; both
+  * bound conjuncts must constrain the SAME point expression (semantic
+  * equality) with both bounds from the single opposite side; all
+  * three expressions numeric; no existing cross-side equi key (the
+  * re-blocking trap: q_interval_join's hand-binned shape already has
+  * a bucket key, and wrapping it again would square the fan-out);
+  * never re-fires on its own or a sibling rule's output (the
+  * [[Binning.MarkerPrefix]] blanket guard — the residual join's
+  * condition is still a range sandwich, so the marker is what stops
+  * a second rewrite).
   *
-  * Bin width [[RangeBinJoin.BinWidth]] tunes performance only, never
-  * correctness: narrow bins replicate long intervals into more
-  * (bounded, broadcastable) dim rows; wide bins admit more verify
-  * candidates. Production derives it from interval-length stats; any
-  * positive width is exact. q_range_join runs the naive spelling
-  * through this rule; RangeRuleSpec pins brute-force equality and the
-  * NestedLoop-free plan shape.
+  * Bin width tunes performance only, never correctness: narrow bins
+  * replicate long intervals into more (bounded, broadcastable) dim
+  * rows; wide bins admit more verify candidates. The width is
+  * STATS-DERIVED at rule-fire time from the same one-pass stats: the
+  * interval side's median length (a driver-side evaluation for
+  * LocalRelations, one column-pruned aggregate job otherwise, cached
+  * per canonicalized plan) quantized to a power of two, falling back
+  * to [[RangeBinJoin.BinWidth]] when the pass cannot run. q_range_join
+  * runs the naive spelling through this rule; RangeRuleSpec pins
+  * brute-force equality, the NestedLoop-free plan shape,
+  * NaN/Inf/sentinel exactness through the residual, and the adaptive
+  * width.
   */
 object RangeBinJoin extends Rule[LogicalPlan] with PredicateHelper {
 
   private val BkName = "__graft_bk"
   private val BksName = "__graft_bks"
 
-  /** Fixed bin width (performance knob only — see scaladoc). */
+  /** Fallback bin width when the stats probe cannot run. */
   val BinWidth = 8.0
+
+  /** Width chosen by the most recent rewrite (test observability). */
+  @volatile var lastWidth: Double = BinWidth
 
   /** `p >= lo` in its four spellings → (point, bound). */
   private def lowerBound(e: Expression): Option[(Expression, Expression)] =
@@ -96,8 +126,8 @@ object RangeBinJoin extends Rule[LogicalPlan] with PredicateHelper {
   private def numeric(e: Expression): Boolean =
     e.dataType.isInstanceOf[NumericType]
 
-  private def bucketOf(e: Expression): Expression =
-    Floor(Divide(Cast(e, DoubleType), Literal(BinWidth)))
+  private def bucketOf(e: Expression, width: Double): Expression =
+    Floor(Divide(Cast(e, DoubleType), Literal(width)))
 
   private def hasEquiKey(cond: Expression, left: LogicalPlan,
       right: LogicalPlan): Boolean =
@@ -135,44 +165,67 @@ object RangeBinJoin extends Rule[LogicalPlan] with PredicateHelper {
     } yield (p1, lo, hi, side)).take(1).toList.headOption
   }
 
-  private def bucketPoint(child: LogicalPlan, p: Expression)
+  private def bucketPoint(child: LogicalPlan, p: Expression, width: Double)
       : (LogicalPlan, Attribute) = {
-    val bk = Alias(bucketOf(p), BkName)()
+    val bk = Alias(bucketOf(p, width), BkName)()
     (Project(child.output :+ bk, child), bk.toAttribute)
   }
 
   private def explodeBuckets(child: LogicalPlan, lo: Expression,
-      hi: Expression): (LogicalPlan, Attribute) = {
-    val seq = Alias(new Sequence(bucketOf(lo), bucketOf(hi), None,
-      Some(SQLConf.get.sessionLocalTimeZone)), BksName)()
+      hi: Expression, width: Double): (LogicalPlan, Attribute) = {
+    val seq = Alias(new Sequence(bucketOf(lo, width), bucketOf(hi, width),
+      None, Some(SQLConf.get.sessionLocalTimeZone)), BksName)()
     val proj = Project(child.output :+ seq, child)
     val dk = AttributeReference(BkName, LongType, nullable = true)()
-    val gen = Generate(Explode(seq.toAttribute), unrequiredChildIndex = Nil,
+    val gen = Generate(Explode(seq.toAttribute),
+      unrequiredChildIndex = Seq(child.output.size),
       outer = false, qualifier = None, generatorOutput = Seq(dk), child = proj)
     (gen, dk)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, Inner, Some(cond), _)
-        if !left.output.exists(_.name == BkName)
-          && !right.output.exists(_.name == BkName)
+        if cond.deterministic
+          && !Binning.hasMarker(left) && !Binning.hasMarker(right)
           && !hasEquiKey(cond, left, right) =>
       rangeSandwich(cond, left, right) match {
         case None => j
         case Some((p, lo, hi, pointIsLeft)) =>
+          val dim = if (pointIsLeft) right else left
+          val stats = Binning.sideStats(dim, lo, hi)
+          val width = Binning.widthOf(stats, BinWidth)
+          lastWidth = width
+          val needResidual = Binning.unsafePossible(stats, width)
+          val safe = Binning.safeSpan(lo, hi, width)
+          val binnedDim = if (needResidual) Filter(safe, dim) else dim
           val (newLeft, newRight, pk, dk) =
             if (pointIsLeft) {
-              val (lp, pk) = bucketPoint(left, p)
-              val (rp, dk) = explodeBuckets(right, lo, hi)
+              val (lp, pk) = bucketPoint(left, p, width)
+              val (rp, dk) = explodeBuckets(binnedDim, lo, hi, width)
               (lp, rp, pk, dk)
             } else {
-              val (lp, dk) = explodeBuckets(left, lo, hi)
-              val (rp, pk) = bucketPoint(right, p)
+              val (lp, dk) = explodeBuckets(binnedDim, lo, hi, width)
+              val (rp, pk) = bucketPoint(right, p, width)
               (lp, rp, pk, dk)
             }
           val blocked = Join(newLeft, newRight, Inner,
             Some(EqualTo(pk, dk)), JoinHint.NONE)
-          Project(j.output, Filter(cond, blocked))
+          val binned = Project(j.output, Filter(cond, blocked))
+          if (!needResidual) binned
+          else {
+            val marked = Project(
+              dim.output :+ Alias(Literal(true), BkName)(),
+              Filter(Not(safe), dim))
+            val bcast = Some(HintInfo(strategy = Some(BROADCAST)))
+            val residual =
+              if (pointIsLeft)
+                Join(left, marked, Inner, Some(cond),
+                  JoinHint(None, bcast))
+              else
+                Join(marked, right, Inner, Some(cond),
+                  JoinHint(bcast, None))
+            Union(binned, Project(j.output, residual))
+          }
       }
   }
 

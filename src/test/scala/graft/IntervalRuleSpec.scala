@@ -111,10 +111,90 @@ class IntervalRuleSpec extends AnyFunSuite {
       s"same-direction pair must pass through, plan:\n$ps")
   }
 
-  test("q_session_overlap plans NestedLoop-free through the rule") {
+  test("q_session_overlap plans the binned equi-join with only guarded residuals") {
+    // The session frames are runtime data (checkpoints), so the rule
+    // cannot prove their spans safe at plan time: the main branch must
+    // be the bucket equi-join, and the ONLY nested loops allowed are
+    // the two hint-broadcast residual branches over the span-guard
+    // filters (empty on sane data — AQE deletes them at runtime).
     val p = SparkEntry.queries("q_session_overlap")(
       spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
-    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
-      s"plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    assert(p.contains("Generate explode(__graft_iks"),
+      s"binned branch missing, plan:\n$p")
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(nlj <= 2, s"expected at most the two guarded residuals, got $nlj:\n$p")
+  }
+
+  test("NaN/Inf bounds fall to the residual and match the un-rewritten join exactly") {
+    import spark.implicits._
+    // hi2 = NaN overlaps EVERYTHING under Spark's NaN-greatest
+    // ordering (lo1 <= NaN is true for every lo1); +Inf likewise; the
+    // pre-r10 rewrite silently dropped those matches (NaN has no
+    // bucket) or threw (infinite sequence). Compare against the
+    // rule-disabled session to pin exact equality.
+    val lrows = Seq(("L0", 0.0, 4000.0), ("Ln", Double.NaN, Double.NaN),
+      ("Li", 0.0, Double.PositiveInfinity))
+    val rrows = Seq(("R0", 3500.0, 10000.0), ("Rn", 100.0, Double.NaN),
+      ("Ri", Double.NegativeInfinity, 50.0))
+    val l = lrows.toDF("la", "lo1", "hi1")
+    val r = rrows.toDF("rb", "lo2", "hi2")
+    val joined = l.join(r,
+      col("lo1") <= col("hi2") && col("lo2") <= col("hi1"))
+    val got = joined.collect().map(x => (x.getString(0), x.getString(3)))
+      .sorted.toSeq
+    // independent reference under Spark's total order (NaN greatest)
+    def le(a: Double, b: Double): Boolean =
+      java.lang.Double.compare(a, b) <= 0
+    val want = (for {
+      (la, lo1, hi1) <- lrows; (rb, lo2, hi2) <- rrows
+      if le(lo1, hi2) && le(lo2, hi1)
+    } yield (la, rb)).sorted
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("a sentinel-span row (epoch-micros against a seconds width) no longer fails") {
+    import spark.implicits._
+    // One outlier interval among many sane ones, whose span is ~1e14
+    // buckets at the probed width: the pre-r10 rewrite threw 'Too
+    // long sequence'; now the outlier routes to the residual and the
+    // query answers exactly.
+    val lrows = (0 until 40).map(i =>
+      (s"L$i", i * 5000.0, i * 5000.0 + 4000.0)) :+ ("Lsent", 0.0, 2.53e17)
+    val l = lrows.toDF("la", "lo1", "hi1")
+    val r = rs.toDF("rb", "lo2", "hi2")
+    val joined = l.join(r,
+      col("lo1") <= col("hi2") && col("lo2") <= col("hi1"))
+    val got = joined.collect().map(x => (x.getString(0), x.getString(3)))
+      .sorted.toSeq
+    val want = (for {
+      (la, lo1, hi1) <- lrows; (rb, lo2, hi2) <- rs
+      if lo1 <= hi2 && lo2 <= hi1
+    } yield (la, rb)).sorted
+    assert(got == want)
+    // the sentinel matches everything — proof the residual kept it
+    assert(got.count(_._1 == "Lsent") == rs.size)
+  }
+
+  test("the bin width adapts to the data's interval lengths (stats probe)") {
+    import spark.implicits._
+    def fire(rows: Seq[(String, Double, Double)]): Double = {
+      val l = rows.toDF("la", "lo1", "hi1")
+      val r = rows.toDF("rb", "lo2", "hi2")
+      l.join(r, col("lo1") <= col("hi2") && col("lo2") <= col("hi1"))
+        .queryExecution.optimizedPlan
+      IntervalOverlapJoin.lastWidth
+    }
+    // short sessions (~40s) and long shifts (~40000s) through the SAME
+    // rule: each must get a width at its own scale — the probed median
+    // quantized to a power of two, within 2x either side.
+    val short = (0 until 50).map(i => (s"s$i", i * 100.0, i * 100.0 + 40.0))
+    val long = (0 until 50).map(i => (s"l$i", i * 1e5, i * 1e5 + 40000.0))
+    val wShort = fire(short)
+    assert(wShort >= 20.0 && wShort <= 80.0,
+      s"short-session width should track ~40s, got $wShort")
+    val wLong = fire(long)
+    assert(wLong >= 20000.0 && wLong <= 80000.0,
+      s"long-shift width should track ~40000s, got $wLong")
   }
 }

@@ -821,12 +821,21 @@ class PlanBudgetSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), s"plan:\n$p")
   }
 
-  test("q_range_join and q_session_overlap plan NestedLoop-free through their rules") {
-    for (q <- Seq("q_range_join", "q_session_overlap")) {
-      val p = plan(q)
-      assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
-        s"$q's binning rule did not fire, plan:\n$p")
-    }
+  test("q_range_join and q_session_overlap plan through their binning rules") {
+    // q_range_join's band table is a plan-time-provably-safe
+    // LocalRelation: no residual branch, fully NestedLoop-free.
+    val pr = plan("q_range_join")
+    assert(!pr.contains("NestedLoop") && !pr.contains("CartesianProduct"),
+      s"q_range_join's binning rule did not fire, plan:\n$pr")
+    // q_session_overlap's sessions are runtime data: the binned
+    // equi-join plus at most the two hint-broadcast span-guard
+    // residuals (empty on sane data — AQE deletes them at runtime).
+    val ps = plan("q_session_overlap")
+    assert(!ps.contains("CartesianProduct"), s"plan:\n$ps")
+    assert(ps.contains("Generate explode(__graft_iks"),
+      s"binned branch missing, plan:\n$ps")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(ps).length <= 2,
+      s"only the guarded residuals may nested-loop, plan:\n$ps")
   }
 
   test("q_theta_intersect never rescans events for the pair matrix") {

@@ -105,6 +105,71 @@ class RangeRuleSpec extends AnyFunSuite {
       (for { p <- pts; (_, lo, _) <- bands if p >= lo } yield 1).size.toLong)
   }
 
+  test("NaN/Inf bounds fall to the residual and match the un-rewritten join exactly") {
+    import spark.implicits._
+    // hi = NaN admits EVERY point under Spark's NaN-greatest ordering
+    // (p <= NaN is always true); hi = +Inf likewise. The pre-r10
+    // rewrite silently dropped those matches (NaN buckets to 0) or
+    // threw on the infinite sequence; the residual now carries them.
+    val bad = Seq(("ok", 1.0, 8.0), ("nan", 1.0, Double.NaN),
+      ("inf", 1.0, Double.PositiveInfinity),
+      ("ninf", Double.NegativeInfinity, 8.0))
+    val l = pts.toDF("p")
+    val r = bad.toDF("band", "lo", "hi")
+    val joined = l.join(r, col("p") >= col("lo") && col("p") <= col("hi"))
+    val got = joined.collect().map(x => (x.getDouble(0), x.getString(1)))
+      .sorted.toSeq
+    def le(a: Double, b: Double): Boolean =
+      java.lang.Double.compare(a, b) <= 0
+    val want = (for {
+      p <- pts; (b, lo, hi) <- bad if le(lo, p) && le(p, hi)
+    } yield (p, b)).sorted
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("a sentinel-span interval (SCD2 end-of-time) no longer fails the query") {
+    import spark.implicits._
+    // 40 sane bands plus one [0, 2.5e17] sentinel: the outlier's span
+    // is ~1e16 buckets at the probed width — the pre-r10 rewrite threw
+    // 'Too long sequence'; now it routes to the residual exactly.
+    val bandRows = (0 until 40).map(i =>
+      (s"b$i", i * 20.0, i * 20.0 + 10.0)) :+ ("sent", 0.0, 2.53e17)
+    val l = pts.toDF("p")
+    val r = bandRows.toDF("band", "lo", "hi")
+    val joined = l.join(r, col("p") >= col("lo") && col("p") <= col("hi"))
+    val got = joined.collect().map(x => (x.getDouble(0), x.getString(1)))
+      .sorted.toSeq
+    val want = (for {
+      p <- pts; (b, lo, hi) <- bandRows if p >= lo && p <= hi
+    } yield (p, b)).sorted
+    assert(got == want)
+    // every non-negative point sits inside the sentinel interval —
+    // proof the residual branch kept it rather than dropping it
+    assert(got.count(_._2 == "sent") == pts.count(p => p >= 0.0))
+  }
+
+  test("the bin width adapts to the data's interval lengths (stats probe)") {
+    import spark.implicits._
+    def fire(rows: Seq[(String, Double, Double)]): Double = {
+      val l = pts.toDF("p")
+      val r = rows.toDF("band", "lo", "hi")
+      l.join(r, col("p") >= col("lo") && col("p") <= col("hi"))
+        .queryExecution.optimizedPlan
+      RangeBinJoin.lastWidth
+    }
+    // quantity-scale bands (~10 wide) and epoch-scale bands (~40000
+    // wide) through the SAME rule: the probed median, quantized to a
+    // power of two, must land within 2x of each scale.
+    val narrow = (0 until 50).map(i => (s"n$i", i * 20.0, i * 20.0 + 10.0))
+    val wide = (0 until 50).map(i => (s"w$i", i * 1e5, i * 1e5 + 40000.0))
+    val wNarrow = fire(narrow)
+    assert(wNarrow >= 5.0 && wNarrow <= 20.0,
+      s"narrow-band width should track ~10, got $wNarrow")
+    val wWide = fire(wide)
+    assert(wWide >= 20000.0 && wWide <= 80000.0,
+      s"wide-band width should track ~40000, got $wWide")
+  }
+
   test("q_range_join plans NestedLoop-free through the rule") {
     val p = SparkEntry.queries("q_range_join")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
