@@ -1401,6 +1401,50 @@ object DedupOps {
         .orderBy("name_a", "name_b")
     },
     Q(
+      "q_fuzzy_pairs2",
+      "q_fuzzy_pairs at EDIT DISTANCE 2 — the threshold entity " +
+        "resolution on real registries actually needs (two typos, a " +
+        "transposition plus a slip). Same naive theta-join spelling " +
+        "`JOIN ON levenshtein(a, b) <= 2 AND a < b`, planned by the " +
+        "SAME FuzzyJoinBlocking rule, now via the SymSpell delete-2 " +
+        "neighborhood: if lev(a,b) <= 2 the two sides share a key " +
+        "among their delete-<=2 strings (delete the chars an optimal " +
+        "alignment's edits consume on each side — both land on the " +
+        "alignment's common subsequence), verify re-applied, " +
+        "canonical min-shared-key filter preserving multiplicity. " +
+        "Fan-out is ~L^2/2 keys per name (vs L+1 at d=1) — the keyed-" +
+        "join SHAPE is unchanged, only the constant grows, which is " +
+        "the point: d=2 entity resolution stays one hash shuffle at " +
+        "100 TB where the nested loop is |L|x|R|. The pair rollup " +
+        "(count + checksum) keeps output bounded while verifying the " +
+        "pair SET; exhaustive small-universe recall is spec-proven in " +
+        "FuzzyRuleSpec; for document-scale strings the L^2 constant " +
+        "is the wrong tool — that is the MinHash family's territory",
+      Some(
+        """WITH n AS (SELECT DISTINCT p_name FROM part)
+          |SELECT CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS ed,
+          |  CAST(count(*) AS BIGINT) AS n_pairs,
+          |  CAST(sum(length(a.p_name) + length(b.p_name)) AS BIGINT)
+          |    AS len_checksum
+          |FROM n a JOIN n b
+          |  ON levenshtein(a.p_name, b.p_name) <= 2 AND a.p_name < b.p_name
+          |GROUP BY ed ORDER BY ed""".stripMargin),
+    ) { (s, dir) =>
+      graft.plans.FuzzyJoinBlocking.register(s)
+      val names = Tables.part(s, dir).select(col("p_name")).distinct()
+      names.select(col("p_name").as("name_a"))
+        .join(names.select(col("p_name").as("name_b")),
+          levenshtein(col("name_a"), col("name_b")) <= 2
+            && col("name_a") < col("name_b"))
+        .select(levenshtein(col("name_a"), col("name_b")).cast("long")
+          .as("ed"), col("name_a"), col("name_b"))
+        .groupBy("ed")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(length(col("name_a")) + length(col("name_b"))).cast("long")
+            .as("len_checksum"))
+        .orderBy("ed")
+    },
+    Q(
       "q_overlap_join",
       "the DECLARATIVE face of token-overlap similarity: document " +
         "pairs sharing ≥ 28 distinct tokens, written as the naive " +

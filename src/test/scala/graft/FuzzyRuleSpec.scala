@@ -68,21 +68,71 @@ class FuzzyRuleSpec extends AnyFunSuite {
     assert(got == brute)
   }
 
-  test("threshold 2 and outer joins stay un-rewritten") {
+  test("declarative ED<=2 join blocks via the delete-2 neighborhood") {
     import spark.implicits._
     val l = ls.toDF("a")
     val r = rs.toDF("b")
     val t2 = l.join(r, levenshtein(col("a"), col("b")) <= 2)
     val p2 = t2.queryExecution.executedPlan.toString
-    assert(p2.contains("NestedLoop") || p2.contains("CartesianProduct"),
-      s"d=2 must not be blocked at d=1, plan:\n$p2")
+    assert(!p2.contains("NestedLoop") && !p2.contains("CartesianProduct"),
+      s"d=2 must block through the rule, plan:\n$p2")
     val got2 = t2.collect().map(r => (r.getString(0), r.getString(1))).sorted
     assert(got2.toSeq ==
       (for (a <- ls; b <- rs if lev(a, b) <= 2) yield (a, b)).sorted)
+    // "gadget" twice on the right: multiplicity preserved at d=2 too
+    assert(got2.count(_ == ("gadget", "gadget")) == 2)
+  }
+
+  test("exhaustive small-universe recall: every {a,b}^<=4 pair within d=2 survives blocking") {
+    import spark.implicits._
+    // All 31 strings over {a,b} of length 0..4 — 961 ordered pairs,
+    // each checked against the reference DP. The delete-2 blocking
+    // must lose NONE of the qualifying pairs (the recall proof; the
+    // verify already guarantees precision).
+    val universe = (0 to 4).flatMap(n =>
+      (0 until (1 << n)).map(m =>
+        (0 until n).map(b => if (((m >> b) & 1) == 1) 'b' else 'a').mkString))
+    val l = universe.toDF("a")
+    val r = universe.toDF("b")
+    val joined = l.join(r, levenshtein(col("a"), col("b")) <= 2)
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"plan:\n$p")
+    val got = joined.collect().map(x => (x.getString(0), x.getString(1)))
+      .sorted.toSeq
+    val brute = (for (a <- universe; b <- universe if lev(a, b) <= 2)
+      yield (a, b)).sorted
+    assert(got == brute)
+  }
+
+  test("threshold 3 and outer joins stay un-rewritten") {
+    import spark.implicits._
+    val l = ls.toDF("a")
+    val r = rs.toDF("b")
+    val t3 = l.join(r, levenshtein(col("a"), col("b")) <= 3)
+    val p3 = t3.queryExecution.executedPlan.toString
+    assert(p3.contains("NestedLoop") || p3.contains("CartesianProduct"),
+      s"d=3 must pass through, plan:\n$p3")
+    val got3 = t3.collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(got3.toSeq ==
+      (for (a <- ls; b <- rs if lev(a, b) <= 3) yield (a, b)).sorted)
     val outer = l.join(r, levenshtein(col("a"), col("b")) <= 1, "left")
     val po = outer.queryExecution.executedPlan.toString
     assert(po.contains("NestedLoop") || po.contains("CartesianProduct"),
       s"outer join must pass through, plan:\n$po")
+  }
+
+  test("empty and null strings behave like the un-rewritten join at d=2") {
+    import spark.implicits._
+    val l = Seq(Some(""), Some("ab"), None).toDF("a")
+    val r = Seq(Some(""), Some("ba"), Some("abcd"), None).toDF("b")
+    val joined = l.join(r, levenshtein(col("a"), col("b")) <= 2)
+    val got = joined.collect()
+      .map(x => (x.getString(0), x.getString(1))).sorted.toSeq
+    // lev("","")=0, lev("","ba")=2, lev("ab","")=2, lev("ab","ba")=2,
+    // lev("ab","abcd")=2; lev("","abcd")=4 drops; null rows drop.
+    assert(got == Seq(("", ""), ("", "ba"), ("ab", ""), ("ab", "abcd"),
+      ("ab", "ba")))
   }
 
   test("joins that already have an equi key are left alone (re-blocking guard)") {
