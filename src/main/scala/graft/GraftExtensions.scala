@@ -60,12 +60,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("theta_sketch_agg"),
       new ExpressionInfo(classOf[ThetaSketchAgg].getName, "theta_sketch_agg"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        ThetaSketchAgg(exprs.head)))
+        ThetaSketchAgg.fromArgs(exprs)))
     ext.injectFunction((
       FunctionIdentifier("theta_union_agg"),
       new ExpressionInfo(classOf[ThetaUnionAgg].getName, "theta_union_agg"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        ThetaUnionAgg(exprs.head)))
+        ThetaUnionAgg.fromArgs(exprs)))
     ext.injectFunction((
       FunctionIdentifier("theta_estimate"),
       new ExpressionInfo(classOf[ThetaEstimate].getName, "theta_estimate"),

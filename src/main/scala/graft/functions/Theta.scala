@@ -7,8 +7,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.types._
 
 /** Theta sketches (Apache DataSketches) as engine primitives — the
@@ -30,31 +30,51 @@ import org.apache.spark.sql.types._
   * nominal-entry budget the sketch is in EXACT mode and the estimate
   * IS the true distinct count.
   *
-  * `theta_sketch_agg(col)` — TypedImperativeAggregate (the same
-  * imperative shape as Spark's own `hll_sketch_agg`: sketch object
-  * held per partition, serialized only at shuffle boundaries) →
-  * compact sketch bytes. `theta_estimate(bin)` and
+  * `theta_sketch_agg(col[, lgK])` — TypedImperativeAggregate (the
+  * same imperative shape as Spark's own `hll_sketch_agg`: sketch
+  * object held per partition, serialized only at shuffle boundaries)
+  * → compact sketch bytes. `theta_estimate(bin)` and
   * `theta_intersect_estimate(a, b)` are ordinary codegen'd scalars
   * over the compact form.
+  *
+  * Memory model (the `hll_sketch_agg` contract, sized per call-site):
+  * each OPEN group holds one on-heap Union of ≤ 2^lgK retained
+  * hashes, so a grouped aggregation's partition must fit
+  * (#groups-in-partition × ~8·2^lgK bytes). The registered state
+  * tables group by bounded keys (types, days, sources) where the
+  * default lgK=12 (~32 KB ceiling per group) is nothing; a
+  * HIGH-CARDINALITY groupBy (per-user sketches, say) should either
+  * drop lgK — `theta_sketch_agg(col, 8)` holds exact counts to 256
+  * per group at 1/16th the ceiling — or raise
+  * `spark.sql.shuffle.partitions` so fewer groups land per task.
   */
 case class ThetaSketchAgg(
     child: Expression,
+    lgk: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Union] with UnaryLike[Expression] {
+    extends TypedImperativeAggregate[Union] with BinaryLike[Expression] {
+
+  def this(child: Expression) = this(child, Literal(Theta.LgNominalEntries))
+
+  override def left: Expression = child
+  override def right: Expression = lgk
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case LongType | IntegerType | StringType => TypeCheckResult.TypeCheckSuccess
+    case LongType | IntegerType | StringType => Theta.checkLgK(lgk, prettyName)
     case other => TypeCheckResult.TypeCheckFailure(
       s"theta_sketch_agg requires long, int, or string, got $other")
   }
+
+  private lazy val nominalEntries: Int =
+    1 << lgk.eval().asInstanceOf[Number].intValue()
 
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
   override def prettyName: String = "theta_sketch_agg"
 
   override def createAggregationBuffer(): Union =
-    SetOperation.builder().setNominalEntries(Theta.NominalEntries).buildUnion()
+    SetOperation.builder().setNominalEntries(nominalEntries).buildUnion()
 
   override def update(buffer: Union, input: InternalRow): Union = {
     val v = child.eval(input)
@@ -87,30 +107,55 @@ case class ThetaSketchAgg(
     copy(mutableAggBufferOffset = newOffset)
   override def withNewInputAggBufferOffset(newOffset: Int): ThetaSketchAgg =
     copy(inputAggBufferOffset = newOffset)
-  override protected def withNewChildInternal(newChild: Expression): ThetaSketchAgg =
-    copy(child = newChild)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ThetaSketchAgg =
+    copy(child = newLeft, lgk = newRight)
 }
 
-/** `theta_union_agg(sketchBytes)` — merges already-built compact
-  * sketches (the state-table rollup face: per-slice partials in, one
-  * sketch out — the `hll_union_agg` counterpart). */
+object ThetaSketchAgg {
+  def apply(child: Expression): ThetaSketchAgg = new ThetaSketchAgg(child)
+
+  /** 1-or-2-argument SQL face shared by both registration seams. */
+  def fromArgs(exprs: Seq[Expression]): ThetaSketchAgg = exprs match {
+    case Seq(c) => new ThetaSketchAgg(c)
+    case Seq(c, k) => ThetaSketchAgg(c, k)
+    case _ => throw new IllegalArgumentException(
+      s"theta_sketch_agg expects (col[, lgK]), got ${exprs.length} arguments")
+  }
+}
+
+/** `theta_union_agg(sketchBytes[, lgK])` — merges already-built
+  * compact sketches (the state-table rollup face: per-slice partials
+  * in, one sketch out — the `hll_union_agg` counterpart). The lgK
+  * bounds the MERGED result; it may be smaller than the inputs' (the
+  * union downsamples exactly per the theta algebra). */
 case class ThetaUnionAgg(
     child: Expression,
+    lgk: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Union] with UnaryLike[Expression] {
+    extends TypedImperativeAggregate[Union] with BinaryLike[Expression] {
+
+  def this(child: Expression) = this(child, Literal(Theta.LgNominalEntries))
+
+  override def left: Expression = child
+  override def right: Expression = lgk
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case BinaryType => Theta.checkLgK(lgk, prettyName)
     case other => TypeCheckResult.TypeCheckFailure(
       s"theta_union_agg requires binary, got $other")
   }
+
+  private lazy val nominalEntries: Int =
+    1 << lgk.eval().asInstanceOf[Number].intValue()
+
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
   override def prettyName: String = "theta_union_agg"
 
   override def createAggregationBuffer(): Union =
-    SetOperation.builder().setNominalEntries(Theta.NominalEntries).buildUnion()
+    SetOperation.builder().setNominalEntries(nominalEntries).buildUnion()
 
   override def update(buffer: Union, input: InternalRow): Union = {
     val v = child.eval(input)
@@ -137,8 +182,21 @@ case class ThetaUnionAgg(
     copy(mutableAggBufferOffset = newOffset)
   override def withNewInputAggBufferOffset(newOffset: Int): ThetaUnionAgg =
     copy(inputAggBufferOffset = newOffset)
-  override protected def withNewChildInternal(newChild: Expression): ThetaUnionAgg =
-    copy(child = newChild)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ThetaUnionAgg =
+    copy(child = newLeft, lgk = newRight)
+}
+
+object ThetaUnionAgg {
+  def apply(child: Expression): ThetaUnionAgg = new ThetaUnionAgg(child)
+
+  /** 1-or-2-argument SQL face shared by both registration seams. */
+  def fromArgs(exprs: Seq[Expression]): ThetaUnionAgg = exprs match {
+    case Seq(c) => new ThetaUnionAgg(c)
+    case Seq(c, k) => ThetaUnionAgg(c, k)
+    case _ => throw new IllegalArgumentException(
+      s"theta_union_agg expects (sketch[, lgK]), got ${exprs.length} arguments")
+  }
 }
 
 /** `theta_estimate(sketchBytes)` → rounded distinct estimate (BIGINT;
@@ -207,9 +265,35 @@ case class ThetaAnotBEstimate(left: Expression, right: Expression)
 
 object Theta {
 
-  /** 4096 nominal entries (lgK 12, the q_hll_partials precedent):
-    * exact mode up to ~4k distinct per slice, ~1.6% RSE beyond. */
-  val NominalEntries: Int = 1 << 12
+  /** Default lgK = 12 → 4096 nominal entries (the q_hll_partials
+    * precedent): exact mode up to ~4k distinct per slice, ~1.6% RSE
+    * beyond. Call-site override: `theta_sketch_agg(col, lgK)`. */
+  val LgNominalEntries: Int = 12
+
+  /** 4096 nominal entries — kept for callers sizing buffers. */
+  val NominalEntries: Int = 1 << LgNominalEntries
+
+  /** The lgK argument must be a foldable INT in DataSketches' valid
+    * 4..26 range (shared by both aggregate faces). */
+  private[functions] def checkLgK(lgk: Expression,
+      fn: String): TypeCheckResult = {
+    val typeOk = lgk.dataType == IntegerType || lgk.dataType == LongType
+    if (!typeOk || !lgk.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$fn lgK must be a foldable integer, got ${lgk.sql}")
+    else {
+      val v = lgk.eval()
+      if (v == null)
+        TypeCheckResult.TypeCheckFailure(s"$fn lgK must not be null")
+      else {
+        val k = v.asInstanceOf[Number].intValue()
+        if (k < 4 || k > 26)
+          TypeCheckResult.TypeCheckFailure(
+            s"$fn lgK must be in [4, 26], got $k")
+        else TypeCheckResult.TypeCheckSuccess
+      }
+    }
+  }
 
   def estimate(bytes: Array[Byte]): Long =
     Math.round(Sketches.wrapCompactSketch(Memory.wrap(bytes)).getEstimate)
@@ -231,9 +315,9 @@ object Theta {
   def register(s: SparkSession): Unit = {
     val r = s.sessionState.functionRegistry
     r.createOrReplaceTempFunction("theta_sketch_agg",
-      exprs => ThetaSketchAgg(exprs.head), "built-in")
+      ThetaSketchAgg.fromArgs(_), "built-in")
     r.createOrReplaceTempFunction("theta_union_agg",
-      exprs => ThetaUnionAgg(exprs.head), "built-in")
+      ThetaUnionAgg.fromArgs(_), "built-in")
     r.createOrReplaceTempFunction("theta_estimate",
       exprs => ThetaEstimate(exprs.head), "built-in")
     r.createOrReplaceTempFunction("theta_intersect_estimate",

@@ -122,6 +122,43 @@ class ThetaSpec extends AnyFunSuite {
     assert(Theta.intersectEstimate(perType("A"), perType("B")) == 100L)
   }
 
+  test("call-site lgK: exact below each budget, smaller state, unions downsample") {
+    import spark.implicits._
+    // lgK=4 (16 nominal entries) stays EXACT for 12 distincts, just
+    // like the default lgK=12 does — and its compact state is far
+    // smaller, the point of dropping lgK on high-cardinality groupBys.
+    val small = (1L to 200L).map(_ % 12).toDF("v")
+    val r = small.select(
+      expr("theta_estimate(theta_sketch_agg(v, 4))").as("e4"),
+      expr("theta_estimate(theta_sketch_agg(v))").as("e12"),
+      expr("octet_length(theta_sketch_agg(v, 4))").as("b4")).collect()(0)
+    assert(r.getLong(0) == 12L && r.getLong(1) == 12L)
+    // 3000 distincts: the default budget (4096) is still exact; the
+    // 16-entry sketch must estimate — honest error, not silent
+    // truncation (theta RSE ~1/sqrt(16) ≈ 25%; assert a loose 3-sigma
+    // band to stay deterministic-friendly).
+    val big = (1L to 3000L).toDF("v")
+    val r2 = big.select(
+      expr("theta_estimate(theta_sketch_agg(v, 4))").as("e4"),
+      expr("theta_estimate(theta_sketch_agg(v))").as("e12")).collect()(0)
+    assert(r2.getLong(1) == 3000L)
+    assert(math.abs(r2.getLong(0) - 3000.0) / 3000.0 < 0.75,
+      s"lgK=4 estimate wildly off: ${r2.getLong(0)}")
+    // theta_union_agg(partials, lgK): merged result re-bounded to the
+    // call-site budget — still exact here (10 distincts < 16).
+    val parts = (1L to 100L).map(i => (i % 5, i % 10)).toDF("slice", "v")
+      .groupBy("slice").agg(expr("theta_sketch_agg(v)").as("sk"))
+    val merged = parts
+      .select(expr("theta_estimate(theta_union_agg(sk, 4))").as("e"))
+      .collect()(0).getLong(0)
+    assert(merged == 10L)
+    // out-of-range lgK must fail analysis, not corrupt at runtime
+    val err = intercept[Exception] {
+      small.select(expr("theta_sketch_agg(v, 30)")).collect()
+    }
+    assert(err.getMessage.contains("lgK"))
+  }
+
   test("string inputs hash like any other type") {
     import spark.implicits._
     val est = Seq("a", "b", "a", "c", "b").toDF("v")
