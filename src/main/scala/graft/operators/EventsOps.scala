@@ -23,6 +23,26 @@ import org.apache.spark.sql.functions._
   * user_id and runs two sequential window passes per partition; with
   * Structured Streaming the same logic is `session_window` +
   * watermark-bounded state.
+  *
+  * == The value-domain window class ==
+  *
+  * Several exact-order statistics here run an unpartitioned
+  * `Window.orderBy(value)` — q_winsorized_ab's pooled-p99 cap,
+  * q_ks_test's two ECDFs, q_conformal's conformal quantile,
+  * q_model_auc's rank sums, q_gini_activity's Lorenz cumulative. The
+  * single-partition window is safe in every one of these because its
+  * input is never the event stream: it is a DISTINCT-VALUE rollup
+  * over a domain that is FINITE BY CONSTRUCTION — `value` is
+  * two-decimal money, so the rollup holds at most
+  * (price-range × 100) rows regardless of event count (and AUC/Gini
+  * rank over per-user aggregates, bounded by users). That
+  * domain-cardinality assumption is the load-bearing fact: the
+  * shuffle moves a bounded value-histogram, not data. If a
+  * NEAR-CONTINUOUS metric (a 6dp score, a float latency) ever lands
+  * in this seat, the assumption breaks and the escape hatch is the
+  * BINNED machinery — [[AucBins]]/[[GiniBins]] and the
+  * `q_model_auc_binned`/`q_gini_activity_binned` twins, whose window
+  * input is B rows by fiat with a spec-pinned error bound.
   */
 object EventsOps {
 
@@ -74,14 +94,75 @@ object EventsOps {
           * (col("c") * col("c"))).as("s4"))
 
   /** Scalar finishing over a [[momentSums]] frame: mean/stddev/
-    * skewness/excess-kurtosis from the raw moments. Per-GROUP bounded
-    * arithmetic, expressed as selectExpr strings that mirror the
-    * oracle SQL text token for token — identical IEEE expression
-    * trees over identical exact integers, so the 6dp rounds land both
-    * engines on the same grid (pow() is deliberately avoided: m2^1.5
-    * is m2·sqrt(m2), both correctly-rounded IEEE ops, where libm pow
-    * is not). */
+    * skewness/excess-kurtosis from the raw moments, finished in EXACT
+    * integer rationals (the r9 ADVICE #1 close-out). The old finish
+    * divided early into doubles and relied on both engines evaluating
+    * a token-mirrored IEEE expression tree — a convention, not an
+    * arithmetic guarantee. This one reduces everything to exact
+    * DECIMAL(38,0) integers first:
+    *
+    *   K  = floor(s1/n)  (pmod-adjusted so truncating and flooring
+    *                      division agree — the SAME integer in any
+    *                      engine, even for negative sums)
+    *   Tj = Σ(c−K)^j     (binomial expansion over the raw sums —
+    *                      EXACT, and centered so magnitudes collapse
+    *                      from n·c^j to n·σ^j)
+    *   A  = n·T2 − T1²                                  (= n²·m2)
+    *   B  = n²·T3 − 3n·T1·T2 + 2T1³                      (= n³·m3)
+    *   C  = n³·T4 − 4n²·T1·T3 + 6n·T1²·T2 − 3T1⁴         (= n⁴·m4)
+    *
+    * whence n cancels in the shape stats: stddev = √A/(100n),
+    * skew = B/(A·√A), kurtosis = C/A² − 3. Each final is a handful of
+    * individually CORRECTLY-ROUNDED IEEE operations (one decimal→
+    * double cast per exact integer, sqrt, multiply, divide — no
+    * catastrophic cancellation anywhere), so cross-engine equality is
+    * guaranteed by IEEE-754 semantics on identical exact inputs, not
+    * by expression-text mirroring. MomentsRationalSpec pins this
+    * finish bit-for-bit against the retired mirrored-IEEE twin at all
+    * three SFs.
+    *
+    * Exactness window: A stays within 38 digits to n ≈ 1e12 per
+    * group, B to n ≈ 1e8, C to n⁴·σ⁴ < 1e38 (n ≈ 2e5 at σ ≈ 1e4
+    * cents) — beyond that Spark's decimal overflows to NULL rather
+    * than silently drifting, and the mirrored-double finish
+    * ([[momentFinishMirrored]]) is the unbounded-scale alternative.
+    * The DuckDB twin rides HUGEINT (128-bit), which caps at the same
+    * ~1.7e38. */
   private[graft] def momentFinish(p: DataFrame): DataFrame =
+    p.selectExpr("event_type", "n", "s1",
+      "CAST(n AS DECIMAL(38,0)) AS nd",
+      "CAST((s1 - (((s1 % n) + n) % n)) DIV n AS DECIMAL(38,0)) AS kd",
+      "CAST(s1 AS DECIMAL(38,0)) AS s1d",
+      "CAST(s2 AS DECIMAL(38,0)) AS s2d",
+      "CAST(s3 AS DECIMAL(38,0)) AS s3d",
+      "s4 AS s4d")
+      .selectExpr("event_type", "n", "s1", "nd",
+        "s1d - nd * kd AS t1",
+        "s2d - 2 * kd * s1d + nd * kd * kd AS t2",
+        "s3d - 3 * kd * s2d + 3 * kd * kd * s1d - nd * kd * kd * kd AS t3",
+        "s4d - 4 * kd * s3d + 6 * kd * kd * s2d - 4 * kd * kd * kd * s1d"
+          + " + nd * kd * kd * kd * kd AS t4")
+      .selectExpr("event_type", "n", "s1",
+        "nd * t2 - t1 * t1 AS a",
+        "nd * nd * t3 - 3 * nd * t1 * t2 + 2 * t1 * t1 * t1 AS b",
+        "nd * nd * nd * t4 - 4 * nd * nd * t1 * t3"
+          + " + 6 * nd * t1 * t1 * t2 - 3 * t1 * t1 * t1 * t1 AS c")
+      .selectExpr("event_type", "n",
+        "round(CAST(s1 AS DOUBLE) / n / 100, 6) AS mean_value",
+        "round(sqrt(CAST(a AS DOUBLE)) / n / 100, 6) AS stddev_value",
+        "CASE WHEN a > 0 THEN round(CAST(b AS DOUBLE)"
+          + " / (CAST(a AS DOUBLE) * sqrt(CAST(a AS DOUBLE))), 6) END"
+          + " AS skewness",
+        "CASE WHEN a > 0 THEN round(CAST(c AS DOUBLE)"
+          + " / (CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) - 3, 6) END"
+          + " AS ex_kurtosis")
+      .orderBy("event_type")
+
+  /** The retired mirrored-IEEE finishing (early division into double,
+    * expression text mirrored token-for-token in the oracle) — kept
+    * as the unbounded-scale alternative to [[momentFinish]]'s exact
+    * window and as MomentsRationalSpec's comparison twin. */
+  private[graft] def momentFinishMirrored(p: DataFrame): DataFrame =
     p.selectExpr("event_type", "n",
       "CAST(s1 AS DOUBLE) / n AS mc",
       "CAST(s2 AS DOUBLE) / n AS r2",
@@ -111,25 +192,36 @@ object EventsOps {
       |    CAST(sum(c * c * c) AS BIGINT) AS s3,
       |    sum(CAST(c * c AS HUGEINT) * (c * c)) AS s4
       |  FROM c GROUP BY event_type
-      |), f AS (
-      |  SELECT event_type, n,
-      |    CAST(s1 AS DOUBLE) / n AS mc,
-      |    CAST(s2 AS DOUBLE) / n AS r2,
-      |    CAST(s3 AS DOUBLE) / n AS r3,
-      |    CAST(s4 AS DOUBLE) / n AS r4
+      |), k AS (
+      |  SELECT event_type, n, s1,
+      |    CAST(n AS HUGEINT) AS nd,
+      |    CAST((s1 - (((s1 % n) + n) % n)) // n AS HUGEINT) AS kd,
+      |    CAST(s1 AS HUGEINT) AS s1d, CAST(s2 AS HUGEINT) AS s2d,
+      |    CAST(s3 AS HUGEINT) AS s3d, s4 AS s4d
       |  FROM p
+      |), t AS (
+      |  SELECT event_type, n, s1, nd,
+      |    s1d - nd * kd AS t1,
+      |    s2d - 2 * kd * s1d + nd * kd * kd AS t2,
+      |    s3d - 3 * kd * s2d + 3 * kd * kd * s1d - nd * kd * kd * kd AS t3,
+      |    s4d - 4 * kd * s3d + 6 * kd * kd * s2d - 4 * kd * kd * kd * s1d
+      |      + nd * kd * kd * kd * kd AS t4
+      |  FROM k
       |), m AS (
-      |  SELECT event_type, n, mc,
-      |    r2 - mc * mc AS m2,
-      |    r3 - 3 * mc * r2 + 2 * mc * mc * mc AS m3,
-      |    r4 - 4 * mc * r3 + 6 * mc * mc * r2 - 3 * mc * mc * mc * mc AS m4
-      |  FROM f
+      |  SELECT event_type, n, s1,
+      |    nd * t2 - t1 * t1 AS a,
+      |    nd * nd * t3 - 3 * nd * t1 * t2 + 2 * t1 * t1 * t1 AS b,
+      |    nd * nd * nd * t4 - 4 * nd * nd * t1 * t3
+      |      + 6 * nd * t1 * t1 * t2 - 3 * t1 * t1 * t1 * t1 AS c
+      |  FROM t
       |)
       |SELECT event_type, n,
-      |  round(mc / 100, 6) AS mean_value,
-      |  round(sqrt(greatest(m2, 0.0)) / 100, 6) AS stddev_value,
-      |  CASE WHEN m2 > 0 THEN round(m3 / (m2 * sqrt(m2)), 6) END AS skewness,
-      |  CASE WHEN m2 > 0 THEN round(m4 / (m2 * m2) - 3, 6) END AS ex_kurtosis
+      |  round(CAST(s1 AS DOUBLE) / n / 100, 6) AS mean_value,
+      |  round(sqrt(CAST(a AS DOUBLE)) / n / 100, 6) AS stddev_value,
+      |  CASE WHEN a > 0 THEN round(CAST(b AS DOUBLE)
+      |    / (CAST(a AS DOUBLE) * sqrt(CAST(a AS DOUBLE))), 6) END AS skewness,
+      |  CASE WHEN a > 0 THEN round(CAST(c AS DOUBLE)
+      |    / (CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) - 3, 6) END AS ex_kurtosis
       |FROM m ORDER BY event_type""".stripMargin
 
   /** Shared oracle for q_debounce AND q_stream_debounce — the
@@ -751,7 +843,11 @@ object EventsOps {
         "so tie handling is exact and fold order can't drift the " +
         "one final 6dp division. Positive-class recency is IN the " +
         "score by construction — AUC far above 0.5 is the expected " +
-        "sanity reading, spec-pinned",
+        "sanity reading, spec-pinned. The unpartitioned cumulative " +
+        "window is the VALUE-DOMAIN WINDOW CLASS (one shared argument " +
+        "— EventsOps scaladoc): input = a bounded distinct-value " +
+        "rollup, never rows; the binned twin is the continuous-" +
+        "domain escape hatch",
       Some(
         s"""WITH $churnLabSqlCte, byk AS (
            |  SELECT score AS k,
@@ -1175,7 +1271,10 @@ object EventsOps {
         "(the q_model_auc pattern), and Gini's one division is " +
         "6dp-rounded. Top-decile share slices the same cumulative " +
         "frame at rank ceil(0.9·N) with integer partial-group " +
-        "arithmetic",
+        "arithmetic. The unpartitioned cumulative window is the " +
+        "VALUE-DOMAIN WINDOW CLASS (EventsOps scaladoc): input = the " +
+        "bounded distinct-count rollup, never users; the binned twin " +
+        "is the unbounded-domain escape hatch",
       Some(
         """WITH per AS (
           |  SELECT user_id, CAST(count(*) AS BIGINT) AS n
@@ -2528,7 +2627,10 @@ object EventsOps {
         "oracle-exact while doing the one thing the plain t-test " +
         "can't: keeping a single whale purchase from deciding the " +
         "experiment. One cents-domain window + two keyed aggs; " +
-        "null result on uniform synthetic arms is the check",
+        "null result on uniform synthetic arms is the check. The p99 " +
+        "window is the VALUE-DOMAIN WINDOW CLASS (EventsOps " +
+        "scaladoc): two-decimal money makes the distinct-cents " +
+        "rollup finite by construction",
       Some(
         """WITH e AS (
           |  SELECT user_id % 2 AS grp, CAST(round(value * 100) AS BIGINT)
@@ -2647,7 +2749,8 @@ object EventsOps {
         "not row count (the q_model_auc_binned discipline, here " +
         "with a domain that is genuinely finite) — after one " +
         "grp×value keyed agg. At 100 TB: one keyed agg, one " +
-        "value-domain window, 1-row output",
+        "value-domain window, 1-row output (the VALUE-DOMAIN WINDOW " +
+        "CLASS — one shared argument, EventsOps scaladoc)",
       Some(
         """WITH e AS (
           |  SELECT user_id % 2 AS grp, CAST(round(value * 100) AS BIGINT)
@@ -2908,7 +3011,8 @@ object EventsOps {
         "binned discipline — and coverage is one mirrored IEEE " +
         "division of exact counts. At 100 TB: three keyed aggs and " +
         "two broadcast joins of #types-row frames; the only windows " +
-        "run over value-domain-bounded rollups",
+        "run over value-domain-bounded rollups (the VALUE-DOMAIN " +
+        "WINDOW CLASS — one shared argument, EventsOps scaladoc)",
       Some(
         """WITH e AS (
           |  SELECT event_type, event_id % 5 AS fold,
