@@ -3678,8 +3678,15 @@ object AnnOps {
         "pipelines): embeddings split into two sides (label parity " +
         "standing in for the two languages), and a cross-side pair " +
         s"(x, y) is mined when each is the other's best match by " +
-        s"MARGIN — cosine normalized by the mean cosine to each " +
-        s"side's own $BtK nearest cross-side neighbors — with " +
+        s"MARGIN — cosine normalized by the POOLED neighborhood " +
+        s"mean, c(x,y)·(|Nx|+|Ny|)/(ΣNx + ΣNy) over the two " +
+        s"endpoints' $BtK-nearest cross-side neighborhoods — equal " +
+        "to the paper's mean-of-the-two-neighborhood-means whenever " +
+        "both neighborhoods are full (|Nx| = |Ny| = k, the steady " +
+        "state; they differ only for queries with fewer than k " +
+        "cross-side candidates, where pooling weights the fuller " +
+        "side: the deliberate variant here, one exact-integer ratio " +
+        "instead of two) — with " +
         "margin ≥ 1 (better than your neighborhood average, the " +
         "ratio-margin criterion that beats absolute-cosine " +
         "thresholds because hubness inflates raw cosines " +

@@ -307,11 +307,18 @@ object EventStream {
     * (EventStreamSpec pins a storm spanning three batches).
     *
     * State is freed by an event-time timeout at last+gap, which is
-    * provably a semantic NO-OP: eviction requires watermark >
-    * last+gap, and any non-late later event of the key then has
-    * gap ≥ 5 min and is kept as a first occurrence anyway — so state
+    * provably a semantic NO-OP for every event the stream admits:
+    * debounceFn explicitly drops input older than the current
+    * watermark (flatMapGroupsWithState leaves late-row filtering to
+    * the user function — without the guard, a >2h-late event arriving
+    * after its key's state was evicted would gap against nothing and
+    * be wrongly re-admitted), so eviction requires watermark >
+    * last+gap, every surviving event has t ≥ watermark > last+gap,
+    * and the gap rule keeps it as a first occurrence anyway — state
     * is bounded by keys ACTIVE within the gap window, never history
-    * (the dropDuplicates cardinality class avoided). */
+    * (the dropDuplicates cardinality class avoided), and
+    * beyond-watermark input is dropped rather than mis-gapped, the
+    * standard streaming lateness contract. */
   def debounceState(events: DataFrame): DataFrame = {
     import events.sparkSession.implicits._
     events
@@ -328,7 +335,14 @@ object EventStream {
       state.remove()
       Iterator.empty
     } else {
-      val sorted = evs.toIndexedSeq.sortBy(e => (tsToUs(e.ts), e.event_id))
+      // Late-row guard (see scaladoc): state may already have been
+      // evicted for anything below the watermark, so admitting such a
+      // row could mis-gap it. getCurrentWatermarkMs is 0 until the
+      // first watermark, which keeps everything — correct: nothing
+      // can have been evicted yet either.
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val sorted = evs.toIndexedSeq.filter(e => tsToUs(e.ts) >= wmUs)
+        .sortBy(e => (tsToUs(e.ts), e.event_id))
       val out = scala.collection.mutable.ArrayBuffer.empty[DebOut]
       var last = state.getOption.map(_.lastUs)
       for (e <- sorted) {
