@@ -74,6 +74,14 @@ object EventsOps {
     * LOWER the coefficient — AucBinnedSpec pins that direction. */
   private[graft] val GiniBins = 8
 
+  /** q_msprt mixture variance τ² (cents²) — spliced into both engines.
+    * τ is the prior scale of plausible effects: 10 cents here, sized
+    * to the synthetic value range; production tunes it to the
+    * historically observed effect-size distribution. Declared above
+    * the query registry (object-init order: the SQL string splices
+    * it at Seq construction). */
+  private[graft] val MsprtTau2 = 100.0
+
   /** The mergeable moment-sketch core shared by q_moments and
     * q_stream_moments: per-type power sums of the ×100 fixed-point
     * value — n, Σc, Σc², Σc³, Σc⁴ — every one EXACT (BIGINT through
@@ -3146,7 +3154,274 @@ object EventsOps {
           sum(ov).as("sum_overlap_s"),
           max(ov).as("max_overlap_s"))
     },
+
+    Q(
+      "q_tcloseness",
+      "t-CLOSENESS audit per event type over the cents value domain " +
+        "— the third rung of the release-governance ladder " +
+        "(q_kanon_audit: groups big enough; q_ldiversity: sensitive " +
+        "values varied enough; HERE: the group's sensitive " +
+        "DISTRIBUTION close enough to the global one that membership " +
+        "leaks nothing distributional). Distance is the ordinal Earth " +
+        "Mover's Distance of Li et al. 2007: EMD = sum_v |CumP_g(v) " +
+        "- CumP(v)| / (m-1) over the m distinct global values — and " +
+        "the whole computation is EXACT integers until one final " +
+        "division: |cumg*N - cum*n_g| clears both denominators, the " +
+        "per-type cumulative runs over the types x distinct-cents " +
+        "grid (the VALUE-DOMAIN WINDOW CLASS — one shared argument, " +
+        "EventsOps scaladoc), and the t <= 0.2 flag is the exact " +
+        "integer comparison 5*emd_num <= n_g*N*(m-1), immune to the " +
+        "division's rounding. At 100 TB: one corpus pass to (type, " +
+        "cents) counts, a value-domain-bounded grid join + window, " +
+        "#types output rows",
+      Some(
+        """WITH e AS (
+          |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+          |  FROM events
+          |), gv AS (
+          |  SELECT v, CAST(count(*) AS BIGINT) AS ctot FROM e GROUP BY v
+          |), tv AS (
+          |  SELECT event_type, v, CAST(count(*) AS BIGINT) AS cg
+          |  FROM e GROUP BY event_type, v
+          |), ty AS (
+          |  SELECT event_type, CAST(count(*) AS BIGINT) AS ng FROM e
+          |  GROUP BY event_type
+          |), tot AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS nn,
+          |    CAST(count(DISTINCT v) AS BIGINT) AS m FROM e
+          |), grid AS (
+          |  SELECT ty.event_type, ty.ng, gv.v, gv.ctot,
+          |    coalesce(tv.cg, 0) AS cg
+          |  FROM ty CROSS JOIN gv
+          |  LEFT JOIN tv ON tv.event_type = ty.event_type AND tv.v = gv.v
+          |), c AS (
+          |  SELECT event_type, ng, v,
+          |    sum(cg) OVER (PARTITION BY event_type ORDER BY v) AS cumg,
+          |    sum(ctot) OVER (PARTITION BY event_type ORDER BY v) AS cum
+          |  FROM grid
+          |), d AS (
+          |  SELECT event_type, ng,
+          |    CAST(sum(abs(CAST(cumg AS HUGEINT) * nn
+          |      - CAST(cum AS HUGEINT) * ng)) AS HUGEINT) AS emd_num
+          |  FROM c CROSS JOIN tot GROUP BY event_type, ng, nn
+          |)
+          |SELECT d.event_type, d.ng AS n,
+          |  round(CAST(d.emd_num AS DOUBLE)
+          |    / (CAST(d.ng AS DOUBLE) * nn * (m - 1)), 6) AS emd,
+          |  CASE WHEN d.emd_num * 5 <= CAST(d.ng AS HUGEINT) * nn * (m - 1)
+          |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS t_close
+          |FROM d CROSS JOIN tot ORDER BY event_type""".stripMargin),
+    ) { (s, dir) =>
+      val e = Tables.events(s, dir).select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("v"))
+      val gv = e.groupBy("v").agg(count(lit(1)).as("ctot"))
+      val tv = e.groupBy("event_type", "v").agg(count(lit(1)).as("cg"))
+      val ty = e.groupBy("event_type").agg(count(lit(1)).as("ng"))
+      val tot = e.agg(count(lit(1)).as("nn"),
+        countDistinct(col("v")).as("m"))
+      val grid = ty.crossJoin(broadcast(gv))
+        .join(tv, Seq("event_type", "v"), "left")
+        .select(col("event_type"), col("ng"), col("v"), col("ctot"),
+          coalesce(col("cg"), lit(0L)).as("cg"))
+      val w = Window.partitionBy("event_type").orderBy("v")
+      val c = grid
+        .withColumn("cumg", sum(col("cg")).over(w))
+        .withColumn("cum", sum(col("ctot")).over(w))
+      c.crossJoin(broadcast(tot))
+        .groupBy("event_type", "ng", "nn")
+        .agg(sum(abs(col("cumg").cast("decimal(38,0)") * col("nn")
+          - col("cum").cast("decimal(38,0)") * col("ng"))).as("emd_num"))
+        .crossJoin(broadcast(tot.select(col("m"))))
+        .select(col("event_type"), col("ng").as("n"),
+          round(col("emd_num").cast("double")
+            / (col("ng").cast("double") * col("nn") * (col("m") - 1)), 6)
+            .as("emd"),
+          when(col("emd_num") * 5
+            <= col("ng").cast("decimal(38,0)") * col("nn") * (col("m") - 1),
+            1L).otherwise(0L).as("t_close"))
+        .orderBy("event_type")
+    },
+
+    Q(
+      "q_msprt",
+      "mixture-SPRT SEQUENTIAL A/B test (Johari et al., the always-" +
+        "valid-inference standard behind every modern peeking-safe " +
+        "experimentation platform): where q_ab_test's fixed-horizon z " +
+        "is only valid at ONE pre-registered n, the mSPRT likelihood " +
+        "ratio against a N(0, tau^2) mixture alternative may be " +
+        "monitored after EVERY day with exact type-I control — " +
+        "ln Lambda_n = 0.5*ln(Vn/(Vn+tau^2)) + delta^2*tau^2/" +
+        "(2*Vn*(Vn+tau^2)), rejected when the running max crosses " +
+        "ln(1/alpha). The distributed shape: one corpus pass to " +
+        "per-day exact arm power sums (n, sum-c, sum-c^2 as BIGINT — " +
+        "the moments discipline), a #days-bounded cumulative window " +
+        "(day-domain rollup, never rows), variance numerators in " +
+        "exact n*q - s^2 integer form, and ln-domain finals (no exp " +
+        "anywhere — the crossing flag compares the 6dp-rounded " +
+        "running max against the ln(20) literal, so the alpha=0.05 " +
+        "decision is determined by the rounded grid both engines " +
+        "share). Null result on the uniform synthetic arms is the " +
+        "expected reading; MsprtSpec plants a real lift and pins the " +
+        "crossing day. At 100 TB: one keyed agg + a days-sized window",
+      Some(
+        s"""WITH e AS (
+           |  SELECT CAST(ts AS DATE) AS day, user_id % 2 AS grp,
+           |    CAST(round(value * 100) AS BIGINT) AS c
+           |  FROM events
+           |), d AS (
+           |  SELECT day,
+           |    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na_d,
+           |    CAST(sum(CASE WHEN grp = 0 THEN c ELSE 0 END) AS BIGINT) AS sa_d,
+           |    CAST(sum(CASE WHEN grp = 0 THEN c * c ELSE 0 END) AS BIGINT) AS qa_d,
+           |    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb_d,
+           |    CAST(sum(CASE WHEN grp = 1 THEN c ELSE 0 END) AS BIGINT) AS sb_d,
+           |    CAST(sum(CASE WHEN grp = 1 THEN c * c ELSE 0 END) AS BIGINT) AS qb_d
+           |  FROM e GROUP BY day
+           |), cumul AS (
+           |  SELECT day,
+           |    CAST(sum(na_d) OVER (ORDER BY day) AS BIGINT) AS na,
+           |    CAST(sum(sa_d) OVER (ORDER BY day) AS BIGINT) AS sa,
+           |    CAST(sum(qa_d) OVER (ORDER BY day) AS BIGINT) AS qa,
+           |    CAST(sum(nb_d) OVER (ORDER BY day) AS BIGINT) AS nb,
+           |    CAST(sum(sb_d) OVER (ORDER BY day) AS BIGINT) AS sb,
+           |    CAST(sum(qb_d) OVER (ORDER BY day) AS BIGINT) AS qb
+           |  FROM d
+           |), f AS (
+           |  SELECT day, na + nb AS n,
+           |    CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb AS delta_c,
+           |    ((CAST(na AS DOUBLE) * qa - CAST(sa AS DOUBLE) * sa) / na
+           |      + (CAST(nb AS DOUBLE) * qb - CAST(sb AS DOUBLE) * sb) / nb)
+           |      / (na + nb - 2) * (1.0 / na + 1.0 / nb) AS vn
+           |  FROM cumul WHERE na > 1 AND nb > 1
+           |), ll AS (
+           |  SELECT day, n, delta_c,
+           |    CASE WHEN vn > 0 THEN round(
+           |      0.5 * ln(vn / (vn + $MsprtTau2))
+           |        + delta_c * delta_c * $MsprtTau2
+           |          / (2 * vn * (vn + $MsprtTau2)), 6) END AS ln_lambda
+           |  FROM f
+           |)
+           |SELECT day, n, round(delta_c / 100, 6) AS delta,
+           |  ln_lambda,
+           |  max(ln_lambda) OVER (ORDER BY day) AS ln_lambda_max,
+           |  CASE WHEN max(ln_lambda) OVER (ORDER BY day) >= 2.995732
+           |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS rejected
+           |FROM ll ORDER BY day""".stripMargin),
+    ) { (s, dir) =>
+      msprtCurve(Tables.events(s, dir)
+        .select(col("ts"), col("user_id"), col("value")))
+    },
+
+    Q(
+      "q_neyman_alloc",
+      "NEYMAN-OPTIMAL stratified sampling allocation (the survey-" +
+        "sampling classic behind every budgeted eval-set draw): given " +
+        "a 1000-row labeling budget over event-type strata, allocate " +
+        "proportional to N_h*S_h — variance-heavy strata earn more " +
+        "samples than proportional allocation gives them, minimizing " +
+        "the stratified estimator's variance at fixed budget (the " +
+        "readout ships BOTH allocations; the gap IS the value of " +
+        "knowing the variances). S_h comes from the exact integer " +
+        "numerator N_h*q_h - s_h^2 (the moments discipline) with one " +
+        "sqrt per stratum, each weight is then QUANTIZED to integer " +
+        "micro-units and summed exactly (the c6 quantize-then-sum " +
+        "discipline — no cross-engine float-sum ordering anywhere), " +
+        "and shares/allocations are single IEEE divisions of exact " +
+        "integers. At 100 TB: ONE corpus pass of map-side-combined " +
+        "power sums to #strata rows, everything after is state-sized",
+      Some(
+        """WITH c AS (
+          |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+          |  FROM events
+          |), p AS (
+          |  SELECT event_type, CAST(count(*) AS BIGINT) AS nh,
+          |    CAST(sum(c) AS BIGINT) AS sh,
+          |    CAST(sum(c * c) AS BIGINT) AS qh
+          |  FROM c GROUP BY event_type
+          |), wgt AS (
+          |  SELECT event_type, nh,
+          |    round(sqrt((CAST(nh AS DOUBLE) * qh - CAST(sh AS DOUBLE) * sh)
+          |      / (CAST(nh AS DOUBLE) * (nh - 1))) / 100, 6) AS sd,
+          |    CAST(round(nh * sqrt((CAST(nh AS DOUBLE) * qh
+          |        - CAST(sh AS DOUBLE) * sh)
+          |      / (CAST(nh AS DOUBLE) * (nh - 1))) * 1000000) AS BIGINT)
+          |      AS w6
+          |  FROM p
+          |), tot AS (
+          |  SELECT CAST(sum(w6) AS BIGINT) AS wtot,
+          |    CAST(sum(nh) AS BIGINT) AS ntot FROM wgt
+          |)
+          |SELECT event_type, nh, sd,
+          |  round(CAST(w6 AS DOUBLE) / wtot, 6) AS share,
+          |  CAST(round(1000 * CAST(w6 AS DOUBLE) / wtot) AS BIGINT)
+          |    AS alloc_neyman,
+          |  CAST(round(1000 * CAST(nh AS DOUBLE) / ntot) AS BIGINT)
+          |    AS alloc_prop
+          |FROM wgt CROSS JOIN tot ORDER BY event_type""".stripMargin),
+    ) { (s, dir) =>
+      val p = Tables.events(s, dir)
+        .select(col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("c"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("nh"), sum(col("c")).as("sh"),
+          sum(col("c") * col("c")).as("qh"))
+      val wgt = p.selectExpr("event_type", "nh",
+        """round(sqrt((CAST(nh AS DOUBLE) * qh - CAST(sh AS DOUBLE) * sh)
+          |  / (CAST(nh AS DOUBLE) * (nh - 1))) / 100, 6) AS sd""".stripMargin,
+        """CAST(round(nh * sqrt((CAST(nh AS DOUBLE) * qh
+          |    - CAST(sh AS DOUBLE) * sh)
+          |  / (CAST(nh AS DOUBLE) * (nh - 1))) * 1000000) AS BIGINT)
+          |  AS w6""".stripMargin)
+      val tot = wgt.agg(sum(col("w6")).as("wtot"), sum(col("nh")).as("ntot"))
+      wgt.crossJoin(broadcast(tot))
+        .selectExpr("event_type", "nh", "sd",
+          "round(CAST(w6 AS DOUBLE) / wtot, 6) AS share",
+          "CAST(round(1000 * CAST(w6 AS DOUBLE) / wtot) AS BIGINT)"
+            + " AS alloc_neyman",
+          "CAST(round(1000 * CAST(nh AS DOUBLE) / ntot) AS BIGINT)"
+            + " AS alloc_prop")
+        .orderBy("event_type")
+    },
   )
+
+  /** The q_msprt computation over any (ts, user_id, value) frame —
+    * factored out so MsprtSpec can plant a lifted arm and pin the
+    * crossing day. ln-domain throughout (see the registry entry). */
+  private[graft] def msprtCurve(events: DataFrame): DataFrame = {
+    val e = events.select(col("ts").cast("date").as("day"),
+      (col("user_id") % 2).as("grp"),
+      round(col("value") * 100, 0).cast("long").as("c"))
+    val d = e.groupBy("day").agg(
+      sum(when(col("grp") === 0, 1L).otherwise(0L)).as("na_d"),
+      sum(when(col("grp") === 0, col("c")).otherwise(0L)).as("sa_d"),
+      sum(when(col("grp") === 0, col("c") * col("c")).otherwise(0L)).as("qa_d"),
+      sum(when(col("grp") === 1, 1L).otherwise(0L)).as("nb_d"),
+      sum(when(col("grp") === 1, col("c")).otherwise(0L)).as("sb_d"),
+      sum(when(col("grp") === 1, col("c") * col("c")).otherwise(0L)).as("qb_d"))
+    val w = Window.orderBy("day")
+    val cumul = d.select(col("day"),
+      sum(col("na_d")).over(w).as("na"), sum(col("sa_d")).over(w).as("sa"),
+      sum(col("qa_d")).over(w).as("qa"), sum(col("nb_d")).over(w).as("nb"),
+      sum(col("sb_d")).over(w).as("sb"), sum(col("qb_d")).over(w).as("qb"))
+    val f = cumul.filter(col("na") > 1 && col("nb") > 1)
+      .selectExpr("day", "na + nb AS n",
+        "CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb AS delta_c",
+        """((CAST(na AS DOUBLE) * qa - CAST(sa AS DOUBLE) * sa) / na
+          |  + (CAST(nb AS DOUBLE) * qb - CAST(sb AS DOUBLE) * sb) / nb)
+          |  / (na + nb - 2) * (1.0 / na + 1.0 / nb) AS vn""".stripMargin)
+    val ll = f.selectExpr("day", "n", "delta_c",
+      s"""CASE WHEN vn > 0 THEN round(
+         |  0.5 * ln(vn / (vn + $MsprtTau2))
+         |    + delta_c * delta_c * $MsprtTau2
+         |      / (2 * vn * (vn + $MsprtTau2)), 6) END AS ln_lambda"""
+        .stripMargin)
+    ll.select(col("day"), col("n"),
+      round(col("delta_c") / 100, 6).as("delta"), col("ln_lambda"),
+      max(col("ln_lambda")).over(Window.orderBy("day")).as("ln_lambda_max"),
+      when(max(col("ln_lambda")).over(Window.orderBy("day"))
+        >= 2.995732, 1L).otherwise(0L).as("rejected"))
+      .orderBy("day")
+  }
 
   /** Registered in `all` beside the other theta faces (lazy: defined
     * below the registry that references it, the thetaIntersectSql

@@ -1729,6 +1729,62 @@ object Relational {
             .as("revenue"))
         .orderBy("l_returnflag")
     },
+
+    Q(
+      "q_ldiversity",
+      "l-DIVERSITY audit over the customer quasi-identifier pair " +
+        "(nation, market segment) with account-balance band as the " +
+        "sensitive attribute — the governance gate k-anonymity " +
+        "(q_kanon_audit) cannot provide: a group can be large (k-" +
+        "anonymous) yet SENSITIVE-HOMOGENEOUS, so membership alone " +
+        "discloses the secret; distinct-l-diversity requires >= 3 " +
+        "distinct sensitive values per group. Bands are exact $2000 " +
+        "cents intervals (floor of a correctly-rounded IEEE " +
+        "quotient — deterministic cross-engine, negatives included), " +
+        "the rollup is two keyed aggs bounded by QI-combo x band " +
+        "cardinality, and the readout adds the recursive-diversity " +
+        "face: max_share = modal-band count / n as ONE exact-integer " +
+        "ratio (no float sums anywhere — a group passing distinct-l " +
+        "but with max_share near 1 is still practically disclosed, " +
+        "which is why both numbers ship). At 100 TB: one corpus " +
+        "pass to (QI, band) counts, then nations x segments x bands " +
+        "state — the q_kanon_audit scale shape exactly",
+      Some(
+        """WITH b AS (
+          |  SELECT c_nationkey, c_mktsegment,
+          |    CAST(floor(CAST(round(c_acctbal * 100) AS BIGINT)
+          |      / 200000.0) AS BIGINT) AS band
+          |  FROM customer
+          |), gb AS (
+          |  SELECT c_nationkey, c_mktsegment, band,
+          |    CAST(count(*) AS BIGINT) AS c
+          |  FROM b GROUP BY c_nationkey, c_mktsegment, band
+          |)
+          |SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_mktsegment,
+          |  CAST(sum(c) AS BIGINT) AS n,
+          |  count(*) AS n_bands,
+          |  CASE WHEN count(*) >= 3 THEN CAST(1 AS BIGINT)
+          |    ELSE CAST(0 AS BIGINT) END AS l_diverse,
+          |  round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS max_share
+          |FROM gb GROUP BY c_nationkey, c_mktsegment
+          |ORDER BY nationkey, c_mktsegment""".stripMargin),
+    ) { (s, dir) =>
+      val b = Tables.customer(s, dir)
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(round(col("c_acctbal") * 100, 0).cast("long") / lit(200000.0))
+            .cast("long").as("band"))
+      b.groupBy("c_nationkey", "c_mktsegment", "band")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(sum(col("c")).as("n"),
+          count(lit(1)).as("n_bands"),
+          max(col("c")).as("cmax"))
+        .select(col("c_nationkey").cast("long").as("nationkey"),
+          col("c_mktsegment"), col("n"), col("n_bands"),
+          when(col("n_bands") >= 3, 1L).otherwise(0L).as("l_diverse"),
+          round(col("cmax").cast("double") / col("n"), 6).as("max_share"))
+        .orderBy("nationkey", "c_mktsegment")
+    },
   )
 
   /** q_skyline core over any (p_partkey, price, size) frame (the spec

@@ -151,6 +151,12 @@ object TextOps {
     */
   private[graft] val VocabCap = 24
 
+  /** q_kn_bigram_lm absolute discount D (the Chen-Goodman default
+    * 0.75) — spliced into both engines' probability expression.
+    * Declared above the query registry (object-init order: the SQL
+    * string splices it at Seq construction). */
+  private[graft] val KnDiscount = 0.75
+
   /** q_line_dedup: tokens per synthetic "line". The corpus is flat
     * token streams (no newlines), so the segmenter stands in for the
     * real splitter — at 100 TB this constant is `split(text, '\n')`
@@ -4183,6 +4189,93 @@ object TextOps {
         .select(col("term"), col("doc_id"), col("tf"),
           col("rk").cast("long").as("rk"))
         .orderBy("term", "rk")
+    },
+
+    Q(
+      "q_kn_bigram_lm",
+      "interpolated KNESER-NEY bigram LM scoring per document (Kneser " +
+        "& Ney 1995 / Chen-Goodman, the smoothing standard every " +
+        "n-gram quality filter rides — CCNet-style pipelines gate on " +
+        "exactly this score): P(w|u) = (max(c(u,w)-D, 0) + " +
+        "D*N1+(u,*)*Pcont(w)) / c(u) with Pcont(w) = N1+(*,w)/T — " +
+        "absolute discounting backed by the CONTINUATION count, the " +
+        "insight that 'Francisco' is frequent but follows almost " +
+        "nothing. Where q_lm_score smooths unigrams, this conditions " +
+        "on context and redistributes mass by type diversity. The " +
+        "distributed shape: adjacency pairs via zip_with over each " +
+        "doc's filtered token array (no window, pure per-row), " +
+        "counts/history/continuation tables keyed by bigram type — " +
+        "all BOUNDED by the bigram-type vocabulary, not the corpus — " +
+        "and each bigram's ln-prob QUANTIZED to 1e-6 then summed as " +
+        "exact BIGINT per doc (the c6 quantize-then-sum discipline: " +
+        "no cross-engine float-sum ordering), one 6dp mean division " +
+        "at the end. Self-scoring on the training corpus = the " +
+        "perplexity-filter shape; every doc bigram is in-vocabulary " +
+        "by construction, so no OOV path is needed. At 100 TB: two " +
+        "corpus passes (count, score) + type-keyed state joins",
+      Some(
+        s"""WITH t AS (
+           |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+           |    x -> x <> '') AS ws
+           |  FROM documents
+           |), b AS (
+           |  SELECT doc_id, unnest(ws[1:len(ws)-1]) AS u,
+           |    unnest(ws[2:len(ws)]) AS w
+           |  FROM t WHERE len(ws) >= 2
+           |), bc AS (
+           |  SELECT u, w, CAST(count(*) AS BIGINT) AS cb
+           |  FROM b GROUP BY u, w
+           |), hist AS (
+           |  SELECT u, CAST(sum(cb) AS BIGINT) AS cu,
+           |    CAST(count(*) AS BIGINT) AS n1f
+           |  FROM bc GROUP BY u
+           |), cont AS (
+           |  SELECT w, CAST(count(*) AS BIGINT) AS n1b FROM bc GROUP BY w
+           |), tt AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS t_types FROM bc
+           |), probs AS (
+           |  SELECT bc.u, bc.w,
+           |    CAST(round(ln((greatest(cb - $KnDiscount, 0.0)
+           |      + $KnDiscount * n1f * (CAST(n1b AS DOUBLE) / t_types))
+           |      / cu) * 1000000) AS BIGINT) AS lp6
+           |  FROM bc JOIN hist ON hist.u = bc.u
+           |  JOIN cont ON cont.w = bc.w CROSS JOIN tt
+           |)
+           |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           |  round(CAST(sum(lp6) AS DOUBLE) / (count(*) * 1000000.0), 6)
+           |    AS mean_lp
+           |FROM b JOIN probs ON probs.u = b.u AND probs.w = b.w
+           |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin),
+    ) { (s, dir) =>
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          expr("filter(split(lower(text), ' '), x -> x <> '')").as("ws"))
+        .filter(size(col("ws")) >= 2)
+      val b = t.select(col("doc_id"),
+        expr("""explode(zip_with(slice(ws, 1, size(ws) - 1),
+          |  slice(ws, 2, size(ws) - 1),
+          |  (uu, ww) -> struct(uu AS u, ww AS w)))""".stripMargin).as("uw"))
+        .select(col("doc_id"), col("uw.u").as("u"), col("uw.w").as("w"))
+        .localCheckpoint()
+      val bc = b.groupBy("u", "w").agg(count(lit(1)).as("cb"))
+      val hist = bc.groupBy("u")
+        .agg(sum(col("cb")).as("cu"), count(lit(1)).as("n1f"))
+      val cont = bc.groupBy("w").agg(count(lit(1)).as("n1b"))
+      val tt = bc.agg(count(lit(1)).as("t_types"))
+      val probs = bc.join(hist, Seq("u")).join(cont, Seq("w"))
+        .crossJoin(broadcast(tt))
+        .selectExpr("u", "w",
+          s"""CAST(round(ln((greatest(cb - $KnDiscount, 0.0)
+             |  + $KnDiscount * n1f * (CAST(n1b AS DOUBLE) / t_types))
+             |  / cu) * 1000000) AS BIGINT) AS lp6""".stripMargin)
+      b.join(probs, Seq("u", "w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("lp6")).as("slp"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("slp").cast("double")
+            / (col("n_bigrams") * lit(1000000.0)), 6).as("mean_lp"))
+        .orderBy("doc_id")
     },
   )
 
