@@ -37,6 +37,19 @@ object AnnOps {
   private val NProbe = 4
   private val KSeeds = 8
 
+  /** q_dbscan: the ε-ball is cosine ≥ this. 0.2 fits the synthetic
+    * near-orthogonal corpus (0.4+ leaves every vector noise — the
+    * q_embed_dup threshold note; real corpora use ≥ 0.9, the
+    * machinery is identical) and yields a genuine core/border/noise
+    * mix. Spliced into both engines, so declared above the registry
+    * (object-init order). */
+  private[graft] val DbscanCosT = 0.2
+
+  /** q_dbscan: core iff ≥ this many OTHER vectors in the ε-ball
+    * (classic minPts counts the point itself, so this is
+    * minPts − 1 = 2 ⇒ minPts 3). */
+  private[graft] val DbscanMinPts = 2
+
   /** q_knn_graph: neighbors per vector and query-side probe width. */
   private val KnnK = 5
 
@@ -3817,7 +3830,155 @@ object AnnOps {
           col("cos_sim"), col("margin"))
         .orderBy("vec_a")
     },
+
+    Q(
+      "q_dbscan",
+      s"DBSCAN density clustering over the LSH-band candidate ε-graph " +
+        s"(ε-ball = cosine ≥ $DbscanCosT, core iff ≥ $DbscanMinPts " +
+        "other in-ball vectors — classic minPts 3 counting self): " +
+        "core points cluster by connected components over core-core " +
+        "ε-edges (min-label fixpoint, the ccMinLabels machinery — " +
+        "isolated cores become self-labeled singletons), border = " +
+        "non-core with a core neighbor attaching to the MIN core-" +
+        "neighbor label (classic DBSCAN's border assignment is scan-" +
+        "order-dependent; min-label is the deterministic declarative " +
+        "choice, DbscanSpec pins it), the rest is noise. Per vector: " +
+        "(n_nbrs, role 2=core/1=border/0=noise, cluster or -1). The " +
+        "scale story IS the candidate generation: an exact high-dim " +
+        "ε-graph is Ω(n²) by distance concentration, so neighbors " +
+        "come from the band self-join (keyed equi-join, id-only " +
+        "dedupe, vectors fetched after — the q_embed_dup discipline) " +
+        "and the oracle mirrors the SAME bands; semantics are spec-" +
+        "pinned against brute-force pairs, band recall is priced " +
+        "separately (q_ann_recall). At 100 TB: band join + degree " +
+        "agg + diameter-bounded CC rounds, never all-pairs",
+      Some {
+        val corpusBands = (0 until NumBands).map(b =>
+          s"SELECT vec_id, embedding, $b AS band_id, ${bandSql("embedding", b)} AS band_val FROM e")
+          .mkString("\n  UNION ALL\n  ")
+        s"""WITH RECURSIVE e AS (SELECT vec_id, embedding FROM embeddings),
+           |bands AS (
+           |  $corpusBands
+           |), cand AS (
+           |  SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+           |  FROM bands l JOIN bands r
+           |    ON l.band_id = r.band_id AND l.band_val = r.band_val
+           |   AND l.vec_id < r.vec_id
+           |), pairs AS (
+           |  SELECT c.vec_a, c.vec_b
+           |  FROM cand c JOIN e a ON a.vec_id = c.vec_a
+           |              JOIN e b ON b.vec_id = c.vec_b
+           |  WHERE ${cosSimSql("a.embedding", "b.embedding")} >= $DbscanCosT
+           |), und AS (
+           |  SELECT vec_a AS vec_id, vec_b AS nb FROM pairs
+           |  UNION ALL SELECT vec_b, vec_a FROM pairs
+           |), deg AS (
+           |  SELECT vec_id, CAST(count(*) AS BIGINT) AS n_nbrs
+           |  FROM und GROUP BY vec_id
+           |), core AS (SELECT vec_id FROM deg WHERE n_nbrs >= $DbscanMinPts),
+           |cedges AS (
+           |  SELECT p.vec_a AS src, p.vec_b AS dst FROM pairs p
+           |    JOIN core ca ON ca.vec_id = p.vec_a
+           |    JOIN core cb ON cb.vec_id = p.vec_b
+           |  UNION ALL
+           |  SELECT p.vec_b, p.vec_a FROM pairs p
+           |    JOIN core ca ON ca.vec_id = p.vec_a
+           |    JOIN core cb ON cb.vec_id = p.vec_b
+           |), cc AS (
+           |  SELECT DISTINCT src AS vec_id, src AS label FROM cedges
+           |  UNION
+           |  SELECT g.dst AS vec_id, cc.label
+           |  FROM cc JOIN cedges g ON g.src = cc.vec_id
+           |), clab0 AS (
+           |  SELECT vec_id, min(label) AS label FROM cc GROUP BY vec_id
+           |), clab AS (
+           |  SELECT core.vec_id, coalesce(clab0.label, core.vec_id) AS label
+           |  FROM core LEFT JOIN clab0 ON clab0.vec_id = core.vec_id
+           |), blab AS (
+           |  SELECT u.vec_id, min(cl.label) AS border_lab
+           |  FROM und u JOIN clab cl ON cl.vec_id = u.nb
+           |  GROUP BY u.vec_id
+           |)
+           |SELECT e.vec_id,
+           |  CAST(coalesce(deg.n_nbrs, 0) AS BIGINT) AS n_nbrs,
+           |  CAST(CASE WHEN cl.vec_id IS NOT NULL THEN 2
+           |            WHEN b.border_lab IS NOT NULL THEN 1
+           |            ELSE 0 END AS BIGINT) AS role,
+           |  CAST(coalesce(cl.label, b.border_lab, -1) AS BIGINT) AS cluster
+           |FROM e
+           |LEFT JOIN deg ON deg.vec_id = e.vec_id
+           |LEFT JOIN clab cl ON cl.vec_id = e.vec_id
+           |LEFT JOIN blab b ON b.vec_id = e.vec_id
+           |ORDER BY e.vec_id""".stripMargin
+      },
+    ) { (s, dir) =>
+      dbscanLabels(s, Tables.embeddings(s, dir).select("vec_id", "embedding"))
+    },
   )
+
+  /** q_dbscan end-to-end: banded candidate ε-pairs feeding
+    * [[dbscanFromPairs]]. Factored so DbscanSpec can drive the
+    * semantics core with brute-force pairs (band recall is a separate,
+    * separately-priced concern). */
+  private[graft] def dbscanLabels(s: SparkSession,
+      e0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val e = e0.select("vec_id", "embedding")
+    val bands = e.select(col("vec_id"),
+      posexplode(array(bandColsFused(s): _*)).as(Seq("band_id", "band_val")))
+    // id-only pair dedupe, vectors fetched after (q_embed_dup note)
+    val candIds = bands.as("l").join(bands.as("r"),
+        col("l.band_id") === col("r.band_id")
+          && col("l.band_val") === col("r.band_val")
+          && col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"))
+      .distinct()
+    val pairs = candIds
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")),
+        Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")),
+        Seq("vec_b"))
+      .filter(cosSim(s, "ea", "eb") >= DbscanCosT)
+      .select("vec_a", "vec_b")
+    dbscanFromPairs(e.select("vec_id"), pairs)
+  }
+
+  /** DBSCAN semantics over a qualified ε-pair list (vec_a < vec_b,
+    * already distance-filtered): degree → core, core-core CC via
+    * [[DedupOps.ccMinLabels]] (+ self-labeled isolated cores), border
+    * = min core-neighbor label, noise −1. The pair list is computed
+    * ONCE (localCheckpoint) and read by the degree, CC, and border
+    * passes. */
+  private[graft] def dbscanFromPairs(allVecs: org.apache.spark.sql.DataFrame,
+      pairs0: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val pairs = pairs0.localCheckpoint()
+    val und = pairs.select(col("vec_a").as("vec_id"), col("vec_b").as("nb"))
+      .unionAll(pairs.select(col("vec_b").as("vec_id"), col("vec_a").as("nb")))
+    val deg = und.groupBy("vec_id").agg(count(lit(1)).as("n_nbrs"))
+    val core = deg.filter(col("n_nbrs") >= DbscanMinPts).select("vec_id")
+    val ccEdges = pairs
+      .join(core.select(col("vec_id").as("vec_a")), Seq("vec_a"))
+      .join(core.select(col("vec_id").as("vec_b")), Seq("vec_b"))
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val coreLabels = core
+      .join(DedupOps.ccMinLabels(ccEdges).withColumnRenamed("doc_id", "vec_id"),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("label"), col("vec_id")).as("label"))
+    val borderLab = und
+      .join(coreLabels.select(col("vec_id").as("nb"), col("label").as("nb_lab")),
+        Seq("nb"))
+      .groupBy("vec_id").agg(min(col("nb_lab")).as("border_lab"))
+    allVecs.select("vec_id")
+      .join(deg, Seq("vec_id"), "left")
+      .join(coreLabels.withColumnRenamed("label", "core_lab"), Seq("vec_id"), "left")
+      .join(borderLab, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_nbrs"), lit(0L)).as("n_nbrs"),
+        when(col("core_lab").isNotNull, 2L)
+          .when(col("border_lab").isNotNull, 1L).otherwise(0L).as("role"),
+        coalesce(col("core_lab"), col("border_lab"), lit(-1L)).as("cluster"))
+      .orderBy("vec_id")
+  }
 
   private def pqDot16Sql(a: String, b: String): String =
     s"list_sum(list_transform(range($PqSubDim), i -> $a[i+1] * $b[i+1]))"
