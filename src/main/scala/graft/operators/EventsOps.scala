@@ -82,6 +82,31 @@ object EventsOps {
     * it at Seq construction). */
   private[graft] val MsprtTau2 = 100.0
 
+  /** q_fdr_bh: α = 0.05 as the exact rational 1/FdrAlphaInv, so the
+    * BH step-up compare p ≤ i·α/m runs entirely in BIGINT
+    * (p6i · FdrAlphaInv · m ≤ i · 10⁶ — no float threshold ever
+    * decides a rejection). Declared above the registry (object-init
+    * order: the SQL splices it at Seq construction). */
+  private[graft] val FdrAlphaInv = 20L
+
+  /** Two-sided normal p-value in 1e-6 integer units from a 6dp-rounded
+    * z column: the Abramowitz-Stegun 26.2.17 five-term polynomial tail
+    * 1−Φ(|z|) = φ(|z|)·t·(b₁+t(b₂+t(b₃+t(b₄+t·b₅)))), t = 1/(1+0.2316419|z|),
+    * |error| < 7.5e-8 — well inside the 1e-6 grid. ONE text spliced
+    * into BOTH engines (the momentFinish mirrored-IEEE convention);
+    * the single libm exp rounds onto the shared integer grid, so the
+    * BH decision downstream is grid-determined (the q_dp_counts libm
+    * note). FdrBhSpec pins the grid against published quantiles
+    * (z=1.959964 → 50000, z=2.575829 → 10000, z=0 → 10⁶). */
+  private[graft] def pNorm6Sql(z: String): String = {
+    val t = s"(1.0 / (1.0 + 0.2316419 * abs($z)))"
+    s"""CAST(round(2000000.0 * (0.3989422804014327
+       |  * exp(-abs($z) * abs($z) / 2)
+       |  * ($t * (0.319381530 + $t * (-0.356563782 + $t * (1.781477937
+       |    + $t * (-1.821255978 + $t * 1.330274429))))))) AS BIGINT)"""
+      .stripMargin
+  }
+
   /** The mergeable moment-sketch core shared by q_moments and
     * q_stream_moments: per-type power sums of the ×100 fixed-point
     * value — n, Σc, Σc², Σc³, Σc⁴ — every one EXACT (BIGINT through
@@ -3382,7 +3407,119 @@ object EventsOps {
             + " AS alloc_prop")
         .orderBy("event_type")
     },
+
+    Q(
+      "q_fdr_bh",
+      "BENJAMINI-HOCHBERG FDR control across the per-type metric " +
+        "family (Benjamini & Hochberg 1995, the multiple-testing " +
+        "standard behind every many-metrics experiment readout): one " +
+        "Welch z per event type between the q_ab_test arms, two-sided " +
+        "p via the mirrored A&S 26.2.17 normal tail on the 1e-6 grid, " +
+        "then the step-up — sort p ascending, reject ranks 1..i* " +
+        "where i* = max{i : p_(i) <= i*alpha/m}. Running 5 metrics at " +
+        "per-test alpha inflates family-wise false positives; BH caps " +
+        "the FALSE DISCOVERY RATE and adaptively rejects MORE than " +
+        "Bonferroni when many effects are real (FdrBhSpec pins a " +
+        "3-vs-1 contrast). Everything decisive is exact: BIGINT power " +
+        "sums, the grid p6i, and the BH compare p6i*20*m <= rk*1e6 in " +
+        "pure integers (alpha = 1/20 exact). The uniform synthetic " +
+        "arms read null — the expected result. At 100 TB: one keyed " +
+        "corpus pass to #types rows; the rank/step-up windows run on " +
+        "the #types-bounded rollup, never rows",
+      Some(
+        s"""WITH e AS (
+           |  SELECT event_type, user_id % 2 AS grp,
+           |    CAST(round(value * 100) AS BIGINT) AS c
+           |  FROM events
+           |), a AS (
+           |  SELECT event_type,
+           |    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+           |    CAST(sum(CASE WHEN grp = 0 THEN c ELSE 0 END) AS BIGINT) AS sa,
+           |    CAST(sum(CASE WHEN grp = 0 THEN c * c ELSE 0 END) AS BIGINT) AS qa,
+           |    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+           |    CAST(sum(CASE WHEN grp = 1 THEN c ELSE 0 END) AS BIGINT) AS sb,
+           |    CAST(sum(CASE WHEN grp = 1 THEN c * c ELSE 0 END) AS BIGINT) AS qb
+           |  FROM e GROUP BY event_type
+           |), f AS (
+           |  SELECT event_type, na + nb AS n,
+           |    round((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+           |      / sqrt((CAST(na AS DOUBLE) * qa - CAST(sa AS DOUBLE) * sa)
+           |          / (CAST(na AS DOUBLE) * na * (na - 1))
+           |        + (CAST(nb AS DOUBLE) * qb - CAST(sb AS DOUBLE) * sb)
+           |          / (CAST(nb AS DOUBLE) * nb * (nb - 1))), 6) AS z
+           |  FROM a WHERE na > 1 AND nb > 1
+           |), pp AS (
+           |  SELECT event_type, n, z, ${pNorm6Sql("z")} AS p6i FROM f
+           |), r AS (
+           |  SELECT event_type, n, z, p6i,
+           |    CAST(row_number() OVER (ORDER BY p6i, event_type) AS BIGINT) AS rk,
+           |    CAST(count(*) OVER () AS BIGINT) AS m
+           |  FROM pp
+           |), x AS (
+           |  SELECT event_type, n, z, p6i, rk,
+           |    max(CASE WHEN p6i * $FdrAlphaInv * m <= rk * 1000000
+           |      THEN rk END) OVER () AS imax
+           |  FROM r
+           |)
+           |SELECT event_type, n, z,
+           |  round(CAST(p6i AS DOUBLE) / 1000000, 6) AS p, rk,
+           |  CASE WHEN rk <= coalesce(imax, 0) THEN CAST(1 AS BIGINT)
+           |    ELSE CAST(0 AS BIGINT) END AS rejected
+           |FROM x ORDER BY event_type""".stripMargin),
+    ) { (s, dir) =>
+      fdrBhCurve(Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"), col("value")))
+    },
   )
+
+  /** The q_fdr_bh test stage over any (event_type, user_id, value)
+    * frame: per-type Welch z from exact BIGINT power sums → the
+    * mirrored A&S grid p6i → [[bhReadout]]. Factored so FdrBhSpec can
+    * plant per-type lifts and pin exactly which types reject. */
+  private[graft] def fdrBhCurve(events: DataFrame): DataFrame = {
+    val p = events.select(col("event_type"),
+        (col("user_id") % 2).as("grp"),
+        round(col("value") * 100, 0).cast("long").as("c"))
+      .groupBy("event_type").agg(
+        sum(when(col("grp") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("grp") === 0, col("c")).otherwise(0L)).as("sa"),
+        sum(when(col("grp") === 0, col("c") * col("c")).otherwise(0L)).as("qa"),
+        sum(when(col("grp") === 1, 1L).otherwise(0L)).as("nb"),
+        sum(when(col("grp") === 1, col("c")).otherwise(0L)).as("sb"),
+        sum(when(col("grp") === 1, col("c") * col("c")).otherwise(0L)).as("qb"))
+      .filter(col("na") > 1 && col("nb") > 1)
+      .selectExpr("event_type", "na + nb AS n",
+        """round((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+          |  / sqrt((CAST(na AS DOUBLE) * qa - CAST(sa AS DOUBLE) * sa)
+          |      / (CAST(na AS DOUBLE) * na * (na - 1))
+          |    + (CAST(nb AS DOUBLE) * qb - CAST(sb AS DOUBLE) * sb)
+          |      / (CAST(nb AS DOUBLE) * nb * (nb - 1))), 6) AS z"""
+          .stripMargin)
+      .selectExpr("event_type", "n", "z", s"${pNorm6Sql("z")} AS p6i")
+    bhReadout(p)
+  }
+
+  /** The BH step-up over a scored frame carrying (event_type, p6i) —
+    * ranks ascending on the exact grid (ties by type), i* = max rank
+    * satisfying the pure-integer compare, rejected = rk ≤ i*. The
+    * global windows run on the #types-bounded test rollup (the
+    * value-domain window class note at the top of this file), never
+    * on rows. Extra columns ride along untouched. */
+  private[graft] def bhReadout(scored: DataFrame): DataFrame = {
+    val ranked = scored
+      .withColumn("rk",
+        row_number().over(Window.orderBy("p6i", "event_type")).cast("long"))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("imax",
+        max(when(col("p6i") * lit(FdrAlphaInv) * col("m")
+          <= col("rk") * lit(1000000L), col("rk")))
+          .over(Window.partitionBy()))
+    ranked.select(col("event_type"), col("n"), col("z"),
+      round(col("p6i").cast("double") / 1000000, 6).as("p"), col("rk"),
+      when(col("rk") <= coalesce(col("imax"), lit(0L)), 1L)
+        .otherwise(0L).as("rejected"))
+      .orderBy("event_type")
+  }
 
   /** The q_msprt computation over any (ts, user_id, value) frame —
     * factored out so MsprtSpec can plant a lifted arm and pin the
