@@ -3470,6 +3470,78 @@ object EventsOps {
       fdrBhCurve(Tables.events(s, dir)
         .select(col("event_type"), col("user_id"), col("value")))
     },
+
+    Q(
+      "q_theil_sen",
+      "THEIL-SEN robust trend per event type (Theil 1950 / Sen 1968, " +
+        "the median-of-pairwise-slopes estimator with a 29.3% " +
+        "breakdown point): where q_stl_seasonal and q_holt_winters " +
+        "fit means that ANY outlier day drags, Theil-Sen's slope is " +
+        "the median over all day-pair slopes — up to ~29% of days can " +
+        "be garbage without moving it (TheilSenSpec plants exactly " +
+        "that and pins exact recovery while OLS is pulled). The " +
+        "distributed shape: one corpus pass to per-(type, day) exact " +
+        "BIGINT sums, a type-keyed self-join of the #days-bounded " +
+        "rollup (~#days²/2 pairs of STATE, never rows), each pair " +
+        "slope ONE correctly-rounded IEEE division of exact integers " +
+        "(num = s_j*n_i - s_i*n_j, den = n_i*n_j*(d_j-d_i) — " +
+        "DECIMAL(38) at 100 TB), the median by explicit rank over the " +
+        "type-partitioned slope order (identical doubles both " +
+        "engines, so identical multisets — no engine median() " +
+        "convention trusted), and the intercept as the median " +
+        "residual against the 6dp-GRID slope. At 100 TB: one keyed " +
+        "agg + state-sized pair join + bounded windows",
+      Some(
+        """WITH e AS (
+          |  SELECT event_type,
+          |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+          |    CAST(round(value * 100) AS BIGINT) AS c
+          |  FROM events
+          |), dd AS (
+          |  SELECT event_type, d, CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(c) AS BIGINT) AS s
+          |  FROM e GROUP BY event_type, d
+          |), sl AS (
+          |  SELECT a.event_type,
+          |    CAST(b.s * a.n - a.s * b.n AS DOUBLE)
+          |      / (CAST(a.n AS DOUBLE) * b.n * (b.d - a.d)) AS sl
+          |  FROM dd a JOIN dd b
+          |    ON a.event_type = b.event_type AND a.d < b.d
+          |), rs AS (
+          |  SELECT event_type, sl,
+          |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY sl)
+          |      AS BIGINT) AS rn,
+          |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS np
+          |  FROM sl
+          |), med AS (
+          |  SELECT event_type, max(np) AS n_pairs,
+          |    round(avg(CASE WHEN rn IN ((np + 1) // 2, (np + 2) // 2)
+          |      THEN sl END) / 100, 6) AS slope
+          |  FROM rs GROUP BY event_type
+          |), res AS (
+          |  SELECT dd.event_type,
+          |    CAST(dd.s AS DOUBLE) / dd.n / 100 - med.slope * dd.d AS r
+          |  FROM dd JOIN med ON med.event_type = dd.event_type
+          |), rr AS (
+          |  SELECT event_type, r,
+          |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY r)
+          |      AS BIGINT) AS rn,
+          |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS nd
+          |  FROM res
+          |)
+          |SELECT med.event_type, ic.n_days, med.n_pairs, med.slope,
+          |  ic.intercept
+          |FROM med JOIN (
+          |  SELECT event_type, max(nd) AS n_days,
+          |    round(avg(CASE WHEN rn IN ((nd + 1) // 2, (nd + 2) // 2)
+          |      THEN r END), 6) AS intercept
+          |  FROM rr GROUP BY event_type
+          |) ic ON ic.event_type = med.event_type
+          |ORDER BY med.event_type""".stripMargin),
+    ) { (s, dir) =>
+      theilSen(Tables.events(s, dir)
+        .select(col("event_type"), col("ts"), col("value")))
+    },
   )
 
   /** The q_fdr_bh test stage over any (event_type, user_id, value)
@@ -3518,6 +3590,54 @@ object EventsOps {
       round(col("p6i").cast("double") / 1000000, 6).as("p"), col("rk"),
       when(col("rk") <= coalesce(col("imax"), lit(0L)), 1L)
         .otherwise(0L).as("rejected"))
+      .orderBy("event_type")
+  }
+
+  /** The q_theil_sen computation over any (event_type, ts, value)
+    * frame — factored so TheilSenSpec can plant an exact line with
+    * outlier days and pin recovery. See the registry entry for the
+    * exact-fraction / explicit-rank-median design. */
+  private[graft] def theilSen(events: DataFrame): DataFrame = {
+    val dd = events.select(col("event_type"),
+        datediff(col("ts").cast("date"), lit("1970-01-01")).as("d"),
+        round(col("value") * 100, 0).cast("long").as("c"))
+      .groupBy("event_type", "d")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"))
+      .localCheckpoint() // read by the pair join AND the residual pass
+    val sl = dd.as("a").join(dd.as("b"),
+        col("a.event_type") === col("b.event_type")
+          && col("a.d") < col("b.d"))
+      .select(col("a.event_type").as("event_type"),
+        ((col("b.s") * col("a.n") - col("a.s") * col("b.n")).cast("double")
+          / (col("a.n").cast("double") * col("b.n")
+            * (col("b.d") - col("a.d")))).as("sl"))
+    val wS = Window.partitionBy("event_type").orderBy("sl")
+    val med = sl
+      .withColumn("rn", row_number().over(wS).cast("long"))
+      .withColumn("np",
+        count(lit(1)).over(Window.partitionBy("event_type")))
+      .groupBy("event_type")
+      .agg(max(col("np")).as("n_pairs"),
+        round(avg(when(col("rn") === floor((col("np") + 1) / 2)
+          || col("rn") === floor((col("np") + 2) / 2), col("sl"))) / 100, 6)
+          .as("slope"))
+    val res = dd.join(med, Seq("event_type"))
+      .select(col("event_type"),
+        (col("s").cast("double") / col("n") / 100
+          - col("slope") * col("d")).as("r"))
+    val wR = Window.partitionBy("event_type").orderBy("r")
+    val ic = res
+      .withColumn("rn", row_number().over(wR).cast("long"))
+      .withColumn("nd",
+        count(lit(1)).over(Window.partitionBy("event_type")))
+      .groupBy("event_type")
+      .agg(max(col("nd")).as("n_days"),
+        round(avg(when(col("rn") === floor((col("nd") + 1) / 2)
+          || col("rn") === floor((col("nd") + 2) / 2), col("r"))), 6)
+          .as("intercept"))
+    med.join(ic, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("n_pairs"),
+        col("slope"), col("intercept"))
       .orderBy("event_type")
   }
 
