@@ -3542,6 +3542,66 @@ object EventsOps {
       theilSen(Tables.events(s, dir)
         .select(col("event_type"), col("ts"), col("value")))
     },
+
+    Q(
+      "q_propensity_strat",
+      "SUBCLASSIFICATION causal effect estimate (Cochran 1968 / " +
+        "Rosenbaum-Rubin stratification, the simplest honest answer " +
+        "to confounded assignment): per-user outcome = total event " +
+        "value, treatment = the sticky arm, and the pre-treatment " +
+        "covariate — activity band = min(n_events div 20, 7) — " +
+        "stratifies users so the effect is measured WITHIN bands and " +
+        "re-weighted by band population: ATE_strat = sum_s N_s*(mean_" +
+        "Y_t,s - mean_Y_c,s) / sum_s N_s over strata with BOTH arms " +
+        "present (the common-support/overlap assumption made an " +
+        "explicit, counted filter — n_supported ships beside " +
+        "n_strata). Where q_did needs a pre-period and q_cuped a " +
+        "covariate regression, stratification needs only the band " +
+        "rollup. The naive contrast ships beside it; on the " +
+        "randomized synthetic arms the two agree (the null reading); " +
+        "PropensityStratSpec plants activity-confounded assignment " +
+        "where naive reads 131.0 and stratification recovers the " +
+        "exact 12.5 truth. Exactness: per-user BIGINT cents rollup, " +
+        "per-stratum effects on the 1e-6 grid then N_s-weighted " +
+        "BIGINT sums (the c6 quantize-then-sum discipline), one final " +
+        "division each. At 100 TB: one user-keyed corpus pass, then " +
+        "#bands-bounded state",
+      Some(
+        """WITH u AS (
+          |  SELECT user_id, user_id % 2 AS t,
+          |    CAST(count(*) AS BIGINT) AS n_u,
+          |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+          |  FROM events GROUP BY user_id
+          |), b AS (
+          |  SELECT least(n_u // 20, 7) AS band, t, user_id, y FROM u
+          |), st AS (
+          |  SELECT band,
+          |    CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+          |    CAST(sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT) AS syt,
+          |    CAST(sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+          |    CAST(sum(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT) AS syc
+          |  FROM b GROUP BY band
+          |), eff AS (
+          |  SELECT band, nt + nc AS ns,
+          |    CAST(round((CAST(syt AS DOUBLE) / nt - CAST(syc AS DOUBLE) / nc)
+          |      / 100 * 1000000) AS BIGINT) AS e6
+          |  FROM st WHERE nt > 0 AND nc > 0
+          |)
+          |SELECT
+          |  (SELECT CAST(count(*) AS BIGINT) FROM u) AS n_users,
+          |  (SELECT CAST(count(*) AS BIGINT) FROM st) AS n_strata,
+          |  (SELECT CAST(count(*) AS BIGINT) FROM eff) AS n_supported,
+          |  (SELECT round((CAST(sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS DOUBLE)
+          |      / sum(CASE WHEN t = 1 THEN 1 ELSE 0 END)
+          |    - CAST(sum(CASE WHEN t = 0 THEN y ELSE 0 END) AS DOUBLE)
+          |      / sum(CASE WHEN t = 0 THEN 1 ELSE 0 END)) / 100, 6)
+          |   FROM u) AS ate_naive,
+          |  (SELECT round(CAST(sum(ns * e6) AS DOUBLE) / sum(ns) / 1000000, 6)
+          |   FROM eff) AS ate_strat""".stripMargin),
+    ) { (s, dir) =>
+      propensityStrat(Tables.events(s, dir)
+        .select(col("user_id"), col("value")))
+    },
   )
 
   /** The q_fdr_bh test stage over any (event_type, user_id, value)
@@ -3591,6 +3651,48 @@ object EventsOps {
       when(col("rk") <= coalesce(col("imax"), lit(0L)), 1L)
         .otherwise(0L).as("rejected"))
       .orderBy("event_type")
+  }
+
+  /** The q_propensity_strat computation over any (user_id, value)
+    * frame — factored so PropensityStratSpec can plant activity-
+    * confounded assignment and pin exact bias removal. Treatment is
+    * the sticky user_id % 2 arm; see the registry entry. */
+  private[graft] def propensityStrat(events: DataFrame): DataFrame = {
+    val u = events
+      .select(col("user_id"),
+        round(col("value") * 100, 0).cast("long").as("c"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_u"), sum(col("c")).as("y"))
+      .select((col("user_id") % 2).as("t"),
+        least(floor(col("n_u") / 20), lit(7L)).as("band"), col("y"))
+      .localCheckpoint() // read by the stratum AND naive rollups
+    val st = u.groupBy("band").agg(
+      sum(when(col("t") === 1, 1L).otherwise(0L)).as("nt"),
+      sum(when(col("t") === 1, col("y")).otherwise(0L)).as("syt"),
+      sum(when(col("t") === 0, 1L).otherwise(0L)).as("nc"),
+      sum(when(col("t") === 0, col("y")).otherwise(0L)).as("syc"))
+      .localCheckpoint()
+    val eff = st.filter(col("nt") > 0 && col("nc") > 0)
+      .selectExpr("band", "nt + nc AS ns",
+        """CAST(round((CAST(syt AS DOUBLE) / nt - CAST(syc AS DOUBLE) / nc)
+          |  / 100 * 1000000) AS BIGINT) AS e6""".stripMargin)
+    val naive = u.agg(
+      count(lit(1)).as("n_users"),
+      sum(when(col("t") === 1, col("y")).otherwise(0L)).as("syt"),
+      sum(when(col("t") === 1, 1L).otherwise(0L)).as("nt"),
+      sum(when(col("t") === 0, col("y")).otherwise(0L)).as("syc"),
+      sum(when(col("t") === 0, 1L).otherwise(0L)).as("nc"))
+      .selectExpr("n_users",
+        """round((CAST(syt AS DOUBLE) / nt - CAST(syc AS DOUBLE) / nc)
+          |  / 100, 6) AS ate_naive""".stripMargin)
+    val strat = eff.agg(
+      round(sum(col("ns") * col("e6")).cast("double")
+        / sum(col("ns")) / 1000000, 6).as("ate_strat"),
+      count(lit(1)).as("n_supported"))
+    val nStrata = st.agg(count(lit(1)).as("n_strata"))
+    naive.crossJoin(broadcast(nStrata)).crossJoin(broadcast(strat))
+      .select(col("n_users"), col("n_strata"), col("n_supported"),
+        col("ate_naive"), col("ate_strat"))
   }
 
   /** The q_theil_sen computation over any (event_type, ts, value)
