@@ -3288,50 +3288,7 @@ object EventsOps {
         "share). Null result on the uniform synthetic arms is the " +
         "expected reading; MsprtSpec plants a real lift and pins the " +
         "crossing day. At 100 TB: one keyed agg + a days-sized window",
-      Some(
-        s"""WITH e AS (
-           |  SELECT CAST(ts AS DATE) AS day, user_id % 2 AS grp,
-           |    CAST(round(value * 100) AS BIGINT) AS c
-           |  FROM events
-           |), d AS (
-           |  SELECT day,
-           |    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na_d,
-           |    CAST(sum(CASE WHEN grp = 0 THEN c ELSE 0 END) AS BIGINT) AS sa_d,
-           |    CAST(sum(CASE WHEN grp = 0 THEN c * c ELSE 0 END) AS BIGINT) AS qa_d,
-           |    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb_d,
-           |    CAST(sum(CASE WHEN grp = 1 THEN c ELSE 0 END) AS BIGINT) AS sb_d,
-           |    CAST(sum(CASE WHEN grp = 1 THEN c * c ELSE 0 END) AS BIGINT) AS qb_d
-           |  FROM e GROUP BY day
-           |), cumul AS (
-           |  SELECT day,
-           |    CAST(sum(na_d) OVER (ORDER BY day) AS BIGINT) AS na,
-           |    CAST(sum(sa_d) OVER (ORDER BY day) AS BIGINT) AS sa,
-           |    CAST(sum(qa_d) OVER (ORDER BY day) AS BIGINT) AS qa,
-           |    CAST(sum(nb_d) OVER (ORDER BY day) AS BIGINT) AS nb,
-           |    CAST(sum(sb_d) OVER (ORDER BY day) AS BIGINT) AS sb,
-           |    CAST(sum(qb_d) OVER (ORDER BY day) AS BIGINT) AS qb
-           |  FROM d
-           |), f AS (
-           |  SELECT day, na + nb AS n,
-           |    CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb AS delta_c,
-           |    ((CAST(na AS DOUBLE) * qa - CAST(sa AS DOUBLE) * sa) / na
-           |      + (CAST(nb AS DOUBLE) * qb - CAST(sb AS DOUBLE) * sb) / nb)
-           |      / (na + nb - 2) * (1.0 / na + 1.0 / nb) AS vn
-           |  FROM cumul WHERE na > 1 AND nb > 1
-           |), ll AS (
-           |  SELECT day, n, delta_c,
-           |    CASE WHEN vn > 0 THEN round(
-           |      0.5 * ln(vn / (vn + $MsprtTau2))
-           |        + delta_c * delta_c * $MsprtTau2
-           |          / (2 * vn * (vn + $MsprtTau2)), 6) END AS ln_lambda
-           |  FROM f
-           |)
-           |SELECT day, n, round(delta_c / 100, 6) AS delta,
-           |  ln_lambda,
-           |  max(ln_lambda) OVER (ORDER BY day) AS ln_lambda_max,
-           |  CASE WHEN max(ln_lambda) OVER (ORDER BY day) >= 2.995732
-           |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS rejected
-           |FROM ll ORDER BY day""".stripMargin),
+      Some(msprtSql),
     ) { (s, dir) =>
       msprtCurve(Tables.events(s, dir)
         .select(col("ts"), col("user_id"), col("value")))
@@ -3746,17 +3703,30 @@ object EventsOps {
   /** The q_msprt computation over any (ts, user_id, value) frame —
     * factored out so MsprtSpec can plant a lifted arm and pin the
     * crossing day. ln-domain throughout (see the registry entry). */
-  private[graft] def msprtCurve(events: DataFrame): DataFrame = {
+  private[graft] def msprtCurve(events: DataFrame): DataFrame =
+    msprtFinish(msprtDaily(events))
+
+  /** The streamable state stage of q_msprt: per-day exact BIGINT arm
+    * power sums — purely additive, so a Structured Streaming groupBy
+    * folds it as #days-bounded complete-mode state (q_stream_msprt)
+    * and equals the batch rollup at any micro-batch split. */
+  private[graft] def msprtDaily(events: DataFrame): DataFrame = {
     val e = events.select(col("ts").cast("date").as("day"),
       (col("user_id") % 2).as("grp"),
       round(col("value") * 100, 0).cast("long").as("c"))
-    val d = e.groupBy("day").agg(
+    e.groupBy("day").agg(
       sum(when(col("grp") === 0, 1L).otherwise(0L)).as("na_d"),
       sum(when(col("grp") === 0, col("c")).otherwise(0L)).as("sa_d"),
       sum(when(col("grp") === 0, col("c") * col("c")).otherwise(0L)).as("qa_d"),
       sum(when(col("grp") === 1, 1L).otherwise(0L)).as("nb_d"),
       sum(when(col("grp") === 1, col("c")).otherwise(0L)).as("sb_d"),
       sum(when(col("grp") === 1, col("c") * col("c")).otherwise(0L)).as("qb_d"))
+  }
+
+  /** The finishing stage of q_msprt over the per-day state table:
+    * #days-bounded cumulative windows + ln-domain likelihood finals
+    * (see the registry entry). Batch-side in both twins. */
+  private[graft] def msprtFinish(d: DataFrame): DataFrame = {
     val w = Window.orderBy("day")
     val cumul = d.select(col("day"),
       sum(col("na_d")).over(w).as("na"), sum(col("sa_d")).over(w).as("sa"),
@@ -3781,6 +3751,55 @@ object EventsOps {
         >= 2.995732, 1L).otherwise(0L).as("rejected"))
       .orderBy("day")
   }
+
+  /** The q_msprt oracle, shared VERBATIM by q_stream_msprt (the
+    * momentsSql precedent — stream state ≡ batch rollup, so one SQL
+    * text serves both). Lazy: referenced from the registry above its
+    * definition (the thetaIntersectSql init-order rule). */
+  private[graft] lazy val msprtSql: String =
+    s"""WITH e AS (
+       |  SELECT CAST(ts AS DATE) AS day, user_id % 2 AS grp,
+       |    CAST(round(value * 100) AS BIGINT) AS c
+       |  FROM events
+       |), d AS (
+       |  SELECT day,
+       |    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na_d,
+       |    CAST(sum(CASE WHEN grp = 0 THEN c ELSE 0 END) AS BIGINT) AS sa_d,
+       |    CAST(sum(CASE WHEN grp = 0 THEN c * c ELSE 0 END) AS BIGINT) AS qa_d,
+       |    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb_d,
+       |    CAST(sum(CASE WHEN grp = 1 THEN c ELSE 0 END) AS BIGINT) AS sb_d,
+       |    CAST(sum(CASE WHEN grp = 1 THEN c * c ELSE 0 END) AS BIGINT) AS qb_d
+       |  FROM e GROUP BY day
+       |), cumul AS (
+       |  SELECT day,
+       |    CAST(sum(na_d) OVER (ORDER BY day) AS BIGINT) AS na,
+       |    CAST(sum(sa_d) OVER (ORDER BY day) AS BIGINT) AS sa,
+       |    CAST(sum(qa_d) OVER (ORDER BY day) AS BIGINT) AS qa,
+       |    CAST(sum(nb_d) OVER (ORDER BY day) AS BIGINT) AS nb,
+       |    CAST(sum(sb_d) OVER (ORDER BY day) AS BIGINT) AS sb,
+       |    CAST(sum(qb_d) OVER (ORDER BY day) AS BIGINT) AS qb
+       |  FROM d
+       |), f AS (
+       |  SELECT day, na + nb AS n,
+       |    CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb AS delta_c,
+       |    ((CAST(na AS DOUBLE) * qa - CAST(sa AS DOUBLE) * sa) / na
+       |      + (CAST(nb AS DOUBLE) * qb - CAST(sb AS DOUBLE) * sb) / nb)
+       |      / (na + nb - 2) * (1.0 / na + 1.0 / nb) AS vn
+       |  FROM cumul WHERE na > 1 AND nb > 1
+       |), ll AS (
+       |  SELECT day, n, delta_c,
+       |    CASE WHEN vn > 0 THEN round(
+       |      0.5 * ln(vn / (vn + $MsprtTau2))
+       |        + delta_c * delta_c * $MsprtTau2
+       |          / (2 * vn * (vn + $MsprtTau2)), 6) END AS ln_lambda
+       |  FROM f
+       |)
+       |SELECT day, n, round(delta_c / 100, 6) AS delta,
+       |  ln_lambda,
+       |  max(ln_lambda) OVER (ORDER BY day) AS ln_lambda_max,
+       |  CASE WHEN max(ln_lambda) OVER (ORDER BY day) >= 2.995732
+       |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS rejected
+       |FROM ll ORDER BY day""".stripMargin
 
   /** Registered in `all` beside the other theta faces (lazy: defined
     * below the registry that references it, the thetaIntersectSql

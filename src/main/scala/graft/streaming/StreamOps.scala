@@ -755,6 +755,39 @@ object StreamOps {
     },
 
     Q(
+      "q_stream_msprt",
+      "the ALWAYS-VALID sequential A/B monitor run LIVE — the " +
+        "streaming face of q_msprt, sharing its oracle VERBATIM: the " +
+        "stream folds the SAME per-day exact BIGINT arm power sums " +
+        "(n, Σc, Σc² per arm — purely additive) as complete-mode " +
+        "state bounded by the DAY CATALOG (never stream volume), and " +
+        "the mSPRT likelihood curve finishes batch-side on the " +
+        "bounded sink each readout. The pairing is the point: mSPRT " +
+        "is the test you may legally consult after EVERY micro-batch " +
+        "(that is what always-valid means), so the streaming shape " +
+        "is not a convenience but the intended deployment — the " +
+        "experiment dashboard that updates per trigger with exact " +
+        "type-I control. State ≡ batch rollup at any split because " +
+        "the sums are additive (the q_stream_moments argument)",
+      Some(graft.operators.EventsOps.msprtSql),
+    ) { (s, dir) =>
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = graft.Tables.normalizeTs(
+        s.readStream.schema(rawSchema)
+          .option("basePath", dir)
+          .parquet(s"$dir/events.parquet*"))
+        .select(col("ts"), col("user_id"), col("value"))
+      val name = ("ms" + Scratch.dir()).replaceAll("[^A-Za-z0-9]", "_")
+      val q = graft.operators.EventsOps.msprtDaily(src).writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.EventsOps.msprtFinish(s.table(name))
+    },
+
+    Q(
       "q_stream_resume",
       "checkpoint RECOVERY, exactly-once across a restart, run " +
         "END-TO-END: the events changelog is staged as three files; " +
