@@ -3559,6 +3559,76 @@ object EventsOps {
       propensityStrat(Tables.events(s, dir)
         .select(col("user_id"), col("value")))
     },
+
+    Q(
+      "q_dp_quantile",
+      "differentially-private MEDIAN per event type via the " +
+        "EXPONENTIAL MECHANISM (McSherry-Talwar; the mechanism for " +
+        "non-numeric/selection queries where Laplace on the value " +
+        "would be nonsense): every distinct cent value is a candidate, " +
+        "utility u(v) = -|#above - #below| (sensitivity 1, exact " +
+        "integers off the cents-domain cumulative — the value-domain " +
+        "window class), and the draw P(v) ∝ exp(ε·u/2) runs as the " +
+        "GUMBEL-MAX trick — argmax of u·ε/2 + Gumbel(0,1), ε=1 — so " +
+        "selection is one deterministic window argmax, no " +
+        "normalization constant ever materializes. The Gumbel draw " +
+        "-ln(-ln(U)) seeds U from md5(type|value) — the q_dp_counts " +
+        "stand-in convention, explicitly NOT private (a real release " +
+        "swaps in a crypto RNG; mechanism, utility sensitivity, and " +
+        "the Gumbel-max equivalence are the tested content). Ships " +
+        "the true median (upper-median convention at even n: rank " +
+        "floor(n/2)+1, the min v with 2*cum >= n+1 — no " +
+        "interpolation, the released value is always a REAL domain " +
+        "value) beside the release; DpQuantileSpec pins " +
+        "that a peaked distribution forces the exact median through " +
+        "ANY noise (utility gap dwarfs the bounded Gumbel range) and " +
+        "recomputes the argmax independently. At 100 TB: one corpus " +
+        "pass to (type, cents) counts, domain-bounded windows, " +
+        "#types output rows",
+      Some {
+        val h = graft.functions.Portable.md5Hash60Sql(
+          "event_type || '|' || CAST(v AS VARCHAR) || '|dpq'")
+        s"""WITH e AS (
+           |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+           |  FROM events
+           |), vc AS (
+           |  SELECT event_type, v, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM e GROUP BY event_type, v
+           |), cw AS (
+           |  SELECT event_type, v, cnt,
+           |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY v)
+           |      AS BIGINT) AS cum,
+           |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+           |  FROM vc
+           |), ss AS (
+           |  SELECT event_type, v, cnt, cum, n,
+           |    round(-abs(n - 2 * cum + cnt) * 0.5
+           |      + round(-ln(-ln((($h) % 999999 + 0.5) / 1000000.0)), 6), 6)
+           |      AS score
+           |  FROM cw
+           |), win AS (
+           |  SELECT event_type, n,
+           |    round(CAST(v AS DOUBLE) / 100, 6) AS dp_median
+           |  FROM (
+           |    SELECT event_type, v, n,
+           |      row_number() OVER (PARTITION BY event_type
+           |        ORDER BY score DESC, v) AS rk
+           |    FROM ss) WHERE rk = 1
+           |), tru AS (
+           |  SELECT event_type,
+           |    round(CAST(min(CASE WHEN cum * 2 >= n + 1 THEN v END)
+           |      AS DOUBLE) / 100, 6) AS true_median
+           |  FROM ss GROUP BY event_type
+           |)
+           |SELECT w.event_type, w.n, t.true_median, w.dp_median,
+           |  round(abs(w.dp_median - t.true_median), 6) AS abs_err
+           |FROM win w JOIN tru t ON t.event_type = w.event_type
+           |ORDER BY w.event_type""".stripMargin
+      },
+    ) { (s, dir) =>
+      dpQuantile(Tables.events(s, dir)
+        .select(col("event_type"), col("value")))
+    },
   )
 
   /** The q_fdr_bh test stage over any (event_type, user_id, value)
@@ -3650,6 +3720,39 @@ object EventsOps {
     naive.crossJoin(broadcast(nStrata)).crossJoin(broadcast(strat))
       .select(col("n_users"), col("n_strata"), col("n_supported"),
         col("ate_naive"), col("ate_strat"))
+  }
+
+  /** The q_dp_quantile computation over any (event_type, value)
+    * frame — factored so DpQuantileSpec can plant peaked and tied
+    * utility landscapes. See the registry entry for the mechanism. */
+  private[graft] def dpQuantile(events: DataFrame): DataFrame = {
+    val vc = events.select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("v"))
+      .groupBy("event_type", "v").agg(count(lit(1)).as("cnt"))
+    val scored = vc
+      .withColumn("cum", sum(col("cnt"))
+        .over(Window.partitionBy("event_type").orderBy("v")))
+      .withColumn("n", sum(col("cnt"))
+        .over(Window.partitionBy("event_type")))
+      .withColumn("score",
+        round(-abs(col("n") - lit(2) * col("cum") + col("cnt")) * lit(0.5)
+          + round(-log(-log((graft.functions.Portable.md5Hash60(
+              concat(col("event_type"), lit("|"), col("v").cast("string"),
+                lit("|dpq"))) % 999999 + lit(0.5)) / lit(1000000.0))), 6), 6))
+    val win = scored
+      .withColumn("rk", row_number().over(Window.partitionBy("event_type")
+        .orderBy(col("score").desc, col("v"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("n"),
+        round(col("v").cast("double") / 100, 6).as("dp_median"))
+    val tru = scored.groupBy("event_type")
+      .agg(round(min(when(col("cum") * 2 >= col("n") + 1, col("v")))
+        .cast("double") / 100, 6).as("true_median"))
+    win.join(tru, Seq("event_type"))
+      .select(col("event_type"), col("n"), col("true_median"),
+        col("dp_median"),
+        round(abs(col("dp_median") - col("true_median")), 6).as("abs_err"))
+      .orderBy("event_type")
   }
 
   /** The q_theil_sen computation over any (event_type, ts, value)
