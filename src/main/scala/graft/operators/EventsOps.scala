@@ -3629,6 +3629,62 @@ object EventsOps {
       dpQuantile(Tables.events(s, dir)
         .select(col("event_type"), col("value")))
     },
+
+    Q(
+      "q_power_mde",
+      "experiment POWER ANALYSIS per event type — the minimum " +
+        "detectable effect at the current sample and the sample size " +
+        "a target effect would need (the planning readout every " +
+        "experiment should consult BEFORE launch, and the " +
+        "interpretation guard after: a null q_ab_test readout with " +
+        "an MDE of 30% says nothing was learnable, not that nothing " +
+        "happened). Closed forms at alpha=0.05 two-sided, power 80%: " +
+        "MDE = (z_alpha/2 + z_beta) * SE_Welch = 2.801585 * " +
+        "sqrt(s2*(1/na+1/nb)), and n/arm to detect a 1% relative " +
+        "lift = ceil(2 * 2.801585^2 * s2 / (0.01*mean)^2). Pooled s2 " +
+        "from the exact (n*q - s^2)-style BIGINT numerators (the " +
+        "moments discipline), finals mirrored IEEE with 6dp " +
+        "rounding; the z-constant sum is a shared literal (its " +
+        "provenance spec-pinned against the A&S grid: Phi^-1 via the " +
+        "q_fdr_bh tail at 6dp). PowerMdeSpec pins the closed form on " +
+        "planted two-point arms and the 1/sqrt(n) scaling law. At " +
+        "100 TB: ONE map-side-combined corpus pass to #types rows",
+      Some(
+        """WITH e AS (
+          |  SELECT event_type, user_id % 2 AS grp,
+          |    CAST(round(value * 100) AS BIGINT) AS c
+          |  FROM events
+          |), a AS (
+          |  SELECT event_type,
+          |    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+          |    CAST(sum(CASE WHEN grp = 0 THEN c ELSE 0 END) AS BIGINT) AS sa,
+          |    CAST(sum(CASE WHEN grp = 0 THEN c * c ELSE 0 END) AS BIGINT) AS qa,
+          |    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+          |    CAST(sum(CASE WHEN grp = 1 THEN c ELSE 0 END) AS BIGINT) AS sb,
+          |    CAST(sum(CASE WHEN grp = 1 THEN c * c ELSE 0 END) AS BIGINT) AS qb
+          |  FROM e GROUP BY event_type
+          |), f AS (
+          |  SELECT event_type, na, nb,
+          |    (CAST(sa AS DOUBLE) + sb) / (na + nb) AS mc,
+          |    ((CAST(na AS DOUBLE) * qa - CAST(sa AS DOUBLE) * sa) / na
+          |      + (CAST(nb AS DOUBLE) * qb - CAST(sb AS DOUBLE) * sb) / nb)
+          |      / (na + nb - 2) AS s2
+          |  FROM a WHERE na > 1 AND nb > 1
+          |)
+          |SELECT event_type, na, nb,
+          |  round(mc / 100, 6) AS mean,
+          |  round(sqrt(s2) / 100, 6) AS sd,
+          |  round(2.801585 * sqrt(s2 * (1.0 / na + 1.0 / nb)) / 100, 6)
+          |    AS mde_abs,
+          |  round(2.801585 * sqrt(s2 * (1.0 / na + 1.0 / nb)) / mc, 6)
+          |    AS mde_rel,
+          |  CAST(ceil(2 * 2.801585 * 2.801585 * s2 / (0.01 * mc * (0.01 * mc)))
+          |    AS BIGINT) AS n_per_arm_1pct
+          |FROM f ORDER BY event_type""".stripMargin),
+    ) { (s, dir) =>
+      powerMde(Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"), col("value")))
+    },
   )
 
   /** The q_fdr_bh test stage over any (event_type, user_id, value)
@@ -3721,6 +3777,36 @@ object EventsOps {
       .select(col("n_users"), col("n_strata"), col("n_supported"),
         col("ate_naive"), col("ate_strat"))
   }
+
+  /** The q_power_mde computation over any (event_type, user_id,
+    * value) frame — factored so PowerMdeSpec can plant known-variance
+    * arms and pin the closed form + the 1/sqrt(n) scaling law. */
+  private[graft] def powerMde(events: DataFrame): DataFrame =
+    events.select(col("event_type"), (col("user_id") % 2).as("grp"),
+        round(col("value") * 100, 0).cast("long").as("c"))
+      .groupBy("event_type").agg(
+        sum(when(col("grp") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("grp") === 0, col("c")).otherwise(0L)).as("sa"),
+        sum(when(col("grp") === 0, col("c") * col("c")).otherwise(0L)).as("qa"),
+        sum(when(col("grp") === 1, 1L).otherwise(0L)).as("nb"),
+        sum(when(col("grp") === 1, col("c")).otherwise(0L)).as("sb"),
+        sum(when(col("grp") === 1, col("c") * col("c")).otherwise(0L)).as("qb"))
+      .filter(col("na") > 1 && col("nb") > 1)
+      .selectExpr("event_type", "na", "nb",
+        "(CAST(sa AS DOUBLE) + sb) / (na + nb) AS mc",
+        """((CAST(na AS DOUBLE) * qa - CAST(sa AS DOUBLE) * sa) / na
+          |  + (CAST(nb AS DOUBLE) * qb - CAST(sb AS DOUBLE) * sb) / nb)
+          |  / (na + nb - 2) AS s2""".stripMargin)
+      .selectExpr("event_type", "na", "nb",
+        "round(mc / 100, 6) AS mean",
+        "round(sqrt(s2) / 100, 6) AS sd",
+        """round(2.801585 * sqrt(s2 * (1.0 / na + 1.0 / nb)) / 100, 6)
+          |  AS mde_abs""".stripMargin,
+        """round(2.801585 * sqrt(s2 * (1.0 / na + 1.0 / nb)) / mc, 6)
+          |  AS mde_rel""".stripMargin,
+        """CAST(ceil(2 * 2.801585 * 2.801585 * s2 / (0.01 * mc * (0.01 * mc)))
+          |  AS BIGINT) AS n_per_arm_1pct""".stripMargin)
+      .orderBy("event_type")
 
   /** The q_dp_quantile computation over any (event_type, value)
     * frame — factored so DpQuantileSpec can plant peaked and tied
