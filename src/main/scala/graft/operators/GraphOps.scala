@@ -57,6 +57,16 @@ object GraphOps {
   /** q_anf_reach: sketch-BFS rounds (oracle-unrolled pair closure). */
   private[graft] val AnfRounds = 3
 
+  /** q_betweenness: bounded BFS radius (oracle-unrolled) and the
+    * sampled-source rule — sources are items % BcSeedMod = 0 (the
+    * BfsSeedMod convention). Brandes-Pich source sampling IS the
+    * standard scale story for betweenness: exact all-sources Brandes
+    * is O(V·E) and the sampled estimator is unbiased up to the n/|S|
+    * factor; the radius bound truncates to paths ≤ BcRounds hops
+    * (k-betweenness), which is what production graph engines ship. */
+  private[graft] val BcRounds = 3
+  private[graft] val BcSeedMod = 7
+
   /** q_link_predict: predictions emitted (TakeOrdered heap cut). */
   private[graft] val LinkPredK = 20
 
@@ -1142,7 +1152,143 @@ object GraphOps {
     ) { (s, dir) =>
       lpaModularity(undirectedWeighted(s, dir))
     },
+
+    Q(
+      "q_betweenness",
+      s"sampled-source BRANDES betweenness centrality (Brandes 2001 / " +
+        s"Brandes-Pich sampling), radius ≤ $BcRounds from sources " +
+        s"item %% $BcSeedMod = 0: the broker score — how much " +
+        "shortest-path traffic a node CARRIES — which no degree/" +
+        "PageRank/closeness face measures (a bridge node has tiny " +
+        "degree and huge betweenness). Forward: level-synchronous " +
+        "BFS carrying σ = #shortest paths (EXACT BIGINT sums — path " +
+        "counts are additive over predecessor levels, first-reach " +
+        "enforced by anti-join). Backward: the Brandes dependency " +
+        "recursion δ(v) = Σ_{w∈succ} σv/σw·(1+δw) level by level, " +
+        "each level's δ rounded to the 9dp grid (the PageRank " +
+        "float-SUM-order convention) so both engines walk identical " +
+        "doubles; bc(v) = Σ_sources δ, 6dp. Every round is ONE " +
+        "edge-keyed join + (src, node)-keyed agg with localCheckpoint " +
+        "— state is (sources × reached) rows, never paths (σ counts " +
+        "paths without materializing one). BetweennessSpec pins " +
+        "hand-computed chain and diamond graphs (the σ-split case " +
+        "where δ halves). At 100 TB: Brandes-Pich sampling + bounded " +
+        "radius is exactly what production graph engines ship",
+      Some {
+        def anti(prev: Seq[String], t: String) = prev.map(p =>
+          s"NOT EXISTS (SELECT 1 FROM $p p WHERE p.src = $t.src AND p.v = $t.v)")
+          .mkString(" AND ")
+        s"""WITH $edgesSqlCte,
+           |e2 AS (SELECT DISTINCT a, b FROM edges),
+           |items AS (
+           |  SELECT DISTINCT item FROM (
+           |    SELECT a AS item FROM edges UNION ALL SELECT b FROM edges)
+           |), s0 AS (
+           |  SELECT item AS src, item AS v, CAST(1 AS BIGINT) AS sigma
+           |  FROM items WHERE item % $BcSeedMod = 0
+           |), f1r AS (
+           |  SELECT d.src, e.b AS v, CAST(sum(d.sigma) AS BIGINT) AS sigma
+           |  FROM s0 d JOIN e2 e ON e.a = d.v GROUP BY d.src, e.b
+           |), f1 AS (SELECT * FROM f1r WHERE ${anti(Seq("s0"), "f1r")}
+           |), f2r AS (
+           |  SELECT d.src, e.b AS v, CAST(sum(d.sigma) AS BIGINT) AS sigma
+           |  FROM f1 d JOIN e2 e ON e.a = d.v GROUP BY d.src, e.b
+           |), f2 AS (SELECT * FROM f2r WHERE ${anti(Seq("s0", "f1"), "f2r")}
+           |), f3r AS (
+           |  SELECT d.src, e.b AS v, CAST(sum(d.sigma) AS BIGINT) AS sigma
+           |  FROM f2 d JOIN e2 e ON e.a = d.v GROUP BY d.src, e.b
+           |), f3 AS (SELECT * FROM f3r WHERE ${anti(Seq("s0", "f1", "f2"), "f3r")}
+           |), d3 AS (
+           |  SELECT src, v, sigma, CAST(0 AS DOUBLE) AS delta FROM f3
+           |), c2 AS (
+           |  SELECT l.src, l.v,
+           |    round(sum(CAST(l.sigma AS DOUBLE) / n.sigma * (1 + n.delta)), 9)
+           |      AS delta
+           |  FROM f2 l JOIN e2 e ON e.a = l.v
+           |  JOIN d3 n ON n.src = l.src AND n.v = e.b
+           |  GROUP BY l.src, l.v
+           |), d2 AS (
+           |  SELECT l.src, l.v, l.sigma, coalesce(c.delta, 0) AS delta
+           |  FROM f2 l LEFT JOIN c2 c ON c.src = l.src AND c.v = l.v
+           |), c1 AS (
+           |  SELECT l.src, l.v,
+           |    round(sum(CAST(l.sigma AS DOUBLE) / n.sigma * (1 + n.delta)), 9)
+           |      AS delta
+           |  FROM f1 l JOIN e2 e ON e.a = l.v
+           |  JOIN d2 n ON n.src = l.src AND n.v = e.b
+           |  GROUP BY l.src, l.v
+           |), d1 AS (
+           |  SELECT l.src, l.v, l.sigma, coalesce(c.delta, 0) AS delta
+           |  FROM f1 l LEFT JOIN c1 c ON c.src = l.src AND c.v = l.v
+           |), bc AS (
+           |  SELECT v AS item, round(sum(delta), 6) AS bc FROM (
+           |    SELECT src, v, delta FROM d1
+           |    UNION ALL SELECT src, v, delta FROM d2
+           |    UNION ALL SELECT src, v, delta FROM d3)
+           |  WHERE v <> src GROUP BY v
+           |)
+           |SELECT i.item, coalesce(bc.bc, 0.0) AS bc
+           |FROM items i LEFT JOIN bc ON bc.item = i.item
+           |ORDER BY i.item""".stripMargin
+      },
+    ) { (s, dir) =>
+      betweenness(edgesOf(s, dir), BcSeedMod, BcRounds)
+    },
   )
+
+  /** Sampled-source bounded-radius Brandes over a directed edge list
+    * (a, b[, ...]) — factored so BetweennessSpec can feed hand graphs.
+    * See the q_betweenness registry entry for the level-synchronous
+    * σ/δ design and the 9dp grid convention. */
+  private[graft] def betweenness(
+      edges0: DataFrame, seedMod: Int, rounds: Int): DataFrame = {
+    val edges = edges0.select("a", "b").distinct().localCheckpoint()
+    val items = edges.select(col("a").as("item"))
+      .unionByName(edges.select(col("b").as("item"))).distinct()
+      .localCheckpoint()
+    val s0 = items.filter(pmod(col("item"), lit(seedMod)) === 0)
+      .select(col("item").as("src"), col("item").as("v"),
+        lit(1L).as("sigma"))
+      .localCheckpoint()
+    var seen = s0
+    var frontier = s0
+    val levels = Seq.newBuilder[DataFrame]
+    for (_ <- 1 to rounds) {
+      val fi = frontier.join(edges, frontier("v") === edges("a"))
+        .select(col("src"), col("b").as("v"), col("sigma"))
+        .groupBy("src", "v").agg(sum(col("sigma")).as("sigma"))
+        .join(seen.select("src", "v"), Seq("src", "v"), "left_anti")
+        .localCheckpoint()
+      levels += fi
+      seen = seen.unionByName(fi).localCheckpoint()
+      frontier = fi
+    }
+    val lvls = levels.result()
+    var deltaNext = lvls.last.withColumn("delta", lit(0.0))
+      .localCheckpoint()
+    var acc = deltaNext.select("src", "v", "delta")
+    for (i <- (rounds - 1) to 1 by -1) {
+      val li = lvls(i - 1)
+      val contrib = li.join(edges, li("v") === edges("a"))
+        .select(col("src"), col("v"), col("sigma"), col("b"))
+        .join(deltaNext.select(col("src"), col("v").as("b"),
+          col("sigma").as("sw"), col("delta").as("dw")), Seq("src", "b"))
+        .groupBy("src", "v")
+        .agg(round(sum(col("sigma").cast("double") / col("sw")
+          * (lit(1.0) + col("dw"))), 9).as("delta"))
+      deltaNext = li.join(contrib, Seq("src", "v"), "left")
+        .select(col("src"), col("v"), col("sigma"),
+          coalesce(col("delta"), lit(0.0)).as("delta"))
+        .localCheckpoint()
+      acc = acc.unionByName(deltaNext.select("src", "v", "delta"))
+    }
+    val bc = acc.filter(col("v") =!= col("src"))
+      .groupBy("v").agg(round(sum(col("delta")), 6).as("bc"))
+      .withColumnRenamed("v", "item")
+    items.join(bc, Seq("item"), "left")
+      .select(col("item"), coalesce(col("bc"), lit(0.0)).as("bc"))
+      .orderBy("item")
+  }
 
   /** Undirected distinct-pair weighted edges (u < v, w = summed
     * directed transition counts) — shared by q_kcore and
