@@ -3383,46 +3383,7 @@ object EventsOps {
         "arms read null — the expected result. At 100 TB: one keyed " +
         "corpus pass to #types rows; the rank/step-up windows run on " +
         "the #types-bounded rollup, never rows",
-      Some(
-        s"""WITH e AS (
-           |  SELECT event_type, user_id % 2 AS grp,
-           |    CAST(round(value * 100) AS BIGINT) AS c
-           |  FROM events
-           |), a AS (
-           |  SELECT event_type,
-           |    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
-           |    CAST(sum(CASE WHEN grp = 0 THEN c ELSE 0 END) AS BIGINT) AS sa,
-           |    CAST(sum(CASE WHEN grp = 0 THEN c * c ELSE 0 END) AS BIGINT) AS qa,
-           |    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
-           |    CAST(sum(CASE WHEN grp = 1 THEN c ELSE 0 END) AS BIGINT) AS sb,
-           |    CAST(sum(CASE WHEN grp = 1 THEN c * c ELSE 0 END) AS BIGINT) AS qb
-           |  FROM e GROUP BY event_type
-           |), f AS (
-           |  SELECT event_type, na + nb AS n,
-           |    round((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
-           |      / sqrt((CAST(na AS DOUBLE) * qa - CAST(sa AS DOUBLE) * sa)
-           |          / (CAST(na AS DOUBLE) * na * (na - 1))
-           |        + (CAST(nb AS DOUBLE) * qb - CAST(sb AS DOUBLE) * sb)
-           |          / (CAST(nb AS DOUBLE) * nb * (nb - 1))), 6) AS z
-           |  FROM a WHERE na > 1 AND nb > 1
-           |), pp AS (
-           |  SELECT event_type, n, z, ${pNorm6Sql("z")} AS p6i FROM f
-           |), r AS (
-           |  SELECT event_type, n, z, p6i,
-           |    CAST(row_number() OVER (ORDER BY p6i, event_type) AS BIGINT) AS rk,
-           |    CAST(count(*) OVER () AS BIGINT) AS m
-           |  FROM pp
-           |), x AS (
-           |  SELECT event_type, n, z, p6i, rk,
-           |    max(CASE WHEN p6i * $FdrAlphaInv * m <= rk * 1000000
-           |      THEN rk END) OVER () AS imax
-           |  FROM r
-           |)
-           |SELECT event_type, n, z,
-           |  round(CAST(p6i AS DOUBLE) / 1000000, 6) AS p, rk,
-           |  CASE WHEN rk <= coalesce(imax, 0) THEN CAST(1 AS BIGINT)
-           |    ELSE CAST(0 AS BIGINT) END AS rejected
-           |FROM x ORDER BY event_type""".stripMargin),
+      Some(fdrBhSql),
     ) { (s, dir) =>
       fdrBhCurve(Tables.events(s, dir)
         .select(col("event_type"), col("user_id"), col("value")))
@@ -3691,8 +3652,15 @@ object EventsOps {
     * frame: per-type Welch z from exact BIGINT power sums → the
     * mirrored A&S grid p6i → [[bhReadout]]. Factored so FdrBhSpec can
     * plant per-type lifts and pin exactly which types reject. */
-  private[graft] def fdrBhCurve(events: DataFrame): DataFrame = {
-    val p = events.select(col("event_type"),
+  private[graft] def fdrBhCurve(events: DataFrame): DataFrame =
+    fdrFinish(fdrArmSums(events))
+
+  /** The streamable state stage of q_fdr_bh: per-type exact BIGINT
+    * arm power sums — purely additive, so a Structured Streaming
+    * groupBy folds it as #types-bounded complete-mode state
+    * (q_stream_fdr) and equals the batch rollup at any split. */
+  private[graft] def fdrArmSums(events: DataFrame): DataFrame =
+    events.select(col("event_type"),
         (col("user_id") % 2).as("grp"),
         round(col("value") * 100, 0).cast("long").as("c"))
       .groupBy("event_type").agg(
@@ -3702,6 +3670,11 @@ object EventsOps {
         sum(when(col("grp") === 1, 1L).otherwise(0L)).as("nb"),
         sum(when(col("grp") === 1, col("c")).otherwise(0L)).as("sb"),
         sum(when(col("grp") === 1, col("c") * col("c")).otherwise(0L)).as("qb"))
+
+  /** The finishing stage of q_fdr_bh over the per-type state: Welch z
+    * → mirrored A&S grid p → [[bhReadout]]. Batch-side in both twins. */
+  private[graft] def fdrFinish(sums: DataFrame): DataFrame = {
+    val p = sums
       .filter(col("na") > 1 && col("nb") > 1)
       .selectExpr("event_type", "na + nb AS n",
         """round((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
@@ -3940,6 +3913,50 @@ object EventsOps {
         >= 2.995732, 1L).otherwise(0L).as("rejected"))
       .orderBy("day")
   }
+
+  /** The q_fdr_bh oracle, shared VERBATIM by q_stream_fdr (the
+    * msprtSql precedent). Lazy: referenced from the registry above
+    * its definition. */
+  private[graft] lazy val fdrBhSql: String =
+    s"""WITH e AS (
+           |  SELECT event_type, user_id % 2 AS grp,
+           |    CAST(round(value * 100) AS BIGINT) AS c
+           |  FROM events
+           |), a AS (
+           |  SELECT event_type,
+           |    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+           |    CAST(sum(CASE WHEN grp = 0 THEN c ELSE 0 END) AS BIGINT) AS sa,
+           |    CAST(sum(CASE WHEN grp = 0 THEN c * c ELSE 0 END) AS BIGINT) AS qa,
+           |    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+           |    CAST(sum(CASE WHEN grp = 1 THEN c ELSE 0 END) AS BIGINT) AS sb,
+           |    CAST(sum(CASE WHEN grp = 1 THEN c * c ELSE 0 END) AS BIGINT) AS qb
+           |  FROM e GROUP BY event_type
+           |), f AS (
+           |  SELECT event_type, na + nb AS n,
+           |    round((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+           |      / sqrt((CAST(na AS DOUBLE) * qa - CAST(sa AS DOUBLE) * sa)
+           |          / (CAST(na AS DOUBLE) * na * (na - 1))
+           |        + (CAST(nb AS DOUBLE) * qb - CAST(sb AS DOUBLE) * sb)
+           |          / (CAST(nb AS DOUBLE) * nb * (nb - 1))), 6) AS z
+           |  FROM a WHERE na > 1 AND nb > 1
+           |), pp AS (
+           |  SELECT event_type, n, z, ${pNorm6Sql("z")} AS p6i FROM f
+           |), r AS (
+           |  SELECT event_type, n, z, p6i,
+           |    CAST(row_number() OVER (ORDER BY p6i, event_type) AS BIGINT) AS rk,
+           |    CAST(count(*) OVER () AS BIGINT) AS m
+           |  FROM pp
+           |), x AS (
+           |  SELECT event_type, n, z, p6i, rk,
+           |    max(CASE WHEN p6i * $FdrAlphaInv * m <= rk * 1000000
+           |      THEN rk END) OVER () AS imax
+           |  FROM r
+           |)
+           |SELECT event_type, n, z,
+           |  round(CAST(p6i AS DOUBLE) / 1000000, 6) AS p, rk,
+           |  CASE WHEN rk <= coalesce(imax, 0) THEN CAST(1 AS BIGINT)
+           |    ELSE CAST(0 AS BIGINT) END AS rejected
+           |FROM x ORDER BY event_type""".stripMargin
 
   /** The q_msprt oracle, shared VERBATIM by q_stream_msprt (the
     * momentsSql precedent — stream state ≡ batch rollup, so one SQL

@@ -788,6 +788,36 @@ object StreamOps {
     },
 
     Q(
+      "q_stream_fdr",
+      "the MANY-METRICS experiment monitor run LIVE — the streaming " +
+        "face of q_fdr_bh, sharing its oracle VERBATIM: the stream " +
+        "folds per-type exact BIGINT arm power sums as complete-mode " +
+        "state bounded by the TYPE CATALOG, and the Welch-z → A&S " +
+        "grid p → BH step-up finishing runs batch-side on the " +
+        "bounded sink per readout. The honest caveat rides in the " +
+        "doc: BH alone does not confer peeking-safety the way mSPRT " +
+        "does — the live pairing is (q_stream_msprt per metric) + " +
+        "(BH across metrics); this row proves the ACROSS-METRICS " +
+        "half streams with state ≡ batch at any split (additive " +
+        "sums, the q_stream_moments argument)",
+      Some(graft.operators.EventsOps.fdrBhSql),
+    ) { (s, dir) =>
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = s.readStream.schema(rawSchema)
+        .option("basePath", dir)
+        .parquet(s"$dir/events.parquet*")
+        .select(col("event_type"), col("user_id"), col("value"))
+      val name = ("fd" + Scratch.dir()).replaceAll("[^A-Za-z0-9]", "_")
+      val q = graft.operators.EventsOps.fdrArmSums(src).writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.EventsOps.fdrFinish(s.table(name))
+    },
+
+    Q(
       "q_stream_resume",
       "checkpoint RECOVERY, exactly-once across a restart, run " +
         "END-TO-END: the events changelog is staged as three files; " +
