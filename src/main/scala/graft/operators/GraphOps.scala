@@ -67,6 +67,9 @@ object GraphOps {
   private[graft] val BcRounds = 3
   private[graft] val BcSeedMod = 7
 
+  /** q_random_walk: steps per walk (oracle-unrolled). */
+  private[graft] val RwSteps = 4
+
   /** q_link_predict: predictions emitted (TakeOrdered heap cut). */
   private[graft] val LinkPredK = 20
 
@@ -1234,7 +1237,89 @@ object GraphOps {
     ) { (s, dir) =>
       betweenness(edgesOf(s, dir), BcSeedMod, BcRounds)
     },
+
+    Q(
+      "q_random_walk",
+      s"DeepWalk/node2vec CORPUS GENERATION (Perozzi 2014; p=q=1): " +
+        s"one $RwSteps-step random walk per item over the transition " +
+        "graph, each step drawn ∝ TRANSITION WEIGHT by exact integer " +
+        "inverse-CDF — x = md5(start|step) mod Σw(v), next = first " +
+        "neighbor (by id) whose cumulative weight exceeds x — so the " +
+        "walk follows the actual Markov chain, not a uniform " +
+        "neighbor pick, and EVERY arithmetic step is BIGINT (no " +
+        "float sampling anywhere; the md5 seed is the q_span_mask " +
+        "deterministic stand-in convention). Walks are the " +
+        "skip-gram TRAINING CORPUS that turns a graph into " +
+        "embeddings — the graph-side twin of q_contrastive_pairs. " +
+        "Dead ends truncate (no self-padding). The distributed " +
+        "shape: the walk table is (start, step, node) rows built by " +
+        s"$RwSteps adjacency joins — walks never materialize " +
+        "per-executor state, the cumulative-weight adjacency is " +
+        "computed ONCE (a per-node window over the edge list), and " +
+        "at 100 TB each step is one keyed join of #nodes rows " +
+        "against the adjacency. Oracle fully unrolled",
+      Some {
+        val steps = (1 to RwSteps).map { t =>
+          s""", w$t AS (
+             |  SELECT w.s, $t AS t, adj.b AS v
+             |  FROM w${t - 1} w
+             |  JOIN adj ON adj.a = w.v
+             |    AND adj.cumw > ${graft.functions.Portable.md5Hash60Sql(
+                    s"CAST(w.s AS VARCHAR) || '|' || $t || '|rw'")} % adj.wsum
+             |    AND adj.cumw - adj.n <= ${graft.functions.Portable.md5Hash60Sql(
+                    s"CAST(w.s AS VARCHAR) || '|' || $t || '|rw'")} % adj.wsum
+             |)""".stripMargin
+        }.mkString
+        val union = (0 to RwSteps)
+          .map(t => s"SELECT s, t, v FROM w$t").mkString("\n  UNION ALL ")
+        s"""WITH $edgesSqlCte,
+           |adj AS (
+           |  SELECT a, b, n,
+           |    CAST(sum(n) OVER (PARTITION BY a ORDER BY b) AS BIGINT) AS cumw,
+           |    CAST(sum(n) OVER (PARTITION BY a) AS BIGINT) AS wsum
+           |  FROM edges
+           |), items AS (
+           |  SELECT DISTINCT item FROM (
+           |    SELECT a AS item FROM edges UNION ALL SELECT b FROM edges)
+           |), w0 AS (
+           |  SELECT item AS s, 0 AS t, item AS v FROM items
+           |)$steps
+           |SELECT s, CAST(t AS BIGINT) AS t, v FROM (
+           |  $union
+           |) ORDER BY s, t""".stripMargin
+      },
+    ) { (s, dir) =>
+      randomWalks(edgesOf(s, dir), RwSteps)
+    },
   )
+
+  /** Deterministic weighted random-walk corpus over a directed
+    * weighted edge list (a, b, n) — factored so RandomWalkSpec can
+    * feed hand graphs. One walk per node; exact integer inverse-CDF
+    * step choice (see the q_random_walk registry entry). */
+  private[graft] def randomWalks(edges0: DataFrame, steps: Int): DataFrame = {
+    val edges = edges0.select("a", "b", "n").localCheckpoint()
+    val adj = edges
+      .withColumn("cumw", sum(col("n"))
+        .over(Window.partitionBy("a").orderBy("b")))
+      .withColumn("wsum", sum(col("n")).over(Window.partitionBy("a")))
+      .localCheckpoint()
+    val items = edges.select(col("a").as("item"))
+      .unionByName(edges.select(col("b").as("item"))).distinct()
+    var frontier = items.select(col("item").as("s"), lit(0L).as("t"),
+      col("item").as("v"))
+    var walks = frontier
+    for (t <- 1 to steps) {
+      val x = graft.functions.Portable.md5Hash60(
+        concat(col("s").cast("string"), lit(s"|$t|rw"))) % col("wsum")
+      frontier = frontier.join(adj, frontier("v") === adj("a"))
+        .filter(col("cumw") > x && col("cumw") - col("n") <= x)
+        .select(col("s"), lit(t.toLong).as("t"), col("b").as("v"))
+        .localCheckpoint()
+      walks = walks.unionByName(frontier)
+    }
+    walks.orderBy("s", "t")
+  }
 
   /** Sampled-source bounded-radius Brandes over a directed edge list
     * (a, b[, ...]) — factored so BetweennessSpec can feed hand graphs.
