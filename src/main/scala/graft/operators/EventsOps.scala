@@ -3390,6 +3390,54 @@ object EventsOps {
     },
 
     Q(
+      "q_wasserstein",
+      "exact 1-WASSERSTEIN (earth mover) distance between the two " +
+        "arm value distributions per event type: W1 = ∫|F_a - F_b| dv " +
+        "over the merged cents support — the metric that PRICES a " +
+        "drift (average cents moved per unit mass) where q_ks_test's " +
+        "sup-norm only detects it and q_psi_drift bins it away; W1 " +
+        "obeys translation exactly (shift a distribution 50 cents, " +
+        "W1 = 0.50 — WassersteinSpec pins it). Everything is exact " +
+        "until one division: per support point the integrand " +
+        "|cumA·nb - cumB·na| clears both denominators, the step " +
+        "width (lead(v) - v) is an integer gap, terms sum in BIGINT " +
+        "over the (type × distinct-cents) grid (the value-domain " +
+        "window class), and W1 = Σ/(na·nb)/100 with the single IEEE " +
+        "division 6dp-rounded. At 100 TB: one corpus pass to (type, " +
+        "arm, cents) counts, domain-bounded windows, #types rows out",
+      Some(
+        """WITH e AS (
+          |  SELECT event_type, user_id % 2 AS grp,
+          |    CAST(round(value * 100) AS BIGINT) AS v
+          |  FROM events
+          |), vc AS (
+          |  SELECT event_type, v,
+          |    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+          |    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+          |  FROM e GROUP BY event_type, v
+          |), cw AS (
+          |  SELECT event_type, v,
+          |    CAST(sum(ca) OVER (PARTITION BY event_type ORDER BY v)
+          |      AS BIGINT) AS cuma,
+          |    CAST(sum(cb) OVER (PARTITION BY event_type ORDER BY v)
+          |      AS BIGINT) AS cumb,
+          |    CAST(sum(ca) OVER (PARTITION BY event_type) AS BIGINT) AS na,
+          |    CAST(sum(cb) OVER (PARTITION BY event_type) AS BIGINT) AS nb,
+          |    lead(v) OVER (PARTITION BY event_type ORDER BY v) AS vnext
+          |  FROM vc
+          |)
+          |SELECT event_type, max(na) AS na, max(nb) AS nb,
+          |  round(CAST(sum(abs(cuma * nb - cumb * na)
+          |      * (vnext - v)) AS DOUBLE)
+          |    / (CAST(max(na) AS DOUBLE) * max(nb)) / 100, 6) AS w1
+          |FROM cw WHERE vnext IS NOT NULL
+          |GROUP BY event_type ORDER BY event_type""".stripMargin),
+    ) { (s, dir) =>
+      wasserstein1(Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"), col("value")))
+    },
+
+    Q(
       "q_theil_sen",
       "THEIL-SEN robust trend per event type (Theil 1950 / Sen 1968, " +
         "the median-of-pairwise-slopes estimator with a 29.3% " +
@@ -3811,6 +3859,33 @@ object EventsOps {
       .select(col("event_type"), col("n"), col("true_median"),
         col("dp_median"),
         round(abs(col("dp_median") - col("true_median")), 6).as("abs_err"))
+      .orderBy("event_type")
+  }
+
+  /** The q_wasserstein computation over any (event_type, user_id,
+    * value) frame — factored so WassersteinSpec can plant shifted
+    * distributions and pin the translation property exactly. */
+  private[graft] def wasserstein1(events: DataFrame): DataFrame = {
+    val vc = events.select(col("event_type"),
+        (col("user_id") % 2).as("grp"),
+        round(col("value") * 100, 0).cast("long").as("v"))
+      .groupBy("event_type", "v").agg(
+        sum(when(col("grp") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("grp") === 1, 1L).otherwise(0L)).as("cb"))
+    val wO = Window.partitionBy("event_type").orderBy("v")
+    val wP = Window.partitionBy("event_type")
+    vc.withColumn("cuma", sum(col("ca")).over(wO))
+      .withColumn("cumb", sum(col("cb")).over(wO))
+      .withColumn("na", sum(col("ca")).over(wP))
+      .withColumn("nb", sum(col("cb")).over(wP))
+      .withColumn("vnext", lead(col("v"), 1).over(wO))
+      .filter(col("vnext").isNotNull)
+      .groupBy("event_type")
+      .agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
+        round(sum(abs(col("cuma") * col("nb") - col("cumb") * col("na"))
+          * (col("vnext") - col("v"))).cast("double")
+          / (max(col("na")).cast("double") * max(col("nb"))) / 100, 6)
+          .as("w1"))
       .orderBy("event_type")
   }
 
