@@ -1731,6 +1731,84 @@ object Relational {
     },
 
     Q(
+      "q_record_linkage",
+      "FELLEGI-SUNTER probabilistic record-linkage scoring (Fellegi & " +
+        "Sunter 1969, the entity-resolution decision theory under " +
+        "every real linker): within-nation candidate pairs (blocking " +
+        "caps the fan-out — the q_fuzzy_join lesson applied to " +
+        "people-records), per-field agreement pattern gamma over " +
+        "(market segment, $500 balance band, cents digits), and the " +
+        "log-likelihood weight w = sum_f ln(m_f/u_f) on agree / " +
+        "ln((1-m_f)/(1-u_f)) on disagree. The principled part: u " +
+        "(chance agreement) is ESTIMATED FROM THE DATA as an exact " +
+        "rational — u_f = sum_blocks sum_v C(n,2) / total within-" +
+        "block pairs — so weights derive from corpus statistics, not " +
+        "guesses (m fixed at 0.95, the EM-free textbook variant; " +
+        "conditional independence is the model's stated assumption). " +
+        "Readout = the 8-row PATTERN table (counts, weight, " +
+        "match/possible/non_match at tau 4/0) — the FS decision " +
+        "surface itself, bounded output however big the corpus. " +
+        "Exactness: pattern counts and both u numerators/denominators " +
+        "are BIGINT; each weight is a sum of three ln's on exact-" +
+        "integer-ratio operands, mirrored text, 6dp. At 100 TB: " +
+        "block-keyed self-join bounded by max block size, two keyed " +
+        "aggs for u, 8 rows out",
+      Some(
+        """WITH b AS (
+          |  SELECT c_custkey AS id, c_nationkey AS blk, c_mktsegment AS seg,
+          |    CAST(floor(CAST(round(c_acctbal * 100) AS BIGINT) / 50000.0)
+          |      AS BIGINT) AS band,
+          |    CAST(round(c_acctbal * 100) AS BIGINT) % 100 AS c2
+          |  FROM customer
+          |), tot AS (
+          |  SELECT CAST(sum(n * (n - 1) / 2) AS BIGINT) AS tp FROM (
+          |    SELECT CAST(count(*) AS BIGINT) AS n FROM b GROUP BY blk)
+          |), aseg AS (
+          |  SELECT CAST(sum(n * (n - 1) / 2) AS BIGINT) AS agr FROM (
+          |    SELECT CAST(count(*) AS BIGINT) AS n FROM b GROUP BY blk, seg)
+          |), aband AS (
+          |  SELECT CAST(sum(n * (n - 1) / 2) AS BIGINT) AS agr FROM (
+          |    SELECT CAST(count(*) AS BIGINT) AS n FROM b GROUP BY blk, band)
+          |), ac2 AS (
+          |  SELECT CAST(sum(n * (n - 1) / 2) AS BIGINT) AS agr FROM (
+          |    SELECT CAST(count(*) AS BIGINT) AS n FROM b GROUP BY blk, c2)
+          |), pat AS (
+          |  SELECT
+          |    CASE WHEN l.seg = r.seg THEN 1 ELSE 0 END AS g_seg,
+          |    CASE WHEN l.band = r.band THEN 1 ELSE 0 END AS g_band,
+          |    CASE WHEN l.c2 = r.c2 THEN 1 ELSE 0 END AS g_c2,
+          |    CAST(count(*) AS BIGINT) AS n_pairs
+          |  FROM b l JOIN b r ON l.blk = r.blk AND l.id < r.id
+          |  GROUP BY 1, 2, 3
+          |), wgt AS (
+          |  SELECT g_seg, g_band, g_c2, n_pairs,
+          |    round(
+          |      (CASE WHEN g_seg = 1
+          |        THEN ln(0.95 * tp / aseg.agr)
+          |        ELSE ln(0.05 * tp / (tp - aseg.agr)) END)
+          |      + (CASE WHEN g_band = 1
+          |        THEN ln(0.95 * tp / aband.agr)
+          |        ELSE ln(0.05 * tp / (tp - aband.agr)) END)
+          |      + (CASE WHEN g_c2 = 1
+          |        THEN ln(0.95 * tp / ac2.agr)
+          |        ELSE ln(0.05 * tp / (tp - ac2.agr)) END), 6) AS weight
+          |  FROM pat CROSS JOIN tot CROSS JOIN aseg
+          |  CROSS JOIN aband CROSS JOIN ac2
+          |)
+          |SELECT CAST(g_seg AS BIGINT) AS g_seg,
+          |  CAST(g_band AS BIGINT) AS g_band, CAST(g_c2 AS BIGINT) AS g_c2,
+          |  n_pairs, weight,
+          |  CASE WHEN weight >= 4 THEN 'match'
+          |    WHEN weight >= 0 THEN 'possible' ELSE 'non_match'
+          |  END AS decision
+          |FROM wgt ORDER BY g_seg, g_band, g_c2""".stripMargin),
+    ) { (s, dir) =>
+      recordLinkage(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          col("c_acctbal")))
+    },
+
+    Q(
       "q_ldiversity",
       "l-DIVERSITY audit over the customer quasi-identifier pair " +
         "(nation, market segment) with account-balance band as the " +
@@ -1786,6 +1864,59 @@ object Relational {
         .orderBy("nationkey", "c_mktsegment")
     },
   )
+
+  /** The q_record_linkage computation over any (c_custkey,
+    * c_nationkey, c_mktsegment, c_acctbal) frame — factored so
+    * LinkageSpec can plant hand-countable blocks. See the registry
+    * entry for the FS weight model. */
+  private[graft] def recordLinkage(
+      customers: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val b = customers.select(
+        col("c_custkey").as("id"), col("c_nationkey").as("blk"),
+        col("c_mktsegment").as("seg"),
+        floor(round(col("c_acctbal") * 100, 0).cast("long") / lit(50000.0))
+          .cast("long").as("band"),
+        (round(col("c_acctbal") * 100, 0).cast("long") % 100).as("c2"))
+      .localCheckpoint() // read by the pair join AND the four u aggs
+    def pairsOf(keys: Column*): org.apache.spark.sql.DataFrame =
+      b.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * (col("n") - 1) / 2).cast("long").as("agr"))
+    val tot = pairsOf(col("blk")).withColumnRenamed("agr", "tp")
+    val aseg = pairsOf(col("blk"), col("seg"))
+    val aband = pairsOf(col("blk"), col("band"))
+    val ac2 = pairsOf(col("blk"), col("c2"))
+    val pat = b.as("l").join(b.as("r"),
+        col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
+      .select(
+        when(col("l.seg") === col("r.seg"), 1L).otherwise(0L).as("g_seg"),
+        when(col("l.band") === col("r.band"), 1L).otherwise(0L).as("g_band"),
+        when(col("l.c2") === col("r.c2"), 1L).otherwise(0L).as("g_c2"))
+      .groupBy("g_seg", "g_band", "g_c2")
+      .agg(count(lit(1)).as("n_pairs"))
+    pat.crossJoin(broadcast(tot))
+      .crossJoin(broadcast(aseg.withColumnRenamed("agr", "agr_seg")))
+      .crossJoin(broadcast(aband.withColumnRenamed("agr", "agr_band")))
+      .crossJoin(broadcast(ac2.withColumnRenamed("agr", "agr_c2")))
+      .selectExpr("g_seg", "g_band", "g_c2", "n_pairs",
+        """round(
+          |  (CASE WHEN g_seg = 1
+          |    THEN ln(0.95 * tp / agr_seg)
+          |    ELSE ln(0.05 * tp / (tp - agr_seg)) END)
+          |  + (CASE WHEN g_band = 1
+          |    THEN ln(0.95 * tp / agr_band)
+          |    ELSE ln(0.05 * tp / (tp - agr_band)) END)
+          |  + (CASE WHEN g_c2 = 1
+          |    THEN ln(0.95 * tp / agr_c2)
+          |    ELSE ln(0.05 * tp / (tp - agr_c2)) END), 6) AS weight"""
+          .stripMargin)
+      .selectExpr("g_seg", "g_band", "g_c2", "n_pairs", "weight",
+        """CASE WHEN weight >= 4 THEN 'match'
+          |  WHEN weight >= 0 THEN 'possible' ELSE 'non_match'
+          |END AS decision""".stripMargin)
+      .orderBy("g_seg", "g_band", "g_c2")
+  }
 
   /** q_skyline core over any (p_partkey, price, size) frame (the spec
     * plants fronts with duplicates and same-price groups beside a
