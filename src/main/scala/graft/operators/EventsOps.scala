@@ -89,6 +89,9 @@ object EventsOps {
     * order: the SQL splices it at Seq construction). */
   private[graft] val FdrAlphaInv = 20L
 
+  /** q_mixture_em: unrolled EM rounds (oracle CTEs mirror). */
+  private[graft] val EmRounds = 5
+
   /** Two-sided normal p-value in 1e-6 integer units from a 6dp-rounded
     * z column: the Abramowitz-Stegun 26.2.17 five-term polynomial tail
     * 1−Φ(|z|) = φ(|z|)·t·(b₁+t(b₂+t(b₃+t(b₄+t·b₅)))), t = 1/(1+0.2316419|z|),
@@ -3438,6 +3441,37 @@ object EventsOps {
     },
 
     Q(
+      "q_mixture_em",
+      s"two-component 1-D GAUSSIAN MIXTURE via $EmRounds unrolled EM " +
+        "rounds over the VALUE HISTOGRAM — the distribution " +
+        "decomposer (is this metric one population or two?) beside " +
+        "q_moments' shape summary and q_changepoint's time split. " +
+        "The scale insight: EM over the (value, count) rollup is " +
+        "ALGEBRAICALLY IDENTICAL to per-row EM — responsibilities " +
+        "depend only on v — so the E/M passes run on the domain-" +
+        "bounded histogram, never the corpus (one corpus pass total). " +
+        "Cross-engine determinism, the hard part, is solved by the " +
+        "quantize-then-sum discipline at its strongest: per-value " +
+        "responsibilities are quantized to the 1e-9 grid with the " +
+        "complement forced exact (r2 = 10^9 - r1 — no double " +
+        "partition drift), every M-step sum then runs in EXACT " +
+        "DECIMAL(38,0) (r9·c·v² products), and the new (pi, mu, var) " +
+        "are single IEEE divisions rounded to 9dp before the next " +
+        "round — the PageRank iterate-grid convention, so both " +
+        "engines walk identical parameter trajectories (the pdf's " +
+        "1/sqrt(2pi) cancels in the ratio and is dropped in both " +
+        "texts; variances floor at 1 cent^2). Init is deterministic: " +
+        "means at min/max, shared population variance, pi = 0.5. " +
+        "MixtureEmSpec plants two point masses and pins exact " +
+        "recovery of both means and weights. At 100 TB: one corpus " +
+        s"pass to the cents histogram, then $EmRounds domain-bounded " +
+        "passes against broadcast 1-row state",
+      Some(emSql),
+    ) { (s, dir) =>
+      mixtureEm(Tables.events(s, dir).select(col("value")))
+    },
+
+    Q(
       "q_theil_sen",
       "THEIL-SEN robust trend per event type (Theil 1950 / Sen 1968, " +
         "the median-of-pairwise-slopes estimator with a 29.3% " +
@@ -4032,6 +4066,126 @@ object EventsOps {
            |  CASE WHEN rk <= coalesce(imax, 0) THEN CAST(1 AS BIGINT)
            |    ELSE CAST(0 AS BIGINT) END AS rejected
            |FROM x ORDER BY event_type""".stripMargin
+
+  // ---- q_mixture_em shared expression texts (defs: init-order-safe).
+  // The pdf's 1/sqrt(2*pi) cancels in the responsibility ratio and is
+  // dropped from both engines' texts.
+  private def emP(k: Int): String =
+    s"(pi$k * exp(-(v - mu$k) * (v - mu$k) / (2 * var$k)) / sqrt(var$k))"
+
+  /** Quantized responsibility of component 1 on the 1e-9 grid.
+    * `castTy` differs per engine only in the exact-integer carrier:
+    * DECIMAL(38,0) in Spark, HUGEINT in DuckDB (whose decimal
+    * multiply caps total width at 38) — same VALUES either way. */
+  private def emR91(castTy: String): String =
+    s"CAST(round(${emP(1)} / (${emP(1)} + ${emP(2)}) * 1000000000) AS $castTy)"
+
+  /** M-step finals for component k from exact sums s/sv/sq: single
+    * IEEE divisions rounded to the 9dp iterate grid; variance floors
+    * at 1 cent². */
+  private def emMStep(k: Int): Seq[String] = Seq(
+    s"round(CAST(s$k AS DOUBLE) / 1000000000.0 / n, 9) AS pi$k",
+    s"round(CAST(sv$k AS DOUBLE) / CAST(s$k AS DOUBLE), 9) AS mu$k",
+    s"""round(greatest(CAST(sq$k AS DOUBLE) / CAST(s$k AS DOUBLE)
+       |  - (CAST(sv$k AS DOUBLE) / CAST(s$k AS DOUBLE))
+       |  * (CAST(sv$k AS DOUBLE) / CAST(s$k AS DOUBLE)), 1.0), 9)
+       |  AS var$k""".stripMargin)
+
+  private def emVar0: String =
+    """round(greatest(CAST(sq AS DOUBLE) / n
+      |  - (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n), 1.0), 9)"""
+      .stripMargin
+
+  /** The q_mixture_em computation over any single-column (value)
+    * frame — factored so MixtureEmSpec can plant two point masses.
+    * See the registry entry for the quantize-then-sum EM design. */
+  private[graft] def mixtureEm(values: DataFrame): DataFrame = {
+    val vals = values
+      .select(round(col("value") * 100, 0).cast("long").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // read by the init agg and every EM round
+    var st = vals.agg(
+        sum(col("c")).as("n0"), sum(col("c") * col("v")).as("sv"),
+        sum(col("c") * col("v") * col("v")).as("sq"),
+        min(col("v")).as("minv"), max(col("v")).as("maxv"))
+      .selectExpr("CAST(n0 AS BIGINT) AS n",
+        "CAST(0.5 AS DOUBLE) AS pi1", "CAST(minv AS DOUBLE) AS mu1",
+        s"$emVar0 AS var1",
+        "CAST(0.5 AS DOUBLE) AS pi2", "CAST(maxv AS DOUBLE) AS mu2",
+        s"$emVar0 AS var2")
+      .localCheckpoint()
+    for (_ <- 1 to EmRounds) {
+      val r = vals.crossJoin(broadcast(st))
+        .selectExpr("v", "c", "n", s"${emR91("DECIMAL(38,0)")} AS r91")
+        .selectExpr("v", "c", "n", "r91",
+          "CAST(1000000000 AS DECIMAL(38,0)) - r91 AS r92")
+      val sums = r.groupBy("n").agg(
+        sum(col("r91") * col("c")).as("s1"),
+        sum(col("r91") * col("c") * col("v")).as("sv1"),
+        sum(col("r91") * col("c") * col("v") * col("v")).as("sq1"),
+        sum(col("r92") * col("c")).as("s2"),
+        sum(col("r92") * col("c") * col("v")).as("sv2"),
+        sum(col("r92") * col("c") * col("v") * col("v")).as("sq2"))
+      st = sums.selectExpr("n" +: (emMStep(1) ++ emMStep(2)): _*)
+        .localCheckpoint()
+    }
+    st.selectExpr("CAST(1 AS BIGINT) AS k", "n", "round(pi1, 6) AS pi",
+        "round(mu1 / 100, 6) AS mu", "round(sqrt(var1) / 100, 6) AS sd")
+      .unionAll(st.selectExpr("CAST(2 AS BIGINT) AS k", "n",
+        "round(pi2, 6) AS pi", "round(mu2 / 100, 6) AS mu",
+        "round(sqrt(var2) / 100, 6) AS sd"))
+      .orderBy("k")
+  }
+
+  /** The q_mixture_em oracle: the EM rounds unrolled as CTEs with the
+    * shared expression texts. Lazy: referenced from the registry
+    * above its definition. */
+  private[graft] lazy val emSql: String = {
+    val rounds = (1 to EmRounds).map { i =>
+      s""", r$i AS (
+         |  SELECT v, c, n, ${emR91("HUGEINT")} AS r91
+         |  FROM vals CROSS JOIN st${i - 1}
+         |), rr$i AS (
+         |  SELECT v, c, n, r91,
+         |    CAST(1000000000 AS HUGEINT) - r91 AS r92
+         |  FROM r$i
+         |), sm$i AS (
+         |  SELECT n,
+         |    sum(r91 * c) AS s1, sum(r91 * c * v) AS sv1,
+         |    sum(r91 * c * v * v) AS sq1,
+         |    sum(r92 * c) AS s2, sum(r92 * c * v) AS sv2,
+         |    sum(r92 * c * v * v) AS sq2
+         |  FROM rr$i GROUP BY n
+         |), st$i AS (
+         |  SELECT n, ${(emMStep(1) ++ emMStep(2)).mkString(",\n    ")}
+         |  FROM sm$i
+         |)""".stripMargin
+    }.mkString
+    s"""WITH vals AS (
+       |  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM events GROUP BY v
+       |), agg0 AS (
+       |  SELECT CAST(sum(c) AS BIGINT) AS n, CAST(sum(c * v) AS BIGINT) AS sv,
+       |    CAST(sum(c * v * v) AS BIGINT) AS sq,
+       |    min(v) AS minv, max(v) AS maxv
+       |  FROM vals
+       |), st0 AS (
+       |  SELECT n, CAST(0.5 AS DOUBLE) AS pi1, CAST(minv AS DOUBLE) AS mu1,
+       |    $emVar0 AS var1,
+       |    CAST(0.5 AS DOUBLE) AS pi2, CAST(maxv AS DOUBLE) AS mu2,
+       |    $emVar0 AS var2
+       |  FROM agg0
+       |)$rounds
+       |SELECT CAST(1 AS BIGINT) AS k, n, round(pi1, 6) AS pi,
+       |  round(mu1 / 100, 6) AS mu, round(sqrt(var1) / 100, 6) AS sd
+       |FROM st$EmRounds
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT) AS k, n, round(pi2, 6) AS pi,
+       |  round(mu2 / 100, 6) AS mu, round(sqrt(var2) / 100, 6) AS sd
+       |FROM st$EmRounds
+       |ORDER BY k""".stripMargin
+  }
 
   /** The q_msprt oracle, shared VERBATIM by q_stream_msprt (the
     * momentsSql precedent — stream state ≡ batch rollup, so one SQL
