@@ -3441,6 +3441,75 @@ object EventsOps {
     },
 
     Q(
+      "q_mann_whitney",
+      "MANN-WHITNEY U / Wilcoxon rank-sum per event type: the " +
+        "nonparametric A/B test that q_ab_test's t cannot replace " +
+        "when the metric is skewed or ordinal — it compares RANKS, " +
+        "so no moment needs to exist. Everything decisive is exact " +
+        "integer arithmetic on the cents-value rollup: midranks " +
+        "carry as DOUBLED ranks r2 = 2·cum_before + t + 1 (always an " +
+        "integer — no half-rank floats), the rank sum and the tie " +
+        "term Σ(t³−t) accumulate in BIGINT, the tie-corrected " +
+        "variance numerator na·nb·((N+1)N(N−1) − ties) in " +
+        "DECIMAL(38,0) (HUGEINT on the oracle side — the " +
+        "q_mixture_em convention), and the z-statistic is ONE " +
+        "mirrored IEEE expression 6dp-rounded. Also emits the " +
+        "rank-biserial effect size r = 2U/(na·nb) − 1 from the same " +
+        "integers. The ranking window runs over the DISTINCT-CENTS " +
+        "rollup per type — the VALUE-DOMAIN WINDOW CLASS (EventsOps " +
+        "scaladoc), bounded by the two-decimal money domain, never " +
+        "rows. At 100 TB: one corpus pass to (type, cents) counts, " +
+        "domain-bounded windows, #types rows out",
+      Some(
+        """WITH e AS (
+          |  SELECT event_type, user_id % 2 AS grp,
+          |    CAST(round(value * 100) AS BIGINT) AS v
+          |  FROM events
+          |), vc AS (
+          |  SELECT event_type, v,
+          |    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+          |    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+          |  FROM e GROUP BY event_type, v
+          |), cw AS (
+          |  SELECT event_type, ca, cb, ca + cb AS t,
+          |    CAST(sum(ca + cb) OVER (PARTITION BY event_type ORDER BY v)
+          |      AS BIGINT) AS cumt
+          |  FROM vc
+          |), ag AS (
+          |  SELECT event_type,
+          |    CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+          |    CAST(sum(ca * (2 * (cumt - t) + t + 1)) AS BIGINT) AS ra2,
+          |    CAST(sum(t * t * t - t) AS BIGINT) AS ties
+          |  FROM cw GROUP BY event_type
+          |), st AS (
+          |  SELECT event_type, na, nb,
+          |    ra2 - na * (na + 1) AS u2a,
+          |    ra2 - na * (na + 1) - na * nb AS znum,
+          |    CAST(na AS HUGEINT) * nb
+          |      * ((na + nb + 1) * (na + nb) * (na + nb - 1) - ties)
+          |      AS varnum,
+          |    na + nb AS nn
+          |  FROM ag WHERE na > 0 AND nb > 0
+          |), fin AS (
+          |  SELECT event_type, na, nb,
+          |    CAST(u2a AS DOUBLE) / 2 AS u_stat,
+          |    round(CAST(znum AS DOUBLE) / (CAST(na AS DOUBLE) * nb), 6)
+          |      AS rank_biserial,
+          |    CASE WHEN varnum = 0 THEN NULL ELSE
+          |      round(CAST(znum AS DOUBLE)
+          |        / (2 * sqrt(CAST(varnum AS DOUBLE)
+          |            / (12.0 * nn * (nn - 1)))), 6) END AS mw_z
+          |  FROM st
+          |)
+          |SELECT event_type, na, nb, u_stat, rank_biserial, mw_z,
+          |  CAST(abs(mw_z) > 1.96 AS BIGINT) AS significant
+          |FROM fin ORDER BY event_type""".stripMargin),
+    ) { (s, dir) =>
+      mannWhitney(Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"), col("value")))
+    },
+
+    Q(
       "q_mixture_em",
       s"two-component 1-D GAUSSIAN MIXTURE via $EmRounds unrolled EM " +
         "rounds over the VALUE HISTOGRAM — the distribution " +
@@ -3920,6 +3989,48 @@ object EventsOps {
           * (col("vnext") - col("v"))).cast("double")
           / (max(col("na")).cast("double") * max(col("nb"))) / 100, 6)
           .as("w1"))
+      .orderBy("event_type")
+  }
+
+  /** The q_mann_whitney computation over any (event_type, user_id,
+    * value) frame — factored so MannWhitneySpec can plant separated
+    * and tied arms and pin U, the rank-biserial, and the
+    * tie-corrected z exactly. Arms split on user parity; all rank
+    * algebra in exact integers (doubled midranks), see the registry
+    * entry. */
+  private[graft] def mannWhitney(events: DataFrame): DataFrame = {
+    val vc = events.select(col("event_type"),
+        (col("user_id") % 2).as("grp"),
+        round(col("value") * 100, 0).cast("long").as("v"))
+      .groupBy("event_type", "v").agg(
+        sum(when(col("grp") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("grp") === 1, 1L).otherwise(0L)).as("cb"))
+      .withColumn("t", col("ca") + col("cb"))
+    val wO = Window.partitionBy("event_type").orderBy("v")
+    vc.withColumn("cumt", sum(col("t")).over(wO))
+      .groupBy("event_type").agg(
+        sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+        sum(col("ca") * (lit(2L) * (col("cumt") - col("t"))
+          + col("t") + 1L)).as("ra2"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+      .filter(col("na") > 0 && col("nb") > 0)
+      .selectExpr("event_type", "na", "nb",
+        "ra2 - na * (na + 1) AS u2a",
+        "ra2 - na * (na + 1) - na * nb AS znum",
+        """CAST(na AS DECIMAL(38,0)) * nb
+          |  * ((na + nb + 1) * (na + nb) * (na + nb - 1) - ties)
+          |  AS varnum""".stripMargin,
+        "na + nb AS nn")
+      .selectExpr("event_type", "na", "nb",
+        "CAST(u2a AS DOUBLE) / 2 AS u_stat",
+        """round(CAST(znum AS DOUBLE) / (CAST(na AS DOUBLE) * nb), 6)
+          |  AS rank_biserial""".stripMargin,
+        """CASE WHEN varnum = 0 THEN NULL ELSE
+          |  round(CAST(znum AS DOUBLE)
+          |    / (2 * sqrt(CAST(varnum AS DOUBLE)
+          |        / (12.0 * nn * (nn - 1)))), 6) END AS mw_z""".stripMargin)
+      .selectExpr("event_type", "na", "nb", "u_stat", "rank_biserial",
+        "mw_z", "CAST(abs(mw_z) > 1.96 AS BIGINT) AS significant")
       .orderBy("event_type")
   }
 
