@@ -3510,6 +3510,77 @@ object EventsOps {
     },
 
     Q(
+      "q_chisq_independence",
+      "CHI-SQUARE INDEPENDENCE test on the event_type × arm " +
+        "contingency table (is WHAT users do independent of WHICH " +
+        "arm they're in? — the guardrail that catches a treatment " +
+        "changing the event MIX even when per-metric means hold), " +
+        "with Cramér's V effect size and a Wilson-Hilferty cube-root " +
+        "normal approximation for the significance flag (no χ² " +
+        "quantile table needed at any df). Zero cells count: the " +
+        "grid COMPLETES to #types × #arms before expected counts, " +
+        "because a type absent from one arm is exactly the " +
+        "dependence the test must see. Cross-engine determinism via " +
+        "the QUANTIZE-THEN-SUM discipline (the q_mixture_em " +
+        "convention): each cell's (O·N − r·c)²/(N·r·c) term is one " +
+        "mirrored IEEE expression quantized to the 1e-9 grid, summed " +
+        "exactly in DECIMAL(38,0)/HUGEINT — no float-sum order " +
+        "dependence across cells. At 100 TB: ONE keyed corpus pass " +
+        "to #types×2 cells; every window and join after that runs on " +
+        "the types-bounded rollup (the bounded-rollup window class), " +
+        "1-row output",
+      Some(
+        """WITH e AS (
+          |  SELECT event_type, user_id % 2 AS grp FROM events
+          |), cells AS (
+          |  SELECT event_type, grp, CAST(count(*) AS BIGINT) AS o
+          |  FROM e GROUP BY event_type, grp
+          |), grid AS (
+          |  SELECT t.event_type, g.grp, COALESCE(c.o, 0) AS o
+          |  FROM (SELECT DISTINCT event_type FROM cells) t
+          |  CROSS JOIN (SELECT DISTINCT grp FROM cells) g
+          |  LEFT JOIN cells c
+          |    ON c.event_type = t.event_type AND c.grp = g.grp
+          |), tot AS (
+          |  SELECT o,  event_type, grp,
+          |    CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT) AS r,
+          |    CAST(sum(o) OVER (PARTITION BY grp) AS BIGINT) AS c,
+          |    CAST(sum(o) OVER () AS BIGINT) AS n
+          |  FROM grid
+          |), term AS (
+          |  SELECT n, event_type, grp,
+          |    CAST(o AS DOUBLE) * n - CAST(r AS DOUBLE) * c AS d,
+          |    CAST(n AS DOUBLE) * r * c AS den
+          |  FROM tot
+          |), ag AS (
+          |  SELECT max(n) AS n,
+          |    CAST(count(DISTINCT event_type) AS BIGINT) AS nt,
+          |    CAST(count(DISTINCT grp) AS BIGINT) AS ng,
+          |    sum(CAST(round(d * d / den * 1000000000.0) AS HUGEINT)) AS s9
+          |  FROM term
+          |), fin AS (
+          |  SELECT n, nt, ng, (nt - 1) * (ng - 1) AS df,
+          |    CAST(s9 AS DOUBLE) / 1000000000.0 AS chi2g
+          |  FROM ag
+          |), o AS (
+          |  SELECT n, nt, ng, df, round(chi2g, 6) AS chi2,
+          |    CASE WHEN df = 0 THEN NULL ELSE
+          |      round(sqrt(chi2g / (CAST(n AS DOUBLE)
+          |        * least(nt - 1, ng - 1))), 6) END AS cramers_v,
+          |    CASE WHEN df = 0 THEN NULL ELSE
+          |      round((cbrt(chi2g / df) - 1 + 2.0 / (9 * df))
+          |        / sqrt(2.0 / (9 * df)), 6) END AS wh_z
+          |  FROM fin
+          |)
+          |SELECT n, nt, ng, df, chi2, cramers_v, wh_z,
+          |  CAST(wh_z > 1.645 AS BIGINT) AS dependent
+          |FROM o""".stripMargin),
+    ) { (s, dir) =>
+      chisqIndependence(Tables.events(s, dir)
+        .select(col("event_type"), col("user_id")))
+    },
+
+    Q(
       "q_mixture_em",
       s"two-component 1-D GAUSSIAN MIXTURE via $EmRounds unrolled EM " +
         "rounds over the VALUE HISTOGRAM — the distribution " +
@@ -4032,6 +4103,45 @@ object EventsOps {
       .selectExpr("event_type", "na", "nb", "u_stat", "rank_biserial",
         "mw_z", "CAST(abs(mw_z) > 1.96 AS BIGINT) AS significant")
       .orderBy("event_type")
+  }
+
+  /** The q_chisq_independence computation over any (event_type,
+    * user_id) frame — factored so ChisqSpec can plant proportional
+    * (χ² = 0) and hand-worked dependent tables, including a
+    * zero-cell. Arms on user parity; quantize-then-sum per-cell
+    * terms, see the registry entry. */
+  private[graft] def chisqIndependence(events: DataFrame): DataFrame = {
+    val cells = events
+      .select(col("event_type"), (col("user_id") % 2).as("grp"))
+      .groupBy("event_type", "grp").agg(count(lit(1)).as("o"))
+    val grid = cells.select("event_type").distinct()
+      .crossJoin(broadcast(cells.select("grp").distinct()))
+      .join(cells, Seq("event_type", "grp"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+    val term = grid
+      .withColumn("r", sum(col("o")).over(Window.partitionBy("event_type")))
+      .withColumn("c", sum(col("o")).over(Window.partitionBy("grp")))
+      .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+      .selectExpr("n", "event_type", "grp",
+        "CAST(o AS DOUBLE) * n - CAST(r AS DOUBLE) * c AS d",
+        "CAST(n AS DOUBLE) * r * c AS den")
+    term.agg(
+        max(col("n")).as("n"),
+        countDistinct(col("event_type")).as("nt"),
+        countDistinct(col("grp")).as("ng"),
+        sum(expr("CAST(round(d * d / den * 1000000000.0) AS DECIMAL(38,0))"))
+          .as("s9"))
+      .selectExpr("n", "nt", "ng", "(nt - 1) * (ng - 1) AS df",
+        "CAST(s9 AS DOUBLE) / 1000000000.0 AS chi2g")
+      .selectExpr("n", "nt", "ng", "df", "round(chi2g, 6) AS chi2",
+        """CASE WHEN df = 0 THEN NULL ELSE
+          |  round(sqrt(chi2g / (CAST(n AS DOUBLE)
+          |    * least(nt - 1, ng - 1))), 6) END AS cramers_v""".stripMargin,
+        """CASE WHEN df = 0 THEN NULL ELSE
+          |  round((cbrt(chi2g / df) - 1 + 2.0 / (9 * df))
+          |    / sqrt(2.0 / (9 * df)), 6) END AS wh_z""".stripMargin)
+      .selectExpr("n", "nt", "ng", "df", "chi2", "cramers_v", "wh_z",
+        "CAST(wh_z > 1.645 AS BIGINT) AS dependent")
   }
 
   /** The q_theil_sen computation over any (event_type, ts, value)
