@@ -3581,6 +3581,81 @@ object EventsOps {
     },
 
     Q(
+      "q_anova_f",
+      "ONE-WAY ANOVA across event types on value: F statistic + η² " +
+        "effect size — the k-group generalization of q_ab_test (is " +
+        "ANY type's mean different?), run before k pairwise t-tests " +
+        "inflate the family error that q_fdr_bh then has to mop up. " +
+        "The exact-arithmetic core extends the momentFinish rational " +
+        "discipline to PER-GROUP division: each Σ-of-squares term " +
+        "S_g²/n_g splits into an exact DECIMAL(38,0) quotient plus a " +
+        "remainder fraction r_g/n_g ∈ [0,1) quantized to the 1e-9 " +
+        "grid (ONE correctly-rounded IEEE division of exact integers " +
+        "— identical doubles both engines), quotients and grid " +
+        "fractions then SUM EXACTLY in DECIMAL/BIGINT — no float-sum " +
+        "order dependence across groups, SSB/SSW exact to 1e-9 by " +
+        "construction. F and η² are a handful of correctly-rounded " +
+        "IEEE ops on those near-exact sums, 6dp-rounded. At 100 TB: " +
+        "one keyed corpus pass to #types power-sum rows, everything " +
+        "after on the bounded rollup, 1-row output",
+      Some(
+        """WITH c AS (
+          |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+          |  FROM events
+          |), g AS (
+          |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS q
+          |  FROM c GROUP BY event_type
+          |), t AS (
+          |  SELECT n, s, q,
+          |    CAST(s AS HUGEINT) * s AS s2d
+          |  FROM g
+          |), u AS (
+          |  SELECT n, s, q, s2d // n AS qg, s2d % n AS rg FROM t
+          |), f AS (
+          |  SELECT n, s, q, qg,
+          |    CAST(round(CAST(rg AS DOUBLE) / n * 1000000000.0) AS BIGINT)
+          |      AS f9
+          |  FROM u
+          |), ag AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS k,
+          |    CAST(sum(n) AS BIGINT) AS nn, CAST(sum(s) AS BIGINT) AS ss,
+          |    sum(CAST(q AS HUGEINT)) AS qq,
+          |    sum(CAST(qg AS HUGEINT)) AS qa,
+          |    CAST(sum(f9) AS BIGINT) AS fa
+          |  FROM f
+          |), gr AS (
+          |  SELECT k, nn, qq, qa, fa,
+          |    (CAST(ss AS HUGEINT) * ss) // nn AS qg,
+          |    (CAST(ss AS HUGEINT) * ss) % nn AS rg
+          |  FROM ag
+          |), gd AS (
+          |  SELECT k, nn, qq, qa, fa, qg,
+          |    CAST(round(CAST(rg AS DOUBLE) / nn * 1000000000.0) AS BIGINT)
+          |      AS fg
+          |  FROM gr
+          |), sums AS (
+          |  SELECT k, nn,
+          |    CAST(qa - qg AS DOUBLE)
+          |      + CAST(fa - fg AS DOUBLE) / 1000000000.0 AS ssb,
+          |    CAST(qq - qa AS DOUBLE)
+          |      - CAST(fa AS DOUBLE) / 1000000000.0 AS ssw,
+          |    CAST(qq - qg AS DOUBLE)
+          |      - CAST(fg AS DOUBLE) / 1000000000.0 AS sst
+          |  FROM gd
+          |)
+          |SELECT k AS n_groups, nn AS n, k - 1 AS df1, nn - k AS df2,
+          |  CASE WHEN k <= 1 OR nn <= k OR ssw <= 0 THEN NULL ELSE
+          |    round(ssb * (nn - k) / (ssw * (k - 1)), 6) END AS f_stat,
+          |  CASE WHEN sst <= 0 THEN NULL ELSE
+          |    round(ssb / sst, 6) END AS eta2
+          |FROM sums""".stripMargin),
+    ) { (s, dir) =>
+      anovaF(Tables.events(s, dir)
+        .select(col("event_type"), col("value")))
+    },
+
+    Q(
       "q_mixture_em",
       s"two-component 1-D GAUSSIAN MIXTURE via $EmRounds unrolled EM " +
         "rounds over the VALUE HISTOGRAM — the distribution " +
@@ -4143,6 +4218,50 @@ object EventsOps {
       .selectExpr("n", "nt", "ng", "df", "chi2", "cramers_v", "wh_z",
         "CAST(wh_z > 1.645 AS BIGINT) AS dependent")
   }
+
+  /** The q_anova_f computation over any (event_type, value) frame —
+    * factored so AnovaSpec can plant groups with hand-exact F and η².
+    * Exactness window (the momentFinish discipline): per-group S_g²
+    * in DECIMAL(38,0) is exact to S_g ≈ 1e18 cents; the integral
+    * quotients ride LONG (exact to ~9e18, i.e. n_g·mean² < 9e18 —
+    * beyond that Spark overflows to NULL rather than drifting). */
+  private[graft] def anovaF(events: DataFrame): DataFrame =
+    events.select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("c"))
+      .groupBy("event_type").agg(
+        count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("q"))
+      .selectExpr("n", "s", "q", "CAST(s AS DECIMAL(38,0)) * s AS s2d")
+      .selectExpr("n", "s", "q", "s2d DIV n AS qg", "s2d % n AS rg")
+      .selectExpr("n", "s", "q", "qg",
+        """CAST(round(CAST(rg AS DOUBLE) / n * 1000000000.0) AS BIGINT)
+          |  AS f9""".stripMargin)
+      .agg(
+        count(lit(1)).as("k"), sum(col("n")).as("nn"),
+        sum(col("s")).as("ss"),
+        sum(col("q").cast("decimal(38,0)")).as("qq"),
+        sum(col("qg").cast("decimal(38,0)")).as("qa"),
+        sum(col("f9")).as("fa"))
+      .selectExpr("k", "nn", "qq", "qa", "fa",
+        "(CAST(ss AS DECIMAL(38,0)) * ss) DIV nn AS qg",
+        "(CAST(ss AS DECIMAL(38,0)) * ss) % nn AS rg")
+      .selectExpr("k", "nn", "qq", "qa", "fa", "qg",
+        """CAST(round(CAST(rg AS DOUBLE) / nn * 1000000000.0) AS BIGINT)
+          |  AS fg""".stripMargin)
+      .selectExpr("k", "nn",
+        """CAST(qa - qg AS DOUBLE)
+          |  + CAST(fa - fg AS DOUBLE) / 1000000000.0 AS ssb""".stripMargin,
+        """CAST(qq - qa AS DOUBLE)
+          |  - CAST(fa AS DOUBLE) / 1000000000.0 AS ssw""".stripMargin,
+        """CAST(qq - qg AS DOUBLE)
+          |  - CAST(fg AS DOUBLE) / 1000000000.0 AS sst""".stripMargin)
+      .selectExpr("k AS n_groups", "nn AS n", "k - 1 AS df1",
+        "nn - k AS df2",
+        """CASE WHEN k <= 1 OR nn <= k OR ssw <= 0 THEN NULL ELSE
+          |  round(ssb * (nn - k) / (ssw * (k - 1)), 6) END
+          |  AS f_stat""".stripMargin,
+        """CASE WHEN sst <= 0 THEN NULL ELSE
+          |  round(ssb / sst, 6) END AS eta2""".stripMargin)
 
   /** The q_theil_sen computation over any (event_type, ts, value)
     * frame — factored so TheilSenSpec can plant an exact line with
