@@ -3656,6 +3656,74 @@ object EventsOps {
     },
 
     Q(
+      "q_spearman",
+      "SPEARMAN rank correlation between hour-of-day and value (is " +
+        "spend monotonically related to time of day?) — the " +
+        "correlation that survives any monotone transform and " +
+        "ignores whales, where q_correlated's Pearson needs " +
+        "linearity and finite variance. Rho = Pearson over MIDRANKS, " +
+        "and both rank maps are DOUBLED-rank integers (r2 = " +
+        "2·cum_before + t + 1, the q_mann_whitney trick — no " +
+        "half-rank floats) built on bounded domains: 24 hours and " +
+        "the distinct-cents rollup (the VALUE-DOMAIN WINDOW CLASS). " +
+        "The corpus never ranks row-by-row: each event picks its " +
+        "ranks from the two BROADCAST rank maps, then one agg of " +
+        "exact integer products (DECIMAL(38,0)/HUGEINT-squared " +
+        "cross-terms) finishes with ONE mirrored IEEE expression, " +
+        "6dp; the t-statistic derives from the 6dp-GRID rho, so both " +
+        "engines agree by construction. At 100 TB: two domain-" +
+        "bounded rank maps, two broadcast joins, one corpus agg, " +
+        "1-row output",
+      Some(
+        """WITH e AS (
+          |  SELECT CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS x,
+          |    CAST(round(value * 100) AS BIGINT) AS y
+          |  FROM events
+          |), rx AS (
+          |  SELECT x, 2 * (CAST(sum(t) OVER (ORDER BY x) AS BIGINT) - t)
+          |      + t + 1 AS r2x
+          |  FROM (SELECT x, CAST(count(*) AS BIGINT) AS t FROM e GROUP BY x)
+          |), ry AS (
+          |  SELECT y, 2 * (CAST(sum(t) OVER (ORDER BY y) AS BIGINT) - t)
+          |      + t + 1 AS r2y
+          |  FROM (SELECT y, CAST(count(*) AS BIGINT) AS t FROM e GROUP BY y)
+          |), j AS (
+          |  SELECT r2x, r2y FROM e
+          |  JOIN rx ON e.x = rx.x JOIN ry ON e.y = ry.y
+          |), ag AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(r2x) AS BIGINT) AS sx, CAST(sum(r2y) AS BIGINT) AS sy,
+          |    sum(CAST(r2x AS HUGEINT) * r2y) AS sxy,
+          |    sum(CAST(r2x AS HUGEINT) * r2x) AS sxx,
+          |    sum(CAST(r2y AS HUGEINT) * r2y) AS syy
+          |  FROM j
+          |), d AS (
+          |  SELECT n,
+          |    CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+          |    CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS dx,
+          |    CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS dy
+          |  FROM ag
+          |), r AS (
+          |  SELECT n,
+          |    CASE WHEN dx = 0 OR dy = 0 THEN NULL ELSE
+          |      round(CAST(num AS DOUBLE)
+          |        / (sqrt(CAST(dx AS DOUBLE)) * sqrt(CAST(dy AS DOUBLE))),
+          |        6) END AS spearman_rho
+          |  FROM d
+          |)
+          |SELECT n, spearman_rho,
+          |  CASE WHEN spearman_rho IS NULL OR abs(spearman_rho) >= 1
+          |      OR n <= 2 THEN NULL ELSE
+          |    round(spearman_rho * sqrt((n - 2)
+          |      / (1 - spearman_rho * spearman_rho)), 6) END AS t_stat
+          |FROM r""".stripMargin),
+    ) { (s, dir) =>
+      spearman(Tables.events(s, dir)
+        .select(hour(col("ts")).cast("long").as("x"),
+          round(col("value") * 100, 0).cast("long").as("y")))
+    },
+
+    Q(
       "q_mixture_em",
       s"two-component 1-D GAUSSIAN MIXTURE via $EmRounds unrolled EM " +
         "rounds over the VALUE HISTOGRAM — the distribution " +
@@ -4262,6 +4330,46 @@ object EventsOps {
           |  AS f_stat""".stripMargin,
         """CASE WHEN sst <= 0 THEN NULL ELSE
           |  round(ssb / sst, 6) END AS eta2""".stripMargin)
+
+  /** The q_spearman computation over any (x, y) LONG frame — factored
+    * so SpearmanSpec can plant monotone, inverse, and hand-ranked tied
+    * pairs. Doubled-midrank maps over each bounded domain, broadcast
+    * back; exact integer cross-products; see the registry entry. */
+  private[graft] def spearman(pairs: DataFrame): DataFrame = {
+    def rankMap(c: String, out: String): DataFrame = {
+      val w = Window.orderBy(c)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      pairs.groupBy(c).agg(count(lit(1)).as("t"))
+        .withColumn("cumt", sum(col("t")).over(w))
+        .select(col(c),
+          (lit(2L) * (col("cumt") - col("t")) + col("t") + 1L).as(out))
+    }
+    pairs.join(broadcast(rankMap("x", "r2x")), Seq("x"))
+      .join(broadcast(rankMap("y", "r2y")), Seq("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("r2x")).as("sx"), sum(col("r2y")).as("sy"),
+        sum(col("r2x").cast("decimal(38,0)") * col("r2y")).as("sxy"),
+        sum(col("r2x").cast("decimal(38,0)") * col("r2x")).as("sxx"),
+        sum(col("r2y").cast("decimal(38,0)") * col("r2y")).as("syy"))
+      .selectExpr("n",
+        "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"
+          + " AS num",
+        "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"
+          + " AS dx",
+        "CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy"
+          + " AS dy")
+      .selectExpr("n",
+        """CASE WHEN dx = 0 OR dy = 0 THEN NULL ELSE
+          |  round(CAST(num AS DOUBLE)
+          |    / (sqrt(CAST(dx AS DOUBLE)) * sqrt(CAST(dy AS DOUBLE))),
+          |    6) END AS spearman_rho""".stripMargin)
+      .selectExpr("n", "spearman_rho",
+        """CASE WHEN spearman_rho IS NULL OR abs(spearman_rho) >= 1
+          |    OR n <= 2 THEN NULL ELSE
+          |  round(spearman_rho * sqrt((n - 2)
+          |    / (1 - spearman_rho * spearman_rho)), 6) END
+          |  AS t_stat""".stripMargin)
+  }
 
   /** The q_theil_sen computation over any (event_type, ts, value)
     * frame — factored so TheilSenSpec can plant an exact line with
