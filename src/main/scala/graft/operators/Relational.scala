@@ -1809,6 +1809,65 @@ object Relational {
     },
 
     Q(
+      "q_snm_linkage",
+      "SORTED-NEIGHBORHOOD linkage scoring (Hernández & Stolfo 1995, " +
+        "the other classic ER blocking beside q_record_linkage's " +
+        "equality blocks): every customer+supplier name is paired " +
+        "with its 3 successors in name order WITHIN a sort-key " +
+        "prefix block, each candidate scored by `jaro_winkler` — a " +
+        "graft codegen'd Catalyst expression (Spark ships " +
+        "levenshtein but no Jaro family; Winkler's prefix boost is " +
+        "THE short-name comparator) pinned BIT-FOR-BIT to DuckDB's " +
+        "jaro_winkler_similarity on 20k random pairs, so the band " +
+        "floor(jw·20) is exact cross-engine, not rounded-lucky. " +
+        "Readout = the similarity-band histogram with an exact-grid " +
+        "mean (per-pair jw quantized to 1e-6 BIGINT, summed exactly " +
+        "— no float-sum order dependence). The window is partitioned " +
+        "by the 15-char prefix block: candidates = O(n·W) with W = 3, " +
+        "never all-pairs, and the block bound keeps every window " +
+        "partition-sized (adjacent-block boundary pairs are the " +
+        "documented SNM seam — production runs a second pass with a " +
+        "shifted key). At 100 TB: one range-partitioned sort, " +
+        "per-block lead windows, 21-row output",
+      Some(
+        """WITH names AS (
+          |  SELECT c_name AS name FROM customer
+          |  UNION ALL SELECT s_name FROM supplier
+          |), nb AS (
+          |  SELECT name,
+          |    lead(name, 1) OVER (PARTITION BY substr(name, 1, 15)
+          |      ORDER BY name) AS n1,
+          |    lead(name, 2) OVER (PARTITION BY substr(name, 1, 15)
+          |      ORDER BY name) AS n2,
+          |    lead(name, 3) OVER (PARTITION BY substr(name, 1, 15)
+          |      ORDER BY name) AS n3
+          |  FROM names
+          |), pairs AS (
+          |  SELECT name, n1 AS neighbor FROM nb WHERE n1 IS NOT NULL
+          |  UNION ALL
+          |  SELECT name, n2 FROM nb WHERE n2 IS NOT NULL
+          |  UNION ALL
+          |  SELECT name, n3 FROM nb WHERE n3 IS NOT NULL
+          |), scored AS (
+          |  SELECT jaro_winkler_similarity(name, neighbor) AS jw
+          |  FROM pairs
+          |), q AS (
+          |  SELECT CAST(floor(jw * 20) AS BIGINT) AS band,
+          |    CAST(round(jw * 1000000) AS BIGINT) AS jw6
+          |  FROM scored
+          |)
+          |SELECT band, CAST(count(*) AS BIGINT) AS n_pairs,
+          |  round(CAST(sum(jw6) AS DOUBLE) / 1000000 / count(*), 6)
+          |    AS avg_jw
+          |FROM q GROUP BY band ORDER BY band""".stripMargin),
+    ) { (s, dir) =>
+      snmLinkage(
+        Tables.customer(s, dir).select(col("c_name").as("name"))
+          .unionAll(
+            Tables.supplier(s, dir).select(col("s_name").as("name"))))
+    },
+
+    Q(
       "q_ldiversity",
       "l-DIVERSITY audit over the customer quasi-identifier pair " +
         "(nation, market segment) with account-balance band as the " +
@@ -1864,6 +1923,31 @@ object Relational {
         .orderBy("nationkey", "c_mktsegment")
     },
   )
+
+  /** The q_snm_linkage computation over any single-column (name)
+    * frame — factored so JaroWinklerSpec can plant known-similarity
+    * neighborhoods. One `jaro_winkler` evaluation per candidate
+    * (staged before band/grid derivation); see the registry entry. */
+  private[graft] def snmLinkage(names: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    graft.functions.JaroWinkler.register(names.sparkSession)
+    val wB = Window.partitionBy(substring(col("name"), 1, 15))
+      .orderBy("name")
+    val nb = names.select(col("name"),
+      lead("name", 1).over(wB).as("n1"),
+      lead("name", 2).over(wB).as("n2"),
+      lead("name", 3).over(wB).as("n3"))
+    nb.selectExpr("name", "stack(3, n1, n2, n3) AS neighbor")
+      .filter(col("neighbor").isNotNull)
+      .selectExpr("jaro_winkler(name, neighbor) AS jw")
+      .selectExpr("CAST(floor(jw * 20) AS BIGINT) AS band",
+        "CAST(round(jw * 1000000) AS BIGINT) AS jw6")
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("round(CAST(sum(jw6) AS DOUBLE) / 1000000 / count(*), 6)")
+          .as("avg_jw"))
+      .orderBy("band")
+  }
 
   /** The q_record_linkage computation over any (c_custkey,
     * c_nationkey, c_mktsegment, c_acctbal) frame — factored so
