@@ -55,6 +55,12 @@ object EventsOps {
     * (oracle-unrolled, 9dp-rounded per round). */
   private[graft] val MarkovSteps = 5
 
+  /** q_permutation_test: deterministic re-assignment draws. 199 is
+    * the conventional odd draw count giving p multiples of 1/200.
+    * MUST precede the registry val — the oracle text interpolates it
+    * (the init-order lesson emSql's comment records). */
+  private[graft] val PermDraws = 199
+
   /** q_model_auc_binned: equi-width score bins B — the rank-resolution
     * knob that keeps the cumulative window's input B-BOUNDED when the
     * score domain is near-continuous (a 6dp linear score is
@@ -3656,6 +3662,83 @@ object EventsOps {
     },
 
     Q(
+      "q_permutation_test",
+      s"RANDOMIZATION (permutation) test on the arm mean difference: " +
+        s"$PermDraws deterministic re-assignments of USERS (the " +
+        "assignment unit — resampling events would break within-user " +
+        "correlation) via the sticky md5 hash seeded by draw index, " +
+        "each draw's |mean gap| compared to the observed one — the " +
+        "inference that needs NO normality, NO variance formula, NO " +
+        "asymptotics, exactly what q_ab_test's z assumes away. The " +
+        "decisive comparison is FULLY EXACT: |sa_r·nb_r − sb_r·na_r|" +
+        "·(na·nb) ≥ |sa·nb − sb·na|·(na_r·nb_r) cross-multiplies " +
+        "exact BIGINT cents sums in DECIMAL(38,0)/HUGEINT — no " +
+        "rounded mean ever enters the verdict, so the p-value " +
+        "(n_extreme+1)/(n_valid+1) is an exact rational (draws with " +
+        "an empty arm drop from both counts; vanishing probability " +
+        "at corpus scale, handled for spec-sized inputs). One " +
+        s"user-keyed rollup, ONE ${PermDraws}× explode of the USER " +
+        "table (never the event stream), one draw-keyed agg, 1-row " +
+        "output. At 100 TB: users × draws is state-sized, and the " +
+        "explode rides the rollup — the corpus is read once",
+      Some {
+        val h = graft.functions.Portable.md5Hash60Sql(
+          "CAST(user_id AS VARCHAR) || ':' || CAST(r AS VARCHAR)")
+        s"""WITH u AS (
+           |  SELECT user_id, CAST(count(*) AS BIGINT) AS nu,
+           |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS su
+           |  FROM events GROUP BY user_id
+           |), obs AS (
+           |  SELECT
+           |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN nu ELSE 0 END)
+           |      AS BIGINT) AS na,
+           |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN su ELSE 0 END)
+           |      AS BIGINT) AS sa,
+           |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN nu ELSE 0 END)
+           |      AS BIGINT) AS nb,
+           |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN su ELSE 0 END)
+           |      AS BIGINT) AS sb
+           |  FROM u
+           |), g AS (
+           |  SELECT r, CAST(($h) % 2 AS BIGINT) AS grp, nu, su
+           |  FROM u CROSS JOIN range($PermDraws) t(r)
+           |), draws AS (
+           |  SELECT r,
+           |    CAST(sum(CASE WHEN grp = 0 THEN nu ELSE 0 END) AS BIGINT)
+           |      AS nar,
+           |    CAST(sum(CASE WHEN grp = 0 THEN su ELSE 0 END) AS BIGINT)
+           |      AS sar,
+           |    CAST(sum(CASE WHEN grp = 1 THEN nu ELSE 0 END) AS BIGINT)
+           |      AS nbr,
+           |    CAST(sum(CASE WHEN grp = 1 THEN su ELSE 0 END) AS BIGINT)
+           |      AS sbr
+           |  FROM g GROUP BY r
+           |), cmp AS (
+           |  SELECT na, nb, sa, sb,
+           |    CAST(count(*) AS BIGINT) AS n_valid,
+           |    CAST(sum(CASE WHEN
+           |        abs(CAST(sar AS HUGEINT) * nbr - CAST(sbr AS HUGEINT)
+           |          * nar) * (CAST(na AS HUGEINT) * nb)
+           |        >= abs(CAST(sa AS HUGEINT) * nb - CAST(sb AS HUGEINT)
+           |          * na) * (CAST(nar AS HUGEINT) * nbr)
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+           |  FROM draws CROSS JOIN obs
+           |  WHERE nar > 0 AND nbr > 0
+           |  GROUP BY na, nb, sa, sb
+           |)
+           |SELECT na, nb, n_valid, n_extreme,
+           |  round((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+           |    / 100, 6) AS obs_diff,
+           |  round(CAST(n_extreme + 1 AS DOUBLE) / (n_valid + 1), 6)
+           |    AS p_value
+           |FROM cmp""".stripMargin
+      },
+    ) { (s, dir) =>
+      permutationTest(Tables.events(s, dir)
+        .select(col("user_id"), col("value")))
+    },
+
+    Q(
       "q_spearman",
       "SPEARMAN rank correlation between hour-of-day and value (is " +
         "spend monotonically related to time of day?) — the " +
@@ -4330,6 +4413,51 @@ object EventsOps {
           |  AS f_stat""".stripMargin,
         """CASE WHEN sst <= 0 THEN NULL ELSE
           |  round(ssb / sst, 6) END AS eta2""".stripMargin)
+
+  /** The q_permutation_test computation over any (user_id, value)
+    * frame — factored so PermutationSpec can plant separated and null
+    * arms and pin the exact rational p. See the registry entry. */
+  private[graft] def permutationTest(events: DataFrame): DataFrame = {
+    import graft.functions.Portable.md5Hash60
+    val u = events.select(col("user_id"),
+        round(col("value") * 100, 0).cast("long").as("c"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("nu"), sum(col("c")).as("su"))
+      .localCheckpoint() // read by the observed agg AND the draw explode
+    val obs = u.agg(
+      sum(when(col("user_id") % 2 === 0, col("nu")).otherwise(0L)).as("na"),
+      sum(when(col("user_id") % 2 === 0, col("su")).otherwise(0L)).as("sa"),
+      sum(when(col("user_id") % 2 === 1, col("nu")).otherwise(0L)).as("nb"),
+      sum(when(col("user_id") % 2 === 1, col("su")).otherwise(0L)).as("sb"))
+    val draws = u
+      .withColumn("r", explode(sequence(lit(0), lit(PermDraws - 1))))
+      .withColumn("grp", md5Hash60(
+        concat(col("user_id").cast("string"), lit(":"),
+          col("r").cast("string"))) % 2)
+      .groupBy("r").agg(
+        sum(when(col("grp") === 0, col("nu")).otherwise(0L)).as("nar"),
+        sum(when(col("grp") === 0, col("su")).otherwise(0L)).as("sar"),
+        sum(when(col("grp") === 1, col("nu")).otherwise(0L)).as("nbr"),
+        sum(when(col("grp") === 1, col("su")).otherwise(0L)).as("sbr"))
+    draws.crossJoin(broadcast(obs))
+      .filter(col("nar") > 0 && col("nbr") > 0)
+      .groupBy("na", "nb", "sa", "sb")
+      .agg(count(lit(1)).as("n_valid"),
+        sum(expr(
+          """CASE WHEN
+            |  abs(CAST(sar AS DECIMAL(38,0)) * nbr
+            |    - CAST(sbr AS DECIMAL(38,0)) * nar)
+            |    * (CAST(na AS DECIMAL(38,0)) * nb)
+            |  >= abs(CAST(sa AS DECIMAL(38,0)) * nb
+            |    - CAST(sb AS DECIMAL(38,0)) * na)
+            |    * (CAST(nar AS DECIMAL(38,0)) * nbr)
+            |THEN 1 ELSE 0 END""".stripMargin)).as("n_extreme"))
+      .selectExpr("na", "nb", "n_valid", "n_extreme",
+        """round((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+          |  / 100, 6) AS obs_diff""".stripMargin,
+        """round(CAST(n_extreme + 1 AS DOUBLE) / (n_valid + 1), 6)
+          |  AS p_value""".stripMargin)
+  }
 
   /** The q_spearman computation over any (x, y) LONG frame — factored
     * so SpearmanSpec can plant monotone, inverse, and hand-ranked tied
