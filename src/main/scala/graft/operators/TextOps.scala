@@ -1163,6 +1163,62 @@ object TextOps {
     },
 
     Q(
+      "q_cohens_kappa",
+      "COHEN'S KAPPA between two independent document labelers — the " +
+        "chance-corrected agreement every labeling pipeline must " +
+        "report before trusting 'our cheap filter agrees with the " +
+        "model' (raw agreement is inflated by marginal imbalance; " +
+        "kappa subtracts the agreement two UNRELATED labelers with " +
+        "the same marginals would get). Labeler A buckets by chars " +
+        "(n_chars div 300, capped at 2), labeler B by exact token " +
+        "count (the space-count identity, mirrored text — no " +
+        "tokenizer convention trusted), so the two views correlate " +
+        "but not trivially. Everything decisive is EXACT integers: " +
+        "the ≤9-cell confusion rollup, diagonal D, the chance term " +
+        "P = Σ_l r_l·c_l, and kappa = (N·D − P)/(N² − P) in " +
+        "DECIMAL(38,0)/HUGEINT with ONE mirrored division, 6dp " +
+        "(pe = 1 degenerates to NULL). At 100 TB: one corpus pass to " +
+        "the label-pair cells, all algebra on the 9-row rollup, " +
+        "1-row output",
+      Some(
+        """WITH l AS (
+          |  SELECT least(n_chars // 300, 2) AS la,
+          |    least((length(text) - length(replace(text, ' ', '')) + 1)
+          |      // 60, 2) AS lb
+          |  FROM documents
+          |), cells AS (
+          |  SELECT la, lb, CAST(count(*) AS BIGINT) AS o
+          |  FROM l GROUP BY la, lb
+          |), nd AS (
+          |  SELECT CAST(sum(o) AS BIGINT) AS n,
+          |    CAST(sum(CASE WHEN la = lb THEN o ELSE 0 END) AS BIGINT) AS d
+          |  FROM cells
+          |), r AS (
+          |  SELECT la AS lab, CAST(sum(o) AS BIGINT) AS rl
+          |  FROM cells GROUP BY la
+          |), c AS (
+          |  SELECT lb AS lab, CAST(sum(o) AS BIGINT) AS cl
+          |  FROM cells GROUP BY lb
+          |), p AS (
+          |  SELECT CAST(sum(CAST(rl AS HUGEINT) * cl) AS HUGEINT) AS p
+          |  FROM r JOIN c ON r.lab = c.lab
+          |)
+          |SELECT n, d AS n_agree,
+          |  round(CAST(d AS DOUBLE) / n, 6) AS po,
+          |  round(CAST(p AS DOUBLE) / (CAST(n AS DOUBLE) * n), 6) AS pe,
+          |  CASE WHEN CAST(n AS HUGEINT) * n = p THEN NULL ELSE
+          |    round(CAST(CAST(n AS HUGEINT) * d - p AS DOUBLE)
+          |      / CAST(CAST(n AS HUGEINT) * n - p AS DOUBLE), 6) END
+          |    AS kappa
+          |FROM nd CROSS JOIN p""".stripMargin),
+    ) { (s, dir) =>
+      cohensKappa(Tables.documents(s, dir).selectExpr(
+        "least(n_chars DIV 300, 2) AS la",
+        """least((length(text) - length(replace(text, ' ', '')) + 1)
+          |  DIV 60, 2) AS lb""".stripMargin))
+    },
+
+    Q(
       "q_gopher_rules",
       "Gopher-style composite quality RULE filter (the rule-set shape " +
         "of Rae et al. 2021 §A1.1, thresholds adapted to this corpus): " +
@@ -4307,6 +4363,29 @@ object TextOps {
       .filter(col("k") >= 8)
       .select(col("lang"), col("k").as("k_tokens"),
         round(col("sxy").cast("double") / col("sxx"), 6).as("zipf_slope"))
+  }
+
+  /** The q_cohens_kappa core over any (la, lb) label-pair frame —
+    * factored so KappaSpec can plant hand-countable confusion tables.
+    * Exact integer algebra throughout; see the registry entry. */
+  private[graft] def cohensKappa(labels: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cells = labels.groupBy("la", "lb").agg(count(lit(1)).as("o"))
+      .localCheckpoint() // read by nd, r, and c
+    val nd = cells.agg(sum(col("o")).as("n"),
+      sum(when(col("la") === col("lb"), col("o")).otherwise(0L)).as("d"))
+    val r = cells.groupBy(col("la").as("lab")).agg(sum(col("o")).as("rl"))
+    val c = cells.groupBy(col("lb").as("lab")).agg(sum(col("o")).as("cl"))
+    val p = r.join(c, "lab")
+      .agg(sum(col("rl").cast("decimal(38,0)") * col("cl")).as("p"))
+    nd.crossJoin(broadcast(p))
+      .selectExpr("n", "d AS n_agree",
+        "round(CAST(d AS DOUBLE) / n, 6) AS po",
+        "round(CAST(p AS DOUBLE) / (CAST(n AS DOUBLE) * n), 6) AS pe",
+        """CASE WHEN CAST(n AS DECIMAL(38,0)) * n = p THEN NULL ELSE
+          |  round(CAST(CAST(n AS DECIMAL(38,0)) * d - p AS DOUBLE)
+          |    / CAST(CAST(n AS DECIMAL(38,0)) * n - p AS DOUBLE), 6) END
+          |  AS kappa""".stripMargin)
   }
 
   /** q_tok_fertility core over any (lang, text) frame (the spec
