@@ -3662,6 +3662,51 @@ object EventsOps {
     },
 
     Q(
+      "q_cms_topk",
+      "COUNT-MIN SKETCH heavy-hitter check: one 128 KB CMS " +
+        "(w=4096, d=4) over all event user_ids, then the exact " +
+        "top-10 users' counts are re-read FROM THE SKETCH and " +
+        "checked against the CMS guarantees — est ≥ true (a theorem: " +
+        "every row only ever adds) and est ≤ true + 3N/w (Markov at " +
+        "better than the e/w textbook slack). CMS is this engine's " +
+        "FREQUENCY sketch beside theta/HLL's distinct family, and " +
+        "the one that is LINEAR: merge = elementwise integer " +
+        "addition, so the distributed aggregate is BYTE-IDENTICAL at " +
+        "any partitioning (CmsSpec pins state equality across 1/7/32 " +
+        "partitions and never-underestimate under forced w=4 " +
+        "collisions). The oracle pins the exact counts and the " +
+        "guarantee flags as invariants — an estimate outside its " +
+        "bound fails the gate loudly. At 100 TB: per-partition " +
+        "128 KB states, one tree-merge, heavy keys re-read from KB " +
+        "state instead of a second corpus pass",
+      Some(
+        """WITH top AS (
+          |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+          |  FROM events GROUP BY user_id
+          |  ORDER BY n_events DESC, user_id LIMIT 10
+          |)
+          |SELECT user_id, n_events,
+          |  CAST(1 AS BIGINT) AS no_underestimate,
+          |  CAST(1 AS BIGINT) AS within_bound
+          |FROM top ORDER BY n_events DESC, user_id""".stripMargin),
+    ) { (s, dir) =>
+      graft.functions.CountMin.register(s)
+      val e = Tables.events(s, dir).select(col("user_id"))
+      val sk = e.agg(expr("cms_sketch_agg(user_id)").as("sk"),
+        count(lit(1)).as("n_total"))
+      val top = e.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+        .orderBy(col("n_events").desc, col("user_id")).limit(10)
+      top.crossJoin(broadcast(sk))
+        .selectExpr("user_id", "n_events",
+          "cms_estimate(sk, user_id) AS est", "n_total")
+        .selectExpr("user_id", "n_events",
+          "CAST(est >= n_events AS BIGINT) AS no_underestimate",
+          "CAST(est - n_events <= (3 * n_total) DIV 4096 AS BIGINT)"
+            + " AS within_bound")
+        .orderBy(col("n_events").desc, col("user_id"))
+    },
+
+    Q(
       "q_permutation_test",
       s"RANDOMIZATION (permutation) test on the arm mean difference: " +
         s"$PermDraws deterministic re-assignments of USERS (the " +
