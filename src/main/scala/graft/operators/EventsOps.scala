@@ -3662,6 +3662,54 @@ object EventsOps {
     },
 
     Q(
+      "q_offpolicy_ips",
+      "OFF-POLICY EVALUATION via inverse propensity scoring (Horvitz-" +
+        "Thompson / IPS — the counterfactual 'what would a DIFFERENT " +
+        "policy have earned on this logged traffic?', the question " +
+        "every recommender/bandit retrain asks before shipping): " +
+        "actions = event types, rewards = value, behavior policy μ = " +
+        "the empirical action frequency. Two targets from ONE " +
+        "per-action rollup: the UNIFORM explorer (V = mean of " +
+        "per-action mean rewards — IPS algebra collapses exactly; " +
+        "per-action means quantized to the 1e-9 grid and summed in " +
+        "BIGINT, the quantize-then-sum discipline) and the GREEDY " +
+        "policy (always play the best observed arm — V = that arm's " +
+        "mean, selected DETERMINISTICALLY by grid-mean then name; its " +
+        "IPS effective sample size collapses to n_best, emitted as " +
+        "the support-coverage diagnostic that tells you how much " +
+        "logged data actually backs the counterfactual). At 100 TB: " +
+        "one keyed corpus pass to #types power sums, all policy " +
+        "algebra on the bounded rollup, 1-row output",
+      Some(
+        """WITH g AS (
+          |  SELECT event_type, CAST(count(*) AS BIGINT) AS na,
+          |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sa
+          |  FROM events GROUP BY event_type
+          |), t AS (
+          |  SELECT event_type, na, sa,
+          |    CAST(round(CAST(sa AS DOUBLE) / na / 100 * 1000000000.0)
+          |      AS BIGINT) AS m9
+          |  FROM g
+          |), tot AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS k,
+          |    CAST(sum(na) AS BIGINT) AS n, CAST(sum(sa) AS BIGINT) AS s,
+          |    CAST(sum(m9) AS BIGINT) AS um9
+          |  FROM t
+          |), best AS (
+          |  SELECT event_type AS best_type, na AS n_best, sa AS s_best
+          |  FROM t ORDER BY m9 DESC, event_type LIMIT 1
+          |)
+          |SELECT n, k, best_type, n_best AS ess_greedy,
+          |  round(CAST(s AS DOUBLE) / n / 100, 6) AS v_logged,
+          |  round(CAST(um9 AS DOUBLE) / 1000000000.0 / k, 6) AS v_uniform,
+          |  round(CAST(s_best AS DOUBLE) / n_best / 100, 6) AS v_greedy
+          |FROM tot CROSS JOIN best""".stripMargin),
+    ) { (s, dir) =>
+      offpolicyIps(Tables.events(s, dir)
+        .select(col("event_type"), col("value")))
+    },
+
+    Q(
       "q_cms_topk",
       "COUNT-MIN SKETCH heavy-hitter check: one 128 KB CMS " +
         "(w=4096, d=4) over all event user_ids, then the exact " +
@@ -4458,6 +4506,33 @@ object EventsOps {
           |  AS f_stat""".stripMargin,
         """CASE WHEN sst <= 0 THEN NULL ELSE
           |  round(ssb / sst, 6) END AS eta2""".stripMargin)
+
+  /** The q_offpolicy_ips computation over any (event_type, value)
+    * frame — factored so OffpolicySpec can plant arms with hand-exact
+    * counterfactual values. See the registry entry. */
+  private[graft] def offpolicyIps(events: DataFrame): DataFrame = {
+    val g = events
+      .select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("na"), sum(col("c")).as("sa"))
+      .selectExpr("event_type", "na", "sa",
+        """CAST(round(CAST(sa AS DOUBLE) / na / 100 * 1000000000.0)
+          |  AS BIGINT) AS m9""".stripMargin)
+      .localCheckpoint() // read by the totals agg AND the argmax pick
+    val tot = g.agg(count(lit(1)).as("k"), sum(col("na")).as("n"),
+      sum(col("sa")).as("s"), sum(col("m9")).as("um9"))
+    val best = g.orderBy(col("m9").desc, col("event_type")).limit(1)
+      .select(col("event_type").as("best_type"), col("na").as("n_best"),
+        col("sa").as("s_best"))
+    tot.crossJoin(broadcast(best))
+      .selectExpr("n", "k", "best_type", "n_best AS ess_greedy",
+        "round(CAST(s AS DOUBLE) / n / 100, 6) AS v_logged",
+        """round(CAST(um9 AS DOUBLE) / 1000000000.0 / k, 6)
+          |  AS v_uniform""".stripMargin,
+        """round(CAST(s_best AS DOUBLE) / n_best / 100, 6)
+          |  AS v_greedy""".stripMargin)
+  }
 
   /** The q_permutation_test computation over any (user_id, value)
     * frame — factored so PermutationSpec can plant separated and null
