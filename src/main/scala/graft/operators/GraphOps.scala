@@ -85,6 +85,13 @@ object GraphOps {
     * synchronous sweep is deterministic). */
   private[graft] val LpaRounds = 3
 
+  /** q_scc: top-E directed edges kept (the TriTopEdges discipline —
+    * weight-thresholding is what gives the dense synthetic transition
+    * graph real SCC structure) and loud round caps for the three
+    * convergence loops (trim / color / backward sweep). */
+  private[graft] val SccTopEdges = 400
+  private[graft] val SccMaxRounds = 60
+
   /** (user-ordered) item transitions: a = lag(item), b = item. */
   private[graft] def transitions(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -261,6 +268,58 @@ object GraphOps {
       pageRank(s, edgesOf(s, dir), PrRounds)
         .select(col("node").as("item"), round(col("r"), 6).as("pr"))
         .orderBy("item")
+    },
+
+    Q(
+      "q_scc",
+      s"STRONGLY connected components of the top-$SccTopEdges " +
+        "directed transition edges (weight-thresholding gives the " +
+        "dense synthetic graph real SCC structure — the TriTopEdges " +
+        "discipline): the DIRECTED twin of q_cc_star that every " +
+        "navigation/dependency analysis needs — 'which item sets are " +
+        "mutually reachable?' is what separates a recurrent browsing " +
+        "core from one-way funnels, and undirected CC cannot see the " +
+        "difference. Engine: trim + forward-max coloring + " +
+        "same-color backward sweep (Orzan's distributed SCC) looped " +
+        "to convergence — edge-keyed joins and node-keyed aggs over " +
+        "localCheckpoint'ed node-sized state, NEVER the V² pair " +
+        "closure (the oracle's recursive-CTE closure is exactly that " +
+        "O(V²) object, affordable only because nodes are " +
+        "catalog-bounded at test scale; SccSpec pins the engine " +
+        "against it on planted multi-SCC digraphs). Readout = the " +
+        "SCC size profile (label = min member). At 100 TB: rounds " +
+        "scale with condensation depth after trim, state with nodes",
+      Some(
+        s"""WITH RECURSIVE $edgesSqlCte, te AS (
+           |  SELECT a AS src, b AS dst FROM edges WHERE a <> b
+           |  ORDER BY n DESC, a, b LIMIT $SccTopEdges
+           |), nodes AS (
+           |  SELECT DISTINCT src AS node FROM te
+           |  UNION
+           |  SELECT DISTINCT dst FROM te
+           |), reach(s, t) AS (
+           |  SELECT src, dst FROM te
+           |  UNION
+           |  SELECT r.s, e.dst FROM reach r JOIN te e ON e.src = r.t
+           |), mutual AS (
+           |  SELECT a.s AS u, a.t AS v
+           |  FROM reach a JOIN reach b ON a.s = b.t AND a.t = b.s
+           |), lab AS (
+           |  SELECT n.node AS u,
+           |    least(n.node, coalesce(min(m.v), n.node)) AS scc_label
+           |  FROM nodes n LEFT JOIN mutual m ON m.u = n.node
+           |  GROUP BY n.node
+           |)
+           |SELECT scc_label, CAST(count(*) AS BIGINT) AS n_nodes
+           |FROM lab GROUP BY scc_label
+           |ORDER BY n_nodes DESC, scc_label""".stripMargin),
+    ) { (s, dir) =>
+      val top = edgesOf(s, dir).filter(col("a") =!= col("b"))
+        .orderBy(col("n").desc, col("a"), col("b")).limit(SccTopEdges)
+        .select(col("a").as("src"), col("b").as("dst"))
+      sccMembership(top)
+        .groupBy("scc_label").agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("n_nodes").desc, col("scc_label"))
     },
 
     Q(
@@ -1483,6 +1542,137 @@ object GraphOps {
     * — the same fixpoint as [[DedupOps.ccMinLabels]]'s plain
     * propagation. Returns (labels(node, label), rounds). Throws after
     * 50 rounds: unconverged labels are fractured components. */
+  /** Exact STRONGLY connected components of a directed edge list
+    * (src, dst) — trim + forward-max coloring + same-color backward
+    * sweep (Orzan's coloring, the standard distributed SCC), looped
+    * to convergence with loud round caps. Returns (node, scc_label)
+    * with label = min member id.
+    *
+    * Per outer round: (1) TRIM peels nodes with no in- or no
+    * out-edge in the remaining graph (each is provably a singleton
+    * SCC) until stable — this digests the DAG periphery that would
+    * otherwise cost one coloring round per condensation layer;
+    * (2) COLOR propagates the max ancestor id forward to fixpoint —
+    * within an SCC everyone is everyone's ancestor, so a whole SCC
+    * shares its root's color; (3) the BACKWARD sweep grows, from
+    * each color root, the set of same-color nodes that can reach it
+    * — exactly the root's SCC (same color ⟹ root is an ancestor;
+    * reaches root ⟹ descendant). Identified SCCs leave the graph and
+    * the loop repeats on what remains. Every step is an edge-keyed
+    * join + node-keyed agg on localCheckpoint'ed state — node-sized
+    * frames, never V² pairs (the oracle's transitive closure is the
+    * O(V²) object this loop exists to avoid, affordable only on the
+    * catalog-bounded test graph). Driver-side per round: one boolean
+    * convergence probe (the ccPointerJump discipline). */
+  private[graft] def sccMembership(edges0: DataFrame): DataFrame = {
+    val spark = edges0.sparkSession
+    val edgesAll = edges0.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    var remaining = edgesAll.select(col("src").as("node"))
+      .unionAll(edgesAll.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    var result = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("scc_label",
+          org.apache.spark.sql.types.LongType))))
+    var outer = 0
+    while (!remaining.isEmpty && outer < SccMaxRounds) {
+      var edges = edgesAll
+        .join(remaining.select(col("node").as("src")), Seq("src"),
+          "left_semi")
+        .join(remaining.select(col("node").as("dst")), Seq("dst"),
+          "left_semi")
+        .select("src", "dst").localCheckpoint()
+      // (1) TRIM to the 2-core of the condensation periphery.
+      var trimming = true
+      var trims = 0
+      while (trimming && trims < SccMaxRounds) {
+        val core = remaining
+          .join(edges.select(col("src").as("node")), Seq("node"),
+            "left_semi")
+          .join(edges.select(col("dst").as("node")), Seq("node"),
+            "left_semi")
+          .localCheckpoint()
+        val dropped = remaining.join(core, Seq("node"), "left_anti")
+          .localCheckpoint()
+        trimming = !dropped.isEmpty
+        if (trimming) {
+          result = result.unionAll(
+            dropped.select(col("node"), col("node").as("scc_label")))
+            .localCheckpoint()
+          remaining = core
+          edges = edges
+            .join(core.select(col("node").as("src")), Seq("src"),
+              "left_semi")
+            .join(core.select(col("node").as("dst")), Seq("dst"),
+              "left_semi")
+            .localCheckpoint()
+        }
+        trims += 1
+      }
+      if (!remaining.isEmpty) {
+        // (2) COLOR: max ancestor id, forward fixpoint.
+        var colors = remaining.select(col("node"), col("node").as("c"))
+          .localCheckpoint()
+        var moved = true
+        var r = 0
+        while (moved && r < SccMaxRounds) {
+          val prop = colors
+            .join(edges, colors("node") === edges("src"))
+            .select(col("dst").as("node"), col("c"))
+          val next = colors.select("node", "c").unionAll(prop)
+            .groupBy("node").agg(max(col("c")).as("c"))
+            .localCheckpoint()
+          moved = !next.as("n").join(colors.as("o"), "node")
+            .filter(col("n.c") =!= col("o.c")).isEmpty
+          colors = next
+          r += 1
+        }
+        if (moved) throw new IllegalStateException(
+          s"sccMembership: coloring not converged in $SccMaxRounds rounds")
+        // (3) BACKWARD sweep from each color root within its color.
+        val ce = edges
+          .join(colors.select(col("node").as("src"), col("c").as("cs")),
+            "src")
+          .join(colors.select(col("node").as("dst"), col("c").as("cd")),
+            "dst")
+          .filter(col("cs") === col("cd"))
+          .select(col("src"), col("dst"), col("cs").as("c"))
+          .localCheckpoint()
+        var inScc = colors.filter(col("node") === col("c"))
+          .select(col("node"), col("c")).localCheckpoint()
+        moved = true
+        r = 0
+        while (moved && r < SccMaxRounds) {
+          val prop = inScc.as("s")
+            .join(ce.as("e"), col("s.node") === col("e.dst")
+              && col("s.c") === col("e.c"))
+            .select(col("e.src").as("node"), col("s.c").as("c"))
+          val next = inScc.unionAll(prop).distinct().localCheckpoint()
+          moved = next.count() != inScc.count()
+          inScc = next
+          r += 1
+        }
+        if (moved) throw new IllegalStateException(
+          s"sccMembership: backward sweep not converged in $SccMaxRounds rounds")
+        val labs = inScc.groupBy("c").agg(min(col("node")).as("scc_label"))
+        val assigned = inScc.join(labs, "c")
+          .select(col("node"), col("scc_label")).localCheckpoint()
+        result = result.unionAll(assigned).localCheckpoint()
+        remaining = remaining
+          .join(assigned.select("node"), Seq("node"), "left_anti")
+          .localCheckpoint()
+      }
+      outer += 1
+    }
+    if (!remaining.isEmpty) throw new IllegalStateException(
+      s"sccMembership: not converged in $SccMaxRounds outer rounds")
+    result
+  }
+
   private[graft] def ccPointerJump(und: DataFrame)
       : (DataFrame, Int) = {
     val edges = und.select(col("u").as("src"), col("v").as("dst"))
