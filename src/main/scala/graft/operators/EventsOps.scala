@@ -3662,6 +3662,54 @@ object EventsOps {
     },
 
     Q(
+      "q_mcnemar",
+      "McNEMAR'S paired test on within-user conversion flips: did " +
+        "the same users who purchased in the first half of January " +
+        "keep purchasing in the second? — the PAIRED complement to " +
+        "q_ab_test's between-group z (marginal rates can hold " +
+        "perfectly while the population underneath churns 1-for-1; " +
+        "only the DISCORDANT cells b = pre-only and c = post-only " +
+        "see it). χ² = (b−c)²/(b+c) plus the Edwards continuity-" +
+        "corrected twin (|b−c|−1)²/(b+c) — exact BIGINT cells from " +
+        "one user-keyed pass, each statistic ONE mirrored division, " +
+        "6dp, NULL when no user flipped either way. At 100 TB: one " +
+        "user-keyed boolean rollup, a 4-cell agg, 1-row output",
+      Some(
+        """WITH u AS (
+          |  SELECT user_id,
+          |    max(CASE WHEN event_type = 'purchase'
+          |      AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
+          |      THEN 1 ELSE 0 END) AS pre,
+          |    max(CASE WHEN event_type = 'purchase'
+          |      AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'
+          |      THEN 1 ELSE 0 END) AS post
+          |  FROM events GROUP BY user_id
+          |), cells AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n_users,
+          |    CAST(sum(CASE WHEN pre = 0 AND post = 0 THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS n00,
+          |    CAST(sum(CASE WHEN pre = 0 AND post = 1 THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS n01,
+          |    CAST(sum(CASE WHEN pre = 1 AND post = 0 THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS n10,
+          |    CAST(sum(CASE WHEN pre = 1 AND post = 1 THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS n11
+          |  FROM u
+          |)
+          |SELECT n_users, n00, n01, n10, n11,
+          |  CASE WHEN n10 + n01 = 0 THEN NULL ELSE
+          |    round(CAST((n10 - n01) * (n10 - n01) AS DOUBLE)
+          |      / (n10 + n01), 6) END AS mcnemar_chi2,
+          |  CASE WHEN n10 + n01 = 0 THEN NULL ELSE
+          |    round(CAST((abs(n10 - n01) - 1) * (abs(n10 - n01) - 1)
+          |        AS DOUBLE) / (n10 + n01), 6) END AS chi2_cc
+          |FROM cells""".stripMargin),
+    ) { (s, dir) =>
+      mcnemar(Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts")))
+    },
+
+    Q(
       "q_offpolicy_ips",
       "OFF-POLICY EVALUATION via inverse propensity scoring (Horvitz-" +
         "Thompson / IPS — the counterfactual 'what would a DIFFERENT " +
@@ -4506,6 +4554,34 @@ object EventsOps {
           |  AS f_stat""".stripMargin,
         """CASE WHEN sst <= 0 THEN NULL ELSE
           |  round(ssb / sst, 6) END AS eta2""".stripMargin)
+
+  /** The q_mcnemar computation over any (user_id, event_type, ts)
+    * frame — factored so McnemarSpec can plant hand-countable flip
+    * tables. Jan-16 split, 'purchase' as the conversion event. */
+  private[graft] def mcnemar(events: DataFrame): DataFrame = {
+    val cut = lit("2024-01-16").cast("timestamp")
+    events.groupBy("user_id").agg(
+        max(when(col("event_type") === "purchase"
+          && col("ts") < cut, 1).otherwise(0)).as("pre"),
+        max(when(col("event_type") === "purchase"
+          && col("ts") >= cut, 1).otherwise(0)).as("post"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("pre") === 0 && col("post") === 0, 1L)
+          .otherwise(0L)).as("n00"),
+        sum(when(col("pre") === 0 && col("post") === 1, 1L)
+          .otherwise(0L)).as("n01"),
+        sum(when(col("pre") === 1 && col("post") === 0, 1L)
+          .otherwise(0L)).as("n10"),
+        sum(when(col("pre") === 1 && col("post") === 1, 1L)
+          .otherwise(0L)).as("n11"))
+      .selectExpr("n_users", "n00", "n01", "n10", "n11",
+        """CASE WHEN n10 + n01 = 0 THEN NULL ELSE
+          |  round(CAST((n10 - n01) * (n10 - n01) AS DOUBLE)
+          |    / (n10 + n01), 6) END AS mcnemar_chi2""".stripMargin,
+        """CASE WHEN n10 + n01 = 0 THEN NULL ELSE
+          |  round(CAST((abs(n10 - n01) - 1) * (abs(n10 - n01) - 1)
+          |      AS DOUBLE) / (n10 + n01), 6) END AS chi2_cc""".stripMargin)
+  }
 
   /** The q_offpolicy_ips computation over any (event_type, value)
     * frame — factored so OffpolicySpec can plant arms with hand-exact
