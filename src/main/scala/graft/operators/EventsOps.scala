@@ -3662,6 +3662,68 @@ object EventsOps {
     },
 
     Q(
+      "q_benford",
+      "BENFORD first-digit audit of the value column (Nigrini's " +
+        "forensic screen: natural multi-scale amounts follow " +
+        "P(d) = log10(1+1/d); fabricated or capped data doesn't — " +
+        "the classic fraud/data-quality tripwire, run here as a " +
+        "keyed rollup like any other guardrail). First digits come " +
+        "from the DECIMAL STRING of the cents integer (substr of " +
+        "CAST AS VARCHAR — no log10-at-a-power-boundary float " +
+        "hazard), the digit grid COMPLETES to 1..9 so an absent " +
+        "digit is evidence not silence, and both test statistics " +
+        "(χ² against N·p_d, Nigrini's MAD with its 0.015 " +
+        "nonconformity threshold) are quantize-then-sum: per-digit " +
+        "mirrored IEEE terms on the 1e-9 grid, summed in BIGINT. " +
+        "The uniform synthetic values flunk Benford loudly — the " +
+        "expected reading, pinned by the oracle rather than " +
+        "assumed. At 100 TB: one corpus pass to 9 digit counts, all " +
+        "statistics on the 9-row grid, 9-row output",
+      Some(
+        """WITH c AS (
+          |  SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events
+          |  WHERE CAST(round(value * 100) AS BIGINT) > 0
+          |), o AS (
+          |  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT)
+          |    AS digit, CAST(count(*) AS BIGINT) AS o
+          |  FROM c GROUP BY 1
+          |), grid AS (
+          |  SELECT d.digit, COALESCE(o.o, 0) AS o
+          |  FROM (SELECT CAST(r AS BIGINT) + 1 AS digit
+          |        FROM range(9) t(r)) d
+          |  LEFT JOIN o ON o.digit = d.digit
+          |), t AS (
+          |  SELECT digit, o,
+          |    CAST(sum(o) OVER () AS BIGINT) AS n,
+          |    log10(1 + 1.0 / digit) AS p
+          |  FROM grid
+          |), q AS (
+          |  SELECT digit, o, n, p,
+          |    CAST(round((CAST(o AS DOUBLE) - n * p)
+          |      * (CAST(o AS DOUBLE) - n * p) / (n * p)
+          |      * 1000000000.0) AS BIGINT) AS chi9,
+          |    CAST(round(abs(CAST(o AS DOUBLE) / n - p)
+          |      * 1000000000.0) AS BIGINT) AS dev9
+          |  FROM t
+          |), g AS (
+          |  SELECT digit, o, n, p, chi9, dev9,
+          |    CAST(sum(chi9) OVER () AS BIGINT) AS chi9s,
+          |    CAST(sum(dev9) OVER () AS BIGINT) AS dev9s
+          |  FROM q
+          |)
+          |SELECT digit, o AS n_d,
+          |  round(CAST(o AS DOUBLE) / n, 6) AS obs_p,
+          |  round(p, 6) AS exp_p,
+          |  round(CAST(chi9s AS DOUBLE) / 1000000000.0, 6) AS chi2,
+          |  round(CAST(dev9s AS DOUBLE) / 1000000000.0 / 9, 6) AS mad,
+          |  CAST(CAST(dev9s AS DOUBLE) / 1000000000.0 / 9 > 0.015
+          |    AS BIGINT) AS nonconforming
+          |FROM g ORDER BY digit""".stripMargin),
+    ) { (s, dir) =>
+      benford(Tables.events(s, dir).select(col("value")))
+    },
+
+    Q(
       "q_mcnemar",
       "McNEMAR'S paired test on within-user conversion flips: did " +
         "the same users who purchased in the first half of January " +
@@ -4554,6 +4616,42 @@ object EventsOps {
           |  AS f_stat""".stripMargin,
         """CASE WHEN sst <= 0 THEN NULL ELSE
           |  round(ssb / sst, 6) END AS eta2""".stripMargin)
+
+  /** The q_benford computation over any single-column (value) frame —
+    * factored so BenfordSpec can plant conforming (log-uniform grid)
+    * and flunking (constant-magnitude) amounts. See the registry
+    * entry for the string-first-digit and quantize-then-sum choices. */
+  private[graft] def benford(values: DataFrame): DataFrame = {
+    val c = values
+      .select(round(col("value") * 100, 0).cast("long").as("c"))
+      .filter(col("c") > 0)
+    val o = c.select(
+        substring(col("c").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("o"))
+    val grid = c.sparkSession.range(1, 10)
+      .select(col("id").as("digit"))
+      .join(o, Seq("digit"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+    grid
+      .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+      .selectExpr("digit", "o", "n", "log10(1 + 1.0 / digit) AS p")
+      .selectExpr("digit", "o", "n", "p",
+        """CAST(round((CAST(o AS DOUBLE) - n * p)
+          |  * (CAST(o AS DOUBLE) - n * p) / (n * p)
+          |  * 1000000000.0) AS BIGINT) AS chi9""".stripMargin,
+        """CAST(round(abs(CAST(o AS DOUBLE) / n - p)
+          |  * 1000000000.0) AS BIGINT) AS dev9""".stripMargin)
+      .withColumn("chi9s", sum(col("chi9")).over(Window.partitionBy()))
+      .withColumn("dev9s", sum(col("dev9")).over(Window.partitionBy()))
+      .selectExpr("digit", "o AS n_d",
+        "round(CAST(o AS DOUBLE) / n, 6) AS obs_p",
+        "round(p, 6) AS exp_p",
+        "round(CAST(chi9s AS DOUBLE) / 1000000000.0, 6) AS chi2",
+        "round(CAST(dev9s AS DOUBLE) / 1000000000.0 / 9, 6) AS mad",
+        """CAST(CAST(dev9s AS DOUBLE) / 1000000000.0 / 9 > 0.015
+          |  AS BIGINT) AS nonconforming""".stripMargin)
+      .orderBy("digit")
+  }
 
   /** The q_mcnemar computation over any (user_id, event_type, ts)
     * frame — factored so McnemarSpec can plant hand-countable flip
