@@ -3662,6 +3662,143 @@ object EventsOps {
     },
 
     Q(
+      "q_decision_stump",
+      "DECISION STUMP on value predicting purchase (the single best " +
+        "threshold split by Gini impurity) — the feature-quality " +
+        "probe every tabular pipeline runs before training anything: " +
+        "if no cents threshold beats the baseline Gini, the feature " +
+        "is noise for this label. Every candidate threshold is a " +
+        "distinct-cents boundary, scored from CUMULATIVE class " +
+        "counts (the value-domain window class — candidates live on " +
+        "the bounded cents rollup, never on rows): maximizing " +
+        "S = (p_L²+q_L²)/n_L + (p_R²+q_R²)/n_R is exactly " +
+        "minimizing the weighted Gini (N−S)/N, and S rides the 1e-6 " +
+        "grid as one mirrored IEEE expression per boundary with the " +
+        "argmax ties broken by threshold — deterministic both " +
+        "engines, no float argmax trusted. Readout: the split, its " +
+        "side counts and purchase counts, baseline vs split Gini " +
+        "(baseline exact DECIMAL/HUGEINT rationals), and the gain. " +
+        "At 100 TB: one corpus pass to the cents rollup, one " +
+        "domain-bounded window, 1-row output",
+      Some(
+        """WITH e AS (
+          |  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+          |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS lab
+          |  FROM events
+          |), vc AS (
+          |  SELECT v, CAST(sum(lab) AS BIGINT) AS p,
+          |    CAST(sum(1 - lab) AS BIGINT) AS q
+          |  FROM e GROUP BY v
+          |), cum AS (
+          |  SELECT v,
+          |    CAST(sum(p) OVER (ORDER BY v) AS BIGINT) AS pl,
+          |    CAST(sum(q) OVER (ORDER BY v) AS BIGINT) AS ql,
+          |    CAST(sum(p) OVER () AS BIGINT) AS pt,
+          |    CAST(sum(q) OVER () AS BIGINT) AS qt
+          |  FROM vc
+          |), cand AS (
+          |  SELECT v, pl, ql, pt, qt, pl + ql AS nl,
+          |    (pt - pl) + (qt - ql) AS nr, pt - pl AS prr, qt - ql AS qrr
+          |  FROM cum
+          |), sc AS (
+          |  SELECT v, pl, nl, nr, prr, pt, qt, nl + nr AS nn,
+          |    CAST(round(((CAST(pl AS DOUBLE) * pl
+          |        + CAST(ql AS DOUBLE) * ql) / nl
+          |      + (CAST(prr AS DOUBLE) * prr
+          |        + CAST(qrr AS DOUBLE) * qrr) / nr)
+          |      * 1000000.0) AS BIGINT) AS s6
+          |  FROM cand WHERE nr > 0
+          |), best AS (
+          |  SELECT * FROM sc ORDER BY s6 DESC, v LIMIT 1
+          |), fin AS (
+          |  SELECT round(CAST(v AS DOUBLE) / 100, 6) AS split_at,
+          |    nl AS n_left, nr AS n_right, pl AS p_left, prr AS p_right,
+          |    round(CAST(CAST(nn AS HUGEINT) * nn
+          |        - CAST(pt AS HUGEINT) * pt - CAST(qt AS HUGEINT) * qt
+          |        AS DOUBLE)
+          |      / (CAST(nn AS DOUBLE) * nn), 6) AS gini_base,
+          |    round((CAST(nn AS DOUBLE) - CAST(s6 AS DOUBLE) / 1000000.0)
+          |      / nn, 6) AS gini_split
+          |  FROM best
+          |)
+          |SELECT split_at, n_left, n_right, p_left, p_right,
+          |  gini_base, gini_split,
+          |  round(gini_base - gini_split, 6) AS gain
+          |FROM fin""".stripMargin),
+    ) { (s, dir) =>
+      decisionStump(Tables.events(s, dir).select(
+        round(col("value") * 100, 0).cast("long").as("v"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L)
+          .as("lab")))
+    },
+
+    Q(
+      "q_mutual_information",
+      "MUTUAL INFORMATION between event type and hour-of-day (how " +
+        "many bits does WHEN tell you about WHAT?) — the " +
+        "model-free dependence measure that catches what " +
+        "q_chisq_independence's χ² scores as a test statistic and " +
+        "q_correlated's Pearson can't see at all (MI is zero IFF " +
+        "independent, any shape). MI = Σ p_xy·log2(N·n_xy/(n_x·n_y)) " +
+        "over the (#types × 24)-bounded cell grid: each cell's term " +
+        "is ONE mirrored IEEE expression on exact BIGINT counts " +
+        "(empty cells contribute exactly 0 and drop), quantized to " +
+        "the 1e-9 grid and summed in BIGINT — the " +
+        "quantize-then-sum discipline. Normalized variant (MI / " +
+        "min(H(X), H(Y)), entropies on the same grid) rides along " +
+        "so 'is 0.02 bits a lot?' has an answer. At 100 TB: one " +
+        "keyed corpus pass to the bounded cells, 1-row output",
+      Some(
+        """WITH e AS (
+          |  SELECT event_type AS x,
+          |    CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS y
+          |  FROM events
+          |), cells AS (
+          |  SELECT x, y, CAST(count(*) AS BIGINT) AS nxy
+          |  FROM e GROUP BY x, y
+          |), m AS (
+          |  SELECT x, y, nxy,
+          |    CAST(sum(nxy) OVER (PARTITION BY x) AS BIGINT) AS nx,
+          |    CAST(sum(nxy) OVER (PARTITION BY y) AS BIGINT) AS ny,
+          |    CAST(sum(nxy) OVER () AS BIGINT) AS n
+          |  FROM cells
+          |), t AS (
+          |  SELECT max(n) AS n,
+          |    CAST(sum(CAST(round(CAST(nxy AS DOUBLE) / n
+          |      * log2(CAST(n AS DOUBLE) * nxy
+          |        / (CAST(nx AS DOUBLE) * ny))
+          |      * 1000000000.0) AS BIGINT)) AS BIGINT) AS mi9
+          |  FROM m
+          |), hx AS (
+          |  SELECT CAST(sum(CAST(round(CAST(nx AS DOUBLE) / n
+          |      * log2(CAST(n AS DOUBLE) / nx)
+          |      * 1000000000.0) AS BIGINT)) AS BIGINT) AS h9
+          |  FROM (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx,
+          |          CAST(sum(sum(nxy)) OVER () AS BIGINT) AS n
+          |        FROM cells GROUP BY x)
+          |), hy AS (
+          |  SELECT CAST(sum(CAST(round(CAST(ny AS DOUBLE) / n
+          |      * log2(CAST(n AS DOUBLE) / ny)
+          |      * 1000000000.0) AS BIGINT)) AS BIGINT) AS h9
+          |  FROM (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny,
+          |          CAST(sum(sum(nxy)) OVER () AS BIGINT) AS n
+          |        FROM cells GROUP BY y)
+          |)
+          |SELECT n,
+          |  round(CAST(mi9 AS DOUBLE) / 1000000000.0, 6) AS mi_bits,
+          |  round(CAST(hx.h9 AS DOUBLE) / 1000000000.0, 6) AS h_type,
+          |  round(CAST(hy.h9 AS DOUBLE) / 1000000000.0, 6) AS h_hour,
+          |  CASE WHEN least(hx.h9, hy.h9) = 0 THEN NULL ELSE
+          |    round(CAST(mi9 AS DOUBLE) / least(hx.h9, hy.h9), 6) END
+          |    AS mi_normalized
+          |FROM t CROSS JOIN hx CROSS JOIN hy""".stripMargin),
+    ) { (s, dir) =>
+      mutualInformation(Tables.events(s, dir)
+        .select(col("event_type").as("x"),
+          hour(col("ts")).cast("long").as("y")))
+    },
+
+    Q(
       "q_benford",
       "BENFORD first-digit audit of the value column (Nigrini's " +
         "forensic screen: natural multi-scale amounts follow " +
@@ -4616,6 +4753,78 @@ object EventsOps {
           |  AS f_stat""".stripMargin,
         """CASE WHEN sst <= 0 THEN NULL ELSE
           |  round(ssb / sst, 6) END AS eta2""".stripMargin)
+
+  /** The q_decision_stump computation over any (v, lab) frame —
+    * factored so StumpSpec can plant separable and mixed labelings
+    * with hand-exact splits. See the registry entry. */
+  private[graft] def decisionStump(events: DataFrame): DataFrame = {
+    val vc = events.groupBy("v").agg(
+      sum(col("lab")).as("p"), sum(lit(1L) - col("lab")).as("q"))
+    val wO = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wA = Window.partitionBy()
+    vc.withColumn("pl", sum(col("p")).over(wO))
+      .withColumn("ql", sum(col("q")).over(wO))
+      .withColumn("pt", sum(col("p")).over(wA))
+      .withColumn("qt", sum(col("q")).over(wA))
+      .selectExpr("v", "pl", "ql", "pt", "qt", "pl + ql AS nl",
+        "(pt - pl) + (qt - ql) AS nr", "pt - pl AS prr", "qt - ql AS qrr")
+      .filter(col("nr") > 0)
+      .selectExpr("v", "pl", "nl", "nr", "prr", "pt", "qt",
+        "nl + nr AS nn",
+        """CAST(round(((CAST(pl AS DOUBLE) * pl
+          |    + CAST(ql AS DOUBLE) * ql) / nl
+          |  + (CAST(prr AS DOUBLE) * prr
+          |    + CAST(qrr AS DOUBLE) * qrr) / nr)
+          |  * 1000000.0) AS BIGINT) AS s6""".stripMargin)
+      .orderBy(col("s6").desc, col("v")).limit(1)
+      .selectExpr("round(CAST(v AS DOUBLE) / 100, 6) AS split_at",
+        "nl AS n_left", "nr AS n_right", "pl AS p_left", "prr AS p_right",
+        """round(CAST(CAST(nn AS DECIMAL(38,0)) * nn
+          |    - CAST(pt AS DECIMAL(38,0)) * pt
+          |    - CAST(qt AS DECIMAL(38,0)) * qt AS DOUBLE)
+          |  / (CAST(nn AS DOUBLE) * nn), 6) AS gini_base""".stripMargin,
+        """round((CAST(nn AS DOUBLE) - CAST(s6 AS DOUBLE) / 1000000.0)
+          |  / nn, 6) AS gini_split""".stripMargin)
+      .selectExpr("split_at", "n_left", "n_right", "p_left", "p_right",
+        "gini_base", "gini_split",
+        "round(gini_base - gini_split, 6) AS gain")
+  }
+
+  /** The q_mutual_information computation over any (x, y) pair frame
+    * — factored so MutualInfoSpec can plant independent (MI = 0) and
+    * deterministic (MI = H) tables. Quantize-then-sum per-cell terms;
+    * see the registry entry. */
+  private[graft] def mutualInformation(pairs: DataFrame): DataFrame = {
+    val cells = pairs.groupBy("x", "y").agg(count(lit(1)).as("nxy"))
+      .localCheckpoint() // read by the MI pass AND both entropy passes
+    val t = cells
+      .withColumn("nx", sum(col("nxy")).over(Window.partitionBy("x")))
+      .withColumn("ny", sum(col("nxy")).over(Window.partitionBy("y")))
+      .withColumn("n", sum(col("nxy")).over(Window.partitionBy()))
+      .agg(max(col("n")).as("n"),
+        sum(expr(
+          """CAST(round(CAST(nxy AS DOUBLE) / n
+            |  * log2(CAST(n AS DOUBLE) * nxy
+            |    / (CAST(nx AS DOUBLE) * ny))
+            |  * 1000000000.0) AS BIGINT)""".stripMargin)).as("mi9"))
+    def entropy9(k: String, out: String): DataFrame =
+      cells.groupBy(k).agg(sum(col("nxy")).as("nk"))
+        .withColumn("n", sum(col("nk")).over(Window.partitionBy()))
+        .agg(sum(expr(
+          """CAST(round(CAST(nk AS DOUBLE) / n
+            |  * log2(CAST(n AS DOUBLE) / nk)
+            |  * 1000000000.0) AS BIGINT)""".stripMargin)).as(out))
+    t.crossJoin(broadcast(entropy9("x", "h9x")))
+      .crossJoin(broadcast(entropy9("y", "h9y")))
+      .selectExpr("n",
+        "round(CAST(mi9 AS DOUBLE) / 1000000000.0, 6) AS mi_bits",
+        "round(CAST(h9x AS DOUBLE) / 1000000000.0, 6) AS h_type",
+        "round(CAST(h9y AS DOUBLE) / 1000000000.0, 6) AS h_hour",
+        """CASE WHEN least(h9x, h9y) = 0 THEN NULL ELSE
+          |  round(CAST(mi9 AS DOUBLE) / least(h9x, h9y), 6) END
+          |  AS mi_normalized""".stripMargin)
+  }
 
   /** The q_benford computation over any single-column (value) frame —
     * factored so BenfordSpec can plant conforming (log-uniform grid)

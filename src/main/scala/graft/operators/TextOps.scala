@@ -1163,6 +1163,63 @@ object TextOps {
     },
 
     Q(
+      "q_unicode_norm",
+      "UNICODE NFC NORMALIZATION pass over the corpus — " +
+        "`nfc_normalize`, graft's tenth codegen'd Catalyst " +
+        "expression (Spark ships NO normalization function): 'é' " +
+        "and 'e'+COMBINING ACUTE are byte-different, hash-different, " +
+        "MinHash-different — and the same text; composing FIRST is " +
+        "what makes every fingerprint downstream mean text equality " +
+        "rather than encoding equality. The corpus is ASCII, so the " +
+        "query PLANTS the hazard deterministically: every 'e' is " +
+        "decomposed to e+U+0301, normalized back, and checked " +
+        "per-document against the directly-composed é twin — the " +
+        "per-doc equality flag rides the gate, pinning JVM " +
+        "Normalizer against DuckDB's utf8proc on real data (NFC " +
+        "composition is frozen by Unicode policy, which is why the " +
+        "two independent implementations must and do agree). " +
+        "Code-point accounting (before/after/composed counts) comes " +
+        "along per lang. At 100 TB: pure per-row expression work, " +
+        "zero pre-agg shuffles, #langs rows out",
+      Some(
+        """WITH d AS (
+          |  SELECT lang,
+          |    replace(text, 'e', 'e' || chr(769)) AS dec_text,
+          |    replace(text, 'e', chr(233)) AS comp_text
+          |  FROM documents
+          |), n AS (
+          |  SELECT lang, dec_text,
+          |    nfc_normalize(dec_text) AS norm_text, comp_text
+          |  FROM d
+          |)
+          |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(length(dec_text)) AS BIGINT) AS cp_decomposed,
+          |  CAST(sum(length(norm_text)) AS BIGINT) AS cp_normalized,
+          |  CAST(sum(length(dec_text)) - sum(length(norm_text))
+          |    AS BIGINT) AS n_composed,
+          |  CAST(min(CASE WHEN norm_text = comp_text THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS all_composed
+          |FROM n GROUP BY lang ORDER BY lang""".stripMargin),
+    ) { (s, dir) =>
+      graft.functions.UnicodeNorm.register(s)
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          regexp_replace(col("text"), "e", "é").as("dec_text"),
+          regexp_replace(col("text"), "e", "é").as("comp_text"))
+        .selectExpr("lang", "dec_text",
+          "nfc_normalize(dec_text) AS norm_text", "comp_text")
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(col("dec_text"))).cast("long").as("cp_decomposed"),
+          sum(length(col("norm_text"))).cast("long").as("cp_normalized"),
+          (sum(length(col("dec_text"))) - sum(length(col("norm_text"))))
+            .cast("long").as("n_composed"),
+          min(when(col("norm_text") === col("comp_text"), 1)
+            .otherwise(0)).cast("long").as("all_composed"))
+        .orderBy("lang")
+    },
+
+    Q(
       "q_cohens_kappa",
       "COHEN'S KAPPA between two independent document labelers — the " +
         "chance-corrected agreement every labeling pipeline must " +

@@ -10,10 +10,10 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Loud-failure regression gate for the codegen of ALL nine custom
+/** Loud-failure regression gate for the codegen of ALL ten custom
   * Catalyst expressions (cent_argmin_l2, cent_argmin_cos, cosine_sim,
   * minhash60, simhash60, hypersig, bloom_might_contain, rollhash60,
-  * jaro_winkler).
+  * jaro_winkler, nfc_normalize).
   *
   * Why this exists: broken `doGenCode` output does NOT fail the
   * build — Spark catches the Janino CompileException, logs one WARN,
@@ -108,6 +108,9 @@ class CodegenOnlySpec extends AnyFunSuite {
         JaroWinklerSim(BoundReference(0, StringType, nullable = true),
           Literal(UTF8String.fromString("marhta"), StringType)),
         new GenericInternalRow(Array[Any](UTF8String.fromString("martha")))),
+      ("nfc_normalize",
+        NfcNormalize(BoundReference(0, StringType, nullable = true)),
+        new GenericInternalRow(Array[Any](UTF8String.fromString("caf\u00e9 e\u0301")))),
       ("bloom_might_contain(col)",
         BloomMightContain(bloomLit, BoundReference(0, LongType, nullable = false)),
         new GenericInternalRow(Array[Any](42L))),
@@ -130,6 +133,8 @@ class CodegenOnlySpec extends AnyFunSuite {
     case BooleanType => if (row.isNullAt(0)) null else row.getBoolean(0)
     case ArrayType(LongType, _) =>
       if (row.isNullAt(0)) null else row.getArray(0).toLongArray.toSeq
+    case StringType =>
+      if (row.isNullAt(0)) null else row.getUTF8String(0).clone()
     case other => fail(s"unhandled result type $other")
   }
 
@@ -175,12 +180,13 @@ class CodegenOnlySpec extends AnyFunSuite {
     CentAssign.register(spark); CosSim.register(spark)
     MinHash60.register(spark); SimHash60.register(spark)
     HyperSig.register(spark); RollHash.register(spark)
-    JaroWinkler.register(spark)
+    JaroWinkler.register(spark); UnicodeNorm.register(spark)
     val sql =
       """SELECT minhash60(array('a b c', 'b c d')) AS mh,
         |  simhash60(array('a', 'b')) AS sh,
         |  rollhash60('abcdef', 3) AS rh,
         |  jaro_winkler('martha', 'marhta') AS jw,
+        |  length(nfc_normalize('e\u0301x')) AS nn,
         |  hypersig(CAST(array_repeat(0.5D, 64) AS ARRAY<FLOAT>)) AS hs,
         |  cosine_sim(CAST(array(1.0, 0.0) AS ARRAY<FLOAT>),
         |             CAST(array(0.5, 0.5) AS ARRAY<FLOAT>)) AS cs,
@@ -195,10 +201,11 @@ class CodegenOnlySpec extends AnyFunSuite {
         |""".stripMargin
     withStrictCodegen {
       val row = spark.sql(sql).collect().head
-      assert(row.getLong(6) == 7L && row.getLong(7) == 7L)
+      assert(row.getLong(7) == 7L && row.getLong(8) == 7L)
       assert(row.getSeq[Long](2) ===
         Seq("abc", "bcd", "cde", "def").map(RollHash.gramHash))
       assert(row.getDouble(3) == 0.9611111111111111)
+      assert(row.getInt(4) == 2, "nfc composes e+combining-acute")
     }
   }
 
@@ -220,12 +227,12 @@ class CodegenOnlySpec extends AnyFunSuite {
     }
   }
 
-  test("all nine functions run end-to-end under CODEGEN_ONLY with whole-stage fallback off") {
+  test("all ten functions run end-to-end under CODEGEN_ONLY with whole-stage fallback off") {
     import spark.implicits._
     CentAssign.register(spark); CosSim.register(spark)
     MinHash60.register(spark); SimHash60.register(spark)
     HyperSig.register(spark); Bloom.register(spark); RollHash.register(spark)
-    JaroWinkler.register(spark)
+    JaroWinkler.register(spark); UnicodeNorm.register(spark)
     val bloomHex = bloomBytes.map("%02X".format(_)).mkString
     val df = Seq((emb.toArray, emb2.toArray, Seq("a", "b", "a c"), 42L, "rolling"))
       .toDF("e1", "e2", "toks", "k", "txt")
@@ -244,7 +251,8 @@ class CodegenOnlySpec extends AnyFunSuite {
       expr("hypersig(e1)").as("f"),
       expr(s"bloom_might_contain(unhex('$bloomHex'), k)").as("g"),
       expr("rollhash60(txt, 4)").as("h"),
-      expr("jaro_winkler(txt, 'rolled')").as("i"))
+      expr("jaro_winkler(txt, 'rolled')").as("i"),
+      expr("nfc_normalize(txt)").as("j"))
     val baseline = sel.collect()
     withStrictCodegen {
       val strict = sel.collect()
