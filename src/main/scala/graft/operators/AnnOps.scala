@@ -169,6 +169,26 @@ object AnnOps {
 
   private def norm(e: Column): Column = sqrt(normSq(e))
 
+  /** The q_simsearch_mips computation over any (vec_id, embedding)
+    * frame — factored so MipsSpec can plant norm-skewed corpora and
+    * prove the M-augmentation order equivalence. See the registry
+    * entry for the determinism contract. */
+  private[graft] def mipsTopK(e: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val probes = e.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val scored = broadcast(probes)
+      .join(e, col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        round(dotCol(col("pe"), col("embedding")), 6).as("ip"),
+        round(norm(col("embedding")), 6).as("vec_norm"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("ip").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .orderBy("probe_id", "rank")
+  }
+
   /** The ANN determinism contract, shared by every search query: cosine
     * in double, rounded to 6dp BEFORE ranking (so both engines rank the
     * same values), ties broken by id. Backed by the fused native
@@ -896,6 +916,46 @@ object AnnOps {
         .join(e, col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id").as("neighbor_id"),
           cosSim(s, "pe", "embedding").as("cos_sim")))
+    },
+
+    Q(
+      "q_simsearch_mips",
+      s"MAXIMUM INNER PRODUCT top-$TopK for $NumProbes probes — the " +
+        "retrieval objective recommender scoring actually uses " +
+        "(user·item, where item POPULARITY lives in the norm), which " +
+        "cosine search silently erases by normalizing: a " +
+        "high-norm item should outrank a better-aligned low-norm " +
+        "one, and this readout emits each neighbor's norm so the " +
+        "divergence from q_simsearch's cosine ranking is visible in " +
+        "the result, not asserted. Determinism contract as the rest " +
+        "of the ANN family: dot in double (the aggregate/zip_with " +
+        "fold both engines evaluate in index order), 6dp-rounded " +
+        "BEFORE ranking, ties by id. At 100 TB MIPS needs no new " +
+        "index machinery: the Bachrach-et-al augmentation x → " +
+        "[x, √(M²−|x|²)] gives every corpus vector norm exactly M, " +
+        "making cosine order equal dot order — the entire " +
+        "LSH/IVF/PQ cell infrastructure serves MIPS on augmented " +
+        "vectors (MipsSpec proves the order equivalence on planted " +
+        "data and pins MIPS ≠ cosine on norm-skewed corpora)",
+      Some(
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+           |probes AS (SELECT vec_id AS probe_id, embedding AS pe
+           |  FROM e WHERE vec_id < $NumProbes),
+           |scored AS (
+           |  SELECT probe_id, e.vec_id AS neighbor_id,
+           |    round(${dotColSql("pe", "embedding")}, 6) AS ip,
+           |    round(${normSql("embedding")}, 6) AS vec_norm
+           |  FROM probes JOIN e ON e.vec_id <> probe_id
+           |), ranked AS (
+           |  SELECT probe_id, neighbor_id, ip, vec_norm,
+           |    row_number() OVER (PARTITION BY probe_id
+           |      ORDER BY ip DESC, neighbor_id) AS rank
+           |  FROM scored)
+           |SELECT probe_id, neighbor_id, ip, vec_norm, rank
+           |FROM ranked WHERE rank <= $TopK
+           |ORDER BY probe_id, rank""".stripMargin),
+    ) { (s, dir) =>
+      mipsTopK(Tables.embeddings(s, dir).select("vec_id", "embedding"))
     },
 
     Q(
