@@ -1163,6 +1163,54 @@ object TextOps {
     },
 
     Q(
+      "q_kl_domains",
+      "DOMAIN SHIFT audit: KL divergence (bits) of each source's " +
+        "unigram distribution from the corpus mixture — the number " +
+        "DoReMi-style mixture tuning and dataset cards both want " +
+        "('how far is this slice from what the model will see?'), " +
+        "computed exactly where q_psi_drift would bin. No smoothing " +
+        "hack is needed or used: the corpus marginal dominates every " +
+        "source (n_w ≥ n_sw > 0 on the summed support), so every " +
+        "log2 argument is a ratio of positive exact BIGINTs. " +
+        "Per-word terms (n_sw/N_s)·log2(n_sw·N/(N_s·n_w)) are " +
+        "mirrored IEEE on the 1e-9 grid, summed in BIGINT per source " +
+        "— the quantize-then-sum discipline over the vocab-bounded " +
+        "(source × word) rollup. At 100 TB: one corpus pass to " +
+        "per-(source, word) counts, marginals by rollup, #sources " +
+        "rows out",
+      Some(
+        """WITH w AS (
+          |  SELECT source, unnest(string_split(lower(text), ' ')) AS w
+          |  FROM documents
+          |), t AS (
+          |  SELECT source, w, CAST(count(*) AS BIGINT) AS nsw
+          |  FROM w WHERE w <> '' GROUP BY source, w
+          |), m AS (
+          |  SELECT source, w, nsw,
+          |    CAST(sum(nsw) OVER (PARTITION BY source) AS BIGINT) AS ns,
+          |    CAST(sum(nsw) OVER (PARTITION BY w) AS BIGINT) AS nw,
+          |    CAST(sum(nsw) OVER () AS BIGINT) AS n
+          |  FROM t
+          |), q AS (
+          |  SELECT source, max(ns) AS n_tokens,
+          |    CAST(count(*) AS BIGINT) AS n_types,
+          |    CAST(sum(CAST(round(CAST(nsw AS DOUBLE) / ns
+          |      * log2(CAST(nsw AS DOUBLE) * n
+          |        / (CAST(ns AS DOUBLE) * nw))
+          |      * 1000000000.0) AS BIGINT)) AS BIGINT) AS kl9
+          |  FROM m GROUP BY source
+          |)
+          |SELECT source, n_tokens, n_types,
+          |  round(CAST(kl9 AS DOUBLE) / 1000000000.0, 6) AS kl_bits
+          |FROM q ORDER BY source""".stripMargin),
+    ) { (s, dir) =>
+      klDomains(Tables.documents(s, dir)
+        .select(col("source"),
+          explode(split(lower(col("text")), " ")).as("w"))
+        .filter(col("w") =!= ""))
+    },
+
+    Q(
       "q_unicode_norm",
       "UNICODE NFC NORMALIZATION pass over the corpus — " +
         "`nfc_normalize`, graft's tenth codegen'd Catalyst " +
@@ -4420,6 +4468,29 @@ object TextOps {
       .filter(col("k") >= 8)
       .select(col("lang"), col("k").as("k_tokens"),
         round(col("sxy").cast("double") / col("sxx"), 6).as("zipf_slope"))
+  }
+
+  /** The q_kl_domains core over any (source, w) token frame —
+    * factored so KlDomainsSpec can plant identical (KL = 0) and
+    * disjointly-shifted sources with hand-exact divergences. */
+  private[graft] def klDomains(tokens: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val t = tokens.groupBy("source", "w").agg(count(lit(1)).as("nsw"))
+    t.withColumn("ns",
+        sum(col("nsw")).over(Window.partitionBy("source")))
+      .withColumn("nw", sum(col("nsw")).over(Window.partitionBy("w")))
+      .withColumn("n", sum(col("nsw")).over(Window.partitionBy()))
+      .groupBy("source").agg(
+        max(col("ns")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(expr(
+          """CAST(round(CAST(nsw AS DOUBLE) / ns
+            |  * log2(CAST(nsw AS DOUBLE) * n
+            |    / (CAST(ns AS DOUBLE) * nw))
+            |  * 1000000000.0) AS BIGINT)""".stripMargin)).as("kl9"))
+      .selectExpr("source", "n_tokens", "n_types",
+        "round(CAST(kl9 AS DOUBLE) / 1000000000.0, 6) AS kl_bits")
+      .orderBy("source")
   }
 
   /** The q_cohens_kappa core over any (la, lb) label-pair frame —
