@@ -325,6 +325,61 @@ object Relational {
     },
 
     Q(
+      "q_window_dist",
+      "distribution window functions (the rank family's other half): " +
+        "ntile(4) quartiles, percent_rank, cume_dist over order " +
+        "totals per customer segment's order stream — rolled up to " +
+        "per-(segment, quartile) boundaries so the output is bounded " +
+        "while every per-row window value is exercised. " +
+        "Determinism: the window order is TOTAL ((cents, orderkey)) " +
+        "— ntile splits ties by row position, so a non-total order " +
+        "would be engine-dependent; with the total order all three " +
+        "functions are pure rational functions of the row index and " +
+        "the oracle pins them exactly (percent_rank/cume_dist are " +
+        "single IEEE divisions of exact integers, 6dp). One shuffle " +
+        "by segment; windows one pass per partition",
+      Some(
+        """WITH o AS (
+          |  SELECT c_mktsegment AS seg,
+          |    CAST(round(o_totalprice * 100) AS BIGINT) AS tc,
+          |    o_orderkey AS ok
+          |  FROM orders JOIN customer ON o_custkey = c_custkey
+          |), w AS (
+          |  SELECT seg, tc,
+          |    ntile(4) OVER (PARTITION BY seg ORDER BY tc, ok) AS quartile,
+          |    percent_rank() OVER (PARTITION BY seg ORDER BY tc, ok) AS pr,
+          |    cume_dist() OVER (PARTITION BY seg ORDER BY tc, ok) AS cd
+          |  FROM o
+          |)
+          |SELECT seg, CAST(quartile AS BIGINT) AS quartile,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  round(CAST(min(tc) AS DOUBLE) / 100, 6) AS lo_value,
+          |  round(CAST(max(tc) AS DOUBLE) / 100, 6) AS hi_value,
+          |  round(max(pr), 6) AS max_percent_rank,
+          |  round(max(cd), 6) AS max_cume_dist
+          |FROM w GROUP BY seg, quartile
+          |ORDER BY seg, quartile""".stripMargin),
+    ) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("tc"),
+          col("o_orderkey").as("ok"))
+      val w = Window.partitionBy("seg").orderBy(col("tc"), col("ok"))
+      o.withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .groupBy("seg", "quartile").agg(
+          count(lit(1)).as("n"),
+          round(min(col("tc")).cast("double") / 100, 6).as("lo_value"),
+          round(max(col("tc")).cast("double") / 100, 6).as("hi_value"),
+          round(max(col("pr")), 6).as("max_percent_rank"),
+          round(max(col("cd")), 6).as("max_cume_dist"))
+        .orderBy("seg", "quartile")
+    },
+
+    Q(
       "q_window_running",
       "running total per customer: fixed-point cumulative sum is exact and " +
         "order-stable; frame = unbounded preceding → current row",
