@@ -40,6 +40,81 @@ object MultimodalOps {
   private val PhK = 32
   private val PhMaxHamming = 4
 
+  /** Shared oracle CTE chain ending in `pairs(doc_a, doc_b, hamming)`
+    * (and exposing `sig(doc_id, sig)`) — spliced by q_phash_dup AND
+    * q_phash_cluster. A def: oracle texts interpolated into registry
+    * vals must not race object init (the EventsOps PermDraws lesson). */
+  private def phashPairsSqlCtes: String = {
+    val bytesExpr = (0 until PhK).map(k =>
+      s"ascii(substr(text, CAST(floor($k * (length(text) - 1) / ${PhK - 1}) AS BIGINT) + 1, 1))")
+      .mkString("[", ", ", "]")
+    s"""b AS (
+       |  SELECT doc_id, $bytesExpr AS bs
+       |  FROM documents WHERE length(text) >= $PhK
+       |), m AS (
+       |  SELECT doc_id, bs, CAST(list_sum(bs) AS BIGINT) / $PhK.0 AS mean FROM b
+       |), sig AS (
+       |  SELECT doc_id, CAST(list_sum(list_transform(range($PhK),
+       |    k -> CASE WHEN bs[k+1] > mean THEN 2**k ELSE 0 END)) AS BIGINT) AS sig
+       |  FROM m
+       |), bands AS (
+       |  SELECT doc_id, sig, 0 AS band_id, sig & 65535 AS bv FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, sig, 1 AS band_id, (sig >> 16) & 65535 AS bv FROM sig
+       |), cand AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, l.sig AS sa,
+       |                  r.doc_id AS doc_b, r.sig AS sb
+       |  FROM bands l JOIN bands r ON l.band_id = r.band_id
+       |    AND l.bv = r.bv AND l.doc_id < r.doc_id
+       |), pairs AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(bit_count(CAST(xor(sa, sb) AS BIGINT)) AS BIGINT) AS hamming
+       |  FROM cand
+       |  WHERE bit_count(CAST(xor(sa, sb) AS BIGINT)) <= $PhMaxHamming
+       |)""".stripMargin
+  }
+
+  /** Per-payload sign-bit signatures (doc_id, sig) — the stubbed
+    * byte-sample stand-in for a DCT phash; see q_phash_dup's doc. */
+  private[graft] def phashSigs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val bs = array((0 until PhK).map { k =>
+      ascii(col("text").substr(
+        (floor(lit(k) * (length(col("text")) - 1) / (PhK - 1)) + 1).cast("int"),
+        lit(1)))
+    }: _*)
+    Tables.documents(s, dir)
+      .filter(length(col("text")) >= PhK)
+      .select(col("doc_id"), bs.as("bs"))
+      .withColumn("mean",
+        aggregate(col("bs"), lit(0L), (a, x) => a + x).cast("double") / PhK)
+      .withColumn("sig", (0 until PhK).map { k =>
+        when(element_at(col("bs"), k + 1) > col("mean"), lit(1L << k))
+          .otherwise(lit(0L))
+      }.reduce(_ + _))
+      .select("doc_id", "sig")
+  }
+
+  /** Band-blocked near-dup pairs (doc_a, doc_b, hamming ≤ cap) over a
+    * (doc_id, sig) frame — the O(collisions) candidate join. */
+  private[graft] def phashPairs(sigDf: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val bands = sigDf.select(col("doc_id"), col("sig"),
+      posexplode(array(
+        col("sig").bitwiseAND(lit(65535L)),
+        shiftright(col("sig"), 16).bitwiseAND(lit(65535L))))
+        .as(Seq("band_id", "bv")))
+    bands.as("l").join(bands.as("r"),
+        col("l.band_id") === col("r.band_id")
+          && col("l.bv") === col("r.bv")
+          && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        bit_count(col("l.sig").bitwiseXOR(col("r.sig"))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= PhMaxHamming)
+  }
+
   /** Keys are (doc_id % NumParts, doc_id); placement is the first
     * component literally — no hash — so the oracle can name each
     * row's partition. */
@@ -264,66 +339,60 @@ object MultimodalOps {
         "hamming check on 8-byte sigs not payloads. The mean " +
         "threshold divides by the power-of-two sample count, so the " +
         "float compare is dyadic-exact in both engines",
-      Some {
-        val bytesExpr = (0 until PhK).map(k =>
-          s"ascii(substr(text, CAST(floor($k * (length(text) - 1) / ${PhK - 1}) AS BIGINT) + 1, 1))")
-          .mkString("[", ", ", "]")
-        s"""WITH b AS (
-           |  SELECT doc_id, $bytesExpr AS bs
-           |  FROM documents WHERE length(text) >= $PhK
-           |), m AS (
-           |  SELECT doc_id, bs, CAST(list_sum(bs) AS BIGINT) / $PhK.0 AS mean FROM b
-           |), sig AS (
-           |  SELECT doc_id, CAST(list_sum(list_transform(range($PhK),
-           |    k -> CASE WHEN bs[k+1] > mean THEN 2**k ELSE 0 END)) AS BIGINT) AS sig
-           |  FROM m
-           |), bands AS (
-           |  SELECT doc_id, sig, 0 AS band_id, sig & 65535 AS bv FROM sig
-           |  UNION ALL
-           |  SELECT doc_id, sig, 1 AS band_id, (sig >> 16) & 65535 AS bv FROM sig
-           |), cand AS (
-           |  SELECT DISTINCT l.doc_id AS doc_a, l.sig AS sa,
-           |                  r.doc_id AS doc_b, r.sig AS sb
-           |  FROM bands l JOIN bands r ON l.band_id = r.band_id
-           |    AND l.bv = r.bv AND l.doc_id < r.doc_id
-           |)
-           |SELECT doc_a, doc_b,
-           |  CAST(bit_count(CAST(xor(sa, sb) AS BIGINT)) AS BIGINT) AS hamming
-           |FROM cand
-           |WHERE bit_count(CAST(xor(sa, sb) AS BIGINT)) <= $PhMaxHamming
-           |ORDER BY doc_a, doc_b""".stripMargin
-      },
+      Some(
+        s"""WITH $phashPairsSqlCtes
+           |SELECT doc_a, doc_b, hamming FROM pairs
+           |ORDER BY doc_a, doc_b""".stripMargin),
     ) { (s, dir) =>
-      val bs = array((0 until PhK).map { k =>
-        ascii(col("text").substr(
-          (floor(lit(k) * (length(col("text")) - 1) / (PhK - 1)) + 1).cast("int"),
-          lit(1)))
-      }: _*)
-      val sigDf = Tables.documents(s, dir)
-        .filter(length(col("text")) >= PhK)
-        .select(col("doc_id"), bs.as("bs"))
-        .withColumn("mean",
-          aggregate(col("bs"), lit(0L), (a, x) => a + x).cast("double") / PhK)
-        .withColumn("sig", (0 until PhK).map { k =>
-          when(element_at(col("bs"), k + 1) > col("mean"), lit(1L << k))
-            .otherwise(lit(0L))
-        }.reduce(_ + _))
-        .select("doc_id", "sig")
-      val bands = sigDf.select(col("doc_id"), col("sig"),
-        posexplode(array(
-          col("sig").bitwiseAND(lit(65535L)),
-          shiftright(col("sig"), 16).bitwiseAND(lit(65535L))))
-          .as(Seq("band_id", "bv")))
-      bands.as("l").join(bands.as("r"),
-          col("l.band_id") === col("r.band_id")
-            && col("l.bv") === col("r.bv")
-            && col("l.doc_id") < col("r.doc_id"))
-        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-          bit_count(col("l.sig").bitwiseXOR(col("r.sig"))).cast("long")
-            .as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= PhMaxHamming)
-        .orderBy("doc_a", "doc_b")
+      phashPairs(phashSigs(s, dir)).orderBy("doc_a", "doc_b")
+    },
+
+    Q(
+      "q_phash_cluster",
+      "asset-level near-dup CLUSTERS: connected components over the " +
+        "q_phash_dup pair graph (pointer-jumping CC — the O(log " +
+        "diameter) GraphOps machinery reused across modules), every " +
+        "asset assigned a cluster whose canonical keeper is the min " +
+        "doc_id — the DECISION q_phash_dup's pair list only implies: " +
+        "which asset do you keep, how many do you drop, per cluster. " +
+        "Singleton assets (no near-dup) keep themselves — the grid " +
+        "completes, absence of pairs is a verdict too. The oracle is " +
+        "the recursive-CTE reachability fixpoint over the same " +
+        "pairs, so the driver's hash compare proves the distributed " +
+        "CC equals the declarative closure. At 100 TB: pair graph " +
+        "is O(band collisions), CC state is node-sized, rounds " +
+        "O(log diameter); output bounded by assets",
+      Some(
+        s"""WITH RECURSIVE $phashPairsSqlCtes, und AS (
+           |  SELECT doc_a AS u, doc_b AS v FROM pairs
+           |  UNION SELECT doc_b, doc_a FROM pairs
+           |), reach(u, t) AS (
+           |  SELECT u, v FROM und
+           |  UNION
+           |  SELECT r.u, e.v FROM reach r JOIN und e ON e.u = r.t
+           |), lab AS (
+           |  SELECT s.doc_id,
+           |    least(s.doc_id, coalesce(min(r.t), s.doc_id)) AS cluster
+           |  FROM sig s LEFT JOIN reach r ON r.u = s.doc_id
+           |  GROUP BY s.doc_id
+           |)
+           |SELECT cluster AS keep_doc, CAST(count(*) AS BIGINT) AS n_assets,
+           |  CAST(count(*) - 1 AS BIGINT) AS n_dropped
+           |FROM lab GROUP BY cluster
+           |ORDER BY n_assets DESC, keep_doc""".stripMargin),
+    ) { (s, dir) =>
+      val sigs = phashSigs(s, dir).localCheckpoint() // pairs + singleton scan
+      val pairs = phashPairs(sigs)
+      val und = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      val (labels, _) = GraphOps.ccPointerJump(und)
+      val singles = sigs.join(labels.select(col("node")), // assets w/o pairs
+          sigs("doc_id") === col("node"), "left_anti")
+        .select(col("doc_id").as("node"), col("doc_id").as("label"))
+      labels.unionAll(singles)
+        .groupBy(col("label").as("keep_doc"))
+        .agg(count(lit(1)).as("n_assets"),
+          (count(lit(1)) - 1).cast("long").as("n_dropped"))
+        .orderBy(col("n_assets").desc, col("keep_doc"))
     },
 
     Q(
