@@ -3861,6 +3861,75 @@ object EventsOps {
     },
 
     Q(
+      "q_ltv_cohort",
+      "cohort LTV curves: users cohorted by FIRST-SEEN week, " +
+        "cumulative spend per user tracked by account age in weeks — " +
+        "the triangle every growth/finance readout is built on " +
+        "(q_events_retention counts who comes back; this prices what " +
+        "they're worth while they do). Exact everywhere: first-seen " +
+        "via a user-keyed min, week indexes by integer floor-div on " +
+        "day numbers, per-(cohort, age) cents sums in BIGINT, the " +
+        "cumulative along age over the (cohorts × ages)-bounded grid " +
+        "(a few weeks each — bounded-rollup window class), and the " +
+        "per-user LTV ONE mirrored division at the end. At 100 TB: " +
+        "one user-keyed pass for cohorts, one keyed agg to the grid, " +
+        "grid-sized windows, grid rows out",
+      Some(
+        """WITH f AS (
+          |  SELECT user_id,
+          |    CAST(min(datediff('day', DATE '1970-01-01',
+          |      CAST(ts AS DATE))) AS BIGINT) AS d0
+          |  FROM events GROUP BY user_id
+          |), e AS (
+          |  SELECT ev.user_id, f.d0 // 7 AS cohort_week,
+          |    (CAST(datediff('day', DATE '1970-01-01', CAST(ev.ts AS DATE))
+          |      AS BIGINT) - f.d0) // 7 AS age_week,
+          |    CAST(round(ev.value * 100) AS BIGINT) AS c
+          |  FROM events ev JOIN f ON ev.user_id = f.user_id
+          |), cs AS (
+          |  SELECT cohort_week,
+          |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+          |  FROM e GROUP BY cohort_week
+          |), g AS (
+          |  SELECT cohort_week, age_week, CAST(sum(c) AS BIGINT) AS sp
+          |  FROM e GROUP BY cohort_week, age_week
+          |), cum AS (
+          |  SELECT cohort_week, age_week,
+          |    CAST(sum(sp) OVER (PARTITION BY cohort_week ORDER BY age_week)
+          |      AS BIGINT) AS cum_c
+          |  FROM g
+          |)
+          |SELECT cum.cohort_week, cum.age_week, cs.n_users,
+          |  round(CAST(cum_c AS DOUBLE) / cs.n_users / 100, 6)
+          |    AS ltv_per_user
+          |FROM cum JOIN cs ON cum.cohort_week = cs.cohort_week
+          |ORDER BY cum.cohort_week, age_week""".stripMargin),
+    ) { (s, dir) =>
+      val base = Tables.events(s, dir).select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("1970-01-01")).cast("long")
+          .as("d"),
+        round(col("value") * 100, 0).cast("long").as("c"))
+      val f = base.groupBy("user_id").agg(min(col("d")).as("d0"))
+      val e = base.join(f, "user_id")
+        .select(col("user_id"),
+          expr("d0 DIV 7").as("cohort_week"),
+          expr("(d - d0) DIV 7").as("age_week"), col("c"))
+        .localCheckpoint() // read by the cohort-size agg AND the grid agg
+      val cs = e.groupBy("cohort_week")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      val g = e.groupBy("cohort_week", "age_week")
+        .agg(sum(col("c")).as("sp"))
+      val wC = Window.partitionBy("cohort_week").orderBy("age_week")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.withColumn("cum_c", sum(col("sp")).over(wC))
+        .join(broadcast(cs), "cohort_week")
+        .selectExpr("cohort_week", "age_week", "n_users",
+          """round(CAST(cum_c AS DOUBLE) / n_users / 100, 6)
+            |  AS ltv_per_user""".stripMargin)
+        .orderBy("cohort_week", "age_week")
+    },
+
+    Q(
       "q_mcnemar",
       "McNEMAR'S paired test on within-user conversion flips: did " +
         "the same users who purchased in the first half of January " +

@@ -1923,6 +1923,98 @@ object Relational {
     },
 
     Q(
+      "q_simpsons_flip",
+      "SIMPSON'S PARADOX detector: the account-balance → order-total " +
+        "regression slope per nation vs pooled — the classic " +
+        "aggregation trap (every segment can trend one way while the " +
+        "pool trends the other, because segment means confound the " +
+        "relationship) surfaced as a per-segment sign-flip flag. The " +
+        "decisive comparison is EXACT: an OLS slope's sign is the " +
+        "sign of n·Σxy − Σx·Σy, an exact DECIMAL(38,0)/HUGEINT " +
+        "integer, so sign_flip = sign(num_seg)·sign(num_pool) < 0 " +
+        "never touches a float; the slopes themselves ship as ONE " +
+        "mirrored division each, 6dp (NULL on zero-variance " +
+        "segments). At 100 TB: one keyed corpus pass to per-nation " +
+        "power sums + the same sums rolled up for the pool, " +
+        "#nations rows out",
+      Some(
+        """WITH j AS (
+          |  SELECT c_nationkey AS nation,
+          |    CAST(round(c_acctbal * 100) AS BIGINT) AS x,
+          |    CAST(round(o_totalprice * 100) AS BIGINT) AS y
+          |  FROM orders JOIN customer ON o_custkey = c_custkey
+          |), g AS (
+          |  SELECT nation, CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+          |    sum(CAST(x AS HUGEINT) * x) AS sxx
+          |  FROM j GROUP BY nation
+          |), p AS (
+          |  SELECT CAST(sum(n) AS BIGINT) AS np,
+          |    CAST(sum(sx) AS BIGINT) AS sxp, CAST(sum(sy) AS BIGINT) AS syp,
+          |    sum(sxy) AS sxyp, sum(sxx) AS sxxp
+          |  FROM g
+          |), d AS (
+          |  SELECT nation, n,
+          |    CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+          |    CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den,
+          |    CAST(np AS HUGEINT) * sxyp - CAST(sxp AS HUGEINT) * syp
+          |      AS nump,
+          |    CAST(np AS HUGEINT) * sxxp - CAST(sxp AS HUGEINT) * sxp
+          |      AS denp
+          |  FROM g CROSS JOIN p
+          |)
+          |SELECT nation, n,
+          |  CASE WHEN den = 0 THEN NULL ELSE
+          |    round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) END
+          |    AS slope,
+          |  CASE WHEN denp = 0 THEN NULL ELSE
+          |    round(CAST(nump AS DOUBLE) / CAST(denp AS DOUBLE), 6) END
+          |    AS pooled_slope,
+          |  CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
+          |    * CASE WHEN nump > 0 THEN 1 WHEN nump < 0 THEN -1 ELSE 0 END
+          |    < 0 AS BIGINT) AS sign_flip
+          |FROM d ORDER BY nation""".stripMargin),
+    ) { (s, dir) =>
+      val j = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").as("nation"),
+          round(col("c_acctbal") * 100, 0).cast("long").as("x"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("y"))
+      val g = j.groupBy("nation").agg(
+        count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
+        .localCheckpoint() // read per-nation AND rolled up for the pool
+      val p = g.agg(sum(col("n")).as("np"), sum(col("sx")).as("sxp"),
+        sum(col("sy")).as("syp"), sum(col("sxy")).as("sxyp"),
+        sum(col("sxx")).as("sxxp"))
+      g.crossJoin(broadcast(p))
+        .selectExpr("nation", "n",
+          "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"
+            + " AS num",
+          "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"
+            + " AS den",
+          "CAST(np AS DECIMAL(38,0)) * sxyp"
+            + " - CAST(sxp AS DECIMAL(38,0)) * syp AS nump",
+          "CAST(np AS DECIMAL(38,0)) * sxxp"
+            + " - CAST(sxp AS DECIMAL(38,0)) * sxp AS denp")
+        .selectExpr("nation", "n",
+          """CASE WHEN den = 0 THEN NULL ELSE
+            |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) END
+            |  AS slope""".stripMargin,
+          """CASE WHEN denp = 0 THEN NULL ELSE
+            |  round(CAST(nump AS DOUBLE) / CAST(denp AS DOUBLE), 6) END
+            |  AS pooled_slope""".stripMargin,
+          """CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
+            |  * CASE WHEN nump > 0 THEN 1 WHEN nump < 0 THEN -1 ELSE 0 END
+            |  < 0 AS BIGINT) AS sign_flip""".stripMargin)
+        .orderBy("nation")
+    },
+
+    Q(
       "q_ldiversity",
       "l-DIVERSITY audit over the customer quasi-identifier pair " +
         "(nation, market segment) with account-balance band as the " +
