@@ -61,6 +61,49 @@ object EventsOps {
     * (the init-order lesson emSql's comment records). */
   private[graft] val PermDraws = 199
 
+  /** q_attribution_removal: the channel list whose removal effects
+    * are priced (a call-site config, like every attribution tool's
+    * channel mapping — 'purchase' is the conversion, never removed).
+    * Precedes the registry val (oracle interpolation). */
+  private[graft] val AttrChannels = Seq("click", "error", "signup", "view")
+
+  /** Oracle builder for one absorption variant: optionally filtered
+    * probs, MarkovSteps unrolled rounds, and the start-weighted
+    * conversion value on the 1e-9 grid. CTEs are suffixed by `tag`;
+    * requires `probs(src, dst, p)` and `start(state, cnt, u)`. */
+  private def removalVariantSql(tag: String, removed: Option[String])
+      : String = {
+    val probsName = removed.fold("probs")(_ => s"probs_$tag")
+    val probsCte = removed.fold("") { r =>
+      s"""probs_$tag AS (
+         |  SELECT src, dst, p FROM probs
+         |  WHERE src <> '$r' AND dst <> '$r'
+         |), """.stripMargin
+    }
+    val a0 = s"""a${tag}0 AS (
+                |  SELECT DISTINCT src AS state, CAST(0 AS DOUBLE) AS pa
+                |  FROM $probsName
+                |)""".stripMargin
+    val rounds = (1 to MarkovSteps).map { k =>
+      s"""a$tag$k AS (
+         |  SELECT $probsName.src AS state,
+         |    round(sum(p * CASE WHEN dst = 'purchase' THEN 1.0
+         |      ELSE coalesce(prev.pa, 0) END), 9) AS pa
+         |  FROM $probsName LEFT JOIN a$tag${k - 1} prev
+         |    ON prev.state = $probsName.dst
+         |  GROUP BY $probsName.src
+         |)""".stripMargin
+    }.mkString(", ")
+    val startFilter = removed.fold("")(r => s"WHERE start.state <> '$r'")
+    s"""$probsCte$a0, $rounds, v_$tag AS (
+       |  SELECT CAST(coalesce(sum(CAST(round(CAST(cnt AS DOUBLE) / u
+       |    * coalesce(a.pa, 0) * 1000000000.0) AS BIGINT)), 0)
+       |    AS BIGINT) AS v9
+       |  FROM start LEFT JOIN a$tag$MarkovSteps a ON a.state = start.state
+       |  $startFilter
+       |)""".stripMargin
+  }
+
   /** q_model_auc_binned: equi-width score bins B — the rank-resolution
     * knob that keeps the cumulative window's input B-BOUNDED when the
     * score domain is near-continuous (a 6dp linear score is
@@ -1984,6 +2027,82 @@ object EventsOps {
         .select(col("state").as("event_type"),
           round(col("pa"), 6).as("p_absorb"))
         .orderBy("event_type")
+    },
+
+    Q(
+      "q_attribution_removal",
+      s"Markov REMOVAL-EFFECT attribution (Anderl et al. 2014 — the " +
+        "industry-standard multi-touch model): for each channel, " +
+        "delete its node from the user transition chain and measure " +
+        "how much start-weighted conversion DISAPPEARS — credit is " +
+        "counterfactual contribution, not position (the principled " +
+        "answer to q_stream_attrib_last's last-click and " +
+        s"q_markov_absorb's raw hitting scores). Start distribution " +
+        "= each user's first event type (exact counts); conversion " +
+        s"value V = Σ π(s)·p_$MarkovSteps(s) with the k-step " +
+        "absorption recursion on the 9dp iterate grid (the " +
+        "q_markov_absorb machinery, re-run per removal on the " +
+        "FILTERED #types² table — edges into a removed channel are " +
+        "lost, not renormalized, and journeys STARTING there are " +
+        "lost too, per the model); per-start terms quantize to the " +
+        "1e-9 grid and sum exactly, so effects and the normalized " +
+        "shares are deterministic cross-engine. At 100 TB: the " +
+        "corpus pays TWO window passes (transitions + first events); " +
+        "all (1 + #channels) absorption runs live on the bounded " +
+        "probability table — constant work however big the stream",
+      Some {
+        val head =
+          """WITH seq AS (
+            |  SELECT user_id, event_type,
+            |    lag(event_type) OVER (PARTITION BY user_id
+            |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type,
+            |    row_number() OVER (PARTITION BY user_id
+            |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+            |  FROM events
+            |), pairs AS (
+            |  SELECT prev_type, event_type, count(*) AS n
+            |  FROM seq WHERE prev_type IS NOT NULL
+            |  GROUP BY prev_type, event_type
+            |), outn AS (
+            |  SELECT prev_type, CAST(sum(n) AS BIGINT) AS outn
+            |  FROM pairs GROUP BY prev_type
+            |), probs AS MATERIALIZED (
+            |  SELECT prev_type AS src, event_type AS dst,
+            |    CAST(n AS DOUBLE) / outn AS p
+            |  FROM pairs JOIN outn USING (prev_type)
+            |), start AS MATERIALIZED (
+            |  SELECT event_type AS state, CAST(count(*) AS BIGINT) AS cnt,
+            |    CAST(sum(count(*)) OVER () AS BIGINT) AS u
+            |  FROM seq WHERE rn = 1 GROUP BY event_type
+            |)""".stripMargin
+        val variants = (removalVariantSql("b", None) +:
+          AttrChannels.sorted.zipWithIndex.map { case (ch, i) =>
+            removalVariantSql(s"c$i", Some(ch))
+          }).mkString(", ")
+        val effRows = AttrChannels.sorted.zipWithIndex.map { case (ch, i) =>
+          s"SELECT '$ch' AS channel, v_b.v9 AS v9b, v_c$i.v9 AS v9r" +
+            s" FROM v_b CROSS JOIN v_c$i"
+        }.mkString("\n  UNION ALL\n  ")
+        s"""$head, $variants, eff AS (
+           |  $effRows
+           |)
+           |SELECT channel,
+           |  round(CAST(v9b AS DOUBLE) / 1000000000.0, 6) AS v_base,
+           |  round(CAST(v9r AS DOUBLE) / 1000000000.0, 6) AS v_removed,
+           |  CASE WHEN v9b = 0 THEN NULL ELSE
+           |    round(CAST(v9b - v9r AS DOUBLE) / v9b, 6) END
+           |    AS removal_effect,
+           |  CASE WHEN sum(v9b - v9r) OVER () = 0 THEN NULL ELSE
+           |    round(CAST(v9b - v9r AS DOUBLE)
+           |      / CAST(sum(v9b - v9r) OVER () AS DOUBLE), 6) END
+           |    AS attribution_share
+           |FROM eff ORDER BY channel""".stripMargin
+      },
+    ) { (s, dir) =>
+      attributionRemoval(
+        Tables.events(s, dir).select(col("user_id"), col("event_type"),
+          col("ts"), col("event_id")),
+        AttrChannels, "purchase")
     },
 
     Q(
@@ -5769,6 +5888,62 @@ object EventsOps {
         when(col("zflag") === 1, 0.0)
           .otherwise(round(exp(col("lnsum") / 1000000.0), 6))
           .as("survival"))
+  }
+
+  /** The q_attribution_removal computation over any (user_id,
+    * event_type, ts, event_id) frame — factored so AttributionSpec
+    * can plant journeys with hand-exact removal effects (sole-path
+    * channel = full credit, bystander = none). See the registry
+    * entry for the model. */
+  private[graft] def attributionRemoval(events: DataFrame,
+      channels: Seq[String], target: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val ev = events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("rn", row_number().over(w))
+      .localCheckpoint() // read by the pair agg AND the start agg
+    val pairs = ev.filter(col("prev_type").isNotNull)
+      .groupBy("prev_type", "event_type").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val outn = pairs.groupBy("prev_type").agg(sum("n").as("outn"))
+    val probs = pairs.join(outn, "prev_type")
+      .select(col("prev_type").as("src"), col("event_type").as("dst"),
+        (col("n").cast("double") / col("outn")).as("p"))
+      .localCheckpoint()
+    val start = ev.filter(col("rn") === 1)
+      .groupBy(col("event_type").as("state"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("u", sum(col("cnt")).over(Window.partitionBy()))
+      .localCheckpoint()
+    def v9Of(removed: Option[String]) = {
+      val pr = removed.fold(probs)(r =>
+        probs.filter(col("src") =!= r && col("dst") =!= r))
+      val pa = markovAbsorb(pr, target, MarkovSteps)
+      val st = removed.fold(start)(r => start.filter(col("state") =!= r))
+      st.join(pa, Seq("state"), "left")
+        .agg(coalesce(sum(expr(
+          """CAST(round(CAST(cnt AS DOUBLE) / u
+            |  * coalesce(pa, 0) * 1000000000.0) AS BIGINT)"""
+            .stripMargin)), lit(0L)).as("v9"))
+    }
+    val base = v9Of(None).withColumnRenamed("v9", "v9b")
+    val rows = channels.sorted.map { ch =>
+      v9Of(Some(ch)).withColumnRenamed("v9", "v9r")
+        .withColumn("channel", lit(ch))
+    }.reduce(_ unionAll _)
+    rows.crossJoin(broadcast(base))
+      .withColumn("tot9",
+        sum(col("v9b") - col("v9r")).over(Window.partitionBy()))
+      .selectExpr("channel",
+        "round(CAST(v9b AS DOUBLE) / 1000000000.0, 6) AS v_base",
+        "round(CAST(v9r AS DOUBLE) / 1000000000.0, 6) AS v_removed",
+        """CASE WHEN v9b = 0 THEN NULL ELSE
+          |  round(CAST(v9b - v9r AS DOUBLE) / v9b, 6) END
+          |  AS removal_effect""".stripMargin,
+        """CASE WHEN tot9 = 0 THEN NULL ELSE
+          |  round(CAST(v9b - v9r AS DOUBLE) / CAST(tot9 AS DOUBLE), 6)
+          |  END AS attribution_share""".stripMargin)
+      .orderBy("channel")
   }
 
   /** q_markov_absorb rounds (planted-chain spec entry point) over a
