@@ -3724,59 +3724,55 @@ object EventsOps {
         "one keyed corpus pass to #types power-sum rows, everything " +
         "after on the bounded rollup, 1-row output",
       Some(
-        """WITH c AS (
-          |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
-          |  FROM events
-          |), g AS (
-          |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-          |    CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS q
-          |  FROM c GROUP BY event_type
-          |), t AS (
-          |  SELECT n, s, q,
-          |    CAST(s AS HUGEINT) * s AS s2d
-          |  FROM g
-          |), u AS (
-          |  SELECT n, s, q, s2d // n AS qg, s2d % n AS rg FROM t
-          |), f AS (
-          |  SELECT n, s, q, qg,
-          |    CAST(round(CAST(rg AS DOUBLE) / n * 1000000000.0) AS BIGINT)
-          |      AS f9
-          |  FROM u
-          |), ag AS (
-          |  SELECT CAST(count(*) AS BIGINT) AS k,
-          |    CAST(sum(n) AS BIGINT) AS nn, CAST(sum(s) AS BIGINT) AS ss,
-          |    sum(CAST(q AS HUGEINT)) AS qq,
-          |    sum(CAST(qg AS HUGEINT)) AS qa,
-          |    CAST(sum(f9) AS BIGINT) AS fa
-          |  FROM f
-          |), gr AS (
-          |  SELECT k, nn, qq, qa, fa,
-          |    (CAST(ss AS HUGEINT) * ss) // nn AS qg,
-          |    (CAST(ss AS HUGEINT) * ss) % nn AS rg
-          |  FROM ag
-          |), gd AS (
-          |  SELECT k, nn, qq, qa, fa, qg,
-          |    CAST(round(CAST(rg AS DOUBLE) / nn * 1000000000.0) AS BIGINT)
-          |      AS fg
-          |  FROM gr
-          |), sums AS (
-          |  SELECT k, nn,
-          |    CAST(qa - qg AS DOUBLE)
-          |      + CAST(fa - fg AS DOUBLE) / 1000000000.0 AS ssb,
-          |    CAST(qq - qa AS DOUBLE)
-          |      - CAST(fa AS DOUBLE) / 1000000000.0 AS ssw,
-          |    CAST(qq - qg AS DOUBLE)
-          |      - CAST(fg AS DOUBLE) / 1000000000.0 AS sst
-          |  FROM gd
-          |)
-          |SELECT k AS n_groups, nn AS n, k - 1 AS df1, nn - k AS df2,
-          |  CASE WHEN k <= 1 OR nn <= k OR ssw <= 0 THEN NULL ELSE
-          |    round(ssb * (nn - k) / (ssw * (k - 1)), 6) END AS f_stat,
-          |  CASE WHEN sst <= 0 THEN NULL ELSE
-          |    round(ssb / sst, 6) END AS eta2
-          |FROM sums""".stripMargin),
+        s"""WITH c AS (
+           |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+           |  FROM events
+           |), $anovaSqlTail""".stripMargin),
     ) { (s, dir) =>
       anovaF(Tables.events(s, dir)
+        .select(col("event_type"), col("value")))
+    },
+
+    Q(
+      "q_levene_bf",
+      "BROWN-FORSYTHE variance-homogeneity test (Levene's test with " +
+        "the median center — the robust variant): one-way ANOVA on " +
+        "the ABSOLUTE DEVIATIONS from each group's median, which is " +
+        "the assumption check q_anova_f itself rests on (equal group " +
+        "variances) and the direct 'did the treatment change " +
+        "SPREAD?' readout no mean test sees. Group medians are exact " +
+        "order statistics on the cents rollup (upper median, the " +
+        "2·cum ≥ n+1 convention), deviations are exact integers, and " +
+        "the F algebra is LITERALLY q_anova_f's shared " +
+        "quotient+remainder machinery — same engine helper, same " +
+        "spliced oracle tail, so the two tests cannot drift apart. " +
+        "At 100 TB: one corpus pass to the (type, cents) rollup for " +
+        "medians (value-domain window class), one broadcast join " +
+        "back, then the bounded ANOVA rollup, 1-row output",
+      Some(
+        s"""WITH raw AS (
+           |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS rc
+           |  FROM events
+           |), vc AS (
+           |  SELECT event_type, rc, CAST(count(*) AS BIGINT) AS t
+           |  FROM raw GROUP BY event_type, rc
+           |), cw AS (
+           |  SELECT event_type, rc,
+           |    CAST(sum(t) OVER (PARTITION BY event_type ORDER BY rc)
+           |      AS BIGINT) AS cum,
+           |    CAST(sum(t) OVER (PARTITION BY event_type) AS BIGINT) AS n
+           |  FROM vc
+           |), med AS (
+           |  SELECT event_type,
+           |    CAST(min(CASE WHEN cum * 2 >= n + 1 THEN rc END) AS BIGINT)
+           |      AS med
+           |  FROM cw GROUP BY event_type
+           |), c AS (
+           |  SELECT raw.event_type, abs(raw.rc - med.med) AS c
+           |  FROM raw JOIN med ON raw.event_type = med.event_type
+           |), $anovaSqlTail""".stripMargin),
+    ) { (s, dir) =>
+      brownForsythe(Tables.events(s, dir)
         .select(col("event_type"), col("value")))
     },
 
@@ -4896,6 +4892,83 @@ object EventsOps {
           |    / sqrt(2.0 / (9 * df)), 6) END AS wh_z""".stripMargin)
       .selectExpr("n", "nt", "ng", "df", "chi2", "cramers_v", "wh_z",
         "CAST(wh_z > 1.645 AS BIGINT) AS dependent")
+  }
+
+  /** Shared DuckDB oracle tail for the exact quotient+remainder ANOVA
+    * algebra: everything after a CTE named `c(event_type, c)` — used
+    * verbatim by q_anova_f (raw cents) and q_levene_bf (median
+    * absolute deviations). A def (registry-interpolation init-order
+    * rule). */
+  private def anovaSqlTail: String =
+    """g AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS q
+      |  FROM c GROUP BY event_type
+      |), t AS (
+      |  SELECT n, s, q,
+      |    CAST(s AS HUGEINT) * s AS s2d
+      |  FROM g
+      |), u AS (
+      |  SELECT n, s, q, s2d // n AS qg, s2d % n AS rg FROM t
+      |), f AS (
+      |  SELECT n, s, q, qg,
+      |    CAST(round(CAST(rg AS DOUBLE) / n * 1000000000.0) AS BIGINT)
+      |      AS f9
+      |  FROM u
+      |), ag AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS k,
+      |    CAST(sum(n) AS BIGINT) AS nn, CAST(sum(s) AS BIGINT) AS ss,
+      |    sum(CAST(q AS HUGEINT)) AS qq,
+      |    sum(CAST(qg AS HUGEINT)) AS qa,
+      |    CAST(sum(f9) AS BIGINT) AS fa
+      |  FROM f
+      |), gr AS (
+      |  SELECT k, nn, qq, qa, fa,
+      |    (CAST(ss AS HUGEINT) * ss) // nn AS qg,
+      |    (CAST(ss AS HUGEINT) * ss) % nn AS rg
+      |  FROM ag
+      |), gd AS (
+      |  SELECT k, nn, qq, qa, fa, qg,
+      |    CAST(round(CAST(rg AS DOUBLE) / nn * 1000000000.0) AS BIGINT)
+      |      AS fg
+      |  FROM gr
+      |), sums AS (
+      |  SELECT k, nn,
+      |    CAST(qa - qg AS DOUBLE)
+      |      + CAST(fa - fg AS DOUBLE) / 1000000000.0 AS ssb,
+      |    CAST(qq - qa AS DOUBLE)
+      |      - CAST(fa AS DOUBLE) / 1000000000.0 AS ssw,
+      |    CAST(qq - qg AS DOUBLE)
+      |      - CAST(fg AS DOUBLE) / 1000000000.0 AS sst
+      |  FROM gd
+      |)
+      |SELECT k AS n_groups, nn AS n, k - 1 AS df1, nn - k AS df2,
+      |  CASE WHEN k <= 1 OR nn <= k OR ssw <= 0 THEN NULL ELSE
+      |    round(ssb * (nn - k) / (ssw * (k - 1)), 6) END AS f_stat,
+      |  CASE WHEN sst <= 0 THEN NULL ELSE
+      |    round(ssb / sst, 6) END AS eta2
+      |FROM sums""".stripMargin
+
+  /** The q_levene_bf computation over any (event_type, value) frame —
+    * exact per-group upper medians on the cents rollup, absolute
+    * deviations fed straight into [[anovaF]] (deviation cents /100 so
+    * the shared rounding round-trips exactly). Factored so LeveneSpec
+    * can pin equal-spread F = 0 and a hand-transformed equivalence. */
+  private[graft] def brownForsythe(events: DataFrame): DataFrame = {
+    val raw = events.select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("rc"))
+      .localCheckpoint() // read by the median rollup AND the deviation join
+    val wO = Window.partitionBy("event_type").orderBy("rc")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = raw.groupBy("event_type", "rc").agg(count(lit(1)).as("t"))
+      .withColumn("cum", sum(col("t")).over(wO))
+      .withColumn("n",
+        sum(col("t")).over(Window.partitionBy("event_type")))
+      .filter(col("cum") * 2 >= col("n") + 1)
+      .groupBy("event_type").agg(min(col("rc")).as("med"))
+    anovaF(raw.join(broadcast(med), "event_type")
+      .select(col("event_type"),
+        (abs(col("rc") - col("med")).cast("double") / 100).as("value")))
   }
 
   /** The q_anova_f computation over any (event_type, value) frame —
