@@ -84,10 +84,12 @@ object HyperSig {
 
   def register(s: SparkSession): Unit =
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hypersig", exprs => HyperplaneSignature(exprs.head), "built-in")
+      "hypersig",
+      Portable.arity("hypersig", 1)(es => HyperplaneSignature(es(0))),
+      "built-in")
 
   def hypersig(s: SparkSession, embeddingCol: String): Column = {
     register(s)
-    expr(s"hypersig($embeddingCol)")
+    expr(s"hypersig(${Portable.quoted(embeddingCol)})")
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{call_function, expr}
 import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -116,13 +116,22 @@ object JaroWinkler {
 
   def register(s: SparkSession): Unit =
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "jaro_winkler", exprs => JaroWinklerSim(exprs.head, exprs(1)),
+      "jaro_winkler",
+      Portable.arity("jaro_winkler", 2)(es => JaroWinklerSim(es(0), es(1))),
       "built-in")
 
   /** Column-API entry point: registers on the active session and
-    * returns `jaro_winkler(aCol, bCol)`. */
+    * returns `jaro_winkler(aCol, bCol)`. Names are backtick-quoted
+    * ([[Portable.quoted]]) so spaces/dots/hyphens parse back to the
+    * flat attributes the caller named. */
   def jaroWinkler(s: SparkSession, aCol: String, bCol: String): Column = {
     register(s)
-    expr(s"jaro_winkler($aCol, $bCol)")
+    expr(s"jaro_winkler(${Portable.quoted(aCol)}, ${Portable.quoted(bCol)})")
+  }
+
+  /** Column-typed overload — no name interpolation at all. */
+  def jaroWinkler(s: SparkSession, a: Column, b: Column): Column = {
+    register(s)
+    call_function("jaro_winkler", a, b)
   }
 }

@@ -121,13 +121,15 @@ object MinHash60 {
     * .injectFunction is the spark-submit-time equivalent. */
   def register(s: SparkSession): Unit =
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash60", exprs => MinHashSignature(exprs.head), "built-in")
+      "minhash60",
+      Portable.arity("minhash60", 1)(es => MinHashSignature(es(0))),
+      "built-in")
 
   /** Column-API entry point: registers on the active session and
     * resolves through the parser, which keeps this library off
     * Spark's private[sql] Column/Expression bridge. */
   def minhash60(s: SparkSession, shinglesCol: String): Column = {
     register(s)
-    expr(s"minhash60($shinglesCol)")
+    expr(s"minhash60(${Portable.quoted(shinglesCol)})")
   }
 }

@@ -69,4 +69,28 @@ object Portable {
   /** DuckDB SQL twin of [[md5Hash60]]. */
   def md5Hash60Sql(expr: String): String =
     s"CAST('0x' || substr(md5($expr), 1, 15) AS BIGINT)"
+
+  /** Backtick-quotes a raw column NAME for SQL-string interpolation —
+    * the functions package's Column-API entry points resolve through
+    * the parser, so a name needing backticks (spaces, dots, hyphens)
+    * would otherwise break or silently resolve as a nested-field
+    * path. Embedded backticks double per the SQL escaping rule, so
+    * ANY name round-trips to the one flat attribute the caller
+    * passed. */
+  def quoted(name: String): String =
+    "`" + name.replace("`", "``") + "`"
+
+  /** Arity-checked builder for `functionRegistry` registration: a
+    * wrong-arity SQL call gets a descriptive analysis-time
+    * IllegalArgumentException instead of a bare
+    * IndexOutOfBoundsException escaping from `exprs(1)`. */
+  def arity(name: String, n: Int)(
+      build: Seq[org.apache.spark.sql.catalyst.expressions.Expression]
+        => org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression]
+        => org.apache.spark.sql.catalyst.expressions.Expression =
+    exprs =>
+      if (exprs.length == n) build(exprs)
+      else throw new IllegalArgumentException(
+        s"$name requires exactly $n argument(s), got ${exprs.length}")
 }

@@ -112,14 +112,15 @@ object RollHash {
 
   def register(s: SparkSession): Unit =
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rollhash60", exprs => RollingGramHashes(exprs.head, exprs(1)),
+      "rollhash60",
+      Portable.arity("rollhash60", 2)(es => RollingGramHashes(es(0), es(1))),
       "built-in")
 
   /** Column-API entry point: registers on the active session and
     * returns `rollhash60(textCol, k)`. */
   def rollhash60(s: SparkSession, textCol: String, k: Int): Column = {
     register(s)
-    expr(s"rollhash60($textCol, $k)")
+    expr(s"rollhash60(${Portable.quoted(textCol)}, $k)")
   }
 
   /** DuckDB twin: the same gram hashes as a list expression, computed

@@ -3573,11 +3573,13 @@ object EventsOps {
         "so no moment needs to exist. Everything decisive is exact " +
         "integer arithmetic on the cents-value rollup: midranks " +
         "carry as DOUBLED ranks r2 = 2·cum_before + t + 1 (always an " +
-        "integer — no half-rank floats), the rank sum and the tie " +
-        "term Σ(t³−t) accumulate in BIGINT, the tie-corrected " +
-        "variance numerator na·nb·((N+1)N(N−1) − ties) in " +
-        "DECIMAL(38,0) (HUGEINT on the oracle side — the " +
-        "q_mixture_em convention), and the z-statistic is ONE " +
+        "integer — no half-rank floats), and every term that grows " +
+        "past linear in N — the rank sum, the tie term Σ(t³−t), the " +
+        "tie-corrected variance numerator na·nb·((N+1)N(N−1) − ties) " +
+        "— is cast to DECIMAL(38,0) (HUGEINT on the oracle side — " +
+        "the q_mixture_em convention) BEFORE the first overflow-able " +
+        "product, so the N³/N⁵ cubics never pass through a silently " +
+        "wrapping BIGINT multiply, and the z-statistic is ONE " +
         "mirrored IEEE expression 6dp-rounded. Also emits the " +
         "rank-biserial effect size r = 2U/(na·nb) − 1 from the same " +
         "integers. The ranking window runs over the DISTINCT-CENTS " +
@@ -3603,15 +3605,18 @@ object EventsOps {
           |), ag AS (
           |  SELECT event_type,
           |    CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
-          |    CAST(sum(ca * (2 * (cumt - t) + t + 1)) AS BIGINT) AS ra2,
-          |    CAST(sum(t * t * t - t) AS BIGINT) AS ties
+          |    CAST(sum(CAST(ca AS HUGEINT) * (2 * (cumt - t) + t + 1))
+          |      AS HUGEINT) AS ra2,
+          |    CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS ties
           |  FROM cw GROUP BY event_type
           |), st AS (
           |  SELECT event_type, na, nb,
-          |    ra2 - na * (na + 1) AS u2a,
-          |    ra2 - na * (na + 1) - na * nb AS znum,
+          |    ra2 - CAST(na AS HUGEINT) * (na + 1) AS u2a,
+          |    ra2 - CAST(na AS HUGEINT) * (na + 1)
+          |      - CAST(na AS HUGEINT) * nb AS znum,
           |    CAST(na AS HUGEINT) * nb
-          |      * ((na + nb + 1) * (na + nb) * (na + nb - 1) - ties)
+          |      * ((CAST(na + nb AS HUGEINT) + 1) * (na + nb)
+          |        * (na + nb - 1) - ties)
           |      AS varnum,
           |    na + nb AS nn
           |  FROM ag WHERE na > 0 AND nb > 0
@@ -4817,8 +4822,12 @@ object EventsOps {
     * value) frame — factored so MannWhitneySpec can plant separated
     * and tied arms and pin U, the rank-biserial, and the
     * tie-corrected z exactly. Arms split on user parity; all rank
-    * algebra in exact integers (doubled midranks), see the registry
-    * entry. */
+    * algebra in exact integers (doubled midranks), with every
+    * super-linear term (rank sum, Σ(t³−t), the N³ variance cubic)
+    * cast to DECIMAL(38,0) BEFORE its first product so nothing ever
+    * rides a silently-wrapping BIGINT multiply (Spark non-ANSI wraps
+    * where DuckDB errors — the engines would diverge at scale); see
+    * the registry entry. */
   private[graft] def mannWhitney(events: DataFrame): DataFrame = {
     val vc = events.select(col("event_type"),
         (col("user_id") % 2).as("grp"),
@@ -4831,15 +4840,18 @@ object EventsOps {
     vc.withColumn("cumt", sum(col("t")).over(wO))
       .groupBy("event_type").agg(
         sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
-        sum(col("ca") * (lit(2L) * (col("cumt") - col("t"))
-          + col("t") + 1L)).as("ra2"),
-        sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+        sum(col("ca").cast("decimal(38,0)")
+          * (lit(2L) * (col("cumt") - col("t"))
+            + col("t") + 1L)).as("ra2"),
+        sum(expr("CAST(t AS DECIMAL(38,0)) * t * t - t")).as("ties"))
       .filter(col("na") > 0 && col("nb") > 0)
       .selectExpr("event_type", "na", "nb",
-        "ra2 - na * (na + 1) AS u2a",
-        "ra2 - na * (na + 1) - na * nb AS znum",
+        "ra2 - CAST(na AS DECIMAL(38,0)) * (na + 1) AS u2a",
+        """ra2 - CAST(na AS DECIMAL(38,0)) * (na + 1)
+          |  - CAST(na AS DECIMAL(38,0)) * nb AS znum""".stripMargin,
         """CAST(na AS DECIMAL(38,0)) * nb
-          |  * ((na + nb + 1) * (na + nb) * (na + nb - 1) - ties)
+          |  * ((CAST(na + nb AS DECIMAL(38,0)) + 1) * (na + nb)
+          |    * (na + nb - 1) - ties)
           |  AS varnum""".stripMargin,
         "na + nb AS nn")
       .selectExpr("event_type", "na", "nb",
@@ -5416,9 +5428,18 @@ object EventsOps {
   /** Quantized responsibility of component 1 on the 1e-9 grid.
     * `castTy` differs per engine only in the exact-integer carrier:
     * DECIMAL(38,0) in Spark, HUGEINT in DuckDB (whose decimal
-    * multiply caps total width at 38) — same VALUES either way. */
+    * multiply caps total width at 38) — same VALUES either way.
+    * The zero-density guard makes the degenerate cell deterministic
+    * in BOTH engines: a value so far from both components that each
+    * exp underflows to 0.0 would hit 0/0 = NaN, which Spark's
+    * CAST(round(NaN) AS DECIMAL) nulls (sum then silently skips the
+    * row) while DuckDB's HUGEINT cast raises — a silent cross-engine
+    * divergence. Splitting the orphan 50/50 (r91 = 5e8) keeps its
+    * mass in both sums, the least-information assignment. */
   private def emR91(castTy: String): String =
-    s"CAST(round(${emP(1)} / (${emP(1)} + ${emP(2)}) * 1000000000) AS $castTy)"
+    s"""CAST(CASE WHEN ${emP(1)} + ${emP(2)} = 0 THEN 500000000
+       |  ELSE round(${emP(1)} / (${emP(1)} + ${emP(2)}) * 1000000000)
+       |  END AS $castTy)""".stripMargin
 
   /** M-step finals for component k from exact sums s/sv/sq: single
     * IEEE divisions rounded to the 9dp iterate grid; variance floors

@@ -2,8 +2,9 @@ package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, LogicalPlan, Project}
-import org.apache.spark.sql.functions.{col, lit, max, percentile_approx, sum, when}
+import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, LogicalPlan, Project, Sample}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation, PartitioningAwareFileIndex}
+import org.apache.spark.sql.functions.{col, count, lit, max, percentile_approx, sum, when}
 import org.apache.spark.sql.types.DoubleType
 
 import scala.util.control.NonFatal
@@ -55,11 +56,30 @@ import scala.util.control.NonFatal
   *    through broadcast stages, so an always-emitted residual would
   *    cost a full scan of the big side per query even when empty.
   *
-  * Any probe failure (no active session, a streaming source, a
-  * removed-in-future API) degrades conservatively: fallback width,
-  * residual branch ON — never a correctness change. Results are
-  * cached per canonicalized (side, lo, hi), so re-planning the same
-  * query never re-scans.
+  * Any probe failure (no active session, a removed-in-future API)
+  * degrades conservatively: fallback width, residual branch ON —
+  * never a correctness change. A STREAMING interval side never runs
+  * a probe job at all — it short-circuits to the same conservative
+  * answer before touching the session (BinningProbeSpec pins the
+  * no-job path). Interval sides too large to scan at plan time
+  * ([[MaxProbeBytes]]) probe a SAMPLE for the width (any width is
+  * correct — it only tunes candidate volume) while the residual
+  * decision stays conservative (a sample cannot prove the absence of
+  * unsafe rows), so plan latency is bounded on arbitrarily large
+  * inputs. Every probe logs its outcome (rows scanned, median, and
+  * failure cause on the degradation path).
+  *
+  * Results are cached per canonicalized (side, lo, hi) PLUS a
+  * data-version fingerprint, so re-planning the same query never
+  * re-scans — and a side whose underlying files changed (append,
+  * overwrite) misses the cache and re-derives, because the residual
+  * decision is CORRECTNESS-bearing: serving a stale
+  * nonFiniteOrUnknown = 0 for data that has since gained a NaN/Inf
+  * bound would omit the residual branch and mis-bin those rows. The
+  * fingerprint covers exactly the leaf shapes whose data version is
+  * knowable (LocalRelation — its rows live inside the canonicalized
+  * key itself — and file-source relations via root paths + size +
+  * file count + max mtime); anything else is never cached.
   */
 private[plans] object Binning {
 
@@ -111,24 +131,75 @@ private[plans] object Binning {
     stats.nonFiniteOrUnknown > 0 ||
       stats.maxFinite.exists(_ / width > (MaxSpanBuckets - 2).toDouble)
 
-  // Stats cache, keyed by the canonicalized (side, lo, hi) triple.
-  // Both consumers are conservative-by-construction, so a stale or
-  // lost entry can never change results; the bound just stops
-  // unbounded growth in long-lived sessions.
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.plans.Binning")
+
+  /** Byte budget for the plan-time probe job: a larger interval side
+    * probes a deterministic SAMPLE sized to this budget instead (width
+    * stays data-derived; the residual decision degrades to
+    * conservative because a sample proves nothing about absence), so
+    * planning latency is bounded however large the side is. */
+  val MaxProbeBytes: Long = 32L << 30
+
+  // Stats cache, keyed by the canonicalized (side, lo, hi) triple PLUS
+  // a data-version fingerprint (see the class doc: staleness of
+  // unsafePossible is correctness-bearing, so a key must change
+  // whenever the data can have). Leaves without a knowable version are
+  // never cached. The size bound stops unbounded growth in long-lived
+  // sessions; losing an entry only re-runs a probe.
   private val statsCache =
     new java.util.concurrent.ConcurrentHashMap[
-      (LogicalPlan, Expression, Expression), SideStats]()
+      (LogicalPlan, Expression, Expression, String), SideStats]()
+
+  /** A string that changes whenever `plan`'s underlying DATA can have
+    * changed; `None` when a leaf's data version is unknowable (then
+    * the caller must not cache). LocalRelation rows are part of the
+    * canonicalized plan itself, so a constant suffices; file sources
+    * fingerprint as root paths + total size + file count + max
+    * mtime (the listing is already cached on the FileIndex — no
+    * extra I/O). */
+  private def dataFingerprint(plan: LogicalPlan): Option[String] = {
+    val parts = plan.collectLeaves().map {
+      case _: LocalRelation => Some("local")
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          try {
+            val loc = fs.location
+            val files = loc match {
+              case p: PartitioningAwareFileIndex =>
+                val fl = p.allFiles()
+                s"${fl.length}:${if (fl.isEmpty) 0L
+                  else fl.map(_.getModificationTime).max}"
+              case _ => loc.inputFiles.length.toString
+            }
+            Some(s"fs:${loc.rootPaths.mkString(",")}:${loc.sizeInBytes}:$files")
+          } catch { case NonFatal(_) => None }
+        case _ => None
+      }
+      case _ => None
+    }
+    if (parts.nonEmpty && parts.forall(_.isDefined))
+      Some(parts.flatten.mkString("|"))
+    else None
+  }
 
   def sideStats(child: LogicalPlan, lo: Expression,
-      hi: Expression): SideStats = {
-    val key = (child.canonicalized, lo.canonicalized, hi.canonicalized)
-    val hit = statsCache.get(key)
-    if (hit != null) return hit
-    val stats = computeStats(child, lo, hi)
-    if (statsCache.size() > 64) statsCache.clear()
-    statsCache.put(key, stats)
-    stats
-  }
+      hi: Expression): SideStats =
+    dataFingerprint(child) match {
+      case None =>
+        // Unknown data version: never cache — recompute per rule fire
+        // (streaming children short-circuit inside computeStats).
+        computeStats(child, lo, hi)
+      case Some(fp) =>
+        val key = (child.canonicalized, lo.canonicalized, hi.canonicalized, fp)
+        val hit = statsCache.get(key)
+        if (hit != null) hit
+        else {
+          val stats = computeStats(child, lo, hi)
+          if (statsCache.size() > 64) statsCache.clear()
+          statsCache.put(key, stats)
+          stats
+        }
+    }
 
   private def computeStats(child: LogicalPlan, lo: Expression,
       hi: Expression): SideStats = {
@@ -152,12 +223,36 @@ private[plans] object Binning {
             if (vals.isEmpty) None else Some(vals(vals.length / 2)),
             if (vals.isEmpty) None else Some(vals.last),
             nonFinite)
-        } catch { case NonFatal(_) => Unknown }
+        } catch {
+          case NonFatal(e) =>
+            log.warn(s"graft binning local probe failed, degrading to " +
+              s"fallback width + residual: $e")
+            Unknown
+        }
+      case s if s.isStreaming =>
+        // A probe job over a streaming source is both impossible
+        // (unbounded) and wrong to attempt at plan time; degrade
+        // WITHOUT touching the session (BinningProbeSpec pins that no
+        // job starts on this path).
+        log.info("graft binning probe skipped for streaming side: " +
+          "fallback width, residual ON")
+        Unknown
       case _ =>
         try {
           val spark = SparkSession.active
+          // Bound plan-time work: past the byte budget, probe a
+          // deterministic sample — the width stays data-derived, and
+          // the forced nonFiniteOrUnknown keeps the residual decision
+          // conservative (a sample cannot prove clean data).
+          val bytes = child.stats.sizeInBytes
+          val sampled = bytes > MaxProbeBytes
+          val probeChild =
+            if (!sampled) child
+            else Sample(0.0,
+              (BigDecimal(MaxProbeBytes) / BigDecimal(bytes)).toDouble,
+              withReplacement = false, 42L, child)
           val lens = dataFrameOf(spark,
-            Project(Seq(Alias(len, "__graft_len")()), child))
+            Project(Seq(Alias(len, "__graft_len")()), probeChild))
           // `l <= MaxValue` is FALSE for NaN and +Inf under Spark's
           // NaN-greatest ordering, so `fin` nulls every non-finite
           // length and `nf` counts exactly those.
@@ -168,12 +263,24 @@ private[plans] object Binning {
             .otherwise(lit(0L))
           val row = lens.agg(
             percentile_approx(fin, lit(0.5), lit(1000)),
-            max(fin), sum(nf)).head()
-          SideStats(
+            max(fin), sum(nf), count(lit(1))).head()
+          val nonFinite = (if (row.isNullAt(2)) 0L else row.getLong(2)) +
+            (if (sampled) 1L else 0L)
+          val st = SideStats(
             if (row.isNullAt(0)) None else Some(row.getDouble(0)),
             if (row.isNullAt(1)) None else Some(row.getDouble(1)),
-            if (row.isNullAt(2)) 0L else row.getLong(2))
-        } catch { case NonFatal(_) => Unknown }
+            nonFinite)
+          log.info(s"graft binning probe: rows=${row.getLong(3)} " +
+            s"sampled=$sampled median=${st.median} " +
+            s"maxFinite=${st.maxFinite} " +
+            s"nonFiniteOrUnknown=${st.nonFiniteOrUnknown}")
+          st
+        } catch {
+          case NonFatal(e) =>
+            log.warn(s"graft binning probe failed, degrading to " +
+              s"fallback width + residual: $e")
+            Unknown
+        }
     }
   }
 
