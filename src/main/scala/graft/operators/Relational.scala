@@ -327,17 +327,24 @@ object Relational {
     Q(
       "q_window_dist",
       "distribution window functions (the rank family's other half): " +
-        "ntile(4) quartiles, percent_rank, cume_dist over order " +
-        "totals per customer segment's order stream — rolled up to " +
-        "per-(segment, quartile) boundaries so the output is bounded " +
-        "while every per-row window value is exercised. " +
-        "Determinism: the window order is TOTAL ((cents, orderkey)) " +
-        "— ntile splits ties by row position, so a non-total order " +
-        "would be engine-dependent; with the total order all three " +
-        "functions are pure rational functions of the row index and " +
-        "the oracle pins them exactly (percent_rank/cume_dist are " +
-        "single IEEE divisions of exact integers, 6dp). One shuffle " +
-        "by segment; windows one pass per partition",
+        "per-(segment, quartile) ntile(4) boundaries, max " +
+        "percent_rank and max cume_dist over order totals — computed " +
+        "WITHOUT any raw-stream window: the corpus pays ONE keyed " +
+        "pass to the (seg, cents) rollup, a cumulative count runs " +
+        "over the bounded cents domain (the value-domain window " +
+        "class, EventsOps scaladoc), and every output is exact " +
+        "integer row arithmetic on quartile boundary indices " +
+        "(ntile sizes are pure functions of N; the per-quartile " +
+        "MIN/MAX/max-rank aggregates are tie-insensitive because " +
+        "equal-cents rows are contiguous under any (cents, orderkey) " +
+        "tiebreak — WindowDistSpec pins equality against the literal " +
+        "window form at all three SFs). The oracle keeps the window " +
+        "spelling as the independent reference. The pre-r11 form ran " +
+        "ntile/percent_rank/cume_dist over the RAW order stream " +
+        "partitioned by c_mktsegment (cardinality 5) — a 5-task " +
+        "parallelism ceiling whose tasks sort n/5 corpus rows at any " +
+        "scale; this shape's only corpus-sized shuffle is the rollup " +
+        "groupBy, and all post-rollup work is cents-domain-bounded",
       Some(
         """WITH o AS (
           |  SELECT c_mktsegment AS seg,
@@ -360,23 +367,7 @@ object Relational {
           |FROM w GROUP BY seg, quartile
           |ORDER BY seg, quartile""".stripMargin),
     ) { (s, dir) =>
-      val o = Tables.orders(s, dir)
-        .join(Tables.customer(s, dir),
-          col("o_custkey") === col("c_custkey"))
-        .select(col("c_mktsegment").as("seg"),
-          round(col("o_totalprice") * 100, 0).cast("long").as("tc"),
-          col("o_orderkey").as("ok"))
-      val w = Window.partitionBy("seg").orderBy(col("tc"), col("ok"))
-      o.withColumn("quartile", ntile(4).over(w).cast("long"))
-        .withColumn("pr", percent_rank().over(w))
-        .withColumn("cd", cume_dist().over(w))
-        .groupBy("seg", "quartile").agg(
-          count(lit(1)).as("n"),
-          round(min(col("tc")).cast("double") / 100, 6).as("lo_value"),
-          round(max(col("tc")).cast("double") / 100, 6).as("hi_value"),
-          round(max(col("pr")), 6).as("max_percent_rank"),
-          round(max(col("cd")), 6).as("max_cume_dist"))
-        .orderBy("seg", "quartile")
+      windowDistRollup(segTotals(s, dir))
     },
 
     Q(
@@ -2169,5 +2160,88 @@ object Relational {
       .filter(coalesce(col("strict_min") > col("size"), lit(true))
         && col("group_min") === col("size"))
       .select(col("p_partkey"), col("price"), col("size"))
+  }
+
+  /** q_window_dist's input: (seg, tc, ok) = (market segment, order
+    * total in exact cents, orderkey tiebreak) for every order. */
+  private[graft] def segTotals(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("tc"),
+        col("o_orderkey").as("ok"))
+
+  /** The q_window_dist computation WITHOUT a raw-stream window — the
+    * scale-safe shape (see the registry entry). Semantics proof,
+    * pinned against [[windowDistWindowForm]] in WindowDistSpec:
+    * under the total order (tc, ok) over a segment's N rows,
+    *
+    *  - ntile(4) gives quartile q the row-index range
+    *    [lo_i, hi_i] = [(q−1)·⌊N/4⌋ + min(q−1, N mod 4) + 1,
+    *                     q·⌊N/4⌋ + min(q, N mod 4)]
+    *    (earlier tiles take the remainder — pure integer functions of
+    *    N alone, so the boundary table needs only per-seg counts);
+    *  - percent_rank at row i is (i−1)/(N−1) and cume_dist is i/N
+    *    (the total order makes every row its own peer group), so
+    *    their per-quartile MAXes are single IEEE divisions of the
+    *    exact integers (hi_i−1, N−1) and (hi_i, N);
+    *  - min/max tc over the quartile are the tc's at rows lo_i/hi_i =
+    *    the smallest rollup cents whose cumulative count reaches the
+    *    index — equal-cents rows are CONTIGUOUS under any ok
+    *    tiebreak, so no per-quartile aggregate can see the tiebreak
+    *    (tie-insensitivity; the ok column exists only so the window
+    *    REFERENCE form is deterministic).
+    *
+    * Cost: one corpus-keyed rollup shuffle; the cumulative window,
+    * boundary build, and boundary⋈rollup probe all run on the
+    * cents-domain-bounded rollup (the value-domain window class). */
+  private[graft] def windowDistRollup(o: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val vc = o.groupBy("seg", "tc").agg(count(lit(1)).as("c"))
+    val cum = vc.withColumn("cum",
+      sum(col("c")).over(Window.partitionBy("seg").orderBy("tc")))
+    val bounds = vc.groupBy("seg").agg(sum(col("c")).as("nt"))
+      .select(col("seg"), col("nt"),
+        explode(expr("array(1L, 2L, 3L, 4L)")).as("quartile"))
+      .selectExpr("seg", "nt", "quartile",
+        "(quartile - 1) * (nt DIV 4) + least(quartile - 1, nt % 4) + 1 AS lo_i",
+        "quartile * (nt DIV 4) + least(quartile, nt % 4) AS hi_i")
+      .filter(col("hi_i") >= col("lo_i")) // quartiles past N when N < 4
+    cum.join(broadcast(bounds), Seq("seg"))
+      .groupBy("seg", "quartile", "nt", "lo_i", "hi_i").agg(
+        min(when(col("cum") >= col("lo_i"), col("tc"))).as("lo_tc"),
+        min(when(col("cum") >= col("hi_i"), col("tc"))).as("hi_tc"))
+      .selectExpr("seg", "quartile",
+        "hi_i - lo_i + 1 AS n",
+        "round(CAST(lo_tc AS DOUBLE) / 100, 6) AS lo_value",
+        "round(CAST(hi_tc AS DOUBLE) / 100, 6) AS hi_value",
+        // N = 1: both engines define percent_rank of the single row
+        // as 0 rather than 0/0.
+        """CASE WHEN nt = 1 THEN 0.0 ELSE
+          |  round(CAST(hi_i - 1 AS DOUBLE) / CAST(nt - 1 AS DOUBLE), 6)
+          |  END AS max_percent_rank""".stripMargin,
+        "round(CAST(hi_i AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS max_cume_dist")
+      .orderBy("seg", "quartile")
+  }
+
+  /** The literal window spelling of q_window_dist (the pre-r11 shape:
+    * ntile/percent_rank/cume_dist over the raw per-segment stream) —
+    * kept ONLY as WindowDistSpec's independent reference; the
+    * registry runs [[windowDistRollup]]. */
+  private[graft] def windowDistWindowForm(o: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("seg").orderBy(col("tc"), col("ok"))
+    o.withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .groupBy("seg", "quartile").agg(
+        count(lit(1)).as("n"),
+        round(min(col("tc")).cast("double") / 100, 6).as("lo_value"),
+        round(max(col("tc")).cast("double") / 100, 6).as("hi_value"),
+        round(max(col("pr")), 6).as("max_percent_rank"),
+        round(max(col("cd")), 6).as("max_cume_dist"))
+      .orderBy("seg", "quartile")
   }
 }

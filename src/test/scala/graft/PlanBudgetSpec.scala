@@ -854,6 +854,30 @@ class PlanBudgetSpec extends AnyFunSuite {
       s"selection must not use a global rank window, plan:\n$p")
   }
 
+  test("q_window_dist runs no window over the raw order stream") {
+    // The r10 weak flag: ntile/percent_rank/cume_dist over the raw
+    // stream partitioned by c_mktsegment (cardinality 5) is a 5-task
+    // ceiling whose tasks sort n/5 corpus rows. The rollup rewrite
+    // must keep every window ABOVE the (seg, tc) aggregate: walk the
+    // physical tree and require each WindowExec's subtree to contain
+    // a HashAggregate (the rollup) — a raw-stream window would sit
+    // directly on the join/scan.
+    // Tree print order: a node's subtree prints AFTER it. So every
+    // Window line must be followed by a HashAggregate line (the
+    // rollup feeding it); the raw-stream shape printed its group-by
+    // aggregate BEFORE the window and only join/scan lines after.
+    val p = plan("q_window_dist")
+    val lines = p.linesIterator.toIndexedSeq
+    val winIdx = lines.zipWithIndex
+      .filter(_._1.contains("Window [")).map(_._2)
+    assert(winIdx.nonEmpty, "the cents-domain cumulative window is gone " +
+      s"— if deliberate, update this pin; plan:\n$p")
+    for (i <- winIdx) {
+      assert(lines.drop(i + 1).exists(_.contains("HashAggregate")),
+        s"window input must be the bounded rollup, not the raw stream:\n$p")
+    }
+  }
+
   test("q_cdc_chunks hashes with rollhash60 off a text-only pruned scan") {
     // Expression-level codegen of rollhash60 is CodegenOnlySpec's job;
     // here the plan must actually USE the rolling hash (no md5-per-gram

@@ -7,11 +7,22 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Pins q_window_dist's determinism premise: over a TOTAL order,
   * ntile/percent_rank/cume_dist are pure functions of the row index —
   * hand-checked on planted ties, including the ntile remainder rule
-  * (earlier tiles get the extra rows).
+  * (earlier tiles get the extra rows) — and the r11 ROLLUP REWRITE's
+  * equivalence: the scale-safe shape (quartile boundaries by exact
+  * integer row arithmetic over the (seg, cents) cumulative rollup)
+  * must equal the literal window form row-for-row on planted edge
+  * cases (N mod 4 ≠ 0, heavy ties straddling quartile boundaries,
+  * N < 4, N = 1) AND on the real tables at all three SFs.
   */
 class WindowDistSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    val cols = df.columns.sorted.toIndexedSeq
+    df.select(cols.map(col): _*).collect()
+      .map(_.toSeq.mkString("|")).toSeq
+  }
 
   test("ntile remainder rule and exact rank fractions on ties") {
     import spark.implicits._
@@ -33,5 +44,34 @@ class WindowDistSpec extends AnyFunSuite {
       (3L, 2, 2.0 / 5, 3 / n), (4L, 2, 3.0 / 5, 4 / n),
       (5L, 3, 4.0 / 5, 5 / n), (6L, 4, 5.0 / 5, 6 / n))
     assert(got.toSeq == want, s"got ${got.toSeq}")
+  }
+
+  test("rollup rewrite equals the window form on planted edge cases") {
+    import spark.implicits._
+    // Segments exercising every boundary rule: a (remainder 2, ties
+    // straddling the q1/q2 and q3/q4 boundaries), b (N=3 < tiles),
+    // c (N=1 — the percent_rank 0/0 seam), d (N=8, all one value).
+    val rows0 = Seq(
+      ("a", 100L), ("a", 100L), ("a", 100L), ("a", 200L), ("a", 300L),
+      ("a", 300L), ("a", 300L), ("a", 300L), ("a", 400L), ("a", 500L),
+      ("b", 700L), ("b", 600L), ("b", 700L),
+      ("c", 900L),
+      ("d", 50L), ("d", 50L), ("d", 50L), ("d", 50L),
+      ("d", 50L), ("d", 50L), ("d", 50L), ("d", 50L))
+    val o = rows0.zipWithIndex
+      .map { case ((s0, tc), i) => (s0, tc, i.toLong) }
+      .toDF("seg", "tc", "ok")
+    val got = rows(operators.Relational.windowDistRollup(o))
+    val want = rows(operators.Relational.windowDistWindowForm(o))
+    assert(got == want, s"\ngot  $got\nwant $want")
+  }
+
+  test("rollup rewrite equals the window form at all three SFs") {
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val o = operators.Relational.segTotals(spark, s"/root/testdata/$sf")
+      val got = rows(operators.Relational.windowDistRollup(o))
+      val want = rows(operators.Relational.windowDistWindowForm(o))
+      assert(got == want, s"$sf: rollup != window form\ngot  $got\nwant $want")
+    }
   }
 }
