@@ -2041,15 +2041,20 @@ object EventsOps {
         "= each user's first event type (exact counts); conversion " +
         s"value V = Σ π(s)·p_$MarkovSteps(s) with the k-step " +
         "absorption recursion on the 9dp iterate grid (the " +
-        "q_markov_absorb machinery, re-run per removal on the " +
-        "FILTERED #types² table — edges into a removed channel are " +
-        "lost, not renormalized, and journeys STARTING there are " +
-        "lost too, per the model); per-start terms quantize to the " +
+        "q_markov_absorb machinery over the FILTERED #types² table — " +
+        "edges into a removed channel are lost, not renormalized, " +
+        "and journeys STARTING there are lost too, per the model); " +
+        "all (1 + #channels) scenarios ride ONE keyed fixpoint: the " +
+        "transition table explodes with a removal tag and " +
+        "markovAbsorbKeyed runs the same checkpointed rounds over " +
+        "(removed, state), so driver round-trips are MarkovSteps " +
+        "regardless of channel count (pre-r11: one sequential " +
+        "fixpoint per channel). Per-start terms quantize to the " +
         "1e-9 grid and sum exactly, so effects and the normalized " +
         "shares are deterministic cross-engine. At 100 TB: the " +
         "corpus pays TWO window passes (transitions + first events); " +
-        "all (1 + #channels) absorption runs live on the bounded " +
-        "probability table — constant work however big the stream",
+        "every absorption round is one join+agg on the bounded " +
+        "tagged table — constant work however big the stream",
       Some {
         val head =
           """WITH seq AS (
@@ -6009,22 +6014,41 @@ object EventsOps {
       .agg(count(lit(1)).as("cnt"))
       .withColumn("u", sum(col("cnt")).over(Window.partitionBy()))
       .localCheckpoint()
-    def v9Of(removed: Option[String]) = {
-      val pr = removed.fold(probs)(r =>
-        probs.filter(col("src") =!= r && col("dst") =!= r))
-      val pa = markovAbsorb(pr, target, MarkovSteps)
-      val st = removed.fold(start)(r => start.filter(col("state") =!= r))
-      st.join(pa, Seq("state"), "left")
-        .agg(coalesce(sum(expr(
-          """CAST(round(CAST(cnt AS DOUBLE) / u
-            |  * coalesce(pa, 0) * 1000000000.0) AS BIGINT)"""
-            .stripMargin)), lit(0L)).as("v9"))
-    }
-    val base = v9Of(None).withColumnRenamed("v9", "v9b")
-    val rows = channels.sorted.map { ch =>
-      v9Of(Some(ch)).withColumnRenamed("v9", "v9r")
-        .withColumn("channel", lit(ch))
-    }.reduce(_ unionAll _)
+    // ONE batched fixpoint for all (1 + K) removal scenarios: the
+    // transition table explodes ×(1+K) with a `removed` tag (the
+    // baseline keeps every edge; scenario r drops edges touching r),
+    // and [[markovAbsorbKeyed]] runs the SAME MarkovSteps checkpointed
+    // rounds over the (removed, state) key — constant driver
+    // round-trips however many channels are audited, instead of the
+    // pre-r11 (1 + K) sequential fixpoints. State stays bounded:
+    // (1 + K) × #types² edges, (1 + K) × #types states.
+    val NoneTag = " baseline"
+    require(!channels.contains(NoneTag),
+      "channel list collides with the internal baseline tag")
+    val tags = probs.sparkSession.range(1).select(
+      explode(array((NoneTag +: channels.sorted).map(lit): _*)).as("removed"))
+    val probsX = probs.crossJoin(broadcast(tags))
+      .filter(col("removed") === NoneTag
+        || (col("src") =!= col("removed") && col("dst") =!= col("removed")))
+    val paX = markovAbsorbKeyed(probsX, Seq("removed"), target, MarkovSteps)
+    val startX = start.crossJoin(broadcast(tags))
+      .filter(col("removed") === NoneTag || col("state") =!= col("removed"))
+    // tags-left-join so a scenario whose every start state was removed
+    // still lands a v9 = 0 row (the sequential form's global agg did).
+    val v9All = tags.join(
+        startX.join(paX, Seq("removed", "state"), "left")
+          .groupBy("removed")
+          .agg(coalesce(sum(expr(
+            """CAST(round(CAST(cnt AS DOUBLE) / u
+              |  * coalesce(pa, 0) * 1000000000.0) AS BIGINT)"""
+              .stripMargin)), lit(0L)).as("v9")),
+        Seq("removed"), "left")
+      .withColumn("v9", coalesce(col("v9"), lit(0L)))
+      .localCheckpoint()
+    val base = v9All.filter(col("removed") === NoneTag)
+      .select(col("v9").as("v9b"))
+    val rows = v9All.filter(col("removed") =!= NoneTag)
+      .select(col("removed").as("channel"), col("v9").as("v9r"))
     rows.crossJoin(broadcast(base))
       .withColumn("tot9",
         sum(col("v9b") - col("v9r")).over(Window.partitionBy()))
@@ -6044,17 +6068,35 @@ object EventsOps {
     * (src, dst, p) probability table: k-step hitting probability of
     * `target`, 9dp-rounded per round. Returns (state, pa). */
   private[graft] def markovAbsorb(
-      probs: DataFrame, target: String, steps: Int): DataFrame = {
-    var pk = probs.select(col("src").as("state")).distinct()
+      probs: DataFrame, target: String, steps: Int): DataFrame =
+    markovAbsorbKeyed(probs, Nil, target, steps)
+
+  /** [[markovAbsorb]] generalized to run MANY absorption chains in
+    * the SAME checkpointed fixpoint: `keys` names extra columns on
+    * the (src, dst, p) table that partition it into independent
+    * chains (q_attribution_removal's `removed` scenario tag), and
+    * each round is ONE join + agg over the union of all chains'
+    * bounded state — the q_kanon_generalize width-ladder discipline —
+    * so driver round-trips stay MarkovSteps however many chains run.
+    * Per chain the algebra is IDENTICAL to the unkeyed form (the
+    * per-(keys, src) sums see exactly the rows the filtered
+    * sequential run would), so results match it term for term.
+    * Returns (keys..., state, pa). */
+  private[graft] def markovAbsorbKeyed(probs: DataFrame, keys: Seq[String],
+      target: String, steps: Int): DataFrame = {
+    val kCols = keys.map(col)
+    var pk = probs.select(kCols :+ col("src").as("state"): _*).distinct()
       .withColumn("pa", lit(0.0))
     for (_ <- 1 to steps) {
       pk = probs
-        .join(pk.select(col("state").as("dst"), col("pa").as("pprev")),
-          Seq("dst"), "left")
-        .select(col("src"),
+        .join(pk.select(
+            kCols :+ col("state").as("dst") :+ col("pa").as("pprev"): _*),
+          keys :+ "dst", "left")
+        .select(kCols :+ col("src") :+
           (col("p") * when(col("dst") === target, lit(1.0))
-            .otherwise(coalesce(col("pprev"), lit(0.0)))).as("c"))
-        .groupBy("src").agg(round(sum(col("c")), 9).as("pa"))
+            .otherwise(coalesce(col("pprev"), lit(0.0)))).as("c"): _*)
+        .groupBy(kCols :+ col("src"): _*)
+        .agg(round(sum(col("c")), 9).as("pa"))
         .withColumnRenamed("src", "state")
         .localCheckpoint()
     }

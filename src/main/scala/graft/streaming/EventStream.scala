@@ -39,6 +39,17 @@ case class TransState(lastUs: Long, lastId: Long, lastType: String)
 /** One consecutive-event transition as emitted downstream. */
 case class TransOut(user_id: Long, prev_type: String, event_type: String)
 
+/** One buffered (above-watermark, not yet finalized) event inside
+  * [[TransBufState]]. */
+case class BufEvent(us: Long, id: Long, tpe: String)
+
+/** Per-user state for the WATERMARK-BUFFERED transition extractor:
+  * the last FINALIZED event (the one the next finalized pair leads
+  * with), plus every event still above the watermark in (µs, id)
+  * order. Buffer size is bounded by the user's events inside the
+  * watermark window, never history. */
+case class TransBufState(last: Option[TransState], buf: Seq[BufEvent])
+
 /** Structured Streaming twins of the batch event analytics in
   * [[graft.operators.EventsOps]] (the reference engine is batch-only —
   * SURVEY.md §2.10 — so this is pure extension surface).
@@ -384,6 +395,82 @@ object EventStream {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(transFn)
       .toDF()
+  }
+
+  /** WATERMARK-BUFFERED transition extraction — the production-grade
+    * face of [[transitionsState]] for OUT-OF-ORDER streams. The plain
+    * variant pairs by fold order: per-user state is just the last
+    * event seen, so a user's later event arriving a batch EARLIER
+    * gets paired first and the stream diverges from the batch twin's
+    * lag(). This variant buffers events and finalizes a pair only
+    * once the WATERMARK strictly passes the earlier event's time:
+    *
+    *  - each batch admits rows at-or-above the watermark (the
+    *    debounce late-row discipline: anything below may already have
+    *    been finalized past, so pairing it would be out of order —
+    *    dropped, the standard lateness contract), merges them into
+    *    the per-user buffer, and pops the (µs, id)-sorted prefix
+    *    strictly BELOW the watermark, pairing each popped event
+    *    against the previous finalized one;
+    *  - a popped event's successor is safe to wait for: every future
+    *    admitted event sits at-or-above the watermark, hence strictly
+    *    after everything popped — so the finalized pair sequence is
+    *    EXACTLY the batch lag() over the admitted rows, whatever
+    *    batch slicing or arrival order the stream had
+    *    (EventStreamSpec pins an adversarial out-of-order replay);
+    *  - an event-time timeout at the earliest buffered µs drains the
+    *    buffer as the watermark advances without new data for the
+    *    key (Spark's no-data micro-batches fire it).
+    *
+    * State is the last finalized event plus the events inside the
+    * watermark window — bounded by `delay`, never history (the
+    * sessionizer's cardinality class, unlike [[transitionsState]]'s
+    * one-record-per-user-ever). The cost of exactness under
+    * disorder: emission latency = the watermark delay. */
+  def transitionsBuffered(events: DataFrame,
+      delay: String = "2 hours"): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", delay)
+      .selectExpr("ts", "user_id", "event_type", "event_id").as[TransEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(transBufFn)
+      .toDF()
+  }
+
+  private def transBufFn(user: Long, evs: Iterator[TransEvent],
+      state: GroupState[TransBufState]): Iterator[TransOut] = {
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
+    val st = state.getOption.getOrElse(TransBufState(None, Nil))
+    val incoming =
+      if (state.hasTimedOut) IndexedSeq.empty[BufEvent]
+      else evs.filter(e => tsToUs(e.ts) >= wmUs)
+        .map(e => BufEvent(tsToUs(e.ts), e.event_id, e.event_type))
+        .toIndexedSeq
+    val buf = (st.buf ++ incoming).sortBy(e => (e.us, e.id))
+    // Strictly below the watermark pops; exactly-at stays (a same-µs
+    // sibling can still be admitted, and the id tiebreak must see
+    // them together).
+    val (ready, pending) = buf.partition(_.us < wmUs)
+    val out = scala.collection.mutable.ArrayBuffer.empty[TransOut]
+    var last = st.last
+    for (e <- ready) {
+      last.foreach(s => out += TransOut(user, s.lastType, e.tpe))
+      last = Some(TransState(e.us, e.id, e.tpe))
+    }
+    if (pending.isEmpty && last.isEmpty) state.remove()
+    else {
+      state.update(TransBufState(last, pending))
+      // Wake when the watermark strictly passes the earliest buffered
+      // event (ms-rounded UP; must sit past the current watermark).
+      pending.headOption.foreach { h =>
+        state.setTimeoutTimestamp(
+          math.max(Math.floorDiv(h.us, 1000L) + 1L,
+            state.getCurrentWatermarkMs() + 1L))
+      }
+    }
+    out.iterator
   }
 
   private def transFn(user: Long, evs: Iterator[TransEvent],

@@ -102,6 +102,35 @@ object StreamOps {
     Files.setLastModifiedTime(dst, FileTime.fromMillis(mtimeMillis))
   }
 
+  /** The Markov rollup shared by q_stream_transitions and
+    * q_stream_transitions_exact: (prev_type, event_type) counts and
+    * conditional probabilities over the sink's pair stream. */
+  private def transitionRollup(pairs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val pw = org.apache.spark.sql.expressions.Window.partitionBy("prev_type")
+    pairs.groupBy("prev_type", "event_type").agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n").cast("double")
+        / sum("n").over(pw), 6))
+      .orderBy("prev_type", "event_type")
+  }
+
+  /** The batch lag() oracle both transition rows share verbatim —
+    * stream state ≡ the batch rollup whenever pairing is exact. */
+  private val transitionsMarkovSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+      |  FROM events
+      |), pairs AS (
+      |  SELECT prev_type, event_type, count(*) AS n
+      |  FROM seq WHERE prev_type IS NOT NULL
+      |  GROUP BY prev_type, event_type
+      |)
+      |SELECT prev_type, event_type, n,
+      |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+      |FROM pairs ORDER BY prev_type, event_type""".stripMargin
+
   /** Runs a streaming frame to a parquet sink under AvailableNow and
     * reads the sink back as a batch frame. */
   private def runToParquet(
@@ -608,28 +637,66 @@ object StreamOps {
         "State is one record per user ever seen (∝ users, the " +
         "dropDuplicates cardinality class) — the documented cost of " +
         "exact cross-gap lag; the counts agg is #types²-bounded",
-      Some(
-        """WITH seq AS (
-          |  SELECT user_id, event_type,
-          |    lag(event_type) OVER (PARTITION BY user_id
-          |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
-          |  FROM events
-          |), pairs AS (
-          |  SELECT prev_type, event_type, count(*) AS n
-          |  FROM seq WHERE prev_type IS NOT NULL
-          |  GROUP BY prev_type, event_type
-          |)
-          |SELECT prev_type, event_type, n,
-          |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type), 6) AS p
-          |FROM pairs ORDER BY prev_type, event_type""".stripMargin),
+      Some(transitionsMarkovSql),
     ) { (s, dir) =>
-      val pairs = runToParquet(s,
-        EventStream.transitionsState(stagedEventsSource(s, dir)))
-      val pw = org.apache.spark.sql.expressions.Window.partitionBy("prev_type")
-      pairs.groupBy("prev_type", "event_type").agg(count(lit(1)).as("n"))
-        .withColumn("p", round(col("n").cast("double")
-          / sum("n").over(pw), 6))
-        .orderBy("prev_type", "event_type")
+      transitionRollup(runToParquet(s,
+        EventStream.transitionsState(stagedEventsSource(s, dir))))
+    },
+
+    Q(
+      "q_stream_transitions_exact",
+      "WATERMARK-BUFFERED transition extraction — the production-" +
+        "grade face of q_stream_transitions for OUT-OF-ORDER " +
+        "arrival, run END-TO-END as a real streaming job and sharing " +
+        "the batch oracle VERBATIM. The replay is ADVERSARIAL by " +
+        "construction: events stage into THREE files hashed by " +
+        "event_id % 3 (mtime-pinned, maxFilesPerTrigger=1), so a " +
+        "user's later event routinely arrives a micro-batch EARLIER " +
+        "— exactly the split where the fold-order variant mispairs " +
+        "and diverges from lag(). EventStream.transitionsBuffered " +
+        "buffers per-user events above the watermark and finalizes a " +
+        "pair only once the watermark strictly passes the earlier " +
+        "event (every future admitted event is at-or-above the " +
+        "watermark, hence after everything finalized — so the pair " +
+        "stream equals the batch lag() at ANY slicing); the sentinel " +
+        "then drives the watermark past all real events and the " +
+        "trailing no-data batch drains every buffer by event-time " +
+        "timeout. The replay's 3650-day delay makes nothing late " +
+        "(a live deployment picks its real lateness budget and " +
+        "trades exactly that much emission latency); state is the " +
+        "last finalized event + the in-window buffer per user — " +
+        "bounded by the delay window, never history. The counts agg " +
+        "is #types²-bounded",
+      Some(transitionsMarkovSql),
+    ) { (s, dir) =>
+      import java.nio.file.{Files, Paths}
+      val ev = Tables.events(s, dir)
+      val scratch = Scratch.dir()
+      val srcDir = Paths.get(scratch, "src")
+      Files.createDirectories(srcDir)
+      // Hash-sliced staging: id % 3 interleaves every user's timeline
+      // across batches — per-user arrival order is scrambled, the
+      // shape the buffered variant exists for.
+      for (i <- 0 to 2)
+        stageSlice(ev.filter(pmod(col("event_id"), lit(3)) === i),
+          scratch, srcDir, s"part0$i.parquet", 1000000000000L + i * 60000L)
+      val sentCols = ev.columns.map {
+        case "event_id" => lit(-1L).as("event_id")
+        case "ts" => lit("2100-01-01 00:00:00")
+          .cast(ev.schema("ts").dataType).as("ts")
+        case "user_id" => lit(-1L).as("user_id")
+        case "event_type" => lit("sentinel").as("event_type")
+        case "value" => lit(0.0).as("value")
+        case c => lit(null).cast(ev.schema(c).dataType).as(c)
+      }
+      stageSlice(s.range(1).select(sentCols.toIndexedSeq: _*),
+        scratch, srcDir, "zz_sentinel.parquet", 1000000300000L)
+      val src = s.readStream
+        .schema(s.read.parquet(srcDir.toString).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir.toString)
+      transitionRollup(runToParquet(s,
+        EventStream.transitionsBuffered(src, "3650 days")))
     },
 
     Q(

@@ -342,4 +342,49 @@ class EventStreamSpec extends AnyFunSuite {
       assert(streamed == expected, s"streamed=$streamed")
     } finally q.stop()
   }
+
+  test("transitionsBuffered: adversarial cross-batch disorder pairs exactly") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = EventStream.transitionsBuffered(src.toDF()) // 2h delay
+      .writeStream.format("memory").queryName("transx_out")
+      .outputMode("append").start()
+    def pairs(): Map[(Long, String, String), Int] =
+      spark.table("transx_out")
+        .select("user_id", "prev_type", "event_type").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+    try {
+      // User 1's events arrive REVERSED ACROSS BATCHES: t=50 and t=30
+      // in batch 1, the true first event t=10 only in batch 2. The
+      // fold-order variant would pair B->C then C->A here; exact
+      // semantics demand A->B, B->C.
+      src.addData(Ev(ts(50), 1, "C", 0, 103), Ev(ts(30), 1, "B", 0, 102))
+      q.processAllAvailable()
+      src.addData(Ev(ts(10), 1, "A", 0, 101))
+      q.processAllAvailable()
+      // Nothing may finalize while the watermark (2h lag) still sits
+      // below the events — emission waits for the watermark, that is
+      // the contract.
+      assert(pairs().isEmpty, s"premature emission: ${pairs()}")
+      // Watermark driver: t=200 pushes wm to t=80 > all of user 1;
+      // the follow-up batch lets the event-time timeout drain.
+      src.addData(Ev(ts(200), 9, "z", 0, 900))
+      q.processAllAvailable()
+      src.addData(Ev(ts(201), 9, "z", 0, 901))
+      q.processAllAvailable()
+      assert(pairs() == Map((1L, "A", "B") -> 1, (1L, "B", "C") -> 1),
+        s"got ${pairs()}")
+      // A row below the watermark is LATE: dropped, never mis-paired
+      // (admitting it would pair out of order against finalized
+      // history). User 9's own events stay pending (wm < t=200).
+      src.addData(Ev(ts(20), 1, "X", 0, 104))
+      q.processAllAvailable()
+      src.addData(Ev(ts(202), 9, "z", 0, 902))
+      q.processAllAvailable()
+      assert(pairs() == Map((1L, "A", "B") -> 1, (1L, "B", "C") -> 1),
+        s"late row leaked: ${pairs()}")
+    } finally q.stop()
+  }
 }
