@@ -287,9 +287,10 @@ private[plans] object Binning {
   /** `Dataset.ofRows` is private[sql], so the stats pass reaches it
     * reflectively (the object is stable public API in practice — AQE,
     * connectors, and every execution path construct frames this way).
-    * Any signature drift lands in the try/catch above and degrades to
-    * the conservative fallback. */
-  private def dataFrameOf(spark: SparkSession, plan: LogicalPlan): DataFrame = {
+    * Any signature drift lands in the caller's try/catch and degrades
+    * to the conservative fallback. Shared with
+    * [[OverlapJoinBlocking]]'s token-df probe. */
+  private[plans] def dataFrameOf(spark: SparkSession, plan: LogicalPlan): DataFrame = {
     val cls = Class.forName("org.apache.spark.sql.classic.Dataset$")
     val module = cls.getField("MODULE$").get(null)
     val m = cls.getMethods.find(m =>

@@ -58,14 +58,35 @@ import org.apache.spark.sql.types._
   * than T distinct tokens get an empty prefix and are dropped by
   * Generate (they cannot satisfy the predicate anyway).
   *
-  * The global order here is LEXICOGRAPHIC (array_sort on the strings),
-  * which makes prefix, intersect and array_min consistent with zero
-  * extra machinery. Production tuning orders tokens by ascending
-  * document frequency instead — rare tokens first shrink candidate
-  * lists dramatically on skewed vocabularies — which needs a stats
-  * broadcast and stays an operator-level refinement (the q_cooccur
-  * df-pruning shape), not a planner concern: any total order is
-  * CORRECT, the order only tunes pruning.
+  * == The global token order ==
+  *
+  * ANY total order is CORRECT (the theorem only needs consistency
+  * across sides); the order tunes PRUNING. The default is
+  * LEXICOGRAPHIC — prefix, intersect and array_min consistent with
+  * zero extra machinery. On SKEWED vocabularies the rule upgrades to
+  * ASCENDING-DOCUMENT-FREQUENCY order (rare tokens first — the
+  * AllPairs paper's own tuning: a prefix that avoids hot tokens
+  * shrinks candidate lists by orders of magnitude on Zipfian data),
+  * fed by a [[Binning]]-style one-pass token-df probe at rule-fire
+  * time: explode+count both sides' distinct tokens, take the
+  * [[HotK]] most frequent, and fire only when the top df clears
+  * [[SkewGate]]× the hot-set floor — a near-uniform vocabulary (where
+  * the reorder cannot help) keeps the zero-overhead lexicographic
+  * plan, measured unchanged. The order is REALIZED as an injective
+  * encoding: token → zero-padded hot-rank ∥ SEP ∥ token, where every
+  * token outside the hot set shares rank 0 (rare-first) and hot
+  * tokens rank by ascending df — so the ordinary lexicographic
+  * machinery (array_sort, array_min, string-equality join keys) now
+  * compares BY the df order, and the canonical filter reads
+  * array_min of the ENCODED shared intersect. Probe results are
+  * cached per canonicalized (left, la, right, ra); staleness here is
+  * PERF-ONLY (unlike Binning's residual decision — any total order
+  * stays correct on any data), so no data-version fingerprint is
+  * needed. Probe failure, a streaming side, or an over-budget side
+  * (sampled first, [[Binning.MaxProbeBytes]]) degrade to
+  * lexicographic. OverlapDfOrderSpec pins the planted-Zipfian
+  * candidate-count drop, result equality on both paths, and the
+  * gate staying off on uniform vocabularies.
   *
   * Scope guards: inner joins only; deterministic condition (the
   * verify re-evaluates per candidate row); both sides `array<string>`
@@ -89,6 +110,105 @@ object OverlapJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
 
   private val OkName = "__graft_ok"
   private val SharedName = "__graft_shared"
+
+  /** Hot-set size for the df probe: only the most frequent tokens
+    * need individual ranks — the candidate blowup IS the hot tokens;
+    * the rare tail can share one rank and still sort first. */
+  val SkewGate = 8.0
+  val HotK = 1024
+  private val ZeroRank = "000000"
+  private val Sep = "\u0001"
+
+  /** token → rank∥SEP∥token under a hot-rank map literal. Injective
+    * (fixed-width rank, token appended verbatim), and UTF8String's
+    * byte-wise compare makes lexicographic-on-encodings ≡ (rank,
+    * token) order — shared by the prefix sort, the join keys, and
+    * the canonical array_min. */
+  private def encodeExpr(mapLit: Expression, x: Expression): Expression =
+    Concat(Seq(
+      Coalesce(Seq(GetMapValue(mapLit, x), Literal(ZeroRank))),
+      Literal(Sep), x))
+
+  private def encodeArray(mapLit: Expression, arr: Expression): Expression = {
+    val lv = NamedLambdaVariable("t", StringType, nullable = false)
+    ArrayTransform(arr, LambdaFunction(encodeExpr(mapLit, lv), Seq(lv)))
+  }
+
+  // Probe cache — canonicalized (left, la, right, ra) → hot-rank map
+  // (None = stay lexicographic). Perf-only staleness, see scaladoc.
+  private val orderCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (LogicalPlan, Expression, LogicalPlan, Expression),
+      Option[Literal]]()
+
+  private val probeLog =
+    org.slf4j.LoggerFactory.getLogger("graft.plans.OverlapJoinBlocking")
+
+  /** The token-df probe (see scaladoc): Some(hot-rank map literal)
+    * when the vocabulary is skewed enough for the df order to pay,
+    * None for lexicographic. Conservative on every failure path. */
+  private def tokenDfOrder(left: LogicalPlan, la: Expression,
+      right: LogicalPlan, ra: Expression): Option[Literal] = {
+    if (left.isStreaming || right.isStreaming) return None
+    val key = (left.canonicalized, la.canonicalized,
+      right.canonicalized, ra.canonicalized)
+    val hit = orderCache.get(key)
+    if (hit != null) return hit
+    val computed: Option[Literal] =
+      try {
+        val spark = SparkSession.active
+        def toks(side: LogicalPlan, arr: Expression)
+            : org.apache.spark.sql.DataFrame = {
+          val bytes = side.stats.sizeInBytes
+          val probeSide =
+            if (bytes <= Binning.MaxProbeBytes) side
+            else Sample(0.0,
+              (BigDecimal(Binning.MaxProbeBytes) / BigDecimal(bytes)).toDouble,
+              withReplacement = false, 42L, side)
+          Binning.dataFrameOf(spark,
+            Project(Seq(Alias(arr, "__graft_toks")()), probeSide))
+            .select(org.apache.spark.sql.functions.explode(
+              org.apache.spark.sql.functions.array_distinct(
+                org.apache.spark.sql.functions.col("__graft_toks"))).as("tok"))
+        }
+        import org.apache.spark.sql.functions.{col => c, count, lit}
+        val hot = toks(left, la).unionAll(toks(right, ra))
+          .groupBy("tok").agg(count(lit(1)).as("df"))
+          .orderBy(c("df").desc, c("tok"))
+          .limit(HotK + 1)
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        if (hot.length < 2) None
+        else {
+          val top = hot.head._2.toDouble
+          // With vocab > HotK this is the (K+1)-th df — an upper
+          // bound on every tail df; with vocab <= HotK it is the
+          // global minimum. Either way top/floor understates no skew.
+          val floor = math.max(hot.last._2.toDouble, 1.0)
+          if (top < SkewGate * floor) {
+            probeLog.info(s"graft overlap df probe: near-uniform " +
+              s"(top=$top floor=$floor), keeping lexicographic order")
+            None
+          } else {
+            val ranks = hot.take(HotK)
+              .sortBy { case (tok, d) => (d, tok) }.zipWithIndex
+              .map { case ((tok, _), i) => tok -> f"${i + 1}%06d" }.toMap
+            probeLog.info(s"graft overlap df probe: skewed " +
+              s"(top=$top floor=$floor), df-ordering ${ranks.size} " +
+              "hot tokens rare-first")
+            Some(Literal.create(ranks,
+              MapType(StringType, StringType, valueContainsNull = false)))
+          }
+        }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          probeLog.warn(s"graft overlap df probe failed, keeping " +
+            s"lexicographic order: $e")
+          None
+      }
+    if (orderCache.size() > 64) orderCache.clear()
+    orderCache.put(key, computed)
+    computed
+  }
 
   /** `size(array_intersect(..))`, bare or under the LONG cast the
     * analyzer inserts when the threshold literal is BIGINT. */
@@ -124,11 +244,15 @@ object OverlapJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
     case _ => None
   }
 
-  /** First |distinct(s)| − T + 1 tokens of the lexicographically
-    * sorted distinct set (empty when |distinct(s)| < T — slice length
-    * clamps to 0). */
-  private def prefixExpr(s: Expression, t: Int): Expression = {
-    val sorted = SortArray(ArrayDistinct(s), Literal(true))
+  /** First |distinct(s)| − T + 1 tokens of the sorted distinct set
+    * (empty when |distinct(s)| < T — slice length clamps to 0) —
+    * sorted by the df ENCODING when `ord` carries a hot-rank map,
+    * plain lexicographic otherwise. */
+  private def prefixExpr(s: Expression, t: Int,
+      ord: Option[Literal]): Expression = {
+    val base = ArrayDistinct(s)
+    val keyed = ord.fold(base: Expression)(m => encodeArray(m, base))
+    val sorted = SortArray(keyed, Literal(true))
     Slice(sorted, Literal(1),
       Greatest(Seq(Subtract(Size(sorted), Literal(t - 1)), Literal(0))))
   }
@@ -137,9 +261,9 @@ object OverlapJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
     * dropped from the Generate output (canonicalization reads the
     * post-join shared intersect instead), so only the token key rides
     * the blocked shuffle. */
-  private def explodePrefix(child: LogicalPlan, s: Expression, t: Int)
-      : (LogicalPlan, Attribute) = {
-    val pfx = Alias(prefixExpr(s, t), "__graft_pfx")()
+  private def explodePrefix(child: LogicalPlan, s: Expression, t: Int,
+      ord: Option[Literal]): (LogicalPlan, Attribute) = {
+    val pfx = Alias(prefixExpr(s, t, ord), "__graft_pfx")()
     val proj = Project(child.output :+ pfx, child)
     val ok = AttributeReference(OkName, StringType, nullable = true)()
     val gen = Generate(Explode(pfx.toAttribute),
@@ -199,8 +323,9 @@ object OverlapJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
           }
         }.take(1).toList.headOption
       hit.map { case (ai, la, ra, t) =>
-        val (lgen, lk) = explodePrefix(left, la, t)
-        val (rgen, rk) = explodePrefix(right, ra, t)
+        val ord = tokenDfOrder(left, la, right, ra)
+        val (lgen, lk) = explodePrefix(left, la, t, ord)
+        val (rgen, rk) = explodePrefix(right, ra, t, ord)
         // Conjuncts never touching the matched intersect prune inside
         // the join, BEFORE the per-candidate set build is paid; the
         // rest re-applies above, reading the shared alias.
@@ -215,7 +340,13 @@ object OverlapJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
         val proj = Project(blocked.output :+ shared, blocked)
         val verify = needShared.map(subst(_, ai, shared.toAttribute))
           .reduce(And)
-        val canonical = EqualTo(lk, ArrayMin(shared.toAttribute))
+        // The canonical comparison must run in the SAME order the
+        // prefixes were built in: min of the encoded shared intersect
+        // under the df order, plain array_min otherwise (the
+        // soundness argument in the class doc is order-generic).
+        val canonical = EqualTo(lk,
+          ArrayMin(ord.fold(shared.toAttribute: Expression)(m =>
+            encodeArray(m, shared.toAttribute))))
         (Filter(And(verify, canonical), proj), shared.toAttribute, ai)
       }
     case _ => None

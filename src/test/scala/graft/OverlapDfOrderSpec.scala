@@ -1,0 +1,115 @@
+package graft
+
+import graft.plans.OverlapJoinBlocking
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The df-ordered prefix upgrade of [[OverlapJoinBlocking]]: on a
+  * planted Zipfian vocabulary the rare-first prefix order must (a)
+  * fire (the skew gate), (b) slash candidate volume versus the
+  * lexicographic order (measured by replicating the prefix-inverted-
+  * index arithmetic in plain Scala), and (c) return exactly the
+  * brute-force rows; on a near-uniform vocabulary the gate must stay
+  * OFF and the zero-overhead lexicographic plan remain.
+  */
+class OverlapDfOrderSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = TestSpark.spark
+    OverlapJoinBlocking.register(s)
+    s
+  }
+
+  private val T = 3
+
+  // Zipfian corpus: "aaa_hot" in EVERY doc (and lexicographically
+  // FIRST, so the lex order puts it in every prefix — the worst
+  // case); "aab_warm" in every even doc; two unique rare tokens per
+  // doc. Docs 100/101 are the planted near-dup pair sharing
+  // {aaa_hot, dup_a, dup_b} — overlap 3 = T.
+  private val zipfDocs: Seq[(Long, Seq[String])] =
+    (0L until 40L).map { i =>
+      val rare = Seq(s"r_${i}_1", s"r_${i}_2")
+      val toks =
+        if (i % 2 == 0) Seq("aaa_hot", "aab_warm") ++ rare
+        else Seq("aaa_hot") ++ rare :+ s"r_${i}_3"
+      (i, toks)
+    } ++ Seq(
+      (100L, Seq("aaa_hot", "dup_a", "dup_b", "r_100_1")),
+      (101L, Seq("aaa_hot", "dup_a", "dup_b", "r_101_1")))
+
+  /** The prefix-filter candidate count (Σ over tokens of left-prefix
+    * df × right-prefix df restricted to a < b for the self-join) —
+    * the row count entering the blocked join, replicated in plain
+    * Scala from the same definitions the rule uses. */
+  private def candidates(docs: Seq[(Long, Seq[String])],
+      dfOrder: Boolean): Long = {
+    val df = docs.flatMap(_._2.distinct).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    val pfx = docs.map { case (id, toks) =>
+      val d = toks.distinct
+      val sorted =
+        if (dfOrder) d.sortBy(t => (df(t), t)) else d.sorted
+      id -> sorted.take(math.max(d.size - T + 1, 0))
+    }
+    val inv = pfx.flatMap { case (id, p) => p.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    inv.values.map { ids =>
+      (for (a <- ids; b <- ids if a < b) yield 1L).sum
+    }.sum
+  }
+
+  private def brute(docs: Seq[(Long, Seq[String])]): Set[(Long, Long)] =
+    (for {
+      (a, ta) <- docs; (b, tb) <- docs
+      if a < b && ta.distinct.toSet.intersect(tb.distinct.toSet).size >= T
+    } yield (a, b)).toSet
+
+  private def runJoin(docs: Seq[(Long, Seq[String])])
+      : (Set[(Long, Long)], String) = {
+    import spark.implicits._
+    // split()-produced arrays — the rule's containsNull=false scope.
+    val txt = docs.map { case (id, ts) => (id, ts.mkString(" ")) }
+    val l = txt.toDF("doc_a", "s")
+      .select(col("doc_a"), split(col("s"), " ").as("toks_a"))
+    val r = txt.toDF("doc_b", "s")
+      .select(col("doc_b"), split(col("s"), " ").as("toks_b"))
+    val j = l.join(r,
+      expr(s"size(array_intersect(toks_a, toks_b)) >= $T")
+        && col("doc_a") < col("doc_b"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"rule did not fire, plan:\n$plan")
+    (j.select("doc_a", "doc_b").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet, plan)
+  }
+
+  test("Zipfian vocabulary: skew gate fires, candidates collapse, result exact") {
+    val lex = candidates(zipfDocs, dfOrder = false)
+    val dfc = candidates(zipfDocs, dfOrder = true)
+    // Lex order blocks every doc pair through aaa_hot (~42²/2); the
+    // df order's rare-first prefixes leave only the planted dup pair.
+    assert(lex > 500L, s"planted corpus lost its worst case: lex=$lex")
+    assert(dfc * 20 < lex, s"df order must slash candidates: lex=$lex df=$dfc")
+    val (got, plan) = runJoin(zipfDocs)
+    assert(plan.contains("array_min(transform"),
+      s"df path did not fire on the skewed corpus, plan:\n$plan")
+    assert(got == brute(zipfDocs), s"got $got want ${brute(zipfDocs)}")
+    assert(got.contains((100L, 101L)))
+  }
+
+  test("near-uniform vocabulary: gate stays off, lexicographic plan, result exact") {
+    val docs: Seq[(Long, Seq[String])] = (0L until 10L).map { i =>
+      (i, Seq(s"u_${i}_1", s"u_${i}_2", s"u_${i}_3", s"u_${i}_4"))
+    } ++ Seq(
+      (50L, Seq("s_1", "s_2", "s_3", "u_50_x")),
+      (51L, Seq("s_1", "s_2", "s_3", "u_51_x")))
+    val (got, plan) = runJoin(docs)
+    assert(!plan.contains("array_min(transform"),
+      s"uniform corpus must keep the zero-overhead lexicographic " +
+        s"order, plan:\n$plan")
+    assert(plan.contains("array_min("), s"canonical filter missing:\n$plan")
+    assert(got == brute(docs), s"got $got")
+    assert(got == Set((50L, 51L)))
+  }
+}
