@@ -37,6 +37,11 @@ object AnnOps {
   private val NProbe = 4
   private val KSeeds = 8
 
+  /** q_kmeans_elbow / q_silhouette: the k sweep and the Lloyd
+    * iteration count both clustering-quality readouts train with. */
+  private val ElbowKs = Seq(2, 4, 8)
+  private val ElbowIters = 2
+
   /** q_dbscan: the ε-ball is cosine ≥ this. 0.2 fits the synthetic
     * near-orthogonal corpus (0.4+ leaves every vector noise — the
     * q_embed_dup threshold note; real corpora use ≥ 0.9, the
@@ -3974,7 +3979,147 @@ object AnnOps {
     ) { (s, dir) =>
       dbscanLabels(s, Tables.embeddings(s, dir).select("vec_id", "embedding"))
     },
+
+    Q(
+      "q_kmeans_elbow",
+      s"K-MEANS ELBOW curve: within-cluster inertia at k ∈ " +
+        s"{${ElbowKs.mkString(", ")}}, each from $ElbowIters Lloyd " +
+        "iterations off the first-k seeds (the q_kmeans_train " +
+        "machinery re-run per k) — the model-selection readout every " +
+        "IVF/clustering deployment computes before fixing its cell " +
+        "count: inertia always falls with k, and the knee prices the " +
+        "marginal cell. Per-point assignment cost is the 6dp-rounded " +
+        "squared-L2 MINIMUM over broadcast centroids (grid-rounded " +
+        "BEFORE the min, so engine tie behavior cannot differ); " +
+        "inertia is the quantize-then-sum ×10⁶ BIGINT total — no " +
+        "float-sum order anywhere. Cost: per k, " +
+        s"$ElbowIters+1 corpus scans against broadcast k×$Dim " +
+        "state; the three curves share nothing but the scan (AQE " +
+        "reuse aside) — at 100 TB run the ks you need, each linear",
+      Some(ElbowKs.map { k =>
+        s"""SELECT * FROM (
+           |${kmeansTrainSql(k, ElbowIters)}, md AS (
+           |  SELECT e.vec_id,
+           |    min(round(${normSqSql("embedding")}
+           |      - 2 * ${dotColSql("embedding", "ce")}
+           |      + ${normSqSql("ce")}, 6)) AS md
+           |  FROM e CROSS JOIN c$ElbowIters c
+           |  GROUP BY e.vec_id
+           |)
+           |SELECT CAST($k AS BIGINT) AS k,
+           |  CAST(count(*) AS BIGINT) AS n_vecs,
+           |  CAST(CAST(sum(CAST(round(md * 1000000) AS BIGINT)) AS DOUBLE)
+           |    / 1000000 AS DOUBLE) AS inertia
+           |FROM md
+           |)""".stripMargin
+      }.mkString("\nUNION ALL\n") + "\nORDER BY k"),
+    ) { (s, dir) =>
+      kmeansElbow(Tables.embeddings(s, dir).select("vec_id", "embedding"))
+    },
+
+    Q(
+      "q_silhouette",
+      s"SIMPLIFIED SILHOUETTE per cluster (k = $KSeeds, the " +
+        s"q_kmeans_train centroids): a(i) = distance to the OWN " +
+        "centroid, b(i) = min distance to any OTHER centroid, " +
+        "s(i) = (b−a)/max(a,b) — the O(n·k) clustering-quality " +
+        "readout that replaces the O(n²) pairwise silhouette at " +
+        "scale (the standard large-data substitution, documented): " +
+        "s ≈ 1 means tight-and-separated, s ≈ 0 boundary-straddling, " +
+        "negative means the point sits closer to a rival cell. " +
+        "Distances land on the 6dp grid (sqrt of the grid-rounded " +
+        "d² — one correctly-rounded libm op each side), per-point s " +
+        "quantizes to 1e-6 and sums in BIGINT per cluster " +
+        "(quantize-then-sum), and assignment breaks ties by " +
+        "cent_id on the grid — every decision cross-engine " +
+        "deterministic. At 100 TB: one corpus scan against " +
+        s"broadcast $KSeeds×$Dim centroids, k rows out",
+      Some {
+        val c = s"c$ElbowIters"
+        s"""${kmeansTrainSql(KSeeds, ElbowIters)}, dists AS (
+           |  SELECT e.vec_id, c.cent_id,
+           |    round(sqrt(round(${normSqSql("embedding")}
+           |      - 2 * ${dotColSql("embedding", "ce")}
+           |      + ${normSqSql("ce")}, 6)), 6) AS d6
+           |  FROM e CROSS JOIN $c c
+           |), own AS (
+           |  SELECT vec_id, cent_id, d6 AS a6 FROM (
+           |    SELECT vec_id, cent_id, d6,
+           |      row_number() OVER (PARTITION BY vec_id
+           |        ORDER BY d6, cent_id) AS rn
+           |    FROM dists) WHERE rn = 1
+           |), sil AS (
+           |  SELECT o.vec_id, o.cent_id,
+           |    CAST(round(CASE WHEN greatest(o.a6, min(d.d6)) = 0 THEN 0
+           |      ELSE (min(d.d6) - o.a6) / greatest(o.a6, min(d.d6))
+           |      END * 1000000) AS BIGINT) AS s6
+           |  FROM own o JOIN dists d ON d.vec_id = o.vec_id
+           |    AND d.cent_id <> o.cent_id
+           |  GROUP BY o.vec_id, o.cent_id, o.a6
+           |)
+           |SELECT cent_id, CAST(count(*) AS BIGINT) AS n_vecs,
+           |  CAST(CAST(sum(s6) AS DOUBLE) / (1000000 * count(*))
+           |    AS DOUBLE) AS mean_sil
+           |FROM sil GROUP BY cent_id ORDER BY cent_id""".stripMargin
+      },
+    ) { (s, dir) =>
+      silhouetteOf(Tables.embeddings(s, dir).select("vec_id", "embedding"),
+        KSeeds)
+    },
   )
+
+  /** The q_kmeans_elbow computation over any (vec_id, embedding)
+    * frame — factored so Round11AnnSpec can pin the inertia curve's
+    * monotone descent on planted blobs. */
+  private[graft] def kmeansElbow(e: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    ElbowKs.map { k =>
+      val (cents, _) = trainCents(e, k, ElbowIters)
+      e.crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+          round(normSq(col("embedding"))
+            - lit(2.0) * dotCol(col("embedding"), col("ce"))
+            + normSq(col("ce")), 6).as("d2"))
+        .groupBy("vec_id").agg(min(col("d2")).as("md"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(round(col("md") * 1000000, 0).cast("long")).as("s6"))
+        .select(lit(k.toLong).as("k"), col("n_vecs"),
+          (col("s6").cast("double") / 1000000).cast("double").as("inertia"))
+    }.reduce(_ unionAll _).orderBy("k")
+
+  /** The q_silhouette computation over any (vec_id, embedding)
+    * frame — factored so Round11AnnSpec can plant two far blobs
+    * (mean_sil ≈ 1 per cluster) and one split blob (≈ 0). */
+  private[graft] def silhouetteOf(e: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val (cents, _) = trainCents(e, k, ElbowIters)
+    val dists = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        round(sqrt(round(normSq(col("embedding"))
+          - lit(2.0) * dotCol(col("embedding"), col("ce"))
+          + normSq(col("ce")), 6)), 6).as("d6"))
+      .localCheckpoint() // read by the own-assignment AND rival min
+    val w = Window.partitionBy("vec_id").orderBy("d6", "cent_id")
+    val own = dists.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id"), col("d6").as("a6"))
+    own.join(dists.select(col("vec_id"), col("cent_id").as("oc"),
+          col("d6")),
+        Seq("vec_id"))
+      .filter(col("oc") =!= col("cent_id"))
+      .groupBy("vec_id", "cent_id", "a6").agg(min(col("d6")).as("b6"))
+      .select(col("cent_id"),
+        round(when(greatest(col("a6"), col("b6")) === 0, 0.0)
+          .otherwise((col("b6") - col("a6"))
+            / greatest(col("a6"), col("b6"))) * 1000000, 0)
+          .cast("long").as("s6"))
+      .groupBy("cent_id").agg(count(lit(1)).as("n_vecs"),
+        sum(col("s6")).as("ss"))
+      .select(col("cent_id"), col("n_vecs"),
+        (col("ss").cast("double") / (lit(1000000.0) * col("n_vecs")))
+          .cast("double").as("mean_sil"))
+      .orderBy("cent_id")
+  }
 
   /** q_dbscan end-to-end: banded candidate ε-pairs feeding
     * [[dbscanFromPairs]]. Factored so DbscanSpec can drive the

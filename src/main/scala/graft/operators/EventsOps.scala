@@ -141,6 +141,58 @@ object EventsOps {
   /** q_mixture_em: unrolled EM rounds (oracle CTEs mirror). */
   private[graft] val EmRounds = 5
 
+  /** q_tost_equivalence: the ±margin in exact cents ($20 — sized so
+    * the synthetic near-null arms demonstrate a PASSING equivalence
+    * call at test SF; a deployment picks its own). Declared above
+    * the registry (object-init order). */
+  private[graft] val TostMarginCents = 2000L
+
+  /** q_ljung_box: portmanteau lag count (oracle splices it). */
+  private[graft] val LjungBoxLags = 12
+
+  /** The q_quantile_te oracle, shared VERBATIM by q_stream_quantile_te
+    * (the fdrBhSql precedent — the stream's complete-mode (type,
+    * cents, arm) rollup ≡ the batch vc CTE at any split, so one SQL
+    * text serves both). Declared above the registry (init order). */
+  private[graft] val quantileTeSql: String =
+    """WITH e AS (
+      |  SELECT event_type, user_id % 2 AS grp,
+      |    CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events
+      |), vc AS (
+      |  SELECT event_type, v,
+      |    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM e GROUP BY event_type, v
+      |), cum AS (
+      |  SELECT event_type, v,
+      |    CAST(sum(ca) OVER (PARTITION BY event_type ORDER BY v)
+      |      AS BIGINT) AS cuma,
+      |    CAST(sum(cb) OVER (PARTITION BY event_type ORDER BY v)
+      |      AS BIGINT) AS cumb
+      |  FROM vc
+      |), bounds AS (
+      |  SELECT event_type, na, nb, j,
+      |    (na * j + 3) // 4 AS ka, (nb * j + 3) // 4 AS kb
+      |  FROM (
+      |    SELECT event_type, CAST(sum(ca) AS BIGINT) AS na,
+      |      CAST(sum(cb) AS BIGINT) AS nb
+      |    FROM vc GROUP BY event_type)
+      |  CROSS JOIN (SELECT unnest([1, 2, 3]) AS j)
+      |  WHERE na > 0 AND nb > 0
+      |)
+      |SELECT event_type, CAST(j AS DOUBLE) / 4 AS p,
+      |  round(CAST(min(CASE WHEN cuma >= ka THEN v END) AS DOUBLE)
+      |    / 100, 6) AS q_a,
+      |  round(CAST(min(CASE WHEN cumb >= kb THEN v END) AS DOUBLE)
+      |    / 100, 6) AS q_b,
+      |  round(CAST(min(CASE WHEN cumb >= kb THEN v END)
+      |    - min(CASE WHEN cuma >= ka THEN v END) AS DOUBLE)
+      |    / 100, 6) AS qte
+      |FROM cum JOIN bounds USING (event_type)
+      |GROUP BY event_type, j
+      |ORDER BY event_type, p""".stripMargin
+
   /** Two-sided normal p-value in 1e-6 integer units from a 6dp-rounded
     * z column: the Abramowitz-Stegun 26.2.17 five-term polynomial tail
     * 1−Φ(|z|) = φ(|z|)·t·(b₁+t(b₂+t(b₃+t(b₄+t·b₅)))), t = 1/(1+0.2316419|z|),
@@ -4628,6 +4680,489 @@ object EventsOps {
       powerMde(Tables.events(s, dir)
         .select(col("event_type"), col("user_id"), col("value")))
     },
+
+    Q(
+      "q_kendall_tau",
+      "KENDALL τ-b rank correlation between hour-of-day and value — " +
+        "the concordance coefficient beside q_spearman's rho: τ " +
+        "counts pair ORDER agreements, so it has a direct " +
+        "probabilistic reading (P(concordant) − P(discordant)) and " +
+        "the -b form corrects for the heavy ties both bounded " +
+        "domains guarantee. The naive Σ over n² pairs never " +
+        "happens: C − D decomposes over the COMPLETED 24×cents grid " +
+        "as ½·Σ_cells f(x,y)·Σ_{x'≠x} sign(x−x')·T(x',y), where " +
+        "T(x',y) = (# below y) − (# above y) in column x' comes from " +
+        "one per-column cumulative over the value domain (the " +
+        "VALUE-DOMAIN WINDOW CLASS) — every term an exact " +
+        "BIGINT/DECIMAL(38,0) integer, tie corrections Σt(t−1) " +
+        "likewise, and τ-b plus the tie-naive normal z finish as " +
+        "single mirrored IEEE expressions, 6dp. At 100 TB: one " +
+        "corpus pass to (hour, cents) cells, a 24×cents-bounded " +
+        "grid walk, 1-row output",
+      Some(
+        """WITH e AS (
+          |  SELECT CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS x,
+          |    CAST(round(value * 100) AS BIGINT) AS y
+          |  FROM events
+          |), cells AS (
+          |  SELECT x, y, CAST(count(*) AS BIGINT) AS f
+          |  FROM e GROUP BY x, y
+          |), grid AS (
+          |  SELECT xs.x, ys.y, COALESCE(c.f, 0) AS f
+          |  FROM (SELECT DISTINCT x FROM cells) xs
+          |  CROSS JOIN (SELECT DISTINCT y FROM cells) ys
+          |  LEFT JOIN cells c ON c.x = xs.x AND c.y = ys.y
+          |), td AS (
+          |  SELECT x AS x2, y,
+          |    (below - (tot - below - f)) AS td
+          |  FROM (
+          |    SELECT x, y, f,
+          |      CAST(sum(f) OVER (PARTITION BY x ORDER BY y)
+          |        AS BIGINT) - f AS below,
+          |      CAST(sum(f) OVER (PARTITION BY x) AS BIGINT) AS tot
+          |    FROM grid)
+          |), inner_s AS (
+          |  SELECT c.x AS x1, c.y, c.f,
+          |    CAST(sum(CASE WHEN c.x > td.x2 THEN td.td
+          |      ELSE -td.td END) AS BIGINT) AS inn
+          |  FROM cells c JOIN td ON td.y = c.y AND td.x2 <> c.x
+          |  GROUP BY c.x, c.y, c.f
+          |), cd AS (
+          |  SELECT CAST(sum(CAST(f AS HUGEINT) * inn) AS HUGEINT) AS cmd2
+          |  FROM inner_s
+          |), xt AS (
+          |  SELECT CAST(sum(t) AS BIGINT) AS n,
+          |    CAST(sum(CAST(t AS HUGEINT) * (t - 1)) AS HUGEINT) AS tx2
+          |  FROM (SELECT CAST(sum(f) AS BIGINT) AS t FROM cells GROUP BY x)
+          |), yt AS (
+          |  SELECT CAST(sum(CAST(t AS HUGEINT) * (t - 1)) AS HUGEINT) AS ty2
+          |  FROM (SELECT CAST(sum(f) AS BIGINT) AS t FROM cells GROUP BY y)
+          |), fin AS (
+          |  SELECT n, cmd2,
+          |    CAST(n AS HUGEINT) * (n - 1) - tx2 AS dx,
+          |    CAST(n AS HUGEINT) * (n - 1) - ty2 AS dy,
+          |    CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5) AS zden2
+          |  FROM cd CROSS JOIN xt CROSS JOIN yt
+          |), r AS (
+          |  SELECT n,
+          |    CASE WHEN dx = 0 OR dy = 0 THEN NULL ELSE
+          |      round(CAST(cmd2 AS DOUBLE)
+          |        / (sqrt(CAST(dx AS DOUBLE)) * sqrt(CAST(dy AS DOUBLE))),
+          |        6) END AS tau_b,
+          |    CASE WHEN n < 3 THEN NULL ELSE
+          |      round(3 * CAST(cmd2 AS DOUBLE)
+          |        / (2 * sqrt(CAST(zden2 AS DOUBLE) / 2)), 6)
+          |      END AS kendall_z
+          |  FROM fin
+          |)
+          |SELECT n, tau_b, kendall_z,
+          |  CAST(abs(kendall_z) > 1.96 AS BIGINT) AS significant
+          |FROM r""".stripMargin),
+    ) { (s, dir) =>
+      kendallTau(Tables.events(s, dir)
+        .select(hour(col("ts")).cast("long").as("x"),
+          round(col("value") * 100, 0).cast("long").as("y")))
+    },
+
+    Q(
+      "q_quantile_te",
+      "QUANTILE TREATMENT EFFECTS per event type: the arm-B-minus-" +
+        "arm-A difference at p = .25/.50/.75, read off the per-arm " +
+        "cents-domain cumulatives with exact integer index " +
+        "arithmetic — the distributional readout q_ab_test's mean " +
+        "difference flattens away (a treatment that moves only the " +
+        "tail moves q75 and NOTHING else; QuantileTeSpec plants a " +
+        "pure location shift and pins equal effects at every " +
+        "quantile). Quantile = smallest cents whose arm cumulative " +
+        "reaches k = ⌈p·n⌉ (the inverse-CDF definition; k in pure " +
+        "integers since p = j/4 is exact) — the q_window_dist index " +
+        "machinery pointed at arms instead of ntiles. At 100 TB: one " +
+        "corpus pass to (type, cents, arm counts), domain-bounded " +
+        "cumulative windows, a 3-row-per-type broadcast probe, " +
+        "#types×3 rows out",
+      Some(quantileTeSql),
+    ) { (s, dir) =>
+      quantileTe(Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"), col("value")))
+    },
+
+    Q(
+      "q_cmh_test",
+      "COCHRAN-MANTEL-HAENSZEL stratified association test (the " +
+        "epidemiology/experimentation standard for 2×2 tables " +
+        "ACROSS strata): does arm predict conversion CONTROLLING " +
+        "for day — the common-odds-ratio question Simpson's paradox " +
+        "makes q_chisq_independence's pooled table unable to " +
+        "answer (CmhSpec plants exactly that: marginal lift, zero " +
+        "stratified effect → CMH reads null where the pooled χ² " +
+        "fires). Per-day cells (a,b,c,d) are exact BIGINT counts; " +
+        "each stratum's E = n0·m1/T and hypergeometric variance " +
+        "quantize to the 1e-9 grid and sum in DECIMAL(38,0) (the " +
+        "q_chisq_independence convention), as do the Mantel-" +
+        "Haenszel odds-ratio numerator Σa·d/T and denominator " +
+        "Σb·c/T; χ² (df=1, no continuity correction — documented) " +
+        "and OR finish as single mirrored IEEE divisions, 6dp. At " +
+        "100 TB: one keyed corpus pass to #days cells; everything " +
+        "after is #days-bounded, 1-row output",
+      Some(
+        """WITH e AS (
+          |  SELECT CAST(ts AS DATE) AS day, user_id % 2 AS grp,
+          |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS hit
+          |  FROM events
+          |), cells AS (
+          |  SELECT day,
+          |    CAST(sum(CASE WHEN grp = 0 THEN hit ELSE 0 END) AS BIGINT) AS a,
+          |    CAST(sum(CASE WHEN grp = 0 THEN 1 - hit ELSE 0 END) AS BIGINT) AS b,
+          |    CAST(sum(CASE WHEN grp = 1 THEN hit ELSE 0 END) AS BIGINT) AS c,
+          |    CAST(sum(CASE WHEN grp = 1 THEN 1 - hit ELSE 0 END) AS BIGINT) AS d
+          |  FROM e GROUP BY day
+          |), m AS (
+          |  SELECT day, a, b, c, d, a + b AS n0, c + d AS n1,
+          |    a + c AS m1, b + d AS m0, a + b + c + d AS t
+          |  FROM cells WHERE a + b + c + d > 1
+          |), ag AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n_strata,
+          |    CAST(sum(t) AS BIGINT) AS n, CAST(sum(a) AS BIGINT) AS sa,
+          |    CAST(sum(CAST(round(CAST(n0 AS DOUBLE) * m1 / t
+          |      * 1000000000.0) AS HUGEINT)) AS HUGEINT) AS e9,
+          |    CAST(sum(CAST(round(CAST(n0 AS DOUBLE) * n1 * m1 * m0
+          |      / (CAST(t AS DOUBLE) * t * (t - 1))
+          |      * 1000000000.0) AS HUGEINT)) AS HUGEINT) AS v9,
+          |    CAST(sum(CAST(round(CAST(a AS DOUBLE) * d / t
+          |      * 1000000000.0) AS HUGEINT)) AS HUGEINT) AS r9,
+          |    CAST(sum(CAST(round(CAST(b AS DOUBLE) * c / t
+          |      * 1000000000.0) AS HUGEINT)) AS HUGEINT) AS s9
+          |  FROM m
+          |), fin AS (
+          |  SELECT n_strata, n,
+          |    CAST(sa AS HUGEINT) * 1000000000 - e9 AS num9, v9, r9, s9
+          |  FROM ag
+          |), r AS (
+          |  SELECT n_strata, n,
+          |    CASE WHEN v9 = 0 THEN NULL ELSE
+          |      round(CAST(num9 AS DOUBLE) * CAST(num9 AS DOUBLE)
+          |        / (1000000000.0 * CAST(v9 AS DOUBLE)), 6)
+          |      END AS cmh_chi2,
+          |    CASE WHEN s9 = 0 THEN NULL ELSE
+          |      round(CAST(r9 AS DOUBLE) / CAST(s9 AS DOUBLE), 6)
+          |      END AS or_mh
+          |  FROM fin
+          |)
+          |SELECT n_strata, n, cmh_chi2, or_mh,
+          |  CAST(cmh_chi2 > 3.841459 AS BIGINT) AS significant
+          |FROM r""".stripMargin),
+    ) { (s, dir) =>
+      cmhTest(Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts")), "purchase")
+    },
+
+    Q(
+      "q_runs_test",
+      "WALD-WOLFOWITZ RUNS test per event type on the daily-total " +
+        "sign sequence (above/below the daily median): the " +
+        "randomness check that catches serial dependence — a metric " +
+        "drifting up reads as few long runs, oscillation as too " +
+        "many — where q_acf needs a lag structure and q_changepoint " +
+        "a single split. Daily totals densify onto the global day " +
+        "spine (the q_acf lesson); above/below compares 2·s against " +
+        "the SUM of the two middle order statistics (exact integers " +
+        "— the median never materializes as a float; equal-to-" +
+        "median days are excluded, the standard treatment); runs " +
+        "count via one lag over the #days-bounded sequence; the " +
+        "normal z = (R − (2n₁n₂/n + 1))/σ finishes as one mirrored " +
+        "IEEE expression over exact integer parts, 6dp. At 100 TB: " +
+        "one keyed corpus pass to (type, day) sums; all windows run " +
+        "on the #days-bounded rollup, #types rows out",
+      Some(
+        """WITH d0 AS (
+          |  SELECT event_type, CAST(ts AS DATE) AS day,
+          |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s
+          |  FROM events GROUP BY event_type, day
+          |), daily AS (
+          |  SELECT t.event_type, dd.day, COALESCE(d0.s, 0) AS s
+          |  FROM (SELECT DISTINCT event_type FROM d0) t
+          |  CROSS JOIN (SELECT DISTINCT day FROM d0) dd
+          |  LEFT JOIN d0 ON d0.event_type = t.event_type AND d0.day = dd.day
+          |), med AS (
+          |  SELECT event_type,
+          |    CASE WHEN max(odd) = 1 THEN 2 * sum(pick) ELSE sum(pick) END AS m2
+          |  FROM (
+          |    SELECT event_type, s,
+          |      CASE WHEN rn = (nd + 1) // 2 OR rn = (nd + 2) // 2
+          |        THEN s END AS pick,
+          |      CASE WHEN nd % 2 = 1 THEN 1 ELSE 0 END AS odd
+          |    FROM (
+          |      SELECT event_type, s,
+          |        CAST(row_number() OVER (PARTITION BY event_type
+          |          ORDER BY s, day) AS BIGINT) AS rn,
+          |        CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS nd
+          |      FROM daily))
+          |  GROUP BY event_type
+          |), signed AS (
+          |  SELECT d.event_type, d.day,
+          |    CASE WHEN 2 * d.s > m.m2 THEN 1 ELSE 0 END AS up
+          |  FROM daily d JOIN med m ON m.event_type = d.event_type
+          |  WHERE 2 * d.s <> m.m2
+          |), runs AS (
+          |  SELECT event_type,
+          |    CAST(sum(up) AS BIGINT) AS n1,
+          |    CAST(sum(1 - up) AS BIGINT) AS n2,
+          |    CAST(sum(chg) AS BIGINT) AS runs
+          |  FROM (
+          |    SELECT event_type, up,
+          |      CASE WHEN lag(up) OVER (PARTITION BY event_type
+          |          ORDER BY day) IS NULL
+          |        OR lag(up) OVER (PARTITION BY event_type
+          |          ORDER BY day) <> up
+          |      THEN 1 ELSE 0 END AS chg
+          |    FROM signed)
+          |  GROUP BY event_type
+          |), fin AS (
+          |  SELECT event_type, n1, n2, runs,
+          |    n1 + n2 AS nn, 2 * n1 * n2 AS p2
+          |  FROM runs WHERE n1 > 0 AND n2 > 0
+          |), r AS (
+          |  SELECT event_type, n1, n2, runs,
+          |    CASE WHEN nn < 2 OR p2 * (p2 - nn) <= 0 THEN NULL ELSE
+          |      round((runs - (CAST(p2 AS DOUBLE) / nn + 1))
+          |        / sqrt(CAST(p2 AS DOUBLE) * (p2 - nn)
+          |          / (CAST(nn AS DOUBLE) * nn * (nn - 1))), 6)
+          |      END AS runs_z
+          |  FROM fin
+          |)
+          |SELECT event_type, n1, n2, runs, runs_z,
+          |  CAST(abs(runs_z) <= 1.96 AS BIGINT) AS looks_random
+          |FROM r ORDER BY event_type""".stripMargin),
+    ) { (s, dir) =>
+      runsTest(Tables.events(s, dir)
+        .select(col("event_type"), col("ts"), col("value")))
+    },
+
+    Q(
+      "q_tost_equivalence",
+      "TOST EQUIVALENCE test per event type (Schuirmann 1987 — two " +
+        "one-sided Welch z's against a ±$20 margin): the question " +
+        "q_ab_test CANNOT answer, because failing to reject the null " +
+        "is not evidence of no effect — TOST flips the burden and " +
+        "REJECTS non-equivalence, the reading a launch-safety " +
+        "guardrail actually needs (ship iff the effect is provably " +
+        "inside the margin). Exact BIGINT power sums; the mean " +
+        "difference and Welch se land on the 6dp grid BEFORE the two " +
+        "z divisions, so both engines make identical calls; " +
+        "equivalent = min(z_lower, z_upper) > 1.645 (α = .05 " +
+        "one-sided each — the standard 90% CI-in-margin view). " +
+        "TostSpec plants a within-margin nudge and an out-of-margin " +
+        "lift. At 100 TB: one keyed corpus pass to #types sums, " +
+        "#types rows out",
+      Some(
+        s"""WITH e AS (
+          |  SELECT event_type, user_id % 2 AS grp,
+          |    CAST(round(value * 100) AS BIGINT) AS c
+          |  FROM events
+          |), su AS (
+          |  SELECT event_type,
+          |    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+          |    CAST(sum(CASE WHEN grp = 0 THEN c ELSE 0 END) AS BIGINT) AS sa,
+          |    CAST(sum(CASE WHEN grp = 0 THEN c * c ELSE 0 END) AS BIGINT) AS qa,
+          |    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+          |    CAST(sum(CASE WHEN grp = 1 THEN c ELSE 0 END) AS BIGINT) AS sb,
+          |    CAST(sum(CASE WHEN grp = 1 THEN c * c ELSE 0 END) AS BIGINT) AS qb
+          |  FROM e GROUP BY event_type
+          |), g AS (
+          |  SELECT event_type, na + nb AS n,
+          |    round(CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb, 6)
+          |      AS dc6,
+          |    round(sqrt((CAST(na AS DOUBLE) * qa - CAST(sa AS DOUBLE) * sa)
+          |        / (CAST(na AS DOUBLE) * na * (na - 1))
+          |      + (CAST(nb AS DOUBLE) * qb - CAST(sb AS DOUBLE) * sb)
+          |        / (CAST(nb AS DOUBLE) * nb * (nb - 1))), 6) AS se6
+          |  FROM su WHERE na > 1 AND nb > 1
+          |), z AS (
+          |  SELECT event_type, n, round(dc6 / 100, 6) AS diff,
+          |    CASE WHEN se6 = 0 THEN NULL ELSE
+          |      round((dc6 + $TostMarginCents) / se6, 6) END AS z_lower,
+          |    CASE WHEN se6 = 0 THEN NULL ELSE
+          |      round(($TostMarginCents - dc6) / se6, 6) END AS z_upper
+          |  FROM g
+          |)
+          |SELECT event_type, n, diff, z_lower, z_upper,
+          |  CAST(z_lower > 1.645 AND z_upper > 1.645 AS BIGINT) AS equivalent
+          |FROM z ORDER BY event_type""".stripMargin),
+    ) { (s, dir) =>
+      tostEquivalence(Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"), col("value")),
+        TostMarginCents)
+    },
+
+    Q(
+      "q_holm_bonferroni",
+      "HOLM step-down FWER control across the per-type metric family " +
+        "— q_fdr_bh's stricter sibling: where BH caps the false " +
+        "DISCOVERY rate (step-UP from the worst p), Holm caps the " +
+        "familywise error (step-DOWN from the best p, threshold " +
+        "α/(m−i+1), STOPPING at the first failure) — uniformly more " +
+        "powerful than plain Bonferroni at the same guarantee, and " +
+        "the right default when ONE false positive is unacceptable " +
+        "(launch gates) rather than a rate. Shares q_fdr_bh's whole " +
+        "test stage (exact BIGINT arm power sums → Welch z → the " +
+        "mirrored A&S 26.2.17 grid p), and the step-down compare " +
+        "p6i·20·(m−rk+1) ≤ 10⁶ runs in pure integers; the stop-at-" +
+        "first-failure is a prefix-max window over the #types-" +
+        "bounded rollup. At 100 TB: one keyed corpus pass, #types " +
+        "rows out",
+      Some(
+        s"""WITH e AS (
+          |  SELECT event_type, user_id % 2 AS grp,
+          |    CAST(round(value * 100) AS BIGINT) AS c
+          |  FROM events
+          |), su AS (
+          |  SELECT event_type,
+          |    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+          |    CAST(sum(CASE WHEN grp = 0 THEN c ELSE 0 END) AS BIGINT) AS sa,
+          |    CAST(sum(CASE WHEN grp = 0 THEN c * c ELSE 0 END) AS BIGINT) AS qa,
+          |    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+          |    CAST(sum(CASE WHEN grp = 1 THEN c ELSE 0 END) AS BIGINT) AS sb,
+          |    CAST(sum(CASE WHEN grp = 1 THEN c * c ELSE 0 END) AS BIGINT) AS qb
+          |  FROM e GROUP BY event_type
+          |), f AS (
+          |  SELECT event_type, na + nb AS n,
+          |    round((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+          |      / sqrt((CAST(na AS DOUBLE) * qa - CAST(sa AS DOUBLE) * sa)
+          |          / (CAST(na AS DOUBLE) * na * (na - 1))
+          |        + (CAST(nb AS DOUBLE) * qb - CAST(sb AS DOUBLE) * sb)
+          |          / (CAST(nb AS DOUBLE) * nb * (nb - 1))), 6) AS z
+          |  FROM su WHERE na > 1 AND nb > 1
+          |), p AS (
+          |  SELECT event_type, n, z, ${pNorm6Sql("z")} AS p6i FROM f
+          |), rk AS (
+          |  SELECT event_type, n, z, p6i,
+          |    CAST(row_number() OVER (ORDER BY p6i, event_type) AS BIGINT)
+          |      AS rk,
+          |    CAST(count(*) OVER () AS BIGINT) AS m
+          |  FROM p
+          |), sd AS (
+          |  SELECT event_type, n, z, p6i, rk,
+          |    max(CASE WHEN p6i * $FdrAlphaInv * (m - rk + 1) > 1000000
+          |      THEN 1 ELSE 0 END)
+          |      OVER (ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING
+          |        AND CURRENT ROW) AS cumfail
+          |  FROM rk
+          |)
+          |SELECT event_type, n, z,
+          |  round(CAST(p6i AS DOUBLE) / 1000000, 6) AS p, rk,
+          |  CAST(1 - cumfail AS BIGINT) AS rejected
+          |FROM sd ORDER BY event_type""".stripMargin),
+    ) { (s, dir) =>
+      holmReadout(welchScored(fdrArmSums(Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"), col("value")))))
+    },
+
+    Q(
+      "q_ljung_box",
+      "LJUNG-BOX portmanteau whiteness test on the hourly count " +
+        "series, lags 1–12 — q_acf's decision layer: ACF shows the " +
+        "correlogram, Box-Ljung asks ONE question (is the series " +
+        "white noise at all?) with a χ²(12) answer — the gate a " +
+        "forecasting pipeline checks before trusting q_holt_winters' " +
+        "residuals or q_events_anomaly's trailing windows. The " +
+        "series densifies onto the hour spine (the q_acf lesson); " +
+        "each lag's autocorrelation is the exact centered-BIGINT " +
+        "quotient on the 6dp grid; the r²/(n−k) terms quantize to " +
+        "the 1e-9 grid and sum exactly (the q_chisq_independence " +
+        "convention); Q = n(n+2)·Σ and the Wilson-Hilferty cube-root " +
+        "z finish as mirrored IEEE expressions. At 100 TB: one " +
+        "corpus scan to the hour rollup, a 12-lag band self-join of " +
+        "the #hours-bounded spine, 1-row output",
+      Some(
+        s"""WITH $hourlySeriesSqlCte, st AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx
+          |  FROM series
+          |), num AS (
+          |  SELECT b.t - a.t AS lag,
+          |    CAST(sum((a.x * n - sx) * (b.x * n - sx)) AS BIGINT) AS num
+          |  FROM series a JOIN series b
+          |    ON b.t > a.t AND b.t <= a.t + $LjungBoxLags
+          |  CROSS JOIN st GROUP BY b.t - a.t
+          |), den AS (
+          |  SELECT CAST(sum((x * n - sx) * (x * n - sx)) AS BIGINT) AS den,
+          |    max(n) AS n
+          |  FROM series CROSS JOIN st
+          |), terms AS (
+          |  SELECT n, lag,
+          |    round(CAST(num AS DOUBLE) / den, 6) AS r6
+          |  FROM num CROSS JOIN den
+          |), s9 AS (
+          |  SELECT n, CAST(count(*) AS BIGINT) AS lags,
+          |    CAST(sum(CAST(round(r6 * r6 / (n - lag) * 1000000000.0)
+          |      AS HUGEINT)) AS HUGEINT) AS s9
+          |  FROM terms GROUP BY n
+          |), q AS (
+          |  SELECT n, lags,
+          |    round(CAST(n AS DOUBLE) * (n + 2)
+          |      * (CAST(s9 AS DOUBLE) / 1000000000.0), 6) AS lb_q
+          |  FROM s9
+          |), w AS (
+          |  SELECT n, lags, lb_q,
+          |    round((cbrt(lb_q / lags) - 1 + 2.0 / (9 * lags))
+          |      / sqrt(2.0 / (9 * lags)), 6) AS wh_z
+          |  FROM q
+          |)
+          |SELECT n, lags, lb_q, wh_z,
+          |  CAST(wh_z > 1.645 AS BIGINT) AS autocorrelated
+          |FROM w""".stripMargin),
+    ) { (s, dir) =>
+      ljungBox(hourlySeries(s, dir), LjungBoxLags)
+    },
+
+    Q(
+      "q_ewma_control",
+      "EWMA CONTROL CHART over the hourly count series (λ = 1/5, " +
+        "steady-state 3σ limits — Roberts 1959, the SPC standard for " +
+        "small sustained shifts that q_events_anomaly's per-point " +
+        "z-test misses: the EWMA accumulates a 0.5σ drift into a " +
+        "crossing within hours). λ = 1/5 makes the steady-state " +
+        "limit collapse exactly: 3σ√(λ/(2−λ)) = 3σ·√(1/9) = σ — the " +
+        "out-of-control compare is |z_t − μ| > σ with no extra " +
+        "constants (time-varying early-t limits are the documented " +
+        "refinement). The smoothing fold is the q_holt_winters " +
+        "shape — the #hours-bounded series rides ONE row as a sorted " +
+        "array, iterates 6dp-quantized so both engines walk the same " +
+        "trajectory — and μ/σ come from exact BIGINT power sums. At " +
+        "100 TB: one corpus scan to the hour rollup; the sequential " +
+        "part is #hours scalar ops, 1-row output",
+      Some(
+        s"""WITH RECURSIVE $hourlySeriesSqlCte, x0 AS (
+          |  SELECT t, CAST(x AS DOUBLE) AS x FROM series
+          |), st AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(CAST(x AS BIGINT)) AS BIGINT) AS sx,
+          |    CAST(sum(CAST(x AS BIGINT) * CAST(x AS BIGINT)) AS BIGINT) AS sq
+          |  FROM series
+          |), ew AS (
+          |  SELECT CAST(0 AS BIGINT) AS t,
+          |    (SELECT x FROM x0 WHERE t = 0) AS z
+          |  UNION ALL
+          |  SELECT ew.t + 1, round(2e-1 * x0.x + 8e-1 * ew.z, 6)
+          |  FROM ew JOIN x0 ON x0.t = ew.t + 1
+          |), lim AS (
+          |  SELECT n, round(CAST(sx AS DOUBLE) / n, 6) AS mu6,
+          |    round(sqrt((CAST(n AS DOUBLE) * sq - CAST(sx AS DOUBLE) * sx)
+          |      / (CAST(n AS DOUBLE) * (n - 1))), 6) AS sig6
+          |  FROM st
+          |), dev AS (
+          |  SELECT n, mu6, sig6, t, round(abs(z - mu6), 6) AS dev6
+          |  FROM ew CROSS JOIN lim
+          |)
+          |SELECT n AS n_hours, mu6 AS mu, sig6 AS sigma_z,
+          |  CAST(sum(CASE WHEN dev6 > sig6 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_ooc,
+          |  CAST(min(CASE WHEN dev6 > sig6 THEN t END) AS BIGINT)
+          |    AS first_ooc_t,
+          |  max(dev6) AS max_abs_dev
+          |FROM dev GROUP BY n, mu6, sig6""".stripMargin),
+    ) { (s, dir) =>
+      ewmaControl(hourlySeries(s, dir))
+    },
   )
 
   /** The q_fdr_bh test stage over any (event_type, user_id, value)
@@ -4653,10 +5188,11 @@ object EventsOps {
         sum(when(col("grp") === 1, col("c")).otherwise(0L)).as("sb"),
         sum(when(col("grp") === 1, col("c") * col("c")).otherwise(0L)).as("qb"))
 
-  /** The finishing stage of q_fdr_bh over the per-type state: Welch z
-    * → mirrored A&S grid p → [[bhReadout]]. Batch-side in both twins. */
-  private[graft] def fdrFinish(sums: DataFrame): DataFrame = {
-    val p = sums
+  /** Welch z + mirrored A&S grid p over a [[fdrArmSums]] frame — the
+    * shared test stage of q_fdr_bh and q_holm_bonferroni. Returns
+    * (event_type, n, z, p6i). */
+  private[graft] def welchScored(sums: DataFrame): DataFrame =
+    sums
       .filter(col("na") > 1 && col("nb") > 1)
       .selectExpr("event_type", "na + nb AS n",
         """round((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
@@ -4666,7 +5202,148 @@ object EventsOps {
           |      / (CAST(nb AS DOUBLE) * nb * (nb - 1))), 6) AS z"""
           .stripMargin)
       .selectExpr("event_type", "n", "z", s"${pNorm6Sql("z")} AS p6i")
-    bhReadout(p)
+
+  /** The finishing stage of q_fdr_bh over the per-type state: Welch z
+    * → mirrored A&S grid p → [[bhReadout]]. Batch-side in both twins. */
+  private[graft] def fdrFinish(sums: DataFrame): DataFrame =
+    bhReadout(welchScored(sums))
+
+  /** The HOLM step-down over a scored frame carrying (event_type,
+    * p6i) — the FWER-controlling sibling of [[bhReadout]]: ranks
+    * ascending on the exact grid, rank i's threshold is α/(m−i+1),
+    * and rejection STOPS at the first failure (a prefix-max window
+    * over the fail flag — step-down, where BH is step-up). The
+    * compare p6i · FdrAlphaInv · (m−rk+1) ≤ 10⁶ runs in pure
+    * integers. */
+  private[graft] def holmReadout(scored: DataFrame): DataFrame = {
+    val wRk = Window.orderBy("p6i", "event_type")
+    val ranked = scored
+      .withColumn("rk", row_number().over(wRk).cast("long"))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("fail",
+        when(col("p6i") * lit(FdrAlphaInv) * (col("m") - col("rk") + 1)
+          > lit(1000000L), 1L).otherwise(0L))
+      .withColumn("cumfail", max(col("fail")).over(
+        wRk.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ranked.select(col("event_type"), col("n"), col("z"),
+      round(col("p6i").cast("double") / 1000000, 6).as("p"), col("rk"),
+      (lit(1L) - col("cumfail")).as("rejected"))
+      .orderBy("event_type")
+  }
+
+  /** The q_tost_equivalence computation over any (event_type,
+    * user_id, value) frame — factored so TostSpec can plant a
+    * within-margin nudge (equivalent) and an out-of-margin lift
+    * (not): TWO one-sided Welch z's against ±margin cents; both
+    * must clear 1.645 to declare equivalence (Schuirmann 1987).
+    * Exact BIGINT power sums; diff and se land on the 6dp grid
+    * BEFORE the z divisions so both engines decide identically. */
+  private[graft] def tostEquivalence(events: DataFrame,
+      marginCents: Long): DataFrame =
+    fdrArmSums(events)
+      .filter(col("na") > 1 && col("nb") > 1)
+      .selectExpr("event_type", "na + nb AS n",
+        """round(CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb, 6)
+          |  AS dc6""".stripMargin,
+        """round(sqrt((CAST(na AS DOUBLE) * qa - CAST(sa AS DOUBLE) * sa)
+          |    / (CAST(na AS DOUBLE) * na * (na - 1))
+          |  + (CAST(nb AS DOUBLE) * qb - CAST(sb AS DOUBLE) * sb)
+          |    / (CAST(nb AS DOUBLE) * nb * (nb - 1))), 6) AS se6"""
+          .stripMargin)
+      .selectExpr("event_type", "n", "round(dc6 / 100, 6) AS diff",
+        s"""CASE WHEN se6 = 0 THEN NULL ELSE
+           |  round((dc6 + $marginCents) / se6, 6) END AS z_lower"""
+          .stripMargin,
+        s"""CASE WHEN se6 = 0 THEN NULL ELSE
+           |  round(($marginCents - dc6) / se6, 6) END AS z_upper"""
+          .stripMargin)
+      .selectExpr("event_type", "n", "diff", "z_lower", "z_upper",
+        "CAST(z_lower > 1.645 AND z_upper > 1.645 AS BIGINT) AS equivalent")
+      .orderBy("event_type")
+
+  /** The q_ljung_box computation over any (t, x) series — factored so
+    * LjungBoxSpec can plant a strongly autocorrelated square wave
+    * (fires) and a planted near-null series. ACF values land on the
+    * 6dp grid (the q_acf arithmetic: exact centered BIGINT products,
+    * one division per lag), each lag's r²/(n−k) term quantizes to the
+    * 1e-9 grid and sums exactly, and the Box-Ljung Q plus its
+    * Wilson-Hilferty z finish as mirrored IEEE expressions. */
+  private[graft] def ljungBox(seriesRaw: DataFrame, maxLag: Int): DataFrame = {
+    val series = seriesRaw.localCheckpoint() // stats + pairs ×2 + denom
+    val st = series.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    val a = series.select(col("t").as("at"), col("x").as("ax"))
+    val b = series.select(col("t").as("bt"), col("x").as("bx"))
+    val num = a.join(b,
+        col("bt") > col("at") && col("bt") <= col("at") + maxLag)
+      .crossJoin(broadcast(st))
+      .groupBy((col("bt") - col("at")).as("lag"))
+      .agg(sum((col("ax") * col("n") - col("sx"))
+        * (col("bx") * col("n") - col("sx"))).as("num"))
+    val den = series.crossJoin(broadcast(st))
+      .agg(sum((col("x") * col("n") - col("sx"))
+        * (col("x") * col("n") - col("sx"))).as("den"),
+        max(col("n")).as("n"))
+    num.crossJoin(broadcast(den))
+      .select(col("n"), col("lag"),
+        round(col("num").cast("double") / col("den"), 6).as("r6"))
+      .selectExpr("n", "lag",
+        """CAST(round(r6 * r6 / (n - lag) * 1000000000.0)
+          |  AS DECIMAL(38,0)) AS term9""".stripMargin)
+      .groupBy("n").agg(count(lit(1)).as("lags"), sum(col("term9")).as("s9"))
+      .selectExpr("n", "lags",
+        """round(CAST(n AS DOUBLE) * (n + 2)
+          |  * (CAST(s9 AS DOUBLE) / 1000000000.0), 6) AS lb_q"""
+          .stripMargin)
+      .selectExpr("n", "lags", "lb_q",
+        """round((cbrt(lb_q / lags) - 1 + 2.0 / (9 * lags))
+          |  / sqrt(2.0 / (9 * lags)), 6) AS wh_z""".stripMargin)
+      .selectExpr("n", "lags", "lb_q", "wh_z",
+        "CAST(wh_z > 1.645 AS BIGINT) AS autocorrelated")
+  }
+
+  /** The q_ewma_control computation over any (t, x) series — factored
+    * so EwmaSpec can plant a level shift and pin the first
+    * out-of-control index. λ = 1/5 exactly, and the STEADY-STATE
+    * 3σ_z limit collapses beautifully: 3·σ·√(λ/(2−λ)) = 3·σ·√(1/9)
+    * = σ — the control compare is |z_t − μ| > σ with no extra
+    * constants (time-varying early-t limits documented as the
+    * refinement; steady-state is the standard chart face). The
+    * smoothing fold is the q_holt_winters shape — #hours-bounded
+    * array, 6dp-quantized iterates — emitting the whole trajectory;
+    * μ and σ come from exact BIGINT power sums. */
+  private[graft] def ewmaControl(seriesRaw: DataFrame): DataFrame = {
+    val series = seriesRaw.localCheckpoint() // fold + stats
+    val st = series.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sq"))
+    val zs = series
+      .agg(expr("transform(array_sort(collect_list(struct(t, x)))," +
+        " p -> CAST(p.x AS DOUBLE))").as("xs"))
+      .select(expr(
+        """aggregate(
+          |  slice(xs, 2, size(xs) - 1),
+          |  named_struct('z', element_at(xs, 1),
+          |               'arr', array(element_at(xs, 1))),
+          |  (acc, v) -> named_struct(
+          |    'z', CAST(round(2e-1 * v + 8e-1 * acc.z, 6) AS DOUBLE),
+          |    'arr', concat(acc.arr, array(
+          |      CAST(round(2e-1 * v + 8e-1 * acc.z, 6) AS DOUBLE)))),
+          |  acc -> acc.arr)""".stripMargin).as("zs"))
+      .select(posexplode(col("zs")).as(Seq("t", "z6")))
+    zs.crossJoin(broadcast(st))
+      .selectExpr("t", "z6", "n",
+        "round(CAST(sx AS DOUBLE) / n, 6) AS mu6",
+        """round(sqrt((CAST(n AS DOUBLE) * sq - CAST(sx AS DOUBLE) * sx)
+          |  / (CAST(n AS DOUBLE) * (n - 1))), 6) AS sig6"""
+          .stripMargin)
+      .selectExpr("t", "n", "mu6", "sig6",
+        "round(abs(z6 - mu6), 6) AS dev6")
+      .groupBy("n", "mu6", "sig6").agg(
+        sum(when(col("dev6") > col("sig6"), 1L).otherwise(0L)).as("n_ooc"),
+        min(when(col("dev6") > col("sig6"), col("t"))).as("first_ooc_t"),
+        max(col("dev6")).as("max_abs_dev"))
+      .selectExpr("n AS n_hours", "mu6 AS mu", "sig6 AS sigma_z",
+        "n_ooc", "CAST(first_ooc_t AS BIGINT) AS first_ooc_t",
+        "max_abs_dev")
   }
 
   /** The BH step-up over a scored frame carrying (event_type, p6i) —
@@ -6022,7 +6699,7 @@ object EventsOps {
     // round-trips however many channels are audited, instead of the
     // pre-r11 (1 + K) sequential fixpoints. State stays bounded:
     // (1 + K) × #types² edges, (1 + K) × #types states.
-    val NoneTag = " baseline"
+    val NoneTag = "\u0000baseline"
     require(!channels.contains(NoneTag),
       "channel list collides with the internal baseline tag")
     val tags = probs.sparkSession.range(1).select(
@@ -6129,5 +6806,210 @@ object EventsOps {
     base.select(col("user_id"), version.as("version"), col("event_type"),
       col("ts").as("valid_from"), col("valid_to"),
       when(col("valid_to").isNull, 1L).otherwise(0L).as("is_current"))
+  }
+
+  /** The q_kendall_tau computation over any (x, y) BIGINT frame —
+    * factored so KendallSpec can plant hand-counted concordance
+    * tables (a perfect monotone grid, an anti-monotone one, and a
+    * tie-heavy case checked against the closed-form τ-b). See the
+    * registry entry for the grid decomposition. */
+  private[graft] def kendallTau(pairs: DataFrame): DataFrame = {
+    val cells = pairs.groupBy("x", "y").agg(count(lit(1)).as("f"))
+      .localCheckpoint() // read by the grid completion AND the probe
+    val grid = cells.select("x").distinct()
+      .crossJoin(cells.select("y").distinct())
+      .join(cells, Seq("x", "y"), "left")
+      .withColumn("f", coalesce(col("f"), lit(0L)))
+    val wv = Window.partitionBy("x").orderBy("y")
+    val tdiff = grid
+      .withColumn("below", sum(col("f")).over(wv) - col("f"))
+      .withColumn("tot", sum(col("f")).over(Window.partitionBy("x")))
+      .select(col("x").as("x2"), col("y"),
+        (col("below") - (col("tot") - col("below") - col("f"))).as("td"))
+    val inner = cells.select(col("x").as("x1"), col("y"), col("f"))
+      .join(tdiff, Seq("y"))
+      .filter(col("x2") =!= col("x1"))
+      .groupBy("x1", "y", "f")
+      .agg(sum(when(col("x1") > col("x2"), col("td"))
+        .otherwise(-col("td"))).as("inn"))
+    val cd = inner.agg(
+      sum(col("f").cast("decimal(38,0)") * col("inn")).as("cmd2"))
+    val xt = cells.groupBy("x").agg(sum(col("f")).as("t"))
+      .agg(sum(col("t")).as("n"),
+        sum(col("t").cast("decimal(38,0)") * (col("t") - 1)).as("tx2"))
+    val yt = cells.groupBy("y").agg(sum(col("f")).as("t"))
+      .agg(sum(col("t").cast("decimal(38,0)") * (col("t") - 1)).as("ty2"))
+    cd.crossJoin(broadcast(xt)).crossJoin(broadcast(yt))
+      .selectExpr("n", "cmd2",
+        "CAST(n AS DECIMAL(38,0)) * (n - 1) - tx2 AS dx",
+        "CAST(n AS DECIMAL(38,0)) * (n - 1) - ty2 AS dy",
+        "CAST(n AS DECIMAL(38,0)) * (n - 1) * (2 * n + 5) AS zden2")
+      .selectExpr("n",
+        """CASE WHEN dx = 0 OR dy = 0 THEN NULL ELSE
+          |  round(CAST(cmd2 AS DOUBLE)
+          |    / (sqrt(CAST(dx AS DOUBLE)) * sqrt(CAST(dy AS DOUBLE))),
+          |    6) END AS tau_b""".stripMargin,
+        """CASE WHEN n < 3 THEN NULL ELSE
+          |  round(3 * CAST(cmd2 AS DOUBLE)
+          |    / (2 * sqrt(CAST(zden2 AS DOUBLE) / 2)), 6)
+          |  END AS kendall_z""".stripMargin)
+      .selectExpr("n", "tau_b", "kendall_z",
+        "CAST(abs(kendall_z) > 1.96 AS BIGINT) AS significant")
+  }
+
+  /** The q_quantile_te computation over any (event_type, user_id,
+    * value) frame — factored so QuantileTeSpec can plant a pure
+    * location shift and pin the exact per-quantile effect. Arms on
+    * user parity; quartile indices k = ceil(p·n) in pure integers
+    * (p = j/4 exact); quantile = smallest cents whose arm cumulative
+    * reaches k — the inverse-CDF definition, window_dist's index
+    * machinery on the per-arm cumulative. */
+  private[graft] def quantileTe(events: DataFrame): DataFrame =
+    quantileTeFinish(quantileTeState(events))
+
+  /** The streamable state stage of q_quantile_te: the (type, cents,
+    * arm counts) rollup — purely ADDITIVE, so a Structured Streaming
+    * complete-mode groupBy folds it as cents-domain-bounded state
+    * that equals the batch rollup at any split (q_stream_quantile_te
+    * runs it live; the q_stream_fdr argument). */
+  private[graft] def quantileTeState(events: DataFrame): DataFrame =
+    events.select(col("event_type"),
+        (col("user_id") % 2).as("grp"),
+        round(col("value") * 100, 0).cast("long").as("v"))
+      .groupBy("event_type", "v").agg(
+        sum(when(col("grp") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("grp") === 1, 1L).otherwise(0L)).as("cb"))
+
+  /** The finishing stage of q_quantile_te over the bounded rollup:
+    * per-arm cumulatives + exact quartile-index probe. Arm totals
+    * come from an unordered window over the SAME pass as the
+    * cumulatives (no self-join: the rollup may be a streaming
+    * memory-sink table, whose MemoryPlan attributes do not
+    * deduplicate across two derivations the way file scans do —
+    * joining two lineages of it throws conflicting-references). */
+  private[graft] def quantileTeFinish(vc: DataFrame): DataFrame = {
+    val wv = Window.partitionBy("event_type").orderBy("v")
+    val wt = Window.partitionBy("event_type")
+    vc
+      .withColumn("cuma", sum(col("ca")).over(wv))
+      .withColumn("cumb", sum(col("cb")).over(wv))
+      .withColumn("na", sum(col("ca")).over(wt))
+      .withColumn("nb", sum(col("cb")).over(wt))
+      .filter(col("na") > 0 && col("nb") > 0)
+      .select(col("event_type"), col("v"), col("cuma"), col("cumb"),
+        col("na"), col("nb"), explode(expr("array(1L, 2L, 3L)")).as("j"))
+      .selectExpr("event_type", "v", "cuma", "cumb", "j",
+        "(na * j + 3) DIV 4 AS ka", "(nb * j + 3) DIV 4 AS kb")
+      .groupBy("event_type", "j").agg(
+        min(when(col("cuma") >= col("ka"), col("v"))).as("qa_c"),
+        min(when(col("cumb") >= col("kb"), col("v"))).as("qb_c"))
+      .selectExpr("event_type", "CAST(j AS DOUBLE) / 4 AS p",
+        "round(CAST(qa_c AS DOUBLE) / 100, 6) AS q_a",
+        "round(CAST(qb_c AS DOUBLE) / 100, 6) AS q_b",
+        "round(CAST(qb_c - qa_c AS DOUBLE) / 100, 6) AS qte")
+      .orderBy("event_type", "p")
+  }
+
+  /** The q_cmh_test computation over any (user_id, event_type, ts)
+    * frame — factored so CmhSpec can plant a confounded-by-day
+    * design (marginal lift, zero stratified effect — Simpson's
+    * setup) and a true uniform lift. Arms on user parity; strata =
+    * day; outcome = the `target` event type. Per-stratum E and Var
+    * terms quantize to the 1e-9 grid and sum exactly (the
+    * q_chisq_independence convention); df = 1 so the significance
+    * compare is z² against 1.96². */
+  private[graft] def cmhTest(events: DataFrame, target: String): DataFrame = {
+    val cells = events.select(
+        col("ts").cast("date").as("day"),
+        (col("user_id") % 2).as("grp"),
+        when(col("event_type") === target, 1L).otherwise(0L).as("hit"))
+      .groupBy("day").agg(
+        sum(when(col("grp") === 0, col("hit")).otherwise(0L)).as("a"),
+        sum(when(col("grp") === 0, lit(1L) - col("hit")).otherwise(0L)).as("b"),
+        sum(when(col("grp") === 1, col("hit")).otherwise(0L)).as("c"),
+        sum(when(col("grp") === 1, lit(1L) - col("hit")).otherwise(0L)).as("d"))
+      .selectExpr("day", "a", "b", "c", "d",
+        "a + b AS n0", "c + d AS n1", "a + c AS m1", "b + d AS m0",
+        "a + b + c + d AS t")
+      .filter(col("t") > 1)
+    cells.agg(
+        count(lit(1)).as("n_strata"), sum(col("t")).as("n"),
+        sum(col("a")).as("sa"),
+        sum(expr("CAST(round(CAST(n0 AS DOUBLE) * m1 / t" +
+          " * 1000000000.0) AS DECIMAL(38,0))")).as("e9"),
+        sum(expr("""CAST(round(CAST(n0 AS DOUBLE) * n1 * m1 * m0
+          |  / (CAST(t AS DOUBLE) * t * (t - 1))
+          |  * 1000000000.0) AS DECIMAL(38,0))""".stripMargin)).as("v9"),
+        sum(expr("CAST(round(CAST(a AS DOUBLE) * d / t" +
+          " * 1000000000.0) AS DECIMAL(38,0))")).as("r9"),
+        sum(expr("CAST(round(CAST(b AS DOUBLE) * c / t" +
+          " * 1000000000.0) AS DECIMAL(38,0))")).as("s9"))
+      .selectExpr("n_strata", "n",
+        "CAST(sa AS DECIMAL(38,0)) * 1000000000 - e9 AS num9", "v9",
+        "r9", "s9")
+      .selectExpr("n_strata", "n",
+        """CASE WHEN v9 = 0 THEN NULL ELSE
+          |  round(CAST(num9 AS DOUBLE) * CAST(num9 AS DOUBLE)
+          |    / (1000000000.0 * CAST(v9 AS DOUBLE)), 6)
+          |  END AS cmh_chi2""".stripMargin,
+        """CASE WHEN s9 = 0 THEN NULL ELSE
+          |  round(CAST(r9 AS DOUBLE) / CAST(s9 AS DOUBLE), 6)
+          |  END AS or_mh""".stripMargin)
+      .selectExpr("n_strata", "n", "cmh_chi2", "or_mh",
+        "CAST(cmh_chi2 > 3.841459 AS BIGINT) AS significant")
+  }
+
+  /** The q_runs_test computation over any (event_type, ts, value)
+    * frame — factored so RunsSpec can plant a perfectly alternating
+    * series (maximal runs, z > 0) and a two-block series (minimal
+    * runs, z < 0). Daily totals densify onto the global day spine
+    * (the q_acf lesson); above/below classifies against the doubled
+    * two-middle-order-stat median (exact integers — equal-to-median
+    * days are excluded, the standard treatment); the runs count is
+    * one lag over the #days-bounded sequence. */
+  private[graft] def runsTest(events: DataFrame): DataFrame = {
+    val daily0 = events.select(col("event_type"),
+        col("ts").cast("date").as("day"),
+        round(col("value") * 100, 0).cast("long").as("c"))
+      .groupBy("event_type", "day").agg(sum(col("c")).as("s"))
+    val daily = daily0.select("event_type").distinct()
+      .crossJoin(daily0.select("day").distinct())
+      .join(daily0, Seq("event_type", "day"), "left")
+      .withColumn("s", coalesce(col("s"), lit(0L)))
+    val wOrd = Window.partitionBy("event_type").orderBy("s", "day")
+    val med = daily
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy("event_type")))
+      .groupBy("event_type").agg(
+        sum(when(col("rn") === expr("(nd + 1) DIV 2")
+          || col("rn") === expr("(nd + 2) DIV 2"), col("s"))).as("m2"),
+        max(when((col("nd") % 2) === 1, 1L).otherwise(0L)).as("odd"))
+      .selectExpr("event_type",
+        "CASE WHEN odd = 1 THEN 2 * m2 ELSE m2 END AS m2")
+    val signed = daily.join(broadcast(med), Seq("event_type"))
+      .filter(lit(2L) * col("s") =!= col("m2"))
+      .withColumn("up",
+        when(lit(2L) * col("s") > col("m2"), 1L).otherwise(0L))
+    val wDay = Window.partitionBy("event_type").orderBy("day")
+    signed
+      .withColumn("chg",
+        when(lag(col("up"), 1).over(wDay).isNull
+          || lag(col("up"), 1).over(wDay) =!= col("up"), 1L).otherwise(0L))
+      .groupBy("event_type").agg(
+        sum(col("up")).as("n1"),
+        sum(lit(1L) - col("up")).as("n2"),
+        sum(col("chg")).as("runs"))
+      .filter(col("n1") > 0 && col("n2") > 0)
+      .selectExpr("event_type", "n1", "n2", "runs",
+        "n1 + n2 AS nn", "2 * n1 * n2 AS p2")
+      .selectExpr("event_type", "n1", "n2", "runs",
+        """CASE WHEN nn < 2 OR p2 * (p2 - nn) <= 0 THEN NULL ELSE
+          |  round((runs - (CAST(p2 AS DOUBLE) / nn + 1))
+          |    / sqrt(CAST(p2 AS DOUBLE) * (p2 - nn)
+          |      / (CAST(nn AS DOUBLE) * nn * (nn - 1))), 6)
+          |  END AS runs_z""".stripMargin)
+      .selectExpr("event_type", "n1", "n2", "runs", "runs_z",
+        "CAST(abs(runs_z) <= 1.96 AS BIGINT) AS looks_random")
+      .orderBy("event_type")
   }
 }

@@ -92,6 +92,17 @@ object GraphOps {
   private[graft] val SccTopEdges = 400
   private[graft] val SccMaxRounds = 60
 
+  /** q_ktruss: k and the unrolled peel-round budget (oracle CTEs
+    * mirror; KtrussSpec pins fixpoint-within-budget at driver SFs). */
+  private[graft] val KtrussK = 4
+  private[graft] val KtrussRounds = 12
+
+  /** q_katz: attenuation α = 1/KatzAlphaInv (exact dyadic rational —
+    * the whole truncated series clears denominators into one BIGINT)
+    * and the number of path-length terms. */
+  private[graft] val KatzAlphaInv = 8L
+  private[graft] val KatzRounds = 4
+
   /** (user-ordered) item transitions: a = lag(item), b = item. */
   private[graft] def transitions(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -1350,7 +1361,182 @@ object GraphOps {
     ) { (s, dir) =>
       randomWalks(edgesOf(s, dir), RwSteps)
     },
+
+    Q(
+      "q_ktruss",
+      s"$KtrussK-TRUSS decomposition of the top-$TriTopEdges " +
+        "undirected transition edges (Cohen 2008): keep only edges " +
+        s"supported by ≥ ${KtrussK - 2} triangles WITHIN the " +
+        "surviving subgraph — the cohesion mesh q_kcore's degree " +
+        "peel can't give (a star has high core but zero truss: " +
+        "truss demands MUTUAL triangles, the community-core " +
+        s"definition). $KtrussRounds unrolled peel rounds, each ONE " +
+        "edge-keyed support join + filter (support recomputed " +
+        "against survivors only — the point of the peel); " +
+        "KtrussSpec pins the fixpoint is reached within the round " +
+        "budget at the driver SFs and hand-checks a planted " +
+        "clique-plus-tail. Support counting joins the symmetric " +
+        "adjacency twice per edge — the wedge join bounded by the " +
+        "top-E cut here and by degree-orientation at 100 TB (the " +
+        "q_triangles Σd² discipline). Readout = surviving edges " +
+        "with final in-subgraph support. At 100 TB: rounds scale " +
+        "with peel depth, state with surviving edges",
+      Some {
+        val rounds = (1 to KtrussRounds).map { i =>
+          s""", adj$i AS MATERIALIZED (
+             |  SELECT wa AS x, wb AS y FROM e${i - 1}
+             |  UNION ALL SELECT wb, wa FROM e${i - 1}
+             |), s$i AS MATERIALIZED (
+             |  SELECT e.wa, e.wb, CAST(count(*) AS BIGINT) AS sup
+             |  FROM e${i - 1} e
+             |  JOIN adj$i p ON p.x = e.wa
+             |  JOIN adj$i q ON q.x = e.wb AND q.y = p.y
+             |  GROUP BY e.wa, e.wb
+             |), e$i AS MATERIALIZED (
+             |  SELECT s.wa, s.wb FROM s$i s WHERE s.sup >= ${KtrussK - 2}
+             |)""".stripMargin
+        }.mkString
+        s"""WITH $edgesSqlCte,
+           |und AS (
+           |  SELECT least(a, b) AS wa, greatest(a, b) AS wb,
+           |    CAST(sum(n) AS BIGINT) AS n
+           |  FROM edges WHERE a <> b GROUP BY 1, 2
+           |), e0 AS MATERIALIZED (
+           |  SELECT wa, wb FROM und ORDER BY n DESC, wa, wb LIMIT $TriTopEdges
+           |)$rounds, adjF AS MATERIALIZED (
+           |  SELECT wa AS x, wb AS y FROM e$KtrussRounds
+           |  UNION ALL SELECT wb, wa FROM e$KtrussRounds
+           |)
+           |SELECT e.wa, e.wb, CAST(count(*) AS BIGINT) AS support
+           |FROM e$KtrussRounds e
+           |JOIN adjF p ON p.x = e.wa
+           |JOIN adjF q ON q.x = e.wb AND q.y = p.y
+           |GROUP BY e.wa, e.wb
+           |ORDER BY wa, wb""".stripMargin
+      },
+    ) { (s, dir) =>
+      ktruss(topEdges(s, dir), KtrussK, KtrussRounds)
+    },
+
+    Q(
+      "q_katz",
+      s"KATZ centrality on the directed transition graph, computed " +
+        s"EXACTLY: with attenuation α = 1/$KatzAlphaInv and " +
+        s"$KatzRounds unrolled terms, katz(v) = Σ_k α^k·paths_k(v) " +
+        "over the UNWEIGHTED adjacency — and since path counts are " +
+        "exact BIGINTs and α is an exact dyadic rational, the whole " +
+        s"sum clears denominators: katz·$KatzAlphaInv^$KatzRounds " +
+        "is a pure integer, finished by ONE division (the " +
+        "q_random_walk zero-float-sampling discipline applied to a " +
+        "centrality — PageRank needs per-round float rounding " +
+        "grids; truncated Katz needs none). The influence reading " +
+        "beside q_pagerank: Katz counts ALL attenuated paths, so " +
+        "low-degree nodes adjacent to hubs still score — the " +
+        "recommendation-seed ranking. Each path round is one " +
+        "edge-keyed join + node-keyed agg on node-sized state. At " +
+        "100 TB: path counts want DECIMAL(38) past ~degree^k·2⁶³ — " +
+        "documented; state scales with nodes, rounds fixed",
+      Some {
+        val rounds = (2 to KatzRounds).map { i =>
+          s""", p$i AS (
+             |  SELECT d.b AS v, CAST(sum(p.c) AS BIGINT) AS c
+             |  FROM p${i - 1} p JOIN dedges d ON d.a = p.v
+             |  GROUP BY d.b
+             |)""".stripMargin
+        }.mkString
+        val terms = (1 to KatzRounds).map { k =>
+          val scale = math.pow(KatzAlphaInv.toDouble,
+            (KatzRounds - k).toDouble).toLong
+          s"$scale * coalesce(p$k.c, 0)"
+        }.mkString(" + ")
+        val joins = (1 to KatzRounds)
+          .map(k => s"LEFT JOIN p$k ON p$k.v = nd.node").mkString("\n  ")
+        val denom = math.pow(KatzAlphaInv.toDouble,
+          KatzRounds.toDouble).toLong
+        s"""WITH $edgesSqlCte, dedges AS (
+           |  SELECT DISTINCT a, b FROM edges WHERE a <> b
+           |), nodes AS (
+           |  SELECT DISTINCT a AS node FROM dedges
+           |  UNION SELECT DISTINCT b FROM dedges
+           |), p1 AS (
+           |  SELECT b AS v, CAST(count(*) AS BIGINT) AS c
+           |  FROM dedges GROUP BY b
+           |)$rounds
+           |SELECT nd.node AS item,
+           |  round(CAST($terms AS DOUBLE) / $denom.0, 6) AS katz
+           |FROM nodes nd
+           |  $joins
+           |ORDER BY item""".stripMargin
+      },
+    ) { (s, dir) =>
+      katz(edgesOf(s, dir), KatzAlphaInv, KatzRounds)
+    },
   )
+
+  /** The q_ktruss peel over an undirected canonical edge list
+    * (wa < wb) — factored so KtrussSpec can plant a clique-plus-tail
+    * and pin both the surviving mesh and fixpoint-within-budget.
+    * Each round recomputes per-edge triangle support against the
+    * SURVIVORS (two symmetric-adjacency joins) and drops edges below
+    * k−2; the final support readout runs once more over the settled
+    * subgraph. */
+  private[graft] def ktruss(edges0: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
+    def support(e: DataFrame): DataFrame = {
+      val adj = e.select(col("wa").as("x"), col("wb").as("y"))
+        .unionAll(e.select(col("wb").as("x"), col("wa").as("y")))
+      e.join(adj.as("p"), col("wa") === col("p.x"))
+        .join(adj.as("q"),
+          col("wb") === col("q.x") && col("p.y") === col("q.y"))
+        .groupBy("wa", "wb").agg(count(lit(1)).as("sup"))
+    }
+    var e = edges0.select("wa", "wb").localCheckpoint()
+    for (_ <- 1 to rounds) {
+      e = e.join(support(e), Seq("wa", "wb"), "left")
+        .filter(coalesce(col("sup"), lit(0L)) >= k - 2)
+        .select("wa", "wb")
+        .localCheckpoint()
+    }
+    support(e).select(col("wa"), col("wb"), col("sup").as("support"))
+      .orderBy("wa", "wb")
+  }
+
+  /** The q_katz truncated-series centrality over a directed weighted
+    * edge list (a, b, n) — factored so KatzSpec can hand-count path
+    * sums on a planted chain+hub. Unweighted distinct adjacency;
+    * exact BIGINT path counts per length; the dyadic α clears every
+    * denominator so the only float is the final display division. */
+  private[graft] def katz(edges0: DataFrame, alphaInv: Long,
+      rounds: Int): DataFrame = {
+    val de = edges0.filter(col("a") =!= col("b"))
+      .select("a", "b").distinct().localCheckpoint()
+    val nodes = de.select(col("a").as("node"))
+      .unionAll(de.select(col("b").as("node"))).distinct()
+    var paths = Seq.empty[DataFrame]
+    var p = de.groupBy(col("b").as("v")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    paths :+= p
+    for (_ <- 2 to rounds) {
+      p = p.join(de, col("v") === col("a"))
+        .groupBy(col("b").as("v2")).agg(sum(col("c")).as("c2"))
+        .select(col("v2").as("v"), col("c2").as("c"))
+        .localCheckpoint()
+      paths :+= p
+    }
+    val denom = math.pow(alphaInv.toDouble, rounds.toDouble)
+    val joined = paths.zipWithIndex.foldLeft(nodes) { case (acc, (pk, i)) =>
+      acc.join(pk.select(col("v"), col("c").as(s"c${i + 1}")),
+        col("node") === col("v"), "left").drop("v")
+    }
+    val term = (1 to rounds).map { kk =>
+      val scale = math.pow(alphaInv.toDouble, (rounds - kk).toDouble).toLong
+      s"$scale * coalesce(c$kk, 0)"
+    }.mkString(" + ")
+    joined
+      .selectExpr("node AS item",
+        s"round(CAST($term AS DOUBLE) / $denom, 6) AS katz")
+      .orderBy("item")
+  }
 
   /** Deterministic weighted random-walk corpus over a directed
     * weighted edge list (a, b, n) — factored so RandomWalkSpec can

@@ -4438,6 +4438,86 @@ object TextOps {
             / (col("n_bigrams") * lit(1000000.0)), 6).as("mean_lp"))
         .orderBy("doc_id")
     },
+
+    Q(
+      "q_textrank",
+      "TEXTRANK corpus keywords (Mihalcea & Tarau 2004): PageRank " +
+        "over the word co-occurrence graph — the GRAPH-centrality " +
+        "keyword signal beside q_keywords' per-doc TF-IDF: TextRank " +
+        "scores a word by the importance of the words it keeps " +
+        "company with, so corpus-level connector terms surface even " +
+        "when no single document is about them. Pure cross-module " +
+        "composition: the q_cooccur skip-gram pair stream (distance " +
+        "≤ 2, min-support pruned — the same noise-tail kill that " +
+        "keeps the graph pair-vocab-bounded at web scale) feeds the " +
+        "EXACT q_pagerank engine (GraphOps.pageRank: edge-keyed " +
+        "join + node-keyed agg per round, 9dp iterate grid, " +
+        "dangling mass as a broadcast 1-row agg) on the " +
+        "symmetrized weighted edges; top-30 by (rank, word) via " +
+        "TakeOrdered. At 100 TB: one corpus explode to pairs, " +
+        "then every round runs on the pair-vocab-bounded graph",
+      Some(
+        s"""WITH tok AS (
+           |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+           |), pairs0 AS (
+           |  SELECT least(a, b) AS wa, greatest(a, b) AS wb FROM (
+           |    SELECT t[i+1] AS a, t[i+2] AS b FROM tok,
+           |      unnest(range(len(t) - 1)) AS u(i)
+           |    UNION ALL
+           |    SELECT t[i+1] AS a, t[i+3] AS b FROM tok,
+           |      unnest(range(len(t) - 2)) AS u(i))
+           |), pc AS (
+           |  SELECT wa, wb, count(*) AS n_ab FROM pairs0 GROUP BY wa, wb
+           |), ed0 AS (
+           |  SELECT wa, wb, n_ab FROM pc
+           |  WHERE wa <> wb AND n_ab >= $CoocMinCount
+           |), edges AS (
+           |  SELECT wa AS a, wb AS b, CAST(n_ab AS BIGINT) AS n FROM ed0
+           |  UNION ALL
+           |  SELECT wb, wa, CAST(n_ab AS BIGINT) FROM ed0
+           |),
+           |${graft.operators.GraphOps.prRoundsSqlCte(
+                graft.operators.GraphOps.PrRounds)},
+           |ranked AS (
+           |  SELECT CAST(row_number() OVER (ORDER BY r DESC, node)
+           |      AS BIGINT) AS rank,
+           |    node AS word, round(r, 6) AS tr
+           |  FROM r${graft.operators.GraphOps.PrRounds}
+           |)
+           |SELECT rank, word, tr FROM ranked WHERE rank <= 30
+           |ORDER BY rank""".stripMargin),
+    ) { (s, dir) =>
+      val t = Tables.documents(s, dir).select(col("doc_id"), toks.as("t"))
+      // The q_cooccur skip-gram pair build (see that entry for the
+      // one-scan explode rationale).
+      def skipPairs(d: Int) = when(size(col("t")) > d,
+        transform(
+          sequence(lit(0), size(col("t")) - 1 - d),
+          i => struct(
+            least(element_at(col("t"), i + 1),
+              element_at(col("t"), i + 1 + d)).as("wa"),
+            greatest(element_at(col("t"), i + 1),
+              element_at(col("t"), i + 1 + d)).as("wb"))))
+        .otherwise(array().cast("array<struct<wa:string,wb:string>>"))
+      val ed0 = t
+        .select(explode(concat(skipPairs(1), skipPairs(2))).as("p"))
+        .select(col("p.wa"), col("p.wb"))
+        .groupBy("wa", "wb").agg(count(lit(1)).as("n_ab"))
+        .filter(col("wa") =!= col("wb") && col("n_ab") >= CoocMinCount)
+        .localCheckpoint() // both edge directions read it
+      val edges = ed0
+        .select(col("wa").as("a"), col("wb").as("b"), col("n_ab").as("n"))
+        .unionAll(ed0.select(col("wb").as("a"), col("wa").as("b"),
+          col("n_ab").as("n")))
+      graft.operators.GraphOps.pageRank(s, edges,
+          graft.operators.GraphOps.PrRounds)
+        .orderBy(col("r").desc, col("node")).limit(30)
+        .select(row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("r").desc, col("node"))).cast("long").as("rank"),
+          col("node").as("word"), round(col("r"), 6).as("tr"))
+        .orderBy("rank")
+    },
   )
 
   /** q_zipf_fit core over any (lang, text) frame (the spec plants an

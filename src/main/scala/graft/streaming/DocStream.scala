@@ -24,12 +24,16 @@ object DocStream {
 
   def ingest(docs: DataFrame): DataFrame = {
     val toks = split(lower(col("text")), " ", -1)
-    val sig = SimHash60.simhash60(docs.sparkSession, "split(lower(text), ' ', -1)")
+    // Tokens ride a named column: the simhash60 Column API quotes its
+    // argument as an identifier (it is a column NAME, not raw SQL).
+    val sig = SimHash60.simhash60(docs.sparkSession, "__graft_toks")
     val withSig = docs
       .withWatermark("ts", "2 hours")
       .filter(length(col("text")) >= 50 && size(toks) >= 5)
       .withColumn("content_hash", sha2(col("text"), 256))
+      .withColumn("__graft_toks", toks)
       .withColumn("sig", sig)
+      .drop("__graft_toks")
     // Same 15-bit band slicing as the batch LSH (4 bands over 60 bits).
     val banded = (0 until 4).foldLeft(withSig) { (df, b) =>
       df.withColumn(s"band$b",

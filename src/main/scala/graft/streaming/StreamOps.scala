@@ -885,6 +885,39 @@ object StreamOps {
     },
 
     Q(
+      "q_stream_quantile_te",
+      "DISTRIBUTIONAL experiment readout run LIVE — the streaming " +
+        "face of q_quantile_te, sharing its oracle VERBATIM: the " +
+        "stream folds the (type, cents, arm-count) rollup as " +
+        "complete-mode state bounded by the two-decimal money DOMAIN " +
+        "(the value-domain window class as STREAM STATE — never " +
+        "rows), and the exact quartile-index probe runs batch-side " +
+        "on the bounded sink per readout. Counts are purely " +
+        "additive, so stream state ≡ the batch rollup at ANY " +
+        "micro-batch slicing (the q_stream_fdr argument) — per-" +
+        "quantile treatment effects off a live stream with zero " +
+        "approximation, where the usual streaming answer is a " +
+        "mergeable quantile SKETCH (q_stream_hist) and an ε. At " +
+        "100 TB/day: state = #types × observed cents values; the " +
+        "readout runs on state, never history",
+      Some(graft.operators.EventsOps.quantileTeSql),
+    ) { (s, dir) =>
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = s.readStream.schema(rawSchema)
+        .option("basePath", dir)
+        .parquet(s"$dir/events.parquet*")
+        .select(col("event_type"), col("user_id"), col("value"))
+      val name = ("qt" + Scratch.dir()).replaceAll("[^A-Za-z0-9]", "_")
+      val q = graft.operators.EventsOps.quantileTeState(src).writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.EventsOps.quantileTeFinish(s.table(name))
+    },
+
+    Q(
       "q_stream_resume",
       "checkpoint RECOVERY, exactly-once across a restart, run " +
         "END-TO-END: the events changelog is staged as three files; " +

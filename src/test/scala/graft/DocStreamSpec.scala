@@ -46,8 +46,9 @@ class DocStreamSpec extends AnyFunSuite {
       // on the same text, or stream- and batch-ingested corpora would
       // LSH-bucket differently.
       val batch = Seq((1L, longA), (4L, longB)).toDF("doc_id", "text")
-        .withColumn("sig",
-          graft.functions.SimHash60.simhash60(spark, "split(lower(text), ' ', -1)"))
+        .withColumn("toks", split(lower(col("text")), " ", -1))
+        .withColumn("sig", graft.functions.SimHash60.simhash60(spark, "toks"))
+        .drop("toks")
       val batchSigs = batch.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
       for ((id, (sig, b0, _, _, b3)) <- out) {
         assert(sig == batchSigs(id), s"doc $id stream/batch sig mismatch")
