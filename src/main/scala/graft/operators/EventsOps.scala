@@ -5163,6 +5163,326 @@ object EventsOps {
     ) { (s, dir) =>
       ewmaControl(hourlySeries(s, dir))
     },
+
+    Q(
+      "q_iv_wald",
+      "INSTRUMENTAL-VARIABLE causal effect via the Wald estimator — " +
+        "the encouragement-design readout beside q_ab_test (ITT) and " +
+        "q_cuped: instrument z = user parity (as-if-random), " +
+        "endogenous treatment x = the user's click count, outcome " +
+        "y = purchase spend. LATE = (E[y|z=1]−E[y|z=0]) / " +
+        "(E[x|z=1]−E[x|z=0]); the algebra clears every division — " +
+        "LATE = (Σy₁·n₀ − Σy₀·n₁)/(Σx₁·n₀ − Σx₀·n₁) — so the whole " +
+        "estimator is EXACT DECIMAL(38,0)/HUGEINT integer products " +
+        "down to three final one-shot IEEE divisions (first stage, " +
+        "ITT, LATE), 6dp. No grid rounds, no libm calls: the one " +
+        "classical causal estimator that needs zero float discipline. " +
+        "At 100 TB: one corpus pass to the per-user (x, y) rollup " +
+        "(shuffle on user_id), one 2-arm agg, 1-row output",
+      Some(
+        """WITH u AS (
+          |  SELECT user_id % 2 AS z,
+          |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS x,
+          |    CAST(sum(CASE WHEN event_type = 'purchase'
+          |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+          |      AS BIGINT) AS y
+          |  FROM events GROUP BY user_id
+          |), a AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS nu,
+          |    CAST(sum(CASE WHEN z = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          |    CAST(sum(CASE WHEN z = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+          |    sum(CASE WHEN z = 1 THEN CAST(x AS HUGEINT) ELSE 0 END) AS sx1,
+          |    sum(CASE WHEN z = 0 THEN CAST(x AS HUGEINT) ELSE 0 END) AS sx0,
+          |    sum(CASE WHEN z = 1 THEN CAST(y AS HUGEINT) ELSE 0 END) AS sy1,
+          |    sum(CASE WHEN z = 0 THEN CAST(y AS HUGEINT) ELSE 0 END) AS sy0
+          |  FROM u
+          |), d AS (
+          |  SELECT nu, n1,
+          |    sx1 * n0 - sx0 * n1 AS fs_num,
+          |    sy1 * n0 - sy0 * n1 AS rf_num,
+          |    CAST(n1 AS HUGEINT) * n0 AS nd
+          |  FROM a
+          |)
+          |SELECT nu AS n_users, n1 AS n_encouraged,
+          |  CASE WHEN nd = 0 THEN NULL ELSE
+          |    round(CAST(fs_num AS DOUBLE) / CAST(nd AS DOUBLE), 6)
+          |    END AS first_stage,
+          |  CASE WHEN nd = 0 THEN NULL ELSE
+          |    round(CAST(rf_num AS DOUBLE) / (CAST(nd AS DOUBLE) * 100), 6)
+          |    END AS itt,
+          |  CASE WHEN fs_num = 0 THEN NULL ELSE
+          |    round(CAST(rf_num AS DOUBLE) / (CAST(fs_num AS DOUBLE) * 100),
+          |      6) END AS late
+          |FROM d""".stripMargin),
+    ) { (s, dir) =>
+      ivWald(Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("value")))
+    },
+
+    Q(
+      "q_rdd_sharp",
+      "SHARP REGRESSION DISCONTINUITY: local-linear fits on both " +
+        "sides of a cutoff in the running variable (user_id mod 1000, " +
+        "cutoff 500, uniform kernel of half-width 250), treatment " +
+        "effect = the gap between the two boundary intercepts — the " +
+        "quasi-experimental estimator for score-threshold rollouts " +
+        "(credit lines, eligibility scores) where q_ab_test has no " +
+        "randomization to lean on. Each side's OLS is CLOSED-FORM on " +
+        "exact sums: with d = r − cutoff, intercept = (Σy·Σd² − " +
+        "Σd·Σdy)/(nΣd² − (Σd)²) and slope analogous — every moment an " +
+        "exact DECIMAL(38,0)/HUGEINT product, one IEEE division per " +
+        "coefficient, and τ = the DIFFERENCE OF THE TWO 6dp-GRID " +
+        "intercepts so both engines agree by construction. At 100 TB: " +
+        "one corpus pass to the per-user outcome rollup, bandwidth " +
+        "filter, one 2-side agg, 1-row output",
+      Some(
+        """WITH u AS (
+          |  SELECT user_id % 1000 AS r,
+          |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+          |  FROM events GROUP BY user_id
+          |), w AS (
+          |  SELECT CASE WHEN r >= 500 THEN 1 ELSE 0 END AS side,
+          |    CAST(r - 500 AS BIGINT) AS d, y
+          |  FROM u WHERE r >= 250 AND r < 750
+          |), m AS (
+          |  SELECT side, CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(d) AS HUGEINT) AS sd,
+          |    CAST(sum(d * d) AS HUGEINT) AS sdd,
+          |    CAST(sum(y) AS HUGEINT) AS sy,
+          |    sum(CAST(d AS HUGEINT) * y) AS sdy
+          |  FROM w GROUP BY side
+          |), c AS (
+          |  SELECT side, n,
+          |    CAST(n AS HUGEINT) * sdd - sd * sd AS den,
+          |    sy * sdd - sd * sdy AS inum,
+          |    CAST(n AS HUGEINT) * sdy - sd * sy AS snum
+          |  FROM m
+          |), p AS (
+          |  SELECT
+          |    max(CASE WHEN side = 0 THEN n END) AS n_left,
+          |    max(CASE WHEN side = 1 THEN n END) AS n_right,
+          |    max(CASE WHEN side = 0 AND den <> 0 THEN
+          |      round(CAST(inum AS DOUBLE) / (CAST(den AS DOUBLE) * 100), 6)
+          |      END) AS y0_left,
+          |    max(CASE WHEN side = 1 AND den <> 0 THEN
+          |      round(CAST(inum AS DOUBLE) / (CAST(den AS DOUBLE) * 100), 6)
+          |      END) AS y0_right,
+          |    max(CASE WHEN side = 0 AND den <> 0 THEN
+          |      round(CAST(snum AS DOUBLE) / (CAST(den AS DOUBLE) * 100), 6)
+          |      END) AS slope_left,
+          |    max(CASE WHEN side = 1 AND den <> 0 THEN
+          |      round(CAST(snum AS DOUBLE) / (CAST(den AS DOUBLE) * 100), 6)
+          |      END) AS slope_right
+          |  FROM c
+          |)
+          |SELECT n_left, n_right, y0_left, y0_right,
+          |  slope_left, slope_right,
+          |  round(y0_right - y0_left, 6) AS tau
+          |FROM p""".stripMargin),
+    ) { (s, dir) =>
+      rddSharp(Tables.events(s, dir)
+        .select(col("user_id"), col("value")))
+    },
+
+    Q(
+      "q_mann_kendall",
+      "MANN-KENDALL trend test on the daily-revenue series — the " +
+        "nonparametric 'is this metric drifting?' beside " +
+        "q_theil_sen's slope (the classical pairing: MK decides IF, " +
+        "Theil-Sen says HOW MUCH): S = Σ_{i<j} sign(tot_j − tot_i) " +
+        "over day pairs, tie-corrected variance 18·Var = N(N−1)(2N+5) " +
+        "− Σt(t−1)(2t+5) with the cubics in DECIMAL(38,0)/HUGEINT " +
+        "(the q_mann_whitney overflow discipline), continuity-" +
+        "corrected z as ONE mirrored IEEE expression on exact " +
+        "integers. The pair probe is O(days²) BY DESIGN: the series " +
+        "is the DAY CATALOG, bounded by calendar time — not corpus " +
+        "volume — so even a century is a 36k×36k nested loop on a " +
+        "broadcast rollup. At 100 TB: one corpus pass to the daily " +
+        "rollup, the pair probe never touches rows, 1-row output",
+      Some(
+        """WITH daily AS (
+          |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+          |      AS day,
+          |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS tot
+          |  FROM events GROUP BY 1
+          |), sp AS (
+          |  SELECT CAST(sum(CASE WHEN b.tot > a.tot THEN 1
+          |    WHEN b.tot < a.tot THEN -1 ELSE 0 END) AS BIGINT) AS s
+          |  FROM daily a JOIN daily b ON a.day < b.day
+          |), tie AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS nd,
+          |    coalesce(sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)), 0)
+          |      AS tie3
+          |  FROM (SELECT CAST(count(*) AS BIGINT) AS t
+          |        FROM daily GROUP BY tot)
+          |), v AS (
+          |  SELECT nd, s,
+          |    CAST(nd AS HUGEINT) * (nd - 1) * (2 * nd + 5) - tie3 AS var18
+          |  FROM sp CROSS JOIN tie
+          |), z AS (
+          |  SELECT nd, s,
+          |    CASE WHEN var18 <= 0 THEN NULL
+          |      WHEN s > 0 THEN
+          |        round((s - 1) * sqrt(18.0 / CAST(var18 AS DOUBLE)), 6)
+          |      WHEN s < 0 THEN
+          |        round((s + 1) * sqrt(18.0 / CAST(var18 AS DOUBLE)), 6)
+          |      ELSE 0.0 END AS mk_z
+          |  FROM v
+          |)
+          |SELECT nd AS n_days, s, mk_z,
+          |  CAST(CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1 ELSE 0 END
+          |    AS BIGINT) AS trend,
+          |  CAST(abs(mk_z) > 1.96 AS BIGINT) AS significant
+          |FROM z""".stripMargin),
+    ) { (s, dir) =>
+      mannKendall(Tables.events(s, dir)
+        .select(col("ts").cast("date").as("day"),
+          round(col("value") * 100, 0).cast("long").as("c"))
+        .groupBy("day").agg(sum(col("c")).as("tot")))
+    },
+
+    Q(
+      "q_cochran_q",
+      "COCHRAN'S Q across the event-type catalog: did users' BINARY " +
+        "incidence (touched type t at least once?) differ across the " +
+        "k types — the k-treatment generalization of q_mcnemar " +
+        "(k = 2 reduces to it) and the within-subject counterpart of " +
+        "q_chisq_independence. Q = (k−1)(kΣG_j² − T²)/(kT − ΣL_i²) " +
+        "with G_j the per-type user counts, L_i the per-user type " +
+        "counts, T their shared total — EVERY term an exact " +
+        "DECIMAL(38,0)/HUGEINT integer, one IEEE division, then the " +
+        "Wilson-Hilferty normal approximation on the 6dp-GRID Q (the " +
+        "q_chisq_independence convention) so both engines' " +
+        "significance calls agree by construction. At 100 TB: the " +
+        "incidence distinct is one shuffle on (user, type); both " +
+        "marginals reduce it to catalog-/user-bounded rollups, 1-row " +
+        "output",
+      Some(
+        """WITH inc AS (
+          |  SELECT DISTINCT user_id, event_type FROM events
+          |), gj AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS k,
+          |    CAST(sum(g) AS BIGINT) AS tt,
+          |    sum(CAST(g AS HUGEINT) * g) AS sg2
+          |  FROM (SELECT CAST(count(*) AS BIGINT) AS g
+          |        FROM inc GROUP BY event_type)
+          |), li AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS nu,
+          |    sum(CAST(l AS HUGEINT) * l) AS sl2
+          |  FROM (SELECT CAST(count(*) AS BIGINT) AS l
+          |        FROM inc GROUP BY user_id)
+          |), qn AS (
+          |  SELECT nu, k, k - 1 AS df,
+          |    (k - 1) * (CAST(k AS HUGEINT) * sg2
+          |      - CAST(tt AS HUGEINT) * tt) AS qnum,
+          |    CAST(k AS HUGEINT) * tt - sl2 AS qden
+          |  FROM gj CROSS JOIN li
+          |), qs AS (
+          |  SELECT nu, k, df,
+          |    CASE WHEN qden = 0 THEN NULL ELSE
+          |      round(CAST(qnum AS DOUBLE) / CAST(qden AS DOUBLE), 6)
+          |      END AS q_stat
+          |  FROM qn
+          |)
+          |SELECT nu AS n_users, k, df, q_stat,
+          |  CASE WHEN df = 0 OR q_stat IS NULL THEN NULL ELSE
+          |    round((cbrt(q_stat / df) - 1 + 2.0 / (9 * df))
+          |      / sqrt(2.0 / (9 * df)), 6) END AS wh_z,
+          |  CAST(CASE WHEN df = 0 OR q_stat IS NULL THEN NULL ELSE
+          |    round((cbrt(q_stat / df) - 1 + 2.0 / (9 * df))
+          |      / sqrt(2.0 / (9 * df)), 6) END > 1.645 AS BIGINT)
+          |    AS significant
+          |FROM qs""".stripMargin),
+    ) { (s, dir) =>
+      cochranQ(Tables.events(s, dir)
+        .select(col("user_id"), col("event_type")))
+    },
+
+    Q(
+      "q_kruskal_wallis",
+      "KRUSKAL-WALLIS rank ANOVA across event types — the " +
+        "nonparametric face of q_anova_f (k-group q_mann_whitney), " +
+        "the spread-vs-location triple's third leg beside " +
+        "q_levene_bf: are the k value DISTRIBUTIONS' locations " +
+        "equal, whale-proof? Ranks are DOUBLED midrank integers " +
+        "(r2 = 2·cum_before + t + 1, the q_mann_whitney trick) built " +
+        "on the global cents rollup (the VALUE-DOMAIN WINDOW CLASS), " +
+        "so the corpus never ranks row-by-row; per-group rank sums " +
+        "are exact DECIMAL(38,0) products, the R²/n quotients ride " +
+        "the quotient+remainder split (the q_anova_f algebra — " +
+        "integral part exact, remainder on the 1e-9 grid), the tie " +
+        "correction's cubics cast to DECIMAL BEFORE multiplying (the " +
+        "q_mann_whitney overflow fix), and the Wilson-Hilferty z " +
+        "reads the 6dp-GRID H. Exactness window: R2_g² needs " +
+        "n_g·2N < 1e19 — beyond that DECIMAL(38,0) nulls rather than " +
+        "drifts (the q_anova_f note). At 100 TB: one corpus pass to " +
+        "the (type, cents) rollup, everything after is domain-" +
+        "bounded, 1-row output",
+      Some(
+        """WITH e AS (
+          |  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v
+          |  FROM events
+          |), cells AS (
+          |  SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY g, v
+          |), tv AS (
+          |  SELECT v, CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY v
+          |), rk AS (
+          |  SELECT v, 2 * (CAST(sum(t) OVER (ORDER BY v) AS BIGINT) - t)
+          |      + t + 1 AS r2
+          |  FROM tv
+          |), rg AS (
+          |  SELECT g, CAST(sum(c) AS BIGINT) AS n,
+          |    sum(CAST(c AS HUGEINT) * r2) AS r2g
+          |  FROM cells JOIN rk USING (v) GROUP BY g
+          |), qr AS (
+          |  SELECT g, n, (r2g * r2g) // n AS qg, (r2g * r2g) % n AS rg
+          |  FROM rg
+          |), pf AS (
+          |  SELECT g, n, qg,
+          |    CAST(round(CAST(rg AS DOUBLE) / n * 1000000000.0) AS BIGINT)
+          |      AS f9
+          |  FROM qr
+          |), ag AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT)
+          |      AS nn,
+          |    sum(CAST(qg AS HUGEINT)) AS qa, CAST(sum(f9) AS BIGINT) AS fa
+          |  FROM pf
+          |), tie AS (
+          |  SELECT coalesce(sum(CAST(t AS HUGEINT) * (t - 1) * (t + 1)), 0)
+          |    AS ties
+          |  FROM tv
+          |), fin AS (
+          |  SELECT k, nn, k - 1 AS df,
+          |    CAST(nn AS HUGEINT) * (nn - 1) * (nn + 1) AS nn3, ties,
+          |    CASE WHEN nn < 2 THEN NULL ELSE
+          |      round(3.0 * (CAST(qa AS DOUBLE)
+          |          + CAST(fa AS DOUBLE) / 1000000000.0)
+          |        / (CAST(nn AS DOUBLE) * (nn + 1)) - 3.0 * (nn + 1), 6)
+          |      END AS h
+          |  FROM ag CROSS JOIN tie
+          |), co AS (
+          |  SELECT k, nn, df, h,
+          |    CASE WHEN h IS NULL OR nn3 - ties = 0 THEN NULL ELSE
+          |      round(h * CAST(nn3 AS DOUBLE) / CAST(nn3 - ties AS DOUBLE),
+          |        6) END AS h_corr
+          |  FROM fin
+          |)
+          |SELECT k AS n_groups, nn AS n, df, h, h_corr,
+          |  CASE WHEN df = 0 OR h_corr IS NULL OR h_corr <= 0 THEN NULL
+          |    ELSE round((cbrt(h_corr / df) - 1 + 2.0 / (9 * df))
+          |      / sqrt(2.0 / (9 * df)), 6) END AS wh_z,
+          |  CAST(CASE WHEN df = 0 OR h_corr IS NULL OR h_corr <= 0
+          |    THEN NULL
+          |    ELSE round((cbrt(h_corr / df) - 1 + 2.0 / (9 * df))
+          |      / sqrt(2.0 / (9 * df)), 6) END > 1.645 AS BIGINT)
+          |    AS significant
+          |FROM co""".stripMargin),
+    ) { (s, dir) =>
+      kruskalWallis(Tables.events(s, dir)
+        .select(col("event_type").as("g"),
+          round(col("value") * 100, 0).cast("long").as("v")))
+    },
   )
 
   /** The q_fdr_bh test stage over any (event_type, user_id, value)
@@ -7011,5 +7331,202 @@ object EventsOps {
       .selectExpr("event_type", "n1", "n2", "runs", "runs_z",
         "CAST(abs(runs_z) <= 1.96 AS BIGINT) AS looks_random")
       .orderBy("event_type")
+  }
+
+  /** The q_iv_wald computation over any (user_id, event_type, value)
+    * frame — factored so IvWaldSpec can plant perfect compliance
+    * (LATE = ITT / first-stage exactly) and a zero-first-stage
+    * degenerate arm. The division-free algebra: every arm sum is an
+    * exact integer; see the registry entry. */
+  private[graft] def ivWald(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase",
+          round(col("value") * 100, 0).cast("long")).otherwise(0L)).as("y"))
+      .select((col("user_id") % 2).as("z"), col("x"), col("y"))
+      .agg(
+        count(lit(1)).as("nu"),
+        sum(when(col("z") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("z") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("z") === 1, col("x")).otherwise(0L)
+          .cast("decimal(38,0)")).as("sx1"),
+        sum(when(col("z") === 0, col("x")).otherwise(0L)
+          .cast("decimal(38,0)")).as("sx0"),
+        sum(when(col("z") === 1, col("y")).otherwise(0L)
+          .cast("decimal(38,0)")).as("sy1"),
+        sum(when(col("z") === 0, col("y")).otherwise(0L)
+          .cast("decimal(38,0)")).as("sy0"))
+      .selectExpr("nu", "n1",
+        "sx1 * n0 - sx0 * n1 AS fs_num",
+        "sy1 * n0 - sy0 * n1 AS rf_num",
+        "CAST(n1 AS DECIMAL(38,0)) * n0 AS nd")
+      .selectExpr("nu AS n_users", "n1 AS n_encouraged",
+        """CASE WHEN nd = 0 THEN NULL ELSE
+          |  round(CAST(fs_num AS DOUBLE) / CAST(nd AS DOUBLE), 6)
+          |  END AS first_stage""".stripMargin,
+        """CASE WHEN nd = 0 THEN NULL ELSE
+          |  round(CAST(rf_num AS DOUBLE) / (CAST(nd AS DOUBLE) * 100), 6)
+          |  END AS itt""".stripMargin,
+        """CASE WHEN fs_num = 0 THEN NULL ELSE
+          |  round(CAST(rf_num AS DOUBLE) / (CAST(fs_num AS DOUBLE) * 100),
+          |    6) END AS late""".stripMargin)
+
+  /** The q_rdd_sharp computation over any (user_id, value) frame —
+    * factored so RddSpec can plant a known jump at the cutoff on
+    * linear-in-r outcomes (both side fits recover their line
+    * exactly, τ = the planted jump). Running variable r = user_id
+    * mod 1000, cutoff 500, uniform-kernel half-width 250. */
+  private[graft] def rddSharp(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("y"))
+      .select((col("user_id") % 1000).as("r"), col("y"))
+      .filter(col("r") >= 250 && col("r") < 750)
+      .select((col("r") >= 500).cast("long").as("side"),
+        (col("r") - 500).as("d"), col("y"))
+      .groupBy("side").agg(
+        count(lit(1)).as("n"),
+        sum(col("d").cast("decimal(38,0)")).as("sd"),
+        sum((col("d") * col("d")).cast("decimal(38,0)")).as("sdd"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum(col("d").cast("decimal(38,0)") * col("y")).as("sdy"))
+      .selectExpr("side", "n",
+        "CAST(n AS DECIMAL(38,0)) * sdd - sd * sd AS den",
+        "sy * sdd - sd * sdy AS inum",
+        "CAST(n AS DECIMAL(38,0)) * sdy - sd * sy AS snum")
+      .agg(
+        max(when(col("side") === 0, col("n"))).as("n_left"),
+        max(when(col("side") === 1, col("n"))).as("n_right"),
+        max(when(col("side") === 0 && col("den") =!= 0, expr(
+          "round(CAST(inum AS DOUBLE) / (CAST(den AS DOUBLE) * 100), 6)")))
+          .as("y0_left"),
+        max(when(col("side") === 1 && col("den") =!= 0, expr(
+          "round(CAST(inum AS DOUBLE) / (CAST(den AS DOUBLE) * 100), 6)")))
+          .as("y0_right"),
+        max(when(col("side") === 0 && col("den") =!= 0, expr(
+          "round(CAST(snum AS DOUBLE) / (CAST(den AS DOUBLE) * 100), 6)")))
+          .as("slope_left"),
+        max(when(col("side") === 1 && col("den") =!= 0, expr(
+          "round(CAST(snum AS DOUBLE) / (CAST(den AS DOUBLE) * 100), 6)")))
+          .as("slope_right"))
+      .selectExpr("n_left", "n_right", "y0_left", "y0_right",
+        "slope_left", "slope_right",
+        "round(y0_right - y0_left, 6) AS tau")
+
+  /** The q_mann_kendall computation over any (day, tot) daily series
+    * — factored so MannKendallSpec can plant strictly rising (S =
+    * N(N−1)/2, z > 0), strictly falling, and constant (var18 = 0 →
+    * NULL) series. The O(days²) pair probe runs as a nested loop on
+    * the broadcast day rollup — calendar-bounded, never corpus-
+    * bounded. */
+  private[graft] def mannKendall(daily: DataFrame): DataFrame = {
+    val d = daily.localCheckpoint() // read by the pair probe AND ties
+    val sp = d.select(col("day").as("d1"), col("tot").as("t1"))
+      .join(broadcast(d.select(col("day").as("d2"), col("tot").as("t2"))),
+        col("d1") < col("d2"))
+      .agg(coalesce(sum(when(col("t2") > col("t1"), 1L)
+        .when(col("t2") < col("t1"), -1L).otherwise(0L)), lit(0L)).as("s"))
+    val tie = d.groupBy("tot").agg(count(lit(1)).as("t"))
+      .agg(count(lit(1)).as("ndist"),
+        sum(col("t")).as("nd"),
+        coalesce(sum(expr(
+          "CAST(t AS DECIMAL(38,0)) * (t - 1) * (2 * t + 5)")),
+          lit(0).cast("decimal(38,0)")).as("tie3"))
+    sp.crossJoin(broadcast(tie))
+      .selectExpr("nd", "s",
+        "CAST(nd AS DECIMAL(38,0)) * (nd - 1) * (2 * nd + 5) - tie3" +
+          " AS var18")
+      .selectExpr("nd", "s",
+        """CASE WHEN var18 <= 0 THEN NULL
+          |  WHEN s > 0 THEN
+          |    round((s - 1) * sqrt(18.0 / CAST(var18 AS DOUBLE)), 6)
+          |  WHEN s < 0 THEN
+          |    round((s + 1) * sqrt(18.0 / CAST(var18 AS DOUBLE)), 6)
+          |  ELSE 0.0 END AS mk_z""".stripMargin)
+      .selectExpr("nd AS n_days", "s", "mk_z",
+        "CAST(CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1 ELSE 0 END" +
+          " AS BIGINT) AS trend",
+        "CAST(abs(mk_z) > 1.96 AS BIGINT) AS significant")
+  }
+
+  /** The q_cochran_q computation over any (user_id, event_type) frame
+    * — factored so CochranSpec can plant uniform incidence (Q = 0)
+    * and a one-type-dominant design with a hand-exact Q. */
+  private[graft] def cochranQ(events: DataFrame): DataFrame = {
+    val inc = events.select(col("user_id"), col("event_type")).distinct()
+      .localCheckpoint() // read by both marginals
+    val gj = inc.groupBy("event_type").agg(count(lit(1)).as("g"))
+      .agg(count(lit(1)).as("k"), sum(col("g")).as("tt"),
+        sum(col("g").cast("decimal(38,0)") * col("g")).as("sg2"))
+    val li = inc.groupBy("user_id").agg(count(lit(1)).as("l"))
+      .agg(count(lit(1)).as("nu"),
+        sum(col("l").cast("decimal(38,0)") * col("l")).as("sl2"))
+    gj.crossJoin(broadcast(li))
+      .selectExpr("nu", "k", "k - 1 AS df",
+        """(k - 1) * (CAST(k AS DECIMAL(38,0)) * sg2
+          |  - CAST(tt AS DECIMAL(38,0)) * tt) AS qnum""".stripMargin,
+        "CAST(k AS DECIMAL(38,0)) * tt - sl2 AS qden")
+      .selectExpr("nu", "k", "df",
+        """CASE WHEN qden = 0 THEN NULL ELSE
+          |  round(CAST(qnum AS DOUBLE) / CAST(qden AS DOUBLE), 6)
+          |  END AS q_stat""".stripMargin)
+      .selectExpr("nu AS n_users", "k", "df", "q_stat",
+        """CASE WHEN df = 0 OR q_stat IS NULL THEN NULL ELSE
+          |  round((cbrt(q_stat / df) - 1 + 2.0 / (9 * df))
+          |    / sqrt(2.0 / (9 * df)), 6) END AS wh_z""".stripMargin)
+      .selectExpr("n_users", "k", "df", "q_stat", "wh_z",
+        "CAST(wh_z > 1.645 AS BIGINT) AS significant")
+  }
+
+  /** The q_kruskal_wallis computation over any (g, v) frame — group
+    * label, integer value — factored so KruskalSpec can plant
+    * identical groups (H = 0) and fully separated groups with a
+    * hand-exact H. Doubled global midranks on the value rollup; the
+    * per-group R²/n quotient+remainder split keeps the rank-sum
+    * algebra exact (see the registry entry for the overflow
+    * window). */
+  private[graft] def kruskalWallis(groups: DataFrame): DataFrame = {
+    val cells = groups.groupBy("g", "v").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // read by the global rank map AND group sums
+    val tv = cells.groupBy("v").agg(sum(col("c")).as("t"))
+      .localCheckpoint() // read by the rank map AND the tie sum
+    val wv = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rk = tv
+      .withColumn("cum", sum(col("t")).over(wv))
+      .select(col("v"),
+        (lit(2L) * (col("cum") - col("t")) + col("t") + 1).as("r2"))
+    val ag = cells.join(rk, "v")
+      .groupBy("g").agg(
+        sum(col("c")).as("n"),
+        sum(col("c").cast("decimal(38,0)") * col("r2")).as("r2g"))
+      .selectExpr("g", "n", "(r2g * r2g) DIV n AS qg",
+        "(r2g * r2g) % n AS rg")
+      .selectExpr("g", "n", "qg",
+        """CAST(round(CAST(rg AS DOUBLE) / n * 1000000000.0) AS BIGINT)
+          |  AS f9""".stripMargin)
+      .agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
+        sum(col("qg")).as("qa"), sum(col("f9")).as("fa"))
+    val tie = tv.agg(coalesce(
+      sum(expr("CAST(t AS DECIMAL(38,0)) * (t - 1) * (t + 1)")),
+      lit(0).cast("decimal(38,0)")).as("ties"))
+    ag.crossJoin(broadcast(tie))
+      .selectExpr("k", "nn", "k - 1 AS df",
+        "CAST(nn AS DECIMAL(38,0)) * (nn - 1) * (nn + 1) AS nn3", "ties",
+        """CASE WHEN nn < 2 THEN NULL ELSE
+          |  round(3.0 * (CAST(qa AS DOUBLE)
+          |      + CAST(fa AS DOUBLE) / 1000000000.0)
+          |    / (CAST(nn AS DOUBLE) * (nn + 1)) - 3.0 * (nn + 1), 6)
+          |  END AS h""".stripMargin)
+      .selectExpr("k", "nn", "df", "h",
+        """CASE WHEN h IS NULL OR nn3 - ties = 0 THEN NULL ELSE
+          |  round(h * CAST(nn3 AS DOUBLE) / CAST(nn3 - ties AS DOUBLE),
+          |    6) END AS h_corr""".stripMargin)
+      .selectExpr("k AS n_groups", "nn AS n", "df", "h", "h_corr",
+        """CASE WHEN df = 0 OR h_corr IS NULL OR h_corr <= 0 THEN NULL
+          |  ELSE round((cbrt(h_corr / df) - 1 + 2.0 / (9 * df))
+          |    / sqrt(2.0 / (9 * df)), 6) END AS wh_z""".stripMargin)
+      .selectExpr("n_groups", "n", "df", "h", "h_corr", "wh_z",
+        "CAST(wh_z > 1.645 AS BIGINT) AS significant")
   }
 }
