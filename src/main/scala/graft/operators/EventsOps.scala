@@ -150,6 +150,55 @@ object EventsOps {
   /** q_ljung_box: portmanteau lag count (oracle splices it). */
   private[graft] val LjungBoxLags = 12
 
+  /** q_logreg_irls: unrolled Newton/IRLS rounds (oracle CTEs mirror —
+    * the EmRounds convention). Four suffice: the hour-histogram
+    * likelihood is strictly concave and 2-parameter, so Newton is
+    * quadratically convergent and the 1e-9 state grid pins both
+    * engines to the same trajectory well before round 4. */
+  private[graft] val IrlsRounds = 4
+
+  /** One IRLS round's quantized mean: the per-cell sigmoid on the
+    * 1e-9 grid (the mixture-EM responsibility convention) — ONE text
+    * spliced into both engines; the single libm exp rounds onto the
+    * shared integer grid. */
+  private[graft] def irlsM9: String =
+    "CAST(round(1000000000.0 / (1.0 + exp(-(b0 + b1 * x)))) AS BIGINT)"
+
+  /** One IRLS round's exact sufficient statistics over (x, n, h, m9)
+    * cells: weights w18 = m9·(10⁹−m9) are exact integers ≤ 2.5e17,
+    * so X'WX and the score X'(y−μ) accumulate as exact
+    * DECIMAL(38,0)/HUGEINT products — order-free across engines. */
+  private[graft] def irlsSums(castTy: String): Seq[String] = Seq(
+    "max(b0) AS b0", "max(b1) AS b1",
+    s"sum(CAST(n AS $castTy) * (m9 * (1000000000 - m9))) AS s0",
+    s"sum(CAST(n AS $castTy) * (m9 * (1000000000 - m9)) * x) AS s1",
+    s"sum(CAST(n AS $castTy) * (m9 * (1000000000 - m9)) * x * x) AS s2",
+    s"sum(CAST(h AS $castTy) * 1000000000 - CAST(n AS $castTy) * m9)" +
+      " AS g0",
+    s"sum((CAST(h AS $castTy) * 1000000000 - CAST(n AS $castTy) * m9)" +
+      " * x) AS g1")
+
+  /** One IRLS round's Newton step onto the 1e-9 state grid: δ =
+    * (X'WX)⁻¹·X'(y−μ) via the 2×2 Cramer solve in DOUBLE from the
+    * exact sums (the scale factors cancel to ×10⁹), singular → hold
+    * state. Both state components re-round to 9dp each round (the
+    * PageRank iterate-grid convention). */
+  private[graft] def irlsStep: Seq[String] = Seq(
+    """CASE WHEN CAST(s0 AS DOUBLE) * CAST(s2 AS DOUBLE)
+      |    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) = 0 THEN b0 ELSE
+      |  round(b0 + (CAST(s2 AS DOUBLE) * CAST(g0 AS DOUBLE)
+      |      - CAST(s1 AS DOUBLE) * CAST(g1 AS DOUBLE))
+      |    / (CAST(s0 AS DOUBLE) * CAST(s2 AS DOUBLE)
+      |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+      |    * 1000000000.0, 9) END AS b0""".stripMargin,
+    """CASE WHEN CAST(s0 AS DOUBLE) * CAST(s2 AS DOUBLE)
+      |    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) = 0 THEN b1 ELSE
+      |  round(b1 + (CAST(s0 AS DOUBLE) * CAST(g1 AS DOUBLE)
+      |      - CAST(s1 AS DOUBLE) * CAST(g0 AS DOUBLE))
+      |    / (CAST(s0 AS DOUBLE) * CAST(s2 AS DOUBLE)
+      |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+      |    * 1000000000.0, 9) END AS b1""".stripMargin)
+
   /** The q_quantile_te oracle, shared VERBATIM by q_stream_quantile_te
     * (the fdrBhSql precedent — the stream's complete-mode (type,
     * cents, arm) rollup ≡ the batch vc CTE at any split, so one SQL
@@ -5483,6 +5532,256 @@ object EventsOps {
         .select(col("event_type").as("g"),
           round(col("value") * 100, 0).cast("long").as("v")))
     },
+
+    Q(
+      "q_ols_multi",
+      "MULTIPLE LINEAR REGRESSION of spend on hour-of-day + " +
+        "day-of-week via the NORMAL EQUATIONS — the workhorse " +
+        "multi-feature fit beside q_correlated's single-x slope and " +
+        "q_theil_sen's robust one: every entry of X'X and X'y is one " +
+        "exact DECIMAL(38,0)/HUGEINT power sum off a single corpus " +
+        "pass (the momentSums discipline — order-free, mergeable, " +
+        "streaming-additive), the 2×2 centered Cramer solve runs as " +
+        "ONE mirrored IEEE expression per coefficient (6dp), and the " +
+        "intercept + R² derive from the 6dp-GRID slopes so both " +
+        "engines agree by construction. p features ⇒ p(p+3)/2 sums — " +
+        "the same one-pass shape at any width; the solve is O(p³) on " +
+        "the driver side of the agg, never the corpus. At 100 TB: " +
+        "one scan, nine exact sums, 1-row output",
+      Some(
+        """WITH e AS (
+          |  SELECT CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS x,
+          |    CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS BIGINT) AS z,
+          |    CAST(round(value * 100) AS BIGINT) AS y
+          |  FROM events
+          |), m AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(x) AS HUGEINT) AS s1, CAST(sum(z) AS HUGEINT) AS s2,
+          |    CAST(sum(y) AS HUGEINT) AS sy,
+          |    sum(CAST(x AS HUGEINT) * x) AS s11,
+          |    sum(CAST(x AS HUGEINT) * z) AS s12,
+          |    sum(CAST(z AS HUGEINT) * z) AS s22,
+          |    sum(CAST(x AS HUGEINT) * y) AS s1y,
+          |    sum(CAST(z AS HUGEINT) * y) AS s2y,
+          |    sum(CAST(y AS HUGEINT) * y) AS syy
+          |  FROM e
+          |), c AS (
+          |  SELECT n, s1, s2, sy,
+          |    n * s11 - s1 * s1 AS sxx, n * s12 - s1 * s2 AS sxz,
+          |    n * s22 - s2 * s2 AS szz, n * s1y - s1 * sy AS sxy,
+          |    n * s2y - s2 * sy AS szy, n * syy - sy * sy AS syyc
+          |  FROM m
+          |), sl AS (
+          |  SELECT n, s1, s2, sy, sxy, szy, syyc,
+          |    CAST(sxx AS DOUBLE) * CAST(szz AS DOUBLE)
+          |      - CAST(sxz AS DOUBLE) * CAST(sxz AS DOUBLE) AS det,
+          |    CAST(sxy AS DOUBLE) * CAST(szz AS DOUBLE)
+          |      - CAST(szy AS DOUBLE) * CAST(sxz AS DOUBLE) AS b1n,
+          |    CAST(szy AS DOUBLE) * CAST(sxx AS DOUBLE)
+          |      - CAST(sxy AS DOUBLE) * CAST(sxz AS DOUBLE) AS b2n
+          |  FROM c
+          |), b AS (
+          |  SELECT n, s1, s2, sy, sxy, szy, syyc,
+          |    CASE WHEN det = 0 THEN NULL ELSE
+          |      round(b1n / (det * 100), 6) END AS b_hour,
+          |    CASE WHEN det = 0 THEN NULL ELSE
+          |      round(b2n / (det * 100), 6) END AS b_dow
+          |  FROM sl
+          |)
+          |SELECT n, b_hour, b_dow,
+          |  CASE WHEN b_hour IS NULL THEN NULL ELSE
+          |    round((CAST(sy AS DOUBLE) / 100 - b_hour * CAST(s1 AS DOUBLE)
+          |      - b_dow * CAST(s2 AS DOUBLE)) / n, 6) END AS intercept,
+          |  CASE WHEN b_hour IS NULL OR syyc <= 0 THEN NULL ELSE
+          |    round((b_hour * 100 * CAST(sxy AS DOUBLE)
+          |      + b_dow * 100 * CAST(szy AS DOUBLE))
+          |      / CAST(syyc AS DOUBLE), 6) END AS r2
+          |FROM b""".stripMargin),
+    ) { (s, dir) =>
+      olsMulti(Tables.events(s, dir)
+        .select(hour(col("ts")).cast("long").as("x"),
+          dayofweek(col("ts")).cast("long").as("z"),
+          round(col("value") * 100, 0).cast("long").as("y")))
+    },
+
+    Q(
+      "q_logreg_irls",
+      s"LOGISTIC REGRESSION of purchase propensity on hour-of-day " +
+        s"via $IrlsRounds unrolled NEWTON/IRLS rounds over the " +
+        "24-cell hour histogram — the supervised twin of " +
+        "q_mixture_em's unsupervised EM, sharing its whole " +
+        "discipline: the per-cell sigmoid depends only on x, so each " +
+        "round is ALGEBRAICALLY IDENTICAL to per-row IRLS while " +
+        "running on the domain-bounded rollup (ONE corpus pass " +
+        "total); means quantize to the 1e-9 grid, making the weights " +
+        "w = μ(1−μ) exact ≤2.5e17 integers, X'WX and the score " +
+        "X'(y−μ) exact DECIMAL(38,0)/HUGEINT sums, and the 2×2 " +
+        "Cramer Newton step ONE mirrored IEEE expression re-rounded " +
+        "to the 9dp state grid — both engines walk identical " +
+        "(b0, b1) trajectories (singular Hessian → hold state). At " +
+        s"100 TB: one corpus pass to 24 cells, then $IrlsRounds " +
+        "domain-bounded rounds against broadcast 1-row state, 1-row " +
+        "output",
+      Some(logregSql),
+    ) { (s, dir) =>
+      logregIrls(Tables.events(s, dir)
+        .select(hour(col("ts")).cast("long").as("x"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("hit")))
+    },
+
+    Q(
+      "q_friedman",
+      "FRIEDMAN TEST on the day × event-type design: do the k types' " +
+        "daily revenues keep the SAME within-day ordering across " +
+        "blocks — the repeated-measures cousin of q_kruskal_wallis " +
+        "(blocking removes day-level swings the way q_cuped removes " +
+        "covariates) and the rank face of q_cochran_q's binary " +
+        "design. Daily totals densify onto the day×type spine " +
+        "(missing cells rank as exact zeros — the q_gap_fill move), " +
+        "within-day DOUBLED midranks keep every rank an integer, and " +
+        "the tie-general statistic χ² = (k−1)·Σ(R2_j − b(k+1))² / " +
+        "(Σr2² − bk(k+1)²) is EXACT integers into one IEEE division " +
+        "— the Wilson-Hilferty z then reads the 6dp grid. Block " +
+        "ranking is k-bounded per day: the rank pass runs on the " +
+        "day-catalog-sized rollup, never the corpus. At 100 TB: one " +
+        "corpus pass to the daily rollup, calendar-bounded " +
+        "everything after, 1-row output",
+      Some(
+        """WITH daily AS (
+          |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+          |      AS day, event_type AS g,
+          |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+          |      AS tot
+          |  FROM events GROUP BY 1, 2
+          |), grid AS (
+          |  SELECT d.day, t.g, coalesce(daily.tot, 0) AS tot
+          |  FROM (SELECT DISTINCT day FROM daily) d
+          |  CROSS JOIN (SELECT DISTINCT g FROM daily) t
+          |  LEFT JOIN daily ON daily.day = d.day AND daily.g = t.g
+          |), tg AS (
+          |  SELECT day, tot, CAST(count(*) AS BIGINT) AS t
+          |  FROM grid GROUP BY day, tot
+          |), rk AS (
+          |  SELECT day, tot,
+          |    2 * (CAST(sum(t) OVER (PARTITION BY day ORDER BY tot)
+          |      AS BIGINT) - t) + t + 1 AS r2
+          |  FROM tg
+          |), rc AS (
+          |  SELECT grid.day, grid.g, rk.r2
+          |  FROM grid JOIN rk ON grid.day = rk.day AND grid.tot = rk.tot
+          |), pt AS (
+          |  SELECT g, sum(CAST(r2 AS HUGEINT)) AS r2j FROM rc GROUP BY g
+          |), tt AS (
+          |  SELECT CAST(count(DISTINCT day) AS BIGINT) AS b,
+          |    CAST(count(DISTINCT g) AS BIGINT) AS k,
+          |    sum(CAST(r2 AS HUGEINT) * r2) AS scell
+          |  FROM rc
+          |), nm AS (
+          |  SELECT b, k, scell,
+          |    sum((r2j - CAST(b AS HUGEINT) * (k + 1))
+          |      * (r2j - CAST(b AS HUGEINT) * (k + 1))) AS num
+          |  FROM pt CROSS JOIN tt GROUP BY b, k, scell
+          |), fin AS (
+          |  SELECT b, k, k - 1 AS df,
+          |    scell - CAST(b AS HUGEINT) * k * (k + 1) * (k + 1) AS den,
+          |    num
+          |  FROM nm
+          |), ch AS (
+          |  SELECT b, k, df,
+          |    CASE WHEN den = 0 THEN NULL ELSE
+          |      round((k - 1) * CAST(num AS DOUBLE) / CAST(den AS DOUBLE),
+          |        6) END AS chi2_f
+          |  FROM fin
+          |)
+          |SELECT b AS n_days, k, df, chi2_f,
+          |  CASE WHEN df = 0 OR chi2_f IS NULL OR chi2_f <= 0 THEN NULL
+          |    ELSE round((cbrt(chi2_f / df) - 1 + 2.0 / (9 * df))
+          |      / sqrt(2.0 / (9 * df)), 6) END AS wh_z,
+          |  CAST(CASE WHEN df = 0 OR chi2_f IS NULL OR chi2_f <= 0
+          |    THEN NULL
+          |    ELSE round((cbrt(chi2_f / df) - 1 + 2.0 / (9 * df))
+          |      / sqrt(2.0 / (9 * df)), 6) END > 1.645 AS BIGINT)
+          |    AS significant
+          |FROM ch""".stripMargin),
+    ) { (s, dir) =>
+      friedman(Tables.events(s, dir)
+        .select(col("ts").cast("date").as("day"),
+          col("event_type").as("g"),
+          round(col("value") * 100, 0).cast("long").as("c"))
+        .groupBy("day", "g").agg(sum(col("c")).as("tot")))
+    },
+
+    Q(
+      "q_jonckheere",
+      "JONCKHEERE-TERPSTRA ordered-alternative test: does spend " +
+        "shift monotonically across the ORDERED quarter-day buckets " +
+        "(night → morning → afternoon → evening)? The trend-aware " +
+        "sharpening of q_kruskal_wallis — KW asks 'any difference', " +
+        "JT spends its power on the ordering — built as Σ of " +
+        "pairwise Mann-Whitney counts over the per-bucket cents " +
+        "rollups: each ordered pair's DOUBLED U (2·#less + #equal, " +
+        "the q_mann_whitney midtie trick) reads off the lower " +
+        "bucket's cumulative at the higher bucket's cells — " +
+        "domain-bounded grid work, never a corpus pair scan. The " +
+        "null moments are exact DECIMAL(38,0)/HUGEINT (cubics cast " +
+        "BEFORE multiplying), z is one mirrored IEEE expression " +
+        "(tie-free variance, the standard JT approximation — the " +
+        "doc'd caveat), one-sided 1.645 call. JT×2 outputs BIGINT — " +
+        "exact to N < 4·10⁹ pairs-halved, the q_anova_f window " +
+        "note. At 100 TB: one corpus pass to the (bucket, cents) " +
+        "rollup, 1-row output",
+      Some(
+        """WITH e AS (
+          |  SELECT hour(CAST(ts AS TIMESTAMP)) // 6 AS grp,
+          |    CAST(round(value * 100) AS BIGINT) AS v
+          |  FROM events
+          |), cells AS (
+          |  SELECT grp, v, CAST(count(*) AS BIGINT) AS c
+          |  FROM e GROUP BY grp, v
+          |), grid AS (
+          |  SELECT g.grp, vv.v, coalesce(cells.c, 0) AS c
+          |  FROM (SELECT DISTINCT grp FROM cells) g
+          |  CROSS JOIN (SELECT DISTINCT v FROM cells) vv
+          |  LEFT JOIN cells ON cells.grp = g.grp AND cells.v = vv.v
+          |), cum AS (
+          |  SELECT grp, v, c,
+          |    CAST(sum(c) OVER (PARTITION BY grp ORDER BY v) AS BIGINT)
+          |      - c AS cb
+          |  FROM grid
+          |), jt AS (
+          |  SELECT coalesce(sum(CAST(hi.c AS HUGEINT)
+          |    * (2 * lo.cb + lo.c)), 0) AS jt2
+          |  FROM cum hi JOIN cum lo
+          |    ON hi.v = lo.v AND lo.grp < hi.grp
+          |), mom AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS k,
+          |    CAST(sum(ng) AS BIGINT) AS nn,
+          |    sum(CAST(ng AS HUGEINT) * ng) AS sn2,
+          |    sum(CAST(ng AS HUGEINT) * ng * (2 * ng + 3)) AS sn23
+          |  FROM (SELECT grp, CAST(sum(c) AS BIGINT) AS ng
+          |        FROM cells GROUP BY grp)
+          |), d AS (
+          |  SELECT k, nn, jt2,
+          |    2 * jt2 - (CAST(nn AS HUGEINT) * nn - sn2) AS num4,
+          |    CAST(nn AS HUGEINT) * nn * (2 * nn + 3) - sn23 AS v72
+          |  FROM jt CROSS JOIN mom
+          |), z AS (
+          |  SELECT k, nn, jt2,
+          |    CASE WHEN v72 <= 0 THEN NULL ELSE
+          |      round(CAST(num4 AS DOUBLE)
+          |        / (4 * sqrt(CAST(v72 AS DOUBLE) / 72.0)), 6)
+          |      END AS jt_z
+          |  FROM d
+          |)
+          |SELECT k AS n_groups, nn AS n, CAST(jt2 AS BIGINT) AS jt_x2,
+          |  jt_z, CAST(jt_z > 1.645 AS BIGINT) AS significant
+          |FROM z""".stripMargin),
+    ) { (s, dir) =>
+      jonckheere(Tables.events(s, dir)
+        .select(expr("CAST(hour(ts) DIV 6 AS BIGINT)").as("grp"),
+          round(col("value") * 100, 0).cast("long").as("v")))
+    },
   )
 
   /** The q_fdr_bh test stage over any (event_type, user_id, value)
@@ -7528,5 +7827,202 @@ object EventsOps {
           |    / sqrt(2.0 / (9 * df)), 6) END AS wh_z""".stripMargin)
       .selectExpr("n_groups", "n", "df", "h", "h_corr", "wh_z",
         "CAST(wh_z > 1.645 AS BIGINT) AS significant")
+  }
+
+  /** The q_logreg_irls DuckDB oracle: hour histogram + IrlsRounds
+    * unrolled (m_i, s_i, st_i) CTE triples built from the SAME
+    * spliced expression texts the Spark loop uses (the mixtureEm
+    * convention). A def, not a val: registry-interpolation init
+    * order. */
+  private[graft] def logregSql: String = {
+    val rounds = (1 to IrlsRounds).map { i =>
+      s"""m$i AS (
+         |  SELECT x, n, h, b0, b1, $irlsM9 AS m9
+         |  FROM hx CROSS JOIN st${i - 1}
+         |), s$i AS (
+         |  SELECT ${irlsSums("HUGEINT").mkString(",\n    ")}
+         |  FROM m$i
+         |), st$i AS (
+         |  SELECT ${irlsStep.mkString(",\n    ")}
+         |  FROM s$i
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH hx AS (
+       |  SELECT CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS x,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS h
+       |  FROM events GROUP BY 1
+       |), st0 AS (
+       |  SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1
+       |), $rounds, tot AS (
+       |  SELECT CAST(sum(n) AS BIGINT) AS n,
+       |    CAST(sum(h) AS BIGINT) AS n_hits
+       |  FROM hx
+       |)
+       |SELECT n, n_hits, round(b0, 6) AS b0, round(b1, 6) AS b1,
+       |  round(1.0 / (1.0 + exp(-(b0 + b1 * 12))), 6) AS p_noon
+       |FROM tot CROSS JOIN st$IrlsRounds""".stripMargin
+  }
+
+  /** The q_ols_multi computation over any (x, z, y) frame — two
+    * integer features, integer outcome in cents — factored so
+    * OlsSpec can plant an exact plane (recovered coefficients and
+    * R² = 1) and a rank-deficient design (det = 0 → NULL). */
+  private[graft] def olsMulti(rows: DataFrame): DataFrame =
+    rows.agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("s1"),
+        sum(col("z").cast("decimal(38,0)")).as("s2"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("s11"),
+        sum(col("x").cast("decimal(38,0)") * col("z")).as("s12"),
+        sum(col("z").cast("decimal(38,0)") * col("z")).as("s22"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("s1y"),
+        sum(col("z").cast("decimal(38,0)") * col("y")).as("s2y"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+      .selectExpr("n", "s1", "s2", "sy",
+        "n * s11 - s1 * s1 AS sxx", "n * s12 - s1 * s2 AS sxz",
+        "n * s22 - s2 * s2 AS szz", "n * s1y - s1 * sy AS sxy",
+        "n * s2y - s2 * sy AS szy", "n * syy - sy * sy AS syyc")
+      .selectExpr("n", "s1", "s2", "sy", "sxy", "szy", "syyc",
+        """CAST(sxx AS DOUBLE) * CAST(szz AS DOUBLE)
+          |  - CAST(sxz AS DOUBLE) * CAST(sxz AS DOUBLE)
+          |  AS det""".stripMargin,
+        """CAST(sxy AS DOUBLE) * CAST(szz AS DOUBLE)
+          |  - CAST(szy AS DOUBLE) * CAST(sxz AS DOUBLE)
+          |  AS b1n""".stripMargin,
+        """CAST(szy AS DOUBLE) * CAST(sxx AS DOUBLE)
+          |  - CAST(sxy AS DOUBLE) * CAST(sxz AS DOUBLE)
+          |  AS b2n""".stripMargin)
+      .selectExpr("n", "s1", "s2", "sy", "sxy", "szy", "syyc",
+        """CASE WHEN det = 0 THEN NULL ELSE
+          |  round(b1n / (det * 100), 6) END AS b_hour""".stripMargin,
+        """CASE WHEN det = 0 THEN NULL ELSE
+          |  round(b2n / (det * 100), 6) END AS b_dow""".stripMargin)
+      .selectExpr("n", "b_hour", "b_dow",
+        """CASE WHEN b_hour IS NULL THEN NULL ELSE
+          |  round((CAST(sy AS DOUBLE) / 100 - b_hour * CAST(s1 AS DOUBLE)
+          |    - b_dow * CAST(s2 AS DOUBLE)) / n, 6)
+          |  END AS intercept""".stripMargin,
+        """CASE WHEN b_hour IS NULL OR syyc <= 0 THEN NULL ELSE
+          |  round((b_hour * 100 * CAST(sxy AS DOUBLE)
+          |    + b_dow * 100 * CAST(szy AS DOUBLE))
+          |    / CAST(syyc AS DOUBLE), 6) END AS r2""".stripMargin)
+
+  /** The q_logreg_irls computation over any (x, hit) frame — integer
+    * feature, 0/1 label — factored so LogregSpec can plant a
+    * balanced design (zero score at the origin holds the state
+    * there) and a monotone design (positive slope). The loop body
+    * splices [[irlsM9]]/[[irlsSums]]/[[irlsStep]] — the exact texts
+    * [[logregSql]] unrolls for DuckDB. */
+  private[graft] def logregIrls(rows: DataFrame): DataFrame = {
+    val hx = rows.groupBy("x").agg(
+        count(lit(1)).as("n"), sum(col("hit")).as("h"))
+      .localCheckpoint() // read by init totals and every round
+    var st = hx.sparkSession.range(1)
+      .selectExpr("CAST(0.0 AS DOUBLE) AS b0", "CAST(0.0 AS DOUBLE) AS b1")
+    for (_ <- 1 to IrlsRounds) {
+      val sums = irlsSums("DECIMAL(38,0)").map(expr)
+      st = hx.crossJoin(broadcast(st))
+        .selectExpr("x", "n", "h", "b0", "b1", s"$irlsM9 AS m9")
+        .agg(sums.head, sums.tail: _*)
+        .selectExpr(irlsStep: _*)
+        .localCheckpoint()
+    }
+    hx.agg(sum(col("n")).as("n"), sum(col("h")).as("n_hits"))
+      .crossJoin(broadcast(st))
+      .selectExpr("n", "n_hits", "round(b0, 6) AS b0",
+        "round(b1, 6) AS b1",
+        "round(1.0 / (1.0 + exp(-(b0 + b1 * 12))), 6) AS p_noon")
+  }
+
+  /** The q_friedman computation over any sparse (day, g, tot) block
+    * design — factored so FriedmanSpec can plant perfectly agreeing
+    * blocks (χ² = b(k−1), the closed form) and within-block-constant
+    * ones (denominator 0 → NULL). Densifies to the day×treatment
+    * spine first: a missing cell is a true zero total. */
+  private[graft] def friedman(daily: DataFrame): DataFrame = {
+    val d = daily.localCheckpoint() // read by both spine axes + join
+    val grid = d.select("day").distinct()
+      .crossJoin(broadcast(d.select("g").distinct()))
+      .join(d, Seq("day", "g"), "left")
+      .withColumn("tot", coalesce(col("tot"), lit(0L)))
+      .localCheckpoint() // read by the tie rollup AND the rank join
+    val wd = Window.partitionBy("day").orderBy("tot")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rk = grid.groupBy("day", "tot").agg(count(lit(1)).as("t"))
+      .withColumn("cum", sum(col("t")).over(wd))
+      .select(col("day"), col("tot"),
+        (lit(2L) * (col("cum") - col("t")) + col("t") + 1).as("r2"))
+    val rc = grid.join(rk, Seq("day", "tot"))
+      .select(col("day"), col("g"), col("r2"))
+      .localCheckpoint() // read by per-type sums AND global totals
+    val pt = rc.groupBy("g")
+      .agg(sum(col("r2").cast("decimal(38,0)")).as("r2j"))
+    val tt = rc.agg(
+      countDistinct(col("day")).as("b"),
+      countDistinct(col("g")).as("k"),
+      sum((col("r2") * col("r2")).cast("decimal(38,0)")).as("scell"))
+    pt.crossJoin(broadcast(tt))
+      .selectExpr("b", "k", "scell",
+        "r2j - CAST(b AS DECIMAL(38,0)) * (k + 1) AS dv")
+      .groupBy("b", "k", "scell")
+      .agg(sum(expr("dv * dv")).as("num"))
+      .selectExpr("b", "k", "k - 1 AS df",
+        "scell - CAST(b AS DECIMAL(38,0)) * k * (k + 1) * (k + 1) AS den",
+        "num")
+      .selectExpr("b AS n_days", "k", "df",
+        """CASE WHEN den = 0 THEN NULL ELSE
+          |  round((k - 1) * CAST(num AS DOUBLE) / CAST(den AS DOUBLE),
+          |    6) END AS chi2_f""".stripMargin)
+      .selectExpr("n_days", "k", "df", "chi2_f",
+        """CASE WHEN df = 0 OR chi2_f IS NULL OR chi2_f <= 0 THEN NULL
+          |  ELSE round((cbrt(chi2_f / df) - 1 + 2.0 / (9 * df))
+          |    / sqrt(2.0 / (9 * df)), 6) END AS wh_z""".stripMargin)
+      .selectExpr("n_days", "k", "df", "chi2_f", "wh_z",
+        "CAST(wh_z > 1.645 AS BIGINT) AS significant")
+  }
+
+  /** The q_jonckheere computation over any (grp, v) frame — ordered
+    * integer group, integer value — factored so JonckheereSpec can
+    * plant fully separated ascending groups (JT = Σ n_g·n_h, the
+    * maximum, with a closed-form z) and a reversed ordering
+    * (mirrored negative z). */
+  private[graft] def jonckheere(groups: DataFrame): DataFrame = {
+    val cells = groups.groupBy("grp", "v").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // read by the grid, the cum probe, moments
+    val grid = cells.select("v").distinct()
+      .crossJoin(broadcast(cells.select("grp").distinct()))
+      .join(cells, Seq("grp", "v"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val wg = Window.partitionBy("grp").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid
+      .withColumn("cb", sum(col("c")).over(wg) - col("c"))
+      .localCheckpoint() // both sides of the ordered-pair probe
+    val jt = cum.select(col("grp").as("g2"), col("v").as("v2"),
+        col("c").as("c2"))
+      .join(cum.select(col("grp").as("g1"), col("v"), col("cb"),
+        col("c").as("c1")),
+        col("v") === col("v2") && col("g1") < col("g2"))
+      .agg(coalesce(sum(expr("CAST(c2 AS DECIMAL(38,0)) * (2 * cb + c1)")),
+        lit(0).cast("decimal(38,0)")).as("jt2"))
+    val mom = cells.groupBy("grp").agg(sum(col("c")).as("ng"))
+      .agg(count(lit(1)).as("k"), sum(col("ng")).as("nn"),
+        sum(col("ng").cast("decimal(38,0)") * col("ng")).as("sn2"),
+        sum(expr("CAST(ng AS DECIMAL(38,0)) * ng * (2 * ng + 3)"))
+          .as("sn23"))
+    jt.crossJoin(broadcast(mom))
+      .selectExpr("k", "nn", "jt2",
+        "2 * jt2 - (CAST(nn AS DECIMAL(38,0)) * nn - sn2) AS num4",
+        "CAST(nn AS DECIMAL(38,0)) * nn * (2 * nn + 3) - sn23 AS v72")
+      .selectExpr("k", "nn", "jt2",
+        """CASE WHEN v72 <= 0 THEN NULL ELSE
+          |  round(CAST(num4 AS DOUBLE)
+          |    / (4 * sqrt(CAST(v72 AS DOUBLE) / 72.0)), 6)
+          |  END AS jt_z""".stripMargin)
+      .selectExpr("k AS n_groups", "nn AS n", "CAST(jt2 AS BIGINT) AS jt_x2",
+        "jt_z", "CAST(jt_z > 1.645 AS BIGINT) AS significant")
   }
 }
