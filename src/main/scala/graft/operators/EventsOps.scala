@@ -150,6 +150,11 @@ object EventsOps {
   /** q_ljung_box: portmanteau lag count (oracle splices it). */
   private[graft] val LjungBoxLags = 12
 
+  /** q_brier_decomp: forecast bins. Midpoint forecasts on a B-bin
+    * grid make the Murphy identity exact (see the registry entry);
+    * declared above the registry (object-init order). */
+  private[graft] val BrierBins = 10
+
   /** q_logreg_irls: unrolled Newton/IRLS rounds (oracle CTEs mirror —
     * the EmRounds convention). Four suffice: the hour-histogram
     * likelihood is strictly concave and 2-parameter, so Newton is
@@ -5782,6 +5787,138 @@ object EventsOps {
         .select(expr("CAST(hour(ts) DIV 6 AS BIGINT)").as("grp"),
           round(col("value") * 100, 0).cast("long").as("v")))
     },
+
+    Q(
+      "q_pr_auc",
+      "PRECISION-RECALL AUC (average precision) of the churn score — " +
+        "q_model_auc's imbalance-honest sibling: ROC-AUC reads 0.9 " +
+        "on a 1-in-10⁴ positive class that PR exposes as near-" +
+        "useless, which is why rare-event models (fraud, abuse, " +
+        "quality flags) report AP. Same churn labels and DISTINCT-" +
+        "SCORE rollup (never a global row rank): one descending " +
+        "cumulative window over the bounded rollup gives (tp, " +
+        "predicted-pos) per threshold, AP = Σ Δtp·precision / P " +
+        "with each threshold's mass·precision QUANTIZED to the 1e-9 " +
+        "grid and summed in DECIMAL(38,0)/HUGEINT (order-free — the " +
+        "quantize-then-sum discipline), ONE final division by P. " +
+        "Ties collapse to one block per score, the standard step-AP " +
+        "treatment. Prevalence rides out as the random-classifier " +
+        "baseline AP. At 100 TB: the binned-domain escape hatch is " +
+        "the same one q_model_auc_binned documents — quantize " +
+        "scores first, the tail is unchanged",
+      Some(
+        s"""WITH $churnLabSqlCte, byk AS (
+           |  SELECT score AS k,
+           |    CAST(sum(churned) AS BIGINT) AS np_s,
+           |    CAST(sum(1 - churned) AS BIGINT) AS nn_s
+           |  FROM lab GROUP BY score
+           |), cum AS (
+           |  SELECT np_s,
+           |    CAST(sum(np_s) OVER (ORDER BY k DESC) AS BIGINT) AS tp,
+           |    CAST(sum(np_s + nn_s) OVER (ORDER BY k DESC) AS BIGINT)
+           |      AS pp
+           |  FROM byk
+           |), tm AS (
+           |  SELECT CAST(round(CAST(np_s AS DOUBLE) * tp / pp
+           |    * 1000000000.0) AS HUGEINT) AS t9
+           |  FROM cum WHERE np_s > 0
+           |), ta AS (
+           |  SELECT coalesce(sum(t9), 0) AS s9 FROM tm
+           |), tot AS (
+           |  SELECT CAST(sum(np_s) AS BIGINT) AS np,
+           |    CAST(sum(nn_s) AS BIGINT) AS nn
+           |  FROM byk
+           |)
+           |SELECT np + nn AS n_users, np AS n_pos,
+           |  CASE WHEN np = 0 THEN NULL ELSE
+           |    round(CAST(s9 AS DOUBLE) / (1000000000.0 * np), 6)
+           |    END AS ap,
+           |  CASE WHEN np + nn = 0 THEN NULL ELSE
+           |    round(CAST(np AS DOUBLE) / (np + nn), 6) END AS prevalence
+           |FROM tot CROSS JOIN ta""".stripMargin),
+    ) { (s, dir) =>
+      prAucTail(churnScored(s, dir)
+        .groupBy(col("score").as("k"))
+        .agg(sum(col("churned")).as("np_s"),
+          sum(lit(1L) - col("churned")).as("nn_s")))
+    },
+
+    Q(
+      "q_brier_decomp",
+      s"BRIER SCORE with the MURPHY DECOMPOSITION (reliability − " +
+        "resolution + uncertainty) of the churn propensity — " +
+        "q_calibration's scalar summary: reliability is the " +
+        "calibration debt (0 = perfectly calibrated bins), " +
+        "resolution the discrimination earned, uncertainty the " +
+        s"irreducible base-rate floor. Scores quantize onto the " +
+        s"$BrierBins-bin equi-width grid with EXACT BIGINT bin " +
+        "edges (the q_model_auc_binned clause) and the forecast is " +
+        "each bin's MIDPOINT — discrete forecasts make the Murphy " +
+        "identity EXACT, spec-pinned. Every per-bin term has an " +
+        "exact integer numerator ((2k+1)n_k − 2B·c_k and c_k·N − " +
+        "C·n_k squared), quantizes to the 1e-9 grid and sums " +
+        "order-free in DECIMAL(38,0)/HUGEINT; the identity-derived " +
+        "Brier is ONE mirrored expression off the same sums. At " +
+        "100 TB: one pass to the user frame, one to B bins, 1-row " +
+        "output",
+      Some(brierSql),
+    ) { (s, dir) =>
+      brierDecomp(churnScored(s, dir).select(col("churned"),
+        round(col("score") * lit(1000000), 0).cast("long").as("si")))
+    },
+
+    Q(
+      "q_cronbach_alpha",
+      "CRONBACH'S ALPHA over the event-type catalog as the item " +
+        "battery (per-user per-type activity counts as item scores) " +
+        "— the internal-consistency readout: do the k activity " +
+        "channels measure ONE underlying engagement trait (α → 1) " +
+        "or k unrelated ones (α → 0)? The metrics-team use: before " +
+        "averaging k signals into a composite health score, α says " +
+        "whether the composite is coherent. α = k/(k−1)·(1 − " +
+        "ΣVar_item/Var_total), and BOTH variance sums reduce to " +
+        "exact integers — Σ_j(N·Q_j − S_j²) and N·Q_t − S_t² with " +
+        "Q/S the per-item and per-user power sums (sparse rollups; " +
+        "absent cells are true zeros and contribute nothing) — so α " +
+        "is ONE mirrored IEEE division of exact DECIMAL(38,0)/" +
+        "HUGEINT terms. At 100 TB: one shuffle on (user, type), " +
+        "catalog- and user-bounded marginals, 1-row output",
+      Some(
+        """WITH cnt AS (
+          |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS x
+          |  FROM events GROUP BY 1, 2
+          |), it AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS k,
+          |    sum(CAST(q AS HUGEINT)) AS sumq,
+          |    sum(CAST(s AS HUGEINT) * s) AS sums2
+          |  FROM (SELECT event_type, CAST(sum(x) AS BIGINT) AS s,
+          |          CAST(sum(x * x) AS BIGINT) AS q
+          |        FROM cnt GROUP BY event_type)
+          |), us AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS nu,
+          |    CAST(sum(t) AS BIGINT) AS st,
+          |    sum(CAST(t AS HUGEINT) * t) AS qt
+          |  FROM (SELECT user_id, CAST(sum(x) AS BIGINT) AS t
+          |        FROM cnt GROUP BY user_id)
+          |), d AS (
+          |  SELECT nu, k,
+          |    CAST(nu AS HUGEINT) * sumq - sums2 AS num,
+          |    CAST(nu AS HUGEINT) * qt - CAST(st AS HUGEINT) * st AS den
+          |  FROM it CROSS JOIN us
+          |)
+          |SELECT nu AS n_users, k AS n_items,
+          |  CASE WHEN k < 2 OR den = 0 THEN NULL ELSE
+          |    round(CAST(k AS DOUBLE) / (k - 1)
+          |      * (1 - CAST(num AS DOUBLE) / CAST(den AS DOUBLE)), 6)
+          |    END AS alpha,
+          |  CASE WHEN den = 0 THEN NULL ELSE
+          |    round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+          |    END AS item_var_share
+          |FROM d""".stripMargin),
+    ) { (s, dir) =>
+      cronbachAlpha(Tables.events(s, dir)
+        .select(col("user_id"), col("event_type")))
+    },
   )
 
   /** The q_fdr_bh test stage over any (event_type, user_id, value)
@@ -8024,5 +8161,165 @@ object EventsOps {
           |  END AS jt_z""".stripMargin)
       .selectExpr("k AS n_groups", "nn AS n", "CAST(jt2 AS BIGINT) AS jt_x2",
         "jt_z", "CAST(jt_z > 1.645 AS BIGINT) AS significant")
+  }
+
+  /** The q_pr_auc tail over any byk(k, np_s, nn_s) distinct-score
+    * rollup — factored so PrAucSpec can plant a perfect ranking
+    * (AP = 1), a worst ranking, and an all-tied score (AP =
+    * prevalence). */
+  private[graft] def prAucTail(byk: DataFrame): DataFrame = {
+    val b = byk.localCheckpoint() // read by the sweep AND the totals
+    val wd = Window.orderBy(col("k").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ta = b
+      .withColumn("tp", sum(col("np_s")).over(wd))
+      .withColumn("pp", sum(col("np_s") + col("nn_s")).over(wd))
+      .filter(col("np_s") > 0)
+      .select(expr(
+        """CAST(round(CAST(np_s AS DOUBLE) * tp / pp
+          |  * 1000000000.0) AS DECIMAL(38,0))""".stripMargin).as("t9"))
+      .agg(coalesce(sum(col("t9")), lit(0).cast("decimal(38,0)")).as("s9"))
+    b.agg(sum(col("np_s")).as("np"), sum(col("nn_s")).as("nn"))
+      .crossJoin(broadcast(ta))
+      .selectExpr("np + nn AS n_users", "np AS n_pos",
+        """CASE WHEN np = 0 THEN NULL ELSE
+          |  round(CAST(s9 AS DOUBLE) / (1000000000.0 * np), 6)
+          |  END AS ap""".stripMargin,
+        """CASE WHEN np + nn = 0 THEN NULL ELSE
+          |  round(CAST(np AS DOUBLE) / (np + nn), 6)
+          |  END AS prevalence""".stripMargin)
+  }
+
+  /** The q_brier_decomp DuckDB oracle (the [[BrierBins]] instance; a
+    * def for registry-interpolation init order). */
+  private[graft] def brierSql: String = {
+    val b2 = 2 * BrierBins
+    s"""WITH $churnLabSqlCte, si AS (
+       |  SELECT churned, CAST(round(score * 1000000, 0) AS BIGINT) AS si
+       |  FROM lab
+       |), bounds AS (
+       |  SELECT min(si) AS smin, max(si) AS smax FROM si
+       |), bn AS (
+       |  SELECT CASE WHEN smax = smin THEN 0
+       |      ELSE least(${BrierBins - 1},
+       |        ((si - smin) * $BrierBins) // (smax - smin))
+       |    END AS k,
+       |    CAST(count(*) AS BIGINT) AS nk,
+       |    CAST(sum(churned) AS BIGINT) AS ck
+       |  FROM si CROSS JOIN bounds GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(sum(nk) AS BIGINT) AS nn, CAST(sum(ck) AS BIGINT)
+       |      AS cc,
+       |    CAST(count(*) AS BIGINT) AS nb
+       |  FROM bn
+       |), tm AS (
+       |  SELECT
+       |    CAST(round(CAST(arel AS DOUBLE) * arel
+       |      / (${b2 * b2}.0 * nk * nn) * 1000000000.0) AS HUGEINT)
+       |      AS rel9,
+       |    CAST(round(CAST(ares AS DOUBLE) * ares
+       |      / (CAST(nk AS DOUBLE) * nn * nn * nn) * 1000000000.0)
+       |      AS HUGEINT) AS res9
+       |  FROM (
+       |    SELECT nk, nn,
+       |      (2 * k + 1) * nk - $b2 * ck AS arel,
+       |      CAST(ck AS HUGEINT) * nn - CAST(cc AS HUGEINT) * nk AS ares
+       |    FROM bn CROSS JOIN tot)
+       |), ts AS (
+       |  SELECT coalesce(sum(rel9), 0) AS srel9,
+       |    coalesce(sum(res9), 0) AS sres9
+       |  FROM tm
+       |)
+       |SELECT nn AS n_users, nb AS n_bins,
+       |  CASE WHEN nn = 0 THEN NULL ELSE
+       |    round((CAST(srel9 AS DOUBLE) - CAST(sres9 AS DOUBLE))
+       |        / 1000000000.0
+       |      + CAST(cc AS DOUBLE) * (nn - cc)
+       |        / (CAST(nn AS DOUBLE) * nn), 6) END AS brier,
+       |  round(CAST(srel9 AS DOUBLE) / 1000000000.0, 6) AS reliability,
+       |  round(CAST(sres9 AS DOUBLE) / 1000000000.0, 6) AS resolution,
+       |  CASE WHEN nn = 0 THEN NULL ELSE
+       |    round(CAST(cc AS DOUBLE) * (nn - cc)
+       |      / (CAST(nn AS DOUBLE) * nn), 6) END AS uncertainty
+       |FROM tot CROSS JOIN ts""".stripMargin
+  }
+
+  /** The q_brier_decomp computation over any (churned, si) frame —
+    * 0/1 outcome, ×1e6 integer score — factored so BrierSpec can
+    * plant a two-rate design with hand-exact decomposition terms
+    * and pin the Murphy identity against the directly computed
+    * score. */
+  private[graft] def brierDecomp(si: DataFrame): DataFrame = {
+    val s2 = si.localCheckpoint() // read by the bounds AND the bins
+    val bounds = s2.agg(min(col("si")).as("smin"), max(col("si")).as("smax"))
+    val bins = s2.crossJoin(broadcast(bounds))
+      .select(col("churned"), binOf(BrierBins).as("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("nk"), sum(col("churned")).as("ck"))
+      .localCheckpoint() // read by the totals AND the term pass
+    val tot = bins.agg(sum(col("nk")).as("nn"), sum(col("ck")).as("cc"),
+      count(lit(1)).as("nb"))
+    val b2 = 2 * BrierBins
+    val tm = bins.crossJoin(broadcast(tot))
+      .selectExpr("nk", "nn",
+        s"(2 * k + 1) * nk - $b2 * ck AS arel",
+        """CAST(ck AS DECIMAL(38,0)) * nn
+          |  - CAST(cc AS DECIMAL(38,0)) * nk AS ares""".stripMargin)
+      .selectExpr(
+        s"""CAST(round(CAST(arel AS DOUBLE) * arel
+           |  / (${b2 * b2}.0 * nk * nn) * 1000000000.0)
+           |  AS DECIMAL(38,0)) AS rel9""".stripMargin,
+        """CAST(round(CAST(ares AS DOUBLE) * ares
+          |  / (CAST(nk AS DOUBLE) * nn * nn * nn) * 1000000000.0)
+          |  AS DECIMAL(38,0)) AS res9""".stripMargin)
+      .agg(coalesce(sum(col("rel9")), lit(0).cast("decimal(38,0)"))
+        .as("srel9"),
+        coalesce(sum(col("res9")), lit(0).cast("decimal(38,0)"))
+          .as("sres9"))
+    tot.crossJoin(broadcast(tm))
+      .selectExpr("nn AS n_users", "nb AS n_bins", "cc", "srel9", "sres9")
+      .selectExpr("n_users", "n_bins",
+        """CASE WHEN n_users = 0 THEN NULL ELSE
+          |  round((CAST(srel9 AS DOUBLE) - CAST(sres9 AS DOUBLE))
+          |      / 1000000000.0
+          |    + CAST(cc AS DOUBLE) * (n_users - cc)
+          |      / (CAST(n_users AS DOUBLE) * n_users), 6)
+          |  END AS brier""".stripMargin,
+        "round(CAST(srel9 AS DOUBLE) / 1000000000.0, 6) AS reliability",
+        "round(CAST(sres9 AS DOUBLE) / 1000000000.0, 6) AS resolution",
+        """CASE WHEN n_users = 0 THEN NULL ELSE
+          |  round(CAST(cc AS DOUBLE) * (n_users - cc)
+          |    / (CAST(n_users AS DOUBLE) * n_users), 6)
+          |  END AS uncertainty""".stripMargin)
+  }
+
+  /** The q_cronbach_alpha computation over any (user_id, event_type)
+    * frame — factored so CronbachSpec can plant perfectly parallel
+    * items (α = 1) and independent one-hot items (α ≤ 0). */
+  private[graft] def cronbachAlpha(events: DataFrame): DataFrame = {
+    val cnt = events.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint() // read by the item AND the user marginal
+    val it = cnt.groupBy("event_type")
+      .agg(sum(col("x")).as("s"), sum(col("x") * col("x")).as("q"))
+      .agg(count(lit(1)).as("k"),
+        sum(col("q").cast("decimal(38,0)")).as("sumq"),
+        sum(col("s").cast("decimal(38,0)") * col("s")).as("sums2"))
+    val us = cnt.groupBy("user_id").agg(sum(col("x")).as("t"))
+      .agg(count(lit(1)).as("nu"), sum(col("t")).as("st"),
+        sum(col("t").cast("decimal(38,0)") * col("t")).as("qt"))
+    it.crossJoin(broadcast(us))
+      .selectExpr("nu", "k",
+        "CAST(nu AS DECIMAL(38,0)) * sumq - sums2 AS num",
+        """CAST(nu AS DECIMAL(38,0)) * qt
+          |  - CAST(st AS DECIMAL(38,0)) * st AS den""".stripMargin)
+      .selectExpr("nu AS n_users", "k AS n_items",
+        """CASE WHEN k < 2 OR den = 0 THEN NULL ELSE
+          |  round(CAST(k AS DOUBLE) / (k - 1)
+          |    * (1 - CAST(num AS DOUBLE) / CAST(den AS DOUBLE)), 6)
+          |  END AS alpha""".stripMargin,
+        """CASE WHEN den = 0 THEN NULL ELSE
+          |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+          |  END AS item_var_share""".stripMargin)
   }
 }
