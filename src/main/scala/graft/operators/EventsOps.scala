@@ -247,6 +247,92 @@ object EventsOps {
       |GROUP BY event_type, j
       |ORDER BY event_type, p""".stripMargin
 
+  /** The q_events_anomaly oracle, shared VERBATIM by q_stream_anomaly
+    * (the quantileTeSql precedent — the stream's complete-mode
+    * (hour, type, n) rollup ≡ the batch `hourly` CTE at any split,
+    * so one SQL text serves both). Declared above the registry
+    * (init order). */
+  private[graft] val eventsAnomalySql: String =
+    """WITH hourly AS (
+      |  SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+      |    AS hour, event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |), w AS (
+      |  SELECT hour, event_type, n,
+      |    sum(n) OVER (PARTITION BY event_type ORDER BY hour
+      |      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS base_sum,
+      |    count(*) OVER (PARTITION BY event_type ORDER BY hour
+      |      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS base_cnt
+      |  FROM hourly
+      |)
+      |SELECT hour, event_type, n,
+      |  CASE WHEN base_cnt = 24
+      |    THEN round(CAST(base_sum AS DOUBLE) / 24, 6) END AS baseline,
+      |  CASE WHEN base_cnt = 24 AND n * 24 >= 2 * base_sum
+      |    THEN CAST(1 AS BIGINT)
+      |    WHEN base_cnt = 24 THEN CAST(0 AS BIGINT) END AS burst
+      |FROM w ORDER BY event_type, hour""".stripMargin
+
+  /** The q_ewma_control oracle, shared VERBATIM by q_stream_ewma (the
+    * eventsAnomalySql precedent — the stream's complete-mode hour
+    * rollup ≡ the batch `hr` CTE at any split). A def, not a val: it
+    * interpolates [[hourlySeriesSqlCte]], declared further down (the
+    * registry-interpolation init-order rule). */
+  private[graft] def ewmaSql: String =
+    s"""WITH RECURSIVE $hourlySeriesSqlCte, x0 AS (
+       |  SELECT t, CAST(x AS DOUBLE) AS x FROM series
+       |), st AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CAST(x AS BIGINT)) AS BIGINT) AS sx,
+       |    CAST(sum(CAST(x AS BIGINT) * CAST(x AS BIGINT)) AS BIGINT) AS sq
+       |  FROM series
+       |), ew AS (
+       |  SELECT CAST(0 AS BIGINT) AS t,
+       |    (SELECT x FROM x0 WHERE t = 0) AS z
+       |  UNION ALL
+       |  SELECT ew.t + 1, round(2e-1 * x0.x + 8e-1 * ew.z, 6)
+       |  FROM ew JOIN x0 ON x0.t = ew.t + 1
+       |), lim AS (
+       |  SELECT n, round(CAST(sx AS DOUBLE) / n, 6) AS mu6,
+       |    round(sqrt((CAST(n AS DOUBLE) * sq - CAST(sx AS DOUBLE) * sx)
+       |      / (CAST(n AS DOUBLE) * (n - 1))), 6) AS sig6
+       |  FROM st
+       |), dev AS (
+       |  SELECT n, mu6, sig6, t, round(abs(z - mu6), 6) AS dev6
+       |  FROM ew CROSS JOIN lim
+       |)
+       |SELECT n AS n_hours, mu6 AS mu, sig6 AS sigma_z,
+       |  CAST(sum(CASE WHEN dev6 > sig6 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_ooc,
+       |  CAST(min(CASE WHEN dev6 > sig6 THEN t END) AS BIGINT)
+       |    AS first_ooc_t,
+       |  max(dev6) AS max_abs_dev
+       |FROM dev GROUP BY n, mu6, sig6""".stripMargin
+
+  /** The streamable state stage of q_events_anomaly: the (hour, type)
+    * count rollup — purely additive, bounded by the hour×type
+    * catalog, never stream volume (q_stream_anomaly folds it live as
+    * complete-mode state; the q_stream_moments argument). */
+  private[graft] def hourlyTypeRollup(ev: DataFrame): DataFrame =
+    ev.groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** The finishing stage of q_events_anomaly over the bounded rollup:
+    * the trailing-24-observed-hour baseline compare. */
+  private[graft] def anomalyFinish(hourly: DataFrame): DataFrame = {
+    val frame = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(-24, -1)
+    hourly
+      .withColumn("base_sum", sum(col("n")).over(frame))
+      .withColumn("base_cnt", count(lit(1)).over(frame))
+      .select(col("hour"), col("event_type"), col("n"),
+        when(col("base_cnt") === 24,
+          round(col("base_sum").cast("double") / 24, 6)).as("baseline"),
+        when(col("base_cnt") === 24 && col("n") * 24 >= col("base_sum") * 2,
+          1L).when(col("base_cnt") === 24, 0L).as("burst"))
+      .orderBy("event_type", "hour")
+  }
+
   /** Two-sided normal p-value in 1e-6 integer units from a 6dp-rounded
     * z column: the Abramowitz-Stegun 26.2.17 five-term polynomial tail
     * 1−Φ(|z|) = φ(|z|)·t·(b₁+t(b₂+t(b₃+t(b₄+t·b₅)))), t = 1/(1+0.2316419|z|),
@@ -2318,41 +2404,9 @@ object EventsOps {
         "At 100 TB only the rollup touches events; production keeps " +
         "the rollup as incremental state (q_agg_incremental) and the " +
         "window cost stays days×types",
-      Some(
-        """WITH hourly AS (
-          |  SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
-          |    AS hour, event_type, count(*) AS n
-          |  FROM events GROUP BY 1, 2
-          |), w AS (
-          |  SELECT hour, event_type, n,
-          |    sum(n) OVER (PARTITION BY event_type ORDER BY hour
-          |      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS base_sum,
-          |    count(*) OVER (PARTITION BY event_type ORDER BY hour
-          |      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS base_cnt
-          |  FROM hourly
-          |)
-          |SELECT hour, event_type, n,
-          |  CASE WHEN base_cnt = 24
-          |    THEN round(CAST(base_sum AS DOUBLE) / 24, 6) END AS baseline,
-          |  CASE WHEN base_cnt = 24 AND n * 24 >= 2 * base_sum
-          |    THEN CAST(1 AS BIGINT)
-          |    WHEN base_cnt = 24 THEN CAST(0 AS BIGINT) END AS burst
-          |FROM w ORDER BY event_type, hour""".stripMargin),
+      Some(eventsAnomalySql),
     ) { (s, dir) =>
-      val hourly = Tables.events(s, dir)
-        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
-      val frame = Window.partitionBy("event_type").orderBy("hour")
-        .rowsBetween(-24, -1)
-      hourly
-        .withColumn("base_sum", sum(col("n")).over(frame))
-        .withColumn("base_cnt", count(lit(1)).over(frame))
-        .select(col("hour"), col("event_type"), col("n"),
-          when(col("base_cnt") === 24,
-            round(col("base_sum").cast("double") / 24, 6)).as("baseline"),
-          when(col("base_cnt") === 24 && col("n") * 24 >= col("base_sum") * 2,
-            1L).when(col("base_cnt") === 24, 0L).as("burst"))
-        .orderBy("event_type", "hour")
+      anomalyFinish(hourlyTypeRollup(Tables.events(s, dir)))
     },
 
     Q(
@@ -5184,36 +5238,7 @@ object EventsOps {
         "trajectory — and μ/σ come from exact BIGINT power sums. At " +
         "100 TB: one corpus scan to the hour rollup; the sequential " +
         "part is #hours scalar ops, 1-row output",
-      Some(
-        s"""WITH RECURSIVE $hourlySeriesSqlCte, x0 AS (
-          |  SELECT t, CAST(x AS DOUBLE) AS x FROM series
-          |), st AS (
-          |  SELECT CAST(count(*) AS BIGINT) AS n,
-          |    CAST(sum(CAST(x AS BIGINT)) AS BIGINT) AS sx,
-          |    CAST(sum(CAST(x AS BIGINT) * CAST(x AS BIGINT)) AS BIGINT) AS sq
-          |  FROM series
-          |), ew AS (
-          |  SELECT CAST(0 AS BIGINT) AS t,
-          |    (SELECT x FROM x0 WHERE t = 0) AS z
-          |  UNION ALL
-          |  SELECT ew.t + 1, round(2e-1 * x0.x + 8e-1 * ew.z, 6)
-          |  FROM ew JOIN x0 ON x0.t = ew.t + 1
-          |), lim AS (
-          |  SELECT n, round(CAST(sx AS DOUBLE) / n, 6) AS mu6,
-          |    round(sqrt((CAST(n AS DOUBLE) * sq - CAST(sx AS DOUBLE) * sx)
-          |      / (CAST(n AS DOUBLE) * (n - 1))), 6) AS sig6
-          |  FROM st
-          |), dev AS (
-          |  SELECT n, mu6, sig6, t, round(abs(z - mu6), 6) AS dev6
-          |  FROM ew CROSS JOIN lim
-          |)
-          |SELECT n AS n_hours, mu6 AS mu, sig6 AS sigma_z,
-          |  CAST(sum(CASE WHEN dev6 > sig6 THEN 1 ELSE 0 END) AS BIGINT)
-          |    AS n_ooc,
-          |  CAST(min(CASE WHEN dev6 > sig6 THEN t END) AS BIGINT)
-          |    AS first_ooc_t,
-          |  max(dev6) AS max_abs_dev
-          |FROM dev GROUP BY n, mu6, sig6""".stripMargin),
+      Some(ewmaSql),
     ) { (s, dir) =>
       ewmaControl(hourlySeries(s, dir))
     },
@@ -7204,10 +7229,24 @@ object EventsOps {
     * corpus start, x = count; missing hours 0) — shared by q_acf and
     * q_holt_winters. One corpus scan to the hour rollup; the spine
     * explode is bounds-bounded. Unordered. */
-  private[graft] def hourlySeries(s: SparkSession, dir: String): DataFrame = {
-    val hr = Tables.events(s, dir)
-      .select(expr("unix_micros(ts) div 3600000000").as("h"))
+  private[graft] def hourlySeries(s: SparkSession, dir: String): DataFrame =
+    seriesOf(hourRollup(Tables.events(s, dir)))
+
+  /** The streamable state stage of the hourly series: the epoch-hour
+    * count rollup — purely additive, calendar-bounded
+    * (q_stream_ewma folds it live as complete-mode state). */
+  private[graft] def hourRollup(ev: DataFrame): DataFrame =
+    ev.select(expr("unix_micros(ts) div 3600000000").as("h"))
       .groupBy("h").agg(count(lit(1)).as("x"))
+
+  /** Densify an (h, x) hour rollup onto the contiguous 0-based t
+    * spine. localCheckpoints its input first: the bounds agg and the
+    * spine join are two lineages of the same frame, and a streaming
+    * memory-sink table's attributes do not deduplicate across
+    * lineages the way file scans do (the quantileTeFinish note) —
+    * the checkpoint rebases both on one MultiInstanceRelation. */
+  private[graft] def seriesOf(hrRaw: DataFrame): DataFrame = {
+    val hr = hrRaw.localCheckpoint()
     val bounds = hr.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
     val spine = bounds
       .select(explode(sequence(lit(0L), col("h1") - col("h0"))).as("i"),
@@ -8053,9 +8092,15 @@ object EventsOps {
     * there) and a monotone design (positive slope). The loop body
     * splices [[irlsM9]]/[[irlsSums]]/[[irlsStep]] — the exact texts
     * [[logregSql]] unrolls for DuckDB. */
-  private[graft] def logregIrls(rows: DataFrame): DataFrame = {
-    val hx = rows.groupBy("x").agg(
-        count(lit(1)).as("n"), sum(col("hit")).as("h"))
+  private[graft] def logregIrls(rows: DataFrame): DataFrame =
+    logregFit(rows.groupBy("x").agg(
+      count(lit(1)).as("n"), sum(col("hit")).as("h")))
+
+  /** The finishing stage of q_logreg_irls over any (x, n, h)
+    * histogram — the rollup is the streamable state (purely
+    * additive, x-domain-bounded; q_stream_logreg folds it live). */
+  private[graft] def logregFit(hxRaw: DataFrame): DataFrame = {
+    val hx = hxRaw
       .localCheckpoint() // read by init totals and every round
     var st = hx.sparkSession.range(1)
       .selectExpr("CAST(0.0 AS DOUBLE) AS b0", "CAST(0.0 AS DOUBLE) AS b1")

@@ -1280,5 +1280,117 @@ object StreamOps {
           "stream_equals_batch")
         .orderBy(col("n_events").desc, col("user_id"))
     },
+
+    Q(
+      "q_stream_anomaly",
+      "the hourly BURST PAGER run LIVE — the streaming face of " +
+        "q_events_anomaly, sharing its oracle VERBATIM: the stream " +
+        "folds the (hour, type) count rollup as complete-mode state " +
+        "bounded by the HOUR×TYPE CATALOG (calendar time, never " +
+        "stream volume — the q_stream_moments argument: counts are " +
+        "purely additive, so state ≡ the batch rollup at ANY " +
+        "micro-batch slicing), and the trailing-24-observed-hour " +
+        "baseline compare runs batch-side on the bounded sink per " +
+        "readout. This pairing is the operator's NATIVE deployment — " +
+        "burst detection exists to page within the hour, not in " +
+        "tomorrow's batch — and the only stream-specific cost is " +
+        "re-running a days×types window over state. At 100 TB/day: " +
+        "per-batch state deltas are #touched-hours×types rows; the " +
+        "readout never rescans history",
+      Some(graft.operators.EventsOps.eventsAnomalySql),
+    ) { (s, dir) =>
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = graft.Tables.normalizeTs(
+        s.readStream.schema(rawSchema)
+          .option("basePath", dir)
+          .parquet(s"$dir/events.parquet*"))
+        .select(col("ts"), col("event_type"))
+      val name = ("an" + Scratch.dir()).replaceAll("[^A-Za-z0-9]", "_")
+      val q = graft.operators.EventsOps.hourlyTypeRollup(src).writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.EventsOps.anomalyFinish(s.table(name))
+    },
+
+    Q(
+      "q_stream_ewma",
+      "the EWMA CONTROL CHART run LIVE — the streaming face of " +
+        "q_ewma_control, sharing its oracle VERBATIM: the stream " +
+        "folds the epoch-hour count rollup as complete-mode state " +
+        "(calendar-bounded, additive — state ≡ the batch hr rollup " +
+        "at any split), and the spine densify + λ=1/5 smoothing " +
+        "fold + 3σ√(λ/(2−λ)) limit compare run batch-side on the " +
+        "bounded sink per readout. The monitoring pairing beside " +
+        "q_stream_anomaly: the burst pager needs 2× over baseline, " +
+        "the EWMA chart catches sustained small drifts long before " +
+        "that — SPC's classical complement, now updating per " +
+        "trigger. The sink table is the ONE memory-sink frame read " +
+        "by two lineages (bounds + spine join), so the finish " +
+        "localCheckpoints it first — the quantileTeFinish " +
+        "conflicting-attributes note made structural. At 100 " +
+        "TB/day: state is #hours rows; the sequential smoothing is " +
+        "#hours scalar ops on the driver-side plan, never the " +
+        "corpus",
+      Some(graft.operators.EventsOps.ewmaSql),
+    ) { (s, dir) =>
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = graft.Tables.normalizeTs(
+        s.readStream.schema(rawSchema)
+          .option("basePath", dir)
+          .parquet(s"$dir/events.parquet*"))
+        .select(col("ts"))
+      val name = ("ew" + Scratch.dir()).replaceAll("[^A-Za-z0-9]", "_")
+      val q = graft.operators.EventsOps.hourRollup(src).writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.EventsOps.ewmaControl(
+        graft.operators.EventsOps.seriesOf(s.table(name)))
+    },
+
+    Q(
+      "q_stream_logreg",
+      "ONLINE LOGISTIC REGRESSION, the honest version — the " +
+        "streaming face of q_logreg_irls, sharing its oracle " +
+        "VERBATIM: the stream folds the (hour, n, hits) histogram " +
+        "as complete-mode state bounded by the 24-cell HOUR DOMAIN " +
+        "(sufficient statistics are purely additive — state ≡ the " +
+        "batch histogram at any split), and the full 4-round " +
+        "Newton/IRLS fit re-runs batch-side on the bounded sink per " +
+        "readout. That re-fit is the point: because the model's " +
+        "sufficient statistics live in domain-bounded state, every " +
+        "trigger can afford the EXACT batch fit — no SGD drift, no " +
+        "stale-gradient approximation, the deployed-model updater " +
+        "for any GLM whose feature space rolls up (the " +
+        "q_stream_moments argument applied to model TRAINING rather " +
+        "than monitoring). At 100 TB/day: per-batch state deltas " +
+        "are ≤24 rows; the fit is 4 rounds × 24 cells against " +
+        "broadcast 1-row state, independent of history",
+      Some(graft.operators.EventsOps.logregSql),
+    ) { (s, dir) =>
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = graft.Tables.normalizeTs(
+        s.readStream.schema(rawSchema)
+          .option("basePath", dir)
+          .parquet(s"$dir/events.parquet*"))
+        .select(hour(col("ts")).cast("long").as("x"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("hit"))
+      val name = ("lr" + Scratch.dir()).replaceAll("[^A-Za-z0-9]", "_")
+      val q = src.groupBy("x")
+        .agg(count(lit(1)).as("n"), sum(col("hit")).as("h"))
+        .writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.EventsOps.logregFit(s.table(name))
+    },
   )
 }
