@@ -723,6 +723,108 @@ object Relational {
     },
 
     Q(
+      "q_local_volume",
+      "TPC-H Q5 shape — the 6-table join with a CROSS-PATH equality " +
+        "(c_nationkey = s_nationkey: the customer and the supplier " +
+        "of each line item must share a nation), the one classic " +
+        "join graph that is NOT a star: lineitem⋈orders and " +
+        "orders⋈customer are the two true fact shuffles, supplier/" +
+        "nation/region ride broadcast, and the cross-path constraint " +
+        "lands as a post-join filter Catalyst folds into the " +
+        "supplier broadcast join condition — no extra shuffle. The " +
+        "date window pushes to the orders scan, the region filter " +
+        "prunes the broadcast chain before it ships. Revenue is the " +
+        "q1_agg fixed-point discipline (×10⁴ exact units). At " +
+        "100 TB: two fact shuffles keyed on orderkey/custkey — the " +
+        "minimum the join graph admits — and a #nations-row output",
+      Some(
+        s"""SELECT n_name,
+           |  ${exactSumSql("l_extendedprice * (1 - l_discount)", 4)}
+           |    AS revenue,
+           |  count(*) AS n_items
+           |FROM customer
+           |JOIN orders ON c_custkey = o_custkey
+           |JOIN lineitem ON l_orderkey = o_orderkey
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |  AND c_nationkey = s_nationkey
+           |JOIN nation ON s_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |WHERE r_name = 'ASIA'
+           |  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+           |  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+           |GROUP BY n_name
+           |ORDER BY revenue DESC, n_name""".stripMargin),
+    ) { (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate").cast("date") >= lit("1996-01-01")
+            && col("o_orderdate").cast("date") < lit("1998-01-01")),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey")
+            && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")),
+          4).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    Q(
+      "q_returned_revenue",
+      "TPC-H Q10 shape — the returned-item report: which customers " +
+        "returned the most revenue last half-year? lineitem filters " +
+        "to returns (pushed to the scan), joins orders (date-" +
+        "windowed, also pushed) then customer — two fact shuffles — " +
+        "nation rides broadcast, and the per-customer rollup feeds " +
+        "TakeOrderedAndProject: a per-partition top-20 heap + driver " +
+        "merge of 20 rows, never a global sort (the q_topk plan " +
+        "shape on a join tree). Revenue exact ×10⁴ fixed point, " +
+        "ties broken on custkey for a deterministic hash. At " +
+        "100 TB: the returns+date filters cut both fact sides " +
+        "BEFORE their shuffles — selectivity does the scale work, " +
+        "the top-k never materializes the full customer rollup " +
+        "anywhere",
+      Some(
+        s"""SELECT c_custkey, c_name, n_name,
+           |  ${exactSumSql("l_extendedprice * (1 - l_discount)", 4)}
+           |    AS revenue
+           |FROM customer
+           |JOIN orders ON c_custkey = o_custkey
+           |JOIN lineitem ON l_orderkey = o_orderkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |WHERE l_returnflag = 'R'
+           |  AND CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+           |  AND CAST(o_orderdate AS DATE) < DATE '1997-07-01'
+           |GROUP BY c_custkey, c_name, n_name
+           |ORDER BY revenue DESC, c_custkey
+           |LIMIT 20""".stripMargin),
+    ) { (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate").cast("date") >= lit("1997-01-01")
+            && col("o_orderdate").cast("date") < lit("1997-07-01")),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, dir)
+          .filter(col("l_returnflag") === "R"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")),
+          4).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
+    Q(
       "q_correlated",
       "correlated scalar subquery (per-customer order count ≥ 3): " +
         "Catalyst decorrelates it into an aggregate + join instead of " +

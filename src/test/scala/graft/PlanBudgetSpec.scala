@@ -890,6 +890,24 @@ class PlanBudgetSpec extends AnyFunSuite {
       s"scan not pruned to text: $readSchema")
   }
 
+  test("q_local_volume broadcasts the dimension chain; ≤2 fact joins") {
+    // The Q5 join graph admits exactly two fact shuffles (orderkey,
+    // custkey); supplier/nation/region must ride broadcast and the
+    // cross-path c_nationkey = s_nationkey must not add a shuffle.
+    val p = plan("q_local_volume")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      s"dimension chain must broadcast, plan:\n$p")
+    assert("(SortMergeJoin|ShuffledHashJoin)".r.findAllIn(p).length <= 2,
+      s"more than the two admissible fact joins, plan:\n$p")
+  }
+
+  test("q_returned_revenue tops out via TakeOrderedAndProject") {
+    val p = plan("q_returned_revenue")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be a heap+merge, not a global sort, plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"nation must broadcast:\n$p")
+  }
+
   test("q1_agg aggregates inside whole-stage codegen") {
     // The plain plan string hides codegen stage boundaries; the
     // codegen explain mode lists every WholeStageCodegen subtree.
