@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions.Portable
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -4518,6 +4518,57 @@ object TextOps {
           col("node").as("word"), round(col("r"), 6).as("tr"))
         .orderBy("rank")
     },
+
+    Q(
+      "q_readability",
+      "FLESCH READING-EASE per language — the readability leg of the " +
+        "training-data quality panel beside q_text_quality's " +
+        "length/punct ratios and q_gopher_rules' hard filters: " +
+        "curricula and quality-weighted sampling (q_quality_sample) " +
+        "routinely condition on readability bands. Words are the " +
+        "house single-space tokenizer, sentences an exact " +
+        "replace-chain punctuation count (no regex, byte-identical " +
+        "across engines), syllables the classic vowel-group " +
+        "heuristic via per-word regexp collapse (floor 1/word) — " +
+        "all PURE PER-ROW expression work, zero shuffles before the " +
+        "#langs-bounded agg. Each doc's score rounds to the 1e-6 " +
+        "grid BEFORE the per-lang mean (quantize-then-sum: the " +
+        "mirrored IEEE formula text is the only float step, and the " +
+        "corpus totals are exact BIGINT single divisions). At " +
+        "100 TB: one scan, per-row lambdas, #langs rows out",
+      Some(
+        """WITH per AS (
+          |  SELECT lang,
+          |    list_filter(string_split(lower(text), ' '), w -> w <> '')
+          |      AS ws,
+          |    greatest(1, length(text) - length(replace(replace(replace(
+          |      text, '.', ''), '!', ''), '?', ''))) AS ns
+          |  FROM documents
+          |), pm AS (
+          |  SELECT lang, CAST(length(ws) AS BIGINT) AS nw, ns,
+          |    CAST(coalesce(list_sum(list_transform(ws, w ->
+          |      greatest(1, length(regexp_replace(w, '[aeiouy]+', '#', 'g'))
+          |        - length(regexp_replace(w, '[aeiouy]+', '', 'g'))))), 0)
+          |      AS BIGINT) AS nsyl
+          |  FROM per
+          |), sc AS (
+          |  SELECT lang, nw, ns, nsyl,
+          |    CAST(round((206.835 - 1.015 * (CAST(nw AS DOUBLE) / ns)
+          |      - 84.6 * (CAST(nsyl AS DOUBLE) / nw)) * 1000000.0)
+          |      AS BIGINT) AS f6
+          |  FROM pm WHERE nw > 0
+          |)
+          |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+          |  round(CAST(sum(nw) AS DOUBLE) / sum(ns), 6)
+          |    AS words_per_sentence,
+          |  round(CAST(sum(nsyl) AS DOUBLE) / sum(nw), 6)
+          |    AS syllables_per_word,
+          |  round(CAST(sum(f6) AS DOUBLE) / (1000000.0 * count(*)), 6)
+          |    AS avg_flesch
+          |FROM sc GROUP BY lang ORDER BY lang""".stripMargin),
+    ) { (s, dir) =>
+      readability(Tables.documents(s, dir).select("lang", "text"))
+    },
   )
 
   /** q_zipf_fit core over any (lang, text) frame (the spec plants an
@@ -4620,4 +4671,35 @@ object TextOps {
         round(sum(col("n_lw") * length(col("w"))).cast("double")
           / sum(col("n_lw") * col("pieces")), 6).as("chars_per_piece"))
   }
+
+  /** The q_readability computation over any (lang, text) frame —
+    * factored so ReadabilitySpec can pin hand-counted syllable,
+    * sentence, and Flesch values on planted prose. Spark's
+    * regexp_replace is replace-all by default (the oracle passes
+    * DuckDB's 'g' flag for the same semantics); only integer counts
+    * cross that seam, the one IEEE expression is mirrored verbatim. */
+  private[graft] def readability(docs: DataFrame): DataFrame =
+    docs.selectExpr("lang",
+        "filter(split(lower(text), ' ', -1), w -> w <> '') AS ws",
+        """greatest(1, length(text) - length(replace(replace(replace(
+          |  text, '.', ''), '!', ''), '?', ''))) AS ns""".stripMargin)
+      .selectExpr("lang", "CAST(size(ws) AS BIGINT) AS nw", "ns",
+        """CAST(coalesce(aggregate(ws, 0L, (acc, w) -> acc
+          |  + greatest(1L, CAST(length(regexp_replace(w, '[aeiouy]+', '#'))
+          |    - length(regexp_replace(w, '[aeiouy]+', '')) AS BIGINT))),
+          |  0L) AS BIGINT) AS nsyl""".stripMargin)
+      .filter(col("nw") > 0)
+      .selectExpr("lang", "nw", "ns", "nsyl",
+        """CAST(round((206.835 - 1.015 * (CAST(nw AS DOUBLE) / ns)
+          |  - 84.6 * (CAST(nsyl AS DOUBLE) / nw)) * 1000000.0)
+          |  AS BIGINT) AS f6""".stripMargin)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("nw")).cast("double") / sum(col("ns")), 6)
+          .as("words_per_sentence"),
+        round(sum(col("nsyl")).cast("double") / sum(col("nw")), 6)
+          .as("syllables_per_word"),
+        round(sum(col("f6")).cast("double")
+          / (lit(1000000.0) * count(lit(1))), 6).as("avg_flesch"))
+      .orderBy("lang")
 }
