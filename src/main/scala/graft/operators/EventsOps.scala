@@ -247,6 +247,175 @@ object EventsOps {
       |GROUP BY event_type, j
       |ORDER BY event_type, p""".stripMargin
 
+  /** The q_chisq_independence oracle, shared VERBATIM by
+    * q_stream_chisq (the quantileTeSql precedent - the stream's
+    * complete-mode (type, arm) cell rollup equals the batch `cells`
+    * CTE at any split). Declared above the registry (init order). */
+  private[graft] val chisqSql: String =
+    """WITH e AS (
+      |  SELECT event_type, user_id % 2 AS grp FROM events
+      |), cells AS (
+      |  SELECT event_type, grp, CAST(count(*) AS BIGINT) AS o
+      |  FROM e GROUP BY event_type, grp
+      |), grid AS (
+      |  SELECT t.event_type, g.grp, COALESCE(c.o, 0) AS o
+      |  FROM (SELECT DISTINCT event_type FROM cells) t
+      |  CROSS JOIN (SELECT DISTINCT grp FROM cells) g
+      |  LEFT JOIN cells c
+      |    ON c.event_type = t.event_type AND c.grp = g.grp
+      |), tot AS (
+      |  SELECT o,  event_type, grp,
+      |    CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT) AS r,
+      |    CAST(sum(o) OVER (PARTITION BY grp) AS BIGINT) AS c,
+      |    CAST(sum(o) OVER () AS BIGINT) AS n
+      |  FROM grid
+      |), term AS (
+      |  SELECT n, event_type, grp,
+      |    CAST(o AS DOUBLE) * n - CAST(r AS DOUBLE) * c AS d,
+      |    CAST(n AS DOUBLE) * r * c AS den
+      |  FROM tot
+      |), ag AS (
+      |  SELECT max(n) AS n,
+      |    CAST(count(DISTINCT event_type) AS BIGINT) AS nt,
+      |    CAST(count(DISTINCT grp) AS BIGINT) AS ng,
+      |    sum(CAST(round(d * d / den * 1000000000.0) AS HUGEINT)) AS s9
+      |  FROM term
+      |), fin AS (
+      |  SELECT n, nt, ng, (nt - 1) * (ng - 1) AS df,
+      |    CAST(s9 AS DOUBLE) / 1000000000.0 AS chi2g
+      |  FROM ag
+      |), o AS (
+      |  SELECT n, nt, ng, df, round(chi2g, 6) AS chi2,
+      |    CASE WHEN df = 0 THEN NULL ELSE
+      |      round(sqrt(chi2g / (CAST(n AS DOUBLE)
+      |        * least(nt - 1, ng - 1))), 6) END AS cramers_v,
+      |    CASE WHEN df = 0 THEN NULL ELSE
+      |      round((cbrt(chi2g / df) - 1 + 2.0 / (9 * df))
+      |        / sqrt(2.0 / (9 * df)), 6) END AS wh_z
+      |  FROM fin
+      |)
+      |SELECT n, nt, ng, df, chi2, cramers_v, wh_z,
+      |  CAST(wh_z > 1.645 AS BIGINT) AS dependent
+      |FROM o""".stripMargin
+
+  /** The q_kruskal_wallis oracle, shared VERBATIM by q_stream_kruskal
+    * (the quantileTeSql precedent - the stream's complete-mode
+    * (type, cents) cell rollup equals the batch `cells` CTE at any
+    * split). Declared above the registry (init order). */
+  private[graft] val kruskalSql: String =
+    """WITH e AS (
+      |  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events
+      |), cells AS (
+      |  SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY g, v
+      |), tv AS (
+      |  SELECT v, CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY v
+      |), rk AS (
+      |  SELECT v, 2 * (CAST(sum(t) OVER (ORDER BY v) AS BIGINT) - t)
+      |      + t + 1 AS r2
+      |  FROM tv
+      |), rg AS (
+      |  SELECT g, CAST(sum(c) AS BIGINT) AS n,
+      |    sum(CAST(c AS HUGEINT) * r2) AS r2g
+      |  FROM cells JOIN rk USING (v) GROUP BY g
+      |), qr AS (
+      |  SELECT g, n, (r2g * r2g) // n AS qg, (r2g * r2g) % n AS rg
+      |  FROM rg
+      |), pf AS (
+      |  SELECT g, n, qg,
+      |    CAST(round(CAST(rg AS DOUBLE) / n * 1000000000.0) AS BIGINT)
+      |      AS f9
+      |  FROM qr
+      |), ag AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT)
+      |      AS nn,
+      |    sum(CAST(qg AS HUGEINT)) AS qa, CAST(sum(f9) AS BIGINT) AS fa
+      |  FROM pf
+      |), tie AS (
+      |  SELECT coalesce(sum(CAST(t AS HUGEINT) * (t - 1) * (t + 1)), 0)
+      |    AS ties
+      |  FROM tv
+      |), fin AS (
+      |  SELECT k, nn, k - 1 AS df,
+      |    CAST(nn AS HUGEINT) * (nn - 1) * (nn + 1) AS nn3, ties,
+      |    CASE WHEN nn < 2 THEN NULL ELSE
+      |      round(3.0 * (CAST(qa AS DOUBLE)
+      |          + CAST(fa AS DOUBLE) / 1000000000.0)
+      |        / (CAST(nn AS DOUBLE) * (nn + 1)) - 3.0 * (nn + 1), 6)
+      |      END AS h
+      |  FROM ag CROSS JOIN tie
+      |), co AS (
+      |  SELECT k, nn, df, h,
+      |    CASE WHEN h IS NULL OR nn3 - ties = 0 THEN NULL ELSE
+      |      round(h * CAST(nn3 AS DOUBLE) / CAST(nn3 - ties AS DOUBLE),
+      |        6) END AS h_corr
+      |  FROM fin
+      |)
+      |SELECT k AS n_groups, nn AS n, df, h, h_corr,
+      |  CASE WHEN df = 0 OR h_corr IS NULL OR h_corr <= 0 THEN NULL
+      |    ELSE round((cbrt(h_corr / df) - 1 + 2.0 / (9 * df))
+      |      / sqrt(2.0 / (9 * df)), 6) END AS wh_z,
+      |  CAST(CASE WHEN df = 0 OR h_corr IS NULL OR h_corr <= 0
+      |    THEN NULL
+      |    ELSE round((cbrt(h_corr / df) - 1 + 2.0 / (9 * df))
+      |      / sqrt(2.0 / (9 * df)), 6) END > 1.645 AS BIGINT)
+      |    AS significant
+      |FROM co""".stripMargin
+
+  /** The q_ols_multi oracle, shared VERBATIM by q_stream_ols (the
+    * quantileTeSql precedent - the stream's complete-mode 1-row
+    * moment-sum state equals the batch `m` CTE at any split: all
+    * nine sums are purely additive). Declared above the registry (init order). */
+  private[graft] val olsSql: String =
+    """WITH e AS (
+      |  SELECT CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS x,
+      |    CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS BIGINT) AS z,
+      |    CAST(round(value * 100) AS BIGINT) AS y
+      |  FROM events
+      |), m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS HUGEINT) AS s1, CAST(sum(z) AS HUGEINT) AS s2,
+      |    CAST(sum(y) AS HUGEINT) AS sy,
+      |    sum(CAST(x AS HUGEINT) * x) AS s11,
+      |    sum(CAST(x AS HUGEINT) * z) AS s12,
+      |    sum(CAST(z AS HUGEINT) * z) AS s22,
+      |    sum(CAST(x AS HUGEINT) * y) AS s1y,
+      |    sum(CAST(z AS HUGEINT) * y) AS s2y,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM e
+      |), c AS (
+      |  SELECT n, s1, s2, sy,
+      |    n * s11 - s1 * s1 AS sxx, n * s12 - s1 * s2 AS sxz,
+      |    n * s22 - s2 * s2 AS szz, n * s1y - s1 * sy AS sxy,
+      |    n * s2y - s2 * sy AS szy, n * syy - sy * sy AS syyc
+      |  FROM m
+      |), sl AS (
+      |  SELECT n, s1, s2, sy, sxy, szy, syyc,
+      |    CAST(sxx AS DOUBLE) * CAST(szz AS DOUBLE)
+      |      - CAST(sxz AS DOUBLE) * CAST(sxz AS DOUBLE) AS det,
+      |    CAST(sxy AS DOUBLE) * CAST(szz AS DOUBLE)
+      |      - CAST(szy AS DOUBLE) * CAST(sxz AS DOUBLE) AS b1n,
+      |    CAST(szy AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sxy AS DOUBLE) * CAST(sxz AS DOUBLE) AS b2n
+      |  FROM c
+      |), b AS (
+      |  SELECT n, s1, s2, sy, sxy, szy, syyc,
+      |    CASE WHEN det = 0 THEN NULL ELSE
+      |      round(b1n / (det * 100), 6) END AS b_hour,
+      |    CASE WHEN det = 0 THEN NULL ELSE
+      |      round(b2n / (det * 100), 6) END AS b_dow
+      |  FROM sl
+      |)
+      |SELECT n, b_hour, b_dow,
+      |  CASE WHEN b_hour IS NULL THEN NULL ELSE
+      |    round((CAST(sy AS DOUBLE) / 100 - b_hour * CAST(s1 AS DOUBLE)
+      |      - b_dow * CAST(s2 AS DOUBLE)) / n, 6) END AS intercept,
+      |  CASE WHEN b_hour IS NULL OR syyc <= 0 THEN NULL ELSE
+      |    round((b_hour * 100 * CAST(sxy AS DOUBLE)
+      |      + b_dow * 100 * CAST(szy AS DOUBLE))
+      |      / CAST(syyc AS DOUBLE), 6) END AS r2
+      |FROM b""".stripMargin
+
   /** The q_events_anomaly oracle, shared VERBATIM by q_stream_anomaly
     * (the quantileTeSql precedent — the stream's complete-mode
     * (hour, type, n) rollup ≡ the batch `hourly` CTE at any split,
@@ -3824,52 +3993,7 @@ object EventsOps {
         "to #types×2 cells; every window and join after that runs on " +
         "the types-bounded rollup (the bounded-rollup window class), " +
         "1-row output",
-      Some(
-        """WITH e AS (
-          |  SELECT event_type, user_id % 2 AS grp FROM events
-          |), cells AS (
-          |  SELECT event_type, grp, CAST(count(*) AS BIGINT) AS o
-          |  FROM e GROUP BY event_type, grp
-          |), grid AS (
-          |  SELECT t.event_type, g.grp, COALESCE(c.o, 0) AS o
-          |  FROM (SELECT DISTINCT event_type FROM cells) t
-          |  CROSS JOIN (SELECT DISTINCT grp FROM cells) g
-          |  LEFT JOIN cells c
-          |    ON c.event_type = t.event_type AND c.grp = g.grp
-          |), tot AS (
-          |  SELECT o,  event_type, grp,
-          |    CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT) AS r,
-          |    CAST(sum(o) OVER (PARTITION BY grp) AS BIGINT) AS c,
-          |    CAST(sum(o) OVER () AS BIGINT) AS n
-          |  FROM grid
-          |), term AS (
-          |  SELECT n, event_type, grp,
-          |    CAST(o AS DOUBLE) * n - CAST(r AS DOUBLE) * c AS d,
-          |    CAST(n AS DOUBLE) * r * c AS den
-          |  FROM tot
-          |), ag AS (
-          |  SELECT max(n) AS n,
-          |    CAST(count(DISTINCT event_type) AS BIGINT) AS nt,
-          |    CAST(count(DISTINCT grp) AS BIGINT) AS ng,
-          |    sum(CAST(round(d * d / den * 1000000000.0) AS HUGEINT)) AS s9
-          |  FROM term
-          |), fin AS (
-          |  SELECT n, nt, ng, (nt - 1) * (ng - 1) AS df,
-          |    CAST(s9 AS DOUBLE) / 1000000000.0 AS chi2g
-          |  FROM ag
-          |), o AS (
-          |  SELECT n, nt, ng, df, round(chi2g, 6) AS chi2,
-          |    CASE WHEN df = 0 THEN NULL ELSE
-          |      round(sqrt(chi2g / (CAST(n AS DOUBLE)
-          |        * least(nt - 1, ng - 1))), 6) END AS cramers_v,
-          |    CASE WHEN df = 0 THEN NULL ELSE
-          |      round((cbrt(chi2g / df) - 1 + 2.0 / (9 * df))
-          |        / sqrt(2.0 / (9 * df)), 6) END AS wh_z
-          |  FROM fin
-          |)
-          |SELECT n, nt, ng, df, chi2, cramers_v, wh_z,
-          |  CAST(wh_z > 1.645 AS BIGINT) AS dependent
-          |FROM o""".stripMargin),
+      Some(chisqSql),
     ) { (s, dir) =>
       chisqIndependence(Tables.events(s, dir)
         .select(col("event_type"), col("user_id")))
@@ -5498,65 +5622,7 @@ object EventsOps {
         "drifts (the q_anova_f note). At 100 TB: one corpus pass to " +
         "the (type, cents) rollup, everything after is domain-" +
         "bounded, 1-row output",
-      Some(
-        """WITH e AS (
-          |  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v
-          |  FROM events
-          |), cells AS (
-          |  SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY g, v
-          |), tv AS (
-          |  SELECT v, CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY v
-          |), rk AS (
-          |  SELECT v, 2 * (CAST(sum(t) OVER (ORDER BY v) AS BIGINT) - t)
-          |      + t + 1 AS r2
-          |  FROM tv
-          |), rg AS (
-          |  SELECT g, CAST(sum(c) AS BIGINT) AS n,
-          |    sum(CAST(c AS HUGEINT) * r2) AS r2g
-          |  FROM cells JOIN rk USING (v) GROUP BY g
-          |), qr AS (
-          |  SELECT g, n, (r2g * r2g) // n AS qg, (r2g * r2g) % n AS rg
-          |  FROM rg
-          |), pf AS (
-          |  SELECT g, n, qg,
-          |    CAST(round(CAST(rg AS DOUBLE) / n * 1000000000.0) AS BIGINT)
-          |      AS f9
-          |  FROM qr
-          |), ag AS (
-          |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT)
-          |      AS nn,
-          |    sum(CAST(qg AS HUGEINT)) AS qa, CAST(sum(f9) AS BIGINT) AS fa
-          |  FROM pf
-          |), tie AS (
-          |  SELECT coalesce(sum(CAST(t AS HUGEINT) * (t - 1) * (t + 1)), 0)
-          |    AS ties
-          |  FROM tv
-          |), fin AS (
-          |  SELECT k, nn, k - 1 AS df,
-          |    CAST(nn AS HUGEINT) * (nn - 1) * (nn + 1) AS nn3, ties,
-          |    CASE WHEN nn < 2 THEN NULL ELSE
-          |      round(3.0 * (CAST(qa AS DOUBLE)
-          |          + CAST(fa AS DOUBLE) / 1000000000.0)
-          |        / (CAST(nn AS DOUBLE) * (nn + 1)) - 3.0 * (nn + 1), 6)
-          |      END AS h
-          |  FROM ag CROSS JOIN tie
-          |), co AS (
-          |  SELECT k, nn, df, h,
-          |    CASE WHEN h IS NULL OR nn3 - ties = 0 THEN NULL ELSE
-          |      round(h * CAST(nn3 AS DOUBLE) / CAST(nn3 - ties AS DOUBLE),
-          |        6) END AS h_corr
-          |  FROM fin
-          |)
-          |SELECT k AS n_groups, nn AS n, df, h, h_corr,
-          |  CASE WHEN df = 0 OR h_corr IS NULL OR h_corr <= 0 THEN NULL
-          |    ELSE round((cbrt(h_corr / df) - 1 + 2.0 / (9 * df))
-          |      / sqrt(2.0 / (9 * df)), 6) END AS wh_z,
-          |  CAST(CASE WHEN df = 0 OR h_corr IS NULL OR h_corr <= 0
-          |    THEN NULL
-          |    ELSE round((cbrt(h_corr / df) - 1 + 2.0 / (9 * df))
-          |      / sqrt(2.0 / (9 * df)), 6) END > 1.645 AS BIGINT)
-          |    AS significant
-          |FROM co""".stripMargin),
+      Some(kruskalSql),
     ) { (s, dir) =>
       kruskalWallis(Tables.events(s, dir)
         .select(col("event_type").as("g"),
@@ -5578,55 +5644,7 @@ object EventsOps {
         "the same one-pass shape at any width; the solve is O(p³) on " +
         "the driver side of the agg, never the corpus. At 100 TB: " +
         "one scan, nine exact sums, 1-row output",
-      Some(
-        """WITH e AS (
-          |  SELECT CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS x,
-          |    CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS BIGINT) AS z,
-          |    CAST(round(value * 100) AS BIGINT) AS y
-          |  FROM events
-          |), m AS (
-          |  SELECT CAST(count(*) AS BIGINT) AS n,
-          |    CAST(sum(x) AS HUGEINT) AS s1, CAST(sum(z) AS HUGEINT) AS s2,
-          |    CAST(sum(y) AS HUGEINT) AS sy,
-          |    sum(CAST(x AS HUGEINT) * x) AS s11,
-          |    sum(CAST(x AS HUGEINT) * z) AS s12,
-          |    sum(CAST(z AS HUGEINT) * z) AS s22,
-          |    sum(CAST(x AS HUGEINT) * y) AS s1y,
-          |    sum(CAST(z AS HUGEINT) * y) AS s2y,
-          |    sum(CAST(y AS HUGEINT) * y) AS syy
-          |  FROM e
-          |), c AS (
-          |  SELECT n, s1, s2, sy,
-          |    n * s11 - s1 * s1 AS sxx, n * s12 - s1 * s2 AS sxz,
-          |    n * s22 - s2 * s2 AS szz, n * s1y - s1 * sy AS sxy,
-          |    n * s2y - s2 * sy AS szy, n * syy - sy * sy AS syyc
-          |  FROM m
-          |), sl AS (
-          |  SELECT n, s1, s2, sy, sxy, szy, syyc,
-          |    CAST(sxx AS DOUBLE) * CAST(szz AS DOUBLE)
-          |      - CAST(sxz AS DOUBLE) * CAST(sxz AS DOUBLE) AS det,
-          |    CAST(sxy AS DOUBLE) * CAST(szz AS DOUBLE)
-          |      - CAST(szy AS DOUBLE) * CAST(sxz AS DOUBLE) AS b1n,
-          |    CAST(szy AS DOUBLE) * CAST(sxx AS DOUBLE)
-          |      - CAST(sxy AS DOUBLE) * CAST(sxz AS DOUBLE) AS b2n
-          |  FROM c
-          |), b AS (
-          |  SELECT n, s1, s2, sy, sxy, szy, syyc,
-          |    CASE WHEN det = 0 THEN NULL ELSE
-          |      round(b1n / (det * 100), 6) END AS b_hour,
-          |    CASE WHEN det = 0 THEN NULL ELSE
-          |      round(b2n / (det * 100), 6) END AS b_dow
-          |  FROM sl
-          |)
-          |SELECT n, b_hour, b_dow,
-          |  CASE WHEN b_hour IS NULL THEN NULL ELSE
-          |    round((CAST(sy AS DOUBLE) / 100 - b_hour * CAST(s1 AS DOUBLE)
-          |      - b_dow * CAST(s2 AS DOUBLE)) / n, 6) END AS intercept,
-          |  CASE WHEN b_hour IS NULL OR syyc <= 0 THEN NULL ELSE
-          |    round((b_hour * 100 * CAST(sxy AS DOUBLE)
-          |      + b_dow * 100 * CAST(szy AS DOUBLE))
-          |      / CAST(syyc AS DOUBLE), 6) END AS r2
-          |FROM b""".stripMargin),
+      Some(olsSql),
     ) { (s, dir) =>
       olsMulti(Tables.events(s, dir)
         .select(hour(col("ts")).cast("long").as("x"),
@@ -6335,10 +6353,24 @@ object EventsOps {
     * (χ² = 0) and hand-worked dependent tables, including a
     * zero-cell. Arms on user parity; quantize-then-sum per-cell
     * terms, see the registry entry. */
-  private[graft] def chisqIndependence(events: DataFrame): DataFrame = {
-    val cells = events
+  private[graft] def chisqIndependence(events: DataFrame): DataFrame =
+    chisqFinish(chisqCells(events))
+
+  /** The streamable state stage of q_chisq_independence: the
+    * (type, arm) cell rollup — purely additive, catalog-bounded
+    * (q_stream_chisq folds it live as complete-mode state). */
+  private[graft] def chisqCells(events: DataFrame): DataFrame =
+    events
       .select(col("event_type"), (col("user_id") % 2).as("grp"))
       .groupBy("event_type", "grp").agg(count(lit(1)).as("o"))
+
+  /** The finishing stage of q_chisq_independence over the bounded
+    * cell rollup. localCheckpoints first: the grid completion joins
+    * two lineages of the cells frame, and a memory-sink table's
+    * attributes do not deduplicate across lineages (the
+    * quantileTeFinish note). */
+  private[graft] def chisqFinish(cellsRaw: DataFrame): DataFrame = {
+    val cells = cellsRaw.localCheckpoint()
     val grid = cells.select("event_type").distinct()
       .crossJoin(broadcast(cells.select("grp").distinct()))
       .join(cells, Seq("event_type", "grp"), "left")
@@ -7960,8 +7992,16 @@ object EventsOps {
     * per-group R²/n quotient+remainder split keeps the rank-sum
     * algebra exact (see the registry entry for the overflow
     * window). */
-  private[graft] def kruskalWallis(groups: DataFrame): DataFrame = {
-    val cells = groups.groupBy("g", "v").agg(count(lit(1)).as("c"))
+  private[graft] def kruskalWallis(groups: DataFrame): DataFrame =
+    kruskalFinish(groups.groupBy("g", "v").agg(count(lit(1)).as("c")))
+
+  /** The finishing stage of q_kruskal_wallis over the bounded (g, v,
+    * c) cell rollup — the rollup is the streamable state (purely
+    * additive, value-domain-bounded; q_stream_kruskal folds it
+    * live). The localCheckpoint covers the memory-sink lineage rule
+    * (the quantileTeFinish note) besides its reuse role. */
+  private[graft] def kruskalFinish(cellsRaw: DataFrame): DataFrame = {
+    val cells = cellsRaw
       .localCheckpoint() // read by the global rank map AND group sums
     val tv = cells.groupBy("v").agg(sum(col("c")).as("t"))
       .localCheckpoint() // read by the rank map AND the tie sum
@@ -8046,18 +8086,29 @@ object EventsOps {
     * OlsSpec can plant an exact plane (recovered coefficients and
     * R² = 1) and a rank-deficient design (det = 0 → NULL). */
   private[graft] def olsMulti(rows: DataFrame): DataFrame =
+    olsFinish(olsMoments(rows))
+
+  /** The streamable state stage of q_ols_multi: the nine exact
+    * moment sums as ONE additive row — the sufficient statistics of
+    * the regression (q_stream_ols folds them live; any partition of
+    * the corpus sums to the same state). */
+  private[graft] def olsMoments(rows: DataFrame): DataFrame =
     rows.agg(
-        count(lit(1)).as("n"),
-        sum(col("x").cast("decimal(38,0)")).as("s1"),
-        sum(col("z").cast("decimal(38,0)")).as("s2"),
-        sum(col("y").cast("decimal(38,0)")).as("sy"),
-        sum(col("x").cast("decimal(38,0)") * col("x")).as("s11"),
-        sum(col("x").cast("decimal(38,0)") * col("z")).as("s12"),
-        sum(col("z").cast("decimal(38,0)") * col("z")).as("s22"),
-        sum(col("x").cast("decimal(38,0)") * col("y")).as("s1y"),
-        sum(col("z").cast("decimal(38,0)") * col("y")).as("s2y"),
-        sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
-      .selectExpr("n", "s1", "s2", "sy",
+      count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(38,0)")).as("s1"),
+      sum(col("z").cast("decimal(38,0)")).as("s2"),
+      sum(col("y").cast("decimal(38,0)")).as("sy"),
+      sum(col("x").cast("decimal(38,0)") * col("x")).as("s11"),
+      sum(col("x").cast("decimal(38,0)") * col("z")).as("s12"),
+      sum(col("z").cast("decimal(38,0)") * col("z")).as("s22"),
+      sum(col("x").cast("decimal(38,0)") * col("y")).as("s1y"),
+      sum(col("z").cast("decimal(38,0)") * col("y")).as("s2y"),
+      sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+
+  /** The finishing stage of q_ols_multi over the 1-row moment state:
+    * the centered Cramer solve + grid-derived intercept and R². */
+  private[graft] def olsFinish(m: DataFrame): DataFrame =
+    m.selectExpr("n", "s1", "s2", "sy",
         "n * s11 - s1 * s1 AS sxx", "n * s12 - s1 * s2 AS sxz",
         "n * s22 - s2 * s2 AS szz", "n * s1y - s1 * sy AS sxy",
         "n * s2y - s2 * sy AS szy", "n * syy - sy * sy AS syyc")

@@ -70,9 +70,12 @@ import org.apache.spark.sql.types._
   * fed by a [[Binning]]-style one-pass token-df probe at rule-fire
   * time: explode+count both sides' distinct tokens, take the
   * [[HotK]] most frequent, and fire only when the top df clears
-  * [[SkewGate]]× the hot-set floor — a near-uniform vocabulary (where
-  * the reorder cannot help) keeps the zero-overhead lexicographic
-  * plan, measured unchanged. The order is REALIZED as an injective
+  * [[SkewGate]]× the hot-set floor AND the floor itself is ≤
+  * [[MaxRareDf]] (a rare tail must EXIST, not just a hot head — a
+  * dense vocabulary whose rarest token still lands in hundreds of
+  * docs gains nothing from rare-first and pays the encoding on every
+  * row). A near-uniform or dense vocabulary keeps the zero-overhead
+  * lexicographic plan, measured unchanged. The order is REALIZED as an injective
   * encoding: token → zero-padded hot-rank ∥ SEP ∥ token, where every
   * token outside the hot set shares rank 0 (rare-first) and hot
   * tokens rank by ascending df — so the ordinary lexicographic
@@ -116,6 +119,13 @@ object OverlapJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
     * the rare tail can share one rank and still sort first. */
   val SkewGate = 8.0
   val HotK = 1024
+
+  /** Rare-tail existence certificate: the df order fires only when
+    * the probed floor df (≥ every tail token's df) is at most this —
+    * prefixes can then land on tokens shared by few docs. Counts are
+    * post-sampling ([[Binning.MaxProbeBytes]] caps the probe), so
+    * the threshold is stable in absolute terms at any corpus size. */
+  val MaxRareDf = 32.0
   private val ZeroRank = "000000"
   private val Sep = "\u0001"
 
@@ -184,8 +194,19 @@ object OverlapJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
           // bound on every tail df; with vocab <= HotK it is the
           // global minimum. Either way top/floor understates no skew.
           val floor = math.max(hot.last._2.toDouble, 1.0)
-          if (top < SkewGate * floor) {
-            probeLog.info(s"graft overlap df probe: near-uniform " +
+          if (top < SkewGate * floor || floor > MaxRareDf) {
+            // Two ways the reorder cannot pay: a near-uniform
+            // vocabulary (no skew to exploit), or a DENSE one whose
+            // "rarest" token still lands in hundreds of docs — the
+            // rare-first prefix then concentrates candidates into
+            // buckets of size floor-df while the encoding taxes
+            // every row (the sf0.1 synthetic corpus: 31 hot tokens,
+            // floor 500 → 3× slower df-ordered). AllPairs' win needs
+            // a genuinely rare tail; floor bounds every tail df from
+            // above (exactly for vocab ≤ HotK, as the (K+1)-th df
+            // otherwise), so floor ≤ MaxRareDf is the existence
+            // certificate.
+            probeLog.info(s"graft overlap df probe: no rare tail " +
               s"(top=$top floor=$floor), keeping lexicographic order")
             None
           } else {

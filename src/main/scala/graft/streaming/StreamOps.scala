@@ -1392,5 +1392,109 @@ object StreamOps {
       q.awaitTermination()
       graft.operators.EventsOps.logregFit(s.table(name))
     },
+
+    Q(
+      "q_stream_ols",
+      "ONLINE MULTIPLE REGRESSION — the streaming face of " +
+        "q_ols_multi, sharing its oracle VERBATIM and making the " +
+        "'sufficient statistics' claim literal: the ENTIRE model " +
+        "state is ONE additive row (the nine exact DECIMAL(38,0) " +
+        "moment sums), folded in complete mode, and the centered " +
+        "Cramer solve re-runs on it per readout — the exact fit " +
+        "after every micro-batch, zero approximation, zero history. " +
+        "Beside q_stream_logreg this completes the GLM pair: " +
+        "identity link needs one state row, logit needs the x-domain " +
+        "histogram — both retrain EXACTLY per trigger because the " +
+        "statistics are additive, the property SGD-style online " +
+        "learners give up. At 100 TB/day: per-batch state delta is " +
+        "one row of partial sums (Spark's partial-agg tree does the " +
+        "merge), the solve is O(1)",
+      Some(graft.operators.EventsOps.olsSql),
+    ) { (s, dir) =>
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = graft.Tables.normalizeTs(
+        s.readStream.schema(rawSchema)
+          .option("basePath", dir)
+          .parquet(s"$dir/events.parquet*"))
+        .select(hour(col("ts")).cast("long").as("x"),
+          dayofweek(col("ts")).cast("long").as("z"),
+          round(col("value") * 100, 0).cast("long").as("y"))
+      val name = ("ol" + Scratch.dir()).replaceAll("[^A-Za-z0-9]", "_")
+      val q = graft.operators.EventsOps.olsMoments(src).writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.EventsOps.olsFinish(s.table(name))
+    },
+
+    Q(
+      "q_stream_chisq",
+      "the event-MIX guardrail run LIVE — the streaming face of " +
+        "q_chisq_independence, sharing its oracle VERBATIM: the " +
+        "stream folds the (type, arm) contingency cells as " +
+        "complete-mode state bounded by the TYPE CATALOG × 2 (counts " +
+        "are purely additive — state ≡ the batch cells at any " +
+        "slicing), and the grid completion + quantize-then-sum χ² + " +
+        "Wilson-Hilferty call re-run batch-side on the bounded sink " +
+        "per readout. The live pairing beside q_stream_msprt/" +
+        "q_stream_fdr: means monitored always-valid, the MIX " +
+        "monitored here — a treatment that shifts WHAT users do " +
+        "shows up in this table before any mean moves. The finish " +
+        "localCheckpoints the sink (two grid lineages — the " +
+        "quantileTeFinish rule). At 100 TB/day: state is #types×2 " +
+        "rows, the readout never touches history",
+      Some(graft.operators.EventsOps.chisqSql),
+    ) { (s, dir) =>
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = s.readStream.schema(rawSchema)
+        .option("basePath", dir)
+        .parquet(s"$dir/events.parquet*")
+        .select(col("event_type"), col("user_id"))
+      val name = ("ch" + Scratch.dir()).replaceAll("[^A-Za-z0-9]", "_")
+      val q = graft.operators.EventsOps.chisqCells(src).writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.EventsOps.chisqFinish(s.table(name))
+    },
+
+    Q(
+      "q_stream_kruskal",
+      "the DISTRIBUTION-LOCATION monitor run LIVE — the streaming " +
+        "face of q_kruskal_wallis, sharing its oracle VERBATIM: the " +
+        "stream folds the (type, cents) cell rollup as complete-mode " +
+        "state bounded by the VALUE-DOMAIN × type catalog (the " +
+        "q_stream_quantile_te state class — additive counts, state ≡ " +
+        "the batch cells at any slicing), and the doubled-midrank " +
+        "rank ANOVA re-runs batch-side on the bounded sink per " +
+        "readout. Completes the live nonparametric pair: " +
+        "q_stream_quantile_te reads WHERE the distributions sit per " +
+        "quantile, this one tests WHETHER their locations differ at " +
+        "all — both off the same class of domain-bounded state, both " +
+        "exact. At 100 TB/day: state is #types × observed cents " +
+        "values; ranking runs on state, never rows",
+      Some(graft.operators.EventsOps.kruskalSql),
+    ) { (s, dir) =>
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = s.readStream.schema(rawSchema)
+        .option("basePath", dir)
+        .parquet(s"$dir/events.parquet*")
+        .select(col("event_type").as("g"),
+          round(col("value") * 100, 0).cast("long").as("v"))
+      val name = ("kw" + Scratch.dir()).replaceAll("[^A-Za-z0-9]", "_")
+      val q = src.groupBy("g", "v")
+        .agg(count(lit(1)).as("c"))
+        .writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.EventsOps.kruskalFinish(s.table(name))
+    },
   )
 }

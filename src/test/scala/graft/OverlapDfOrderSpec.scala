@@ -112,4 +112,26 @@ class OverlapDfOrderSpec extends AnyFunSuite {
     assert(got == brute(docs), s"got $got")
     assert(got == Set((50L, 51L)))
   }
+
+  test("dense skewed vocabulary: no rare tail, gate stays off, result exact") {
+    // The sf0.1 synthetic-corpus shape that regressed 3× df-ordered:
+    // the skew RATIO clears SkewGate (top = 400 ≥ 8 × floor = 36)
+    // but the RAREST token still lands in 36 docs > MaxRareDf —
+    // rare-first cannot isolate docs when no token is rare, and the
+    // encoding taxes every row, so the rule must keep lexicographic.
+    val docs: Seq[(Long, Seq[String])] = (0L until 400L).map { i =>
+      (i, Seq("h_all", s"d_${i % 8}", s"e_${i % 10}", s"f_${i % 11}_x"))
+    }
+    val dfs = docs.flatMap(_._2.distinct).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    assert(dfs.values.min > OverlapJoinBlocking.MaxRareDf,
+      s"corpus must be dense, min df ${dfs.values.min}")
+    assert(dfs.values.max >=
+      OverlapJoinBlocking.SkewGate * dfs.values.min,
+      s"corpus must still be skewed, dfs ${dfs.values.max}/${dfs.values.min}")
+    val (got, plan) = runJoin(docs)
+    assert(!plan.contains("array_min(transform"),
+      s"dense corpus must keep lexicographic order, plan:\n$plan")
+    assert(got == brute(docs), s"got ${got.size} want ${brute(docs).size}")
+  }
 }
