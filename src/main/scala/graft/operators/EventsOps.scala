@@ -5962,6 +5962,75 @@ object EventsOps {
       cronbachAlpha(Tables.events(s, dir)
         .select(col("user_id"), col("event_type")))
     },
+
+    Q(
+      "q_welch_anova",
+      "WELCH'S ANOVA across event types — q_anova_f without the " +
+        "equal-variance assumption, completing the family triangle: " +
+        "q_anova_f assumes homoscedasticity, q_levene_bf TESTS it, " +
+        "and when Levene rejects THIS is the statistic you are " +
+        "allowed to report (k-group Welch t, the default in modern " +
+        "practice). The grid discipline stacks: per-group weights " +
+        "w = n²(n−1)/(nΣx²−(Σx)²) and means quantize to 1e-9/" +
+        "cent-hundredth grids via ONE mirrored IEEE expression each " +
+        "from exact BIGINT power sums; the weighted center and " +
+        "scatter then fold as EXACT DECIMAL(38,0)/HUGEINT products " +
+        "of grid integers (order-free across groups — the quantize-" +
+        "then-sum rule applied twice), the λ terms quantize again " +
+        "against the exact weight total, and F/df₂ finish mirrored. " +
+        "Zero-variance or singleton groups drop (their w is " +
+        "undefined — the documented Welch scope). At 100 TB: one " +
+        "keyed corpus pass to #types power-sum rows, two bounded-" +
+        "rollup passes, 1-row output",
+      Some(
+        """WITH c AS (
+          |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+          |  FROM events
+          |), g AS (
+          |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(c) AS BIGINT) AS s,
+          |    sum(CAST(c AS HUGEINT) * c) AS q
+          |  FROM c GROUP BY event_type
+          |), gw AS (
+          |  SELECT n,
+          |    CAST(round(1000000000.0 * CAST(n AS DOUBLE) * n * (n - 1)
+          |      / CAST(n * q - CAST(s AS HUGEINT) * s AS DOUBLE))
+          |      AS HUGEINT) AS w9,
+          |    CAST(round(100.0 * s / n) AS BIGINT) AS m2
+          |  FROM g
+          |  WHERE n >= 2 AND n * q - CAST(s AS HUGEINT) * s > 0
+          |), tot AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS k,
+          |    CAST(sum(n) AS BIGINT) AS nn,
+          |    sum(w9) AS ww,
+          |    sum(w9 * m2) AS xw1,
+          |    sum(w9 * m2 * m2) AS xw2
+          |  FROM gw
+          |), lam AS (
+          |  SELECT CAST(sum(CAST(round(1000000000.0
+          |    * (1.0 - CAST(w9 AS DOUBLE) / CAST(ww AS DOUBLE))
+          |    * (1.0 - CAST(w9 AS DOUBLE) / CAST(ww AS DOUBLE))
+          |    / (n - 1)) AS BIGINT)) AS BIGINT) AS l9
+          |  FROM gw CROSS JOIN tot
+          |)
+          |SELECT k AS n_groups, nn AS n, k - 1 AS df1,
+          |  CASE WHEN k < 2 THEN NULL ELSE
+          |    round((CAST(k AS DOUBLE) * k - 1)
+          |      / (3.0 * CAST(l9 AS DOUBLE) / 1000000000.0), 6)
+          |    END AS df2,
+          |  CASE WHEN k < 2 THEN NULL ELSE
+          |    round(((CAST(xw2 AS DOUBLE)
+          |        - CAST(xw1 AS DOUBLE) * CAST(xw1 AS DOUBLE)
+          |          / CAST(ww AS DOUBLE)) / 10000000000000.0 / (k - 1))
+          |      / (1.0 + (2.0 * (k - 2) / (CAST(k AS DOUBLE) * k - 1))
+          |        * (CAST(l9 AS DOUBLE) / 1000000000.0)), 6)
+          |    END AS f_welch
+          |FROM tot CROSS JOIN lam""".stripMargin),
+    ) { (s, dir) =>
+      welchAnova(Tables.events(s, dir)
+        .select(col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("c")))
+    },
   )
 
   /** The q_fdr_bh test stage over any (event_type, user_id, value)
@@ -8417,5 +8486,47 @@ object EventsOps {
         """CASE WHEN den = 0 THEN NULL ELSE
           |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
           |  END AS item_var_share""".stripMargin)
+  }
+
+  /** The q_welch_anova computation over any (event_type, c) frame —
+    * integer cents — factored so WelchSpec can pin the k = 2
+    * reduction to the squared Welch t on hand-exact groups, equal
+    * groups at F = 0, and the zero-variance drop rule. */
+  private[graft] def welchAnova(cells: DataFrame): DataFrame = {
+    val gw = cells.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("q"))
+      .filter(col("n") >= 2 &&
+        col("n") * col("q") - col("s").cast("decimal(38,0)") * col("s") > 0)
+      .selectExpr("n",
+        """CAST(round(1000000000.0 * CAST(n AS DOUBLE) * n * (n - 1)
+          |  / CAST(n * q - CAST(s AS DECIMAL(38,0)) * s AS DOUBLE))
+          |  AS DECIMAL(38,0)) AS w9""".stripMargin,
+        "CAST(round(100.0 * s / n) AS BIGINT) AS m2")
+      .localCheckpoint() // read by the totals AND the lambda pass
+    val tot = gw.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
+      sum(col("w9")).as("ww"),
+      sum(col("w9") * col("m2")).as("xw1"),
+      sum(col("w9") * col("m2") * col("m2")).as("xw2"))
+    val lam = gw.crossJoin(broadcast(tot))
+      .select(expr(
+        """CAST(round(1000000000.0
+          |  * (1.0 - CAST(w9 AS DOUBLE) / CAST(ww AS DOUBLE))
+          |  * (1.0 - CAST(w9 AS DOUBLE) / CAST(ww AS DOUBLE))
+          |  / (n - 1)) AS BIGINT)""".stripMargin).as("t9"))
+      .agg(sum(col("t9")).as("l9"))
+    tot.crossJoin(broadcast(lam))
+      .selectExpr("k AS n_groups", "nn AS n", "k - 1 AS df1",
+        """CASE WHEN k < 2 THEN NULL ELSE
+          |  round((CAST(k AS DOUBLE) * k - 1)
+          |    / (3.0 * CAST(l9 AS DOUBLE) / 1000000000.0), 6)
+          |  END AS df2""".stripMargin,
+        """CASE WHEN k < 2 THEN NULL ELSE
+          |  round(((CAST(xw2 AS DOUBLE)
+          |      - CAST(xw1 AS DOUBLE) * CAST(xw1 AS DOUBLE)
+          |        / CAST(ww AS DOUBLE)) / 10000000000000.0 / (k - 1))
+          |    / (1.0 + (2.0 * (k - 2) / (CAST(k AS DOUBLE) * k - 1))
+          |      * (CAST(l9 AS DOUBLE) / 1000000000.0)), 6)
+          |  END AS f_welch""".stripMargin)
   }
 }
