@@ -1161,25 +1161,28 @@ object EventsOps {
         "anomaly detectors are safe on raw counts). The series is " +
         "DENSIFIED onto the full hour spine first (missing hours " +
         "count 0 — the q_gap_fill lesson: ACF on a gappy series is " +
-        "silently wrong); the centered products run in EXACT BIGINT " +
-        "((x_t·n − S)·(x_{t+k}·n − S) — μ never materializes as a " +
-        "float) so fold order can't drift, and each lag's single " +
-        "division is 6dp-rounded. One corpus scan to the hour rollup; " +
-        "everything after is bounded by #hours×24 (a band self-join " +
-        "of the spine). At 100 TB the products want DECIMAL(38) — " +
-        "documented, not needed at any test SF",
+        "silently wrong); the centered products run as EXACT " +
+        "DECIMAL(38,0)/HUGEINT integers ((x_t·n − S)·(x_{t+k}·n − S) " +
+        "— μ never materializes as a float, and the cast lands " +
+        "BEFORE the first overflow-able product: the factors scale " +
+        "as the total event count, so past ~3e9 events their BIGINT " +
+        "product would wrap silently in Spark while DuckDB raises — " +
+        "the mannWhitney lesson) so fold order can't drift, and each " +
+        "lag's single division is 6dp-rounded. One corpus scan to " +
+        "the hour rollup; everything after is bounded by #hours×24 " +
+        "(a band self-join of the spine)",
       Some(
         s"""WITH $hourlySeriesSqlCte, st AS (
           |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx
           |  FROM series
           |), num AS (
           |  SELECT b.t - a.t AS lag,
-          |    CAST(sum((a.x * n - sx) * (b.x * n - sx)) AS BIGINT) AS num
+          |    sum(CAST(a.x * n - sx AS HUGEINT) * (b.x * n - sx)) AS num
           |  FROM series a JOIN series b
           |    ON b.t > a.t AND b.t <= a.t + 24
           |  CROSS JOIN st GROUP BY b.t - a.t
           |), den AS (
-          |  SELECT CAST(sum((x * n - sx) * (x * n - sx)) AS BIGINT) AS den
+          |  SELECT sum(CAST(x * n - sx AS HUGEINT) * (x * n - sx)) AS den
           |  FROM series CROSS JOIN st
           |)
           |SELECT lag, round(CAST(num AS DOUBLE) / den, 6) AS acf
@@ -1193,14 +1196,17 @@ object EventsOps {
       val num = a.join(b, col("bt") > col("at") && col("bt") <= col("at") + 24)
         .crossJoin(broadcast(st))
         .groupBy((col("bt") - col("at")).as("lag"))
-        .agg(sum((col("ax") * col("n") - col("sx"))
-          * (col("bx") * col("n") - col("sx"))).as("num"))
+        .agg(sum((col("ax") * col("n") - col("sx")).cast("decimal(38,0)")
+          * (col("bx") * col("n") - col("sx")).cast("decimal(38,0)"))
+          .as("num"))
       val den = series.crossJoin(broadcast(st))
-        .agg(sum((col("x") * col("n") - col("sx"))
-          * (col("x") * col("n") - col("sx"))).as("den"))
+        .agg(sum((col("x") * col("n") - col("sx")).cast("decimal(38,0)")
+          * (col("x") * col("n") - col("sx")).cast("decimal(38,0)"))
+          .as("den"))
       num.crossJoin(broadcast(den))
-        .select(col("lag"), round(col("num").cast("double") / col("den"), 6)
-          .as("acf"))
+        .select(col("lag"),
+          round(col("num").cast("double") / col("den").cast("double"), 6)
+            .as("acf"))
         .orderBy("lag")
     },
 
@@ -5298,8 +5304,10 @@ object EventsOps {
         "forecasting pipeline checks before trusting q_holt_winters' " +
         "residuals or q_events_anomaly's trailing windows. The " +
         "series densifies onto the hour spine (the q_acf lesson); " +
-        "each lag's autocorrelation is the exact centered-BIGINT " +
-        "quotient on the 6dp grid; the r²/(n−k) terms quantize to " +
+        "each lag's autocorrelation is the exact centered " +
+        "DECIMAL(38,0)/HUGEINT quotient on the 6dp grid (cast " +
+        "before the first overflow-able product — the mannWhitney " +
+        "convention); the r²/(n−k) terms quantize to " +
         "the 1e-9 grid and sum exactly (the q_chisq_independence " +
         "convention); Q = n(n+2)·Σ and the Wilson-Hilferty cube-root " +
         "z finish as mirrored IEEE expressions. At 100 TB: one " +
@@ -5311,12 +5319,12 @@ object EventsOps {
           |  FROM series
           |), num AS (
           |  SELECT b.t - a.t AS lag,
-          |    CAST(sum((a.x * n - sx) * (b.x * n - sx)) AS BIGINT) AS num
+          |    sum(CAST(a.x * n - sx AS HUGEINT) * (b.x * n - sx)) AS num
           |  FROM series a JOIN series b
           |    ON b.t > a.t AND b.t <= a.t + $LjungBoxLags
           |  CROSS JOIN st GROUP BY b.t - a.t
           |), den AS (
-          |  SELECT CAST(sum((x * n - sx) * (x * n - sx)) AS BIGINT) AS den,
+          |  SELECT sum(CAST(x * n - sx AS HUGEINT) * (x * n - sx)) AS den,
           |    max(n) AS n
           |  FROM series CROSS JOIN st
           |), terms AS (
@@ -6132,8 +6140,11 @@ object EventsOps {
   /** The q_ljung_box computation over any (t, x) series — factored so
     * LjungBoxSpec can plant a strongly autocorrelated square wave
     * (fires) and a planted near-null series. ACF values land on the
-    * 6dp grid (the q_acf arithmetic: exact centered BIGINT products,
-    * one division per lag), each lag's r²/(n−k) term quantizes to the
+    * 6dp grid (the q_acf arithmetic: exact centered
+    * DECIMAL(38,0)/HUGEINT products — the factors scale as the total
+    * event count, so the cast sits BEFORE the first overflow-able
+    * product on both engines, the mannWhitney convention — one
+    * division per lag), each lag's r²/(n−k) term quantizes to the
     * 1e-9 grid and sums exactly, and the Box-Ljung Q plus its
     * Wilson-Hilferty z finish as mirrored IEEE expressions. */
   private[graft] def ljungBox(seriesRaw: DataFrame, maxLag: Int): DataFrame = {
@@ -6145,15 +6156,18 @@ object EventsOps {
         col("bt") > col("at") && col("bt") <= col("at") + maxLag)
       .crossJoin(broadcast(st))
       .groupBy((col("bt") - col("at")).as("lag"))
-      .agg(sum((col("ax") * col("n") - col("sx"))
-        * (col("bx") * col("n") - col("sx"))).as("num"))
+      .agg(sum((col("ax") * col("n") - col("sx")).cast("decimal(38,0)")
+        * (col("bx") * col("n") - col("sx")).cast("decimal(38,0)"))
+        .as("num"))
     val den = series.crossJoin(broadcast(st))
-      .agg(sum((col("x") * col("n") - col("sx"))
-        * (col("x") * col("n") - col("sx"))).as("den"),
+      .agg(sum((col("x") * col("n") - col("sx")).cast("decimal(38,0)")
+        * (col("x") * col("n") - col("sx")).cast("decimal(38,0)"))
+        .as("den"),
         max(col("n")).as("n"))
     num.crossJoin(broadcast(den))
       .select(col("n"), col("lag"),
-        round(col("num").cast("double") / col("den"), 6).as("r6"))
+        round(col("num").cast("double") / col("den").cast("double"), 6)
+          .as("r6"))
       .selectExpr("n", "lag",
         """CAST(round(r6 * r6 / (n - lag) * 1000000000.0)
           |  AS DECIMAL(38,0)) AS term9""".stripMargin)

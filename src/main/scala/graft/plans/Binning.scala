@@ -78,8 +78,10 @@ import scala.util.control.NonFatal
   * bound would omit the residual branch and mis-bin those rows. The
   * fingerprint covers exactly the leaf shapes whose data version is
   * knowable (LocalRelation — its rows live inside the canonicalized
-  * key itself — and file-source relations via root paths + size +
-  * file count + max mtime); anything else is never cached.
+  * key itself — and file-source relations via root paths + size + a
+  * per-file (name, length, mtime) digest, which an overwrite always
+  * perturbs because part-file names are randomized per write);
+  * anything else is never cached.
   */
 private[plans] object Binning {
 
@@ -154,10 +156,16 @@ private[plans] object Binning {
     * changed; `None` when a leaf's data version is unknowable (then
     * the caller must not cache). LocalRelation rows are part of the
     * canonicalized plan itself, so a constant suffices; file sources
-    * fingerprint as root paths + total size + file count + max
-    * mtime (the listing is already cached on the FileIndex — no
-    * extra I/O). */
-  private def dataFingerprint(plan: LogicalPlan): Option[String] = {
+    * fingerprint as root paths + total size + an order-insensitive
+    * digest of every file's (name, length, mtime) (the listing is
+    * already cached on the FileIndex — no extra I/O). Per-FILE names
+    * and sizes matter, not just count + max mtime: an overwrite that
+    * preserves total size and file count can land inside a coarse
+    * filesystem's mtime granularity window, but part-file names are
+    * freshly randomized per write, so the per-file digest still
+    * changes — and staleness here is correctness-bearing (a stale
+    * nonFiniteOrUnknown = 0 omits the residual branch). */
+  private[plans] def dataFingerprint(plan: LogicalPlan): Option[String] = {
     val parts = plan.collectLeaves().map {
       case _: LocalRelation => Some("local")
       case lr: LogicalRelation => lr.relation match {
@@ -166,10 +174,22 @@ private[plans] object Binning {
             val loc = fs.location
             val files = loc match {
               case p: PartitioningAwareFileIndex =>
-                val fl = p.allFiles()
-                s"${fl.length}:${if (fl.isEmpty) 0L
-                  else fl.map(_.getModificationTime).max}"
-              case _ => loc.inputFiles.length.toString
+                val md = java.security.MessageDigest.getInstance("MD5")
+                // XOR of per-file digests: order-insensitive without
+                // sorting the (possibly large) listing.
+                val acc = new Array[Byte](16)
+                var n = 0
+                p.allFiles().foreach { f =>
+                  val d = md.digest(
+                    s"${f.getPath}:${f.getLen}:${f.getModificationTime}"
+                      .getBytes("UTF-8"))
+                  var i = 0
+                  while (i < 16) { acc(i) = (acc(i) ^ d(i)).toByte; i += 1 }
+                  md.reset()
+                  n += 1
+                }
+                s"$n:${acc.map("%02x".format(_)).mkString}"
+              case _ => loc.inputFiles.sorted.mkString(";")
             }
             Some(s"fs:${loc.rootPaths.mkString(",")}:${loc.sizeInBytes}:$files")
           } catch { case NonFatal(_) => None }

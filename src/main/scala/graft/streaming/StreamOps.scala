@@ -137,6 +137,17 @@ object StreamOps {
       s: org.apache.spark.sql.SparkSession,
       out: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
+    // Every sentinel-driven replay here relies on the trailing
+    // NO-DATA micro-batch: the sentinel batch advances the watermark,
+    // but watermark-gated emission (outer-join nulls, window/session
+    // finalization, event-time timeouts draining buffered state —
+    // q_stream_transitions_exact in particular) fires on the batch
+    // AFTER the advance. With noDataMicroBatches disabled session-wide
+    // there is no such batch under Trigger.AvailableNow and every
+    // watermark-pending row would be silently dropped, diverging from
+    // the batch oracle with no error — so pin the flag here rather
+    // than inherit it.
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     val scratch = Scratch.dir()
     val q = out.writeStream
       .format("parquet")

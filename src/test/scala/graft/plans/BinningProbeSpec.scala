@@ -80,4 +80,36 @@ class BinningProbeSpec extends AnyFunSuite {
     assert(dirty.nonFiniteOrUnknown > 0L,
       s"overwritten file must re-derive the residual decision, got $dirty")
   }
+
+  test("fingerprint survives a same-size/count/mtime overwrite collision") {
+    // The adversarial overwrite: identical rows re-written produce
+    // byte-identical parquet (same total size, same file count), and
+    // a coarse-mtime filesystem is simulated by pinning every data
+    // file's mtime to one fixed instant. A count+size+max-mtime
+    // fingerprint collides here; the per-file (name, length, mtime)
+    // digest must not, because part-file names are freshly randomized
+    // per write — which is exactly what makes it safe on object
+    // stores with second-granularity timestamps.
+    import spark.implicits._
+    import java.nio.file.attribute.FileTime
+    val dir = java.nio.file.Files.createTempDirectory("graft-binfp").toString
+    val path = s"$dir/fp.parquet"
+    def writeAndPin(): Unit = {
+      Seq((1.0, 3.0), (2.0, 6.0)).toDF("lo", "hi")
+        .repartition(1).write.mode("overwrite").parquet(path)
+      val listing = java.nio.file.Files.list(java.nio.file.Paths.get(path))
+      try listing.forEach(f => java.nio.file.Files.setLastModifiedTime(
+        f, FileTime.fromMillis(1000000000000L)))
+      finally listing.close()
+    }
+    def fpOf(): Option[String] =
+      Binning.dataFingerprint(spark.read.parquet(path).queryExecution.analyzed)
+    writeAndPin()
+    val f1 = fpOf()
+    writeAndPin()
+    val f2 = fpOf()
+    assert(f1.isDefined && f2.isDefined, s"file source must fingerprint: $f1")
+    assert(f1 != f2,
+      s"same-size/count/mtime overwrite must change the fingerprint: $f1")
+  }
 }
