@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BloomMightContain, CentArgmin, HyperplaneSignature, MinHashSignature, RollingGramHashes, SimHashSignature, ThetaAnotBEstimate, ThetaEstimate, ThetaIntersectEstimate, ThetaSketchAgg, ThetaUnionAgg}
+import graft.functions.{BloomMightContain, CentArgmin, HyperplaneSignature, KllErrBound, KllIsExact, KllMergeAgg, KllN, KllQuantile, KllRank, KllSketchAgg, MinHashSignature, RollingGramHashes, SimHashSignature, ThetaAnotBEstimate, ThetaEstimate, ThetaIntersectEstimate, ThetaSketchAgg, ThetaUnionAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -83,6 +83,44 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "theta_anotb_estimate"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ThetaAnotBEstimate(exprs.head, exprs(1))))
+    // KLL-style rank/quantile sketch family: the mergeable
+    // quantile state the exact-percentile rows swap to at 100 TB —
+    // see graft.functions.Kll and q_kll_quantiles.
+    ext.injectFunction((
+      FunctionIdentifier("kll_sketch_agg"),
+      new ExpressionInfo(classOf[KllSketchAgg].getName, "kll_sketch_agg"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        KllSketchAgg.fromArgs(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("kll_merge_agg"),
+      new ExpressionInfo(classOf[KllMergeAgg].getName, "kll_merge_agg"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        KllMergeAgg.fromArgs(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("kll_quantile"),
+      new ExpressionInfo(classOf[KllQuantile].getName, "kll_quantile"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        KllQuantile(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("kll_rank"),
+      new ExpressionInfo(classOf[KllRank].getName, "kll_rank"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        KllRank(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("kll_n"),
+      new ExpressionInfo(classOf[KllN].getName, "kll_n"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        KllN(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("kll_is_exact"),
+      new ExpressionInfo(classOf[KllIsExact].getName, "kll_is_exact"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        KllIsExact(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("kll_err_bound"),
+      new ExpressionInfo(classOf[KllErrBound].getName, "kll_err_bound"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        KllErrBound(exprs.head)))
     ext.injectFunction((
       FunctionIdentifier("rollhash60"),
       new ExpressionInfo(classOf[RollingGramHashes].getName, "rollhash60"),

@@ -2049,9 +2049,10 @@ object EventsOps {
         "outliers that inflate q_events_zscore's σ. Two corpus passes " +
         "are inherent to nested exact medians (med, then MAD of " +
         "deviations); both medians are #types-bounded aggs broadcast " +
-        "back — at 100 TB swap exact percentile for a mergeable KLL/ " +
-        "t-digest sketch and it becomes one pass. 6dp rounding on " +
-        "med, MAD, and the score keeps the cut engine-identical",
+        "back — at 100 TB swap exact percentile for the mergeable " +
+        "rank sketch (q_mad_kll IS that swap, wired and oracle-" +
+        "gated). 6dp rounding on med, MAD, and the score keeps the " +
+        "cut engine-identical",
       Some(
         """WITH med AS (
           |  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
@@ -2084,6 +2085,102 @@ object EventsOps {
         .filter(col("mad") > 0 && abs(mz) > 3.5)
         .select(col("event_id"), col("event_type"), col("value"), mz.as("mz"))
         .orderBy("event_type", "event_id")
+    },
+
+    Q(
+      "q_mad_kll",
+      "q_mad_outliers' documented 100 TB path made real: both nested " +
+        "medians ride MERGEABLE RANK SKETCHES (kll_sketch_agg, " +
+        "k=512) instead of exact per-group percentile sorts — pass 1 " +
+        "sketches value per type (median estimate read off KB " +
+        "state), pass 2 sketches |value − med_est| per type (the " +
+        "sketch-path MAD, self-consistently centered on the SKETCH " +
+        "median). The q_approx_distinct oracle contract: exact " +
+        "med/MAD (the q_mad_outliers arithmetic) are the oracle-" +
+        "matched values; hard 0/1 flags assert exact n conservation " +
+        "and the CDF-bracket theorem at BOTH sketch medians " +
+        "(ε = kll_err_bound, duplicate-safe — events.value is 79% " +
+        "zeros, the adversarial tie case KllSpec pins). The bracket " +
+        "rescan is the gate's cost; at 100 TB you run the two " +
+        "sketch passes alone — same scan count as exact, but the " +
+        "aggs shuffle KB sketches, never sort value domains",
+      Some(
+        """WITH med AS (
+          |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+          |    round(quantile_cont(value, 0.5), 6) AS med
+          |  FROM events GROUP BY event_type
+          |), mad AS (
+          |  SELECT e.event_type,
+          |    round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+          |  FROM events e JOIN med m USING (event_type)
+          |  GROUP BY e.event_type
+          |)
+          |SELECT m.event_type, m.n_events, m.med, d.mad,
+          |  CAST(1 AS BIGINT) AS n_conserved,
+          |  CAST(1 AS BIGINT) AS med_bracket_ok,
+          |  CAST(1 AS BIGINT) AS mad_bracket_ok
+          |FROM med m JOIN mad d USING (event_type)
+          |ORDER BY m.event_type""".stripMargin),
+    ) { (s, dir) =>
+      graft.functions.Kll.register(s)
+      val ev = Tables.events(s, dir).select("event_type", "value")
+      // Pass 1 — value sketch per type (exact median rides along as
+      // the oracle-matched value).
+      val med = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          round(expr("percentile(value, 0.5)"), 6).as("med"),
+          expr("kll_sketch_agg(value, 512)").as("sk"))
+        .select(col("event_type"), col("n_events"), col("med"),
+          expr("kll_quantile(sk, 0.5D)").as("med_est"),
+          expr("kll_err_bound(sk)").as("eps1"),
+          expr("kll_n(sk)").as("kn"))
+      // Pass 2 — deviation sketch vs the SKETCH median (the scale
+      // path's own centering), plus exact MAD (vs the exact median,
+      // the oracle's arithmetic) and med-bracket counts.
+      val pass2 = ev.join(broadcast(med), Seq("event_type"))
+        .select(col("event_type"), col("value"), col("n_events"),
+          col("med"), col("med_est"), col("eps1"), col("kn"),
+          abs(col("value") - col("med_est")).as("adev"),
+          abs(col("value") - col("med")).as("adev_exact"))
+      val mad = pass2.groupBy("event_type")
+        .agg(max(col("n_events")).as("n_events"), max(col("med")).as("med"),
+          max(col("med_est")).as("med_est"), max(col("eps1")).as("eps1"),
+          max(col("kn")).as("kn"),
+          round(expr("percentile(adev_exact, 0.5)"), 6).as("mad"),
+          expr("kll_sketch_agg(adev, 512)").as("sk2"),
+          sum(when(col("value") < col("med_est"), 1L).otherwise(0L))
+            .as("lt_med"),
+          sum(when(col("value") <= col("med_est"), 1L).otherwise(0L))
+            .as("le_med"))
+        .select(col("event_type"), col("n_events"), col("med"),
+          col("med_est"), col("eps1"), col("kn"), col("mad"),
+          col("lt_med"), col("le_med"),
+          expr("kll_quantile(sk2, 0.5D)").as("mad_est"),
+          expr("kll_err_bound(sk2)").as("eps2"))
+      // Pass 3 — the gate's bracket verify for the deviation median.
+      pass2.select("event_type", "adev")
+        .join(broadcast(mad), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(max(col("n_events")).as("n_events"), max(col("med")).as("med"),
+          max(col("mad")).as("mad"), max(col("med_est")).as("med_est"),
+          max(col("mad_est")).as("mad_est"), max(col("eps1")).as("eps1"),
+          max(col("eps2")).as("eps2"), max(col("kn")).as("kn"),
+          max(col("lt_med")).as("lt_med"), max(col("le_med")).as("le_med"),
+          sum(when(col("adev") < col("mad_est"), 1L).otherwise(0L))
+            .as("lt_mad"),
+          sum(when(col("adev") <= col("mad_est"), 1L).otherwise(0L))
+            .as("le_mad"))
+        .select(col("event_type"), col("n_events"), col("med"), col("mad"),
+          (col("kn") === col("n_events")).cast("long").as("n_conserved"),
+          (col("lt_med").cast("double") / col("n_events")
+            <= lit(0.5) + col("eps1")
+            && col("le_med").cast("double") / col("n_events")
+              >= lit(0.5) - col("eps1")).cast("long").as("med_bracket_ok"),
+          (col("lt_mad").cast("double") / col("n_events")
+            <= lit(0.5) + col("eps2")
+            && col("le_mad").cast("double") / col("n_events")
+              >= lit(0.5) - col("eps2")).cast("long").as("mad_bracket_ok"))
+        .orderBy("event_type")
     },
 
     Q(

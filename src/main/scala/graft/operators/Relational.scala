@@ -619,9 +619,8 @@ object Relational {
       "q_quantiles",
       "exact quantiles per group (linear interpolation — identical " +
         "definition in both engines): per-group sort of values; at " +
-        "100 TB use approx_percentile (t-digest/KLL-style sketch, " +
-        "mergeable map-side) — see q_approx_distinct for the " +
-        "sketch-path precedent",
+        "100 TB swap for the mergeable rank sketch — q_kll_quantiles " +
+        "is that swap, wired and oracle-gated",
       Some(
         """SELECT l_returnflag,
           |  round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
@@ -636,6 +635,77 @@ object Relational {
           round(expr("percentile(l_quantity, 0.95)"), 6).as("p95_qty"),
           round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50_price"),
         )
+        .orderBy("l_returnflag")
+    },
+
+    Q(
+      "q_kll_quantiles",
+      "q_quantiles' documented 100 TB path made real: per-group " +
+        "MERGEABLE RANK SKETCHES (kll_sketch_agg, k=256 — the " +
+        "engine-native KLL/MRL compactor in functions/Kll.scala: " +
+        "hash-seeded deterministic compaction, no RNG, exact weight " +
+        "conservation, a DETERMINISTIC worst-case rank bound " +
+        "numLevels/(k−1)) so the shuffle carries KB sketch state " +
+        "instead of per-group value sorts. The q_approx_distinct " +
+        "oracle contract: both engines emit the exact quantiles, " +
+        "plus hard 0/1 flags Spark computes against its own sketch — " +
+        "exact n conservation, and the CDF-BRACKET theorem at each " +
+        "estimate (strict rank ≤ q+ε AND inclusive rank ≥ q−ε with " +
+        "ε = kll_err_bound — duplicate-safe by construction, " +
+        "KllSpec-pinned); the oracle asserts the theorems held. The " +
+        "bracket-verify rescan is the GATE's cost only — at 100 TB " +
+        "you run pass 1 alone: one scan, one #groups-bounded agg",
+      Some(
+        """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+          |  round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+          |  round(quantile_cont(l_quantity, 0.95), 6) AS p95_qty,
+          |  CAST(1 AS BIGINT) AS n_conserved,
+          |  CAST(1 AS BIGINT) AS p50_bracket_ok,
+          |  CAST(1 AS BIGINT) AS p95_bracket_ok
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+          .stripMargin),
+    ) { (s, dir) =>
+      graft.functions.Kll.register(s)
+      val li = Tables.lineitem(s, dir).select("l_returnflag", "l_quantity")
+      // Pass 1 — the production pass: sketch per group (the exact
+      // percentiles ride along only as the oracle-matched values).
+      val sk = li.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+          round(expr("percentile(l_quantity, 0.95)"), 6).as("p95_qty"),
+          expr("kll_sketch_agg(l_quantity, 256)").as("sk"))
+        .select(col("l_returnflag"), col("n_rows"), col("p50_qty"),
+          col("p95_qty"),
+          expr("kll_quantile(sk, 0.5D)").as("e50"),
+          expr("kll_quantile(sk, 0.95D)").as("e95"),
+          expr("kll_err_bound(sk)").as("eps"),
+          expr("kll_n(sk)").as("kn"))
+      // Pass 2 — the gate's bracket verify: true strict/inclusive
+      // ranks of each sketch estimate against the raw data.
+      li.join(broadcast(sk), Seq("l_returnflag"))
+        .groupBy("l_returnflag")
+        .agg(max(col("n_rows")).as("n_rows"),
+          max(col("p50_qty")).as("p50_qty"),
+          max(col("p95_qty")).as("p95_qty"),
+          max(col("eps")).as("eps"),
+          max(col("kn")).as("kn"),
+          sum(when(col("l_quantity") < col("e50"), 1L).otherwise(0L))
+            .as("lt50"),
+          sum(when(col("l_quantity") <= col("e50"), 1L).otherwise(0L))
+            .as("le50"),
+          sum(when(col("l_quantity") < col("e95"), 1L).otherwise(0L))
+            .as("lt95"),
+          sum(when(col("l_quantity") <= col("e95"), 1L).otherwise(0L))
+            .as("le95"))
+        .select(col("l_returnflag"), col("n_rows"), col("p50_qty"),
+          col("p95_qty"),
+          (col("kn") === col("n_rows")).cast("long").as("n_conserved"),
+          (col("lt50").cast("double") / col("n_rows") <= lit(0.5) + col("eps")
+            && col("le50").cast("double") / col("n_rows")
+              >= lit(0.5) - col("eps")).cast("long").as("p50_bracket_ok"),
+          (col("lt95").cast("double") / col("n_rows") <= lit(0.95) + col("eps")
+            && col("le95").cast("double") / col("n_rows")
+              >= lit(0.95) - col("eps")).cast("long").as("p95_bracket_ok"))
         .orderBy("l_returnflag")
     },
 
@@ -1471,10 +1541,10 @@ object Relational {
         "per-bucket count/min/max. The optimizer-statistics histogram " +
         "q_table_stats doesn't carry (equi-depth bounds selectivity " +
         "error by 1/B where equi-width can be arbitrarily wrong under " +
-        "skew). At 100 TB swap the exact percentile for a mergeable " +
-        "KLL/t-digest sketch (the q_quantiles note) and the plan is " +
-        "one scan + one bounded agg; boundary comparisons are exact " +
-        "doubles from identical interpolation in both engines",
+        "skew). At 100 TB swap the exact percentile for the mergeable " +
+        "rank sketch — q_equidepth_kll IS that swap, wired and " +
+        "oracle-gated; boundary comparisons are exact doubles from " +
+        "identical interpolation in both engines",
       Some {
         val qs = (1 to 7).map(i =>
           s"quantile_cont(l_extendedprice, ${i / 8.0}) AS q$i").mkString(", ")
@@ -1505,6 +1575,59 @@ object Relational {
           round(min(col("l_extendedprice")), 6).as("lo"),
           round(max(col("l_extendedprice")), 6).as("hi"))
         .orderBy("bucket")
+    },
+
+    Q(
+      "q_equidepth_kll",
+      "q_equidepth_hist's documented 100 TB path made real: the 7 " +
+        "octile BOUNDARIES come from ONE mergeable rank sketch " +
+        "(kll_sketch_agg, k=1024) instead of an exact interpolated " +
+        "percentile over a per-group sort — one corpus scan into KB " +
+        "state, boundaries read off the 1-row sketch. Boundary " +
+        "VALUES aren't oracle-expressible (they depend on sketch " +
+        "content), so the gate contract is the theorem itself: for " +
+        "each boundary index i, the true CDF brackets i/8 within " +
+        "ε = kll_err_bound (strict rank ≤ i/8+ε, inclusive rank " +
+        "≥ i/8−ε) — hard 0/1 flags from a verify rescan (gate cost " +
+        "only), the oracle asserts all 7 hold. Equi-depth from a " +
+        "rank sketch is exactly how engine optimizers build " +
+        "histogram statistics at scale",
+      Some(
+        """SELECT CAST(i AS BIGINT) AS i,
+          |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_rows,
+          |  CAST(1 AS BIGINT) AS bracket_ok
+          |FROM (VALUES (1),(2),(3),(4),(5),(6),(7)) t(i) ORDER BY i"""
+          .stripMargin),
+    ) { (s, dir) =>
+      graft.functions.Kll.register(s)
+      val li = Tables.lineitem(s, dir).select("l_extendedprice")
+      // Pass 1 — the production pass: one scan, one 1-row sketch agg;
+      // all 7 boundaries read off the same sketch.
+      val bounds = li
+        .agg(expr("kll_sketch_agg(l_extendedprice, 1024)").as("sk"),
+          count(lit(1)).as("n_rows"))
+        .select(col("n_rows"), expr("kll_err_bound(sk)").as("eps"),
+          explode(expr(
+            """transform(sequence(1, 7),
+              |  i -> struct(i, kll_quantile(sk, CAST(i AS DOUBLE) / 8)
+              |    AS b))""".stripMargin)).as("x"))
+        .select(col("x.i").cast("long").as("i"), col("x.b").as("b"),
+          col("n_rows"), col("eps"))
+      // Pass 2 — the gate's bracket verify (7× fan-out of the scan).
+      li.crossJoin(broadcast(bounds))
+        .groupBy("i")
+        .agg(max(col("n_rows")).as("n_rows"), max(col("eps")).as("eps"),
+          sum(when(col("l_extendedprice") < col("b"), 1L).otherwise(0L))
+            .as("lt"),
+          sum(when(col("l_extendedprice") <= col("b"), 1L).otherwise(0L))
+            .as("le"))
+        .select(col("i"), col("n_rows"),
+          (col("lt").cast("double") / col("n_rows")
+            <= col("i").cast("double") / 8 + col("eps")
+            && col("le").cast("double") / col("n_rows")
+              >= col("i").cast("double") / 8 - col("eps"))
+            .cast("long").as("bracket_ok"))
+        .orderBy("i")
     },
 
     Q(

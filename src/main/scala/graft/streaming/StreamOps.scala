@@ -1293,6 +1293,102 @@ object StreamOps {
     },
 
     Q(
+      "q_stream_kll",
+      "streaming RANK-SKETCH STATE TABLE run end-to-end — the " +
+        "streaming face of q_kll_quantiles and the q_stream_cms " +
+        "shape applied to quantiles: the events changelog arrives in " +
+        "THREE deterministic micro-batches (event_id mod 3 slices, " +
+        "mtime-pinned, maxFilesPerTrigger=1), each batch folds to " +
+        "per-type kll_sketch_agg rows appended to a parquet state " +
+        "table (foreachBatch, append-only), and the readout is " +
+        "kll_merge_agg over STATE — quantiles answered without ever " +
+        "rescanning raw history. KLL is NOT linear like CMS, so the " +
+        "merged state isn't byte-equal to the one-shot sketch; what " +
+        "survives any slicing — and what the gate pins as hard " +
+        "flags — is exact weight conservation (kll_n of the merged " +
+        "state = true count) and the CDF-bracket theorem at the " +
+        "merged sketch's p50/p90 (ε = kll_err_bound, sound under " +
+        "any merge history). Exact quantiles ride along as the " +
+        "oracle-matched values. At 100 TB/day: per-batch KB appends, " +
+        "percentile dashboards re-read state, never the corpus",
+      Some(
+        """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+          |  round(quantile_cont(value, 0.5), 6) AS p50,
+          |  round(quantile_cont(value, 0.9), 6) AS p90,
+          |  CAST(1 AS BIGINT) AS n_conserved,
+          |  CAST(1 AS BIGINT) AS p50_bracket_ok,
+          |  CAST(1 AS BIGINT) AS p90_bracket_ok
+          |FROM events GROUP BY event_type ORDER BY event_type"""
+          .stripMargin),
+    ) { (s, dir) =>
+      import java.nio.file.{Files, Paths}
+      graft.functions.Kll.register(s)
+      val ev = Tables.events(s, dir)
+      val scratch = Scratch.dir()
+      val srcDir = Paths.get(scratch, "src")
+      Files.createDirectories(srcDir)
+      // Hash-sliced staging (the q_stream_upsert shape): a type's
+      // values land in every batch, so the rollup genuinely MERGES
+      // compacted partials instead of passing one sketch through.
+      for (i <- 0 to 2)
+        stageSlice(ev.filter(pmod(col("event_id"), lit(3)) === i),
+          scratch, srcDir, s"part0$i.parquet", 1000000000000L + i * 60000L)
+      val q = s.readStream
+        .schema(s.read.parquet(srcDir.toString).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir.toString)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          graft.functions.Kll.register(batch.sparkSession)
+          batch.select(col("event_type"), col("value"))
+            .groupBy("event_type")
+            .agg(expr("kll_sketch_agg(value, 256)").as("sk"))
+            .withColumn("batch_id", lit(bid))
+            .write.mode("append").parquet(s"$scratch/state")
+          ()
+        }
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // Readout: rollup on STATE alone; exact twin + bracket verify
+      // are the gate's cost (the q_kll_quantiles contract).
+      val merged = s.read.parquet(s"$scratch/state")
+        .groupBy("event_type")
+        .agg(expr("kll_merge_agg(sk, 256)").as("sk"))
+        .select(col("event_type"),
+          expr("kll_quantile(sk, 0.5D)").as("e50"),
+          expr("kll_quantile(sk, 0.9D)").as("e90"),
+          expr("kll_err_bound(sk)").as("eps"),
+          expr("kll_n(sk)").as("kn"))
+      val evv = ev.select("event_type", "value")
+      evv.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90"))
+        .join(broadcast(merged), Seq("event_type"))
+        .join(evv.join(broadcast(merged), Seq("event_type"))
+          .groupBy("event_type")
+          .agg(
+            sum(when(col("value") < col("e50"), 1L).otherwise(0L)).as("lt50"),
+            sum(when(col("value") <= col("e50"), 1L).otherwise(0L)).as("le50"),
+            sum(when(col("value") < col("e90"), 1L).otherwise(0L)).as("lt90"),
+            sum(when(col("value") <= col("e90"), 1L).otherwise(0L)).as("le90")),
+          Seq("event_type"))
+        .select(col("event_type"), col("n_events"), col("p50"), col("p90"),
+          (col("kn") === col("n_events")).cast("long").as("n_conserved"),
+          (col("lt50").cast("double") / col("n_events")
+            <= lit(0.5) + col("eps")
+            && col("le50").cast("double") / col("n_events")
+              >= lit(0.5) - col("eps")).cast("long").as("p50_bracket_ok"),
+          (col("lt90").cast("double") / col("n_events")
+            <= lit(0.9) + col("eps")
+            && col("le90").cast("double") / col("n_events")
+              >= lit(0.9) - col("eps")).cast("long").as("p90_bracket_ok"))
+        .orderBy("event_type")
+    },
+
+    Q(
       "q_stream_anomaly",
       "the hourly BURST PAGER run LIVE — the streaming face of " +
         "q_events_anomaly, sharing its oracle VERBATIM: the stream " +
