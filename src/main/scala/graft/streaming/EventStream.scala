@@ -175,6 +175,56 @@ object EventStream {
         col("click_id"), col("purchase_ts"), col("click_ts"), col("value"))
   }
 
+  /** FULL-OUTER stream-stream attribution — [[attributedOuter]] plus
+    * the other side's orphans: clicks that led to NO purchase within
+    * the following hour emit with null purchase columns (the
+    * funnel-leak face — unconverted clicks are the rows a marketing
+    * attribution pipeline bills against), alongside unmatched
+    * purchases and matched pairs. The watermark discipline is
+    * symmetric and per-side:
+    *
+    *  - an unmatched PURCHASE finalizes once the watermark passes
+    *    purchase_ts (no qualifying click at-or-before it can still
+    *    arrive — the [[attributedOuter]] rule);
+    *  - an unmatched CLICK finalizes once the watermark passes
+    *    click_ts + 1h (the last purchase that could still claim it
+    *    sits at the top of the click's forward window).
+    *
+    * Neither side's null row may emit before ITS proof — the
+    * EventStreamSpec full-outer test pins both holds and both
+    * releases. The same pass-both-filters sentinel drives the bounded
+    * replay (it can only self-match; the caller drops it by user id);
+    * a live deployment passes None. State: click side expired past
+    * (watermark − 1h), purchase side holds watermark-pending
+    * purchases — both follow the join window at 100 TB, never
+    * history. user_id coalesces across sides (exactly one is non-null
+    * on an orphan row).
+    */
+  def attributedFull(events: DataFrame,
+      sentinelType: Option[String] = None): DataFrame = {
+    val wm = events.withWatermark("ts", "2 hours")
+    def keep(t: String) = sentinelType match {
+      case Some(st) => col("event_type").isin(t, st)
+      case None => col("event_type") === t
+    }
+    val clicks = wm
+      .filter(keep("click"))
+      .select(col("ts").as("click_ts"), col("user_id").as("click_user"),
+        col("event_id").as("click_id"))
+    val purchases = wm
+      .filter(keep("purchase"))
+      .select(col("ts").as("purchase_ts"), col("user_id").as("purchase_user"),
+        col("event_id").as("purchase_id"), col("value"))
+    purchases.join(clicks,
+      col("purchase_user") === col("click_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"),
+      "full_outer")
+      .select(coalesce(col("purchase_user"), col("click_user")).as("user_id"),
+        col("purchase_id"), col("click_id"), col("purchase_ts"),
+        col("click_ts"), col("value"))
+  }
+
   /** LAST-click attribution — the production attribution MODEL on top
     * of the interval join: each purchase is credited to the single
     * latest click in its preceding hour (ties by highest click id).

@@ -455,6 +455,46 @@ object StreamOps {
     },
 
     Q(
+      "q_stream_attrib_full",
+      "FULL-OUTER stream-stream attribution run END-TO-END as a real " +
+        "streaming job — the one watermark-finalized join shape the " +
+        "family didn't exercise: unmatched purchases AND unmatched " +
+        "clicks both surface with the other side null (funnel leaks " +
+        "billed beside conversions). The watermark proof is SYMMETRIC " +
+        "and per-side — a purchase is provably unmatched once the " +
+        "watermark passes purchase_ts, a click once it passes " +
+        "click_ts + 1h (the top of its forward purchase window) — " +
+        "and EventStreamSpec pins that NEITHER side's null row emits " +
+        "before its proof. Matched pairs still emit on arrival. The " +
+        "staged sentinel passes both side filters (the " +
+        "q_stream_attrib_outer pushdown lesson), drives both " +
+        "watermark feeds, self-matches only, and is dropped by user " +
+        "id. Oracle = the batch FULL interval join verbatim; user_id " +
+        "coalesces across sides. At 100 TB both state stores follow " +
+        "the 1h join window past the watermark, never history",
+      Some(
+        """SELECT coalesce(p.user_id, c.user_id) AS user_id,
+          |  p.event_id AS purchase_id, c.event_id AS click_id,
+          |  CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+          |  CAST(c.ts AS TIMESTAMP) AS click_ts, p.value
+          |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+          |FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          |  ON c.user_id = p.user_id
+          | AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+          | AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP)
+          |   - INTERVAL 1 HOUR
+          |ORDER BY user_id, purchase_id, click_id""".stripMargin),
+    ) { (s, dir) =>
+      runToParquet(s,
+        EventStream.attributedFull(stagedEventsSource(s, dir),
+          sentinelType = Some("sentinel")))
+        .filter(col("user_id") >= 0) // drop the sentinel's self-match
+        .select("user_id", "purchase_id", "click_id",
+          "purchase_ts", "click_ts", "value")
+        .orderBy("user_id", "purchase_id", "click_id")
+    },
+
+    Q(
       "q_stream_attrib_last",
       "LAST-click attribution run END-TO-END as a real streaming job — " +
         "TWO CHAINED STATEFUL OPERATORS: the stream-stream interval " +

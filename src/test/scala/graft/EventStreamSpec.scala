@@ -189,6 +189,53 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("attributedFull: each side's orphans emit only after ITS watermark proof") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = EventStream.attributedFull(src.toDF(), sentinelType = Some("sentinel"))
+      .writeStream.format("memory").queryName("attr_full_out")
+      .outputMode("append").start()
+    try {
+      src.addData(
+        Ev(ts(0), 1, "click", 0.0, 100),
+        Ev(ts(30), 1, "purchase", 9.0, 101),  // matched pair
+        Ev(ts(200), 2, "click", 0.0, 200),    // orphan click (next purchase 90' later)
+        Ev(ts(290), 2, "purchase", 5.0, 201)) // orphan purchase
+      q.processAllAvailable()
+      // Matched pairs emit on arrival; NEITHER orphan may have
+      // emitted: the batch-1 watermark is 290' − 120' delay = 170',
+      // short of click 200's forward window end (200+60' = 260') and
+      // of purchase 201 (290').
+      val early = spark.table("attr_full_out")
+        .select("purchase_id", "click_id").collect()
+        .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(early == Set((101L, 100L)),
+        s"orphans must wait for their proofs, saw $early")
+      // Watermark to 390' − 120' = 270': past click 200's forward
+      // window (260') — the click orphan releases; purchase 201 (290')
+      // is still unproven and must keep waiting.
+      src.addData(Ev(ts(390), -1, "sentinel", 0.0, -3))
+      q.processAllAvailable()
+      val mid = spark.table("attr_full_out").filter(col("user_id") >= 0)
+        .select("purchase_id", "click_id").collect()
+        .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(mid == Set((101L, 100L), (-1L, 200L)),
+        s"click orphan releases first, purchase must still wait: $mid")
+      // Far-future sentinel: purchase 201's proof arrives too.
+      src.addData(Ev(ts(100000), -1, "sentinel", 0.0, -4))
+      q.processAllAvailable()
+      val rows = spark.table("attr_full_out").filter(col("user_id") >= 0)
+        .select("user_id", "purchase_id", "click_id").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      assert(rows == Set((1L, 101L, 100L), (2L, -1L, 200L), (2L, 201L, -1L)))
+    } finally q.stop()
+  }
+
   test("attributedLast: multi-click purchase credits the latest click; ties break by id") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
