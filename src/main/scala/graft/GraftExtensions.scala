@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BloomMightContain, CentArgmin, HyperplaneSignature, KllErrBound, KllIsExact, KllMergeAgg, KllN, KllQuantile, KllRank, KllSketchAgg, MinHashSignature, RollingGramHashes, SimHashSignature, ThetaAnotBEstimate, ThetaEstimate, ThetaIntersectEstimate, ThetaSketchAgg, ThetaUnionAgg}
+import graft.functions.{BloomMightContain, CentArgmin, FdSketchAgg, HyperplaneSignature, KllErrBound, KllIsExact, KllMergeAgg, KllN, KllQuantile, KllRank, KllSketchAgg, MinHashSignature, RollingGramHashes, SimHashSignature, ThetaAnotBEstimate, ThetaEstimate, ThetaIntersectEstimate, ThetaSketchAgg, ThetaUnionAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -121,6 +121,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[KllErrBound].getName, "kll_err_bound"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         KllErrBound(exprs.head)))
+    // Frequent Directions spectral sketch: mergeable l×d PCA state
+    // with a carried shrinkage certificate — see graft.functions
+    // .FreqDir and q_embed_pca_fd.
+    ext.injectFunction((
+      FunctionIdentifier("fd_sketch_agg"),
+      new ExpressionInfo(classOf[FdSketchAgg].getName, "fd_sketch_agg"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        FdSketchAgg.fromArgs(exprs)))
     ext.injectFunction((
       FunctionIdentifier("rollhash60"),
       new ExpressionInfo(classOf[RollingGramHashes].getName, "rollhash60"),

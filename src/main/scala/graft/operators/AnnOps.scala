@@ -2281,7 +2281,9 @@ object AnnOps {
         "integer work on a d²-bounded matrix, data-free). The Gram " +
         "collect is 4096 longs — the BPE-argmax class of bounded, " +
         "documented collects; at 100 TB the Gram pass is the only " +
-        "data-sized cost and is embarrassingly partial-agg. Every " +
+        "data-sized cost and is embarrassingly partial-agg (and for " +
+        "the d where d² itself stops fitting, q_embed_pca_fd is the " +
+        "mergeable Frequent-Directions face). Every " +
         "cross-engine sum is exact BIGINT fixed point (terms rounded " +
         "BEFORE summing), so accumulation order can never flip a " +
         "bit; the eigenvector re-enters the plan as a " +
@@ -2353,6 +2355,96 @@ object AnnOps {
           round(col("p").cast("double") / 1e12, 6).as("proj"))
         .orderBy(col("proj").desc, col("vec_id")).limit(20)
         .orderBy(col("proj").desc, col("vec_id"))
+    },
+
+    Q(
+      "q_embed_pca_fd",
+      "q_embed_pca's SKETCH face: FREQUENT DIRECTIONS (functions/" +
+        "FreqDir.scala) — a mergeable l×d row sketch (l=16 ≪ d=64) " +
+        "whose Gram provably sandwiches the true one, AᵀA − Δ·I ⪯ " +
+        "BᵀB ⪯ AᵀA with Δ the exact shrinkage total the sketch " +
+        "CARRIES. This is the PCA path for the d where q_embed_pca's " +
+        "d² Gram collect stops being a bounded driver read: one " +
+        "corpus pass into l×d mergeable state, finishing is " +
+        "d-bounded Jacobi on the driver. The gate contract is the " +
+        "CERTIFICATE, not an asymptotic promise — hard flags Spark " +
+        "checks against its own exact double Gram (the gate-cost " +
+        "twin): λ₁(BᵀB) never exceeds the sketch eigenvector's true " +
+        "Rayleigh quotient (B under-estimates), that Rayleigh " +
+        "quotient is ≥ λ₁(AᵀA) − Δ (the sandwich), and the trace " +
+        "accounting (l+1)·Δ ≤ tr(AᵀA) − tr(BᵀB); plus exact n " +
+        "conservation and the exact fixed-point ‖A‖²F both engines " +
+        "compute (the one oracle-matched data value). FreqDirSpec " +
+        "pins exact mode at any split, planted-spike recovery under " +
+        "real shrinkage, and merge soundness",
+      Some(
+        s"""SELECT
+           |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_vecs,
+           |  (SELECT CAST(sum(CAST(round(CAST(embedding[i+1] AS DOUBLE)
+           |       * CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT))
+           |     AS BIGINT)
+           |   FROM embeddings, range($Dim) AS u(i)) AS fro_fp,
+           |  CAST(16 AS BIGINT) AS sketch_rows,
+           |  CAST(1 AS BIGINT) AS n_conserved,
+           |  CAST(1 AS BIGINT) AS no_overestimate,
+           |  CAST(1 AS BIGINT) AS rayleigh_ok,
+           |  CAST(1 AS BIGINT) AS trace_ok""".stripMargin),
+    ) { (s, dir) =>
+      graft.functions.FreqDir.register(s)
+      val fdL = 16
+      val emb = Tables.embeddings(s, dir)
+      // The production pass: ONE scan → l×d sketch (+ the exact
+      // fixed-point ‖A‖²F the oracle matches, same scan).
+      val row = emb.agg(
+        expr(s"fd_sketch_agg(embedding, $fdL)").as("sk"),
+        count(lit(1)).as("n_vecs"),
+        sum(expr(
+          """aggregate(embedding, 0L, (acc, x) -> acc
+            |  + CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+            |      * 1000000) AS BIGINT))""".stripMargin)).as("fro_fp"))
+        .collect()(0)
+      val sk = row.getAs[Array[Byte]](0)
+      val nVecs = row.getLong(1)
+      val froFp = row.getLong(2)
+      // Gate-cost twin: the exact DOUBLE Gram (flags never cross the
+      // engine boundary, so no fixed point needed) — the same
+      // d²-bounded collect class as q_embed_pca.
+      val gd = Array.ofDim[Double](Dim, Dim)
+      emb.select(col("embedding"),
+          posexplode(col("embedding")).as(Seq("i", "xi")))
+        .select(col("i"), col("xi"),
+          posexplode(col("embedding")).as(Seq("j", "xj")))
+        .groupBy("i", "j")
+        .agg(sum(col("xi").cast("double") * col("xj").cast("double"))
+          .as("gv"))
+        .collect()
+        .foreach(r => gd(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      val (lamB, vfd) = graft.functions.FreqDir.topEigen(sk)
+      val delta = graft.functions.FreqDir.shrinkTotal(sk)
+      val covB = graft.functions.FreqDir.cov(sk)
+      def rayleigh(g: Array[Array[Double]], v: Array[Double]): Double = {
+        var acc = 0.0
+        var i = 0
+        while (i < Dim) {
+          var j = 0
+          while (j < Dim) { acc += v(i) * g(i)(j) * v(j); j += 1 }
+          i += 1
+        }
+        acc
+      }
+      val lam1G = graft.functions.FreqDir.jacobiEigen(gd)._1(0)
+      val rayG = rayleigh(gd, vfd)
+      val trG = (0 until Dim).map(i => gd(i)(i)).sum
+      val trB = (0 until Dim).map(i => covB(i)(i)).sum
+      val slack = 1e-9 * math.max(lam1G, 1.0)
+      import s.implicits._
+      Seq((nVecs, froFp, fdL.toLong,
+        if (graft.functions.FreqDir.count(sk) == nVecs) 1L else 0L,
+        if (lamB <= rayG + slack) 1L else 0L,
+        if (rayG >= lam1G - delta - slack) 1L else 0L,
+        if ((fdL + 1) * delta <= trG - trB + slack * Dim) 1L else 0L))
+        .toDF("n_vecs", "fro_fp", "sketch_rows", "n_conserved",
+          "no_overestimate", "rayleigh_ok", "trace_ok")
     },
 
     Q(
