@@ -1115,12 +1115,14 @@ object EventsOps {
         "so noise ~ Laplace(1/ε) via inverse-CDF −sign(u)·ln(1−2|u|) " +
         "— the third privacy operator beside q_kanon_audit's " +
         "re-identification gate and q_pii_scrub's redaction. The " +
-        "uniform draw is a DETERMINISTIC md5-seeded hash of the " +
-        "released key — the q_span_mask positional-rule precedent: a " +
-        "real release swaps in a cryptographic RNG (hash-seeded noise " +
-        "is NOT private — it's the testable stand-in; mechanism, " +
-        "sensitivity scaling and inverse-CDF are the real content). " +
-        "One #types-bounded agg + per-row noise arithmetic; the one " +
+        "uniform source is INJECTED behind the functions/DpNoise " +
+        "seam: this gate-run row passes DpNoise.HashStandIn (md5 of " +
+        "the released key — deterministic, oracle-matchable, " +
+        "explicitly NOT private), a real release passes " +
+        "DpNoise.Crypto (SecureRandom) and changes NOTHING else — " +
+        "mechanism, sensitivity scaling, and the inverse CDF are " +
+        "shared code, source-independence DpSeamSpec-pinned. One " +
+        "#types-bounded agg + per-row noise arithmetic; the one " +
         "libm ln is 6dp-rounded. At 100 TB the agg is the only scan",
       Some {
         val h = graft.functions.Portable.md5Hash60Sql("event_type || '|dp1'")
@@ -1138,18 +1140,7 @@ object EventsOps {
            |FROM u ORDER BY event_type""".stripMargin
       },
     ) { (s, dir) =>
-      val c = Tables.events(s, dir)
-        .groupBy("event_type").agg(count(lit(1)).as("n_true"))
-      val uu = ((graft.functions.Portable.md5Hash60(
-        concat(col("event_type"), lit("|dp1"))) % 999999
-        + lit(0.5)) / lit(1000000.0)) - lit(0.5)
-      c.withColumn("uu", uu)
-        .select(col("event_type"), col("n_true"),
-          round(col("n_true")
-            + round(lit(-1.0) * signum(col("uu"))
-              * log(lit(1) - lit(2) * abs(col("uu"))), 6), 6).as("n_dp"),
-          lit(1.0).as("epsilon"))
-        .orderBy("event_type")
+      dpCounts(Tables.events(s, dir))
     },
 
     Q(
@@ -4902,10 +4893,14 @@ object EventsOps {
         "GUMBEL-MAX trick — argmax of u·ε/2 + Gumbel(0,1), ε=1 — so " +
         "selection is one deterministic window argmax, no " +
         "normalization constant ever materializes. The Gumbel draw " +
-        "-ln(-ln(U)) seeds U from md5(type|value) — the q_dp_counts " +
-        "stand-in convention, explicitly NOT private (a real release " +
-        "swaps in a crypto RNG; mechanism, utility sensitivity, and " +
-        "the Gumbel-max equivalence are the tested content). Ships " +
+        "-ln(-ln(U)) takes U from the functions/DpNoise source seam — " +
+        "this gate-run row passes the md5(type|value) HashStandIn " +
+        "(deterministic, explicitly NOT private), a real release " +
+        "passes DpNoise.Crypto (SecureRandom) and changes nothing " +
+        "else; mechanism, utility sensitivity, and the Gumbel-max " +
+        "equivalence are shared code (DpSeamSpec pins that a peaked " +
+        "landscape releases the exact median under EITHER source). " +
+        "Ships " +
         "the true median (upper-median convention at even n: rank " +
         "floor(n/2)+1, the min v with 2*cum >= n+1 — no " +
         "interpolation, the released value is always a REAL domain " +
@@ -6419,10 +6414,32 @@ object EventsOps {
           |  AS BIGINT) AS n_per_arm_1pct""".stripMargin)
       .orderBy("event_type")
 
+  /** The q_dp_counts computation over any (event_type) frame —
+    * factored behind the [[graft.functions.DpNoise]] source seam:
+    * the registry row passes the default hash stand-in (the gate
+    * needs bit-stable releases), a real release passes
+    * [[graft.functions.DpNoise.Crypto]] and nothing else changes
+    * (DpSeamSpec pins both paths). */
+  private[graft] def dpCounts(events: DataFrame,
+      source: graft.functions.DpNoise.Source =
+        graft.functions.DpNoise.HashStandIn): DataFrame =
+    events.groupBy("event_type").agg(count(lit(1)).as("n_true"))
+      .select(col("event_type"), col("n_true"),
+        round(col("n_true") + graft.functions.DpNoise.laplace(source,
+          concat(col("event_type"), lit("|dp1")), 1.0), 6).as("n_dp"),
+        lit(1.0).as("epsilon"))
+      .orderBy("event_type")
+
   /** The q_dp_quantile computation over any (event_type, value)
     * frame — factored so DpQuantileSpec can plant peaked and tied
-    * utility landscapes. See the registry entry for the mechanism. */
-  private[graft] def dpQuantile(events: DataFrame): DataFrame = {
+    * utility landscapes, with the uniform source injected behind the
+    * [[graft.functions.DpNoise]] seam (hash stand-in for the gate,
+    * SecureRandom for a real release — DpSeamSpec pins that a peaked
+    * landscape releases the exact median under EITHER source). See
+    * the registry entry for the mechanism. */
+  private[graft] def dpQuantile(events: DataFrame,
+      source: graft.functions.DpNoise.Source =
+        graft.functions.DpNoise.HashStandIn): DataFrame = {
     val vc = events.select(col("event_type"),
         round(col("value") * 100, 0).cast("long").as("v"))
       .groupBy("event_type", "v").agg(count(lit(1)).as("cnt"))
@@ -6433,9 +6450,9 @@ object EventsOps {
         .over(Window.partitionBy("event_type")))
       .withColumn("score",
         round(-abs(col("n") - lit(2) * col("cum") + col("cnt")) * lit(0.5)
-          + round(-log(-log((graft.functions.Portable.md5Hash60(
-              concat(col("event_type"), lit("|"), col("v").cast("string"),
-                lit("|dpq"))) % 999999 + lit(0.5)) / lit(1000000.0))), 6), 6))
+          + graft.functions.DpNoise.gumbel(source,
+            concat(col("event_type"), lit("|"), col("v").cast("string"),
+              lit("|dpq"))), 6))
     val win = scored
       .withColumn("rk", row_number().over(Window.partitionBy("event_type")
         .orderBy(col("score").desc, col("v"))))
