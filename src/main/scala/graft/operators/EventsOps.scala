@@ -3140,6 +3140,8 @@ object EventsOps {
 
     thetaRollingQ,
 
+    kllRollingQ,
+
     Q(
       "q_srm_check",
       "SAMPLE RATIO MISMATCH guardrail (the check every experiment " +
@@ -7354,6 +7356,80 @@ object EventsOps {
       .select(col("day"), col("n_days_window"), col("wau"),
         when(abs(col("est_wau") - col("wau")).cast("double")
           / col("wau") <= 0.05, 1L).otherwise(0L).as("wau_within_5pct"))
+      .orderBy("day")
+  }
+
+  private[graft] lazy val kllRollingQ: Q = Q(
+    "q_kll_rolling",
+    "rolling 7-day p90 of event values answered from per-DAY rank-" +
+      "sketch state — q_theta_rolling's sliding-window shape applied " +
+      "to QUANTILES, and the generic de-risk for the value-domain " +
+      "window class: the exact answer re-sorts every window's raw " +
+      "values (the ×7 fan-out re-scan the oracle twin pays here), " +
+      "the sketch path merges ≤7 KB-sized state rows per day " +
+      "(kll_merge_agg over a broadcast day-spine range join — " +
+      "days×KB, the corpus read once at state-build). Gate contract " +
+      "= exact per-window p90 both engines + the hard flags: exact " +
+      "n conservation through the window merges and the CDF bracket " +
+      "at the merged sketch's p90 with ε = kll_err_bound (sound " +
+      "under any merge history — partial windows at series start " +
+      "included). At 100 TB this is the p99-latency dashboard: " +
+      "per-day sketch appends, every window readout touches state " +
+      "only",
+    Some(
+      """WITH ev AS (
+        |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+        |    AS TIMESTAMP) AS day, value
+        |  FROM events
+        |), days AS (
+        |  SELECT DISTINCT day FROM ev
+        |), w AS (
+        |  SELECT d.day, e.value
+        |  FROM days d JOIN ev e
+        |    ON e.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+        |)
+        |SELECT day, CAST(count(*) AS BIGINT) AS n_window,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
+        |  CAST(1 AS BIGINT) AS n_conserved,
+        |  CAST(1 AS BIGINT) AS p90_bracket_ok
+        |FROM w GROUP BY day ORDER BY day""".stripMargin),
+  ) { (s, dir) =>
+    graft.functions.Kll.register(s)
+    val ev = Tables.events(s, dir)
+      .select(date_trunc("day", col("ts")).as("day"), col("value"))
+    // The persisted state: one rank sketch row per day.
+    val state = ev.groupBy("day")
+      .agg(expr("kll_sketch_agg(value, 256)").as("sk"))
+    val days = state.select("day")
+    // Sketch path: trailing-week merge over ≤7 STATE rows per day.
+    val est = days
+      .join(broadcast(state.select(col("day").as("sday"), col("sk"))),
+        col("sday") >= col("day") - expr("INTERVAL 6 DAYS")
+          && col("sday") <= col("day"))
+      .groupBy("day")
+      .agg(expr("kll_merge_agg(sk, 256)").as("msk"))
+      .select(col("day"), expr("kll_quantile(msk, 0.9D)").as("e90"),
+        expr("kll_err_bound(msk)").as("eps"), expr("kll_n(msk)").as("kn"))
+    // Exact twin + bracket verify: the ×7 raw-window fan-out the
+    // sketch path avoids (the gate's cost, per the q_kll_quantiles
+    // contract).
+    days
+      .join(ev.select(col("day").as("eday"), col("value")),
+        col("eday") >= col("day") - expr("INTERVAL 6 DAYS")
+          && col("eday") <= col("day"))
+      .join(broadcast(est), Seq("day"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_window"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        max(col("eps")).as("eps"), max(col("kn")).as("kn"),
+        sum(when(col("value") < col("e90"), 1L).otherwise(0L)).as("lt"),
+        sum(when(col("value") <= col("e90"), 1L).otherwise(0L)).as("le"))
+      .select(col("day"), col("n_window"), col("p90"),
+        (col("kn") === col("n_window")).cast("long").as("n_conserved"),
+        (col("lt").cast("double") / col("n_window")
+          <= lit(0.9) + col("eps")
+          && col("le").cast("double") / col("n_window")
+            >= lit(0.9) - col("eps")).cast("long").as("p90_bracket_ok"))
       .orderBy("day")
   }
 
