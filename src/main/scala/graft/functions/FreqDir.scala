@@ -94,8 +94,10 @@ object FreqDir {
       while (i < o.used) { append(o.rows(i)); i += 1 }
     }
 
-    /** Gram of the current rows (d×d, symmetric PSD). */
+    /** Gram of the current rows (d×d, symmetric PSD); 0×0 for a
+      * never-updated state (d unknown). */
     def gram(): Array[Array[Double]] = {
+      if (d < 0) return Array.ofDim[Double](0, 0)
       val g = Array.ofDim[Double](d, d)
       var r = 0
       while (r < used) {
@@ -273,9 +275,11 @@ object FreqDir {
   def cov(bytes: Array[Byte]): Array[Array[Double]] =
     deserialize(bytes).gram()
 
-  /** Top eigenpair (λ₁(BᵀB), unit v₁) of the sketch covariance. */
+  /** Top eigenpair (λ₁(BᵀB), unit v₁) of the sketch covariance;
+    * (0, empty) for a never-updated state. */
   def topEigen(bytes: Array[Byte]): (Double, Array[Double]) = {
     val st = deserialize(bytes)
+    if (st.d <= 0) return (0.0, Array.empty[Double])
     val (vals, vecs) = jacobiEigen(st.gram())
     val v = Array.tabulate(st.d)(r => vecs(r)(0))
     (vals(0), v)

@@ -102,6 +102,15 @@ class FreqDirSpec extends AnyFunSuite {
     }
   }
 
+  test("never-updated state finishes without crashing") {
+    val empty = FreqDir.serialize(new FreqDir.State(4))
+    assert(FreqDir.count(empty) == 0L)
+    assert(FreqDir.shrinkTotal(empty) == 0.0)
+    assert(FreqDir.cov(empty).length == 0)
+    val (lam, v) = FreqDir.topEigen(empty)
+    assert(lam == 0.0 && v.isEmpty)
+  }
+
   test("merge soundness: per-slice partials keep the certificate") {
     import spark.implicits._
     val vecs = (0 until 300).map(i => Array.tabulate(D)(j =>
