@@ -908,6 +908,30 @@ class PlanBudgetSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"nation must broadcast:\n$p")
   }
 
+  test("kll rows: sketches build MAP-SIDE, state frames broadcast, no sort-merge") {
+    // The whole point of the rank-sketch family is that the shuffle
+    // carries KB sketch state, not value sorts: every kll row must
+    // show partial_kll_sketch_agg BELOW its exchange (map-side
+    // combine of sketch objects), and the tiny estimate/boundary
+    // frames must re-enter the verify scans as broadcasts.
+    val pq = plan("q_kll_quantiles")
+    assert(pq.contains("partial_kll_sketch_agg"),
+      s"q_kll_quantiles must sketch map-side, plan:\n$pq")
+    assert(pq.contains("BroadcastHashJoin") && !pq.contains("SortMergeJoin"),
+      s"estimates must broadcast into the verify pass, plan:\n$pq")
+    val pe = plan("q_equidepth_kll")
+    assert(pe.contains("partial_kll_sketch_agg"), s"plan:\n$pe")
+    assert(pe.contains("BroadcastNestedLoopJoin")
+      && !pe.contains("SortMergeJoin"),
+      s"the 7-boundary frame must broadcast into the fan-out, plan:\n$pe")
+    val pr = plan("q_kll_rolling")
+    assert(pr.contains("partial_kll_sketch_agg")
+      && pr.contains("kll_merge_agg"),
+      s"rolling state must build map-side and merge from state, plan:\n$pr")
+    assert(!pr.contains("SortMergeJoin"),
+      s"day-spine range joins must broadcast, plan:\n$pr")
+  }
+
   test("q1_agg aggregates inside whole-stage codegen") {
     // The plain plan string hides codegen stage boundaries; the
     // codegen explain mode lists every WholeStageCodegen subtree.
