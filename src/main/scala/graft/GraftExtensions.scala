@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BloomMightContain, CentArgmin, FdSketchAgg, HyperplaneSignature, KllErrBound, KllIsExact, KllMergeAgg, KllN, KllQuantile, KllRank, KllSketchAgg, MinHashSignature, RollingGramHashes, SimHashSignature, ThetaAnotBEstimate, ThetaEstimate, ThetaIntersectEstimate, ThetaSketchAgg, ThetaUnionAgg}
+import graft.functions.{BloomMightContain, CentArgmin, FdSketchAgg, HyperplaneSignature, KllErrBound, KllIsExact, KllMergeAgg, KllN, KllQuantile, KllRank, KllSketchAgg, MgDelta, MgEstimate, MgMergeAgg, MgN, MgSketchAgg, MinHashSignature, RollingGramHashes, SimHashSignature, ThetaAnotBEstimate, ThetaEstimate, ThetaIntersectEstimate, ThetaSketchAgg, ThetaUnionAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -121,6 +121,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[KllErrBound].getName, "kll_err_bound"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         KllErrBound(exprs.head)))
+    // Misra-Gries heavy-hitter summary: the guaranteed-frequent face
+    // beside CMS — see graft.functions.MisraGries and q_mg_heavy.
+    ext.injectFunction((
+      FunctionIdentifier("mg_sketch_agg"),
+      new ExpressionInfo(classOf[MgSketchAgg].getName, "mg_sketch_agg"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MgSketchAgg.fromArgs(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("mg_merge_agg"),
+      new ExpressionInfo(classOf[MgMergeAgg].getName, "mg_merge_agg"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MgMergeAgg.fromArgs(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("mg_estimate"),
+      new ExpressionInfo(classOf[MgEstimate].getName, "mg_estimate"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MgEstimate(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("mg_delta"),
+      new ExpressionInfo(classOf[MgDelta].getName, "mg_delta"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MgDelta(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("mg_n"),
+      new ExpressionInfo(classOf[MgN].getName, "mg_n"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MgN(exprs.head)))
     // Frequent Directions spectral sketch: mergeable l×d PCA state
     // with a carried shrinkage certificate — see graft.functions
     // .FreqDir and q_embed_pca_fd.

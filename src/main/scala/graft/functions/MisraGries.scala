@@ -1,0 +1,365 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable
+
+/** MISRA-GRIES heavy-hitter summary (Misra-Gries 1982; mergeability
+  * Agarwal-Cormode-Huang-Phillips-Wei-Yi 2013) — the sketch family's
+  * GUARANTEED-FREQUENT face: where CMS answers "how often did THIS
+  * key occur?" (you must already hold the key), a Misra-Gries state
+  * of k counters answers "WHICH keys are frequent?" from state alone,
+  * with a deterministic certificate and no RNG anywhere:
+  *
+  *   true(key) − Δ  ≤  stored(key)  ≤  true(key)      for EVERY key
+  *   (absent ⇒ stored = 0), where Δ is the total decrement weight the
+  *   sketch CARRIES exactly (`mg_delta`) — so any key with
+  *   true(key) > Δ is provably IN the state, and the a-priori bound
+  *   Δ·(k+1) ≤ n holds because each decrement step retires k+1
+  *   occurrences at once. Both facts gate as hard flags (the
+  *   kll_err_bound / FreqDir-shrinkTotal certificate convention);
+  *   they survive ANY merge order and partitioning because merges
+  *   only add counts key-wise and subtract the (k+1)-th largest
+  *   count from all (deltas add — the ACHPWY mergeable-summaries
+  *   argument).
+  *
+  * With ≤ k distinct keys the sketch is EXACT (Δ = 0, stored ≡ true)
+  * and its canonical key-sorted serialization is a pure function of
+  * the input multiset — merge ≡ one-shot bytes at any split,
+  * MisraGriesSpec-pinned. Memory per open group: ≤ k (key, count)
+  * entries.
+  *
+  * Surface: `mg_sketch_agg(key[, k])` over string/long/int keys →
+  * bytes; `mg_merge_agg(sketch[, k])` (the state-table rollup face);
+  * scalars `mg_estimate(sk, key)` (BIGINT, 0 when absent),
+  * `mg_delta(sk)`, `mg_n(sk)`.
+  */
+object MisraGries {
+
+  /** Default counters: the heavy-hitter threshold is n/(k+1). */
+  val DefaultK: Int = 64
+
+  final class State(val k: Int) {
+    val counts: mutable.HashMap[String, Long] = mutable.HashMap.empty
+    var n: Long = 0L
+    var delta: Long = 0L
+
+    def update(key: String): Unit = {
+      n += 1
+      counts.get(key) match {
+        case Some(c) => counts.update(key, c + 1)
+        case None if counts.size < k => counts.update(key, 1L)
+        case None =>
+          // Decrement ALL k counters and drop the incoming occurrence
+          // with them: k+1 occurrences retired per unit of delta.
+          delta += 1
+          val dead = mutable.ArrayBuffer.empty[String]
+          counts.foreach { case (kk, c) =>
+            if (c == 1L) dead += kk else counts.update(kk, c - 1)
+          }
+          dead.foreach(counts.remove)
+      }
+    }
+
+    /** Key-wise count addition, then one (k+1)-th-largest subtraction
+      * if over capacity; deltas add. */
+    def merge(o: State): Unit = {
+      require(o.k == k,
+        s"mg merge requires equal k, got $k vs ${o.k} — build the " +
+          "state table and its rollup with the same counters argument")
+      n += o.n
+      delta += o.delta
+      o.counts.foreach { case (kk, c) =>
+        counts.update(kk, counts.getOrElse(kk, 0L) + c)
+      }
+      if (counts.size > k) {
+        val sorted = counts.values.toArray
+        java.util.Arrays.sort(sorted)
+        val cut = sorted(sorted.length - 1 - k) // (k+1)-th largest
+        delta += cut
+        val dead = mutable.ArrayBuffer.empty[String]
+        counts.foreach { case (kk, c) =>
+          if (c <= cut) dead += kk else counts.update(kk, c - cut)
+        }
+        dead.foreach(counts.remove)
+      }
+    }
+  }
+
+  /** Canonical bytes: k, n, delta, then entries KEY-SORTED (exact-mode
+    * sketches become a pure function of the multiset). */
+  def serialize(st: State): Array[Byte] = {
+    val entries = st.counts.toArray.sortBy(_._1)
+    val keyBytes = entries.map(_._1.getBytes(StandardCharsets.UTF_8))
+    val bb = ByteBuffer.allocate(
+      4 + 8 + 8 + 4 + keyBytes.map(_.length + 4 + 8).sum)
+    bb.putInt(st.k).putLong(st.n).putLong(st.delta)
+    bb.putInt(entries.length)
+    entries.indices.foreach { i =>
+      bb.putInt(keyBytes(i).length)
+      bb.put(keyBytes(i))
+      bb.putLong(entries(i)._2)
+    }
+    bb.array()
+  }
+
+  def deserialize(bytes: Array[Byte]): State = {
+    val bb = ByteBuffer.wrap(bytes)
+    val st = new State(bb.getInt)
+    st.n = bb.getLong
+    st.delta = bb.getLong
+    var c = bb.getInt
+    while (c > 0) {
+      val kb = new Array[Byte](bb.getInt)
+      bb.get(kb)
+      st.counts.update(new String(kb, StandardCharsets.UTF_8), bb.getLong)
+      c -= 1
+    }
+    st
+  }
+
+  def estimate(bytes: Array[Byte], key: String): Long =
+    deserialize(bytes).counts.getOrElse(key, 0L)
+
+  def delta(bytes: Array[Byte]): Long = deserialize(bytes).delta
+
+  def count(bytes: Array[Byte]): Long = deserialize(bytes).n
+
+  def register(s: SparkSession): Unit = {
+    val r = s.sessionState.functionRegistry
+    r.createOrReplaceTempFunction("mg_sketch_agg",
+      MgSketchAgg.fromArgs(_), "built-in")
+    r.createOrReplaceTempFunction("mg_merge_agg",
+      MgMergeAgg.fromArgs(_), "built-in")
+    r.createOrReplaceTempFunction("mg_estimate",
+      exprs => MgEstimate(exprs.head, exprs(1)), "built-in")
+    r.createOrReplaceTempFunction("mg_delta",
+      exprs => MgDelta(exprs.head), "built-in")
+    r.createOrReplaceTempFunction("mg_n",
+      exprs => MgN(exprs.head), "built-in")
+  }
+
+  private[functions] def checkK(kExpr: Expression,
+      fn: String): TypeCheckResult = {
+    val typeOk =
+      kExpr.dataType == IntegerType || kExpr.dataType == LongType
+    if (!typeOk || !kExpr.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$fn k must be a foldable integer, got ${kExpr.sql}")
+    else {
+      val v = kExpr.eval()
+      if (v == null) TypeCheckResult.TypeCheckFailure(s"$fn k must not be null")
+      else {
+        val k = v.asInstanceOf[Number].intValue()
+        if (k < 1 || k > (1 << 20))
+          TypeCheckResult.TypeCheckFailure(
+            s"$fn k must be in [1, 1048576], got $k")
+        else TypeCheckResult.TypeCheckSuccess
+      }
+    }
+  }
+}
+
+/** `mg_sketch_agg(key[, k])` — build the k-counter summary from raw
+  * keys (map-side mergeable: the shuffle carries ≤ k entries). */
+case class MgSketchAgg(
+    child: Expression,
+    kExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[MisraGries.State]
+    with BinaryLike[Expression] {
+
+  def this(child: Expression) = this(child, Literal(MisraGries.DefaultK))
+
+  override def left: Expression = child
+  override def right: Expression = kExpr
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | LongType | IntegerType =>
+      MisraGries.checkK(kExpr, prettyName)
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"mg_sketch_agg requires string, long, or int keys, got $other")
+  }
+
+  private lazy val k: Int = kExpr.eval().asInstanceOf[Number].intValue()
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "mg_sketch_agg"
+
+  override def createAggregationBuffer(): MisraGries.State =
+    new MisraGries.State(k)
+
+  override def update(buffer: MisraGries.State,
+      input: InternalRow): MisraGries.State = {
+    val v = child.eval(input)
+    if (v != null) buffer.update(v.toString)
+    buffer
+  }
+
+  override def merge(buffer: MisraGries.State,
+      input: MisraGries.State): MisraGries.State = {
+    buffer.merge(input)
+    buffer
+  }
+
+  override def eval(buffer: MisraGries.State): Any =
+    MisraGries.serialize(buffer)
+  override def serialize(buffer: MisraGries.State): Array[Byte] =
+    MisraGries.serialize(buffer)
+  override def deserialize(bytes: Array[Byte]): MisraGries.State =
+    MisraGries.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MgSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MgSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MgSketchAgg =
+    copy(child = newLeft, kExpr = newRight)
+}
+
+object MgSketchAgg {
+  def fromArgs(exprs: Seq[Expression]): MgSketchAgg = exprs match {
+    case Seq(c) => new MgSketchAgg(c)
+    case Seq(c, k) => MgSketchAgg(c, k)
+    case _ => throw new IllegalArgumentException(
+      s"mg_sketch_agg expects (key[, k]), got ${exprs.length} arguments")
+  }
+}
+
+/** `mg_merge_agg(sketch[, k])` — merge already-built summaries (the
+  * state-table rollup face). */
+case class MgMergeAgg(
+    child: Expression,
+    kExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[MisraGries.State]
+    with BinaryLike[Expression] {
+
+  def this(child: Expression) = this(child, Literal(MisraGries.DefaultK))
+
+  override def left: Expression = child
+  override def right: Expression = kExpr
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => MisraGries.checkK(kExpr, prettyName)
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"mg_merge_agg requires binary, got $other")
+  }
+
+  private lazy val k: Int = kExpr.eval().asInstanceOf[Number].intValue()
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "mg_merge_agg"
+
+  override def createAggregationBuffer(): MisraGries.State =
+    new MisraGries.State(k)
+
+  override def update(buffer: MisraGries.State,
+      input: InternalRow): MisraGries.State = {
+    val v = child.eval(input)
+    if (v != null)
+      buffer.merge(MisraGries.deserialize(v.asInstanceOf[Array[Byte]]))
+    buffer
+  }
+
+  override def merge(buffer: MisraGries.State,
+      input: MisraGries.State): MisraGries.State = {
+    buffer.merge(input)
+    buffer
+  }
+
+  override def eval(buffer: MisraGries.State): Any =
+    MisraGries.serialize(buffer)
+  override def serialize(buffer: MisraGries.State): Array[Byte] =
+    MisraGries.serialize(buffer)
+  override def deserialize(bytes: Array[Byte]): MisraGries.State =
+    MisraGries.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MgMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MgMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MgMergeAgg =
+    copy(child = newLeft, kExpr = newRight)
+}
+
+object MgMergeAgg {
+  def fromArgs(exprs: Seq[Expression]): MgMergeAgg = exprs match {
+    case Seq(c) => new MgMergeAgg(c)
+    case Seq(c, k) => MgMergeAgg(c, k)
+    case _ => throw new IllegalArgumentException(
+      s"mg_merge_agg expects (sketch[, k]), got ${exprs.length} arguments")
+  }
+}
+
+/** `mg_estimate(sketch, key)` → stored count (BIGINT; 0 when absent —
+  * with the certificate true − Δ ≤ stored ≤ true). */
+case class MgEstimate(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"mg_estimate requires (binary, string), got $other")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "mg_estimate"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    MisraGries.estimate(a.asInstanceOf[Array[Byte]], b.toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.MisraGries.estimate($a, $b.toString())")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MgEstimate =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `mg_delta(sketch)` → the exact carried decrement total Δ. */
+case class MgDelta(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"mg_delta requires binary, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "mg_delta"
+  override def nullSafeEval(input: Any): Any =
+    MisraGries.delta(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MisraGries.delta($c)")
+  override protected def withNewChildInternal(newChild: Expression): MgDelta =
+    copy(child = newChild)
+}
+
+/** `mg_n(sketch)` → exact processed-occurrence count. */
+case class MgN(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"mg_n requires binary, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "mg_n"
+  override def nullSafeEval(input: Any): Any =
+    MisraGries.count(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MisraGries.count($c)")
+  override protected def withNewChildInternal(newChild: Expression): MgN =
+    copy(child = newChild)
+}

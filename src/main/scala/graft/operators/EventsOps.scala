@@ -4576,6 +4576,78 @@ object EventsOps {
     },
 
     Q(
+      "q_mg_heavy",
+      "MISRA-GRIES guaranteed-frequent summary — the heavy-hitter " +
+        "question CMS structurally cannot answer: WHICH keys are " +
+        "frequent, from k counters of state alone (CMS estimates a " +
+        "key you already hold; MG surfaces the candidates), with a " +
+        "deterministic carried certificate true−Δ ≤ stored ≤ true " +
+        "and every key above Δ provably present (functions/" +
+        "MisraGries.scala, no RNG anywhere). Two faces gate here: " +
+        "the event_type summary built from per-DAY partials through " +
+        "mg_merge_agg stays EXACT (5 keys < k=8 ⇒ Δ=0, stored ≡ " +
+        "true — the theta exact-mode contract, through the state-" +
+        "table merge path), and the user_id summary at k=32 over " +
+        "1500 near-uniform users exercises REAL decrements — the " +
+        "honest no-heavy-hitters corpus — where the gate verifies " +
+        "the FULL certificate over every user: no overestimate, " +
+        "est ≥ true−Δ, max absent-key count ≤ Δ (coverage), and the " +
+        "a-priori Δ·(k+1) ≤ n. All flags survive any partitioning/" +
+        "merge order (the ACHPWY mergeable-summaries argument; " +
+        "MisraGriesSpec plants a Zipf spike and pins recovery at " +
+        "1/7/32 splits). At 100 TB: per-partition ≤k entries, one " +
+        "tree-merge, candidates read from KB state — no second pass",
+      Some(
+        """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+          |  CAST(1 AS BIGINT) AS type_mg_exact,
+          |  CAST(1 AS BIGINT) AS user_coverage_ok,
+          |  CAST(1 AS BIGINT) AS user_no_overestimate,
+          |  CAST(1 AS BIGINT) AS user_within_delta,
+          |  CAST(1 AS BIGINT) AS delta_bound_ok
+          |FROM events GROUP BY event_type ORDER BY event_type"""
+          .stripMargin),
+    ) { (s, dir) =>
+      graft.functions.MisraGries.register(s)
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          col("user_id"))
+      // Face 1 — the state-table path: per-day type partials, merged.
+      val typeMerged = ev.groupBy("day")
+        .agg(expr("mg_sketch_agg(event_type, 8)").as("tsk"))
+        .agg(expr("mg_merge_agg(tsk, 8)").as("tsk"))
+      // Face 2 — real decrements: 1500 users through 32 counters.
+      val userMerged = ev.agg(expr("mg_sketch_agg(user_id, 32)").as("usk"),
+        count(lit(1)).as("n_total"))
+      // Gate verify: the certificate over EVERY user (gate cost only;
+      // at 100 TB you read candidates off the state and stop).
+      val uflags = ev.groupBy("user_id").agg(count(lit(1)).as("n_u"))
+        .crossJoin(broadcast(userMerged))
+        .select(col("n_u"), col("n_total"),
+          expr("mg_estimate(usk, CAST(user_id AS STRING))").as("est"),
+          expr("mg_delta(usk)").as("du"))
+        .agg(max(when(col("est") === 0L, col("n_u")).otherwise(0L))
+            .as("max_absent"),
+          sum(when(col("est") > col("n_u"), 1L).otherwise(0L)).as("overest"),
+          sum(when(col("est") < col("n_u") - col("du"), 1L).otherwise(0L))
+            .as("under"),
+          max(col("du")).as("du"), max(col("n_total")).as("n_total"))
+      ev.groupBy("event_type").agg(count(lit(1)).as("n_events"))
+        .crossJoin(broadcast(typeMerged))
+        .crossJoin(broadcast(uflags))
+        .select(col("event_type"), col("n_events"),
+          (expr("mg_estimate(tsk, event_type)") === col("n_events")
+            && expr("mg_delta(tsk)") === 0L).cast("long")
+            .as("type_mg_exact"),
+          (col("max_absent") <= col("du")).cast("long")
+            .as("user_coverage_ok"),
+          (col("overest") === 0L).cast("long").as("user_no_overestimate"),
+          (col("under") === 0L).cast("long").as("user_within_delta"),
+          (col("du") * 33L <= col("n_total")).cast("long")
+            .as("delta_bound_ok"))
+        .orderBy("event_type")
+    },
+
+    Q(
       "q_permutation_test",
       s"RANDOMIZATION (permutation) test on the arm mean difference: " +
         s"$PermDraws deterministic re-assignments of USERS (the " +
