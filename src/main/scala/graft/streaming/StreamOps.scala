@@ -1429,6 +1429,67 @@ object StreamOps {
     },
 
     Q(
+      "q_stream_mg",
+      "streaming MISRA-GRIES STATE TABLE run end-to-end — the third " +
+        "leg of the streaming sketch-state triplet beside " +
+        "q_stream_cms (linear frequency) and q_stream_kll (rank): " +
+        "each micro-batch folds to one per-batch mg_sketch_agg row " +
+        "over event_type appended to a parquet state table " +
+        "(foreachBatch, append-only), and the readout merges state " +
+        "rows via mg_merge_agg. With ≤ k distinct keys the summary " +
+        "is EXACT and CANONICAL (Δ = 0, key-sorted serialization), " +
+        "so the merged stream state is BYTE-IDENTICAL to the " +
+        "one-shot batch summary at ANY micro-batch slicing — the " +
+        "q_stream_cms linearity claim, earned here by exact-mode " +
+        "canonicalization instead of linearity, shipped as a " +
+        "gate-pinned flag beside stored ≡ true and Δ = 0. Beyond " +
+        "exact mode the carried certificate survives any slicing " +
+        "(MisraGriesSpec). At 100 TB/day: per-batch ≤k-entry " +
+        "appends, frequent-key candidates read from KB state",
+      Some(
+        """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+          |  CAST(1 AS BIGINT) AS stored_is_exact,
+          |  CAST(1 AS BIGINT) AS delta_zero,
+          |  CAST(1 AS BIGINT) AS stream_equals_batch
+          |FROM events GROUP BY event_type ORDER BY event_type"""
+          .stripMargin),
+    ) { (s, dir) =>
+      graft.functions.MisraGries.register(s)
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val scratch = Scratch.dir()
+      val q = s.readStream.schema(rawSchema)
+        .option("basePath", dir)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/events.parquet*")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          graft.functions.MisraGries.register(batch.sparkSession)
+          batch.select(col("event_type"))
+            .agg(expr("mg_sketch_agg(event_type, 8)").as("sk"))
+            .withColumn("batch_id", lit(bid))
+            .write.mode("append").parquet(s"$scratch/state")
+          ()
+        }
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val e = Tables.events(s, dir).select(col("event_type"))
+      val merged = s.read.parquet(s"$scratch/state")
+        .agg(expr("mg_merge_agg(sk, 8)").as("sk"))
+      val oneShot = e.agg(expr("mg_sketch_agg(event_type, 8)").as("sk_b"))
+      e.groupBy("event_type").agg(count(lit(1)).as("n_events"))
+        .crossJoin(broadcast(merged.crossJoin(oneShot)))
+        .select(col("event_type"), col("n_events"),
+          (expr("mg_estimate(sk, event_type)") === col("n_events"))
+            .cast("long").as("stored_is_exact"),
+          (expr("mg_delta(sk)") === 0L).cast("long").as("delta_zero"),
+          (col("sk") === col("sk_b")).cast("long")
+            .as("stream_equals_batch"))
+        .orderBy("event_type")
+    },
+
+    Q(
       "q_stream_anomaly",
       "the hourly BURST PAGER run LIVE — the streaming face of " +
         "q_events_anomaly, sharing its oracle VERBATIM: the stream " +
