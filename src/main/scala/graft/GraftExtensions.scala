@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BloomMightContain, CentArgmin, FdSketchAgg, HyperplaneSignature, KllErrBound, KllIsExact, KllMergeAgg, KllN, KllQuantile, KllRank, KllSketchAgg, MgDelta, MgEstimate, MgMergeAgg, MgN, MgSketchAgg, MinHashSignature, RollingGramHashes, SimHashSignature, ThetaAnotBEstimate, ThetaEstimate, ThetaIntersectEstimate, ThetaSketchAgg, ThetaUnionAgg}
+import graft.functions.{BloomMightContain, CentArgmin, FdMergeAgg, FdSketchAgg, HyperplaneSignature, KllErrBound, KllIsExact, KllMergeAgg, KllN, KllQuantile, KllRank, KllSketchAgg, MgDelta, MgEstimate, MgMergeAgg, MgN, MgSketchAgg, MinHashSignature, RollingGramHashes, SimHashSignature, ThetaAnotBEstimate, ThetaEstimate, ThetaIntersectEstimate, ThetaSketchAgg, ThetaUnionAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -156,6 +156,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FdSketchAgg].getName, "fd_sketch_agg"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         FdSketchAgg.fromArgs(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("fd_merge_agg"),
+      new ExpressionInfo(classOf[FdMergeAgg].getName, "fd_merge_agg"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        FdMergeAgg.fromArgs(exprs)))
     ext.injectFunction((
       FunctionIdentifier("rollhash60"),
       new ExpressionInfo(classOf[RollingGramHashes].getName, "rollhash60"),

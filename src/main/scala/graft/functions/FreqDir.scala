@@ -285,9 +285,12 @@ object FreqDir {
     (vals(0), v)
   }
 
-  def register(s: SparkSession): Unit =
+  def register(s: SparkSession): Unit = {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "fd_sketch_agg", FdSketchAgg.fromArgs(_), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "fd_merge_agg", FdMergeAgg.fromArgs(_), "built-in")
+  }
 }
 
 /** `fd_sketch_agg(vecCol[, l])` — Frequent Directions over an
@@ -383,5 +386,81 @@ object FdSketchAgg {
     case Seq(c, l) => FdSketchAgg(c, l)
     case _ => throw new IllegalArgumentException(
       s"fd_sketch_agg expects (vec[, l]), got ${exprs.length} arguments")
+  }
+}
+
+/** `fd_merge_agg(sketchBytes[, l])` — merge already-built FD sketches
+  * (the state-table rollup face every sketch family carries: per-slice
+  * l×d blocks in, one block out; deltas ADD, so the certificate
+  * survives the rollup). All inputs must carry the same l. */
+case class FdMergeAgg(
+    child: Expression,
+    lExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[FreqDir.State]
+    with BinaryLike[Expression] {
+
+  def this(child: Expression) = this(child, Literal(FreqDir.DefaultL))
+
+  override def left: Expression = child
+  override def right: Expression = lExpr
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType =>
+      val typeOk =
+        lExpr.dataType == IntegerType || lExpr.dataType == LongType
+      if (!typeOk || !lExpr.foldable)
+        TypeCheckResult.TypeCheckFailure(
+          s"fd_merge_agg l must be a foldable integer, got ${lExpr.sql}")
+      else TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"fd_merge_agg requires binary, got $other")
+  }
+
+  private lazy val l: Int = lExpr.eval().asInstanceOf[Number].intValue()
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "fd_merge_agg"
+
+  override def createAggregationBuffer(): FreqDir.State =
+    new FreqDir.State(l)
+
+  override def update(buffer: FreqDir.State,
+      input: InternalRow): FreqDir.State = {
+    val v = child.eval(input)
+    if (v != null)
+      buffer.merge(FreqDir.deserialize(v.asInstanceOf[Array[Byte]]))
+    buffer
+  }
+
+  override def merge(buffer: FreqDir.State,
+      input: FreqDir.State): FreqDir.State = {
+    buffer.merge(input)
+    buffer
+  }
+
+  override def eval(buffer: FreqDir.State): Any = FreqDir.serialize(buffer)
+  override def serialize(buffer: FreqDir.State): Array[Byte] =
+    FreqDir.serialize(buffer)
+  override def deserialize(bytes: Array[Byte]): FreqDir.State =
+    FreqDir.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): FdMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): FdMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FdMergeAgg =
+    copy(child = newLeft, lExpr = newRight)
+}
+
+object FdMergeAgg {
+  def fromArgs(exprs: Seq[Expression]): FdMergeAgg = exprs match {
+    case Seq(c) => new FdMergeAgg(c)
+    case Seq(c, l) => FdMergeAgg(c, l)
+    case _ => throw new IllegalArgumentException(
+      s"fd_merge_agg expects (sketch[, l]), got ${exprs.length} arguments")
   }
 }

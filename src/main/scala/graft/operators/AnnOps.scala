@@ -2363,7 +2363,11 @@ object AnnOps {
         "FreqDir.scala) — a mergeable l×d row sketch (l=16 ≪ d=64) " +
         "whose Gram provably sandwiches the true one, AᵀA − Δ·I ⪯ " +
         "BᵀB ⪯ AᵀA with Δ the exact shrinkage total the sketch " +
-        "CARRIES. This is the PCA path for the d where q_embed_pca's " +
+        "CARRIES — built as per-LABEL partials rolled up through " +
+        "fd_merge_agg, so the gate exercises the state-table merge " +
+        "face every sketch family carries (deltas ADD; the " +
+        "certificate survives the rollup). This is the PCA path " +
+        "for the d where q_embed_pca's " +
         "d² Gram collect stops being a bounded driver read: one " +
         "corpus pass into l×d mergeable state, finishing is " +
         "d-bounded Jacobi on the driver. The gate contract is the " +
@@ -2393,15 +2397,21 @@ object AnnOps {
       graft.functions.FreqDir.register(s)
       val fdL = 16
       val emb = Tables.embeddings(s, dir)
-      // The production pass: ONE scan → l×d sketch (+ the exact
-      // fixed-point ‖A‖²F the oracle matches, same scan).
-      val row = emb.agg(
-        expr(s"fd_sketch_agg(embedding, $fdL)").as("sk"),
-        count(lit(1)).as("n_vecs"),
-        sum(expr(
-          """aggregate(embedding, 0L, (acc, x) -> acc
-            |  + CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
-            |      * 1000000) AS BIGINT))""".stripMargin)).as("fro_fp"))
+      // The production pass: ONE scan → per-LABEL l×d partials (the
+      // persisted state-table shape), rolled up through fd_merge_agg —
+      // so the gate exercises the merge face every sketch family
+      // carries, not just the one-shot build. The exact fixed-point
+      // ‖A‖²F the oracle matches rides the same scan.
+      val row = emb
+        .groupBy("label")
+        .agg(expr(s"fd_sketch_agg(embedding, $fdL)").as("psk"),
+          count(lit(1)).as("pn"),
+          sum(expr(
+            """aggregate(embedding, 0L, (acc, x) -> acc
+              |  + CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+              |      * 1000000) AS BIGINT))""".stripMargin)).as("pf"))
+        .agg(expr(s"fd_merge_agg(psk, $fdL)").as("sk"),
+          sum(col("pn")).as("n_vecs"), sum(col("pf")).as("fro_fp"))
         .collect()(0)
       val sk = row.getAs[Array[Byte]](0)
       val nVecs = row.getLong(1)

@@ -117,16 +117,12 @@ class FreqDirSpec extends AnyFunSuite {
       noise(i, j) + (if (j == 3) 1.5 else 0.0)))
     val truth = gramOf(vecs)
     val lam1 = FreqDir.jacobiEigen(truth)._1(0)
-    val merged = vecs.zipWithIndex.map { case (v, i) => (i % 9, v) }
+    val bytes = vecs.zipWithIndex.map { case (v, i) => (i % 9, v) }
       .toDF("slice", "embedding").repartition(9)
       .groupBy("slice").agg(expr("fd_sketch_agg(embedding, 4)").as("sk"))
-      // roll partials up through a second fd agg over deserialized
-      // rows is the production shape; here the single agg's merge
-      // path already exercised it — re-aggregate the slices' sketch
-      // rows by merging states directly:
-      .collect().map(_.getAs[Array[Byte]](1))
-      .map(FreqDir.deserialize)
-      .reduce { (a, b) => a.merge(b); a }
+      .agg(expr("fd_merge_agg(sk, 4)").as("sk")) // the state-table rollup face
+      .collect()(0).getAs[Array[Byte]](0)
+    val merged = FreqDir.deserialize(bytes)
     assert(merged.n == 300L)
     val (vals, vecsM) = FreqDir.jacobiEigen(merged.gram())
     val vtop = Array.tabulate(D)(r => vecsM(r)(0))
