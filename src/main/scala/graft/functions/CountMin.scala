@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal}
-import org.apache.spark.sql.catalyst.trees.{BinaryLike, TernaryLike, UnaryLike}
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, QuaternaryLike, UnaryLike}
 import org.apache.spark.sql.types._
 
 /** COUNT-MIN sketch (Cormode & Muthukrishnan 2005) as engine
@@ -69,12 +69,19 @@ object CountMin {
     a
   }
 
-  def add(state: Array[Long], x: Long): Unit = {
+  def add(state: Array[Long], x: Long): Unit = add(state, x, 1L)
+
+  /** Weighted insert — the (value, count) state-table rollup face.
+    * Linearity makes this trivially exact: counters += wt is
+    * byte-identical to wt repeated unit inserts, at any partitioning
+    * or merge order. */
+  def add(state: Array[Long], x: Long, wt: Long): Unit = {
+    require(wt >= 0, s"cms weight must be non-negative, got $wt")
     val w = state(0).toInt
     val d = state(1).toInt
     var r = 0
     while (r < d) {
-      state(2 + r * w + idx(r, x, w)) += 1
+      state(2 + r * w + idx(r, x, w)) += wt
       r += 1
     }
   }
@@ -146,25 +153,35 @@ object CountMin {
   }
 }
 
-/** `cms_sketch_agg(key[, w, d])` → CMS bytes over LONG/INT keys. */
+/** `cms_sketch_agg(key[, w, d[, weight]])` → CMS bytes over LONG/INT
+  * keys. The optional WEIGHT column (long/int, per row) is the
+  * (value, count) state-table rollup face — linearity makes the
+  * weighted sketch byte-identical to the raw-row sketch, always. */
 case class CmsSketchAgg(
     child: Expression,
     w: Expression,
     d: Expression,
+    weightExpr: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Long]]
-    with TernaryLike[Expression] {
+    with QuaternaryLike[Expression] {
 
   def this(child: Expression) =
-    this(child, Literal(CountMin.DefaultW), Literal(CountMin.DefaultD))
+    this(child, Literal(CountMin.DefaultW), Literal(CountMin.DefaultD),
+      Literal(1L))
 
   override def first: Expression = child
   override def second: Expression = w
   override def third: Expression = d
+  override def fourth: Expression = weightExpr
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case LongType | IntegerType => CountMin.checkShape(w, d, prettyName)
+    case LongType | IntegerType =>
+      if (weightExpr.dataType != LongType && weightExpr.dataType != IntegerType)
+        TypeCheckResult.TypeCheckFailure(
+          s"cms_sketch_agg weight must be long or int, got ${weightExpr.dataType}")
+      else CountMin.checkShape(w, d, prettyName)
     case other => TypeCheckResult.TypeCheckFailure(
       s"cms_sketch_agg requires a long or int key, got $other")
   }
@@ -181,9 +198,11 @@ case class CmsSketchAgg(
 
   override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
-    if (v != null) child.dataType match {
-      case LongType => CountMin.add(buffer, v.asInstanceOf[Long])
-      case IntegerType => CountMin.add(buffer, v.asInstanceOf[Int].toLong)
+    if (v != null) {
+      val wt = weightExpr.eval(input)
+      if (wt != null)
+        CountMin.add(buffer, v.asInstanceOf[Number].longValue(),
+          wt.asInstanceOf[Number].longValue())
     }
     buffer
   }
@@ -204,16 +223,19 @@ case class CmsSketchAgg(
   override def withNewInputAggBufferOffset(newOffset: Int): CmsSketchAgg =
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(newFirst: Expression,
-      newSecond: Expression, newThird: Expression): CmsSketchAgg =
-    copy(child = newFirst, w = newSecond, d = newThird)
+      newSecond: Expression, newThird: Expression,
+      newFourth: Expression): CmsSketchAgg =
+    copy(child = newFirst, w = newSecond, d = newThird,
+      weightExpr = newFourth)
 }
 
 object CmsSketchAgg {
   def fromArgs(exprs: Seq[Expression]): CmsSketchAgg = exprs match {
     case Seq(c) => new CmsSketchAgg(c)
-    case Seq(c, w, d) => CmsSketchAgg(c, w, d)
+    case Seq(c, w, d) => CmsSketchAgg(c, w, d, Literal(1L))
+    case Seq(c, w, d, wt) => CmsSketchAgg(c, w, d, wt)
     case _ => throw new IllegalArgumentException(
-      s"cms_sketch_agg expects (key[, w, d]), got ${exprs.length} arguments")
+      s"cms_sketch_agg expects (key[, w, d[, weight]]), got ${exprs.length} arguments")
   }
 }
 

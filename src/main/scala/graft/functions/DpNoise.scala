@@ -2,8 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{LeafExpression, Nondeterministic}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, LeafExpression, Nondeterministic, UnaryExpression}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
@@ -65,10 +66,23 @@ object DpNoise {
   /** Laplace(scale) noise via the inverse CDF −b·sign(u)·ln(1−2|u|)
     * over a centered uniform u ∈ (−½, ½), 6dp-rounded (the one libm
     * call, per the engine's float discipline). Sensitivity-1 count
-    * queries at privacy ε use scale = 1/ε. */
+    * queries at privacy ε use scale = 1/ε.
+    *
+    * The sign and the magnitude MUST come from the same draw: under
+    * [[Crypto]] the uniform is a nondeterministic expression, which
+    * Spark excludes from subexpression elimination, so referencing
+    * the uniform column twice would evaluate two independent draws.
+    * [[LaplaceUnit]] binds the uniform once (a unary expression's
+    * child is evaluated into one local in both the interpreted and
+    * codegen paths) and computes the full inverse CDF from that
+    * single value. */
   def laplace(source: Source, key: Column, scale: Double): Column = {
-    val u = uniformOpen(source, key) - lit(0.5)
-    round(lit(-scale) * signum(u) * log(lit(1) - lit(2) * abs(u)), 6)
+    org.apache.spark.sql.SparkSession.active.sessionState.functionRegistry
+      .createOrReplaceTempFunction("laplace_unit",
+        Portable.arity("laplace_unit", 1)(exprs => LaplaceUnit(exprs.head)),
+        "built-in")
+    round(lit(-scale) *
+      call_function("laplace_unit", uniformOpen(source, key)), 6)
   }
 
   /** Gumbel(0, 1) noise −ln(−ln u), 6dp-rounded — the Gumbel-max
@@ -76,6 +90,30 @@ object DpNoise {
     * (argmax of ε·utility/2 + gumbel ~ sampling ∝ exp(ε·u/2)). */
   def gumbel(source: Source, key: Column): Column =
     round(-log(-log(uniformOpen(source, key))), 6)
+}
+
+/** `laplace_unit(u)` = sign(u−½)·ln(1−2|u−½|) — the unit-scale Laplace
+  * inverse CDF over ONE evaluation of the uniform child (the child
+  * value lands in a single local in both eval paths, so a
+  * nondeterministic source yields exactly one draw per row). */
+case class LaplaceUnit(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"laplace_unit requires double, got $other")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "laplace_unit"
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[Double] - 0.5
+    java.lang.Math.signum(v) * java.lang.Math.log(1.0 - 2.0 * java.lang.Math.abs(v))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"java.lang.Math.signum($c - 0.5D) * " +
+        s"java.lang.Math.log(1.0D - 2.0D * java.lang.Math.abs($c - 0.5D))")
+  override protected def withNewChildInternal(newChild: Expression): LaplaceUnit =
+    copy(child = newChild)
 }
 
 /** SecureRandom uniform in [2⁻⁵³ + ~0, 1) as a nondeterministic leaf

@@ -413,7 +413,15 @@ case class FdMergeAgg(
       if (!typeOk || !lExpr.foldable)
         TypeCheckResult.TypeCheckFailure(
           s"fd_merge_agg l must be a foldable integer, got ${lExpr.sql}")
-      else TypeCheckResult.TypeCheckSuccess
+      else {
+        // Same range gate as FdSketchAgg: l=0 would otherwise build a
+        // zero-row buffer that throws at the first merge append.
+        val k = lExpr.eval().asInstanceOf[Number].intValue()
+        if (k < 2 || k > 4096)
+          TypeCheckResult.TypeCheckFailure(
+            s"fd_merge_agg l must be in [2, 4096], got $k")
+        else TypeCheckResult.TypeCheckSuccess
+      }
     case other => TypeCheckResult.TypeCheckFailure(
       s"fd_merge_agg requires binary, got $other")
   }

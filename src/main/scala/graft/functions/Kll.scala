@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, UnaryExpression}
-import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, TernaryLike}
 import org.apache.spark.sql.types._
 
 import scala.collection.mutable.ArrayBuffer
@@ -79,7 +79,9 @@ import scala.collection.mutable.ArrayBuffer
   * holds exact ranks to 64 per group at a ~3 KB ceiling — or raise
   * shuffle partitions so fewer groups land per task.
   *
-  * Surface: `kll_sketch_agg(col[, k])` → binary;
+  * Surface: `kll_sketch_agg(col[, k[, weight]])` → binary (the weight
+  * column is the (value, count) rollup face: binary-decomposed
+  * O(log w) insert, exact n conservation, same certificate);
   * `kll_merge_agg(sketch[, k])` (the state-table rollup face);
   * scalars `kll_quantile(sk, q)`, `kll_rank(sk, x)`, `kll_n(sk)`,
   * `kll_is_exact(sk)`, `kll_err_bound(sk)`.
@@ -104,6 +106,33 @@ object Kll {
       levels(0) += v
       n += 1
       if (levels(0).length >= k) compact(0)
+    }
+
+    /** Weighted insert — the (value, count) state-table rollup face.
+      * The weight decomposes in binary: bit b set ⇒ one copy of v at
+      * level b (weight 2^b), so the cost is O(log w) not O(w), total
+      * weight is conserved exactly (kll_n stays exact), and because
+      * every planted copy carries the SAME value, a zero-compaction
+      * sketch still answers true quantiles/ranks of the expanded
+      * multiset. The deterministic error bound is untouched: error
+      * comes only from compactions, and a level-l compaction still
+      * consumes ≥ (k−1)·2^l weight regardless of whether that weight
+      * arrived by promotion or by direct weighted insert. */
+    def update(v: Double, w: Long): Unit = {
+      require(w >= 0, s"kll weight must be non-negative, got $w")
+      if (w == 0L) return
+      n += w
+      var rest = w
+      var l = 0
+      while (rest != 0L) {
+        if ((rest & 1L) == 1L) {
+          while (l >= levels.length) levels += new ArrayBuffer[Double]
+          levels(l) += v
+          if (levels(l).length >= k) compact(l)
+        }
+        rest >>>= 1
+        l += 1
+      }
     }
 
     /** Sort level l, keep the max behind on odd counts (weight
@@ -309,24 +338,34 @@ object Kll {
   }
 }
 
-/** `kll_sketch_agg(col[, k])` — build a rank sketch from raw numeric
-  * values (the map-side-mergeable shape: per-partition State objects,
-  * serialized only at shuffle boundaries). */
+/** `kll_sketch_agg(col[, k[, weight]])` — build a rank sketch from raw
+  * numeric values (the map-side-mergeable shape: per-partition State
+  * objects, serialized only at shuffle boundaries). The optional
+  * WEIGHT column (long/int, per row) is the (value, count) state-table
+  * rollup face — see [[Kll.State.update(v:Double,w:Long)*]]: O(log w)
+  * per insert, exact n conservation, and the same deterministic error
+  * certificate (`kll_err_bound`) as the raw-row face. */
 case class KllSketchAgg(
     child: Expression,
     kExpr: Expression,
+    weightExpr: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Kll.State] with BinaryLike[Expression] {
+    extends TypedImperativeAggregate[Kll.State] with TernaryLike[Expression] {
 
-  def this(child: Expression) = this(child, Literal(Kll.DefaultK))
+  def this(child: Expression) =
+    this(child, Literal(Kll.DefaultK), Literal(1L))
 
-  override def left: Expression = child
-  override def right: Expression = kExpr
+  override def first: Expression = child
+  override def second: Expression = kExpr
+  override def third: Expression = weightExpr
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case DoubleType | FloatType | LongType | IntegerType | ShortType =>
-      Kll.checkK(kExpr, prettyName)
+      if (weightExpr.dataType != LongType && weightExpr.dataType != IntegerType)
+        TypeCheckResult.TypeCheckFailure(
+          s"kll_sketch_agg weight must be long or int, got ${weightExpr.dataType}")
+      else Kll.checkK(kExpr, prettyName)
     case other => TypeCheckResult.TypeCheckFailure(
       s"kll_sketch_agg requires a numeric column, got $other")
   }
@@ -341,7 +380,11 @@ case class KllSketchAgg(
 
   override def update(buffer: Kll.State, input: InternalRow): Kll.State = {
     val v = child.eval(input)
-    if (v != null) buffer.update(v.asInstanceOf[Number].doubleValue())
+    if (v != null) {
+      val w = weightExpr.eval(input)
+      if (w != null) buffer.update(v.asInstanceOf[Number].doubleValue(),
+        w.asInstanceOf[Number].longValue())
+    }
     buffer
   }
 
@@ -360,17 +403,18 @@ case class KllSketchAgg(
     copy(mutableAggBufferOffset = newOffset)
   override def withNewInputAggBufferOffset(newOffset: Int): KllSketchAgg =
     copy(inputAggBufferOffset = newOffset)
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): KllSketchAgg =
-    copy(child = newLeft, kExpr = newRight)
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): KllSketchAgg =
+    copy(child = newFirst, kExpr = newSecond, weightExpr = newThird)
 }
 
 object KllSketchAgg {
   def fromArgs(exprs: Seq[Expression]): KllSketchAgg = exprs match {
     case Seq(c) => new KllSketchAgg(c)
-    case Seq(c, k) => KllSketchAgg(c, k)
+    case Seq(c, k) => KllSketchAgg(c, k, Literal(1L))
+    case Seq(c, k, w) => KllSketchAgg(c, k, w)
     case _ => throw new IllegalArgumentException(
-      s"kll_sketch_agg expects (col[, k]), got ${exprs.length} arguments")
+      s"kll_sketch_agg expects (col[, k[, weight]]), got ${exprs.length} arguments")
   }
 }
 

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, UnaryExpression}
-import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, TernaryLike}
 import org.apache.spark.sql.types._
 
 import scala.collection.mutable
@@ -39,8 +39,10 @@ import scala.collection.mutable
   * MisraGriesSpec-pinned. Memory per open group: ≤ k (key, count)
   * entries.
   *
-  * Surface: `mg_sketch_agg(key[, k])` over string/long/int keys →
-  * bytes; `mg_merge_agg(sketch[, k])` (the state-table rollup face);
+  * Surface: `mg_sketch_agg(key[, k[, weight]])` over string/long/int
+  * keys → bytes (the weight column is the (value, count) rollup face:
+  * a weighted insert ≡ weight repeated unit inserts, exactly);
+  * `mg_merge_agg(sketch[, k])` (the state-table rollup face);
   * scalars `mg_estimate(sk, key)` (BIGINT, 0 when absent),
   * `mg_delta(sk)`, `mg_n(sk)`.
   */
@@ -49,25 +51,111 @@ object MisraGries {
   /** Default counters: the heavy-hitter threshold is n/(k+1). */
   val DefaultK: Int = 64
 
+  /** Counters are stored RAW, relative to a running decrement offset
+    * `base`: logical(key) = raw − base, and an entry with raw ≤ base is
+    * logically ABSENT (dead) — it keeps its map slot until a later
+    * insert needs one. This makes the decrement path O(1) amortized
+    * (base += cut) instead of the eager scan-all-k-counters rewrite,
+    * which on a near-all-distinct stream costs O(n·k). Dead slots are
+    * reclaimed lazily through a min-heap of (raw, key) snapshots with
+    * stale-entry skipping; the heap is rebuilt from the map whenever
+    * it outgrows 2k+64 entries, so memory stays O(k) and every update
+    * is O(log k) amortized. The LOGICAL state transition is identical
+    * to the textbook eager algorithm at every step (same stored
+    * counts, same Δ), so serialized bytes — which emit only alive
+    * entries at their logical counts — are unchanged by this
+    * representation. */
   final class State(val k: Int) {
     val counts: mutable.HashMap[String, Long] = mutable.HashMap.empty
     var n: Long = 0L
     var delta: Long = 0L
+    private var base: Long = 0L
 
-    def update(key: String): Unit = {
-      n += 1
+    private val heapOrd =
+      Ordering.by[(Long, String), Long](_._1).reverse // min-heap on raw
+    private var heap =
+      mutable.PriorityQueue.empty[(Long, String)](heapOrd)
+
+    private def push(raw: Long, key: String): Unit = {
+      heap.enqueue((raw, key))
+      if (heap.size > 2 * k + 64) rebuildHeap()
+    }
+
+    private[functions] def rebuildHeap(): Unit = {
+      heap = mutable.PriorityQueue.empty[(Long, String)](heapOrd)
+      counts.foreach { case (kk, r) => heap.enqueue((r, kk)) }
+    }
+
+    /** Pop stale snapshots; the surviving top is the true minimum raw
+      * over the live map (every live raw value was pushed when set). */
+    private def heapMin(): (Long, String) = {
+      while (heap.nonEmpty && !counts.get(heap.head._2).contains(heap.head._1))
+        heap.dequeue()
+      heap.head
+    }
+
+    /** Alive entries at their logical counts. */
+    def logical: Iterator[(String, Long)] =
+      counts.iterator.collect { case (kk, r) if r > base => (kk, r - base) }
+
+    def logicalSize: Int = counts.count { case (_, r) => r > base }
+
+    def logicalGet(key: String): Long =
+      counts.get(key).map(r => math.max(0L, r - base)).getOrElse(0L)
+
+    def update(key: String): Unit = update(key, 1L)
+
+    /** Weighted insert — EXACTLY equivalent to w repeated unit
+      * inserts of the same key (no interleaving can occur inside one
+      * call, so the run of decrements collapses to a single cut =
+      * min(w, min alive count); whatever remains of w enters the
+      * freed slot). This is what makes the (value, count) state-table
+      * rollup face bit-compatible with the raw-row face. */
+    def update(key: String, w: Long): Unit = {
+      require(w >= 0, s"mg weight must be non-negative, got $w")
+      if (w == 0) return
+      n += w
       counts.get(key) match {
-        case Some(c) => counts.update(key, c + 1)
-        case None if counts.size < k => counts.update(key, 1L)
+        case Some(r) if r > base =>
+          counts.update(key, r + w); push(r + w, key)
+        case Some(_) =>
+          // Logically absent but still holding its own slot: resurrect.
+          counts.update(key, base + w); push(base + w, key)
+        case None if counts.size < k =>
+          counts.update(key, base + w); push(base + w, key)
         case None =>
-          // Decrement ALL k counters and drop the incoming occurrence
-          // with them: k+1 occurrences retired per unit of delta.
-          delta += 1
-          val dead = mutable.ArrayBuffer.empty[String]
-          counts.foreach { case (kk, c) =>
-            if (c == 1L) dead += kk else counts.update(kk, c - 1)
+          val (mr, mk) = heapMin()
+          if (mr <= base) {
+            // A dead entry holds a free slot: reclaim it.
+            heap.dequeue()
+            counts.remove(mk)
+            counts.update(key, base + w); push(base + w, key)
+          } else {
+            // All k slots alive: retire min(w, minAlive) rounds of the
+            // (k+1)-way decrement in one batch.
+            val cut = math.min(w, mr - base)
+            base += cut
+            delta += cut
+            if (w > cut) {
+              // cut == minAlive, so the min entry just died — its slot
+              // takes the remainder of the incoming weight.
+              heap.dequeue()
+              counts.remove(mk)
+              counts.update(key, base + (w - cut)); push(base + (w - cut), key)
+            }
           }
-          dead.foreach(counts.remove)
+      }
+    }
+
+    /** Rewrite raw values to logical form (base = 0, dead evicted) —
+      * the normalization serialization and merge work on. */
+    private def normalize(): Unit = {
+      if (base > 0L || counts.size > logicalSize) {
+        val alive = logical.toArray
+        counts.clear()
+        alive.foreach { case (kk, c) => counts.update(kk, c) }
+        base = 0L
+        rebuildHeap()
       }
     }
 
@@ -77,9 +165,10 @@ object MisraGries {
       require(o.k == k,
         s"mg merge requires equal k, got $k vs ${o.k} — build the " +
           "state table and its rollup with the same counters argument")
+      normalize()
       n += o.n
       delta += o.delta
-      o.counts.foreach { case (kk, c) =>
+      o.logical.foreach { case (kk, c) =>
         counts.update(kk, counts.getOrElse(kk, 0L) + c)
       }
       if (counts.size > k) {
@@ -93,13 +182,14 @@ object MisraGries {
         }
         dead.foreach(counts.remove)
       }
+      rebuildHeap()
     }
   }
 
   /** Canonical bytes: k, n, delta, then entries KEY-SORTED (exact-mode
     * sketches become a pure function of the multiset). */
   def serialize(st: State): Array[Byte] = {
-    val entries = st.counts.toArray.sortBy(_._1)
+    val entries = st.logical.toArray.sortBy(_._1)
     val keyBytes = entries.map(_._1.getBytes(StandardCharsets.UTF_8))
     val bb = ByteBuffer.allocate(
       4 + 8 + 8 + 4 + keyBytes.map(_.length + 4 + 8).sum)
@@ -125,11 +215,12 @@ object MisraGries {
       st.counts.update(new String(kb, StandardCharsets.UTF_8), bb.getLong)
       c -= 1
     }
+    st.rebuildHeap()
     st
   }
 
   def estimate(bytes: Array[Byte], key: String): Long =
-    deserialize(bytes).counts.getOrElse(key, 0L)
+    deserialize(bytes).logicalGet(key)
 
   def delta(bytes: Array[Byte]): Long = deserialize(bytes).delta
 
@@ -170,24 +261,36 @@ object MisraGries {
   }
 }
 
-/** `mg_sketch_agg(key[, k])` — build the k-counter summary from raw
-  * keys (map-side mergeable: the shuffle carries ≤ k entries). */
+/** `mg_sketch_agg(key[, k[, weight]])` — build the k-counter summary
+  * from raw keys (map-side mergeable: the shuffle carries ≤ k
+  * entries). The optional WEIGHT column (long/int, per row) is the
+  * (value, count) state-table face: a weighted insert is exactly
+  * equivalent to `weight` repeated unit inserts, so sketching a
+  * pre-aggregated rollup needs no re-explode to rows — and in the
+  * exact window (≤ k distinct keys) the bytes match the raw-row
+  * sketch bit-for-bit at any split (canonical serialization). */
 case class MgSketchAgg(
     child: Expression,
     kExpr: Expression,
+    weightExpr: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[MisraGries.State]
-    with BinaryLike[Expression] {
+    with TernaryLike[Expression] {
 
-  def this(child: Expression) = this(child, Literal(MisraGries.DefaultK))
+  def this(child: Expression) =
+    this(child, Literal(MisraGries.DefaultK), Literal(1L))
 
-  override def left: Expression = child
-  override def right: Expression = kExpr
+  override def first: Expression = child
+  override def second: Expression = kExpr
+  override def third: Expression = weightExpr
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType | LongType | IntegerType =>
-      MisraGries.checkK(kExpr, prettyName)
+      if (weightExpr.dataType != LongType && weightExpr.dataType != IntegerType)
+        TypeCheckResult.TypeCheckFailure(
+          s"mg_sketch_agg weight must be long or int, got ${weightExpr.dataType}")
+      else MisraGries.checkK(kExpr, prettyName)
     case other => TypeCheckResult.TypeCheckFailure(
       s"mg_sketch_agg requires string, long, or int keys, got $other")
   }
@@ -204,7 +307,11 @@ case class MgSketchAgg(
   override def update(buffer: MisraGries.State,
       input: InternalRow): MisraGries.State = {
     val v = child.eval(input)
-    if (v != null) buffer.update(v.toString)
+    if (v != null) {
+      val w = weightExpr.eval(input)
+      if (w != null) buffer.update(v.toString,
+        w.asInstanceOf[Number].longValue())
+    }
     buffer
   }
 
@@ -225,17 +332,18 @@ case class MgSketchAgg(
     copy(mutableAggBufferOffset = newOffset)
   override def withNewInputAggBufferOffset(newOffset: Int): MgSketchAgg =
     copy(inputAggBufferOffset = newOffset)
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): MgSketchAgg =
-    copy(child = newLeft, kExpr = newRight)
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): MgSketchAgg =
+    copy(child = newFirst, kExpr = newSecond, weightExpr = newThird)
 }
 
 object MgSketchAgg {
   def fromArgs(exprs: Seq[Expression]): MgSketchAgg = exprs match {
     case Seq(c) => new MgSketchAgg(c)
-    case Seq(c, k) => MgSketchAgg(c, k)
+    case Seq(c, k) => MgSketchAgg(c, k, Literal(1L))
+    case Seq(c, k, w) => MgSketchAgg(c, k, w)
     case _ => throw new IllegalArgumentException(
-      s"mg_sketch_agg expects (key[, k]), got ${exprs.length} arguments")
+      s"mg_sketch_agg expects (key[, k[, weight]]), got ${exprs.length} arguments")
   }
 }
 

@@ -4648,6 +4648,116 @@ object EventsOps {
     },
 
     Q(
+      "q_mg_weighted",
+      "the WEIGHTED-INSERT face of q_mg_heavy — (key, count) rollups " +
+        "feed mg_sketch_agg(key, k, w) without re-exploding to rows. " +
+        "A weighted insert is EXACTLY w repeated unit inserts " +
+        "(functions/MisraGries.scala: the decrement run collapses to " +
+        "one batched cut), so in the exact window the rollup-built " +
+        "bytes equal the raw-row bytes bit-for-bit — gated here as a " +
+        "hard flag (type_bytes_match, md5-compared inside Spark) on " +
+        "the 5-key event_type face. The 1500-user k=32 face exercises " +
+        "real decrements through weights and re-verifies the FULL " +
+        "carried certificate (no overestimate / within-Δ / coverage / " +
+        "a-priori Δ·(k+1) ≤ n) over every user. At 100 TB the rollup " +
+        "is the q_agg_incremental state table: heavy-hitter summaries " +
+        "refresh from per-slice (key, count) partials at O(#distinct) " +
+        "not O(#events) sketch-insert cost",
+      Some(
+        """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+          |  CAST(1 AS BIGINT) AS type_bytes_match,
+          |  CAST(1 AS BIGINT) AS type_mg_exact,
+          |  CAST(1 AS BIGINT) AS user_coverage_ok,
+          |  CAST(1 AS BIGINT) AS user_no_overestimate,
+          |  CAST(1 AS BIGINT) AS user_within_delta,
+          |  CAST(1 AS BIGINT) AS delta_bound_ok
+          |FROM events GROUP BY event_type ORDER BY event_type"""
+          .stripMargin),
+    ) { (s, dir) =>
+      graft.functions.MisraGries.register(s)
+      val ev = Tables.events(s, dir).select(col("event_type"), col("user_id"))
+      // Exact-window face: raw rows vs the (event_type, count) rollup.
+      val typeRaw = ev.agg(expr("mg_sketch_agg(event_type, 8)").as("raw_sk"))
+      val typeRollup = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("w"))
+        .agg(expr("mg_sketch_agg(event_type, 8, w)").as("roll_sk"))
+      // Decrement face: the (user_id, count) rollup through k = 32.
+      val userRollup = ev.groupBy("user_id").agg(count(lit(1)).as("n_u"))
+      val userSk = userRollup
+        .agg(expr("mg_sketch_agg(CAST(user_id AS STRING), 32, n_u)")
+          .as("usk"), sum(col("n_u")).as("n_total"))
+      val uflags = userRollup.crossJoin(broadcast(userSk))
+        .select(col("n_u"), col("n_total"),
+          expr("mg_estimate(usk, CAST(user_id AS STRING))").as("est"),
+          expr("mg_delta(usk)").as("du"))
+        .agg(max(when(col("est") === 0L, col("n_u")).otherwise(0L))
+            .as("max_absent"),
+          sum(when(col("est") > col("n_u"), 1L).otherwise(0L)).as("overest"),
+          sum(when(col("est") < col("n_u") - col("du"), 1L).otherwise(0L))
+            .as("under"),
+          max(col("du")).as("du"), max(col("n_total")).as("n_total"))
+      ev.groupBy("event_type").agg(count(lit(1)).as("n_events"))
+        .crossJoin(broadcast(typeRaw))
+        .crossJoin(broadcast(typeRollup))
+        .crossJoin(broadcast(uflags))
+        .select(col("event_type"), col("n_events"),
+          (md5(col("raw_sk")) === md5(col("roll_sk"))).cast("long")
+            .as("type_bytes_match"),
+          (expr("mg_estimate(roll_sk, event_type)") === col("n_events")
+            && expr("mg_delta(roll_sk)") === 0L).cast("long")
+            .as("type_mg_exact"),
+          (col("max_absent") <= col("du")).cast("long")
+            .as("user_coverage_ok"),
+          (col("overest") === 0L).cast("long").as("user_no_overestimate"),
+          (col("under") === 0L).cast("long").as("user_within_delta"),
+          (col("du") * 33L <= col("n_total")).cast("long")
+            .as("delta_bound_ok"))
+        .orderBy("event_type")
+    },
+
+    Q(
+      "q_cms_weighted",
+      "the WEIGHTED-INSERT face of the count-min family: the " +
+        "(user_id, count) rollup feeds cms_sketch_agg(user_id, 4096, " +
+        "4, w), and LINEARITY makes the claim maximal — counters += w " +
+        "is byte-identical to w unit inserts at ANY partitioning or " +
+        "merge order, so the gate pins rollup bytes == raw-row bytes " +
+        "as a hard md5 flag (functions/CountMin.scala), then re-runs " +
+        "the never-underestimate and e·N/w bound checks on the top-10 " +
+        "keys from the rollup-built sketch. At 100 TB: the rollup is " +
+        "O(#users) not O(#events), the sketch state is 128 KB, and " +
+        "the refresh path never touches raw rows",
+      Some(
+        """WITH top AS (
+          |  SELECT user_id, count(*) AS n_events FROM events
+          |  GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 10)
+          |SELECT user_id, n_events,
+          |  CAST(1 AS BIGINT) AS bytes_match,
+          |  CAST(1 AS BIGINT) AS no_underestimate,
+          |  CAST(1 AS BIGINT) AS within_bound
+          |FROM top ORDER BY n_events DESC, user_id""".stripMargin),
+    ) { (s, dir) =>
+      graft.functions.CountMin.register(s)
+      val e = Tables.events(s, dir).select(col("user_id"))
+      val raw = e.agg(expr("cms_sketch_agg(user_id)").as("raw_sk"),
+        count(lit(1)).as("n_total"))
+      val rollup = e.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      val viaW = rollup
+        .agg(expr("cms_sketch_agg(user_id, 4096, 4, n_events)").as("sk"))
+      val top = rollup
+        .orderBy(col("n_events").desc, col("user_id")).limit(10)
+      top.crossJoin(broadcast(raw)).crossJoin(broadcast(viaW))
+        .selectExpr("user_id", "n_events",
+          "CAST(md5(sk) = md5(raw_sk) AS BIGINT) AS bytes_match",
+          "cms_estimate(sk, user_id) AS est", "n_total")
+        .selectExpr("user_id", "n_events", "bytes_match",
+          "CAST(est >= n_events AS BIGINT) AS no_underestimate",
+          "CAST(est - n_events <= (3 * n_total) DIV 4096 AS BIGINT)"
+            + " AS within_bound")
+        .orderBy(col("n_events").desc, col("user_id"))
+    },
+
+    Q(
       "q_permutation_test",
       s"RANDOMIZATION (permutation) test on the arm mean difference: " +
         s"$PermDraws deterministic re-assignments of USERS (the " +

@@ -710,6 +710,75 @@ object Relational {
     },
 
     Q(
+      "q_kll_weighted",
+      "the WEIGHTED-INSERT face of q_kll_quantiles — the state-table " +
+        "deployment made direct: a (value, count) rollup feeds " +
+        "kll_sketch_agg(v, 256, w) WITHOUT re-exploding to rows " +
+        "(binary-decomposed O(log w) inserts, exact weight " +
+        "conservation, the same deterministic certificate — " +
+        "functions/Kll.scala). Exact quantiles ride along via " +
+        "percentile's frequency argument over the same rollup; the " +
+        "CDF-bracket flags verify the sketch against the rollup's own " +
+        "weights, so the whole row is two scans of a #distinct-values-" +
+        "bounded table. At 100 TB the rollup IS the q_agg_incremental " +
+        "state table: sketches refresh from per-slice (value, count) " +
+        "partials, never from raw rows",
+      Some(
+        """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+          |  round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+          |  round(quantile_cont(l_quantity, 0.95), 6) AS p95_qty,
+          |  CAST(1 AS BIGINT) AS n_conserved,
+          |  CAST(1 AS BIGINT) AS p50_bracket_ok,
+          |  CAST(1 AS BIGINT) AS p95_bracket_ok
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+          .stripMargin),
+    ) { (s, dir) =>
+      graft.functions.Kll.register(s)
+      // The (value, count) state table — the only thing the sketch
+      // pass ever reads.
+      val rollup = Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("w"))
+      val sk = rollup.groupBy("l_returnflag")
+        .agg(sum(col("w")).as("n_rows"),
+          round(expr("percentile(l_quantity, 0.5, w)"), 6).as("p50_qty"),
+          round(expr("percentile(l_quantity, 0.95, w)"), 6).as("p95_qty"),
+          expr("kll_sketch_agg(l_quantity, 256, w)").as("sk"))
+        .select(col("l_returnflag"), col("n_rows"), col("p50_qty"),
+          col("p95_qty"),
+          expr("kll_quantile(sk, 0.5D)").as("e50"),
+          expr("kll_quantile(sk, 0.95D)").as("e95"),
+          expr("kll_err_bound(sk)").as("eps"),
+          expr("kll_n(sk)").as("kn"))
+      // Bracket verify against the rollup's weights (gate cost only).
+      rollup.join(broadcast(sk), Seq("l_returnflag"))
+        .groupBy("l_returnflag")
+        .agg(max(col("n_rows")).as("n_rows"),
+          max(col("p50_qty")).as("p50_qty"),
+          max(col("p95_qty")).as("p95_qty"),
+          max(col("eps")).as("eps"),
+          max(col("kn")).as("kn"),
+          sum(when(col("l_quantity") < col("e50"), col("w")).otherwise(0L))
+            .as("lt50"),
+          sum(when(col("l_quantity") <= col("e50"), col("w")).otherwise(0L))
+            .as("le50"),
+          sum(when(col("l_quantity") < col("e95"), col("w")).otherwise(0L))
+            .as("lt95"),
+          sum(when(col("l_quantity") <= col("e95"), col("w")).otherwise(0L))
+            .as("le95"))
+        .select(col("l_returnflag"), col("n_rows"), col("p50_qty"),
+          col("p95_qty"),
+          (col("kn") === col("n_rows")).cast("long").as("n_conserved"),
+          (col("lt50").cast("double") / col("n_rows") <= lit(0.5) + col("eps")
+            && col("le50").cast("double") / col("n_rows")
+              >= lit(0.5) - col("eps")).cast("long").as("p50_bracket_ok"),
+          (col("lt95").cast("double") / col("n_rows") <= lit(0.95) + col("eps")
+            && col("le95").cast("double") / col("n_rows")
+              >= lit(0.95) - col("eps")).cast("long").as("p95_bracket_ok"))
+        .orderBy("l_returnflag")
+    },
+
+    Q(
       "q_approx_distinct",
       "the 100 TB distinct path: approx_count_distinct (HLL++, " +
         "rsd=0.01) is mergeable map-side so the shuffle carries " +

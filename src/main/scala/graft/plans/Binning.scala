@@ -189,7 +189,14 @@ private[plans] object Binning {
                   n += 1
                 }
                 s"$n:${acc.map("%02x".format(_)).mkString}"
-              case _ => loc.inputFiles.sorted.mkString(";")
+              case _ =>
+                // Digest the listing rather than embedding it: the
+                // cache key must stay O(16 bytes) even for relations
+                // with very large file listings.
+                val md = java.security.MessageDigest.getInstance("MD5")
+                val names = loc.inputFiles.sorted
+                names.foreach(f => md.update(f.getBytes("UTF-8")))
+                s"${names.length}:${md.digest().map("%02x".format(_)).mkString}"
             }
             Some(s"fs:${loc.rootPaths.mkString(",")}:${loc.sizeInBytes}:$files")
           } catch { case NonFatal(_) => None }

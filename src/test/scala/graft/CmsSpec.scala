@@ -46,6 +46,23 @@ class CmsSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted face: rollup bytes equal the raw-row bytes at any split") {
+    import spark.implicits._
+    CountMin.register(spark)
+    val keys = (0L until 5000L).map(i => i % 97)
+    val raw = keys.toDF("k").repartition(1)
+      .agg(expr("cms_sketch_agg(k)")).collect().head.getAs[Array[Byte]](0)
+    val rollup = keys.groupBy(identity).view
+      .mapValues(_.size.toLong).toSeq
+    for (parts <- Seq(1, 7, 32)) {
+      val viaW = rollup.toDF("k", "w").repartition(parts)
+        .agg(expr("cms_sketch_agg(k, 4096, 4, w)"))
+        .collect().head.getAs[Array[Byte]](0)
+      assert(java.util.Arrays.equals(raw, viaW),
+        s"linearity must make the weighted rollup exact at parts=$parts")
+    }
+  }
+
   test("cms_merge_agg rollup equals the one-shot sketch exactly") {
     import spark.implicits._
     CountMin.register(spark)

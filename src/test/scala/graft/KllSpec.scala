@@ -107,6 +107,73 @@ class KllSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted face, zero compactions: true quantiles of the expanded multiset, n exact") {
+    import spark.implicits._
+    // 40 distinct values with counts up to 37: the (value, count)
+    // rollup face. Weighted inserts land copies at binary-decomposed
+    // levels, so with no compaction the sketch answers TRUE quantiles
+    // of the expanded multiset (every planted copy carries the same
+    // value) even though the bytes are level-shaped.
+    val rollup = (1 to 40).map(i => (i.toDouble, 1L + (i * 7) % 37))
+    val expanded = rollup.flatMap { case (v, w) => Seq.fill(w.toInt)(v) }
+    for (parts <- Seq(1, 7, 32)) {
+      val sk = rollup.toDF("v", "w").repartition(parts)
+        .select(expr("kll_sketch_agg(v, 1024, w)").as("sk"))
+        .collect()(0).getAs[Array[Byte]](0)
+      assert(Kll.isExact(sk), "no compaction should fire at this size")
+      assert(Kll.count(sk) == expanded.length.toLong, "n must be exact")
+      val sorted = expanded.sorted
+      for (q <- QGrid) {
+        val want = sorted(math.max(0, math.ceil(q * sorted.length).toInt - 1))
+        assert(Kll.quantile(sk, q) == want, s"q=$q parts=$parts")
+      }
+    }
+  }
+
+  test("weighted face, compacting: CDF bracket and exact n at every split") {
+    import spark.implicits._
+    // Large weights (up to ~2^17) over a small k force compactions at
+    // the direct-insert levels; the deterministic certificate must
+    // still bracket true ranks of the EXPANDED multiset.
+    val rollup = (1 to 3000).map { i =>
+      val h = (i * 2654435761L) ^ ((i.toLong * 40503L) << 15)
+      (Math.floorMod(h, 100000L).toDouble / 10.0,
+        1L + Math.floorMod(h >> 21, 131072L))
+    }
+    val n = rollup.map(_._2).sum
+    // True ranks from the rollup itself (no expansion needed).
+    def ranks(x: Double): (Double, Double) = {
+      val lt = rollup.collect { case (v, w) if v < x => w }.sum.toDouble / n
+      val le = rollup.collect { case (v, w) if v <= x => w }.sum.toDouble / n
+      (lt, le)
+    }
+    for (parts <- Seq(1, 7, 32)) {
+      val sk = rollup.toDF("v", "w").repartition(parts)
+        .select(expr("kll_sketch_agg(v, 64, w)").as("sk"))
+        .collect()(0).getAs[Array[Byte]](0)
+      assert(Kll.count(sk) == n, "weight conservation through compaction")
+      assert(!Kll.isExact(sk), "compactions must actually fire")
+      val eps = Kll.errBound(sk)
+      assert(eps < 0.5, s"certificate must stay informative, got $eps")
+      for (q <- QGrid) {
+        val (lt, le) = ranks(Kll.quantile(sk, q))
+        assert(lt <= q + eps && le >= q - eps,
+          s"bracket broke at q=$q parts=$parts: lt=$lt le=$le eps=$eps")
+      }
+    }
+  }
+
+  test("weighted face with unit weights is byte-identical to the raw face") {
+    import spark.implicits._
+    val vals = mixed(5000)
+    val raw = sketchBytes(vals, 1, 256)
+    val viaW = vals.map((_, 1L)).toDF("v", "w").repartition(1)
+      .select(expr("kll_sketch_agg(v, 256, w)").as("sk"))
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(viaW.toSeq == raw.toSeq,
+      "w=1 weighted path must reduce to the unweighted path exactly")
+  }
+
   test("exact window through the merge face equals the one-shot bytes") {
     import spark.implicits._
     val vals = mixed(700)

@@ -64,6 +64,72 @@ class MisraGriesSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted face: exact-mode rollup bytes equal the raw-row bytes at 1/7/32 splits") {
+    import spark.implicits._
+    val keys = (1 to 300).map(i => s"k${i % 6}") // 6 distinct, k = 8
+    val raw = sketchOf(keys, 1, 8)
+    val rollup = keys.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    for (parts <- Seq(1, 7, 32)) {
+      val viaWeights = rollup.toDF("key", "w").repartition(parts)
+        .agg(expr("mg_sketch_agg(key, 8, w)").as("sk"))
+        .collect()(0).getAs[Array[Byte]](0)
+      assert(viaWeights.toSeq == raw.toSeq,
+        s"weighted exact-mode bytes diverged at parts=$parts")
+    }
+  }
+
+  test("weighted face under real decrements: certificate holds, n exact") {
+    import spark.implicits._
+    val keys = Seq.fill(1000)("HEAVY") ++ (1 to 3000).map(i => s"tail${i % 600}")
+    val rollup = keys.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    for (parts <- Seq(1, 7, 32)) {
+      val sk = rollup.toDF("key", "w").repartition(parts)
+        .agg(expr("mg_sketch_agg(key, 16, w)").as("sk"))
+        .collect()(0).getAs[Array[Byte]](0)
+      certificateHolds(keys, sk, 16)
+      assert(MisraGries.estimate(sk, "HEAVY") >=
+        1000L - MisraGries.delta(sk))
+    }
+  }
+
+  test("lazy-offset State matches an eager reference on random streams") {
+    // The production State batches decrements through a base offset +
+    // lazy dead-slot reclaim; this pins its LOGICAL state (stored
+    // counts, delta, n) to the textbook eager algorithm, update by
+    // update, on adversarial near-all-distinct and skewed streams.
+    final class Eager(k: Int) {
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      var n = 0L; var delta = 0L
+      def update(key: String, w: Long): Unit = (1L to w).foreach { _ =>
+        n += 1
+        m.get(key) match {
+          case Some(c) => m.update(key, c + 1)
+          case None if m.size < k => m.update(key, 1L)
+          case None =>
+            delta += 1
+            val ks = m.keys.toSeq
+            ks.foreach(kk => m.update(kk, m(kk) - 1))
+            ks.filter(m(_) == 0L).foreach(m.remove)
+        }
+      }
+    }
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 1 to 5; k <- Seq(2, 5, 16)) {
+      val eager = new Eager(k)
+      val lazyS = new MisraGries.State(k)
+      (1 to 2000).foreach { _ =>
+        val key = s"x${rnd.nextInt(if (trial % 2 == 0) 40 else 1500)}"
+        val w = 1L + rnd.nextInt(4)
+        eager.update(key, w)
+        lazyS.update(key, w)
+      }
+      assert(lazyS.n == eager.n && lazyS.delta == eager.delta,
+        s"trial=$trial k=$k: n/delta diverged")
+      assert(lazyS.logical.toMap == eager.m.toMap,
+        s"trial=$trial k=$k: stored counts diverged")
+    }
+  }
+
   test("merge face: per-slice partials keep the certificate and exactness") {
     import spark.implicits._
     val keys = Seq.fill(500)("HEAVY") ++ (1 to 2000).map(i => s"t${i % 300}")
