@@ -1503,6 +1503,69 @@ object DedupOps {
     },
 
     Q(
+      "q_jaccard_join",
+      "the RELATIVE-threshold similarity join real dedup pipelines " +
+        "write — `JOIN ON size(array_intersect(a,b)) >= 0.875 * " +
+        "size(array_union(a,b))` — planned by OverlapJoinBlocking's " +
+        "PPJoin face (Xiao et al. 2008): PER-ROW prefix lengths " +
+        "n − ⌈t·n⌉ + 1 (a near-duplicate pair must share a token " +
+        "within each side's first (1−t)-fraction under the global " +
+        "order) plus the exact LENGTH filter |B| ≥ ⌈t·|A|⌉ pruning " +
+        "candidates before any set build, original predicate as the " +
+        "verify, canonical min-token dedup preserving multiplicity. " +
+        "t = 0.875 = 7/8 is dyadic, so Spark's double arithmetic and " +
+        "DuckDB's exact decimal agree bit-for-bit at every tie (the " +
+        "q_phash_dup convention). The (n_shared, n_union) rollup " +
+        "keeps output bounded while the id checksum verifies the " +
+        "pair SET. NestedLoop-free is pinned here and in " +
+        "OverlapRuleSpec (both spellings, strict/inclusive, the ∅-∅ " +
+        "sentinel, t-range passthrough guards). At 100 TB: one " +
+        "token-keyed shuffle whose fan-out is the (1−t)-prefix — at " +
+        "t = 0.875 that is ~1/8 of q_overlap_join's per-row cost — " +
+        "AQE-skew-splittable, never all-pairs",
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, list_distinct(list_filter(
+          |    string_split(lower(text), ' '), x -> x <> '')) AS toks
+          |  FROM documents
+          |), p AS (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |    len(list_intersect(a.toks, b.toks)) AS n_shared,
+          |    len(list_distinct(list_concat(a.toks, b.toks))) AS n_union
+          |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+          |    AND len(list_intersect(a.toks, b.toks))
+          |        >= 0.875 * len(list_distinct(list_concat(a.toks, b.toks)))
+          |)
+          |SELECT CAST(n_shared AS BIGINT) AS n_shared,
+          |  CAST(n_union AS BIGINT) AS n_union,
+          |  CAST(count(*) AS BIGINT) AS n_pairs,
+          |  CAST(sum(doc_a + doc_b) AS BIGINT) AS id_checksum
+          |FROM p GROUP BY n_shared, n_union
+          |ORDER BY n_shared, n_union""".stripMargin),
+    ) { (s, dir) =>
+      graft.plans.OverlapJoinBlocking.register(s)
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        array_distinct(expr("filter(split(lower(text), ' '), x -> x <> '')"))
+          .as("toks"))
+      val a = d.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
+      val b = d.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
+      a.join(b,
+        size(array_intersect(col("toks_a"), col("toks_b")))
+          >= lit(0.875) * size(array_union(col("toks_a"), col("toks_b")))
+          && col("doc_a") < col("doc_b"))
+        .select(
+          size(array_intersect(col("toks_a"), col("toks_b"))).cast("long")
+            .as("n_shared"),
+          size(array_union(col("toks_a"), col("toks_b"))).cast("long")
+            .as("n_union"),
+          col("doc_a"), col("doc_b"))
+        .groupBy("n_shared", "n_union")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("doc_a") + col("doc_b")).as("id_checksum"))
+        .orderBy("n_shared", "n_union")
+    },
+
+    Q(
       "q_entity_dedup",
       "END-TO-END entity resolution: fuzzy pair generation (SymSpell " +
         "deletion-neighborhood equi-join at edit distance <= 1 over " +

@@ -34,6 +34,10 @@ object MultimodalOps {
   private val NumParts = 4
   private val BatchSize = 32
 
+  /** BMP fixture population: doc_id < 200 exists at every SF, so the
+    * decode gate is scale-constant by construction. */
+  private val BmpAssets = 200
+
   /** q_phash_dup shape: 32 byte samples → 32-bit signature, 2×16-bit
     * bands, hamming radius 4. Declared before `val all` — the oracle
     * strings are built eagerly at object init. */
@@ -123,16 +127,148 @@ object MultimodalOps {
     def getPartition(key: Any): Int = key.asInstanceOf[(Long, Long)]._1.toInt
   }
 
+  /** THE BATCH-DECODE SEAM — the one pipeline both decoder queries
+    * share: deterministic mod-N placement + in-partition key order +
+    * fixed-size batches via `mapPartitions` (the mapInPandas/Arrow
+    * shape). The decoder is an ARGUMENT: swapping the digest stub for
+    * the real BMP parser changes this one function value and nothing
+    * about placement, ordering, or batching — BmpSwapSpec pins batch
+    * membership identical under both decoders. */
+  private[graft] def decodedBatches[T: scala.reflect.ClassTag](
+      payloads: org.apache.spark.rdd.RDD[(Long, Array[Byte])],
+      decode: Seq[(Long, Array[Byte])] => Seq[T])
+      : org.apache.spark.rdd.RDD[(Long, Long, T)] =
+    payloads.map { case (id, p) => (id % NumParts, id) -> ((id, p)) }
+      .repartitionAndSortWithinPartitions(new ModPartitioner(NumParts))
+      .mapPartitionsWithIndex { (part, it) =>
+        it.map(_._2).grouped(BatchSize).zipWithIndex.flatMap { case (batch, bi) =>
+          decode(batch).map(t => (part.toLong, bi.toLong, t))
+        }
+      }
+
   /** The stubbed media decoder: one call per batch, like a real
-    * vectorized decoder. Returns (doc_id, n_bytes, digest60). */
+    * vectorized decoder. Returns (doc_id, n_bytes, digest60) — byte
+    * digests standing where features would. [[BmpDecoder]] is the
+    * REAL decoder behind the same seam. */
   private object StubDecoder {
     def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[(Long, Long, Long)] = {
       val md = java.security.MessageDigest.getInstance("MD5")
       batch.map { case (id, payload) =>
-        // A real decoder would parse the container format here (???).
         val hex = md.digest(payload).map("%02x".format(_)).mkString.take(15)
         (id, payload.length.toLong, java.lang.Long.parseLong(hex, 16))
       }
+    }
+  }
+
+  /** Deterministic BMP FIXTURE — the salted-asset convention (the
+    * q_pii_scrub precedent): each doc_id maps to a closed-form 24bpp
+    * bottom-up Windows BMP (BITMAPINFOHEADER, BI_RGB, 4-byte-padded
+    * row stride — widths 5/6/7 genuinely pad), with a planted vertical
+    * brightness edge in the red channel. The ORACLE recomputes the
+    * same closed form directly from doc_id, so any decoder misparse —
+    * stride, data offset, bottom-up order (caught by the y-weighted
+    * moment), BGR vs RGB (channels use distinct formulas) — breaks the
+    * hash compare. Public format facts only (the BMP layout is
+    * published in every imaging reference). */
+  private[graft] object BmpFixture {
+    def width(d: Long): Int = 4 + (d % 5).toInt    // [4, 8]
+    def height(d: Long): Int = 3 + (d % 4).toInt   // [3, 6]
+    def edge(d: Long): Int = 1 + (d % (width(d) - 1)).toInt // [1, W-1]
+    def b(d: Long, x: Int, y: Int): Int = ((d + 3 * x + 7 * y) % 256).toInt
+    def g(d: Long, x: Int, y: Int): Int = ((2 * d + 5 * x + 11 * y) % 256).toInt
+    /** Red: small texture mod 50 plus a +200 step at x ≥ edge — the
+      * adjacent-column sum jump is ≥ 163·H at the edge and ≤ 37·H
+      * elsewhere, so the argmax is provably the planted position. */
+    def r(d: Long, x: Int, y: Int): Int =
+      ((3 * d + 13 * x + 17 * y) % 50).toInt + (if (x >= edge(d)) 200 else 0)
+
+    def encode(d: Long): Array[Byte] = {
+      val w = width(d)
+      val h = height(d)
+      val stride = ((3 * w + 3) / 4) * 4
+      val size = 54 + stride * h
+      val bb = java.nio.ByteBuffer.allocate(size)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(size)
+        .putShort(0).putShort(0).putInt(54)          // reserved, data offset
+      bb.putInt(40).putInt(w).putInt(h)              // header size, dims
+        .putShort(1).putShort(24)                    // planes, bpp
+        .putInt(0).putInt(stride * h)                // BI_RGB, image size
+        .putInt(2835).putInt(2835).putInt(0).putInt(0)
+      var y = h - 1                                  // bottom-up row order
+      while (y >= 0) {
+        var x = 0
+        while (x < w) {
+          bb.put(b(d, x, y).toByte).put(g(d, x, y).toByte).put(r(d, x, y).toByte)
+          x += 1
+        }
+        var pad = 3 * w
+        while (pad < stride) { bb.put(0.toByte); pad += 1 }
+        y -= 1
+      }
+      bb.array()
+    }
+  }
+
+  /** Per-asset decoded-pixel statistics (all exact BIGINTs — no float
+    * discipline needed at the gate). */
+  private[graft] final case class BmpStats(
+      doc_id: Long, width: Long, height: Long, n_pixels: Long,
+      sum_b: Long, sum_g: Long, sum_r: Long, y_moment: Long, edge_x: Long)
+
+  /** The REAL decoder behind the batch seam: parses the BMP container
+    * from its published byte layout — magic, little-endian data offset
+    * (10), width (18), height (22), bpp (28), compression (30),
+    * 4-byte-aligned row stride, bottom-up row order, BGR pixel order —
+    * and emits per-asset statistics where the stub emitted digests.
+    * Offset/stride arithmetic only; no imaging library. */
+  private[graft] object BmpDecoder {
+    private def le32(p: Array[Byte], off: Int): Int =
+      (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8) |
+        ((p(off + 2) & 0xff) << 16) | ((p(off + 3) & 0xff) << 24)
+    private def le16(p: Array[Byte], off: Int): Int =
+      (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
+
+    def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[BmpStats] =
+      batch.map { case (id, p) => decodeOne(id, p) }
+
+    def decodeOne(id: Long, p: Array[Byte]): BmpStats = {
+      require(p(0) == 'B'.toByte && p(1) == 'M'.toByte, s"asset $id: not a BMP")
+      val dataOff = le32(p, 10)
+      val w = le32(p, 18)
+      val h = le32(p, 22) // positive ⇒ bottom-up, per the format
+      require(h > 0, s"asset $id: top-down BMPs not produced by this fixture")
+      require(le16(p, 28) == 24, s"asset $id: only 24bpp supported")
+      require(le32(p, 30) == 0, s"asset $id: only BI_RGB supported")
+      val stride = ((3 * w + 3) / 4) * 4
+      var sumB = 0L; var sumG = 0L; var sumR = 0L; var yMom = 0L
+      val colR = new Array[Long](w)
+      var y = 0
+      while (y < h) {
+        val rowOff = dataOff + (h - 1 - y) * stride
+        var x = 0
+        while (x < w) {
+          val o = rowOff + 3 * x
+          val bv = p(o) & 0xff
+          val gv = p(o + 1) & 0xff
+          val rv = p(o + 2) & 0xff
+          sumB += bv; sumG += gv; sumR += rv
+          yMom += (y + 1).toLong * bv
+          colR(x) += rv
+          x += 1
+        }
+        y += 1
+      }
+      var bestX = 1
+      var bestD = Long.MinValue
+      var x = 1
+      while (x < w) {
+        val d = colR(x) - colR(x - 1)
+        if (d > bestD) { bestD = d; bestX = x }
+        x += 1
+      }
+      BmpStats(id, w.toLong, h.toLong, w.toLong * h,
+        sumB, sumG, sumR, yMom, bestX.toLong)
     }
   }
 
@@ -158,19 +294,76 @@ object MultimodalOps {
       val payloads = Tables.documents(s, dir)
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
         .as[(Long, Array[Byte])].rdd
-        .map { case (id, p) => (id % NumParts, id) -> ((id, p)) }
-      // Deterministic placement + order → reproducible batches.
-      val placed = payloads
-        .repartitionAndSortWithinPartitions(new ModPartitioner(NumParts))
-      val decoded = placed.mapPartitionsWithIndex { (part, it) =>
-        it.map(_._2).grouped(BatchSize).zipWithIndex.flatMap { case (batch, bi) =>
-          StubDecoder.decodeBatch(batch).map { case (id, n, digest) =>
-            (id, part.toLong, bi.toLong, n, digest)
-          }
-        }
-      }
+      val decoded = decodedBatches(payloads, StubDecoder.decodeBatch)
+        .map { case (part, bi, (id, n, digest)) => (id, part, bi, n, digest) }
       s.createDataset(decoded)
         .toDF("doc_id", "part_id", "batch_seq", "n_bytes", "digest")
+        .orderBy("doc_id")
+    },
+
+    Q(
+      "q_image_decode",
+      "the REAL decoder behind the q_multimodal_batch seam — the stub " +
+        "retired on an actual container format: deterministic 24bpp " +
+        "BMPs (public byte layout: LE header fields, 4-byte-padded " +
+        "stride — widths 5/6/7 genuinely pad — bottom-up rows, BGR " +
+        "order) are salted per doc_id (the q_pii_scrub closed-form " +
+        "convention), batched through the IDENTICAL placement/order/" +
+        "batch pipeline (decodedBatches — one function value swapped, " +
+        "BmpSwapSpec pins batch membership unchanged), and parsed by " +
+        "offset/stride arithmetic into exact-BIGINT pixel statistics: " +
+        "per-channel sums, a y-weighted moment (catches top-down " +
+        "misparse — plain sums are row-order invariant), and the " +
+        "planted red-channel edge recovered as the argmax adjacent-" +
+        "column jump (≥163·H at the edge vs ≤37·H of texture — " +
+        "provably unique). The oracle recomputes every statistic from " +
+        "the closed form, so stride/offset/channel/row-order bugs all " +
+        "break the hash. At 100 TB this is the production shape: " +
+        "decode cost rides map-side in payload-pruned batches, only " +
+        "KB-sized stats ever shuffle",
+      Some(
+        s"""WITH a AS (
+           |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+           |    1 + doc_id % (3 + doc_id % 5) AS edge
+           |  FROM documents WHERE doc_id < $BmpAssets
+           |)
+           |SELECT doc_id,
+           |  CAST(doc_id % $NumParts AS BIGINT) AS part_id,
+           |  CAST(floor((row_number() OVER (PARTITION BY doc_id % $NumParts
+           |        ORDER BY doc_id) - 1) / $BatchSize) AS BIGINT) AS batch_seq,
+           |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           |  CAST(w * h AS BIGINT) AS n_pixels,
+           |  CAST(list_sum(list_transform(range(w * h),
+           |    i -> (doc_id + 3 * (i % w) + 7 * (i // w)) % 256)) AS BIGINT)
+           |    AS sum_b,
+           |  CAST(list_sum(list_transform(range(w * h),
+           |    i -> (2 * doc_id + 5 * (i % w) + 11 * (i // w)) % 256)) AS BIGINT)
+           |    AS sum_g,
+           |  CAST(list_sum(list_transform(range(w * h),
+           |    i -> (3 * doc_id + 13 * (i % w) + 17 * (i // w)) % 50
+           |         + CASE WHEN i % w >= edge THEN 200 ELSE 0 END)) AS BIGINT)
+           |    AS sum_r,
+           |  CAST(list_sum(list_transform(range(w * h),
+           |    i -> ((i // w) + 1) * ((doc_id + 3 * (i % w) + 7 * (i // w)) % 256)))
+           |    AS BIGINT) AS y_moment,
+           |  CAST(edge AS BIGINT) AS edge_x
+           |FROM a ORDER BY doc_id""".stripMargin),
+    ) { (s, dir) =>
+      import s.implicits._
+      // Salt the BMP payloads (fixture synthesis, executor-side); the
+      // operator under test is everything after this line.
+      val payloads = Tables.documents(s, dir)
+        .filter(col("doc_id") < BmpAssets)
+        .select(col("doc_id")).as[Long].rdd
+        .map(id => (id, BmpFixture.encode(id)))
+      val decoded = decodedBatches(payloads, BmpDecoder.decodeBatch)
+        .map { case (part, bi, st) =>
+          (st.doc_id, part, bi, st.width, st.height, st.n_pixels,
+            st.sum_b, st.sum_g, st.sum_r, st.y_moment, st.edge_x)
+        }
+      s.createDataset(decoded)
+        .toDF("doc_id", "part_id", "batch_seq", "width", "height",
+          "n_pixels", "sum_b", "sum_g", "sum_r", "y_moment", "edge_x")
         .orderBy("doc_id")
     },
 

@@ -108,6 +108,26 @@ import org.apache.spark.sql.types._
   * nested loop is the alternative. q_overlap_join runs through this
   * rule; OverlapRuleSpec pins result equality with the un-rewritten
   * plan and the NestedLoop-free shape.
+  *
+  * == The relative-Jaccard face ==
+  *
+  * The rule also plans `size(array_intersect(a,b)) >= t *
+  * size(array_union(a,b))` and the division spelling
+  * `size(∩)/size(∪) >= t` (PPJoin proper, Xiao et al. 2008) — the
+  * threshold real dedup pipelines actually write — through the same
+  * machinery with PER-ROW prefix lengths n − ⌈t·n⌉ + 1 and the exact
+  * LENGTH filter |distinct(B)| ≥ ⌈t·|distinct(A)|⌉ pruning candidates
+  * inside the blocked join; q_jaccard_join runs through it. The
+  * rounding-soundness contract (α computed by the predicate's own
+  * arithmetic — exact integer form for decimal t, the identical
+  * correctly-rounded double product for double t, one token of slack
+  * for the division spelling's extra rounding) and the ∅-∅ sentinel
+  * for the inclusive multiply spelling are documented at the matcher
+  * below. One caveat is inherited from Catalyst's own contract: under
+  * ANSI mode the unrewritten division spelling would raise
+  * DIVIDE_BY_ZERO on an ∅-∅ pair the blocked plan never materializes
+  * — the same class of error-visibility change Spark's own predicate
+  * pushdown permits.
   */
 object OverlapJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -241,6 +261,160 @@ object OverlapJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // RELATIVE-JACCARD face (PPJoin proper, Xiao et al. 2008): plan
+  //   JOIN ... ON size(array_intersect(a,b)) >= t * size(array_union(a,b))
+  // (and the division spelling intersect/union >= t) through the same
+  // prefix machinery, with PER-ROW prefix lengths and the exact LENGTH
+  // filter. The soundness chain, per side A with n = |distinct(A)|:
+  // J(A,B) >= t  ⇒  |A∩B| >= t·|A∪B| >= t·n  ⇒  |A∩B| >= ⌈t·n⌉ =: α(n),
+  // so the sorted (n − α + 1)-prefix of EACH side must contain a shared
+  // token (the asymmetric prefix lemma: min(A∩B) sits within both
+  // prefixes — which is also why the canonical array_min dedup carries
+  // over unchanged), and |distinct(B)| >= α(|distinct(A)|) is the exact
+  // length filter pruning candidates before the set build.
+  //
+  // α is computed BY THE SAME ARITHMETIC the predicate itself uses, so
+  // rounding can never make the prefix too short: a DECIMAL t (the SQL
+  // literal spelling) takes the exact integer form ⌈T·n/10^s⌉ =
+  // (T·n + 10^s − 1) div 10^s; a DOUBLE t (the DataFrame lit() spelling)
+  // takes ceil over the same correctly-rounded double product the
+  // predicate compares against — monotone in n, so |A∩B| >= t ⊗ |A∪B|
+  // >= t ⊗ n implies the integer |A∩B| clears ceil(t ⊗ n). The DIVISION
+  // spelling's extra float rounding gets one token of slack (α − 1).
+  // Any qualifying pair shares >= 1 token (t > 0), so α clamps at 1 —
+  // EXCEPT the inclusive multiply spelling's ∅-∅ pair (0 >= t·0 holds):
+  // those rows block on a sentinel prefix token and the canonical
+  // filter coalesces the empty shared-intersect min onto the sentinel.
+  // t outside (0, 1] (or a decimal too wide for exact arithmetic)
+  // passes through unrewritten.
+  // ---------------------------------------------------------------------
+
+  private val Sentinel = " "
+
+  /** How the matched conjunct constrains a pair: a fixed absolute
+    * overlap, or a relative Jaccard threshold (exact decimal or
+    * double), with `slack` 1 for the division spelling and `strict`
+    * marking `>`. */
+  private sealed trait Req
+  private case class AbsOverlap(t: Int) extends Req
+  private case class RelJaccard(t: Either[(Long, Long), Double],
+      slack: Int, strict: Boolean) extends Req {
+    /** `0 >= t·0` holds only for the inclusive multiply spelling —
+      * the one case where the ∅-∅ pair qualifies. */
+    def inclusiveEmptyPair: Boolean = !strict && slack == 0
+  }
+
+  private def stripNumCast(e: Expression): Expression = e match {
+    case c: Cast => stripNumCast(c.child)
+    case co: CheckOverflow => stripNumCast(co.child)
+    case _ => e
+  }
+
+  private object SizeIntersectAnyCast {
+    def unapply(e: Expression): Option[ArrayIntersect] =
+      stripNumCast(e) match {
+        case Size(ai: ArrayIntersect, _) => Some(ai)
+        case _ => None
+      }
+  }
+
+  private object SizeUnionAnyCast {
+    def unapply(e: Expression): Option[ArrayUnion] = stripNumCast(e) match {
+      case Size(au: ArrayUnion, _) => Some(au)
+      case _ => None
+    }
+  }
+
+  private object FracLit {
+    def unapply(e: Expression): Option[Literal] = stripNumCast(e) match {
+      case l: Literal if l.value != null
+          && (l.dataType == DoubleType || l.dataType == FloatType
+            || l.dataType.isInstanceOf[DecimalType]) => Some(l)
+      case _ => None
+    }
+  }
+
+  private object TTimesUnion {
+    def unapply(e: Expression): Option[(Literal, ArrayUnion)] =
+      stripNumCast(e) match {
+        case Multiply(FracLit(t), SizeUnionAnyCast(au), _) => Some((t, au))
+        case Multiply(SizeUnionAnyCast(au), FracLit(t), _) => Some((t, au))
+        case _ => None
+      }
+  }
+
+  private object IntersectOverUnion {
+    def unapply(e: Expression): Option[(ArrayIntersect, ArrayUnion)] =
+      stripNumCast(e) match {
+        case Divide(SizeIntersectAnyCast(ai), SizeUnionAnyCast(au), _) =>
+          Some((ai, au))
+        case _ => None
+      }
+  }
+
+  /** t ∈ (0, 1] as exact-decimal Left((unscaled, 10^scale)) or double
+    * Right(t); None rejects the rewrite (range or precision). */
+  private def fracInfo(l: Literal): Option[Either[(Long, Long), Double]] =
+    l.dataType match {
+      case _: DecimalType =>
+        val bd = l.value.asInstanceOf[org.apache.spark.sql.types.Decimal]
+          .toJavaBigDecimal
+        if (bd.scale < 0 || bd.scale > 9) None
+        else {
+          val pow = math.pow(10, bd.scale).toLong
+          try {
+            val uns = bd.unscaledValue.longValueExact()
+            if (uns <= 0 || uns > pow) None else Some(scala.util.Left((uns, pow)))
+          } catch { case _: ArithmeticException => None }
+        }
+      case DoubleType =>
+        val t = l.value.asInstanceOf[Double]
+        if (t > 0 && t <= 1) Some(scala.util.Right(t)) else None
+      case FloatType =>
+        val t = l.value.asInstanceOf[Float].toDouble
+        if (t > 0 && t <= 1) Some(scala.util.Right(t)) else None
+      case _ => None
+    }
+
+  /** The Jaccard conjunct in its literal spellings; returns
+    * (intersect, union, t-literal, slack, strict). */
+  private def jaccardPredicate(e: Expression)
+      : Option[(ArrayIntersect, ArrayUnion, Literal, Int, Boolean)] =
+    e match {
+      case GreaterThanOrEqual(SizeIntersectAnyCast(ai), TTimesUnion(t, au)) =>
+        Some((ai, au, t, 0, false))
+      case GreaterThan(SizeIntersectAnyCast(ai), TTimesUnion(t, au)) =>
+        Some((ai, au, t, 0, true))
+      case LessThanOrEqual(TTimesUnion(t, au), SizeIntersectAnyCast(ai)) =>
+        Some((ai, au, t, 0, false))
+      case LessThan(TTimesUnion(t, au), SizeIntersectAnyCast(ai)) =>
+        Some((ai, au, t, 0, true))
+      case GreaterThanOrEqual(IntersectOverUnion(ai, au), FracLit(t)) =>
+        Some((ai, au, t, 1, false))
+      case GreaterThan(IntersectOverUnion(ai, au), FracLit(t)) =>
+        Some((ai, au, t, 1, true))
+      case LessThanOrEqual(FracLit(t), IntersectOverUnion(ai, au)) =>
+        Some((ai, au, t, 1, false))
+      case LessThan(FracLit(t), IntersectOverUnion(ai, au)) =>
+        Some((ai, au, t, 1, true))
+      case _ => None
+    }
+
+  /** α(n) = the minimum overlap any qualifying pair must share with a
+    * side of n distinct tokens (LONG; see the soundness chain above). */
+  private def alphaExpr(rj: RelJaccard, n: Expression): Expression = {
+    val raw: Expression = rj.t match {
+      case scala.util.Left((uns, pow)) =>
+        IntegralDivide(
+          Add(Multiply(Cast(n, LongType), Literal(uns)), Literal(pow - 1L)),
+          Literal(pow))
+      case scala.util.Right(td) =>
+        Ceil(Multiply(Literal(td), Cast(n, DoubleType)))
+    }
+    Greatest(Seq(Subtract(raw, Literal(rj.slack.toLong)), Literal(1L)))
+  }
+
   /** An INT-range integral literal, either type. */
   private object IntLit {
     def unapply(e: Expression): Option[Int] = e match {
@@ -265,32 +439,53 @@ object OverlapJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
     case _ => None
   }
 
-  /** First |distinct(s)| − T + 1 tokens of the sorted distinct set
-    * (empty when |distinct(s)| < T — slice length clamps to 0) —
-    * sorted by the df ENCODING when `ord` carries a hot-rank map,
-    * plain lexicographic otherwise. */
-  private def prefixExpr(s: Expression, t: Int,
+  /** The per-row prefix: first n − α + 1 tokens of the sorted distinct
+    * set, where α is the requirement's minimum overlap (fixed T for
+    * the absolute face — slice length clamps to 0 below T distinct
+    * tokens; per-row α(n) for the Jaccard face) — sorted by the df
+    * ENCODING when `ord` carries a hot-rank map, plain lexicographic
+    * otherwise. The inclusive-Jaccard ∅ row gets the sentinel prefix
+    * so ∅-∅ pairs (which qualify: 0 ≥ t·0) still block. */
+  private def prefixExpr(s: Expression, req: Req,
       ord: Option[Literal]): Expression = {
     val base = ArrayDistinct(s)
     val keyed = ord.fold(base: Expression)(m => encodeArray(m, base))
     val sorted = SortArray(keyed, Literal(true))
-    Slice(sorted, Literal(1),
-      Greatest(Seq(Subtract(Size(sorted), Literal(t - 1)), Literal(0))))
+    req match {
+      case AbsOverlap(t) =>
+        Slice(sorted, Literal(1),
+          Greatest(Seq(Subtract(Size(sorted), Literal(t - 1)), Literal(0))))
+      case rj: RelJaccard =>
+        val len = Greatest(Seq(
+          Cast(Subtract(Add(Cast(Size(sorted), LongType), Literal(1L)),
+            alphaExpr(rj, Size(sorted))), IntegerType),
+          Literal(0)))
+        val sliced = Slice(sorted, Literal(1), len)
+        if (rj.inclusiveEmptyPair)
+          If(EqualTo(Size(base), Literal(0)),
+            CreateArray(Seq(Literal(Sentinel))), sliced)
+        else sliced
+    }
   }
 
   /** Explode the prefix over `child`; the prefix column itself is
     * dropped from the Generate output (canonicalization reads the
     * post-join shared intersect instead), so only the token key rides
-    * the blocked shuffle. */
-  private def explodePrefix(child: LogicalPlan, s: Expression, t: Int,
-      ord: Option[Literal]): (LogicalPlan, Attribute) = {
-    val pfx = Alias(prefixExpr(s, t, ord), "__graft_pfx")()
-    val proj = Project(child.output :+ pfx, child)
+    * the blocked shuffle — plus, on the Jaccard face, the distinct
+    * size for the exact length filter. */
+  private def explodePrefix(child: LogicalPlan, s: Expression, req: Req,
+      ord: Option[Literal]): (LogicalPlan, Attribute, Option[Attribute]) = {
+    val pfx = Alias(prefixExpr(s, req, ord), "__graft_pfx")()
+    val lenOpt = req match {
+      case _: RelJaccard => Some(Alias(Size(ArrayDistinct(s)), "__graft_len")())
+      case _ => None
+    }
+    val proj = Project(child.output ++ (pfx +: lenOpt.toSeq), child)
     val ok = AttributeReference(OkName, StringType, nullable = true)()
     val gen = Generate(Explode(pfx.toAttribute),
       unrequiredChildIndex = Seq(child.output.size),
       outer = false, qualifier = None, generatorOutput = Seq(ok), child = proj)
-    (gen, ok)
+    (gen, ok, lenOpt.map(_.toAttribute))
   }
 
   /** The [[FuzzyJoinBlocking]] re-blocking guard: a join that already
@@ -329,24 +524,40 @@ object OverlapJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
           && !right.output.exists(_.name == OkName)
           && !hasEquiKey(cond, left, right) =>
       val conjuncts = splitConjunctivePredicates(cond)
-      val hit: Option[(ArrayIntersect, Expression, Expression, Int)] =
+      def sided(ai: ArrayIntersect): Option[(Expression, Expression)] =
+        if (!nullFreeStringArray(ai.left) || !nullFreeStringArray(ai.right))
+          None
+        else if (ai.left.references.subsetOf(left.outputSet)
+            && ai.right.references.subsetOf(right.outputSet))
+          Some((ai.left, ai.right))
+        else if (ai.right.references.subsetOf(left.outputSet)
+            && ai.left.references.subsetOf(right.outputSet))
+          Some((ai.right, ai.left))
+        else None
+      val hit: Option[(ArrayIntersect, Expression, Expression, Req)] =
         conjuncts.iterator.flatMap { p =>
-          overlapPredicate(p).flatMap { case (ai, t) =>
-            if (!nullFreeStringArray(ai.left)
-                || !nullFreeStringArray(ai.right)) None
-            else if (ai.left.references.subsetOf(left.outputSet)
-                && ai.right.references.subsetOf(right.outputSet))
-              Some((ai, ai.left, ai.right, t))
-            else if (ai.right.references.subsetOf(left.outputSet)
-                && ai.left.references.subsetOf(right.outputSet))
-              Some((ai, ai.right, ai.left, t))
-            else None
+          val abs = overlapPredicate(p).flatMap { case (ai, t) =>
+            sided(ai).map { case (la, ra) => (ai, la, ra, AbsOverlap(t): Req) }
           }
+          abs.orElse(jaccardPredicate(p).flatMap {
+            case (ai, au, tLit, slack, strict) =>
+              // The union must range over the SAME pair of arrays.
+              val samePair =
+                (au.left.semanticEquals(ai.left)
+                  && au.right.semanticEquals(ai.right)) ||
+                  (au.left.semanticEquals(ai.right)
+                    && au.right.semanticEquals(ai.left))
+              if (!samePair) None
+              else for {
+                t <- fracInfo(tLit)
+                (la, ra) <- sided(ai)
+              } yield (ai, la, ra, RelJaccard(t, slack, strict): Req)
+          })
         }.take(1).toList.headOption
-      hit.map { case (ai, la, ra, t) =>
+      hit.map { case (ai, la, ra, req) =>
         val ord = tokenDfOrder(left, la, right, ra)
-        val (lgen, lk) = explodePrefix(left, la, t, ord)
-        val (rgen, rk) = explodePrefix(right, ra, t, ord)
+        val (lgen, lk, lLen) = explodePrefix(left, la, req, ord)
+        val (rgen, rk, rLen) = explodePrefix(right, ra, req, ord)
         // Conjuncts never touching the matched intersect prune inside
         // the join, BEFORE the per-candidate set build is paid; the
         // rest re-applies above, reading the shared alias.
@@ -354,7 +565,20 @@ object OverlapJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
           case x: ArrayIntersect => x.semanticEquals(ai)
           case _ => false
         })
-        val blockedCond = (EqualTo(lk, rk) +: rest).reduce(And)
+        // The Jaccard face adds the exact length filter to the blocked
+        // join: |distinct(B)| >= α(|distinct(A)|) and symmetric — with
+        // the ∅-∅ escape for the inclusive spelling.
+        val lenConds: Seq[Expression] = (req, lLen, rLen) match {
+          case (rj: RelJaccard, Some(ll), Some(rl)) =>
+            val basic = And(
+              GreaterThanOrEqual(Cast(ll, LongType), alphaExpr(rj, rl)),
+              GreaterThanOrEqual(Cast(rl, LongType), alphaExpr(rj, ll)))
+            Seq(if (rj.inclusiveEmptyPair)
+              Or(basic, And(EqualTo(ll, Literal(0)), EqualTo(rl, Literal(0))))
+            else basic)
+          case _ => Seq.empty
+        }
+        val blockedCond = (EqualTo(lk, rk) +: (lenConds ++ rest)).reduce(And)
         val blocked = Join(lgen, rgen, Inner, Some(blockedCond),
           JoinHint.NONE)
         val shared = Alias(ai, SharedName)()
@@ -364,10 +588,16 @@ object OverlapJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
         // The canonical comparison must run in the SAME order the
         // prefixes were built in: min of the encoded shared intersect
         // under the df order, plain array_min otherwise (the
-        // soundness argument in the class doc is order-generic).
-        val canonical = EqualTo(lk,
-          ArrayMin(ord.fold(shared.toAttribute: Expression)(m =>
-            encodeArray(m, shared.toAttribute))))
+        // soundness argument in the class doc is order-generic). The
+        // inclusive-Jaccard ∅-∅ pair has an empty shared intersect —
+        // its min coalesces onto the sentinel its prefixes joined on.
+        val minShared = ArrayMin(ord.fold(shared.toAttribute: Expression)(m =>
+          encodeArray(m, shared.toAttribute)))
+        val canonical = req match {
+          case rj: RelJaccard if rj.inclusiveEmptyPair =>
+            EqualTo(lk, Coalesce(Seq(minShared, Literal(Sentinel))))
+          case _ => EqualTo(lk, minShared)
+        }
         (Filter(And(verify, canonical), proj), shared.toAttribute, ai)
       }
     case _ => None

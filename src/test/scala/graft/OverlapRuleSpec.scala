@@ -107,4 +107,113 @@ class OverlapRuleSpec extends AnyFunSuite {
       size(array_intersect(col("la"), col("ra"))) >= lit(3))
     assert(!joined.collect().exists(_.getLong(0) == 3L))
   }
+
+  // ----- the relative-Jaccard face (PPJoin proper) -----
+
+  // Richer corpus for the relative threshold: identical sets (J = 1),
+  // near-identical, disjoint, subsets, duplicate tokens.
+  private val jls = Seq((1L, "a b c d"), (2L, "b c d e f"), (3L, "x y"),
+    (4L, "a b c d e f g h"), (5L, "a a b c d"), (6L, "p q r s"))
+  private val jrs = Seq((10L, "a b c d"), (11L, "c d e f"), (12L, "x y z"),
+    (13L, "a b c d e f g"), (14L, "p q r s"), (15L, "q r s t"))
+
+  /** Exact-rational Jaccard brute force: |∩|·den ≥ num·|∪|. */
+  private def jBrute(num: Long, den: Long,
+      strict: Boolean = false): Seq[(Long, Long)] =
+    (for {
+      (li, la) <- jls; (ri, ra) <- jrs
+      i = la.split(" ").toSet.intersect(ra.split(" ").toSet).size.toLong
+      u = la.split(" ").toSet.union(ra.split(" ").toSet).size.toLong
+      if (if (strict) i * den > num * u else i * den >= num * u)
+    } yield (li, ri)).sorted
+
+  test("jaccard >= 0.75 multiply spelling (double lit): no nested loop, equals brute force") {
+    val joined = df(jls, "lid", "la").join(df(jrs, "rid", "ra"),
+      size(array_intersect(col("la"), col("ra")))
+        >= lit(0.75) * size(array_union(col("la"), col("ra"))))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"jaccard rule did not fire, plan:\n$p")
+    val got = joined.collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+    // 0.75 is dyadic: double arithmetic == exact rational 3/4.
+    assert(got == jBrute(3, 4), s"got $got want ${jBrute(3, 4)}")
+    assert(got.nonEmpty && got.size < jls.size * jrs.size,
+      "threshold must be non-vacuous on this corpus")
+  }
+
+  test("jaccard decimal SQL spelling and strict > both fire and match brute force") {
+    val l = df(jls, "lid", "la")
+    val r = df(jrs, "rid", "ra")
+    val dec = l.join(r, expr(
+      "size(array_intersect(la, ra)) >= 0.75 * size(array_union(la, ra))"))
+    val pd = dec.queryExecution.executedPlan.toString
+    assert(!pd.contains("NestedLoop") && !pd.contains("CartesianProduct"),
+      s"decimal spelling did not fire, plan:\n$pd")
+    assert(dec.collect().map(x => (x.getLong(0), x.getLong(2))).sorted.toSeq
+      == jBrute(3, 4))
+    val strict = l.join(r,
+      size(array_intersect(col("la"), col("ra")))
+        > lit(0.5) * size(array_union(col("la"), col("ra"))))
+    val ps = strict.queryExecution.executedPlan.toString
+    assert(!ps.contains("NestedLoop") && !ps.contains("CartesianProduct"),
+      s"strict spelling did not fire, plan:\n$ps")
+    assert(strict.collect().map(x => (x.getLong(0), x.getLong(2))).sorted.toSeq
+      == jBrute(1, 2, strict = true))
+  }
+
+  test("jaccard division spelling fires with one token of slack, equals brute force") {
+    val joined = df(jls, "lid", "la").join(df(jrs, "rid", "ra"),
+      size(array_intersect(col("la"), col("ra"))).cast("double")
+        / size(array_union(col("la"), col("ra"))) >= lit(0.75))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"division spelling did not fire, plan:\n$p")
+    assert(joined.collect().map(x => (x.getLong(0), x.getLong(2))).sorted.toSeq
+      == jBrute(3, 4))
+  }
+
+  test("jaccard t = 1 keeps only identical sets; duplicates don't inflate") {
+    val joined = df(jls, "lid", "la").join(df(jrs, "rid", "ra"),
+      size(array_intersect(col("la"), col("ra")))
+        >= lit(1.0) * size(array_union(col("la"), col("ra"))))
+    val got = joined.collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+    // (1, 10) and (6, 14) identical; (5, 10) identical as SETS (the
+    // duplicated "a"); multiplicity: exactly one row per pair.
+    assert(got == Seq((1L, 10L), (5L, 10L), (6L, 14L)), s"got $got")
+  }
+
+  test("jaccard inclusive >= : the empty-empty pair qualifies via the sentinel") {
+    import spark.implicits._
+    def edf(xs: Seq[(Long, String)], id: String, arr: String) =
+      xs.toDF(id, "s").select(col(id),
+        expr("filter(split(s, ' '), x -> x <> '')").as(arr))
+    val l = edf(Seq((1L, "a b c"), (2L, "")), "lid", "la")
+    val r = edf(Seq((10L, "a b c"), (11L, "")), "rid", "ra")
+    val joined = l.join(r,
+      size(array_intersect(col("la"), col("ra")))
+        >= lit(0.75) * size(array_union(col("la"), col("ra"))))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"plan:\n$p")
+    val got = joined.collect().map(x => (x.getLong(0), x.getLong(2))).sorted.toSeq
+    // 0 >= 0.75·0 holds: (2, 11) must appear exactly once; the strict
+    // spelling must NOT produce it.
+    assert(got == Seq((1L, 10L), (2L, 11L)), s"got $got")
+    val strict = l.join(r,
+      size(array_intersect(col("la"), col("ra")))
+        > lit(0.5) * size(array_union(col("la"), col("ra"))))
+    assert(strict.collect().map(x => (x.getLong(0), x.getLong(2))).sorted.toSeq
+      == Seq((1L, 10L)))
+  }
+
+  test("jaccard t outside (0, 1] passes through unrewritten") {
+    for (t <- Seq(0.0, -0.5, 1.5)) {
+      val joined = df(jls, "lid", "la").join(df(jrs, "rid", "ra"),
+        size(array_intersect(col("la"), col("ra")))
+          >= lit(t) * size(array_union(col("la"), col("ra"))))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("NestedLoop") || p.contains("CartesianProduct"),
+        s"t=$t must pass through, plan:\n$p")
+    }
+  }
 }
