@@ -49,6 +49,85 @@ object Relational {
   private val revCents =
     "CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)"
 
+  /** The rest of the byte-identical-SQL surface (the [[SharedQ3Sql]]
+    * contract): ONE ANSI string per query, executed verbatim by BOTH
+    * engines. Divisions go through an explicit CAST(... AS DOUBLE)
+    * BEFORE the slash: a bare `sum(...)/100.0` would be decimal
+    * division in Spark (100.0 parses as DECIMAL) and engine-specific
+    * rounding at the result scale could diverge in the 7th digit —
+    * double division is the same IEEE operation everywhere. */
+  private val SharedQ1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+      |    / 100 AS sum_qty,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+      |    / 100 AS sum_base_price,
+      |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+      |    AS BIGINT)) AS DOUBLE) / 10000 AS sum_disc_price,
+      |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+      |    * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS sum_charge,
+      |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+      |    / 100 / count(*) AS avg_qty,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+      |    / 100 / count(*) AS avg_price,
+      |  CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+      |    / 100 / count(*) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1999-12-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  private val SharedQ5Sql: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+      |    AS BIGINT)) AS DOUBLE) / 10000 AS revenue,
+      |  count(*) AS n_items
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |  AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      |  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  private val SharedQ10Sql: String =
+    """SELECT c_custkey, c_name, n_name,
+      |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+      |    AS BIGINT)) AS DOUBLE) / 10000 AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+      |  AND CAST(o_orderdate AS DATE) < DATE '1997-07-01'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  private val SharedWindowSql: String =
+    """WITH w AS (
+      |  SELECT o_custkey, o_orderkey,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS rn,
+      |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+      |      PARTITION BY o_custkey
+      |      ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents
+      |  FROM orders
+      |)
+      |SELECT o_custkey, o_orderkey, rn,
+      |  CAST(run_cents AS DOUBLE) / 100 AS running_rev
+      |FROM w
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q(
       "q1_agg",
@@ -1717,6 +1796,83 @@ object Relational {
       Tables.orders(s, dir).createOrReplaceTempView("orders")
       Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
       s.sql(SharedQ3Sql)
+    },
+
+    Q(
+      "q_sql_q1",
+      "TPC-H Q1 through the byte-identical-SQL contract (the " +
+        "q_sql_shared onboarding surface, broadened per shape): the " +
+        "SAME ANSI string runs verbatim in both engines. Catalyst " +
+        "plans it exactly like the q1_agg DataFrame twin — pushed " +
+        "date filter, partial+final hash agg on 2 low-cardinality " +
+        "keys, whole-stage codegen (PlanBudgetSpec pins the single " +
+        "exchange). Sums ride the exact-cents discipline; every " +
+        "division casts to DOUBLE first so both engines perform the " +
+        "same IEEE operation (a bare /100.0 would be decimal math in " +
+        "Spark with engine-specific result-scale rounding)",
+      Some(SharedQ1Sql),
+    ) { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      s.sql(SharedQ1Sql)
+    },
+
+    Q(
+      "q_sql_q5",
+      "TPC-H Q5 (local supplier volume) through the byte-identical-" +
+        "SQL contract: the 6-table join graph with the cross-path " +
+        "c_nationkey = s_nationkey equality, one ANSI string, both " +
+        "engines verbatim. Catalyst recovers the q_local_volume plan " +
+        "from the text alone: two fact shuffles (orderkey, custkey), " +
+        "supplier/nation/region broadcast, date window pushed to the " +
+        "orders scan — PlanBudgetSpec pins ≥3 broadcasts and ≤2 " +
+        "fact joins, same budget as the DataFrame twin",
+      Some(SharedQ5Sql),
+    ) { (s, dir) =>
+      Tables.customer(s, dir).createOrReplaceTempView("customer")
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      Tables.supplier(s, dir).createOrReplaceTempView("supplier")
+      Tables.nation(s, dir).createOrReplaceTempView("nation")
+      Tables.region(s, dir).createOrReplaceTempView("region")
+      s.sql(SharedQ5Sql)
+    },
+
+    Q(
+      "q_sql_q10",
+      "TPC-H Q10 (returned-item report) through the byte-identical-" +
+        "SQL contract: one ANSI string, both engines verbatim. " +
+        "Catalyst recovers the q_returned_revenue plan from the " +
+        "text: returns + date filters pushed below the two fact " +
+        "shuffles, nation broadcast, and the ORDER BY + LIMIT 20 " +
+        "planned as TakeOrderedAndProject (per-partition heaps + a " +
+        "20-row driver merge, never a global sort) — PlanBudgetSpec " +
+        "pins both, same budget as the DataFrame twin",
+      Some(SharedQ10Sql),
+    ) { (s, dir) =>
+      Tables.customer(s, dir).createOrReplaceTempView("customer")
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      Tables.nation(s, dir).createOrReplaceTempView("nation")
+      s.sql(SharedQ10Sql)
+    },
+
+    Q(
+      "q_sql_window",
+      "the WINDOWED face of the byte-identical-SQL contract: each " +
+        "customer's first three orders with a running revenue total — " +
+        "row_number and a cumulative frame sum over ONE window spec " +
+        "(PARTITION BY custkey ORDER BY date, orderkey — orderkey " +
+        "breaks date ties, so the frame is total-ordered and both " +
+        "engines accumulate identical prefixes), one ANSI string, " +
+        "both engines verbatim. The running total accumulates exact " +
+        "cents (BIGINT) inside the frame and casts to DOUBLE only at " +
+        "output, so no float-order drift is possible. Catalyst plans " +
+        "both functions over a single custkey-keyed exchange — " +
+        "PlanBudgetSpec pins exactly one hash exchange",
+      Some(SharedWindowSql),
+    ) { (s, dir) =>
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      s.sql(SharedWindowSql)
     },
 
     Q(

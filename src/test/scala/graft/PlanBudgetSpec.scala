@@ -932,6 +932,47 @@ class PlanBudgetSpec extends AnyFunSuite {
       s"day-spine range joins must broadcast, plan:\n$pr")
   }
 
+  test("q_sql_q1: the shared-SQL text recovers the q1_agg plan budget") {
+    val p = plan("q_sql_q1")
+    assert(hashExchanges(p) == 1, s"one agg exchange like q1_agg, plan:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"date filter must reach the scan, plan:\n$p")
+  }
+
+  test("q_sql_q5: the shared-SQL text recovers the q_local_volume plan budget") {
+    val p = plan("q_sql_q5")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      s"dimension chain must broadcast, plan:\n$p")
+    assert("(SortMergeJoin|ShuffledHashJoin)".r.findAllIn(p).length <= 2,
+      s"more than the two admissible fact joins, plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"plan:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"),
+      s"date window must reach the orders scan, plan:\n$p")
+  }
+
+  test("q_sql_q10: the shared-SQL text recovers the q_returned_revenue plan budget") {
+    val p = plan("q_sql_q10")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be a heap+merge, not a global sort, plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"nation must broadcast, plan:\n$p")
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      s"returns filter must reach the lineitem scan, plan:\n$p")
+  }
+
+  test("q_sql_window: both functions share one window over one custkey exchange") {
+    val p = plan("q_sql_window")
+    // row_number and the cumulative cents sum must land in ONE Window
+    // node over a single custkey-keyed exchange, and the rn <= 3
+    // filter must prune map-side via WindowGroupLimit even with the
+    // running sum riding along.
+    assert(hashExchanges(p) == 1, s"plan:\n$p")
+    assert("Window \\[".r.findAllIn(p).length == 1,
+      s"both functions must share one Window node, plan:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"rn <= 3 must prune map-side, plan:\n$p")
+  }
+
   test("q1_agg aggregates inside whole-stage codegen") {
     // The plain plan string hides codegen stage boundaries; the
     // codegen explain mode lists every WholeStageCodegen subtree.
