@@ -157,10 +157,11 @@ object TextOps {
     * string splices it at Seq construction). */
   private[graft] val KnDiscount = 0.75
 
-  /** q_line_dedup: tokens per synthetic "line". The corpus is flat
-    * token streams (no newlines), so the segmenter stands in for the
-    * real splitter — at 100 TB this constant is `split(text, '\n')`
-    * and everything downstream is unchanged. */
+  /** q_line_dedup: tokens per salted BODY line. The synthetic corpus
+    * is a flat token stream, so the salting step (both engines,
+    * identically) folds it into newline-joined 8-token body lines and
+    * plants shared boilerplate lines around them; the segmenter
+    * itself is the real `split(text, '\n')`. */
   private[graft] val LineTokens = 8
 
   /** q_keywords: keywords emitted per document. */
@@ -714,9 +715,8 @@ object TextOps {
   /** q_span_mask: token positions p with p % SpanCycle in
     * [SpanStart, SpanStart+SpanLen) are masked — SpanLen/SpanCycle =
     * 15%, the T5 corruption rate. The positional rule is the
-    * deterministic stand-in for random span sampling (the
-    * q_line_dedup segmenter precedent): real pipelines drive the
-    * span starts from a seeded per-doc hash, and everything
+    * deterministic stand-in for random span sampling: real pipelines
+    * drive the span starts from a seeded per-doc hash, and everything
     * downstream — sentinel numbering, input/target assembly — is
     * unchanged. */
   private[graft] val SpanCycle = 20
@@ -724,19 +724,14 @@ object TextOps {
   private[graft] val SpanLen = 3
 
   /** q_line_dedup core over any (doc_id, text) frame (the spec plants
-    * boilerplate-sharing docs through it): segment → global
-    * keep-first window keyed by the line → doc-keyed reassembly.
-    * Unordered; the Q adds the output sort. */
+    * boilerplate-sharing docs through it): split on REAL newlines →
+    * global keep-first window keyed by the line → doc-keyed newline
+    * reassembly. Unordered; the Q adds the output sort. */
   private[graft] def lineDedup(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val lined = docs.select(col("doc_id"), split(col("text"), " ", -1).as("t"))
+    val lined = docs.select(col("doc_id"), split(col("text"), "\n", -1).as("ls"))
     val lines = lined
-      .select(col("doc_id"),
-        posexplode(transform(
-          sequence(lit(0),
-            floor((size(col("t")) - 1) / lit(LineTokens)).cast("int")),
-          i => concat_ws(" ",
-            slice(col("t"), i * LineTokens + 1, lit(LineTokens))))))
+      .select(col("doc_id"), posexplode(col("ls")))
       .toDF("doc_id", "line_no", "line")
     val w = Window.partitionBy("line").orderBy("doc_id", "line_no")
     val clean = lines
@@ -744,13 +739,11 @@ object TextOps {
       .filter(col("rn") === 1)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("kept_lines"),
-        concat_ws(" ", transform(
+        concat_ws("\n", transform(
           array_sort(collect_list(struct(col("line_no"), col("line")))),
           x => x.getField("line"))).as("clean"))
     lined
-      .select(col("doc_id"),
-        ceil(size(col("t")) / lit(LineTokens.toDouble)).cast("long")
-          .as("n_lines"))
+      .select(col("doc_id"), size(col("ls")).cast("long").as("n_lines"))
       .join(clean, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_lines"),
         coalesce(col("kept_lines"), lit(0L)).as("kept_lines"),
@@ -3612,47 +3605,76 @@ object TextOps {
 
     Q(
       "q_line_dedup",
-      s"C4-style LINE-level exact dedup across the whole corpus " +
-        s"($LineTokens-token segments standing in for newline lines — " +
-        "the splitter is the only stub; see LineTokens): every " +
-        "distinct line keeps its FIRST global occurrence (min " +
+      "C4-style LINE-level exact dedup across the whole corpus on " +
+        "REAL newlines: the flat synthetic token stream is salted " +
+        "deterministically in BOTH engines (the q_pii_scrub " +
+        "convention) into '\\n'-joined documents — a shared nav " +
+        "banner on every doc, 8-token body lines, a cookie notice on " +
+        "every third doc, a shared footer — and the segmenter is the " +
+        "production `split(text, '\\n')`, no stand-ins anywhere. " +
+        "Every distinct line keeps its FIRST global occurrence (min " +
         "(doc_id, line_no)), later occurrences are cut from their " +
-        "docs, and surviving lines reassemble in order with per-doc " +
-        "kept counts + a byte-exact md5 of the cleaned text — the " +
-        "boilerplate-removal pass C4/RefinedWeb run before near-dedup " +
-        "(nav bars, cookie banners, repeated footers). One corpus-" +
-        "sized shuffle keyed by the line (at 100 TB key the window by " +
-        "the line's md5 so shuffle keys stay 16 bytes); keep-first is " +
-        "a keyed window row_number, reassembly one doc-keyed agg " +
-        "sorting each doc's bounded surviving (line_no, line) structs. " +
-        "Docs whose every line appeared earlier collapse to the empty " +
+        "docs (the banner/cookie/footer survive exactly once, in the " +
+        "lowest doc that carries them), and surviving lines " +
+        "reassemble in order with per-doc kept counts + a byte-exact " +
+        "md5 of the cleaned text — the boilerplate-removal pass " +
+        "C4/RefinedWeb run before near-dedup. One corpus-sized " +
+        "shuffle keyed by the line (at 100 TB key the window by the " +
+        "line's md5 so shuffle keys stay 16 bytes); keep-first is a " +
+        "keyed window row_number, reassembly one doc-keyed agg. Docs " +
+        "whose every line appeared earlier collapse to the empty " +
         "string, preserved by the left join",
       Some(
         s"""WITH t AS (
            |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+           |), salted AS (
+           |  SELECT doc_id,
+           |    'nav home products pricing docs about contact' || chr(10) ||
+           |    array_to_string(list_transform(
+           |      range(CAST(ceil(len(t) / $LineTokens.0) AS BIGINT)),
+           |      i -> array_to_string(t[i*$LineTokens+1 : (i+1)*$LineTokens], ' ')),
+           |      chr(10)) ||
+           |    CASE WHEN doc_id % 3 = 0
+           |      THEN chr(10) || 'this site uses cookies please accept to continue'
+           |      ELSE '' END ||
+           |    chr(10) || 'copyright example corp all rights reserved' AS text
+           |  FROM t
            |), ln AS (
-           |  SELECT doc_id, i AS line_no,
-           |    array_to_string(t[i*$LineTokens+1 : (i+1)*$LineTokens], ' ') AS line
-           |  FROM (SELECT doc_id, t,
-           |          unnest(range(CAST(ceil(len(t) / $LineTokens.0) AS BIGINT))) AS i
-           |        FROM t)
+           |  SELECT doc_id, i AS line_no, ls[i + 1] AS line
+           |  FROM (SELECT doc_id, ls, unnest(range(len(ls))) AS i
+           |        FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+           |              FROM salted))
            |), kept AS (
            |  SELECT doc_id, line_no, line,
            |    row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
            |  FROM ln
            |), clean AS (
            |  SELECT doc_id, count(*) AS kept_lines,
-           |    string_agg(line, ' ' ORDER BY line_no) AS clean
+           |    string_agg(line, chr(10) ORDER BY line_no) AS clean
            |  FROM kept WHERE rn = 1 GROUP BY doc_id
            |)
-           |SELECT t.doc_id,
-           |  CAST(ceil(len(t.t) / $LineTokens.0) AS BIGINT) AS n_lines,
+           |SELECT s.doc_id,
+           |  CAST(len(string_split(s.text, chr(10))) AS BIGINT) AS n_lines,
            |  coalesce(c.kept_lines, 0) AS kept_lines,
            |  md5(coalesce(c.clean, '')) AS clean_md5
-           |FROM t LEFT JOIN clean c ON t.doc_id = c.doc_id
-           |ORDER BY t.doc_id""".stripMargin),
+           |FROM salted s LEFT JOIN clean c ON s.doc_id = c.doc_id
+           |ORDER BY s.doc_id""".stripMargin),
     ) { (s, dir) =>
-      lineDedup(Tables.documents(s, dir)).orderBy("doc_id")
+      val toks = split(col("text"), " ", -1)
+      val body = array_join(transform(
+        sequence(lit(0), floor((size(toks) - 1) / lit(LineTokens)).cast("int")),
+        i => concat_ws(" ", slice(toks, i * LineTokens + 1, lit(LineTokens)))),
+        "\n")
+      val salted = concat(
+        lit("nav home products pricing docs about contact\n"),
+        body,
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit("\nthis site uses cookies please accept to continue"))
+          .otherwise(lit("")),
+        lit("\ncopyright example corp all rights reserved"))
+      lineDedup(Tables.documents(s, dir)
+        .select(col("doc_id"), salted.as("text")))
+        .orderBy("doc_id")
     },
 
     Q(

@@ -19,17 +19,17 @@ class Round8OpsSpec extends AnyFunSuite {
 
   // ---- q_line_dedup ----
 
-  test("lineDedup cuts a repeated line once, keeps first occurrence") {
+  test("lineDedup cuts a repeated newline line once, keeps first occurrence") {
     import spark.implicits._
-    // 8-token "lines" (LineTokens = 8); docs 1 and 2 share their first
-    // line verbatim; doc 3 is entirely doc 1's content.
+    // REAL newline lines: docs 1 and 2 share their banner line
+    // verbatim; doc 3 is entirely doc 1's content.
     val banner = "cookie notice applies to this site please accept"
     val bodyA = "alpha beta gamma delta epsilon zeta eta theta"
     val bodyB = "one two three four five six seven eight"
     val docs = Seq(
-      (1L, s"$banner $bodyA"),
-      (2L, s"$banner $bodyB"),
-      (3L, s"$banner $bodyA"),
+      (1L, s"$banner\n$bodyA"),
+      (2L, s"$banner\n$bodyB"),
+      (3L, s"$banner\n$bodyA"),
     ).toDF("doc_id", "text")
     val got = TextOps.lineDedup(docs).orderBy("doc_id").collect()
     // doc 1 first: keeps both lines; doc 2 loses the banner; doc 3
@@ -38,9 +38,29 @@ class Round8OpsSpec extends AnyFunSuite {
       Seq((1L, 2L, 2L), (2L, 2L, 1L), (3L, 2L, 0L)))
     val md5Of = (s: String) => java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    assert(got(0).getString(3) == md5Of(s"$banner $bodyA"))
+    assert(got(0).getString(3) == md5Of(s"$banner\n$bodyA"))
     assert(got(1).getString(3) == md5Of(bodyB))
     assert(got(2).getString(3) == md5Of(""))
+  }
+
+  test("q_line_dedup: the planted boilerplate survives exactly once corpus-wide") {
+    // The salted corpus plants the nav banner on EVERY doc, the cookie
+    // notice on every third, the footer on every doc — so across all
+    // docs the banner must be kept exactly once (in doc 0, its first
+    // carrier), and total kept = distinct lines.
+    val rows = SparkEntry.queries("q_line_dedup")(spark, dir)
+      .collect().sortBy(_.getLong(0))
+    // doc 0 carries banner + body + cookie (0 % 3 == 0) + footer and
+    // is first for all shared lines: it keeps every one of its lines.
+    val d0 = rows.head
+    assert(d0.getLong(0) == 0L && d0.getLong(2) == d0.getLong(1),
+      s"doc 0 must keep all its lines, got $d0")
+    // Every later doc loses at least the banner and the footer.
+    rows.tail.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1) - 2,
+        s"doc ${r.getLong(0)} kept ${r.getLong(2)} of ${r.getLong(1)} — " +
+          "boilerplate not cut")
+    }
   }
 
   test("q_line_dedup conserves lines: sum(kept) = distinct lines") {
