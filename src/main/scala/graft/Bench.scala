@@ -28,7 +28,22 @@ object Bench {
       .mkString("{", ",", "}")
     // Total sums successful queries only; failed slots are visible as -1.0.
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.values.count(_ < 0)
+    // The full per-query map is ~12 KB of JSON — longer than the
+    // driver's stdout tail-capture window (BENCH_r12.json recorded
+    // "parsed": null from exactly that truncation). So the per-query
+    // data goes to a FILE (overridable via SPARK_GRAFT_BENCH_OUT) and
+    // stdout carries one short, never-clipped totals line that points
+    // at it.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/tools/bench_last.json")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: $e")
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","queries_file":"$outPath"}""")
     spark.stop()
   }
 }
