@@ -58,6 +58,15 @@ object AnnOps {
   /** q_knn_graph: neighbors per vector and query-side probe width. */
   private val KnnK = 5
 
+  /** q_graph_ann: beam width, unrolled hop count, and fixed entry-point
+    * panel for the graph-ANN beam search (the NSW search shape over
+    * the persisted q_knn_graph). The hop count is a COMPILE-TIME
+    * constant because both engines unroll the identical hops — the
+    * oracle cannot run an open-ended loop. */
+  private val BeamB = 16
+  private val BeamHops = 4
+  private val BeamEntries = 4
+
   /** q_bitext_mine: cross-side neighborhood size for the margin
     * denominator (Artetxe & Schwenk use k=4). */
   private val BtK = 4
@@ -776,6 +785,49 @@ object AnnOps {
        |        ORDER BY cos_sim DESC, neighbor_id) AS rank
        |    FROM scored) WHERE rank <= $KnnK
        |)""".stripMargin
+
+  /** DuckDB twin of the beam-search loop: b0 scores the fixed entry
+    * panel, then [[BeamHops]] unrolled (candidate-expand, rescore,
+    * top-B) CTE pairs — expecting prior `e`, `pr(probe_id, pe)` and
+    * `topk` (the graph) CTEs; exposes `b$BeamHops(probe_id, cand_id,
+    * cos_sim)`. Each hop's candidate set is the previous beam plus
+    * its graph neighbors, deduplicated, probe excluded — the
+    * no-visited-set rescoring variant, deterministic by the 6dp-round
+    * + id-tie contract, identical in both engines. */
+  private def beamHopsSqlCtes: String = {
+    def rank(src: String): String =
+      s"""  SELECT probe_id, cand_id, cos_sim FROM (
+         |    SELECT probe_id, cand_id, cos_sim, row_number() OVER (
+         |      PARTITION BY probe_id
+         |      ORDER BY cos_sim DESC, cand_id) AS rn
+         |    FROM ($src)) WHERE rn <= $BeamB""".stripMargin
+    val b0 =
+      s"""b0 AS (
+         |${rank(
+        s"""SELECT p.probe_id, c.cand_id,
+           |      ${cosSimSql("p.pe", "ce.embedding")} AS cos_sim
+           |    FROM pr p CROSS JOIN entries c
+           |    JOIN e ce ON ce.vec_id = c.cand_id
+           |    WHERE c.cand_id <> p.probe_id""".stripMargin)}
+         |)""".stripMargin
+    val hops = (1 to BeamHops).map { i =>
+      s"""c$i AS (
+         |  SELECT DISTINCT probe_id, cand_id FROM (
+         |    SELECT probe_id, cand_id FROM b${i - 1}
+         |    UNION ALL
+         |    SELECT b.probe_id, g.neighbor_id AS cand_id
+         |    FROM b${i - 1} b JOIN topk g ON g.vec_id = b.cand_id)
+         |  WHERE cand_id <> probe_id
+         |), b$i AS (
+         |${rank(
+        s"""SELECT c.probe_id, c.cand_id,
+           |      ${cosSimSql("p.pe", "ce.embedding")} AS cos_sim
+           |    FROM c$i c JOIN pr p ON p.probe_id = c.probe_id
+           |    JOIN e ce ON ce.vec_id = c.cand_id""".stripMargin)}
+         |)""".stripMargin
+    }
+    (b0 +: hops).mkString(", ")
+  }
 
   /** One Lloyd iteration → long-form centroids (cent_id, pos, n_vecs,
     * cval). cval is rounded to 6dp so the NEXT iteration starts from
@@ -3065,6 +3117,116 @@ object AnnOps {
            |FROM topk ORDER BY vec_id, rank""".stripMargin),
     ) { (s, dir) =>
       knnTopK(s, dir).orderBy("vec_id", "rank")
+    },
+
+    Q(
+      "q_graph_ann",
+      s"GRAPH-ANN beam search — the third index family beside IVF and " +
+        s"PQ: best-first search over the persisted q_knn_graph (the " +
+        s"NSW shape), beam width $BeamB, $BeamHops unrolled hops from " +
+        s"a fixed $BeamEntries-node entry panel. Each hop is ONE " +
+        "equi-join of the (probes × beam)-row frontier against the " +
+        "graph's neighbor lists, an ids-then-payloads embedding fetch " +
+        "for the new candidates, and a per-probe top-B window — " +
+        "checkpointed per hop, so state is catalog-bounded " +
+        s"(probes × $BeamB rows) and NOTHING rescans the corpus after " +
+        "the graph is built. The no-visited-set rescoring variant " +
+        "keeps both engines' hops identical (dedup + 6dp-round + id " +
+        "ties — no traversal-order dependence anywhere); the gate is " +
+        s"q_ann_recall's contract, recall@$TopK vs brute force. At " +
+        "100 TB: the graph is the big table, bucketed by vec_id; a " +
+        "query is H tiny keyed probes into it — the latency shape " +
+        "that makes graph indexes the serving-side choice, here " +
+        "expressed as the same declarative plan the batch engine runs",
+      Some {
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+           |$knnTopkSqlCte,
+           |entries AS (
+           |  SELECT vec_id AS cand_id FROM e WHERE vec_id < $BeamEntries
+           |), pr AS (
+           |  SELECT vec_id AS probe_id, embedding AS pe FROM e
+           |  WHERE vec_id < $NumProbes
+           |), $beamHopsSqlCtes,
+           |gtop AS (
+           |  SELECT probe_id, cand_id FROM (
+           |    SELECT probe_id, cand_id, row_number() OVER (
+           |      PARTITION BY probe_id
+           |      ORDER BY cos_sim DESC, cand_id) AS rank
+           |    FROM b$BeamHops) WHERE rank <= $TopK
+           |), bscored AS (
+           |  SELECT probe_id, e.vec_id AS neighbor_id,
+           |    ${cosSimSql("pe", "embedding")} AS cos_sim
+           |  FROM pr JOIN e ON e.vec_id <> probe_id
+           |), btop AS (
+           |  SELECT probe_id, neighbor_id FROM (
+           |    SELECT probe_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY probe_id
+           |        ORDER BY cos_sim DESC, neighbor_id) AS rank
+           |    FROM bscored) WHERE rank <= $TopK
+           |)
+           |SELECT b.probe_id AS probe_id, count(g.cand_id) AS n_hits,
+           |  round(CAST(count(g.cand_id) AS DOUBLE) / $TopK, 6) AS recall
+           |FROM btop b LEFT JOIN gtop g
+           |  ON b.probe_id = g.probe_id AND b.neighbor_id = g.cand_id
+           |GROUP BY b.probe_id ORDER BY b.probe_id""".stripMargin
+      },
+    ) { (s, dir) =>
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val probes = e.filter(col("vec_id") < NumProbes)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      // The persisted index: neighbor lists, built once (q_knn_graph's
+      // machinery), checkpointed so no hop rescans the corpus.
+      val graph = knnTopK(s, dir)
+        .select(col("vec_id").as("src"), col("neighbor_id"))
+        .localCheckpoint()
+      def scoreTopB(cands: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame = {
+        val w = Window.partitionBy("probe_id")
+          .orderBy(col("cos_sim").desc, col("cand_id"))
+        cands
+          .join(broadcast(probes), Seq("probe_id"))
+          .join(e.select(col("vec_id").as("cand_id"),
+            col("embedding").as("ce")), Seq("cand_id"))
+          .select(col("probe_id"), col("cand_id"),
+            cosSim(s, "pe", "ce").as("cos_sim"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= BeamB)
+          .select("probe_id", "cand_id", "cos_sim")
+      }
+      val entries = e.filter(col("vec_id") < BeamEntries)
+        .select(col("vec_id").as("cand_id"))
+      var beam = scoreTopB(probes.select(col("probe_id"))
+        .crossJoin(broadcast(entries))
+        .filter(col("cand_id") =!= col("probe_id")))
+        .localCheckpoint()
+      for (_ <- 1 to BeamHops) {
+        val expanded = beam.select("probe_id", "cand_id")
+          .join(graph, col("cand_id") === col("src"))
+          .select(col("probe_id"), col("neighbor_id").as("cand_id"))
+          .unionAll(beam.select("probe_id", "cand_id"))
+          .filter(col("cand_id") =!= col("probe_id"))
+          .distinct()
+        beam = scoreTopB(expanded).localCheckpoint()
+      }
+      val gw = Window.partitionBy("probe_id")
+        .orderBy(col("cos_sim").desc, col("cand_id"))
+      val gtop = beam.withColumn("rank", row_number().over(gw))
+        .filter(col("rank") <= TopK)
+        .select(col("probe_id"), col("cand_id").as("neighbor_id"),
+          lit(1).as("hit"))
+      val btop = rankTopK(broadcast(probes)
+        .join(e, col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          cosSim(s, "pe", "embedding").as("cos_sim")))
+        .select("probe_id", "neighbor_id")
+      // The gtop side is probes × TopK rows off a stats-less
+      // checkpoint: broadcast it so the 50-row recall join never
+      // plans a sort-merge.
+      btop.join(broadcast(gtop), Seq("probe_id", "neighbor_id"), "left")
+        .groupBy("probe_id")
+        .agg(count(col("hit")).as("n_hits"),
+          round(count(col("hit")).cast("double") / TopK, 6).as("recall"))
+        .orderBy("probe_id")
     },
 
     Q(

@@ -973,6 +973,19 @@ class PlanBudgetSpec extends AnyFunSuite {
       s"rn <= 3 must prune map-side, plan:\n$p")
   }
 
+  test("q_graph_ann: hops read the checkpointed graph/beam — no corpus machinery in the loop") {
+    val p = plan("q_graph_ann")
+    // The final beam and the graph are localCheckpoints: the gate plan
+    // may scan parquet only for the brute-force ground-truth side and
+    // the candidate payload fetches, never rebuild the kNN graph's
+    // cell-assignment machinery (cent_argmin would resurface it).
+    assert(p.contains("Scan ExistingRDD"), s"checkpoint missing, plan:\n$p")
+    assert(!p.contains("cent_argmin"),
+      s"the graph build must stay behind its checkpoint, plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+  }
+
   test("q1_agg aggregates inside whole-stage codegen") {
     // The plain plan string hides codegen stage boundaries; the
     // codegen explain mode lists every WholeStageCodegen subtree.
