@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
-import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, TernaryLike}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -43,7 +43,9 @@ import org.apache.spark.sql.types._
   * each shrink is one O(m·d² + d³) Jacobi on driver-free executor
   * state, amortized over m−l inserts.
   *
-  * Surface: `fd_sketch_agg(vecCol[, l])` → canonical sketch bytes;
+  * Surface: `fd_sketch_agg(vecCol[, l[, weight]])` → canonical sketch
+  * bytes (the weight column is the (vector, count) rollup face:
+  * w duplicates enter as one √w-scaled row, exact Gram semantics);
   * driver-side readers [[FreqDir.cov]], [[FreqDir.topEigen]],
   * [[FreqDir.shrinkTotal]], [[FreqDir.count]] finish the bounded l×d
   * state (the q_embed_pca repeated-squaring precedent: finishing is
@@ -75,10 +77,28 @@ object FreqDir {
       used += 1
     }
 
-    def insert(v: Array[Double]): Unit = {
+    def insert(v: Array[Double]): Unit = insert(v, 1L)
+
+    /** Weighted insert — the (vector, count) state-table rollup face:
+      * w duplicate rows enter as ONE row √w·v, whose outer product is
+      * exactly w·vvᵀ, so the sketch's Gram semantics equal the
+      * expanded matrix's (a rank-1 update of weight w) at O(d) cost
+      * instead of O(w·d). The PSD-sandwich certificate is untouched —
+      * its proof only needs appended outer products to sum to AᵀA,
+      * not unit granularity. */
+    def insert(v: Array[Double], w: Long): Unit = {
+      require(w >= 0, s"fd weight must be non-negative, got $w")
+      if (w == 0L) return
       ensure(v.length)
-      append(v)
-      n += 1
+      if (w == 1L) append(v)
+      else {
+        val s = math.sqrt(w.toDouble)
+        val scaled = new Array[Double](v.length)
+        var i = 0
+        while (i < v.length) { scaled(i) = s * v(i); i += 1 }
+        append(scaled)
+      }
+      n += w
     }
 
     def merge(o: State): Unit = {
@@ -293,21 +313,27 @@ object FreqDir {
   }
 }
 
-/** `fd_sketch_agg(vecCol[, l])` — Frequent Directions over an
-  * array<float>/array<double> column (map-side mergeable; the shuffle
-  * carries l×d blocks, never vectors). */
+/** `fd_sketch_agg(vecCol[, l[, weight]])` — Frequent Directions over
+  * an array<float>/array<double> column (map-side mergeable; the
+  * shuffle carries l×d blocks, never vectors). The optional WEIGHT
+  * column (long/int, per row) is the (vector, count) rollup face:
+  * w duplicates enter as one √w-scaled row — exact Gram semantics at
+  * O(d) per rollup row, see [[FreqDir.State]]. */
 case class FdSketchAgg(
     child: Expression,
     lExpr: Expression,
+    weightExpr: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[FreqDir.State]
-    with BinaryLike[Expression] {
+    with TernaryLike[Expression] {
 
-  def this(child: Expression) = this(child, Literal(FreqDir.DefaultL))
+  def this(child: Expression) =
+    this(child, Literal(FreqDir.DefaultL), Literal(1L))
 
-  override def left: Expression = child
-  override def right: Expression = lExpr
+  override def first: Expression = child
+  override def second: Expression = lExpr
+  override def third: Expression = weightExpr
 
   private lazy val elemType: DataType = child.dataType match {
     case ArrayType(et, _) => et
@@ -321,6 +347,10 @@ case class FdSketchAgg(
       if (!typeOk || !lExpr.foldable)
         TypeCheckResult.TypeCheckFailure(
           s"fd_sketch_agg l must be a foldable integer, got ${lExpr.sql}")
+      else if (weightExpr.dataType != LongType
+          && weightExpr.dataType != IntegerType)
+        TypeCheckResult.TypeCheckFailure(
+          s"fd_sketch_agg weight must be long or int, got ${weightExpr.dataType}")
       else {
         val k = lExpr.eval().asInstanceOf[Number].intValue()
         if (k < 2 || k > 4096)
@@ -345,16 +375,19 @@ case class FdSketchAgg(
       input: InternalRow): FreqDir.State = {
     val v = child.eval(input)
     if (v != null) {
-      val arr = v.asInstanceOf[ArrayData]
-      val row = new Array[Double](arr.numElements())
-      var i = 0
-      elemType match {
-        case FloatType =>
-          while (i < row.length) { row(i) = arr.getFloat(i).toDouble; i += 1 }
-        case _ =>
-          while (i < row.length) { row(i) = arr.getDouble(i); i += 1 }
+      val w = weightExpr.eval(input)
+      if (w != null) {
+        val arr = v.asInstanceOf[ArrayData]
+        val row = new Array[Double](arr.numElements())
+        var i = 0
+        elemType match {
+          case FloatType =>
+            while (i < row.length) { row(i) = arr.getFloat(i).toDouble; i += 1 }
+          case _ =>
+            while (i < row.length) { row(i) = arr.getDouble(i); i += 1 }
+        }
+        buffer.insert(row, w.asInstanceOf[Number].longValue())
       }
-      buffer.insert(row)
     }
     buffer
   }
@@ -375,17 +408,18 @@ case class FdSketchAgg(
     copy(mutableAggBufferOffset = newOffset)
   override def withNewInputAggBufferOffset(newOffset: Int): FdSketchAgg =
     copy(inputAggBufferOffset = newOffset)
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): FdSketchAgg =
-    copy(child = newLeft, lExpr = newRight)
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): FdSketchAgg =
+    copy(child = newFirst, lExpr = newSecond, weightExpr = newThird)
 }
 
 object FdSketchAgg {
   def fromArgs(exprs: Seq[Expression]): FdSketchAgg = exprs match {
     case Seq(c) => new FdSketchAgg(c)
-    case Seq(c, l) => FdSketchAgg(c, l)
+    case Seq(c, l) => FdSketchAgg(c, l, Literal(1L))
+    case Seq(c, l, w) => FdSketchAgg(c, l, w)
     case _ => throw new IllegalArgumentException(
-      s"fd_sketch_agg expects (vec[, l]), got ${exprs.length} arguments")
+      s"fd_sketch_agg expects (vec[, l[, weight]]), got ${exprs.length} arguments")
   }
 }
 

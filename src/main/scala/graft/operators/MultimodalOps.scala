@@ -34,9 +34,10 @@ object MultimodalOps {
   private val NumParts = 4
   private val BatchSize = 32
 
-  /** BMP fixture population: doc_id < 200 exists at every SF, so the
-    * decode gate is scale-constant by construction. */
+  /** Media fixture population: doc_id < 200 exists at every SF, so
+    * the decode gates are scale-constant by construction. */
   private val BmpAssets = 200
+  private val WavAssets = 200
 
   /** q_phash_dup shape: 32 byte samples → 32-bit signature, 2×16-bit
     * bands, hamming radius 4. Declared before `val all` — the oracle
@@ -272,6 +273,133 @@ object MultimodalOps {
     }
   }
 
+  /** Deterministic WAV FIXTURE — the audio twin of [[BmpFixture]]:
+    * each doc_id maps to a closed-form RIFF/WAVE container (PCM16 LE,
+    * mono or stereo by parity, 8 kHz) with a planted +20000 loudness
+    * burst on channel 0 over the last 8 frames. Odd doc_ids carry a
+    * LIST chunk between fmt and data, so the data chunk is NOT at the
+    * fixed offset 44 — a parser that skips chunk-walking (the classic
+    * naive-WAV bug) breaks half the corpus. Public format facts only
+    * (the RIFF layout is published in every audio reference). */
+  private[graft] object WavFixture {
+    def channels(d: Long): Int = 1 + (d % 2).toInt
+    def frames(d: Long): Int = 32 + (d % 33).toInt      // [32, 64]
+    def burstStart(d: Long): Int = frames(d) - 8
+    /** Base sample in [−1000, 1000]; channel formulas differ and the
+      * burst rides channel 0 only, so interleave/channel misparses
+      * shift the stats. */
+    def sample(d: Long, i: Int, c: Int): Int = {
+      val base = ((d * 31 + i * 17 + c * 7) % 2001).toInt - 1000
+      base + (if (c == 0 && i >= burstStart(d)) 20000 else 0)
+    }
+
+    def encode(d: Long): Array[Byte] = {
+      val nc = channels(d)
+      val n = frames(d)
+      val dataBytes = n * nc * 2
+      val listChunk = if (d % 2 == 1) 8 + 6 else 0 // "LIST" + size + 6 B
+      val riffSize = 4 + 24 + listChunk + 8 + dataBytes
+      val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1)                                  // PCM
+        .putShort(nc.toShort)
+        .putInt(8000)                                 // sample rate
+        .putInt(8000 * nc * 2)                        // byte rate
+        .putShort((nc * 2).toShort)                   // block align
+        .putShort(16)                                 // bits per sample
+      if (d % 2 == 1) {
+        // An unknown chunk the decoder must WALK PAST (even length —
+        // the RIFF odd-size pad rule is exercised by the size field
+        // arithmetic either way).
+        bb.put("LIST".getBytes("US-ASCII")).putInt(6)
+          .put("INFOxy".getBytes("US-ASCII"))
+      }
+      bb.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+      var i = 0
+      while (i < n) {
+        var c = 0
+        while (c < nc) { bb.putShort(sample(d, i, c).toShort); c += 1 }
+        i += 1
+      }
+      bb.array()
+    }
+  }
+
+  /** Per-asset decoded-PCM statistics (exact BIGINTs). `sum_ch1` is 0
+    * for mono; `moment` = Σ (i+1)·s(i, ch0) catches frame-order
+    * misparse (plain sums are order-invariant); `burst_start` = first
+    * frame with |s(i, ch0)| > 10000 recovers the planted loudness
+    * onset, pinning frame/channel deinterleaving. */
+  private[graft] final case class WavStats(
+      doc_id: Long, n_channels: Long, n_frames: Long, sample_rate: Long,
+      sum_ch0: Long, sum_ch1: Long, abs_sum_ch0: Long, moment: Long,
+      burst_start: Long)
+
+  /** The REAL audio decoder behind the batch seam: parses the RIFF
+    * container from its published byte layout — RIFF/WAVE magics,
+    * little-endian chunk walk (unknown chunks skipped, odd sizes
+    * padded), fmt fields (PCM, channels, rate, 16-bit), interleaved
+    * PCM16 frames — and emits per-asset statistics. Offset/stride
+    * arithmetic only; no audio library. */
+  private[graft] object WavDecoder {
+    private def le32(p: Array[Byte], off: Int): Int =
+      (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8) |
+        ((p(off + 2) & 0xff) << 16) | ((p(off + 3) & 0xff) << 24)
+    private def le16(p: Array[Byte], off: Int): Int =
+      (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
+    private def s16(p: Array[Byte], off: Int): Int = le16(p, off).toShort.toInt
+    private def tag(p: Array[Byte], off: Int): String =
+      new String(p, off, 4, "US-ASCII")
+
+    def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[WavStats] =
+      batch.map { case (id, p) => decodeOne(id, p) }
+
+    def decodeOne(id: Long, p: Array[Byte]): WavStats = {
+      require(tag(p, 0) == "RIFF" && tag(p, 8) == "WAVE",
+        s"asset $id: not a RIFF/WAVE container")
+      var off = 12
+      var nc = -1; var rate = -1; var bits = -1
+      var dataOff = -1; var dataLen = -1
+      while (off + 8 <= p.length && (nc < 0 || dataOff < 0)) {
+        val ck = tag(p, off)
+        val len = le32(p, off + 4)
+        ck match {
+          case "fmt " =>
+            require(le16(p, off + 8) == 1, s"asset $id: only PCM supported")
+            nc = le16(p, off + 10)
+            rate = le32(p, off + 12)
+            bits = le16(p, off + 22)
+            require(bits == 16, s"asset $id: only 16-bit supported")
+          case "data" =>
+            dataOff = off + 8
+            dataLen = len
+          case _ => () // unknown chunk: walk past
+        }
+        off += 8 + len + (len & 1) // RIFF pads odd chunk sizes
+      }
+      require(nc > 0 && dataOff >= 0, s"asset $id: fmt/data chunk missing")
+      val n = dataLen / (nc * 2)
+      var sum0 = 0L; var sum1 = 0L; var abs0 = 0L; var mom = 0L
+      var burst = -1L
+      var i = 0
+      while (i < n) {
+        val base = dataOff + i * nc * 2
+        val v0 = s16(p, base)
+        sum0 += v0
+        abs0 += math.abs(v0)
+        mom += (i + 1).toLong * v0
+        if (burst < 0 && math.abs(v0) > 10000) burst = i.toLong
+        if (nc > 1) sum1 += s16(p, base + 2)
+        i += 1
+      }
+      WavStats(id, nc.toLong, n.toLong, rate.toLong,
+        sum0, sum1, abs0, mom, burst)
+    }
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       "q_multimodal_batch",
@@ -364,6 +492,72 @@ object MultimodalOps {
       s.createDataset(decoded)
         .toDF("doc_id", "part_id", "batch_seq", "width", "height",
           "n_pixels", "sum_b", "sum_g", "sum_r", "y_moment", "edge_x")
+        .orderBy("doc_id")
+    },
+
+    Q(
+      "q_audio_decode",
+      "the REAL audio decoder behind the same batch seam — the BMP " +
+        "contract on the other media type: deterministic RIFF/WAVE " +
+        "containers (PCM16 LE, mono/stereo by doc parity, 8 kHz; odd " +
+        "doc_ids carry a LIST chunk between fmt and data, so the " +
+        "data chunk is NOT at the naive fixed offset 44 and the " +
+        "parser must genuinely chunk-walk — magics, LE sizes, " +
+        "odd-size padding, unknown-chunk skip) are salted per doc_id " +
+        "and parsed by offset/stride arithmetic into exact-BIGINT " +
+        "PCM statistics: per-channel sums (channel formulas differ — " +
+        "interleave misparse shifts them), an |s| sum, a frame-" +
+        "weighted moment (catches frame-order misparse), and the " +
+        "planted +20000 loudness burst recovered as the first frame " +
+        "with |s| > 10000 (base texture is ±1000, so the threshold " +
+        "is clean by construction). Same decodedBatches pipeline, " +
+        "third decoder behind the one seam; the oracle recomputes " +
+        "every statistic from the closed form. At 100 TB: decode " +
+        "rides map-side in payload-pruned batches, only KB stats " +
+        "shuffle",
+      Some(
+        s"""SELECT doc_id,
+           |  CAST(doc_id % $NumParts AS BIGINT) AS part_id,
+           |  CAST(floor((row_number() OVER (PARTITION BY doc_id % $NumParts
+           |        ORDER BY doc_id) - 1) / $BatchSize) AS BIGINT) AS batch_seq,
+           |  CAST(1 + doc_id % 2 AS BIGINT) AS n_channels,
+           |  CAST(32 + doc_id % 33 AS BIGINT) AS n_frames,
+           |  CAST(8000 AS BIGINT) AS sample_rate,
+           |  CAST(list_sum(list_transform(range(32 + doc_id % 33),
+           |    i -> (doc_id * 31 + i * 17) % 2001 - 1000
+           |      + CASE WHEN i >= 24 + doc_id % 33 THEN 20000 ELSE 0 END))
+           |    AS BIGINT) AS sum_ch0,
+           |  CAST(CASE WHEN doc_id % 2 = 1 THEN list_sum(list_transform(
+           |      range(32 + doc_id % 33),
+           |      i -> (doc_id * 31 + i * 17 + 7) % 2001 - 1000))
+           |    ELSE 0 END AS BIGINT) AS sum_ch1,
+           |  CAST(list_sum(list_transform(range(32 + doc_id % 33),
+           |    i -> abs((doc_id * 31 + i * 17) % 2001 - 1000
+           |      + CASE WHEN i >= 24 + doc_id % 33 THEN 20000 ELSE 0 END)))
+           |    AS BIGINT) AS abs_sum_ch0,
+           |  CAST(list_sum(list_transform(range(32 + doc_id % 33),
+           |    i -> (i + 1) * ((doc_id * 31 + i * 17) % 2001 - 1000
+           |      + CASE WHEN i >= 24 + doc_id % 33 THEN 20000 ELSE 0 END)))
+           |    AS BIGINT) AS moment,
+           |  CAST(24 + doc_id % 33 AS BIGINT) AS burst_start
+           |FROM documents WHERE doc_id < $WavAssets
+           |ORDER BY doc_id""".stripMargin),
+    ) { (s, dir) =>
+      import s.implicits._
+      val payloads = Tables.documents(s, dir)
+        .filter(col("doc_id") < WavAssets)
+        .select(col("doc_id")).as[Long].rdd
+        .map(id => (id, WavFixture.encode(id)))
+      val decoded = decodedBatches(payloads, WavDecoder.decodeBatch)
+        .map { case (part, bi, st) =>
+          (st.doc_id, part, bi, st.n_channels, st.n_frames, st.sample_rate,
+            st.sum_ch0, st.sum_ch1, st.abs_sum_ch0, st.moment,
+            st.burst_start)
+        }
+      s.createDataset(decoded)
+        .toDF("doc_id", "part_id", "batch_seq", "n_channels", "n_frames",
+          "sample_rate", "sum_ch0", "sum_ch1", "abs_sum_ch0", "moment",
+          "burst_start")
         .orderBy("doc_id")
     },
 

@@ -131,4 +131,54 @@ class FreqDirSpec extends AnyFunSuite {
     assert(vals(0) <= ray + 1e-9 * lam1)
     assert(ray >= lam1 - merged.shrinkTotal - 1e-9 * lam1)
   }
+
+  test("weighted face: exact window equals the expanded Gram; certificate under shrinkage") {
+    import spark.implicits._
+    // (vector, count) rollup: 6 distinct vectors with counts up to 9
+    // fit in the m = 2l = 16 buffer unexpanded — zero shrinks — and
+    // the sketch Gram must equal the EXPANDED matrix's Gram (each
+    // √w-scaled row contributes exactly w·vvᵀ, up to one IEEE
+    // rounding per entry).
+    val rollup = (0 until 6).map(i =>
+      (Array.tabulate(D)(j => noise(i, j)), 1L + (i * 7) % 9))
+    val expanded = rollup.flatMap { case (v, w) => Seq.fill(w.toInt)(v) }
+    val truth = gramOf(expanded)
+    for (parts <- Seq(1, 7)) {
+      val bytes = rollup.toDF("embedding", "w").repartition(parts)
+        .agg(expr("fd_sketch_agg(embedding, 8, w)").as("sk"))
+        .collect()(0).getAs[Array[Byte]](0)
+      val st = FreqDir.deserialize(bytes)
+      assert(st.n == expanded.length.toLong, "weight conservation")
+      assert(st.shrinkTotal == 0.0, "no shrink should fire at this size")
+      val g = st.gram()
+      for (i <- 0 until D; j <- 0 until D)
+        assert(math.abs(g(i)(j) - truth(i)(j)) <= 1e-9 * (1 + math.abs(truth(i)(j))),
+          s"gram($i,$j) parts=$parts")
+    }
+    // Big weights through a small l force shrinks; the carried
+    // PSD-sandwich certificate must hold against the weighted Gram.
+    val heavy = (0 until 200).map(i =>
+      (Array.tabulate(D)(j => noise(i, j) + (if (j == 2) 1.0 else 0.0)),
+        1L + (i * 13) % 5000))
+    val wGram = {
+      val g = Array.ofDim[Double](D, D)
+      heavy.foreach { case (v, w) =>
+        for (i <- 0 until D; j <- 0 until D) g(i)(j) += w * v(i) * v(j)
+      }
+      g
+    }
+    val lam1 = FreqDir.jacobiEigen(wGram)._1(0)
+    val bytes = heavy.toDF("embedding", "w").repartition(7)
+      .agg(expr("fd_sketch_agg(embedding, 4, w)").as("sk"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val st = FreqDir.deserialize(bytes)
+    assert(st.n == heavy.map(_._2).sum)
+    assert(st.shrinkTotal > 0.0, "shrinks must actually fire")
+    val (vals, vecsM) = FreqDir.jacobiEigen(st.gram())
+    val vtop = Array.tabulate(D)(r => vecsM(r)(0))
+    val ray = (for (i <- 0 until D; j <- 0 until D)
+      yield vtop(i) * wGram(i)(j) * vtop(j)).sum
+    assert(vals(0) <= ray + 1e-6 * lam1)
+    assert(ray >= lam1 - st.shrinkTotal - 1e-6 * lam1)
+  }
 }

@@ -113,6 +113,39 @@ class OverlapDfOrderSpec extends AnyFunSuite {
     assert(got == Set((50L, 51L)))
   }
 
+  test("jaccard face composes with the df order: Zipf gate fires, result exact") {
+    import spark.implicits._
+    // Same planted corpus, relative threshold t = 1/2 (dyadic): only
+    // the dup pair qualifies (i=3, u=5 → 2i ≥ u); every other pair
+    // shares at most {aaa_hot, aab_warm} of a ≥6-token union. The
+    // per-row prefix + length filter must run over the ENCODED df
+    // order and still match exact-rational brute force.
+    val txt = zipfDocs.map { case (id, ts) => (id, ts.mkString(" ")) }
+    val l = txt.toDF("doc_a", "s")
+      .select(col("doc_a"), split(col("s"), " ").as("toks_a"))
+    val r = txt.toDF("doc_b", "s")
+      .select(col("doc_b"), split(col("s"), " ").as("toks_b"))
+    val j = l.join(r,
+      size(array_intersect(col("toks_a"), col("toks_b")))
+        >= lit(0.5) * size(array_union(col("toks_a"), col("toks_b")))
+        && col("doc_a") < col("doc_b"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"jaccard rule did not fire, plan:\n$plan")
+    assert(plan.contains("array_min(transform"),
+      s"df order did not fire on the skewed corpus, plan:\n$plan")
+    val got = j.select("doc_a", "doc_b").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val want = (for {
+      (a, ta) <- zipfDocs; (b, tb) <- zipfDocs
+      i = ta.distinct.toSet.intersect(tb.distinct.toSet).size.toLong
+      u = ta.distinct.toSet.union(tb.distinct.toSet).size.toLong
+      if a < b && 2 * i >= u
+    } yield (a, b)).toSet
+    assert(got == want, s"got $got want $want")
+    assert(got == Set((100L, 101L)))
+  }
+
   test("dense skewed vocabulary: no rare tail, gate stays off, result exact") {
     // The sf0.1 synthetic-corpus shape that regressed 3× df-ordered:
     // the skew RATIO clears SkewGate (top = 400 ≥ 8 × floor = 36)

@@ -100,4 +100,49 @@ object SketchProps extends Properties("sketch-certificates") {
         keys.distinct.forall(key =>
           MisraGries.estimate(a, key) == keys.count(_ == key).toLong)
     }
+
+  // ---- weighted-insert faces (the r13 (value, count) rollup faces) ----
+
+  private val genWeighted: Gen[List[(String, Long)]] =
+    Gen.chooseNum(1, 200).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(
+        Gen.frequency(
+          5 -> Gen.const("heavy"),
+          3 -> Gen.oneOf("a", "b", "c"),
+          4 -> Gen.choose(0, 60).map(i => s"t$i")),
+        Gen.choose(1L, 9L))))
+
+  property("mg weighted: identical logical state to expanded unit inserts") =
+    Prop.forAll(genWeighted, Gen.choose(1, 16)) { (pairs, k) =>
+      val viaW = new MisraGries.State(k)
+      pairs.foreach { case (key, w) => viaW.update(key, w) }
+      val viaU = new MisraGries.State(k)
+      pairs.foreach { case (key, w) => (1L to w).foreach(_ => viaU.update(key)) }
+      viaW.n == viaU.n && viaW.delta == viaU.delta &&
+        viaW.logical.toMap == viaU.logical.toMap &&
+        MisraGries.serialize(viaW).toSeq == MisraGries.serialize(viaU).toSeq
+    }
+
+  property("kll weighted: conservation + bracket of the expanded multiset at any k/split") =
+    Prop.forAll(
+      Gen.chooseNum(1, 150).flatMap(n => Gen.listOfN(n, Gen.zip(
+        Gen.choose(0, 40).map(_.toDouble / 2), Gen.choose(1L, 5000L)))),
+      Gen.choose(8, 64), genParts) { (pairs, k, parts) =>
+      val states = Array.fill(parts)(new Kll.State(k))
+      pairs.zipWithIndex.foreach { case ((v, w), i) =>
+        states(i % parts).update(v, w)
+      }
+      val acc = states.head
+      states.tail.foreach(acc.merge)
+      val sk = Kll.serialize(acc)
+      val n = pairs.map(_._2).sum
+      val eps = Kll.errBound(sk)
+      def lt(x: Double) = pairs.collect { case (v, w) if v < x => w }.sum
+      def le(x: Double) = pairs.collect { case (v, w) if v <= x => w }.sum
+      Kll.count(sk) == n &&
+        Seq(0.01, 0.25, 0.5, 0.75, 0.99).forall { q =>
+          val v = Kll.quantile(sk, q)
+          lt(v).toDouble / n <= q + eps && le(v).toDouble / n >= q - eps
+        }
+    }
 }
