@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.trees.{BinaryLike, TernaryLike}
 import org.apache.spark.sql.types._
@@ -44,7 +44,8 @@ import scala.collection.mutable
   * a weighted insert ≡ weight repeated unit inserts, exactly);
   * `mg_merge_agg(sketch[, k])` (the state-table rollup face);
   * scalars `mg_estimate(sk, key)` (BIGINT, 0 when absent),
-  * `mg_delta(sk)`, `mg_n(sk)`.
+  * `mg_delta(sk)`, `mg_n(sk)`, and `mg_entries(sk)` — the candidate
+  * list itself as array<struct<key, count>>, (count DESC, key)-sorted.
   */
 object MisraGries {
 
@@ -222,6 +223,11 @@ object MisraGries {
   def estimate(bytes: Array[Byte], key: String): Long =
     deserialize(bytes).logicalGet(key)
 
+  /** Stored entries sorted (count DESC, key) — the candidate list the
+    * sketch exists to surface, deterministic for fixed state. */
+  def entries(bytes: Array[Byte]): Array[(String, Long)] =
+    deserialize(bytes).logical.toArray.sortBy { case (k, c) => (-c, k) }
+
   def delta(bytes: Array[Byte]): Long = deserialize(bytes).delta
 
   def count(bytes: Array[Byte]): Long = deserialize(bytes).n
@@ -238,6 +244,8 @@ object MisraGries {
       exprs => MgDelta(exprs.head), "built-in")
     r.createOrReplaceTempFunction("mg_n",
       exprs => MgN(exprs.head), "built-in")
+    r.createOrReplaceTempFunction("mg_entries",
+      exprs => MgEntries(exprs.head), "built-in")
   }
 
   private[functions] def checkK(kExpr: Expression,
@@ -436,6 +444,37 @@ case class MgEstimate(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): MgEstimate =
     copy(left = newLeft, right = newRight)
+}
+
+/** `mg_entries(sketch)` → array<struct<key, count>> sorted (count
+  * DESC, key) — the candidate list itself, read straight off state
+  * (the question the sketch exists to answer; `mg_estimate` needs a
+  * key you already hold). Non-codegen by design: it allocates an
+  * array of structs per call and runs over #sketch-rows frames, never
+  * in a corpus-scan hot path. */
+case class MgEntries(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"mg_entries requires binary, got $other")
+  }
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("key", StringType, nullable = false),
+      StructField("count", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "mg_entries"
+  override def nullSafeEval(input: Any): Any = {
+    val es = MisraGries.entries(input.asInstanceOf[Array[Byte]])
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      es.map { case (k, c) =>
+        org.apache.spark.sql.catalyst.InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(k), c)
+      })
+  }
+  override protected def withNewChildInternal(newChild: Expression): MgEntries =
+    copy(child = newChild)
 }
 
 /** `mg_delta(sketch)` → the exact carried decrement total Δ. */

@@ -130,6 +130,23 @@ class MisraGriesSpec extends AnyFunSuite {
     }
   }
 
+  test("mg_entries surfaces the candidate list straight off state") {
+    import spark.implicits._
+    val keys = Seq.fill(1000)("HEAVY") ++ (1 to 3000).map(i => s"tail${i % 600}")
+    val sk = sketchOf(keys, 7, 16)
+    // JVM reader: sorted (count DESC, key), equal to the logical state.
+    val es = MisraGries.entries(sk)
+    assert(es.nonEmpty && es.head._1 == "HEAVY",
+      s"the spike must rank first, got ${es.take(3).toSeq}")
+    assert(es.map(_._2).sameElements(es.map(_._2).sortBy(-_)))
+    assert(es.toMap == MisraGries.deserialize(sk).logical.toMap)
+    // SQL surface: the same list through the registered expression.
+    val row = Seq(Tuple1(sk)).toDF("sk")
+      .selectExpr("inline(mg_entries(sk))")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(row.toSeq == es.toSeq)
+  }
+
   test("merge face: per-slice partials keep the certificate and exactness") {
     import spark.implicits._
     val keys = Seq.fill(500)("HEAVY") ++ (1 to 2000).map(i => s"t${i % 300}")
