@@ -1202,6 +1202,98 @@ object EventsOps {
     },
 
     Q(
+      "q_pacf",
+      "partial autocorrelation of the hourly count series at lags " +
+        "1–3 via the Durbin-Levinson closed forms — the AR-order " +
+        "picker beside q_acf's MA diagnostic (ACF decaying while " +
+        "PACF cuts off at p is the textbook AR(p) signature, and " +
+        "choosing the anomaly-model lag off raw ACF overfits when " +
+        "the series is autoregressive). Lags 1–3 keep the recursion " +
+        "CLOSED-FORM: φ11=r1, φ22=(r2−r1²)/(1−r1²), and φ33 from " +
+        "the level-2 coefficients — every named intermediate is " +
+        "6dp-rounded so both engines walk identical IEEE doubles " +
+        "from identical exact-integer ACF numerators (the q_acf " +
+        "DECIMAL(38,0)/HUGEINT centered products, band-joined at " +
+        "≤3 lags). One corpus scan to the hour rollup; everything " +
+        "after is #hours×3-bounded, the final stack is 3 rows",
+      Some(
+        s"""WITH $hourlySeriesSqlCte, st AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx
+          |  FROM series
+          |), num AS (
+          |  SELECT b.t - a.t AS lag,
+          |    sum(CAST(a.x * n - sx AS HUGEINT) * (b.x * n - sx)) AS num
+          |  FROM series a JOIN series b
+          |    ON b.t > a.t AND b.t <= a.t + 3
+          |  CROSS JOIN st GROUP BY b.t - a.t
+          |), den AS (
+          |  SELECT sum(CAST(x * n - sx AS HUGEINT) * (x * n - sx)) AS den
+          |  FROM series CROSS JOIN st
+          |), r AS (
+          |  SELECT
+          |    max(CASE WHEN lag = 1
+          |      THEN round(CAST(num AS DOUBLE) / den, 6) END) AS r1,
+          |    max(CASE WHEN lag = 2
+          |      THEN round(CAST(num AS DOUBLE) / den, 6) END) AS r2,
+          |    max(CASE WHEN lag = 3
+          |      THEN round(CAST(num AS DOUBLE) / den, 6) END) AS r3
+          |  FROM num CROSS JOIN den
+          |), dl2 AS (
+          |  SELECT r1, r2, r3,
+          |    round((r2 - r1 * r1) / (1 - r1 * r1), 6) AS phi22
+          |  FROM r
+          |), dl21 AS (
+          |  SELECT r1, r2, r3, phi22,
+          |    round(r1 - phi22 * r1, 6) AS phi21
+          |  FROM dl2
+          |), dl3 AS (
+          |  SELECT r1, phi22,
+          |    round((r3 - phi21 * r2 - phi22 * r1)
+          |      / (1 - phi21 * r1 - phi22 * r2), 6) AS phi33
+          |  FROM dl21
+          |)
+          |SELECT CAST(u.lag AS BIGINT) AS lag,
+          |  CASE u.lag WHEN 1 THEN r1 WHEN 2 THEN phi22 ELSE phi33 END AS pacf
+          |FROM dl3, unnest(range(1, 4)) AS u(lag)
+          |ORDER BY lag""".stripMargin),
+    ) { (s, dir) =>
+      val series = hourlySeries(s, dir)
+        .localCheckpoint() // read thrice: stats, pairs (twice), denom
+      val st = series.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      val a = series.select(col("t").as("at"), col("x").as("ax"))
+      val b = series.select(col("t").as("bt"), col("x").as("bx"))
+      val num = a.join(b, col("bt") > col("at") && col("bt") <= col("at") + 3)
+        .crossJoin(broadcast(st))
+        .groupBy((col("bt") - col("at")).as("lag"))
+        .agg(sum((col("ax") * col("n") - col("sx")).cast("decimal(38,0)")
+          * (col("bx") * col("n") - col("sx")).cast("decimal(38,0)"))
+          .as("num"))
+      val den = series.crossJoin(broadcast(st))
+        .agg(sum((col("x") * col("n") - col("sx")).cast("decimal(38,0)")
+          * (col("x") * col("n") - col("sx")).cast("decimal(38,0)"))
+          .as("den"))
+      def acfAt(k: Int): Column = max(when(col("lag") === k,
+        round(col("num").cast("double") / col("den").cast("double"), 6)))
+      val r = num.crossJoin(broadcast(den))
+        .agg(acfAt(1).as("r1"), acfAt(2).as("r2"), acfAt(3).as("r3"))
+      val dl2 = r.withColumn("phi22",
+        round((col("r2") - col("r1") * col("r1"))
+          / (lit(1) - col("r1") * col("r1")), 6))
+      val dl21 = dl2.withColumn("phi21",
+        round(col("r1") - col("phi22") * col("r1"), 6))
+      val dl3 = dl21.select(col("r1"), col("phi22"),
+        round((col("r3") - col("phi21") * col("r2") - col("phi22") * col("r1"))
+          / (lit(1) - col("phi21") * col("r1") - col("phi22") * col("r2")), 6)
+          .as("phi33"))
+      dl3.select(explode(array(
+          struct(lit(1L).as("lag"), col("r1").as("pacf")),
+          struct(lit(2L).as("lag"), col("phi22").as("pacf")),
+          struct(lit(3L).as("lag"), col("phi33").as("pacf")))).as("p"))
+        .select(col("p.lag").as("lag"), col("p.pacf").as("pacf"))
+        .orderBy("lag")
+    },
+
+    Q(
       "q_holt_winters",
       "Holt linear-trend exponential smoothing over the hourly count " +
         "series (α=0.5, β=0.3) with a 6-hour forecast — the capacity-" +
@@ -1602,6 +1694,94 @@ object EventsOps {
           when(col("a_us") - col("last_us") < 2L * 86400000000L, 1L)
             .otherwise(0L).as("censored"))
       kmCurve(per).orderBy("t_days")
+    },
+
+    Q(
+      "q_logrank",
+      "two-cohort log-rank test over the q_survival_km lifetimes, " +
+        "arms split by the q_ab_test deterministic md5(user_id) hash " +
+        "— the experiment readout when the metric is TIME-TO-CHURN, " +
+        "not a rate: at every death time the A-arm's observed deaths " +
+        "are compared to the hypergeometric expectation d·nA/n given " +
+        "the pooled risk set, and χ² = (ΣO−ΣE)²/ΣV. Censoring is " +
+        "handled exactly as the KM row does (corpus-edge users enter " +
+        "risk sets but never die — a naive rate comparison would " +
+        "count them as churned). Users collapse to the (arm, " +
+        "lifetime, censored) rollup; per-arm risk sets are two " +
+        "descending cumulative windows over the BOUNDED lifetime " +
+        "rollup; per-time e/v terms divide DECIMAL(38,0)-exact " +
+        "integer products (d·nA·nB·(n−d) overflows BIGINT at ~1e5 " +
+        "users — the q_acf lesson, cast BEFORE the product) and " +
+        "accumulate as 6dp ×1e6 fixed-point BIGINTs so fold order " +
+        "can't drift either engine. The null result on the uniform " +
+        "hash split is itself the correctness check",
+      Some {
+        val h = graft.functions.Portable.md5Hash60Sql("CAST(user_id AS VARCHAR)")
+        s"""WITH anchor AS (
+           |  SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS a_us FROM events
+           |), per AS (
+           |  SELECT user_id,
+           |    CASE WHEN ($h) % 2 = 0 THEN 1 ELSE 0 END AS is_a,
+           |    (max(epoch_us(CAST(ts AS TIMESTAMP)))
+           |      - min(epoch_us(CAST(ts AS TIMESTAMP)))) // 86400000000 AS lt,
+           |    CASE WHEN a_us - max(epoch_us(CAST(ts AS TIMESTAMP)))
+           |      < 2 * 86400000000 THEN 1 ELSE 0 END AS censored
+           |  FROM events CROSS JOIN anchor GROUP BY user_id, a_us
+           |), ru AS (
+           |  SELECT lt,
+           |    CAST(sum(is_a * (1 - censored)) AS BIGINT) AS da,
+           |    CAST(sum(is_a * censored) AS BIGINT) AS ca,
+           |    CAST(sum((1 - is_a) * (1 - censored)) AS BIGINT) AS db,
+           |    CAST(sum((1 - is_a) * censored) AS BIGINT) AS cb
+           |  FROM per GROUP BY lt
+           |), risk AS (
+           |  SELECT lt, da, db,
+           |    CAST(sum(da + ca) OVER (ORDER BY lt DESC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS na,
+           |    CAST(sum(db + cb) OVER (ORDER BY lt DESC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS nb
+           |  FROM ru
+           |), terms AS (
+           |  SELECT da, da + db AS d, na, nb, na + nb AS n,
+           |    round(CAST(CAST(da + db AS HUGEINT) * na AS DOUBLE)
+           |      / (na + nb), 6) AS e_t,
+           |    CASE WHEN na + nb > 1 THEN
+           |      round(CAST(CAST(da + db AS HUGEINT) * na * nb
+           |          * (na + nb - (da + db)) AS DOUBLE)
+           |        / CAST(CAST(na + nb AS HUGEINT) * (na + nb)
+           |          * (na + nb - 1) AS DOUBLE), 6)
+           |    ELSE 0.0 END AS v_t
+           |  FROM risk WHERE da + db > 0
+           |), agg AS (
+           |  SELECT CAST(sum(da) AS BIGINT) AS o_a,
+           |    CAST(sum(CAST(round(e_t * 1000000) AS BIGINT)) AS DOUBLE)
+           |      / 1000000.0 AS e_a,
+           |    CAST(sum(CAST(round(v_t * 1000000) AS BIGINT)) AS DOUBLE)
+           |      / 1000000.0 AS v
+           |  FROM terms
+           |)
+           |SELECT o_a, round(e_a, 6) AS e_a, round(v, 6) AS v,
+           |  round((o_a - e_a) * (o_a - e_a) / v, 6) AS chi2,
+           |  CAST(round((o_a - e_a) * (o_a - e_a) / v, 6) > 3.841 AS BIGINT)
+           |    AS significant
+           |FROM agg""".stripMargin
+      },
+    ) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val anchor = ev.agg(max(unix_micros(col("ts"))).as("a_us"))
+      val isA = when(graft.functions.Portable.md5Hash60(
+        col("user_id").cast("string")) % 2 === 0, 1L).otherwise(0L)
+      val per = ev.groupBy("user_id")
+        .agg(min(unix_micros(col("ts"))).as("first_us"),
+          max(unix_micros(col("ts"))).as("last_us"))
+        .crossJoin(broadcast(anchor))
+        .select(isA.as("is_a"),
+          expr("(last_us - first_us) div 86400000000").as("lt"),
+          when(col("a_us") - col("last_us") < 2L * 86400000000L, 1L)
+            .otherwise(0L).as("censored"))
+      logrankOf(per)
     },
 
     Q(
@@ -7946,6 +8126,45 @@ object EventsOps {
         when(col("zflag") === 1, 0.0)
           .otherwise(round(exp(col("lnsum") / 1000000.0), 6))
           .as("survival"))
+  }
+
+  /** Log-rank statistic over an (is_a, lt, censored) per-user frame
+    * (q_logrank + the planted-cohort spec): bounded lifetime rollup,
+    * two descending cumulative per-arm risk sets, hypergeometric e/v
+    * terms on DECIMAL(38,0)-exact integer products folded as 6dp
+    * ×1e6 fixed-point BIGINTs. One output row. */
+  private[graft] def logrankOf(per: DataFrame): DataFrame = {
+    val ru = per.groupBy("lt")
+      .agg(sum(col("is_a") * (lit(1L) - col("censored"))).as("da"),
+        sum(col("is_a") * col("censored")).as("ca"),
+        sum((lit(1L) - col("is_a")) * (lit(1L) - col("censored"))).as("db"),
+        sum((lit(1L) - col("is_a")) * col("censored")).as("cb"))
+    val wDesc = Window.orderBy(col("lt").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = ru
+      .withColumn("na", sum(col("da") + col("ca")).over(wDesc))
+      .withColumn("nb", sum(col("db") + col("cb")).over(wDesc))
+      .filter(col("da") + col("db") > 0)
+    val d = col("da") + col("db")
+    val n = col("na") + col("nb")
+    val terms = risk.select(col("da"),
+      round((d.cast("decimal(38,0)") * col("na")).cast("double") / n, 6)
+        .as("e_t"),
+      when(n > 1,
+        round((d.cast("decimal(38,0)") * col("na") * col("nb") * (n - d))
+          .cast("double")
+          / (n.cast("decimal(38,0)") * n * (n - lit(1))).cast("double"), 6))
+        .otherwise(lit(0.0)).as("v_t"))
+    val agg = terms.agg(sum(col("da")).as("o_a"),
+      (sum(round(col("e_t") * 1000000, 0).cast("long")).cast("double")
+        / 1000000.0).as("e_a"),
+      (sum(round(col("v_t") * 1000000, 0).cast("long")).cast("double")
+        / 1000000.0).as("v"))
+    val chi2 = round((col("o_a") - col("e_a")) * (col("o_a") - col("e_a"))
+      / col("v"), 6)
+    agg.select(col("o_a"), round(col("e_a"), 6).as("e_a"),
+      round(col("v"), 6).as("v"), chi2.as("chi2"),
+      (chi2 > 3.841).cast("long").as("significant"))
   }
 
   /** The q_attribution_removal computation over any (user_id,

@@ -54,6 +54,12 @@ object GraphOps {
     * L1-normalized and 9dp-rounded per half-round like PageRank. */
   private[graft] val HitsRounds = 3
 
+  /** q_item_cf: minimum co-rating users for a pair to be a candidate
+    * (kills the long tail of coincidental co-occurrence before the
+    * cosine is even computed) and neighbors kept per item. */
+  private[graft] val ItemCfMinSupport = 3
+  private[graft] val ItemCfTopK = 3
+
   /** q_anf_reach: sketch-BFS rounds (oracle-unrolled pair closure). */
   private[graft] val AnfRounds = 3
 
@@ -1095,6 +1101,65 @@ object GraphOps {
     },
 
     Q(
+      "q_item_cf",
+      "item-item collaborative filtering over the user×item incidence " +
+        s"(binary 'user touched item'): co-rating counts with min " +
+        s"support $ItemCfMinSupport, cosine c_ij/√(c_i·c_j), top-" +
+        s"$ItemCfTopK neighbors per item — the classic Amazon-style " +
+        "item-to-item recommender built beside q_next_item_eval's " +
+        "sequential Markov model (CF captures taste co-occurrence " +
+        "that transition order misses). One map-side-combined " +
+        "distinct to the (user, item) incidence; the user-keyed " +
+        "self-join fans out per-user item SETS (bounded by the " +
+        "catalog, never by event volume — CF's items ≪ users shape), " +
+        "i<j halves the pairs, and the (i,j) agg is catalog²-bounded " +
+        "with min-support pruning before any cosine; item totals " +
+        "broadcast. c_i·c_j runs DECIMAL(38,0)-exact (user counts " +
+        "square past BIGINT at web scale — the q_acf lesson), the " +
+        "one sqrt is 6dp-rounded at the libm boundary, ties break " +
+        "(cosine, co-count, neighbor id) so ranks can't drift. At " +
+        "100 TB the catalog² agg still fits one stage; when the " +
+        "catalog itself explodes, the documented swap is DIMSUM " +
+        "row-sampling on the same incidence",
+      Some(
+        s"""WITH ui AS (
+           |  SELECT DISTINCT user_id,
+           |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+           |  FROM events
+           |  WHERE json_extract_string(props, '$$.k') IS NOT NULL
+           |), ic AS (
+           |  SELECT item, CAST(count(*) AS BIGINT) AS c FROM ui GROUP BY item
+           |), pr AS (
+           |  SELECT a.item AS i, b.item AS j, CAST(count(*) AS BIGINT) AS cij
+           |  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+           |  GROUP BY 1, 2 HAVING count(*) >= $ItemCfMinSupport
+           |), sym AS (
+           |  SELECT i, j, cij FROM pr UNION ALL SELECT j, i, cij FROM pr
+           |), cosed AS (
+           |  SELECT s.i AS item, s.j AS neighbor, s.cij AS c_both,
+           |    round(CAST(s.cij AS DOUBLE)
+           |      / round(sqrt(CAST(CAST(ci.c AS HUGEINT) * cj.c AS DOUBLE)), 6),
+           |      6) AS cosine
+           |  FROM sym s JOIN ic ci ON ci.item = s.i JOIN ic cj ON cj.item = s.j
+           |), rk AS (
+           |  SELECT item, neighbor, c_both, cosine,
+           |    row_number() OVER (PARTITION BY item
+           |      ORDER BY cosine DESC, c_both DESC, neighbor) AS rk
+           |  FROM cosed
+           |)
+           |SELECT item, neighbor, c_both, cosine, CAST(rk AS BIGINT) AS rk
+           |FROM rk WHERE rk <= $ItemCfTopK
+           |ORDER BY item, rk""".stripMargin),
+    ) { (s, dir) =>
+      val ui = Tables.events(s, dir)
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+        .filter(col("item").isNotNull)
+        .distinct()
+      itemCf(ui).orderBy("item", "rk")
+    },
+
+    Q(
       "q_kcore",
       s"weighted-core (s-core) decomposition TRACE over the undirected " +
         s"transition graph: $KcoreRounds peel rounds removing nodes " +
@@ -1623,6 +1688,34 @@ object GraphOps {
   /** Undirected distinct-pair weighted edges (u < v, w = summed
     * directed transition counts) — shared by q_kcore and
     * q_lpa_modularity. */
+  /** Item-item CF core over a (user_id, item) incidence frame
+    * (q_item_cf + the planted-taste spec): catalog-bounded pair agg
+    * with min support, broadcast item totals, 6dp cosine with a
+    * (cosine, co-count, neighbor) deterministic rank. Unordered. */
+  private[graft] def itemCf(uiRaw: DataFrame): DataFrame = {
+    val ui = uiRaw.localCheckpoint() // read thrice: totals + both join sides
+    val ic = ui.groupBy("item").agg(count(lit(1)).as("c"))
+    val a = ui.select(col("user_id"), col("item").as("i"))
+    val b = ui.select(col("user_id"), col("item").as("j"))
+    val pr = a.join(b, Seq("user_id")).filter(col("i") < col("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("cij"))
+      .filter(col("cij") >= ItemCfMinSupport)
+    val sym = pr.select(col("i"), col("j"), col("cij"))
+      .union(pr.select(col("j").as("i"), col("i").as("j"), col("cij")))
+    val cosed = sym
+      .join(broadcast(ic.select(col("item").as("i"), col("c").as("ci"))), "i")
+      .join(broadcast(ic.select(col("item").as("j"), col("c").as("cj"))), "j")
+      .select(col("i").as("item"), col("j").as("neighbor"),
+        col("cij").as("c_both"),
+        round(col("cij").cast("double")
+          / round(sqrt((col("ci").cast("decimal(38,0)") * col("cj"))
+            .cast("double")), 6), 6).as("cosine"))
+    val w = Window.partitionBy("item")
+      .orderBy(col("cosine").desc, col("c_both").desc, col("neighbor"))
+    cosed.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= ItemCfTopK)
+  }
+
   private[graft] def undirectedWeighted(s: SparkSession, dir: String): DataFrame =
     edgesOf(s, dir)
       .filter(col("a") =!= col("b"))

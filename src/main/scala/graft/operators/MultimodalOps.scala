@@ -38,6 +38,7 @@ object MultimodalOps {
     * the decode gates are scale-constant by construction. */
   private val BmpAssets = 200
   private val WavAssets = 200
+  private val ToneAssets = 200
 
   /** q_phash_dup shape: 32 byte samples → 32-bit signature, 2×16-bit
     * bands, hamming radius 4. Declared before `val all` — the oracle
@@ -293,9 +294,14 @@ object MultimodalOps {
       base + (if (c == 0 && i >= burstStart(d)) 20000 else 0)
     }
 
-    def encode(d: Long): Array[Byte] = {
-      val nc = channels(d)
-      val n = frames(d)
+    def encode(d: Long): Array[Byte] =
+      encodeWith(d, channels(d), frames(d), (i, c) => sample(d, i, c))
+
+    /** Container assembly alone, sample values injected — the tone
+      * fixture reuses the byte layout (incl. the odd-id LIST chunk
+      * the parser must walk past) with its own signal. */
+    private[operators] def encodeWith(d: Long, nc: Int, n: Int,
+        sample: (Int, Int) => Int): Array[Byte] = {
       val dataBytes = n * nc * 2
       val listChunk = if (d % 2 == 1) 8 + 6 else 0 // "LIST" + size + 6 B
       val riffSize = 4 + 24 + listChunk + 8 + dataBytes
@@ -321,7 +327,7 @@ object MultimodalOps {
       var i = 0
       while (i < n) {
         var c = 0
-        while (c < nc) { bb.putShort(sample(d, i, c).toShort); c += 1 }
+        while (c < nc) { bb.putShort(sample(i, c).toShort); c += 1 }
         i += 1
       }
       bb.array()
@@ -357,7 +363,10 @@ object MultimodalOps {
     def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[WavStats] =
       batch.map { case (id, p) => decodeOne(id, p) }
 
-    def decodeOne(id: Long, p: Array[Byte]): WavStats = {
+    /** The chunk walk alone: (channels, rate, dataOff, dataLen) — the
+      * container grammar shared by every PCM face (stats, tone). */
+    private[operators] def parseHeader(id: Long, p: Array[Byte])
+        : (Int, Int, Int, Int) = {
       require(tag(p, 0) == "RIFF" && tag(p, 8) == "WAVE",
         s"asset $id: not a RIFF/WAVE container")
       var off = 12
@@ -381,6 +390,15 @@ object MultimodalOps {
         off += 8 + len + (len & 1) // RIFF pads odd chunk sizes
       }
       require(nc > 0 && dataOff >= 0, s"asset $id: fmt/data chunk missing")
+      (nc, rate, dataOff, dataLen)
+    }
+
+    /** Signed 16-bit LE sample at a byte offset (shared with the
+      * tone face). */
+    private[operators] def sampleAt(p: Array[Byte], off: Int): Int = s16(p, off)
+
+    def decodeOne(id: Long, p: Array[Byte]): WavStats = {
+      val (nc, rate, dataOff, dataLen) = parseHeader(id, p)
       val n = dataLen / (nc * 2)
       var sum0 = 0L; var sum1 = 0L; var abs0 = 0L; var mom = 0L
       var burst = -1L
@@ -397,6 +415,60 @@ object MultimodalOps {
       }
       WavStats(id, nc.toLong, n.toLong, rate.toLong,
         sum0, sum1, abs0, mom, burst)
+    }
+  }
+
+  /** Tone assets: mono PCM16 with a square wave of period 4/8/16
+    * frames (by doc_id % 3) at amplitude 6000 riding the ±1000
+    * texture — same RIFF layout as [[WavFixture]] (odd ids keep the
+    * LIST chunk, so the parser still genuinely chunk-walks).
+    * n ∈ [48, 64] frames makes the matched-filter argmax provably
+    * unique: the true-period correlation is ≥ 6000n − 1000n = 5000n,
+    * while any other candidate collects at most one incomplete
+    * cross-period cycle (≤ 6000·16) plus the texture bound 1000n —
+    * 5000n > 96000 + 1000n for every n ≥ 48 (square waves at
+    * period P and 2P are orthogonal over complete cycles). */
+  private[graft] object ToneWavFixture {
+    def period(d: Long): Int = 4 << (d % 3).toInt            // {4, 8, 16}
+    def frames(d: Long): Int = 48 + (d % 17).toInt           // [48, 64]
+    def sq(i: Int, p: Int): Int = if ((i / (p / 2)) % 2 == 0) 1 else -1
+    def sample(d: Long, i: Int): Int =
+      (((d * 31 + i * 17) % 2001).toInt - 1000) + 6000 * sq(i, period(d))
+    def encode(d: Long): Array[Byte] =
+      WavFixture.encodeWith(d, 1, frames(d), (i, _) => sample(d, i))
+  }
+
+  /** Matched-filter correlations (exact BIGINT Σ s_i·sq_P(i)) at the
+    * three candidate periods plus the argmax (ties to the shortest
+    * period — unreachable by the fixture margin, pinned anyway). */
+  private[graft] final case class ToneStats(
+      doc_id: Long, n_frames: Long, corr4: Long, corr8: Long, corr16: Long,
+      period_hat: Long)
+
+  /** Pitch-class detection over the decoded PCM: the same chunk walk
+    * as [[WavDecoder]], then one pass correlating against ±1 square
+    * templates — the integer matched filter a real pipeline runs as
+    * a DFT bin. Offset/stride arithmetic only; no audio library. */
+  private[graft] object ToneDecoder {
+    def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[ToneStats] =
+      batch.map { case (id, p) => decodeOne(id, p) }
+
+    def decodeOne(id: Long, p: Array[Byte]): ToneStats = {
+      val (nc, _, dataOff, dataLen) = WavDecoder.parseHeader(id, p)
+      require(nc == 1, s"asset $id: tone assets are mono")
+      val n = dataLen / 2
+      var c4 = 0L; var c8 = 0L; var c16 = 0L
+      var i = 0
+      while (i < n) {
+        val v = WavDecoder.sampleAt(p, dataOff + i * 2).toLong
+        c4 += v * ToneWavFixture.sq(i, 4)
+        c8 += v * ToneWavFixture.sq(i, 8)
+        c16 += v * ToneWavFixture.sq(i, 16)
+        i += 1
+      }
+      val hat = Seq((4L, c4), (8L, c8), (16L, c16))
+        .sortBy { case (per, c) => (-c, per) }.head._1
+      ToneStats(id, n.toLong, c4, c8, c16, hat)
     }
   }
 
@@ -558,6 +630,80 @@ object MultimodalOps {
         .toDF("doc_id", "part_id", "batch_seq", "n_channels", "n_frames",
           "sample_rate", "sum_ch0", "sum_ch1", "abs_sum_ch0", "moment",
           "burst_start")
+        .orderBy("doc_id")
+    },
+
+    Q(
+      "q_audio_tone",
+      "pitch-class detection over decoded PCM — the spectral-feature " +
+        "face of the real audio decoder: mono RIFF/WAVE assets carry " +
+        "a planted square tone (period 4/8/16 frames, amplitude 6000 " +
+        "over ±1000 texture; odd ids still interleave the LIST chunk " +
+        "so the parser genuinely chunk-walks), and the decoder " +
+        "correlates the samples against ±1 square templates at the " +
+        "three candidate periods — the integer matched filter a real " +
+        "pipeline runs as a DFT bin (Goertzel without the libm). The " +
+        "argmax is PROVABLY unique by fixture margin (true-period " +
+        "correlation ≥ 5000n vs ≤ 96000 + 1000n elsewhere, n ≥ 48 — " +
+        "square waves at P and 2P are orthogonal over complete " +
+        "cycles), ties pinned to the shortest period anyway. Exact " +
+        "BIGINT correlations; the oracle recomputes all three from " +
+        "the closed form, so a frame-order or sign misparse breaks " +
+        "the hash. Same decodedBatches placement/order/batch " +
+        "pipeline — at 100 TB feature extraction rides map-side in " +
+        "payload-pruned batches, only the per-asset feature row " +
+        "shuffles",
+      Some(
+        s"""WITH a AS (
+           |  SELECT doc_id,
+           |    CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 8 ELSE 16 END AS p,
+           |    48 + doc_id % 17 AS n
+           |  FROM documents WHERE doc_id < $ToneAssets
+           |), c AS (
+           |  SELECT doc_id, n,
+           |    CAST(list_sum(list_transform(range(n), i ->
+           |      ((doc_id * 31 + i * 17) % 2001 - 1000
+           |        + 6000 * (CASE WHEN (i // (p // 2)) % 2 = 0
+           |                  THEN 1 ELSE -1 END))
+           |      * (CASE WHEN (i // 2) % 2 = 0 THEN 1 ELSE -1 END)))
+           |      AS BIGINT) AS corr4,
+           |    CAST(list_sum(list_transform(range(n), i ->
+           |      ((doc_id * 31 + i * 17) % 2001 - 1000
+           |        + 6000 * (CASE WHEN (i // (p // 2)) % 2 = 0
+           |                  THEN 1 ELSE -1 END))
+           |      * (CASE WHEN (i // 4) % 2 = 0 THEN 1 ELSE -1 END)))
+           |      AS BIGINT) AS corr8,
+           |    CAST(list_sum(list_transform(range(n), i ->
+           |      ((doc_id * 31 + i * 17) % 2001 - 1000
+           |        + 6000 * (CASE WHEN (i // (p // 2)) % 2 = 0
+           |                  THEN 1 ELSE -1 END))
+           |      * (CASE WHEN (i // 8) % 2 = 0 THEN 1 ELSE -1 END)))
+           |      AS BIGINT) AS corr16
+           |  FROM a
+           |)
+           |SELECT doc_id,
+           |  CAST(doc_id % $NumParts AS BIGINT) AS part_id,
+           |  CAST(floor((row_number() OVER (PARTITION BY doc_id % $NumParts
+           |        ORDER BY doc_id) - 1) / $BatchSize) AS BIGINT) AS batch_seq,
+           |  CAST(n AS BIGINT) AS n_frames, corr4, corr8, corr16,
+           |  CAST(CASE WHEN corr4 >= corr8 AND corr4 >= corr16 THEN 4
+           |       WHEN corr8 >= corr16 THEN 8 ELSE 16 END AS BIGINT)
+           |    AS period_hat
+           |FROM c ORDER BY doc_id""".stripMargin),
+    ) { (s, dir) =>
+      import s.implicits._
+      val payloads = Tables.documents(s, dir)
+        .filter(col("doc_id") < ToneAssets)
+        .select(col("doc_id")).as[Long].rdd
+        .map(id => (id, ToneWavFixture.encode(id)))
+      val decoded = decodedBatches(payloads, ToneDecoder.decodeBatch)
+        .map { case (part, bi, st) =>
+          (st.doc_id, part, bi, st.n_frames, st.corr4, st.corr8, st.corr16,
+            st.period_hat)
+        }
+      s.createDataset(decoded)
+        .toDF("doc_id", "part_id", "batch_seq", "n_frames", "corr4", "corr8",
+          "corr16", "period_hat")
         .orderBy("doc_id")
     },
 

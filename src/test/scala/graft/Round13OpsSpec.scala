@@ -1,0 +1,106 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-13 operator cores against hand-exact plants and independent
+  * recursions: log-rank on planted cohorts (the hypergeometric e/v
+  * terms verified by hand), PACF vs a Scala Durbin-Levinson walk over
+  * the ENGINE's own ACF values on the same rounding grid, item-item
+  * CF on a planted taste matrix (min-support pruning + exact cosine),
+  * and the tone decoder's matched-filter argmax recovered for every
+  * salted asset with the margin the fixture proves.
+  */
+class Round13OpsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
+
+  test("logrank: planted two-cohort deaths with hand-exact chi2") {
+    import spark.implicits._
+    // A dies at t=1 (×2); B: one death at t=3, one censored at t=3.
+    // t=1: d=2, nA=2, nB=2 → e=2·2/4=1, v=2·2·2·2/(16·3)=0.333333
+    // t=3: d=1, nA=0, nB=2 → e=0, v=0 (censored B user still at risk)
+    // O=2, E=1, V=0.333333 → chi2 = round(1/0.333333, 6) = 3.000003
+    val per = Seq(
+      (1L, 1L, 0L), (1L, 1L, 0L),
+      (0L, 3L, 0L), (0L, 3L, 1L),
+    ).toDF("is_a", "lt", "censored")
+    val row = operators.EventsOps.logrankOf(per).collect().head
+    assert(row.getLong(0) == 2L, "o_a")
+    assert(row.getDouble(1) == 1.0, "e_a")
+    assert(row.getDouble(2) == 0.333333, "v")
+    assert(row.getDouble(3) == 3.000003, "chi2")
+    assert(row.getLong(4) == 0L, "3.000003 < 3.841")
+  }
+
+  test("logrank: identical arms give chi2 = 0 exactly") {
+    import spark.implicits._
+    val per = Seq((1L, 2L, 0L), (0L, 2L, 0L), (1L, 5L, 1L), (0L, 5L, 1L))
+      .toDF("is_a", "lt", "censored")
+    // One pooled death time t=2 with d=2, nA=nB=2 → E_A = 2·2/4 = 1 = O_A.
+    val row = operators.EventsOps.logrankOf(per).collect().head
+    assert(row.getLong(0) == 1L && row.getDouble(1) == 1.0)
+    assert(row.getDouble(3) == 0.0 && row.getLong(4) == 0L)
+  }
+
+  test("pacf equals a Durbin-Levinson walk over the engine's own ACF") {
+    val acf = SparkEntry.queries("q_acf")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val (r1, r2, r3) = (acf(1L), acf(2L), acf(3L))
+    val phi22 = r6((r2 - r1 * r1) / (1 - r1 * r1))
+    val phi21 = r6(r1 - phi22 * r1)
+    val phi33 = r6((r3 - phi21 * r2 - phi22 * r1)
+      / (1 - phi21 * r1 - phi22 * r2))
+    val got = SparkEntry.queries("q_pacf")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == r1, "lag-1 PACF is the lag-1 ACF by definition")
+    assert(got(2L) == phi22)
+    assert(got(3L) == phi33)
+    assert(got.size == 3)
+  }
+
+  test("item_cf: planted taste matrix — support pruning and exact cosine") {
+    import spark.implicits._
+    // users 1,2,3 share {10,11}; item 12 touches {3,4} only → every
+    // pair with 12 has co-support 1 < 3 and is pruned before cosine.
+    val ui = Seq(
+      (1L, 10L), (1L, 11L),
+      (2L, 10L), (2L, 11L),
+      (3L, 10L), (3L, 11L), (3L, 12L),
+      (4L, 12L),
+    ).toDF("user_id", "item")
+    val got = operators.GraphOps.itemCf(ui)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4)))
+      .sortBy(t => (t._1, t._5))
+    assert(got.toSeq == Seq(
+      (10L, 11L, 3L, 1.0, 1L),
+      (11L, 10L, 3L, 1.0, 1L)),
+      "only the (10,11) pair survives min-support; cosine 3/√(3·3) = 1")
+  }
+
+  test("tone decoder recovers the planted period for every asset") {
+    import graft.operators.MultimodalOps.{ToneDecoder, ToneWavFixture}
+    (0L until 60L).foreach { id =>
+      val st = ToneDecoder.decodeOne(id, ToneWavFixture.encode(id))
+      val p = ToneWavFixture.period(id)
+      val n = ToneWavFixture.frames(id)
+      assert(st.n_frames == n)
+      assert(st.period_hat == p.toLong, s"asset $id")
+      // Brute-force correlation from the closed form the oracle uses.
+      def corr(cand: Int): Long =
+        (0 until n).map(i => ToneWavFixture.sample(id, i).toLong
+          * ToneWavFixture.sq(i, cand)).sum
+      assert(st.corr4 == corr(4) && st.corr8 == corr(8)
+        && st.corr16 == corr(16))
+      val byPeriod = Map(4 -> st.corr4, 8 -> st.corr8, 16 -> st.corr16)
+      val others = byPeriod.removed(p).values
+      assert(others.forall(_ < byPeriod(p)),
+        s"asset $id: argmax margin must be strict")
+    }
+  }
+}
