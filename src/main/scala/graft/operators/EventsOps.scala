@@ -1294,6 +1294,57 @@ object EventsOps {
     },
 
     Q(
+      "q_cusum",
+      "two-sided CUSUM control chart over the hourly count series — " +
+        "the drift detector beside q_changepoint's single " +
+        "retrospective split and q_ewma_control's smoothed band " +
+        "(CUSUM accumulates small persistent shifts the others " +
+        "dilute). The nonlinear recursion S_t = max(0, S_{t−1} + " +
+        "x_t − k) is rewritten as the EXACT window identity " +
+        "S_t = C_t − min(0, min_{s≤t} C_s) over the cumulative sum " +
+        "C of (x − k) — so both sides run plain cumsum + running-min " +
+        "windows on exact BIGINTs, no sequential fold anywhere. " +
+        "References k are the exact integer ceil/floor of the mean " +
+        "((sx+n−1) div n, sx div n); the 5σ threshold is the ONE " +
+        "libm sqrt, 6dp-rounded, of a DECIMAL(38,0)-exact variance " +
+        "numerator (n·Σx² − (Σx)² wraps BIGINT at web-scale counts " +
+        "— the q_acf lesson). One corpus scan to the hour rollup; " +
+        "the windows ride the #hours-bounded series",
+      Some(
+        s"""WITH $hourlySeriesSqlCte, st AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+          |    CAST(sum(x * x) AS BIGINT) AS sxx
+          |  FROM series
+          |), ks AS (
+          |  SELECT (sx + n - 1) // n AS k_up, sx // n AS k_dn,
+          |    round(5.0 * sqrt(CAST(CAST(n AS HUGEINT) * sxx
+          |      - CAST(sx AS HUGEINT) * sx AS DOUBLE)) / n, 6) AS h
+          |  FROM st
+          |), cum AS (
+          |  SELECT t, x, h,
+          |    CAST(sum(x - k_up) OVER (ORDER BY t
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS BIGINT) AS c_up,
+          |    CAST(sum(k_dn - x) OVER (ORDER BY t
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS BIGINT) AS c_dn
+          |  FROM series CROSS JOIN ks
+          |), s AS (
+          |  SELECT t, x, h,
+          |    c_up - least(CAST(0 AS BIGINT), min(c_up) OVER (ORDER BY t
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s_up,
+          |    c_dn - least(CAST(0 AS BIGINT), min(c_dn) OVER (ORDER BY t
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s_dn
+          |  FROM cum
+          |)
+          |SELECT t, x, s_up, s_dn,
+          |  CAST(s_up > h OR s_dn > h AS BIGINT) AS alarm
+          |FROM s ORDER BY t""".stripMargin),
+    ) { (s, dir) =>
+      cusumOf(hourlySeries(s, dir)).orderBy("t")
+    },
+
+    Q(
       "q_holt_winters",
       "Holt linear-trend exponential smoothing over the hourly count " +
         "series (α=0.5, β=0.3) with a 6-hour forecast — the capacity-" +
@@ -8126,6 +8177,36 @@ object EventsOps {
         when(col("zflag") === 1, 0.0)
           .otherwise(round(exp(col("lnsum") / 1000000.0), 6))
           .as("survival"))
+  }
+
+  /** Two-sided CUSUM over a (t, x) series (q_cusum + the planted-
+    * shift spec): S_t = max(0, S_{t−1} + x_t − k) folded as the exact
+    * window identity C_t − min(0, min_{s≤t} C_s); integer ceil/floor
+    * mean references, 5σ threshold from a DECIMAL-exact variance
+    * numerator. Unordered (t, x, s_up, s_dn, alarm) rows. */
+  private[graft] def cusumOf(seriesRaw: DataFrame): DataFrame = {
+    val series = seriesRaw.localCheckpoint() // read twice: stats + windows
+    val st = series.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sxx"))
+    val ks = st.select(
+      expr("(sx + n - 1) div n").as("k_up"),
+      expr("sx div n").as("k_dn"),
+      round(lit(5.0) * sqrt((col("n").cast("decimal(38,0)") * col("sxx")
+        - col("sx").cast("decimal(38,0)") * col("sx")).cast("double"))
+        / col("n"), 6).as("h"))
+    val wCum = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = series.crossJoin(broadcast(ks))
+      .withColumn("c_up", sum(col("x") - col("k_up")).over(wCum))
+      .withColumn("c_dn", sum(col("k_dn") - col("x")).over(wCum))
+    cum
+      .withColumn("s_up",
+        col("c_up") - least(lit(0L), min(col("c_up")).over(wCum)))
+      .withColumn("s_dn",
+        col("c_dn") - least(lit(0L), min(col("c_dn")).over(wCum)))
+      .select(col("t"), col("x"), col("s_up"), col("s_dn"),
+        (col("s_up") > col("h") || col("s_dn") > col("h")).cast("long")
+          .as("alarm"))
   }
 
   /** Log-rank statistic over an (is_a, lt, censored) per-user frame

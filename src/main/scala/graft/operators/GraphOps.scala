@@ -1160,6 +1160,65 @@ object GraphOps {
     },
 
     Q(
+      "q_assoc_rules",
+      "association rules over the same user×item baskets: frequent " +
+        s"pairs at min co-support $ItemCfMinSupport become directed " +
+        "rules i→j scored by confidence c_ij/c_i and lift " +
+        "N·c_ij/(c_i·c_j), top-" + s"$ItemCfTopK per antecedent — " +
+        "market-basket analysis beside q_item_cf's symmetric cosine " +
+        "(confidence is the DIRECTED strength CF's cosine hides: " +
+        "diapers→beer and beer→diapers differ). Same incidence scan " +
+        "and catalog²-bounded pair agg; N and the item totals " +
+        "broadcast; N·c_ij and c_i·c_j run DECIMAL(38,0)-exact " +
+        "(both square past BIGINT at web-scale user counts), each " +
+        "ratio is ONE 6dp division, ranks tie-break (lift, conf, " +
+        "consequent) so order can't drift. At 100 TB frequent-pair " +
+        "mining above min-support is exactly this shuffle; deeper " +
+        "itemsets ride q_fim_transform's encoding",
+      Some(
+        s"""WITH ui AS (
+           |  SELECT DISTINCT user_id,
+           |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+           |  FROM events
+           |  WHERE json_extract_string(props, '$$.k') IS NOT NULL
+           |), nu AS (
+           |  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM ui
+           |), ic AS (
+           |  SELECT item, CAST(count(*) AS BIGINT) AS c FROM ui GROUP BY item
+           |), pr AS (
+           |  SELECT a.item AS i, b.item AS j, CAST(count(*) AS BIGINT) AS cij
+           |  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+           |  GROUP BY 1, 2 HAVING count(*) >= $ItemCfMinSupport
+           |), sym AS (
+           |  SELECT i, j, cij FROM pr UNION ALL SELECT j, i, cij FROM pr
+           |), ruled AS (
+           |  SELECT s.i AS antecedent, s.j AS consequent, s.cij AS c_both,
+           |    round(CAST(s.cij AS DOUBLE) / ci.c, 6) AS confidence,
+           |    round(CAST(CAST(nu.n AS HUGEINT) * s.cij AS DOUBLE)
+           |      / CAST(CAST(ci.c AS HUGEINT) * cj.c AS DOUBLE), 6) AS lift,
+           |    round(CAST(s.cij AS DOUBLE) / nu.n, 6) AS support
+           |  FROM sym s JOIN ic ci ON ci.item = s.i
+           |  JOIN ic cj ON cj.item = s.j CROSS JOIN nu
+           |), rk AS (
+           |  SELECT antecedent, consequent, c_both, support, confidence, lift,
+           |    row_number() OVER (PARTITION BY antecedent
+           |      ORDER BY lift DESC, confidence DESC, consequent) AS rk
+           |  FROM ruled
+           |)
+           |SELECT antecedent, consequent, c_both, support, confidence, lift,
+           |  CAST(rk AS BIGINT) AS rk
+           |FROM rk WHERE rk <= $ItemCfTopK
+           |ORDER BY antecedent, rk""".stripMargin),
+    ) { (s, dir) =>
+      val ui = Tables.events(s, dir)
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+        .filter(col("item").isNotNull)
+        .distinct()
+      assocRules(ui).orderBy("antecedent", "rk")
+    },
+
+    Q(
       "q_kcore",
       s"weighted-core (s-core) decomposition TRACE over the undirected " +
         s"transition graph: $KcoreRounds peel rounds removing nodes " +
@@ -1713,6 +1772,38 @@ object GraphOps {
     val w = Window.partitionBy("item")
       .orderBy(col("cosine").desc, col("c_both").desc, col("neighbor"))
     cosed.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= ItemCfTopK)
+  }
+
+  /** Association-rule core over a (user_id, item) incidence frame
+    * (q_assoc_rules + the planted-basket spec): min-support pair agg,
+    * broadcast N and item totals, 6dp confidence/lift/support with a
+    * (lift, confidence, consequent) deterministic rank. Unordered. */
+  private[graft] def assocRules(uiRaw: DataFrame): DataFrame = {
+    val ui = uiRaw.localCheckpoint() // read 4×: N + totals + join sides
+    val nu = ui.agg(countDistinct(col("user_id")).as("n"))
+    val ic = ui.groupBy("item").agg(count(lit(1)).as("c"))
+    val a = ui.select(col("user_id"), col("item").as("i"))
+    val b = ui.select(col("user_id"), col("item").as("j"))
+    val pr = a.join(b, Seq("user_id")).filter(col("i") < col("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("cij"))
+      .filter(col("cij") >= ItemCfMinSupport)
+    val sym = pr.select(col("i"), col("j"), col("cij"))
+      .union(pr.select(col("j").as("i"), col("i").as("j"), col("cij")))
+    val ruled = sym
+      .join(broadcast(ic.select(col("item").as("i"), col("c").as("ci"))), "i")
+      .join(broadcast(ic.select(col("item").as("j"), col("c").as("cj"))), "j")
+      .crossJoin(broadcast(nu))
+      .select(col("i").as("antecedent"), col("j").as("consequent"),
+        col("cij").as("c_both"),
+        round(col("cij").cast("double") / col("n"), 6).as("support"),
+        round(col("cij").cast("double") / col("ci"), 6).as("confidence"),
+        round((col("n").cast("decimal(38,0)") * col("cij")).cast("double")
+          / (col("ci").cast("decimal(38,0)") * col("cj")).cast("double"), 6)
+          .as("lift"))
+    val w = Window.partitionBy("antecedent")
+      .orderBy(col("lift").desc, col("confidence").desc, col("consequent"))
+    ruled.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= ItemCfTopK)
   }
 

@@ -83,6 +83,57 @@ class Round13OpsSpec extends AnyFunSuite {
       "only the (10,11) pair survives min-support; cosine 3/√(3·3) = 1")
   }
 
+  test("cusum: window identity equals the textbook recursion on a planted shift") {
+    import spark.implicits._
+    // Flat 10s, then a persistent +4 shift: the recursion
+    // S_t = max(0, S_{t-1} + x_t - k) must match the window identity
+    // exactly, and the shift must eventually alarm.
+    val xs = Seq.fill(20)(10L) ++ Seq.fill(12)(14L)
+    val series = xs.zipWithIndex.map { case (x, t) => (t.toLong, x) }
+      .toDF("t", "x")
+    val got = operators.EventsOps.cusumOf(series)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    val n = xs.length
+    val sx = xs.sum
+    val kUp = (sx + n - 1) / n
+    val kDn = sx / n
+    var sUp = 0L; var sDn = 0L
+    val sxx = xs.map(x => x * x).sum
+    val h = BigDecimal(5.0 * math.sqrt((n.toLong * sxx - sx * sx).toDouble) / n)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
+    xs.zipWithIndex.foreach { case (x, t) =>
+      sUp = math.max(0L, sUp + x - kUp)
+      sDn = math.max(0L, sDn + kDn - x)
+      val (gt, gUp, gDn, alarm) = got(t)
+      assert(gt == t && gUp == sUp && gDn == sDn,
+        s"t=$t: recursion (${sUp}, ${sDn}) vs window (${gUp}, ${gDn})")
+      assert(alarm == (if (sUp > h || sDn > h) 1L else 0L))
+    }
+    assert(got.last._4 == 1L, "the persistent +4 shift must alarm by the end")
+  }
+
+  test("assoc_rules: planted baskets — directed confidence differs by side") {
+    import spark.implicits._
+    // Item 20 in 4 baskets, item 21 in 3; they co-occur 3 times →
+    // conf(21→20) = 1.0 but conf(20→21) = 0.75; lift = 5·3/(4·3) = 1.25.
+    val ui = Seq(
+      (1L, 20L), (1L, 21L),
+      (2L, 20L), (2L, 21L),
+      (3L, 20L), (3L, 21L),
+      (4L, 20L), (5L, 99L),
+    ).toDF("user_id", "item")
+    val got = operators.GraphOps.assocRules(ui)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (20L, 21L, 3L, 0.6, 0.75, 1.25, 1L),
+      (21L, 20L, 3L, 0.6, 1.0, 1.25, 1L)),
+      "support 3/5, confidences 3/4 vs 3/3, lift 5·3/(4·3)")
+  }
+
   test("tone decoder recovers the planted period for every asset") {
     import graft.operators.MultimodalOps.{ToneDecoder, ToneWavFixture}
     (0L until 60L).foreach { id =>
