@@ -447,6 +447,40 @@ object EventsOps {
     * rollup ≡ the batch `hr` CTE at any split). A def, not a val: it
     * interpolates [[hourlySeriesSqlCte]], declared further down (the
     * registry-interpolation init-order rule). */
+  /** q_cusum's oracle — shared VERBATIM by q_stream_cusum (the
+    * streaming face folds the same hour rollup as complete-mode
+    * state, so the readout is the identical bounded computation). */
+  private[graft] def cusumSql: String =
+    s"""WITH $hourlySeriesSqlCte, st AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx
+      |  FROM series
+      |), ks AS (
+      |  SELECT (sx + n - 1) // n AS k_up, sx // n AS k_dn,
+      |    round(5.0 * sqrt(CAST(CAST(n AS HUGEINT) * sxx
+      |      - CAST(sx AS HUGEINT) * sx AS DOUBLE)) / n, 6) AS h
+      |  FROM st
+      |), cum AS (
+      |  SELECT t, x, h,
+      |    CAST(sum(x - k_up) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS c_up,
+      |    CAST(sum(k_dn - x) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS c_dn
+      |  FROM series CROSS JOIN ks
+      |), s AS (
+      |  SELECT t, x, h,
+      |    c_up - least(CAST(0 AS BIGINT), min(c_up) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s_up,
+      |    c_dn - least(CAST(0 AS BIGINT), min(c_dn) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s_dn
+      |  FROM cum
+      |)
+      |SELECT t, x, s_up, s_dn,
+      |  CAST(s_up > h OR s_dn > h AS BIGINT) AS alarm
+      |FROM s ORDER BY t""".stripMargin
+
   private[graft] def ewmaSql: String =
     s"""WITH RECURSIVE $hourlySeriesSqlCte, x0 AS (
        |  SELECT t, CAST(x AS DOUBLE) AS x FROM series
@@ -1310,36 +1344,7 @@ object EventsOps {
         "numerator (n·Σx² − (Σx)² wraps BIGINT at web-scale counts " +
         "— the q_acf lesson). One corpus scan to the hour rollup; " +
         "the windows ride the #hours-bounded series",
-      Some(
-        s"""WITH $hourlySeriesSqlCte, st AS (
-          |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
-          |    CAST(sum(x * x) AS BIGINT) AS sxx
-          |  FROM series
-          |), ks AS (
-          |  SELECT (sx + n - 1) // n AS k_up, sx // n AS k_dn,
-          |    round(5.0 * sqrt(CAST(CAST(n AS HUGEINT) * sxx
-          |      - CAST(sx AS HUGEINT) * sx AS DOUBLE)) / n, 6) AS h
-          |  FROM st
-          |), cum AS (
-          |  SELECT t, x, h,
-          |    CAST(sum(x - k_up) OVER (ORDER BY t
-          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-          |      AS BIGINT) AS c_up,
-          |    CAST(sum(k_dn - x) OVER (ORDER BY t
-          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-          |      AS BIGINT) AS c_dn
-          |  FROM series CROSS JOIN ks
-          |), s AS (
-          |  SELECT t, x, h,
-          |    c_up - least(CAST(0 AS BIGINT), min(c_up) OVER (ORDER BY t
-          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s_up,
-          |    c_dn - least(CAST(0 AS BIGINT), min(c_dn) OVER (ORDER BY t
-          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s_dn
-          |  FROM cum
-          |)
-          |SELECT t, x, s_up, s_dn,
-          |  CAST(s_up > h OR s_dn > h AS BIGINT) AS alarm
-          |FROM s ORDER BY t""".stripMargin),
+      Some(cusumSql),
     ) { (s, dir) =>
       cusumOf(hourlySeries(s, dir)).orderBy("t")
     },

@@ -1562,6 +1562,40 @@ object StreamOps {
     },
 
     Q(
+      "q_stream_cusum",
+      "the CUSUM drift detector run LIVE — the streaming face of " +
+        "q_cusum, sharing its oracle VERBATIM: the stream folds the " +
+        "epoch-hour count rollup as complete-mode state (calendar-" +
+        "bounded, additive — state ≡ the batch hr rollup at any " +
+        "split), and the spine densify + exact cumsum/running-min " +
+        "window identity + 5σ compare run batch-side on the bounded " +
+        "sink per readout. The SPC triptych closes: q_stream_anomaly " +
+        "pages on 2× bursts, q_stream_ewma catches smoothed drifts, " +
+        "CUSUM accumulates small PERSISTENT shifts fastest (it is " +
+        "the sequential test the others approximate). At 100 TB/day: " +
+        "per-batch state deltas are ≤ touched-hours rows; the " +
+        "readout rides the #hours-bounded series, never the corpus",
+      Some(graft.operators.EventsOps.cusumSql),
+    ) { (s, dir) =>
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = graft.Tables.normalizeTs(
+        s.readStream.schema(rawSchema)
+          .option("basePath", dir)
+          .parquet(s"$dir/events.parquet*"))
+        .select(col("ts"))
+      val name = ("cu" + Scratch.dir()).replaceAll("[^A-Za-z0-9]", "_")
+      val q = graft.operators.EventsOps.hourRollup(src).writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.EventsOps.cusumOf(
+        graft.operators.EventsOps.seriesOf(s.table(name)))
+        .orderBy("t")
+    },
+
+    Q(
       "q_stream_logreg",
       "ONLINE LOGISTIC REGRESSION, the honest version — the " +
         "streaming face of q_logreg_irls, sharing its oracle " +
