@@ -1219,6 +1219,63 @@ object GraphOps {
     },
 
     Q(
+      "q_mst",
+      "minimum spanning forest of the undirected weighted co-listing " +
+        "graph via DISTRIBUTED Borůvka — the backbone extractor " +
+        "(taxonomy layout, single-linkage clustering, network cost " +
+        "planning) built scale-first: per round EVERY component picks " +
+        "its min outgoing edge simultaneously (one edge-relabel join " +
+        "+ one component-keyed min(struct) agg, both map-side " +
+        "combinable), the forest CC pointer-jumps, and components at " +
+        "least HALVE — O(log V) rounds where sequential Prim/Kruskal " +
+        "take V steps; that parallel-merge property is why Borůvka " +
+        "is THE distributed MST algorithm. Correctness rides the " +
+        "total order (w, u, v): every edge rank distinct → the MSF " +
+        "is UNIQUE and cycle-free, so the oracle — a declarative " +
+        "single-row-state recursive-CTE Prim with component restart " +
+        "under the IDENTICAL order — must land on the same edge set " +
+        "(algorithm-independence is the check itself). At 100 TB: " +
+        "~30 rounds for 1e9 nodes, every shuffle keyed, state = the " +
+        "forest (≤ V−1 edges); nothing ever collects",
+      Some(
+        s"""WITH RECURSIVE $edgesSqlCte, und AS MATERIALIZED (
+           |  SELECT least(a, b) AS u, greatest(a, b) AS v,
+           |    CAST(sum(n) AS BIGINT) AS w
+           |  FROM edges WHERE a <> b GROUP BY 1, 2
+           |), nd AS MATERIALIZED (
+           |  SELECT u AS node FROM und UNION SELECT v FROM und
+           |), prim AS (
+           |  SELECT CAST(NULL AS BIGINT) AS eu, CAST(NULL AS BIGINT) AS ev2,
+           |    CAST(NULL AS BIGINT) AS ew,
+           |    [(SELECT min(node) FROM nd)] AS vis, CAST(1 AS BIGINT) AS k
+           |  UNION ALL
+           |  SELECT nxt.eu, nxt.ev2, nxt.ew, list_append(prim.vis, nxt.add_nd),
+           |    prim.k + 1
+           |  FROM prim, LATERAL (
+           |    SELECT * FROM (
+           |      SELECT 0 AS pri, e.u AS eu, e.v AS ev2, e.w AS ew,
+           |        CASE WHEN list_contains(prim.vis, e.u) THEN e.v ELSE e.u END
+           |          AS add_nd
+           |      FROM und e
+           |      WHERE list_contains(prim.vis, e.u)
+           |        <> list_contains(prim.vis, e.v)
+           |      UNION ALL
+           |      SELECT 1, NULL, NULL, NULL,
+           |        (SELECT min(node) FROM nd
+           |         WHERE NOT list_contains(prim.vis, node))
+           |    ) c
+           |    WHERE c.add_nd IS NOT NULL
+           |    ORDER BY c.pri, c.ew, c.eu, c.ev2 LIMIT 1
+           |  ) nxt
+           |  WHERE prim.k < (SELECT count(*) FROM nd)
+           |)
+           |SELECT eu AS u, ev2 AS v, ew AS w FROM prim WHERE eu IS NOT NULL
+           |ORDER BY u, v""".stripMargin),
+    ) { (s, dir) =>
+      boruvkaMst(undirectedWeighted(s, dir)).orderBy("u", "v")
+    },
+
+    Q(
       "q_kcore",
       s"weighted-core (s-core) decomposition TRACE over the undirected " +
         s"transition graph: $KcoreRounds peel rounds removing nodes " +
@@ -1773,6 +1830,69 @@ object GraphOps {
       .orderBy(col("cosine").desc, col("c_both").desc, col("neighbor"))
     cosed.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= ItemCfTopK)
+  }
+
+  /** Borůvka minimum-spanning-forest core over an undirected
+    * weighted (u, v, w) frame (q_mst + the planted-graph spec): per
+    * round every component picks its minimum outgoing edge under the
+    * TOTAL order (w, u, v) — the lexicographic tie-break makes every
+    * edge rank distinct, so the MSF is unique and cycle-free and the
+    * declarative-Prim oracle lands on the identical edge set. Rounds
+    * at least halve the component count (≤ log₂V, converged rounds
+    * exit); per round one edge-relabel join + one component-keyed
+    * min(struct) agg + a pointer-jump CC over the forest-so-far.
+    * Returns the chosen (u, v, w) edges, unordered. */
+  /** Materialize AND reset plan statistics. `localCheckpoint` alone
+    * carries the ORIGINAL plan's estimated sizeInBytes into the new
+    * leaf (Spark 4's rewriteStatsAndConstraints), and the size-only
+    * join estimate is a PRODUCT of child sizes — so a loop of
+    * checkpoint → join → checkpoint compounds the BigInt estimate
+    * exponentially (digit count ~doubles per round) until the stats
+    * visitor itself burns minutes in BigInteger multiplication. The
+    * RDD round-trip keeps the materialized data but gives the leaf
+    * a fresh default size, bounding every round's stats walk. */
+  private[graft] def freshStats(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.localCheckpoint().rdd, df.schema)
+
+  private[graft] def boruvkaMst(undRaw: DataFrame): DataFrame = {
+    val und = undRaw.localCheckpoint()
+    val nodes = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node"))).distinct().localCheckpoint()
+    var comp = nodes.withColumn("label", col("node")).localCheckpoint()
+    var mst = und.filter(lit(false)).localCheckpoint()
+    var done = false
+    var r = 0
+    val maxRounds = 40
+    while (!done && r < maxRounds) {
+      // comp is catalog-bounded (one row per node): broadcast both
+      // relabel joins — the hint also keeps the fresh-stats leaves
+      // (default-sized, see freshStats) from forcing a sort-merge.
+      val e = und
+        .join(broadcast(comp.select(col("node").as("u"),
+          col("label").as("cu"))), "u")
+        .join(broadcast(comp.select(col("node").as("v"),
+          col("label").as("cv"))), "v")
+        .filter(col("cu") =!= col("cv"))
+        .localCheckpoint() // read twice: the emptiness probe + both unions
+      if (e.isEmpty) done = true
+      else {
+        val cand = e.select(col("cu").as("c"), col("w"), col("u"), col("v"))
+          .unionAll(e.select(col("cv").as("c"), col("w"), col("u"), col("v")))
+        val chosen = cand.groupBy("c")
+          .agg(min(struct(col("w"), col("u"), col("v"))).as("m"))
+          .select(col("m.u").as("u"), col("m.v").as("v"), col("m.w").as("w"))
+          .distinct() // both sides of a merge may pick the same edge
+        mst = freshStats(mst.unionAll(chosen))
+        val (lab, _) = ccPointerJump(freshStats(mst.select("u", "v")))
+        comp = freshStats(nodes.join(lab, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("label"), col("node")).as("label")))
+      }
+      r += 1
+    }
+    if (!done) throw new IllegalStateException(
+      s"boruvkaMst: not converged in $maxRounds rounds")
+    mst
   }
 
   /** Association-rule core over a (user_id, item) incidence frame

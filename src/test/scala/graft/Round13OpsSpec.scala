@@ -134,6 +134,34 @@ class Round13OpsSpec extends AnyFunSuite {
       "support 3/5, confidences 3/4 vs 3/3, lift 5·3/(4·3)")
   }
 
+  test("boruvka mst: planted graph with a hand-known tree, ties broken (w,u,v)") {
+    import spark.implicits._
+    // Square 1-2-3-4 with diagonal: MST must take the three cheapest
+    // non-cycle edges; the two w=5 edges tie and (5,1,2) < (5,3,4)
+    // lexicographically, so (1,2) enters and (3,4) is rejected only
+    // if it cycles — here (3,4) also enters (no cycle yet), and the
+    // w=9 diagonal is excluded.
+    val und = Seq(
+      (1L, 2L, 5L), (3L, 4L, 5L), (2L, 3L, 7L), (1L, 4L, 9L),
+    ).toDF("u", "v", "w")
+    val got = operators.GraphOps.boruvkaMst(und)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(identity)
+    assert(got.toSeq == Seq((1L, 2L, 5L), (2L, 3L, 7L), (3L, 4L, 5L)))
+  }
+
+  test("boruvka mst: disconnected graph yields the spanning FOREST") {
+    import spark.implicits._
+    val und = Seq(
+      (1L, 2L, 3L), (2L, 3L, 4L), (1L, 3L, 9L), // component A: tree {12, 23}
+      (10L, 11L, 1L),                           // component B: single edge
+    ).toDF("u", "v", "w")
+    val got = operators.GraphOps.boruvkaMst(und)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(identity)
+    assert(got.toSeq == Seq((1L, 2L, 3L), (2L, 3L, 4L), (10L, 11L, 1L)))
+  }
+
   test("tone decoder recovers the planted period for every asset") {
     import graft.operators.MultimodalOps.{ToneDecoder, ToneWavFixture}
     (0L until 60L).foreach { id =>
