@@ -2510,6 +2510,75 @@ object AnnOps {
     },
 
     Q(
+      "q_embed_procrustes",
+      "orthogonal Procrustes alignment between two embedding VERSIONS " +
+        "— the model-upgrade primitive that maps an old index into a " +
+        "new encoder's space without re-embedding the corpus: the " +
+        "second version is salted in-plan as a signed permutation of " +
+        "the first (a KNOWN orthogonal transform, the BMP/tone " +
+        "fixture convention — provably the unique optimum, so the " +
+        "solver must RECOVER it), the cross-Gram M = XᵀY folds in " +
+        "ONE corpus pass to d² exact-BIGINT fixed-point cells " +
+        "(map-side combined, the q_embed_pca bounded-collect class), " +
+        "and the rotation comes from the POLAR decomposition " +
+        "R = M·(MᵀM)^(−1/2) via the d-bounded driver Jacobi — the " +
+        "W·Λ^(−1/2)·Wᵀ form is eigenbasis-invariant, so repeated " +
+        "eigenvalues can't flip it. The recovered ±1 entries then " +
+        "re-enter the PLAN as a broadcast 64-row table and the " +
+        "residual ‖XR − Y‖² is verified DISTRIBUTED in exact integer " +
+        "arithmetic (max over the corpus must be exactly 0 — a wrong " +
+        "R breaks both the row set and the residual). At 100 TB: the " +
+        "Gram pass is the only data-sized cost; d² cells shuffle, " +
+        "4096 longs collect, the solve is d³ driver flops",
+      Some(
+        """SELECT CAST(u.i AS BIGINT) AS i,
+          |  CAST((7 * u.i + 3) % 64 AS BIGINT) AS j,
+          |  CAST(CASE WHEN u.i % 3 = 0 THEN 1 ELSE -1 END AS BIGINT) AS r,
+          |  CAST(0 AS BIGINT) AS max_err
+          |FROM range(64) AS u(i) ORDER BY i""".stripMargin),
+    ) { (s, dir) =>
+      // Fixture: y[(7i+3)%64] = s_i·x_i with s_i = +1 iff i%3=0 —
+      // equivalently y_j = s_inv(j)·x_inv(j), inv(j) = 55(j−3) mod 64
+      // (55 = 7⁻¹ mod 64). Fixed-point ×1e6 BIGINT lanes throughout.
+      val xy = Tables.embeddings(s, dir)
+        .select(col("vec_id"), expr(
+          "transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT))")
+          .as("x"))
+        .withColumn("y", expr(
+          """transform(sequence(0, 63), j ->
+            |  (CASE WHEN pmod(55 * (j - 3), 64) % 3 = 0 THEN 1L ELSE -1L END)
+            |  * element_at(x, CAST(pmod(55 * (j - 3), 64) AS INT) + 1))"""
+            .stripMargin))
+        .localCheckpoint() // read twice: the Gram pass + the residual pass
+      val m = xy
+        .select(posexplode(col("x")).as(Seq("i", "xi")), col("y"))
+        .select(col("i"), col("xi"), posexplode(col("y")).as(Seq("j", "yj")))
+        .groupBy("i", "j").agg(sum(col("xi") * col("yj")).as("mij"))
+        .collect()
+      val md = Array.ofDim[Double](Dim, Dim)
+      m.foreach(r => md(r.getInt(0))(r.getInt(1)) = r.getLong(2).toDouble)
+      val rot = polarRotation(md)
+      val entries = for {
+        a <- 0 until Dim; b <- 0 until Dim
+        if math.abs(rot(a)(b)) > 0.5
+      } yield (a.toLong, b.toLong, math.round(rot(a)(b)))
+      import s.implicits._
+      val rdf = s.createDataset(entries).toDF("i", "j", "r")
+        .localCheckpoint() // read twice: residual join + output
+      // Distributed residual in exact integers: xr_j = Σ_i x_i·R_ij.
+      val xi = xy.select(col("vec_id"), posexplode(col("x")).as(Seq("i", "xi")))
+      val xr = xi.join(broadcast(rdf), "i")
+        .groupBy(col("vec_id"), col("j"))
+        .agg(sum(col("xi") * col("r")).as("xr"))
+      val yj = xy.select(col("vec_id"), posexplode(col("y")).as(Seq("j", "yj")))
+      val err = xr.join(yj, Seq("vec_id", "j"))
+        .groupBy("vec_id")
+        .agg(sum((col("xr") - col("yj")) * (col("xr") - col("yj"))).as("e2"))
+        .agg(max(col("e2")).as("max_err"))
+      rdf.crossJoin(broadcast(err)).orderBy("i")
+    },
+
+    Q(
       "q_kmeans_step",
       s"one Lloyd iteration, k=$KSeeds seed centroids: assignment is " +
         "corpus × broadcast(seeds) per-row argmin (squared-L2 rounded " +
@@ -4335,6 +4404,35 @@ object AnnOps {
   /** The q_kmeans_elbow computation over any (vec_id, embedding)
     * frame — factored so Round11AnnSpec can pin the inertia curve's
     * monotone descent on planted blobs. */
+  /** Polar factor of a square cross-covariance M (q_embed_procrustes
+    * + the planted-Givens spec): R = M·W·Λ^(−1/2)·Wᵀ with
+    * MᵀM = W·Λ·Wᵀ from the driver Jacobi — the orthogonal Procrustes
+    * optimum. The W·f(Λ)·Wᵀ form is eigenbasis-invariant, so
+    * repeated eigenvalues can't flip it; rank deficiency throws. */
+  private[graft] def polarRotation(md: Array[Array[Double]])
+      : Array[Array[Double]] = {
+    val d = md.length
+    val mtm = Array.tabulate(d, d) { (a, b) =>
+      var acc = 0.0; var k = 0
+      while (k < d) { acc += md(k)(a) * md(k)(b); k += 1 }
+      acc
+    }
+    val (lam, w) = graft.functions.FreqDir.jacobiEigen(mtm)
+    require(lam.last > 1e-9 * math.max(lam.head, 1e-300),
+      "procrustes: cross-covariance is rank-deficient")
+    Array.tabulate(d, d) { (a, b) =>
+      var acc = 0.0; var k = 0
+      while (k < d) {
+        var p = 0
+        var inner = 0.0
+        while (p < d) { inner += w(p)(k) * md(a)(p); p += 1 }
+        acc += inner / math.sqrt(lam(k)) * w(b)(k)
+        k += 1
+      }
+      acc
+    }
+  }
+
   private[graft] def kmeansElbow(e: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     ElbowKs.map { k =>

@@ -162,6 +162,31 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 2L, 3L), (2L, 3L, 4L), (10L, 11L, 1L)))
   }
 
+  test("polar rotation recovers a planted 3-4-5 Givens, not just permutations") {
+    // X: 5 rows × 4 dims (full rank); R_true rotates dims (0,1) by the
+    // exact 3-4-5 angle and flips dim 3 — a genuinely dense orthogonal
+    // block, so the solver cannot pass by pattern-matching ±1 entries.
+    val x = Array(
+      Array(1.0, 0.0, 0.0, 0.0),
+      Array(0.0, 2.0, 0.0, 0.0),
+      Array(0.0, 0.0, 3.0, 0.0),
+      Array(0.0, 0.0, 0.0, 4.0),
+      Array(1.0, 1.0, 1.0, 1.0))
+    val rTrue = Array(
+      Array(0.6, 0.8, 0.0, 0.0),
+      Array(-0.8, 0.6, 0.0, 0.0),
+      Array(0.0, 0.0, 1.0, 0.0),
+      Array(0.0, 0.0, 0.0, -1.0))
+    val y = x.map(row => Array.tabulate(4)(j =>
+      (0 until 4).map(i => row(i) * rTrue(i)(j)).sum))
+    val m = Array.tabulate(4, 4) { (i, j) =>
+      x.indices.map(r => x(r)(i) * y(r)(j)).sum
+    }
+    val got = operators.AnnOps.polarRotation(m)
+    for (i <- 0 until 4; j <- 0 until 4)
+      assert(math.abs(got(i)(j) - rTrue(i)(j)) < 1e-9, s"R($i)($j)")
+  }
+
   test("tone decoder recovers the planted period for every asset") {
     import graft.operators.MultimodalOps.{ToneDecoder, ToneWavFixture}
     (0L until 60L).foreach { id =>
