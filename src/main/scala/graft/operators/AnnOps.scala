@@ -2531,11 +2531,17 @@ object AnnOps {
         "Gram pass is the only data-sized cost; d² cells shuffle, " +
         "4096 longs collect, the solve is d³ driver flops",
       Some(
-        """SELECT CAST(u.i AS BIGINT) AS i,
+        // The corpus guard CTE ties the closed form to the table: an
+        // empty embeddings corpus yields zero oracle rows (the Spark
+        // side throws rank-deficient there, recorded as an error).
+        """WITH corpus AS (
+          |  SELECT count(*) AS n FROM embeddings HAVING count(*) > 0
+          |)
+          |SELECT CAST(u.i AS BIGINT) AS i,
           |  CAST((7 * u.i + 3) % 64 AS BIGINT) AS j,
           |  CAST(CASE WHEN u.i % 3 = 0 THEN 1 ELSE -1 END AS BIGINT) AS r,
           |  CAST(0 AS BIGINT) AS max_err
-          |FROM range(64) AS u(i) ORDER BY i""".stripMargin),
+          |FROM range(64) AS u(i) CROSS JOIN corpus ORDER BY i""".stripMargin),
     ) { (s, dir) =>
       // Fixture: y[(7i+3)%64] = s_i·x_i with s_i = +1 iff i%3=0 —
       // equivalently y_j = s_inv(j)·x_inv(j), inv(j) = 55(j−3) mod 64

@@ -1121,35 +1121,7 @@ object GraphOps {
         "100 TB the catalog² agg still fits one stage; when the " +
         "catalog itself explodes, the documented swap is DIMSUM " +
         "row-sampling on the same incidence",
-      Some(
-        s"""WITH ui AS (
-           |  SELECT DISTINCT user_id,
-           |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
-           |  FROM events
-           |  WHERE json_extract_string(props, '$$.k') IS NOT NULL
-           |), ic AS (
-           |  SELECT item, CAST(count(*) AS BIGINT) AS c FROM ui GROUP BY item
-           |), pr AS (
-           |  SELECT a.item AS i, b.item AS j, CAST(count(*) AS BIGINT) AS cij
-           |  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
-           |  GROUP BY 1, 2 HAVING count(*) >= $ItemCfMinSupport
-           |), sym AS (
-           |  SELECT i, j, cij FROM pr UNION ALL SELECT j, i, cij FROM pr
-           |), cosed AS (
-           |  SELECT s.i AS item, s.j AS neighbor, s.cij AS c_both,
-           |    round(CAST(s.cij AS DOUBLE)
-           |      / round(sqrt(CAST(CAST(ci.c AS HUGEINT) * cj.c AS DOUBLE)), 6),
-           |      6) AS cosine
-           |  FROM sym s JOIN ic ci ON ci.item = s.i JOIN ic cj ON cj.item = s.j
-           |), rk AS (
-           |  SELECT item, neighbor, c_both, cosine,
-           |    row_number() OVER (PARTITION BY item
-           |      ORDER BY cosine DESC, c_both DESC, neighbor) AS rk
-           |  FROM cosed
-           |)
-           |SELECT item, neighbor, c_both, cosine, CAST(rk AS BIGINT) AS rk
-           |FROM rk WHERE rk <= $ItemCfTopK
-           |ORDER BY item, rk""".stripMargin),
+      Some(itemCfSql),
     ) { (s, dir) =>
       val ui = Tables.events(s, dir)
         .select(col("user_id"),
@@ -1804,20 +1776,61 @@ object GraphOps {
   /** Undirected distinct-pair weighted edges (u < v, w = summed
     * directed transition counts) — shared by q_kcore and
     * q_lpa_modularity. */
+  /** q_item_cf's oracle — shared VERBATIM by q_stream_item_cf (the
+    * incremental pair-count state readout is, by the set-decomposition
+    * argument in that entry, the identical computation). */
+  private[graft] def itemCfSql: String =
+    s"""WITH ui AS (
+       |  SELECT DISTINCT user_id,
+       |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+       |  FROM events
+       |  WHERE json_extract_string(props, '$$.k') IS NOT NULL
+       |), ic AS (
+       |  SELECT item, CAST(count(*) AS BIGINT) AS c FROM ui GROUP BY item
+       |), pr AS (
+       |  SELECT a.item AS i, b.item AS j, CAST(count(*) AS BIGINT) AS cij
+       |  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+       |  GROUP BY 1, 2 HAVING count(*) >= $ItemCfMinSupport
+       |), sym AS (
+       |  SELECT i, j, cij FROM pr UNION ALL SELECT j, i, cij FROM pr
+       |), cosed AS (
+       |  SELECT s.i AS item, s.j AS neighbor, s.cij AS c_both,
+       |    round(CAST(s.cij AS DOUBLE)
+       |      / round(sqrt(CAST(CAST(ci.c AS HUGEINT) * cj.c AS DOUBLE)), 6),
+       |      6) AS cosine
+       |  FROM sym s JOIN ic ci ON ci.item = s.i JOIN ic cj ON cj.item = s.j
+       |), rk AS (
+       |  SELECT item, neighbor, c_both, cosine,
+       |    row_number() OVER (PARTITION BY item
+       |      ORDER BY cosine DESC, c_both DESC, neighbor) AS rk
+       |  FROM cosed
+       |)
+       |SELECT item, neighbor, c_both, cosine, CAST(rk AS BIGINT) AS rk
+       |FROM rk WHERE rk <= $ItemCfTopK
+       |ORDER BY item, rk""".stripMargin
+
   /** Item-item CF core over a (user_id, item) incidence frame
     * (q_item_cf + the planted-taste spec): catalog-bounded pair agg
     * with min support, broadcast item totals, 6dp cosine with a
     * (cosine, co-count, neighbor) deterministic rank. Unordered. */
   private[graft] def itemCf(uiRaw: DataFrame): DataFrame = {
     val ui = uiRaw.localCheckpoint() // read thrice: totals + both join sides
-    val ic = ui.groupBy("item").agg(count(lit(1)).as("c"))
     val a = ui.select(col("user_id"), col("item").as("i"))
     val b = ui.select(col("user_id"), col("item").as("j"))
     val pr = a.join(b, Seq("user_id")).filter(col("i") < col("j"))
       .groupBy("i", "j").agg(count(lit(1)).as("cij"))
-      .filter(col("cij") >= ItemCfMinSupport)
-    val sym = pr.select(col("i"), col("j"), col("cij"))
-      .union(pr.select(col("j").as("i"), col("i").as("j"), col("cij")))
+    itemCfFinish(pr, ui.groupBy("item").agg(count(lit(1)).as("c")))
+  }
+
+  /** The readout half of item-item CF over accumulated (i, j, cij)
+    * pair counts (i<j, UNFILTERED — min support applies here so an
+    * incremental state that crosses the threshold later is never
+    * lost) and (item, c) totals — shared by q_item_cf and the
+    * q_stream_item_cf incremental state readout. Unordered. */
+  private[graft] def itemCfFinish(pr: DataFrame, ic: DataFrame): DataFrame = {
+    val kept = pr.filter(col("cij") >= ItemCfMinSupport)
+    val sym = kept.select(col("i"), col("j"), col("cij"))
+      .union(kept.select(col("j").as("i"), col("i").as("j"), col("cij")))
     val cosed = sym
       .join(broadcast(ic.select(col("item").as("i"), col("c").as("ci"))), "i")
       .join(broadcast(ic.select(col("item").as("j"), col("c").as("cj"))), "j")

@@ -1596,6 +1596,90 @@ object StreamOps {
     },
 
     Q(
+      "q_stream_item_cf",
+      "item-item CF maintained INCREMENTALLY — the streaming face of " +
+        "q_item_cf, sharing its oracle VERBATIM: per micro-batch the " +
+        "NEW (user, item) incidences are isolated by an anti-join " +
+        "against the incidence state (cross-batch duplicates never " +
+        "double-count), and pair-count state grows ADDITIVELY by the " +
+        "set-decomposition invariant — each unordered co-touch pair " +
+        "materializes exactly once, when its LATER incidence arrives " +
+        "(new×old with new on the left, new×new at i<j). Batches " +
+        "split users' items across files, so cross-batch pairs are " +
+        "genuinely exercised. The readout (min support, cosine, " +
+        "top-3) runs off the catalog²-bounded pair state — at 100 " +
+        "TB/day the per-batch cost is new-incidences × per-user " +
+        "items and NOTHING ever re-joins the historical incidence; " +
+        "support filtering stays at readout so pairs that cross the " +
+        "threshold later are never lost",
+      Some(graft.operators.GraphOps.itemCfSql),
+    ) { (s, dir) =>
+      import java.nio.file.{Files, Paths}
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+        .filter(col("item").isNotNull)
+      val scratch = Scratch.dir()
+      val srcDir = Paths.get(scratch, "src")
+      Files.createDirectories(srcDir)
+      (0 until 3).foreach { i =>
+        stageSlice(
+          ev.filter(pmod(col("user_id") * 31 + col("item"), lit(3)) === i),
+          scratch, srcDir, f"part$i%02d.parquet",
+          1000000000000L + i * 60000L)
+      }
+      val version = new java.util.concurrent.atomic.AtomicInteger(-1)
+      val q = s.readStream
+        .schema(s.read.parquet(srcDir.toString).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir.toString)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val ss = batch.sparkSession
+          val v = version.get()
+          val batchUi = batch.distinct()
+          val oldUi =
+            if (v < 0) batchUi.filter(lit(false))
+            else ss.read.parquet(s"$scratch/ui/v$v")
+          val newUi = batchUi
+            .join(oldUi, Seq("user_id", "item"), "left_anti")
+            .localCheckpoint() // read thrice: pairs ×2 + state append
+          val a = newUi.select(col("user_id"), col("item").as("ai"))
+          val crossOld = a
+            .join(oldUi.select(col("user_id"), col("item").as("bi")),
+              Seq("user_id"))
+            .filter(col("ai") =!= col("bi"))
+          val crossNew = a
+            .join(newUi.select(col("user_id"), col("item").as("bi")),
+              Seq("user_id"))
+            .filter(col("ai") < col("bi"))
+          val delta = crossOld.unionByName(crossNew)
+            .select(least(col("ai"), col("bi")).as("i"),
+              greatest(col("ai"), col("bi")).as("j"))
+            .groupBy("i", "j").agg(count(lit(1)).as("cij"))
+          val pcOld =
+            if (v < 0) delta.filter(lit(false))
+            else ss.read.parquet(s"$scratch/pc/v$v")
+          pcOld.unionByName(delta).groupBy("i", "j")
+            .agg(sum(col("cij")).as("cij"))
+            .write.parquet(s"$scratch/pc/v${v + 1}")
+          oldUi.unionByName(newUi)
+            .write.parquet(s"$scratch/ui/v${v + 1}")
+          version.incrementAndGet()
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val v = version.get()
+      val ui = s.read.parquet(s"$scratch/ui/v$v")
+      graft.operators.GraphOps.itemCfFinish(
+          s.read.parquet(s"$scratch/pc/v$v"),
+          ui.groupBy("item").agg(count(lit(1)).as("c")))
+        .orderBy("item", "rk")
+    },
+
+    Q(
       "q_stream_logreg",
       "ONLINE LOGISTIC REGRESSION, the honest version — the " +
         "streaming face of q_logreg_irls, sharing its oracle " +

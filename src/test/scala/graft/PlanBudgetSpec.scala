@@ -986,6 +986,33 @@ class PlanBudgetSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"plan:\n$p")
   }
 
+  test("q_item_cf / q_assoc_rules: totals broadcast, pair agg keyed, no NLJ") {
+    for (q <- Seq("q_item_cf", "q_assoc_rules")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q promises broadcast item totals, plan:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q plan:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q plan:\n$p")
+    }
+  }
+
+  test("q_cusum: the windows ride the bounded series, one rollup shuffle max") {
+    val p = plan("q_cusum")
+    assert(p.contains("Window"), s"plan:\n$p")
+    // The corpus-sized work is the hour rollup behind the series
+    // checkpoint; the readout side may shuffle at most once.
+    assert(hashExchanges(p) <= 1, s"plan:\n$p")
+  }
+
+  test("q_audio_tone: decode rides the RDD seam — no SQL-side shuffles") {
+    val p = plan("q_audio_tone")
+    // The decode runs behind the object seam (decodedBatches): the SQL
+    // side sees only the serialized feature tuples plus the output sort.
+    assert(p.contains("SerializeFromObject"), s"plan:\n$p")
+    assert(hashExchanges(p) == 0,
+      s"feature extraction promises map-side decode, plan:\n$p")
+  }
+
   test("q1_agg aggregates inside whole-stage codegen") {
     // The plain plan string hides codegen stage boundaries; the
     // codegen explain mode lists every WholeStageCodegen subtree.
