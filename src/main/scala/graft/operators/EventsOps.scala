@@ -1350,6 +1350,144 @@ object EventsOps {
     },
 
     Q(
+      "q_granger",
+      "lag-1 Granger causality BOTH directions between the hourly " +
+        "total-event and purchase series (does activity lead " +
+        "purchases, or the reverse?): F-test of adding the OTHER " +
+        "series' lag to an AR(1) of the target — the causal " +
+        "time-series face beside q_acf/q_pacf's single-series " +
+        "diagnostics and q_cuped's cross-sectional adjustment. Both " +
+        "series densify onto ONE shared hour spine (a gap in either " +
+        "is a real 0, the q_gap_fill lesson), lags ride one bounded " +
+        "window, and each direction's two OLS fits collapse to TEN " +
+        "exact-BIGINT moment sums: centered S_ab = n·Σab − Σa·Σb " +
+        "products run DECIMAL(38,0) (S·S ~1e24 wraps BIGINT — the " +
+        "q_acf lesson), the 2×2 Cramer solve and F are the only " +
+        "float steps, every named coefficient 6dp-rounded so both " +
+        "engines walk identical doubles. F = (gain)·(n−3)/RSS_u " +
+        "with the 1/n scalings cancelled ALGEBRAICALLY, not " +
+        "numerically. One corpus scan; everything after is " +
+        "#hours-bounded",
+      Some(
+        s"""WITH $xySeriesSqlCte, lagged AS (
+          |  SELECT y AS y0, x AS x0,
+          |    lag(y) OVER (ORDER BY t) AS y1,
+          |    lag(x) OVER (ORDER BY t) AS x1
+          |  FROM sxy
+          |), rows0 AS (
+          |  SELECT * FROM lagged WHERE y1 IS NOT NULL
+          |), mo AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(y0) AS BIGINT) AS sy0, CAST(sum(x0) AS BIGINT) AS sx0,
+          |    CAST(sum(y1) AS BIGINT) AS sy1, CAST(sum(x1) AS BIGINT) AS sx1,
+          |    CAST(sum(y0 * y0) AS BIGINT) AS sy0y0,
+          |    CAST(sum(x0 * x0) AS BIGINT) AS sx0x0,
+          |    CAST(sum(y1 * y1) AS BIGINT) AS sy1y1,
+          |    CAST(sum(x1 * x1) AS BIGINT) AS sx1x1,
+          |    CAST(sum(y0 * y1) AS BIGINT) AS sy0y1,
+          |    CAST(sum(y0 * x1) AS BIGINT) AS sy0x1,
+          |    CAST(sum(x0 * y1) AS BIGINT) AS sx0y1,
+          |    CAST(sum(x0 * x1) AS BIGINT) AS sx0x1,
+          |    CAST(sum(y1 * x1) AS BIGINT) AS sy1x1
+          |  FROM rows0
+          |), dirs AS (
+          |  SELECT 'x->y' AS direction, n,
+          |    CAST(n AS HUGEINT) * sy0y0 - CAST(sy0 AS HUGEINT) * sy0 AS s00,
+          |    CAST(n AS HUGEINT) * sy0y1 - CAST(sy0 AS HUGEINT) * sy1 AS s10,
+          |    CAST(n AS HUGEINT) * sy0x1 - CAST(sy0 AS HUGEINT) * sx1 AS s20,
+          |    CAST(n AS HUGEINT) * sy1y1 - CAST(sy1 AS HUGEINT) * sy1 AS s11,
+          |    CAST(n AS HUGEINT) * sy1x1 - CAST(sy1 AS HUGEINT) * sx1 AS s12,
+          |    CAST(n AS HUGEINT) * sx1x1 - CAST(sx1 AS HUGEINT) * sx1 AS s22
+          |  FROM mo
+          |  UNION ALL
+          |  SELECT 'y->x', n,
+          |    CAST(n AS HUGEINT) * sx0x0 - CAST(sx0 AS HUGEINT) * sx0,
+          |    CAST(n AS HUGEINT) * sx0x1 - CAST(sx0 AS HUGEINT) * sx1,
+          |    CAST(n AS HUGEINT) * sx0y1 - CAST(sx0 AS HUGEINT) * sy1,
+          |    CAST(n AS HUGEINT) * sx1x1 - CAST(sx1 AS HUGEINT) * sx1,
+          |    CAST(n AS HUGEINT) * sy1x1 - CAST(sy1 AS HUGEINT) * sx1,
+          |    CAST(n AS HUGEINT) * sy1y1 - CAST(sy1 AS HUGEINT) * sy1
+          |  FROM mo
+          |), co AS (
+          |  SELECT direction, n,
+          |    round(CAST(s10 AS DOUBLE) / s11, 6) AS br,
+          |    round(CAST(s10 * s22 - s20 * s12 AS DOUBLE)
+          |      / CAST(s11 * s22 - s12 * s12 AS DOUBLE), 6) AS b1,
+          |    round(CAST(s11 * s20 - s12 * s10 AS DOUBLE)
+          |      / CAST(s11 * s22 - s12 * s12 AS DOUBLE), 6) AS b2,
+          |    CAST(s00 AS DOUBLE) AS s00d, CAST(s10 AS DOUBLE) AS s10d,
+          |    CAST(s20 AS DOUBLE) AS s20d
+          |  FROM dirs
+          |), fs AS (
+          |  SELECT direction, n,
+          |    round((b1 * s10d + b2 * s20d - br * s10d) * (n - 3)
+          |      / (s00d - b1 * s10d - b2 * s20d), 6) AS f_stat
+          |  FROM co
+          |)
+          |SELECT direction, n AS n_eff, f_stat,
+          |  CAST(f_stat > 3.84 AS BIGINT) AS significant
+          |FROM fs ORDER BY direction""".stripMargin),
+    ) { (s, dir) =>
+      val lagged = {
+        val w = Window.orderBy("t")
+        xySeries(s, dir)
+          .withColumn("y1", lag(col("y"), 1).over(w))
+          .withColumn("x1", lag(col("x"), 1).over(w))
+          .filter(col("y1").isNotNull)
+          .select(col("y").as("y0"), col("x").as("x0"), col("y1"), col("x1"))
+      }
+      val mo = lagged.agg(count(lit(1)).as("n"),
+        sum(col("y0")).as("sy0"), sum(col("x0")).as("sx0"),
+        sum(col("y1")).as("sy1"), sum(col("x1")).as("sx1"),
+        sum(col("y0") * col("y0")).as("sy0y0"),
+        sum(col("x0") * col("x0")).as("sx0x0"),
+        sum(col("y1") * col("y1")).as("sy1y1"),
+        sum(col("x1") * col("x1")).as("sx1x1"),
+        sum(col("y0") * col("y1")).as("sy0y1"),
+        sum(col("y0") * col("x1")).as("sy0x1"),
+        sum(col("x0") * col("y1")).as("sx0y1"),
+        sum(col("x0") * col("x1")).as("sx0x1"),
+        sum(col("y1") * col("x1")).as("sy1x1"))
+        .localCheckpoint() // read twice: one row per direction
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      def centered(sab: Column, sa: Column, sb: Column): Column =
+        dec(col("n")) * sab - dec(sa) * sb
+      def direction(tag: String, t0: String, l1: String, l2: String,
+          st0t0: String, st0l1: String, st0l2: String,
+          sl1l1: String, sl1l2: String, sl2l2: String) =
+        mo.select(lit(tag).as("direction"), col("n"),
+          centered(col(st0t0), col(t0), col(t0)).as("s00"),
+          centered(col(st0l1), col(t0), col(l1)).as("s10"),
+          centered(col(st0l2), col(t0), col(l2)).as("s20"),
+          centered(col(sl1l1), col(l1), col(l1)).as("s11"),
+          centered(col(sl1l2), col(l1), col(l2)).as("s12"),
+          centered(col(sl2l2), col(l2), col(l2)).as("s22"))
+      val dirs = direction("x->y", "sy0", "sy1", "sx1",
+          "sy0y0", "sy0y1", "sy0x1", "sy1y1", "sy1x1", "sx1x1")
+        .unionByName(direction("y->x", "sx0", "sx1", "sy1",
+          "sx0x0", "sx0x1", "sx0y1", "sx1x1", "sy1x1", "sy1y1"))
+      val det = (col("s11") * col("s22") - col("s12") * col("s12"))
+        .cast("double")
+      val co = dirs.select(col("direction"), col("n"),
+        round(col("s10").cast("double") / col("s11").cast("double"), 6)
+          .as("br"),
+        round((col("s10") * col("s22") - col("s20") * col("s12"))
+          .cast("double") / det, 6).as("b1"),
+        round((col("s11") * col("s20") - col("s12") * col("s10"))
+          .cast("double") / det, 6).as("b2"),
+        col("s00").cast("double").as("s00d"),
+        col("s10").cast("double").as("s10d"),
+        col("s20").cast("double").as("s20d"))
+      co.select(col("direction"), col("n").as("n_eff"),
+          round((col("b1") * col("s10d") + col("b2") * col("s20d")
+            - col("br") * col("s10d")) * (col("n") - 3)
+            / (col("s00d") - col("b1") * col("s10d")
+              - col("b2") * col("s20d")), 6).as("f_stat"))
+        .withColumn("significant", (col("f_stat") > 3.84).cast("long"))
+        .orderBy("direction")
+    },
+
+    Q(
       "q_holt_winters",
       "Holt linear-trend exponential smoothing over the hourly count " +
         "series (α=0.5, β=0.3) with a 6-hour forecast — the capacity-" +
@@ -7954,6 +8092,44 @@ object EventsOps {
     * explode is bounds-bounded. Unordered. */
   private[graft] def hourlySeries(s: SparkSession, dir: String): DataFrame =
     seriesOf(hourRollup(Tables.events(s, dir)))
+
+  /** Densified hourly PAIR series on one shared spine: x = total
+    * events, y = purchases (q_granger — a gap in either series is a
+    * real 0). One corpus scan; spine bounds-bounded. Unordered. */
+  private[graft] def xySeries(s: SparkSession, dir: String): DataFrame = {
+    val hr = Tables.events(s, dir)
+      .select(expr("unix_micros(ts) div 3600000000").as("h"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("p"))
+      .groupBy("h").agg(count(lit(1)).as("x"), sum(col("p")).as("y"))
+      .localCheckpoint() // read twice: bounds + spine join
+    val bounds = hr.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val spine = bounds
+      .select(explode(sequence(lit(0L), col("h1") - col("h0"))).as("t"),
+        col("h0"))
+      .select((col("h0") + col("t")).as("h"), col("t"))
+    spine.join(hr, Seq("h"), "left")
+      .select(col("t"), coalesce(col("x"), lit(0L)).as("x"),
+        coalesce(col("y"), lit(0L)).as("y"))
+  }
+
+  /** DuckDB twin of [[xySeries]]: hrxy → bxy → spxy → sxy(t, x, y).
+    * A `def`, not a `val`: the registry `all` initializes first, and a
+    * later-declared val would interpolate as null (the ewmaSql rule). */
+  private[graft] def xySeriesSqlCte: String =
+    """hrxy AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+      |    count(*) AS x,
+      |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      |  FROM events GROUP BY h
+      |), bxy AS (
+      |  SELECT min(h) AS h0, max(h) AS h1 FROM hrxy
+      |), spxy AS (
+      |  SELECT h0 + i AS h, i AS t FROM bxy, unnest(range(h1 - h0 + 1)) AS u(i)
+      |), sxy AS (
+      |  SELECT s.t, CAST(coalesce(hrxy.x, 0) AS BIGINT) AS x,
+      |    CAST(coalesce(hrxy.y, 0) AS BIGINT) AS y
+      |  FROM spxy s LEFT JOIN hrxy ON hrxy.h = s.h
+      |)""".stripMargin
 
   /** The streamable state stage of the hourly series: the epoch-hour
     * count rollup — purely additive, calendar-bounded

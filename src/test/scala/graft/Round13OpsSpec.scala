@@ -187,6 +187,39 @@ class Round13OpsSpec extends AnyFunSuite {
       assert(math.abs(got(i)(j) - rTrue(i)(j)) < 1e-9, s"R($i)($j)")
   }
 
+  test("granger F matches an independent BigInt-moment reference on sf0.001") {
+    val rows = operators.EventsOps.xySeries(spark, dir)
+      .orderBy("t").collect()
+      .map(r => (r.getLong(1), r.getLong(2))) // (x, y)
+    val lagged = rows.sliding(2).map { case Array((x1, y1), (x0, y0)) =>
+      (y0, x0, y1, x1)
+    }.toArray
+    def fStat(t0: Array[Long], l1: Array[Long], l2: Array[Long]): Double = {
+      val n = BigInt(t0.length)
+      def s(a: Array[Long]) = BigInt(a.map(BigInt(_)).sum.toString)
+      def sp(a: Array[Long], b: Array[Long]) =
+        a.zip(b).map { case (u, v) => BigInt(u) * BigInt(v) }.sum
+      def c(sab: BigInt, sa: BigInt, sb: BigInt) = n * sab - sa * sb
+      val (sa0, sa1, sa2) = (s(t0), s(l1), s(l2))
+      val s00 = c(sp(t0, t0), sa0, sa0); val s10 = c(sp(t0, l1), sa0, sa1)
+      val s20 = c(sp(t0, l2), sa0, sa2); val s11 = c(sp(l1, l1), sa1, sa1)
+      val s12 = c(sp(l1, l2), sa1, sa2); val s22 = c(sp(l2, l2), sa2, sa2)
+      val det = (s11 * s22 - s12 * s12).toDouble
+      val br = r6(s10.toDouble / s11.toDouble)
+      val b1 = r6((s10 * s22 - s20 * s12).toDouble / det)
+      val b2 = r6((s11 * s20 - s12 * s10).toDouble / det)
+      r6((b1 * s10.toDouble + b2 * s20.toDouble - br * s10.toDouble)
+        * (t0.length - 3)
+        / (s00.toDouble - b1 * s10.toDouble - b2 * s20.toDouble))
+    }
+    val y0 = lagged.map(_._1); val x0 = lagged.map(_._2)
+    val y1 = lagged.map(_._3); val x1 = lagged.map(_._4)
+    val expect = Map("x->y" -> fStat(y0, y1, x1), "y->x" -> fStat(x0, x1, y1))
+    val got = SparkEntry.queries("q_granger")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got == expect, s"engine $got vs reference $expect")
+  }
+
   test("tone decoder recovers the planted period for every asset") {
     import graft.operators.MultimodalOps.{ToneDecoder, ToneWavFixture}
     (0L until 60L).foreach { id =>
