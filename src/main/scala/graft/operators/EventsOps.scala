@@ -447,6 +447,69 @@ object EventsOps {
     * rollup ≡ the batch `hr` CTE at any split). A def, not a val: it
     * interpolates [[hourlySeriesSqlCte]], declared further down (the
     * registry-interpolation init-order rule). */
+  /** q_granger's oracle — shared VERBATIM by q_stream_granger (the
+    * streaming face folds the same additive hour-pair rollup as
+    * complete-mode state). */
+  private[graft] def grangerSql: String =
+    s"""WITH $xySeriesSqlCte, lagged AS (
+          |  SELECT y AS y0, x AS x0,
+          |    lag(y) OVER (ORDER BY t) AS y1,
+          |    lag(x) OVER (ORDER BY t) AS x1
+          |  FROM sxy
+          |), rows0 AS (
+          |  SELECT * FROM lagged WHERE y1 IS NOT NULL
+          |), mo AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(y0) AS BIGINT) AS sy0, CAST(sum(x0) AS BIGINT) AS sx0,
+          |    CAST(sum(y1) AS BIGINT) AS sy1, CAST(sum(x1) AS BIGINT) AS sx1,
+          |    CAST(sum(y0 * y0) AS BIGINT) AS sy0y0,
+          |    CAST(sum(x0 * x0) AS BIGINT) AS sx0x0,
+          |    CAST(sum(y1 * y1) AS BIGINT) AS sy1y1,
+          |    CAST(sum(x1 * x1) AS BIGINT) AS sx1x1,
+          |    CAST(sum(y0 * y1) AS BIGINT) AS sy0y1,
+          |    CAST(sum(y0 * x1) AS BIGINT) AS sy0x1,
+          |    CAST(sum(x0 * y1) AS BIGINT) AS sx0y1,
+          |    CAST(sum(x0 * x1) AS BIGINT) AS sx0x1,
+          |    CAST(sum(y1 * x1) AS BIGINT) AS sy1x1
+          |  FROM rows0
+          |), dirs AS (
+          |  SELECT 'x->y' AS direction, n,
+          |    CAST(n AS HUGEINT) * sy0y0 - CAST(sy0 AS HUGEINT) * sy0 AS s00,
+          |    CAST(n AS HUGEINT) * sy0y1 - CAST(sy0 AS HUGEINT) * sy1 AS s10,
+          |    CAST(n AS HUGEINT) * sy0x1 - CAST(sy0 AS HUGEINT) * sx1 AS s20,
+          |    CAST(n AS HUGEINT) * sy1y1 - CAST(sy1 AS HUGEINT) * sy1 AS s11,
+          |    CAST(n AS HUGEINT) * sy1x1 - CAST(sy1 AS HUGEINT) * sx1 AS s12,
+          |    CAST(n AS HUGEINT) * sx1x1 - CAST(sx1 AS HUGEINT) * sx1 AS s22
+          |  FROM mo
+          |  UNION ALL
+          |  SELECT 'y->x', n,
+          |    CAST(n AS HUGEINT) * sx0x0 - CAST(sx0 AS HUGEINT) * sx0,
+          |    CAST(n AS HUGEINT) * sx0x1 - CAST(sx0 AS HUGEINT) * sx1,
+          |    CAST(n AS HUGEINT) * sx0y1 - CAST(sx0 AS HUGEINT) * sy1,
+          |    CAST(n AS HUGEINT) * sx1x1 - CAST(sx1 AS HUGEINT) * sx1,
+          |    CAST(n AS HUGEINT) * sy1x1 - CAST(sy1 AS HUGEINT) * sx1,
+          |    CAST(n AS HUGEINT) * sy1y1 - CAST(sy1 AS HUGEINT) * sy1
+          |  FROM mo
+          |), co AS (
+          |  SELECT direction, n,
+          |    round(CAST(s10 AS DOUBLE) / s11, 6) AS br,
+          |    round(CAST(s10 * s22 - s20 * s12 AS DOUBLE)
+          |      / CAST(s11 * s22 - s12 * s12 AS DOUBLE), 6) AS b1,
+          |    round(CAST(s11 * s20 - s12 * s10 AS DOUBLE)
+          |      / CAST(s11 * s22 - s12 * s12 AS DOUBLE), 6) AS b2,
+          |    CAST(s00 AS DOUBLE) AS s00d, CAST(s10 AS DOUBLE) AS s10d,
+          |    CAST(s20 AS DOUBLE) AS s20d
+          |  FROM dirs
+          |), fs AS (
+          |  SELECT direction, n,
+          |    round((b1 * s10d + b2 * s20d - br * s10d) * (n - 3)
+          |      / (s00d - b1 * s10d - b2 * s20d), 6) AS f_stat
+          |  FROM co
+          |)
+          |SELECT direction, n AS n_eff, f_stat,
+          |  CAST(f_stat > 3.84 AS BIGINT) AS significant
+          |FROM fs ORDER BY direction""".stripMargin
+
   /** q_cusum's oracle — shared VERBATIM by q_stream_cusum (the
     * streaming face folds the same hour rollup as complete-mode
     * state, so the readout is the identical bounded computation). */
@@ -777,6 +840,69 @@ object EventsOps {
       |    CAST(coalesce(hr.x, 0) AS BIGINT) AS x
       |  FROM spine s LEFT JOIN hr ON hr.h = s.h
       |)""".stripMargin
+
+  /** Granger F both directions over a (t, x, y) series (q_granger +
+    * q_stream_granger): lags on one bounded window, ten exact-BIGINT
+    * moments, DECIMAL-exact centered products, 6dp Cramer/F. */
+  private[graft] def grangerOf(sxy: DataFrame): DataFrame = {
+      val lagged = {
+        val w = Window.orderBy("t")
+        sxy
+          .withColumn("y1", lag(col("y"), 1).over(w))
+          .withColumn("x1", lag(col("x"), 1).over(w))
+          .filter(col("y1").isNotNull)
+          .select(col("y").as("y0"), col("x").as("x0"), col("y1"), col("x1"))
+      }
+      val mo = lagged.agg(count(lit(1)).as("n"),
+        sum(col("y0")).as("sy0"), sum(col("x0")).as("sx0"),
+        sum(col("y1")).as("sy1"), sum(col("x1")).as("sx1"),
+        sum(col("y0") * col("y0")).as("sy0y0"),
+        sum(col("x0") * col("x0")).as("sx0x0"),
+        sum(col("y1") * col("y1")).as("sy1y1"),
+        sum(col("x1") * col("x1")).as("sx1x1"),
+        sum(col("y0") * col("y1")).as("sy0y1"),
+        sum(col("y0") * col("x1")).as("sy0x1"),
+        sum(col("x0") * col("y1")).as("sx0y1"),
+        sum(col("x0") * col("x1")).as("sx0x1"),
+        sum(col("y1") * col("x1")).as("sy1x1"))
+        .localCheckpoint() // read twice: one row per direction
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      def centered(sab: Column, sa: Column, sb: Column): Column =
+        dec(col("n")) * sab - dec(sa) * sb
+      def direction(tag: String, t0: String, l1: String, l2: String,
+          st0t0: String, st0l1: String, st0l2: String,
+          sl1l1: String, sl1l2: String, sl2l2: String) =
+        mo.select(lit(tag).as("direction"), col("n"),
+          centered(col(st0t0), col(t0), col(t0)).as("s00"),
+          centered(col(st0l1), col(t0), col(l1)).as("s10"),
+          centered(col(st0l2), col(t0), col(l2)).as("s20"),
+          centered(col(sl1l1), col(l1), col(l1)).as("s11"),
+          centered(col(sl1l2), col(l1), col(l2)).as("s12"),
+          centered(col(sl2l2), col(l2), col(l2)).as("s22"))
+      val dirs = direction("x->y", "sy0", "sy1", "sx1",
+          "sy0y0", "sy0y1", "sy0x1", "sy1y1", "sy1x1", "sx1x1")
+        .unionByName(direction("y->x", "sx0", "sx1", "sy1",
+          "sx0x0", "sx0x1", "sx0y1", "sx1x1", "sy1x1", "sy1y1"))
+      val det = (col("s11") * col("s22") - col("s12") * col("s12"))
+        .cast("double")
+      val co = dirs.select(col("direction"), col("n"),
+        round(col("s10").cast("double") / col("s11").cast("double"), 6)
+          .as("br"),
+        round((col("s10") * col("s22") - col("s20") * col("s12"))
+          .cast("double") / det, 6).as("b1"),
+        round((col("s11") * col("s20") - col("s12") * col("s10"))
+          .cast("double") / det, 6).as("b2"),
+        col("s00").cast("double").as("s00d"),
+        col("s10").cast("double").as("s10d"),
+        col("s20").cast("double").as("s20d"))
+      co.select(col("direction"), col("n").as("n_eff"),
+          round((col("b1") * col("s10d") + col("b2") * col("s20d")
+            - col("br") * col("s10d")) * (col("n") - 3)
+            / (col("s00d") - col("b1") * col("s10d")
+              - col("b2") * col("s20d")), 6).as("f_stat"))
+        .withColumn("significant", (col("f_stat") > 3.84).cast("long"))
+        .orderBy("direction")
+  }
 
   /** Shared sessionization (q_events_sessions / q_session_paths):
     * one user-keyed shuffle, then lag-flag + cumulative-sum windows
@@ -1368,124 +1494,11 @@ object EventsOps {
         "with the 1/n scalings cancelled ALGEBRAICALLY, not " +
         "numerically. One corpus scan; everything after is " +
         "#hours-bounded",
-      Some(
-        s"""WITH $xySeriesSqlCte, lagged AS (
-          |  SELECT y AS y0, x AS x0,
-          |    lag(y) OVER (ORDER BY t) AS y1,
-          |    lag(x) OVER (ORDER BY t) AS x1
-          |  FROM sxy
-          |), rows0 AS (
-          |  SELECT * FROM lagged WHERE y1 IS NOT NULL
-          |), mo AS (
-          |  SELECT CAST(count(*) AS BIGINT) AS n,
-          |    CAST(sum(y0) AS BIGINT) AS sy0, CAST(sum(x0) AS BIGINT) AS sx0,
-          |    CAST(sum(y1) AS BIGINT) AS sy1, CAST(sum(x1) AS BIGINT) AS sx1,
-          |    CAST(sum(y0 * y0) AS BIGINT) AS sy0y0,
-          |    CAST(sum(x0 * x0) AS BIGINT) AS sx0x0,
-          |    CAST(sum(y1 * y1) AS BIGINT) AS sy1y1,
-          |    CAST(sum(x1 * x1) AS BIGINT) AS sx1x1,
-          |    CAST(sum(y0 * y1) AS BIGINT) AS sy0y1,
-          |    CAST(sum(y0 * x1) AS BIGINT) AS sy0x1,
-          |    CAST(sum(x0 * y1) AS BIGINT) AS sx0y1,
-          |    CAST(sum(x0 * x1) AS BIGINT) AS sx0x1,
-          |    CAST(sum(y1 * x1) AS BIGINT) AS sy1x1
-          |  FROM rows0
-          |), dirs AS (
-          |  SELECT 'x->y' AS direction, n,
-          |    CAST(n AS HUGEINT) * sy0y0 - CAST(sy0 AS HUGEINT) * sy0 AS s00,
-          |    CAST(n AS HUGEINT) * sy0y1 - CAST(sy0 AS HUGEINT) * sy1 AS s10,
-          |    CAST(n AS HUGEINT) * sy0x1 - CAST(sy0 AS HUGEINT) * sx1 AS s20,
-          |    CAST(n AS HUGEINT) * sy1y1 - CAST(sy1 AS HUGEINT) * sy1 AS s11,
-          |    CAST(n AS HUGEINT) * sy1x1 - CAST(sy1 AS HUGEINT) * sx1 AS s12,
-          |    CAST(n AS HUGEINT) * sx1x1 - CAST(sx1 AS HUGEINT) * sx1 AS s22
-          |  FROM mo
-          |  UNION ALL
-          |  SELECT 'y->x', n,
-          |    CAST(n AS HUGEINT) * sx0x0 - CAST(sx0 AS HUGEINT) * sx0,
-          |    CAST(n AS HUGEINT) * sx0x1 - CAST(sx0 AS HUGEINT) * sx1,
-          |    CAST(n AS HUGEINT) * sx0y1 - CAST(sx0 AS HUGEINT) * sy1,
-          |    CAST(n AS HUGEINT) * sx1x1 - CAST(sx1 AS HUGEINT) * sx1,
-          |    CAST(n AS HUGEINT) * sy1x1 - CAST(sy1 AS HUGEINT) * sx1,
-          |    CAST(n AS HUGEINT) * sy1y1 - CAST(sy1 AS HUGEINT) * sy1
-          |  FROM mo
-          |), co AS (
-          |  SELECT direction, n,
-          |    round(CAST(s10 AS DOUBLE) / s11, 6) AS br,
-          |    round(CAST(s10 * s22 - s20 * s12 AS DOUBLE)
-          |      / CAST(s11 * s22 - s12 * s12 AS DOUBLE), 6) AS b1,
-          |    round(CAST(s11 * s20 - s12 * s10 AS DOUBLE)
-          |      / CAST(s11 * s22 - s12 * s12 AS DOUBLE), 6) AS b2,
-          |    CAST(s00 AS DOUBLE) AS s00d, CAST(s10 AS DOUBLE) AS s10d,
-          |    CAST(s20 AS DOUBLE) AS s20d
-          |  FROM dirs
-          |), fs AS (
-          |  SELECT direction, n,
-          |    round((b1 * s10d + b2 * s20d - br * s10d) * (n - 3)
-          |      / (s00d - b1 * s10d - b2 * s20d), 6) AS f_stat
-          |  FROM co
-          |)
-          |SELECT direction, n AS n_eff, f_stat,
-          |  CAST(f_stat > 3.84 AS BIGINT) AS significant
-          |FROM fs ORDER BY direction""".stripMargin),
+      Some(grangerSql),
     ) { (s, dir) =>
-      val lagged = {
-        val w = Window.orderBy("t")
-        xySeries(s, dir)
-          .withColumn("y1", lag(col("y"), 1).over(w))
-          .withColumn("x1", lag(col("x"), 1).over(w))
-          .filter(col("y1").isNotNull)
-          .select(col("y").as("y0"), col("x").as("x0"), col("y1"), col("x1"))
-      }
-      val mo = lagged.agg(count(lit(1)).as("n"),
-        sum(col("y0")).as("sy0"), sum(col("x0")).as("sx0"),
-        sum(col("y1")).as("sy1"), sum(col("x1")).as("sx1"),
-        sum(col("y0") * col("y0")).as("sy0y0"),
-        sum(col("x0") * col("x0")).as("sx0x0"),
-        sum(col("y1") * col("y1")).as("sy1y1"),
-        sum(col("x1") * col("x1")).as("sx1x1"),
-        sum(col("y0") * col("y1")).as("sy0y1"),
-        sum(col("y0") * col("x1")).as("sy0x1"),
-        sum(col("x0") * col("y1")).as("sx0y1"),
-        sum(col("x0") * col("x1")).as("sx0x1"),
-        sum(col("y1") * col("x1")).as("sy1x1"))
-        .localCheckpoint() // read twice: one row per direction
-      def dec(c: Column): Column = c.cast("decimal(38,0)")
-      def centered(sab: Column, sa: Column, sb: Column): Column =
-        dec(col("n")) * sab - dec(sa) * sb
-      def direction(tag: String, t0: String, l1: String, l2: String,
-          st0t0: String, st0l1: String, st0l2: String,
-          sl1l1: String, sl1l2: String, sl2l2: String) =
-        mo.select(lit(tag).as("direction"), col("n"),
-          centered(col(st0t0), col(t0), col(t0)).as("s00"),
-          centered(col(st0l1), col(t0), col(l1)).as("s10"),
-          centered(col(st0l2), col(t0), col(l2)).as("s20"),
-          centered(col(sl1l1), col(l1), col(l1)).as("s11"),
-          centered(col(sl1l2), col(l1), col(l2)).as("s12"),
-          centered(col(sl2l2), col(l2), col(l2)).as("s22"))
-      val dirs = direction("x->y", "sy0", "sy1", "sx1",
-          "sy0y0", "sy0y1", "sy0x1", "sy1y1", "sy1x1", "sx1x1")
-        .unionByName(direction("y->x", "sx0", "sx1", "sy1",
-          "sx0x0", "sx0x1", "sx0y1", "sx1x1", "sy1x1", "sy1y1"))
-      val det = (col("s11") * col("s22") - col("s12") * col("s12"))
-        .cast("double")
-      val co = dirs.select(col("direction"), col("n"),
-        round(col("s10").cast("double") / col("s11").cast("double"), 6)
-          .as("br"),
-        round((col("s10") * col("s22") - col("s20") * col("s12"))
-          .cast("double") / det, 6).as("b1"),
-        round((col("s11") * col("s20") - col("s12") * col("s10"))
-          .cast("double") / det, 6).as("b2"),
-        col("s00").cast("double").as("s00d"),
-        col("s10").cast("double").as("s10d"),
-        col("s20").cast("double").as("s20d"))
-      co.select(col("direction"), col("n").as("n_eff"),
-          round((col("b1") * col("s10d") + col("b2") * col("s20d")
-            - col("br") * col("s10d")) * (col("n") - 3)
-            / (col("s00d") - col("b1") * col("s10d")
-              - col("b2") * col("s20d")), 6).as("f_stat"))
-        .withColumn("significant", (col("f_stat") > 3.84).cast("long"))
-        .orderBy("direction")
+      grangerOf(xySeries(s, dir))
     },
+
 
     Q(
       "q_holt_winters",
@@ -8096,12 +8109,21 @@ object EventsOps {
   /** Densified hourly PAIR series on one shared spine: x = total
     * events, y = purchases (q_granger — a gap in either series is a
     * real 0). One corpus scan; spine bounds-bounded. Unordered. */
-  private[graft] def xySeries(s: SparkSession, dir: String): DataFrame = {
-    val hr = Tables.events(s, dir)
-      .select(expr("unix_micros(ts) div 3600000000").as("h"),
-        when(col("event_type") === "purchase", 1L).otherwise(0L).as("p"))
+  private[graft] def xySeries(s: SparkSession, dir: String): DataFrame =
+    xySeriesOf(xyRollup(Tables.events(s, dir)))
+
+  /** The streamable state stage of the pair series: per-hour (x =
+    * total, y = purchases) — purely additive, calendar-bounded
+    * (q_stream_granger folds it live as complete-mode state). */
+  private[graft] def xyRollup(ev: DataFrame): DataFrame =
+    ev.select(expr("unix_micros(ts) div 3600000000").as("h"),
+      when(col("event_type") === "purchase", 1L).otherwise(0L).as("p"))
       .groupBy("h").agg(count(lit(1)).as("x"), sum(col("p")).as("y"))
-      .localCheckpoint() // read twice: bounds + spine join
+
+  /** Densify an (h, x, y) rollup onto the contiguous 0-based t spine
+    * (the seriesOf two-lineage checkpoint rule applies). */
+  private[graft] def xySeriesOf(hrRaw: DataFrame): DataFrame = {
+    val hr = hrRaw.localCheckpoint() // read twice: bounds + spine join
     val bounds = hr.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
     val spine = bounds
       .select(explode(sequence(lit(0L), col("h1") - col("h0"))).as("t"),

@@ -1596,6 +1596,36 @@ object StreamOps {
     },
 
     Q(
+      "q_stream_granger",
+      "Granger causality run LIVE — the streaming face of q_granger, " +
+        "sharing its oracle VERBATIM: the stream folds the hour-pair " +
+        "(total, purchases) rollup as complete-mode state (calendar-" +
+        "bounded, additive — state ≡ the batch rollup at any split), " +
+        "and the spine densify + lag window + BigInt-moment F readout " +
+        "run batch-side on the bounded sink per trigger. The causal " +
+        "dashboard shape: every readout re-answers 'does activity " +
+        "still LEAD purchases?' from state, never from history. At " +
+        "100 TB/day: per-batch deltas are ≤ touched-hours rows",
+      Some(graft.operators.EventsOps.grangerSql),
+    ) { (s, dir) =>
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = graft.Tables.normalizeTs(
+        s.readStream.schema(rawSchema)
+          .option("basePath", dir)
+          .parquet(s"$dir/events.parquet*"))
+        .select(col("ts"), col("event_type"))
+      val name = ("gr" + Scratch.dir()).replaceAll("[^A-Za-z0-9]", "_")
+      val q = graft.operators.EventsOps.xyRollup(src).writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.EventsOps.grangerOf(
+        graft.operators.EventsOps.xySeriesOf(s.table(name)))
+    },
+
+    Q(
       "q_stream_item_cf",
       "item-item CF maintained INCREMENTALLY — the streaming face of " +
         "q_item_cf, sharing its oracle VERBATIM: per micro-batch the " +
