@@ -447,6 +447,89 @@ object EventsOps {
     * rollup ≡ the batch `hr` CTE at any split). A def, not a val: it
     * interpolates [[hourlySeriesSqlCte]], declared further down (the
     * registry-interpolation init-order rule). */
+  /** PACF lags 1–3 over a (t, x) series (q_pacf + q_stream_pacf):
+    * exact-DECIMAL centered products band-joined at ≤3 lags, then the
+    * Durbin-Levinson closed forms on the 6dp grid. Ordered. */
+  private[graft] def pacfOf(seriesRaw: DataFrame): DataFrame = {
+    val series = seriesRaw.localCheckpoint() // read thrice: stats, pairs ×2, denom
+    val st = series.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    val a = series.select(col("t").as("at"), col("x").as("ax"))
+    val b = series.select(col("t").as("bt"), col("x").as("bx"))
+    val num = a.join(b, col("bt") > col("at") && col("bt") <= col("at") + 3)
+      .crossJoin(broadcast(st))
+      .groupBy((col("bt") - col("at")).as("lag"))
+      .agg(sum((col("ax") * col("n") - col("sx")).cast("decimal(38,0)")
+        * (col("bx") * col("n") - col("sx")).cast("decimal(38,0)"))
+        .as("num"))
+    val den = series.crossJoin(broadcast(st))
+      .agg(sum((col("x") * col("n") - col("sx")).cast("decimal(38,0)")
+        * (col("x") * col("n") - col("sx")).cast("decimal(38,0)"))
+        .as("den"))
+    def acfAt(k: Int): Column = max(when(col("lag") === k,
+      round(col("num").cast("double") / col("den").cast("double"), 6)))
+    val r = num.crossJoin(broadcast(den))
+      .agg(acfAt(1).as("r1"), acfAt(2).as("r2"), acfAt(3).as("r3"))
+    val dl2 = r.withColumn("phi22",
+      round((col("r2") - col("r1") * col("r1"))
+        / (lit(1) - col("r1") * col("r1")), 6))
+    val dl21 = dl2.withColumn("phi21",
+      round(col("r1") - col("phi22") * col("r1"), 6))
+    val dl3 = dl21.select(col("r1"), col("phi22"),
+      round((col("r3") - col("phi21") * col("r2") - col("phi22") * col("r1"))
+        / (lit(1) - col("phi21") * col("r1") - col("phi22") * col("r2")), 6)
+        .as("phi33"))
+    dl3.select(explode(array(
+        struct(lit(1L).as("lag"), col("r1").as("pacf")),
+        struct(lit(2L).as("lag"), col("phi22").as("pacf")),
+        struct(lit(3L).as("lag"), col("phi33").as("pacf")))).as("p"))
+      .select(col("p.lag").as("lag"), col("p.pacf").as("pacf"))
+      .orderBy("lag")
+  }
+
+  /** q_pacf's oracle — shared VERBATIM by q_stream_pacf (the
+    * streaming face folds the same additive hour rollup as
+    * complete-mode state). */
+  private[graft] def pacfSql: String =
+    s"""WITH $hourlySeriesSqlCte, st AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx
+          |  FROM series
+          |), num AS (
+          |  SELECT b.t - a.t AS lag,
+          |    sum(CAST(a.x * n - sx AS HUGEINT) * (b.x * n - sx)) AS num
+          |  FROM series a JOIN series b
+          |    ON b.t > a.t AND b.t <= a.t + 3
+          |  CROSS JOIN st GROUP BY b.t - a.t
+          |), den AS (
+          |  SELECT sum(CAST(x * n - sx AS HUGEINT) * (x * n - sx)) AS den
+          |  FROM series CROSS JOIN st
+          |), r AS (
+          |  SELECT
+          |    max(CASE WHEN lag = 1
+          |      THEN round(CAST(num AS DOUBLE) / den, 6) END) AS r1,
+          |    max(CASE WHEN lag = 2
+          |      THEN round(CAST(num AS DOUBLE) / den, 6) END) AS r2,
+          |    max(CASE WHEN lag = 3
+          |      THEN round(CAST(num AS DOUBLE) / den, 6) END) AS r3
+          |  FROM num CROSS JOIN den
+          |), dl2 AS (
+          |  SELECT r1, r2, r3,
+          |    round((r2 - r1 * r1) / (1 - r1 * r1), 6) AS phi22
+          |  FROM r
+          |), dl21 AS (
+          |  SELECT r1, r2, r3, phi22,
+          |    round(r1 - phi22 * r1, 6) AS phi21
+          |  FROM dl2
+          |), dl3 AS (
+          |  SELECT r1, phi22,
+          |    round((r3 - phi21 * r2 - phi22 * r1)
+          |      / (1 - phi21 * r1 - phi22 * r2), 6) AS phi33
+          |  FROM dl21
+          |)
+          |SELECT CAST(u.lag AS BIGINT) AS lag,
+          |  CASE u.lag WHEN 1 THEN r1 WHEN 2 THEN phi22 ELSE phi33 END AS pacf
+          |FROM dl3, unnest(range(1, 4)) AS u(lag)
+          |ORDER BY lag""".stripMargin
+
   /** q_granger's oracle — shared VERBATIM by q_stream_granger (the
     * streaming face folds the same additive hour-pair rollup as
     * complete-mode state). */
@@ -1376,81 +1459,9 @@ object EventsOps {
         "DECIMAL(38,0)/HUGEINT centered products, band-joined at " +
         "≤3 lags). One corpus scan to the hour rollup; everything " +
         "after is #hours×3-bounded, the final stack is 3 rows",
-      Some(
-        s"""WITH $hourlySeriesSqlCte, st AS (
-          |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx
-          |  FROM series
-          |), num AS (
-          |  SELECT b.t - a.t AS lag,
-          |    sum(CAST(a.x * n - sx AS HUGEINT) * (b.x * n - sx)) AS num
-          |  FROM series a JOIN series b
-          |    ON b.t > a.t AND b.t <= a.t + 3
-          |  CROSS JOIN st GROUP BY b.t - a.t
-          |), den AS (
-          |  SELECT sum(CAST(x * n - sx AS HUGEINT) * (x * n - sx)) AS den
-          |  FROM series CROSS JOIN st
-          |), r AS (
-          |  SELECT
-          |    max(CASE WHEN lag = 1
-          |      THEN round(CAST(num AS DOUBLE) / den, 6) END) AS r1,
-          |    max(CASE WHEN lag = 2
-          |      THEN round(CAST(num AS DOUBLE) / den, 6) END) AS r2,
-          |    max(CASE WHEN lag = 3
-          |      THEN round(CAST(num AS DOUBLE) / den, 6) END) AS r3
-          |  FROM num CROSS JOIN den
-          |), dl2 AS (
-          |  SELECT r1, r2, r3,
-          |    round((r2 - r1 * r1) / (1 - r1 * r1), 6) AS phi22
-          |  FROM r
-          |), dl21 AS (
-          |  SELECT r1, r2, r3, phi22,
-          |    round(r1 - phi22 * r1, 6) AS phi21
-          |  FROM dl2
-          |), dl3 AS (
-          |  SELECT r1, phi22,
-          |    round((r3 - phi21 * r2 - phi22 * r1)
-          |      / (1 - phi21 * r1 - phi22 * r2), 6) AS phi33
-          |  FROM dl21
-          |)
-          |SELECT CAST(u.lag AS BIGINT) AS lag,
-          |  CASE u.lag WHEN 1 THEN r1 WHEN 2 THEN phi22 ELSE phi33 END AS pacf
-          |FROM dl3, unnest(range(1, 4)) AS u(lag)
-          |ORDER BY lag""".stripMargin),
+      Some(pacfSql),
     ) { (s, dir) =>
-      val series = hourlySeries(s, dir)
-        .localCheckpoint() // read thrice: stats, pairs (twice), denom
-      val st = series.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
-      val a = series.select(col("t").as("at"), col("x").as("ax"))
-      val b = series.select(col("t").as("bt"), col("x").as("bx"))
-      val num = a.join(b, col("bt") > col("at") && col("bt") <= col("at") + 3)
-        .crossJoin(broadcast(st))
-        .groupBy((col("bt") - col("at")).as("lag"))
-        .agg(sum((col("ax") * col("n") - col("sx")).cast("decimal(38,0)")
-          * (col("bx") * col("n") - col("sx")).cast("decimal(38,0)"))
-          .as("num"))
-      val den = series.crossJoin(broadcast(st))
-        .agg(sum((col("x") * col("n") - col("sx")).cast("decimal(38,0)")
-          * (col("x") * col("n") - col("sx")).cast("decimal(38,0)"))
-          .as("den"))
-      def acfAt(k: Int): Column = max(when(col("lag") === k,
-        round(col("num").cast("double") / col("den").cast("double"), 6)))
-      val r = num.crossJoin(broadcast(den))
-        .agg(acfAt(1).as("r1"), acfAt(2).as("r2"), acfAt(3).as("r3"))
-      val dl2 = r.withColumn("phi22",
-        round((col("r2") - col("r1") * col("r1"))
-          / (lit(1) - col("r1") * col("r1")), 6))
-      val dl21 = dl2.withColumn("phi21",
-        round(col("r1") - col("phi22") * col("r1"), 6))
-      val dl3 = dl21.select(col("r1"), col("phi22"),
-        round((col("r3") - col("phi21") * col("r2") - col("phi22") * col("r1"))
-          / (lit(1) - col("phi21") * col("r1") - col("phi22") * col("r2")), 6)
-          .as("phi33"))
-      dl3.select(explode(array(
-          struct(lit(1L).as("lag"), col("r1").as("pacf")),
-          struct(lit(2L).as("lag"), col("phi22").as("pacf")),
-          struct(lit(3L).as("lag"), col("phi33").as("pacf")))).as("p"))
-        .select(col("p.lag").as("lag"), col("p.pacf").as("pacf"))
-        .orderBy("lag")
+      pacfOf(hourlySeries(s, dir))
     },
 
     Q(

@@ -1596,6 +1596,37 @@ object StreamOps {
     },
 
     Q(
+      "q_stream_pacf",
+      "the AR-order diagnostic run LIVE — the streaming face of " +
+        "q_pacf, sharing its oracle VERBATIM: the stream folds the " +
+        "epoch-hour count rollup as complete-mode state and the " +
+        "spine densify + exact centered products + Durbin-Levinson " +
+        "closed forms run batch-side on the bounded sink per " +
+        "trigger. With q_stream_ewma/q_stream_cusum watching level " +
+        "and q_stream_granger watching lead-lag, this watches " +
+        "MEMORY STRUCTURE — a PACF cutoff shift on live data means " +
+        "the anomaly model's lag order is stale. At 100 TB/day: " +
+        "state is #hours rows, the readout #hours×3-bounded",
+      Some(graft.operators.EventsOps.pacfSql),
+    ) { (s, dir) =>
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = graft.Tables.normalizeTs(
+        s.readStream.schema(rawSchema)
+          .option("basePath", dir)
+          .parquet(s"$dir/events.parquet*"))
+        .select(col("ts"))
+      val name = ("pa" + Scratch.dir()).replaceAll("[^A-Za-z0-9]", "_")
+      val q = graft.operators.EventsOps.hourRollup(src).writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.EventsOps.pacfOf(
+        graft.operators.EventsOps.seriesOf(s.table(name)))
+    },
+
+    Q(
       "q_stream_granger",
       "Granger causality run LIVE — the streaming face of q_granger, " +
         "sharing its oracle VERBATIM: the stream folds the hour-pair " +
