@@ -1487,6 +1487,70 @@ object EventsOps {
     },
 
     Q(
+      "q_hurst",
+      "Hurst exponent via rescaled-range (R/S) analysis over the " +
+        "hourly series at block sizes 8/16/32 — the LONG-MEMORY " +
+        "diagnostic completing the time-series family (ACF/PACF see " +
+        "short lags; H > 0.5 means shocks persist across scales, so " +
+        "trailing-window anomaly baselines under-forget). Per block " +
+        "the cumulative-deviation range folds ENTIRELY in integers: " +
+        "deviations scale by w (D_t = w·cumsum − pos·S_b — the mean " +
+        "never floats), the w cancels algebraically in R/S = " +
+        "range(D)/√(w·Σx²−S²), and the one libm sqrt per block is " +
+        "6dp-rounded; zero-variance blocks drop in both engines. " +
+        "Per-size R/S means fold as ×1e6 fixed point; the 3-point " +
+        "ln-ln slope runs on ×1e6 integer lanes into ONE division. " +
+        "One corpus scan to the hour rollup; blocks ride a bounded " +
+        "(size, block)-keyed window — at 100 TB the same plan " +
+        "handles daily blocks over years",
+      Some(
+        s"""WITH $hourlySeriesSqlCte, wset AS (
+          |  SELECT unnest([8, 16, 32]) AS w
+          |), rows0 AS (
+          |  SELECT w, t // w AS blk, t, x FROM series CROSS JOIN wset
+          |), ba AS (
+          |  SELECT w, blk, CAST(count(*) AS BIGINT) AS cnt,
+          |    CAST(sum(x) AS BIGINT) AS sb, CAST(sum(x * x) AS BIGINT) AS ssb
+          |  FROM rows0 GROUP BY w, blk HAVING count(*) = w
+          |), dd AS (
+          |  SELECT r.w, r.blk, ba.sb, ba.ssb,
+          |    r.w * sum(r.x) OVER (PARTITION BY r.w, r.blk ORDER BY r.t
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |    - (row_number() OVER (PARTITION BY r.w, r.blk ORDER BY r.t))
+          |      * ba.sb AS d
+          |  FROM rows0 r JOIN ba ON ba.w = r.w AND ba.blk = r.blk
+          |), rb AS (
+          |  SELECT w, blk,
+          |    CAST(max(d) - min(d) AS BIGINT) AS rng,
+          |    round(sqrt(CAST(w * ssb - sb * sb AS DOUBLE)), 6) AS den
+          |  FROM dd GROUP BY w, blk, sb, ssb
+          |), rsb AS (
+          |  SELECT w, round(CAST(rng AS DOUBLE) / den, 6) AS rs
+          |  FROM rb WHERE den > 0
+          |), rsw AS (
+          |  SELECT w, CAST(count(*) AS BIGINT) AS n_blocks,
+          |    round(CAST(sum(CAST(round(rs * 1000000) AS BIGINT)) AS DOUBLE)
+          |      / 1000000.0 / count(*), 6) AS rs
+          |  FROM rsb GROUP BY w
+          |), pts AS (
+          |  SELECT CAST(round(round(ln(CAST(w AS DOUBLE)), 6) * 1000000)
+          |      AS BIGINT) AS lw,
+          |    CAST(round(round(ln(rs), 6) * 1000000) AS BIGINT) AS lr
+          |  FROM rsw
+          |), hh AS (
+          |  SELECT round(
+          |    CAST(count(*) * sum(lw * lr) - sum(lw) * sum(lr) AS DOUBLE)
+          |    / CAST(count(*) * sum(lw * lw) - sum(lw) * sum(lw) AS DOUBLE),
+          |    6) AS hurst
+          |  FROM pts
+          |)
+          |SELECT w, n_blocks, rs, hurst
+          |FROM rsw CROSS JOIN hh ORDER BY w""".stripMargin),
+    ) { (s, dir) =>
+      hurstOf(hourlySeries(s, dir))
+    },
+
+    Q(
       "q_granger",
       "lag-1 Granger causality BOTH directions between the hourly " +
         "total-event and purchase series (does activity lead " +
@@ -8391,6 +8455,52 @@ object EventsOps {
         when(col("zflag") === 1, 0.0)
           .otherwise(round(exp(col("lnsum") / 1000000.0), 6))
           .as("survival"))
+  }
+
+  /** Rescaled-range Hurst estimate over a (t, x) series (q_hurst +
+    * the planted-trend spec): per (size, block) the cumulative
+    * deviation folds in exact integers (D = w·cumsum − pos·S, the w
+    * cancels in R/S algebraically), per-size means as ×1e6 fixed
+    * point, 3-point ln-ln slope on ×1e6 integer lanes. Ordered. */
+  private[graft] def hurstOf(seriesRaw: DataFrame): DataFrame = {
+    val series = seriesRaw.localCheckpoint() // read per window size
+    val ws = series.sparkSession.range(1)
+      .select(explode(array(lit(8L), lit(16L), lit(32L))).as("w"))
+    val rows = series.crossJoin(broadcast(ws))
+      .select(col("w"), expr("t div w").as("blk"), col("t"), col("x"))
+    val ba = rows.groupBy("w", "blk")
+      .agg(count(lit(1)).as("cnt"), sum(col("x")).as("sb"),
+        sum(col("x") * col("x")).as("ssb"))
+      .filter(col("cnt") === col("w"))
+    val bw = Window.partitionBy("w", "blk").orderBy("t")
+    val dd = rows.join(broadcast(ba), Seq("w", "blk"))
+      .withColumn("cum", sum(col("x"))
+        .over(bw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("pos", row_number().over(bw))
+      .select(col("w"), col("blk"), col("sb"), col("ssb"),
+        (col("w") * col("cum") - col("pos") * col("sb")).as("d"))
+    val rb = dd.groupBy("w", "blk", "sb", "ssb")
+      .agg((max(col("d")) - min(col("d"))).as("rng"))
+      .withColumn("den",
+        round(sqrt((col("w") * col("ssb") - col("sb") * col("sb"))
+          .cast("double")), 6))
+      .filter(col("den") > 0)
+      .withColumn("rs", round(col("rng").cast("double") / col("den"), 6))
+    val rsw = rb.groupBy("w")
+      .agg(count(lit(1)).as("n_blocks"),
+        round(sum(round(col("rs") * 1000000, 0).cast("long")).cast("double")
+          / 1000000.0 / count(lit(1)), 6).as("rs"))
+      .localCheckpoint() // read twice: output rows + the slope
+    val pts = rsw.select(
+      round(round(log(col("w").cast("double")), 6) * 1000000, 0)
+        .cast("long").as("lw"),
+      round(round(log(col("rs")), 6) * 1000000, 0).cast("long").as("lr"))
+    val hh = pts.agg(
+      round((count(lit(1)) * sum(col("lw") * col("lr"))
+        - sum(col("lw")) * sum(col("lr"))).cast("double")
+        / (count(lit(1)) * sum(col("lw") * col("lw"))
+          - sum(col("lw")) * sum(col("lw"))).cast("double"), 6).as("hurst"))
+    rsw.crossJoin(broadcast(hh)).orderBy("w")
   }
 
   /** Two-sided CUSUM over a (t, x) series (q_cusum + the planted-

@@ -220,6 +220,24 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(got == expect, s"engine $got vs reference $expect")
   }
 
+  test("hurst: a pure trend reads persistent, an alternating series anti-persistent") {
+    import spark.implicits._
+    def series(f: Int => Long): org.apache.spark.sql.DataFrame =
+      (0 until 128).map(t => (t.toLong, f(t))).toDF("t", "x")
+    // x_t = t: R/S grows ∝ w, so the ln-ln slope is 1 exactly (up to
+    // the 6dp grids); x_t alternating ±1 around 5: cumdev is bounded
+    // at every scale, the textbook anti-persistent extreme.
+    val trend = operators.EventsOps.hurstOf(series(t => t.toLong))
+      .collect()
+    assert(trend.length == 3 && trend.forall(_.getLong(1) > 0))
+    val hTrend = trend.head.getDouble(3)
+    assert(hTrend > 0.9, s"trend series must read persistent, got $hTrend")
+    val alt = operators.EventsOps.hurstOf(series(t => 5L + (t % 2)))
+      .collect().head.getDouble(3)
+    assert(alt < 0.2, s"alternating series must read anti-persistent, got $alt")
+    assert(trend.map(_.getLong(0)).toSeq == Seq(8L, 16L, 32L))
+  }
+
   test("tone decoder recovers the planted period for every asset") {
     import graft.operators.MultimodalOps.{ToneDecoder, ToneWavFixture}
     (0L until 60L).foreach { id =>
