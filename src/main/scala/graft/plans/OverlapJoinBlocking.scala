@@ -29,32 +29,37 @@ import org.apache.spark.sql.types._
   * into
   *
   *   Project(L.out ++ R.out,
-  *     Filter(verify(__shared) AND ok = array_min(__shared),
+  *     Filter(verify(__shared),
   *       Project(out :+ __shared = array_intersect(a, b),
   *         Join(explode(prefix(a)) over L, explode(prefix(b)) over R,
-  *              Inner, ok_l = ok_r AND rest))))
+  *              Inner, ok_l = ok_r
+  *                AND ok_l = array_min(pfx_l ∩ pfx_r) AND rest))))
   *
-  * The expensive set build happens EXACTLY ONCE per candidate, in the
-  * `__shared` projection below the verify Filter: the original overlap
-  * conjunct re-applies with its `array_intersect` subtree swapped for
-  * the alias, and the canonical-token filter reads `array_min` of the
-  * SAME alias. That last substitution is sound: when |A∩B| ≥ T, the
-  * minimum m of A∩B is followed in each side's sorted distinct set by
-  * ≥ T−1 further intersection tokens, so m sits within the first
-  * |s|−T+1 positions of both — m ∈ pfx(A)∩pfx(B) ⊆ A∩B, hence
-  * min(pfx(A)∩pfx(B)) = min(A∩B) for every qualifying pair (and
-  * non-qualifying candidates are dropped by the verify regardless of
-  * what the canonical comparison says). Cheap residual conjuncts that
-  * do not mention the intersect (`doc_a < doc_b` and friends) move
-  * into the blocked join's own condition, pruning candidates BEFORE
-  * the set build is paid. When the join's direct parent is a Project
+  * The expensive set build happens EXACTLY ONCE per candidate PAIR,
+  * in the `__shared` projection below the verify Filter: the original
+  * overlap conjunct re-applies with its `array_intersect` subtree
+  * swapped for the alias, and the canonical-copy dedup runs INSIDE
+  * the join condition on the prefix arrays themselves. That placement
+  * is exact for EVERY candidate, not just qualifying ones: a pair's
+  * candidate copies are precisely the tokens of pfx(A) ∩ pfx(B) (both
+  * sides explode their prefixes onto the join key), so exactly one
+  * copy — the one whose token is the prefix-intersect minimum — ever
+  * reaches the set build. Pre-r13 the canonical filter read
+  * `array_min(__shared)` ABOVE the projection, so every duplicate
+  * copy of a near-duplicate pair paid the full intersect before being
+  * dropped; on dense corpora (prefix overlap multiplicity ~4-5) that
+  * multiplied the dominant verify cost by the multiplicity
+  * (q_jaccard_join measured 155 s → 43 s under the move). Cheap
+  * residual conjuncts that do not mention the intersect
+  * (`doc_a < doc_b` and friends) also sit in the blocked join's own
+  * condition, pruning candidates BEFORE the set build is paid. When the join's direct parent is a Project
   * or Aggregate that recomputes the same `array_intersect` (the
   * `n_shared` output column shape), the rule substitutes the alias
   * there too — zero re-evaluations anywhere in the operator.
   *
-  * The canonical filter keeps exactly ONE of the up-to-|prefix|
-  * matches per qualifying pair — multiplicity preserved with no
-  * distinct shuffle, the [[FuzzyJoinBlocking]] trick. Rows with fewer
+  * The canonical join conjunct keeps exactly ONE of the
+  * up-to-|prefix| matches per candidate pair — multiplicity preserved
+  * with no distinct shuffle, the [[FuzzyJoinBlocking]] trick. Rows with fewer
   * than T distinct tokens get an empty prefix and are dropped by
   * Generate (they cannot satisfy the predicate anyway).
   *
@@ -80,8 +85,8 @@ import org.apache.spark.sql.types._
   * token outside the hot set shares rank 0 (rare-first) and hot
   * tokens rank by ascending df — so the ordinary lexicographic
   * machinery (array_sort, array_min, string-equality join keys) now
-  * compares BY the df order, and the canonical filter reads
-  * array_min of the ENCODED shared intersect. Probe results are
+  * compares BY the df order, and the canonical conjunct reads
+  * array_min of the intersect of the ENCODED prefixes. Probe results are
   * cached per canonicalized (left, la, right, ra); staleness here is
   * PERF-ONLY (unlike Binning's residual decision — any total order
   * stays correct on any data), so no data-version fingerprint is
@@ -468,13 +473,20 @@ object OverlapJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
-  /** Explode the prefix over `child`; the prefix column itself is
-    * dropped from the Generate output (canonicalization reads the
-    * post-join shared intersect instead), so only the token key rides
-    * the blocked shuffle — plus, on the Jaccard face, the distinct
-    * size for the exact length filter. */
+  /** Explode the prefix over `child`. The prefix array itself STAYS
+    * in the Generate output: canonical-copy dedup runs INSIDE the
+    * join condition as `ok = array_min(pfx_l ∩ pfx_r)` — a candidate
+    * pair's copies are exactly the tokens its prefixes share, so
+    * exactly one copy survives, on the (1−t)-fraction-sized prefix
+    * arrays, BEFORE the full per-candidate set build is ever paid
+    * (pre-r13 the canonical filter read array_min of the full shared
+    * intersect, so every duplicate copy paid the whole verify; on
+    * near-duplicate-dense corpora that multiplied the dominant cost
+    * by the average prefix-overlap multiplicity). The extra shuffle
+    * payload is the prefix array — (1−t)·n tokens per row. */
   private def explodePrefix(child: LogicalPlan, s: Expression, req: Req,
-      ord: Option[Literal]): (LogicalPlan, Attribute, Option[Attribute]) = {
+      ord: Option[Literal]): (LogicalPlan, Attribute, Attribute,
+      Option[Attribute]) = {
     val pfx = Alias(prefixExpr(s, req, ord), "__graft_pfx")()
     val lenOpt = req match {
       case _: RelJaccard => Some(Alias(Size(ArrayDistinct(s)), "__graft_len")())
@@ -483,9 +495,9 @@ object OverlapJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
     val proj = Project(child.output ++ (pfx +: lenOpt.toSeq), child)
     val ok = AttributeReference(OkName, StringType, nullable = true)()
     val gen = Generate(Explode(pfx.toAttribute),
-      unrequiredChildIndex = Seq(child.output.size),
+      unrequiredChildIndex = Nil,
       outer = false, qualifier = None, generatorOutput = Seq(ok), child = proj)
-    (gen, ok, lenOpt.map(_.toAttribute))
+    (gen, ok, pfx.toAttribute, lenOpt.map(_.toAttribute))
   }
 
   /** The [[FuzzyJoinBlocking]] re-blocking guard: a join that already
@@ -556,8 +568,8 @@ object OverlapJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
         }.take(1).toList.headOption
       hit.map { case (ai, la, ra, req) =>
         val ord = tokenDfOrder(left, la, right, ra)
-        val (lgen, lk, lLen) = explodePrefix(left, la, req, ord)
-        val (rgen, rk, rLen) = explodePrefix(right, ra, req, ord)
+        val (lgen, lk, lPfx, lLen) = explodePrefix(left, la, req, ord)
+        val (rgen, rk, rPfx, rLen) = explodePrefix(right, ra, req, ord)
         // Conjuncts never touching the matched intersect prune inside
         // the join, BEFORE the per-candidate set build is paid; the
         // rest re-applies above, reading the shared alias.
@@ -578,27 +590,27 @@ object OverlapJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
             else basic)
           case _ => Seq.empty
         }
-        val blockedCond = (EqualTo(lk, rk) +: (lenConds ++ rest)).reduce(And)
+        // Canonical-copy dedup INSIDE the join: a pair's candidate
+        // copies are exactly the tokens its prefixes share (both
+        // sides explode their prefixes onto the join key), so keeping
+        // ok = array_min(pfx_l ∩ pfx_r) keeps exactly ONE copy of
+        // EVERY candidate — decided on the (1−t)-fraction prefix
+        // arrays, before the full shared-intersect verify is paid
+        // even once for a duplicate copy. Prefixes are already
+        // df-encoded when `ord` is set, so the min runs in the same
+        // order they were built in; the inclusive-Jaccard ∅–∅ pair
+        // joins on sentinel prefixes whose intersect min IS the
+        // sentinel, so no coalesce is needed any more.
+        val canonical = EqualTo(lk, ArrayMin(ArrayIntersect(lPfx, rPfx)))
+        val blockedCond =
+          (EqualTo(lk, rk) +: canonical +: (lenConds ++ rest)).reduce(And)
         val blocked = Join(lgen, rgen, Inner, Some(blockedCond),
           JoinHint.NONE)
         val shared = Alias(ai, SharedName)()
         val proj = Project(blocked.output :+ shared, blocked)
         val verify = needShared.map(subst(_, ai, shared.toAttribute))
           .reduce(And)
-        // The canonical comparison must run in the SAME order the
-        // prefixes were built in: min of the encoded shared intersect
-        // under the df order, plain array_min otherwise (the
-        // soundness argument in the class doc is order-generic). The
-        // inclusive-Jaccard ∅-∅ pair has an empty shared intersect —
-        // its min coalesces onto the sentinel its prefixes joined on.
-        val minShared = ArrayMin(ord.fold(shared.toAttribute: Expression)(m =>
-          encodeArray(m, shared.toAttribute)))
-        val canonical = req match {
-          case rj: RelJaccard if rj.inclusiveEmptyPair =>
-            EqualTo(lk, Coalesce(Seq(minShared, Literal(Sentinel))))
-          case _ => EqualTo(lk, minShared)
-        }
-        (Filter(And(verify, canonical), proj), shared.toAttribute, ai)
+        (Filter(verify, proj), shared.toAttribute, ai)
       }
     case _ => None
   }

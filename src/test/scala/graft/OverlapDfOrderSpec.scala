@@ -92,7 +92,12 @@ class OverlapDfOrderSpec extends AnyFunSuite {
     assert(lex > 500L, s"planted corpus lost its worst case: lex=$lex")
     assert(dfc * 20 < lex, s"df order must slash candidates: lex=$lex df=$dfc")
     val (got, plan) = runJoin(zipfDocs)
-    assert(plan.contains("array_min(transform"),
+    // The canonical-copy dedup now runs on the (already df-encoded)
+    // prefixes inside the join; the df path's plan signature is the
+    // hot-rank map literal in the prefix projection.
+    assert(plan.contains("array_min(array_intersect"),
+      s"canonical prefix dedup missing, plan:\n$plan")
+    assert(plan.contains("map(keys:"),
       s"df path did not fire on the skewed corpus, plan:\n$plan")
     assert(got == brute(zipfDocs), s"got $got want ${brute(zipfDocs)}")
     assert(got.contains((100L, 101L)))
@@ -105,7 +110,7 @@ class OverlapDfOrderSpec extends AnyFunSuite {
       (50L, Seq("s_1", "s_2", "s_3", "u_50_x")),
       (51L, Seq("s_1", "s_2", "s_3", "u_51_x")))
     val (got, plan) = runJoin(docs)
-    assert(!plan.contains("array_min(transform"),
+    assert(!plan.contains("map(keys:"),
       s"uniform corpus must keep the zero-overhead lexicographic " +
         s"order, plan:\n$plan")
     assert(plan.contains("array_min("), s"canonical filter missing:\n$plan")
@@ -132,7 +137,8 @@ class OverlapDfOrderSpec extends AnyFunSuite {
     val plan = j.queryExecution.executedPlan.toString
     assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
       s"jaccard rule did not fire, plan:\n$plan")
-    assert(plan.contains("array_min(transform"),
+    assert(plan.contains("array_min(array_intersect")
+      && plan.contains("map(keys:"),
       s"df order did not fire on the skewed corpus, plan:\n$plan")
     val got = j.select("doc_a", "doc_b").collect()
       .map(x => (x.getLong(0), x.getLong(1))).toSet
@@ -163,7 +169,7 @@ class OverlapDfOrderSpec extends AnyFunSuite {
       OverlapJoinBlocking.SkewGate * dfs.values.min,
       s"corpus must still be skewed, dfs ${dfs.values.max}/${dfs.values.min}")
     val (got, plan) = runJoin(docs)
-    assert(!plan.contains("array_min(transform"),
+    assert(!plan.contains("map(keys:"),
       s"dense corpus must keep lexicographic order, plan:\n$plan")
     assert(got == brute(docs), s"got ${got.size} want ${brute(docs).size}")
   }

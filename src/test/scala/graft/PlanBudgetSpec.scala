@@ -796,13 +796,18 @@ class PlanBudgetSpec extends AnyFunSuite {
     val p = plan("q_overlap_join")
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
       s"OverlapJoinBlocking did not fire, plan:\n$p")
-    // The set build must happen EXACTLY once per candidate — one
-    // shared projection below the verify Filter, with the verify, the
-    // canonical array_min filter, and the n_shared output all reading
-    // the alias (the r9 triple-evaluation fix).
-    val n = "array_intersect".r.findAllIn(p).length
-    assert(n == 1,
-      s"expected exactly one array_intersect (the shared projection), got $n, plan:\n$p")
+    // The FULL set build must happen EXACTLY once per candidate pair:
+    // one shared projection below the verify Filter, with the verify
+    // and the n_shared output reading the alias (the r9
+    // triple-evaluation fix) — plus the r13 canonical-copy dedup's
+    // PREFIX intersect inside the join condition, which is the cheap
+    // (1−t)-fraction-array twin that keeps duplicate copies from ever
+    // reaching the full build.
+    val full = "array_intersect\\(toks".r.findAllIn(p).length
+    assert(full == 1,
+      s"expected exactly one full-array intersect (the shared projection), got $full, plan:\n$p")
+    assert(p.contains("array_min(array_intersect(__graft_pfx"),
+      s"canonical prefix dedup missing from the join condition, plan:\n$p")
     assert(p.contains("__graft_shared"),
       s"shared-intersect alias missing, plan:\n$p")
   }
