@@ -2559,10 +2559,15 @@ object AnnOps {
       val m = xy
         .select(posexplode(col("x")).as(Seq("i", "xi")), col("y"))
         .select(col("i"), col("xi"), posexplode(col("y")).as(Seq("j", "yj")))
-        .groupBy("i", "j").agg(sum(col("xi") * col("yj")).as("mij"))
+        .groupBy("i", "j")
+        // DECIMAL(38,0) before the fold (the q_acf lesson): each
+        // ×1e6 fixed-point product is ~1e12, so a plain BIGINT sum
+        // wraps silently past ~1e7 rows — inside the entry's claimed
+        // scale. Exact decimal keeps the Gram exact at any row count.
+        .agg(sum((col("xi") * col("yj")).cast("decimal(38,0)")).as("mij"))
         .collect()
       val md = Array.ofDim[Double](Dim, Dim)
-      m.foreach(r => md(r.getInt(0))(r.getInt(1)) = r.getLong(2).toDouble)
+      m.foreach(r => md(r.getInt(0))(r.getInt(1)) = r.getDecimal(2).doubleValue)
       val rot = polarRotation(md)
       val entries = for {
         a <- 0 until Dim; b <- 0 until Dim
@@ -2575,12 +2580,18 @@ object AnnOps {
       val xi = xy.select(col("vec_id"), posexplode(col("x")).as(Seq("i", "xi")))
       val xr = xi.join(broadcast(rdf), "i")
         .groupBy(col("vec_id"), col("j"))
-        .agg(sum(col("xi") * col("r")).as("xr"))
+        // Same DECIMAL(38,0) treatment as the Gram: the residual sum
+        // must stay exact too, or a wrapped e2 could mask a wrong
+        // rotation as max_err = 0.
+        .agg(sum((col("xi") * col("r")).cast("decimal(38,0)")).as("xr"))
       val yj = xy.select(col("vec_id"), posexplode(col("y")).as(Seq("j", "yj")))
       val err = xr.join(yj, Seq("vec_id", "j"))
         .groupBy("vec_id")
         .agg(sum((col("xr") - col("yj")) * (col("xr") - col("yj"))).as("e2"))
-        .agg(max(col("e2")).as("max_err"))
+        // Back to BIGINT for the output contract (e2 is 0 when the
+        // recovered rotation is exact; bounded by 64·(2·6.4e7)² ≈
+        // 1e18 < Long.Max even when it is not).
+        .agg(max(col("e2")).cast("long").as("max_err"))
       rdf.crossJoin(broadcast(err)).orderBy("i")
     },
 

@@ -1538,10 +1538,10 @@ object EventsOps {
           |    CAST(round(round(ln(rs), 6) * 1000000) AS BIGINT) AS lr
           |  FROM rsw
           |), hh AS (
-          |  SELECT round(
+          |  SELECT CASE WHEN count(*) >= 2 THEN round(
           |    CAST(count(*) * sum(lw * lr) - sum(lw) * sum(lr) AS DOUBLE)
           |    / CAST(count(*) * sum(lw * lw) - sum(lw) * sum(lw) AS DOUBLE),
-          |    6) AS hurst
+          |    6) END AS hurst
           |  FROM pts
           |)
           |SELECT w, n_blocks, rs, hurst
@@ -8495,11 +8495,18 @@ object EventsOps {
       round(round(log(col("w").cast("double")), 6) * 1000000, 0)
         .cast("long").as("lw"),
       round(round(log(col("rs")), 6) * 1000000, 0).cast("long").as("lr"))
+    // The slope needs >= 2 surviving sizes (distinct w ⇒ distinct lw,
+    // so the denominator is then nonzero); on a degenerate series
+    // (< 16 hours) Spark's non-ANSI 0/0 yields NULL while DuckDB
+    // under ieee_floating_point_ops yields NaN — guard BOTH engines
+    // to an explicit NULL hurst instead.
     val hh = pts.agg(
-      round((count(lit(1)) * sum(col("lw") * col("lr"))
-        - sum(col("lw")) * sum(col("lr"))).cast("double")
-        / (count(lit(1)) * sum(col("lw") * col("lw"))
-          - sum(col("lw")) * sum(col("lw"))).cast("double"), 6).as("hurst"))
+      when(count(lit(1)) >= 2,
+        round((count(lit(1)) * sum(col("lw") * col("lr"))
+          - sum(col("lw")) * sum(col("lr"))).cast("double")
+          / (count(lit(1)) * sum(col("lw") * col("lw"))
+            - sum(col("lw")) * sum(col("lw"))).cast("double"), 6))
+        .as("hurst"))
     rsw.crossJoin(broadcast(hh)).orderBy("w")
   }
 

@@ -120,9 +120,23 @@ import org.apache.spark.sql.types._
   * size(array_union(a,b))` and the division spelling
   * `size(∩)/size(∪) >= t` (PPJoin proper, Xiao et al. 2008) — the
   * threshold real dedup pipelines actually write — through the same
-  * machinery with PER-ROW prefix lengths n − ⌈t·n⌉ + 1 and the exact
-  * LENGTH filter |distinct(B)| ≥ ⌈t·|distinct(A)|⌉ pruning candidates
-  * inside the blocked join; q_jaccard_join runs through it. The
+  * machinery with PER-ROW prefix lengths n − ⌈t·n⌉ + 1, the exact
+  * LENGTH filter |distinct(B)| ≥ ⌈t·|distinct(A)|⌉, and PPJoin's
+  * POSITIONAL filter (§3.2 of the paper) pruning candidates inside
+  * the blocked join; q_jaccard_join runs through it. The positional
+  * filter rides the same exploded prefix index, upgraded to
+  * PosExplode: the canonical copy's matched token is min(A∩B), so
+  * |A∩B| ≤ min(la − pos_a, lb − pos_b), and any qualifying pair needs
+  * |A∩B| ≥ α₂(la, lb) = ⌈t·(la+lb)/(1+t)⌉ — the PAIRWISE bound,
+  * strictly tighter than the per-side α whenever t < 1 (at t = 0.875
+  * and la = lb = 28 it demands the first shared token within the
+  * first TWO positions of both sides, where the per-side prefix
+  * alone allows four). Candidates whose first shared token sits too
+  * deep die on four long compares before the prefix intersect is
+  * ever built. α₂ is computed by the predicate's own arithmetic
+  * (exact rational for decimal and dyadic-double t — the algebra
+  * O·(den+num) ≥ num·(la+lb) is EQUIVALENT to the predicate, no
+  * rounding slack lost; per-side Greatest fallback otherwise). The
   * rounding-soundness contract (α computed by the predicate's own
   * arithmetic — exact integer form for decimal t, the identical
   * correctly-rounded double product for double t, one token of slack
@@ -137,6 +151,7 @@ import org.apache.spark.sql.types._
 object OverlapJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
 
   private val OkName = "__graft_ok"
+  private val PosName = "__graft_pos"
   private val SharedName = "__graft_shared"
 
   /** Hot-set size for the df probe: only the most frequent tokens
@@ -420,6 +435,56 @@ object OverlapJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
     Greatest(Seq(Subtract(raw, Literal(rj.slack.toLong)), Literal(1L)))
   }
 
+  /** t as an exact rational (num, den) when the predicate's OWN
+    * arithmetic is exact rational arithmetic: decimal literals always
+    * (Spark evaluates the multiply spelling in exact decimal), and
+    * DOUBLE literals when t is dyadic with ≤ 9 fractional decimal
+    * digits — `new BigDecimal(double)` expands the exact binary value,
+    * so a short scale certifies t = uns/pow EXACTLY, and every product
+    * t·n the predicate computes (n < 2³¹, uns < 2³⁰) stays under 2⁵³,
+    * i.e. correctly-rounded double arithmetic IS exact rational
+    * arithmetic (0.875 = 7/8, the threshold real pipelines write).
+    * Non-dyadic doubles (0.8, 0.9, …) expand to scale ~50+ and return
+    * None — callers fall back to per-side bounds that stay sound
+    * under rounding. */
+  private def exactFrac(rj: RelJaccard): Option[(Long, Long)] = rj.t match {
+    case scala.util.Left((uns, pow)) => Some((uns, pow))
+    case scala.util.Right(td) =>
+      val bd = new java.math.BigDecimal(td)
+      if (bd.scale < 0 || bd.scale > 9) None
+      else try {
+        val pow = math.pow(10, bd.scale.toDouble).toLong
+        val uns = bd.unscaledValue.longValueExact()
+        if (uns <= 0 || uns > pow) None else Some((uns, pow))
+      } catch { case _: ArithmeticException => None }
+  }
+
+  /** α₂(la, lb): the minimum overlap ANY qualifying pair with these
+    * two distinct-token counts must share — the PAIRWISE requirement
+    * the positional filter prunes against. From |A∩B| ≥ t·|A∪B| and
+    * |A∪B| = la + lb − |A∩B|: O·(pow + uns) ≥ uns·(la + lb), i.e.
+    * α₂ = ⌈uns·(la+lb)/(pow+uns)⌉ in the exact rational form — the
+    * algebra is EQUIVALENT to the predicate itself (no inequality
+    * weakening), so no rounding slack is lost, and α₂ is STRICTLY
+    * tighter than the per-side max(α(la), α(lb)) whenever t < 1
+    * (2t/(1+t) > t). When t has no exact rational form (non-dyadic
+    * double) fall back to Greatest of the per-side α's — sound under
+    * correctly-rounded monotone multiply because |A∪B| ≥ max(la, lb).
+    * Division-spelling slack and the ≥ 1 clamp mirror [[alphaExpr]]. */
+  private def pairAlphaExpr(rj: RelJaccard, ll: Expression,
+      rl: Expression): Expression = {
+    val sum = Add(Cast(ll, LongType), Cast(rl, LongType))
+    exactFrac(rj) match {
+      case Some((num, den)) =>
+        val raw = IntegralDivide(
+          Add(Multiply(sum, Literal(num)), Literal(den + num - 1L)),
+          Literal(den + num))
+        Greatest(Seq(Subtract(raw, Literal(rj.slack.toLong)), Literal(1L)))
+      case None =>
+        Greatest(Seq(alphaExpr(rj, ll), alphaExpr(rj, rl)))
+    }
+  }
+
   /** An INT-range integral literal, either type. */
   private object IntLit {
     def unapply(e: Expression): Option[Int] = e match {
@@ -486,18 +551,29 @@ object OverlapJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
     * payload is the prefix array — (1−t)·n tokens per row. */
   private def explodePrefix(child: LogicalPlan, s: Expression, req: Req,
       ord: Option[Literal]): (LogicalPlan, Attribute, Attribute,
-      Option[Attribute]) = {
+      Option[Attribute], Option[Attribute]) = {
     val pfx = Alias(prefixExpr(s, req, ord), "__graft_pfx")()
-    val lenOpt = req match {
-      case _: RelJaccard => Some(Alias(Size(ArrayDistinct(s)), "__graft_len")())
-      case _ => None
-    }
-    val proj = Project(child.output ++ (pfx +: lenOpt.toSeq), child)
     val ok = AttributeReference(OkName, StringType, nullable = true)()
-    val gen = Generate(Explode(pfx.toAttribute),
-      unrequiredChildIndex = Nil,
-      outer = false, qualifier = None, generatorOutput = Seq(ok), child = proj)
-    (gen, ok, pfx.toAttribute, lenOpt.map(_.toAttribute))
+    req match {
+      case _: RelJaccard =>
+        // The Jaccard face explodes POSITIONALLY: the copy's position
+        // within the prefix (= within the whole sorted distinct array,
+        // a prefix being an initial segment) feeds the positional
+        // filter in the join condition.
+        val len = Alias(Size(ArrayDistinct(s)), "__graft_len")()
+        val proj = Project(child.output ++ Seq(pfx, len), child)
+        val pos = AttributeReference(PosName, IntegerType, nullable = false)()
+        val gen = Generate(PosExplode(pfx.toAttribute),
+          unrequiredChildIndex = Nil, outer = false, qualifier = None,
+          generatorOutput = Seq(pos, ok), child = proj)
+        (gen, ok, pfx.toAttribute, Some(len.toAttribute), Some(pos))
+      case _ =>
+        val proj = Project(child.output :+ pfx, child)
+        val gen = Generate(Explode(pfx.toAttribute),
+          unrequiredChildIndex = Nil, outer = false, qualifier = None,
+          generatorOutput = Seq(ok), child = proj)
+        (gen, ok, pfx.toAttribute, None, None)
+    }
   }
 
   /** The [[FuzzyJoinBlocking]] re-blocking guard: a join that already
@@ -568,8 +644,8 @@ object OverlapJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
         }.take(1).toList.headOption
       hit.map { case (ai, la, ra, req) =>
         val ord = tokenDfOrder(left, la, right, ra)
-        val (lgen, lk, lPfx, lLen) = explodePrefix(left, la, req, ord)
-        val (rgen, rk, rPfx, rLen) = explodePrefix(right, ra, req, ord)
+        val (lgen, lk, lPfx, lLen, lPos) = explodePrefix(left, la, req, ord)
+        val (rgen, rk, rPfx, rLen, rPos) = explodePrefix(right, ra, req, ord)
         // Conjuncts never touching the matched intersect prune inside
         // the join, BEFORE the per-candidate set build is paid; the
         // rest re-applies above, reading the shared alias.
@@ -585,9 +661,34 @@ object OverlapJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
             val basic = And(
               GreaterThanOrEqual(Cast(ll, LongType), alphaExpr(rj, rl)),
               GreaterThanOrEqual(Cast(rl, LongType), alphaExpr(rj, ll)))
+            // PPJoin POSITIONAL filter (Xiao et al. 2008 §3.2): at the
+            // canonical copy the matched token is min(A∩B) under the
+            // global order, so the ENTIRE intersection sits at
+            // positions ≥ pos in BOTH sorted distinct arrays:
+            // |A∩B| ≤ min(la − pos_a, lb − pos_b). Any qualifying pair
+            // must reach α₂(la, lb), so candidates whose first shared
+            // token sits too deep die on four long compares — BEFORE
+            // the prefix intersect, and a fortiori before the full
+            // set build. Sound per copy: a qualifying pair's canonical
+            // copy always passes (its token IS min(A∩B)); every other
+            // copy is discarded by the canonical conjunct anyway.
+            // (The absolute face gains nothing from this filter: its
+            // fixed-T prefix slice already pins la − pos_a ≥ T on each
+            // side, and min of two values ≥ T is ≥ T — so it keeps the
+            // plain Explode with no position column.)
+            val positional = (lPos, rPos) match {
+              case (Some(lp), Some(rp)) =>
+                Seq(GreaterThanOrEqual(
+                  Least(Seq(
+                    Subtract(Cast(ll, LongType), Cast(lp, LongType)),
+                    Subtract(Cast(rl, LongType), Cast(rp, LongType)))),
+                  pairAlphaExpr(rj, ll, rl)))
+              case _ => Seq.empty
+            }
+            val all = (basic +: positional).reduce(And)
             Seq(if (rj.inclusiveEmptyPair)
-              Or(basic, And(EqualTo(ll, Literal(0)), EqualTo(rl, Literal(0))))
-            else basic)
+              Or(all, And(EqualTo(ll, Literal(0)), EqualTo(rl, Literal(0))))
+            else all)
           case _ => Seq.empty
         }
         // Canonical-copy dedup INSIDE the join: a pair's candidate
@@ -602,8 +703,12 @@ object OverlapJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
         // joins on sentinel prefixes whose intersect min IS the
         // sentinel, so no coalesce is needed any more.
         val canonical = EqualTo(lk, ArrayMin(ArrayIntersect(lPfx, rPfx)))
+        // Conjunct order = evaluation order inside the join: cheap
+        // residuals and the length + positional filters run BEFORE
+        // the canonical prefix-intersect, which runs before anything
+        // touching the full arrays.
         val blockedCond =
-          (EqualTo(lk, rk) +: canonical +: (lenConds ++ rest)).reduce(And)
+          (EqualTo(lk, rk) +: (rest ++ lenConds) :+ canonical).reduce(And)
         val blocked = Join(lgen, rgen, Inner, Some(blockedCond),
           JoinHint.NONE)
         val shared = Alias(ai, SharedName)()

@@ -1689,15 +1689,22 @@ object StreamOps {
           scratch, srcDir, f"part$i%02d.parquet",
           1000000000000L + i * 60000L)
       }
-      val version = new java.util.concurrent.atomic.AtomicInteger(-1)
+      // State versions key by the MICRO-BATCH ID, not a local counter:
+      // batch N reads v(N−1) — immutable, committed by the previous
+      // trigger — and OVERWRITES v(N), so a retried batch replays
+      // idempotently over its own half-written output instead of
+      // failing on an existing directory (a fresh AvailableNow query
+      // numbers triggers 0,1,2…, so v(batchId−1) is always the
+      // complete predecessor state).
+      val version = new java.util.concurrent.atomic.AtomicLong(-1L)
       val q = s.readStream
         .schema(s.read.parquet(srcDir.toString).schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(srcDir.toString)
         .writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
           val ss = batch.sparkSession
-          val v = version.get()
+          val v = batchId - 1
           val batchUi = batch.distinct()
           val oldUi =
             if (v < 0) batchUi.filter(lit(false))
@@ -1723,10 +1730,10 @@ object StreamOps {
             else ss.read.parquet(s"$scratch/pc/v$v")
           pcOld.unionByName(delta).groupBy("i", "j")
             .agg(sum(col("cij")).as("cij"))
-            .write.parquet(s"$scratch/pc/v${v + 1}")
+            .write.mode("overwrite").parquet(s"$scratch/pc/v$batchId")
           oldUi.unionByName(newUi)
-            .write.parquet(s"$scratch/ui/v${v + 1}")
-          version.incrementAndGet()
+            .write.mode("overwrite").parquet(s"$scratch/ui/v$batchId")
+          version.set(batchId)
           ()
         }
         .trigger(Trigger.AvailableNow())

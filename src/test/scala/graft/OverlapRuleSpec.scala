@@ -206,6 +206,62 @@ class OverlapRuleSpec extends AnyFunSuite {
       == Seq((1L, 10L)))
   }
 
+  test("positional filter keeps boundary-exact deep-first-shared pairs") {
+    import spark.implicits._
+    // Pairs engineered to sit EXACTLY at both bounds the positional
+    // filter reasons about: each side's sole private token sorts
+    // FIRST, so the first shared token is at position 1 — the last
+    // prefix slot — and min(la−pos_a, lb−pos_b) == α₂(la,lb) exactly.
+    // Any off-by-one in the positional conjunct (or in α₂'s rounding)
+    // deletes these pairs and the brute equality below fails.
+    //  t = 0.875 (dyadic double → exact-rational α₂): 15-token sides
+    //  sharing 14, J = 14/16 = 0.875 exactly.
+    val sh14 = ('c' to 'p').map(_.toString).mkString(" ")
+    //  t = 0.8 (decimal → exact; non-dyadic double → per-side
+    //  fallback): 9-token sides sharing 8, J = 8/10 = 0.8 exactly.
+    val sh8 = ('c' to 'j').map(_.toString).mkString(" ")
+    val l = Seq((1L, s"a $sh14"), (2L, s"a $sh8"), (3L, "a z"))
+      .toDF("lid", "s").select(col("lid"), split(col("s"), " ").as("la"))
+    val r = Seq((10L, s"b $sh14"), (11L, s"b $sh8"), (12L, "b z"))
+      .toDF("rid", "s").select(col("rid"), split(col("s"), " ").as("ra"))
+    // Brute force models each spelling's OWN arithmetic: exact
+    // rational for dyadic-double and decimal t, raw double compare
+    // for the non-dyadic double (where 8 >= 0.8d·10 is FALSE — the
+    // double literal exceeds 4/5, so the 9-token pair qualifies only
+    // under the decimal spelling; the test pins both behaviors).
+    def brute(qual: (Long, Long) => Boolean): Seq[(Long, Long)] = {
+      val lls = Seq((1L, s"a $sh14"), (2L, s"a $sh8"), (3L, "a z"))
+      val rrs = Seq((10L, s"b $sh14"), (11L, s"b $sh8"), (12L, "b z"))
+      (for {
+        (li, la) <- lls; (ri, ra) <- rrs
+        i = la.split(" ").toSet.intersect(ra.split(" ").toSet).size.toLong
+        u = la.split(" ").toSet.union(ra.split(" ").toSet).size.toLong
+        if qual(i, u)
+      } yield (li, ri)).sorted
+    }
+    val cases: Seq[(org.apache.spark.sql.Column, (Long, Long) => Boolean, String)] = Seq(
+      (size(array_intersect(col("la"), col("ra")))
+        >= lit(0.875) * size(array_union(col("la"), col("ra"))),
+        (i, u) => i * 8 >= 7 * u, "dyadic double 0.875"),
+      (size(array_intersect(col("la"), col("ra")))
+        >= lit(0.8) * size(array_union(col("la"), col("ra"))),
+        (i, u) => i.toDouble >= 0.8 * u.toDouble,
+        "non-dyadic double 0.8 (per-side fallback)"),
+      (expr("size(array_intersect(la, ra)) >= 0.8 * size(array_union(la, ra))"),
+        (i, u) => i * 5 >= 4 * u, "decimal 0.8 (exact α₂)"))
+    for ((cond, qual, tag) <- cases) {
+      val joined = l.join(r, cond)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+        s"[$tag] rule did not fire, plan:\n$p")
+      val got = joined.collect().map(x => (x.getLong(0), x.getLong(2)))
+        .sorted.toSeq
+      assert(got == brute(qual), s"[$tag] got $got want ${brute(qual)}")
+      assert(got.contains((1L, 10L)),
+        s"[$tag] the boundary-exact 15-token pair must survive")
+    }
+  }
+
   test("jaccard t outside (0, 1] passes through unrewritten") {
     for (t <- Seq(0.0, -0.5, 1.5)) {
       val joined = df(jls, "lid", "la").join(df(jrs, "rid", "ra"),
