@@ -193,5 +193,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // a canonical shared-bucket filter (the in-code seam is
     // graft.plans.IntervalOverlapJoin.register).
     ext.injectOptimizerRule(_ => graft.plans.IntervalOverlapJoin)
+    // Optimizer rule: JOIN ... ON cosine_sim(a, b) >= t plans as a
+    // hyperplane-signature banded equi-join with exact verify — the
+    // LSH recall contract (pigeonhole-exact within the signature
+    // radius) is documented on the rule; kill-switch conf
+    // spark.graft.cosine_band_join.enabled (the in-code seam is
+    // graft.plans.CosineBandJoin.register).
+    ext.injectOptimizerRule(_ => graft.plans.CosineBandJoin)
   }
 }

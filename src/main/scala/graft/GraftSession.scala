@@ -37,6 +37,11 @@ object GraftSession {
     graft.plans.OverlapJoinBlocking.register(spark)
     graft.plans.RangeBinJoin.register(spark)
     graft.plans.IntervalOverlapJoin.register(spark)
+    graft.plans.CosineBandJoin.register(spark)
+    // cosine_sim itself registers eagerly too: the CosineBandJoin
+    // rule matches the expression, so it must resolve in any session
+    // the rules are active in (not just after an ANN query ran).
+    graft.functions.CosSim.register(spark)
     spark
   }
 }

@@ -2157,6 +2157,61 @@ object AnnOps {
     },
 
     Q(
+      "q_cos_join",
+      "the DECLARATIVE cosine-threshold join: the user writes the " +
+        "naive `JOIN ON cosine_sim(a, b) >= 0.9` — the predicate " +
+        "q_embed_dup builds its candidate machinery around BY HAND — " +
+        "and the CosineBandJoin optimizer rule plans it as the " +
+        "hypersig banded equi-join (band explode both sides, " +
+        "(band_id, band_val) equi-join, exact cosine verify, " +
+        "first-matching-band canonical filter), NestedLoop-free. " +
+        "Corpus = embeddings ∪ planted near-duplicates (coordinate 1 " +
+        "exactly halved — a dyadic scaling both engines compute " +
+        "bit-identically): planted pairs have cosine ≥ 0.9798, every " +
+        "other pair ≤ 0.6032, and planted signature distance ≤ 3 = " +
+        "the banding radius at every SF (CosineRuleSpec certifies " +
+        "this against the real corpus — the rule's recall contract " +
+        "is pigeonhole-exact for signature distance < bands). At " +
+        "100 TB: ×4 map-side band rows and one band-keyed shuffle " +
+        "instead of |L|·|R| dot products; plane count sizes to the " +
+        "corpus, the plan shape is unchanged",
+      Some {
+        val pertSql = "e.embedding[1:1] || " +
+          "[CAST(CAST(e.embedding[2] AS DOUBLE) * 0.5 AS FLOAT)] || " +
+          "e.embedding[3:]"
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+           |d AS (SELECT e.vec_id + 100000 AS vec_id,
+           |        $pertSql AS embedding FROM e),
+           |c AS (
+           |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+           |  FROM (SELECT * FROM e UNION ALL SELECT * FROM d)
+           |)
+           |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |  round(${dotColSql("a.embedding", "b.embedding")}
+           |    / (a.nrm * b.nrm), 6) AS cos_sim
+           |FROM c a JOIN c b
+           |  ON a.vec_id < b.vec_id
+           | AND ${dotColSql("a.embedding", "b.embedding")}
+           |     / (a.nrm * b.nrm) >= 0.9
+           |ORDER BY vec_a, vec_b""".stripMargin
+      },
+    ) { (s, dir) =>
+      graft.plans.CosineBandJoin.register(s)
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val pert = e.select((col("vec_id") + lit(100000L)).as("vec_id"),
+        expr("transform(embedding, (x, i) -> " +
+          "IF(i = 1, CAST(CAST(x AS DOUBLE) * 0.5 AS FLOAT), x))")
+          .as("embedding"))
+      val corpus = e.unionByName(pert)
+      val a = corpus.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val b = corpus.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      val sim = graft.functions.CosSim.cosineSim(s, "ea", "eb")
+      a.join(b, sim >= lit(0.9) && col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"), round(sim, 6).as("cos_sim"))
+        .orderBy("vec_a", "vec_b")
+    },
+
+    Q(
       "q_semdedup",
       s"SemDeDup (Abbas et al.): cluster the embedding space (k=$KSeeds " +
         "seeded cells, zero-shuffle broadcast-argmin assignment), then " +

@@ -1,0 +1,221 @@
+package graft.plans
+
+import graft.functions.{CosineSim, HyperplaneSignature}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types._
+
+/** Optimizer rule: plan `JOIN ... ON cosine_sim(a, b) >= t` (the
+  * embedding near-duplicate predicate) as a HYPERPLANE-SIGNATURE
+  * banded equi-join instead of the quadratic nested loop it otherwise
+  * becomes — the seventh member of the declarative-scale rule family
+  * ([[FuzzyJoinBlocking]] edit distance, [[HammingBandJoin]] Hamming
+  * radius, [[OverlapJoinBlocking]] absolute/relative set overlap,
+  * [[RangeBinJoin]]/[[IntervalOverlapJoin]] range/interval theta).
+  *
+  * A cosine-threshold condition has no equi keys, so join selection
+  * falls to BroadcastNestedLoopJoin — |L|·|R| 64-float dot products
+  * that cannot hash-partition. The rewrite is the [[HammingBandJoin]]
+  * treatment carried into embedding space, the same blocking the
+  * imperative q_embed_dup operator applies by hand: quantize each
+  * vector to the engine's 16-bit random-hyperplane signature
+  * ([[HyperplaneSignature]], one codegen'd pass over the 64 floats),
+  * split the signature into [[NumBands]] = 4 disjoint 4-bit bands,
+  * equi-join on (band index, band value), re-apply the ORIGINAL
+  * condition as the exact verify, and keep exactly one copy per pair
+  * with the first-matching-band canonical filter (recomputed from
+  * both signature columns — multiplicity preserved with no distinct
+  * shuffle):
+  *
+  *   Project(L.out ++ R.out,
+  *     Filter(originalCondition AND lband.i = firstMatchingBand(sa, sb),
+  *       Join(explode(bands(sa)) over L+sa, explode(bands(sb)) over R+sb,
+  *            Inner, lband = rband [AND rest])))
+  *
+  * Cheap residual conjuncts (`vec_a < vec_b` and friends) ride inside
+  * the blocked join's condition, pruning before the verify.
+  *
+  * == The recall contract (what "exact" means here) ==
+  *
+  * Unlike the six exact siblings, LSH banding is candidate-COMPLETE
+  * only relative to the quantized signatures: the pigeonhole argument
+  * guarantees every pair whose 16-bit signatures differ in at most
+  * [[NumBands]] − 1 = 3 bits shares an identical band — for THAT
+  * radius the rewrite is exact, and the verify keeps precision exact
+  * always (no false pairs, ever). A t-qualifying pair whose
+  * signatures disagree in ≥ 4 of 16 planes is outside the blocking
+  * radius and is missed — the standard LSH near-duplicate contract
+  * (the one every embedding-dedup pipeline that bands signatures
+  * ships, and exactly the discipline q_dedup_simhash documents for
+  * text): at angle θ a plane flips with probability θ/π, so the
+  * contract degrades gracefully as t leaves the near-duplicate
+  * regime. Hence the scope guard t ∈ (0, 1]: at t ≤ 0 the predicate
+  * admits near-orthogonal pairs whose signatures disagree on ~half
+  * the planes — banding would be silently lossy with no compensating
+  * regime, so the join passes through unrewritten. CosineRuleSpec
+  * pins equality with the un-rewritten plan on a planted
+  * perturbation corpus (signature distance verified ≤ the radius),
+  * the NestedLoop-free shape, the passthrough guards, and the
+  * kill-switch conf [[EnabledKey]] for users who want the nested
+  * loop's unconditional semantics back.
+  *
+  * [[HyperplaneSignature]] fails loudly (a descriptive
+  * IllegalArgumentException) on embeddings that are not 64-dim — the
+  * engine's embedding layout contract — rather than degrading to a
+  * silent wrong answer.
+  *
+  * Cost: ×4 map-side rows per input and one band-keyed shuffle vs an
+  * |L|·|R| nested loop; the 16-bit demo geometry yields 16 values per
+  * band, so real deployments size [[HyperplaneSignature]]'s plane
+  * count to the corpus — the plan shape is unchanged.
+  */
+object CosineBandJoin extends Rule[LogicalPlan] with PredicateHelper {
+
+  private val BandName = "__graft_cband"
+  private val BandsName = "__graft_cbands"
+  private val SigName = "__graft_csig"
+
+  val NumPlanes = 16
+  val NumBands = 4
+  private val BandBits = NumPlanes / NumBands
+  private val BandMask = (1L << BandBits) - 1
+
+  /** Session kill-switch: set to "false" to always keep the nested
+    * loop's unconditional semantics. */
+  val EnabledKey = "spark.graft.cosine_band_join.enabled"
+
+  private def enabled: Boolean =
+    try SQLConf.get.getConfString(EnabledKey, "true").toBoolean
+    catch { case _: Throwable => true }
+
+  /** t ∈ (0, 1] as a fractional literal (double, float or decimal —
+    * the SQL spelling `0.9` parses as decimal and reaches the join
+    * under a double cast when folding has not collapsed it yet). */
+  private object ThresholdLit {
+    def unapply(e: Expression): Option[Double] = e match {
+      case Cast(inner, DoubleType, _, _) => unapply(inner)
+      case Literal(v: Double, DoubleType) => Some(v)
+      case Literal(v: Float, FloatType) => Some(v.toDouble)
+      case l @ Literal(v, _: DecimalType) if v != null =>
+        Some(l.value.asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble)
+      case _ => None
+    }
+  }
+
+  /** cosine_sim(a, b) >= t in its literal spellings. */
+  private def cosinePredicate(e: Expression)
+      : Option[(Expression, Expression)] = e match {
+    case GreaterThanOrEqual(c: CosineSim, ThresholdLit(t))
+        if t > 0 && t <= 1 => Some((c.left, c.right))
+    case GreaterThan(c: CosineSim, ThresholdLit(t))
+        if t > 0 && t <= 1 => Some((c.left, c.right))
+    case LessThanOrEqual(ThresholdLit(t), c: CosineSim)
+        if t > 0 && t <= 1 => Some((c.left, c.right))
+    case LessThan(ThresholdLit(t), c: CosineSim)
+        if t > 0 && t <= 1 => Some((c.left, c.right))
+    case _ => None
+  }
+
+  private def bandOf(sig: Expression, shift: Expression): Expression =
+    BitwiseAnd(ShiftRightUnsigned(sig, shift), Literal(BandMask))
+
+  /** Project the signature once per row, then explode its bands. */
+  private def explodeBands(child: LogicalPlan, vec: Expression)
+      : (LogicalPlan, Attribute, Attribute) = {
+    val sig = Alias(HyperplaneSignature(vec), SigName)()
+    val structs = (0 until NumBands).map { i =>
+      CreateNamedStruct(Seq(Literal("i"), Literal(i),
+        Literal("v"), bandOf(sig.toAttribute, Literal(i * BandBits))))
+    }
+    val proj1 = Project(child.output :+ sig, child)
+    val ks = Alias(CreateArray(structs), BandsName)()
+    val proj2 = Project(proj1.output :+ ks, proj1)
+    val band = AttributeReference(BandName,
+      StructType(Seq(StructField("i", IntegerType, nullable = false),
+        StructField("v", LongType, nullable = true))),
+      nullable = true)()
+    val gen = Generate(Explode(ks.toAttribute), unrequiredChildIndex = Nil,
+      outer = false, qualifier = None, generatorOutput = Seq(band),
+      child = proj2)
+    (gen, band, sig.toAttribute)
+  }
+
+  /** The smallest band index on which the two signatures agree —
+    * recomputed from both signature columns, so filtering the
+    * exploded join on it keeps exactly one copy of each pair. */
+  private def firstMatchingBand(sa: Expression, sb: Expression): Expression = {
+    val i = NamedLambdaVariable("i", IntegerType, nullable = false)
+    val eq = EqualTo(bandOf(sa, Multiply(i, Literal(BandBits))),
+      bandOf(sb, Multiply(i, Literal(BandBits))))
+    ArrayMin(ArrayFilter(
+      new Sequence(Literal(0), Literal(NumBands - 1), None,
+        Some(SQLConf.get.sessionLocalTimeZone)),
+      LambdaFunction(eq, Seq(i))))
+  }
+
+  private def hasEquiKey(cond: Expression, left: LogicalPlan,
+      right: LogicalPlan): Boolean =
+    splitConjunctivePredicates(cond).exists {
+      case EqualTo(x, y) =>
+        (x.references.subsetOf(left.outputSet)
+          && y.references.subsetOf(right.outputSet)) ||
+          (y.references.subsetOf(left.outputSet)
+            && x.references.subsetOf(right.outputSet))
+      case _ => false
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan
+    else plan.transformUp {
+      case j @ Join(left, right, Inner, Some(cond), _)
+          if cond.deterministic
+            && !left.output.exists(_.name == BandName)
+            && !right.output.exists(_.name == BandName)
+            && !hasEquiKey(cond, left, right) =>
+        val conjuncts = splitConjunctivePredicates(cond)
+        val hit: Option[(Expression, Expression)] =
+          conjuncts.iterator.flatMap { p =>
+            cosinePredicate(p).flatMap { case (x, y) =>
+              if (x.references.subsetOf(left.outputSet)
+                  && y.references.subsetOf(right.outputSet)) Some((x, y))
+              else if (y.references.subsetOf(left.outputSet)
+                  && x.references.subsetOf(right.outputSet)) Some((y, x))
+              else None
+            }
+          }.take(1).toList.headOption
+        hit match {
+          case None => j
+          case Some((a, b)) =>
+            val (lgen, lband, lsig) = explodeBands(left, a)
+            val (rgen, rband, rsig) = explodeBands(right, b)
+            // Conjuncts not touching the cosine prune inside the
+            // blocked join, before the verify pays the dot product.
+            val (needCos, rest) = conjuncts.partition(_.exists {
+              case _: CosineSim => true
+              case _ => false
+            })
+            val blockedCond =
+              (EqualTo(lband, rband) +: rest).reduce(And)
+            val blocked = Join(lgen, rgen, Inner, Some(blockedCond),
+              JoinHint.NONE)
+            val canonical = EqualTo(
+              GetStructField(lband, 0, Some("i")),
+              firstMatchingBand(lsig, rsig))
+            val verify = (needCos :+ canonical).reduce(And)
+            Project(j.output, Filter(verify, blocked))
+        }
+    }
+
+  /** In-code seam for an already-built session (the spark-submit-time
+    * seam is `--conf spark.sql.extensions=graft.GraftExtensions`).
+    * Idempotent. */
+  def register(s: SparkSession): Unit =
+    if (!s.experimental.extraOptimizations.contains(CosineBandJoin)) {
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ CosineBandJoin
+    }
+}
