@@ -274,6 +274,176 @@ object MultimodalOps {
     }
   }
 
+  /** Deterministic RLE8 BMP FIXTURE — the COMPRESSED-codec twin of
+    * [[BmpFixture]]: each doc_id maps to a closed-form 8bpp
+    * palettized Windows BMP with BI_RLE8 run-length compression
+    * (public byte layout: 1078-byte data offset past the 256-entry
+    * BGRA palette; encoded runs, absolute-mode literals with 2-byte
+    * alignment padding, delta escapes, end-of-line and end-of-bitmap
+    * markers). Every published RLE8 control path is exercised by
+    * construction: each row opens with a RUN, continues with an
+    * ABSOLUTE segment of 3 or 4 literals by row parity (length 3
+    * forces the pad byte), and closes with either another run + EOL
+    * (even rows) or a DELTA skip + EOL (odd rows — skipped pixels
+    * decode as index 0, the format's defined background); the TOP
+    * row terminates with an EARLY EOB after its opening run, leaving
+    * its tail at the background. The decoded pixel grid therefore has a
+    * pure closed form the oracle recomputes directly from doc_id —
+    * any misparse of run lengths, absolute padding, delta cursor
+    * moves, row order, or the palette breaks the hash. This is the
+    * property a compressed container actually stresses that raw BMP
+    * cannot: VARIABLE-LENGTH decode, where output position is a
+    * function of every byte consumed so far. */
+  private[graft] object RleFixture {
+    def width(d: Long): Int = 8 + (d % 5).toInt     // [8, 12]
+    def height(d: Long): Int = 3 + (d % 4).toInt    // [3, 6]
+    /** Opening-run length on row y (visual, 0 = top): ∈ [1, W−6], so
+      * run + absolute (≤ 4) always leave ≥ 2 trailing columns. */
+    def a(d: Long, y: Int): Int = 1 + ((d + 3 * y) % (width(d) - 6)).toInt
+    def k(y: Int): Int = 3 + (y % 2)
+    def v1(d: Long, y: Int): Int = ((d + 7 * y) % 256).toInt
+    def lit(d: Long, x: Int, y: Int): Int = ((3 * d + 5 * x + 11 * y) % 256).toInt
+    def v2(d: Long, y: Int): Int = ((2 * d + 13 * y) % 256).toInt
+
+    /** The decoded grid's closed form (visual y = 0 is the top row). */
+    def pix(d: Long, x: Int, y: Int): Int =
+      if (y == 0) { if (x < a(d, 0)) v1(d, 0) else 0 }
+      else if (x < a(d, y)) v1(d, y)
+      else if (x < a(d, y) + k(y)) lit(d, x, y)
+      else if (y % 2 == 0) v2(d, y)
+      else 0
+
+    def palB(d: Long, i: Int): Int = ((d + 2 * i) % 256).toInt
+    def palG(d: Long, i: Int): Int = ((2 * d + 3 * i) % 256).toInt
+    def palR(d: Long, i: Int): Int = ((3 * d + 5 * i) % 256).toInt
+
+    def encode(d: Long): Array[Byte] = {
+      val w = width(d)
+      val h = height(d)
+      val body = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      // File order is bottom-up: visual rows h−1 … 1, then the top
+      // row, which ends the bitmap early with EOB.
+      var y = h - 1
+      while (y >= 1) {
+        val av = a(d, y)
+        val kv = k(y)
+        body += av.toByte += v1(d, y).toByte          // encoded run
+        body += 0 += kv.toByte                        // absolute mode
+        var j = 0
+        while (j < kv) { body += lit(d, av + j, y).toByte; j += 1 }
+        if (kv % 2 == 1) body += 0                    // word alignment
+        val rem = w - av - kv                         // ≥ 2 by design
+        if (y % 2 == 0) body += rem.toByte += v2(d, y).toByte
+        else body += 0 += 2 += rem.toByte += 0        // delta (dx, 0)
+        body += 0 += 0                                // end of line
+        y -= 1
+      }
+      body += a(d, 0).toByte += v1(d, 0).toByte
+      body += 0 += 1                                  // end of bitmap
+      val dataOff = 14 + 40 + 256 * 4
+      val size = dataOff + body.length
+      val bb = java.nio.ByteBuffer.allocate(size)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(size)
+        .putShort(0).putShort(0).putInt(dataOff)
+      bb.putInt(40).putInt(w).putInt(h)
+        .putShort(1).putShort(8)                      // planes, 8bpp
+        .putInt(1).putInt(body.length)                // BI_RLE8, data size
+        .putInt(2835).putInt(2835).putInt(256).putInt(0)
+      var i = 0
+      while (i < 256) {                               // BGRA palette
+        bb.put(palB(d, i).toByte).put(palG(d, i).toByte)
+          .put(palR(d, i).toByte).put(0.toByte)
+        i += 1
+      }
+      bb.put(body.toArray)
+      bb.array()
+    }
+  }
+
+  /** Per-asset RLE8-decoded statistics (exact BIGINTs). sum_idx /
+    * y_moment read the raw palette indices (row-order sensitive);
+    * the channel sums go through the file's palette. */
+  private[graft] final case class RleStats(
+      doc_id: Long, width: Long, height: Long, n_pixels: Long,
+      sum_idx: Long, sum_b: Long, sum_g: Long, sum_r: Long, y_moment: Long)
+
+  /** The REAL RLE8 decoder behind the same batch seam: a cursor walk
+    * over the variable-length stream — encoded runs, absolute-mode
+    * literals (2-byte aligned), delta cursor moves, EOL/EOB escapes —
+    * onto a zero-initialized canvas (the format's defined background
+    * for skipped pixels), then palette-mapped statistics. Offset
+    * arithmetic only; no imaging library. */
+  private[graft] object RleDecoder {
+    private def le32(p: Array[Byte], off: Int): Int =
+      (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8) |
+        ((p(off + 2) & 0xff) << 16) | ((p(off + 3) & 0xff) << 24)
+    private def le16(p: Array[Byte], off: Int): Int =
+      (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
+
+    def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[RleStats] =
+      batch.map { case (id, p) => decodeOne(id, p) }
+
+    def decodeOne(id: Long, p: Array[Byte]): RleStats = {
+      require(p(0) == 'B'.toByte && p(1) == 'M'.toByte, s"asset $id: not a BMP")
+      val dataOff = le32(p, 10)
+      val w = le32(p, 18)
+      val h = le32(p, 22)
+      require(h > 0, s"asset $id: top-down BMPs cannot be RLE-compressed")
+      require(le16(p, 28) == 8, s"asset $id: RLE8 requires 8bpp")
+      require(le32(p, 30) == 1, s"asset $id: not BI_RLE8")
+      val palOff = 14 + le32(p, 14)
+      val canvas = new Array[Int](w * h)             // index 0 background
+      var xc = 0
+      var yf = 0                                     // file row: 0 = bottom
+      var o = dataOff
+      var done = false
+      while (!done && o + 1 < p.length) {
+        val n = p(o) & 0xff
+        val v = p(o + 1) & 0xff
+        o += 2
+        if (n > 0) {
+          var i = 0
+          while (i < n) {
+            if (xc < w && yf < h) canvas(yf * w + xc) = v
+            xc += 1; i += 1
+          }
+        } else v match {
+          case 0 => xc = 0; yf += 1                  // end of line
+          case 1 => done = true                      // end of bitmap
+          case 2 =>                                  // delta
+            xc += p(o) & 0xff; yf += p(o + 1) & 0xff; o += 2
+          case cnt =>                                // absolute mode
+            var i = 0
+            while (i < cnt) {
+              if (xc < w && yf < h) canvas(yf * w + xc) = p(o + i) & 0xff
+              xc += 1; i += 1
+            }
+            o += cnt + (cnt & 1)                     // alignment pad
+        }
+      }
+      var sumIdx = 0L; var sumB = 0L; var sumG = 0L; var sumR = 0L
+      var yMom = 0L
+      var fy = 0
+      while (fy < h) {
+        val y = h - 1 - fy                           // visual: 0 = top
+        var x = 0
+        while (x < w) {
+          val idx = canvas(fy * w + x)
+          sumIdx += idx
+          sumB += p(palOff + 4 * idx) & 0xff
+          sumG += p(palOff + 4 * idx + 1) & 0xff
+          sumR += p(palOff + 4 * idx + 2) & 0xff
+          yMom += (y + 1).toLong * idx
+          x += 1
+        }
+        fy += 1
+      }
+      RleStats(id, w.toLong, h.toLong, w.toLong * h,
+        sumIdx, sumB, sumG, sumR, yMom)
+    }
+  }
+
   /** Deterministic WAV FIXTURE — the audio twin of [[BmpFixture]]:
     * each doc_id maps to a closed-form RIFF/WAVE container (PCM16 LE,
     * mono or stereo by parity, 8 kHz) with a planted +20000 loudness
@@ -564,6 +734,82 @@ object MultimodalOps {
       s.createDataset(decoded)
         .toDF("doc_id", "part_id", "batch_seq", "width", "height",
           "n_pixels", "sum_b", "sum_g", "sum_r", "y_moment", "edge_x")
+        .orderBy("doc_id")
+    },
+
+    Q(
+      "q_image_rle",
+      "a COMPRESSED codec behind the same decode seam — BI_RLE8 BMP " +
+        "(public run-length layout: encoded runs, absolute-mode " +
+        "literals with 2-byte alignment, delta cursor skips, EOL/EOB " +
+        "escapes, 256-entry BGRA palette at a 1078-byte data offset). " +
+        "Raw BMP and WAV prove the seam on headered formats; RLE8 " +
+        "proves the property compressed containers actually stress: " +
+        "VARIABLE-LENGTH decode, where each pixel's position depends " +
+        "on every byte consumed before it. The fixture exercises " +
+        "every published control path per row (run, odd-length " +
+        "absolute segment forcing the pad byte, delta-skipped pixels " +
+        "decoding as background 0, early EOB on the top row), and " +
+        "the decoded grid keeps a pure closed form the oracle " +
+        "recomputes from doc_id — run-length, padding, delta, " +
+        "row-order or palette misparses all break the hash. " +
+        "RleBmpSpec pins the decoder against a hand-laid byte " +
+        "literal (delta with dy > 0 included) plus the fixture " +
+        "roundtrip. At 100 TB: same q_image_decode economics — " +
+        "decode rides map-side in payload-pruned batches, only stats " +
+        "shuffle; variable-length formats decode row-local with no " +
+        "global offset table, so the batch seam needs nothing new",
+      Some(
+        s"""WITH a AS (
+           |  SELECT doc_id, 8 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+           |  FROM documents WHERE doc_id < $BmpAssets
+           |), px AS (
+           |  SELECT doc_id, w, h,
+           |    list_transform(range(w * h), i ->
+           |      CASE WHEN i // w = 0 THEN
+           |        CASE WHEN i % w < 1 + doc_id % (w - 6)
+           |             THEN doc_id % 256 ELSE 0 END
+           |      WHEN i % w < 1 + (doc_id + 3 * (i // w)) % (w - 6)
+           |        THEN (doc_id + 7 * (i // w)) % 256
+           |      WHEN i % w < 1 + (doc_id + 3 * (i // w)) % (w - 6)
+           |                   + 3 + (i // w) % 2
+           |        THEN (3 * doc_id + 5 * (i % w) + 11 * (i // w)) % 256
+           |      WHEN (i // w) % 2 = 0 THEN (2 * doc_id + 13 * (i // w)) % 256
+           |      ELSE 0 END) AS pix
+           |  FROM a
+           |)
+           |SELECT doc_id,
+           |  CAST(doc_id % $NumParts AS BIGINT) AS part_id,
+           |  CAST(floor((row_number() OVER (PARTITION BY doc_id % $NumParts
+           |        ORDER BY doc_id) - 1) / $BatchSize) AS BIGINT) AS batch_seq,
+           |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           |  CAST(w * h AS BIGINT) AS n_pixels,
+           |  CAST(list_sum(pix) AS BIGINT) AS sum_idx,
+           |  CAST(list_sum(list_transform(pix, q -> (doc_id + 2 * q) % 256))
+           |    AS BIGINT) AS sum_b,
+           |  CAST(list_sum(list_transform(pix, q -> (2 * doc_id + 3 * q) % 256))
+           |    AS BIGINT) AS sum_g,
+           |  CAST(list_sum(list_transform(pix, q -> (3 * doc_id + 5 * q) % 256))
+           |    AS BIGINT) AS sum_r,
+           |  CAST(list_sum(list_transform(range(w * h),
+           |    i -> ((i // w) + 1) * pix[i + 1])) AS BIGINT) AS y_moment
+           |FROM px ORDER BY doc_id""".stripMargin),
+    ) { (s, dir) =>
+      import s.implicits._
+      // Salt the RLE8 payloads (fixture synthesis, executor-side); the
+      // operator under test is everything after this line.
+      val payloads = Tables.documents(s, dir)
+        .filter(col("doc_id") < BmpAssets)
+        .select(col("doc_id")).as[Long].rdd
+        .map(id => (id, RleFixture.encode(id)))
+      val decoded = decodedBatches(payloads, RleDecoder.decodeBatch)
+        .map { case (part, bi, st) =>
+          (st.doc_id, part, bi, st.width, st.height, st.n_pixels,
+            st.sum_idx, st.sum_b, st.sum_g, st.sum_r, st.y_moment)
+        }
+      s.createDataset(decoded)
+        .toDF("doc_id", "part_id", "batch_seq", "width", "height",
+          "n_pixels", "sum_idx", "sum_b", "sum_g", "sum_r", "y_moment")
         .orderBy("doc_id")
     },
 
