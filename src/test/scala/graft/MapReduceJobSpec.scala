@@ -169,4 +169,48 @@ class MapReduceJobSpec extends AnyFunSuite {
     }
     assert(out.sorted == golden.sorted)
   }
+
+  test("two queued jobs run back-to-back, each into its own output dir (C2 FIFO)") {
+    // The reference's two-queued-jobs shape (tests/test_manager_04.py:
+    // 23-58): a second new_manager_job submitted while the first is
+    // queued; the manager runs them IN ORDER into output0/output1.
+    // Here the FIFO is the calling thread — MapReduceJob.run returns
+    // only when its job is complete, so sequential calls ARE the
+    // reference's queue discipline (Spark's scheduler replaces the
+    // manager's C2 queue, per SURVEY §2.7) — and the observable
+    // contract is the same: both output directories exist afterward
+    // with their own complete, golden-matching outputs (wc then grep,
+    // exercising DIFFERENT executables to catch any state bleed
+    // between queued jobs).
+    val out0 = Files.createTempDirectory("graft-mrjob-fifo0").toString
+    val out1 = Files.createTempDirectory("graft-mrjob-fifo1").toString
+    val files0 = MapReduceJob.run(spark, JobSpec(
+      inputDirectory = TestSpark.resource("corpus"),
+      outputDirectory = out0,
+      mapperExecutable = Pipes.wcMap,
+      reducerExecutable = Pipes.wcReduce,
+      numMappers = 2,
+      numReducers = 1))
+    val files1 = MapReduceJob.run(spark, JobSpec(
+      inputDirectory = TestSpark.resource("corpus"),
+      outputDirectory = out1,
+      mapperExecutable = Pipes.grepMap,
+      reducerExecutable = Pipes.grepReduce,
+      numMappers = 2,
+      numReducers = 1))
+    assert(files0.map(_.split('/').last) == Seq("outputfile01"))
+    assert(files1.map(_.split('/').last) == Seq("outputfile01"))
+    assert(files0.head.startsWith(out0) && files1.head.startsWith(out1))
+    def lines(f: String): List[String] = {
+      val src = Source.fromFile(f); try src.getLines().toList finally src.close()
+    }
+    def golden(name: String): List[String] = {
+      val src = Source.fromResource(s"golden/$name")
+      try src.getLines().toList finally src.close()
+    }
+    // Job 0's output must still golden-match AFTER job 1 completed —
+    // the second job must not have touched the first job's directory.
+    assert(lines(files1.head).sorted == golden("grep_correct.txt").sorted)
+    assert(lines(files0.head).sorted == golden("word_count_correct.txt").sorted)
+  }
 }
