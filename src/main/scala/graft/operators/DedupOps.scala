@@ -33,6 +33,31 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
+  /** q_sql_jaccard: the naive relative-Jaccard join as Spark SQL
+    * TEXT (the DuckDB oracle twin lives on the Q entry — array
+    * function names differ between dialects, so this is twin
+    * spellings, not the q_sql_q1 byte-identical contract). The
+    * OverlapJoinBlocking rule must plan this parsed tree exactly as
+    * it plans the DataFrame twin — OverlapRuleSpec pins it
+    * NestedLoop-free. */
+  private[graft] val SqlJaccardText: String =
+    """WITH t AS (
+      |  SELECT doc_id, array_distinct(filter(
+      |    split(lower(text), ' '), x -> x <> '')) AS toks
+      |  FROM documents WHERE doc_id % 10 = 0
+      |)
+      |SELECT CAST(size(array_intersect(a.toks, b.toks)) AS BIGINT)
+      |    AS n_shared,
+      |  CAST(size(array_union(a.toks, b.toks)) AS BIGINT) AS n_union,
+      |  CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(sum(a.doc_id + b.doc_id) AS BIGINT) AS id_checksum
+      |FROM t a JOIN t b
+      |  ON size(array_intersect(a.toks, b.toks))
+      |     >= 0.875 * size(array_union(a.toks, b.toks))
+      | AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2
+      |ORDER BY n_shared, n_union""".stripMargin
+
   /** Mersenne prime 2^31-1: keeps (a*h+b) inside 63 bits. */
   private val P = 2147483647L
 
@@ -1563,6 +1588,46 @@ object DedupOps {
         .agg(count(lit(1)).as("n_pairs"),
           sum(col("doc_a") + col("doc_b")).as("id_checksum"))
         .orderBy("n_shared", "n_union")
+    },
+
+    Q(
+      "q_sql_jaccard",
+      "the SQL-TEXT face of the OverlapJoinBlocking rule family: the " +
+        "naive relative-Jaccard join written as ONE ANSI string and " +
+        "executed through spark.sql over a temp view — proving the " +
+        "optimizer rule fires on the parsed-SQL path exactly as on " +
+        "DataFrame trees (same analyzer output, pinned NestedLoop-" +
+        "free in OverlapRuleSpec's sql-text test). The 0.875 literal " +
+        "parses as DECIMAL here, exercising the exact-decimal α/α₂ " +
+        "arithmetic rather than the DataFrame twin's dyadic double. " +
+        "Runs on the doc_id % 10 slice — the demonstration is the " +
+        "PLAN (q_jaccard_join already pays the full corpus); array " +
+        "function names differ across engines (size/array_intersect " +
+        "vs len/list_intersect), so unlike q_sql_q1 the oracle is " +
+        "the DuckDB-dialect twin, not the identical bytes",
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, list_distinct(list_filter(
+          |    string_split(lower(text), ' '), x -> x <> '')) AS toks
+          |  FROM documents WHERE doc_id % 10 = 0
+          |), p AS (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |    len(list_intersect(a.toks, b.toks)) AS n_shared,
+          |    len(list_distinct(list_concat(a.toks, b.toks))) AS n_union
+          |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+          |    AND len(list_intersect(a.toks, b.toks))
+          |        >= 0.875 * len(list_distinct(list_concat(a.toks, b.toks)))
+          |)
+          |SELECT CAST(n_shared AS BIGINT) AS n_shared,
+          |  CAST(n_union AS BIGINT) AS n_union,
+          |  CAST(count(*) AS BIGINT) AS n_pairs,
+          |  CAST(sum(doc_a + doc_b) AS BIGINT) AS id_checksum
+          |FROM p GROUP BY n_shared, n_union
+          |ORDER BY n_shared, n_union""".stripMargin),
+    ) { (s, dir) =>
+      graft.plans.OverlapJoinBlocking.register(s)
+      Tables.documents(s, dir).createOrReplaceTempView("documents")
+      s.sql(DedupOps.SqlJaccardText)
     },
 
     Q(

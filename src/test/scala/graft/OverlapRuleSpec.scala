@@ -262,6 +262,21 @@ class OverlapRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("the rule fires on the spark.sql TEXT path (q_sql_jaccard's plan)") {
+    import spark.implicits._
+    val docs = (jls ++ Seq((10L, "a b c d"), (20L, "a b c d e")))
+      .map { case (i, t) => (i * 10, t) } // ids divisible by 10
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("documents")
+    val q = spark.sql(graft.operators.DedupOps.SqlJaccardText)
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"rule did not fire on the SQL-text path, plan:\n$p")
+    // Identical sets (J = 1 >= 0.875) must appear: (10,"a b c d")
+    // and (1->10L scaled doc 1 "a b c d") share everything.
+    assert(q.collect().map(_.getLong(2)).sum > 0)
+  }
+
   test("jaccard t outside (0, 1] passes through unrewritten") {
     for (t <- Seq(0.0, -0.5, 1.5)) {
       val joined = df(jls, "lid", "la").join(df(jrs, "rid", "ra"),
