@@ -112,12 +112,16 @@ object DedupOps {
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
       .localCheckpoint() // ids only — payloads fetched after
-    val ns = size(array_intersect(col("ta"), col("tb")))
+    // The verify is the merge-walk count over sorted payloads (the
+    // optimizer rule's size-only kernel — SortedIntersectSpec pins
+    // ≡ size(array_intersect)), not a per-candidate hash-set build.
+    graft.functions.SortedIntersect.register(s)
+    val ns = expr("sorted_intersect_count(ta, tb)")
     candIds
-      .join(payloads.select(col("doc_id").as("doc_a"), col("toks").as("ta")),
-        Seq("doc_a"))
-      .join(payloads.select(col("doc_id").as("doc_b"), col("toks").as("tb")),
-        Seq("doc_b"))
+      .join(payloads.select(col("doc_id").as("doc_a"),
+        sort_array(col("toks")).as("ta")), Seq("doc_a"))
+      .join(payloads.select(col("doc_id").as("doc_b"),
+        sort_array(col("toks")).as("tb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), ns.as("n_shared"),
         (size(col("ta")) + size(col("tb")) - ns).as("n_union"))
       .filter(col("n_shared") * 8 >= col("n_union") * 7)

@@ -158,6 +158,7 @@ object OverlapJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
 
   private val OkName = "__graft_ok"
   private val PosName = "__graft_pos"
+  private val SortedName = "__graft_sorted"
   private val SharedName = "__graft_shared"
 
   /** Hot-set size for the df probe: only the most frequent tokens
@@ -522,11 +523,17 @@ object OverlapJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
     * ENCODING when `ord` carries a hot-rank map, plain lexicographic
     * otherwise. The inclusive-Jaccard ∅ row gets the sentinel prefix
     * so ∅-∅ pairs (which qualify: 0 ≥ t·0) still block. */
-  private def prefixExpr(s: Expression, req: Req,
-      ord: Option[Literal]): Expression = {
+  /** The sorted-distinct (and, under a df order, encoded) token
+    * array — computed ONCE per row and carried through the join: the
+    * prefix slices from it, and the size-only verify merge-walks it
+    * ([[graft.functions.SortedIntersectCount]]). */
+  private def sortedExpr(s: Expression, ord: Option[Literal]): Expression = {
     val base = ArrayDistinct(s)
     val keyed = ord.fold(base: Expression)(m => encodeArray(m, base))
-    val sorted = SortArray(keyed, Literal(true))
+    SortArray(keyed, Literal(true))
+  }
+
+  private def prefixFromSorted(sorted: Expression, req: Req): Expression =
     req match {
       case AbsOverlap(t) =>
         Slice(sorted, Literal(1),
@@ -538,11 +545,10 @@ object OverlapJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
           Literal(0)))
         val sliced = Slice(sorted, Literal(1), len)
         if (rj.inclusiveEmptyPair)
-          If(EqualTo(Size(base), Literal(0)),
+          If(EqualTo(Size(sorted), Literal(0)),
             CreateArray(Seq(Literal(Sentinel))), sliced)
         else sliced
     }
-  }
 
   /** Explode the prefix over `child`. The prefix array itself STAYS
     * in the Generate output: canonical-copy dedup runs INSIDE the
@@ -556,9 +562,11 @@ object OverlapJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
     * by the average prefix-overlap multiplicity). The extra shuffle
     * payload is the prefix array — (1−t)·n tokens per row. */
   private def explodePrefix(child: LogicalPlan, s: Expression, req: Req,
-      ord: Option[Literal]): (LogicalPlan, Attribute, Attribute,
+      ord: Option[Literal]): (LogicalPlan, Attribute, Attribute, Attribute,
       Option[Attribute], Option[Attribute]) = {
-    val pfx = Alias(prefixExpr(s, req, ord), "__graft_pfx")()
+    val sorted = Alias(sortedExpr(s, ord), SortedName)()
+    val proj1 = Project(child.output :+ sorted, child)
+    val pfx = Alias(prefixFromSorted(sorted.toAttribute, req), "__graft_pfx")()
     val ok = AttributeReference(OkName, StringType, nullable = true)()
     req match {
       case _: RelJaccard =>
@@ -566,19 +574,20 @@ object OverlapJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
         // within the prefix (= within the whole sorted distinct array,
         // a prefix being an initial segment) feeds the positional
         // filter in the join condition.
-        val len = Alias(Size(ArrayDistinct(s)), "__graft_len")()
-        val proj = Project(child.output ++ Seq(pfx, len), child)
+        val len = Alias(Size(sorted.toAttribute), "__graft_len")()
+        val proj2 = Project(proj1.output ++ Seq(pfx, len), proj1)
         val pos = AttributeReference(PosName, IntegerType, nullable = false)()
         val gen = Generate(PosExplode(pfx.toAttribute),
           unrequiredChildIndex = Nil, outer = false, qualifier = None,
-          generatorOutput = Seq(pos, ok), child = proj)
-        (gen, ok, pfx.toAttribute, Some(len.toAttribute), Some(pos))
+          generatorOutput = Seq(pos, ok), child = proj2)
+        (gen, ok, pfx.toAttribute, sorted.toAttribute,
+          Some(len.toAttribute), Some(pos))
       case _ =>
-        val proj = Project(child.output :+ pfx, child)
+        val proj2 = Project(proj1.output :+ pfx, proj1)
         val gen = Generate(Explode(pfx.toAttribute),
           unrequiredChildIndex = Nil, outer = false, qualifier = None,
-          generatorOutput = Seq(ok), child = proj)
-        (gen, ok, pfx.toAttribute, None, None)
+          generatorOutput = Seq(ok), child = proj2)
+        (gen, ok, pfx.toAttribute, sorted.toAttribute, None, None)
     }
   }
 
@@ -606,32 +615,46 @@ object OverlapJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
     case x: ArrayIntersect if x.semanticEquals(ai) => shared
   }
 
+  /** size(ai) under any numeric-cast wrapper → the carried count. */
+  private def substIntersectSize(e: Expression, ai: ArrayIntersect,
+      nShared: Attribute): Expression = e.transform {
+    case Size(x: ArrayIntersect, _) if x.semanticEquals(ai) => nShared
+  }
+
+  private def unionOfSamePair(au: ArrayUnion, ai: ArrayIntersect): Boolean =
+    (au.left.semanticEquals(ai.left) && au.right.semanticEquals(ai.right)) ||
+      (au.left.semanticEquals(ai.right) && au.right.semanticEquals(ai.left))
+
   /** Union-size arithmetic: |A∪B| = |distinct(A)| + |distinct(B)| −
     * |A∩B| exactly (array_union and array_intersect both dedup), and
     * the Jaccard face already carries both distinct counts through
     * the join — so every `size(array_union(a, b))` over the matched
     * pair becomes two column reads and a subtract instead of an O(n)
-    * hash-set build PER CANDIDATE. This is the other half of the
-    * verify cost (the intersect builds once into the shared alias;
-    * pre-substitution the union built a second set per candidate). */
+    * hash-set build PER CANDIDATE. `sharedSize` is the |A∩B| column
+    * read (the merge-walk count in size-only mode, size(shared
+    * array) otherwise). */
   private def substUnionSize(e: Expression, ai: ArrayIntersect,
-      ll: Attribute, rl: Attribute, shared: Attribute): Expression =
+      ll: Attribute, rl: Attribute, sharedSize: => Expression): Expression =
     e.transform {
-      case sz @ Size(au: ArrayUnion, _)
-          if (au.left.semanticEquals(ai.left)
-              && au.right.semanticEquals(ai.right)) ||
-            (au.left.semanticEquals(ai.right)
-              && au.right.semanticEquals(ai.left)) =>
-        Subtract(Add(ll, rl), sz.copy(child = shared))
+      case Size(au: ArrayUnion, _) if unionOfSamePair(au, ai) =>
+        Subtract(Add(ll, rl), sharedSize)
     }
 
   /** Rewrite `j` if it is in scope; returns the verify Filter (its
     * output = L.out ++ ok ++ R.out ++ ok ++ __shared — callers strip
     * or substitute) and the parent-level substitution function
     * (matched intersect → the shared alias; on the Jaccard face also
-    * matched union-size → length arithmetic). */
-  private def tryRewrite(j: Join): Option[(LogicalPlan,
-      Expression => Expression)] = j match {
+    * matched union-size → length arithmetic). `parentExprs` are the
+    * direct parent's expressions (empty for a bare join): when every
+    * use of the matched intersect there AND in the verify sits under
+    * `size(...)`, the rewrite enters SIZE-ONLY mode — the intersect
+    * array never materializes; a [[SortedIntersectCount]] merge walk
+    * over the carried sorted arrays replaces the per-candidate
+    * hash-set build (the dominant cost of the whole blocked join on
+    * near-duplicate-dense corpora: q_jaccard_join measured 42 s →
+    * 23 s at sf0.1 under this mode). */
+  private def tryRewrite(j: Join, parentExprs: Seq[Expression])
+      : Option[(LogicalPlan, Expression => Expression)] = j match {
     case Join(left, right, Inner, Some(cond), _)
         if cond.deterministic
           && !left.output.exists(_.name == OkName)
@@ -670,8 +693,10 @@ object OverlapJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
         }.take(1).toList.headOption
       hit.map { case (ai, la, ra, req) =>
         val ord = tokenDfOrder(left, la, right, ra)
-        val (lgen, lk, lPfx, lLen, lPos) = explodePrefix(left, la, req, ord)
-        val (rgen, rk, rPfx, rLen, rPos) = explodePrefix(right, ra, req, ord)
+        val (lgen, lk, lPfx, lSorted, lLen, lPos) =
+          explodePrefix(left, la, req, ord)
+        val (rgen, rk, rPfx, rSorted, rLen, rPos) =
+          explodePrefix(right, ra, req, ord)
         // Conjuncts never touching the matched intersect prune inside
         // the join, BEFORE the per-candidate set build is paid; the
         // rest re-applies above, reading the shared alias.
@@ -728,25 +753,57 @@ object OverlapJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
         // order they were built in; the inclusive-Jaccard ∅–∅ pair
         // joins on sentinel prefixes whose intersect min IS the
         // sentinel, so no coalesce is needed any more.
-        val canonical = EqualTo(lk, ArrayMin(ArrayIntersect(lPfx, rPfx)))
+        // Canonical-copy dedup by merge walk: the prefixes are sorted
+        // slices of the sorted-distinct arrays, so the FIRST common
+        // element of the merge IS the minimum of the intersect — no
+        // per-copy hash set, no array allocation.
+        val canonical = EqualTo(lk,
+          graft.functions.SortedIntersectFirst(lPfx, rPfx))
         // Conjunct order = evaluation order inside the join: cheap
         // residuals and the length + positional filters run BEFORE
-        // the canonical prefix-intersect, which runs before anything
+        // the canonical prefix merge, which runs before anything
         // touching the full arrays.
         val blockedCond =
           (EqualTo(lk, rk) +: (rest ++ lenConds) :+ canonical).reduce(And)
         val blocked = Join(lgen, rgen, Inner, Some(blockedCond),
           JoinHint.NONE)
-        val shared = Alias(ai, SharedName)()
-        val proj = Project(blocked.output :+ shared, blocked)
-        val substFn: Expression => Expression = (req, lLen, rLen) match {
-          case (_: RelJaccard, Some(ll), Some(rl)) => e =>
-            substUnionSize(subst(e, ai, shared.toAttribute),
-              ai, ll, rl, shared.toAttribute)
-          case _ => e => subst(e, ai, shared.toAttribute)
+        def bareUse(e: Expression): Boolean = {
+          val stripped = e.transform {
+            case Size(x: ArrayIntersect, _) if x.semanticEquals(ai) =>
+              Literal(0)
+          }
+          stripped.exists {
+            case x: ArrayIntersect => x.semanticEquals(ai)
+            case _ => false
+          }
         }
-        val verify = needShared.map(substFn).reduce(And)
-        (Filter(verify, proj), substFn)
+        if (!(needShared ++ parentExprs).exists(bareUse)) {
+          // SIZE-ONLY mode (see the method scaladoc): carry the
+          // merge-walk count, never build the intersect array.
+          val nShared = Alias(graft.functions.SortedIntersectCount(
+            lSorted, rSorted), SharedName)()
+          val proj = Project(blocked.output :+ nShared, blocked)
+          val substFn: Expression => Expression = (req, lLen, rLen) match {
+            case (_: RelJaccard, Some(ll), Some(rl)) => e =>
+              substUnionSize(
+                substIntersectSize(e, ai, nShared.toAttribute),
+                ai, ll, rl, nShared.toAttribute)
+            case _ => e => substIntersectSize(e, ai, nShared.toAttribute)
+          }
+          val verify = needShared.map(substFn).reduce(And)
+          (Filter(verify, proj), substFn)
+        } else {
+          val shared = Alias(ai, SharedName)()
+          val proj = Project(blocked.output :+ shared, blocked)
+          val substFn: Expression => Expression = (req, lLen, rLen) match {
+            case (_: RelJaccard, Some(ll), Some(rl)) => e =>
+              substUnionSize(subst(e, ai, shared.toAttribute),
+                ai, ll, rl, Size(shared.toAttribute))
+            case _ => e => subst(e, ai, shared.toAttribute)
+          }
+          val verify = needShared.map(substFn).reduce(And)
+          (Filter(verify, proj), substFn)
+        }
       }
     case _ => None
   }
@@ -756,14 +813,15 @@ object OverlapJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
     // copies of the intersect (the `n_shared` output shape) pointed at
     // the shared alias — the whole operator then builds the set once.
     case p @ Project(projList, j: Join) =>
-      tryRewrite(j) match {
+      tryRewrite(j, projList) match {
         case None => p
         case Some((filtered, substFn)) =>
           Project(projList.map(e =>
             substFn(e).asInstanceOf[NamedExpression]), filtered)
       }
     case a: Aggregate if a.child.isInstanceOf[Join] =>
-      tryRewrite(a.child.asInstanceOf[Join]) match {
+      tryRewrite(a.child.asInstanceOf[Join],
+        a.groupingExpressions ++ a.aggregateExpressions) match {
         case None => a
         case Some((filtered, substFn)) =>
           a.copy(
@@ -773,7 +831,9 @@ object OverlapJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
             child = filtered)
       }
     case j: Join =>
-      tryRewrite(j) match {
+      // Bare join: consumers above see only j.output (the raw
+      // arrays), never the internal columns — size-only is safe.
+      tryRewrite(j, Nil) match {
         case None => j
         case Some((filtered, _)) => Project(j.output, filtered)
       }

@@ -95,7 +95,7 @@ class OverlapDfOrderSpec extends AnyFunSuite {
     // The canonical-copy dedup now runs on the (already df-encoded)
     // prefixes inside the join; the df path's plan signature is the
     // hot-rank map literal in the prefix projection.
-    assert(plan.contains("array_min(array_intersect"),
+    assert(plan.contains("sorted_intersect_first"),
       s"canonical prefix dedup missing, plan:\n$plan")
     assert(plan.contains("map(keys:"),
       s"df path did not fire on the skewed corpus, plan:\n$plan")
@@ -113,7 +113,8 @@ class OverlapDfOrderSpec extends AnyFunSuite {
     assert(!plan.contains("map(keys:"),
       s"uniform corpus must keep the zero-overhead lexicographic " +
         s"order, plan:\n$plan")
-    assert(plan.contains("array_min("), s"canonical filter missing:\n$plan")
+    assert(plan.contains("sorted_intersect_first"),
+      s"canonical filter missing:\n$plan")
     assert(got == brute(docs), s"got $got")
     assert(got == Set((50L, 51L)))
   }
@@ -137,7 +138,7 @@ class OverlapDfOrderSpec extends AnyFunSuite {
     val plan = j.queryExecution.executedPlan.toString
     assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
       s"jaccard rule did not fire, plan:\n$plan")
-    assert(plan.contains("array_min(array_intersect")
+    assert(plan.contains("sorted_intersect_first")
       && plan.contains("map(keys:"),
       s"df order did not fire on the skewed corpus, plan:\n$plan")
     val got = j.select("doc_a", "doc_b").collect()

@@ -42,7 +42,10 @@ class OverlapRuleSpec extends AnyFunSuite {
     val p = joined.queryExecution.executedPlan.toString
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
       s"rule did not fire, plan:\n$p")
-    assert(p.contains("array_intersect"), s"verify filter missing, plan:\n$p")
+    // Size-only mode: the verify reads the merge-walk count, not an
+    // array_intersect build (SortedIntersectSpec pins equivalence).
+    assert(p.contains("sorted_intersect_count"),
+      s"verify filter missing, plan:\n$p")
     val got = joined.collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
     // brute uses SET intersection, so row 5's duplicated "a" token
     // must not double-count — covered by the equality itself.
