@@ -106,17 +106,94 @@ object CosineBandJoin extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
-  /** cosine_sim(a, b) >= t in its literal spellings. */
+  // ---- the spelled-out dot/norm form ------------------------------
+  // Users without the engine's cosine_sim write the composed HOF
+  // cosine:   aggregate(zip_with(a, b, (x,y) -> x*y), 0d, +)
+  //         / (sqrt(aggregate(transform(a, x -> x*x), 0d, +)) *
+  //            sqrt(aggregate(transform(b, x -> x*x), 0d, +)))
+  // (with or without per-element double casts). The matchers below
+  // recognize exactly that shape — the verify always re-applies the
+  // ORIGINAL predicate, so the match only needs to extract (a, b)
+  // for blocking, never to re-derive the arithmetic.
+
+  private def sameVar(e: Expression, v: NamedExpression): Boolean =
+    (stripDoubleCast(e), v) match {
+      case (x: NamedLambdaVariable, y: NamedLambdaVariable) =>
+        x.exprId == y.exprId
+      case _ => false
+    }
+
+  private def stripDoubleCast(e: Expression): Expression = e match {
+    case Cast(c, DoubleType, _, _) => stripDoubleCast(c)
+    case _ => e
+  }
+
+  /** merge = (acc, x) -> acc + x over its own two lambda vars. */
+  private def isPlainSum(merge: Expression, finish: Expression): Boolean =
+    (merge, finish) match {
+      case (LambdaFunction(Add(l, r, _), Seq(acc, x), _),
+          LambdaFunction(fb, Seq(facc), _)) =>
+        ((sameVar(l, acc) && sameVar(r, x)) ||
+          (sameVar(l, x) && sameVar(r, acc))) && sameVar(fb, facc)
+      case _ => false
+    }
+
+  private object DotFold {
+    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+      case ArrayAggregate(
+          ZipWith(a, b, LambdaFunction(Multiply(x, y, _), Seq(xv, yv), _)),
+          Literal(0.0, DoubleType), merge, finish)
+          if isPlainSum(merge, finish)
+            && ((sameVar(x, xv) && sameVar(y, yv))
+              || (sameVar(x, yv) && sameVar(y, xv))) =>
+        Some((a, b))
+      case _ => None
+    }
+  }
+
+  private object NormOf {
+    def unapply(e: Expression): Option[Expression] = e match {
+      case Sqrt(ArrayAggregate(
+          ArrayTransform(a, LambdaFunction(Multiply(x, y, _), Seq(v), _)),
+          Literal(0.0, DoubleType), merge, finish))
+          if isPlainSum(merge, finish) && sameVar(x, v) && sameVar(y, v) =>
+        Some(a)
+      case _ => None
+    }
+  }
+
+  /** dot(a,b) / (norm(a) * norm(b)) — norms over the same pair,
+    * either order. */
+  private object SpelledCosine {
+    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+      case Divide(DotFold(a, b), Multiply(NormOf(x), NormOf(y), _), _)
+          if (x.semanticEquals(a) && y.semanticEquals(b)) ||
+            (x.semanticEquals(b) && y.semanticEquals(a)) =>
+        Some((a, b))
+      case _ => None
+    }
+  }
+
+  private object CosineOf {
+    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+      case c: CosineSim => Some((c.left, c.right))
+      case SpelledCosine(a, b) => Some((a, b))
+      case _ => None
+    }
+  }
+
+  /** cosine >= t in its literal spellings — the engine's fused
+    * cosine_sim or the spelled-out dot/norm composition. */
   private def cosinePredicate(e: Expression)
       : Option[(Expression, Expression)] = e match {
-    case GreaterThanOrEqual(c: CosineSim, ThresholdLit(t))
-        if t > 0 && t <= 1 => Some((c.left, c.right))
-    case GreaterThan(c: CosineSim, ThresholdLit(t))
-        if t > 0 && t <= 1 => Some((c.left, c.right))
-    case LessThanOrEqual(ThresholdLit(t), c: CosineSim)
-        if t > 0 && t <= 1 => Some((c.left, c.right))
-    case LessThan(ThresholdLit(t), c: CosineSim)
-        if t > 0 && t <= 1 => Some((c.left, c.right))
+    case GreaterThanOrEqual(CosineOf(a, b), ThresholdLit(t))
+        if t > 0 && t <= 1 => Some((a, b))
+    case GreaterThan(CosineOf(a, b), ThresholdLit(t))
+        if t > 0 && t <= 1 => Some((a, b))
+    case LessThanOrEqual(ThresholdLit(t), CosineOf(a, b))
+        if t > 0 && t <= 1 => Some((a, b))
+    case LessThan(ThresholdLit(t), CosineOf(a, b))
+        if t > 0 && t <= 1 => Some((a, b))
     case _ => None
   }
 
@@ -177,10 +254,18 @@ object CosineBandJoin extends Rule[LogicalPlan] with PredicateHelper {
             && !right.output.exists(_.name == BandName)
             && !hasEquiKey(cond, left, right) =>
         val conjuncts = splitConjunctivePredicates(cond)
+        def floatArray(e: Expression): Boolean = e.dataType match {
+          case ArrayType(FloatType, _) => true
+          case _ => false
+        }
         val hit: Option[(Expression, Expression)] =
           conjuncts.iterator.flatMap { p =>
             cosinePredicate(p).flatMap { case (x, y) =>
-              if (x.references.subsetOf(left.outputSet)
+              // The fused cosine_sim enforces array<float> itself;
+              // the spelled dot/norm form needs the explicit guard
+              // (hypersig's signature contract is float embeddings).
+              if (!floatArray(x) || !floatArray(y)) None
+              else if (x.references.subsetOf(left.outputSet)
                   && y.references.subsetOf(right.outputSet)) Some((x, y))
               else if (y.references.subsetOf(left.outputSet)
                   && x.references.subsetOf(right.outputSet)) Some((y, x))

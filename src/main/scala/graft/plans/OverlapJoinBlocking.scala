@@ -30,23 +30,35 @@ import org.apache.spark.sql.types._
   *
   *   Project(L.out ++ R.out,
   *     Filter(verify(__shared),
-  *       Project(out :+ __shared = array_intersect(a, b),
-  *         Join(explode(prefix(a)) over L, explode(prefix(b)) over R,
+  *       Project(out :+ __shared,   -- the intersect COUNT in
+  *                                  -- size-only mode, the array else
+  *         Join(explode(prefix(a)) over L+sorted(a),
+  *              explode(prefix(b)) over R+sorted(b),
   *              Inner, ok_l = ok_r
-  *                AND ok_l = array_min(pfx_l ∩ pfx_r) AND rest))))
+  *                AND ok_l = first_common(pfx_l, pfx_r) AND rest))))
   *
-  * The expensive set build happens EXACTLY ONCE per candidate PAIR,
-  * in the `__shared` projection below the verify Filter: the original
-  * overlap conjunct re-applies with its `array_intersect` subtree
-  * swapped for the alias, and the canonical-copy dedup runs INSIDE
-  * the join condition on the prefix arrays themselves. That placement
-  * is exact for EVERY candidate, not just qualifying ones: a pair's
-  * candidate copies are precisely the tokens of pfx(A) ∩ pfx(B) (both
-  * sides explode their prefixes onto the join key), so exactly one
-  * copy — the one whose token is the prefix-intersect minimum — ever
-  * reaches the set build. Pre-r13 the canonical filter read
-  * `array_min(__shared)` ABOVE the projection, so every duplicate
-  * copy of a near-duplicate pair paid the full intersect before being
+  * The expensive intersect happens EXACTLY ONCE per candidate PAIR,
+  * in the `__shared` projection below the verify Filter — and in the
+  * common case it is not a set build at all: when every use of the
+  * matched intersect (verify + direct parent) sits under `size(...)`,
+  * the rewrite enters SIZE-ONLY mode and `__shared` is
+  * [[graft.functions.SortedIntersectCount]] — a codegen'd two-pointer
+  * merge over the sorted-distinct arrays both sides already compute
+  * to slice their prefixes from — instead of `array_intersect`'s
+  * per-evaluation hash set (r14; q_jaccard_join measured 42 → 15 s,
+  * q_overlap_join 10 → 3 s at sf0.1). The original overlap conjunct
+  * re-applies with its intersect subtree swapped for the alias, and
+  * the canonical-copy dedup runs INSIDE the join condition on the
+  * prefix arrays themselves, as the merge's FIRST match
+  * ([[graft.functions.SortedIntersectFirst]] ≡ array_min of the
+  * intersect on sorted inputs). That placement is exact for EVERY
+  * candidate, not just qualifying ones: a pair's candidate copies
+  * are precisely the tokens of pfx(A) ∩ pfx(B) (both sides explode
+  * their prefixes onto the join key), so exactly one copy — the one
+  * whose token is the prefix-intersect minimum — ever reaches the
+  * verify. Pre-r13 the canonical filter read the min of the full
+  * shared intersect ABOVE the projection, so every duplicate copy of
+  * a near-duplicate pair paid the full intersect before being
   * dropped; on dense corpora (prefix overlap multiplicity ~4-5) that
   * multiplied the dominant verify cost by the multiplicity
   * (q_jaccard_join measured 155 s → 43 s under the move). Cheap
@@ -552,15 +564,18 @@ object OverlapJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
 
   /** Explode the prefix over `child`. The prefix array itself STAYS
     * in the Generate output: canonical-copy dedup runs INSIDE the
-    * join condition as `ok = array_min(pfx_l ∩ pfx_r)` — a candidate
+    * join condition as `ok = first_common(pfx_l, pfx_r)` (the
+    * sorted-merge twin of array_min of the intersect) — a candidate
     * pair's copies are exactly the tokens its prefixes share, so
     * exactly one copy survives, on the (1−t)-fraction-sized prefix
-    * arrays, BEFORE the full per-candidate set build is ever paid
-    * (pre-r13 the canonical filter read array_min of the full shared
+    * arrays, BEFORE the full per-candidate verify is ever paid
+    * (pre-r13 the canonical filter read the min of the full shared
     * intersect, so every duplicate copy paid the whole verify; on
     * near-duplicate-dense corpora that multiplied the dominant cost
-    * by the average prefix-overlap multiplicity). The extra shuffle
-    * payload is the prefix array — (1−t)·n tokens per row. */
+    * by the average prefix-overlap multiplicity). The sorted-distinct
+    * array rides along for the size-only verify; the extra shuffle
+    * payload per row is the prefix ((1−t)·n tokens) plus that sorted
+    * copy. */
   private def explodePrefix(child: LogicalPlan, s: Expression, req: Req,
       ord: Option[Literal]): (LogicalPlan, Attribute, Attribute, Attribute,
       Option[Attribute], Option[Attribute]) = {

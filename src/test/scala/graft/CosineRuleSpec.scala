@@ -115,6 +115,31 @@ class CosineRuleSpec extends AnyFunSuite {
     assert(got == want, s"got $got want $want")
   }
 
+  test("the spelled-out dot/norm form fires and equals brute force") {
+    // A user without the engine's cosine_sim writes the composed HOF
+    // cosine — aggregate(zip_with)/sqrt(aggregate(transform)) — and
+    // must get the same banded plan. The verify re-applies THIS
+    // expression, so arithmetic differences between the spellings
+    // never matter for the rewrite's correctness.
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    def nrm(e: org.apache.spark.sql.Column) =
+      sqrt(aggregate(transform(e, x => x.cast("double") * x.cast("double")),
+        lit(0.0), (acc, x) => acc + x))
+    val la = col("la"); val ra = col("ra")
+    val joined = df("lid", "la").join(df("rid", "ra"),
+      dot(la, ra) / (nrm(la) * nrm(ra)) >= lit(0.9))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"spelled dot/norm form did not fire, plan:\n$p")
+    val got = joined.collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+    // Same pairs as the fused spelling on this corpus (all planted
+    // cosines sit far from 0.9, so fold-order rounding cannot flip
+    // membership).
+    assert(got == brute(0.9), s"got $got want ${brute(0.9)}")
+  }
+
   test("t <= 0, t > 1, outer joins and equi-key joins pass through") {
     for (t <- Seq(0.0, -0.5, 1.5)) {
       val j = df("lid", "la").join(df("rid", "ra"),
