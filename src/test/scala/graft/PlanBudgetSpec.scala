@@ -796,20 +796,22 @@ class PlanBudgetSpec extends AnyFunSuite {
     val p = plan("q_overlap_join")
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
       s"OverlapJoinBlocking did not fire, plan:\n$p")
-    // The FULL set build must happen EXACTLY once per candidate pair:
-    // one shared projection below the verify Filter, with the verify
-    // and the n_shared output reading the alias (the r9
-    // triple-evaluation fix) — plus the r13 canonical-copy dedup's
-    // PREFIX intersect inside the join condition, which is the cheap
-    // (1−t)-fraction-array twin that keeps duplicate copies from ever
-    // reaching the full build.
+    // r14 SIZE-ONLY mode: the plan builds NO intersect array at all —
+    // the shared projection is the sorted-merge COUNT over the carried
+    // sorted arrays (one per candidate pair, below the verify Filter,
+    // with the verify and the n_shared output reading the alias — the
+    // r9 single-evaluation contract, now allocation-free), and the
+    // canonical-copy dedup inside the join condition is the merge's
+    // FIRST match over the (1−t)-fraction prefixes.
     val full = "array_intersect\\(toks".r.findAllIn(p).length
-    assert(full == 1,
-      s"expected exactly one full-array intersect (the shared projection), got $full, plan:\n$p")
-    assert(p.contains("array_min(array_intersect(__graft_pfx"),
+    assert(full == 0,
+      s"size-only mode must not build any full intersect array, got $full, plan:\n$p")
+    assert(p.contains("sorted_intersect_count(__graft_sorted"),
+      s"merge-walk shared count missing, plan:\n$p")
+    assert(p.contains("sorted_intersect_first(__graft_pfx"),
       s"canonical prefix dedup missing from the join condition, plan:\n$p")
     assert(p.contains("__graft_shared"),
-      s"shared-intersect alias missing, plan:\n$p")
+      s"shared-count alias missing, plan:\n$p")
   }
 
   test("q_fim_transform reorders per-row — one exchange for the audit rollup") {
