@@ -118,7 +118,19 @@ class CodegenOnlySpec extends AnyFunSuite {
       // Spark's built-in probe this projection does not compile.
       ("bloom_might_contain(-literal)",
         BloomMightContain(bloomLit, Literal(-6876166290308861218L)),
-        new GenericInternalRow(0)))
+        new GenericInternalRow(0)),
+      ("sorted_intersect_count",
+        SortedIntersectCount(
+          BoundReference(0, toksType, nullable = false),
+          BoundReference(1, toksType, nullable = false)),
+        new GenericInternalRow(Array[Any](
+          svec("a", "b", "d"), svec("b", "c", "d")))),
+      ("sorted_intersect_first",
+        SortedIntersectFirst(
+          BoundReference(0, toksType, nullable = false),
+          BoundReference(1, toksType, nullable = false)),
+        new GenericInternalRow(Array[Any](
+          svec("a", "b", "d"), svec("b", "c", "d")))))
   }
 
   /** Normalizes a result (boxed scalar or ArrayData) for comparison. */
@@ -128,6 +140,7 @@ class CodegenOnlySpec extends AnyFunSuite {
   }
 
   private def projected(row: InternalRow, dt: DataType): Any = dt match {
+    case IntegerType => if (row.isNullAt(0)) null else row.getInt(0)
     case LongType => if (row.isNullAt(0)) null else row.getLong(0)
     case DoubleType => if (row.isNullAt(0)) null else row.getDouble(0)
     case BooleanType => if (row.isNullAt(0)) null else row.getBoolean(0)
