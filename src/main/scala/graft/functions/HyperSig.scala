@@ -19,11 +19,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   * W components are exact k/1000 rationals — so the three computations
   * are bit-identical and the oracles are unchanged.
   */
-case class HyperplaneSignature(child: Expression)
+case class HyperplaneSignature(child: Expression,
+    planes: Int = HyperSig.NumPlanes)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType, _) if planes >= 1 && planes <= HyperSig.MaxPlanes =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckFailure(
+      s"hypersig plane count must be in [1, ${HyperSig.MaxPlanes}], got $planes")
     case other => TypeCheckResult.TypeCheckFailure(
       s"hypersig requires array<float>, got $other")
   }
@@ -31,10 +35,10 @@ case class HyperplaneSignature(child: Expression)
   override def prettyName: String = "hypersig"
 
   override def nullSafeEval(input: Any): Any =
-    HyperSig.compute(input.asInstanceOf[ArrayData])
+    HyperSig.compute(input.asInstanceOf[ArrayData], planes)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.HyperSig.compute($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.HyperSig.compute($c, $planes)")
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSignature =
     copy(child = newChild)
@@ -45,13 +49,20 @@ object HyperSig {
   val Dim = 64
   val NumPlanes = 16
 
+  /** A LongType signature holds up to 64 plane bits — the widest
+    * geometry the conf-sized [[graft.plans.CosineBandJoin]] can ask
+    * for. Planes beyond [[NumPlanes]] extend the SAME md5 family, so
+    * the first 16 rows (and every existing 16-bit signature, band
+    * value and oracle) are bit-for-bit unchanged. */
+  val MaxPlanes = 64
+
   /** Fixed pseudo-random hyperplanes: component (j, i) derived from
     * md5("j:i"), quantized to k/1000 so the decimal literal embedded
     * in the oracle SQL round-trips to the identical double.
     */
   val W: IndexedSeq[IndexedSeq[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    IndexedSeq.tabulate(NumPlanes, Dim) { (j, i) =>
+    IndexedSeq.tabulate(MaxPlanes, Dim) { (j, i) =>
       val hex = md.digest(s"$j:$i".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(15)
       val h = java.lang.Long.parseLong(hex, 16)
@@ -62,13 +73,15 @@ object HyperSig {
   private val Wflat: Array[Double] = W.flatten.toArray
 
   /** One pass per plane over the embedding, sequential i = 0..63. */
-  def compute(arr: ArrayData): Long = {
+  def compute(arr: ArrayData): Long = compute(arr, NumPlanes)
+
+  def compute(arr: ArrayData, planes: Int): Long = {
     if (arr.numElements() != Dim)
       throw new IllegalArgumentException(
         s"hypersig expects a $Dim-dim embedding, got ${arr.numElements()} elements")
     var sig = 0L
     var j = 0
-    while (j < NumPlanes) {
+    while (j < planes) {
       var dot = 0.0
       val off = j * Dim
       var i = 0

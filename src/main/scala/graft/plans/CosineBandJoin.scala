@@ -24,7 +24,11 @@ import org.apache.spark.sql.types._
   * imperative q_embed_dup operator applies by hand: quantize each
   * vector to the engine's 16-bit random-hyperplane signature
   * ([[HyperplaneSignature]], one codegen'd pass over the 64 floats),
-  * split the signature into [[NumBands]] = 4 disjoint 4-bit bands,
+  * split the signature into [[NumBands]] = 4 disjoint 4-bit bands by
+  * default — both knobs are session confs ([[PlanesKey]] up to 64
+  * planes in the Long signature, [[BandsKey]] up to one band per
+  * plane), so a deployment sizes selectivity and the certified
+  * radius to its corpus without a plan-shape change —
   * equi-join on (band index, band value), re-apply the ORIGINAL
   * condition as the exact verify, and keep exactly one copy per pair
   * with the first-matching-band canonical filter (recomputed from
@@ -68,10 +72,12 @@ import org.apache.spark.sql.types._
   * engine's embedding layout contract — rather than degrading to a
   * silent wrong answer.
   *
-  * Cost: ×4 map-side rows per input and one band-keyed shuffle vs an
-  * |L|·|R| nested loop; the 16-bit demo geometry yields 16 values per
-  * band, so real deployments size [[HyperplaneSignature]]'s plane
-  * count to the corpus — the plan shape is unchanged.
+  * Cost: ×bands map-side rows per input and one band-keyed shuffle
+  * vs an |L|·|R| nested loop; the 16/4 demo geometry yields 16
+  * values per band, and real deployments raise [[PlanesKey]] /
+  * [[BandsKey]] to the corpus — the plan shape is unchanged
+  * (CosineRuleSpec pins a 32-plane / 8-band session against brute
+  * force).
   */
 object CosineBandJoin extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -81,12 +87,41 @@ object CosineBandJoin extends Rule[LogicalPlan] with PredicateHelper {
 
   val NumPlanes = 16
   val NumBands = 4
-  private val BandBits = NumPlanes / NumBands
-  private val BandMask = (1L << BandBits) - 1
 
   /** Session kill-switch: set to "false" to always keep the nested
     * loop's unconditional semantics. */
   val EnabledKey = "spark.graft.cosine_band_join.enabled"
+
+  /** Geometry confs — the "plane count sizes to the corpus" claim
+    * made literal: a 100 TB deployment raises the signature width
+    * (up to [[graft.functions.HyperSig.MaxPlanes]] = 64 — a LongType
+    * signature) and the band count to tune selectivity vs the
+    * certified radius (bands − 1 signature bits). Invalid or
+    * out-of-range values fall back to the 16/4 demo defaults. */
+  val PlanesKey = "spark.graft.cosine_band_join.planes"
+  val BandsKey = "spark.graft.cosine_band_join.bands"
+
+  private final case class Geometry(planes: Int, bands: Int) {
+    val bandBits: Int = (planes + bands - 1) / bands
+    val mask: Long = (1L << bandBits) - 1
+  }
+
+  private def confInt(key: String, dflt: Int): Int =
+    try SQLConf.get.getConfString(key, dflt.toString).toInt
+    catch { case _: Throwable => dflt }
+
+  private def geometry: Geometry = {
+    val p = confInt(PlanesKey, NumPlanes)
+    val b = confInt(BandsKey, NumBands)
+    val g = Geometry(p, b)
+    // Scope: planes fit a Long signature, at least one band, and the
+    // last band's shift stays below 64 (Java shifts are mod-64) — a
+    // band window past the plane count reads guaranteed-zero bits,
+    // which is complete (always-equal band) but must not WRAP.
+    if (p >= 1 && p <= graft.functions.HyperSig.MaxPlanes
+        && b >= 1 && b <= p && (b - 1) * g.bandBits <= 63) g
+    else Geometry(NumPlanes, NumBands)
+  }
 
   private def enabled: Boolean =
     try SQLConf.get.getConfString(EnabledKey, "true").toBoolean
@@ -197,16 +232,17 @@ object CosineBandJoin extends Rule[LogicalPlan] with PredicateHelper {
     case _ => None
   }
 
-  private def bandOf(sig: Expression, shift: Expression): Expression =
-    BitwiseAnd(ShiftRightUnsigned(sig, shift), Literal(BandMask))
+  private def bandOf(g: Geometry, sig: Expression,
+      shift: Expression): Expression =
+    BitwiseAnd(ShiftRightUnsigned(sig, shift), Literal(g.mask))
 
   /** Project the signature once per row, then explode its bands. */
-  private def explodeBands(child: LogicalPlan, vec: Expression)
+  private def explodeBands(g: Geometry, child: LogicalPlan, vec: Expression)
       : (LogicalPlan, Attribute, Attribute) = {
-    val sig = Alias(HyperplaneSignature(vec), SigName)()
-    val structs = (0 until NumBands).map { i =>
+    val sig = Alias(HyperplaneSignature(vec, g.planes), SigName)()
+    val structs = (0 until g.bands).map { i =>
       CreateNamedStruct(Seq(Literal("i"), Literal(i),
-        Literal("v"), bandOf(sig.toAttribute, Literal(i * BandBits))))
+        Literal("v"), bandOf(g, sig.toAttribute, Literal(i * g.bandBits))))
     }
     val proj1 = Project(child.output :+ sig, child)
     val ks = Alias(CreateArray(structs), BandsName)()
@@ -224,12 +260,13 @@ object CosineBandJoin extends Rule[LogicalPlan] with PredicateHelper {
   /** The smallest band index on which the two signatures agree —
     * recomputed from both signature columns, so filtering the
     * exploded join on it keeps exactly one copy of each pair. */
-  private def firstMatchingBand(sa: Expression, sb: Expression): Expression = {
+  private def firstMatchingBand(g: Geometry, sa: Expression,
+      sb: Expression): Expression = {
     val i = NamedLambdaVariable("i", IntegerType, nullable = false)
-    val eq = EqualTo(bandOf(sa, Multiply(i, Literal(BandBits))),
-      bandOf(sb, Multiply(i, Literal(BandBits))))
+    val eq = EqualTo(bandOf(g, sa, Multiply(i, Literal(g.bandBits))),
+      bandOf(g, sb, Multiply(i, Literal(g.bandBits))))
     ArrayMin(ArrayFilter(
-      new Sequence(Literal(0), Literal(NumBands - 1), None,
+      new Sequence(Literal(0), Literal(g.bands - 1), None,
         Some(SQLConf.get.sessionLocalTimeZone)),
       LambdaFunction(eq, Seq(i))))
   }
@@ -275,8 +312,9 @@ object CosineBandJoin extends Rule[LogicalPlan] with PredicateHelper {
         hit match {
           case None => j
           case Some((a, b)) =>
-            val (lgen, lband, lsig) = explodeBands(left, a)
-            val (rgen, rband, rsig) = explodeBands(right, b)
+            val g = geometry
+            val (lgen, lband, lsig) = explodeBands(g, left, a)
+            val (rgen, rband, rsig) = explodeBands(g, right, b)
             // Conjuncts not touching the cosine prune inside the
             // blocked join, before the verify pays the dot product.
             val (needCos, rest) = conjuncts.partition(_.exists {
@@ -289,7 +327,7 @@ object CosineBandJoin extends Rule[LogicalPlan] with PredicateHelper {
               JoinHint.NONE)
             val canonical = EqualTo(
               GetStructField(lband, 0, Some("i")),
-              firstMatchingBand(lsig, rsig))
+              firstMatchingBand(g, lsig, rsig))
             val verify = (needCos :+ canonical).reduce(And)
             Project(j.output, Filter(verify, blocked))
         }

@@ -163,6 +163,45 @@ class CosineRuleSpec extends AnyFunSuite {
       s"rule re-blocked an equi-key join, plan:\n$pk")
   }
 
+  test("conf-sized geometry: 32 planes / 8 bands fires and equals brute force") {
+    // The "plane count sizes to the corpus" claim made literal: a
+    // wider signature and more bands via session confs, same plan
+    // shape, same results. Qualifying pairs here are scaled copies
+    // (identical signatures at ANY plane count — radius 0), asserted
+    // below so the recall precondition is explicit, not assumed.
+    for ((li, la) <- rows; (ri, ra) <- rows if cosine(la, ra) >= 0.9) {
+      val d = hamming(
+        HyperSig.compute(new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          la.map(x => x: Any)), 32),
+        HyperSig.compute(new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          ra.map(x => x: Any)), 32))
+      assert(d < 8, s"pair ($li,$ri) outside the 32/8 radius")
+    }
+    spark.conf.set(CosineBandJoin.PlanesKey, "32")
+    spark.conf.set(CosineBandJoin.BandsKey, "8")
+    try {
+      val joined = df("lid", "la").join(df("rid", "ra"),
+        expr("cosine_sim(la, ra)") >= lit(0.9))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+        s"rule did not fire under conf geometry, plan:\n$p")
+      assert(p.contains("hypersig"), s"signature missing, plan:\n$p")
+      val got = joined.collect().map(r => (r.getLong(0), r.getLong(2)))
+        .sorted.toSeq
+      assert(got == brute(0.9), s"got $got want ${brute(0.9)}")
+      // Out-of-range confs fall back to the 16/4 defaults rather
+      // than planning a wrapped-shift geometry.
+      spark.conf.set(CosineBandJoin.PlanesKey, "999")
+      val fallback = df("lid", "la").join(df("rid", "ra"),
+        expr("cosine_sim(la, ra)") >= lit(0.9))
+      assert(fallback.collect().map(r => (r.getLong(0), r.getLong(2)))
+        .sorted.toSeq == brute(0.9))
+    } finally {
+      spark.conf.unset(CosineBandJoin.PlanesKey)
+      spark.conf.unset(CosineBandJoin.BandsKey)
+    }
+  }
+
   test("kill-switch conf restores the nested loop") {
     spark.conf.set(CosineBandJoin.EnabledKey, "false")
     try {
