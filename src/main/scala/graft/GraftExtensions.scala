@@ -196,7 +196,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Optimizer rule: JOIN ... ON cosine_sim(a, b) >= t plans as a
     // hyperplane-signature banded equi-join with exact verify — the
     // LSH recall contract (pigeonhole-exact within the signature
-    // radius) is documented on the rule; kill-switch conf
+    // radius) is documented on the rule, every fire logs it, and the
+    // default trigger is the engine's fused cosine_sim ONLY (the
+    // spelled-out ANSI dot/norm form needs the opt-in conf
+    // spark.graft.cosine_band_join.spelled); kill-switch conf
     // spark.graft.cosine_band_join.enabled (the in-code seam is
     // graft.plans.CosineBandJoin.register).
     ext.injectOptimizerRule(_ => graft.plans.CosineBandJoin)
