@@ -444,6 +444,199 @@ object MultimodalOps {
     }
   }
 
+  /** Deterministic PNG FIXTURE — the ENTROPY-CODED twin of
+    * [[RleFixture]]: each doc_id maps to a closed-form 8-bit
+    * grayscale PNG (public byte layout, RFC 2083 / the PNG spec:
+    * 8-byte signature; big-endian length-type-data-CRC32 chunks;
+    * IHDR with width/height/bitdepth 8/colortype 0; IDAT carrying a
+    * ZLIB (RFC 1950) stream whose DEFLATE (RFC 1951) payload is the
+    * filtered scanlines — one filter-type byte per row, here cycling
+    * None/Sub/Up; IEND terminator). The container deliberately
+    * stresses the published invariants a naive parser skips: an
+    * ancillary tEXt chunk sits BEFORE the image data (fixed offsets
+    * fail), and the zlib stream is SPLIT ACROSS TWO IDAT CHUNKS at
+    * its midpoint (the spec requires consumers to concatenate IDAT
+    * data before inflating — half the corpus decodes garbage if each
+    * chunk is inflated alone). RLE8 proved variable-length decode;
+    * PNG proves genuine ENTROPY CODING behind the same seam — the
+    * byte stream is a Huffman-coded DEFLATE member (inflated with
+    * the public java.util.zip.Inflater), which is what real corpora
+    * (PNG, gzip, zip) actually arrive in. Filters are exact integer
+    * arithmetic, so the decoded grid keeps the pure closed form the
+    * oracle recomputes from doc_id. */
+  private[graft] object PngFixture {
+    def width(d: Long): Int = 5 + (d % 5).toInt     // [5, 9]
+    def height(d: Long): Int = 3 + (d % 4).toInt    // [3, 6]
+    def v(d: Long, x: Int, y: Int): Int = ((d + 3 * x + 7 * y) % 256).toInt
+
+    private[graft] def chunk(tpe: String, data: Array[Byte]): Array[Byte] = {
+      val t = tpe.getBytes("US-ASCII")
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length) // BE default
+      bb.putInt(data.length).put(t).put(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(t)
+      crc.update(data)
+      bb.putInt(crc.getValue.toInt)
+      bb.array()
+    }
+
+    private[graft] val Signature: Array[Byte] =
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    def encode(d: Long): Array[Byte] = {
+      val w = width(d)
+      val h = height(d)
+      val raw = Array.tabulate(h, w)((y, x) => v(d, x, y))
+      // Filtered scanlines: row y uses filter y % 3 — 0 None, 1 Sub
+      // (left neighbour, 0 at x = 0), 2 Up (row above; y % 3 == 2
+      // implies y >= 2, so the prior row always exists).
+      val scan = new Array[Byte](h * (1 + w))
+      var o = 0
+      var y = 0
+      while (y < h) {
+        val f = y % 3
+        scan(o) = f.toByte
+        o += 1
+        var x = 0
+        while (x < w) {
+          val cur = raw(y)(x)
+          val filt = f match {
+            case 0 => cur
+            case 1 => (cur - (if (x == 0) 0 else raw(y)(x - 1))) & 0xff
+            case _ => (cur - raw(y - 1)(x)) & 0xff
+          }
+          scan(o) = filt.toByte
+          o += 1
+          x += 1
+        }
+        y += 1
+      }
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(scan)
+      defl.finish()
+      val buf = new Array[Byte](scan.length * 2 + 128)
+      val n = defl.deflate(buf)
+      defl.end()
+      val z = java.util.Arrays.copyOf(buf, n)
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+        .putInt(w).putInt(h).put(8.toByte).put(0.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte).array()
+      val txt = (s"note asset $d").getBytes("US-ASCII")
+      val cut = z.length / 2
+      Signature ++ chunk("IHDR", ihdr) ++ chunk("tEXt", txt) ++
+        chunk("IDAT", java.util.Arrays.copyOfRange(z, 0, cut)) ++
+        chunk("IDAT", java.util.Arrays.copyOfRange(z, cut, z.length)) ++
+        chunk("IEND", Array.emptyByteArray)
+    }
+  }
+
+  /** Per-asset PNG-decoded statistics (exact BIGINTs). x_moment and
+    * y_moment weight by column/row + 1, so Sub/Up filter misparses
+    * (which smear errors rightward/downward) and any transposition
+    * break different columns. */
+  private[graft] final case class PngStats(
+      doc_id: Long, width: Long, height: Long, n_pixels: Long,
+      sum_v: Long, x_moment: Long, y_moment: Long)
+
+  /** The REAL PNG decoder behind the same batch seam: chunk walk with
+    * CRC32 verification (loud failure on corruption — the format's
+    * own integrity contract), IDAT concatenation, one
+    * java.util.zip.Inflater pass over the zlib member, then per-row
+    * filter reconstruction (None/Sub/Up — the filters the fixture
+    * emits; Average/Paeth fail loudly rather than decode wrong).
+    * Offset arithmetic + the public JDK inflater; no imaging
+    * library. */
+  private[graft] object PngDecoder {
+    private def be32(p: Array[Byte], off: Int): Int =
+      ((p(off) & 0xff) << 24) | ((p(off + 1) & 0xff) << 16) |
+        ((p(off + 2) & 0xff) << 8) | (p(off + 3) & 0xff)
+
+    def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[PngStats] =
+      batch.map { case (id, p) => decodeOne(id, p) }
+
+    def decodeOne(id: Long, p: Array[Byte]): PngStats = {
+      require(p.length > 8 &&
+        java.util.Arrays.equals(
+          java.util.Arrays.copyOf(p, 8), PngFixture.Signature),
+        s"asset $id: not a PNG")
+      var o = 8
+      var w = -1
+      var h = -1
+      val idat = new java.io.ByteArrayOutputStream()
+      var ended = false
+      while (!ended) {
+        require(o + 12 <= p.length, s"asset $id: truncated chunk stream")
+        val len = be32(p, o)
+        val tpe = new String(p, o + 4, 4, "US-ASCII")
+        require(o + 12 + len <= p.length, s"asset $id: truncated $tpe chunk")
+        val crc = new java.util.zip.CRC32
+        crc.update(p, o + 4, 4 + len)
+        require(crc.getValue.toInt == be32(p, o + 8 + len),
+          s"asset $id: CRC mismatch in $tpe chunk")
+        tpe match {
+          case "IHDR" =>
+            w = be32(p, o + 8)
+            h = be32(p, o + 12)
+            require((p(o + 16) & 0xff) == 8, s"asset $id: only 8-bit depth")
+            require((p(o + 17) & 0xff) == 0, s"asset $id: only grayscale")
+            require((p(o + 18) & 0xff) == 0 && (p(o + 19) & 0xff) == 0
+              && (p(o + 20) & 0xff) == 0,
+              s"asset $id: only deflate/adaptive/non-interlaced")
+          case "IDAT" =>
+            require(w > 0, s"asset $id: IDAT before IHDR")
+            idat.write(p, o + 8, len)
+          case "IEND" => ended = true
+          case _ => () // ancillary chunk (tEXt and friends): skip
+        }
+        o += 12 + len
+      }
+      require(w > 0 && h > 0, s"asset $id: missing IHDR")
+      val z = idat.toByteArray
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(z)
+      val scan = new Array[Byte](h * (1 + w))
+      var got = 0
+      while (got < scan.length && !inf.finished()) {
+        val n = inf.inflate(scan, got, scan.length - got)
+        require(n > 0 || inf.finished(),
+          s"asset $id: truncated zlib stream in IDAT")
+        got += n
+      }
+      inf.end()
+      require(got == scan.length,
+        s"asset $id: inflated ${got} of ${scan.length} scanline bytes")
+      var sumV = 0L
+      var xMom = 0L
+      var yMom = 0L
+      val prev = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        val rowOff = y * (1 + w)
+        val f = scan(rowOff) & 0xff
+        var left = 0
+        var x = 0
+        while (x < w) {
+          val filt = scan(rowOff + 1 + x) & 0xff
+          val cur = f match {
+            case 0 => filt
+            case 1 => (filt + left) & 0xff
+            case 2 => (filt + prev(x)) & 0xff
+            case other => throw new IllegalArgumentException(
+              s"asset $id: unsupported PNG filter $other")
+          }
+          sumV += cur
+          xMom += (x + 1).toLong * cur
+          yMom += (y + 1).toLong * cur
+          left = cur
+          prev(x) = cur
+          x += 1
+        }
+        y += 1
+      }
+      PngStats(id, w.toLong, h.toLong, w.toLong * h, sumV, xMom, yMom)
+    }
+  }
+
   /** Deterministic WAV FIXTURE — the audio twin of [[BmpFixture]]:
     * each doc_id maps to a closed-form RIFF/WAVE container (PCM16 LE,
     * mono or stereo by parity, 8 kHz) with a planted +20000 loudness
@@ -810,6 +1003,72 @@ object MultimodalOps {
       s.createDataset(decoded)
         .toDF("doc_id", "part_id", "batch_seq", "width", "height",
           "n_pixels", "sum_idx", "sum_b", "sum_g", "sum_r", "y_moment")
+        .orderBy("doc_id")
+    },
+
+    Q(
+      "q_image_png",
+      "an ENTROPY-CODED container behind the same decode seam — " +
+        "grayscale PNG (public layout: signed 8-byte magic; " +
+        "big-endian length-type-data-CRC32 chunks; IHDR; IDAT " +
+        "carrying a ZLIB/DEFLATE stream of per-row-filtered " +
+        "scanlines; IEND). RLE8 proved variable-length decode; PNG " +
+        "proves the step real corpora actually arrive in: a " +
+        "Huffman-coded DEFLATE member, inflated with the public JDK " +
+        "Inflater, then per-row filter reconstruction (None/Sub/Up). " +
+        "The fixture stresses the published invariants naive parsers " +
+        "skip: an ancillary tEXt chunk BEFORE the image data, the " +
+        "zlib stream SPLIT ACROSS TWO IDAT chunks (the spec requires " +
+        "concatenation before inflating), and every chunk CRC32 " +
+        "verified — corruption fails loudly, the format's own " +
+        "integrity contract. Filters are exact integer arithmetic, " +
+        "so the decoded grid keeps a closed form the oracle " +
+        "recomputes from doc_id; x/y moments catch Sub/Up " +
+        "reconstruction bugs that plain sums cancel. PngSpec pins a " +
+        "HAND-LAID byte literal (stored-block zlib spelled out by " +
+        "hand, two IDATs, all three filters, a corrupted-CRC " +
+        "rejection) plus the fixture roundtrip. At 100 TB: same " +
+        "seam economics — inflate+reconstruct ride map-side in " +
+        "payload-pruned batches, only KB stats shuffle; DEFLATE " +
+        "members are asset-local, so no cross-row state exists to " +
+        "shuffle in the first place",
+      Some(
+        s"""WITH a AS (
+           |  SELECT doc_id, 5 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+           |  FROM documents WHERE doc_id < $BmpAssets
+           |)
+           |SELECT doc_id,
+           |  CAST(doc_id % $NumParts AS BIGINT) AS part_id,
+           |  CAST(floor((row_number() OVER (PARTITION BY doc_id % $NumParts
+           |        ORDER BY doc_id) - 1) / $BatchSize) AS BIGINT) AS batch_seq,
+           |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           |  CAST(w * h AS BIGINT) AS n_pixels,
+           |  CAST(list_sum(list_transform(range(w * h),
+           |    i -> (doc_id + 3 * (i % w) + 7 * (i // w)) % 256)) AS BIGINT)
+           |    AS sum_v,
+           |  CAST(list_sum(list_transform(range(w * h),
+           |    i -> ((i % w) + 1) * ((doc_id + 3 * (i % w) + 7 * (i // w)) % 256)))
+           |    AS BIGINT) AS x_moment,
+           |  CAST(list_sum(list_transform(range(w * h),
+           |    i -> ((i // w) + 1) * ((doc_id + 3 * (i % w) + 7 * (i // w)) % 256)))
+           |    AS BIGINT) AS y_moment
+           |FROM a ORDER BY doc_id""".stripMargin),
+    ) { (s, dir) =>
+      import s.implicits._
+      // Salt the PNG payloads (fixture synthesis, executor-side); the
+      // operator under test is everything after this line.
+      val payloads = Tables.documents(s, dir)
+        .filter(col("doc_id") < BmpAssets)
+        .select(col("doc_id")).as[Long].rdd
+        .map(id => (id, PngFixture.encode(id)))
+      val decoded = decodedBatches(payloads, PngDecoder.decodeBatch)
+        .map { case (part, bi, st) =>
+          (st.doc_id, part, bi, st.width, st.height, st.n_pixels,
+            st.sum_v, st.x_moment, st.y_moment)
+        }
+      s.createDataset(decoded)
+        .toDF("doc_id", "part_id", "batch_seq", "width", "height",
+          "n_pixels", "sum_v", "x_moment", "y_moment")
         .orderBy("doc_id")
     },
 

@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types._
 
 /** Optimizer rule: plan `JOIN ... ON size(array_intersect(a, b)) >= T`
@@ -205,6 +206,96 @@ object OverlapJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
     * post-sampling ([[Binning.MaxProbeBytes]] caps the probe), so
     * the threshold is stable in absolute terms at any corpus size. */
   val MaxRareDf = 32.0
+
+  /** Size gate for the PPJoin+ suffix filter (conf, combined token
+    * count): the partition-based Hamming bound only pays when the
+    * token sets are LONG — short sets reach the merge walk in fewer
+    * compares than the bound costs, and on dense vocabularies the
+    * shallow bound cannot prove enough distance to prune. Even a
+    * per-row short-circuit gate is not free: the conjunct's
+    * per-candidate-copy arithmetic measured q_jaccard_join 14.4 →
+    * 16.5 s on the deliberately dense sf0.1 corpus (28-token sets).
+    * So the decision is made at PLAN time from a sampled
+    * median-distinct-token probe over both sides (the tokenDfOrder
+    * discipline): when the probed median combined size is below this
+    * gate the conjunct is NOT EMITTED and the plan is byte-identical
+    * to the ungated one; above it the filter fires, with a per-row
+    * size guard as the exactness belt. Conf: 0 forces the conjunct
+    * on every pair (the spec's soundness lever), an oversized value
+    * disables it; probe failure or a streaming side omits the
+    * conjunct (a pure optimization — omission is always correct). */
+  val SuffixMinTokensKey = "spark.graft.overlap_join.suffix_min_tokens"
+  val SuffixMinTokensDefault = 64
+
+  private def suffixMinTokens: Int =
+    try {
+      val v = SQLConf.get.getConfString(SuffixMinTokensKey,
+        SuffixMinTokensDefault.toString).toInt
+      if (v >= 0) v else SuffixMinTokensDefault
+    } catch { case _: Throwable => SuffixMinTokensDefault }
+
+  // Median distinct-token-count probe cache, canonicalized (side,
+  // arr) → median. Perf-only staleness (the emitted conjunct is sound
+  // on any data), so no data-version fingerprint — the orderCache
+  // precedent.
+  private val lenCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (LogicalPlan, Expression), Option[Double]]()
+
+  /** Sampled plan-time median of `size(array_distinct(arr))` over
+    * `side`; None on streaming sides or probe failure. */
+  private def medianDistinctTokens(side: LogicalPlan,
+      arr: Expression): Option[Double] = {
+    if (side.isStreaming) return None
+    val key = (side.canonicalized, arr.canonicalized)
+    val hit = lenCache.get(key)
+    if (hit != null) return hit
+    val computed: Option[Double] =
+      try {
+        val spark = SparkSession.active
+        val bytes = side.stats.sizeInBytes
+        val probeSide =
+          if (bytes <= Binning.MaxProbeBytes) side
+          else Sample(0.0,
+            (BigDecimal(Binning.MaxProbeBytes) / BigDecimal(bytes)).toDouble,
+            withReplacement = false, 42L, side)
+        import org.apache.spark.sql.functions.{col => c, lit, percentile_approx}
+        val row = Binning.dataFrameOf(spark,
+          Project(Seq(Alias(Size(ArrayDistinct(arr)), "__graft_n")()),
+            probeSide))
+          .agg(percentile_approx(c("__graft_n"), lit(0.5), lit(1000)))
+          .head()
+        val med =
+          if (row.isNullAt(0)) None
+          else row.get(0) match {
+            case n: java.lang.Number => Some(n.doubleValue())
+            case _ => None
+          }
+        probeLog.info(s"graft overlap set-size probe: median=$med")
+        med
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          probeLog.warn(s"graft overlap set-size probe failed, " +
+            s"omitting the suffix filter: $e")
+          None
+      }
+    if (lenCache.size() > 64) lenCache.clear()
+    lenCache.put(key, computed)
+    computed
+  }
+
+  /** Whether to emit the suffix-filter conjunct for this join (see
+    * [[SuffixMinTokensKey]]): conf 0 = always, oversized = never,
+    * else probe the median combined set size. */
+  private def emitSuffixFilter(left: LogicalPlan, la: Expression,
+      right: LogicalPlan, ra: Expression): Boolean = {
+    val gate = suffixMinTokens
+    if (gate == 0) true
+    else (medianDistinctTokens(left, la), medianDistinctTokens(right, ra)) match {
+      case (Some(ml), Some(mr)) => ml + mr >= gate
+      case _ => false
+    }
+  }
   private val ZeroRank = "000000"
   private val Sep = "\u0001"
 
@@ -349,7 +440,7 @@ object OverlapJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
   // passes through unrewritten.
   // ---------------------------------------------------------------------
 
-  private val Sentinel = " "
+  private val Sentinel = "\u0000"
 
   /** How the matched conjunct constrains a pair: a fixed absolute
     * overlap, or a relative Jaccard threshold (exact decimal or
@@ -741,8 +832,11 @@ object OverlapJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
         })
         // The Jaccard face adds the exact length filter to the blocked
         // join: |distinct(B)| >= α(|distinct(A)|) and symmetric — with
-        // the ∅-∅ escape for the inclusive spelling.
-        val lenConds: Seq[Expression] = (req, lLen, rLen) match {
+        // the ∅-∅ escape for the inclusive spelling. `suffixConds`
+        // comes back separately: it is ANDed in AFTER the canonical
+        // conjunct (its soundness argument needs the canonical copy).
+        val (lenConds, suffixConds): (Seq[Expression], Seq[Expression]) =
+          (req, lLen, rLen) match {
           case (rj: RelJaccard, Some(ll), Some(rl)) =>
             val basic = And(
               GreaterThanOrEqual(Cast(ll, LongType), alphaExpr(rj, rl)),
@@ -771,11 +865,60 @@ object OverlapJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
                   pairAlphaExpr(rj, ll, rl)))
               case _ => Seq.empty
             }
+            // PPJoin+ SUFFIX filter (Xiao et al. 2008 §3.3): for any
+            // pair that can still qualify, the canonical copy's token
+            // is min(A∩B) (the prefix lemma — see the kernel scaladoc),
+            // so the whole remaining intersection lives in the two
+            // SUFFIXES beyond the matched positions:
+            //   |A∩B| = 1 + (|as| + |bs| − H(as, bs)) / 2.
+            // A cheap recursive-partition LOWER bound on H therefore
+            // upper-bounds |A∩B|; candidates whose bound cannot reach
+            // α₂ die on a handful of binary searches BEFORE the
+            // O(la+lb) merge-walk verify. Keep iff
+            //   H_lb ≤ |as| + |bs| − 2·(α₂ − 1).
+            // Evaluated AFTER the canonical conjunct (condition order
+            // = evaluation order), so it runs once per candidate PAIR
+            // — and a non-canonical copy it would mis-bound is dropped
+            // by the canonical filter before this conjunct is reached.
+            //
+            // SIZE-GATED AT PLAN TIME: the conjunct exists only when
+            // [[emitSuffixFilter]] says the corpus' median combined
+            // set size clears [[SuffixMinTokensKey]] — on SHORT token
+            // sets the merge walk it guards is already a few dozen
+            // byte compares, while the partition bound needs near-full
+            // resolution to prove anything on a dense vocabulary
+            // (q_jaccard_join's dense sf0.1 corpus measured 14.4 →
+            // 16.5 s carrying even a per-row-gated version of this
+            // conjunct — see BENCH.md). The per-row guard below is the
+            // exactness belt for size-skewed rows; degenerate windows
+            // (incl. the inclusive-multiply ∅-∅ sentinel pair, whose
+            // windows are negative) fall through it to the verify.
+            val suffix = (lPos, rPos) match {
+              case (Some(lp), Some(rp))
+                  if emitSuffixFilter(left, la, right, ra) =>
+                val las = Subtract(
+                  Subtract(Cast(ll, LongType), Cast(lp, LongType)),
+                  Literal(1L))
+                val rbs = Subtract(
+                  Subtract(Cast(rl, LongType), Cast(rp, LongType)),
+                  Literal(1L))
+                val hlb = Cast(graft.functions.SortedSuffixHammingLB(
+                  lSorted, rSorted,
+                  Add(lp, Literal(1)), Add(rp, Literal(1))), LongType)
+                val test = LessThanOrEqual(hlb,
+                  Subtract(Add(las, rbs),
+                    Multiply(Literal(2L),
+                      Subtract(pairAlphaExpr(rj, ll, rl), Literal(1L)))))
+                val gate = LessThan(Add(las, rbs),
+                  Literal(suffixMinTokens.toLong))
+                Seq(Or(gate, test))
+              case _ => Seq.empty
+            }
             val all = (basic +: positional).reduce(And)
-            Seq(if (rj.inclusiveEmptyPair)
+            (Seq(if (rj.inclusiveEmptyPair)
               Or(all, And(EqualTo(ll, Literal(0)), EqualTo(rl, Literal(0))))
-            else all)
-          case _ => Seq.empty
+            else all), suffix)
+          case _ => (Seq.empty, Seq.empty)
         }
         // Canonical-copy dedup INSIDE the join: a pair's candidate
         // copies are exactly the tokens its prefixes share (both
@@ -796,10 +939,13 @@ object OverlapJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
           graft.functions.SortedIntersectFirst(lPfx, rPfx))
         // Conjunct order = evaluation order inside the join: cheap
         // residuals and the length + positional filters run BEFORE
-        // the canonical prefix merge, which runs before anything
-        // touching the full arrays.
+        // the canonical prefix merge; the suffix filter runs AFTER it
+        // (once per pair, and its bound is only meaningful at the
+        // canonical copy) but still before the full-array merge walk
+        // in the verify above.
         val blockedCond =
-          (EqualTo(lk, rk) +: (rest ++ lenConds) :+ canonical).reduce(And)
+          ((EqualTo(lk, rk) +: (rest ++ lenConds) :+ canonical)
+            ++ suffixConds).reduce(And)
         val blocked = Join(lgen, rgen, Inner, Some(blockedCond),
           JoinHint.NONE)
         def bareUse(e: Expression): Boolean = {

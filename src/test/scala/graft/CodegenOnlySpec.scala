@@ -130,6 +130,13 @@ class CodegenOnlySpec extends AnyFunSuite {
           BoundReference(0, toksType, nullable = false),
           BoundReference(1, toksType, nullable = false)),
         new GenericInternalRow(Array[Any](
+          svec("a", "b", "d"), svec("b", "c", "d")))),
+      ("sorted_suffix_hamming_lb",
+        SortedSuffixHammingLB(
+          BoundReference(0, toksType, nullable = false),
+          BoundReference(1, toksType, nullable = false),
+          Literal(1), Literal(0)),
+        new GenericInternalRow(Array[Any](
           svec("a", "b", "d"), svec("b", "c", "d")))))
   }
 

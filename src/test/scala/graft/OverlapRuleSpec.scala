@@ -209,6 +209,47 @@ class OverlapRuleSpec extends AnyFunSuite {
       == Seq((1L, 10L)))
   }
 
+  test("suffix filter forced on (gate = 0): every jaccard spelling stays brute-exact") {
+    // The PPJoin+ suffix filter is size-gated off on short token sets
+    // (these corpora), so force it onto every candidate pair to pin
+    // its SOUNDNESS: an overestimating Hamming bound, or an off-by-one
+    // in the |A∩B| ≤ 1 + (|as|+|bs|−H)/2 ≥ α₂ arithmetic, deletes
+    // boundary-exact pairs and the brute equalities below fail. The
+    // t = 1 corpus is the sharpest: identical sets have H = 0 and sit
+    // exactly at α₂ = |A∪B|.
+    spark.conf.set(OverlapJoinBlocking.SuffixMinTokensKey, "0")
+    try {
+      val joined = df(jls, "lid", "la").join(df(jrs, "rid", "ra"),
+        size(array_intersect(col("la"), col("ra")))
+          >= lit(0.75) * size(array_union(col("la"), col("ra"))))
+      assert(joined.collect().map(r => (r.getLong(0), r.getLong(2)))
+        .sorted.toSeq == jBrute(3, 4))
+      val division = df(jls, "lid", "la").join(df(jrs, "rid", "ra"),
+        size(array_intersect(col("la"), col("ra"))).cast("double")
+          / size(array_union(col("la"), col("ra"))) >= lit(0.75))
+      assert(division.collect().map(r => (r.getLong(0), r.getLong(2)))
+        .sorted.toSeq == jBrute(3, 4))
+      val exact = df(jls, "lid", "la").join(df(jrs, "rid", "ra"),
+        size(array_intersect(col("la"), col("ra")))
+          >= lit(1.0) * size(array_union(col("la"), col("ra"))))
+      assert(exact.collect().map(r => (r.getLong(0), r.getLong(2)))
+        .sorted.toSeq == Seq((1L, 10L), (5L, 10L), (6L, 14L)))
+      // The inclusive ∅-∅ pair flows through the gate's degenerate
+      // window unharmed even when the gate is 0 (−2 < 0).
+      import spark.implicits._
+      def edf(xs: Seq[(Long, String)], id: String, arr: String) =
+        xs.toDF(id, "s").select(col(id),
+          expr("filter(split(s, ' '), x -> x <> '')").as(arr))
+      val l = edf(Seq((1L, "a b c"), (2L, "")), "lid", "la")
+      val r = edf(Seq((10L, "a b c"), (11L, "")), "rid", "ra")
+      val incl = l.join(r,
+        size(array_intersect(col("la"), col("ra")))
+          >= lit(0.75) * size(array_union(col("la"), col("ra"))))
+      assert(incl.collect().map(x => (x.getLong(0), x.getLong(2)))
+        .sorted.toSeq == Seq((1L, 10L), (2L, 11L)))
+    } finally spark.conf.unset(OverlapJoinBlocking.SuffixMinTokensKey)
+  }
+
   test("positional filter keeps boundary-exact deep-first-shared pairs") {
     import spark.implicits._
     // Pairs engineered to sit EXACTLY at both bounds the positional
@@ -252,16 +293,28 @@ class OverlapRuleSpec extends AnyFunSuite {
         "non-dyadic double 0.8 (per-side fallback)"),
       (expr("size(array_intersect(la, ra)) >= 0.8 * size(array_union(la, ra))"),
         (i, u) => i * 5 >= 4 * u, "decimal 0.8 (exact α₂)"))
-    for ((cond, qual, tag) <- cases) {
-      val joined = l.join(r, cond)
-      val p = joined.queryExecution.executedPlan.toString
-      assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
-        s"[$tag] rule did not fire, plan:\n$p")
-      val got = joined.collect().map(x => (x.getLong(0), x.getLong(2)))
-        .sorted.toSeq
-      assert(got == brute(qual), s"[$tag] got $got want ${brute(qual)}")
-      assert(got.contains((1L, 10L)),
-        s"[$tag] the boundary-exact 15-token pair must survive")
+    // Run each spelling under the default size gate AND with the
+    // suffix filter forced onto every pair (gate = 0): the qualifying
+    // pairs here are ALSO boundary-exact for the suffix test —
+    // identical suffixes beyond the canonical position, prune margin
+    // exactly 0 — so an overestimating Hamming bound deletes them.
+    for (gate <- Seq(None, Some("0"));
+        (cond, qual, tag) <- cases) {
+      gate.foreach(g =>
+        spark.conf.set(OverlapJoinBlocking.SuffixMinTokensKey, g))
+      try {
+        val joined = l.join(r, cond)
+        val p = joined.queryExecution.executedPlan.toString
+        assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+          s"[$tag gate=$gate] rule did not fire, plan:\n$p")
+        val got = joined.collect().map(x => (x.getLong(0), x.getLong(2)))
+          .sorted.toSeq
+        assert(got == brute(qual),
+          s"[$tag gate=$gate] got $got want ${brute(qual)}")
+        assert(got.contains((1L, 10L)),
+          s"[$tag gate=$gate] the boundary-exact 15-token pair must survive")
+      } finally gate.foreach(_ =>
+        spark.conf.unset(OverlapJoinBlocking.SuffixMinTokensKey))
     }
   }
 
