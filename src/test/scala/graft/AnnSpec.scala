@@ -227,17 +227,18 @@ class AnnSpec extends AnyFunSuite {
     assert(rows(0)._2 < 1.0 && rows(0)._2 > 0.8)
   }
 
-  test("q_graph_ann: beam search recalls non-trivially on sf0.001") {
-    // The regression tripwire for the graph index family: a broken
-    // hop join, graph build, or beam ranking sends recall to ~0 (the
-    // entry panel alone cannot cover brute-force top-10). Floor is
-    // deliberately conservative — measured 0.4-0.8 per probe at
-    // sf0.001/sf0.01 with B=16, H=4 over the 5-NN graph.
+  test("q_graph_ann: beam search recalls at the family bar on sf0.001") {
+    // The graph index family at the same recall floor the IVF/PQ
+    // families gate (≥ 0.8): B=16, H=4 over the 5-NN graph, entry
+    // panel = the per-IVF-cell medoids (space-covering by
+    // construction — the fixed low-id panel this replaced measured
+    // 0.4–0.8 per probe; the medoid panel holds the mean at the
+    // family bar with no extra hop).
     val rows = SparkEntry.queries("q_graph_ann")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getDouble(2)))
     assert(rows.length == 5)
     val mean = rows.map(_._2).sum / rows.length
-    assert(mean >= 0.3, s"mean recall@10 $mean; per-probe ${rows.toSeq}")
+    assert(mean >= 0.8, s"mean recall@10 $mean; per-probe ${rows.toSeq}")
     assert(rows.forall(_._2 > 0.0),
       s"every probe must recall something: ${rows.toSeq}")
   }
