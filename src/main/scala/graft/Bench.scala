@@ -25,10 +25,11 @@ object Bench {
     // 3× its recorded per-query anchor (tools/bench_anchor.json, the
     // previous round's sealed best-of; floor 2 s so sub-second rows
     // never double-run on jitter) runs ONCE more and keeps the min,
-    // and the slot is flagged in the output's "spikes" list so the
-    // self-refutation is visible in the JSON itself. A genuinely
-    // regressed query stays slow on the re-run and still reads as a
-    // regression.
+    // and the slot lands in the output's "spikes" map as
+    // name → [raw first run, kept min] so both the refutation AND the
+    // discarded measurement stay auditable in the JSON itself. A
+    // genuinely regressed query stays slow on the re-run and still
+    // reads as a regression.
     val anchorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_ANCHOR",
       "/root/repo/tools/bench_anchor.json")
     val anchors: Map[String, Double] =
@@ -47,14 +48,19 @@ object Bench {
       // A failed query must read as a failure (-1.0), never as a fast time.
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
-    val spiked = scala.collection.mutable.ArrayBuffer.empty[String]
+    // Refuted spikes keep BOTH numbers — [raw first run, kept min] —
+    // so the discarded measurement stays auditable in the artifact
+    // itself (the refutation is asymmetric by design: a fast first
+    // run never re-runs, so only the slow tail is ever minimized).
+    val spiked =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
     val results = selected.map { case (name, fn) =>
       val t1 = timeOne(name, fn)
       val bar = anchors.get(name).map(a => math.max(3.0 * a, 2.0))
       val t = (t1, bar) match {
         case (x, Some(b)) if x > b =>
           val t2 = timeOne(name, fn)
-          if (t2 >= 0 && t2 < x) { spiked += name; t2 } else x
+          if (t2 >= 0 && t2 < x) { spiked += ((name, x, t2)); t2 } else x
         case _ => t1
       }
       name -> t
@@ -64,7 +70,9 @@ object Bench {
     // Total sums successful queries only; failed slots are visible as -1.0.
     val total = results.values.filter(_ >= 0).sum
     val failed = results.values.count(_ < 0)
-    val spikes = spiked.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val spikes = spiked
+      .map { case (n, raw, kept) => "\"" + n + "\":[" + raw + "," + kept + "]" }
+      .mkString("{", ",", "}")
     // The full per-query map is ~12 KB of JSON — longer than the
     // driver's stdout tail-capture window (BENCH_r12.json recorded
     // "parsed": null from exactly that truncation). So the per-query
