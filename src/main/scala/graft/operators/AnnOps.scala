@@ -34,6 +34,28 @@ object AnnOps {
   private val TopK = 10
   private val NumProbes = 5
   private[graft] val NumCells = 16
+
+  /** q_sql_cos's ANSI text (factored for CosineRuleSpec's sql-text
+    * plan pin): the naive cosine-threshold join over a temp view,
+    * corpus = the vec_id % 5 slice ∪ its coordinate-halved planted
+    * near-duplicates (the q_cos_join fixture). cosine_sim here is the
+    * ENGINE's fused function resolved from pure SQL — the rewrite's
+    * default trigger spelling. */
+  private[graft] val SqlCosText: String =
+    """WITH e AS (SELECT vec_id, embedding FROM emb_sql_cos
+      |  WHERE vec_id % 5 = 0),
+      |d AS (SELECT vec_id + 100000 AS vec_id,
+      |    transform(embedding, (x, i) ->
+      |      IF(i = 1, CAST(CAST(x AS DOUBLE) * 0.5 AS FLOAT), x))
+      |      AS embedding
+      |  FROM e),
+      |c AS (SELECT * FROM e UNION ALL SELECT * FROM d)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  round(cosine_sim(a.embedding, b.embedding), 6) AS cos_sim
+      |FROM c a JOIN c b
+      |  ON cosine_sim(a.embedding, b.embedding) >= 0.9
+      | AND a.vec_id < b.vec_id
+      |ORDER BY vec_a, vec_b""".stripMargin
   private val NProbe = 4
   private val KSeeds = 8
 
@@ -2218,6 +2240,51 @@ object AnnOps {
       a.join(b, sim >= lit(0.9) && col("vec_a") < col("vec_b"))
         .select(col("vec_a"), col("vec_b"), round(sim, 6).as("cos_sim"))
         .orderBy("vec_a", "vec_b")
+    },
+
+    Q(
+      "q_sql_cos",
+      "the SQL-TEXT face of the CosineBandJoin rule: the naive " +
+        "cosine-threshold join written as ONE ANSI string over a " +
+        "temp view and executed through spark.sql — proving the " +
+        "seventh optimizer rule fires on the parsed-SQL path exactly " +
+        "as on DataFrame trees (the q_sql_jaccard contract; pinned " +
+        "NestedLoop-free in CosineRuleSpec's sql-text test). The " +
+        "0.9 literal parses as DECIMAL, exercising ThresholdLit's " +
+        "decimal arm rather than the DataFrame twin's double lit(). " +
+        "cosine_sim is the ENGINE's fused function — the rewrite's " +
+        "default trigger; the spelled-out ANSI dot/norm form stays " +
+        "exact unless the session opts in. Runs on the vec_id % 5 " +
+        "slice (the demonstration is the PLAN — q_cos_join already " +
+        "pays the full corpus); corpus = slice ∪ planted " +
+        "coordinate-halved near-duplicates, the q_cos_join fixture",
+      Some {
+        val pertSql = "e.embedding[1:1] || " +
+          "[CAST(CAST(e.embedding[2] AS DOUBLE) * 0.5 AS FLOAT)] || " +
+          "e.embedding[3:]"
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+           |  WHERE vec_id % 5 = 0),
+           |d AS (SELECT e.vec_id + 100000 AS vec_id,
+           |        $pertSql AS embedding FROM e),
+           |c AS (
+           |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+           |  FROM (SELECT * FROM e UNION ALL SELECT * FROM d)
+           |)
+           |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |  round(${dotColSql("a.embedding", "b.embedding")}
+           |    / (a.nrm * b.nrm), 6) AS cos_sim
+           |FROM c a JOIN c b
+           |  ON a.vec_id < b.vec_id
+           | AND ${dotColSql("a.embedding", "b.embedding")}
+           |     / (a.nrm * b.nrm) >= 0.9
+           |ORDER BY vec_a, vec_b""".stripMargin
+      },
+    ) { (s, dir) =>
+      graft.functions.CosSim.register(s)
+      graft.plans.CosineBandJoin.register(s)
+      Tables.embeddings(s, dir).select("vec_id", "embedding")
+        .createOrReplaceTempView("emb_sql_cos")
+      s.sql(AnnOps.SqlCosText)
     },
 
     Q(

@@ -808,6 +808,12 @@ object TextOps {
     * itself takes any count. */
   private[graft] val BpeMerges = 8
 
+  /** q_bpe_bytes: merge rounds for the byte-vs-char fertility
+    * comparison (each face trains its own loop, and the oracle
+    * unrolls BOTH — 6 keeps the statement bounded while the
+    * fertility gap is already fully visible). */
+  private[graft] val BpeBytesMerges = 6
+
   /** Winnowing shape (q_winnow): char-K-gram hashes, window of W
     * gram positions. Guarantee threshold = W + K - 1 shared chars. */
   private[graft] val WinnowK = 5
@@ -928,6 +934,12 @@ object TextOps {
     * driver collects exactly one argmax row per round. Stops early if
     * no pair remains.
     *
+    * `wordMap` (optional) re-expresses each word BEFORE the char
+    * split — the byte-level front-end seam: [[graft.functions.BytesToUnicode]]
+    * turns a word into one printable symbol per UTF-8 byte, and the
+    * identical merge loop then trains byte-level BPE with zero
+    * changes (the map is injective, so word counts are unchanged).
+    *
     * @return (ordered merges (pa, pb, weighted count),
     *          final vocab (w, syms array<string>, n) — the ENCODED
     *          vocabulary, i.e. each word's subword segmentation)
@@ -935,7 +947,8 @@ object TextOps {
   def trainBpe(
       s: org.apache.spark.sql.SparkSession,
       docs: org.apache.spark.sql.DataFrame,
-      numMerges: Int)
+      numMerges: Int,
+      wordMap: Option[Column => Column] = None)
       : (Seq[(String, String, Long)], org.apache.spark.sql.DataFrame) = {
     require(numMerges >= 0, "numMerges must be >= 0")
     val sy = split(trim(col("s")), "  ")
@@ -944,6 +957,7 @@ object TextOps {
     var vocab = docs
       .select(explode(toks).as("w"))
       .filter(col("w") =!= "")
+      .select(wordMap.fold(col("w"))(f => f(col("w"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
       .select(col("w"),
         concat(lit("  "), array_join(chars, "  "), lit("  ")).as("s"),
@@ -989,21 +1003,27 @@ object TextOps {
     * final vocab. An empty-needle replace is a no-op in DuckDB, so
     * the LEFT JOIN passes v_i through unchanged — the exact twin of
     * the engine's dry-round behavior. */
-  private def bpeRoundsSqlCte(k: Int): String = {
-    val rounds = (1 to k).map { i =>
-      s"""p$i AS (
+  /** The per-round p/b/v CTE triple chain alone, reading
+    * `v$pfx${i-1}` and exposing `v$pfx$k` — prefixable so two
+    * independently-symbolized vocabularies (q_bpe_bytes' char and
+    * byte faces) can train side by side in one statement. */
+  private def bpeRoundCtes(k: Int, pfx: String = ""): String =
+    (1 to k).map { i =>
+      s"""p$pfx$i AS (
          |  SELECT sy[j+1] AS pa, sy[j+2] AS pb, CAST(sum(n) AS BIGINT) AS n_pairs
-         |  FROM (SELECT string_split(trim(s), '  ') AS sy, n FROM v${i - 1}) t,
+         |  FROM (SELECT string_split(trim(s), '  ') AS sy, n FROM v$pfx${i - 1}) t,
          |       unnest(range(len(sy) - 1)) AS u(j)
          |  GROUP BY pa, pb
-         |), b$i AS (
-         |  SELECT pa, pb, n_pairs FROM p$i ORDER BY n_pairs DESC, pa, pb LIMIT 1
-         |), v$i AS (
+         |), b$pfx$i AS (
+         |  SELECT pa, pb, n_pairs FROM p$pfx$i ORDER BY n_pairs DESC, pa, pb LIMIT 1
+         |), v$pfx$i AS (
          |  SELECT w, replace(s, coalesce(' ' || pa || '  ' || pb || ' ', ''),
          |                       coalesce(' ' || pa || pb || ' ', '')) AS s, n
-         |  FROM v${i - 1} LEFT JOIN b$i ON TRUE
+         |  FROM v$pfx${i - 1} LEFT JOIN b$pfx$i ON TRUE
          |)""".stripMargin
     }.mkString(", ")
+
+  private def bpeRoundsSqlCte(k: Int): String =
     s"""w0 AS (
        |  SELECT w, count(*) AS n FROM (
        |    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
@@ -1011,8 +1031,7 @@ object TextOps {
        |), v0 AS (
        |  SELECT w, '  ' || array_to_string(list_transform(range(length(w)),
        |    i -> substr(w, i + 1, 1)), '  ') || '  ' AS s, n FROM w0
-       |), $rounds""".stripMargin
-  }
+       |), ${bpeRoundCtes(k)}""".stripMargin
 
   /** DuckDB twin of [[trainBpe]] with `k` unrolled rounds, ending in
     * the ordered merge table (step, pa, pb, n_pairs). */
@@ -2845,6 +2864,87 @@ object TextOps {
         .filter(col("rank") <= 20)
         .select("rank", "w", "subwords", "n_subwords", "n")
         .orderBy("rank")
+    },
+
+    Q(
+      "q_bpe_bytes",
+      s"BYTE-LEVEL BPE (Radford et al. 2019's front end): GPT-2's " +
+        "bytes-to-unicode pre-map re-expresses each word as one " +
+        "printable symbol per UTF-8 BYTE (a bijection over a fixed " +
+        "256-symbol alphabet — no charset assumptions, any language " +
+        "or binary-ish noise tokenizes), and the IDENTICAL trainBpe " +
+        s"merge loop then runs $BpeBytesMerges rounds on the " +
+        "byte-level symbols. The corpus is documents plus two " +
+        "planted non-ASCII words (café, straße) so the " +
+        "byte/char distinction is real: their accented chars are ONE " +
+        "char-level symbol but TWO byte-level symbols (é = C3 " +
+        "A9 = 'Ã©' — the famous GPT-2 artifact, pinned in " +
+        "BpeBytesSpec with space → 'Ġ'). Output = the FERTILITY " +
+        "comparison the two faces exist for: per mode, word count, " +
+        "weighted occurrences, weighted symbol count, and " +
+        "symbols-per-occurrence after the merges — the number a " +
+        "tokenizer team reads to price byte-level robustness. The " +
+        "oracle retrains BOTH faces from the closed-form map " +
+        "(printable bytes keep their code point; 0..32→256+b, " +
+        "127..160→289+(b−127), 173→323; UTF-8 expansion for the " +
+        "corpus' ≤ U+07FF code points). At 100 TB: the pre-map is " +
+        "pure per-row expression work on the one corpus scan the " +
+        "vocab build already pays; every round after is vocab-" +
+        "bounded, exactly q_bpe_train's economics",
+      Some {
+        val mapByte = "CASE WHEN (b BETWEEN 33 AND 126) " +
+          "OR (b BETWEEN 161 AND 172) OR (b BETWEEN 174 AND 255) THEN b " +
+          "WHEN b < 33 THEN 256 + b " +
+          "WHEN b <= 160 THEN 289 + (b - 127) ELSE 323 END"
+        def rollup(mode: String, v: String): String =
+          s"""SELECT '$mode' AS mode,
+             |  CAST(count(*) AS BIGINT) AS n_words,
+             |  CAST(sum(n) AS BIGINT) AS n_occurrences,
+             |  CAST(sum(n * len(sy)) AS BIGINT) AS n_symbols,
+             |  round(CAST(sum(n * len(sy)) AS DOUBLE) / sum(n), 6)
+             |    AS fertility
+             |FROM (SELECT string_split(trim(s), '  ') AS sy, n FROM $v)""".stripMargin
+        s"""WITH w0 AS (
+           |  SELECT w, count(*) AS n FROM (
+           |    SELECT unnest(string_split(
+           |      lower(text) || ' café straße', ' ')) AS w
+           |    FROM documents)
+           |  WHERE w <> '' GROUP BY w
+           |), v0 AS (
+           |  SELECT w, '  ' || array_to_string(list_transform(range(length(w)),
+           |    i -> substr(w, i + 1, 1)), '  ') || '  ' AS s, n FROM w0
+           |), vy0 AS (
+           |  SELECT w, '  ' || array_to_string(list_transform(
+           |    flatten(list_transform(
+           |      list_transform(range(length(w)), i -> unicode(substr(w, i + 1, 1))),
+           |      cp -> CASE WHEN cp < 128 THEN [cp]
+           |                 ELSE [192 + cp // 64, 128 + cp % 64] END)),
+           |    b -> chr($mapByte)), '  ') || '  ' AS s, n FROM w0
+           |), ${bpeRoundCtes(BpeBytesMerges)},
+           |${bpeRoundCtes(BpeBytesMerges, "y")}
+           |${rollup("char", s"v$BpeBytesMerges")}
+           |UNION ALL
+           |${rollup("byte", s"vy$BpeBytesMerges")}
+           |ORDER BY mode""".stripMargin
+      },
+    ) { (s, dir) =>
+      graft.functions.Gpt2Bytes.register(s)
+      val docs = Tables.documents(s, dir)
+        .withColumn("text",
+          concat(col("text"), lit(" café straße")))
+      val charVocab = trainBpe(s, docs, BpeBytesMerges)._2
+      val byteVocab = trainBpe(s, docs, BpeBytesMerges,
+        wordMap = Some(w => call_function("bytes_to_unicode", w)))._2
+      def rollup(v: DataFrame, mode: String): DataFrame = v
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n")).as("n_occurrences"),
+          sum(col("n") * size(col("syms"))).as("n_symbols"))
+        .select(lit(mode).as("mode"), col("n_words"),
+          col("n_occurrences"), col("n_symbols"),
+          round(col("n_symbols").cast("double") / col("n_occurrences"), 6)
+            .as("fertility"))
+      rollup(charVocab, "char").unionByName(rollup(byteVocab, "byte"))
+        .orderBy("mode")
     },
 
     Q(

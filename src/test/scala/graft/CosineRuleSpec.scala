@@ -290,6 +290,31 @@ class CosineRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("the rule fires on the spark.sql TEXT path (q_sql_cos's plan)") {
+    // The q_sql_jaccard contract carried to the cosine rule: the
+    // SAME ANSI string q_sql_cos executes must plan NestedLoop-free
+    // through the parser/analyzer path, with the banded join's
+    // marker columns present.
+    import spark.implicits._
+    graft.functions.CosSim.register(spark)
+    val dir = sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata/sf0.001")
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+      .createOrReplaceTempView("emb_sql_cos")
+    val df = spark.sql(graft.operators.AnnOps.SqlCosText)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"sql-text cosine join did not fire, plan:\n$p")
+    assert(p.contains("hypersig"), s"banded plan missing, plan:\n$p")
+    // Every planted pair must come back (the fixture contract: each
+    // slice vector pairs with its coordinate-halved copy).
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sliceIds = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter($"vec_id" % 5 === 0).select("vec_id").as[Long].collect()
+    assert(sliceIds.forall(id => got.contains((id, id + 100000L))),
+      "a planted near-duplicate pair is missing")
+  }
+
   test("kill-switch conf restores the nested loop") {
     spark.conf.set(CosineBandJoin.EnabledKey, "false")
     try {
