@@ -58,6 +58,49 @@ object DedupOps {
       |GROUP BY 1, 2
       |ORDER BY n_shared, n_union""".stripMargin
 
+  /** q_sql_hamming: the naive Hamming radius join as Spark SQL TEXT
+    * (twin spellings — the md5→int64 conversion and xor differ by
+    * dialect; the SimHash bit arithmetic [[simhashSqlBits]]/
+    * [[simhashSqlAssemble]] is dialect-neutral and shared verbatim
+    * with the DuckDB oracle). HammingBandJoin must plan this parsed
+    * tree exactly as it plans q_hamming_join's DataFrame twin —
+    * HammingRuleSpec pins it NestedLoop-free. */
+  private[graft] def SqlHammingText: String =
+    s"""WITH tok AS (
+       |  SELECT DISTINCT doc_id, explode(split(lower(text), ' ')) AS w
+       |  FROM documents WHERE doc_id % 3 = 0
+       |), h AS (
+       |  SELECT doc_id, CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT) AS h
+       |  FROM tok
+       |), bits AS (
+       |  SELECT doc_id, $simhashSqlBits FROM h GROUP BY doc_id
+       |), sim AS (
+       |  SELECT doc_id, $simhashSqlAssemble AS simhash FROM bits
+       |)
+       |SELECT CAST(bit_count(l.simhash ^ r.simhash) AS BIGINT) AS hamming,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(l.doc_id + r.doc_id) AS BIGINT) AS id_checksum
+       |FROM sim l JOIN sim r
+       |  ON bit_count(l.simhash ^ r.simhash) <= 3 AND l.doc_id < r.doc_id
+       |GROUP BY 1 ORDER BY hamming""".stripMargin
+
+  /** q_sql_fuzzy: the naive edit-distance join as Spark SQL TEXT —
+    * `levenshtein` spells identically in both dialects, so unlike
+    * the hamming face this is ONE string with a near-verbatim
+    * oracle twin. FuzzyJoinBlocking must plan the parsed tree
+    * exactly as it plans q_fuzzy_pairs' DataFrame twin —
+    * FuzzyRuleSpec pins it NestedLoop-free. */
+  private[graft] val SqlFuzzyText: String =
+    """WITH n AS (SELECT DISTINCT p_name FROM part),
+      |p AS (
+      |  SELECT a.p_name AS name_a, b.p_name AS name_b
+      |  FROM n a JOIN n b
+      |    ON levenshtein(a.p_name, b.p_name) <= 1 AND a.p_name < b.p_name
+      |)
+      |SELECT substr(name_a, 1, 1) AS initial,
+      |  CAST(count(*) AS BIGINT) AS n_pairs
+      |FROM p GROUP BY 1 ORDER BY initial""".stripMargin
+
   /** q_jaccard_incremental's machinery, factored for the spec's
     * batch+base ≡ full-recompute pin. Both inputs carry (doc_id,
     * toks: array<string> DISTINCT tokens); batch ids must exceed
@@ -819,6 +862,44 @@ object DedupOps {
     },
 
     Q(
+      "q_sql_hamming",
+      "the SQL-TEXT face of the HammingBandJoin rule: the naive " +
+        "Hamming radius join — signature build INCLUDED — written " +
+        "as ONE ANSI string and executed through spark.sql over a " +
+        "temp view, proving the pigeonhole-banding rule fires on " +
+        "the parsed-SQL path exactly as on q_hamming_join's " +
+        "DataFrame tree (the q_sql_jaccard contract; pinned " +
+        "NestedLoop-free in HammingRuleSpec's sql-text test). The " +
+        "whole pipeline is portable SQL: md5→60-bit int (conv here, " +
+        "0x-cast in the oracle), the SAME dialect-neutral SimHash " +
+        "bit arithmetic spliced into both engines from one Scala " +
+        "value, bit_count over xor (^ here, xor() there). Runs on " +
+        "the doc_id % 3 slice — the demonstration is the PLAN " +
+        "(q_hamming_join already pays the full corpus); readout is " +
+        "the bounded per-distance rollup",
+      Some(
+        s"""WITH tok AS (
+           |  SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS w
+           |  FROM documents WHERE doc_id % 3 = 0
+           |), h AS (
+           |  SELECT doc_id, CAST('0x'||substr(md5(w),1,15) AS BIGINT) AS h FROM tok
+           |), bits AS (
+           |  SELECT doc_id, $simhashSqlBits FROM h GROUP BY doc_id
+           |), sim AS (
+           |  SELECT doc_id, $simhashSqlAssemble AS simhash FROM bits
+           |)
+           |SELECT CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming,
+           |  CAST(count(*) AS BIGINT) AS n_pairs,
+           |  CAST(sum(l.doc_id + r.doc_id) AS BIGINT) AS id_checksum
+           |FROM sim l JOIN sim r
+           |  ON bit_count(xor(l.simhash, r.simhash)) <= 3 AND l.doc_id < r.doc_id
+           |GROUP BY 1 ORDER BY hamming""".stripMargin),
+    ) { (s, dir) =>
+      Tables.documents(s, dir).createOrReplaceTempView("documents")
+      s.sql(DedupOps.SqlHammingText)
+    },
+
+    Q(
       "q_dedup_incremental",
       "incremental dedup — the daily-batch production shape: the new " +
         "batch (docs ≥ 400) is cleaned against the base corpus by " +
@@ -1541,6 +1622,25 @@ object DedupOps {
           sum(length(col("name_a")) + length(col("name_b"))).cast("long")
             .as("len_checksum"))
         .orderBy("ed")
+    },
+    Q(
+      "q_sql_fuzzy",
+      "the SQL-TEXT face of the FuzzyJoinBlocking rule: the naive " +
+        "edit-distance join written as ONE ANSI string and executed " +
+        "through spark.sql over a temp view — proving the SymSpell " +
+        "deletion-neighborhood rule fires on the parsed-SQL path " +
+        "exactly as on q_fuzzy_pairs' DataFrame tree (the " +
+        "q_sql_jaccard contract; pinned NestedLoop-free in " +
+        "FuzzyRuleSpec's sql-text test). levenshtein spells " +
+        "identically in both dialects, so the oracle is " +
+        "near-verbatim — the closest the rule family gets to the " +
+        "q_sql_q1 byte-identical contract. Readout is the bounded " +
+        "per-initial pair rollup (the pair SET itself is " +
+        "q_fuzzy_pairs' output)",
+      Some(DedupOps.SqlFuzzyText),
+    ) { (s, dir) =>
+      Tables.part(s, dir).createOrReplaceTempView("part")
+      s.sql(DedupOps.SqlFuzzyText)
     },
     Q(
       "q_overlap_join",

@@ -1025,6 +1025,29 @@ object EventsOps {
       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
       |  FROM flagged)""".stripMargin
 
+  /** q_sql_interval's ANSI text (factored for IntervalRuleSpec's
+    * sql-text plan pin): the naive interval-overlap theta join over
+    * a temp view of [st_s, en_s] session intervals — q_session_
+    * overlap's join, arriving through the parser instead of the
+    * DataFrame API. The view (`sess_sql_iv`) is prepared by the
+    * same sessionized() machinery; the DEMONSTRATION is the parsed
+    * join predicate, which IntervalOverlapJoin must plan as the
+    * binned equi-join (the q_sql_cos precedent: input via view,
+    * join via SQL). Readout is the bounded per-10-minute-bucket
+    * overlap histogram — a different face than q_session_overlap's
+    * 1-row rollup, so the two rows also cross-check each other's
+    * pair sets through the shared oracle CTE. */
+  private[graft] val SqlIntervalText: String =
+    """WITH p AS (
+      |  SELECT least(a.en_s, b.en_s) - greatest(a.st_s, b.st_s) AS ov
+      |  FROM sess_sql_iv a JOIN sess_sql_iv b
+      |    ON a.st_s <= b.en_s AND b.st_s <= a.en_s
+      |      AND a.user_id < b.user_id
+      |)
+      |SELECT CAST(ov DIV 600 AS BIGINT) AS ov_bucket,
+      |  CAST(count(*) AS BIGINT) AS n_pairs
+      |FROM p GROUP BY 1 ORDER BY ov_bucket""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q(
       "q_events_hourly",
@@ -4198,6 +4221,49 @@ object EventsOps {
         .agg(count(lit(1)).as("n_pairs"),
           sum(ov).as("sum_overlap_s"),
           max(ov).as("max_overlap_s"))
+    },
+
+    Q(
+      "q_sql_interval",
+      "the SQL-TEXT face of the IntervalOverlapJoin rule: " +
+        "q_session_overlap's naive overlap sandwich `a.st <= b.en " +
+        "AND b.st <= a.en AND a.user < b.user` written as ANSI text " +
+        "over a temp view of session intervals and executed through " +
+        "spark.sql — proving the fifth declarative-scale rule fires " +
+        "on the parsed-SQL path exactly as on DataFrame trees (the " +
+        "q_sql_jaccard contract; pinned NestedLoop-free in " +
+        "IntervalRuleSpec's sql-text test). The interval fixture " +
+        "arrives via the q_sql_cos view precedent (sessionized() " +
+        "prepares sess_sql_iv; the demonstration is the parsed " +
+        "JOIN); readout is the per-10-minute overlap histogram, " +
+        "cross-checking q_session_overlap's 1-row rollup through " +
+        "the shared sessions oracle CTE",
+      Some(
+        s"""WITH $sessionsSqlCte, sess AS (
+           |  SELECT user_id, session_seq,
+           |    epoch_us(min(ts)) // 1000000 AS st_s,
+           |    epoch_us(max(ts)) // 1000000 AS en_s
+           |  FROM sessions GROUP BY user_id, session_seq
+           |), p AS (
+           |  SELECT least(a.en_s, b.en_s) - greatest(a.st_s, b.st_s) AS ov
+           |  FROM sess a JOIN sess b
+           |    ON a.st_s <= b.en_s AND b.st_s <= a.en_s
+           |      AND a.user_id < b.user_id
+           |)
+           |SELECT CAST(ov // 600 AS BIGINT) AS ov_bucket,
+           |  CAST(count(*) AS BIGINT) AS n_pairs
+           |FROM p GROUP BY 1 ORDER BY ov_bucket""".stripMargin),
+    ) { (s, dir) =>
+      graft.plans.IntervalOverlapJoin.register(s)
+      sessionized(s, dir)
+        .groupBy("user_id", "session_seq")
+        .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+        .select(col("user_id"),
+          expr("unix_micros(st) div 1000000").as("st_s"),
+          expr("unix_micros(en) div 1000000").as("en_s"))
+        .localCheckpoint()
+        .createOrReplaceTempView("sess_sql_iv")
+      s.sql(EventsOps.SqlIntervalText)
     },
 
     Q(

@@ -451,7 +451,8 @@ object MultimodalOps {
     * IHDR with width/height/bitdepth 8/colortype 0; IDAT carrying a
     * ZLIB (RFC 1950) stream whose DEFLATE (RFC 1951) payload is the
     * filtered scanlines — one filter-type byte per row, here cycling
-    * None/Sub/Up; IEND terminator). The container deliberately
+    * the FULL §6 set None/Sub/Up/Average/Paeth; IEND terminator).
+    * The container deliberately
     * stresses the published invariants a naive parser skips: an
     * ancillary tEXt chunk sits BEFORE the image data (fixed offsets
     * fail), and the zlib stream is SPLIT ACROSS TWO IDAT CHUNKS at
@@ -483,27 +484,49 @@ object MultimodalOps {
     private[graft] val Signature: Array[Byte] =
       Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
+    /** RFC 2083 §6.6: nearest of left/up/upper-left to a + b − c,
+      * ties broken a, then b. (The decoder carries its OWN copy —
+      * the hand-laid PngSpec literal, with its pre-computed Paeth
+      * data bytes, is what keeps the pair honest, not symmetry.) */
+    private def paethPredictor(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a)
+      val pb = math.abs(p - b)
+      val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+
     def encode(d: Long): Array[Byte] = {
       val w = width(d)
       val h = height(d)
       val raw = Array.tabulate(h, w)((y, x) => v(d, x, y))
-      // Filtered scanlines: row y uses filter y % 3 — 0 None, 1 Sub
-      // (left neighbour, 0 at x = 0), 2 Up (row above; y % 3 == 2
-      // implies y >= 2, so the prior row always exists).
+      // Filtered scanlines: row y uses filter y % 5 — the FULL RFC
+      // 2083 §6 set. 0 None, 1 Sub (left neighbour, 0 at x = 0),
+      // 2 Up, 3 Average (floor of left+up), 4 Paeth (the published
+      // three-way predictor). Filters 2-4 need the row above, which
+      // always exists (y % 5 == k implies y >= k >= 2); heights run
+      // [3, 6], so every corpus asset exercises None/Sub/Up, heights
+      // >= 4 add Average, heights >= 5 add Paeth.
       val scan = new Array[Byte](h * (1 + w))
       var o = 0
       var y = 0
       while (y < h) {
-        val f = y % 3
+        val f = y % 5
         scan(o) = f.toByte
         o += 1
         var x = 0
         while (x < w) {
           val cur = raw(y)(x)
+          val left = if (x == 0) 0 else raw(y)(x - 1)
           val filt = f match {
             case 0 => cur
-            case 1 => (cur - (if (x == 0) 0 else raw(y)(x - 1))) & 0xff
-            case _ => (cur - raw(y - 1)(x)) & 0xff
+            case 1 => (cur - left) & 0xff
+            case 2 => (cur - raw(y - 1)(x)) & 0xff
+            case 3 => (cur - (left + raw(y - 1)(x)) / 2) & 0xff
+            case _ =>
+              val up = raw(y - 1)(x)
+              val ul = if (x == 0) 0 else raw(y - 1)(x - 1)
+              (cur - paethPredictor(left, up, ul)) & 0xff
           }
           scan(o) = filt.toByte
           o += 1
@@ -542,11 +565,21 @@ object MultimodalOps {
     * CRC32 verification (loud failure on corruption — the format's
     * own integrity contract), IDAT concatenation, one
     * java.util.zip.Inflater pass over the zlib member, then per-row
-    * filter reconstruction (None/Sub/Up — the filters the fixture
-    * emits; Average/Paeth fail loudly rather than decode wrong).
-    * Offset arithmetic + the public JDK inflater; no imaging
-    * library. */
+    * filter reconstruction over the FULL RFC 2083 §6 set
+    * (None/Sub/Up/Average/Paeth); out-of-spec filter types fail
+    * loudly rather than decode wrong. Offset arithmetic + the public
+    * JDK inflater; no imaging library. */
   private[graft] object PngDecoder {
+    /** Independent twin of the fixture's predictor — see the note
+      * there; PngSpec's hand-laid Paeth bytes pin THIS copy. */
+    private def paethPredictor(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a)
+      val pb = math.abs(p - b)
+      val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+
     private def be32(p: Array[Byte], off: Int): Int =
       ((p(off) & 0xff) << 24) | ((p(off + 1) & 0xff) << 16) |
         ((p(off + 2) & 0xff) << 8) | (p(off + 3) & 0xff)
@@ -614,19 +647,24 @@ object MultimodalOps {
         val rowOff = y * (1 + w)
         val f = scan(rowOff) & 0xff
         var left = 0
+        var upLeft = 0
         var x = 0
         while (x < w) {
           val filt = scan(rowOff + 1 + x) & 0xff
+          val up = prev(x) // 0 on row 0: the spec's virtual zero row
           val cur = f match {
             case 0 => filt
             case 1 => (filt + left) & 0xff
-            case 2 => (filt + prev(x)) & 0xff
+            case 2 => (filt + up) & 0xff
+            case 3 => (filt + (left + up) / 2) & 0xff
+            case 4 => (filt + paethPredictor(left, up, upLeft)) & 0xff
             case other => throw new IllegalArgumentException(
               s"asset $id: unsupported PNG filter $other")
           }
           sumV += cur
           xMom += (x + 1).toLong * cur
           yMom += (y + 1).toLong * cur
+          upLeft = up
           left = cur
           prev(x) = cur
           x += 1
@@ -1015,7 +1053,10 @@ object MultimodalOps {
         "scanlines; IEND). RLE8 proved variable-length decode; PNG " +
         "proves the step real corpora actually arrive in: a " +
         "Huffman-coded DEFLATE member, inflated with the public JDK " +
-        "Inflater, then per-row filter reconstruction (None/Sub/Up). " +
+        "Inflater, then per-row filter reconstruction over the FULL " +
+        "RFC 2083 filter set (None/Sub/Up/Average/Paeth, cycling by " +
+        "row — every asset exercises the first three, heights >= 4 " +
+        "add Average, >= 5 add Paeth). " +
         "The fixture stresses the published invariants naive parsers " +
         "skip: an ancillary tEXt chunk BEFORE the image data, the " +
         "zlib stream SPLIT ACROSS TWO IDAT chunks (the spec requires " +
@@ -1026,8 +1067,10 @@ object MultimodalOps {
         "recomputes from doc_id; x/y moments catch Sub/Up " +
         "reconstruction bugs that plain sums cancel. PngSpec pins a " +
         "HAND-LAID byte literal (stored-block zlib spelled out by " +
-        "hand, two IDATs, all three filters, a corrupted-CRC " +
-        "rejection) plus the fixture roundtrip. At 100 TB: same " +
+        "hand, two IDATs, all five filters with the Paeth data " +
+        "bytes hand-computed across all three predictor branches, " +
+        "a corrupted-CRC rejection) plus the fixture roundtrip. " +
+        "At 100 TB: same " +
         "seam economics — inflate+reconstruct ride map-side in " +
         "payload-pruned batches, only KB stats shuffle; DEFLATE " +
         "members are asset-local, so no cross-row state exists to " +

@@ -128,6 +128,26 @@ object Relational {
       |WHERE rn <= 3
       |ORDER BY o_custkey, rn""".stripMargin
 
+  /** q_sql_range: the naive range theta join as ONE ANSI string in
+    * the [[SharedQ3Sql]] byte-identical contract — every construct
+    * (CTE column aliases over VALUES, half-open >=/< bounds, BIGINT
+    * casts) parses and means the same thing in Spark SQL and DuckDB.
+    * The RangeBinJoin rule must plan the parsed tree exactly as it
+    * plans q_range_join's DataFrame twin — RangeRuleSpec pins it
+    * NestedLoop-free. The 1.0-style literals parse as DECIMAL in
+    * both engines; the rule's bucket arithmetic casts to double
+    * either way, so the SQL face additionally exercises the
+    * decimal-bound arm of the sandwich matcher. */
+  private[graft] val SqlRangeText: String =
+    """WITH bands(band, lo, hi) AS (VALUES
+      |  ('p0', 1.0, 8.0), ('p1', 8.0, 21.0),
+      |  ('p2', 21.0, 37.0), ('p3', 37.0, 51.0))
+      |SELECT band, count(*) AS n_lines,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem JOIN bands
+      |  ON l_quantity >= lo AND l_quantity < hi
+      |GROUP BY band ORDER BY band""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q(
       "q1_agg",
@@ -380,6 +400,25 @@ object Relational {
         .agg(count(lit(1)).as("n_lines"),
           exactSum(col("l_quantity")).as("sum_qty"))
         .orderBy("band")
+    },
+
+    Q(
+      "q_sql_range",
+      "the SQL-TEXT face of the RangeBinJoin rule: q_range_join's " +
+        "naive half-open range theta join written as ONE ANSI " +
+        "string and executed through spark.sql — proving the binned " +
+        "equi-join rule fires on the parsed-SQL path exactly as on " +
+        "DataFrame trees (the q_sql_jaccard contract; pinned " +
+        "NestedLoop-free in RangeRuleSpec's sql-text test). Every " +
+        "construct is dialect-shared, so this face joins the " +
+        "q_sql_q1 BYTE-IDENTICAL contract: the oracle is the same " +
+        "Scala string. The band bounds parse as DECIMAL literals " +
+        "here (the DataFrame twin builds double lits), exercising " +
+        "the decimal-bound arm of the sandwich matcher",
+      Some(Relational.SqlRangeText),
+    ) { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      s.sql(Relational.SqlRangeText)
     },
 
     Q(

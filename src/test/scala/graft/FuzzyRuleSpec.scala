@@ -162,4 +162,21 @@ class FuzzyRuleSpec extends AnyFunSuite {
     // ("",""): 0, ("","b")/("a",""): 1, ("a","b"): 1; null rows drop.
     assert(got == Seq(("", ""), ("", "b"), ("a", ""), ("a", "b")))
   }
+
+  test("the rule fires on the spark.sql TEXT path (q_sql_fuzzy's plan)") {
+    // The q_sql_jaccard contract for edit distance: the SAME
+    // near-verbatim ANSI string q_sql_fuzzy executes must plan
+    // NestedLoop-free through the parser/analyzer path.
+    import spark.implicits._
+    Seq("widget", "widgex", "gadget", "sprocket")
+      .toDF("p_name").createOrReplaceTempView("part")
+    val q = spark.sql(graft.operators.DedupOps.SqlFuzzyText)
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"rule did not fire on the SQL-text path, plan:\n$p")
+    assert(p.contains("Generate explode"), s"blocked plan missing:\n$p")
+    // Only (widget, widgex) is within distance 1 → one 'w' rollup row.
+    val rows = q.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("w", 1L)), s"got $rows")
+  }
 }

@@ -74,4 +74,26 @@ class HammingRuleSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(viaRule == hand)
   }
+
+  test("the rule fires on the spark.sql TEXT path (q_sql_hamming's plan)") {
+    // The q_sql_jaccard contract carried to Hamming space: the SAME
+    // ANSI string q_sql_hamming executes (signature build included)
+    // must plan NestedLoop-free through the parser/analyzer path.
+    import spark.implicits._
+    Seq( // ids ≡ 0 mod 3 (the query's slice); two docs share text
+      (30L, "alpha beta gamma delta epsilon"),
+      (60L, "alpha beta gamma delta epsilon"),
+      (90L, "zeta eta theta iota kappa lambda mu nu xi"))
+      .toDF("doc_id", "text").createOrReplaceTempView("documents")
+    val q = spark.sql(graft.operators.DedupOps.SqlHammingText)
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"rule did not fire on the SQL-text path, plan:\n$p")
+    assert(p.contains("Generate explode"), s"banded plan missing:\n$p")
+    // The identical-text pair is Hamming 0 and must survive: one
+    // rollup row (hamming=0, n_pairs=1, checksum=90).
+    val rows = q.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq((0L, 1L, 90L)), s"got $rows")
+  }
 }

@@ -197,4 +197,23 @@ class IntervalRuleSpec extends AnyFunSuite {
     assert(wLong >= 20000.0 && wLong <= 80000.0,
       s"long-shift width should track ~40000s, got $wLong")
   }
+
+  test("the rule fires on the spark.sql TEXT path (q_sql_interval's plan)") {
+    // The q_sql_jaccard contract for interval overlap: the SAME ANSI
+    // string q_sql_interval executes over its view must plan
+    // NestedLoop-free through the parser/analyzer path.
+    import spark.implicits._
+    Seq( // user 1 ∩ user 2 = [750, 2000] → ov 1250 → bucket 2;
+      // user 3 overlaps nobody; same-user pairs excluded by <.
+      (1L, 0L, 2000L), (2L, 750L, 3000L), (3L, 10000L, 10100L))
+      .toDF("user_id", "st_s", "en_s")
+      .createOrReplaceTempView("sess_sql_iv")
+    val q = spark.sql(graft.operators.EventsOps.SqlIntervalText)
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"rule did not fire on the SQL-text path, plan:\n$p")
+    assert(p.contains("Generate explode"), s"binned plan missing:\n$p")
+    val rows = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((2L, 1L)), s"got $rows")
+  }
 }

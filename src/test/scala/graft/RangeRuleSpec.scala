@@ -176,4 +176,23 @@ class RangeRuleSpec extends AnyFunSuite {
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
       s"plan:\n$p")
   }
+
+  test("the rule fires on the spark.sql TEXT path (q_sql_range's plan)") {
+    // The q_sql_jaccard contract for the range rule: the SAME
+    // byte-identical ANSI string q_sql_range executes (VALUES-CTE
+    // bands, DECIMAL literal bounds) must plan NestedLoop-free.
+    import spark.implicits._
+    Seq(1.0, 5.0, 8.0, 20.0, 21.0, 37.0, 50.0, 51.0)
+      .toDF("l_quantity").createOrReplaceTempView("lineitem")
+    val q = spark.sql(graft.operators.Relational.SqlRangeText)
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"rule did not fire on the SQL-text path, plan:\n$p")
+    // Half-open [lo, hi) semantics through the parsed DECIMAL bounds:
+    // 8 lands in p1 not p0, 21 in p2 not p1, 51 drops entirely.
+    val rows = q.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq(("p0", 2L, 6L), ("p1", 2L, 28L),
+      ("p2", 1L, 21L), ("p3", 2L, 87L)), s"got $rows")
+  }
 }
