@@ -1864,6 +1864,74 @@ object DedupOps {
     },
 
     Q(
+      "q_jaccard_shingle",
+      "exact relative-Jaccard dedup at CHARACTER-SHINGLE granularity " +
+        "— the PPJoin+ suffix filter's DESIGNED regime: distinct " +
+        "char-4-gram sets (~180 shingles/doc vs the word face's ~28) " +
+        "through the SAME naive `|A∩B| >= 0.875·|A∪B|` spelling and " +
+        "the same OverlapJoinBlocking rule, whose plan-time " +
+        "median-set-size probe now sees ~360 combined tokens and " +
+        "EMITS the suffix-partition conjunct that the dense word " +
+        "corpus correctly gates OFF (the probe decision both ways is " +
+        "OverlapRuleSpec-pinned; a per-row gate instead of the probe " +
+        "measured a 15% regression on the word face — BENCH.md). " +
+        "Corpus = the doc_id % 50 slice ∪ planted first-char-" +
+        "perturbed twins (the q_cos_join fixture pattern: a one-char " +
+        "substitution moves exactly one 4-gram, J >= (n-1)/(n+1) ~ " +
+        "0.99, so every twin pair qualifies at every SF and the " +
+        "oracle's naive quadratic stays affordable). At 100 TB " +
+        "shingle sets are where exact-Jaccard verify volume lives " +
+        "(longer sets, rarer prefix tokens, fewer but costlier " +
+        "candidates) — the suffix bound prunes candidates before the " +
+        "180-compare merge walk the word face never needs",
+      Some(
+        """WITH base AS (
+          |  SELECT doc_id, lower(text) AS lt FROM documents
+          |  WHERE doc_id % 50 = 0
+          |), twins AS (
+          |  SELECT doc_id + 100000 AS doc_id, '#' || substr(lt, 2) AS lt
+          |  FROM base
+          |), t AS (
+          |  SELECT doc_id, list_distinct(list_transform(
+          |    range(1, greatest(strlen(lt) - 2, 2)),
+          |    i -> substr(lt, i, 4))) AS toks
+          |  FROM (SELECT * FROM base UNION ALL SELECT * FROM twins)
+          |)
+          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |  CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_shared,
+          |  CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS BIGINT)
+          |    AS n_union
+          |FROM t a JOIN t b
+          |  ON len(list_intersect(a.toks, b.toks))
+          |     >= 0.875 * len(list_distinct(list_concat(a.toks, b.toks)))
+          | AND a.doc_id < b.doc_id
+          |ORDER BY doc_a, doc_b""".stripMargin),
+    ) { (s, dir) =>
+      val base = Tables.documents(s, dir)
+        .filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), lower(col("text")).as("lt"))
+      val twins = base.select((col("doc_id") + lit(100000L)).as("doc_id"),
+        concat(lit("#"), expr("substring(lt, 2)")).as("lt"))
+      val t = base.unionByName(twins)
+        .select(col("doc_id"),
+          array_distinct(expr(
+            "transform(sequence(1, greatest(length(lt) - 3, 1)), " +
+              "i -> substring(lt, i, 4))")).as("toks"))
+        .localCheckpoint() // both join sides + the plan-time probe
+      val a = t.select(col("doc_id").as("doc_a"), col("toks").as("ta"))
+      val b = t.select(col("doc_id").as("doc_b"), col("toks").as("tb"))
+      a.join(b, size(array_intersect(col("ta"), col("tb")))
+          >= lit(0.875) * size(array_union(col("ta"), col("tb")))
+          && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("ta"), col("tb"))).cast("long")
+            .as("n_shared"),
+          size(array_union(col("ta"), col("tb"))).cast("long")
+            .as("n_union"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    Q(
       "q_entity_dedup",
       "END-TO-END entity resolution: fuzzy pair generation (SymSpell " +
         "deletion-neighborhood equi-join at edit distance <= 1 over " +

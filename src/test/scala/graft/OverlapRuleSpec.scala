@@ -343,4 +343,39 @@ class OverlapRuleSpec extends AnyFunSuite {
         s"t=$t must pass through, plan:\n$p")
     }
   }
+
+  test("the set-size probe decides the suffix filter BOTH ways (q_jaccard_shingle's regime)") {
+    import spark.implicits._
+    // LONG-token corpus (80 distinct tokens/row, combined median 160
+    // >= the 64 gate): the PLAN-TIME probe — no conf override — must
+    // emit the suffix-partition conjunct. Rows are cyclic 80-arcs
+    // stepping by 7 on a 120-token alphabet, so the qualifying set is
+    // hand-derivable: J >= 0.875 needs overlap >= 75, i.e. cyclic
+    // start distance <= 5, and within ids 0..19 only the shift-17
+    // pairs (7·17 ≡ 119 ≡ −1 mod 120 → overlap 79) qualify.
+    val longDocs = (0L until 20L).map { i =>
+      (i, (0 until 80).map(j => f"t${(i * 7 + j) % 120}%03d").mkString(" "))
+    }
+    val dfL = longDocs.toDF("lid", "s").select(col("lid"),
+      expr("array_distinct(split(s, ' '))").as("la")).localCheckpoint()
+    val dfR = dfL.select(col("lid").as("rid"), col("la").as("ra"))
+    val j = dfL.join(dfR, size(array_intersect(col("la"), col("ra")))
+        >= lit(0.875) * size(array_union(col("la"), col("ra")))
+        && col("lid") < col("rid"))
+    val p = j.queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
+    assert(p.contains("sorted_suffix_hamming_lb"),
+      s"probe did not engage the suffix filter on a long-token corpus:\n$p")
+    assert(j.collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+      == Seq((0L, 17L), (1L, 18L), (2L, 19L)))
+    // SHORT-token corpus (the word-face shape): same spelling, the
+    // probe must NOT emit the conjunct — the plan stays byte-free of
+    // the suffix kernel, the lesson the per-row-gated variant taught.
+    val shortJ = df(jls, "lid", "la").join(df(jrs, "rid", "ra"),
+      size(array_intersect(col("la"), col("ra")))
+        >= lit(0.75) * size(array_union(col("la"), col("ra"))))
+    val sp = shortJ.queryExecution.executedPlan.toString
+    assert(!sp.contains("sorted_suffix_hamming_lb"),
+      s"suffix filter engaged on a short-token corpus:\n$sp")
+  }
 }
