@@ -25,6 +25,18 @@ object GraftSession {
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.ui.enabled", "false")
+      // Streaming checkpoint file CHECKSUMS off (Spark 4.1 writes a
+      // sidecar checksum per checkpoint file when on): every stateful
+      // micro-batch commits shuffle.partitions × #state-stores delta
+      // files, and the sidecars double that file traffic for a
+      // corruption-detection property these SHORT-LIVED replay/bench
+      // checkpoints never cash in (scratch dirs, deleted on exit).
+      // Measured r15: the four q_stream_attrib* replay rows 53.0 →
+      // 35.9 s. A deployment with LONG-LIVED checkpoints on object
+      // storage that wants end-to-end corruption detection turns it
+      // back on (it is a plain conf override); state-store integrity
+      // itself is unaffected — delta files carry their own framing.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Engine optimizer rules are part of the session contract, active
