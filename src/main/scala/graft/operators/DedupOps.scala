@@ -361,6 +361,27 @@ object DedupOps {
       .distinct()
       .withColumn("label", col("doc_id"))
       .localCheckpoint()
+    // Convergence via EXACT label-sum (r15, the ccPointerJump
+    // discipline) when labels are integral: each round only lowers
+    // labels (min over self + neighbors), so the DECIMAL(38,0) sum is
+    // strictly decreasing until the fixpoint and equal exactly at it —
+    // one scalar agg on the checkpointed frame replaces the per-round
+    // change-detection join. Non-numeric label domains (q_entity_dedup
+    // clusters STRING entity keys) keep the join-based check: there is
+    // no exact monotone scalar for lexicographic min.
+    val numericLabels = labels.schema("label").dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal = {
+      val v = df.agg(sum(col("label").cast("decimal(38,0)"))).head().get(0)
+      if (v == null) java.math.BigDecimal.ZERO
+      else v.asInstanceOf[java.math.BigDecimal]
+    }
+    var prevSum = if (numericLabels) labelSum(labels) else null
     var converged = false
     var rounds = 0
     val maxRounds = 50
@@ -370,10 +391,16 @@ object DedupOps {
       val next = labels.unionAll(prop)
         .groupBy("doc_id").agg(min(col("label")).as("label"))
         .localCheckpoint()
-      converged = next.as("n")
-        .join(labels.as("o"), "doc_id")
-        .filter(col("n.label") =!= col("o.label"))
-        .isEmpty
+      if (numericLabels) {
+        val nextSum = labelSum(next)
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
+      } else {
+        converged = next.as("n")
+          .join(labels.as("o"), "doc_id")
+          .filter(col("n.label") =!= col("o.label"))
+          .isEmpty
+      }
       labels = next
       rounds += 1
     }

@@ -1868,43 +1868,67 @@ object GraphOps {
     df.sparkSession.createDataFrame(df.localCheckpoint().rdd, df.schema)
 
   private[graft] def boruvkaMst(undRaw: DataFrame): DataFrame = {
-    val und = undRaw.localCheckpoint()
-    val nodes = und.select(col("u").as("node"))
-      .union(und.select(col("v").as("node"))).distinct().localCheckpoint()
-    var comp = nodes.withColumn("label", col("node")).localCheckpoint()
-    var mst = und.filter(lit(false)).localCheckpoint()
-    var done = false
+    // CONTRACTED edge state (r15): each inter-component edge rides as
+    // (cu, cv | u, v, w) — current component of each endpoint plus the
+    // ORIGINAL endpoints/weight (the output identity). The r14 shape
+    // relabeled the FULL edge set against a node→component map and
+    // re-ran CC over the WHOLE forest-so-far every round; contraction
+    // replaces both with work proportional to the surviving frontier:
+    // the edge frame shrinks as components merge (intra-component
+    // rows are dropped the round they appear), and CC runs on the
+    // component graph formed by the round's CHOSEN edges only
+    // (≤ #components nodes, halving per round) instead of the
+    // accumulated forest. Labels compose transitively — cu is always
+    // the min original node id of u's current component, exactly the
+    // label the full-forest CC produced — so the chosen edge per
+    // component, and hence the MSF, is bit-identical to the r14 shape
+    // (MstSpec's planted graph + the declarative-Prim oracle gate it).
+    var ce = undRaw.select(col("u").as("cu"), col("v").as("cv"),
+        col("u"), col("v"), col("w")).localCheckpoint()
+    var mst = undRaw.select("u", "v", "w").filter(lit(false)).localCheckpoint()
+    var done = ce.isEmpty
     var r = 0
     val maxRounds = 40
     while (!done && r < maxRounds) {
-      // comp is catalog-bounded (one row per node): broadcast both
-      // relabel joins — the hint also keeps the fresh-stats leaves
-      // (default-sized, see freshStats) from forcing a sort-merge.
-      val e = und
-        .join(broadcast(comp.select(col("node").as("u"),
-          col("label").as("cu"))), "u")
-        .join(broadcast(comp.select(col("node").as("v"),
-          col("label").as("cv"))), "v")
-        .filter(col("cu") =!= col("cv"))
-        .localCheckpoint() // read twice: the emptiness probe + both unions
-      if (e.isEmpty) done = true
-      else {
-        val cand = e.select(col("cu").as("c"), col("w"), col("u"), col("v"))
-          .unionAll(e.select(col("cv").as("c"), col("w"), col("u"), col("v")))
-        val chosen = cand.groupBy("c")
-          .agg(min(struct(col("w"), col("u"), col("v"))).as("m"))
-          .select(col("m.u").as("u"), col("m.v").as("v"), col("m.w").as("w"))
-          .distinct() // both sides of a merge may pick the same edge
-        mst = freshStats(mst.unionAll(chosen))
-        val (lab, _) = ccPointerJump(freshStats(mst.select("u", "v")))
-        comp = freshStats(nodes.join(lab, Seq("node"), "left")
-          .select(col("node"),
-            coalesce(col("label"), col("node")).as("label")))
-      }
+      val cand = ce.select(col("cu").as("c"), col("w"), col("u"), col("v"),
+          col("cu"), col("cv"))
+        .unionAll(ce.select(col("cv").as("c"), col("w"), col("u"), col("v"),
+          col("cu"), col("cv")))
+      // min(struct) orders on (w, u, v) first — the total order that
+      // makes the MSF unique; cu/cv tag along for the contraction
+      // graph. distinct(): both sides of a merge may pick the same
+      // edge (same 5-tuple — (w, u, v) is already unique per edge).
+      val chosen = cand.groupBy("c")
+        .agg(min(struct(col("w"), col("u"), col("v"),
+          col("cu"), col("cv"))).as("m"))
+        .select(col("m.w").as("w"), col("m.u").as("u"), col("m.v").as("v"),
+          col("m.cu").as("cu"), col("m.cv").as("cv"))
+        .distinct()
+        .localCheckpoint() // read 3×: mst append + CC + sanity of size
+      mst = freshStats(mst.unionAll(chosen.select("u", "v", "w")))
+      // CC over the component graph: nodes are component ids (each the
+      // min original id of its component), so the min-label CC yields
+      // the merged component's min id — label composition stays exact.
+      val (lab, _) = ccPointerJump(
+        chosen.select(col("cu").as("u"), col("cv").as("v")))
+      // Every cu/cv in ce has at least this edge, so its component
+      // picked a chosen edge and appears in the contraction graph; the
+      // left+coalesce is a belt, not a semantic branch. lab is
+      // component-count-sized: broadcast both relabel joins.
+      val lu = broadcast(lab.select(col("node").as("cu"), col("label").as("lu")))
+      val lv = broadcast(lab.select(col("node").as("cv"), col("label").as("lv")))
+      ce = freshStats(ce.join(lu, Seq("cu"), "left").join(lv, Seq("cv"), "left")
+        .select(coalesce(col("lu"), col("cu")).as("cu"),
+          coalesce(col("lv"), col("cv")).as("cv"),
+          col("u"), col("v"), col("w"))
+        .filter(col("cu") =!= col("cv")))
+      done = ce.isEmpty
       r += 1
     }
     if (!done) throw new IllegalStateException(
       s"boruvkaMst: not converged in $maxRounds rounds")
+    if (sys.env.contains("GRAFT_DEBUG_ROUNDS"))
+      System.err.println(s"[boruvkaMst] rounds=$r")
     mst
   }
 
@@ -2185,6 +2209,19 @@ object GraphOps {
       .distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
+    // Convergence via EXACT label-sum (r15): every step only ever
+    // LOWERS a node's label (min over self + neighbors, then the jump
+    // to label(label) ≤ label), so the decimal sum of labels is
+    // strictly decreasing until the fixpoint and equal exactly at it —
+    // one scalar agg over the already-checkpointed frame replaces the
+    // r14 per-round change-detection join. DECIMAL(38,0) keeps the sum
+    // exact at any node-id magnitude (no float, no overflow wrap).
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val v = df.agg(sum(col("label").cast("decimal(38,0)"))).head().get(0)
+      if (v == null) java.math.BigDecimal.ZERO
+      else v.asInstanceOf[java.math.BigDecimal]
+    }
+    var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
     val maxRounds = 50
@@ -2204,15 +2241,16 @@ object GraphOps {
           col("label").as("jump")).as("y"), "label")
         .select(col("node"), col("jump").as("label"))
         .localCheckpoint()
-      converged = next.as("n")
-        .join(labels.as("o"), "node")
-        .filter(col("n.label") =!= col("o.label"))
-        .isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       rounds += 1
     }
     if (!converged) throw new IllegalStateException(
       s"ccPointerJump: not converged after $maxRounds rounds")
+    if (sys.env.contains("GRAFT_DEBUG_ROUNDS"))
+      System.err.println(s"[ccPointerJump] rounds=$rounds")
     (labels, rounds)
   }
 }
