@@ -1644,11 +1644,22 @@ object GraphOps {
         .groupBy("wa", "wb").agg(count(lit(1)).as("sup"))
     }
     var e = edges0.select("wa", "wb").localCheckpoint()
-    for (_ <- 1 to rounds) {
+    // Early exit at the FIXPOINT (r15): rounds only ever REMOVE edges,
+    // so an unchanged count means an unchanged edge set, and every
+    // remaining budgeted round provably no-ops on it — skipping them
+    // skips their full triangle-support joins while the result stays
+    // bit-identical to the unrolled oracle (which also no-ops there).
+    // The count rides the just-checkpointed frame (one tiny job).
+    var prev = e.count()
+    var settled = false
+    for (_ <- 1 to rounds if !settled) {
       e = e.join(support(e), Seq("wa", "wb"), "left")
         .filter(coalesce(col("sup"), lit(0L)) >= k - 2)
         .select("wa", "wb")
         .localCheckpoint()
+      val n = e.count()
+      settled = n == prev
+      prev = n
     }
     support(e).select(col("wa"), col("wb"), col("sup").as("support"))
       .orderBy("wa", "wb")
@@ -1987,7 +1998,16 @@ object GraphOps {
         .select(lit(round.toLong).as("round"), col("n_nodes"), col("n_edges"))
     var edges = und
     var trace = traceRow(0, edges)
-    for (i <- 1 to KcoreRounds) {
+    // Early exit at the FIXPOINT (r15): the peel only ever removes
+    // edges, so an unchanged count means an unchanged edge set and
+    // every later round provably reproduces it — their trace rows are
+    // synthesized from the settled frame (same aggregates, new round
+    // literal) without re-running the degree agg + semi-join pair.
+    // Bit-identical to the fully unrolled oracle trace.
+    var prev = edges.count()
+    var i = 1
+    var settled = false
+    while (i <= KcoreRounds && !settled) {
       val keep = edges
         .select(explode(array(col("u"), col("v"))).as("node"), col("w"))
         .groupBy("node").agg(sum("w").as("dw"))
@@ -2000,7 +2020,12 @@ object GraphOps {
         .select("u", "v", "w")
         .localCheckpoint()
       trace = trace.unionAll(traceRow(i, edges))
+      val n = edges.count()
+      settled = n == prev
+      prev = n
+      i += 1
     }
+    for (j <- i to KcoreRounds) trace = trace.unionAll(traceRow(j, edges))
     trace.orderBy("round")
   }
 
@@ -2141,9 +2166,20 @@ object GraphOps {
         trims += 1
       }
       if (!remaining.isEmpty) {
-        // (2) COLOR: max ancestor id, forward fixpoint.
+        // (2) COLOR: max ancestor id, forward fixpoint. Convergence by
+        // EXACT color-sum (r15, the ccPointerJump discipline): max over
+        // self + ancestors only ever RAISES a color, so the
+        // DECIMAL(38,0) sum strictly increases until the fixpoint and
+        // is equal exactly at it — one scalar agg on the checkpointed
+        // frame instead of a per-round change-detection join.
+        def colorSum(df: DataFrame): java.math.BigDecimal = {
+          val v = df.agg(sum(col("c").cast("decimal(38,0)"))).head().get(0)
+          if (v == null) java.math.BigDecimal.ZERO
+          else v.asInstanceOf[java.math.BigDecimal]
+        }
         var colors = remaining.select(col("node"), col("node").as("c"))
           .localCheckpoint()
+        var prevColorSum = colorSum(colors)
         var moved = true
         var r = 0
         while (moved && r < SccMaxRounds) {
@@ -2153,8 +2189,9 @@ object GraphOps {
           val next = colors.select("node", "c").unionAll(prop)
             .groupBy("node").agg(max(col("c")).as("c"))
             .localCheckpoint()
-          moved = !next.as("n").join(colors.as("o"), "node")
-            .filter(col("n.c") =!= col("o.c")).isEmpty
+          val s = colorSum(next)
+          moved = s.compareTo(prevColorSum) != 0
+          prevColorSum = s
           colors = next
           r += 1
         }
@@ -2171,6 +2208,9 @@ object GraphOps {
           .localCheckpoint()
         var inScc = colors.filter(col("node") === col("c"))
           .select(col("node"), col("c")).localCheckpoint()
+        // The sweep only ever ADDS rows; carry the previous count
+        // forward instead of recounting the old frame every round.
+        var prevInScc = inScc.count()
         moved = true
         r = 0
         while (moved && r < SccMaxRounds) {
@@ -2179,7 +2219,9 @@ object GraphOps {
               && col("s.c") === col("e.c"))
             .select(col("e.src").as("node"), col("s.c").as("c"))
           val next = inScc.unionAll(prop).distinct().localCheckpoint()
-          moved = next.count() != inScc.count()
+          val n = next.count()
+          moved = n != prevInScc
+          prevInScc = n
           inScc = next
           r += 1
         }
