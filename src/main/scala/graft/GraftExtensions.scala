@@ -203,5 +203,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // spark.graft.cosine_band_join.enabled (the in-code seam is
     // graft.plans.CosineBandJoin.register).
     ext.injectOptimizerRule(_ => graft.plans.CosineBandJoin)
+    // Re-run column pruning after the graft rewrites (see
+    // GraftSession): injected rules execute after the optimizer's own
+    // ColumnPruning pass, so the rewrites' orphaned columns (raw token
+    // arrays the verify replaced with sorted copies) would otherwise
+    // ride the candidate joins to the top of the plan.
+    ext.injectOptimizerRule(_ =>
+      org.apache.spark.sql.catalyst.optimizer.ColumnPruning)
+    ext.injectOptimizerRule(_ =>
+      org.apache.spark.sql.catalyst.optimizer.CollapseProject)
   }
 }

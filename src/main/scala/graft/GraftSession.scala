@@ -50,6 +50,21 @@ object GraftSession {
     graft.plans.RangeBinJoin.register(spark)
     graft.plans.IntervalOverlapJoin.register(spark)
     graft.plans.CosineBandJoin.register(spark)
+    // Re-run column pruning AFTER the graft rewrites (r15): user-
+    // provided rules execute in a fixpoint batch that runs once the
+    // main operatorOptimization batch (incl. ColumnPruning) is done,
+    // so columns the rewrites orphan — e.g. the RAW token arrays the
+    // overlap rule's verify no longer touches once it swapped in the
+    // sorted copies — were riding the exploded candidate join to the
+    // top. Appending Spark's own ColumnPruning + CollapseProject to
+    // the same fixpoint batch strips them: q_jaccard_join's candidate
+    // rows shed both raw arrays (plan: join payload 15 -> 9 columns).
+    // Pure plan hygiene — results are untouched (the full oracle
+    // sweep re-gates every rule family).
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations ++ Seq(
+        org.apache.spark.sql.catalyst.optimizer.ColumnPruning,
+        org.apache.spark.sql.catalyst.optimizer.CollapseProject)
     // cosine_sim itself registers eagerly too: the CosineBandJoin
     // rule matches the expression, so it must resolve in any session
     // the rules are active in (not just after an ANN query ran).
