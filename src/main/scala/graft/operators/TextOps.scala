@@ -420,9 +420,15 @@ object TextOps {
     }.toMap
     val Inf = 9999L
     var st = words.withColumn("dps", array(lit(0L)))
+    // One-time loop bound instead of a per-round longer-word probe —
+    // see ugViterbiEmits (r15): rounds past the longest word CASE
+    // every row through unchanged, so stopping at maxLen is
+    // result-identical and saves one filter+isEmpty job per round.
+    val maxLen = Option(
+        words.agg(max(length(col("w")))).head().get(0))
+      .map(_.asInstanceOf[Number].intValue()).getOrElse(0)
     var j = 1
-    var maxLenDone = false
-    while (j <= WpMaxSteps && !maxLenDone) {
+    while (j <= math.min(WpMaxSteps, maxLen)) {
       // Piece of length L ends at char j ⇔ it is substr(w, j-L+1, L).
       var m = st
       if (j >= 2) m = m.join(pTab(2), col("p2") === col("w").substr(j - 1, 2), "left")
@@ -440,11 +446,6 @@ object TextOps {
             .otherwise(col("dps")))
         .select("w", "freq", "dps")
         .localCheckpoint()
-      // Early exit once j passes the longest word: the remaining
-      // rounds would CASE every row through unchanged (the unrolled
-      // oracle's extra d_j CTEs are those no-ops). One tiny agg on
-      // the checkpointed vocab-bounded state.
-      maxLenDone = st.filter(length(col("w")) > j).isEmpty
       j += 1
     }
     st.select(col("w"), col("freq"),
@@ -663,9 +664,17 @@ object TextOps {
     var st = words
       .withColumn("dps", array(lit(0L)))
       .withColumn("bps", array(lit(0L))) // bps[1] unused
+    // Loop bound = the longest word, computed ONCE up front (r15): the
+    // r14 shape probed `still a longer word?` with a per-round filter
+    // + isEmpty job; the bound is a static property of the vocab frame,
+    // so one tiny agg replaces maxLen probe jobs. Rounds past maxLen
+    // were provably no-ops (every row CASEs through unchanged), so the
+    // state — and the unrolled oracle equivalence — is untouched.
+    val maxLen = Option(
+        words.agg(max(length(col("w")))).head().get(0))
+      .map(_.asInstanceOf[Number].intValue()).getOrElse(0)
     var j = 1
-    var maxLenDone = false
-    while (j <= WpMaxSteps && !maxLenDone) {
+    while (j <= math.min(WpMaxSteps, maxLen)) {
       var m = st.join(pTab(1), col("p1") === col("w").substr(j, 1), "left")
       for (l <- 2 to 4 if l <= j)
         m = m.join(pTab(l), col(s"p$l") === col("w").substr(j - l + 1, l), "left")
@@ -689,7 +698,6 @@ object TextOps {
         .select(col("w"), col("freq"),
           col("ndps").as("dps"), col("nbps").as("bps"))
         .localCheckpoint()
-      maxLenDone = st.filter(length(col("w")) > j).isEmpty
       j += 1
     }
     // Backward walk: pos = prefix length; chosen piece ends at pos.
