@@ -46,7 +46,14 @@ object Bench {
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }
       // A failed query must read as a failure (-1.0), never as a fast time.
-      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      // OUTSIDE the timed region: drop the finished query's cached /
+      // localCheckpointed blocks so later slots never pay this slot's
+      // leaked storage (eviction churn — see GraftSession doc; r16).
+      // Each query still computes everything from parquet inside its
+      // own timed window, so timings stay comparable round-over-round.
+      GraftSession.releaseCachedBlocks(spark)
+      sec
     }
     // Refuted spikes keep BOTH numbers — [raw first run, kept min] —
     // so the discarded measurement stays auditable in the artifact

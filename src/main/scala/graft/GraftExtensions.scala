@@ -203,14 +203,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // spark.graft.cosine_band_join.enabled (the in-code seam is
     // graft.plans.CosineBandJoin.register).
     ext.injectOptimizerRule(_ => graft.plans.CosineBandJoin)
-    // Re-run column pruning after the graft rewrites (see
-    // GraftSession): injected rules execute after the optimizer's own
-    // ColumnPruning pass, so the rewrites' orphaned columns (raw token
-    // arrays the verify replaced with sorted copies) would otherwise
-    // ride the candidate joins to the top of the plan.
-    ext.injectOptimizerRule(_ =>
-      org.apache.spark.sql.catalyst.optimizer.ColumnPruning)
-    ext.injectOptimizerRule(_ =>
-      org.apache.spark.sql.catalyst.optimizer.CollapseProject)
+    // NOTE (r16): r15 additionally injected Spark's ColumnPruning +
+    // CollapseProject here to strip columns the rewrites orphan.
+    // Reverted — the pruning rules reshape the rewrites' output every
+    // fixpoint iteration, the fired-guards stop recognizing their own
+    // output, and planning explodes (see GraftSession for the
+    // measured A/B). The rewrites project their own output instead.
   }
 }

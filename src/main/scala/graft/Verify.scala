@@ -20,6 +20,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Between queries: drop the finished query's cached blocks so the
+      // 404-query sweep doesn't snowball storage (see GraftSession doc).
+      GraftSession.releaseCachedBlocks(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

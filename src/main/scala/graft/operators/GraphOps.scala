@@ -1894,7 +1894,12 @@ object GraphOps {
     // label the full-forest CC produced — so the chosen edge per
     // component, and hence the MSF, is bit-identical to the r14 shape
     // (MstSpec's planted graph + the declarative-Prim oracle gate it).
-    var ce = undRaw.select(col("u").as("cu"), col("v").as("cv"),
+    // Self-loops can never join components: drop them up front (the
+    // current caller, undirectedWeighted, already filters u =!= v, but
+    // a future caller's self-loop would otherwise be picked as its
+    // component's min edge in round 1 and emitted into the MSF).
+    var ce = undRaw.filter(col("u") =!= col("v"))
+      .select(col("u").as("cu"), col("v").as("cv"),
         col("u"), col("v"), col("w")).localCheckpoint()
     var mst = undRaw.select("u", "v", "w").filter(lit(false)).localCheckpoint()
     var done = ce.isEmpty
@@ -1915,7 +1920,7 @@ object GraphOps {
         .select(col("m.w").as("w"), col("m.u").as("u"), col("m.v").as("v"),
           col("m.cu").as("cu"), col("m.cv").as("cv"))
         .distinct()
-        .localCheckpoint() // read 3×: mst append + CC + sanity of size
+        .localCheckpoint() // read 2×: mst append + contraction CC
       mst = freshStats(mst.unionAll(chosen.select("u", "v", "w")))
       // CC over the component graph: nodes are component ids (each the
       // min original id of its component), so the min-label CC yields

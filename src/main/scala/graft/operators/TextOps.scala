@@ -360,46 +360,55 @@ object TextOps {
     }.reduce(_ union _).groupBy("g").agg(sum(col("freq")).as("n"))
 
   /** One greedy longest-match pass over every distinct word: the
-    * emitted (w, freq, piece) stream across [[WpMaxSteps]] unrolled
-    * rounds (each round advances every in-flight word by exactly one
-    * piece; the piece tables broadcast). q_wordpiece_encode aggregates
-    * it per piece; q_tok_optimal per word. The state is
-    * word-vocab-bounded; the checkpoint per round cuts the 16-round
-    * lineage exactly like trainBpe's rounds. */
+    * emitted (w, freq, piece) stream, [[WpMaxSteps]]-bounded exactly
+    * like the oracle's unrolled CTEs. q_wordpiece_encode aggregates
+    * it per piece; q_tok_optimal per word.
+    *
+    * r16 shape (guide §1.2 step 1): the r15 loop ran 2 Spark jobs per
+    * round (emit checkpoint + state checkpoint) plus an isEmpty probe
+    * — ~35 tiny jobs for a walk whose lookup side is a BOUNDED set
+    * (top-[[WpPieceK]] grams). The whole walk is now ONE per-row
+    * `aggregate` HOF against that set carried as a single broadcast
+    * map column: zero joins, zero checkpoints, one job. Equivalence
+    * with the length-stratified join tables is exact because a probe
+    * string of length L can only EQUAL a piece of length L — the
+    * coalesce(p4, p3, p2, char) choice resolves to the same string
+    * either way (a short word-tail probe truncates, and the truncated
+    * string still only matches its own length). TokOptimalSpec's
+    * planted trap + the unrolled oracle gate it. */
   private[graft] def wpGreedyEmits(
       words: org.apache.spark.sql.DataFrame,
       pieces: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val pTab = (2 to 4).map { l =>
-      l -> broadcast(pieces.filter(length(col("piece")) === l)
-        .select(col("piece").as(s"p$l")))
-    }.toMap
-    def probe(l: Int) = col("w").substr((col("pos") + 1).cast("int"), lit(l))
-    var st = words.withColumn("pos", lit(0L))
-    val emits = scala.collection.mutable.Buffer[org.apache.spark.sql.DataFrame]()
-    var step = 0
-    // Early exit once every word has finished: each remaining round
-    // would run three joins and a checkpoint over an empty state (the
-    // unrolled oracle's extra rounds are no-ops on empty CTEs, so
-    // stopping is result-identical). The probe is a count on the
-    // already-checkpointed vocab-bounded state.
-    while (step < WpMaxSteps && !st.isEmpty) {
-      val m = st
-        .join(pTab(4), col("p4") === probe(4), "left")
-        .join(pTab(3), col("p3") === probe(3), "left")
-        .join(pTab(2), col("p2") === probe(2), "left")
-        .withColumn("piece",
-          coalesce(col("p4"), col("p3"), col("p2"), probe(1)))
-      emits += m.select("w", "freq", "piece").localCheckpoint()
-      st = m.filter(col("pos") + length(col("piece")) < length(col("w")))
-        .select(col("w"), col("freq"),
-          (col("pos") + length(col("piece"))).cast("long").as("pos"))
-        .localCheckpoint()
-      step += 1
-    }
-    if (emits.isEmpty) words.withColumn("piece", lit(null).cast("string"))
-      .select("w", "freq", "piece").filter(lit(false))
-    else emits.reduce(_ union _)
+    val pset = broadcast(pieces.agg(
+      map_from_entries(collect_list(struct(col("piece"), lit(true))))
+        .as("pset")))
+    def has(c: Column): Column = try_element_at(col("pset"), c).isNotNull
+    val init = struct(
+      lit(0L).as("pos"),
+      array().cast("array<string>").as("ps"),
+      lit(true).as("act"))
+    val walk = aggregate(
+      sequence(lit(1), lit(WpMaxSteps)),
+      init,
+      (st, _) => {
+        val pos = st.getField("pos")
+        def probe(l: Int) = col("w").substr((pos + 1).cast("int"), lit(l))
+        val piece = coalesce(
+          when(has(probe(4)), probe(4)),
+          when(has(probe(3)), probe(3)),
+          when(has(probe(2)), probe(2)),
+          probe(1))
+        val npos = (pos + length(piece)).cast("long")
+        when(st.getField("act"), struct(
+          npos.as("pos"),
+          concat(st.getField("ps"), array(piece)).as("ps"),
+          (npos < length(col("w"))).as("act")))
+          .otherwise(st)
+      })
+    words.crossJoin(pset)
+      .select(col("w"), col("freq"),
+        explode(walk.getField("ps")).as("piece"))
   }
 
   /** q_tok_optimal: exact MINIMUM-piece segmentation of every word
@@ -414,42 +423,41 @@ object TextOps {
       words: org.apache.spark.sql.DataFrame,
       pieces: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val pTab = (2 to 4).map { l =>
-      l -> broadcast(pieces.filter(length(col("piece")) === l)
-        .select(col("piece").as(s"p$l")))
-    }.toMap
+    // r16 shape (guide §1.2 step 1): the r15 loop checkpointed one
+    // Spark job per DP position (~16 jobs + a maxLen probe) to probe
+    // a BOUNDED piece set (top-WpPieceK grams). The whole DP is now
+    // ONE per-row `aggregate` HOF against the set carried as a single
+    // broadcast map column — zero joins, one job. Rounds past len(w)
+    // gate through unchanged per row (the same CASE the loop used),
+    // so the static WpMaxSteps bound replaces the maxLen probe job.
+    // Within j ≤ len(w) every probe substring is exactly L chars, so
+    // the mixed-length set lookup equals the length-stratified join
+    // (a string only EQUALS a piece of its own length); the unrolled
+    // oracle + TokOptimalSpec gate equivalence.
+    val pset = broadcast(pieces.agg(
+      map_from_entries(collect_list(struct(col("piece"), lit(true))))
+        .as("pset")))
+    def has(c: Column): Column = try_element_at(col("pset"), c).isNotNull
     val Inf = 9999L
-    var st = words.withColumn("dps", array(lit(0L)))
-    // One-time loop bound instead of a per-round longer-word probe —
-    // see ugViterbiEmits (r15): rounds past the longest word CASE
-    // every row through unchanged, so stopping at maxLen is
-    // result-identical and saves one filter+isEmpty job per round.
-    val maxLen = Option(
-        words.agg(max(length(col("w")))).head().get(0))
-      .map(_.asInstanceOf[Number].intValue()).getOrElse(0)
-    var j = 1
-    while (j <= math.min(WpMaxSteps, maxLen)) {
-      // Piece of length L ends at char j ⇔ it is substr(w, j-L+1, L).
-      var m = st
-      if (j >= 2) m = m.join(pTab(2), col("p2") === col("w").substr(j - 1, 2), "left")
-      if (j >= 3) m = m.join(pTab(3), col("p3") === col("w").substr(j - 2, 3), "left")
-      if (j >= 4) m = m.join(pTab(4), col("p4") === col("w").substr(j - 3, 4), "left")
-      val cands = Seq(element_at(col("dps"), j) + 1) ++
-        (2 to 4).filter(_ <= j).map { l =>
-          when(col(s"p$l").isNotNull, element_at(col("dps"), j - l + 1) + 1)
-            .otherwise(lit(Inf))
-        }
-      val dpj = cands.reduce(least(_, _))
-      st = m
-        .withColumn("dps",
-          when(length(col("w")) >= j, concat(col("dps"), array(dpj)))
-            .otherwise(col("dps")))
-        .select("w", "freq", "dps")
-        .localCheckpoint()
-      j += 1
-    }
-    st.select(col("w"), col("freq"),
-      element_at(col("dps"), length(col("w")) + 1).as("opt_pieces"))
+    val dps = aggregate(
+      sequence(lit(1), lit(WpMaxSteps)),
+      array(lit(0L)).cast("array<bigint>"),
+      (dps, j) => {
+        // Piece of length L ends at char j ⇔ it is substr(w, j-L+1, L).
+        val cands = Seq(element_at(dps, j.cast("int")) + 1) ++
+          (2 to 4).map { l =>
+            when(lit(l) <= j
+              && has(col("w").substr((j - l + 1).cast("int"), lit(l))),
+              element_at(dps, (j - l + 1).cast("int")) + 1)
+              .otherwise(lit(Inf))
+          }
+        val dpj = cands.reduce(least(_, _))
+        when(length(col("w")) >= j, concat(dps, array(dpj)))
+          .otherwise(dps)
+      })
+    words.crossJoin(pset)
+      .select(col("w"), col("freq"),
+        element_at(dps, length(col("w")) + 1).as("opt_pieces"))
   }
 
   /** DuckDB twin of [[bm25Agg]]: CTE chain ending in
@@ -651,73 +659,80 @@ object TextOps {
     * [[WpMaxSteps]] unrolled rounds against four broadcast piece
     * tables; then an unrolled BACKWARD walk follows the backpointers
     * from len(w), emitting one (w, freq, piece) row per chosen piece.
-    * State stays word-vocab-bounded throughout; each round
-    * checkpoints (the wpGreedyEmits discipline). */
+    * State stays word-vocab-bounded throughout; both passes run as
+    * single per-row aggregate HOFs (the wpGreedyEmits discipline). */
   private[graft] def ugViterbiEmits(
       words: org.apache.spark.sql.DataFrame,
       inv: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val pTab = (1 to 4).map { l =>
-      l -> broadcast(inv.filter(length(col("piece")) === l)
-        .select(col("piece").as(s"p$l"), col("lp6").as(s"lp$l")))
-    }.toMap
-    var st = words
-      .withColumn("dps", array(lit(0L)))
-      .withColumn("bps", array(lit(0L))) // bps[1] unused
-    // Loop bound = the longest word, computed ONCE up front (r15): the
-    // r14 shape probed `still a longer word?` with a per-round filter
-    // + isEmpty job; the bound is a static property of the vocab frame,
-    // so one tiny agg replaces maxLen probe jobs. Rounds past maxLen
-    // were provably no-ops (every row CASEs through unchanged), so the
-    // state — and the unrolled oracle equivalence — is untouched.
-    val maxLen = Option(
-        words.agg(max(length(col("w")))).head().get(0))
-      .map(_.asInstanceOf[Number].intValue()).getOrElse(0)
-    var j = 1
-    while (j <= math.min(WpMaxSteps, maxLen)) {
-      var m = st.join(pTab(1), col("p1") === col("w").substr(j, 1), "left")
-      for (l <- 2 to 4 if l <= j)
-        m = m.join(pTab(l), col(s"p$l") === col("w").substr(j - l + 1, l), "left")
-      def cand(l: Int): Column =
-        if (l > j) lit(UgNegInf)
-        else when(col(s"p$l").isNotNull,
-          element_at(col("dps"), j - l + 1) + col(s"lp$l"))
-          .otherwise(lit(UgNegInf))
-      val cands = (1 to 4).map(cand)
-      val bs = cands.reduce(greatest(_, _))
-      // Ties prefer the longer piece: probe L = 4 first.
-      val bl = when(cand(4) === bs, 4L).when(cand(3) === bs, 3L)
-        .when(cand(2) === bs, 2L).otherwise(1L)
-      st = m
-        .withColumn("ndps",
-          when(length(col("w")) >= j, concat(col("dps"), array(bs)))
-            .otherwise(col("dps")))
-        .withColumn("nbps",
-          when(length(col("w")) >= j, concat(col("bps"), array(bl)))
-            .otherwise(col("bps")))
-        .select(col("w"), col("freq"),
-          col("ndps").as("dps"), col("nbps").as("bps"))
-        .localCheckpoint()
-      j += 1
-    }
+    // r16 shape (guide §1.2 step 1): the r14/r15 loop ran one
+    // checkpointed Spark job per forward DP position plus one
+    // checkpoint + isEmpty pair per backward step (~45 tiny jobs per
+    // pass, ×2 in q_vocab_prune) to probe a BOUNDED inventory
+    // (top-WpPieceK grams + observed chars). Both the forward DP and
+    // the backward walk are now per-row `aggregate` HOFs against the
+    // inventory carried as one broadcast piece→lp6 map column — zero
+    // joins, zero checkpoints, one job per pass. Everything else is
+    // UNCHANGED expression-for-expression: the exact-BIGINT lp6
+    // sums, the NegInf absent-piece sentinel, the longer-piece tie
+    // break (probe L=4 first), the length(w)>=j round gating (which
+    // also guarantees every in-range probe substring is exactly L
+    // chars, so the mixed-length map lookup equals the r15
+    // length-stratified join tables — a string only EQUALS a piece
+    // of its own length), and the WpMaxSteps bound. UnigramSpec's
+    // sequential reference + the unrolled oracle gate equivalence.
+    val pmap = broadcast(inv.agg(
+      map_from_entries(collect_list(struct(col("piece"), col("lp6"))))
+        .as("pmap")))
+    val fwd = aggregate(
+      sequence(lit(1), lit(WpMaxSteps)),
+      struct(
+        array(lit(0L)).cast("array<bigint>").as("dps"),
+        array(lit(0L)).cast("array<bigint>").as("bps")), // bps[1] unused
+      (st, j) => {
+        val dps = st.getField("dps")
+        def lkp(l: Int): Column = try_element_at(col("pmap"),
+          col("w").substr((j - l + 1).cast("int"), lit(l)))
+        def cand(l: Int): Column =
+          when(lit(l) <= j && lkp(l).isNotNull,
+            element_at(dps, (j - l + 1).cast("int")) + lkp(l))
+            .otherwise(lit(UgNegInf))
+        val cands = (1 to 4).map(cand)
+        val bs = cands.reduce(greatest(_, _))
+        // Ties prefer the longer piece: probe L = 4 first.
+        val bl = when(cand(4) === bs, 4L).when(cand(3) === bs, 3L)
+          .when(cand(2) === bs, 2L).otherwise(1L)
+        when(length(col("w")) >= j, struct(
+          concat(dps, array(bs)).as("dps"),
+          concat(st.getField("bps"), array(bl)).as("bps")))
+          .otherwise(st)
+      })
     // Backward walk: pos = prefix length; chosen piece ends at pos.
-    var bt = st.select(col("w"), col("freq"), col("bps"),
-      length(col("w")).cast("long").as("pos"))
-    val emits = scala.collection.mutable.Buffer[org.apache.spark.sql.DataFrame]()
-    var step = 0
-    while (step < WpMaxSteps && !bt.isEmpty) {
-      val l = element_at(col("bps"), (col("pos") + 1).cast("int"))
-      val e = bt.select(col("w"), col("freq"), col("bps"),
-        col("w").substr((col("pos") - l + 1).cast("int"), l.cast("int"))
-          .as("piece"),
-        (col("pos") - l).as("npos"))
-        .localCheckpoint()
-      emits += e.select("w", "freq", "piece")
-      bt = e.filter(col("npos") > 0)
-        .select(col("w"), col("freq"), col("bps"), col("npos").as("pos"))
-      step += 1
-    }
-    emits.reduce(_ union _)
+    // bps rides the accumulator so the forward DP is evaluated once
+    // (in the seed), not once per step.
+    val walk = aggregate(
+      sequence(lit(1), lit(WpMaxSteps)),
+      struct(
+        length(col("w")).cast("long").as("pos"),
+        fwd.getField("bps").as("bps"),
+        array().cast("array<string>").as("ps"),
+        lit(true).as("act")),
+      (st, _) => {
+        val pos = st.getField("pos")
+        val l = element_at(st.getField("bps"), (pos + 1).cast("int"))
+        val piece =
+          col("w").substr((pos - l + 1).cast("int"), l.cast("int"))
+        val npos = pos - l
+        when(st.getField("act"), struct(
+          npos.as("pos"),
+          st.getField("bps").as("bps"),
+          concat(st.getField("ps"), array(piece)).as("ps"),
+          (npos > 0).as("act")))
+          .otherwise(st)
+      })
+    words.crossJoin(pmap)
+      .select(col("w"), col("freq"),
+        explode(walk.getField("ps")).as("piece"))
   }
 
   /** q_span_mask: token positions p with p % SpanCycle in
@@ -2542,9 +2557,9 @@ object TextOps {
         "where a smarter matcher would shrink the training token " +
         "bill). The dp prefix array rides each word's row as an " +
         s"array column through $WpMaxSteps rounds probing the same " +
-        "broadcast piece tables as the greedy pass — state is " +
+        "broadcast piece set as the greedy pass — state is " +
         "word-VOCAB-bounded (the corpus is read once for the word " +
-        "agg), rounds are checkpointed, and both engines run the " +
+        "agg), the DP is one per-row pass, and both engines run the " +
         "identical recurrence (the oracle unrolls it as list_append " +
         "CTEs), so at 100 TB the cost is rounds × a vocab-sized " +
         "broadcast probe — corpus token positions are never touched",
@@ -2649,8 +2664,8 @@ object TextOps {
         "integer grid per piece, so the entire DP — sums, argmax, " +
         "ties — runs in EXACT BIGINT arithmetic that parallelism " +
         "cannot drift. State is word-vocab-bounded throughout " +
-        "(corpus read once for the word agg); every round probes " +
-        "four broadcast piece tables and checkpoints. Output: per " +
+        "(corpus read once for the word agg); the DP probes one " +
+        "broadcast piece\u2192lp6 map in a single per-row pass. Output: per " +
         "piece, prior count, Viterbi count, renormalized probability",
       Some {
         s"""WITH $ugHeadSql, inv AS MATERIALIZED (
@@ -2689,8 +2704,8 @@ object TextOps {
         "LL = Σ viterbi_n(piece)·lp6(piece) folds in EXACT BIGINT " +
         "(the path-sum identity), so even the objective is " +
         "drift-free; both Viterbi passes are the q_unigram_viterbi " +
-        "machinery (word-vocab-bounded state, broadcast piece " +
-        "tables, checkpointed rounds ×2). The oracle runs the " +
+        "machinery (word-vocab-bounded state, one broadcast piece " +
+        "map, one per-row DP pass each). The oracle runs the " +
         "entire two-pass chain as one suffixed CTE program",
       Some {
         s"""WITH $ugHeadSql, inva AS MATERIALIZED (
