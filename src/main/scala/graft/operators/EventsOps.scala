@@ -8741,22 +8741,37 @@ object EventsOps {
   private[graft] def markovAbsorbKeyed(probs: DataFrame, keys: Seq[String],
       target: String, steps: Int): DataFrame = {
     val kCols = keys.map(col)
-    var pk = probs.select(kCols :+ col("src").as("state"): _*).distinct()
-      .withColumn("pa", lit(0.0))
-    for (_ <- 1 to steps) {
-      pk = probs
-        .join(pk.select(
-            kCols :+ col("state").as("dst") :+ col("pa").as("pprev"): _*),
-          keys :+ "dst", "left")
-        .select(kCols :+ col("src") :+
-          (col("p") * when(col("dst") === target, lit(1.0))
-            .otherwise(coalesce(col("pprev"), lit(0.0)))).as("c"): _*)
-        .groupBy(kCols :+ col("src"): _*)
-        .agg(round(sum(col("c")), 9).as("pa"))
-        .withColumnRenamed("src", "state")
-        .localCheckpoint()
-    }
-    pk
+    // r16 shape (guide §1.2 step 1): the r15 loop ran one checkpointed
+    // join+agg Spark job per absorption step over a table the
+    // operator's own contract bounds by #types² per chain. Each
+    // chain's edge table now collapses to ONE row (sorted edge array —
+    // a deterministic sum order, where the loop's partial-agg order
+    // was partition-dependent) and all `steps` rounds run as a per-row
+    // `aggregate` HOF carrying the state→pa map: same per-round
+    // round(Σ p·(dst=target ? 1 : pa_prev(dst)), 9) grid, same
+    // missing-state 0 default (states = distinct srcs, exactly the
+    // loop's groupBy key set), one job instead of `steps`.
+    val edgeList = collect_list(struct(col("src"), col("dst"), col("p")))
+    val grouped =
+      if (keys.isEmpty) probs.agg(edgeList.as("edges"))
+      else probs.groupBy(kCols: _*).agg(edgeList.as("edges"))
+    val edges = array_sort(col("edges"))
+    val srcs = array_distinct(transform(edges, e => e.getField("src")))
+    val paMap = aggregate(
+      sequence(lit(1), lit(steps)),
+      map_from_entries(transform(srcs, s => struct(s, lit(0.0)))),
+      (m, _) => map_from_entries(transform(srcs, s =>
+        struct(s, round(aggregate(edges, lit(0.0), (acc, e) =>
+          acc + when(e.getField("src") === s,
+            e.getField("p") * when(e.getField("dst") === lit(target),
+              lit(1.0))
+              .otherwise(coalesce(
+                try_element_at(m, e.getField("dst")), lit(0.0))))
+            .otherwise(lit(0.0))), 9)))))
+    grouped
+      .select(kCols :+ explode(map_entries(paMap)).as("kv"): _*)
+      .select(kCols :+ col("kv.key").as("state")
+        :+ col("kv.value").as("pa"): _*)
   }
 
   /** The SCD2 dimension build shared by q_scd2 and q_scd2_pit_join

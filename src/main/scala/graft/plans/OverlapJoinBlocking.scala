@@ -946,8 +946,6 @@ object OverlapJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
         val blockedCond =
           ((EqualTo(lk, rk) +: (rest ++ lenConds) :+ canonical)
             ++ suffixConds).reduce(And)
-        val blocked = Join(lgen, rgen, Inner, Some(blockedCond),
-          JoinHint.NONE)
         def bareUse(e: Expression): Boolean = {
           val stripped = e.transform {
             case Size(x: ArrayIntersect, _) if x.semanticEquals(ai) =>
@@ -958,33 +956,54 @@ object OverlapJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
             case _ => false
           }
         }
-        if (!(needShared ++ parentExprs).exists(bareUse)) {
-          // SIZE-ONLY mode (see the method scaladoc): carry the
-          // merge-walk count, never build the intersect array.
-          val nShared = Alias(graft.functions.SortedIntersectCount(
-            lSorted, rSorted), SharedName)()
-          val proj = Project(blocked.output :+ nShared, blocked)
-          val substFn: Expression => Expression = (req, lLen, rLen) match {
-            case (_: RelJaccard, Some(ll), Some(rl)) => e =>
-              substUnionSize(
-                substIntersectSize(e, ai, nShared.toAttribute),
-                ai, ll, rl, nShared.toAttribute)
-            case _ => e => substIntersectSize(e, ai, nShared.toAttribute)
+        val sizeOnly = !(needShared ++ parentExprs).exists(bareUse)
+        val (sharedAlias, substFn): (Alias, Expression => Expression) =
+          if (sizeOnly) {
+            // SIZE-ONLY mode (see the method scaladoc): carry the
+            // merge-walk count, never build the intersect array.
+            val nShared = Alias(graft.functions.SortedIntersectCount(
+              lSorted, rSorted), SharedName)()
+            val fn: Expression => Expression = (req, lLen, rLen) match {
+              case (_: RelJaccard, Some(ll), Some(rl)) => e =>
+                substUnionSize(
+                  substIntersectSize(e, ai, nShared.toAttribute),
+                  ai, ll, rl, nShared.toAttribute)
+              case _ => e => substIntersectSize(e, ai, nShared.toAttribute)
+            }
+            (nShared, fn)
+          } else {
+            val shared = Alias(ai, SharedName)()
+            val fn: Expression => Expression = (req, lLen, rLen) match {
+              case (_: RelJaccard, Some(ll), Some(rl)) => e =>
+                substUnionSize(subst(e, ai, shared.toAttribute),
+                  ai, ll, rl, Size(shared.toAttribute))
+              case _ => e => subst(e, ai, shared.toAttribute)
+            }
+            (shared, fn)
           }
-          val verify = needShared.map(substFn).reduce(And)
-          (Filter(verify, proj), substFn)
-        } else {
-          val shared = Alias(ai, SharedName)()
-          val proj = Project(blocked.output :+ shared, blocked)
-          val substFn: Expression => Expression = (req, lLen, rLen) match {
-            case (_: RelJaccard, Some(ll), Some(rl)) => e =>
-              substUnionSize(subst(e, ai, shared.toAttribute),
-                ai, ll, rl, Size(shared.toAttribute))
-            case _ => e => subst(e, ai, shared.toAttribute)
-          }
-          val verify = needShared.map(substFn).reduce(And)
-          (Filter(verify, proj), substFn)
-        }
+        val verify = needShared.map(substFn).reduce(And)
+        // Project each exploded side down to the columns anything
+        // above still reads (r16, guide §2.3 — project before the
+        // exchange): the rewrite orphans the RAW token arrays (the
+        // verify runs on the sorted-distinct copies), yet they rode
+        // every exploded prefix copy through the join — including
+        // the broadcast build side. Keep = join condition + verify +
+        // the shared-count kernel + whatever the (substituted)
+        // parent expressions still reference; a bare join's consumer
+        // sees j.output, so everything stays. Session-level
+        // ColumnPruning cannot do this (it runs before this batch,
+        // and re-running it after was the r15 planning catastrophe —
+        // see GraftSession).
+        val keep = AttributeSet(Seq(blockedCond, verify,
+          sharedAlias.child) ++ parentExprs.map(substFn)) ++
+          (if (parentExprs.isEmpty) j.outputSet else AttributeSet.empty)
+        def pruned(side: LogicalPlan): LogicalPlan =
+          if (side.output.forall(keep.contains)) side
+          else Project(side.output.filter(keep.contains), side)
+        val blocked = Join(pruned(lgen), pruned(rgen), Inner,
+          Some(blockedCond), JoinHint.NONE)
+        val proj = Project(blocked.output :+ sharedAlias, blocked)
+        (Filter(verify, proj), substFn)
       }
     case _ => None
   }
